@@ -1,0 +1,80 @@
+"""Aggregation operators (SURVEY.md §2.4 A1-A7).
+
+All map onto Spark hash aggregates with automatic partial (map-side)
+aggregation — including ``collect_set``/``collect_list``, whose partial
+buffers combine per-partition before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Money/measure columns in the testdata are exact 2-decimal doubles, so a
+#: DECIMAL(18,2) cast is lossless and SUM becomes exact integer arithmetic —
+#: bit-identical across engines/partitionings. Plain double SUM/AVG is
+#: summation-order-dependent, and ROUND() on a boundary double disagrees
+#: between Spark (shortest-decimal-repr HALF_UP) and C++-style engines
+#: (binary-value rounding), so deterministic money aggregates are the only
+#: oracle-safe form. This also fixes result nondeterminism across Spark runs
+#: with different partition counts — a correctness property at 100 TB, not
+#: just a test convenience.
+MONEY = "decimal(18,2)"
+
+
+def money_sum(col: Column | str) -> Column:
+    """Exact, order-independent SUM for 2-decimal measures (as double)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(MONEY)).cast("double")
+
+
+def money_avg(col: Column | str) -> Column:
+    """Exact-sum AVG: CAST(SUM(DECIMAL) AS DOUBLE)/COUNT — the division is
+    a single IEEE op on identical inputs, so results are reproducible."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(MONEY)).cast("double") / F.count(c)
+
+
+def oracle_money_sum(col: str) -> str:
+    return f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
+
+
+def oracle_money_avg(col: str) -> str:
+    return f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({col})"
+
+
+def string_agg_sorted(col: Column | str, sep: str = ", ", distinct: bool = False) -> Column:
+    """A2 — deterministic STRING_AGG.
+
+    Postgres ``STRING_AGG(x, ', ')`` without ORDER BY is
+    order-nondeterministic (dashboard/sql/get_school_analysis_data.sql:12-13);
+    we sort so results are reproducible (SURVEY §7.4 intentional
+    tightening). ``distinct=True`` maps STRING_AGG(DISTINCT ...) to
+    collect_set.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    collected = F.collect_set(c) if distinct else F.collect_list(c)
+    return F.concat_ws(sep, F.array_sort(collected))
+
+
+def frequency_table(df: DataFrame, *cols: str, count_name: str = "n") -> DataFrame:
+    """A3/A4 — value counts: ``table(x)`` (create_school_town_lookup.Rmd:45),
+    ``summarize(n())`` (run_analysis.Rmd:46-48)."""
+    return df.groupBy(*cols).agg(F.count(F.lit(1)).alias(count_name))
+
+
+def summary_stats(df: DataFrame, *cols: str) -> DataFrame:
+    """A6 — per-column min/max/mean/stddev/count (run_analysis.Rmd:75's
+    ``summary()``), as one exact distributed aggregate returning a single
+    row with `{stat}_{col}` columns (quartiles omitted: the reference
+    uses them for eyeballing only; ``approxQuantile`` available ad hoc)."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            money_avg(c).alias(f"mean_{c}"),
+            F.round(F.stddev(c), 4).alias(f"stddev_{c}"),
+            F.count(c).alias(f"count_{c}"),
+        ]
+    return df.agg(*aggs)

@@ -1,0 +1,42 @@
+"""Differential contract test: every queries() entry vs its oracle_sql()
+at sf0.001 — a faster local mirror of the driver's sf0.01 gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL
+from tests.oracle import compare, duck_connection
+
+
+def _specs():
+    from mcas_question2_etl_spark.plans.suite import SPECS
+
+    return SPECS
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_SMALL)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("spec", _specs(), ids=lambda s: s.name)
+def test_query_matches_oracle(spark, duck, spec):
+    df = spec.fn(spark, SF_SMALL)
+    if spec.oracle is None:
+        assert df.count() >= 0  # rows-only check, mirroring the driver
+        return
+    problems = compare(df, duck, spec.oracle)
+    assert not problems, f"{spec.name}: {problems}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    names = set(e.queries())
+    oracle = e.oracle_sql()
+    assert set(oracle) <= names
