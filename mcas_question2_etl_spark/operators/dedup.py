@@ -1,0 +1,187 @@
+"""Deduplication operators for training-data pipelines: exact,
+SimHash, n-gram Jaccard, and MinHash+LSH near-duplicate detection.
+
+Scale design:
+  * exact dedup groups on a 32-hex md5 fingerprint, not the document
+    body — the shuffle moves fixed-width keys.
+  * simhash is computed per-row with higher-order functions (no
+    explode, no shuffle); near-dup candidates then group on the
+    64->16-bit fingerprint.
+  * n-gram Jaccard all-pairs is the *verification* kernel, applied to
+    LSH candidate pairs; the all-pairs form here is the correctness
+    baseline on a bounded sample.
+  * MinHash+LSH (pyspark.ml) is the scale path: shingles -> hashed
+    term vector -> minhash signatures -> banded bucket join via
+    approxSimilarityJoin, so candidate generation is
+    O(n * bands), never O(n^2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import fingerprint, normalize_text
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", order_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-``order_col`` row per exact (normalized) text.
+
+    Equivalent to pandas drop_duplicates(keep='first') with a
+    deterministic order. Implemented as min-per-fingerprint + semi
+    join: two narrow-key shuffles, no window over document bodies.
+    """
+    keyed = df.withColumn("__fp", fingerprint(text_col))
+    keepers = keyed.groupBy("__fp").agg(F.min(order_col).alias(order_col))
+    return keyed.join(keepers, on=["__fp", order_col], how="leftsemi").drop("__fp")
+
+
+# --------------------------------------------------------------------------
+# simhash
+# --------------------------------------------------------------------------
+
+#: 60-bit integer hash of a token via md5 prefix — chosen because it is
+#: reproducible in any engine with md5 (driver-oracle checkable), unlike
+#: engine-native hash functions (xxhash64 vs murmur differ).
+_TOKEN_HASH = "cast(conv(substring(md5({t}), 1, 15), 16, 10) as bigint)"
+_TOKEN_HASH_SQL = "CAST(('0x' || substring(md5({t}), 1, 15)) AS BIGINT)"
+
+
+def simhash_expr(text_col: str, bits: int = 16) -> Column:
+    """Per-row SimHash fingerprint over whitespace tokens.
+
+    For each bit j: sum +-1 over tokens according to bit j of the token
+    hash; fingerprint bit j is 1 iff the sum is positive. Higher-order
+    functions keep it a single narrow projection.
+    """
+    hashes = f"transform(split({text_col}, ' '), t -> {_TOKEN_HASH.format(t='t')})"
+    bit_terms = []
+    for j in range(bits):
+        net = (
+            f"aggregate({hashes}, cast(0 as bigint), "
+            f"(acc, h) -> acc + if(((h >> {j}) & 1) = 1, 1, -1))"
+        )
+        bit_terms.append(f"if({net} > 0, {1 << j}, 0)")
+    return F.expr(" + ".join(bit_terms)).cast("long")
+
+
+def simhash_sql(text_col: str, bits: int = 16) -> str:
+    """DuckDB-SQL twin of :func:`simhash_expr` (kept adjacent so the
+    two stay in sync)."""
+    hashes = (
+        f"list_transform(string_split({text_col}, ' '), "
+        f"t -> {_TOKEN_HASH_SQL.format(t='t')})"
+    )
+    bit_terms = []
+    for j in range(bits):
+        net = (
+            f"list_sum(list_transform({hashes}, "
+            f"h -> CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END))"
+        )
+        bit_terms.append(f"(CASE WHEN {net} > 0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(bit_terms) + " AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard
+# --------------------------------------------------------------------------
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct character n-gram shingle set (narrow expression)."""
+    name = col if isinstance(col, str) else None
+    expr = (
+        f"array_distinct(transform(sequence(1, greatest(length({name}) - {n - 1}, 0)), "
+        f"i -> substring({name}, i, {n})))"
+    )
+    if name is None:
+        raise ValueError("char_ngrams requires a column name")
+    return F.expr(expr)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """All-pairs character-n-gram Jaccard similarity.
+
+    O(n^2) by construction — the exact-verification kernel. At scale,
+    generate candidates with MinHash/LSH first and apply this only to
+    candidate pairs; callers bound the input (sample or bucket).
+    Jaccard = |A∩B| / (|A|+|B|-|A∩B|) — integer set sizes, so the
+    division is bit-reproducible across engines.
+    """
+    shingled = df.select(
+        F.col(id_col), F.col(text_col), char_ngrams(text_col, n).alias("__sh")
+    )
+    a = shingled.select(
+        F.col(id_col).alias("a_id"), F.col("__sh").alias("a_sh")
+    )
+    b = shingled.select(
+        F.col(id_col).alias("b_id"), F.col("__sh").alias("b_sh")
+    )
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size("a_sh") + F.size("b_sh") - inter
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH (the scale path)
+# --------------------------------------------------------------------------
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hash_tables: int = 8,
+    max_distance: float = 0.7,
+    num_features: int = 1 << 18,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash signatures + banded LSH join.
+
+    shingle -> hashed binary term vector (HashingTF) -> MinHashLSH
+    signatures -> approxSimilarityJoin (bucketed candidate join +
+    exact Jaccard-distance filter). This is the O(n) candidate
+    generator that replaces the all-pairs kernel at scale; seeded so
+    results are reproducible run-to-run.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    shingled = df.select(
+        F.col(id_col), char_ngrams(text_col, n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True
+    )
+    feats = tf.transform(shingled)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
+    )
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, max_distance, distCol="jaccard_distance")
+    return (
+        joined.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("a_id"),
+            F.col(f"datasetB.{id_col}").alias("b_id"),
+            F.col("jaccard_distance"),
+        )
+    )

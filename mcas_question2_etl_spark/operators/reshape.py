@@ -44,10 +44,20 @@ def pivot_wide(
     aggs = [expr.alias(name) for name, expr in values.items()]
     wide = pv.agg(*aggs)
     renames = {}
-    for c in wide.columns:
-        m = re.match(r"^(.+?)_(" + "|".join(re.escape(v) for v in values) + r")$", c)
-        if m:
-            renames[c] = f"{m.group(2)}_{m.group(1)}".lower()
+    if len(values) == 1:
+        # single agg: Spark names pivoted columns bare `{pivotval}`
+        (value_name,) = values
+        for c in wide.columns:
+            if c not in index:
+                renames[c] = f"{value_name}_{c}".lower()
+    else:
+        # multi agg: Spark names them `{pivotval}_{alias}`
+        for c in wide.columns:
+            m = re.match(
+                r"^(.+?)_(" + "|".join(re.escape(v) for v in values) + r")$", c
+            )
+            if m:
+                renames[c] = f"{m.group(2)}_{m.group(1)}".lower()
     for old, new in renames.items():
         wide = wide.withColumnRenamed(old, new)
     return wide

@@ -1,0 +1,234 @@
+"""Training-data pipeline queries: dedup, text analysis, similarity
+search — the beyond-parity operator set over documents/embeddings.
+
+Oracle discipline matches plans/relational.py. Hash-dependent ops use
+md5 (reproducible in any engine) rather than engine-native hashes;
+cosine similarity uses Q20 fixed-point integer arithmetic so values are
+bit-identical across engines (see operators/similarity.py docstring).
+MinHash+LSH is the one rows-only entry: its banded-bucket candidate set
+is defined by pyspark.ml's seeded hash family, which no portable SQL
+reproduces — pytest covers its recall against the exact Jaccard kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import dedup, similarity, text
+from ..registry import QuerySpec
+
+SPECS: list[QuerySpec] = []
+
+
+def _spec(name: str, oracle: str | None, survey_ref: str):
+    def wrap(fn):
+        SPECS.append(QuerySpec(name=name, fn=fn, oracle=oracle, survey_ref=survey_ref))
+        return fn
+
+    return wrap
+
+
+_NORM = "md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))"
+_STOP_IN = "('" + "', '".join(text.STOPWORDS) + "')"
+
+
+@_spec(
+    "dedup_exact",
+    f"""
+    WITH fp AS (SELECT *, {_NORM} AS fp FROM documents),
+    keep AS (SELECT fp, MIN(doc_id) AS doc_id FROM fp GROUP BY fp)
+    SELECT f.doc_id, f.lang, f.source, f.n_chars
+    FROM fp f JOIN keep k ON f.fp = k.fp AND f.doc_id = k.doc_id
+    """,
+    "training-data op: exact dedup (hash-groupBy keep-first)",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs).select("doc_id", "lang", "source", "n_chars")
+
+
+@_spec(
+    "doc_fingerprint_clusters",
+    f"""
+    SELECT {_NORM} AS fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+    FROM documents GROUP BY 1
+    """,
+    "training-data op: document fingerprinting (md5 of normalized text) "
+    "+ duplicate-cluster sizing",
+)
+def doc_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(text.fingerprint("text").alias("fingerprint")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+    )
+
+
+@_spec(
+    "text_quality_stats",
+    f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) / len(toks) AS distinct_ratio,
+           len(list_filter(toks, w -> w IN {_STOP_IN})) / len(toks) AS stopword_ratio,
+           (length(text) - (len(toks) - 1)) / len(toks) AS avg_token_len
+    FROM t
+    """,
+    "training-data op: quality scoring (length/stopword/distinct ratios)",
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.with_token_stats(docs).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "distinct_ratio",
+        "stopword_ratio",
+        "avg_token_len",
+    )
+
+
+@_spec(
+    "language_id_heuristic",
+    f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id, lang,
+           len(list_filter(toks, w -> w IN {_STOP_IN})) / len(toks) AS stopword_frac,
+           CASE WHEN len(list_filter(toks, w -> w IN {_STOP_IN})) / len(toks) >= 0.04
+                THEN 'en' ELSE 'und' END AS predicted_lang
+    FROM t
+    """,
+    "training-data op: language-ID heuristic (stopword-profile score)",
+)
+def language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.with_language_id(docs).select(
+        "doc_id", "lang", "stopword_frac", "predicted_lang"
+    )
+
+
+@_spec(
+    "simhash_fingerprint",
+    f"""
+    SELECT doc_id, {dedup.simhash_sql('text', 16)} AS simhash
+    FROM documents
+    """,
+    "training-data op: SimHash document fingerprint (16-bit, md5 token "
+    "hashes — engine-portable)",
+)
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", dedup.simhash_expr("text", 16).alias("simhash"))
+
+
+_DUCK_SHINGLES = (
+    "list_distinct([substring(text, i, 3) "
+    "for i in range(1, greatest(len(text) - 1, 1))])"
+)
+
+
+@_spec(
+    "ngram_jaccard_neardup",
+    f"""
+    WITH s AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM documents WHERE doc_id % 29 = 0
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    ORDER BY jaccard DESC, a_id, b_id
+    LIMIT 20
+    """,
+    "training-data op: n-gram Jaccard near-dup (exact verification "
+    "kernel on a deterministic sample)",
+)
+def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 0)
+    pairs = dedup.ngram_jaccard_pairs(docs)
+    return pairs.orderBy(
+        F.col("jaccard").desc(), F.col("a_id"), F.col("b_id")
+    ).limit(20)
+
+
+@_spec(
+    "minhash_neardup",
+    None,  # rows-only: candidate set defined by pyspark.ml's seeded LSH family
+    "training-data op: MinHash+LSH near-dup candidates (the O(n) scale "
+    "path; pytest checks recall vs the exact Jaccard kernel)",
+)
+def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # distance 0.3 == Jaccard >= 0.7: actual near-dups, not vocabulary
+    # overlap (the synthetic docs share a tiny vocabulary, so looser
+    # thresholds degenerate to all-pairs)
+    return dedup.minhash_neardup_pairs(docs, max_distance=0.3)
+
+
+_Q_EMB = similarity.quantize_sql("embedding")
+
+
+@_spec(
+    "ann_cosine_topk",
+    f"""
+    WITH e AS (SELECT vec_id, label, {_Q_EMB} AS qv FROM embeddings),
+    q AS (SELECT qv AS query_v FROM e WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           {similarity.cosine_sql('e.qv', 'q.query_v')} AS cosine
+    FROM e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 10
+    """,
+    "training-data op: brute-force cosine top-k ANN baseline "
+    "(Q20 fixed-point — bit-reproducible)",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, query_vec_id=0, k=10)
+
+
+@_spec(
+    "ann_lsh_bucketed",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, {_Q_EMB} AS qv,
+             {similarity.sign_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT qv AS query_v, bucket AS qbucket FROM e WHERE vec_id = 0)
+    SELECT e.vec_id, e.label, e.bucket,
+           {similarity.cosine_sql('e.qv', 'q.query_v')} AS cosine
+    FROM e, q
+    WHERE e.vec_id <> 0 AND e.bucket = q.qbucket
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 5
+    """,
+    "training-data op: LSH-bucketed ANN (sign-hyperplane bucket prune — "
+    "the IVF-style scale path)",
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucketed_topk(emb, query_vec_id=0, k=5)
+
+
+@_spec(
+    "embedding_neardup_topn",
+    f"""
+    WITH e AS (
+      SELECT vec_id, {_Q_EMB} AS qv FROM embeddings WHERE vec_id % 5 = 0
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           {similarity.cosine_sql('a.qv', 'b.qv')} AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ORDER BY cosine DESC, a_id, b_id
+    LIMIT 20
+    """,
+    "training-data op: embedding-cosine near-dup pairs (all-pairs "
+    "kernel on a deterministic sample)",
+)
+def embedding_neardup_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.neardup_pairs_topn(emb, sample_mod=5, top_n=20)

@@ -9,6 +9,7 @@ modules so the suite doubles as integration coverage for the library.
 from __future__ import annotations
 
 from ..registry import QuerySpec
+from . import data_pipeline as _data_pipeline
 from . import flagship as _flagship
 from . import relational as _relational
 
@@ -20,4 +21,5 @@ SPECS: list[QuerySpec] = [
         survey_ref="§2.3 J3+J4, §2.4 A1+A2 (dashboard/sql/get_school_analysis_data.sql)",
     ),
     *_relational.SPECS,
+    *_data_pipeline.SPECS,
 ]

@@ -1,0 +1,205 @@
+"""Unit tests per operator module on tiny literal DataFrames —
+null/edge behavior the differential gate doesn't reach (SURVEY §5 plan
+item 2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcas_question2_etl_spark.functions import scalar
+from mcas_question2_etl_spark.operators import dedup, reshape, text
+from mcas_question2_etl_spark.quality import JoinValidationError, assert_unique_key, validate_join
+
+
+# ---------------------------------------------------------------------------
+# quality / join validation (T1-T3)
+# ---------------------------------------------------------------------------
+
+
+def test_validate_join_1to1_raises_on_dup_left(spark):
+    left = spark.createDataFrame([(1, "a"), (1, "b")], ["k", "v"])
+    right = spark.createDataFrame([(1, "x")], ["k", "w"])
+    with pytest.raises(JoinValidationError, match="left side"):
+        validate_join(left, right, on="k", validate="1:1")
+
+
+def test_validate_join_m1_allows_dup_left(spark):
+    left = spark.createDataFrame([(1, "a"), (1, "b")], ["k", "v"])
+    right = spark.createDataFrame([(1, "x")], ["k", "w"])
+    assert validate_join(left, right, on="k", validate="m:1").count() == 2
+
+
+def test_validate_join_dplyr_spelling(spark):
+    left = spark.createDataFrame([(1, "a")], ["k", "v"])
+    right = spark.createDataFrame([(1, "x"), (1, "y")], ["k", "w"])
+    with pytest.raises(JoinValidationError, match="right side"):
+        validate_join(left, right, on="k", validate="one-to-one")
+
+
+def test_assert_unique_key_passes(spark):
+    df = spark.createDataFrame([(1,), (2,)], ["k"])
+    assert_unique_key(df, "k")  # no raise
+
+
+# ---------------------------------------------------------------------------
+# reshape (R1-R3)
+# ---------------------------------------------------------------------------
+
+
+def test_pivot_wide_reference_naming(spark):
+    df = spark.createDataFrame(
+        [(1, "ELA", 10), (1, "MATH", 20), (2, "ELA", 30)],
+        ["district", "subject", "num_meets"],
+    )
+    wide = reshape.pivot_wide(
+        df,
+        index=["district"],
+        pivot_col="subject",
+        values={"num_meets": F.first("num_meets")},
+        pivot_values=["ELA", "MATH"],
+    )
+    assert set(wide.columns) == {"district", "num_meets_ela", "num_meets_math"}
+    row = {r["district"]: r for r in wide.collect()}
+    assert row[1]["num_meets_ela"] == 10 and row[1]["num_meets_math"] == 20
+    assert row[2]["num_meets_math"] is None
+
+
+def test_pivot_wide_uniqueness_assertion(spark):
+    # pandas .pivot raises on duplicate (index, column) pairs; Spark's
+    # first() would silently pick one — assert_unique restores fail-fast
+    df = spark.createDataFrame(
+        [(1, "ELA", 10), (1, "ELA", 11)], ["district", "subject", "num_meets"]
+    )
+    with pytest.raises(JoinValidationError):
+        reshape.pivot_wide(
+            df,
+            index=["district"],
+            pivot_col="subject",
+            values={"num_meets": F.first("num_meets")},
+            pivot_values=["ELA"],
+            assert_unique=True,
+        )
+
+
+def test_explode_list_row_count(spark):
+    df = spark.createDataFrame(
+        [(1, "a, b, c"), (2, "d")], ["district", "memberlist"]
+    )
+    out = reshape.explode_list(df, "memberlist", ", ", "town")
+    assert out.count() == 4
+
+
+def test_separate_unpivot_matches_reference_semantics(spark):
+    # separate(into 3, fill='right') + pivot_longer + drop NA
+    df = spark.createDataFrame([(1, "a, b"), (2, "c, d, e, f")], ["id", "lst"])
+    out = reshape.separate_unpivot(
+        df, "lst", ", ", 3, names_to="pos", values_to="town"
+    )
+    rows = {(r["id"], r["pos"]): r["town"] for r in out.collect()}
+    # id=1 gets 2 rows; id=2 truncated at 3 (separate drops extras)
+    assert rows == {
+        (1, 1): "a",
+        (1, 2): "b",
+        (2, 1): "c",
+        (2, 2): "d",
+        (2, 3): "e",
+    }
+
+
+# ---------------------------------------------------------------------------
+# scalar functions
+# ---------------------------------------------------------------------------
+
+
+def test_comma_strip_cast_roundtrip(spark):
+    df = spark.createDataFrame([("1,234,567",), ("89",)], ["s"])
+    vals = [r.v for r in df.select(scalar.comma_strip_cast("s").alias("v")).collect()]
+    assert vals == [1234567, 89]
+
+
+def test_expand_directions(spark):
+    df = spark.createDataFrame([("N. Attleborough",), ("W. Springfield",)], ["t"])
+    vals = [r.v for r in df.select(scalar.expand_directions("t").alias("v")).collect()]
+    assert vals == ["North Attleborough", "West Springfield"]
+
+
+def test_title_case(spark):
+    df = spark.createDataFrame([("SOMERVILLE",), ("n. adams",)], ["t"])
+    vals = [r.v for r in df.select(scalar.title_case("t").alias("v")).collect()]
+    assert vals == ["Somerville", "N. Adams"]
+
+
+def test_with_zscore_skips_nulls(spark):
+    df = spark.createDataFrame([(1.0,), (3.0,), (None,)], "x double")
+    out = scalar.with_zscore(df, "x", "z").collect()
+    zs = {r["x"]: r["z"] for r in out}
+    assert zs[1.0] == pytest.approx(-0.7071, abs=1e-3)
+    assert zs[3.0] == pytest.approx(0.7071, abs=1e-3)
+    assert zs[None] is None
+
+
+# ---------------------------------------------------------------------------
+# dedup / text
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_exact_keeps_first_and_normalizes(spark):
+    df = spark.createDataFrame(
+        [(3, "Hello  World"), (1, "hello world"), (2, "unrelated")],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r.doc_id for r in dedup.dedup_exact(df).collect())
+    assert kept == [1, 2]
+
+
+def test_ngram_jaccard_identical_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdef"), (2, "abcdef"), (3, "zzzzzz")], ["doc_id", "text"]
+    )
+    pairs = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] == 0.0
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    docs = [(0, base), (1, base + " x"), (2, "completely different words entirely here")]
+    # pad with distinct filler docs so LSH has a population
+    docs += [(10 + i, f"filler document number {i} with token {i * 7} salt {i * 13}") for i in range(20)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in dedup.minhash_neardup_pairs(df, max_distance=0.3).collect()
+    }
+    assert (0, 1) in pairs  # planted near-dup recalled
+    assert (0, 2) not in pairs
+
+
+def test_simhash_similar_docs_close_fingerprints(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "one two three four five six seven eight"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = {
+        r.doc_id: r.fp
+        for r in df.select("doc_id", dedup.simhash_expr("text", 16).alias("fp")).collect()
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(fps[1], fps[2]) < ham(fps[1], fps[3])
+
+
+def test_language_id_flags_english(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat and it is a hat"), (2, "foo bar baz qux")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.predicted_lang for r in text.with_language_id(df).collect()}
+    assert out == {1: "en", 2: "und"}
