@@ -1,0 +1,164 @@
+"""Multimodal column plumbing: opaque binary payloads (image/audio/
+video) with typed metadata, processed by Arrow-batched pandas
+iterators.
+
+The Spark-side contract is fully real — schemas, partition sizing, UDF
+signatures, batch shapes, and the mapInPandas pipeline are what a
+production multimodal pipeline runs; only the codec kernels are
+pluggable because no image/audio libraries ship in this container:
+
+  * ``decoder=None`` -> DETERMINISTIC FAKE (metadata derived from the
+    bytes themselves: length, checksum, synthesized dimensions) so the
+    distributed plumbing is testable end-to-end;
+  * a real kernel (PIL/libav via ``decoder=callable``) slots into the
+    same signature;
+  * ``strict_decoder()`` is the clearly-marked NotImplementedError stub
+    to fail loudly where fake features must not leak into production.
+
+Scale notes: binary payloads dominate row width, so operators here
+never shuffle raw bytes — derived features are projected out and the
+payload column dropped as early as possible; ``maxRecordsPerBatch``
+bounds Arrow batch memory (payloads × batch size is the real memory
+unit, not row count).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: canonical multimodal column bundle: payload + typed metadata
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("source_uri", T.StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("checksum", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def fake_decode(payload: bytes, media_type: str) -> dict:
+    """Deterministic fake codec: features derived only from the bytes,
+    so results are reproducible and assert-able without real media
+    libraries. Width/height/duration are synthesized from the checksum."""
+    if payload is None:
+        return {"n_bytes": 0, "checksum": None, "width": None, "height": None, "duration_ms": None}
+    h = hashlib.md5(payload).hexdigest()
+    seed = int(h[:8], 16)
+    out = {
+        "n_bytes": len(payload),
+        "checksum": h,
+        "width": None,
+        "height": None,
+        "duration_ms": None,
+    }
+    if media_type == "image":
+        out["width"] = 64 + seed % 1920
+        out["height"] = 64 + (seed >> 8) % 1080
+    elif media_type in ("audio", "video"):
+        out["duration_ms"] = 1000 + seed % 600_000
+        if media_type == "video":
+            out["width"] = 320 + seed % 1600
+            out["height"] = 240 + (seed >> 8) % 840
+    return out
+
+
+def strict_decoder(payload: bytes, media_type: str) -> dict:
+    """The production decode kernel slot. Intentionally unimplemented in
+    this container (no PIL/libav/ffmpeg): callers opting out of the fake
+    must supply a real kernel."""
+    raise NotImplementedError(
+        "real media decoding requires image/audio codecs not present in "
+        "this environment; pass decoder=<your kernel> (same signature) "
+        "or use the deterministic fake_decode"
+    )
+
+
+def extract_features(
+    media: DataFrame,
+    decoder: Callable[[bytes, str], dict] | None = None,
+) -> DataFrame:
+    """Decode/feature-extract via mapInPandas: Arrow-batched, one
+    Python worker pass, payload column dropped on output."""
+    import pandas as pd
+
+    decode = decoder or fake_decode
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            feats = [
+                decode(p, t) for p, t in zip(pdf["payload"], pdf["media_type"])
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            out.insert(1, "media_type", pdf["media_type"].values)
+            yield out[[f.name for f in FEATURE_SCHEMA.fields]]
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 16
+) -> DataFrame:
+    """Frame-sampling plumbing for video: one output row per sampled
+    frame offset. The frame *extraction* is the pluggable kernel (fake:
+    frame checksum = payload checksum salted by offset); the row
+    explosion, offset arithmetic, and schema are the real pipeline."""
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("offset_ms", T.LongType()),
+            T.StructField("frame_checksum", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mtype != "video" or payload is None:
+                    continue
+                dur = fake_decode(payload, "video")["duration_ms"]
+                n = min(max_frames, max(1, dur // every_ms))
+                for i in range(int(n)):
+                    off = i * every_ms
+                    salt = f"{mid}:{off}".encode()
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_index": i,
+                            "offset_ms": off,
+                            "frame_checksum": format(
+                                zlib.crc32(payload + salt), "08x"
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return media.mapInPandas(run, schema=schema)

@@ -64,11 +64,25 @@ def pivot_wide(
 
 
 def explode_list(
-    df: DataFrame, col: str, sep: str, out_col: str, keep_input: bool = False
+    df: DataFrame,
+    col: str,
+    sep: str,
+    out_col: str,
+    keep_input: bool = False,
+    outer: bool = False,
 ) -> DataFrame:
     """R2 — split a delimited string column and explode to one row per
-    element (dags/district_gis_etl.py:46-47). Narrow op: no shuffle."""
-    exploded = df.withColumn(out_col, F.explode(F.split(F.col(col), re.escape(sep))))
+    element (dags/district_gis_etl.py:46-47). Narrow op: no shuffle.
+
+    ``outer=True`` matches pandas ``.explode`` on a null list: the row
+    survives with a null element (the reference relies on this — its
+    null-MEMBERLIST rows flow into the coalesce at
+    dags/district_gis_etl.py:51). Spark's plain ``explode`` would drop
+    them.
+    """
+    gen = F.explode_outer if outer else F.explode
+    split_col = F.when(F.col(col).isNotNull(), F.split(F.col(col), re.escape(sep)))
+    exploded = df.withColumn(out_col, gen(split_col))
     return exploded if keep_input else exploded.drop(col)
 
 

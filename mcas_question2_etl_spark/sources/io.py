@@ -1,0 +1,68 @@
+"""File/table readers and sinks (SURVEY.md §2.1 S5-S7, K1-K5).
+
+Sink semantics map the reference's three load patterns:
+  * K1 full-replace (``to_sql(if_exists='replace')``,
+    school_outcomes_etl.py:139-149) -> overwrite writes;
+  * K2 delete-partition+append (election_results_etl.py:114-131) ->
+    dynamic partition overwrite — one declarative write replaces the
+    reference's DELETE round-trip and is transactional per-partition;
+  * K3/K5 CSV sink / bulk COPY -> header CSV writes (COPY's
+    truncate-then-load == overwrite).
+
+JDBC paths (S6, K-jdbc) are thin wrappers over spark.read/write.jdbc —
+exercised only when a JDBC URL + driver jar are present (none in this
+container; documented, not smoke-tested here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """S5 — CSV scan. Explicit schema preferred (engine is schema-first,
+    SURVEY §1.2); falls back to header+inference for ad-hoc loads."""
+    reader = spark.read.option("header", True)
+    return reader.schema(schema).csv(path) if schema else reader.option(
+        "inferSchema", True
+    ).csv(path)
+
+
+def read_jdbc(
+    spark: SparkSession, url: str, query: str, properties: dict[str, str] | None = None
+) -> DataFrame:
+    """S6 — push a whole query to the RDBMS (dbGetQuery,
+    dashboard/app_data.R:2-22). For large tables add partitionColumn/
+    lowerBound/upperBound/numPartitions so the read parallelizes."""
+    reader = spark.read.format("jdbc").option("url", url).option("query", query)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K3/K5 — CSV sink with header."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_parquet_overwrite(df: DataFrame, path: str) -> None:
+    """K1 — full-replace sink."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def write_partition_overwrite(
+    df: DataFrame, path: str, partition_col: str
+) -> None:
+    """K2 — idempotent per-partition replace (the reference's
+    DELETE WHERE county + append, election_results_etl.py:114-131).
+
+    With ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set by
+    the session factory), ``overwrite`` only replaces partitions present
+    in ``df`` — exactly the delete+append contract, minus the race
+    between the DELETE and the INSERT. Partitioned layout also gives
+    partition pruning to every downstream reader of the table.
+    """
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)

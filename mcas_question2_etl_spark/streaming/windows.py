@@ -1,0 +1,153 @@
+"""Event-time windowed aggregations over a streaming events source.
+
+Scale notes: watermarks bound the state store (late rows beyond the
+watermark are dropped, so state is O(active windows), not O(stream));
+the windowed aggregate shuffles on (window, key) with partial
+aggregation; AvailableNow processes a backlog in rate-limited batches
+instead of one giant micro-batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: explicit source schema — streaming file sources require one. ts is
+#: the raw parquet TIMESTAMP(NANOS) physical int64 (see catalog.load_table).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """readStream over the events parquet with ns->us ts conversion
+    (same truncation as catalog.load_table's batch path)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window counts/sums — the streaming twin of
+    the batch ``events_tumbling_window`` query (plans/relational.py);
+    the watermark admits late data up to 2 hours then finalizes."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_user_activity(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window per-user activity (each event lands in
+    window/slide overlapping windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "10 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows: per-user sessions closed after ``gap`` of
+    inactivity — the dynamic-window primitive tumbling windows can't
+    express."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def user_cumulative_value(events: DataFrame, timeout_minutes: int = 30) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running value total + event count, emitted on every batch; state
+    expires after ``timeout_minutes`` of processing-time inactivity.
+
+    The pattern the built-in windowed aggs can't express: arbitrary
+    per-key state evolving across micro-batches.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, total_value double, n_events long"
+    state_schema = "total_value double, n_events long"
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            total += float(pdf["value"].sum())
+            n += int(len(pdf))
+        state.update((total, n))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "total_value": [total], "n_events": [n]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def run_available_now(df: DataFrame, query_name: str, timeout_sec: int = 120):
+    """Execute a streaming plan over everything currently available,
+    then stop (the reference's daily-refresh semantics, exactly-once).
+    Results land in the in-memory table ``query_name``."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if not _is_update_only(df) else "update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q
+
+
+def _is_update_only(df: DataFrame) -> bool:
+    # applyInPandasWithState plans only support update mode
+    return "FlatMapGroupsInPandasWithState" in df._jdf.queryExecution().logical().toString()

@@ -1,0 +1,76 @@
+"""GLM layer + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcas_question2_etl_spark.ml import glm
+from mcas_question2_etl_spark.operators import multimodal
+
+
+def test_glm_recovers_planted_logit(spark):
+    # planted model: logit(p) = 0.8*x1 - 1.2*x2 + 0.3
+    rng = random.Random(7)
+    rows = []
+    for _ in range(800):
+        x1, x2 = rng.gauss(0, 1), rng.gauss(0, 1)
+        p = 1 / (1 + math.exp(-(0.8 * x1 - 1.2 * x2 + 0.3)))
+        n = rng.randint(50, 400)
+        k = sum(rng.random() < p for _ in range(n))
+        rows.append((x1, x2, k / n, float(n)))
+    df = spark.createDataFrame(rows, "x1 double, x2 double, prop double, w double")
+    model = glm.fit_quasibinomial_glm(df, "prop", ["x1", "x2"], "w")
+    coefs = glm.tidy(model, ["x1", "x2"])
+    by_term = {c.term: c for c in coefs}
+    assert by_term["x1"].estimate == pytest.approx(0.8, abs=0.05)
+    assert by_term["x2"].estimate == pytest.approx(-1.2, abs=0.05)
+    assert by_term["(Intercept)"].estimate == pytest.approx(0.3, abs=0.05)
+    # tidy invariants: OR = exp(est), CI brackets the estimate
+    x1 = by_term["x1"]
+    assert x1.odds_ratio == pytest.approx(math.exp(x1.estimate))
+    assert x1.conf_low < x1.odds_ratio < x1.conf_high
+    assert x1.std_error > 0
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        (1, "image", b"\x89PNG fake bytes 1", "image/png", "s3://m/1"),
+        (2, "video", b"\x00\x00ftyp fake video", "video/mp4", "s3://m/2"),
+        (3, "audio", b"RIFF fake audio", "audio/wav", "s3://m/3"),
+        (4, "image", None, "image/png", "s3://m/4"),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_extract_features_fake_decoder(spark, media_df):
+    out = {r.media_id: r for r in multimodal.extract_features(media_df).collect()}
+    assert out[1].width is not None and out[1].height is not None
+    assert out[1].duration_ms is None  # images have no duration
+    assert out[2].duration_ms is not None and out[2].width is not None
+    assert out[3].duration_ms is not None and out[3].width is None
+    assert out[4].n_bytes == 0 and out[4].checksum is None
+    # deterministic: same payload -> same checksum across runs
+    again = {r.media_id: r for r in multimodal.extract_features(media_df).collect()}
+    assert out[1].checksum == again[1].checksum
+
+
+def test_strict_decoder_raises(spark, media_df):
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as exc_info:
+        multimodal.extract_features(media_df, decoder=multimodal.strict_decoder).collect()
+    assert "NotImplementedError" in str(exc_info.value) or "real media decoding" in str(
+        exc_info.value
+    )
+
+
+def test_sample_frames_video_only(spark, media_df):
+    frames = multimodal.sample_frames(media_df, every_ms=60_000, max_frames=4).collect()
+    assert frames and all(r.media_id == 2 for r in frames)
+    assert [r.frame_index for r in frames] == list(range(len(frames)))
+    assert all(len(r.frame_checksum) == 8 for r in frames)

@@ -1,0 +1,64 @@
+"""Ingestion adapter + sink tests (SURVEY §2.1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from mcas_question2_etl_spark.sources import ingest, io as sio
+
+
+HTML = """
+<table>
+  <tr><th>District Code</th><th>Subject</th><th>M+E #</th></tr>
+  <tr><td>1</td><td>ELA</td><td>1,200</td></tr>
+  <tr><td>2</td><td>MATH</td><td>900</td></tr>
+</table>
+"""
+
+
+def test_html_table_rows_extraction():
+    rows = ingest.html_table_rows(HTML)
+    assert rows[0] == ["District Code", "Subject", "M+E #"]
+    assert rows[1] == ["1", "ELA", "1,200"]
+    assert len(rows) == 3
+
+
+def test_from_rows_header_skip_all_string(spark):
+    # S1/S2: scraped header row becomes column names, cells stay text
+    rows = ingest.html_table_rows(HTML)
+    df = ingest.from_rows(spark, rows[0], rows[1:])
+    assert df.columns == ["District Code", "Subject", "M+E #"]
+    assert [f.dataType for f in df.schema.fields] == [T.StringType()] * 3
+    assert df.count() == 2
+
+
+def test_parse_with_distributed_html_parse(spark):
+    # the scale path: page bodies in a DataFrame, parsed executor-side
+    pages = spark.createDataFrame([(HTML,), (HTML,)], ["value"])
+    schema = T.StructType(
+        [
+            T.StructField("district_code", T.StringType()),
+            T.StructField("subject", T.StringType()),
+        ]
+    )
+
+    def parser(body):
+        rows = ingest.html_table_rows(body)
+        return [
+            {"district_code": r[0], "subject": r[1]} for r in rows[1:]
+        ]
+
+    out = ingest.parse_with(pages, parser, schema)
+    assert out.count() == 4
+    assert set(out.columns) == {"district_code", "subject"}
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    path = str(tmp_path / "csv_out")
+    sio.write_csv(df, path)
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    back = sio.read_csv(spark, path, schema)
+    assert {(r.k, r.v) for r in back.collect()} == {(1, "a"), (2, "b")}
