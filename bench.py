@@ -25,6 +25,10 @@ HEADLINE = [
     "window_rownumber",
     "events_tumbling_window",
     "groupby_multisum",
+    "dedup_exact",
+    "text_quality_stats",
+    "simhash_fingerprint",
+    "ann_cosine_topk",
 ]
 
 
@@ -39,11 +43,15 @@ def main() -> None:
     spark = get_spark(app_name="mcas-q2-bench")
     specs = {s.name: s for s in SPECS}
 
-    # warmup: touch every table + JIT the common plan shapes
+    # warmup: touch every table, then run each headline plan once so the
+    # timed pass measures steady-state execution (codegen compiled,
+    # file listings cached) rather than JVM/JIT startup
     from mcas_question2_etl_spark.catalog import TABLES, load_table
 
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
+    for name in HEADLINE:
+        specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

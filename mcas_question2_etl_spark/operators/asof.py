@@ -1,0 +1,79 @@
+"""As-of (time-travel) join — an operator Spark's DataFrame API lacks.
+
+``asof_join(left, right)`` attaches to each left row the most recent
+right row with the same key and right_time <= left_time (backward
+direction; kdb aj / pandas merge_asof / DuckDB ASOF JOIN semantics).
+
+Implementation is the sort-based union trick, not a range join:
+
+    tag left rows side=1, right rows side=0
+    union on (key, time, side)
+    last_value(right cols, ignorenulls) over
+        (partition by key order by time, side, tiebreak
+         rows unbounded preceding .. current row)
+    keep side=1 rows
+
+One shuffle on the key, one sort within partitions — O(n log n) with
+NO candidate explosion, versus the naive time-range join whose
+candidate set is O(|left| x |right per key|). At 100 TB this is the
+difference between a join that finishes and one that doesn't; skewed
+keys degrade to AQE-split sorts, not cross products. Right rows at
+exactly left_time sort before left rows (side 0 < 1), so ties are
+inclusive — matching DuckDB ASOF (>=) semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward as-of LEFT join. ``right_cols`` are the columns carried
+    onto left rows (default: all non-key, non-time right columns);
+    ``tiebreak`` deterministically orders right rows sharing a
+    timestamp (latest wins)."""
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_time)]
+
+    l_tagged = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__tb"),
+        *[F.col(c) for c in left.columns],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).cast("long").alias("__tb"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tagged.unionByName(r_tagged).select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in right_cols
+        ],
+    )
+    return filled.filter(F.col("__side") == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"__f_{c}").alias(c) for c in right_cols],
+    )

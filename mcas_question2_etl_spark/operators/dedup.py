@@ -55,18 +55,28 @@ def simhash_expr(text_col: str, bits: int = 16) -> Column:
     """Per-row SimHash fingerprint over whitespace tokens.
 
     For each bit j: sum +-1 over tokens according to bit j of the token
-    hash; fingerprint bit j is 1 iff the sum is positive. Higher-order
-    functions keep it a single narrow projection.
+    hash; fingerprint bit j is 1 iff the sum is positive.
+
+    Single-pass: one fold over the token array with a ``bits``-wide
+    counter array as the accumulator, so each token is md5-hashed
+    exactly once. (The naive per-bit form — ``bits`` separate
+    aggregate() calls — re-hashes every token per bit; Catalyst does
+    not CSE across aggregate lambdas, and it measured ~8x slower at
+    sf0.1.) Still a narrow projection: no shuffle, no Python.
     """
     hashes = f"transform(split({text_col}, ' '), t -> {_TOKEN_HASH.format(t='t')})"
-    bit_terms = []
-    for j in range(bits):
-        net = (
-            f"aggregate({hashes}, cast(0 as bigint), "
-            f"(acc, h) -> acc + if(((h >> {j}) & 1) = 1, 1, -1))"
-        )
-        bit_terms.append(f"if({net} > 0, {1 << j}, 0)")
-    return F.expr(" + ".join(bit_terms)).cast("long")
+    counters = (
+        f"aggregate({hashes}, "
+        f"array_repeat(cast(0 as bigint), {bits}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {bits - 1}), "
+        f"(a, j) -> a + if(((h >> j) & 1) = 1, 1, -1)))"
+    )
+    fp = (
+        f"aggregate(zip_with({counters}, sequence(0, {bits - 1}), "
+        f"(n, j) -> if(n > 0, shiftleft(cast(1 as bigint), j), cast(0 as bigint))), "
+        f"cast(0 as bigint), (a, b) -> a + b)"
+    )
+    return F.expr(fp)
 
 
 def simhash_sql(text_col: str, bits: int = 16) -> str:

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from ..registry import QuerySpec
 from . import data_pipeline as _data_pipeline
+from . import extensions as _extensions
 from . import flagship as _flagship
 from . import relational as _relational
 
@@ -22,4 +23,5 @@ SPECS: list[QuerySpec] = [
     ),
     *_relational.SPECS,
     *_data_pipeline.SPECS,
+    *_extensions.SPECS,
 ]

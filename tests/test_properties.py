@@ -1,0 +1,119 @@
+"""Property-based spot checks (hypothesis) — SURVEY §5 plan item 4.
+
+Each property pins an algebraic invariant of an operator family:
+  * F1: comma-strip cast round-trips python's format(n, ',');
+  * R2: explode row count == sum of list lengths;
+  * R1∘unpivot: pivot on unique keys is invertible;
+  * as-of join == per-row argmax(right_time <= left_time) on a
+    brute-force reference implementation.
+
+One Spark job per property (not per example): hypothesis drives data
+generation, a single createDataFrame/collect round-trip evaluates all
+examples at once.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mcas_question2_etl_spark.functions import scalar
+from mcas_question2_etl_spark.operators import reshape
+from mcas_question2_etl_spark.operators.asof import asof_join
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(ns=st.lists(st.integers(min_value=0, max_value=10**15), min_size=1, max_size=30))
+@settings(**_SETTINGS)
+def test_comma_strip_roundtrip(spark, ns):
+    rows = [(format(n, ","),) for n in ns]
+    df = spark.createDataFrame(rows, "s string")
+    got = [r.v for r in df.select(scalar.comma_strip_cast("s").alias("v")).collect()]
+    assert got == ns
+
+
+@given(
+    lists=st.lists(
+        st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=4), min_size=0, max_size=5),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_explode_row_count(spark, lists):
+    rows = [(i, ", ".join(lst) if lst else None) for i, lst in enumerate(lists)]
+    df = spark.createDataFrame(rows, "id long, memberlist string")
+    out = reshape.explode_list(df, "memberlist", ", ", "town")
+    # null lists vanish under inner explode; non-empty lists of joined
+    # non-empty tokens split back to their length
+    expected = sum(len(lst) for lst in lists if lst)
+    assert out.count() == expected
+
+
+@given(
+    vals=st.dictionaries(
+        st.integers(min_value=0, max_value=20),
+        st.tuples(st.integers(0, 999), st.integers(0, 999)),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_pivot_unpivot_identity_on_unique_keys(spark, vals):
+    # long form: (key, subject, value) with unique (key, subject)
+    long_rows = []
+    for k, (ela, math_) in vals.items():
+        long_rows += [(k, "ELA", ela), (k, "MATH", math_)]
+    df = spark.createDataFrame(long_rows, "k long, subject string, v long")
+    wide = reshape.pivot_wide(
+        df,
+        index=["k"],
+        pivot_col="subject",
+        values={"v": F.first("v")},
+        pivot_values=["ELA", "MATH"],
+        assert_unique=True,
+    )
+    back = {
+        (r.k, s): r[f"v_{s.lower()}"]
+        for r in wide.collect()
+        for s in ("ELA", "MATH")
+    }
+    assert back == {(k, s): v for k, s, v in long_rows}
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=15),
+    right=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=0, max_size=15),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid long, k long, t long"
+    )
+    # unique tiebreak id per right row; later rid wins on equal t
+    rdf = spark.createDataFrame(
+        [(i, k, t, t * 10 + i) for i, (k, t) in enumerate(right)],
+        "rid long, k long, t long, payload long",
+    )
+    got = {
+        r.lid: r.payload
+        for r in asof_join(
+            ldf, rdf, on="k", left_time="t", right_time="t",
+            right_cols=["payload"], tiebreak="rid",
+        ).collect()
+    }
+    for lid, (k, t) in enumerate(left):
+        cands = [
+            (rt, rid, payload)
+            for rid, (rk, rt) in enumerate(right)
+            for payload in [rt * 10 + rid]
+            if rk == k and rt <= t
+        ]
+        want = max(cands)[2] if cands else None
+        assert got[lid] == want, f"lid={lid} k={k} t={t}"
