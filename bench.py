@@ -29,6 +29,8 @@ HEADLINE = [
     "text_quality_stats",
     "simhash_fingerprint",
     "ann_cosine_topk",
+    "sessionize_events",
+    "ann_ivf_topk",
 ]
 
 

@@ -52,11 +52,16 @@ def _sqnorm(a: str) -> str:
     return _dot(a, a)
 
 
-def cosine_expr(a: str, b: str) -> Column:
-    """Exact-integer cosine between two quantized arrays (as double)."""
-    return F.expr(
+def cosine_str(a: str, b: str) -> str:
+    """Spark-SQL expression text for the exact-integer cosine."""
+    return (
         f"({_dot(a, b)}) / sqrt(cast({_sqnorm(a)} as double) * cast({_sqnorm(b)} as double))"
     )
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    """Exact-integer cosine between two quantized arrays (as double)."""
+    return F.expr(cosine_str(a, b))
 
 
 def cosine_sql(a: str, b: str) -> str:
@@ -138,6 +143,91 @@ def lsh_bucketed_topk(
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int = 1,
+    k: int = 5,
+    n_centroids: int = 8,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize every vector to its
+    nearest centroid, then run the exact cosine scan only inside the
+    query's cell (nprobe=1).
+
+    Centroids here are the first ``n_centroids`` vectors by id — a
+    deterministic stand-in for a k-means codebook (training the
+    codebook is an offline job; the *serving* dataflow, which is what
+    this operator is, is identical either way). Shape at scale: the
+    centroid table is tiny and broadcast; assignment is a narrow
+    broadcast-nested-loop over n_centroids candidates per row with an
+    argmax, no shuffle of the embedding table; the table is then
+    written partitioned by cell so a probe prunes to 1/n_centroids of
+    the data via partition pruning.
+    """
+    cent_row = F.broadcast(
+        emb.filter(F.col("vec_id") < n_centroids)
+        .select(F.col("vec_id").alias("cid"), quantize("embedding").alias("cv"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents"))
+    )
+    # Per-row argmax over the centroid array as ONE narrow expression:
+    # struct comparison orders by (cosine, -cid), so ties resolve to the
+    # smallest cid. No explode, no window, no shuffle of the embedding
+    # table — assignment fuses into the scan stage.
+    argmax_cid = F.expr(
+        "array_max(transform(cents, c -> "
+        f"struct({cosine_str('ev', 'c.cv')} AS cos, "
+        "-c.cid AS ncid, c.cid AS cid))).cid"
+    )
+    cells = (
+        emb.select("vec_id", "label", quantize("embedding").alias("ev"))
+        .crossJoin(cent_row)
+        .select("vec_id", "label", "ev", argmax_cid.alias("cid"))
+    )
+    qcell = F.broadcast(
+        cells.filter(F.col("vec_id") == query_vec_id).select(
+            F.col("cid").alias("qcid"), F.col("ev").alias("qv")
+        )
+    )
+    return (
+        cells.join(qcell, cells["cid"] == qcell["qcid"], "inner")
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "label", "cid", cosine_expr("ev", "qv").alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_topk_sql(query_vec_id: int = 1, k: int = 5, n_centroids: int = 8) -> str:
+    """DuckDB twin of :func:`ivf_topk` (kept adjacent to stay in sync)."""
+    qe = quantize_sql("embedding")
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, {qe} AS cv FROM embeddings WHERE vec_id < {n_centroids}
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, {qe} AS ev, c.cid,
+             {cosine_sql(quantize_sql('e.embedding'), 'c.cv')} AS c_cos
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    cells AS (
+      SELECT vec_id, label, ev, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY c_cos DESC, cid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    qcell AS (
+      SELECT cid AS qcid, ev AS qv FROM cells WHERE vec_id = {query_vec_id}
+    )
+    SELECT c.vec_id, c.label, c.cid,
+           {cosine_sql('c.ev', 'q.qv')} AS cosine
+    FROM cells c JOIN qcell q ON c.cid = q.qcid
+    WHERE c.vec_id <> {query_vec_id}
+    ORDER BY cosine DESC, c.vec_id
+    LIMIT {k}
+    """
 
 
 def neardup_pairs_topn(emb: DataFrame, sample_mod: int = 5, top_n: int = 20) -> DataFrame:

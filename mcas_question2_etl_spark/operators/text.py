@@ -58,6 +58,74 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: BPE-ish pre-tokenizer: letter runs, digit runs, punctuation runs —
+#: the splits a byte-pair-encoding tokenizer's pre-tokenization pass
+#: makes (GPT-2 style, ASCII subset so the Java-regex and RE2 dialects
+#: agree byte-for-byte; no lookarounds, which RE2 lacks).
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count via the BPE pre-tokenizer regex.
+
+    A real BPE vocab merge is a per-token trie walk (constant work per
+    token, Python/Arrow path); the pre-tokenizer count here is the
+    standard cheap proxy and stays a narrow JVM expression — at crawl
+    scale this runs inside the parquet scan stage.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0))
+
+
+def bpe_token_count_sql(col: str) -> str:
+    """DuckDB twin of :func:`bpe_token_count` (RE2 dialect)."""
+    return f"length(regexp_extract_all({col}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))"
+
+
+#: rolling-hash parameters: base fits in 20 bits, modulus is the
+#: Mersenne prime 2^31-1, token hashes are 60-bit — every intermediate
+#: (acc*B + t < 2^51 + 2^60) stays inside a 64-bit signed int, so the
+#: fold is exact in any engine with bigint arithmetic.
+ROLL_BASE = 1_000_003
+ROLL_MOD = (1 << 31) - 1
+
+# 60-bit md5-derived token hash (same construction as dedup.py's, kept
+# textually separate because the two modules render different dialects).
+_ROLL_TOKEN_HASH = "cast(conv(substring(md5({t}), 1, 15), 16, 10) as bigint)"
+_ROLL_TOKEN_HASH_SQL = "CAST(('0x' || substring(md5({t}), 1, 15)) AS BIGINT)"
+
+
+def rolling_hash_expr(text_col: str) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    (Rabin–Karp) folded over whitespace tokens,
+    ``h = (h*B + hash(tok)) mod M``.
+
+    Unlike the md5-of-whole-text fingerprint this is incremental — a
+    streaming ingest can extend it token-by-token — and unlike SimHash
+    it is order-sensitive, so it distinguishes permuted documents.
+    Narrow single-pass projection: no shuffle, no Python.
+    """
+    hashes = f"transform(split({text_col}, ' '), t -> {_ROLL_TOKEN_HASH.format(t='t')})"
+    return F.expr(
+        f"aggregate({hashes}, cast(0 as bigint), "
+        f"(acc, h) -> (acc * {ROLL_BASE} + h) % {ROLL_MOD})"
+    )
+
+
+def rolling_hash_sql(text_col: str) -> str:
+    """DuckDB twin of :func:`rolling_hash_expr`. DuckDB's
+    ``list_reduce`` has no explicit zero accumulator, so we prepend 0:
+    the first step ``(0*B + h0) % M`` matches Spark's fold from zero."""
+    hashes = (
+        f"list_transform(string_split({text_col}, ' '), "
+        f"t -> {_ROLL_TOKEN_HASH_SQL.format(t='t')})"
+    )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {hashes}), "
+        f"(acc, h) -> (acc * {ROLL_BASE} + h) % {ROLL_MOD})"
+    )
+
+
 def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """N-gram/stopword language-ID heuristic.
 

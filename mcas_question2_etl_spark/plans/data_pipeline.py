@@ -232,3 +232,63 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_neardup_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.neardup_pairs_topn(emb, sample_mod=5, top_n=20)
+
+
+@_spec(
+    "token_count_bpe",
+    f"""
+    SELECT doc_id, lang,
+           length(string_split(text, ' ')) AS n_ws_tokens,
+           {text.bpe_token_count_sql('text')} AS n_bpe_tokens
+    FROM documents
+    """,
+    "training-data op: token counting — whitespace count + BPE-ish "
+    "pre-tokenizer regex count (letter/digit/punct runs); narrow "
+    "scan-stage projection",
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        text.bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+@_spec(
+    "rolling_hash_fingerprint",
+    f"""
+    WITH fp AS (
+      SELECT source, {text.rolling_hash_sql('text')} AS roll_fp FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT roll_fp) AS n_distinct_fp
+    FROM fp GROUP BY source
+    """,
+    "training-data op: document fingerprinting via polynomial rolling "
+    "hash (order-sensitive, streaming-extendable) + per-source "
+    "collision census",
+)
+def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", text.rolling_hash_expr("text").alias("roll_fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("roll_fp").alias("n_distinct_fp"),
+        )
+    )
+
+
+@_spec(
+    "ann_ivf_topk",
+    similarity.ivf_topk_sql(query_vec_id=1, k=5, n_centroids=8),
+    "training-data op: IVF ANN — coarse-quantize to nearest centroid "
+    "(broadcast argmax, no shuffle), exact cosine inside the query's "
+    "cell only (nprobe=1); the partition-pruning scale path",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, query_vec_id=1, k=5, n_centroids=8)

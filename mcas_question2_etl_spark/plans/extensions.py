@@ -160,3 +160,185 @@ def asof_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_event_id",
         "purchase_value",
     )
+
+
+@_spec(
+    "cube_grouping",
+    """
+    SELECT GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    "extension — CUBE with GROUPING() disambiguators (distinguishes "
+    "'subtotal row' from a genuinely NULL group key); one shuffle, "
+    "grouping-set expansion map-side",
+)
+def cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        F.count(F.lit(1)).alias("n"),
+        aggregates.money_sum("o_totalprice").alias("sum_totalprice"),
+    ).select(
+        "g_status", "g_priority", "o_orderstatus", "o_orderpriority",
+        "n", "sum_totalprice",
+    )
+
+
+@_spec(
+    "set_intersect_except",
+    """
+    SELECT 'both' AS segment, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+    )
+    UNION ALL
+    SELECT 'urgent_only' AS segment, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+    )
+    """,
+    "extension — INTERSECT / EXCEPT set operators (SURVEY §2.8 'no set "
+    "ops' note); both compile to distinct + left-semi/anti hash joins",
+)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = orders.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    both = urgent.intersect(high).select(
+        F.lit("both").alias("segment"), "o_custkey"
+    )
+    only = urgent.subtract(high).select(
+        F.lit("urgent_only").alias("segment"), "o_custkey"
+    )
+    return both.unionByName(only)
+
+
+@_spec(
+    "group_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           quantile_cont(l_extendedprice, 0.5) AS p50_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "extension — exact interpolated percentiles per group (SURVEY §2.4 "
+    "A6 summary() generalized); single hash-agg shuffle. At 100 TB "
+    "swap percentile() for percentile_approx (t-digest sketch, "
+    "mergeable map-side) — kept exact here for the differential gate",
+)
+def group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_price"),
+    )
+
+
+@_spec(
+    "range_band_join",
+    """
+    SELECT b.band, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
+    FROM orders o
+    JOIN (VALUES ('small', 0.0, 50000.0),
+                 ('mid', 50000.0, 150000.0),
+                 ('large', 150000.0, 1e18)) b(band, lo, hi)
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+    "extension — range/interval (banded theta) join: fact x tiny band "
+    "table, broadcast-nested-loop so the non-equi predicate never "
+    "shuffles the fact side",
+)
+def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bands = F.broadcast(
+        orders.sparkSession.createDataFrame(
+            [("small", 0.0, 50000.0), ("mid", 50000.0, 150000.0),
+             ("large", 150000.0, 1e18)],
+            "band string, lo double, hi double",
+        )
+    )
+    cond = (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi"))
+    return (
+        orders.join(bands, cond, "inner")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            aggregates.money_sum("o_totalprice").alias("sum_totalprice"),
+        )
+    )
+
+
+@_spec(
+    "sessionize_events",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS t_us,
+             lag(epoch_us(ts)) OVER w AS prev_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL
+                       OR t_us - prev_us > 1800 * 1000000
+                     THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT *, SUM(new_session) OVER
+                  (PARTITION BY user_id ORDER BY t_us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MAX(t_us) - MIN(t_us) AS duration_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    "extension — gap-based sessionization (30-min inactivity): the "
+    "batch twin of streaming session windows. lag + running-sum share "
+    "ONE shuffle on user_id (same partitioning), then the per-session "
+    "agg is partial-aggregated map-side; micros arithmetic keeps the "
+    "gap test integer-exact across engines",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_micros("ts").alias("t_us"),
+        F.lag(F.unix_micros("ts")).over(w).alias("prev_us"),
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.col("t_us") - F.col("prev_us") > 1800 * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(wrun))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("t_us") - F.min("t_us")).alias("duration_us"),
+        aggregates.money_sum("value").alias("sum_value"),
+    )

@@ -203,3 +203,49 @@ def test_language_id_flags_english(spark):
     )
     out = {r.doc_id: r.predicted_lang for r in text.with_language_id(df).collect()}
     assert out == {1: "en", 2: "und"}
+
+
+# ---------------------------------------------------------------------------
+# text extensions: BPE-ish token count, rolling hash
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_token_count_splits_runs(spark):
+    df = spark.createDataFrame([("Hello, world42 x!",)], ["text"])
+    # runs: Hello | , | world | 42 | x | !  -> 6
+    got = df.select(text.bpe_token_count("text").alias("n")).first().n
+    assert got == 6
+
+
+def test_rolling_hash_is_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a"), (3, "a b c")], ["id", "text"]
+    )
+    rows = df.select("id", text.rolling_hash_expr("text").alias("h")).collect()
+    h = {r.id: r.h for r in rows}
+    assert h[1] == h[3]          # identical docs agree
+    assert h[1] != h[2]          # permuted docs differ (unlike simhash/md5-set)
+    assert all(0 <= v < text.ROLL_MOD for v in h.values())
+
+
+# ---------------------------------------------------------------------------
+# similarity: IVF cell assignment
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_assigns_query_cell_and_excludes_query(spark):
+    from mcas_question2_etl_spark.operators import similarity
+
+    # 2 centroids (ids 0,1) on orthogonal axes; id 2 near axis-0, id 3 near axis-1
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.0, 1.0], 0),
+        (2, [0.9, 0.1], 0),
+        (3, [0.1, 0.9], 0),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = similarity.ivf_topk(emb, query_vec_id=2, k=5, n_centroids=2).collect()
+    ids = [r.vec_id for r in out]
+    assert 2 not in ids          # query excluded
+    assert ids[0] == 0           # its own cell's centroid is nearest
+    assert 3 not in ids          # other cell is pruned (nprobe=1)
