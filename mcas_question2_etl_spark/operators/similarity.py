@@ -185,10 +185,13 @@ def ivf_topk(
         .crossJoin(cent_row)
         .select("vec_id", "label", "ev", argmax_cid.alias("cid"))
     )
+    # The query's own cell comes from a one-row branch (filter BEFORE
+    # the assignment), not from re-deriving the full cells relation.
     qcell = F.broadcast(
-        cells.filter(F.col("vec_id") == query_vec_id).select(
-            F.col("cid").alias("qcid"), F.col("ev").alias("qv")
-        )
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("vec_id"), quantize("embedding").alias("ev"))
+        .crossJoin(cent_row)
+        .select(argmax_cid.alias("qcid"), F.col("ev").alias("qv"))
     )
     return (
         cells.join(qcell, cells["cid"] == qcell["qcid"], "inner")

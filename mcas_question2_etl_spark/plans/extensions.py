@@ -342,3 +342,66 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("t_us") - F.min("t_us")).alias("duration_us"),
         aggregates.money_sum("value").alias("sum_value"),
     )
+
+
+@_spec(
+    "skew_salted_agg",
+    """
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "extension — salted two-phase aggregation over a 3-distinct-value "
+    "(maximally hot) grouping key: phase 1 on (key, salt) spreads each "
+    "hot key over 16 reducers, phase 2 combines 16 partials per key. "
+    "Oracle is the PLAIN group-by: salting must be semantically "
+    "invisible",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_agg
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        lineitem.withColumn(
+            "__price_dec", F.col("l_extendedprice").cast("decimal(18,2)")
+        ),
+        keys=["l_returnflag"],
+        aggs={
+            "n": ("count", "l_returnflag"),
+            "sum_price": ("sum", "__price_dec"),
+            "min_qty": ("min", "l_quantity"),
+            "max_qty": ("max", "l_quantity"),
+        },
+        buckets=16,
+    )
+    return out.withColumn("sum_price", F.col("sum_price").cast("double"))
+
+
+@_spec(
+    "skew_salted_join",
+    """
+    SELECT l.l_returnflag, n.n_name, COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN (SELECT n_nationkey, n_name FROM nation) n
+      ON (l.l_suppkey % 25) = n.n_nationkey
+    GROUP BY l.l_returnflag, n.n_name
+    """,
+    "extension — salted join fallback for hot keys when neither "
+    "broadcast nor AQE skew-split applies: big side salted by a "
+    "deterministic row hash, small side replicated per salt. Oracle is "
+    "the PLAIN join: salting must be semantically invisible",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    lineitem = (
+        load_table(spark, sf_dir, "lineitem")
+        .withColumn("n_nationkey", F.col("l_suppkey") % 25)
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = salted_join(lineitem, nation, on="n_nationkey", buckets=16)
+    return joined.groupBy("l_returnflag", "n_name").agg(
+        F.count(F.lit(1)).alias("n_items")
+    )

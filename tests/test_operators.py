@@ -249,3 +249,41 @@ def test_ivf_assigns_query_cell_and_excludes_query(spark):
     assert 2 not in ids          # query excluded
     assert ids[0] == 0           # its own cell's centroid is nearest
     assert 3 not in ids          # other cell is pruned (nprobe=1)
+
+
+# ---------------------------------------------------------------------------
+# skew: salting is semantically invisible
+# ---------------------------------------------------------------------------
+
+
+def test_salted_agg_matches_plain(spark):
+    from mcas_question2_etl_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("hot", i, float(i)) for i in range(50)] + [("cold", 1, 2.0)],
+        "k string, q long, p double",
+    )
+    got = {
+        r.k: (r.n, r.sum_p, r.min_q)
+        for r in salted_agg(
+            df, keys=["k"],
+            aggs={"n": ("count", "k"), "sum_p": ("sum", "p"), "min_q": ("min", "q")},
+            buckets=4,
+        ).collect()
+    }
+    assert got["hot"] == (50, sum(float(i) for i in range(50)), 0)
+    assert got["cold"] == (1, 2.0, 1)
+
+
+def test_salted_join_matches_plain(spark):
+    from mcas_question2_etl_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, i) for i in range(40)] + [(2, 99)], "k long, v long"
+    )
+    small = spark.createDataFrame([(1, "one"), (2, "two"), (3, "three")], "k long, name string")
+    got = salted_join(big, small, on="k", buckets=4)
+    plain = big.join(small, "k", "inner")
+    assert got.count() == plain.count() == 41
+    assert sorted((r.k, r.v, r.name) for r in got.collect()) == \
+           sorted((r.k, r.v, r.name) for r in plain.collect())
