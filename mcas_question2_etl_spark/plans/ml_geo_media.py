@@ -1,0 +1,201 @@
+"""Queries surfacing the non-relational layers: geospatial (G1-G3),
+the quasi-binomial GLM (M1/M2), and multimodal binary plumbing.
+
+Inputs are synthesized deterministically FROM the catalog tables (the
+testdata has no geometry/media columns), so every run and every engine
+sees identical bytes.
+
+Oracle discipline: the multimodal fake-decode derives every feature
+from md5/arithmetic, so its specs are fully oracle-checked — the
+DuckDB twin recomputes the features in SQL while Spark runs the real
+Arrow-batched mapInPandas plumbing, proving the distributed path
+produces exactly the declared function of the bytes. The geo LCC
+reprojection and the IRLS GLM are genuinely non-SQL-expressible
+(iterative float math) -> rows-only, as the driver contract allows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import QuerySpec
+
+SPECS: list[QuerySpec] = []
+
+
+def _spec(name: str, oracle: str | None, survey_ref: str):
+    def wrap(fn):
+        SPECS.append(QuerySpec(name=name, fn=fn, oracle=oracle, survey_ref=survey_ref))
+        return fn
+
+    return wrap
+
+
+# --------------------------------------------------------------------------
+# media synthesis shared by the multimodal specs (Spark + SQL twins)
+# --------------------------------------------------------------------------
+
+_MTYPE = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+_SEED = "CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)"
+
+
+def _synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> MEDIA_SCHEMA bundle: payload = utf-8 bytes of the
+    text (an opaque deterministic blob), media_type round-robins by id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(_MTYPE).alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.concat(F.lit("synthetic://"), F.col("doc_id").cast("string")).alias(
+            "source_uri"
+        ),
+    )
+
+
+@_spec(
+    "multimodal_feature_extract",
+    f"""
+    WITH media AS (
+      SELECT doc_id AS media_id, {_MTYPE} AS media_type, text,
+             {_SEED} AS seed, octet_length(CAST(text AS BLOB)) AS n_bytes
+      FROM documents
+    )
+    SELECT media_type, COUNT(*) AS n_media,
+           SUM(n_bytes) AS total_bytes,
+           SUM(CASE WHEN media_type = 'image' THEN 64 + seed % 1920
+                    WHEN media_type = 'video' THEN 320 + seed % 1600 END) AS sum_width,
+           SUM(CASE WHEN media_type IN ('audio', 'video')
+                    THEN 1000 + seed % 600000 END) AS sum_duration_ms
+    FROM media GROUP BY media_type
+    """,
+    "multimodal: decode/feature-extract via Arrow-batched mapInPandas "
+    "over binary payloads (operators/multimodal.py). The fake codec is "
+    "a pure function of the bytes (md5-derived), so the oracle "
+    "recomputes it in SQL and the differential gate verifies the "
+    "distributed plumbing end-to-end; a real codec slots into the same "
+    "kernel signature",
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_features
+
+    feats = extract_features(_synth_media(spark, sf_dir))
+    return feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("width").alias("sum_width"),
+        F.sum("duration_ms").alias("sum_duration_ms"),
+    )
+
+
+@_spec(
+    "multimodal_frame_sample",
+    f"""
+    WITH media AS (
+      SELECT doc_id AS media_id, {_MTYPE} AS media_type, {_SEED} AS seed
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(LEAST(16, GREATEST(1, (1000 + seed % 600000) // 1000)) AS BIGINT)
+             AS n_frames
+    FROM media WHERE media_type = 'video'
+    """,
+    "multimodal: video frame-sampling plumbing (one row per sampled "
+    "offset via mapInPandas; operators/multimodal.py sample_frames). "
+    "Oracle recomputes the per-video frame count from the same "
+    "byte-derived duration",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import sample_frames
+
+    frames = sample_frames(_synth_media(spark, sf_dir), every_ms=1000, max_frames=16)
+    return frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
+
+
+@_spec(
+    "geo_reproject_validity",
+    None,  # Lambert Conformal Conic inverse is iterative float math — no SQL twin
+    "geo G1-G3 (SURVEY §2.7): synthesize one EPSG:26986 square per "
+    "nation (plus planted degenerate rings), reproject to EPSG:4326 "
+    "with the Snyder LCC inverse (pandas UDF), validity-filter flag, "
+    "normalized WKT out. Mirrors dags/district_gis_etl.py:62-74",
+)
+def geo_reproject_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.geo import st_is_valid, st_normalize_wkt, st_transform_26986_to_4326
+
+    nation = load_table(spark, sf_dir, "nation")
+    # 1 km squares marching across the Massachusetts mainland plane;
+    # every 7th nation gets a zero-area (invalid) ring.
+    x0 = F.col("n_nationkey") * 5000 + 200000
+    y0 = F.col("n_nationkey") * 4000 + 750000
+    valid_wkt = F.format_string(
+        "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
+        x0, y0, x0 + 1000, y0, x0 + 1000, y0 + 1000, x0, y0 + 1000, x0, y0,
+    )
+    degenerate_wkt = F.format_string(
+        "POLYGON ((%d %d, %d %d, %d %d, %d %d))", x0, y0, x0, y0, x0, y0, x0, y0
+    )
+    shapes = nation.select(
+        "n_nationkey",
+        "n_name",
+        F.when(F.col("n_nationkey") % 7 == 0, degenerate_wkt)
+        .otherwise(valid_wkt)
+        .alias("geometry_26986"),
+    )
+    return shapes.select(
+        "n_nationkey",
+        "n_name",
+        st_is_valid("geometry_26986").alias("is_valid"),
+        st_normalize_wkt(st_transform_26986_to_4326("geometry_26986")).alias(
+            "geometry_4326"
+        ),
+    )
+
+
+@_spec(
+    "glm_tidy_coefficients",
+    None,  # IRLS is iterative — no SQL twin; pytest pins the estimates
+    "M1/M2 (SURVEY §2.12): weighted quasi-binomial GLM via pyspark.ml "
+    "GLR (binomial/logit + dispersion-rescaled SEs) on per-customer "
+    "order behavior; returns the broom::tidy-style coefficient table "
+    "(run_analysis.Rmd:80-143)",
+)
+def glm_tidy_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.glm import fit_quasibinomial_glm, tidy
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.avg((F.col("o_orderpriority") == "1-URGENT").cast("double")).alias(
+                "urgent_frac"
+            ),
+        )
+        .join(customer.select("c_custkey", "c_acctbal"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "urgent_frac",
+            F.col("n_orders").cast("double").alias("n_orders"),
+            (F.col("c_acctbal") / 1000.0).alias("acctbal_k"),
+        )
+    )
+    features = ["acctbal_k", "n_orders"]
+    model = fit_quasibinomial_glm(
+        per_cust, response_col="urgent_frac", feature_cols=features,
+        weight_col="n_orders",
+    )
+    rows = tidy(model, features)
+    return spark.createDataFrame(
+        [
+            (c.term, float(c.estimate), float(c.std_error), float(c.statistic),
+             float(c.odds_ratio), float(c.conf_low), float(c.conf_high))
+            for c in rows
+        ],
+        "term string, estimate double, std_error double, statistic double, "
+        "odds_ratio double, conf_low double, conf_high double",
+    )

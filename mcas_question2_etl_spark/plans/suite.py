@@ -12,6 +12,7 @@ from ..registry import QuerySpec
 from . import data_pipeline as _data_pipeline
 from . import extensions as _extensions
 from . import flagship as _flagship
+from . import ml_geo_media as _ml_geo_media
 from . import relational as _relational
 
 SPECS: list[QuerySpec] = [
@@ -24,4 +25,5 @@ SPECS: list[QuerySpec] = [
     *_relational.SPECS,
     *_data_pipeline.SPECS,
     *_extensions.SPECS,
+    *_ml_geo_media.SPECS,
 ]
