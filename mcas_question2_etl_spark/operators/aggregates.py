@@ -43,6 +43,24 @@ def oracle_money_avg(col: str) -> str:
     return f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({col})"
 
 
+def revenue_sum(price: str = "l_extendedprice", discount: str = "l_discount") -> Column:
+    """Exact SUM(price * (1 - discount)) — the TPC-H revenue measure.
+
+    Both factors are 2-decimal values, so the DECIMAL product (scale 4)
+    and its sum are exact integer arithmetic: order-independent and
+    engine-identical, unlike a double product chain."""
+    p = F.col(price).cast(MONEY)
+    d = F.lit(1).cast(MONEY) - F.col(discount).cast(MONEY)
+    return F.sum(p * d).cast("double")
+
+
+def oracle_revenue_sum(price: str, discount: str) -> str:
+    return (
+        f"CAST(SUM(CAST({price} AS DECIMAL(18,2)) * "
+        f"(CAST(1 AS DECIMAL(18,2)) - CAST({discount} AS DECIMAL(18,2)))) AS DOUBLE)"
+    )
+
+
 def string_agg_sorted(col: Column | str, sep: str = ", ", distinct: bool = False) -> Column:
     """A2 — deterministic STRING_AGG.
 

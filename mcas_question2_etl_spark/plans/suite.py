@@ -14,6 +14,7 @@ from . import extensions as _extensions
 from . import flagship as _flagship
 from . import ml_geo_media as _ml_geo_media
 from . import relational as _relational
+from . import tpch as _tpch
 
 SPECS: list[QuerySpec] = [
     QuerySpec(
@@ -26,4 +27,5 @@ SPECS: list[QuerySpec] = [
     *_data_pipeline.SPECS,
     *_extensions.SPECS,
     *_ml_geo_media.SPECS,
+    *_tpch.SPECS,
 ]
