@@ -405,3 +405,98 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("l_returnflag", "n_name").agg(
         F.count(F.lit(1)).alias("n_items")
     )
+
+
+@_spec(
+    "events_sliding_window",
+    """
+    WITH e AS (
+      SELECT event_type, value, epoch_us(ts) AS t_us FROM events
+    ),
+    windows AS (
+      SELECT event_type, value,
+             unnest([(t_us // 1800000000) * 1800000000,
+                     (t_us // 1800000000) * 1800000000 - 1800000000]) AS w_us
+      FROM e
+    )
+    SELECT strftime(make_timestamp(w_us), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM windows GROUP BY w_us, event_type
+    """,
+    "extension — sliding event-time window (1h window / 30min slide), "
+    "batch twin of streaming/windows.py sliding_user_activity: each "
+    "event lands in exactly window/slide windows; oracle enumerates "
+    "the two window starts by integer epoch arithmetic",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            aggregates.money_sum("value").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@_spec(
+    "events_session_window_batch",
+    """
+    WITH ordered AS (
+      SELECT user_id, value, epoch_us(ts) AS t_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL
+                       OR t_us - prev_us >= 1800 * 1000000
+                     THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT *, SUM(new_session) OVER
+                  (PARTITION BY user_id ORDER BY t_us
+                   ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(make_timestamp(MIN(t_us)), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(make_timestamp(MAX(t_us) + 1800 * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sessions GROUP BY user_id, sid
+    """,
+    "extension — Spark-native session_window() in BATCH mode (the same "
+    "expression the streaming path uses), vs an oracle that re-derives "
+    "sessions by gap-merge: new session iff gap >= 30min (Spark's "
+    "half-open [start, last+gap) semantics); end = last event + gap",
+)
+def events_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            aggregates.money_sum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
