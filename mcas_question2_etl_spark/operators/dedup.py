@@ -150,7 +150,111 @@ def ngram_jaccard_pairs(
 
 
 # --------------------------------------------------------------------------
-# MinHash + LSH (the scale path)
+# portable MinHash + banded LSH (explicit hash family -> oracle-checkable)
+# --------------------------------------------------------------------------
+
+#: Mersenne prime modulus and a fixed affine family h_i(x) = (a_i*x + b_i) % P.
+#: Shingle hashes are folded to 30 bits first so a_i * x stays < 2^61 —
+#: every intermediate fits signed int64 in any engine (no modmul tricks).
+MH_P = (1 << 31) - 1
+MH_PARAMS = [
+    (1_299_721, 15_485_863),
+    (2_750_159, 32_452_843),
+    (4_256_233, 49_979_687),
+    (5_800_079, 67_867_967),
+    (7_368_787, 86_028_121),
+    (8_960_453, 104_395_301),
+    (10_570_841, 122_949_823),
+    (12_195_257, 141_650_939),
+]
+MH_BAND_ROWS = 2  # 8 signatures / 2 rows per band = 4 bands
+
+_SHINGLE30 = "cast(conv(substring(md5({s}), 1, 7), 16, 10) as bigint) % 1073741824"
+_SHINGLE30_SQL = "CAST(('0x' || substring(md5({s}), 1, 7)) AS BIGINT) % 1073741824"
+
+
+def minhash_signature_expr(shingles_col: str) -> Column:
+    """Array of the 8 min-hash values over a shingle array — one narrow
+    expression, each shingle md5-hashed once per permutation."""
+    terms = []
+    for a, b in MH_PARAMS:
+        h = _SHINGLE30.format(s="s")
+        terms.append(
+            f"array_min(transform({shingles_col}, s -> ({a} * ({h}) + {b}) % {MH_P}))"
+        )
+    return F.expr("array(" + ", ".join(terms) + ")")
+
+
+def minhash_signature_sql(shingles_col: str) -> str:
+    """DuckDB twin of :func:`minhash_signature_expr`."""
+    terms = []
+    for a, b in MH_PARAMS:
+        h = _SHINGLE30_SQL.format(s="s")
+        terms.append(
+            f"list_min(list_transform({shingles_col}, s -> ({a} * ({h}) + {b}) % {MH_P}))"
+        )
+    return "[" + ", ".join(terms) + "]"
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over the portable MinHash.
+
+    Pipeline: shingle -> 8-wide signature (narrow, scan-fused) ->
+    explode into 4 (band_idx, band_key) rows -> self-join on the band
+    bucket -> distinct pairs. Candidate generation is O(n * bands)
+    rows through one shuffle on the band key (a fixed-width pair of
+    ints, never the document body); the exact Jaccard verification
+    kernel then runs only on candidates. Unlike the pyspark.ml
+    MinHashLSH variant, the hash family is explicit, so a SQL oracle
+    reproduces the exact candidate set.
+    """
+    sig = df.select(
+        F.col(id_col), char_ngrams(text_col, n).alias("__sh")
+    ).filter(F.size("__sh") > 0).select(
+        F.col(id_col), minhash_signature_expr("__sh").alias("__sig")
+    )
+    n_bands = len(MH_PARAMS) // MH_BAND_ROWS
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col("__sig")[i * MH_BAND_ROWS + r]
+                                for r in range(MH_BAND_ROWS)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "b.band_idx", "b.band_key")
+    a = bands.select(
+        F.col(id_col).alias("a_id"), "band_idx", "band_key"
+    )
+    b = bands.select(
+        F.col(id_col).alias("b_id"), "band_idx", "band_key"
+    )
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH (pyspark.ml variant)
 # --------------------------------------------------------------------------
 
 

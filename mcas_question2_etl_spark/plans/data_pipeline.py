@@ -292,3 +292,71 @@ def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, query_vec_id=1, k=5, n_centroids=8)
+
+
+_SHINGLES_SQL = (
+    "list_distinct([substring(text, CAST(i AS INTEGER), 3) "
+    "for i in range(1, greatest(length(text) - 1, 1))])"
+)
+
+
+@_spec(
+    "minhash_lsh_portable",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles
+      FROM documents WHERE length(text) >= 3
+    ),
+    sig AS (
+      SELECT doc_id, {dedup.minhash_signature_sql('shingles')} AS sig
+      FROM sh WHERE length(shingles) > 0
+    ),
+    bands AS (
+      SELECT doc_id, i AS band_idx,
+             CAST(sig[2*i + 1] AS VARCHAR) || ':' || CAST(sig[2*i + 2] AS VARCHAR)
+               AS band_key
+      FROM sig, unnest([0, 1, 2, 3]) AS t(i)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    )
+    SELECT p.a_id, p.b_id,
+           CAST(length(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / (length(sa.shingles) + length(sb.shingles)
+                - length(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+    FROM pairs p
+    JOIN sh sa ON sa.doc_id = p.a_id
+    JOIN sh sb ON sb.doc_id = p.b_id
+    """,
+    "training-data op: MinHash + banded LSH near-dup with an EXPLICIT "
+    "affine hash family ((a*x + b) % (2^31-1) over 30-bit md5 shingle "
+    "hashes), so the full candidate generation is engine-portable and "
+    "oracle-checked — unlike the pyspark.ml variant (minhash_neardup) "
+    "whose seeded family is opaque. Candidates then pass through the "
+    "exact-Jaccard verification kernel, i.e. the real two-stage scale "
+    "pipeline end-to-end",
+)
+def minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    cands = dedup.minhash_lsh_candidates(docs, id_col="doc_id", text_col="text", n=3)
+    shingled = docs.select(
+        "doc_id", dedup.char_ngrams("text", 3).alias("shingles")
+    )
+    a = shingled.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"))
+    b = shingled.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    return (
+        cands.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (
+                inter.cast("double")
+                / (F.size("a_sh") + F.size("b_sh") - inter)
+            ).alias("jaccard"),
+        )
+    )
