@@ -53,6 +53,28 @@ def write_parquet_overwrite(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame, table: str, bucket_col: str, n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed-table sink: pre-shuffles ONCE at write time so
+    every later equi-join/aggregation on ``bucket_col`` between
+    co-bucketed tables runs shuffle-free (Catalyst sees the hash
+    distribution from table metadata and plans a zero-Exchange
+    sort-merge join).
+
+    This is the scale answer to repeated fact-to-fact joins: at 100 TB
+    a lineitem⋈orders on orderkey shuffles ~all bytes per query unless
+    both are bucketed by the key — then the shuffle is paid once at
+    ingest. ``sort_col`` additionally pre-sorts within buckets, turning
+    the join's per-bucket sort into a merge.
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table)
+
+
 def write_partition_overwrite(
     df: DataFrame, path: str, partition_col: str
 ) -> None:

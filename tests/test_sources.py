@@ -62,3 +62,38 @@ def test_csv_roundtrip(spark, tmp_path):
     )
     back = sio.read_csv(spark, path, schema)
     assert {(r.k, r.v) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Co-bucketed tables joined on the bucket key must not add an
+    Exchange: the write-time shuffle is the only one ever paid."""
+    left = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS b")
+    sio.write_bucketed(left, "bq_left", "k", n_buckets=4, sort_col="k")
+    sio.write_bucketed(right, "bq_right", "k", n_buckets=4, sort_col="k")
+    try:
+        joined = (
+            spark.table("bq_left")
+            .hint("merge")  # force SMJ so bucketing (not broadcast) does the work
+            .join(spark.table("bq_right"), "k")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bq_left")
+        spark.sql("DROP TABLE IF EXISTS bq_right")
+
+
+def test_partition_overwrite_layout_prunes_reads(spark, tmp_path):
+    """A reader filtering on the partition column must prune at the
+    directory level (PartitionFilters), not scan-and-filter."""
+    df = spark.createDataFrame(
+        [("suffolk", 1), ("norfolk", 2), ("essex", 3)], ["county", "v"]
+    )
+    path = str(tmp_path / "parted")
+    sio.write_partition_overwrite(df, path, "county")
+    scan = spark.read.parquet(path).filter("county = 'norfolk'")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "norfolk" in plan, plan
+    assert [r.v for r in scan.collect()] == [2]
