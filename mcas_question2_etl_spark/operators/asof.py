@@ -36,11 +36,16 @@ def asof_join(
     right_time: str,
     right_cols: list[str] | None = None,
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of LEFT join. ``right_cols`` are the columns carried
+    """As-of LEFT join. ``right_cols`` are the columns carried
     onto left rows (default: all non-key, non-time right columns);
     ``tiebreak`` deterministically orders right rows sharing a
-    timestamp (latest wins)."""
+    timestamp (latest wins). ``direction='backward'`` attaches the most
+    recent right row at-or-before left_time (kdb aj); ``'forward'``
+    attaches the earliest right row at-or-after left_time (pandas
+    merge_asof(direction='forward')) — same one-shuffle union+window
+    plan with the time axis ordered descending."""
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_time)]
 
@@ -61,9 +66,12 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
     )
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    t_ord = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__tb").asc())
+        .orderBy(t_ord, F.col("__side").asc(), F.col("__tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l_tagged.unionByName(r_tagged).select(

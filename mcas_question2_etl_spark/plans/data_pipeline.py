@@ -360,3 +360,50 @@ def minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@_spec(
+    "quality_expectations_report",
+    """
+    SELECT 'min_rows_100' AS check,
+           CAST(COUNT(*) AS DOUBLE) AS observed,
+           COUNT(*) >= 100 AS passed
+    FROM documents
+    UNION ALL
+    SELECT 'not_null_text', AVG(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END),
+           AVG(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END) = 0.0
+    FROM documents
+    UNION ALL
+    SELECT 'unique_doc_id', CAST(COUNT(DISTINCT doc_id) - COUNT(doc_id) AS DOUBLE),
+           COUNT(DISTINCT doc_id) = COUNT(doc_id)
+    FROM documents
+    UNION ALL
+    SELECT 'values_in_lang',
+           AVG(CASE WHEN lang NOT IN ('en','de','fr','es','zh') THEN 1.0 ELSE 0.0 END),
+           AVG(CASE WHEN lang NOT IN ('en','de','fr','es','zh') THEN 1.0 ELSE 0.0 END) = 0.0
+    FROM documents
+    UNION ALL
+    SELECT 'range_n_chars',
+           AVG(CASE WHEN n_chars < 1 OR n_chars > 100000 THEN 1.0 ELSE 0.0 END),
+           AVG(CASE WHEN n_chars < 1 OR n_chars > 100000 THEN 1.0 ELSE 0.0 END) = 0.0
+    FROM documents
+    """,
+    "training-data op: declarative data-quality expectation suite "
+    "(operators/expectations.py) — 5 checks batched into ONE "
+    "distributed aggregate pass (the oracle spells them as 5 scans; "
+    "Spark runs one), reporting (check, observed, passed)",
+)
+def quality_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import expectations as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    return X.quality_report(
+        docs,
+        [
+            X.expect_min_rows(100),
+            X.expect_not_null("text"),
+            X.expect_unique("doc_id"),
+            X.expect_values_in("lang", ("en", "de", "fr", "es", "zh")),
+            X.expect_range("n_chars", 1, 100000),
+        ],
+    )

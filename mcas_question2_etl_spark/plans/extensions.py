@@ -500,3 +500,47 @@ def events_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@_spec(
+    "asof_join_forward_next_purchase",
+    """
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           p.event_id AS next_purchase_event_id,
+           p.value AS next_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+    "extension — FORWARD as-of join (pandas merge_asof "
+    "direction='forward'): earliest purchase at/after each click, per "
+    "user; same one-shuffle union+window plan with the time axis "
+    "descending",
+)
+def asof_join_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("next_purchase_event_id"),
+        F.col("value").alias("next_purchase_value"),
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_cols=["next_purchase_event_id", "next_purchase_value"],
+        tiebreak="next_purchase_event_id",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "next_purchase_event_id",
+        "next_purchase_value",
+    )

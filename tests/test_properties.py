@@ -117,3 +117,34 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         ]
         want = max(cands)[2] if cands else None
         assert got[lid] == want, f"lid={lid} k={k} t={t}"
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=15),
+    right=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=0, max_size=15),
+)
+@settings(**_SETTINGS)
+def test_asof_join_forward_matches_bruteforce(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid long, k long, t long"
+    )
+    rdf = spark.createDataFrame(
+        [(i, k, t, t * 10 + i) for i, (k, t) in enumerate(right)],
+        "rid long, k long, t long, payload long",
+    )
+    got = {
+        r.lid: r.payload
+        for r in asof_join(
+            ldf, rdf, on="k", left_time="t", right_time="t",
+            right_cols=["payload"], tiebreak="rid", direction="forward",
+        ).collect()
+    }
+    for lid, (k, t) in enumerate(left):
+        # earliest rt >= t; on rt ties the largest rid wins (tb asc, last wins)
+        cands = [
+            (rt, -rid, rt * 10 + rid)
+            for rid, (rk, rt) in enumerate(right)
+            if rk == k and rt >= t
+        ]
+        want = min(cands)[2] if cands else None
+        assert got[lid] == want, f"lid={lid} k={k} t={t}"
