@@ -1,0 +1,65 @@
+"""Dataset-construction operators: deterministic splits, class
+balancing, stratified samples.
+
+Training pipelines need *reproducible* membership — a row's split must
+not depend on partitioning, row order, cluster size, or engine, or
+every rerun leaks test data into train. So membership derives from a
+hash of a stable key (md5 → bucket in [0,100)), never from RNG state:
+the same row lands in the same split on any engine, which also makes
+these operators oracle-checkable. Spark's native randomSplit/sampleBy
+(seeded per-partition RNG) is fine for one-off local sampling but its
+assignment changes with repartitioning — the footgun these avoid.
+
+All narrow projections/filters except class balancing, which pays one
+shuffle on the label (unavoidable: the per-class quota is global).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key_col: str, buckets: int = 100) -> F.Column:
+    """Stable bucket in [0, buckets): md5 of the key's string form.
+    (Engine-portable, unlike xxhash64/murmur which differ per engine.)"""
+    h = f"cast(conv(substring(md5(cast({key_col} as string)), 1, 15), 16, 10) as bigint)"
+    return F.expr(f"{h} % {buckets}")
+
+
+def hash_bucket_sql(key_col: str, buckets: int = 100) -> str:
+    """DuckDB twin of :func:`hash_bucket`."""
+    return (
+        f"CAST(('0x' || substring(md5(CAST({key_col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+        f" % {buckets}"
+    )
+
+
+def train_test_split(
+    df: DataFrame, key_col: str, test_pct: int = 20
+) -> DataFrame:
+    """Adds a ``split`` column: 'test' for the ``test_pct`` hash slice,
+    'train' otherwise. A filter, not a shuffle; adding rows later never
+    reassigns existing ones (hash membership is per-row, not quantile)."""
+    b = hash_bucket(key_col)
+    return df.withColumn(
+        "split", F.when(b < test_pct, "test").otherwise("train")
+    )
+
+
+def balanced_sample(
+    df: DataFrame, label_col: str, per_class: int, order_col: str
+) -> DataFrame:
+    """Class-balanced downsample: the first ``per_class`` rows per label
+    by ``order_col`` (deterministic — for an unbiased draw, order by
+    ``hash_bucket(order_col)`` instead, still reproducible).
+
+    One shuffle on the label; WindowGroupLimit pushes the per-class
+    limit below the sort, so each partition keeps at most ``per_class``
+    rows per label before the exchange."""
+    w = Window.partitionBy(label_col).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= per_class)
+        .drop("__rn")
+    )

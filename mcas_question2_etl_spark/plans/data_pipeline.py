@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators import dedup, similarity, text
+from ..operators import dedup, sampling, similarity, text
 from ..registry import QuerySpec
 
 SPECS: list[QuerySpec] = []
@@ -407,3 +407,49 @@ def quality_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             X.expect_range("n_chars", 1, 100000),
         ],
     )
+
+
+@_spec(
+    "train_test_split_counts",
+    f"""
+    WITH split AS (
+      SELECT lang,
+             CASE WHEN {sampling.hash_bucket_sql('doc_id')} < 20
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT split, lang, COUNT(*) AS n_docs
+    FROM split GROUP BY split, lang
+    """,
+    "training-data op: deterministic hash-based train/test split "
+    "(operators/sampling.py) — membership is md5(key) % 100, so the "
+    "same row lands in the same split on any engine/partitioning "
+    "(unlike seeded per-partition RNG); per-(split, lang) census",
+)
+def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.train_test_split(docs, key_col="doc_id", test_pct=20)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@_spec(
+    "balanced_sample_per_lang",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 40
+    """,
+    "training-data op: class-balanced downsample — first 40 docs per "
+    "language (row_number per label, WindowGroupLimit keeps the "
+    "per-partition buffer at 40 before the shuffle)",
+)
+def balanced_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.balanced_sample(
+        docs, label_col="lang", per_class=40, order_col="doc_id"
+    ).select("doc_id", "lang")

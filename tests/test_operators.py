@@ -287,3 +287,56 @@ def test_salted_join_matches_plain(spark):
     assert got.count() == plain.count() == 41
     assert sorted((r.k, r.v, r.name) for r in got.collect()) == \
            sorted((r.k, r.v, r.name) for r in plain.collect())
+
+
+# ---------------------------------------------------------------------------
+# approximate aggregates: the 100TB swap-ins stay near their exact twins
+# ---------------------------------------------------------------------------
+
+
+def test_approx_count_distinct_within_5pct(spark):
+    df = spark.range(0, 20000).selectExpr("id % 7919 AS k")  # 7919 distinct
+    exact = df.selectExpr("count(DISTINCT k) AS n").first().n
+    # rsd=0.01 sizes the HLL sketch for ~1% relative error (default 5%
+    # measured ~7.6% on this keyspace); still constant memory per group
+    approx = df.selectExpr("approx_count_distinct(k, 0.01) AS n").first().n
+    assert abs(approx - exact) / exact < 0.03, (exact, approx)
+
+
+def test_percentile_approx_within_2pct(spark):
+    df = spark.range(0, 20000).selectExpr("cast(id AS double) AS v")
+    exact = df.selectExpr("percentile(v, 0.9) AS p").first().p
+    approx = df.selectExpr("percentile_approx(v, 0.9, 1000) AS p").first().p
+    assert abs(approx - exact) / exact < 0.02, (exact, approx)
+
+
+# ---------------------------------------------------------------------------
+# sampling: determinism across repartitioning
+# ---------------------------------------------------------------------------
+
+
+def test_train_test_split_stable_under_repartition(spark):
+    from mcas_question2_etl_spark.operators.sampling import train_test_split
+
+    df = spark.range(0, 500).selectExpr("id AS doc_id")
+    a = {(r.doc_id, r.split) for r in train_test_split(df, "doc_id").collect()}
+    b = {
+        (r.doc_id, r.split)
+        for r in train_test_split(df.repartition(13), "doc_id").collect()
+    }
+    assert a == b
+    test_frac = sum(1 for _, s in a if s == "test") / len(a)
+    assert 0.1 < test_frac < 0.3  # ~20%
+
+
+def test_balanced_sample_exact_quota(spark):
+    from mcas_question2_etl_spark.operators.sampling import balanced_sample
+
+    df = spark.createDataFrame(
+        [(i, "big" if i % 4 else "small") for i in range(100)], ["id", "label"]
+    )
+    out = balanced_sample(df, "label", per_class=10, order_col="id").collect()
+    from collections import Counter
+
+    c = Counter(r.label for r in out)
+    assert c["big"] == 10 and c["small"] == 10
