@@ -59,12 +59,18 @@ def main() -> None:
     for name in HEADLINE:
         specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # best-of-2 timed runs per query: a single pass is hostage to one
+    # GC pause / scheduler hiccup; min-of-N is the standard estimator
+    # for the machine-independent cost of the plan
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].fn
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

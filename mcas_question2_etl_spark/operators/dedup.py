@@ -102,14 +102,20 @@ def simhash_sql(text_col: str, bits: int = 16) -> str:
 
 
 def char_ngrams(col: Column | str, n: int = 3) -> Column:
-    """Distinct character n-gram shingle set (narrow expression)."""
+    """Distinct character n-gram shingle set (narrow expression).
+
+    Texts shorter than ``n`` have no n-grams -> empty array. (The guard
+    matters: Spark's ``sequence(1, 0)`` is DESCENDING ``[1, 0]``, so an
+    unguarded bound would emit partial shingles for short texts and
+    disagree with every other engine's empty-set semantics.)"""
     name = col if isinstance(col, str) else None
-    expr = (
-        f"array_distinct(transform(sequence(1, greatest(length({name}) - {n - 1}, 0)), "
-        f"i -> substring({name}, i, {n})))"
-    )
     if name is None:
         raise ValueError("char_ngrams requires a column name")
+    expr = (
+        f"if(length({name}) < {n}, array(), "
+        f"array_distinct(transform(sequence(1, length({name}) - {n - 1}), "
+        f"i -> substring({name}, i, {n}))))"
+    )
     return F.expr(expr)
 
 

@@ -340,3 +340,15 @@ def test_balanced_sample_exact_quota(spark):
 
     c = Counter(r.label for r in out)
     assert c["big"] == 10 and c["small"] == 10
+
+
+def test_char_ngrams_short_texts_empty(spark):
+    # texts shorter than n have NO n-grams (Spark's descending
+    # sequence(1,0) would otherwise fabricate partial shingles)
+    df = spark.createDataFrame([("ab",), ("a",), ("",), ("abcd",)], ["text"])
+    got = {
+        r.text: r.sh
+        for r in df.select("text", dedup.char_ngrams("text", 3).alias("sh")).collect()
+    }
+    assert got["ab"] == [] and got["a"] == [] and got[""] == []
+    assert got["abcd"] == ["abc", "bcd"]
