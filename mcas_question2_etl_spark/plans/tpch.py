@@ -224,3 +224,132 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+@_spec(
+    "tpch_q7_nation_volume",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(strftime(l.l_shipdate, '%Y') AS BIGINT) AS l_year,
+           {_REV} AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "TPC-H Q7 shape: bilateral trade volume between two nations by "
+    "ship year — the same dimension (nation) joins twice under "
+    "different roles; both sides broadcast, the OR-pair predicate "
+    "prunes after the dim joins",
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer, supplier, nation = (
+        load_table(spark, sf_dir, t)
+        for t in ("lineitem", "orders", "customer", "supplier", "nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        lineitem.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nk") == F.col("s_nationkey"))
+        .join(F.broadcast(cn), F.col("c_nk") == F.col("c_nationkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.date_format("l_shipdate", "yyyy").cast("long").alias("l_year"),
+        )
+        .agg(revenue_sum().alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@_spec(
+    "tpch_q14_promo_revenue",
+    f"""
+    SELECT strftime(date_trunc('month', l.l_shipdate), '%Y-%m') AS ship_month,
+           CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             * 100 AS promo_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY ship_month
+    ORDER BY ship_month
+    """,
+    "TPC-H Q14 shape: promo revenue share by ship month — conditional "
+    "DECIMAL aggregate ratio; part broadcast into the fact scan",
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = (load_table(spark, sf_dir, t) for t in ("lineitem", "part"))
+    dec = "decimal(18,2)"
+    rev = F.col("l_extendedprice").cast(dec) * (
+        F.lit(1).cast(dec) - F.col("l_discount").cast(dec)
+    )
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+        F.lit(0).cast(dec)
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            (
+                F.sum(promo).cast("double") / F.sum(rev).cast("double") * 100
+            ).alias("promo_pct")
+        )
+        .orderBy("ship_month")
+    )
+
+
+@_spec(
+    "correlated_above_customer_avg",
+    """
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (
+      SELECT AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+    "extension — correlated scalar subquery (each order vs 1.5x its "
+    "own customer's average): Spark decorrelates to a window average "
+    "over ONE shuffle on the correlation key, no per-row subquery "
+    "execution",
+)
+def correlated_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("__avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("__avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias(
+                "o_totalprice"
+            ),
+        )
+    )
