@@ -35,6 +35,11 @@ HEADLINE = [
     "tpch_q5_local_supplier_volume",
     "tpch_q10_returned_items",
     "tpch_q18_large_volume_customer",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q21_waiting_suppliers",
 ]
 
 
