@@ -31,6 +31,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "sessionize_events",
     "ann_ivf_topk",
+    "corpus_prep_pipeline",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q10_returned_items",

@@ -453,3 +453,61 @@ def balanced_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.balanced_sample(
         docs, label_col="lang", per_class=40, order_col="doc_id"
     ).select("doc_id", "lang")
+
+
+@_spec(
+    "corpus_prep_pipeline",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents
+    ), q AS (
+      SELECT doc_id, lang, text, len(toks) AS n_tokens
+      FROM t
+      WHERE len(toks) >= 20
+        AND len(list_distinct(toks)) / len(toks) >= 0.32
+        AND len(list_filter(toks, w -> w IN {_STOP_IN})) / len(toks) <= 0.5
+    ), fp AS (
+      SELECT *, {_NORM} AS fp FROM q
+    ), keep AS (
+      SELECT fp, MIN(doc_id) AS doc_id FROM fp GROUP BY fp
+    ), deduped AS (
+      SELECT f.doc_id, f.lang, f.n_tokens
+      FROM fp f JOIN keep k ON f.fp = k.fp AND f.doc_id = k.doc_id
+    )
+    SELECT CASE WHEN {sampling.hash_bucket_sql('doc_id')} < 20
+                THEN 'test' ELSE 'train' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens
+    FROM deduped
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+    "training-data op: END-TO-END corpus preparation — quality filter "
+    "(token count / distinct ratio / stopword ratio) -> exact dedup "
+    "(md5 fingerprint keep-first) -> hash-membership train/test split "
+    "-> per-(split, lang) accounting, as ONE DataFrame lineage. At "
+    "scale this is the canonical pretraining-corpus job: the filters "
+    "evaluate scan-side before any shuffle, the dedup shuffles only "
+    "(fingerprint, doc_id, n_tokens) — never document bodies — and the "
+    "split is a stateless per-row hash, so adding a shard never "
+    "reassigns existing rows",
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text.with_token_stats(docs)
+    filtered = stats.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("distinct_ratio") >= 0.32)
+        & (F.col("stopword_ratio") <= 0.5)
+    ).select("doc_id", "lang", "text", "n_tokens")
+    deduped = dedup.dedup_exact(filtered).drop("text")
+    split = sampling.train_test_split(deduped, "doc_id", test_pct=20)
+    return (
+        split.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
