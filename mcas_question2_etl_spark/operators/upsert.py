@@ -1,0 +1,60 @@
+"""Upsert / changelog-compaction operators.
+
+The reference's only write-update semantics is the per-county
+DELETE+append load (election_results_etl.py:114-131, SURVEY.md K2) —
+a partition-level overwrite, covered by sources/io.py
+write_partition_overwrite. These operators generalize that to ROW-level
+upsert semantics, the other standard mutation shape in a lakehouse
+pipeline (MERGE INTO in Delta/Iceberg; implemented here Spark-first on
+plain DataFrames, no table-format dependency).
+
+Scale notes:
+  * ``merge_upsert`` is one anti-join + one union — when the update
+    batch is small relative to the snapshot (the normal case) the
+    anti-join broadcasts the update KEYS only, so the snapshot is
+    never shuffled and the plan stays embarrassingly parallel.
+  * ``latest_by_key`` compacts a changelog with one shuffle on the key
+    and a per-key top-1 (WindowGroupLimit pushes the limit below the
+    sort, so each map task keeps one candidate row per key before the
+    exchange).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    snapshot: DataFrame, updates: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """MERGE semantics: update matched rows, insert unmatched rows.
+
+    Equivalent to ``MERGE INTO snapshot USING updates ON keys WHEN
+    MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``.
+    The update side wins wholesale (SCD type 1).
+    """
+    keep = snapshot.join(
+        F.broadcast(updates.select(*keys).distinct()), list(keys), "leftanti"
+    )
+    return keep.unionByName(updates)
+
+
+def latest_by_key(
+    changelog: DataFrame, keys: Sequence[str], version_col: str, tiebreak: str
+) -> DataFrame:
+    """Compact a changelog to its latest row per key (last-writer-wins).
+
+    ``version_col`` orders writes; ``tiebreak`` must make the order
+    total (e.g. a unique id) so the survivor is deterministic.
+    """
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(version_col).desc(), F.col(tiebreak).desc()
+    )
+    return (
+        changelog.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -544,3 +544,59 @@ def asof_join_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFra
         "next_purchase_event_id",
         "next_purchase_value",
     )
+
+
+@_spec(
+    "merge_upsert_customers",
+    """
+    WITH updates AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT * FROM (
+      SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)
+      UNION ALL
+      SELECT * FROM updates
+    ) merged
+    """,
+    "extension — row-level MERGE upsert (update matched, insert "
+    "unmatched), the lakehouse MERGE INTO expressed Spark-first as a "
+    "broadcast anti-join on the update keys + union: the snapshot side "
+    "is never shuffled",
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.upsert import merge_upsert
+
+    customer = load_table(spark, sf_dir, "customer")
+    updates = customer.filter(F.col("c_mktsegment") == "BUILDING").withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100.0
+    )
+    return merge_upsert(customer, updates, ["c_custkey"])
+
+
+@_spec(
+    "changelog_latest_state",
+    """
+    SELECT user_id, event_type, ts, value, event_id
+    FROM (
+      SELECT user_id, event_type, ts, value, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) ranked
+    WHERE rn = 1
+    """,
+    "extension — changelog compaction to last-writer-wins state (the "
+    "read side of upsert): one shuffle on the key, WindowGroupLimit "
+    "keeps one candidate per key per map task before the exchange",
+)
+def changelog_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.upsert import latest_by_key
+
+    events = load_table(spark, sf_dir, "events")
+    return latest_by_key(
+        events, ["user_id", "event_type"], "ts", "event_id"
+    ).select("user_id", "event_type", "ts", "value", "event_id")

@@ -133,6 +133,23 @@ def user_cumulative_value(events: DataFrame, timeout_minutes: int = 30) -> DataF
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame, keys: tuple[str, ...] = ("event_id",), watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exactly-once dedup: drop re-deliveries of the same key
+    arriving within the watermark horizon (at-least-once source ->
+    effectively-once sink).
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the watermark passes the key's first-seen event time, so state is
+    O(keys per horizon) — bounded — where a plain ``dropDuplicates``
+    on a stream retains every key forever and OOMs at 100 TB/day.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def run_available_now(df: DataFrame, query_name: str, timeout_sec: int = 120):
     """Execute a streaming plan over everything currently available,
     then stop (the reference's daily-refresh semantics, exactly-once).
@@ -140,7 +157,7 @@ def run_available_now(df: DataFrame, query_name: str, timeout_sec: int = 120):
     q = (
         df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete" if not _is_update_only(df) else "update")
+        .outputMode(_output_mode(df))
         .trigger(availableNow=True)
         .start()
     )
@@ -148,6 +165,10 @@ def run_available_now(df: DataFrame, query_name: str, timeout_sec: int = 120):
     return q
 
 
-def _is_update_only(df: DataFrame) -> bool:
-    # applyInPandasWithState plans only support update mode
-    return "FlatMapGroupsInPandasWithState" in df._jdf.queryExecution().logical().toString()
+def _output_mode(df: DataFrame) -> str:
+    logical = df._jdf.queryExecution().logical().toString()
+    if "FlatMapGroupsInPandasWithState" in logical:
+        return "update"  # the only mode applyInPandasWithState supports
+    if "Deduplicate" in logical:
+        return "append"  # dedup streams have no aggregate to re-emit
+    return "complete"

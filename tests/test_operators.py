@@ -352,3 +352,22 @@ def test_char_ngrams_short_texts_empty(spark):
     }
     assert got["ab"] == [] and got["a"] == [] and got[""] == []
     assert got["abcd"] == ["abc", "bcd"]
+
+
+def test_merge_upsert_update_and_insert(spark):
+    from mcas_question2_etl_spark.operators.upsert import merge_upsert
+
+    snap = spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)], ["k", "name", "v"])
+    upd = spark.createDataFrame([(2, "b2", 99.0), (3, "c", 30.0)], ["k", "name", "v"])
+    got = {r.k: (r.name, r.v) for r in merge_upsert(snap, upd, ["k"]).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0)}
+
+
+def test_latest_by_key_tiebreak_deterministic(spark):
+    from mcas_question2_etl_spark.operators.upsert import latest_by_key
+
+    rows = [(1, 5, "x"), (1, 5, "y"), (1, 4, "z"), (2, 1, "w")]
+    df = spark.createDataFrame(rows, ["k", "version", "uid"])
+    got = {r.k: r.uid for r in latest_by_key(df, ["k"], "version", "uid").collect()}
+    # equal versions -> highest tiebreak wins, deterministically
+    assert got == {1: "y", 2: "w"}

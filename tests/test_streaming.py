@@ -78,3 +78,24 @@ def test_stateful_cumulative_value(spark, events_path):
             assert got[uid].total_value == pytest.approx(total, abs=1e-6)
     finally:
         q.stop()
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    # stage the events file TWICE -> every event_id delivered twice;
+    # the deduped stream must emit each exactly once
+    import shutil
+
+    d = tmp_path / "dup_stream"
+    d.mkdir()
+    shutil.copy(f"{SF_SMALL}/events.parquet", d / "part-0.parquet")
+    shutil.copy(f"{SF_SMALL}/events.parquet", d / "part-1.parquet")
+    stream = sw.stream_events(spark, str(d))
+    q = sw.run_available_now(sw.dedup_within_watermark(stream), "dedup_stream_test")
+    try:
+        got = spark.table("dedup_stream_test").count()
+        from mcas_question2_etl_spark.catalog import load_table
+
+        want = load_table(spark, SF_SMALL, "events").count()
+        assert got == want
+    finally:
+        q.stop()
