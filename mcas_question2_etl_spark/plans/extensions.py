@@ -600,3 +600,69 @@ def changelog_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_by_key(
         events, ["user_id", "event_type"], "ts", "event_id"
     ).select("user_id", "event_type", "ts", "value", "event_id")
+
+
+@_spec(
+    "hll_distinct_users_accuracy",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_within_5pct
+    FROM events GROUP BY event_type
+    """,
+    "extension — DataSketches HLL approximate distinct (the 100 TB "
+    "COUNT DISTINCT answer: fixed-size map-side sketch buffers cross "
+    "the shuffle instead of raw keys). The oracle checks the accuracy "
+    "CONTRACT — estimate within 5% of DuckDB's exact distinct — since "
+    "HLL internals differ across engines",
+)
+def hll_distinct_users_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("user_id"), F.lit(14))
+        ).alias("__est"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("__est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("hll_within_5pct"),
+    )
+
+
+@_spec(
+    "hll_sketch_rollup",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS merge_within_5pct
+    FROM events GROUP BY event_type
+    """,
+    "extension — mergeable-sketch rollup: per-(event_type, day) HLL "
+    "sketches unioned up to event_type without rescanning raw data "
+    "(the materialize-once / roll-up-anywhere OLAP pattern); oracle "
+    "checks the merged estimate keeps the 5% accuracy contract",
+)
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_rollup, hll_sketch_table
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    fine = hll_sketch_table(events, ["event_type", "day"], "user_id")
+    merged = hll_rollup(fine, ["event_type"])
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("merge_within_5pct"),
+    )

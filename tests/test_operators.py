@@ -371,3 +371,35 @@ def test_latest_by_key_tiebreak_deterministic(spark):
     got = {r.k: r.uid for r in latest_by_key(df, ["k"], "version", "uid").collect()}
     # equal versions -> highest tiebreak wins, deterministically
     assert got == {1: "y", 2: "w"}
+
+
+def test_hll_rollup_matches_direct_estimate(spark):
+    from mcas_question2_etl_spark.operators.sketches import (
+        hll_distinct,
+        hll_rollup,
+        hll_sketch_table,
+    )
+
+    rows = [(g, d, u) for g in ("a", "b") for d in range(4) for u in range(g == "a" and 300 or 40)]
+    df = spark.createDataFrame(rows, ["grp", "day", "uid"])
+    direct = {r.grp: r.approx_distinct for r in hll_distinct(df, ["grp"], "uid").collect()}
+    merged = {
+        r.grp: r.approx_distinct
+        for r in hll_rollup(hll_sketch_table(df, ["grp", "day"], "uid"), ["grp"]).collect()
+    }
+    exact = {"a": 300, "b": 40}
+    for g, want in exact.items():
+        assert abs(direct[g] - want) <= 0.05 * want
+        assert abs(merged[g] - want) <= 0.05 * want
+
+
+def test_hll_sketch_table_is_binary_and_tiny(spark):
+    from pyspark.sql.types import BinaryType
+
+    from mcas_question2_etl_spark.operators.sketches import hll_sketch_table
+
+    df = spark.createDataFrame([(1, i) for i in range(1000)], ["g", "u"])
+    sk = hll_sketch_table(df, ["g"], "u")
+    assert isinstance(sk.schema["hll_sketch"].dataType, BinaryType)
+    [row] = sk.collect()
+    assert len(row.hll_sketch) <= (1 << 14) + 64  # bounded regardless of input rows
