@@ -76,3 +76,33 @@ def hll_rollup(
             "approx_distinct"
         )
     )
+
+
+def heavy_hitters(df: DataFrame, col: str, support: float = 0.01) -> DataFrame:
+    """EXACT frequent items (count > support * N) via the two-pass
+    candidates-then-verify pattern.
+
+    Pass 1 (``df.stat.freqItems``, Karp/Misra-Gries style) finds every
+    candidate in ONE scan with NO shuffle of raw keys — the sketch has
+    no false negatives above ``support``, and its candidate set is
+    bounded by ~1/support items regardless of N, so collecting it to
+    the driver is safe at any scale. Pass 2 exact-counts only rows
+    matching the broadcast candidate set, so the groupBy shuffles at
+    most the heavy keys' rows. Net: exact answer, and the full-key
+    shuffle an exact GROUP BY ... HAVING would need never happens.
+    """
+    total = df.count()
+    [row] = df.stat.freqItems([col], support).collect()
+    cands = [c for c in row[0] if c is not None]
+    if not cands:
+        return (
+            df.select(col)
+            .limit(0)
+            .withColumn("cnt", F.lit(0).cast("long"))
+        )
+    return (
+        df.filter(F.col(col).isin(cands))
+        .groupBy(col)
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > support * total)
+    )

@@ -666,3 +666,23 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_users")
         ).alias("merge_within_5pct"),
     )
+
+
+@_spec(
+    "heavy_hitters_users",
+    """
+    SELECT user_id, COUNT(*) AS cnt
+    FROM events GROUP BY user_id
+    HAVING COUNT(*) > 0.008 * (SELECT COUNT(*) FROM events)
+    """,
+    "extension — exact frequent-items via single-pass sketch "
+    "candidates (freqItems, no-false-negative guarantee, <=1/support "
+    "candidates) + exact verify count over the broadcast candidate "
+    "set; the full-key shuffle a naive GROUP BY HAVING needs never "
+    "happens",
+)
+def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import heavy_hitters
+
+    events = load_table(spark, sf_dir, "events")
+    return heavy_hitters(events, "user_id", support=0.008)

@@ -403,3 +403,22 @@ def test_hll_sketch_table_is_binary_and_tiny(spark):
     assert isinstance(sk.schema["hll_sketch"].dataType, BinaryType)
     [row] = sk.collect()
     assert len(row.hll_sketch) <= (1 << 14) + 64  # bounded regardless of input rows
+
+
+def test_heavy_hitters_exact_with_boundary(spark):
+    from mcas_question2_etl_spark.operators.sketches import heavy_hitters
+
+    # 100 rows: "hot" 30x, "warm" exactly 20x (== support*N, excluded
+    # under strict >), rest singletons
+    rows = [("hot",)] * 30 + [("warm",)] * 20 + [(f"u{i}",) for i in range(50)]
+    df = spark.createDataFrame(rows, ["k"])
+    got = {r.k: r.cnt for r in heavy_hitters(df, "k", support=0.2).collect()}
+    assert got == {"hot": 30}
+
+
+def test_heavy_hitters_none_qualify(spark):
+    from mcas_question2_etl_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame([(f"u{i}",) for i in range(40)], ["k"])
+    assert heavy_hitters(df, "k", support=0.5).count() == 0
+    assert heavy_hitters(df, "k", support=0.5).columns == ["k", "cnt"]
