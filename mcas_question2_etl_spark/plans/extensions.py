@@ -686,3 +686,31 @@ def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return heavy_hitters(events, "user_id", support=0.008)
+
+
+@_spec(
+    "approx_percentile_accuracy",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS exact_p50,
+           TRUE AS approx_within_1
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "extension — sketch-based quantiles (approx_percentile, bounded "
+    "memory per group vs exact percentile's full sort buffer); oracle "
+    "checks the accuracy contract: approximate median within 1.0 of "
+    "DuckDB's exact interpolated median",
+)
+def approx_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    agg = lineitem.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("exact_p50"),
+        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("__approx"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_p50",
+        (F.abs(F.col("__approx") - F.col("exact_p50")) <= F.lit(1.0)).alias(
+            "approx_within_1"
+        ),
+    )
