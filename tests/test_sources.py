@@ -97,3 +97,53 @@ def test_partition_overwrite_layout_prunes_reads(spark, tmp_path):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "norfolk" in plan, plan
     assert [r.v for r in scan.collect()] == [2]
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """A selective dim-side filter should inject a runtime Bloom filter
+    on the fact side (Spark's semi-join reduction): probe rows that
+    can't match are dropped at the scan, before the join shuffle.
+    Thresholds are forced so the sf0.001 fixture qualifies; at real
+    scale the defaults (10 MB build / 10 GB probe) gate it."""
+    from pyspark.sql import functions as F
+
+    from mcas_question2_etl_spark.catalog import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        sf = "/root/testdata/sf0.001"
+        orders = load_table(spark, sf, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf, "lineitem")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).agg(
+            F.count("*").alias("n")
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloom" in plan, plan
+        filtered_count = j.collect()[0].n
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # same answer as the unforced plan: the filter prunes, never drops matches
+    orders = load_table(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf, "lineitem")
+    want = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    assert filtered_count == want > 0
