@@ -43,9 +43,11 @@ def salted_agg(
     """Two-phase skew-safe aggregation.
 
     ``aggs`` maps output column name -> (kind, input column) with kind
-    in {'sum', 'count', 'min', 'max'}. ``salt_source`` derives the salt
-    (default: a deterministic hash of the whole row, so the same input
-    always salts identically and results are reproducible).
+    in {'sum', 'count', 'min', 'max'}. 'count' matches SQL COUNT:
+    COUNT(col) skips nulls; use column '*' (or None) for COUNT(*).
+    ``salt_source`` derives the salt (default: a deterministic hash of
+    the whole row, so the same input always salts identically and
+    results are reproducible).
     """
     if salt_source is None:
         salt_source = F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))
@@ -53,7 +55,15 @@ def salted_agg(
 
     phase1 = salted.groupBy(*keys, "__salt").agg(
         *[
-            (F.count(F.lit(1)) if kind == "count" else getattr(F, kind)(col)).alias(name)
+            (
+                # 'count' follows SQL COUNT semantics: COUNT(col) skips
+                # nulls; pass '*' (or None) for a row count.
+                F.count(F.lit(1))
+                if kind == "count" and col in (None, "*")
+                else F.count(col)
+                if kind == "count"
+                else getattr(F, kind)(col)
+            ).alias(name)
             for name, (kind, col) in aggs.items()
         ]
     )

@@ -28,17 +28,34 @@ from pyspark.sql import functions as F
 
 
 def merge_upsert(
-    snapshot: DataFrame, updates: DataFrame, keys: Sequence[str]
+    snapshot: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    broadcast_keys: bool = True,
+    validate_unique: bool = True,
 ) -> DataFrame:
     """MERGE semantics: update matched rows, insert unmatched rows.
 
     Equivalent to ``MERGE INTO snapshot USING updates ON keys WHEN
     MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``.
     The update side wins wholesale (SCD type 1).
+
+    ``validate_unique`` mirrors SQL MERGE's multiple-match error: with
+    duplicate keys in ``updates`` a plain anti-join+union would emit
+    duplicate rows where MERGE raises, so the guard is on by default
+    (one aggregation pass over the update batch — cheap relative to the
+    merge itself). Set ``broadcast_keys=False`` when the update batch is
+    too large to broadcast its key set (rare; the anti-join then
+    shuffles the snapshot on the key instead of staying map-side).
     """
-    keep = snapshot.join(
-        F.broadcast(updates.select(*keys).distinct()), list(keys), "leftanti"
-    )
+    if validate_unique:
+        from ..quality import assert_unique_key
+
+        assert_unique_key(updates, list(keys), side="merge_upsert updates")
+    key_set = updates.select(*keys).distinct()
+    if broadcast_keys:
+        key_set = F.broadcast(key_set)
+    keep = snapshot.join(key_set, list(keys), "leftanti")
     return keep.unionByName(updates)
 
 

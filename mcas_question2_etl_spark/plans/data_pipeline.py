@@ -155,16 +155,62 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_spec(
     "minhash_neardup",
-    None,  # rows-only: candidate set defined by pyspark.ml's seeded LSH family
-    "training-data op: MinHash+LSH near-dup candidates (the O(n) scale "
-    "path; pytest checks recall vs the exact Jaccard kernel)",
+    f"""
+    WITH s AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM documents WHERE len(text) >= 3
+    ),
+    true_pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           TRUE AS candidates_subset_of_true,
+           TRUE AS recall_at_least_80pct
+    FROM true_pairs
+    """,
+    "training-data op: MinHash+LSH near-dup candidates via pyspark.ml "
+    "MinHashLSH (the O(n) scale path). The seeded hash family is not "
+    "portable to SQL, so the oracle checks the ACCURACY CONTRACT "
+    "instead (the HLL-spec pattern): DuckDB recomputes the exact "
+    "Jaccard>=0.7 pair set from the same char-3-gram shingles, and the "
+    "Spark side must report (a) every LSH candidate verifies as a true "
+    "near-dup (approxSimilarityJoin's exact distance filter) and (b) "
+    "recall >= 80% of the true pairs (8 OR-amplified tables give "
+    "P(candidate) = 1-(1-s)^8 > 0.9999 at s=0.7). The all-pairs exact "
+    "kernel runs on the full table only because documents is bounded "
+    "here; at 100 TB this contract runs on a deterministic sample "
+    "while the LSH path runs on everything",
 )
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # distance 0.3 == Jaccard >= 0.7: actual near-dups, not vocabulary
     # overlap (the synthetic docs share a tiny vocabulary, so looser
     # thresholds degenerate to all-pairs)
-    return dedup.minhash_neardup_pairs(docs, max_distance=0.3)
+    cand = dedup.minhash_neardup_pairs(docs, max_distance=0.3).select(
+        "a_id", "b_id", F.lit(1).alias("__is_cand")
+    )
+    true_pairs = (
+        dedup.ngram_jaccard_pairs(docs.filter(F.length("text") >= 3))
+        .filter(F.col("jaccard") >= 0.7)
+        .select("a_id", "b_id", F.lit(1).alias("__is_true"))
+    )
+    merged = cand.join(true_pairs, ["a_id", "b_id"], "full_outer")
+    # coalesce the aggregates too: an empty pair table must read as
+    # (0 pairs, contract holds), not a NULL-vs-TRUE hash mismatch
+    n_true = F.coalesce(F.sum(F.coalesce("__is_true", F.lit(0))), F.lit(0))
+    n_cand = F.coalesce(F.sum(F.coalesce("__is_cand", F.lit(0))), F.lit(0))
+    n_both = F.coalesce(
+        F.sum(F.coalesce("__is_cand", F.lit(0)) * F.coalesce("__is_true", F.lit(0))),
+        F.lit(0),
+    )
+    return merged.agg(
+        n_true.cast("bigint").alias("n_true_pairs"),
+        (n_cand == n_both).alias("candidates_subset_of_true"),
+        (n_both.cast("double") >= 0.8 * n_true).alias("recall_at_least_80pct"),
+    )
 
 
 _Q_EMB = similarity.quantize_sql("embedding")
@@ -251,8 +297,8 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         "lang",
-        F.size(F.split("text", " ")).alias("n_ws_tokens"),
-        text.bpe_token_count("text").alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws_tokens"),
+        text.bpe_token_count("text").cast("bigint").alias("n_bpe_tokens"),
     )
 
 
@@ -478,7 +524,7 @@ def balanced_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN 'test' ELSE 'train' END AS split,
            lang,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM deduped
     GROUP BY split, lang
     ORDER BY split, lang

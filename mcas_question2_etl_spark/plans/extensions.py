@@ -302,7 +302,8 @@ def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     )
-    SELECT user_id, session_id, COUNT(*) AS n_events,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
            MAX(t_us) - MIN(t_us) AS duration_us,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM sessions
@@ -369,7 +370,7 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         keys=["l_returnflag"],
         aggs={
-            "n": ("count", "l_returnflag"),
+            "n": ("count", "*"),
             "sum_price": ("sum", "__price_dec"),
             "min_qty": ("min", "l_quantity"),
             "max_qty": ("max", "l_quantity"),

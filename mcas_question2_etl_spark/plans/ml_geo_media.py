@@ -65,11 +65,13 @@ def _synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT media_type, COUNT(*) AS n_media,
-           SUM(n_bytes) AS total_bytes,
-           SUM(CASE WHEN media_type = 'image' THEN 64 + seed % 1920
-                    WHEN media_type = 'video' THEN 320 + seed % 1600 END) AS sum_width,
-           SUM(CASE WHEN media_type IN ('audio', 'video')
-                    THEN 1000 + seed % 600000 END) AS sum_duration_ms
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(CASE WHEN media_type = 'image' THEN 64 + seed % 1920
+                         WHEN media_type = 'video' THEN 320 + seed % 1600 END)
+                AS BIGINT) AS sum_width,
+           CAST(SUM(CASE WHEN media_type IN ('audio', 'video')
+                         THEN 1000 + seed % 600000 END)
+                AS BIGINT) AS sum_duration_ms
     FROM media GROUP BY media_type
     """,
     "multimodal: decode/feature-extract via Arrow-batched mapInPandas "

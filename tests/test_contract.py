@@ -32,6 +32,26 @@ def test_query_matches_oracle(spark, duck, spec):
     assert not problems, f"{spec.name}: {problems}"
 
 
+def test_uncast_integer_sum_fails_type_gate(spark, duck):
+    """The strict type gate must catch the DuckDB HUGEINT artifact: an
+    integer SUM left uncast in an oracle (SUM(BIGINT) -> HUGEINT) has to
+    be reported as a type mismatch against Spark's BIGINT, not silently
+    canonicalized away (the round-1 corpus_prep_pipeline failure mode)."""
+    from pyspark.sql import functions as F
+
+    from mcas_question2_etl_spark.catalog import load_table
+
+    df = load_table(spark, SF_SMALL, "documents").agg(
+        F.sum("n_chars").alias("total_chars")
+    )
+    problems = compare(df, duck, "SELECT SUM(n_chars) AS total_chars FROM documents")
+    assert any("type differs" in p for p in problems), problems
+    ok = compare(
+        df, duck, "SELECT CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents"
+    )
+    assert ok == []
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
