@@ -12,9 +12,11 @@ container (no shapely/pyproj/Sedona), so:
     Conic mapping (Snyder, "Map Projections — A Working Manual", USGS
     PP 1395, eqs. 14-1..15-11) with the published EPSG:26986 (NAD83
     Massachusetts Mainland) parameters — real math, not a stub;
-  * full topological validity (self-intersection) is flagged as the
-    production upgrade path (Sedona's ST_IsValid) — the cheap checks
-    here catch the malformed-ring cases the reference's data exhibits.
+  * validity matches GEOS ``.is_valid`` on single rings: closure,
+    >= 4 points, nonzero area, AND ring simplicity (self-intersection /
+    spike detection via exact-orientation segment tests, O(n^2) per
+    ring — rings here are small; Sedona's ST_IsValid is the upgrade
+    path for cross-ring topology, e.g. a hole crossing its shell).
 
 All entry points are pandas UDFs: geometry math is the one place the
 engine leaves JVM expressions, and Arrow batching keeps the Python
@@ -62,14 +64,80 @@ def _ring_area(ring: list[tuple[float, float]]) -> float:
     return s / 2.0
 
 
+def _orient(ax, ay, bx, by, cx, cy) -> float:
+    """Signed area of the (a, b, c) triangle — 0 means collinear."""
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def _on_segment(ax, ay, bx, by, px, py) -> bool:
+    """Given collinear a,b,p: is p within the [a,b] bounding box?"""
+    return min(ax, bx) <= px <= max(ax, bx) and min(ay, by) <= py <= max(ay, by)
+
+
+def _segments_touch(p1, p2, p3, p4) -> bool:
+    """True iff closed segments [p1,p2] and [p3,p4] share any point."""
+    d1 = _orient(*p3, *p4, *p1)
+    d2 = _orient(*p3, *p4, *p2)
+    d3 = _orient(*p1, *p2, *p3)
+    d4 = _orient(*p1, *p2, *p4)
+    if ((d1 > 0) != (d2 > 0) and d1 != 0 and d2 != 0) and (
+        (d3 > 0) != (d4 > 0) and d3 != 0 and d4 != 0
+    ):
+        return True
+    if d1 == 0 and _on_segment(*p3, *p4, *p1):
+        return True
+    if d2 == 0 and _on_segment(*p3, *p4, *p2):
+        return True
+    if d3 == 0 and _on_segment(*p1, *p2, *p3):
+        return True
+    if d4 == 0 and _on_segment(*p1, *p2, *p4):
+        return True
+    return False
+
+
+def _ring_is_simple(ring: list[tuple[float, float]]) -> bool:
+    """OGC ring simplicity: no two edges intersect except consecutive
+    edges at their one shared vertex (rejects bowties and spikes)."""
+    pts = [ring[0]]
+    for p in ring[1:]:
+        if p != pts[-1]:
+            pts.append(p)
+    n = len(pts) - 1  # closed ring -> n edges
+    if n < 3:
+        return False
+    for i in range(n):
+        a, b = pts[i], pts[i + 1]
+        for j in range(i + 1, n):
+            c, d = pts[j], pts[j + 1]
+            if j == i + 1 or (i == 0 and j == n - 1):
+                # consecutive edges share exactly one vertex; a spike
+                # doubles back: the far endpoints land on each other's
+                # edge through the shared vertex
+                shared, far1, far2 = (b, a, d) if j == i + 1 else (a, b, c)
+                if _orient(*shared, *far1, *far2) == 0 and (
+                    _on_segment(*shared, *far1, *far2)
+                    or _on_segment(*shared, *far2, *far1)
+                ):
+                    return False
+                continue
+            if _segments_touch(a, b, c, d):
+                return False
+    return True
+
+
 def _is_valid_wkt(wkt: str) -> bool:
-    """G2 — cheap validity: parseable, rings closed, >= 4 points,
-    nonzero area. (Self-intersection detection -> Sedona at scale.)"""
+    """G2 — GEOS-equivalent single-ring validity: parseable, rings
+    closed, >= 4 points, nonzero area, simple (no self-intersection)."""
     rings = parse_wkt_rings(wkt)
     if rings is None:
         return False
     for ring in rings:
-        if len(ring) < 4 or ring[0] != ring[-1] or _ring_area(ring) == 0.0:
+        if (
+            len(ring) < 4
+            or ring[0] != ring[-1]
+            or _ring_area(ring) == 0.0
+            or not _ring_is_simple(ring)
+        ):
             return False
     return True
 
@@ -109,6 +177,15 @@ _F_CONST = _m(_LAT1) / (_N * _t(_LAT1) ** _N)
 _RHO0 = _GRS80_A * _F_CONST * _t(_LAT0) ** _N
 
 
+#: fixed iteration count for the isometric-latitude inverse. Converges
+#: to < 1e-12 rad in ~5 iterations; a FIXED count (no early break) makes
+#: the float sequence deterministic and reproducible by the unrolled SQL
+#: twin in plans/ml_geo_media.py, so the geo spec is oracle-checkable.
+LCC_PHI_ITERS = 8
+
+_RAD2DEG = 180.0 / math.pi
+
+
 def lcc_inverse(x: float, y: float) -> tuple[float, float]:
     """EPSG:26986 easting/northing (m) -> (lon, lat) degrees WGS84.
 
@@ -117,20 +194,16 @@ def lcc_inverse(x: float, y: float) -> tuple[float, float]:
     """
     xp = x - _FE
     yp = _RHO0 - (y - _FN)
-    rho = math.copysign(math.hypot(xp, yp), _N)
+    # _N > 0 for northern-hemisphere parallels, so rho = +sqrt(...)
+    rho = math.sqrt(xp * xp + yp * yp)
     theta = math.atan2(xp, yp)
     t = (rho / (_GRS80_A * _F_CONST)) ** (1 / _N)
     lon = theta / _N + _LON0
-    # iterative inverse of the isometric latitude (converges ~5 iters)
     phi = math.pi / 2 - 2 * math.atan(t)
-    for _ in range(10):
+    for _ in range(LCC_PHI_ITERS):
         es = _E * math.sin(phi)
-        phi_next = math.pi / 2 - 2 * math.atan(t * ((1 - es) / (1 + es)) ** (_E / 2))
-        if abs(phi_next - phi) < 1e-12:
-            phi = phi_next
-            break
-        phi = phi_next
-    return math.degrees(lon), math.degrees(phi)
+        phi = math.pi / 2 - 2 * math.atan(t * ((1 - es) / (1 + es)) ** (_E / 2))
+    return lon * _RAD2DEG, phi * _RAD2DEG
 
 
 def _transform_wkt(wkt: str) -> str | None:
@@ -141,7 +214,10 @@ def _transform_wkt(wkt: str) -> str | None:
 
     def repl(match: re.Match) -> str:
         lon, lat = lcc_inverse(float(match.group(1)), float(match.group(2)))
-        return f"{lon:.9f} {lat:.9f}"
+        # 7 decimals ~ 1.1 cm — far past the <2 m datum-shift floor, and
+        # the rounding grid (1e-7) dwarfs any cross-engine libm ULP so
+        # the DuckDB twin formats identically
+        return f"{lon:.7f} {lat:.7f}"
 
     return _COORD_RE.sub(repl, wkt)
 

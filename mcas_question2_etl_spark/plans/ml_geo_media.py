@@ -9,9 +9,11 @@ Oracle discipline: the multimodal fake-decode derives every feature
 from md5/arithmetic, so its specs are fully oracle-checked — the
 DuckDB twin recomputes the features in SQL while Spark runs the real
 Arrow-batched mapInPandas plumbing, proving the distributed path
-produces exactly the declared function of the bytes. The geo LCC
-reprojection and the IRLS GLM are genuinely non-SQL-expressible
-(iterative float math) -> rows-only, as the driver contract allows.
+produces exactly the declared function of the bytes. The geo spec runs
+its fixed-iteration LCC inverse unrolled in SQL (see
+_lcc_inverse_oracle_sql), so it too is fully hash-checked; only the
+IRLS GLM is genuinely non-SQL-expressible (data-dependent iterative
+convergence) -> rows-only, as the driver contract allows.
 """
 
 from __future__ import annotations
@@ -117,20 +119,104 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
 
 
+def _lcc_inverse_oracle_sql() -> str:
+    """Build the DuckDB twin of functions/geo.py's LCC inverse.
+
+    The Python path runs a FIXED LCC_PHI_ITERS-step isometric-latitude
+    iteration (no early break), so the same float sequence can be
+    unrolled here as chained ``SELECT * REPLACE`` CTEs; the projection
+    constants are embedded via repr() (shortest round-trip decimal ->
+    identical doubles). Output is formatted at 1e-7 degrees on both
+    sides, 9+ orders of magnitude above any cross-engine libm ULP.
+    """
+    from ..functions import geo as _geo
+
+    e = repr(_geo._E)
+    eh = repr(_geo._E / 2)
+    af = repr(_geo._GRS80_A * _geo._F_CONST)
+    n = repr(_geo._N)
+    lon0 = repr(_geo._LON0)
+    rho0 = repr(_geo._RHO0)
+    rad2deg = repr(_geo._RAD2DEG)
+
+    phi_iters = "".join(
+        f"""
+    it{k + 1} AS (
+      SELECT * REPLACE (
+        pi() / 2 - 2 * atan(t * pow((1 - {e} * sin(phi)) / (1 + {e} * sin(phi)),
+                                    {eh})) AS phi)
+      FROM it{k}
+    ),"""
+        for k in range(_geo.LCC_PHI_ITERS)
+    )
+
+    return f"""
+    WITH pts(variant, i, dx, dy) AS (VALUES
+      ('valid', 0, 0, 0), ('valid', 1, 1000, 0), ('valid', 2, 1000, 1000),
+      ('valid', 3, 0, 1000), ('valid', 4, 0, 0),
+      ('degen', 0, 0, 0), ('degen', 1, 0, 0), ('degen', 2, 0, 0),
+      ('degen', 3, 0, 0),
+      ('bowtie', 0, 0, 0), ('bowtie', 1, 1000, 1000), ('bowtie', 2, 1000, 0),
+      ('bowtie', 3, 0, 1000), ('bowtie', 4, 0, 0)
+    ),
+    base AS (
+      SELECT n_nationkey, n_name,
+             CASE WHEN n_nationkey % 7 = 0 THEN 'degen'
+                  WHEN n_nationkey % 11 = 0 THEN 'bowtie'
+                  ELSE 'valid' END AS variant,
+             n_nationkey * 5000 + 200000 AS x0,
+             n_nationkey * 4000 + 750000 AS y0
+      FROM nation
+    ),
+    coords AS (
+      SELECT b.n_nationkey, b.n_name, b.variant, p.i,
+             CAST(b.x0 + p.dx AS DOUBLE) AS x,
+             CAST(b.y0 + p.dy AS DOUBLE) AS y
+      FROM base b JOIN pts p USING (variant)
+    ),
+    it0 AS (
+      SELECT *,
+             pi() / 2 - 2 * atan(t) AS phi
+      FROM (
+        SELECT *,
+               pow(sqrt(xp * xp + yp * yp) / {af}, 1 / {n}) AS t,
+               atan2(xp, yp) / {n} + {lon0} AS lon_rad
+        FROM (
+          SELECT *, x - 200000.0 AS xp, {rho0} - (y - 750000.0) AS yp
+          FROM coords
+        )
+      )
+    ),{phi_iters}
+    projected AS (
+      SELECT n_nationkey, n_name, variant, i,
+             printf('%.7f %.7f', lon_rad * {rad2deg}, phi * {rad2deg}) AS pt
+      FROM it{_geo.LCC_PHI_ITERS}
+    )
+    SELECT n_nationkey, n_name,
+           variant = 'valid' AS is_valid,
+           'POLYGON ((' || string_agg(pt, ', ' ORDER BY i) || '))' AS geometry_4326
+    FROM projected
+    GROUP BY n_nationkey, n_name, variant
+    """
+
+
 @_spec(
     "geo_reproject_validity",
-    None,  # Lambert Conformal Conic inverse is iterative float math — no SQL twin
+    _lcc_inverse_oracle_sql(),
     "geo G1-G3 (SURVEY §2.7): synthesize one EPSG:26986 square per "
-    "nation (plus planted degenerate rings), reproject to EPSG:4326 "
-    "with the Snyder LCC inverse (pandas UDF), validity-filter flag, "
-    "normalized WKT out. Mirrors dags/district_gis_etl.py:62-74",
+    "nation (plus planted zero-area and self-intersecting bowtie "
+    "rings), reproject to EPSG:4326 with the Snyder LCC inverse "
+    "(pandas UDF), GEOS-equivalent validity flag, normalized WKT out. "
+    "Mirrors dags/district_gis_etl.py:62-74; the oracle re-runs the "
+    "identical fixed-iteration LCC math unrolled in SQL",
 )
 def geo_reproject_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.geo import st_is_valid, st_normalize_wkt, st_transform_26986_to_4326
 
     nation = load_table(spark, sf_dir, "nation")
     # 1 km squares marching across the Massachusetts mainland plane;
-    # every 7th nation gets a zero-area (invalid) ring.
+    # every 7th nation gets a zero-area ring, every 11th a bowtie
+    # (self-intersecting) ring — both must flag invalid.
     x0 = F.col("n_nationkey") * 5000 + 200000
     y0 = F.col("n_nationkey") * 4000 + 750000
     valid_wkt = F.format_string(
@@ -140,10 +226,15 @@ def geo_reproject_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate_wkt = F.format_string(
         "POLYGON ((%d %d, %d %d, %d %d, %d %d))", x0, y0, x0, y0, x0, y0, x0, y0
     )
+    bowtie_wkt = F.format_string(
+        "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
+        x0, y0, x0 + 1000, y0 + 1000, x0 + 1000, y0, x0, y0 + 1000, x0, y0,
+    )
     shapes = nation.select(
         "n_nationkey",
         "n_name",
         F.when(F.col("n_nationkey") % 7 == 0, degenerate_wkt)
+        .when(F.col("n_nationkey") % 11 == 0, bowtie_wkt)
         .otherwise(valid_wkt)
         .alias("geometry_26986"),
     )

@@ -363,6 +363,50 @@ def test_merge_upsert_update_and_insert(spark):
     assert got == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0)}
 
 
+def test_merge_upsert_rejects_duplicate_update_keys(spark):
+    """SQL MERGE raises on multiple source matches for one target row;
+    the default guard mirrors that instead of silently emitting dups."""
+    import pytest
+
+    from mcas_question2_etl_spark.operators.upsert import merge_upsert
+    from mcas_question2_etl_spark.quality import JoinValidationError
+
+    snap = spark.createDataFrame([(1, "a")], ["k", "name"])
+    dup = spark.createDataFrame([(1, "x"), (1, "y")], ["k", "name"])
+    with pytest.raises(JoinValidationError):
+        merge_upsert(snap, dup, ["k"]).collect()
+    # opt-out keeps the raw anti-join+union behavior
+    assert merge_upsert(snap, dup, ["k"], validate_unique=False).count() == 2
+    # and the no-broadcast path is semantically identical
+    got = {
+        r.k: r.name
+        for r in merge_upsert(
+            snap,
+            spark.createDataFrame([(1, "x")], ["k", "name"]),
+            ["k"],
+            broadcast_keys=False,
+        ).collect()
+    }
+    assert got == {1: "x"}
+
+
+def test_salted_agg_count_skips_nulls(spark):
+    """'count' follows SQL COUNT(col) (nulls skipped); '*' counts rows."""
+    from mcas_question2_etl_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 3), ("b", None)], "k string, v int"
+    )
+    got = {
+        r.k: (r.n_v, r.n_rows)
+        for r in salted_agg(
+            df, keys=["k"], aggs={"n_v": ("count", "v"), "n_rows": ("count", "*")},
+            buckets=4,
+        ).collect()
+    }
+    assert got == {"a": (2, 3), "b": (0, 1)}
+
+
 def test_latest_by_key_tiebreak_deterministic(spark):
     from mcas_question2_etl_spark.operators.upsert import latest_by_key
 

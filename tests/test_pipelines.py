@@ -146,6 +146,27 @@ def test_shapes_transform_and_validity_filter(spark):
     assert -74.0 < lon < -69.0 and 40.9 <= lat < 43.5
 
 
+def test_wkt_validity_matches_geos_semantics():
+    """GEOS .is_valid parity (dags/district_gis_etl.py:70) for single
+    rings: bowties (self-intersection) and spikes are invalid, plain
+    convex/concave rings are valid."""
+    from mcas_question2_etl_spark.functions.geo import _is_valid_wkt
+
+    assert _is_valid_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    # concave but simple
+    assert _is_valid_wkt("POLYGON ((0 0, 10 0, 5 5, 10 10, 0 10, 0 0))")
+    # bowtie: edges (0,0)-(10,10) and (10,0)-(0,10) cross mid-ring
+    assert not _is_valid_wkt("POLYGON ((0 0, 10 10, 10 0, 0 10, 0 0))")
+    # spike: edge doubles back along itself through a shared vertex
+    assert not _is_valid_wkt("POLYGON ((0 0, 10 0, 5 0, 5 5, 0 5, 0 0))")
+    assert not _is_valid_wkt("POLYGON ((0 0, 10 0, 4 0, 10 5, 0 5, 0 0))")
+    # non-adjacent edge touching a vertex (pinch) is non-simple
+    assert not _is_valid_wkt("POLYGON ((0 0, 10 0, 10 10, 5 0, 0 10, 0 0))")
+    # zero-area and unclosed still rejected
+    assert not _is_valid_wkt("POLYGON ((0 0, 0 0, 0 0, 0 0))")
+    assert not _is_valid_wkt("POLYGON ((0 0, 1 0, 1 1))")
+
+
 # ---------------------------------------------------------------------------
 # dashboard read path — golden flagship expectation
 # ---------------------------------------------------------------------------
