@@ -143,22 +143,18 @@ def _is_valid_wkt(wkt: str) -> bool:
 
 
 # --------------------------------------------------------------------------
-# EPSG:26986 (NAD83 / Massachusetts Mainland) -> EPSG:4326
-# Lambert Conformal Conic (2SP) inverse, Snyder eqs. 14-1..15-11.
+# Lambert Conformal Conic (2SP) -> EPSG:4326 inverse, parameterized by
+# EPSG zone (Snyder eqs. 14-1..15-11). The reference only ever calls
+# to_crs(epsg=4326) from EPSG:26986 (dags/district_gis_etl.py:67), but
+# to_crs itself is generic — so the projection constants live in a
+# registry keyed by EPSG code; adding a zone is one table row of
+# published EPSG-registry parameters.
 # --------------------------------------------------------------------------
 
 _GRS80_A = 6378137.0
 _GRS80_F = 1.0 / 298.257222101
 _E2 = _GRS80_F * (2 - _GRS80_F)
 _E = math.sqrt(_E2)
-
-# EPSG:26986 projection parameters (EPSG registry, public)
-_LAT1 = math.radians(41.7166666666667)  # standard parallel 1
-_LAT2 = math.radians(42.6833333333333)  # standard parallel 2
-_LAT0 = math.radians(41.0)              # latitude of origin
-_LON0 = math.radians(-71.5)             # central meridian
-_FE = 200000.0                          # false easting (m)
-_FN = 750000.0                          # false northing (m)
 
 
 def _m(phi: float) -> float:
@@ -170,11 +166,48 @@ def _t(phi: float) -> float:
     return math.tan(math.pi / 4 - phi / 2) / ((1 - es) / (1 + es)) ** (_E / 2)
 
 
-_N = (math.log(_m(_LAT1)) - math.log(_m(_LAT2))) / (
-    math.log(_t(_LAT1)) - math.log(_t(_LAT2))
-)
-_F_CONST = _m(_LAT1) / (_N * _t(_LAT1) ** _N)
-_RHO0 = _GRS80_A * _F_CONST * _t(_LAT0) ** _N
+class LCCZone:
+    """One NAD83 Lambert-Conformal-Conic-2SP zone: the five published
+    EPSG parameters plus the derived Snyder constants (n, F, rho0)."""
+
+    def __init__(self, lat1_deg, lat2_deg, lat0_deg, lon0_deg, fe, fn):
+        lat1, lat2 = math.radians(lat1_deg), math.radians(lat2_deg)
+        lat0 = math.radians(lat0_deg)
+        self.lon0 = math.radians(lon0_deg)
+        self.fe, self.fn = fe, fn
+        self.n = (math.log(_m(lat1)) - math.log(_m(lat2))) / (
+            math.log(_t(lat1)) - math.log(_t(lat2))
+        )
+        self.f_const = _m(lat1) / (self.n * _t(lat1) ** self.n)
+        self.rho0 = _GRS80_A * self.f_const * _t(lat0) ** self.n
+
+
+#: NAD83 state-plane LCC zones (EPSG registry parameters, public).
+#: lat1, lat2 = standard parallels; lat0/lon0 = origin; fe/fn = false
+#: easting/northing in meters.
+LCC_ZONES: dict[int, LCCZone] = {
+    # Massachusetts Mainland — the reference's zone
+    26986: LCCZone(41.7166666666667, 42.6833333333333, 41.0, -71.5,
+                   200000.0, 750000.0),
+    # Massachusetts Island
+    26987: LCCZone(41.2833333333333, 41.4833333333333, 41.0, -70.5,
+                   500000.0, 0.0),
+    # Connecticut
+    26956: LCCZone(41.2, 41.8666666666667, 40.8333333333333, -72.75,
+                   304800.6096, 152400.3048),
+    # Maryland
+    26985: LCCZone(38.3, 39.45, 37.6666666666667, -77.0, 400000.0, 0.0),
+}
+
+# back-compat aliases for the reference zone (the SQL oracle builder in
+# plans/ml_geo_media.py embeds these exact doubles)
+_ZONE_26986 = LCC_ZONES[26986]
+_LON0 = _ZONE_26986.lon0
+_FE = _ZONE_26986.fe
+_FN = _ZONE_26986.fn
+_N = _ZONE_26986.n
+_F_CONST = _ZONE_26986.f_const
+_RHO0 = _ZONE_26986.rho0
 
 
 #: fixed iteration count for the isometric-latitude inverse. Converges
@@ -186,19 +219,22 @@ LCC_PHI_ITERS = 8
 _RAD2DEG = 180.0 / math.pi
 
 
-def lcc_inverse(x: float, y: float) -> tuple[float, float]:
-    """EPSG:26986 easting/northing (m) -> (lon, lat) degrees WGS84.
+def lcc_inverse(
+    x: float, y: float, zone: LCCZone = _ZONE_26986
+) -> tuple[float, float]:
+    """LCC easting/northing (m) -> (lon, lat) degrees WGS84 for any
+    registered zone (default: EPSG:26986, the reference's).
 
     NAD83->WGS84 datum shift is < 2 m — ignored, as every practical
     web-mapping pipeline does.
     """
-    xp = x - _FE
-    yp = _RHO0 - (y - _FN)
-    # _N > 0 for northern-hemisphere parallels, so rho = +sqrt(...)
+    xp = x - zone.fe
+    yp = zone.rho0 - (y - zone.fn)
+    # n > 0 for northern-hemisphere parallels, so rho = +sqrt(...)
     rho = math.sqrt(xp * xp + yp * yp)
     theta = math.atan2(xp, yp)
-    t = (rho / (_GRS80_A * _F_CONST)) ** (1 / _N)
-    lon = theta / _N + _LON0
+    t = (rho / (_GRS80_A * zone.f_const)) ** (1 / zone.n)
+    lon = theta / zone.n + zone.lon0
     phi = math.pi / 2 - 2 * math.atan(t)
     for _ in range(LCC_PHI_ITERS):
         es = _E * math.sin(phi)
@@ -206,14 +242,14 @@ def lcc_inverse(x: float, y: float) -> tuple[float, float]:
     return lon * _RAD2DEG, phi * _RAD2DEG
 
 
-def _transform_wkt(wkt: str) -> str | None:
+def _transform_wkt(wkt: str, zone: LCCZone = _ZONE_26986) -> str | None:
     """G1 — reproject every coordinate of a POLYGON/MULTIPOLYGON WKT
-    from EPSG:26986 to EPSG:4326, preserving structure."""
+    from an LCC zone to EPSG:4326, preserving structure."""
     if not isinstance(wkt, str):
         return None
 
     def repl(match: re.Match) -> str:
-        lon, lat = lcc_inverse(float(match.group(1)), float(match.group(2)))
+        lon, lat = lcc_inverse(float(match.group(1)), float(match.group(2)), zone)
         # 7 decimals ~ 1.1 cm — far past the <2 m datum-shift floor, and
         # the rounding grid (1e-7) dwarfs any cross-engine libm ULP so
         # the DuckDB twin formats identically
@@ -231,6 +267,27 @@ def _transform_wkt(wkt: str) -> str | None:
 def st_is_valid(wkt: pd.Series) -> pd.Series:
     """G2 — gdf['geometry'].is_valid (dags/district_gis_etl.py:70)."""
     return wkt.map(_is_valid_wkt)
+
+
+def st_transform_to_4326(source_epsg: int):
+    """G1 — to_crs(epsg=4326) from any registered LCC zone
+    (dags/district_gis_etl.py:67 generalized: geopandas takes the
+    source CRS from the file; here the caller names it). Returns a
+    pandas UDF bound to the zone's constants; the zone object rides the
+    closure to the executors, so the per-batch work stays pure float
+    math with no registry lookups."""
+    zone = LCC_ZONES.get(source_epsg)
+    if zone is None:
+        raise ValueError(
+            f"EPSG:{source_epsg} not in LCC_ZONES — add its published "
+            "EPSG-registry parameters (one LCCZone row)"
+        )
+
+    @F.pandas_udf(T.StringType())
+    def _udf(wkt: pd.Series) -> pd.Series:
+        return wkt.map(lambda w: _transform_wkt(w, zone))
+
+    return _udf
 
 
 @F.pandas_udf(T.StringType())

@@ -9,9 +9,12 @@ Sink semantics map the reference's three load patterns:
   * K3/K5 CSV sink / bulk COPY -> header CSV writes (COPY's
     truncate-then-load == overwrite).
 
-JDBC paths (S6, K-jdbc) are thin wrappers over spark.read/write.jdbc —
-exercised only when a JDBC URL + driver jar are present (none in this
-container; documented, not smoke-tested here).
+JDBC paths (S6, K-jdbc) are thin wrappers over spark.read/write.jdbc.
+The reference's primary sink is Postgres (school_outcomes_etl.py:
+148-149); here the round-trip is smoke-tested against the embedded
+Apache Derby engine that ships in Spark's own jars (the Hive-metastore
+dependency), so the wrappers are exercised end-to-end without any
+external database. Swapping in Postgres is a URL + driver change.
 """
 
 from __future__ import annotations
@@ -41,6 +44,27 @@ def read_jdbc(
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    properties: dict[str, str] | None = None,
+) -> None:
+    """K-jdbc — RDBMS sink (to_sql(if_exists='replace'),
+    school_outcomes_etl.py:139-149; mode='overwrite' is that contract).
+
+    Each write partition opens its own connection and batch-inserts, so
+    parallelism equals df's partitioning; ``coalesce`` first if the
+    target can't take that many writers. Add ``batchsize`` (default
+    1000) to properties for bulk loads.
+    """
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:

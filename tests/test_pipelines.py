@@ -146,6 +146,40 @@ def test_shapes_transform_and_validity_filter(spark):
     assert -74.0 < lon < -69.0 and 40.9 <= lat < 43.5
 
 
+def test_lcc_zone_origin_roundtrip():
+    """Every registered zone must map its projection origin (false
+    easting/northing) back to its (lon0, lat0) — the defining identity
+    of the LCC-2SP parameterization."""
+    import math
+
+    from mcas_question2_etl_spark.functions.geo import LCC_ZONES, lcc_inverse
+
+    for epsg, zone in LCC_ZONES.items():
+        lon, lat = lcc_inverse(zone.fe, zone.fn, zone)
+        assert math.isclose(lon, math.degrees(zone.lon0), abs_tol=1e-9), epsg
+        assert abs(lat - {26986: 41.0, 26987: 41.0, 26956: 40.8333333333333,
+                          26985: 37.6666666666667}[epsg]) < 1e-9, epsg
+
+
+def test_generic_zone_transform_udf(spark):
+    import pytest
+
+    from mcas_question2_etl_spark.functions.geo import st_transform_to_4326
+
+    df = spark.createDataFrame(
+        [("POLYGON ((500000 0, 501000 0, 501000 1000, 500000 1000, 500000 0))",)],
+        ["g"],
+    )
+    out = df.select(st_transform_to_4326(26987)("g").alias("g")).collect()[0].g
+    import re as _re
+
+    lon, lat = map(float, _re.findall(r"(-?\d+\.\d+) (-?\d+\.\d+)", out)[0])
+    # EPSG:26987 origin is (-70.5, 41.0) — Martha's Vineyard waters
+    assert abs(lon - -70.5) < 1e-6 and abs(lat - 41.0) < 1e-6
+    with pytest.raises(ValueError, match="not in LCC_ZONES"):
+        st_transform_to_4326(4999)
+
+
 def test_wkt_validity_matches_geos_semantics():
     """GEOS .is_valid parity (dags/district_gis_etl.py:70) for single
     rings: bowties (self-intersection) and spikes are invalid, plain

@@ -147,3 +147,42 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
     li = load_table(spark, sf, "lineitem")
     want = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
     assert filtered_count == want > 0
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """S6/K-jdbc end-to-end against the Derby engine bundled in Spark's
+    own jars: overwrite-write a table, read it back whole and via a
+    pushed-down query, and append (the reference's Postgres sink
+    semantics, school_outcomes_etl.py:139-149, minus the server)."""
+    url = f"jdbc:derby:{tmp_path}/smokedb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    df = spark.createDataFrame(
+        [(1, "amherst", 91.5), (2, "boston", 88.0), (3, "chicopee", 77.25)],
+        "district_code int, town string, pct double",
+    )
+    sio.write_jdbc(df, url, "outcomes", mode="overwrite", properties=props)
+
+    back = sio.read_jdbc(spark, url, "SELECT * FROM outcomes", properties=props)
+    assert sorted((r.district_code, r.town, r.pct) for r in back.collect()) == [
+        (1, "amherst", 91.5), (2, "boston", 88.0), (3, "chicopee", 77.25),
+    ]
+
+    # query pushdown: the WHERE executes in the database, not in Spark
+    # (Derby folds unquoted identifiers to upper case; Spark's writer
+    # quotes column names, so queries must quote them too)
+    filtered = sio.read_jdbc(
+        spark, url,
+        'SELECT "town" FROM outcomes WHERE "pct" > 80.0', properties=props,
+    )
+    assert sorted(r.town for r in filtered.collect()) == ["amherst", "boston"]
+
+    # append mode accumulates (to_sql(if_exists='append'))
+    more = spark.createDataFrame([(4, "dedham", 85.0)], df.schema)
+    sio.write_jdbc(more, url, "outcomes", mode="append", properties=props)
+    assert (
+        sio.read_jdbc(
+            spark, url, 'SELECT COUNT(*) AS "n" FROM outcomes', properties=props
+        ).collect()[0].n
+        == 4
+    )
