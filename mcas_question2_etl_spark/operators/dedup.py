@@ -207,6 +207,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over the portable MinHash.
 
@@ -218,6 +219,17 @@ def minhash_lsh_candidates(
     kernel then runs only on candidates. Unlike the pyspark.ml
     MinHashLSH variant, the hash family is explicit, so a SQL oracle
     reproduces the exact candidate set.
+
+    ``max_bucket`` is the degenerate-bucket guard, REQUIRED at scale:
+    a bucket-join is quadratic per bucket, and on a low-diversity
+    corpus one band key can capture most of the corpus (observed here:
+    3167 of 5000 docs in one bucket at sf0.1 -> 11.4M candidate
+    pairs). Buckets larger than the cap are dropped entirely — an
+    oversized bucket means that band's key is driven by corpus-wide
+    common shingles and carries ~no similarity signal, while genuinely
+    similar pairs still collide in their other (selective) bands. The
+    per-bucket count rides the same shuffle the join needs (one window
+    over the band key), so the guard costs no extra exchange.
     """
     sig = df.select(
         F.col(id_col), char_ngrams(text_col, n).alias("__sh")
@@ -245,6 +257,13 @@ def minhash_lsh_candidates(
             )
         ).alias("b"),
     ).select(id_col, "b.band_idx", "b.band_key")
+    if max_bucket is not None:
+        w = Window.partitionBy("band_idx", "band_key")
+        bands = (
+            bands.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
     a = bands.select(
         F.col(id_col).alias("a_id"), "band_idx", "band_key"
     )

@@ -357,11 +357,18 @@ _SHINGLES_SQL = (
       SELECT doc_id, {dedup.minhash_signature_sql('shingles')} AS sig
       FROM sh WHERE length(shingles) > 0
     ),
-    bands AS (
+    all_bands AS (
       SELECT doc_id, i AS band_idx,
              CAST(sig[2*i + 1] AS VARCHAR) || ':' || CAST(sig[2*i + 2] AS VARCHAR)
                AS band_key
       FROM sig, unnest([0, 1, 2, 3]) AS t(i)
+    ),
+    bands AS (
+      -- degenerate-bucket guard, mirroring max_bucket=100 Spark-side
+      SELECT doc_id, band_idx, band_key
+      FROM (SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_key) AS bn
+            FROM all_bands)
+      WHERE bn <= 100
     ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -383,11 +390,16 @@ _SHINGLES_SQL = (
     "oracle-checked — unlike the pyspark.ml variant (minhash_neardup) "
     "whose seeded family is opaque. Candidates then pass through the "
     "exact-Jaccard verification kernel, i.e. the real two-stage scale "
-    "pipeline end-to-end",
+    "pipeline end-to-end, including the max_bucket=100 degenerate-"
+    "bucket guard every production LSH dedup needs (uncapped, this "
+    "corpus's hottest band bucket holds 63%% of all docs and the "
+    "bucket-join goes quadratic)",
 )
 def minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
-    cands = dedup.minhash_lsh_candidates(docs, id_col="doc_id", text_col="text", n=3)
+    cands = dedup.minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text", n=3, max_bucket=100
+    )
     shingled = docs.select(
         "doc_id", dedup.char_ngrams("text", 3).alias("shingles")
     )
