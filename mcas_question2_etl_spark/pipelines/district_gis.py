@@ -8,8 +8,9 @@ Two outputs from one attribute+geometry input:
 
 The reference reads the shapefile twice (:42, :62 — recompute, no
 cache); here both branches share one cached scan. Geometry arrives as
-a WKT string column (shapefile decode is an ingestion adapter concern;
-at scale, shapefiles are preconverted to parquet+WKT — SURVEY §2.1 S4).
+a WKT string column — either preconverted parquet+WKT, or straight
+from the native distributed shapefile scan (sources/shapefile.py,
+SURVEY §2.1 S4) via :func:`from_shapefile`.
 
 The Airflow DAG's four Celery tasks with /tmp-file handoffs (:76-120)
 collapse into one lazy Spark job; task boundaries become stage
@@ -23,6 +24,22 @@ from pyspark.sql import functions as F
 
 from ..functions.geo import st_is_valid, st_transform_26986_to_4326
 from ..operators.reshape import explode_list
+
+
+def from_shapefile(spark, shp_glob: str) -> DataFrame:
+    """gpd.read_file (dags/district_gis_etl.py:42) — native .shp/.dbf
+    scan flattened to the column shape both builders consume. The
+    attribute map is exploded into the three reference columns; cache
+    the result when feeding both branches (the reference re-reads)."""
+    from ..sources.shapefile import read_shapefile
+
+    raw = read_shapefile(spark, shp_glob)
+    return raw.select(
+        F.col("attributes")["ORG8CODE"].alias("ORG8CODE"),
+        F.col("attributes")["DISTRICT_N"].alias("DISTRICT_N"),
+        F.col("attributes")["MEMBERLIST"].alias("MEMBERLIST"),
+        "geometry",
+    )
 
 
 def build_crosswalk(districts_attr: DataFrame) -> DataFrame:

@@ -261,3 +261,32 @@ def test_shapefile_join_and_nulls_first_sort(spark, reference_views):
     # district 3 has no analysis row -> null prop_yes sorts FIRST
     assert rows[0].district_code == 3 and rows[0].prop_yes is None
     assert {r.district_code for r in rows} == {1, 2, 3}
+
+
+def test_gis_pipeline_from_native_shapefile(spark, tmp_path):
+    """End-to-end S4 -> G1/G2: .shp/.dbf fixture -> from_shapefile ->
+    both pipeline branches, mirroring dags/district_gis_etl.py:42-74."""
+    from tests.test_sources import _mk_dbf, _mk_shp
+
+    x, y = 200000.0, 750000.0
+    ring = [(x, y), (x, y + 1000), (x + 1000, y + 1000), (x + 1000, y), (x, y)]
+    (tmp_path / "d.shp").write_bytes(_mk_shp([[ring]]))
+    (tmp_path / "d.dbf").write_bytes(
+        _mk_dbf(
+            ["ORG8CODE", "DISTRICT_N", "MEMBERLIST"],
+            [(7, "Regional North", "Towna, Hamlet")],  # fits the 16-char field
+        )
+    )
+    src = district_gis.from_shapefile(spark, str(tmp_path / "*.shp")).cache()
+
+    towns = {r.town for r in district_gis.build_crosswalk(src).collect()}
+    assert towns == {"Towna", "Hamlet"}
+
+    shapes = district_gis.build_shapes(src).collect()
+    assert len(shapes) == 1 and shapes[0].district_code == "7"
+    import re as _re
+
+    lon, lat = map(
+        float, _re.findall(r"(-?\d+\.\d+) (-?\d+\.\d+)", shapes[0].geometry)[0]
+    )
+    assert -74.0 < lon < -69.0 and 40.9 <= lat < 43.5

@@ -186,3 +186,97 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
         ).collect()[0].n
         == 4
     )
+
+
+# ---------------------------------------------------------------------------
+# S4 — native shapefile scan (fixtures built per the public ESRI/dBase spec)
+# ---------------------------------------------------------------------------
+
+
+def _mk_shp(records):
+    """records: list of shapes, each a list of rings (x,y tuples)."""
+    import struct
+
+    recs = b""
+    for i, rings in enumerate(records, 1):
+        pts = [p for r in rings for p in r]
+        xs, ys = [p[0] for p in pts], [p[1] for p in pts]
+        content = struct.pack("<i", 5)  # Polygon
+        content += struct.pack("<4d", min(xs), min(ys), max(xs), max(ys))
+        content += struct.pack("<ii", len(rings), len(pts))
+        off = 0
+        for r in rings:
+            content += struct.pack("<i", off)
+            off += len(r)
+        for x, y in pts:
+            content += struct.pack("<2d", x, y)
+        recs += struct.pack(">ii", i, len(content) // 2) + content
+    header = struct.pack(">i", 9994) + b"\x00" * 20
+    header += struct.pack(">i", (100 + len(recs)) // 2)
+    header += struct.pack("<ii", 1000, 5) + struct.pack("<8d", *([0.0] * 8))
+    assert len(header) == 100
+    return header + recs
+
+
+def _mk_dbf(fieldnames, rows):
+    import struct
+
+    fields = b""
+    for name in fieldnames:
+        fields += (
+            name.encode().ljust(11, b"\x00") + b"C" + b"\x00" * 4
+            + bytes([16]) + b"\x00" * 15
+        )
+    header_size = 32 + len(fields) + 1
+    record_size = 1 + 16 * len(fieldnames)
+    hdr = struct.pack(
+        "<BBBBIHH", 3, 24, 1, 1, len(rows), header_size, record_size
+    ) + b"\x00" * 20
+    data = hdr + fields + b"\x0d"
+    for row in rows:
+        data += b" " + b"".join(str(v).encode().ljust(16)[:16] for v in row)
+    return data
+
+
+def test_shapefile_scan_distributed(spark, tmp_path):
+    """S4 — gpd.read_file (dags/district_gis_etl.py:42) as a distributed
+    binaryFile + mapInPandas scan: polygons with holes, attributes from
+    the .dbf sidecar, and output that feeds the geo layer directly."""
+    from mcas_question2_etl_spark.sources.shapefile import read_shapefile
+
+    square = [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0)]
+    hole = [(2.0, 2.0), (6.0, 2.0), (6.0, 6.0), (2.0, 6.0), (2.0, 2.0)]
+    (tmp_path / "districts.shp").write_bytes(_mk_shp([[square], [square, hole]]))
+    (tmp_path / "districts.dbf").write_bytes(
+        _mk_dbf(["ORG8CODE", "DISTRICT_N"], [(1, "Springfield"), (2, "Amherst")])
+    )
+
+    out = read_shapefile(spark, str(tmp_path / "*.shp")).orderBy("record_no")
+    rows = out.collect()
+    assert [r.record_no for r in rows] == [1, 2]
+    assert rows[0].attributes == {"ORG8CODE": "1", "DISTRICT_N": "Springfield"}
+    assert rows[1].attributes["DISTRICT_N"] == "Amherst"
+    assert rows[0].geometry.startswith("POLYGON ((0 0, 0 10, 10 10")
+    # record 2 carries the hole as a second ring
+    assert rows[1].geometry.count("(") == 3
+    # parsed geometry flows straight into the geo validity layer
+    from mcas_question2_etl_spark.functions.geo import st_is_valid
+
+    flags = [r.v for r in out.select(st_is_valid("geometry").alias("v")).collect()]
+    assert flags == [True, True]
+
+
+def test_shapefile_without_dbf_and_null_shape(spark, tmp_path):
+    from mcas_question2_etl_spark.sources.shapefile import parse_shp, read_shapefile
+
+    square = [(0.0, 0.0), (0.0, 2.0), (2.0, 2.0), (2.0, 0.0), (0.0, 0.0)]
+    (tmp_path / "bare.shp").write_bytes(_mk_shp([[square]]))
+    rows = read_shapefile(spark, str(tmp_path / "bare.shp")).collect()
+    assert len(rows) == 1 and rows[0].attributes is None
+    assert rows[0].geometry.startswith("POLYGON")
+
+    # defensive: a truncated / non-shapefile payload raises cleanly
+    import pytest
+
+    with pytest.raises(ValueError, match="bad file code"):
+        parse_shp(b"\x00" * 100)
