@@ -101,3 +101,48 @@ def html_table_rows(body: str) -> list[list[str]]:
     p = _P()
     p.feed(body)
     return p.rows
+
+
+def unzip_members(
+    raw: DataFrame,
+    suffixes: tuple[str, ...] | None = None,
+    content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """S3 — executor-side zip extraction (the reference downloads a
+    shapefile zip and extractall()s it on the worker's disk,
+    dags/district_gis_etl.py:14-33; here the archive bytes arrive as a
+    ``binaryFile`` row and members are extracted where the bytes
+    already are).
+
+    Input: one row per archive (path, content). Output: one row per
+    member — (archive, member, content) — optionally filtered to
+    ``suffixes`` INSIDE the extraction loop, so unwanted members are
+    never materialized. Fan-out is archive-parallel; a single huge zip
+    is driver-safe but not splittable (zip central directories make
+    members seekable — an offset-split reader is the upgrade path).
+    Compose with parse_with / shapefile.parse_shp downstream.
+    """
+    import os as _os
+
+    def run(batches):
+        import io
+        import zipfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for path, blob in zip(pdf[path_col], pdf[content_col]):
+                with zipfile.ZipFile(io.BytesIO(bytes(blob))) as zf:
+                    for name in zf.namelist():
+                        if name.endswith("/"):
+                            continue
+                        if suffixes and not name.lower().endswith(suffixes):
+                            continue
+                        out.append(
+                            (_os.path.basename(path), name, zf.read(name))
+                        )
+            yield pd.DataFrame(out, columns=["archive", "member", "content"])
+
+    return raw.mapInPandas(run, "archive string, member string, content binary")

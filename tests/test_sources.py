@@ -280,3 +280,30 @@ def test_shapefile_without_dbf_and_null_shape(spark, tmp_path):
 
     with pytest.raises(ValueError, match="bad file code"):
         parse_shp(b"\x00" * 100)
+
+
+def test_unzip_members_executor_side(spark, tmp_path):
+    """S3 — fetch+extract (dags/district_gis_etl.py:14-33): archive
+    bytes staged on storage, members extracted executor-side, filtered
+    before materialization, and composable with the shapefile parser."""
+    import io
+    import zipfile
+
+    square = [(0.0, 0.0), (0.0, 2.0), (2.0, 2.0), (2.0, 0.0), (0.0, 0.0)]
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("SCHOOLDISTRICTS_POLY.shp", _mk_shp([[square]]))
+        zf.writestr("readme.txt", "ignore me")
+        zf.writestr("nested/notes.md", "also ignored")
+    (tmp_path / "districts.zip").write_bytes(buf.getvalue())
+
+    raw = spark.read.format("binaryFile").load(str(tmp_path / "*.zip"))
+    members = ingest.unzip_members(raw, suffixes=(".shp",))
+    rows = members.collect()
+    assert [(r.archive, r.member) for r in rows] == [
+        ("districts.zip", "SCHOOLDISTRICTS_POLY.shp")
+    ]
+    from mcas_question2_etl_spark.sources.shapefile import parse_shp
+
+    parsed = parse_shp(bytes(rows[0].content))
+    assert parsed[0][1].startswith("POLYGON ((0 0, 0 2, 2 2")
