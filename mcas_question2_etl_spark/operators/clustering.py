@@ -1,0 +1,114 @@
+"""Distributed connected components — near-duplicate CLUSTER resolution.
+
+The LSH/SimHash operators (operators/dedup.py) emit candidate PAIRS,
+but a corpus dedup needs clusters: near-dup similarity is not
+transitive, yet production pipelines (C4, RefinedWeb, Dolma) resolve
+the pair graph into connected components and keep one canonical
+document per component. This module is that missing middle stage:
+
+    pairs (a_id, b_id)  ->  per-node cluster_id (= min doc_id reachable)
+
+Algorithm: iterative min-label propagation ("hash-min"). Every node
+starts labeled with its own id; each round, every node takes the min of
+its label and its neighbors' labels; converged when no label changes.
+
+Scale notes (the 100 TB story):
+  * One round = one shuffle of (node, label) pairs on node id — never
+    document bodies; the edge list itself is fixed-width ints.
+  * Rounds needed = graph diameter. Near-dup components are dense and
+    tiny (LSH buckets make them clique-ish), so diameter is typically
+    2-4. For adversarial long-chain graphs, the alternating
+    large-star/small-star contraction of Kiveris et al., "Connected
+    Components in MapReduce and Beyond" (SoCC'14), converges in
+    O(log^2 n) and drops in behind the same interface.
+  * Labels only ever decrease, so SUM(label) strictly decreases while
+    any node is unconverged — convergence is detected with a single
+    scalar aggregate per round instead of a join-and-compare.
+  * ``localCheckpoint`` truncates lineage each round; without it the
+    plan doubles per iteration and the driver, not the data, becomes
+    the bottleneck.
+
+Reference parity: the reference has no graph stage (its dedup story is
+row-identity via primary keys, e.g. school_outcomes_etl.py's keyed
+loads); this is part of the beyond-parity training-data suite
+(SURVEY.md §2 "LLM-data ops").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def symmetrize(edges: DataFrame, src: str = "a_id", dst: str = "b_id") -> DataFrame:
+    """Undirected edge list -> both directions, columns (src, dst)."""
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    return fwd.unionByName(rev)
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "a_id",
+    dst: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node with the MIN node id reachable from it.
+
+    ``nodes`` is the full node universe (one row per ``id_col``) so
+    isolated nodes — documents with no near-dup edge, the vast majority
+    of a real corpus — come out as singleton clusters without riding
+    through any join. Returns (id_col, cluster_id).
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds don't converge
+    (diameter > max_iter): silent partial labels would split clusters,
+    which for dedup means silently keeping duplicates.
+    """
+    sym = symmetrize(edges, src, dst).distinct().localCheckpoint(eager=False)
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("lbl")
+    ).localCheckpoint(eager=False)
+
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        if cur_sum == prev_sum:  # labels only decrease -> fixed point
+            return labels.select(
+                F.col("node").alias(id_col), F.col("lbl").alias("cluster_id")
+            )
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(graph diameter too large — switch to star-contraction)"
+    )
+
+
+def canonicalize(
+    components: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Decorate a component labeling with the dedup decision: cluster
+    size and ``keep`` (true for the canonical member = the cluster id
+    itself, i.e. min-id-wins — the same keep-first rule as
+    operators/dedup.dedup_exact)."""
+    w = Window.partitionBy("cluster_id")
+    return components.select(
+        id_col,
+        "cluster_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+    )

@@ -142,3 +142,104 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("stopword_frac", frac).withColumn(
         "predicted_lang", F.when(frac >= 0.04, "en").otherwise("und")
     )
+
+
+def gopher_quality_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style document quality gate (Rae et al. 2021 §A1.1;
+    Raffel et al. 2020 §2.2) as ONE narrow projection — every metric is
+    a Column expression over the raw text, so at 100 TB the whole gate
+    runs inside the parquet scan stage with zero shuffle and zero
+    Python.
+
+    Emitted per document:
+      * ``n_words``            whitespace word count
+      * ``mean_word_len``      (Gopher keeps 3..10)
+      * ``alpha_word_frac``    fraction of words containing a letter
+      * ``n_stopwords_distinct``  distinct stopwords present (Gopher
+                                  demands >= 2 as an English-ness check)
+      * ``dup_line_frac``      fraction of non-unique lines (repetition
+                               signal; 0.0 for single-line docs)
+      * ``top_word_frac``      share of the single most frequent word —
+                               the within-doc repetition signal that
+                               catches template/boilerplate text
+      * ``keep``               the conjunctive gate
+
+    The top-word mode is computed as a per-row higher-order expression
+    (distinct words x containment count). That is O(v*n) per document —
+    v is the per-doc vocabulary, so cost stays row-local and
+    scan-fused; it never becomes a corpus-wide explode+groupBy.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda d: F.size(F.filter(toks, lambda t: t == d)),
+        )
+    )
+    mean_len = (F.length(text_col) - (n - F.lit(1))) / n
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / n
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in STOPWORDS])))
+    dup_line = F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines
+    top_frac = top_cnt / n
+    keep = (
+        (n >= 10)
+        & (n <= 100000)
+        & (mean_len >= 2.0)
+        & (mean_len <= 12.0)
+        & (alpha_frac >= 0.8)
+        & (n_stop >= 2)
+        & (dup_line <= 0.3)
+        & (top_frac <= 0.2)
+    )
+    return df.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.cast("long").alias("n_stopwords_distinct"),
+        dup_line.alias("dup_line_frac"),
+        top_frac.alias("top_word_frac"),
+        keep.alias("keep"),
+    )
+
+
+def gopher_quality_sql(stopwords_in: str) -> str:
+    """DuckDB twin of :func:`gopher_quality_report` (callers pass the
+    quoted stopword list, e.g. plans/data_pipeline._STOP_IN)."""
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split(text, ' ') AS toks,
+             string_split(text, chr(10)) AS lns
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             (length(text) - (len(toks) - 1)) / len(toks) AS mean_word_len,
+             len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+               / len(toks) AS alpha_word_frac,
+             len(list_intersect(list_distinct(toks), {stopwords_in}))
+               AS n_stopwords_distinct,
+             1.0 - len(list_distinct(lns)) / len(lns) AS dup_line_frac,
+             list_max(list_transform(list_distinct(toks),
+                      d -> len(list_filter(toks, w -> w = d))))
+               / len(toks) AS top_word_frac
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           mean_word_len, alpha_word_frac,
+           CAST(n_stopwords_distinct AS BIGINT) AS n_stopwords_distinct,
+           dup_line_frac, top_word_frac,
+           n_words BETWEEN 10 AND 100000
+             AND mean_word_len BETWEEN 2.0 AND 12.0
+             AND alpha_word_frac >= 0.8
+             AND n_stopwords_distinct >= 2
+             AND dup_line_frac <= 0.3
+             AND top_word_frac <= 0.2 AS keep
+    FROM m
+    """

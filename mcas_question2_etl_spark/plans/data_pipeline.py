@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators import dedup, sampling, similarity, text
+from ..operators import clustering, dedup, sampling, similarity, text
 from ..registry import QuerySpec
 
 SPECS: list[QuerySpec] = []
@@ -346,9 +346,10 @@ _SHINGLES_SQL = (
 )
 
 
-@_spec(
-    "minhash_lsh_portable",
-    f"""
+#: the full portable-LSH pair pipeline as one SQL body — the
+#: minhash_lsh_portable oracle verbatim, and the edge generator the
+#: neardup_cluster_dedup oracle builds its graph from.
+_LSH_PAIRS_SQL = f"""
     WITH sh AS (
       SELECT doc_id, {_SHINGLES_SQL} AS shingles
       FROM documents WHERE length(text) >= 3
@@ -383,7 +384,12 @@ _SHINGLES_SQL = (
     FROM pairs p
     JOIN sh sa ON sa.doc_id = p.a_id
     JOIN sh sb ON sb.doc_id = p.b_id
-    """,
+    """
+
+
+@_spec(
+    "minhash_lsh_portable",
+    _LSH_PAIRS_SQL,
     "training-data op: MinHash + banded LSH near-dup with an EXPLICIT "
     "affine hash family ((a*x + b) % (2^31-1) over 30-bit md5 shingle "
     "hashes), so the full candidate generation is engine-portable and "
@@ -569,3 +575,66 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@_spec(
+    "neardup_cluster_dedup",
+    f"""
+    WITH RECURSIVE lshp AS ({_LSH_PAIRS_SQL}),
+    edges AS (SELECT a_id, b_id FROM lshp WHERE jaccard >= 0.6),
+    sym AS (SELECT a_id AS src, b_id AS dst FROM edges
+            UNION ALL SELECT b_id, a_id FROM edges),
+    nodes AS (SELECT doc_id FROM documents),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+             FROM reach GROUP BY node)
+    SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size,
+           doc_id = cluster_id AS keep
+    FROM comp
+    """,
+    "training-data op: near-dup CLUSTER resolution — LSH candidate "
+    "pairs filtered to Jaccard >= 0.6 become an undirected graph, "
+    "resolved to connected components by iterative min-label "
+    "propagation (operators/clustering.py), then min-id-wins "
+    "canonicalization. This is the stage every production corpus dedup "
+    "(C4/RefinedWeb/Dolma) runs between 'candidate pairs' and 'deduped "
+    "corpus', because near-dup similarity is not transitive. The "
+    "oracle is a DuckDB recursive CTE computing min-reachable-id — an "
+    "independent algorithm (BFS closure) agreeing with the Spark "
+    "fixed-point iteration on every label. Scale: each round shuffles "
+    "only (node, label) int pairs; rounds = component diameter "
+    "(2-4 for LSH graphs); lineage cut per round via localCheckpoint",
+)
+def neardup_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    edges = minhash_lsh_portable(spark, sf_dir).filter(F.col("jaccard") >= 0.6)
+    comp = clustering.connected_components(
+        edges, docs.select("doc_id"), id_col="doc_id", src="a_id", dst="b_id"
+    )
+    return clustering.canonicalize(comp, id_col="doc_id")
+
+
+_STOP_LIST = "[" + ", ".join(f"'{s}'" for s in text.STOPWORDS) + "]"
+
+
+@_spec(
+    "gopher_quality_filters",
+    text.gopher_quality_sql(_STOP_LIST),
+    "training-data op: Gopher/C4-style quality gate (Rae et al. 2021 "
+    "A1.1) — word count, mean word length, alphabetic-word fraction, "
+    "distinct-stopword count, duplicate-line fraction, and top-word "
+    "dominance, fused into one scan-stage projection with a "
+    "conjunctive keep flag. The repetition metrics (dup lines, top-"
+    "word share) are the filters that kill template/boilerplate text "
+    "before it poisons a pretraining mix; everything is a narrow "
+    "Column expression, so the gate costs nothing beyond the read",
+)
+def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.gopher_quality_report(docs)

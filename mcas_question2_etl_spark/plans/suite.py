@@ -81,9 +81,25 @@ _r01_green = {
 }
 
 
+#: specs ADDED in round 2 — they have no driver row, but the 50-slot
+#: window is already exactly filled by the r1-unrowed + recheck sets,
+#: so they queue BEHIND the window (pytest-gated this round, graded
+#: from round 3's window rotation).
+_NEW_THIS_ROUND: set[str] = {
+    "neardup_cluster_dedup",
+    "gopher_quality_filters",
+    "decontaminate_ngram_overlap",
+    "tfidf_top_terms",
+}
+
+
 def _round_order(all_specs: list[QuerySpec]) -> list[QuerySpec]:
     by_name = {s.name: s for s in all_specs}
-    unrowed = [s for s in all_specs if s.name not in _r01_green]
+    unrowed = [
+        s
+        for s in all_specs
+        if s.name not in _r01_green and s.name not in _NEW_THIS_ROUND
+    ]
     recheck = [
         by_name[n] for n in _RECHECK_THIS_ROUND if by_name[n] not in unrowed
     ]

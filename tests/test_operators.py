@@ -466,3 +466,76 @@ def test_heavy_hitters_none_qualify(spark):
     df = spark.createDataFrame([(f"u{i}",) for i in range(40)], ["k"])
     assert heavy_hitters(df, "k", support=0.5).count() == 0
     assert heavy_hitters(df, "k", support=0.5).columns == ["k", "cnt"]
+
+
+# ---------------------------------------------------------------------------
+# connected components (operators/clustering.py)
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A 5-node chain needs several propagation rounds (label travels one
+    hop per round); nodes 10/11 are isolated singletons."""
+    from mcas_question2_etl_spark.operators.clustering import (
+        canonicalize,
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (7, 8)], ["a_id", "b_id"]
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 7, 8, 10, 11]], ["doc_id"]
+    )
+    comp = connected_components(edges, nodes)
+    got = {r.doc_id: r.cluster_id for r in comp.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 7: 7, 8: 7, 10: 10, 11: 11}
+
+    canon = {r.doc_id: (r.cluster_size, r.keep) for r in canonicalize(comp).collect()}
+    assert canon[1] == (5, True) and canon[5] == (5, False)
+    assert canon[10] == (1, True)
+
+
+def test_connected_components_direction_independent(spark):
+    """min-label must flow against edge direction too (the edge list is
+    undirected): an edge written (big, small) still labels big."""
+    from mcas_question2_etl_spark.operators.clustering import connected_components
+
+    edges = spark.createDataFrame([(9, 3)], ["a_id", "b_id"])
+    nodes = spark.createDataFrame([(3,), (9,)], ["doc_id"])
+    got = {r.doc_id: r.cluster_id for r in connected_components(edges, nodes).collect()}
+    assert got == {3: 3, 9: 3}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest
+
+    from mcas_question2_etl_spark.operators.clustering import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], ["a_id", "b_id"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, nodes, max_iter=2)
+
+
+def test_gopher_quality_report_fixtures(spark):
+    """Multi-line and adversarial docs exercise the metrics the
+    single-line synthetic corpus can't: duplicate lines, top-word
+    dominance, non-alphabetic words."""
+    from mcas_question2_etl_spark.operators.text import gopher_quality_report
+
+    good = "the cat and a dog walked to a park in every fine morning light"
+    spam = " ".join(["buy"] * 30)  # top_word_frac = 1.0
+    dup_lines = "\n".join(["same line here"] * 9 + ["different line now"])
+    numeric = " ".join(str(i) for i in range(20))  # alpha_word_frac = 0
+    df = spark.createDataFrame(
+        [(1, good), (2, spam), (3, dup_lines), (4, numeric)], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in gopher_quality_report(df).collect()}
+
+    assert got[1].keep and got[1].n_stopwords_distinct >= 4
+    assert not got[2].keep and got[2].top_word_frac == 1.0
+    assert not got[3].keep and abs(got[3].dup_line_frac - 0.8) < 1e-12
+    assert not got[4].keep and got[4].alpha_word_frac == 0.0
