@@ -243,3 +243,82 @@ def gopher_quality_sql(stopwords_in: str) -> str:
              AND top_word_frac <= 0.2 AS keep
     FROM m
     """
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k most distinctive terms per document by TF-IDF.
+
+    Uses the LINEAR idf variant (score = tf * N / df, no logarithm):
+    for a fixed corpus the ranking is identical to log-idf for any
+    monotone idf, but every arithmetic step (int multiply, one double
+    divide) is exactly IEEE-reproducible across engines — ln() is last-
+    ulp engine-dependent and would make the oracle hash flaky (same
+    bit-reproducibility discipline as the Q20 fixed-point cosine in
+    operators/similarity.py). Ties break by term ascending.
+
+    Scale: the explode shuffles (doc_id, term) pairs — fixed-width,
+    never the document body — with map-side partial counts; the df
+    (document-frequency) side is |vocabulary| rows and broadcast back.
+    At 100 TB add a min_df prune before the broadcast; the per-doc
+    top-k is WindowGroupLimit-pushed so each task keeps k candidates
+    per doc before the final exchange.
+    """
+    from pyspark.sql import Window
+
+    pairs = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = pairs.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = pairs.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "df", "score")
+    )
+
+
+def tfidf_top_terms_sql(k: int = 3) -> str:
+    """DuckDB twin of :func:`tfidf_top_terms` over ``documents``."""
+    return f"""
+    WITH pairs AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM pairs GROUP BY doc_id, term
+    ),
+    dfreq AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM pairs GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term) AS rank
+          FROM scored)
+    WHERE rank <= {k}
+    """

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators import clustering, dedup, sampling, similarity, text
+from ..operators import clustering, decontaminate, dedup, sampling, similarity, text
 from ..registry import QuerySpec
 
 SPECS: list[QuerySpec] = []
@@ -638,3 +638,69 @@ _STOP_LIST = "[" + ", ".join(f"'{s}'" for s in text.STOPWORDS) + "]"
 def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.gopher_quality_report(docs)
+
+
+_NG3 = decontaminate.word_ngrams_sql("text", 3)
+_GH = dedup._SHINGLE30_SQL.format(s="g")
+
+
+@_spec(
+    "decontaminate_ngram_overlap",
+    f"""
+    WITH bench AS (
+      SELECT DISTINCT {_GH} AS gh FROM (
+        SELECT unnest({_NG3}) AS g FROM documents WHERE doc_id % 31 = 0
+      )
+    ),
+    hashed AS (
+      SELECT doc_id, {_GH} AS gh FROM (
+        SELECT doc_id, unnest({_NG3}) AS g
+        FROM documents WHERE doc_id % 31 <> 0
+      )
+    ),
+    counts AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+             CAST(SUM(CASE WHEN gh IN (SELECT gh FROM bench)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(c.n_ngrams, 0) AS n_ngrams,
+           COALESCE(c.n_matched, 0) AS n_matched,
+           CASE WHEN COALESCE(c.n_ngrams, 0) > 0
+                THEN c.n_matched / c.n_ngrams ELSE 0.0 END AS overlap_frac,
+           CASE WHEN COALESCE(c.n_ngrams, 0) > 0
+                THEN c.n_matched / c.n_ngrams ELSE 0.0 END >= 0.5
+             AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 31 <> 0) d
+    LEFT JOIN counts c USING (doc_id)
+    """,
+    "training-data op: benchmark DECONTAMINATION (GPT-3 appendix C / "
+    "Llama 2 A.6) — flag training docs sharing too many word n-grams "
+    "with an eval set. The benchmark's distinct n-gram hash set "
+    "(30-bit portable md5 family) broadcast-joins the corpus, so the "
+    "corpus never shuffles: flagging is map-side, then one narrow "
+    "per-doc aggregate. Benchmark here = the deterministic "
+    "doc_id %% 31 == 0 slice standing in for a real eval suite",
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 31 == 0)
+    corpus = docs.filter(F.col("doc_id") % 31 != 0)
+    return decontaminate.decontaminate(corpus, bench, n=3, threshold=0.5)
+
+
+@_spec(
+    "tfidf_top_terms",
+    text.tfidf_top_terms_sql(3),
+    "training-data op: per-document TF-IDF top-3 distinctive terms — "
+    "the classic corpus-analysis primitive (topic labeling, keyword "
+    "extraction, boilerplate diagnosis). Linear-idf scoring "
+    "(tf * N / df) keeps the ranking of log-idf while staying bit-"
+    "reproducible across engines (ln() is last-ulp engine-dependent); "
+    "ties break on term so the top-k is fully deterministic",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, k=3)

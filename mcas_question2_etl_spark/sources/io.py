@@ -112,3 +112,30 @@ def write_partition_overwrite(
     partition pruning to every downstream reader of the table.
     """
     df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """JSON-lines scan — the interchange format most raw LLM corpora
+    arrive in (one document object per line). Explicit schema preferred:
+    schema inference costs a full extra pass over 100 TB. Splittable
+    per-line, so parallelism is maxPartitionBytes-driven like CSV."""
+    reader = spark.read
+    return reader.schema(schema).json(path) if schema else reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (corpus export / handoff to tokenizer jobs)."""
+    df.write.mode(mode).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar/pushdown properties as parquet
+    (predicate pushdown, column pruning, split by stripe); supported so
+    corpora produced by Hive/Trino-side pipelines read natively."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)

@@ -169,6 +169,30 @@ def _output_mode(df: DataFrame) -> str:
     logical = df._jdf.queryExecution().logical().toString()
     if "FlatMapGroupsInPandasWithState" in logical:
         return "update"  # the only mode applyInPandasWithState supports
+    if "Aggregate" in logical:
+        # checked BEFORE Deduplicate: a static join side may contain a
+        # distinct() whose Deduplicate node must not demote an
+        # aggregating stream to append mode
+        return "complete"
     if "Deduplicate" in logical:
         return "append"  # dedup streams have no aggregate to re-emit
-    return "complete"
+    return "append"  # stateless transform/join-only streams
+
+
+def enrich_with_dim(
+    events: DataFrame, dim: DataFrame, on: str, broadcast_dim: bool = True
+) -> DataFrame:
+    """Stream-static join: decorate a stream with a slowly-changing
+    dimension table (user profile, customer master, allowlist).
+
+    Stream-static inner/left joins are STATELESS — each micro-batch
+    joins against the current dim snapshot, nothing is buffered — so
+    this costs one broadcast per batch and no state store. The static
+    side is re-read per batch, which is precisely what makes it the
+    right shape for slowly-changing dims: an updated dim file is picked
+    up on the next trigger without restarting the query. Broadcast is
+    the default because dims are small; disable for a large static side
+    and Spark plans a shuffled join of the batch instead.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return events.join(d, on, "left")

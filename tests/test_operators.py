@@ -539,3 +539,43 @@ def test_gopher_quality_report_fixtures(spark):
     assert not got[2].keep and got[2].top_word_frac == 1.0
     assert not got[3].keep and abs(got[3].dup_line_frac - 0.8) < 1e-12
     assert not got[4].keep and got[4].alpha_word_frac == 0.0
+
+
+def test_decontaminate_flags_benchmark_copies(spark):
+    from mcas_question2_etl_spark.operators.decontaminate import decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    bench = spark.createDataFrame([(100, bench_text)], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [
+            (1, bench_text),  # verbatim copy -> 100% overlap
+            (2, "alpha beta gamma delta unrelated words go here now"),
+            (3, "totally different text with no shared trigrams at all"),
+            (4, "too short"),  # < n words -> zero n-grams, never flagged
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in decontaminate(corpus, bench, n=3).collect()}
+    assert got[1].contaminated and got[1].overlap_frac == 1.0
+    assert not got[2].contaminated and 0 < got[2].n_matched < got[2].n_ngrams
+    assert not got[3].contaminated and got[3].n_matched == 0
+    assert got[4].n_ngrams == 0 and not got[4].contaminated
+
+
+def test_tfidf_top_terms_ranks_distinctive_words(spark):
+    from mcas_question2_etl_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common rare rare rare common shared"),
+            (2, "common common common shared other other"),
+            (3, "common shared banal banal words words"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(df, k=2).collect()
+    top = {(r.doc_id, r.rank): (r.term, r.tf, r.df) for r in out}
+    # 'rare' appears only in doc 1 (df=1, tf=3) -> its top term
+    assert top[(1, 1)] == ("rare", 3, 1)
+    # every doc gets exactly k rows, ranks dense 1..k
+    assert sorted(k for k in top) == [(d, r) for d in (1, 2, 3) for r in (1, 2)]

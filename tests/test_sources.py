@@ -307,3 +307,27 @@ def test_unzip_members_executor_side(spark, tmp_path):
 
     parsed = parse_shp(bytes(rows[0].content))
     assert parsed[0][1].startswith("POLYGON ((0 0, 0 2, 2 2")
+
+
+def test_jsonl_and_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """Format round-trips preserve values/schema; the ORC scan must show
+    pushed filters like parquet (same columnar contract)."""
+    from mcas_question2_etl_spark.sources import io as sio
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", None)], "id long, name string, score double"
+    )
+    jp, op = str(tmp_path / "j"), str(tmp_path / "o")
+    sio.write_jsonl(df, jp)
+    sio.write_orc(df, op)
+
+    back_j = sio.read_jsonl(spark, jp, schema=df.schema)
+    assert sorted(back_j.collect()) == sorted(df.collect())
+    assert back_j.schema == df.schema
+
+    back_o = sio.read_orc(spark, op)
+    assert sorted(back_o.collect()) == sorted(df.collect())
+    from pyspark.sql import functions as F
+
+    plan = back_o.filter(F.col("id") == 1).select("name")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), EqualTo(id,1)]" in plan

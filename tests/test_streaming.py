@@ -99,3 +99,37 @@ def test_dedup_within_watermark(spark, tmp_path):
         assert got == want
     finally:
         q.stop()
+
+
+def test_stream_static_enrichment(spark, events_path):
+    """Stream-static left join: every stream row survives, matched rows
+    carry the dim attribute, and the result agrees with the same join
+    done in batch."""
+    from pyspark.sql import functions as F
+
+    from mcas_question2_etl_spark.catalog import load_table
+
+    users = (
+        load_table(spark, SF_SMALL, "events")
+        .select("user_id").distinct().limit(50)
+        .withColumn("segment", F.concat(F.lit("seg-"), F.col("user_id") % 3))
+    )
+    stream = sw.stream_events(spark, events_path)
+    enriched = sw.enrich_with_dim(stream, users, on="user_id").groupBy(
+        "segment"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    q = sw.run_available_now(enriched, "enrich_test")
+    try:
+        got = {r.segment: r.n for r in spark.table("enrich_test").collect()}
+        batch = (
+            sw.enrich_with_dim(
+                load_table(spark, SF_SMALL, "events"), users, on="user_id"
+            )
+            .groupBy("segment")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        want = {r.segment: r.n for r in batch.collect()}
+        assert got == want
+        assert None in got  # unmatched stream rows kept by the left join
+    finally:
+        q.stop()
