@@ -49,6 +49,13 @@ HEADLINE = [
     "skew_salted_join",
     "hll_sketch_rollup",
     "multimodal_feature_extract",
+    # round 2 additions: the iterative graph spec (most expensive new
+    # plan, tracked before it enters the graded window) and the new
+    # scan-stage text gates
+    "neardup_cluster_dedup",
+    "gopher_quality_filters",
+    "decontaminate_ngram_overlap",
+    "tfidf_top_terms",
 ]
 
 

@@ -73,16 +73,30 @@ def connected_components(
 
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
     for _ in range(max_iter):
+        # (1) hash-min: take the min label over graph neighbors
         nbr = (
             sym.join(labels.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        stepped = labels.join(nbr, "node", "left").select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+        )
+        # (2) pointer jump (path halving): lbl <- lbl(lbl). Plain
+        # hash-min needs diameter rounds (measured 15 on the sf0.1
+        # jaccard>=0.6 graph — near-dup chains are long); composing
+        # each round with one shortcut join converges in O(log d).
+        jump = stepped.select(
+            F.col("node").alias("lbl"), F.col("lbl").alias("jump_lbl")
+        )
         labels = (
-            labels.join(nbr, "node", "left")
+            stepped.join(jump, "lbl", "left")
             .select(
                 "node",
-                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+                F.least(
+                    F.col("lbl"), F.coalesce("jump_lbl", "lbl")
+                ).alias("lbl"),
             )
             .localCheckpoint(eager=False)
         )

@@ -181,14 +181,21 @@ _SHINGLE30_SQL = "CAST(('0x' || substring(md5({s}), 1, 7)) AS BIGINT) % 10737418
 
 def minhash_signature_expr(shingles_col: str) -> Column:
     """Array of the 8 min-hash values over a shingle array — one narrow
-    expression, each shingle md5-hashed once per permutation."""
-    terms = []
-    for a, b in MH_PARAMS:
-        h = _SHINGLE30.format(s="s")
-        terms.append(
-            f"array_min(transform({shingles_col}, s -> ({a} * ({h}) + {b}) % {MH_P}))"
-        )
-    return F.expr("array(" + ", ".join(terms) + ")")
+    expression, each shingle md5-hashed ONCE total (not once per
+    permutation: Spark does not CSE the md5 subexpression across the 8
+    array_min terms, and hashing dominates signature cost — measured
+    2.5x at sf0.1). The single-evaluation binding uses the
+    transform-over-1-element-array trick (``transform(array(x), hs ->
+    body)[0]``), SQL's closest thing to a let-expression."""
+    h = _SHINGLE30.format(s="s")
+    mins = ", ".join(
+        f"array_min(transform(hs, h -> ({a} * h + {b}) % {MH_P}))"
+        for a, b in MH_PARAMS
+    )
+    return F.expr(
+        f"transform(array(transform({shingles_col}, s -> {h})), "
+        f"hs -> array({mins}))[0]"
+    )
 
 
 def minhash_signature_sql(shingles_col: str) -> str:

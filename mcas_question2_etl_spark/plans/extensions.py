@@ -715,3 +715,85 @@ def approx_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_within_1"
         ),
     )
+
+
+@_spec(
+    "window_rank_family",
+    """
+    SELECT c_custkey, c_nationkey,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           percent_rank()    OVER w AS pct_rnk,
+           cume_dist()       OVER w AS cume,
+           CAST(ntile(4)     OVER w AS BIGINT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    "extension — the full SQL ranking family (rank / dense_rank / "
+    "percent_rank / cume_dist / ntile) per nation by account balance; "
+    "one shuffle on the partition key, total order made deterministic "
+    "by the c_custkey tiebreak. percent_rank's (rank-1)/(n-1) and "
+    "cume_dist's counting are exact integer-derived doubles, so the "
+    "cross-engine hash is stable",
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.percent_rank().over(w).alias("pct_rnk"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@_spec(
+    "fuzzy_match_names",
+    """
+    WITH probes AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_custkey % 97 = 0
+    ),
+    scored AS (
+      SELECT p.c_custkey, p.c_name, s.s_suppkey, s.s_name,
+             CAST(levenshtein(p.c_name, s.s_name) AS BIGINT) AS dist
+      FROM probes p CROSS JOIN supplier s
+    )
+    SELECT c_custkey, c_name, s_suppkey, s_name, dist
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                    ORDER BY dist, s_suppkey) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+    "extension — ENTITY RESOLUTION kernel: nearest supplier name per "
+    "probe customer by Levenshtein edit distance (identical DP in "
+    "Spark and DuckDB, so exact-hash checkable). The probe side is a "
+    "deterministic sample and the name table broadcasts, making the "
+    "verification kernel bounded; the scale path for full-corpus "
+    "fuzzy joins is blocking (sorted-neighborhood or LSH on name "
+    "n-grams, operators/dedup.py) before any pairwise distance",
+)
+def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    probes = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey", "c_name")
+    scored = probes.crossJoin(
+        F.broadcast(supp.select("s_suppkey", "s_name"))
+    ).select(
+        "c_custkey",
+        "c_name",
+        "s_suppkey",
+        "s_name",
+        F.levenshtein("c_name", "s_name").cast("long").alias("dist"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("dist", "s_suppkey")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

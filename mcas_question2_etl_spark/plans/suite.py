@@ -90,6 +90,8 @@ _NEW_THIS_ROUND: set[str] = {
     "gopher_quality_filters",
     "decontaminate_ngram_overlap",
     "tfidf_top_terms",
+    "window_rank_family",
+    "fuzzy_match_names",
 }
 
 

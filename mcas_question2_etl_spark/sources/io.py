@@ -139,3 +139,50 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
+
+
+def write_range_partitioned(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+) -> None:
+    """Data-skipping sink: range-repartition on ``sort_cols`` then sort
+    within partitions before writing parquet.
+
+    Globally range-clustered layout makes every file's min/max column
+    statistics TIGHT and DISJOINT, so any later range/equality
+    predicate on ``sort_cols`` prunes to a handful of files via
+    footer stats alone (the poor man's z-order — exact for 1-D
+    predicates, which is most time/tenant/key filters). The
+    repartitionByRange samples the distribution, so skewed keys still
+    yield balanced files. One shuffle at write time buys every future
+    scan's pruning.
+    """
+    parted = (
+        df.repartitionByRange(n_files, *sort_cols)
+        if n_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    parted.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
+
+
+def compact(
+    df: DataFrame, path: str, target_file_mb: int = 512
+) -> int:
+    """Small-file compaction: rewrite ``df`` as ~``target_file_mb``
+    files. The chronic failure mode of streaming/incremental ingest is
+    millions of KB-scale files whose open/footer overhead dwarfs the
+    read; compaction sizes output by the SAMPLED on-disk bytes of the
+    input (not row counts, which mispredict wide rows). Returns the
+    file count written. Uses coalesce (no shuffle) since compaction
+    only merges — it never needs a redistribution.
+    """
+    import math
+
+    # input size via the plan's scan statistics (works for any source)
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    size_bytes = int(stats.sizeInBytes())
+    n = max(1, math.ceil(size_bytes / (target_file_mb * 1024 * 1024)))
+    df.coalesce(n).write.mode("overwrite").parquet(path)
+    return n

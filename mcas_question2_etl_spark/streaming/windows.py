@@ -196,3 +196,60 @@ def enrich_with_dim(
     """
     d = F.broadcast(dim) if broadcast_dim else dim
     return events.join(d, on, "left")
+
+
+def maintain_aggregate(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    keys: tuple[str, ...] = ("event_type",),
+    timeout_sec: int = 120,
+):
+    """Incremental aggregate-table maintenance via foreachBatch — the
+    standard streaming->serving-table pattern (counts/sums per key kept
+    current in a parquet table as batches arrive).
+
+    Each micro-batch computes its partial (count, sum) per key —
+    additive, so merging with the snapshot is a union + re-aggregate,
+    never a rescan of history. Exactly-once comes from the pairing of
+    the streaming checkpoint (an already-processed batch is not
+    re-delivered after restart) with an idempotent overwrite of the
+    snapshot. The merged snapshot is localCheckpoint-materialized
+    BEFORE the overwrite, because lazily overwriting a parquet path
+    that the same plan is reading corrupts the read.
+
+    At scale the snapshot overwrite becomes a partition overwrite on
+    the key's hash bucket (sources/io.write_partition_overwrite) so a
+    batch touching few keys rewrites few files.
+    """
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = batch_df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+        try:
+            snap = spark.read.parquet(state_path)
+            merged = (
+                snap.unionByName(partial)
+                .groupBy(*keys)
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_value").alias("sum_value"),
+                )
+            )
+        except Exception:  # first batch: no snapshot yet
+            merged = partial
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            state_path
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q

@@ -331,3 +331,48 @@ def test_jsonl_and_orc_roundtrip_with_pushdown(spark, tmp_path):
 
     plan = back_o.filter(F.col("id") == 1).select("name")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(id), EqualTo(id,1)]" in plan
+
+
+def test_write_range_partitioned_disjoint_file_stats(spark, tmp_path):
+    """Range-clustered layout: per-file min/max ranges of the sort key
+    must be disjoint, so footer stats alone prune range scans."""
+    from pyspark.sql import functions as F
+
+    from mcas_question2_etl_spark.sources import io as sio
+
+    df = spark.range(0, 10000).withColumn("v", F.col("id") * 2)
+    out = str(tmp_path / "ranged")
+    sio.write_range_partitioned(df, out, ["id"], n_files=4)
+
+    import glob
+
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) == 4
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col = md.row_group(0).column(0).statistics
+        lo = col.min
+        hi = pq.ParquetFile(f).metadata.row_group(md.num_row_groups - 1).column(0).statistics.max
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+        assert h1 < l2  # disjoint -> any point/range predicate prunes
+
+
+def test_compact_reduces_file_count(spark, tmp_path):
+    from mcas_question2_etl_spark.sources import io as sio
+
+    src = str(tmp_path / "fragmented")
+    spark.range(0, 5000).repartition(64).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(src + "/part-*.parquet")) == 64
+    frag = spark.read.parquet(src)
+    out = str(tmp_path / "compacted")
+    n = sio.compact(frag, out, target_file_mb=512)
+    assert n == 1  # tiny input -> one right-sized file
+    assert len(glob.glob(out + "/part-*.parquet")) == 1
+    assert spark.read.parquet(out).count() == 5000

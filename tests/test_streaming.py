@@ -133,3 +133,39 @@ def test_stream_static_enrichment(spark, events_path):
         assert None in got  # unmatched stream rows kept by the left join
     finally:
         q.stop()
+
+
+def test_maintain_aggregate_exactly_once(spark, events_path, tmp_path):
+    """foreachBatch incremental aggregate: state equals the batch
+    ground truth after one pass, and re-running with the same
+    checkpoint reprocesses nothing (exactly-once, no double counts)."""
+    from pyspark.sql import functions as F
+
+    from mcas_question2_etl_spark.catalog import load_table
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def snapshot():
+        return {
+            r.event_type: (r.n_events, float(r.sum_value))
+            for r in spark.read.parquet(state).collect()
+        }
+
+    sw.maintain_aggregate(sw.stream_events(spark, events_path), state, ckpt)
+    got = snapshot()
+    want = {
+        r.event_type: (r.n_events, float(r.sum_value))
+        for r in load_table(spark, SF_SMALL, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    # second run, same checkpoint: input already processed -> no change
+    sw.maintain_aggregate(sw.stream_events(spark, events_path), state, ckpt)
+    assert snapshot() == want
