@@ -56,6 +56,8 @@ HEADLINE = [
     "gopher_quality_filters",
     "decontaminate_ngram_overlap",
     "tfidf_top_terms",
+    "sorted_neighborhood_pairs",
+    "pii_redaction",
 ]
 
 

@@ -322,3 +322,29 @@ def tfidf_top_terms_sql(k: int = 3) -> str:
           FROM scored)
     WHERE rank <= {k}
     """
+
+
+#: RE2-safe PII patterns (no lookarounds, so the Java and RE2 regex
+#: dialects agree byte-for-byte): emails and NANP-style phone fragments.
+PII_EMAIL_RE = "[A-Za-z0-9._]+@[A-Za-z0-9.]*[A-Za-z]"
+PII_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(col: Column | str, replacement: str = "<PII>") -> Column:
+    """Mask email addresses and phone numbers (C4-style corpus
+    hygiene). One narrow regexp_replace chain — scan-fused, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(c, PII_EMAIL_RE, replacement),
+        PII_PHONE_RE,
+        replacement,
+    )
+
+
+def pii_counts(col: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_phones) match counts for audit reporting."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.regexp_count(c, F.lit(PII_EMAIL_RE)).cast("long"),
+        F.regexp_count(c, F.lit(PII_PHONE_RE)).cast("long"),
+    )

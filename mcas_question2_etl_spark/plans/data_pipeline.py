@@ -704,3 +704,52 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.tfidf_top_terms(docs, k=3)
+
+
+@_spec(
+    "pii_redaction",
+    f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text,
+               '{text.PII_EMAIL_RE}', '<PII>', 'g'),
+               '{text.PII_PHONE_RE}', '<PII>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '{text.PII_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{text.PII_PHONE_RE}')) AS BIGINT)
+             AS n_phones
+    FROM seeded
+    """,
+    "training-data op: PII REDACTION (C4-style corpus hygiene) — mask "
+    "emails/phones with RE2-safe patterns (no lookarounds, so Java "
+    "and RE2 dialects agree byte-for-byte) plus per-doc match counts "
+    "for the removal audit. The corpus has no real PII, so each doc "
+    "is seeded with a deterministic synthetic email+phone derived "
+    "from doc_id — redaction then provably strips what was planted. "
+    "Narrow regexp chain, scan-fused, no shuffle",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    n_emails, n_phones = text.pii_counts("text")
+    return seeded.select(
+        "doc_id",
+        text.redact_pii("text").alias("redacted"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )

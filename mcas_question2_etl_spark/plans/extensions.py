@@ -797,3 +797,68 @@ def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@_spec(
+    "sorted_neighborhood_pairs",
+    """
+    WITH b AS (
+      SELECT c_custkey, c_name, substring(c_name, 1, 15) AS blk
+      FROM customer
+    ),
+    n AS (
+      SELECT c_custkey AS a_key, c_name AS a_name,
+             lead(c_custkey, 1) OVER w AS k1, lead(c_name, 1) OVER w AS n1,
+             lead(c_custkey, 2) OVER w AS k2, lead(c_name, 2) OVER w AS n2,
+             lead(c_custkey, 3) OVER w AS k3, lead(c_name, 3) OVER w AS n3
+      FROM b
+      WINDOW w AS (PARTITION BY blk ORDER BY c_name, c_custkey)
+    ),
+    pairs AS (
+      SELECT a_key, a_name, k1 AS b_key, n1 AS b_name FROM n WHERE n1 IS NOT NULL
+      UNION ALL
+      SELECT a_key, a_name, k2, n2 FROM n WHERE n2 IS NOT NULL
+      UNION ALL
+      SELECT a_key, a_name, k3, n3 FROM n WHERE n3 IS NOT NULL
+    )
+    SELECT a_key, a_name, b_key, b_name,
+           CAST(levenshtein(a_name, b_name) AS BIGINT) AS dist
+    FROM pairs
+    WHERE levenshtein(a_name, b_name) <= 1
+    """,
+    "extension — BLOCKED SORTED-NEIGHBORHOOD entity resolution "
+    "(Hernandez & Stolfo 1995), the scale path the fuzzy_match_names "
+    "kernel documents: records sort WITHIN coarse blocking-key "
+    "partitions and each row compares only to its next w=3 neighbors "
+    "via lead(), so candidate generation is O(n*w) with zero global "
+    "sort and zero cross-partition traffic — the window shuffle is on "
+    "the block key, embarrassingly parallel. Edit-distance verify "
+    "runs only on neighbor pairs",
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    b = cust.select(
+        "c_custkey", "c_name", F.substring("c_name", 1, 15).alias("blk")
+    )
+    w = Window.partitionBy("blk").orderBy("c_name", "c_custkey")
+    cols = []
+    for k in (1, 2, 3):
+        cols += [
+            F.lead("c_custkey", k).over(w).alias(f"k{k}"),
+            F.lead("c_name", k).over(w).alias(f"n{k}"),
+        ]
+    n = b.select(
+        F.col("c_custkey").alias("a_key"), F.col("c_name").alias("a_name"), *cols
+    )
+    pairs = n.select(
+        "a_key",
+        "a_name",
+        F.expr("stack(3, k1, n1, k2, n2, k3, n3) AS (b_key, b_name)"),
+    ).filter(F.col("b_name").isNotNull())
+    return pairs.select(
+        "a_key",
+        "a_name",
+        "b_key",
+        "b_name",
+        F.levenshtein("a_name", "b_name").cast("long").alias("dist"),
+    ).filter(F.col("dist") <= 1)

@@ -92,6 +92,8 @@ _NEW_THIS_ROUND: set[str] = {
     "tfidf_top_terms",
     "window_rank_family",
     "fuzzy_match_names",
+    "sorted_neighborhood_pairs",
+    "pii_redaction",
 }
 
 

@@ -109,9 +109,11 @@ def test_stream_static_enrichment(spark, events_path):
 
     from mcas_question2_etl_spark.catalog import load_table
 
+    # deterministic dim (limit() on an unordered distinct would pick
+    # different rows in the streaming run vs the batch comparison)
     users = (
         load_table(spark, SF_SMALL, "events")
-        .select("user_id").distinct().limit(50)
+        .select("user_id").distinct().filter(F.col("user_id") % 7 == 0)
         .withColumn("segment", F.concat(F.lit("seg-"), F.col("user_id") % 3))
     )
     stream = sw.stream_events(spark, events_path)
