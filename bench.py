@@ -58,6 +58,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "sorted_neighborhood_pairs",
     "pii_redaction",
+    "corpus_prep_full",
 ]
 
 

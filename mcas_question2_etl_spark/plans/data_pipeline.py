@@ -5,9 +5,10 @@ Oracle discipline matches plans/relational.py. Hash-dependent ops use
 md5 (reproducible in any engine) rather than engine-native hashes;
 cosine similarity uses Q20 fixed-point integer arithmetic so values are
 bit-identical across engines (see operators/similarity.py docstring).
-MinHash+LSH is the one rows-only entry: its banded-bucket candidate set
-is defined by pyspark.ml's seeded hash family, which no portable SQL
-reproduces — pytest covers its recall against the exact Jaccard kernel.
+The pyspark.ml MinHash variant (minhash_neardup) has a non-portable
+seeded hash family, so its oracle checks the accuracy CONTRACT
+(candidates verify + recall bound) rather than the candidate set; the
+portable-family variant (minhash_lsh_portable) is fully hash-checked.
 """
 
 from __future__ import annotations
@@ -752,4 +753,137 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.redact_pii("text").alias("redacted"),
         n_emails.alias("n_emails"),
         n_phones.alias("n_phones"),
+    )
+
+
+#: the portable-LSH pair body re-rooted on the gated `eligible` CTE —
+#: same SQL text as _LSH_PAIRS_SQL with only the source relation swapped
+#: (DuckDB permits a nested WITH inside a CTE body, proven by
+#: neardup_cluster_dedup).
+_LSH_PAIRS_OVER_ELIGIBLE = _LSH_PAIRS_SQL.replace(
+    "FROM documents WHERE length(text) >= 3",
+    "FROM eligible WHERE length(text) >= 3",
+)
+
+
+@_spec(
+    "corpus_prep_full",
+    f"""
+    WITH RECURSIVE gq AS ({text.gopher_quality_sql(_STOP_LIST)}),
+    bench AS (
+      SELECT DISTINCT {_GH} AS gh FROM (
+        SELECT unnest({_NG3}) AS g FROM documents WHERE doc_id % 31 = 0
+      )
+    ),
+    hashed AS (
+      SELECT doc_id, {_GH} AS gh FROM (
+        SELECT doc_id, unnest({_NG3}) AS g
+        FROM documents WHERE doc_id % 31 <> 0
+      )
+    ),
+    dec AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN gh IN (SELECT gh FROM bench)
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS overlap_frac
+      FROM hashed GROUP BY doc_id
+    ),
+    eligible AS (
+      SELECT d.doc_id, d.text, d.lang
+      FROM documents d
+      JOIN gq ON gq.doc_id = d.doc_id AND gq.keep
+      JOIN dec ON dec.doc_id = d.doc_id AND dec.overlap_frac < 0.5
+    ),
+    lshp AS ({_LSH_PAIRS_OVER_ELIGIBLE}),
+    edges AS (SELECT a_id, b_id FROM lshp WHERE jaccard >= 0.6),
+    sym AS (SELECT a_id AS src, b_id AS dst FROM edges
+            UNION ALL SELECT b_id, a_id FROM edges),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM eligible
+      UNION
+      SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+             FROM reach GROUP BY node),
+    kept AS (
+      SELECT e.doc_id, e.lang,
+             CASE WHEN {sampling.hash_bucket_sql('e.doc_id')} < 20
+                  THEN 'test' ELSE 'train' END AS split,
+             gq.n_words
+      FROM comp JOIN eligible e ON e.doc_id = comp.doc_id
+      JOIN gq ON gq.doc_id = e.doc_id
+      WHERE comp.doc_id = comp.cluster_id
+    )
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words
+    FROM kept
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+    "training-data op: the FULL modern pretraining-corpus pipeline as "
+    "one oracle-checked lineage — Gopher quality gate -> benchmark "
+    "decontamination (n-gram overlap < 0.5, benchmark slice excluded) "
+    "-> near-dup removal via LSH + connected components (canonical "
+    "doc per cluster) -> stateless hash train/test split -> per-"
+    "(split, lang) accounting. Composes gopher_quality_filters, "
+    "decontaminate_ngram_overlap, neardup_cluster_dedup and "
+    "train_test_split end-to-end; the gates run scan-side BEFORE the "
+    "expensive pair graph, so the LSH/CC stages see only surviving "
+    "docs — the ordering every production pipeline uses because "
+    "filtering is O(scan) and dedup is the superlinear stage",
+)
+def corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    gq = text.gopher_quality_report(docs).select("doc_id", "n_words", "keep")
+    bench = docs.filter(F.col("doc_id") % 31 == 0)
+    corpus = docs.filter(F.col("doc_id") % 31 != 0)
+    dec = decontaminate.decontaminate(corpus, bench, n=3, threshold=0.5)
+    eligible = (
+        docs.select("doc_id", "text", "lang")
+        .join(gq.filter("keep").select("doc_id"), "doc_id", "leftsemi")
+        .join(
+            dec.filter(~F.col("contaminated")).select("doc_id"),
+            "doc_id",
+            "leftsemi",
+        )
+    )
+    lsh_docs = eligible.filter(F.length("text") >= 3)
+    cands = dedup.minhash_lsh_candidates(
+        lsh_docs, id_col="doc_id", text_col="text", n=3, max_bucket=100
+    )
+    shingled = lsh_docs.select(
+        "doc_id", dedup.char_ngrams("text", 3).alias("sh")
+    )
+    a = shingled.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
+    b = shingled.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    edges = (
+        cands.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (inter.cast("double") / (F.size("a_sh") + F.size("b_sh") - inter)).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+    )
+    comp = clustering.connected_components(
+        edges, eligible.select("doc_id"), id_col="doc_id"
+    )
+    kept = (
+        comp.filter(F.col("doc_id") == F.col("cluster_id"))
+        .join(eligible.select("doc_id", "lang"), "doc_id")
+        .join(gq.select("doc_id", "n_words"), "doc_id")
+    )
+    split = sampling.train_test_split(kept, "doc_id", test_pct=20)
+    return (
+        split.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+        )
+        .orderBy("split", "lang")
     )

@@ -94,6 +94,7 @@ _NEW_THIS_ROUND: set[str] = {
     "fuzzy_match_names",
     "sorted_neighborhood_pairs",
     "pii_redaction",
+    "corpus_prep_full",
 }
 
 
