@@ -47,19 +47,25 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan for one catalog table.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it as raw nanos
-    (``nanosAsLong``) and convert to TimestampType by integer division
-    — the same ns->us truncation DuckDB applies, so oracles agree.
+    ``events.ts`` normalizes to session-zone TimestampType whatever the
+    parquet physical type is: TIMESTAMP(NANOS) files (which Spark's
+    vectorized reader rejects) are read as raw nanos (``nanosAsLong``)
+    and truncated ns->us exactly like DuckDB, TIMESTAMP(MICROS
+    isAdjustedToUTC=false) files arrive as TIMESTAMP_NTZ and are cast
+    (identity under the UTC session zone), so oracles agree either way.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):  # nanos-as-long file
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

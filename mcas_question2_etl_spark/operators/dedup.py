@@ -331,3 +331,117 @@ def minhash_neardup_pairs(
             F.col("jaccard_distance"),
         )
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Span-level cross-document duplication report (the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better" shape):
+    a word ``n``-gram occurring in more than one distinct document is a
+    duplicated span; each doc is scored by how much of it is covered by
+    such spans.
+
+    Output per doc: ``n_spans`` (total n-gram positions), ``n_dup_spans``
+    (positions whose n-gram also appears in another doc), ``dup_frac``.
+    Docs shorter than ``n`` tokens have zero spans and dup_frac 0.0.
+
+    Scale shape: spans are md5-hashed at the scan (64-bit prefix), so
+    both shuffles — the distinct-doc count per gram and the join back —
+    move (id, pos, hash) triples, never text. The gram->doc-count table
+    is Zipf-shaped; the groupBy is a partial-agg-friendly countDistinct
+    rewritten as two-level agg by Catalyst. At 100 TB this is the
+    standard 2-shuffle exact-span pipeline; the sampled/bloom variants
+    build on the same gram stream.
+    """
+    toks = F.split(F.col(text_col), " ")
+    gram = F.array_join(F.slice(F.col("__toks"), F.col("pos"), n), " ")
+    grams = (
+        df.select(id_col, toks.alias("__toks"))
+        .select(
+            id_col,
+            "__toks",
+            # sequence(1, 0) would REVERSE (Spark infers step -1), so
+            # short docs need an explicit empty-positions branch
+            F.explode(
+                F.when(
+                    F.size("__toks") >= n,
+                    F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("pos"),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.md5(gram).alias("__gh"),
+        )
+    )
+    dup = (
+        grams.groupBy("__gh")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__gh")
+    )
+    flagged = grams.join(dup, "__gh", "leftsemi")
+    per_doc = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    dup_per_doc = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans")
+    )
+    base = df.select(id_col)
+    return (
+        base.join(per_doc, id_col, "left")
+        .join(dup_per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.when(
+                F.coalesce("n_spans", F.lit(0)) > 0,
+                F.coalesce("n_dup_spans", F.lit(0))
+                / F.col("n_spans").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )
+
+
+def duplicated_spans_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`duplicated_spans` (a full SELECT)."""
+    return f"""
+    WITH t AS (
+      SELECT {id_col}, string_split({text_col}, ' ') AS toks FROM {table}
+    ),
+    g AS (
+      SELECT {id_col}, pos,
+             md5(array_to_string(list_slice(toks, pos, pos + {n} - 1), ' '))
+               AS gh
+      FROM t, LATERAL unnest(generate_series(1, greatest(len(toks) - {n - 1}, 0)))
+             AS u(pos)
+    ),
+    dup AS (
+      SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT {id_col}) >= 2
+    ),
+    per_doc AS (SELECT {id_col}, COUNT(*) AS n_spans FROM g GROUP BY 1),
+    dup_doc AS (
+      SELECT g.{id_col}, COUNT(*) AS n_dup_spans
+      FROM g JOIN dup USING (gh) GROUP BY 1
+    )
+    SELECT t.{id_col},
+           CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(d.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CASE WHEN COALESCE(p.n_spans, 0) > 0
+                THEN COALESCE(d.n_dup_spans, 0) / CAST(p.n_spans AS DOUBLE)
+                ELSE 0.0 END AS dup_frac
+    FROM t
+    LEFT JOIN per_doc p ON p.{id_col} = t.{id_col}
+    LEFT JOIN dup_doc d ON d.{id_col} = t.{id_col}
+    """

@@ -63,3 +63,40 @@ def balanced_sample(
         .filter(F.col("__rn") <= per_class)
         .drop("__rn")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    rates: dict[str, int],
+    default_rate: int = 0,
+) -> DataFrame:
+    """Domain-mixture downsample: keep each row with its domain's
+    per-100 rate (e.g. ``{"en": 100, "fr": 25}`` keeps all English and
+    a quarter of French). Membership is ``hash_bucket(key) < rate`` —
+    deterministic per row, independent of partitioning and engine, and
+    monotone in the rate: raising a domain's rate only ADDS documents,
+    it never swaps the kept set (the property corpus rebuilds rely on;
+    seeded ``sampleBy`` reshuffles membership on every repartition).
+
+    A scan-side filter: no shuffle, no join — the rate table compiles
+    into one CASE expression, so at 100 TB this is free inside the
+    same stage as the parquet scan.
+    """
+    b = hash_bucket(key_col)
+    rate = F.lit(default_rate)
+    for dom, pct in sorted(rates.items()):
+        rate = F.when(F.col(domain_col) == dom, pct).otherwise(rate)
+    return df.filter(b < rate)
+
+
+def mixture_sample_sql(
+    key_col: str, domain_col: str, rates: dict[str, int], default_rate: int = 0
+) -> str:
+    """DuckDB twin of :func:`mixture_sample` (a WHERE predicate)."""
+    whens = " ".join(
+        f"WHEN {domain_col} = '{dom}' THEN {pct}"
+        for dom, pct in sorted(rates.items())
+    )
+    return f"{hash_bucket_sql(key_col)} < (CASE {whens} ELSE {default_rate} END)"

@@ -13,6 +13,8 @@ per the engine charter (documents/embeddings tables, TESTDATA.md).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -348,3 +350,105 @@ def pii_counts(col: Column | str) -> tuple[Column, Column]:
         F.regexp_count(c, F.lit(PII_EMAIL_RE)).cast("long"),
         F.regexp_count(c, F.lit(PII_PHONE_RE)).cast("long"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 retrieval: top-``k`` documents for a bag-of-words query.
+
+    Standard Robertson/Sparck-Jones BM25 with the +1 idf smoothing
+    (idf = ln(1 + (N - df + 0.5)/(df + 0.5)), always positive):
+
+    Scale shape: the term postings are filtered to the query's terms at
+    the scan (``array_contains``-style IN filter before the explode
+    fans out), so the per-(doc, term) tf aggregation shuffles only
+    query-matched tokens — O(matches), not O(corpus tokens). The
+    corpus-level constants (N, avgdl) and the per-term df are tiny and
+    broadcast; the final top-k is a TakeOrdered, never a full sort.
+    Ties break on ``id_col`` so the result is total-ordered and
+    engine-portable.
+    """
+    terms = [t for t in query_terms]
+    toks = tokens(text_col)
+    dl = df.select(
+        F.col(id_col), F.size(toks).alias("__dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("__t"))
+        .filter(F.col("__t").isin(terms))
+        .groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+    )
+    dft = tf.groupBy("__t").agg(F.count(F.lit(1)).cast("double").alias("__df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    norm = F.col("__tf") * (k1 + 1) / (
+        F.col("__tf")
+        + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dft), "__t")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__s", idf * norm)
+        .groupBy(id_col)
+        .agg(
+            F.sum("__s").alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_matched_terms"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def bm25_topk_sql(
+    query_terms: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`bm25_topk`."""
+    terms_in = "('" + "', '".join(query_terms) + "')"
+    return f"""
+    WITH dl AS (
+      SELECT {id_col}, len(string_split({text_col}, ' ')) AS dl FROM {table}
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT {id_col}, t, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM (SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS t
+            FROM {table})
+      WHERE t IN {terms_in}
+      GROUP BY 1, 2
+    ),
+    dft AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+    SELECT tf.{id_col},
+           SUM(ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+               * tf.tf * ({k1} + 1)
+               / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)))
+             AS score,
+           CAST(COUNT(*) AS BIGINT) AS n_matched_terms
+    FROM tf
+    JOIN dft USING (t)
+    JOIN dl ON dl.{id_col} = tf.{id_col}
+    CROSS JOIN stats
+    GROUP BY 1
+    ORDER BY score DESC, tf.{id_col}
+    LIMIT {k}
+    """

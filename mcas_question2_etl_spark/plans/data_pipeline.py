@@ -17,7 +17,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators import clustering, decontaminate, dedup, sampling, similarity, text
+from ..operators import (
+    chunking,
+    clustering,
+    decontaminate,
+    dedup,
+    packing,
+    sampling,
+    similarity,
+    text,
+)
 from ..registry import QuerySpec
 
 SPECS: list[QuerySpec] = []
@@ -887,3 +896,111 @@ def corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+_PACK_SHARD, _PACK_BIN = packing.pack_next_fit_sql(
+    "doc_id", "n_tokens", capacity=512, shards=8
+)
+
+
+@_spec(
+    "sequence_packing_bins",
+    f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    s AS (SELECT doc_id, n_tokens, {_PACK_SHARD} AS shard FROM t),
+    b AS (SELECT shard, doc_id, n_tokens, {_PACK_BIN} AS bin FROM s)
+    SELECT shard, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM b GROUP BY shard, bin ORDER BY shard, bin
+    """,
+    "training-data op: sequence packing — shard-local next-fit assignment "
+    "of docs to fixed token-budget context windows (operators/packing.py); "
+    "deterministic hash shards make the packing engine-portable and "
+    "cluster-width-independent",
+)
+def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    packed = packing.pack_next_fit(
+        docs, "doc_id", "n_tokens", capacity=512, shards=8
+    )
+    return packing.bin_fill_report(packed, "n_tokens").orderBy("shard", "bin")
+
+
+_MIX_RATES = {"en": 100, "de": 50, "es": 25, "fr": 10, "zh": 75}
+
+
+@_spec(
+    "mixture_sample_counts",
+    f"""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE {sampling.mixture_sample_sql('doc_id', 'lang', _MIX_RATES)}
+    GROUP BY lang ORDER BY lang
+    """,
+    "training-data op: domain-mixture sampling "
+    "(operators/sampling.py:mixture_sample) — deterministic per-domain "
+    "hash-rate downsample for corpus mixture construction; monotone in "
+    "the rate so raising a domain's share never reshuffles membership",
+)
+def mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sampling.mixture_sample(docs, "doc_id", "lang", _MIX_RATES)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_spec(
+    "chunk_documents_rag",
+    chunking.chunk_documents_sql(window=32, stride=24)
+    + " ORDER BY doc_id, chunk_id",
+    "training-data op: overlapping token-window chunking "
+    "(operators/chunking.py) — the RAG/long-doc context construction "
+    "primitive; pure scan-stage array expressions, zero shuffle",
+)
+def chunk_documents_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return chunking.chunk_documents(docs, window=32, stride=24).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+@_spec(
+    "duplicated_spans_report",
+    dedup.duplicated_spans_sql(n=5) + " ORDER BY 1",
+    "training-data op: span-level cross-doc duplication (Lee et al. "
+    "exact n-gram span dedup, operators/dedup.py:duplicated_spans) — "
+    "md5-hashed 5-gram spans, 2 shuffles over (id, pos, hash) triples, "
+    "never text",
+)
+def duplicated_spans_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicated_spans(docs, n=5).orderBy("doc_id")
+
+
+_BM25_TERMS = ("vector", "hash", "stream")
+
+
+@_spec(
+    "bm25_topk_retrieval",
+    text.bm25_topk_sql(_BM25_TERMS, k=15),
+    "training-data op: BM25 bag-of-words retrieval "
+    "(operators/text.py:bm25_topk) — postings filtered to query terms "
+    "at the scan, broadcast corpus stats, TakeOrdered top-k",
+)
+def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bm25_topk(docs, _BM25_TERMS, k=15)

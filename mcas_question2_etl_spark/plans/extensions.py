@@ -862,3 +862,91 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b_name",
         F.levenshtein("a_name", "b_name").cast("long").alias("dist"),
     ).filter(F.col("dist") <= 1)
+
+
+@_spec(
+    "snapshot_diff_orders",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 11 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_orderstatus = n.o_orderstatus
+                     AND o.o_totalprice = n.o_totalprice THEN 'unchanged'
+                ELSE 'changed' END AS diff_status
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    ORDER BY o_orderkey
+    """,
+    "lakehouse versioning: keyed snapshot diff (added/removed/changed/"
+    "unchanged) via operators/versioning.py:snapshot_diff — the sides "
+    "are projected to (key, value-hash) before the full-outer join so "
+    "the shuffle moves fixed-width hashes, never row bodies. Extends "
+    "the reference's replace-only versioning "
+    "(school_outcomes_etl.py:149) with an audit primitive",
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.versioning import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new = orders.filter(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    return snapshot_diff(old, new, keys=["o_orderkey"]).orderBy("o_orderkey")
+
+
+@_spec(
+    "scd2_event_type_history",
+    """
+    WITH w AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events
+    ),
+    c AS (SELECT * FROM w WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM c ORDER BY user_id, valid_from
+    """,
+    "lakehouse versioning: SCD type-2 compaction of a changelog into "
+    "validity intervals via operators/versioning.py:scd2_intervals — "
+    "one shuffle on the entity key, both window passes share a single "
+    "sort. History-preserving alternative to the reference's full "
+    "replace (school_outcomes_etl.py:149)",
+)
+def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.versioning import scd2_intervals
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    hist = scd2_intervals(
+        events,
+        keys=["user_id"],
+        order_col="ts",
+        attr_cols=["event_type"],
+        tiebreak="event_id",
+    )
+    return hist.select(
+        "user_id", "event_type", "valid_from", "valid_to", "is_current"
+    ).orderBy("user_id", "valid_from")

@@ -95,6 +95,13 @@ _NEW_THIS_ROUND: set[str] = {
     "sorted_neighborhood_pairs",
     "pii_redaction",
     "corpus_prep_full",
+    "sequence_packing_bins",
+    "snapshot_diff_orders",
+    "scd2_event_type_history",
+    "mixture_sample_counts",
+    "chunk_documents_rag",
+    "duplicated_spans_report",
+    "bm25_topk_retrieval",
 }
 
 

@@ -13,26 +13,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: explicit source schema — streaming file sources require one. ts is
-#: the raw parquet TIMESTAMP(NANOS) physical int64 (see catalog.load_table).
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(spark: SparkSession, path: str) -> T.StructType:
+    """Streaming file sources need an explicit schema; infer it from a
+    one-off batch footer read so NANOS-as-long and MICROS files both
+    work (see catalog.load_table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path).schema
 
 
 def stream_events(spark: SparkSession, path: str) -> DataFrame:
-    """readStream over the events parquet with ns->us ts conversion
-    (same truncation as catalog.load_table's batch path)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """readStream over the events parquet, normalizing ts to
+    TimestampType (same ns->us truncation / NTZ cast as the batch
+    catalog path)."""
+    raw = spark.readStream.schema(_events_schema(spark, path)).parquet(path)
+    if isinstance(raw.schema["ts"].dataType, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(

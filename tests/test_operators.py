@@ -579,3 +579,122 @@ def test_tfidf_top_terms_ranks_distinctive_words(spark):
     assert top[(1, 1)] == ("rare", 3, 1)
     # every doc gets exactly k rows, ranks dense 1..k
     assert sorted(k for k in top) == [(d, r) for d in (1, 2, 3) for r in (1, 2)]
+
+
+def test_pack_next_fit_boundary_starts_new_bin(spark):
+    from mcas_question2_etl_spark.operators.packing import pack_next_fit
+
+    # one shard so the next-fit order is just the key order
+    df = spark.createDataFrame(
+        [(1, 60), (2, 60), (3, 10), (4, 100)], ["k", "toks"]
+    )
+    got = {
+        r.k: r.bin
+        for r in pack_next_fit(df, "k", "toks", capacity=100, shards=1).collect()
+    }
+    # cumsums: 60,120,130,230 -> bin = floor((cum - toks)/100)
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1}
+
+
+def test_snapshot_diff_statuses_and_null_values(spark):
+    from mcas_question2_etl_spark.operators.versioning import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], ["k", "v"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, None), (5, "e")], ["k", "v"]
+    )
+    got = {r.k: r.diff_status for r in snapshot_diff(old, new, ["k"]).collect()}
+    # null==null counts as unchanged (sentinel hash), 4 removed, 5 added
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "unchanged",
+        4: "removed",
+        5: "added",
+    }
+
+
+def test_scd2_intervals_collapses_runs(spark):
+    from mcas_question2_etl_spark.operators.versioning import scd2_intervals
+
+    df = spark.createDataFrame(
+        [(1, 10, 1, "x"), (1, 20, 2, "x"), (1, 30, 3, "y"), (1, 40, 4, "x")],
+        ["k", "t", "seq", "attr"],
+    )
+    rows = (
+        scd2_intervals(df, ["k"], "t", ["attr"], tiebreak="seq")
+        .orderBy("valid_from")
+        .collect()
+    )
+    # run of two 'x' collapses; three intervals x@10->30, y@30->40, x@40->null
+    assert [(r.attr, r.valid_from, r.valid_to, r.is_current) for r in rows] == [
+        ("x", 10, 30, False),
+        ("y", 30, 40, False),
+        ("x", 40, None, True),
+    ]
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from mcas_question2_etl_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    rows = (
+        chunk_documents(df, window=3, stride=2).orderBy("chunk_id").collect()
+    )
+    assert [(r.chunk_id, r.n_chunk_tokens, r.chunk_text) for r in rows] == [
+        (0, 3, "a b c"),
+        (1, 3, "c d e"),
+        (2, 1, "e"),
+    ]
+
+
+def test_mixture_sample_monotone_in_rate(spark):
+    from mcas_question2_etl_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(200)], ["doc_id", "lang"]
+    )
+    lo = {r.doc_id for r in mixture_sample(df, "doc_id", "lang", {"en": 30}).collect()}
+    hi = {r.doc_id for r in mixture_sample(df, "doc_id", "lang", {"en": 60}).collect()}
+    assert lo <= hi and len(lo) > 0 and len(hi) > len(lo)
+    # unlisted domain defaults to rate 0 -> dropped
+    other = spark.createDataFrame([(1, "xx")], ["doc_id", "lang"])
+    assert mixture_sample(other, "doc_id", "lang", {"en": 100}).count() == 0
+
+
+def test_duplicated_spans_flags_shared_ngram_only(spark):
+    from mcas_question2_etl_spark.operators.dedup import duplicated_spans
+
+    shared = "one two three four five"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " tail a"),          # 3 spans, 1 shared with doc 2
+            (2, "prefix " + shared),          # 2 spans, 1 shared with doc 1
+            (3, "totally distinct words here spans nothing shared"),
+            (4, "short"),                     # < n tokens -> 0 spans
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in duplicated_spans(df, n=5).collect()}
+    assert (got[1].n_spans, got[1].n_dup_spans) == (3, 1)
+    assert (got[2].n_spans, got[2].n_dup_spans) == (2, 1)
+    assert got[3].n_dup_spans == 0
+    assert (got[4].n_spans, got[4].dup_frac) == (0, 0.0)
+
+
+def test_bm25_ranks_term_frequency_and_ignores_nonquery(spark):
+    from mcas_question2_etl_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "vector vector vector noise noise"),
+            (2, "vector noise noise noise noise"),
+            (3, "noise noise noise noise noise"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = bm25_topk(df, ["vector"], k=10).collect()
+    assert [r.doc_id for r in rows] == [1, 2]  # doc 3 never matches
+    assert rows[0].score > rows[1].score > 0
