@@ -950,3 +950,123 @@ def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.select(
         "user_id", "event_type", "valid_from", "valid_to", "is_current"
     ).orderBy("user_id", "valid_from")
+
+
+@_spec(
+    "funnel_conversion",
+    """
+    WITH s0 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    s1 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT * FROM (
+      SELECT 0 AS stage_idx, 'view' AS stage,
+             CAST(COUNT(*) AS BIGINT) AS n_users FROM s0
+      UNION ALL
+      SELECT 1, 'view>click', CAST(COUNT(*) AS BIGINT) FROM s1
+      UNION ALL
+      SELECT 2, 'view>click>purchase', CAST(COUNT(*) AS BIGINT) FROM s2
+    ) ORDER BY stage_idx
+    """,
+    "product-analytics extension: ordered funnel conversion (view -> "
+    "click -> purchase, each step strictly after the previous per "
+    "user). Each stage is one min-aggregate (partial-agg friendly) "
+    "plus a key-join of per-user timestamps — the joins move one row "
+    "per user, never raw events, so at 100 TB the funnel costs three "
+    "narrow user-keyed shuffles",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(step: str, prev: DataFrame | None) -> DataFrame:
+        e = ev.filter(F.col("event_type") == step)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col("t")).drop("t")
+        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    s0 = first_after("view", None)
+    s1 = first_after("click", s0)
+    s2 = first_after("purchase", s1)
+    stages = [(0, "view", s0), (1, "view>click", s1), (2, "view>click>purchase", s2)]
+    counts = [
+        s.agg(
+            F.lit(i).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        for i, name, s in stages
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("stage_idx")
+
+
+@_spec(
+    "robust_outliers_iqr",
+    """
+    WITH r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    q AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = 1 + CAST(FLOOR((n - 1) * 0.25) AS BIGINT)
+                      THEN value END) AS q1,
+             MAX(CASE WHEN rn = 1 + CAST(FLOOR((n - 1) * 0.75) AS BIGINT)
+                      THEN value END) AS q3
+      FROM r GROUP BY 1
+    )
+    SELECT r.event_type, q.q1, q.q3,
+           CAST(SUM(CASE WHEN r.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                           OR r.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM r JOIN q ON r.event_type = q.event_type
+    GROUP BY 1, 2, 3 ORDER BY 1
+    """,
+    "robust-statistics extension: per-group IQR outlier detection with "
+    "index-picked quartiles (element at floor((n-1)*q) in the total "
+    "order — no float interpolation, so the quartiles are bit-identical "
+    "on any engine). One shuffle for the per-group sort; the quartile "
+    "table is tiny and broadcast back onto the rows",
+)
+def robust_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "ts", "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "ts", "event_id")
+    wc = Window.partitionBy("event_type")
+    r = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    q1_idx = 1 + F.floor((F.col("n") - 1) * 0.25)
+    q3_idx = 1 + F.floor((F.col("n") - 1) * 0.75)
+    q = r.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == q1_idx, F.col("value"))).alias("q1"),
+        F.max(F.when(F.col("rn") == q3_idx, F.col("value"))).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out = (
+        r.join(F.broadcast(q), "event_type")
+        .withColumn(
+            "__is_out",
+            (F.col("value") < F.col("q1") - 1.5 * iqr)
+            | (F.col("value") > F.col("q3") + 1.5 * iqr),
+        )
+        .groupBy("event_type", "q1", "q3")
+        .agg(F.sum(F.col("__is_out").cast("int")).cast("long").alias("n_outliers"))
+    )
+    return out.orderBy("event_type")

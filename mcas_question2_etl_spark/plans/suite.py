@@ -102,6 +102,8 @@ _NEW_THIS_ROUND: set[str] = {
     "chunk_documents_rag",
     "duplicated_spans_report",
     "bm25_topk_retrieval",
+    "funnel_conversion",
+    "robust_outliers_iqr",
 }
 
 

@@ -249,3 +249,106 @@ def maintain_aggregate(
     )
     q.awaitTermination(timeout_sec)
     return q
+
+
+def stream_stream_click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the clicks
+    that preceded it within ``attribution_window`` for the same user.
+
+    Both sides carry watermarks and the join condition time-bounds the
+    match in BOTH directions, so Spark can expire buffered rows: a
+    click older than watermark + window and a purchase older than the
+    watermark are evicted from the state store. Without the time bound
+    a stream-stream join would buffer both streams forever — the state
+    size here is O(events per window horizon), which is what makes the
+    join viable on an unbounded 100 TB/day stream. Output is append
+    mode (matches emit once both sides' watermarks pass).
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {attribution_window}")
+        )
+    )
+    return c.join(p, cond, "inner").select(
+        F.col("c_user_id").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
+def user_running_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running (event-count, max-value) via ``transformWithState``
+    — Spark 4's arbitrary-state API (successor to
+    ``applyInPandasWithState``, cf. user_cumulative_value above): typed
+    ValueState survives across micro-batches in the state store, and the
+    operator emits one updated row per user per batch.
+
+    The aggregates are order-independent (count and max), so the
+    emitted values are deterministic under any partitioning/batch
+    split — which is what the exactly-once test asserts. State is one
+    fixed-width row per user: O(users), the minimal stateful footprint.
+
+    Env gate: transformWithState's Python driver worker imports
+    google.protobuf, which this container ships broken, so the test
+    skips here (run it on a normal cluster image); the
+    applyInPandasWithState twin above is the in-container-verified
+    custom-stateful path.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("mx", T.DoubleType()),
+        ]
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mx = 0, float("-inf")
+            if self._state.exists():
+                n, mx = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    mx = max(mx, float(pdf["value"].max()))
+            self._state.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.select("user_id", "value").groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotals(),
+        outputStructType="user_id long, n_events long, max_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -171,3 +171,84 @@ def test_maintain_aggregate_exactly_once(spark, events_path, tmp_path):
     # second run, same checkpoint: input already processed -> no change
     sw.maintain_aggregate(sw.stream_events(spark, events_path), state, ckpt)
     assert snapshot() == want
+
+
+def test_stream_stream_join_matches_batch(spark, events_path):
+    """The streaming click->purchase attribution join must produce
+    exactly the rows the same interval-join predicate yields in batch."""
+    from pyspark.sql import functions as F
+
+    stream = sw.stream_events(spark, events_path)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    joined = sw.stream_stream_click_purchase_join(clicks, purchases)
+    q = sw.run_available_now(joined, "ss_join_test")
+    try:
+        got = {
+            (r.click_id, r.purchase_id)
+            for r in spark.table("ss_join_test").collect()
+        }
+    finally:
+        q.stop()
+
+    from mcas_question2_etl_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 10 minutes")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_transform_with_state_running_totals(spark, events_path):
+    """transformWithState per-user totals must equal the batch
+    count/max aggregates after the final micro-batch (Update mode: the
+    memory sink keeps every emitted row; the LAST row per user is the
+    final state)."""
+    from pyspark.sql import functions as F
+
+    stream = sw.stream_events(spark, events_path)
+    try:
+        q = sw.run_available_now(
+            sw.user_running_totals_tws(stream), "tws_totals_test"
+        )
+    except Exception as e:  # pragma: no cover - env-dependent API gate
+        import pytest as _pytest
+
+        _pytest.skip(f"transformWithStateInPandas unavailable: {e}")
+    try:
+        rows = spark.table("tws_totals_test").collect()
+    finally:
+        q.stop()
+    final = {}
+    for r in rows:  # memory sink appends per batch; later rows win
+        final[r.user_id] = (r.n_events, r.max_value)
+
+    from mcas_question2_etl_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    want = {
+        r.user_id: (r.n, r.mx)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.max("value").alias("mx")
+        )
+        .collect()
+    }
+    assert final == want and len(want) > 0
