@@ -59,6 +59,17 @@ HEADLINE = [
     "sorted_neighborhood_pairs",
     "pii_redaction",
     "corpus_prep_full",
+    # round 2, wave 2: corpus-construction + analytics ops added after
+    # the first r2 bench refresh — appended, never reordered
+    "sequence_packing_bins",
+    "duplicated_spans_report",
+    "bm25_topk_retrieval",
+    "chunk_documents_rag",
+    "snapshot_diff_orders",
+    "scd2_event_type_history",
+    "funnel_conversion",
+    "robust_outliers_iqr",
+    "kmeans_cluster_stats",
 ]
 
 

@@ -383,17 +383,23 @@ def duplicated_spans(
         grams.groupBy("__gh")
         .agg(F.count_distinct(id_col).alias("__nd"))
         .filter(F.col("__nd") >= 2)
-        .select("__gh")
+        .select("__gh", F.lit(1).alias("__isdup"))
     )
-    flagged = grams.join(dup, "__gh", "leftsemi")
-    per_doc = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
-    dup_per_doc = flagged.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_dup_spans")
+    # one doc-keyed aggregation for BOTH counts: mark each gram via a
+    # left join against the dup set, then count + conditional-sum in a
+    # single pass (two doc-keyed groupBys would shuffle the gram
+    # stream twice)
+    per_doc = (
+        grams.join(dup, "__gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce("__isdup", F.lit(0))).alias("n_dup_spans"),
+        )
     )
     base = df.select(id_col)
     return (
         base.join(per_doc, id_col, "left")
-        .join(dup_per_doc, id_col, "left")
         .select(
             id_col,
             F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),

@@ -1,0 +1,164 @@
+"""Deterministic k-means (Lloyd's algorithm, fixed iteration count)
+over Q20 fixed-point embeddings — the codebook-training counterpart to
+the IVF serving path in operators/similarity.py (whose centroids are a
+documented stand-in; this operator trains real ones).
+
+Why fixed-point: centroid updates are MEANS, and float sums are
+partition-order-dependent on a cluster — the classic source of
+run-to-run drift in distributed k-means. Quantizing to Q20 integers
+(similarity.py convention) makes every sum exact and associative, and
+the per-dimension mean ``floor(sum / count)`` is one IEEE double
+division + floor — bit-identical on any engine and any partitioning.
+That determinism is what lets a training job checkpoint/resume a
+codebook without cluster-assignment churn, and what makes this
+operator oracle-checkable in plain SQL.
+
+Scale shape per iteration: assignment is a broadcast of the k-row
+centroid array folded into ONE narrow expression (array_min over
+struct(dist, cid) — no explode, no shuffle of the embedding table,
+same trick as similarity.py ivf_topk); the update is a posexplode to
+(cid, dim) rows aggregated per (cid, dim) — a single shuffle of
+k*dim-bounded partial sums thanks to map-side combine. Iterations are
+a driver-side Python loop over DataFrame transforms: the LOGICAL plan
+grows by one assignment+update per iteration, but each round's work is
+fully distributed (cf. clustering.py's pointer-jumping loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import quantize, quantize_sql
+
+
+def _dist_str(a: str, b: str) -> str:
+    """Spark-SQL squared-L2 distance between two Q20 bigint arrays."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+
+
+def _dist_sql(a: str, b: str) -> str:
+    """DuckDB twin of :func:`_dist_str`."""
+    return (
+        f"CAST(list_sum([(x[1] - x[2]) * (x[1] - x[2]) "
+        f"for x in list_zip({a}, {b})]) AS BIGINT)"
+    )
+
+
+def kmeans_cluster_stats(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``iters`` Lloyd iterations from the deterministic seed
+    (vectors with ``id_col < k``) and return per-cluster stats:
+    ``cid``, ``n_members``, ``inertia`` (exact integer sum of squared
+    Q20 distances to the final centroid). A cluster that loses all its
+    members drops out (consistently on every engine)."""
+    pts = emb.select(F.col(id_col).alias("vid"), quantize(vec_col).alias("v"))
+    cents = pts.filter(F.col("vid") < k).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv")
+    )
+
+    def assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
+        carr = F.broadcast(
+            centroids.groupBy().agg(
+                F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias(
+                    "cents"
+                )
+            )
+        )
+        # argmin as one narrow expression: struct ordering picks the
+        # smallest (dist, cid) — ties to the lowest cid
+        amin = F.expr(
+            "array_min(transform(cents, c -> "
+            f"struct({_dist_str('v', 'c.cv')} AS dist, c.cid AS cid)))"
+        )
+        return points.crossJoin(carr).select(
+            "vid", "v", amin["dist"].alias("dist"), amin["cid"].alias("cid")
+        )
+
+    for _ in range(iters):
+        assigned = assign(pts, cents)
+        dims = assigned.select(
+            "cid", F.posexplode("v").alias("d0", "x")
+        ).select("cid", (F.col("d0") + 1).alias("d"), "x")
+        per_dim = dims.groupBy("cid", "d").agg(
+            F.floor(
+                F.sum("x").cast("double") / F.count(F.lit(1))
+            )
+            .cast("bigint")
+            .alias("val")
+        )
+        cents = per_dim.groupBy("cid").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(d, val))), s -> s.val)"
+            ).alias("cv")
+        )
+    final = assign(pts, cents)
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("dist").alias("inertia"),
+        )
+        .orderBy("cid")
+    )
+
+
+def kmeans_cluster_stats_sql(
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`kmeans_cluster_stats`: the Lloyd loop
+    unrolled into one CTE pair (assign, update) per iteration."""
+    parts = [
+        f"WITH pts AS (SELECT {id_col} AS vid, {quantize_sql(vec_col)} AS v"
+        f" FROM {table}),",
+        f"c0 AS (SELECT vid AS cid, v AS cv FROM pts WHERE vid < {k})",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        dist = _dist_sql("p.v", "c.cv")
+        parts.append(
+            f""",
+    a{i} AS (
+      SELECT vid, v, cid FROM (
+        SELECT p.vid, p.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY p.vid
+                                  ORDER BY {dist}, c.cid) AS rn
+        FROM pts p CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ),
+    d{i} AS (
+      SELECT cid, u.d,
+             CAST(FLOOR(CAST(SUM(v[u.d]) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS val
+      FROM a{i}, LATERAL unnest(generate_series(1, len(v))) AS u(d)
+      GROUP BY cid, u.d
+    ),
+    c{i} AS (SELECT cid, list(val ORDER BY d) AS cv FROM d{i} GROUP BY cid)"""
+        )
+        prev = f"c{i}"
+    dist = _dist_sql("p.v", "c.cv")
+    parts.append(
+        f"""
+    SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(dist) AS BIGINT) AS inertia
+    FROM (
+      SELECT p.vid, c.cid, {dist} AS dist,
+             ROW_NUMBER() OVER (PARTITION BY p.vid
+                                ORDER BY {dist}, c.cid) AS rn
+      FROM pts p CROSS JOIN {prev} c
+    ) WHERE rn = 1
+    GROUP BY cid ORDER BY cid"""
+    )
+    return "\n".join(parts)

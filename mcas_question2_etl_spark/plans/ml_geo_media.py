@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators import kmeans as _kmeans
 from ..registry import QuerySpec
 
 SPECS: list[QuerySpec] = []
@@ -292,3 +293,17 @@ def glm_tidy_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term string, estimate double, std_error double, statistic double, "
         "odds_ratio double, conf_low double, conf_high double",
     )
+
+
+@_spec(
+    "kmeans_cluster_stats",
+    _kmeans.kmeans_cluster_stats_sql(k=8, iters=2),
+    "ML extension: deterministic k-means codebook training (Lloyd, 2 "
+    "fixed iterations, Q20 integer arithmetic — operators/kmeans.py). "
+    "Trains the centroids the IVF ANN serving path consumes; exact "
+    "integer sums make the result partition-order-independent and "
+    "fully oracle-checkable, unlike float-mean k-means",
+)
+def kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _kmeans.kmeans_cluster_stats(emb, k=8, iters=2)

@@ -104,6 +104,7 @@ _NEW_THIS_ROUND: set[str] = {
     "bm25_topk_retrieval",
     "funnel_conversion",
     "robust_outliers_iqr",
+    "kmeans_cluster_stats",
 }
 
 

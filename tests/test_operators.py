@@ -698,3 +698,20 @@ def test_bm25_ranks_term_frequency_and_ignores_nonquery(spark):
     rows = bm25_topk(df, ["vector"], k=10).collect()
     assert [r.doc_id for r in rows] == [1, 2]  # doc 3 never matches
     assert rows[0].score > rows[1].score > 0
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    from mcas_question2_etl_spark.operators.kmeans import kmeans_cluster_stats
+
+    # two tight blobs around (0.4, 0.4) and (-0.4, -0.4); seeds are
+    # vec_id 0 (blob A) and vec_id 1 (blob B)
+    data = [
+        (0, [0.40, 0.41]), (2, [0.39, 0.42]), (3, [0.41, 0.40]),
+        (1, [-0.40, -0.41]), (4, [-0.39, -0.42]), (5, [-0.41, -0.40]),
+    ]
+    df = spark.createDataFrame(data, ["vec_id", "embedding"])
+    rows = kmeans_cluster_stats(df, k=2, iters=2).collect()
+    got = {r.cid: r.n_members for r in rows}
+    assert got == {0: 3, 1: 3}
+    # inertia is tiny for tight blobs: well under one Q20 unit squared
+    assert all(r.inertia < (1 << 40) for r in rows)
