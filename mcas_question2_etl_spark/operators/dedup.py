@@ -271,6 +271,12 @@ def minhash_lsh_candidates(
             .filter(F.col("__bn") <= max_bucket)
             .drop("__bn")
         )
+    # both sides of the bucket self-join descend from bands, and bands
+    # descends from the md5-per-shingle signature — without
+    # materialization the whole hashing stage runs twice (once per
+    # side). The banded rows are 3 fixed-width columns, tiny relative
+    # to the hash work that produces them.
+    bands = bands.persist()
     a = bands.select(
         F.col(id_col).alias("a_id"), "band_idx", "band_key"
     )

@@ -100,3 +100,50 @@ def mixture_sample_sql(
         for dom, pct in sorted(rates.items())
     )
     return f"{hash_bucket_sql(key_col)} < (CASE {whens} ELSE {default_rate} END)"
+
+
+#: 15 hex digits = 60 bits, so the uniform-draw divisor is an exact
+#: power of two and the division is rounding-free
+_U_DIV = float(1 << 60)
+
+
+def weighted_sample_topk(
+    df: DataFrame, key_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    exponential-keys): draw ``k`` rows with probability proportional to
+    ``weight_col``, deterministically.
+
+    Each row gets a pseudo-uniform u in (0, 1] from the md5 of its key
+    (never from RNG state), an exponential key -ln(u)/w, and the k
+    SMALLEST keys win — the classic distributed weighted reservoir,
+    here as one TakeOrdered: no shuffle of the table, no driver-side
+    reservoir, reproducible on any engine/partitioning. Rows with
+    non-positive weight are excluded.
+    """
+    h = (
+        f"cast(conv(substring(md5(cast({key_col} as string)), 1, 15), 16, 10)"
+        f" as bigint)"
+    )
+    u = f"(({h}) + 1) / {_U_DIV}"
+    ekey = F.expr(f"-ln({u}) / {weight_col}")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("sample_key", ekey)
+        .orderBy(F.col("sample_key").asc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
+def weighted_sample_topk_sql(
+    key_col: str, weight_col: str, k: int, table: str, cols: str
+) -> str:
+    """DuckDB twin of :func:`weighted_sample_topk`."""
+    h = f"CAST(('0x' || substring(md5(CAST({key_col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    u = f"(({h}) + 1) / {_U_DIV}"
+    return f"""
+    SELECT {cols}, -ln({u}) / {weight_col} AS sample_key
+    FROM {table} WHERE {weight_col} > 0
+    ORDER BY sample_key ASC, {key_col} ASC
+    LIMIT {k}
+    """

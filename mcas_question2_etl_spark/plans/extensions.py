@@ -1070,3 +1070,71 @@ def robust_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("__is_out").cast("int")).cast("long").alias("n_outliers"))
     )
     return out.orderBy("event_type")
+
+
+@_spec(
+    "scd2_point_in_time_join",
+    """
+    WITH ch AS (
+      SELECT user_id, ts, event_id,
+             CAST(FLOOR(value / 100) AS BIGINT) AS state
+      FROM events WHERE event_type = 'signup'
+    ),
+    w AS (
+      SELECT user_id, ts, state,
+             lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM ch
+    ),
+    dim AS (
+      SELECT user_id, ts AS valid_from, state FROM w
+      WHERE prev IS NULL OR prev <> state
+    ),
+    f AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, f.ts AS purchase_ts, d.state, d.valid_from
+    FROM f ASOF LEFT JOIN dim d
+      ON f.user_id = d.user_id AND f.ts >= d.valid_from
+    ORDER BY f.event_id
+    """,
+    "lakehouse versioning: point-in-time (temporal) join — each "
+    "purchase looks up the signup-derived SCD2 state valid AT its "
+    "timestamp. Composes versioning.scd2_intervals with the asof "
+    "union+window operator, so the dimension lookup is one shuffle "
+    "with no range-join candidate explosion (DuckDB mirrors it with "
+    "native ASOF JOIN — an independent algorithm)",
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+    from ..operators.versioning import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    ch = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") / 100).cast("long").alias("state"),
+    )
+    dim = scd2_intervals(
+        ch, keys=["user_id"], order_col="ts", attr_cols=["state"],
+        tiebreak="event_id",
+    ).select("user_id", "valid_from", "state")
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    j = asof_join(
+        facts,
+        dim,
+        on="user_id",
+        left_time="ts",
+        right_time="valid_from",
+        right_cols=["state", "valid_from"],
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "state",
+        "valid_from",
+    ).orderBy("event_id")

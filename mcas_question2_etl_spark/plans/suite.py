@@ -105,6 +105,8 @@ _NEW_THIS_ROUND: set[str] = {
     "funnel_conversion",
     "robust_outliers_iqr",
     "kmeans_cluster_stats",
+    "scd2_point_in_time_join",
+    "weighted_sample_docs",
 }
 
 

@@ -715,3 +715,18 @@ def test_kmeans_separates_obvious_clusters(spark):
     assert got == {0: 3, 1: 3}
     # inertia is tiny for tight blobs: well under one Q20 unit squared
     assert all(r.inertia < (1 << 40) for r in rows)
+
+
+def test_weighted_sample_biased_to_heavy_rows(spark):
+    from mcas_question2_etl_spark.operators.sampling import weighted_sample_topk
+
+    # 5 heavy rows (weight 10000) vs 95 light rows (weight 1): the
+    # heavy rows all but surely win the top-5 draw; zero weights never
+    # appear; the draw is deterministic across reruns
+    rows = [(i, 10000 if i < 5 else 1) for i in range(100)] + [(100, 0)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got1 = [r.doc_id for r in weighted_sample_topk(df, "doc_id", "w", 5).collect()]
+    got2 = [r.doc_id for r in weighted_sample_topk(df, "doc_id", "w", 5).collect()]
+    assert got1 == got2
+    assert 100 not in got1
+    assert len(set(got1) & {0, 1, 2, 3, 4}) >= 4
