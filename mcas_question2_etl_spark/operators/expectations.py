@@ -81,3 +81,62 @@ def quality_report(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     return wide.select(F.explode(pairs).alias("r")).select(
         "r.check", "r.observed", "r.passed"
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Column-profile report — the first thing a data engineer runs on
+    an unknown table: per column ``n_nulls``, ``n_distinct``, and the
+    string-rendered ``min_value`` / ``max_value``.
+
+    Same one-pass shape as :func:`quality_report`: ALL per-column
+    aggregates ride a single Aggregate (one scan, partial aggregation
+    map-side), then pivot to one row per column with an explode of a
+    literal struct array — no per-column scans, no driver loop. At
+    100 TB profiling costs exactly one pass over the table.
+    """
+    if cols is None:
+        cols = list(df.columns)
+    wide = df.agg(
+        *[
+            a
+            for c in cols
+            for a in (
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__n_{c}"),
+                F.count_distinct(F.col(c)).alias(f"__d_{c}"),
+                F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+            )
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__n_{c}").alias("n_nulls"),
+                F.col(f"__d_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_value"),
+                F.col(f"__mx_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select(
+        "r.column", "r.n_nulls", "r.n_distinct", "r.min_value", "r.max_value"
+    )
+
+
+def profile_columns_sql(table: str, cols: list[str]) -> str:
+    """DuckDB twin of :func:`profile_columns` (UNION ALL per column —
+    the oracle need not be one-pass, only value-identical)."""
+    selects = [
+        f"""
+    SELECT '{c}' AS "column",
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_value,
+           CAST(MAX({c}) AS VARCHAR) AS max_value
+    FROM {table}"""
+        for c in cols
+    ]
+    return " UNION ALL ".join(selects)

@@ -452,3 +452,63 @@ def bm25_topk_sql(
     ORDER BY score DESC, tf.{id_col}
     LIMIT {k}
     """
+
+
+def unigram_logprob_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Language-model quality proxy: per-doc mean unigram negative
+    log-probability under the corpus's own empirical distribution —
+    the CCNet-style "perplexity filter" shape with the corpus itself
+    standing in for the external LM (plug a real KenLM table into the
+    same join at production time).
+
+    A doc of common words scores low (fluent/boilerplate); rare-token
+    soup scores high. Filtering the extreme tails of this score is the
+    classic second-stage quality gate after rule-based Gopher filters.
+
+    Scale shape: the unigram table is one groupBy over tokens whose
+    size is the VOCABULARY (tiny; Zipf), so it broadcasts; the per-doc
+    score is then a scan-side explode + broadcast-join + one doc-keyed
+    aggregation. Nothing wide ever shuffles except (id, token-logp)
+    pairs.
+    """
+    toks = tokens(text_col)
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("__t"))
+    total = exploded.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    uni = exploded.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    return (
+        exploded.join(F.broadcast(uni), "__t")
+        .crossJoin(F.broadcast(total))
+        .withColumn("__nll", -F.log(F.col("__c") / F.col("__n")))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("__nll").alias("sum_nll"),
+            (F.sum("__nll") / F.count(F.lit(1))).alias("mean_nll"),
+        )
+    )
+
+
+def unigram_logprob_quality_sql(
+    id_col: str = "doc_id", text_col: str = "text", table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`unigram_logprob_quality`."""
+    return f"""
+    WITH e AS (
+      SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS t
+      FROM {table}
+    ),
+    total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+    uni AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS c FROM e GROUP BY t)
+    SELECT e.{id_col},
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           SUM(-ln(uni.c / total.n)) AS sum_nll,
+           SUM(-ln(uni.c / total.n)) / COUNT(*) AS mean_nll
+    FROM e JOIN uni USING (t) CROSS JOIN total
+    GROUP BY e.{id_col}
+    """

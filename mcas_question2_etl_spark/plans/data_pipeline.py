@@ -27,6 +27,7 @@ from ..operators import (
     similarity,
     text,
 )
+from ..operators import expectations as _X
 from ..registry import QuerySpec
 
 SPECS: list[QuerySpec] = []
@@ -1030,3 +1031,36 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars"
     )
     return sampling.weighted_sample_topk(docs, "doc_id", "n_chars", k=25)
+
+
+@_spec(
+    "unigram_logprob_quality",
+    text.unigram_logprob_quality_sql(),
+    "training-data op: LM quality proxy — per-doc mean unigram "
+    "negative log-prob under the corpus's empirical distribution "
+    "(operators/text.py:unigram_logprob_quality), the CCNet-style "
+    "perplexity-filter shape with the corpus standing in for KenLM. "
+    "Vocabulary table broadcasts (Zipf-tiny); only (id, logp) pairs "
+    "shuffle",
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.unigram_logprob_quality(docs)
+
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@_spec(
+    "profile_documents_table",
+    _X.profile_columns_sql("documents", _PROFILE_COLS) + " ORDER BY 1",
+    "data-quality extension: one-pass column profiling "
+    "(operators/expectations.py:profile_columns) — per-column nulls / "
+    "distincts / min / max in a single Aggregate over one scan; the "
+    "first query run on any unknown 100 TB table",
+)
+def profile_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import expectations as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    return X.profile_columns(docs, _PROFILE_COLS).orderBy("column")

@@ -1138,3 +1138,48 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "state",
         "valid_from",
     ).orderBy("event_id")
+
+
+@_spec(
+    "event_transition_matrix",
+    """
+    WITH w AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT prev AS from_type, event_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY prev) AS DOUBLE)
+             AS p_transition
+    FROM w WHERE prev IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "product-analytics extension: first-order Markov transition matrix "
+    "over per-user event sequences — lag per user (one key-partitioned "
+    "sort), then a tiny (types x types) aggregation whose row-"
+    "normalization is a window over the aggregate, not the events",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy(
+            F.col("prev").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wrow = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(wrow).cast("double")
+        ).alias("p_transition"),
+    ).orderBy("from_type", "to_type")

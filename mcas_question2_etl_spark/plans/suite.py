@@ -107,6 +107,9 @@ _NEW_THIS_ROUND: set[str] = {
     "kmeans_cluster_stats",
     "scd2_point_in_time_join",
     "weighted_sample_docs",
+    "unigram_logprob_quality",
+    "profile_documents_table",
+    "event_transition_matrix",
 }
 
 
