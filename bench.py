@@ -70,6 +70,11 @@ HEADLINE = [
     "funnel_conversion",
     "robust_outliers_iqr",
     "kmeans_cluster_stats",
+    # round 2, wave 3: sketch family completion (exact bitmap distinct,
+    # theta set algebra, KLL mergeable quantiles) — appended as always
+    "bitmap_distinct_rollup",
+    "theta_overlap_segments",
+    "kll_quantiles_accuracy",
 ]
 
 

@@ -106,3 +106,145 @@ def heavy_hitters(df: DataFrame, col: str, support: float = 0.01) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") > support * total)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact mergeable distinct: RoaringBitmap-style bitmap aggregates
+# ---------------------------------------------------------------------------
+
+def bitmap_distinct_table(
+    df: DataFrame, fine_keys: Sequence[str], col: str
+) -> DataFrame:
+    """Materialize an EXACT mergeable distinct-count structure per fine
+    key: one fixed-width bitmap per (fine_keys, bucket) where ``bucket``
+    partitions the integer id space into 32768-bit chunks
+    (``bitmap_bucket_number``). Unlike HLL this is exact at any scale —
+    the classic ClickHouse/Druid "bitmap index" pattern — at the cost of
+    memory proportional to the id-space density, which is why it's
+    reserved for integer surrogate keys.
+
+    One shuffle on (fine_keys, bucket); map-side partial
+    ``bitmap_construct_agg`` means raw ids collapse to set bits before
+    crossing the wire.
+    """
+    return df.groupBy(
+        *fine_keys, F.bitmap_bucket_number(F.col(col)).alias("bucket")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position(F.col(col))).alias(
+            "bitmap"
+        )
+    )
+
+
+def bitmap_rollup(
+    bitmaps: DataFrame,
+    coarse_keys: Sequence[str],
+    bitmap_col: str = "bitmap",
+) -> DataFrame:
+    """EXACT distinct-count rollup from a `bitmap_distinct_table`:
+    bitwise-OR the per-bucket bitmaps up to ``coarse_keys``, count set
+    bits per bucket, sum across buckets. Buckets never overlap (each id
+    maps to exactly one bucket), so the sum is exact — union semantics
+    with no estimation error, no raw-key rescan.
+    """
+    per_bucket = bitmaps.groupBy(*coarse_keys, "bucket").agg(
+        F.bitmap_count(F.bitmap_or_agg(F.col(bitmap_col))).alias("__cnt")
+    )
+    return per_bucket.groupBy(*coarse_keys).agg(
+        F.sum("__cnt").cast("bigint").alias("exact_distinct")
+    )
+
+
+def bitmap_distinct(
+    df: DataFrame, group_keys: Sequence[str], col: str
+) -> DataFrame:
+    """One-shot exact distinct via the bitmap path (build + rollup)."""
+    return bitmap_rollup(
+        bitmap_distinct_table(df, group_keys, col), group_keys
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theta sketches: mergeable distinct with SET ALGEBRA (union/intersect/diff)
+# ---------------------------------------------------------------------------
+
+def theta_segment_overlap(
+    df: DataFrame,
+    seg_col: str,
+    id_col: str,
+    seg_a: str,
+    seg_b: str,
+    lg_k: int = 14,
+) -> DataFrame:
+    """Audience-overlap via DataSketches Theta: how many distinct ids
+    appear in segment A, in B, in both, in either. HLL can only union;
+    Theta supports intersection/difference — the reason ad-tech OLAP
+    (Druid) standardized on it. One scan, two map-side sketch builds,
+    one single-row combine; raw ids never shuffle.
+
+    Output: one row (seg_a, seg_b, est_a, est_b, est_union,
+    est_intersect) of DOUBLE estimates (theta estimates are fractional
+    once the sketch passes its exact-mode threshold).
+    """
+    both = df.filter(F.col(seg_col).isin([seg_a, seg_b]))
+    sketches = both.groupBy().agg(
+        F.theta_sketch_agg(
+            F.when(F.col(seg_col) == seg_a, F.col(id_col)), F.lit(lg_k)
+        ).alias("sk_a"),
+        F.theta_sketch_agg(
+            F.when(F.col(seg_col) == seg_b, F.col(id_col)), F.lit(lg_k)
+        ).alias("sk_b"),
+    )
+    return sketches.select(
+        F.lit(seg_a).alias("seg_a"),
+        F.lit(seg_b).alias("seg_b"),
+        F.theta_sketch_estimate("sk_a").alias("est_a"),
+        F.theta_sketch_estimate("sk_b").alias("est_b"),
+        F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b")).alias(
+            "est_union"
+        ),
+        F.theta_sketch_estimate(
+            F.theta_intersection("sk_a", "sk_b")
+        ).alias("est_intersect"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketches: mergeable quantiles with a proven error bound
+# ---------------------------------------------------------------------------
+
+def kll_quantile_table(
+    df: DataFrame, fine_keys: Sequence[str], col: str, k: int = 200
+) -> DataFrame:
+    """Materialize a mergeable KLL(k) sketch of DOUBLE ``col`` per fine
+    key — the quantile twin of `hll_sketch_table`: persist once, answer
+    any quantile at any coarser grouping later via `kll_quantile_rollup`
+    without rescanning. k=200 gives ~1.65% rank error (normalized,
+    one-sided) per the DataSketches bound.
+    """
+    return df.groupBy(*fine_keys).agg(
+        F.kll_sketch_agg_double(F.col(col), F.lit(k)).alias("kll_sketch")
+    )
+
+
+def kll_quantile_rollup(
+    sketches: DataFrame,
+    coarse_keys: Sequence[str],
+    quantiles: Sequence[float],
+    sketch_col: str = "kll_sketch",
+) -> DataFrame:
+    """Merge KLL sketches to ``coarse_keys`` and evaluate ``quantiles``.
+    Output: coarse_keys + one ``q_<pct>`` DOUBLE column per quantile.
+    Rank error of the merged sketch matches a direct build at the same
+    k, so the accuracy contract survives the rollup.
+    """
+    merged = sketches.groupBy(*coarse_keys).agg(
+        F.kll_merge_agg_double(F.col(sketch_col)).alias("__sk")
+    )
+    cols = [
+        F.kll_sketch_get_quantile_double(F.col("__sk"), F.lit(q)).alias(
+            f"q_{int(round(q * 100)):02d}"
+        )
+        for q in quantiles
+    ]
+    return merged.select(*coarse_keys, *cols)

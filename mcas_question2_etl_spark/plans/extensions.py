@@ -1183,3 +1183,133 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(wrow).cast("double")
         ).alias("p_transition"),
     ).orderBy("from_type", "to_type")
+
+
+@_spec(
+    "bitmap_distinct_rollup",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "extension — EXACT mergeable distinct via bitmap aggregates "
+    "(bitmap_construct_agg / bitmap_or_agg, the ClickHouse/Druid "
+    "bitmap-index pattern): per-(event_type, day) bitmaps OR-merged up "
+    "to event_type. Unlike the HLL specs this rollup is exact, so the "
+    "oracle compares values directly, not an accuracy contract",
+)
+def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import bitmap_distinct_table, bitmap_rollup
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    fine = bitmap_distinct_table(ev, ["event_type", "day"], "user_id")
+    return bitmap_rollup(fine, ["event_type"]).orderBy("event_type")
+
+
+@_spec(
+    "theta_overlap_segments",
+    """
+    SELECT 'view' AS seg_a, 'purchase' AS seg_b,
+           CAST(COUNT(DISTINCT CASE WHEN event_type = 'view'
+                                    THEN user_id END) AS BIGINT) AS exact_a,
+           CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                    THEN user_id END) AS BIGINT) AS exact_b,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_union,
+           CAST(COUNT(DISTINCT CASE WHEN event_type = 'view'
+                                    THEN user_id END)
+              + COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                    THEN user_id END)
+              - COUNT(DISTINCT user_id) AS BIGINT) AS exact_intersect,
+           TRUE AS theta_within_2pct
+    FROM events WHERE event_type IN ('view', 'purchase')
+    """,
+    "extension — Theta-sketch audience overlap (union AND intersection "
+    "— the set algebra HLL cannot do, Druid's ad-tech standard). One "
+    "scan builds both segment sketches map-side; the oracle carries "
+    "the exact inclusion-exclusion counts plus the accuracy contract "
+    "(every estimate within 2% or 2 absolute of exact)",
+)
+def theta_overlap_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import theta_segment_overlap
+
+    ev = load_table(spark, sf_dir, "events")
+    both = ev.filter(F.col("event_type").isin(["view", "purchase"]))
+    exact = both.groupBy().agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("exact_a"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("exact_b"),
+        F.countDistinct("user_id").alias("exact_union"),
+    )
+    est = theta_segment_overlap(ev, "event_type", "user_id", "view", "purchase")
+
+    def ok(est_c: str, exact_c: str):
+        return F.abs(F.col(est_c) - F.col(exact_c)) <= F.greatest(
+            0.02 * F.col(exact_c), F.lit(2.0)
+        )
+
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .withColumn(
+            "exact_intersect",
+            (
+                F.col("exact_a") + F.col("exact_b") - F.col("exact_union")
+            ).cast("bigint"),
+        )
+        .select(
+            "seg_a",
+            "seg_b",
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_intersect",
+            (
+                ok("est_a", "exact_a")
+                & ok("est_b", "exact_b")
+                & ok("est_union", "exact_union")
+                & ok("est_intersect", "exact_intersect")
+            ).alias("theta_within_2pct"),
+        )
+    )
+
+
+@_spec(
+    "kll_quantiles_accuracy",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS q50_rank_ok,
+           TRUE AS q95_rank_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "extension — mergeable KLL quantile sketches: per-(event_type, "
+    "day) KLL(200) sketches merged up to event_type, then the merged "
+    "p50/p95 estimates are rank-VERIFIED against the raw data (exact "
+    "rank of the estimate within 3 rank-points of target — the "
+    "DataSketches error bound is on rank, not value, so that is the "
+    "honest contract to check). Two shuffles + one broadcast-back",
+)
+def kll_quantiles_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kll_quantile_rollup, kll_quantile_table
+
+    ev = load_table(spark, sf_dir, "events")
+    fine = kll_quantile_table(
+        ev.withColumn("day", F.to_date("ts")), ["event_type", "day"], "value"
+    )
+    qs = kll_quantile_rollup(fine, ["event_type"], [0.5, 0.95])
+    joined = ev.join(F.broadcast(qs), "event_type")
+    ranks = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.avg((F.col("value") <= F.col("q_50")).cast("double")).alias("__r50"),
+        F.avg((F.col("value") <= F.col("q_95")).cast("double")).alias("__r95"),
+    )
+    return ranks.select(
+        "event_type",
+        "n_rows",
+        (F.abs(F.col("__r50") - 0.5) <= F.lit(0.03)).alias("q50_rank_ok"),
+        (F.abs(F.col("__r95") - 0.95) <= F.lit(0.03)).alias("q95_rank_ok"),
+    ).orderBy("event_type")

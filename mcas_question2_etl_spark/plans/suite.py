@@ -110,6 +110,10 @@ _NEW_THIS_ROUND: set[str] = {
     "unigram_logprob_quality",
     "profile_documents_table",
     "event_transition_matrix",
+    # wave 3 (this session): exact-bitmap / theta / KLL sketch family
+    "bitmap_distinct_rollup",
+    "theta_overlap_segments",
+    "kll_quantiles_accuracy",
 }
 
 

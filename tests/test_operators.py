@@ -730,3 +730,78 @@ def test_weighted_sample_biased_to_heavy_rows(spark):
     assert got1 == got2
     assert 100 not in got1
     assert len(set(got1) & {0, 1, 2, 3, 4}) >= 4
+
+
+def test_bitmap_rollup_is_exact(spark):
+    from mcas_question2_etl_spark.operators.sketches import (
+        bitmap_distinct,
+        bitmap_distinct_table,
+        bitmap_rollup,
+    )
+
+    # ids straddle multiple 32768-bit buckets to exercise the
+    # per-bucket OR + cross-bucket SUM path, with overlap across days
+    rows = [
+        (g, d, u)
+        for g in ("a", "b")
+        for d in range(3)
+        for u in (1, 7, 40000, 70000 + d, 0)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "day", "uid"])
+    exact = {
+        r.grp: r.n
+        for r in df.groupBy("grp").agg(F.countDistinct("uid").alias("n")).collect()
+    }
+    one_shot = {
+        r.grp: r.exact_distinct
+        for r in bitmap_distinct(df, ["grp"], "uid").collect()
+    }
+    rolled = {
+        r.grp: r.exact_distinct
+        for r in bitmap_rollup(
+            bitmap_distinct_table(df, ["grp", "day"], "uid"), ["grp"]
+        ).collect()
+    }
+    assert one_shot == exact
+    assert rolled == exact  # bucket-wise OR loses nothing: rollup stays exact
+
+
+def test_theta_overlap_exact_in_sparse_mode(spark):
+    from mcas_question2_etl_spark.operators.sketches import theta_segment_overlap
+
+    # A = {0..99}, B = {50..129}: |A|=100 |B|=80 |A∪B|=130 |A∩B|=50;
+    # sketches stay in exact mode well below 2^14 entries
+    rows = [("a", u) for u in range(100)] + [("b", u) for u in range(50, 130)]
+    df = spark.createDataFrame(rows, ["seg", "uid"])
+    [r] = theta_segment_overlap(df, "seg", "uid", "a", "b").collect()
+    assert (r.est_a, r.est_b, r.est_union, r.est_intersect) == (100.0, 80.0, 130.0, 50.0)
+
+
+def test_theta_disjoint_segments_intersect_zero(spark):
+    from mcas_question2_etl_spark.operators.sketches import theta_segment_overlap
+
+    rows = [("a", u) for u in range(50)] + [("b", u) for u in range(1000, 1040)]
+    df = spark.createDataFrame(rows, ["seg", "uid"])
+    [r] = theta_segment_overlap(df, "seg", "uid", "a", "b").collect()
+    assert r.est_intersect == 0.0
+    assert r.est_union == 90.0
+
+
+def test_kll_rollup_rank_error_within_bound(spark):
+    from pyspark.sql import functions as F
+
+    from mcas_question2_etl_spark.operators.sketches import (
+        kll_quantile_rollup,
+        kll_quantile_table,
+    )
+
+    # deterministic skewed values: v = (i*i) % 10007 over two shards
+    rows = [(i % 2, float((i * i) % 10007)) for i in range(20000)]
+    df = spark.createDataFrame(rows, ["shard", "v"])
+    merged = kll_quantile_rollup(
+        kll_quantile_table(df, ["shard"], "v"), [], [0.5, 0.95]
+    )
+    [r] = merged.collect()
+    for q, est in ((0.5, r.q_50), (0.95, r.q_95)):
+        rank = df.filter(F.col("v") <= est).count() / 20000
+        assert abs(rank - q) <= 0.03  # KLL(200) bound ~1.65%, slack to 3
