@@ -75,6 +75,7 @@ HEADLINE = [
     "bitmap_distinct_rollup",
     "theta_overlap_segments",
     "kll_quantiles_accuracy",
+    "semdedup_prune",
 ]
 
 

@@ -48,7 +48,7 @@ def _dist_sql(a: str, b: str) -> str:
     )
 
 
-def kmeans_cluster_stats(
+def kmeans_assign(
     emb: DataFrame,
     k: int = 8,
     iters: int = 2,
@@ -56,10 +56,12 @@ def kmeans_cluster_stats(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Run ``iters`` Lloyd iterations from the deterministic seed
-    (vectors with ``id_col < k``) and return per-cluster stats:
-    ``cid``, ``n_members``, ``inertia`` (exact integer sum of squared
-    Q20 distances to the final centroid). A cluster that loses all its
-    members drops out (consistently on every engine)."""
+    (vectors with ``id_col < k``) and return the final assignment:
+    ``(vid, v, dist, cid)`` — one row per input vector, ``v`` its Q20
+    quantized embedding, ``dist`` the exact squared distance to its
+    final centroid. This is the reusable half of the codebook: stats
+    (`kmeans_cluster_stats`) and semantic dedup (`semdedup.py`) both
+    consume it."""
     pts = emb.select(F.col(id_col).alias("vid"), quantize(vec_col).alias("v"))
     cents = pts.filter(F.col("vid") < k).select(
         F.col("vid").alias("cid"), F.col("v").alias("cv")
@@ -100,7 +102,21 @@ def kmeans_cluster_stats(
                 "transform(array_sort(collect_list(struct(d, val))), s -> s.val)"
             ).alias("cv")
         )
-    final = assign(pts, cents)
+    return assign(pts, cents)
+
+
+def kmeans_cluster_stats(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster stats of the final `kmeans_assign` state: ``cid``,
+    ``n_members``, ``inertia`` (exact integer sum of squared Q20
+    distances to the final centroid). A cluster that loses all its
+    members drops out (consistently on every engine)."""
+    final = kmeans_assign(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     return (
         final.groupBy("cid")
         .agg(
@@ -120,6 +136,30 @@ def kmeans_cluster_stats_sql(
 ) -> str:
     """DuckDB twin of :func:`kmeans_cluster_stats`: the Lloyd loop
     unrolled into one CTE pair (assign, update) per iteration."""
+    with_clause, final_assign = kmeans_assign_ctes(
+        k=k, iters=iters, id_col=id_col, vec_col=vec_col, table=table
+    )
+    return (
+        f"{with_clause}\n"
+        f"    SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,\n"
+        f"           CAST(SUM(dist) AS BIGINT) AS inertia\n"
+        f"    FROM ({final_assign})\n"
+        f"    GROUP BY cid ORDER BY cid"
+    )
+
+
+def kmeans_assign_ctes(
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+) -> tuple[str, str]:
+    """DuckDB twin of :func:`kmeans_assign`, split for reuse: returns
+    ``(with_clause, final_assign_select)`` where the WITH clause unrolls
+    the Lloyd loop and the final select yields ``(vid, v, cid, dist)``.
+    Consumers append their own CTEs / final query (cluster stats here,
+    within-cluster near-dup pruning in `semdedup.py`)."""
     parts = [
         f"WITH pts AS (SELECT {id_col} AS vid, {quantize_sql(vec_col)} AS v"
         f" FROM {table}),",
@@ -149,16 +189,12 @@ def kmeans_cluster_stats_sql(
         )
         prev = f"c{i}"
     dist = _dist_sql("p.v", "c.cv")
-    parts.append(
-        f"""
-    SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
-           CAST(SUM(dist) AS BIGINT) AS inertia
-    FROM (
-      SELECT p.vid, c.cid, {dist} AS dist,
-             ROW_NUMBER() OVER (PARTITION BY p.vid
-                                ORDER BY {dist}, c.cid) AS rn
-      FROM pts p CROSS JOIN {prev} c
-    ) WHERE rn = 1
-    GROUP BY cid ORDER BY cid"""
-    )
-    return "\n".join(parts)
+    final_assign = f"""
+      SELECT vid, v, cid, dist FROM (
+        SELECT p.vid, p.v, c.cid, {dist} AS dist,
+               ROW_NUMBER() OVER (PARTITION BY p.vid
+                                  ORDER BY {dist}, c.cid) AS rn
+        FROM pts p CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    """
+    return "\n".join(parts), final_assign

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators import kmeans as _kmeans
+from ..operators import semdedup as _semdedup
 from ..registry import QuerySpec
 
 SPECS: list[QuerySpec] = []
@@ -307,3 +308,19 @@ def glm_tidy_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return _kmeans.kmeans_cluster_stats(emb, k=8, iters=2)
+
+
+@_spec(
+    "semdedup_prune",
+    _semdedup.semdedup_keep_sql(k=8, iters=2, threshold=0.35),
+    "training-data op: SemDeDup semantic dedup (arXiv:2303.09540) — "
+    "k-means-bucketed within-cluster cosine pruning, keep-lowest-id. "
+    "Deterministic Q20 k-means + exact-integer cosine make every "
+    "keep/drop verdict bit-reproducible, so the oracle checks the full "
+    "per-vector decision, not a contract. tau=0.35 because the "
+    "synthetic embeddings are near-orthogonal (paper range 0.9-0.95 "
+    "for trained encoders); the pruning path is what's under test",
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _semdedup.semdedup_keep(emb, k=8, iters=2, threshold=0.35)

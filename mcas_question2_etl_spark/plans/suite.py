@@ -114,6 +114,7 @@ _NEW_THIS_ROUND: set[str] = {
     "bitmap_distinct_rollup",
     "theta_overlap_segments",
     "kll_quantiles_accuracy",
+    "semdedup_prune",
 }
 
 

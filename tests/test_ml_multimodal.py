@@ -74,3 +74,23 @@ def test_sample_frames_video_only(spark, media_df):
     assert frames and all(r.media_id == 2 for r in frames)
     assert [r.frame_index for r in frames] == list(range(len(frames)))
     assert all(len(r.frame_checksum) == 8 for r in frames)
+
+
+def test_semdedup_drops_exact_twin_keeps_lowest_id(spark):
+    from mcas_question2_etl_spark.operators.semdedup import semdedup_keep
+
+    # 6 seed vectors (ids 0-5 become initial centroids for k=6) plus an
+    # exact twin of id 2 at id 10: cosine(v2, v10) == 1.0 -> only the
+    # twin (higher id) must be dropped, everything else kept
+    base = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+        [1.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 1.0],
+    ]
+    rows = [(i, v) for i, v in enumerate(base)] + [(10, base[2])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.keep for r in semdedup_keep(df, k=6, iters=1, threshold=0.95).collect()}
+    assert got == {0: True, 1: True, 2: True, 3: True, 4: True, 5: True, 10: False}
