@@ -76,6 +76,9 @@ HEADLINE = [
     "theta_overlap_segments",
     "kll_quantiles_accuracy",
     "semdedup_prune",
+    "zipf_token_ranks",
+    "term_cooccurrence_lift",
+    "histogram_extendedprice",
 ]
 
 

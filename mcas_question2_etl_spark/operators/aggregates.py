@@ -96,3 +96,61 @@ def summary_stats(df: DataFrame, *cols: str) -> DataFrame:
             F.count(c).alias(f"count_{c}"),
         ]
     return df.agg(*aggs)
+
+
+def equiwidth_histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+) -> DataFrame:
+    """Equi-width histogram: ``(bucket, n_rows, min_val, max_val)`` for
+    buckets ``0..n_buckets-1``; out-of-range values clamp into the edge
+    buckets. Empty buckets are absent (consistently on every engine).
+
+    The bucket id is one explicit ``floor((x - lo) / width)`` double op
+    — the SAME expression the oracle runs, so boundary values land
+    identically in both engines (Spark's ``width_bucket`` builtin is
+    avoided for exactly that reason: its internal arithmetic isn't
+    specified to match). Fully scan-stage + one tiny (n_buckets-row)
+    shuffle with map-side combine; this is the scalable histogram — an
+    equi-DEPTH histogram needs quantiles first (see
+    `sketches.kll_quantile_rollup` for the 100 TB route).
+    """
+    width = (hi - lo) / n_buckets
+    c = F.col(col)
+    bucket = F.least(
+        F.greatest(F.floor((c - lo) / width), F.lit(0)),
+        F.lit(n_buckets - 1),
+    ).cast("bigint")
+    return (
+        df.select(bucket.alias("bucket"), c.alias("v"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("v").alias("min_val"),
+            F.max("v").alias("max_val"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def equiwidth_histogram_sql(
+    col: str, lo: float, hi: float, n_buckets: int, table: str
+) -> str:
+    """DuckDB twin of :func:`equiwidth_histogram` (bit-identical bucket
+    arithmetic)."""
+    width = (hi - lo) / n_buckets
+    b = (
+        f"CAST(LEAST(GREATEST(FLOOR(({col} - {lo}) / {width!r}), 0), "
+        f"{n_buckets - 1}) AS BIGINT)"
+    )
+    return f"""
+    SELECT {b} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN({col}) AS min_val,
+           MAX({col}) AS max_val
+    FROM {table}
+    GROUP BY 1 ORDER BY 1
+    """

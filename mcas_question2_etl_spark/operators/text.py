@@ -512,3 +512,149 @@ def unigram_logprob_quality_sql(
     FROM e JOIN uni USING (t) CROSS JOIN total
     GROUP BY e.{id_col}
     """
+
+
+def zipf_token_ranks(
+    df: DataFrame, top_k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Rank-frequency table (the Zipf curve) of the corpus vocabulary:
+    top ``top_k`` tokens as ``(rank, term, cnt)``, rank 1 = most
+    frequent, ties broken by term ascending. All-integer output, so the
+    oracle compares exact values.
+
+    Scale: explode shuffles fixed-width (term) keys with map-side
+    partial counts; the ranking window runs over the AGGREGATED
+    vocab table (Zipf-tiny relative to the corpus), and the global
+    top-k is a TakeOrdered, not a full sort.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # top-k FIRST (TakeOrdered over the vocab table), then the ranking
+    # window only ever sees top_k rows
+    top = counts.orderBy(F.col("cnt").desc(), F.col("term")).limit(top_k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "term", "cnt"
+    )
+
+
+def zipf_token_ranks_sql(top_k: int = 50, table: str = "documents") -> str:
+    """DuckDB twin of :func:`zipf_token_ranks`."""
+    return f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM {table}
+    ),
+    counts AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank,
+           term, CAST(cnt AS BIGINT) AS cnt
+    FROM counts
+    QUALIFY rank <= {top_k}
+    ORDER BY rank
+    """
+
+
+def term_cooccurrence_lift(
+    df: DataFrame,
+    vocab_k: int = 200,
+    top_pairs: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top co-occurring term pairs with their lift
+    ``n_ab * N / (n_a * n_b)`` — the collocation-mining kernel (PMI is
+    ln(lift); the linear variant keeps every step exact-int multiply +
+    one IEEE double divide, the same cross-engine-reproducibility
+    discipline as `tfidf_top_terms`). ``n_x`` counts DOCUMENTS
+    containing x (presence, not frequency).
+
+    Scale: the quadratic step is the per-document self-join, and it
+    runs only over the ``vocab_k`` most frequent terms (ties by term)
+    — a broadcast-pruned posting list, so cost is O(docs * k_doc²)
+    with k_doc <= distinct vocab terms per doc, never O(vocab²) and
+    never a document-body shuffle. Output ordered by n_ab desc,
+    (t1, t2) asc, limited to ``top_pairs``.
+    """
+    pairs = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).distinct()
+    vocab = (
+        pairs.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_docs_term"))
+        .orderBy(F.col("n_docs_term").desc(), F.col("term"))
+        .limit(vocab_k)
+    )
+    pruned = pairs.join(F.broadcast(vocab), "term").select(
+        id_col, "term", "n_docs_term"
+    )
+    a, b = pruned.alias("a"), pruned.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col(f"a.{id_col}") == F.col(f"b.{id_col}"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("t1"),
+            F.col("b.term").alias("t2"),
+            F.col("a.n_docs_term").alias("n_a"),
+            F.col("b.n_docs_term").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        co.crossJoin(F.broadcast(n_docs))
+        .select(
+            "t1",
+            "t2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_ab") * F.col("n_docs")).cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_ab").desc(), "t1", "t2")
+        .limit(top_pairs)
+    )
+
+
+def term_cooccurrence_lift_sql(
+    vocab_k: int = 200, top_pairs: int = 30, table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`term_cooccurrence_lift`."""
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM {table}
+    ),
+    vocab AS (
+      SELECT term, COUNT(*) AS n_docs_term FROM pairs GROUP BY term
+      ORDER BY n_docs_term DESC, term LIMIT {vocab_k}
+    ),
+    pruned AS (
+      SELECT p.doc_id, p.term, v.n_docs_term
+      FROM pairs p JOIN vocab v USING (term)
+    ),
+    co AS (
+      SELECT a.term AS t1, b.term AS t2,
+             a.n_docs_term AS n_a, b.n_docs_term AS n_b,
+             COUNT(*) AS n_ab
+      FROM pruned a JOIN pruned b
+        ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT t1, t2, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_ab * (SELECT COUNT(*) FROM {table}) AS DOUBLE)
+             / (n_a * n_b) AS lift
+    FROM co
+    ORDER BY n_ab DESC, t1, t2
+    LIMIT {top_pairs}
+    """

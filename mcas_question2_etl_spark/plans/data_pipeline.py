@@ -1064,3 +1064,30 @@ def profile_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return X.profile_columns(docs, _PROFILE_COLS).orderBy("column")
+
+
+@_spec(
+    "zipf_token_ranks",
+    text.zipf_token_ranks_sql(top_k=50),
+    "text-analytics extension: corpus rank-frequency (Zipf) table — "
+    "top-50 tokens by exact count (operators/text.py:zipf_token_ranks)."
+    " Map-side-combined term counts, TakeOrdered top-k, ranking window "
+    "over 50 rows only",
+)
+def zipf_token_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.zipf_token_ranks(docs, top_k=50)
+
+
+@_spec(
+    "term_cooccurrence_lift",
+    text.term_cooccurrence_lift_sql(vocab_k=200, top_pairs=30),
+    "text-analytics extension: collocation mining — document-level "
+    "term-pair co-occurrence with lift (linear PMI; same exact-int + "
+    "single-divide reproducibility discipline as tfidf_top_terms). "
+    "Vocabulary-pruned posting-list self-join: O(docs * per-doc-k²), "
+    "never O(vocab²), no body shuffle",
+)
+def term_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.term_cooccurrence_lift(docs, vocab_k=200, top_pairs=30)

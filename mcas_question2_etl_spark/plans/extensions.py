@@ -1313,3 +1313,21 @@ def kll_quantiles_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("__r50") - 0.5) <= F.lit(0.03)).alias("q50_rank_ok"),
         (F.abs(F.col("__r95") - 0.95) <= F.lit(0.03)).alias("q95_rank_ok"),
     ).orderBy("event_type")
+
+
+@_spec(
+    "histogram_extendedprice",
+    aggregates.equiwidth_histogram_sql(
+        "l_extendedprice", 0.0, 120000.0, 24, "lineitem"
+    ),
+    "extension — equi-width histogram (24 buckets over "
+    "l_extendedprice): the scan-stage distribution profile; bucket "
+    "arithmetic is ONE explicit floor-divide identical in both engines "
+    "(width_bucket builtins avoided — their internal rounding is "
+    "unspecified). One tiny shuffle, map-side combine",
+)
+def histogram_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return aggregates.equiwidth_histogram(
+        lineitem, "l_extendedprice", 0.0, 120000.0, 24
+    )

@@ -115,6 +115,9 @@ _NEW_THIS_ROUND: set[str] = {
     "theta_overlap_segments",
     "kll_quantiles_accuracy",
     "semdedup_prune",
+    "zipf_token_ranks",
+    "term_cooccurrence_lift",
+    "histogram_extendedprice",
 }
 
 

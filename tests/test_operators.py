@@ -805,3 +805,46 @@ def test_kll_rollup_rank_error_within_bound(spark):
     for q, est in ((0.5, r.q_50), (0.95, r.q_95)):
         rank = df.filter(F.col("v") <= est).count() / 20000
         assert abs(rank - q) <= 0.03  # KLL(200) bound ~1.65%, slack to 3
+
+
+def test_equiwidth_histogram_clamps_edges(spark):
+    from mcas_question2_etl_spark.operators.aggregates import equiwidth_histogram
+
+    # lo=0, hi=10, 5 buckets of width 2; -3 clamps into bucket 0,
+    # 10 and 99 clamp into bucket 4; boundary 2.0 goes UP (floor(1.0))
+    vals = [-3.0, 0.0, 1.9, 2.0, 5.0, 9.99, 10.0, 99.0]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got = {
+        r.bucket: (r.n_rows, r.min_val, r.max_val)
+        for r in equiwidth_histogram(df, "x", 0.0, 10.0, 5).collect()
+    }
+    assert got == {
+        0: (3, -3.0, 1.9),
+        1: (1, 2.0, 2.0),
+        2: (1, 5.0, 5.0),
+        4: (3, 9.99, 99.0),
+    }
+
+
+def test_zipf_ranks_deterministic_ties(spark):
+    from mcas_question2_etl_spark.operators.text import zipf_token_ranks
+
+    df = spark.createDataFrame(
+        [("b b a a c",), ("a b z",)], ["text"]
+    )
+    got = [(r.rank, r.term, r.cnt) for r in zipf_token_ranks(df, top_k=3).collect()]
+    # a:3 b:3 c:1 z:1 -> tie a/b broken ascending, tie c/z ascending
+    assert got == [(1, "a", 3), (2, "b", 3), (3, "c", 1)]
+
+
+def test_cooccurrence_lift_counts_presence_not_frequency(spark):
+    from mcas_question2_etl_spark.operators.text import term_cooccurrence_lift
+
+    # "x x y" counts x once for presence; pair (x,y) in 2 of 3 docs
+    df = spark.createDataFrame(
+        [(1, "x x y"), (2, "x y"), (3, "x q")], ["doc_id", "text"]
+    )
+    rows = {(r.t1, r.t2): (r.n_ab, r.n_a, r.n_b, r.lift)
+            for r in term_cooccurrence_lift(df, vocab_k=10, top_pairs=10).collect()}
+    assert rows[("x", "y")] == (2, 3, 2, 2 * 3 / (3 * 2))
+    assert rows[("q", "x")][0] == 1
