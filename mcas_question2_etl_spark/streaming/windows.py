@@ -352,3 +352,56 @@ def user_running_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def maintain_latest_state(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    keys: tuple[str, ...] = ("user_id",),
+    version_col: str = "ts",
+    tiebreak: str = "event_id",
+    timeout_sec: int = 120,
+):
+    """foreachBatch row-level MERGE: keep the latest row per key in a
+    parquet snapshot (the streaming CDC-compaction / serving-table
+    pattern, complementing `maintain_aggregate`).
+
+    Where `maintain_aggregate` is ADDITIVE (a replayed batch would
+    double-count, so it leans on the checkpoint for exactly-once), the
+    last-writer-wins merge here is IDEMPOTENT BY CONSTRUCTION: the
+    survivor per key is the max over a total order (version, tiebreak),
+    and max is insensitive to re-delivery. Losing the checkpoint and
+    replaying the whole stream converges to the same snapshot — the
+    stronger operational guarantee, available whenever the merge is a
+    lattice join rather than a sum (cf. CRDT join semantics).
+
+    Per batch: compact the batch itself first (cheap, bounded by batch
+    size), then merge with the snapshot via the same compaction. At
+    scale the snapshot side co-partitions on the key (bucketed table)
+    so the merge shuffles only the batch.
+    """
+    from ..operators.upsert import latest_by_key
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        compacted = latest_by_key(batch_df, list(keys), version_col, tiebreak)
+        try:
+            snap = spark.read.parquet(state_path)
+            merged = latest_by_key(
+                snap.unionByName(compacted), list(keys), version_col, tiebreak
+            )
+        except Exception:  # first batch: no snapshot yet
+            merged = compacted
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            state_path
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q

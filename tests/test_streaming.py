@@ -252,3 +252,38 @@ def test_transform_with_state_running_totals(spark, events_path):
         .collect()
     }
     assert final == want and len(want) > 0
+
+
+def test_maintain_latest_state_idempotent_under_replay(spark, events_path, tmp_path):
+    """Last-writer-wins foreachBatch merge: state equals the batch
+    changelog compaction, and — unlike the additive aggregate — a FULL
+    REPLAY with a fresh checkpoint (simulating checkpoint loss) leaves
+    the snapshot unchanged."""
+    from mcas_question2_etl_spark.catalog import load_table
+    from mcas_question2_etl_spark.operators.upsert import latest_by_key
+
+    state = str(tmp_path / "state")
+
+    def snapshot():
+        return {
+            r.user_id: (r.ts, r.event_id)
+            for r in spark.read.parquet(state).collect()
+        }
+
+    sw.maintain_latest_state(
+        sw.stream_events(spark, events_path), state, str(tmp_path / "ckpt1")
+    )
+    got = snapshot()
+    want = {
+        r.user_id: (r.ts, r.event_id)
+        for r in latest_by_key(
+            load_table(spark, SF_SMALL, "events"), ["user_id"], "ts", "event_id"
+        ).collect()
+    }
+    assert got == want
+
+    # checkpoint lost -> full replay from scratch: must converge, not drift
+    sw.maintain_latest_state(
+        sw.stream_events(spark, events_path), state, str(tmp_path / "ckpt2")
+    )
+    assert snapshot() == want
