@@ -79,6 +79,8 @@ HEADLINE = [
     "zipf_token_ranks",
     "term_cooccurrence_lift",
     "histogram_extendedprice",
+    "pagerank_customer_supplier",
+    "cohort_retention_matrix",
 ]
 
 

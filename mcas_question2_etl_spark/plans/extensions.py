@@ -1331,3 +1331,101 @@ def histogram_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.equiwidth_histogram(
         lineitem, "l_extendedprice", 0.0, 120000.0, 24
     )
+
+
+_PR_EDGES_SQL = """
+      SELECT c AS src, s AS dst FROM (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      )
+      UNION ALL
+      SELECT s, c FROM (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      )
+"""
+
+
+def _pagerank_oracle() -> str:
+    from ..operators.pagerank import pagerank_sql_ctes
+
+    return (
+        pagerank_sql_ctes(_PR_EDGES_SQL, iters=2)
+        + "\n    SELECT node, rank FROM pr ORDER BY rank DESC, node LIMIT 20"
+    )
+
+
+@_spec(
+    "pagerank_customer_supplier",
+    _pagerank_oracle(),
+    "extension — deterministic integer PageRank (operators/pagerank.py)"
+    " over the symmetrized customer-supplier purchase graph, 2 damped "
+    "rounds, top-20 nodes. The iterative-graph twin of connected "
+    "components: per-round cost is one fixed-width (dst, share) "
+    "shuffle + map-side-combined aggregate; Q30 integer mass makes "
+    "ranks bit-reproducible and the oracle exact, not a contract",
+)
+def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pagerank import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    pr = pagerank(edges, iters=2)
+    return pr.orderBy(F.col("rank").desc(), "node").limit(20)
+
+
+@_spec(
+    "cohort_retention_matrix",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events
+      GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, CAST(e.ts AS DATE)) // 7
+               AS week_offset
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM activity GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "product-analytics extension: cohort retention matrix — users "
+    "bucketed by first-seen day, distinct-user activity counted per "
+    "week offset. Two shuffles (per-user min, then the matrix agg on "
+    "a distinct'd fixed-width (user, cohort, offset) set); the "
+    "first-seen side is per-user-tiny and co-keyed with the probe",
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.expr("datediff(day, cohort_day) div 7").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_day", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort_day", "week_offset")
+    )

@@ -118,6 +118,8 @@ _NEW_THIS_ROUND: set[str] = {
     "zipf_token_ranks",
     "term_cooccurrence_lift",
     "histogram_extendedprice",
+    "pagerank_customer_supplier",
+    "cohort_retention_matrix",
 }
 
 

@@ -848,3 +848,23 @@ def test_cooccurrence_lift_counts_presence_not_frequency(spark):
             for r in term_cooccurrence_lift(df, vocab_k=10, top_pairs=10).collect()}
     assert rows[("x", "y")] == (2, 3, 2, 2 * 3 / (3 * 2))
     assert rows[("q", "x")][0] == 1
+
+
+def test_pagerank_deterministic_star_graph(spark):
+    from mcas_question2_etl_spark.operators.pagerank import PR_SCALE, pagerank
+
+    # symmetrized star 1-{2,3}: hand-replicate the exact integer updates
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 1), (3, 1)], "src long, dst long"
+    )
+    got = {r.node: r.rank for r in pagerank(edges, iters=2).collect()}
+
+    S, base = PR_SCALE, (15 * PR_SCALE) // 100
+    r1 = {1: base + (85 * (S // 1 + S // 1)) // 100,
+          2: base + (85 * (S // 2)) // 100,
+          3: base + (85 * (S // 2)) // 100}
+    r2 = {1: base + (85 * (r1[2] // 1 + r1[3] // 1)) // 100,
+          2: base + (85 * (r1[1] // 2)) // 100,
+          3: base + (85 * (r1[1] // 2)) // 100}
+    assert got == r2
+    assert got[1] > got[2] == got[3]  # hub outranks leaves
