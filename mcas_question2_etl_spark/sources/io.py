@@ -186,3 +186,50 @@ def compact(
     n = max(1, math.ceil(size_bytes / (target_file_mb * 1024 * 1024)))
     df.coalesce(n).write.mode("overwrite").parquet(path)
     return n
+
+
+def read_binary_media(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Multimodal ingest (brief: image/audio/video as opaque binary):
+    Spark's built-in distributed ``binaryFile`` source mapped onto the
+    canonical MEDIA_SCHEMA of operators/multimodal.py — media_id is a
+    deterministic hash of the file URI (stable across reruns and
+    listings, unlike monotonically_increasing_id), media_type/mime come
+    from the extension, and the payload column stays opaque binary.
+
+    Scale notes: the source parallelizes file listing + reads across
+    executors and prunes the ``content`` column if downstream never
+    touches it (metadata-only queries never lift payloads);
+    ``pathGlobFilter`` prunes at listing time and ``max_bytes`` guards
+    against a rogue 4 GB object entering an Arrow batch.
+    """
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
+    media_type = (
+        F.when(ext.isin("jpg", "jpeg", "png", "gif", "bmp"), "image")
+        .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
+        .when(ext.isin("mp4", "avi", "mkv", "webm"), "video")
+        .otherwise("binary")
+    )
+    mime = (
+        F.when(ext == "jpg", "image/jpeg")
+        .otherwise(F.concat(media_type, F.lit("/"), ext))
+    )
+    return df.select(
+        F.xxhash64(F.col("path")).alias("media_id"),
+        media_type.alias("media_type"),
+        F.col("content").alias("payload"),
+        mime.alias("mime"),
+        F.col("path").alias("source_uri"),
+    )

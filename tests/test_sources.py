@@ -376,3 +376,35 @@ def test_compact_reduces_file_count(spark, tmp_path):
     assert n == 1  # tiny input -> one right-sized file
     assert len(glob.glob(out + "/part-*.parquet")) == 1
     assert spark.read.parquet(out).count() == 5000
+
+
+def test_read_binary_media_feeds_multimodal_pipeline(spark, tmp_path):
+    """binaryFile source -> MEDIA_SCHEMA -> extract_features: the full
+    multimodal ingest path over real files on disk."""
+    from mcas_question2_etl_spark.operators.multimodal import extract_features
+    from mcas_question2_etl_spark.sources.io import read_binary_media
+
+    (tmp_path / "a.jpg").write_bytes(b"\xff\xd8fakejpeg")
+    (tmp_path / "b.wav").write_bytes(b"RIFFfakewav!!")
+    (tmp_path / "skip.txt").write_bytes(b"not media")
+    media = read_binary_media(spark, str(tmp_path), glob="*.{jpg,wav}")
+    rows = {r.source_uri.rsplit("/", 1)[-1]: r for r in media.collect()}
+    assert set(rows) == {"a.jpg", "b.wav"}
+    assert rows["a.jpg"].media_type == "image" and rows["a.jpg"].mime == "image/jpeg"
+    assert rows["b.wav"].media_type == "audio"
+    assert bytes(rows["a.jpg"].payload) == b"\xff\xd8fakejpeg"
+    # ids deterministic across re-reads (hash of uri, not zipWithIndex)
+    again = {r.source_uri: r.media_id for r in read_binary_media(spark, str(tmp_path), glob="*.{jpg,wav}").collect()}
+    assert {r.source_uri: r.media_id for r in rows.values()} == again
+
+    feats = {r2.media_id: r2 for r2 in extract_features(media).collect()}
+    assert feats[rows["a.jpg"].media_id].n_bytes == 10  # len(b"\xff\xd8fakejpeg")
+
+
+def test_read_binary_media_max_bytes_guard(spark, tmp_path):
+    from mcas_question2_etl_spark.sources.io import read_binary_media
+
+    (tmp_path / "small.jpg").write_bytes(b"x" * 10)
+    (tmp_path / "huge.jpg").write_bytes(b"x" * 1000)
+    got = [r.source_uri for r in read_binary_media(spark, str(tmp_path), max_bytes=100).collect()]
+    assert len(got) == 1 and got[0].endswith("small.jpg")
