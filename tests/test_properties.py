@@ -148,3 +148,66 @@ def test_asof_join_forward_matches_bruteforce(spark, left, right):
         ]
         want = min(cands)[2] if cands else None
         assert got[lid] == want, f"lid={lid} k={k} t={t}"
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=200_000),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**_SETTINGS)
+def test_bitmap_distinct_equals_count_distinct(spark, rows):
+    """Bitmap-bucket distinct is EXACT for arbitrary grouped bigint
+    ids, including ids straddling bucket boundaries and full
+    duplicates."""
+    from mcas_question2_etl_spark.operators.sketches import bitmap_distinct
+
+    df = spark.createDataFrame(rows, "g string, uid long")
+    want = {(g,): len({u for gg, u in rows if gg == g}) for g in {g for g, _ in rows}}
+    got = {
+        (r.g,): r.exact_distinct
+        for r in bitmap_distinct(df, ["g"], "uid").collect()
+    }
+    assert got == {k: v for k, v in want.items()}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=6),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(**_SETTINGS)
+def test_pagerank_matches_python_reference(spark, edges):
+    """Integer PageRank over random small digraphs equals a pure-Python
+    replay of the same floor arithmetic (determinism means EQUALITY,
+    not approximation)."""
+    from mcas_question2_etl_spark.operators.pagerank import PR_SCALE, pagerank
+
+    edges = sorted(set(edges))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, iters=2).collect()}
+
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    ranks = {n: PR_SCALE for n in deg}
+    for _ in range(2):
+        incoming: dict[int, int] = {}
+        for s, d in edges:
+            if s in ranks:
+                incoming[d] = incoming.get(d, 0) + ranks[s] // deg[s]
+        ranks = {
+            n: (15 * PR_SCALE) // 100 + (85 * total) // 100
+            for n, total in incoming.items()
+        }
+    assert got == ranks
