@@ -81,6 +81,13 @@ HEADLINE = [
     "histogram_extendedprice",
     "pagerank_customer_supplier",
     "cohort_retention_matrix",
+    # round 2, wave 4: grouped OLS, index build, BPE merge stats,
+    # Z-order keys, PCA contract — appended as always
+    "group_ols_price_on_quantity",
+    "inverted_index_postings",
+    "bpe_pair_merge_stats",
+    "zorder_morton_keys",
+    "pca_variance_contract",
 ]
 
 

@@ -1,0 +1,117 @@
+"""Per-group ordinary least squares via sufficient statistics.
+
+The reference fits one global weighted GLM in R (run_analysis.Rmd:80-99,
+SURVEY §2.12 M1 — mirrored in ml/glm.py). A user scaling that analysis
+up immediately wants the *grouped* variant: an independent simple
+regression per key (per district, per product segment, ...). Fitting
+millions of tiny models is not an iterative-solver problem — simple OLS
+has a closed form over six sufficient statistics, so the whole thing is
+ONE hash aggregation:
+
+    n, Sx = SUM(x), Sy = SUM(y), Sxx = SUM(x*x), Syy = SUM(y*y),
+    Sxy = SUM(x*y)
+    slope     = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+    intercept = (Sy - slope*Sx) / n
+    r2        = (n*Sxy - Sx*Sy)^2 / ((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+
+Scale notes:
+  * One shuffle on the group key; partial aggregation (map-side combine)
+    reduces each partition to six doubles per key before the exchange,
+    so the shuffle volume is O(distinct keys), independent of row count.
+  * All arithmetic is JVM-side whole-stage-codegen expressions — no UDF,
+    no per-group iteration, no driver involvement. A billion groups cost
+    the same plan shape as ten.
+  * The raw-moment formula can lose precision when x has a huge mean and
+    tiny variance (classic catastrophic cancellation); callers with such
+    data should center x first. For cross-engine differential checks the
+    same formula is spelled out in the oracle so both sides make the
+    identical floating-point choices, then outputs are rounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_ols(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x: str,
+    y: str,
+) -> DataFrame:
+    """Per-group simple OLS of ``y`` on ``x``: slope, intercept, r2, n.
+
+    Rows where either coordinate is NULL are excluded (SQL aggregate
+    null-skipping matches R's ``lm(..., na.action=na.omit)`` and
+    DuckDB's ``regr_*`` family). Groups with zero x-variance yield NULL
+    slope/intercept/r2 (division by zero → NULL, as in SQL).
+    """
+    xv = F.when(F.col(y).isNotNull(), F.col(x).cast("double"))
+    yv = F.when(F.col(x).isNotNull(), F.col(y).cast("double"))
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.when(F.col(x).isNotNull() & F.col(y).isNotNull(), 1)).alias("n"),
+        F.sum(xv).alias("sx"),
+        F.sum(yv).alias("sy"),
+        F.sum(xv * xv).alias("sxx"),
+        F.sum(yv * yv).alias("syy"),
+        F.sum(xv * yv).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / F.when(varx_n != 0, varx_n)
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = (cov_n * cov_n) / F.when(varx_n * vary_n != 0, varx_n * vary_n)
+    return agg.select(
+        *group_cols,
+        F.col("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+def group_ols_oracle_sql(
+    table: str, group_cols: Sequence[str], x: str, y: str, round_to: int = 4
+) -> str:
+    """ANSI SQL computing the same sufficient-statistics formula.
+
+    Spelled out (rather than ``regr_slope``/``regr_r2``) so the oracle
+    engine follows the identical raw-moment arithmetic; both sides are
+    then rounded to ``round_to`` decimals for a stable cross-engine
+    hash.
+    """
+    keys = ", ".join(group_cols)
+    return f"""
+    WITH s AS (
+      SELECT {keys},
+             COUNT(CASE WHEN {x} IS NOT NULL AND {y} IS NOT NULL THEN 1 END) AS n,
+             SUM(CASE WHEN {y} IS NOT NULL THEN CAST({x} AS DOUBLE) END) AS sx,
+             SUM(CASE WHEN {x} IS NOT NULL THEN CAST({y} AS DOUBLE) END) AS sy,
+             SUM(CASE WHEN {y} IS NOT NULL
+                 THEN CAST({x} AS DOUBLE) * CAST({x} AS DOUBLE) END) AS sxx,
+             SUM(CASE WHEN {x} IS NOT NULL
+                 THEN CAST({y} AS DOUBLE) * CAST({y} AS DOUBLE) END) AS syy,
+             SUM(CAST({x} AS DOUBLE) * CAST({y} AS DOUBLE)) AS sxy
+      FROM {table} GROUP BY {keys}
+    ), d AS (
+      SELECT *, CAST(n AS DOUBLE) AS nd,
+             CAST(n AS DOUBLE) * sxy - sx * sy AS cov_n,
+             CAST(n AS DOUBLE) * sxx - sx * sx AS varx_n,
+             CAST(n AS DOUBLE) * syy - sy * sy AS vary_n
+      FROM s
+    )
+    SELECT {keys}, n,
+           ROUND(cov_n / (CASE WHEN varx_n <> 0 THEN varx_n END), {round_to})
+             AS slope,
+           ROUND((sy - (cov_n / (CASE WHEN varx_n <> 0 THEN varx_n END)) * sx)
+                 / nd, {round_to}) AS intercept,
+           ROUND((cov_n * cov_n) /
+                 (CASE WHEN varx_n * vary_n <> 0 THEN varx_n * vary_n END),
+                 {round_to}) AS r2
+    FROM d
+    """

@@ -15,6 +15,7 @@ from . import flagship as _flagship
 from . import ml_geo_media as _ml_geo_media
 from . import relational as _relational
 from . import tpch as _tpch
+from . import wave4 as _wave4
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -28,6 +29,7 @@ _ALL: list[QuerySpec] = [
     *_extensions.SPECS,
     *_ml_geo_media.SPECS,
     *_tpch.SPECS,
+    *_wave4.SPECS,
 ]
 
 # The driver's correctness gate grades the FIRST 50 suite entries per
@@ -120,6 +122,13 @@ _NEW_THIS_ROUND: set[str] = {
     "histogram_extendedprice",
     "pagerank_customer_supplier",
     "cohort_retention_matrix",
+    # wave 4 (this session): grouped OLS, index construction, BPE merge
+    # stats, Z-order layout keys, PCA variance contract
+    "group_ols_price_on_quantity",
+    "inverted_index_postings",
+    "bpe_pair_merge_stats",
+    "zorder_morton_keys",
+    "pca_variance_contract",
 }
 
 

@@ -94,3 +94,47 @@ def test_semdedup_drops_exact_twin_keeps_lowest_id(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = {r.vec_id: r.keep for r in semdedup_keep(df, k=6, iters=1, threshold=0.95).collect()}
     assert got == {0: True, 1: True, 2: True, 3: True, 4: True, 5: True, 10: False}
+
+
+def test_pca_projection_matches_numpy(spark):
+    """Distributed Gram-partial PCA (operators/pca.py) equals full
+    in-memory numpy PCA: same covariance, same top-2 axes (up to the
+    deterministic sign convention), same projections."""
+    import numpy as np
+
+    from mcas_question2_etl_spark.operators import pca
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(200, 2)) @ np.array([[3.0, 0.5, 0.1, 0.0],
+                                                 [0.0, 1.0, 0.2, 0.05]])
+    data = base + 0.01 * rng.normal(size=(200, 4))
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(data)],
+        "vec_id long, embedding array<double>",
+    ).repartition(5)
+
+    cov, mean, n = pca.covariance_matrix(df, "embedding", dim=4)
+    assert n == 200
+    np.testing.assert_allclose(mean, data.mean(axis=0), atol=1e-9)
+    np.testing.assert_allclose(cov, np.cov(data.T, bias=True), atol=1e-9)
+
+    comps, vals, mu = pca.pca_components(df, "embedding", k=2)
+    evals, evecs = np.linalg.eigh(np.cov(data.T, bias=True))
+    order = np.argsort(evals)[::-1][:2]
+    want = evecs[:, order].T.copy()
+    for i in range(2):
+        j = int(np.argmax(np.abs(want[i])))
+        if want[i, j] < 0:
+            want[i] = -want[i]
+    np.testing.assert_allclose(comps, want, atol=1e-8)
+    np.testing.assert_allclose(vals, evals[order], atol=1e-8)
+
+    got = {
+        r.vec_id: r.pc
+        for r in pca.project(df, comps, mu, "embedding").select(
+            "vec_id", "pc"
+        ).collect()
+    }
+    want_proj = (data - data.mean(axis=0)) @ want.T
+    for i in range(200):
+        np.testing.assert_allclose(got[i], want_proj[i], atol=1e-8)

@@ -211,3 +211,63 @@ def test_pagerank_matches_python_reference(spark, edges):
             for n, total in incoming.items()
         }
     assert got == ranks
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**16 - 1),
+            st.integers(min_value=0, max_value=2**16 - 1),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_morton_key_bijective_and_spark_matches_python(spark, pts):
+    """Z-order keys: encode∘decode is identity, and the generated Spark
+    expression equals the pure-Python reference bit-for-bit."""
+    from mcas_question2_etl_spark.operators import zorder
+
+    for x, y in pts:
+        assert zorder.morton_decode_py(zorder.morton_key_py(x, y)) == (x, y)
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = [
+        r.z
+        for r in df.select(
+            zorder.morton_key(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    ]
+    assert got == [zorder.morton_key_py(x, y) for x, y in pts]
+
+
+@given(
+    xs=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=3, max_size=25
+    ),
+    slope=st.integers(min_value=-5, max_value=5),
+    icept=st.integers(min_value=-20, max_value=20),
+)
+@settings(**_SETTINGS)
+def test_group_ols_matches_numpy_polyfit(spark, xs, slope, icept):
+    """Sufficient-statistics OLS equals numpy's least squares on the
+    same points (noise-free planted line recovers exactly; degenerate
+    zero-variance x yields NULLs)."""
+    import numpy as np
+
+    from mcas_question2_etl_spark.operators.regression import group_ols
+
+    ys = [slope * x + icept for x in xs]
+    df = spark.createDataFrame(
+        [("g", float(x), float(y)) for x, y in zip(xs, ys)],
+        "g string, x double, y double",
+    )
+    row = group_ols(df, ["g"], "x", "y").collect()[0]
+    if len(set(xs)) == 1:
+        assert row.slope is None and row.r2 is None
+        return
+    coef = np.polyfit(np.array(xs, float), np.array(ys, float), 1)
+    assert abs(row.slope - coef[0]) < 1e-6
+    assert abs(row.intercept - coef[1]) < 1e-6
+    if len(set(ys)) > 1:
+        assert abs(row.r2 - 1.0) < 1e-9

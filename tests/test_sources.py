@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from mcas_question2_etl_spark.sources import ingest, io as sio
@@ -408,3 +409,55 @@ def test_read_binary_media_max_bytes_guard(spark, tmp_path):
     (tmp_path / "huge.jpg").write_bytes(b"x" * 1000)
     got = [r.source_uri for r in read_binary_media(spark, str(tmp_path), max_bytes=100).collect()]
     assert len(got) == 1 and got[0].endswith("small.jpg")
+
+
+def test_zorder_layout_concentrates_box_queries(spark, tmp_path):
+    """Z-order clustering (operators/zorder.py): after zorder_by, a 2-D
+    box predicate's matching rows live in a small fraction of the files,
+    while a hash-distributed layout spreads them across every file —
+    the locality that file-level min/max pruning exploits at scale."""
+    from mcas_question2_etl_spark.operators.zorder import zorder_by
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    zpath = str(tmp_path / "zorder")
+    hpath = str(tmp_path / "hashed")
+    zorder_by(grid, "x", "y", bits=6, num_files=16).write.parquet(zpath)
+    grid.repartition(16).write.parquet(hpath)
+
+    box = "x < 16 AND y < 16"  # 1/16 of the domain
+    zfiles = (
+        spark.read.parquet(zpath)
+        .filter(box)
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    hfiles = (
+        spark.read.parquet(hpath)
+        .filter(box)
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert zfiles <= 4  # one z-quadrant spans at most a quarter of files
+    assert hfiles == 16  # hash layout: every file holds matching rows
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution on the parquet catalog: older files without a
+    later-added column read as NULL under mergeSchema — the lakehouse
+    upgrade path for the reference's to_sql(if_exists='replace') habit
+    of silently rewriting schemas (school_outcomes_etl.py:149)."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        path, mode="append"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(path, mode="append")
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows[1] is None and rows[2] == 9.5
