@@ -90,16 +90,31 @@ def group_ols_price_on_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(top-5 by doc_id) so no unbounded list crosses the shuffle",
 )
 def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Aggregate to (term, doc_id) first: map-side combine collapses
+    # repeated occurrences before the shuffle, and the final per-term
+    # state is BOUNDED — only the rank-≤5 doc_ids enter the posting
+    # collect (a collect_set of all docs for a stopword-grade term
+    # would buffer millions of ids per key at corpus scale). The
+    # groupBy("term") reuses the window's term-partitioning, so the
+    # whole thing is two exchanges with sort-spillable state between.
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.lower("text"), " ")).alias("term"),
     ).filter(F.col("term") != "")
-    stats = toks.groupBy("term").agg(
-        F.count(F.lit(1)).alias("tf"),
-        F.countDistinct("doc_id").alias("df"),
+    per_doc = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("cnt"))
+    rn = F.row_number().over(Window.partitionBy("term").orderBy("doc_id"))
+    ranked = per_doc.withColumn("rn", rn)
+    stats = ranked.groupBy("term").agg(
+        F.sum("cnt").alias("tf"),
+        F.count(F.lit(1)).alias("df"),
         F.concat_ws(
-            ",", F.slice(F.array_sort(F.collect_set("doc_id")), 1, 5)
+            ",",
+            F.array_sort(
+                F.collect_list(F.when(F.col("rn") <= 5, F.col("doc_id")))
+            ),
         ).alias("postings_head"),
     )
     return stats.filter(F.col("df") >= 5).select("term", "tf", "df", "postings_head")
