@@ -102,6 +102,13 @@ def kmeans_assign(
                 "transform(array_sort(collect_list(struct(d, val))), s -> s.val)"
             ).alias("cv")
         )
+        # Materialize the k-row centroid table and cut its lineage:
+        # without this every later reference re-derives the ENTIRE
+        # previous iteration (the classic iterative-algorithm lineage
+        # blowup), and consumers that reference the final assignment
+        # more than once (semdedup's self-join) pay it multiplied.
+        # k rows × dim ints — negligible storage, bounded driver cost.
+        cents = cents.localCheckpoint(eager=True)
     return assign(pts, cents)
 
 

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .kmeans import kmeans_assign, kmeans_assign_ctes
-from .similarity import cosine_expr, cosine_sql
+from .similarity import sqnorm_expr, sqnorm_sql
 
 
 def semdedup_keep(
@@ -54,15 +54,31 @@ def semdedup_keep(
     purely to exercise the pruning path.
     """
     asg = kmeans_assign(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
-    asg = asg.select("vid", "v", "cid")
+    # The assignment feeds three plan branches (both self-join sides +
+    # the verdict join) — persist it so the codebook train and the
+    # final assign run once, not three times. Squared norms are
+    # precomputed per VECTOR here: computing them per PAIR inside the
+    # cosine (as cosine_expr does for one-shot use) would triple the
+    # array arithmetic on the O(Σ|cluster|²) hot path. Same integers,
+    # same double quotient — bit-identical verdicts.
+    asg = (
+        asg.select("vid", "v", "cid")
+        .withColumn("nsq", sqnorm_expr("v"))
+        .persist()
+    )
     a, b = asg.alias("a"), asg.alias("b")
+    pair_cos = F.expr(
+        "(aggregate(zip_with(a.v, b.v, (x, y) -> x * y), "
+        "cast(0 as bigint), (acc, v) -> acc + v)) / "
+        "sqrt(cast(a.nsq as double) * cast(b.nsq as double))"
+    )
     dropped = (
         a.join(
             b,
             (F.col("a.cid") == F.col("b.cid"))
             & (F.col("a.vid") < F.col("b.vid")),
         )
-        .filter(cosine_expr("a.v", "b.v") >= threshold)
+        .filter(pair_cos >= threshold)
         .select(F.col("b.vid").alias("vid"))
         .distinct()
     )
@@ -90,9 +106,11 @@ def semdedup_keep_sql(
     with_clause, final_assign = kmeans_assign_ctes(
         k=k, iters=iters, id_col=id_col, vec_col=vec_col, table=table
     )
-    cos = cosine_sql("a.v", "b.v")
+    dot = "list_sum([x[1] * x[2] for x in list_zip(a.v, b.v)])"
+    cos = f"({dot}) / sqrt(CAST(a.nsq AS DOUBLE) * CAST(b.nsq AS DOUBLE))"
     return f"""{with_clause},
-    asg AS ({final_assign}),
+    asg AS (SELECT vid, v, cid, {sqnorm_sql('v')} AS nsq
+            FROM ({final_assign})),
     dropped AS (
       SELECT DISTINCT b.vid
       FROM asg a JOIN asg b ON a.cid = b.cid AND a.vid < b.vid

@@ -52,6 +52,18 @@ def _sqnorm(a: str) -> str:
     return _dot(a, a)
 
 
+def sqnorm_expr(a: str) -> Column:
+    """Exact integer squared norm of a quantized array — precompute
+    this per vector before any pairwise stage (semdedup's self-join)
+    so the cosine denominator costs two lookups, not two array folds."""
+    return F.expr(_sqnorm(a))
+
+
+def sqnorm_sql(a: str) -> str:
+    """DuckDB twin of :func:`sqnorm_expr`."""
+    return f"list_sum([x * x for x in {a}])"
+
+
 def cosine_str(a: str, b: str) -> str:
     """Spark-SQL expression text for the exact-integer cosine."""
     return (

@@ -312,15 +312,17 @@ def kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_spec(
     "semdedup_prune",
-    _semdedup.semdedup_keep_sql(k=8, iters=2, threshold=0.35),
+    _semdedup.semdedup_keep_sql(k=16, iters=2, threshold=0.35),
     "training-data op: SemDeDup semantic dedup (arXiv:2303.09540) — "
     "k-means-bucketed within-cluster cosine pruning, keep-lowest-id. "
     "Deterministic Q20 k-means + exact-integer cosine make every "
     "keep/drop verdict bit-reproducible, so the oracle checks the full "
     "per-vector decision, not a contract. tau=0.35 because the "
     "synthetic embeddings are near-orthogonal (paper range 0.9-0.95 "
-    "for trained encoders); the pruning path is what's under test",
+    "for trained encoders); the pruning path is what's under test. "
+    "k=16 per the paper's k ∝ n sizing — pair work is Σ|cluster|², so "
+    "doubling k roughly quarters the hot-path cost at fixed n",
 )
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return _semdedup.semdedup_keep(emb, k=8, iters=2, threshold=0.35)
+    return _semdedup.semdedup_keep(emb, k=16, iters=2, threshold=0.35)
