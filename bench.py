@@ -88,6 +88,11 @@ HEADLINE = [
     "bpe_pair_merge_stats",
     "zorder_morton_keys",
     "pca_variance_contract",
+    # round 2, wave 5: graph motifs + curation + profiling — appended
+    "triangle_count_copurchase",
+    "token_budget_curation",
+    "cv_fold_assignment",
+    "correlation_matrix",
 ]
 
 

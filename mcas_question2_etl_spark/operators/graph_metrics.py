@@ -1,0 +1,121 @@
+"""Distributed graph metrics: co-occurrence edge derivation + triangle
+counting.
+
+Graph ops over relational data are a standard scale-out workload the
+reference's single-node stack cannot express (its only graph-shaped
+data is the district↔town crosswalk, create_school_town_lookup.Rmd).
+`operators/pagerank.py` covers iterative propagation; this module
+covers the one-shot motif side: build a co-occurrence graph from a
+fact table (parts bought together within an order — the market-basket
+graph) and count triangles, the core clustering-coefficient /
+community-density primitive.
+
+Scale design:
+  * Edge derivation caps the per-group clique expansion (``max_group``)
+    — a pathological order containing 10k parts would otherwise emit
+    50M pairs from one group; real market-basket pipelines apply the
+    same cap. The cap is part of the operator's declared semantics so
+    the differential oracle mirrors it exactly.
+  * Triangle counting uses the forward/compact-forward shape: edges
+    oriented low-id → high-id, each triangle counted exactly once at
+    its lowest vertex — join fan-out is Σ outdeg², not Σ deg².
+    The next step at true 100 TB scale is degree-based orientation
+    (orient toward the higher-degree endpoint), which bounds outdeg by
+    O(√m); same joins, one extra degree table — semantics unchanged.
+  * Everything is equi-joins + aggregates: shuffles on node ids, AQE
+    skew-split handles hub vertices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group: int = 8,
+) -> DataFrame:
+    """Undirected co-occurrence edges (a < b), deduplicated.
+
+    Items sharing a group (parts in one order) are connected; groups
+    larger than ``max_group`` distinct items are dropped whole (clique
+    blowup guard). Returns ``(a, b)`` with ``a < b``, one row per edge.
+    """
+    members = df.select(group_col, item_col).distinct()
+    sizes = members.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    bounded = members.join(
+        sizes.filter(F.col("__n") <= max_group).select(group_col), group_col
+    )
+    a = bounded.select(group_col, F.col(item_col).alias("a"))
+    b = bounded.select(group_col, F.col(item_col).alias("b"))
+    return (
+        a.join(b, group_col)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Count triangles in an undirected graph given (a < b) edges.
+
+    Forward algorithm: for the id-ordered triangle a < b < c, join the
+    two wedges at ``a`` — e1=(a,b), e2=(a,c) with b < c — and close
+    with e3=(b,c). One row out: nodes, edges, triangles.
+    """
+    e = edges.select("a", "b")
+    nodes = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.a") == F.col("e2.a")) & (F.col("e1.b") < F.col("e2.b")),
+    )
+    tris = wedges.join(
+        e3,
+        (F.col("e3.a") == F.col("e1.b")) & (F.col("e3.b") == F.col("e2.b")),
+    )
+    return (
+        nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(tris.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )
+
+
+def cooccurrence_triangles_sql(
+    table: str, group_col: str, item_col: str, max_group: int = 8
+) -> str:
+    """DuckDB twin of ``cooccurrence_edges`` + ``triangle_count``."""
+    return f"""
+    WITH members AS (
+      SELECT DISTINCT {group_col} AS g, {item_col} AS item FROM {table}
+    ), bounded AS (
+      SELECT g, item FROM members
+      WHERE g IN (SELECT g FROM members GROUP BY g
+                  HAVING COUNT(*) <= {max_group})
+    ), e AS (
+      SELECT DISTINCT a.item AS a, b.item AS b
+      FROM bounded a JOIN bounded b ON a.g = b.g AND a.item < b.item
+    ), nodes AS (
+      SELECT COUNT(DISTINCT n) AS n_nodes FROM (
+        SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+    ), edges AS (
+      SELECT COUNT(*) AS n_edges FROM e
+    ), tris AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    )
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles
+    FROM nodes, edges, tris
+    """

@@ -147,3 +147,36 @@ def weighted_sample_topk_sql(
     ORDER BY sample_key ASC, {key_col} ASC
     LIMIT {k}
     """
+
+
+def budget_head(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Greedy budget-constrained curation: walk each partition in
+    priority order, keep rows while the running weight stays within
+    ``budget``.
+
+    The LLM-corpus shape: "take the best documents from each source
+    until that source's token budget is spent". One window (sort within
+    the part_col shuffle, running SUM over unbounded-preceding rows) —
+    no iteration, no driver state; at 100 TB each source's scan is an
+    independent sorted partition stream.
+
+    ``order_cols`` must make the order total (include a unique id) or
+    the greedy prefix is nondeterministic. Adds ``cum_weight`` and
+    ``keep``.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        "cum_weight", F.sum(weight_col).over(w).cast("long")
+    ).withColumn("keep", F.col("cum_weight") <= budget)

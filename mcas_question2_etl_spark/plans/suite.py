@@ -16,6 +16,7 @@ from . import ml_geo_media as _ml_geo_media
 from . import relational as _relational
 from . import tpch as _tpch
 from . import wave4 as _wave4
+from . import wave5 as _wave5
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -30,6 +31,7 @@ _ALL: list[QuerySpec] = [
     *_ml_geo_media.SPECS,
     *_tpch.SPECS,
     *_wave4.SPECS,
+    *_wave5.SPECS,
 ]
 
 # The driver's correctness gate grades the FIRST 50 suite entries per
@@ -129,6 +131,12 @@ _NEW_THIS_ROUND: set[str] = {
     "bpe_pair_merge_stats",
     "zorder_morton_keys",
     "pca_variance_contract",
+    # wave 5 (this session): graph motifs, budgeted curation, CV folds,
+    # correlation matrix
+    "triangle_count_copurchase",
+    "token_budget_curation",
+    "cv_fold_assignment",
+    "correlation_matrix",
 }
 
 

@@ -868,3 +868,22 @@ def test_pagerank_deterministic_star_graph(spark):
           3: base + (85 * (r1[1] // 2)) // 100}
     assert got == r2
     assert got[1] > got[2] == got[3]  # hub outranks leaves
+
+
+def test_budget_head_greedy_prefix(spark):
+    """budget_head keeps the maximal priority-ordered prefix whose
+    cumulative weight fits the budget — per partition, deterministic."""
+    from mcas_question2_etl_spark.operators.sampling import budget_head
+
+    rows = [
+        ("s1", 1, 500),
+        ("s1", 2, 400),
+        ("s1", 3, 300),  # cum 1200 > 1000 -> dropped
+        ("s2", 4, 999),
+        ("s2", 5, 1),    # cum 1000 == budget -> kept
+        ("s2", 6, 1),    # cum 1001 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "src string, id long, w long")
+    out = budget_head(df, "src", [F.col("id")], "w", budget=1000)
+    kept = {r.id for r in out.collect() if r.keep}
+    assert kept == {1, 2, 4, 5}

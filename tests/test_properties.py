@@ -271,3 +271,35 @@ def test_group_ols_matches_numpy_polyfit(spark, xs, slope, icept):
     assert abs(row.intercept - coef[1]) < 1e-6
     if len(set(ys)) > 1:
         assert abs(row.r2 - 1.0) < 1e-9
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ).filter(lambda e: e[0] < e[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    """Forward-algorithm triangle count equals the O(n³) enumeration."""
+    from itertools import combinations
+
+    from mcas_question2_etl_spark.operators.graph_metrics import triangle_count
+
+    edges = sorted(set(edges))
+    eset = set(edges)
+    nodes = sorted({n for e in edges for n in e})
+    want = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in eset and (a, c) in eset and (b, c) in eset
+    )
+    df = spark.createDataFrame(edges, "a long, b long")
+    row = triangle_count(df).collect()[0]
+    assert row.n_triangles == want
+    assert row.n_edges == len(edges)
+    assert row.n_nodes == len(nodes)
