@@ -93,6 +93,11 @@ HEADLINE = [
     "token_budget_curation",
     "cv_fold_assignment",
     "correlation_matrix",
+    # round 2, wave 6: the explode-heavy diagnostics and the two-phase
+    # distributed rank — appended as always
+    "vocab_coverage_curve",
+    "source_token_divergence",
+    "ntile_price_deciles",
 ]
 
 

@@ -17,6 +17,7 @@ from . import relational as _relational
 from . import tpch as _tpch
 from . import wave4 as _wave4
 from . import wave5 as _wave5
+from . import wave6 as _wave6
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -32,6 +33,7 @@ _ALL: list[QuerySpec] = [
     *_tpch.SPECS,
     *_wave4.SPECS,
     *_wave5.SPECS,
+    *_wave6.SPECS,
 ]
 
 # The driver's correctness gate grades the FIRST 50 suite entries per
@@ -137,6 +139,17 @@ _NEW_THIS_ROUND: set[str] = {
     "token_budget_curation",
     "cv_fold_assignment",
     "correlation_matrix",
+    # wave 6 (this session): scorer evaluation, robust/winsorized
+    # stats, vocabulary + divergence diagnostics, gap-fill LOCF,
+    # incremental dedup, distributed ntile deciles
+    "auc_quality_score",
+    "welch_ttest_click_purchase",
+    "winsorized_price_stats",
+    "vocab_coverage_curve",
+    "source_token_divergence",
+    "events_daily_gapfill_locf",
+    "dedup_incremental_batch",
+    "ntile_price_deciles",
 }
 
 

@@ -303,3 +303,86 @@ def test_triangle_count_matches_bruteforce(spark, edges):
     assert row.n_triangles == want
     assert row.n_edges == len(edges)
     assert row.n_nodes == len(nodes)
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=40), min_size=1, max_size=60
+    ),
+    k=st.integers(min_value=1, max_value=7),
+)
+@settings(**_SETTINGS)
+def test_distributed_ntile_matches_sql_ntile(spark, vals, k):
+    """Two-phase distributed ntile == Spark's single-task NTILE window."""
+    from pyspark.sql import Window
+
+    from mcas_question2_etl_spark.operators.ranking import with_ntile
+
+    rows = [(v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "v long, id long")
+    got = {
+        r.id: r.bucket
+        for r in with_ntile(df, ["v", "id"], k, out_col="bucket").collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        r.id: r.bucket
+        for r in df.select("id", F.ntile(k).over(w).alias("bucket")).collect()
+    }
+    assert got == want
+
+
+@given(
+    scored=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),  # score (ties likely)
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=50,
+    ).filter(
+        lambda xs: any(y for _, y in xs) and any(not y for _, y in xs)
+    )
+)
+@settings(**_SETTINGS)
+def test_auc_rank_sum_matches_bruteforce(spark, scored):
+    """Grouped-by-score AUC == pairwise P(score_pos > score_neg) + ties/2."""
+    from mcas_question2_etl_spark.operators.evaluation import auc_rank_sum
+
+    pos = [s for s, y in scored if y]
+    neg = [s for s, y in scored if not y]
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    want = (wins + ties / 2) / (len(pos) * len(neg))
+
+    df = spark.createDataFrame(scored, "score long, label boolean")
+    row = auc_rank_sum(df, F.col("score"), F.col("label"), round_to=9).collect()[0]
+    assert row.n_pos == len(pos)
+    assert row.n_neg == len(neg)
+    assert abs(row.auc - want) < 1e-7
+
+
+def test_gapfill_locf_dense_grid(spark):
+    """Gap-fill emits the full series x day grid; LOCF carries the last
+    observed value across gap days and stays null before first sighting."""
+    import datetime as dt
+
+    from mcas_question2_etl_spark.operators.timeseries import gapfill_locf
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 5), 10.0),
+        ("a", dt.datetime(2024, 1, 4, 6), 40.0),
+        ("b", dt.datetime(2024, 1, 3, 7), 30.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = gapfill_locf(
+        df, "ts", "k", [F.avg("v").alias("av")], "av"
+    ).collect()
+    grid = {(r.k, r.day.isoformat()): (r.av, r.av_locf) for r in out}
+    assert len(grid) == 8  # 2 series x 4 days
+    assert grid[("a", "2024-01-02")] == (None, 10.0)
+    assert grid[("a", "2024-01-03")] == (None, 10.0)
+    assert grid[("a", "2024-01-04")] == (40.0, 40.0)
+    assert grid[("b", "2024-01-01")] == (None, None)
+    assert grid[("b", "2024-01-03")] == (30.0, 30.0)
+    assert grid[("b", "2024-01-04")] == (None, 30.0)
