@@ -65,8 +65,14 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     Forward algorithm: for the id-ordered triangle a < b < c, join the
     two wedges at ``a`` — e1=(a,b), e2=(a,c) with b < c — and close
     with e3=(b,c). One row out: nodes, edges, triangles.
+
+    The edge list is consumed FIVE times (node count, edge count, and
+    all three legs of the wedge-close join), so it is persisted —
+    without it the whole upstream edge derivation (distinct + clique
+    cap + self-join) re-executes per consumer, which showed up in the
+    plan audit as ~45 exchanges instead of the handful below.
     """
-    e = edges.select("a", "b")
+    e = edges.select("a", "b").persist()
     nodes = (
         e.select(F.col("a").alias("n"))
         .unionByName(e.select(F.col("b").alias("n")))
