@@ -98,6 +98,8 @@ HEADLINE = [
     "vocab_coverage_curve",
     "source_token_divergence",
     "ntile_price_deciles",
+    # round 2, wave 7: the per-user window feature backfill — appended
+    "rolling_7d_user_value",
 ]
 
 

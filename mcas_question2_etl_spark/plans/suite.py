@@ -18,6 +18,7 @@ from . import tpch as _tpch
 from . import wave4 as _wave4
 from . import wave5 as _wave5
 from . import wave6 as _wave6
+from . import wave7 as _wave7
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -34,6 +35,7 @@ _ALL: list[QuerySpec] = [
     *_wave4.SPECS,
     *_wave5.SPECS,
     *_wave6.SPECS,
+    *_wave7.SPECS,
 ]
 
 # The driver's correctness gate grades the FIRST 50 suite entries per
@@ -150,6 +152,13 @@ _NEW_THIS_ROUND: set[str] = {
     "events_daily_gapfill_locf",
     "dedup_incremental_batch",
     "ntile_price_deciles",
+    # wave 7 (this session): longitudinal analytics — rolling features,
+    # growth accounting, PoP reporting, calibration, anomaly flags
+    "rolling_7d_user_value",
+    "daily_active_new_returning",
+    "monthly_revenue_growth",
+    "score_calibration_deciles",
+    "anomaly_days_zscore",
 }
 
 
