@@ -41,7 +41,11 @@ def pagerank(edges: DataFrame, iters: int = 2) -> DataFrame:
     receives at least one in-edge (symmetrize the edge list first if
     every node must survive; isolated nodes never enter the graph).
     """
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # edges and deg are consumed every iteration (plus deg seeds the
+    # ranks): persist both so the upstream edge derivation and the
+    # degree shuffle run once, not once per consumer per round
+    edges = edges.persist()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(PR_SCALE).cast("bigint").alias("rank")
     )
