@@ -19,6 +19,7 @@ from . import wave4 as _wave4
 from . import wave5 as _wave5
 from . import wave6 as _wave6
 from . import wave7 as _wave7
+from . import wave8 as _wave8
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -36,6 +37,7 @@ _ALL: list[QuerySpec] = [
     *_wave5.SPECS,
     *_wave6.SPECS,
     *_wave7.SPECS,
+    *_wave8.SPECS,
 ]
 
 # The driver's correctness gate grades the FIRST 50 suite entries per
@@ -159,6 +161,9 @@ _NEW_THIS_ROUND: set[str] = {
     "monthly_revenue_growth",
     "score_calibration_deciles",
     "anomaly_days_zscore",
+    # wave 8 (this session): operational diagnostics
+    "join_key_skew_report",
+    "event_debounce_dedup",
 }
 
 
