@@ -887,3 +887,35 @@ def test_budget_head_greedy_prefix(spark):
     out = budget_head(df, "src", [F.col("id")], "w", budget=1000)
     kept = {r.id for r in out.collect() if r.keep}
     assert kept == {1, 2, 4, 5}
+
+
+def test_welch_ttest_matches_numpy(spark):
+    """Welch t / dof equal the textbook formulas computed in numpy."""
+    import numpy as np
+
+    from mcas_question2_etl_spark.operators.evaluation import welch_ttest
+
+    a = [1.0, 2.5, 3.5, 4.0, 10.0]
+    b = [2.0, 2.0, 3.0, 8.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = welch_ttest(df, F.col("v"), F.col("g"), "a", "b", round_to=6).collect()[0]
+    va, vb = np.var(a, ddof=1), np.var(b, ddof=1)
+    sa, sb = va / len(a), vb / len(b)
+    t = (np.mean(a) - np.mean(b)) / np.sqrt(sa + sb)
+    dof = (sa + sb) ** 2 / (sa**2 / (len(a) - 1) + sb**2 / (len(b) - 1))
+    assert r.n_a == 5 and r.n_b == 4
+    assert abs(r.t_stat - round(t, 6)) < 1e-9
+    assert abs(r.dof - round(dof, 6)) < 1e-9
+
+
+def test_global_row_number_is_total_order(spark):
+    """Two-phase global row_number is a 1..n bijection honoring the
+    sort order, regardless of input partitioning."""
+    from mcas_question2_etl_spark.operators.ranking import with_global_row_number
+
+    rows = [(v % 7, i) for i, v in enumerate([5, 3, 9, 1, 7, 7, 2, 8, 0, 4] * 5)]
+    df = spark.createDataFrame(rows, "v long, id long").repartition(13)
+    out = with_global_row_number(df, ["v", "id"], out_col="rn").collect()
+    got = sorted((r.v, r.id, r.rn) for r in out)
+    assert [g[2] for g in got] == list(range(1, len(rows) + 1))
