@@ -20,6 +20,7 @@ from . import wave5 as _wave5
 from . import wave6 as _wave6
 from . import wave7 as _wave7
 from . import wave8 as _wave8
+from . import wave9 as _wave9
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -38,6 +39,7 @@ _ALL: list[QuerySpec] = [
     *_wave6.SPECS,
     *_wave7.SPECS,
     *_wave8.SPECS,
+    *_wave9.SPECS,
 ]
 
 # The driver's correctness gate grades the FIRST 50 suite entries per
@@ -164,6 +166,10 @@ _NEW_THIS_ROUND: set[str] = {
     # wave 8 (this session): operational diagnostics
     "join_key_skew_report",
     "event_debounce_dedup",
+    # wave 9 (this session): Gopher repetition metrics + Z-order
+    # pruning-effectiveness probe
+    "repetition_quality_report",
+    "zorder_pruning_stats",
 }
 
 
