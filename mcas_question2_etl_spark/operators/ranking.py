@@ -60,6 +60,45 @@ def with_global_row_number(
     )
 
 
+def with_running_sum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Adds ``out_col`` = prefix sum of ``value_col`` over the global
+    total order — the distributed scan primitive.
+
+    Same two-phase shape as :func:`with_global_row_number`: range
+    shuffle on the order key, per-partition window prefix sums (fully
+    parallel), then each partition's TOTAL gets a running offset via a
+    window over the #partitions-row table, broadcast back. A plain
+    ``SUM() OVER (ORDER BY ...)`` window executes as ONE task holding
+    every row; this stays parallel at any scale. ``order_cols`` must be
+    a unique total order for a deterministic result.
+    """
+    parts = df.repartitionByRange(
+        *([num_partitions] if num_partitions else []), *order_cols
+    ).withColumn("__pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parts.withColumn("__local_sum", F.sum(value_col).over(w_local))
+    totals = local.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__offset", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
+    ).select("__pid", "__offset")
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__local_sum") + F.col("__offset"))
+        .drop("__pid", "__local_sum")
+    )
+
+
 def with_ntile(
     df: DataFrame,
     order_cols: list,

@@ -21,6 +21,7 @@ from . import wave6 as _wave6
 from . import wave7 as _wave7
 from . import wave8 as _wave8
 from . import wave9 as _wave9
+from . import wave10 as _wave10
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -40,6 +41,7 @@ _ALL: list[QuerySpec] = [
     *_wave7.SPECS,
     *_wave8.SPECS,
     *_wave9.SPECS,
+    *_wave10.SPECS,
 ]
 
 # The driver's correctness gate grades the FIRST 50 suite entries per
@@ -170,6 +172,8 @@ _NEW_THIS_ROUND: set[str] = {
     # pruning-effectiveness probe
     "repetition_quality_report",
     "zorder_pruning_stats",
+    # wave 10 (this session): distributed prefix-sum sweep line
+    "session_concurrency_peak",
 }
 
 

@@ -386,3 +386,37 @@ def test_gapfill_locf_dense_grid(spark):
     assert grid[("b", "2024-01-01")] == (None, None)
     assert grid[("b", "2024-01-03")] == (30.0, 30.0)
     assert grid[("b", "2024-01-04")] == (None, 30.0)
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),   # order key (ties)
+            st.integers(min_value=-5, max_value=5),   # value
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**_SETTINGS)
+def test_distributed_running_sum_matches_sql_window(spark, vals):
+    """Two-phase prefix sum == single-task SUM() OVER (ORDER BY)."""
+    from pyspark.sql import Window
+
+    from mcas_question2_etl_spark.operators.ranking import with_running_sum
+
+    rows = [(k, v, i) for i, (k, v) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, v long, id long").repartition(7)
+    got = {
+        r.id: r.rs
+        for r in with_running_sum(df, ["k", "id"], "v", out_col="rs").collect()
+    }
+    w = (
+        Window.orderBy("k", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r.id: r.rs
+        for r in df.select("id", F.sum("v").over(w).alias("rs")).collect()
+    }
+    assert got == want
