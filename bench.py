@@ -100,6 +100,10 @@ HEADLINE = [
     "ntile_price_deciles",
     # round 2, wave 7: the per-user window feature backfill — appended
     "rolling_7d_user_value",
+    # round 2, waves 9-10: scan-stage repetition metrics and the
+    # two-phase distributed sweep line — appended as always
+    "repetition_quality_report",
+    "session_concurrency_peak",
 ]
 
 
