@@ -22,6 +22,7 @@ from . import wave7 as _wave7
 from . import wave8 as _wave8
 from . import wave9 as _wave9
 from . import wave10 as _wave10
+from . import wave11 as _wave11
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -42,6 +43,7 @@ _ALL: list[QuerySpec] = [
     *_wave8.SPECS,
     *_wave9.SPECS,
     *_wave10.SPECS,
+    *_wave11.SPECS,
 ]
 
 # The driver's correctness gate grades the FIRST 50 suite entries per
@@ -174,6 +176,8 @@ _NEW_THIS_ROUND: set[str] = {
     "zorder_pruning_stats",
     # wave 10 (this session): distributed prefix-sum sweep line
     "session_concurrency_peak",
+    # wave 11 (this session): exact prefix-filter similarity join
+    "prefix_filter_jaccard_pairs",
 }
 
 
