@@ -23,6 +23,7 @@ from . import wave8 as _wave8
 from . import wave9 as _wave9
 from . import wave10 as _wave10
 from . import wave11 as _wave11
+from . import wave12 as _wave12
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -44,6 +45,7 @@ _ALL: list[QuerySpec] = [
     *_wave9.SPECS,
     *_wave10.SPECS,
     *_wave11.SPECS,
+    *_wave12.SPECS,
 ]
 
 # The driver's correctness gate grades the FIRST 50 suite entries per
@@ -178,6 +180,8 @@ _NEW_THIS_ROUND: set[str] = {
     "session_concurrency_peak",
     # wave 11 (this session): exact prefix-filter similarity join
     "prefix_filter_jaccard_pairs",
+    # wave 12 (this session): nested array-of-structs toolkit
+    "order_items_nested_ops",
 }
 
 
