@@ -1,0 +1,109 @@
+"""Distributed spatial join: grid-indexed point-in-polygon, ray casting
+as pure SQL expressions — no UDF, no geo library.
+
+The reference's GIS stage tests point/shape containment implicitly via
+GeoPandas (dags/district_gis_etl.py); `functions/geo.py` covers its
+validity/reprojection semantics with pandas UDFs. This module adds the
+JOIN form — "which polygon contains each of N billion points" — in the
+shape that scales:
+
+1. polygons (few, small) carry coordinate ARRAYS; their bounding boxes
+   are exploded onto a fixed grid (one row per covered cell) and
+   BROADCAST;
+2. points compute their grid cell in the scan stage and join on the
+   cell id — the only join, and it is broadcast, so points never
+   shuffle;
+3. the exact even-odd ray cast runs as a higher-order array expression
+   (filter + CASE over the edge list) inside the same stage —
+   whole-stage-codegen, not Python.
+
+The ray cast is the textbook even-odd rule: count edges whose y-span
+straddles the point and whose x-intercept at the point's y lies right
+of the point. The edge test sits under a CASE guard so the intercept
+division only evaluates on straddling edges (also how we stay safe
+under ANSI division; fixtures avoid horizontal edges, which the guard
+skips anyway). Both engines evaluate the identical arithmetic, so the
+oracle matches exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def pip_expr_spark(xs: str, ys: str, px: str, py: str) -> Column:
+    """Even-odd point-in-polygon as a Spark higher-order expression.
+
+    ``xs``/``ys`` name closed-ring coordinate array columns (first
+    vertex repeated last); ``px``/``py`` name point columns. Spark
+    arrays are 0-indexed: edges are (i, i+1) for i in 0..n-2.
+    """
+    return F.expr(
+        f"""
+        size(filter(sequence(0, size({xs}) - 2), i ->
+          CASE WHEN ({ys}[i] > {py}) != ({ys}[i + 1] > {py})
+               THEN {px} < {xs}[i] + ({xs}[i + 1] - {xs}[i])
+                          * ({py} - {ys}[i]) / ({ys}[i + 1] - {ys}[i])
+               ELSE false END)) % 2 = 1
+        """
+    )
+
+
+def pip_expr_sql(xs: str, ys: str, px: str, py: str) -> str:
+    """DuckDB twin of :func:`pip_expr_spark` (1-indexed lists)."""
+    return f"""
+        len(list_filter(range(1, len({xs})), i ->
+          CASE WHEN ({ys}[i] > {py}) != ({ys}[i + 1] > {py})
+               THEN {px} < {xs}[i] + ({xs}[i + 1] - {xs}[i])
+                          * ({py} - {ys}[i]) / ({ys}[i + 1] - {ys}[i])
+               ELSE false END)) % 2 = 1
+    """
+
+
+def polygon_grid_cells(polygons: DataFrame, cell: float) -> DataFrame:
+    """Explode each polygon's bounding box onto grid cells: one row per
+    (poly_id, cx, cy) the bbox covers. Polygons are few; the result is
+    the small broadcast side of the spatial join."""
+    return polygons.select(
+        "poly_id",
+        "xs",
+        "ys",
+        F.explode(
+            F.sequence(
+                F.floor(F.array_min("xs") / cell),
+                F.floor(F.array_max("xs") / cell),
+            )
+        ).alias("cx"),
+    ).select(
+        "poly_id",
+        "xs",
+        "ys",
+        "cx",
+        F.explode(
+            F.sequence(
+                F.floor(F.array_min("ys") / cell),
+                F.floor(F.array_max("ys") / cell),
+            )
+        ).alias("cy"),
+    )
+
+
+def point_in_polygon_join(
+    points: DataFrame, polygons: DataFrame, cell: float
+) -> DataFrame:
+    """(point columns..., poly_id) for every point inside a polygon.
+
+    ``points`` needs double columns px, py; ``polygons`` needs poly_id
+    and closed-ring double arrays xs, ys. Exact even-odd containment;
+    the grid prunes the candidate set and the polygon side broadcasts.
+    """
+    cells = polygon_grid_cells(polygons, cell)
+    pts = points.withColumn(
+        "cx", F.floor(F.col("px") / cell)
+    ).withColumn("cy", F.floor(F.col("py") / cell))
+    return (
+        pts.join(F.broadcast(cells), ["cx", "cy"])
+        .filter(pip_expr_spark("xs", "ys", "px", "py"))
+        .drop("cx", "cy", "xs", "ys")
+    )

@@ -24,6 +24,7 @@ from . import wave9 as _wave9
 from . import wave10 as _wave10
 from . import wave11 as _wave11
 from . import wave12 as _wave12
+from . import wave13 as _wave13
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -46,6 +47,7 @@ _ALL: list[QuerySpec] = [
     *_wave10.SPECS,
     *_wave11.SPECS,
     *_wave12.SPECS,
+    *_wave13.SPECS,
 ]
 
 # The driver's correctness gate grades the FIRST 50 suite entries per
@@ -182,6 +184,8 @@ _NEW_THIS_ROUND: set[str] = {
     "prefix_filter_jaccard_pairs",
     # wave 12 (this session): nested array-of-structs toolkit
     "order_items_nested_ops",
+    # wave 13 (this session): grid-indexed spatial join
+    "spatial_point_in_polygon",
 }
 
 
