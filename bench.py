@@ -104,6 +104,11 @@ HEADLINE = [
     # two-phase distributed sweep line — appended as always
     "repetition_quality_report",
     "session_concurrency_peak",
+    # round 2, waves 11-13: exact prefix-filter similarity join,
+    # nested-struct toolkit, grid-indexed spatial join — appended
+    "prefix_filter_jaccard_pairs",
+    "order_items_nested_ops",
+    "spatial_point_in_polygon",
 ]
 
 
