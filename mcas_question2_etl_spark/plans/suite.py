@@ -62,16 +62,17 @@ _ALL: list[QuerySpec] = [
 # need a row — no per-round hand-editing.
 
 
-def _driver_status() -> dict[str, bool]:
+def _driver_status(root: str | None = None) -> dict[str, bool]:
     """Latest driver verdict per spec across all CORRECTNESS_r*.json:
     True = fully green (rows+schema+hash all matched)."""
     import glob
     import json
     import os
 
-    root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
+    if root is None:
+        root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
     status: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
@@ -112,7 +113,7 @@ _R1_UNROWED: tuple[str, ...] = (
     "skew_salted_agg", "skew_salted_join", "events_sliding_window",
     "events_session_window_batch", "asof_join_forward_next_purchase",
     "merge_upsert_customers", "changelog_latest_state",
-    "hll_distinct_users", "hll_sketch_rollup", "heavy_hitters_users",
+    "hll_distinct_users_accuracy", "hll_sketch_rollup", "heavy_hitters_users",
     "approx_percentile_accuracy", "geo_reproject_validity",
     "glm_tidy_coefficients", "multimodal_feature_extract",
     "multimodal_frame_sample",

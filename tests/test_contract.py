@@ -60,3 +60,45 @@ def test_entry_smoke(spark):
     names = set(e.queries())
     oracle = e.oracle_sql()
     assert set(oracle) <= names
+
+
+def test_round_order_rotation(tmp_path):
+    """Window rotation: graded-red first, then the r1 gap list, then
+    never-graded in declaration order, with already-green specs last;
+    a later round's verdict overrides an earlier one."""
+    import json
+
+    from mcas_question2_etl_spark.plans import suite as S
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "a_green": {"rows_match": True, "schema_match": True, "hash_match": True},
+                "b_red": {"rows_match": True, "schema_match": True, "hash_match": False},
+                "c_flipped": {"rows_match": True, "schema_match": True, "hash_match": True},
+            }
+        )
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps(
+            {"c_flipped": {"rows_match": False, "schema_match": True, "hash_match": False}}
+        )
+    )
+    st = S._driver_status(str(tmp_path))
+    assert st == {"a_green": True, "b_red": False, "c_flipped": False}
+
+    # live ordering properties against the real verdict files
+    names = [s.name for s in S.SPECS]
+    assert len(names) == len(set(names))
+    green = S._driver_status()
+    graded_red = [n for n in names if n in green and not green[n]]
+    for n in graded_red:  # red rows always precede every green row
+        assert names.index(n) < min(
+            names.index(g) for g, ok in green.items() if ok
+        )
+    # every r1-gap spec that is still row-less sits inside the first
+    # len(graded_red) + len(gap) slots
+    gap = [n for n in S._R1_UNROWED if n not in green]
+    cutoff = len(graded_red) + len(gap)
+    for n in gap:
+        assert names.index(n) < cutoff
