@@ -420,3 +420,85 @@ def test_distributed_running_sum_matches_sql_window(spark, vals):
         for r in df.select("id", F.sum("v").over(w).alias("rs")).collect()
     }
     assert got == want
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),
+            st.integers(min_value=0, max_value=60),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_point_in_polygon_matches_python_raycast(spark, pts):
+    """Expression-level even-odd ray cast == the same rule in python,
+    and the grid join finds exactly the contained points."""
+    from mcas_question2_etl_spark.operators.spatial import point_in_polygon_join
+
+    # concave hexagon, closed ring, no horizontal edges
+    ring = [(10.0, 10.0), (50.0, 14.0), (30.0, 30.0), (52.0, 48.0),
+            (12.0, 44.0), (10.0, 10.0)]
+    xs = [p[0] for p in ring]
+    ys = [p[1] for p in ring]
+
+    def inside(px, py):
+        hit = False
+        for i in range(len(ring) - 1):
+            if (ys[i] > py) != (ys[i + 1] > py):
+                xint = xs[i] + (xs[i + 1] - xs[i]) * (py - ys[i]) / (
+                    ys[i + 1] - ys[i]
+                )
+                if px < xint:
+                    hit = not hit
+        return hit
+
+    # offset by 0.5 so points never sit exactly on a vertex/edge lattice
+    rows = [(i, x + 0.5, y + 0.5) for i, (x, y) in enumerate(pts)]
+    want = {i for i, x, y in rows if inside(x, y)}
+    points = spark.createDataFrame(rows, "pid long, px double, py double")
+    polys = spark.createDataFrame(
+        [("h", xs, ys)], "poly_id string, xs array<double>, ys array<double>"
+    )
+    got = {
+        r.pid for r in point_in_polygon_join(points, polys, 10.0).collect()
+    }
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_prefix_filter_join_matches_bruteforce(spark, docs):
+    """Prefix-filter candidate pruning loses no pair: output equals the
+    all-pairs exact Jaccard join at the same threshold."""
+    from mcas_question2_etl_spark.operators.setjoin import (
+        prefix_filter_jaccard_join,
+    )
+
+    t = 0.5
+    sets = [set(d) for d in docs]
+    want = {}
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if union and inter / union >= t:
+                want[(i, j)] = (inter, union)
+
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prefix_filter_jaccard_join(df, "doc_id", "text", t).collect()
+    got = {(r.a_id, r.b_id): (r.n_inter, r.n_union) for r in out}
+    assert got == want
