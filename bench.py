@@ -109,6 +109,13 @@ HEADLINE = [
     "prefix_filter_jaccard_pairs",
     "order_items_nested_ops",
     "spatial_point_in_polygon",
+    # wave 14: hypertable rollup chain, binned interval join, Poisson
+    # bootstrap, SQ8 ANN, bigram LM scoring — appended as always
+    "time_bucket_rollup_chain",
+    "interval_overlap_pairs",
+    "poisson_bootstrap_ci",
+    "sq_ann_topk",
+    "bigram_logprob_quality",
 ]
 
 

@@ -658,3 +658,83 @@ def term_cooccurrence_lift_sql(
     ORDER BY n_ab DESC, t1, t2
     LIMIT {top_pairs}
     """
+
+
+def bigram_logprob_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Second-order LM quality proxy: per-doc mean add-one-smoothed
+    bigram negative log-probability -ln((c(w1,w2)+1)/(c1(w1)+V)) under
+    the corpus's own bigram distribution, where c1 counts w1 in
+    non-final positions and V is the corpus vocabulary. Catches the
+    word-salad documents a unigram table scores as fluent (every token
+    common, no token ORDER) — the standard step up from
+    :func:`unigram_logprob_quality` before reaching for a real KenLM.
+
+    Scale shape: bigrams come from a scan-stage slice+transform (no
+    self-join of positions); the bigram table shuffles fixed-width
+    (w1,w2) keys with map-side combine and is Zipf-bounded, so it
+    broadcasts back; the per-doc score is ONE doc-keyed aggregation.
+    The per-doc double sum spans ~hundreds of terms — far inside the
+    gate's 9-significant-digit tolerance.
+    """
+    toks = tokens(text_col)
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(slice(split({text_col}, ' '), 1, "
+                f"size(split({text_col}, ' ')) - 1), "
+                f"(t, i) -> struct(t as w1, split({text_col}, ' ')[i + 1] as w2))"
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    first = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        df.select(F.explode(toks).alias("t"))
+        .agg(F.count_distinct("t").cast("double").alias("v"))
+    )
+    nll = -F.log(
+        (F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v"))
+    )
+    return (
+        pairs.join(F.broadcast(big), ["w1", "w2"])
+        .join(F.broadcast(first), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(nll).alias("sum_nll"),
+            (F.sum(nll) / F.count(F.lit(1))).alias("mean_nll"),
+        )
+    )
+
+
+def bigram_logprob_quality_sql(
+    id_col: str = "doc_id", text_col: str = "text", table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`bigram_logprob_quality`."""
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, string_split({text_col}, ' ') AS ts FROM {table}
+    ),
+    pairs AS (
+      SELECT {id_col}, ts[i] AS w1, ts[i + 1] AS w2
+      FROM toks, unnest(range(1, len(ts))) AS t(i)
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2),
+    firsts AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS v
+      FROM (SELECT unnest(string_split({text_col}, ' ')) AS t FROM {table})
+    )
+    SELECT p.{id_col},
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           SUM(-ln((big.c12 + 1.0) / (firsts.c1 + vocab.v))) AS sum_nll,
+           SUM(-ln((big.c12 + 1.0) / (firsts.c1 + vocab.v))) / COUNT(*) AS mean_nll
+    FROM pairs p JOIN big USING (w1, w2) JOIN firsts USING (w1) CROSS JOIN vocab
+    GROUP BY p.{id_col}
+    """

@@ -25,6 +25,8 @@ series-key exchange then feeds the LOCF window.)
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -73,4 +75,51 @@ def gapfill_locf(
     )
     return dense.withColumn(
         f"{locf_col}_locf", F.last(locf_col, ignorenulls=True).over(w)
+    )
+
+
+def time_bucket_rollup(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    bucket_seconds: int,
+    value_col: str,
+) -> DataFrame:
+    """Finest-grain hypertable rollup: one row per (keys, bucket) with
+    additive summaries ``n_events`` / ``sum_key`` / ``min_us`` /
+    ``max_us``. The bucket is integer epoch-micros floor-divided — the
+    TimescaleDB ``time_bucket`` shape, exact in any engine.
+
+    This is the table you MATERIALIZE (continuous-aggregate style):
+    every coarser grain derives from it via :func:`rollup_coarser`
+    without ever rescanning raw events. At 100 TB the raw scan happens
+    once; hour->day->week rollups then reduce an already
+    events/bucket_seconds-times-smaller table.
+    """
+    us = bucket_seconds * 1_000_000
+    bucket = (F.floor(F.unix_micros(F.col(ts_col)) / F.lit(us)) * us).alias(
+        "bucket_us"
+    )
+    return df.groupBy(*keys, bucket).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("long")).alias("sum_key"),
+        F.min(F.unix_micros(F.col(ts_col))).alias("min_us"),
+        F.max(F.unix_micros(F.col(ts_col))).alias("max_us"),
+    )
+
+
+def rollup_coarser(
+    fine: DataFrame, keys: Sequence[str], coarse_seconds: int
+) -> DataFrame:
+    """Derive a coarser grain FROM a finer rollup (never from raw
+    events): additive merge of the summaries under the coarser bucket.
+    Requires ``coarse_seconds`` to be a multiple of the fine grain so
+    every fine bucket nests in exactly one coarse bucket."""
+    us = coarse_seconds * 1_000_000
+    coarse = (F.floor(F.col("bucket_us") / F.lit(us)) * us).alias("bucket_us")
+    return fine.groupBy(*keys, coarse).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_key").alias("sum_key"),
+        F.min("min_us").alias("min_us"),
+        F.max("max_us").alias("max_us"),
     )

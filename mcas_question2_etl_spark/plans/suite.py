@@ -25,6 +25,7 @@ from . import wave10 as _wave10
 from . import wave11 as _wave11
 from . import wave12 as _wave12
 from . import wave13 as _wave13
+from . import wave14 as _wave14
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -48,6 +49,7 @@ _ALL: list[QuerySpec] = [
     *_wave11.SPECS,
     *_wave12.SPECS,
     *_wave13.SPECS,
+    *_wave14.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
