@@ -116,6 +116,11 @@ HEADLINE = [
     "poisson_bootstrap_ci",
     "sq_ann_topk",
     "bigram_logprob_quality",
+    # wave 15: IVF-SQ composition, deletion-neighborhood edit join,
+    # histogram join-cardinality — appended as always
+    "ann_ivf_sq_topk",
+    "edit_distance_neighbors",
+    "join_cardinality_estimate",
 ]
 
 

@@ -339,3 +339,95 @@ def sq_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
     SELECT vec_id, label, sq_dist FROM scored
     ORDER BY sq_dist ASC, vec_id LIMIT {k}
     """
+
+
+def ivf_sq_topk(
+    emb: DataFrame,
+    query_vec_id: int = 1,
+    k: int = 5,
+    n_centroids: int = 8,
+) -> DataFrame:
+    """The full IVF-SQ serving index: coarse quantization prunes the
+    scan to the query's cell (as :func:`ivf_topk`), and WITHIN the cell
+    candidates are ranked by asymmetric distance over 1-byte SQ codes
+    (as :func:`sq_topk`). This is the FAISS ``IVFx,SQ8`` composition —
+    at 100 TB the table is partitioned by cell AND stored as codes, so
+    a probe reads 1/n_centroids of a 4x-compressed table: two
+    multiplicative scan reductions from one layout.
+
+    Output: k nearest ``(vec_id, label, cid, sq_dist)`` by ascending
+    ADC squared-L2, ties by vec_id.
+    """
+    cent_row = F.broadcast(
+        emb.filter(F.col("vec_id") < n_centroids)
+        .select(F.col("vec_id").alias("cid"), quantize("embedding").alias("cv"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents"))
+    )
+    argmax_cid = F.expr(
+        "array_max(transform(cents, c -> "
+        f"struct({cosine_str('ev', 'c.cv')} AS cos, "
+        "-c.cid AS ncid, c.cid AS cid))).cid"
+    )
+    cells = (
+        emb.select(
+            "vec_id",
+            "label",
+            quantize("embedding").alias("ev"),
+            sq_encode("embedding").alias("code"),
+        )
+        .crossJoin(cent_row)
+        .select("vec_id", "label", "code", argmax_cid.alias("cid"))
+    )
+    qcell = F.broadcast(
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("vec_id"), quantize("embedding").alias("ev"))
+        .crossJoin(cent_row)
+        .select(argmax_cid.alias("qcid"), F.col("ev").alias("qv"))
+    )
+    dist = F.expr(
+        f"aggregate(zip_with(qv, code, (q, c) -> (q - cast(c as bigint) * {SQ_RECON}) "
+        f"* (q - cast(c as bigint) * {SQ_RECON})), 0L, (acc, x) -> acc + x)"
+    )
+    return (
+        cells.join(qcell, cells["cid"] == qcell["qcid"], "inner")
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "label", "cid", dist.alias("sq_dist"))
+        .orderBy(F.col("sq_dist").asc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_sq_topk_sql(query_vec_id: int = 1, k: int = 5, n_centroids: int = 8) -> str:
+    """DuckDB twin of :func:`ivf_sq_topk`: the ivf cell assignment
+    composed with the SQ ADC ranking, kept adjacent to stay in sync."""
+    qe = quantize_sql("embedding")
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, {qe} AS cv FROM embeddings WHERE vec_id < {n_centroids}
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, {qe} AS ev,
+             {sq_encode_sql('e.embedding')} AS code, c.cid,
+             {cosine_sql(quantize_sql('e.embedding'), 'c.cv')} AS c_cos
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    cells AS (
+      SELECT vec_id, label, ev, code, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY c_cos DESC, cid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    qcell AS (
+      SELECT cid AS qcid, ev AS qv FROM cells WHERE vec_id = {query_vec_id}
+    )
+    SELECT c.vec_id, c.label, c.cid,
+           CAST(list_sum([(x[1] - CAST(x[2] AS BIGINT) * {SQ_RECON})
+                          * (x[1] - CAST(x[2] AS BIGINT) * {SQ_RECON})
+                          for x in list_zip(q.qv, c.code)]) AS BIGINT) AS sq_dist
+    FROM cells c JOIN qcell q ON c.cid = q.qcid
+    WHERE c.vec_id <> {query_vec_id}
+    ORDER BY sq_dist ASC, c.vec_id
+    LIMIT {k}
+    """

@@ -26,6 +26,7 @@ from . import wave11 as _wave11
 from . import wave12 as _wave12
 from . import wave13 as _wave13
 from . import wave14 as _wave14
+from . import wave15 as _wave15
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -50,6 +51,7 @@ _ALL: list[QuerySpec] = [
     *_wave12.SPECS,
     *_wave13.SPECS,
     *_wave14.SPECS,
+    *_wave15.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
