@@ -121,6 +121,11 @@ HEADLINE = [
     "ann_ivf_sq_topk",
     "edit_distance_neighbors",
     "join_cardinality_estimate",
+    # wave 16: perceptual-hash near-dup, SFT conversation assembly,
+    # dyadic EWMA — appended as always
+    "phash_image_neardup",
+    "sft_conversation_render",
+    "ewma_daily_smoothing",
 ]
 
 

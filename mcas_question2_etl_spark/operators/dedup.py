@@ -18,6 +18,8 @@ Scale design:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -457,3 +459,79 @@ def duplicated_spans_sql(
     LEFT JOIN per_doc p ON p.{id_col} = t.{id_col}
     LEFT JOIN dup_doc d ON d.{id_col} = t.{id_col}
     """
+
+
+def hamming_band_pairs(
+    df: DataFrame,
+    id_col: str,
+    word_cols: Sequence[str],
+    max_hamming: int,
+    band_bits: int = 16,
+) -> DataFrame:
+    """All unordered id pairs whose bit fingerprints (given as 32-bit
+    words) differ in <= ``max_hamming`` bits — WITHOUT the all-pairs
+    scan. This is the hamming-ball analogue of banded MinHash-LSH, and
+    the standard pairing stage for perceptual hashes (aHash/pHash) and
+    SimHash fingerprints.
+
+    Soundness is the pigeonhole: the fingerprint splits into
+    ``(32 * len(word_cols)) / band_bits`` bands; two fingerprints
+    within hamming distance d < n_bands must agree EXACTLY on at least
+    one band, so an equi-join on (band_index, band_value) finds every
+    qualifying pair as long as ``max_hamming <= n_bands - 1`` (asserted
+    here). Candidates are then verified with an exact
+    bit_count(xor) — false positives die, recall is exactly 1.
+
+    Scale shape: each row emits n_bands fixed-width (band_idx, value)
+    keys in the scan stage; the join shuffles those 12-byte keys, never
+    payloads; verification touches only same-band candidates. Output:
+    ``(a_id, b_id, hamming)``.
+    """
+    n_bands = 32 * len(word_cols) // band_bits
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs > {n_bands} bands for "
+            f"guaranteed recall (have {n_bands}); lower it or shrink band_bits"
+        )
+    mask = (1 << band_bits) - 1
+    per_word = 32 // band_bits
+    bands = F.array(
+        *[
+            F.expr(
+                f"named_struct('bi', {w * per_word + j}, "
+                f"'bv', cast(shiftrightunsigned({c}, {j * band_bits}) & {mask} as int))"
+            )
+            for w, c in enumerate(word_cols)
+            for j in range(per_word)
+        ]
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}")))
+        for c in word_cols
+    )
+    keyed = df.select(
+        F.col(id_col).alias("__id"),
+        *[F.col(c) for c in word_cols],
+        F.explode(bands).alias("b"),
+    ).select("__id", *word_cols, F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
+    a = keyed.select(
+        F.col("__id").alias("a_id"),
+        *[F.col(c).alias(f"a_{c}") for c in word_cols],
+        "bi",
+        "bv",
+    )
+    b = keyed.select(
+        F.col("__id").alias("b_id"),
+        *[F.col(c).alias(f"b_{c}") for c in word_cols],
+        "bi",
+        "bv",
+    )
+    return (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", *[f"a_{c}" for c in word_cols], *[f"b_{c}" for c in word_cols])
+        .distinct()
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )

@@ -162,3 +162,85 @@ def sample_frames(
             )
 
     return media.mapInPandas(run, schema=schema)
+
+
+#: 8x8 grayscale thumbnail: the canonical perceptual-hash input
+PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("pixels", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def fake_thumbnail(payload: bytes) -> list[int]:
+    """Deterministic fake thumbnail kernel: 64 4-bit 'pixels' from the
+    md5 keystream of the payload (two salted digests -> 64 hex nibbles).
+    A real kernel (PIL resize->grayscale->8x8) slots into the same
+    signature; everything downstream (perceptual hash, banding, verify)
+    is kernel-agnostic."""
+    hx = (
+        hashlib.md5(payload + b":0").hexdigest()
+        + hashlib.md5(payload + b":1").hexdigest()
+    )
+    return [int(c, 16) for c in hx]
+
+
+def decode_thumbnails(
+    media: DataFrame,
+    kernel: Callable[[bytes], list[int]] | None = None,
+) -> DataFrame:
+    """payload -> 8x8 grayscale pixels via Arrow-batched mapInPandas
+    (images only; payload dropped on output so raw bytes never travel
+    past the decode stage)."""
+    import pandas as pd
+
+    k = kernel or fake_thumbnail
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            sub = pdf[pdf["media_type"] == "image"]
+            if sub.empty:
+                continue  # an empty frame would type pixels as float64
+            yield pd.DataFrame(
+                {
+                    "media_id": sub["media_id"].values,
+                    "media_type": sub["media_type"].values,
+                    "pixels": pd.Series(
+                        [k(p) for p in sub["payload"]], dtype=object
+                    ).values,
+                }
+            )
+
+    return media.mapInPandas(run, schema=PIXEL_SCHEMA)
+
+
+def ahash_words(pixels_col: str) -> tuple[F.Column, F.Column]:
+    """Average-hash (aHash) of a 64-pixel thumbnail as two 32-bit
+    words: bit i set iff pixel i exceeds the thumbnail mean. Pure
+    codegen expressions — the hash costs no Python once pixels exist."""
+    mean = f"(aggregate({pixels_col}, 0L, (a, x) -> a + x) / 64.0)"
+
+    def word(offset: int) -> F.Column:
+        return F.expr(
+            f"aggregate(transform(slice({pixels_col}, {offset + 1}, 32), "
+            f"(x, i) -> if(cast(x as double) > {mean}, shiftleft(1L, i), 0L)), "
+            "0L, (a, x) -> a + x)"
+        )
+
+    return word(0), word(32)
+
+
+def ahash_words_sql(pixels: str) -> tuple[str, str]:
+    """DuckDB twin of :func:`ahash_words` (1-indexed lists)."""
+    mean = f"(list_sum({pixels}) / 64.0)"
+
+    def word(offset: int) -> str:
+        return (
+            f"CAST(list_sum([CASE WHEN CAST({pixels}[i + {offset}] AS DOUBLE) > {mean} "
+            f"THEN 1::BIGINT << (i - 1) ELSE 0 END "
+            f"for i in range(1, 33)]) AS BIGINT)"
+        )
+
+    return word(0), word(32)

@@ -123,3 +123,52 @@ def rollup_coarser(
         F.min("min_us").alias("min_us"),
         F.max("max_us").alias("max_us"),
     )
+
+
+def ewma_half(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Recursive EWMA with alpha = 1/2 (ewma_1 = x_1; ewma_i =
+    x_i/2 + ewma_{i-1}/2) as ONE window pass — no iteration, no UDF.
+
+    The recursion unrolls to a prefix sum: with row number j per
+    series, ewma_i = cumsum(u)_i / 2^i where u_1 = 2*x_1 and
+    u_j = x_j * 2^(j-1). Because alpha is dyadic, every term is an
+    integer times a power of two, so the doubles are EXACT (no
+    accumulation error, no partition-order sensitivity) as long as
+    series length stays under ~50 bits of dynamic range — engine-
+    portable to the bit. One shuffle on the series key; both windows
+    share it.
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    j = F.row_number().over(w)
+    u = F.when(j == 1, F.col(value_col) * 2.0).otherwise(
+        F.col(value_col) * F.pow(F.lit(2.0), j - 1)
+    )
+    return (
+        df.withColumn("__j", j)
+        .withColumn("__u", u)
+        .withColumn("ewma", F.sum("__u").over(wrun) / F.pow(F.lit(2.0), F.col("__j")))
+        .drop("__j", "__u")
+    )
+
+
+def ewma_half_sql(
+    inner: str, keys: str, order_col: str, value_col: str
+) -> str:
+    """DuckDB twin of :func:`ewma_half` over an ``inner`` relation."""
+    return f"""
+      SELECT *,
+             SUM(CASE WHEN j = 1 THEN {value_col} * 2.0
+                      ELSE {value_col} * power(2.0, j - 1) END)
+               OVER (PARTITION BY {keys} ORDER BY {order_col}
+                     ROWS UNBOUNDED PRECEDING) / power(2.0, j) AS ewma
+      FROM (SELECT *, CAST(ROW_NUMBER() OVER
+                             (PARTITION BY {keys} ORDER BY {order_col})
+                           AS BIGINT) AS j
+            FROM {inner})
+    """

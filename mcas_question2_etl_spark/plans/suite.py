@@ -27,6 +27,7 @@ from . import wave12 as _wave12
 from . import wave13 as _wave13
 from . import wave14 as _wave14
 from . import wave15 as _wave15
+from . import wave16 as _wave16
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -52,6 +53,7 @@ _ALL: list[QuerySpec] = [
     *_wave13.SPECS,
     *_wave14.SPECS,
     *_wave15.SPECS,
+    *_wave16.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
