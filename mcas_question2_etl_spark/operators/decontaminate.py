@@ -34,13 +34,18 @@ from .text import tokens
 def word_ngrams(text_col: str, n: int = 3) -> F.Column:
     """Distinct word n-grams of a space-tokenized text column, as one
     narrow expression (guarded so short docs yield [] — Spark's
-    sequence(1, 0) would count DOWN, not produce an empty range)."""
-    toks = f"split({text_col}, ' ')"
+    sequence(1, 0) would count DOWN, not produce an empty range).
+
+    The tokenization is bound to a lambda variable via the
+    single-element ``transform(array(split(..)), ts -> ..)`` wrapper so
+    the split runs ONCE per row — referencing ``split(text)`` inside
+    the per-ngram lambda would re-split O(len) times per document."""
     return F.expr(
-        f"CASE WHEN size({toks}) >= {n} THEN "
-        f"array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
-        f"i -> concat_ws(' ', slice({toks}, i, {n})))) "
-        f"ELSE array() END"
+        f"element_at(transform(array(split({text_col}, ' ')), ts -> "
+        f"CASE WHEN size(ts) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size(ts) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(ts, i, {n})))) "
+        f"ELSE array() END), 1)"
     )
 
 

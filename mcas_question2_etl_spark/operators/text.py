@@ -171,20 +171,29 @@ def gopher_quality_report(df: DataFrame, text_col: str = "text") -> DataFrame:
     v is the per-doc vocabulary, so cost stays row-local and
     scan-fused; it never becomes a corpus-wide explode+groupBy.
     """
-    toks = tokens(text_col)
+    # tokenize/line-split ONCE per row into array columns: every metric
+    # below references the arrays, so the split doesn't re-run per
+    # metric (or per lambda element — the top-word mode alone would
+    # otherwise re-split O(v) times per document)
+    staged = df.select(
+        "doc_id",
+        F.length(text_col).alias("__len"),
+        tokens(text_col).alias("__toks"),
+        F.split(F.col(text_col), "\n").alias("__lines"),
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
-    lines = F.split(F.col(text_col), "\n")
-    n_lines = F.size(lines)
+    n_lines = F.size("__lines")
     top_cnt = F.array_max(
         F.transform(
             F.array_distinct(toks),
             lambda d: F.size(F.filter(toks, lambda t: t == d)),
         )
     )
-    mean_len = (F.length(text_col) - (n - F.lit(1))) / n
+    mean_len = (F.col("__len") - (n - F.lit(1))) / n
     alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / n
     n_stop = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in STOPWORDS])))
-    dup_line = F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines
+    dup_line = F.lit(1.0) - F.size(F.array_distinct("__lines")) / n_lines
     top_frac = top_cnt / n
     keep = (
         (n >= 10)
@@ -196,7 +205,7 @@ def gopher_quality_report(df: DataFrame, text_col: str = "text") -> DataFrame:
         & (dup_line <= 0.3)
         & (top_frac <= 0.2)
     )
-    return df.select(
+    return staged.select(
         "doc_id",
         n.cast("long").alias("n_words"),
         mean_len.alias("mean_word_len"),
@@ -674,27 +683,33 @@ def bigram_logprob_quality(
     :func:`unigram_logprob_quality` before reaching for a real KenLM.
 
     Scale shape: bigrams come from a scan-stage slice+transform (no
-    self-join of positions); the bigram table shuffles fixed-width
-    (w1,w2) keys with map-side combine and is Zipf-bounded, so it
-    broadcasts back; the per-doc score is ONE doc-keyed aggregation.
-    The per-doc double sum spans ~hundreds of terms — far inside the
-    gate's 9-significant-digit tolerance.
+    self-join of positions) and the corpus is scanned exactly TWICE
+    (once to build the model, once to score): the bigram table
+    shuffles fixed-width (w1,w2) keys with map-side combine and is
+    Zipf-bounded, so the unigram marginals c1(w1) = sum_w2 c12 and the
+    bigram-participating vocabulary V both derive from that tiny table
+    — never from a corpus rescan — and broadcast back into the scoring
+    scan. The per-doc score is ONE doc-keyed aggregation. The per-doc
+    double sum spans ~hundreds of terms — far inside the gate's
+    9-significant-digit tolerance.
     """
-    toks = tokens(text_col)
-    pairs = df.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                f"transform(slice(split({text_col}, ' '), 1, "
-                f"size(split({text_col}, ' ')) - 1), "
-                f"(t, i) -> struct(t as w1, split({text_col}, ' ')[i + 1] as w2))"
-            )
-        ).alias("bg"),
+    # tokenize ONCE per row (a lambda that re-invoked split(text) per
+    # element would be O(len^2) splits per document)
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__ts"))
+    bigrams = F.expr(
+        "transform(slice(__ts, 1, size(__ts) - 1), "
+        "(t, i) -> struct(t as w1, __ts[i + 1] as w2))"
+    )
+    pairs = toked.select(
+        F.col(id_col), F.explode(bigrams).alias("bg")
     ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    first = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # marginal + vocabulary from the AGGREGATED table (Zipf-tiny), so
+    # neither needs another pass over the corpus
+    first = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = (
-        df.select(F.explode(toks).alias("t"))
+        big.select(F.col("w1").alias("t"))
+        .union(big.select(F.col("w2").alias("t")))
         .agg(F.count_distinct("t").cast("double").alias("v"))
     )
     nll = -F.log(
@@ -726,10 +741,10 @@ def bigram_logprob_quality_sql(
       FROM toks, unnest(range(1, len(ts))) AS t(i)
     ),
     big AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2),
-    firsts AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1),
+    firsts AS (SELECT w1, SUM(c12) AS c1 FROM big GROUP BY w1),
     vocab AS (
       SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS v
-      FROM (SELECT unnest(string_split({text_col}, ' ')) AS t FROM {table})
+      FROM (SELECT w1 AS t FROM big UNION ALL SELECT w2 FROM big)
     )
     SELECT p.{id_col},
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,

@@ -69,18 +69,20 @@ def _spec(name: str, oracle: str | None, survey_ref: str):
 )
 def repetition_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    d = docs.select(
+    # tokenize ONCE per row, then build the bigram array off the array
+    # column (a lambda that re-invokes split(text) per element is
+    # O(len^2) splits per document)
+    toked = docs.select("source", F.split("text", " ").alias("w"))
+    d = toked.select(
         "source",
-        F.size(w).alias("n_tok"),
-        F.size(F.array_distinct(w)).alias("n_distinct"),
-        (F.size(w) - 1).alias("n_bi"),
+        F.size("w").alias("n_tok"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+        (F.size("w") - 1).alias("n_bi"),
         F.size(
             F.array_distinct(
                 F.expr(
-                    "transform(sequence(1, size(split(text, ' ')) - 1), "
-                    "i -> concat(split(text, ' ')[i - 1], ' ', "
-                    "split(text, ' ')[i]))"
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> concat(w[i - 1], ' ', w[i]))"
                 )
             )
         ).alias("n_bi_distinct"),
