@@ -126,6 +126,9 @@ HEADLINE = [
     "phash_image_neardup",
     "sft_conversation_render",
     "ewma_daily_smoothing",
+    # wave 17: Hilbert layout keys, Fellegi-Sunter linkage — appended
+    "hilbert_curve_keys",
+    "fellegi_sunter_linkage",
 ]
 
 

@@ -28,6 +28,7 @@ from . import wave13 as _wave13
 from . import wave14 as _wave14
 from . import wave15 as _wave15
 from . import wave16 as _wave16
+from . import wave17 as _wave17
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -54,6 +55,7 @@ _ALL: list[QuerySpec] = [
     *_wave14.SPECS,
     *_wave15.SPECS,
     *_wave16.SPECS,
+    *_wave17.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
