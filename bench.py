@@ -129,6 +129,10 @@ HEADLINE = [
     # wave 17: Hilbert layout keys, Fellegi-Sunter linkage — appended
     "hilbert_curve_keys",
     "fellegi_sunter_linkage",
+    # wave 18: layout probe, PSI drift, MRL prefix recall — appended
+    "hilbert_pruning_stats",
+    "psi_source_drift",
+    "mrl_prefix_recall",
 ]
 
 

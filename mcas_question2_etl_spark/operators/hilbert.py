@@ -14,9 +14,10 @@ UDF, no shuffle), the same shape as the classic loop (Wikipedia
 "Hilbert curve", xy2d, reflection with n-1 so coordinates stay
 non-negative).
 
-The Spark expression, the DuckDB twin (list_reduce fold with an
-explicit seed element), and the pure-Python replay below are generated
-from the same recurrence, so the key is bit-identical in all three —
+The Spark expression, the DuckDB twin (a recursive-CTE fold — see
+``hilbert_oracle_sql`` for why not list_reduce), and the pure-Python
+replay below implement the same recurrence, so the key is bit-identical
+in all three —
 the differential gate then proves the distributed fold against the
 SQL fold, and pytest pins both against the Python loop plus the
 defining curve properties (bijectivity + unit-step adjacency).
@@ -115,3 +116,17 @@ def hilbert_key_py(x: int, y: int, order: int = 16) -> int:
                 x, y = mask - x, mask - y
             x, y = y, x
     return d
+
+
+def hilbert_by(df, x: str, y: str, order: int = 16, num_files: int = 16):
+    """Cluster ``df`` on the Hilbert key of (x, y) — drop-in upgrade of
+    operators/zorder.zorder_by with the locality-optimal order (a box
+    query touches ~2x fewer contiguous key runs; see tests). Same
+    contract: range-partition + in-partition sort on the key, key
+    column dropped, write with any parquet sink."""
+    keyed = df.withColumn("__hkey", hilbert_key(x, y, order))
+    return (
+        keyed.repartitionByRange(num_files, "__hkey")
+        .sortWithinPartitions("__hkey")
+        .drop("__hkey")
+    )

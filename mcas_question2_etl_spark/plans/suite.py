@@ -29,6 +29,7 @@ from . import wave14 as _wave14
 from . import wave15 as _wave15
 from . import wave16 as _wave16
 from . import wave17 as _wave17
+from . import wave18 as _wave18
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -56,6 +57,7 @@ _ALL: list[QuerySpec] = [
     *_wave15.SPECS,
     *_wave16.SPECS,
     *_wave17.SPECS,
+    *_wave18.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
