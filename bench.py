@@ -133,6 +133,10 @@ HEADLINE = [
     "hilbert_pruning_stats",
     "psi_source_drift",
     "mrl_prefix_recall",
+    # wave 19: chi-square, grouped heavy hitters, null-safe join
+    "chi_square_source_lang",
+    "top_tokens_per_source",
+    "null_safe_join_semantics",
 ]
 
 

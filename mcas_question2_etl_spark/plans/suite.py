@@ -30,6 +30,7 @@ from . import wave15 as _wave15
 from . import wave16 as _wave16
 from . import wave17 as _wave17
 from . import wave18 as _wave18
+from . import wave19 as _wave19
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -58,6 +59,7 @@ _ALL: list[QuerySpec] = [
     *_wave16.SPECS,
     *_wave17.SPECS,
     *_wave18.SPECS,
+    *_wave19.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
