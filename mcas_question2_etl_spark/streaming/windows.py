@@ -405,3 +405,60 @@ def maintain_latest_state(
     )
     q.awaitTermination(timeout_sec)
     return q
+
+
+def maintain_time_bucket_rollup(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    keys: tuple[str, ...] = ("event_type",),
+    bucket_seconds: int = 3600,
+    timeout_sec: int = 120,
+):
+    """Continuous-aggregate maintenance for the hypertable rollup
+    (operators/timeseries.time_bucket_rollup): each micro-batch's
+    per-bucket summaries merge additively into the materialized
+    finest-grain rollup — the streaming half of the TimescaleDB
+    continuous-aggregate pattern whose batch half is rollup_coarser.
+
+    Every summary is a semigroup (SUM/SUM/MIN/MAX), so merging is a
+    union + re-aggregate over only the buckets the batch touched plus
+    the snapshot — never a rescan of raw history. Exactly-once: the
+    streaming checkpoint suppresses redelivery, the overwrite is
+    idempotent, and the merged snapshot materializes (localCheckpoint)
+    before overwriting the path it read. At scale the overwrite
+    becomes a partition overwrite keyed by the bucket, so late data
+    rewrites only its own bucket's files.
+    """
+    from ..operators.timeseries import time_bucket_rollup
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = time_bucket_rollup(
+            batch_df, "ts", list(keys), bucket_seconds, "user_id"
+        )
+        try:
+            snap = spark.read.parquet(state_path)
+            merged = (
+                snap.unionByName(partial)
+                .groupBy(*keys, "bucket_us")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_key").alias("sum_key"),
+                    F.min("min_us").alias("min_us"),
+                    F.max("max_us").alias("max_us"),
+                )
+            )
+        except Exception:  # first batch: no snapshot yet
+            merged = partial
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            state_path
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

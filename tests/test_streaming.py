@@ -287,3 +287,45 @@ def test_maintain_latest_state_idempotent_under_replay(spark, events_path, tmp_p
         sw.stream_events(spark, events_path), state, str(tmp_path / "ckpt2")
     )
     assert snapshot() == want
+
+
+def test_maintain_time_bucket_rollup_equals_batch(spark, events_path, tmp_path):
+    """Streaming continuous-aggregate maintenance converges to the
+    batch hypertable rollup, survives a no-op re-run (exactly-once),
+    and the maintained finest grain still rolls up losslessly."""
+    from pyspark.sql import functions as F
+
+    from mcas_question2_etl_spark.catalog import load_table
+    from mcas_question2_etl_spark.operators.timeseries import (
+        rollup_coarser,
+        time_bucket_rollup,
+    )
+
+    state = str(tmp_path / "rollup_state")
+    ckpt = str(tmp_path / "rollup_ckpt")
+
+    def snapshot():
+        return sorted(map(tuple, spark.read.parquet(state).collect()))
+
+    sw.maintain_time_bucket_rollup(
+        sw.stream_events(spark, events_path), state, ckpt
+    )
+    events = load_table(spark, SF_SMALL, "events")
+    want = sorted(
+        map(tuple, time_bucket_rollup(events, "ts", ["event_type"], 3600, "user_id").collect())
+    )
+    assert snapshot() == want
+
+    sw.maintain_time_bucket_rollup(
+        sw.stream_events(spark, events_path), state, ckpt
+    )
+    assert snapshot() == want
+
+    # the maintained table is still a valid base for coarser grains
+    day_from_state = rollup_coarser(
+        spark.read.parquet(state), ["event_type"], 86400
+    )
+    day_direct = time_bucket_rollup(events, "ts", ["event_type"], 86400, "user_id")
+    assert sorted(map(tuple, day_from_state.collect())) == sorted(
+        map(tuple, day_direct.collect())
+    )
