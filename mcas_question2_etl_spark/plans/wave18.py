@@ -193,8 +193,13 @@ _N_BINS = 11  # 0..10 after the clamp
 def psi_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     binned = docs.select("source", F.expr(_PSI_BIN_SPARK).alias("bin"))
-    per_source = binned.groupBy("source", "bin").agg(
-        F.count(F.lit(1)).alias("c")
+    # materialize the tiny (source, bin) contingency table: four
+    # downstream aggregates reuse it, and without the checkpoint each
+    # would re-scan the corpus through the lineage
+    per_source = (
+        binned.groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     src_tot = per_source.groupBy("source").agg(F.sum("c").alias("n"))
     glob = per_source.groupBy("bin").agg(F.sum("c").alias("g"))

@@ -55,7 +55,13 @@ def _spec(name: str, oracle: str | None, survey_ref: str):
 )
 def chi_square_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    obs = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    # materialize the tiny contingency table: marginals/totals/grid all
+    # reuse it, and without the checkpoint each re-scans the corpus
+    obs = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=False)
+    )
     row_tot = obs.groupBy("source").agg(F.sum("o").alias("r"))
     col_tot = obs.groupBy("lang").agg(F.sum("o").alias("c"))
     tot = obs.agg(F.sum("o").alias("n"))
