@@ -703,7 +703,14 @@ def bigram_logprob_quality(
     pairs = toked.select(
         F.col(id_col), F.explode(bigrams).alias("bg")
     ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # materialize the Zipf-tiny bigram table: the marginal, the
+    # vocabulary, and the scoring join all reuse it, and without the
+    # checkpoint each consumer would re-run the corpus explode
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
     # marginal + vocabulary from the AGGREGATED table (Zipf-tiny), so
     # neither needs another pass over the corpus
     first = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
