@@ -137,6 +137,8 @@ HEADLINE = [
     "chi_square_source_lang",
     "top_tokens_per_source",
     "null_safe_join_semantics",
+    # wave 20: retrieval NDCG eval
+    "ndcg_retrieval_eval",
 ]
 
 

@@ -173,3 +173,49 @@ def welch_ttest_sql(
                     + POW(var_b / n_b, 2) / (n_b - 1)), {round_to}) AS dof
     FROM agg
     """
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    qid_col: str = "qid",
+    score_col: str = "score",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """NDCG@k per query over (qid, score, rel) candidate rows — the
+    standard graded ranking metric (Jarvelin & Kekalainen 2002),
+    exponential-gain form: DCG = sum (2^rel - 1)/log2(rank + 1) over
+    the top-k by score, IDCG the same over the ideal (rel-sorted)
+    ordering, NDCG = DCG/IDCG.
+
+    Ties break deterministically (score desc, then the natural row
+    order column passed as part of ``score_col`` ordering is NOT
+    assumed — callers must pre-round or accept engine-stable ties on
+    qid/rel). Both windows share one shuffle on qid, and they run over
+    CANDIDATE counts per query, never the corpus. Output:
+    (qid, dcg, idcg, ndcg).
+    """
+    w_score = Window.partitionBy(qid_col).orderBy(
+        F.col(score_col).desc(), F.col(rel_col).desc()
+    )
+    w_ideal = Window.partitionBy(qid_col).orderBy(
+        F.col(rel_col).desc(), F.col(score_col).desc()
+    )
+    gain = F.pow(F.lit(2.0), F.col(rel_col)) - 1
+    ranked = df.select(
+        F.col(qid_col).alias("qid"),
+        F.row_number().over(w_score).alias("__r"),
+        F.row_number().over(w_ideal).alias("__ri"),
+        gain.alias("__g"),
+    )
+    dcg = F.sum(
+        F.when(F.col("__r") <= k, F.col("__g") / F.log2(F.col("__r") + 1)).otherwise(0.0)
+    )
+    idcg = F.sum(
+        F.when(F.col("__ri") <= k, F.col("__g") / F.log2(F.col("__ri") + 1)).otherwise(0.0)
+    )
+    return ranked.groupBy("qid").agg(
+        dcg.alias("dcg"),
+        idcg.alias("idcg"),
+        (dcg / idcg).alias("ndcg"),
+    )

@@ -31,6 +31,7 @@ from . import wave16 as _wave16
 from . import wave17 as _wave17
 from . import wave18 as _wave18
 from . import wave19 as _wave19
+from . import wave20 as _wave20
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -60,6 +61,7 @@ _ALL: list[QuerySpec] = [
     *_wave17.SPECS,
     *_wave18.SPECS,
     *_wave19.SPECS,
+    *_wave20.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
