@@ -139,6 +139,10 @@ HEADLINE = [
     "null_safe_join_semantics",
     # wave 20: retrieval NDCG eval
     "ndcg_retrieval_eval",
+    # wave 21: keep-best survivorship, temperature mixture, lateness
+    "dedup_keep_longest",
+    "temperature_mixture_sample",
+    "late_arrival_report",
 ]
 
 

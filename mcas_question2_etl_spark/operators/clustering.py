@@ -126,3 +126,41 @@ def canonicalize(
         F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
         (F.col(id_col) == F.col("cluster_id")).alias("keep"),
     )
+
+
+def canonicalize_by(
+    components: DataFrame,
+    quality: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivorship with a pluggable policy: instead of min-id-wins
+    (:func:`canonicalize`), keep the cluster member with the HIGHEST
+    ``quality_col`` (ties -> smallest id) — the "keep the best
+    duplicate" rule real corpus dedups want (longest version, highest
+    quality score, most recent crawl) once a ranking signal exists.
+
+    ``quality`` is (id_col, quality_col); the join rides the same
+    id partitioning the labeling produced, and the survivor pick is a
+    rank-limited window over CLUSTER members (WindowGroupLimit — heap
+    per cluster, no full sort). Returns one row per cluster:
+    (cluster_id, survivor_id, cluster_size, best_quality).
+    """
+    scored = components.join(quality, id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            F.col(id_col).alias("survivor_id"),
+            F.col("cluster_size").cast("long"),
+            F.col(quality_col).alias("best_quality"),
+        )
+    )

@@ -180,3 +180,57 @@ def budget_head(
     return df.withColumn(
         "cum_weight", F.sum(weight_col).over(w).cast("long")
     ).withColumn("keep", F.col("cum_weight") <= budget)
+
+
+def temperature_rates(
+    df: DataFrame,
+    domain_col: str,
+    alpha: float,
+    budget: int,
+) -> DataFrame:
+    """Temperature-based mixture allocation (the multilingual-sampling
+    rule of mT5/XLM-R): target share of domain d is
+    n_d^alpha / sum_e n_e^alpha, and the per-domain keep rate to hit a
+    ``budget`` of rows is min(1, budget * share / n_d). alpha = 1
+    preserves the natural mix; alpha -> 0 flattens it (upweights tail
+    domains); alpha > 1 sharpens heads.
+
+    One aggregation over the corpus produces (domain, n, share, rate);
+    the table is domains-sized, so it broadcasts into the sampling
+    filter. All arithmetic is closed-form doubles over exact counts —
+    identical in any engine.
+    """
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("n").cast("double"), F.lit(alpha))).alias("z")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "share", F.pow(F.col("n").cast("double"), F.lit(alpha)) / F.col("z")
+        )
+        .withColumn(
+            "rate",
+            F.least(F.lit(1.0), F.lit(float(budget)) * F.col("share") / F.col("n")),
+        )
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    alpha: float,
+    budget: int,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Apply :func:`temperature_rates` as a deterministic hash filter:
+    keep rows whose uniform hash_bucket(key)/buckets falls under their
+    domain's rate. Same monotone-membership guarantee as
+    mixture_sample — raising alpha or budget only ADDS rows. The rate
+    table broadcasts; the filter is scan-side."""
+    rates = temperature_rates(df, domain_col, alpha, budget).select(
+        domain_col, "rate"
+    )
+    u = hash_bucket(key_col, buckets).cast("double") / buckets
+    return df.join(F.broadcast(rates), domain_col).filter(u < F.col("rate"))

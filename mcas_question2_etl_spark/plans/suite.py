@@ -32,6 +32,7 @@ from . import wave17 as _wave17
 from . import wave18 as _wave18
 from . import wave19 as _wave19
 from . import wave20 as _wave20
+from . import wave21 as _wave21
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -62,6 +63,7 @@ _ALL: list[QuerySpec] = [
     *_wave18.SPECS,
     *_wave19.SPECS,
     *_wave20.SPECS,
+    *_wave21.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
