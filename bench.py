@@ -143,6 +143,9 @@ HEADLINE = [
     "dedup_keep_longest",
     "temperature_mixture_sample",
     "late_arrival_report",
+    # wave 22: recursive closure, grouping sets
+    "hierarchy_closure_rollup",
+    "grouping_sets_report",
 ]
 
 

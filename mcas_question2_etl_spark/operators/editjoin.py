@@ -45,11 +45,13 @@ def edit_distance_pairs(
 ) -> DataFrame:
     """All unordered pairs (a_id < b_id) with lev <= 1 between
     ``str_col`` values: ``(a_id, b_id, a_str, b_str, dist)``."""
+    # shuffle 8-byte key hashes, not key strings: a hash collision can
+    # only ADD a candidate, and the exact levenshtein verify kills it
     keyed = df.select(
         F.col(id_col).alias("__id"),
         F.col(str_col).alias("__s"),
-        F.explode(deletion_keys(str_col)).alias("__k"),
-    )
+        F.explode(deletion_keys(str_col)).alias("__ks"),
+    ).select("__id", "__s", F.xxhash64("__ks").alias("__k"))
     a = keyed.select(
         F.col("__id").alias("a_id"), F.col("__s").alias("a_str"), "__k"
     )

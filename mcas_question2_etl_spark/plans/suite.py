@@ -33,6 +33,7 @@ from . import wave18 as _wave18
 from . import wave19 as _wave19
 from . import wave20 as _wave20
 from . import wave21 as _wave21
+from . import wave22 as _wave22
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -64,6 +65,7 @@ _ALL: list[QuerySpec] = [
     *_wave19.SPECS,
     *_wave20.SPECS,
     *_wave21.SPECS,
+    *_wave22.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
