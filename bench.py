@@ -146,6 +146,10 @@ HEADLINE = [
     # wave 22: recursive closure, grouping sets
     "hierarchy_closure_rollup",
     "grouping_sets_report",
+    # wave 23: incremental near-dup, FK audit, Gini
+    "neardup_incremental_batch",
+    "fk_orphan_report",
+    "token_gini_inequality",
 ]
 
 

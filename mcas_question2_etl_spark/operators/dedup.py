@@ -535,3 +535,78 @@ def hamming_band_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )
+
+
+def minhash_bands(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, band_idx, band_key) rows of the portable MinHash banding —
+    the shared banding stage of :func:`minhash_lsh_candidates` (self
+    dedup) and :func:`minhash_lsh_between` (incremental batch-vs-index
+    dedup). At scale this IS the LSH index table you materialize:
+    banding the corpus once and storing these three fixed-width
+    columns is what makes every later batch incremental."""
+    sig = (
+        df.select(F.col(id_col), char_ngrams(text_col, n).alias("__sh"))
+        .filter(F.size("__sh") > 0)
+        .select(F.col(id_col), minhash_signature_expr("__sh").alias("__sig"))
+    )
+    n_bands = len(MH_PARAMS) // MH_BAND_ROWS
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col("__sig")[i * MH_BAND_ROWS + r]
+                                for r in range(MH_BAND_ROWS)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "b.band_idx", "b.band_key")
+
+
+def minhash_lsh_between(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_bucket: int = 100,
+) -> DataFrame:
+    """Incremental near-dup candidates: which BATCH documents collide
+    with the existing CORPUS index. Bands both sides and joins
+    batch x corpus on the band bucket — the batch never self-joins and
+    the corpus never re-pairs with itself, so a daily ingest costs
+    O(batch bands + matched buckets), not a corpus re-dedup.
+
+    The degenerate-bucket guard drops band keys whose CORPUS bucket
+    exceeds ``max_bucket`` (the stored index maintains these counts):
+    an oversized bucket is corpus-common-shingle noise, exactly as in
+    the self-join case. Output: distinct (batch_id, corpus_id).
+    """
+    cb = minhash_bands(corpus, id_col, text_col, n)
+    w = Window.partitionBy("band_idx", "band_key")
+    cb = (
+        cb.withColumn("__bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bn") <= max_bucket)
+        .drop("__bn")
+    )
+    bb = minhash_bands(batch, id_col, text_col, n)
+    return (
+        bb.select(F.col(id_col).alias("batch_id"), "band_idx", "band_key")
+        .join(
+            cb.select(F.col(id_col).alias("corpus_id"), "band_idx", "band_key"),
+            ["band_idx", "band_key"],
+        )
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )

@@ -34,6 +34,7 @@ from . import wave19 as _wave19
 from . import wave20 as _wave20
 from . import wave21 as _wave21
 from . import wave22 as _wave22
+from . import wave23 as _wave23
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -66,6 +67,7 @@ _ALL: list[QuerySpec] = [
     *_wave20.SPECS,
     *_wave21.SPECS,
     *_wave22.SPECS,
+    *_wave23.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
