@@ -150,6 +150,8 @@ HEADLINE = [
     "neardup_incremental_batch",
     "fk_orphan_report",
     "token_gini_inequality",
+    # wave 24: interval coalescing
+    "merged_activity_windows",
 ]
 
 

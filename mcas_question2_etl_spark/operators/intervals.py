@@ -25,7 +25,9 @@ range_band_join, needed for session/promo attribution at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -87,4 +89,45 @@ def overlap_join_sql(
     return (
         f"{left_cte} l JOIN {right_cte} r"
         f" ON l.{l_start} <= r.{r_end} AND r.{r_start} <= l.{l_end}"
+    )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    keys: Sequence[str],
+    start: str,
+    end: str,
+) -> DataFrame:
+    """Merge overlapping/touching intervals per key into disjoint
+    covered periods — the interval-union op behind downtime reports,
+    busy-period stitching, and span-coverage accounting.
+
+    Classic two-window shape sharing ONE shuffle on the key: order by
+    (start, end), carry the running max of ``end``, open a new group
+    whenever a row starts strictly after everything seen so far ended,
+    then aggregate each group to its envelope. Output: one row per
+    merged interval (keys, period_id, start, end, n_merged).
+
+    The running max must EXCLUDE the current row (lag of the running
+    max) — comparing against an inclusive max would never open a new
+    group on rows that extend the current one.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(start), F.col(end))
+    wrun = w.rowsBetween(Window.unboundedPreceding, -1)
+    flagged = df.withColumn(
+        "__prev_max_end", F.max(F.col(end)).over(wrun)
+    ).withColumn(
+        "__new",
+        F.when(
+            F.col("__prev_max_end").isNull()
+            | (F.col(start) > F.col("__prev_max_end")),
+            1,
+        ).otherwise(0),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grouped = flagged.withColumn("period_id", F.sum("__new").over(wsum))
+    return grouped.groupBy(*keys, "period_id").agg(
+        F.min(start).alias("period_start"),
+        F.max(end).alias("period_end"),
+        F.count(F.lit(1)).alias("n_merged"),
     )

@@ -35,6 +35,7 @@ from . import wave20 as _wave20
 from . import wave21 as _wave21
 from . import wave22 as _wave22
 from . import wave23 as _wave23
+from . import wave24 as _wave24
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -68,6 +69,7 @@ _ALL: list[QuerySpec] = [
     *_wave21.SPECS,
     *_wave22.SPECS,
     *_wave23.SPECS,
+    *_wave24.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
