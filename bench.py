@@ -152,6 +152,9 @@ HEADLINE = [
     "token_gini_inequality",
     # wave 24: interval coalescing
     "merged_activity_windows",
+    # wave 25: shard manifests, LSH quality report
+    "shard_manifest",
+    "lsh_quality_report",
 ]
 
 

@@ -36,6 +36,7 @@ from . import wave21 as _wave21
 from . import wave22 as _wave22
 from . import wave23 as _wave23
 from . import wave24 as _wave24
+from . import wave25 as _wave25
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -70,6 +71,7 @@ _ALL: list[QuerySpec] = [
     *_wave22.SPECS,
     *_wave23.SPECS,
     *_wave24.SPECS,
+    *_wave25.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
