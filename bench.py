@@ -155,6 +155,9 @@ HEADLINE = [
     # wave 25: shard manifests, LSH quality report
     "shard_manifest",
     "lsh_quality_report",
+    # wave 26: epoch shuffle, cross-source openings
+    "epoch_shuffle_order",
+    "cross_source_shared_openings",
 ]
 
 

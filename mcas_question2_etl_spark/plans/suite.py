@@ -37,6 +37,7 @@ from . import wave22 as _wave22
 from . import wave23 as _wave23
 from . import wave24 as _wave24
 from . import wave25 as _wave25
+from . import wave26 as _wave26
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -72,6 +73,7 @@ _ALL: list[QuerySpec] = [
     *_wave23.SPECS,
     *_wave24.SPECS,
     *_wave25.SPECS,
+    *_wave26.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
