@@ -158,6 +158,8 @@ HEADLINE = [
     # wave 26: epoch shuffle, cross-source openings
     "epoch_shuffle_order",
     "cross_source_shared_openings",
+    # wave 27: CDC apply with tombstones
+    "cdc_apply_with_deletes",
 ]
 
 

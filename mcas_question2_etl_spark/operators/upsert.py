@@ -75,3 +75,32 @@ def latest_by_key(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def apply_cdc(
+    changes: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a full CDC changelog — inserts/updates AND deletes — to
+    produce the final table state: the last change per key wins, and a
+    key whose LAST change is a tombstone is absent from the result.
+
+    This is Debezium/DMS-apply semantics (the piece
+    :func:`merge_upsert` and changelog compaction don't cover:
+    tombstones must suppress earlier versions, not just replace them).
+    One shuffle on the key, WindowGroupLimit keeps the per-key buffer
+    at one row, and the tombstone filter runs AFTER the latest-pick so
+    a delete followed by a re-insert resurrects the key correctly.
+    """
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return latest.filter(F.col(op_col) != delete_op).drop(op_col)

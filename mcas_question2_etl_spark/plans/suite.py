@@ -38,6 +38,7 @@ from . import wave23 as _wave23
 from . import wave24 as _wave24
 from . import wave25 as _wave25
 from . import wave26 as _wave26
+from . import wave27 as _wave27
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -74,6 +75,7 @@ _ALL: list[QuerySpec] = [
     *_wave24.SPECS,
     *_wave25.SPECS,
     *_wave26.SPECS,
+    *_wave27.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
