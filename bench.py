@@ -160,6 +160,8 @@ HEADLINE = [
     "cross_source_shared_openings",
     # wave 27: CDC apply with tombstones
     "cdc_apply_with_deletes",
+    # wave 28: Kolmogorov-Smirnov two-sample test
+    "ks_test_sources",
 ]
 
 

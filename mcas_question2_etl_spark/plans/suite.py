@@ -39,6 +39,7 @@ from . import wave24 as _wave24
 from . import wave25 as _wave25
 from . import wave26 as _wave26
 from . import wave27 as _wave27
+from . import wave28 as _wave28
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -76,6 +77,7 @@ _ALL: list[QuerySpec] = [
     *_wave25.SPECS,
     *_wave26.SPECS,
     *_wave27.SPECS,
+    *_wave28.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
