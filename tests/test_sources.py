@@ -461,3 +461,33 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     assert set(df.columns) == {"id", "name", "score"}
     rows = {r.id: r.score for r in df.collect()}
     assert rows[1] is None and rows[2] == 9.5
+
+
+def test_hilbert_layout_prunes_at_least_as_well_as_zorder(spark, tmp_path):
+    """hilbert_by (operators/hilbert.py): the same 2-D box query
+    touches no MORE files than under zorder_by — Hilbert's contiguous
+    key runs map to contiguous range-partitioned files."""
+    from mcas_question2_etl_spark.operators.hilbert import hilbert_by
+    from mcas_question2_etl_spark.operators.zorder import zorder_by
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    hpath = str(tmp_path / "hilbert")
+    zpath = str(tmp_path / "zorder")
+    hilbert_by(grid, "x", "y", order=6, num_files=16).write.parquet(hpath)
+    zorder_by(grid, "x", "y", bits=6, num_files=16).write.parquet(zpath)
+
+    def files_hit(path, box):
+        return (
+            spark.read.parquet(path)
+            .filter(box)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    for box in ("x < 16 AND y < 16", "x >= 24 AND x < 40 AND y >= 24 AND y < 40"):
+        h, z = files_hit(hpath, box), files_hit(zpath, box)
+        assert h <= z, (box, h, z)
+        assert h <= 8
