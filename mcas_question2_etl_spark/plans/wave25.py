@@ -67,6 +67,11 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SAMPLE_MOD = 5
+#: absolute cap on the verification sample: the truth kernel is
+#: all-pairs (quadratic), so the sample must stay FIXED-size as the
+#: corpus grows — ids < 1000 keeps sf0.001/sf0.01 samples identical
+#: (every doc id there is < 1000) and bounds sf0.1+ to ~200 docs
+_SAMPLE_CAP = 1000
 _J_THRESH = 0.6
 
 
@@ -75,7 +80,8 @@ _J_THRESH = 0.6
     f"""
     WITH sample AS (
       SELECT doc_id, text FROM documents
-      WHERE doc_id % {_SAMPLE_MOD} = 0 AND length(text) >= 3
+      WHERE doc_id % {_SAMPLE_MOD} = 0 AND doc_id < {_SAMPLE_CAP}
+        AND length(text) >= 3
     ),
     sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM sample),
     truth AS (
@@ -128,7 +134,9 @@ _J_THRESH = 0.6
 def lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sample = docs.filter(
-        (F.col("doc_id") % _SAMPLE_MOD == 0) & (F.length("text") >= 3)
+        (F.col("doc_id") % _SAMPLE_MOD == 0)
+        & (F.col("doc_id") < _SAMPLE_CAP)
+        & (F.length("text") >= 3)
     )
     sh = sample.select(
         "doc_id", dedup.char_ngrams("text", 3).alias("shingles")
