@@ -162,6 +162,10 @@ HEADLINE = [
     "cdc_apply_with_deletes",
     # wave 28: Kolmogorov-Smirnov two-sample test
     "ks_test_sources",
+    # wave 29: bootstrap median, containment profile, entry/exit
+    "poisson_bootstrap_median_ci",
+    "containment_profile",
+    "session_entry_exit_matrix",
 ]
 
 

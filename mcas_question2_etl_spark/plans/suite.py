@@ -40,6 +40,7 @@ from . import wave25 as _wave25
 from . import wave26 as _wave26
 from . import wave27 as _wave27
 from . import wave28 as _wave28
+from . import wave29 as _wave29
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -78,6 +79,7 @@ _ALL: list[QuerySpec] = [
     *_wave26.SPECS,
     *_wave27.SPECS,
     *_wave28.SPECS,
+    *_wave29.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
