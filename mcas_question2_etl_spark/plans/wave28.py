@@ -74,9 +74,16 @@ def ks_test_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = docs.filter(F.col("source").isin(_SRC_A, _SRC_B)).select(
         "source", F.col("n_chars").alias("v")
     )
-    per_v = vals.groupBy("v").agg(
-        F.sum((F.col("source") == _SRC_A).cast("long")).alias("ca"),
-        F.sum((F.col("source") == _SRC_B).cast("long")).alias("cb"),
+    # materialize the tiny per-value count table and the diff table:
+    # cdf/tot/argmax all reuse them, and without the checkpoint each
+    # consumer re-scans the corpus through the lineage
+    per_v = (
+        vals.groupBy("v")
+        .agg(
+            F.sum((F.col("source") == _SRC_A).cast("long")).alias("ca"),
+            F.sum((F.col("source") == _SRC_B).cast("long")).alias("cb"),
+        )
+        .localCheckpoint(eager=False)
     )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cdf = per_v.select(
@@ -93,7 +100,7 @@ def ks_test_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cca").cast("double") / F.col("na")
             - F.col("ccb").cast("double") / F.col("nb")
         ).alias("d"),
-    )
+    ).localCheckpoint(eager=False)
     mx = diffs.agg(F.max("d").alias("ks"))
     at = (
         diffs.join(F.broadcast(mx), diffs["d"] == mx["ks"])

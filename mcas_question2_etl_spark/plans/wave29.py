@@ -10,12 +10,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators import dedup
-from ..operators.bootstrap import (
-    _DENOM,
-    _uniform_expr,
-    _uniform_sql,
-    _weight_cases,
-)
+from ..operators.bootstrap import _uniform_expr, _uniform_sql, _weight_cases
 from ..registry import QuerySpec
 from .data_pipeline import _SHINGLES_SQL
 
