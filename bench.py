@@ -166,6 +166,8 @@ HEADLINE = [
     "poisson_bootstrap_median_ci",
     "containment_profile",
     "session_entry_exit_matrix",
+    # wave 30: label-centroid separation
+    "label_centroid_separation",
 ]
 
 

@@ -41,6 +41,7 @@ from . import wave26 as _wave26
 from . import wave27 as _wave27
 from . import wave28 as _wave28
 from . import wave29 as _wave29
+from . import wave30 as _wave30
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -80,6 +81,7 @@ _ALL: list[QuerySpec] = [
     *_wave27.SPECS,
     *_wave28.SPECS,
     *_wave29.SPECS,
+    *_wave30.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
