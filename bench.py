@@ -168,6 +168,8 @@ HEADLINE = [
     "session_entry_exit_matrix",
     # wave 30: label-centroid separation
     "label_centroid_separation",
+    # wave 31: audio VAD segments
+    "audio_active_segments",
 ]
 
 

@@ -190,17 +190,22 @@ def fake_thumbnail(payload: bytes) -> list[int]:
 def decode_thumbnails(
     media: DataFrame,
     kernel: Callable[[bytes], list[int]] | None = None,
+    media_type: str = "image",
 ) -> DataFrame:
-    """payload -> 8x8 grayscale pixels via Arrow-batched mapInPandas
-    (images only; payload dropped on output so raw bytes never travel
-    past the decode stage)."""
+    """payload -> 64 decoded samples via Arrow-batched mapInPandas
+    (rows of ``media_type`` only; payload dropped on output so raw
+    bytes never travel past the decode stage). For images the fake
+    kernel yields an 8x8 grayscale thumbnail; the same plumbing
+    serves audio by treating the 64 nibbles as an energy envelope
+    (see plans/wave31.py) — a real kernel (PIL resize / RMS frames)
+    slots into the same signature either way."""
     import pandas as pd
 
     k = kernel or fake_thumbnail
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            sub = pdf[pdf["media_type"] == "image"]
+            sub = pdf[pdf["media_type"] == media_type]
             if sub.empty:
                 continue  # an empty frame would type pixels as float64
             yield pd.DataFrame(

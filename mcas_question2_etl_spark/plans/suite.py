@@ -42,6 +42,7 @@ from . import wave27 as _wave27
 from . import wave28 as _wave28
 from . import wave29 as _wave29
 from . import wave30 as _wave30
+from . import wave31 as _wave31
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -82,6 +83,7 @@ _ALL: list[QuerySpec] = [
     *_wave28.SPECS,
     *_wave29.SPECS,
     *_wave30.SPECS,
+    *_wave31.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
