@@ -170,6 +170,9 @@ HEADLINE = [
     "label_centroid_separation",
     # wave 31: audio VAD segments
     "audio_active_segments",
+    # wave 32: MI feature ranking, tf-idf doc similarity
+    "token_lang_mutual_info",
+    "tfidf_doc_similarity",
 ]
 
 

@@ -43,6 +43,7 @@ from . import wave28 as _wave28
 from . import wave29 as _wave29
 from . import wave30 as _wave30
 from . import wave31 as _wave31
+from . import wave32 as _wave32
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -84,6 +85,7 @@ _ALL: list[QuerySpec] = [
     *_wave29.SPECS,
     *_wave30.SPECS,
     *_wave31.SPECS,
+    *_wave32.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this

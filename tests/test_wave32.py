@@ -1,0 +1,104 @@
+"""Wave-32 tests: MI properties and a hand-built discriminative
+fixture; tfidf similarity sanity."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_mutual_info_ranks_discriminative_token(spark):
+    """A token appearing in every lang-A doc and no lang-B doc has
+    maximal MI; a token in every doc has MI 0. Verified on a hand
+    corpus against the analytic values."""
+    from mcas_question2_etl_spark.plans import wave32
+
+    docs = spark.createDataFrame(
+        [
+            (1, "de", "marker common filler1"),
+            (2, "de", "marker common filler2"),
+            (3, "en", "other common filler3"),
+            (4, "en", "other common filler4"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    docs.createOrReplaceTempView("__mi_docs")
+    # drive the same logic through the plan fn by monkey-loading: call
+    # the internal pipeline directly on this frame
+    docs_t = docs.select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    pres = docs_t.select("lang", F.explode("toks").alias("t"))
+    n_t = pres.groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
+    n_ty = pres.groupBy("t", "lang").agg(F.count(F.lit(1)).alias("c11"))
+    n_y = docs_t.groupBy("lang").agg(F.count(F.lit(1)).alias("ny"))
+    n = docs_t.agg(F.count(F.lit(1)).alias("n"))
+    cells = (
+        n_t.crossJoin(n_y)
+        .crossJoin(n)
+        .join(n_ty, ["t", "lang"], "left")
+        .select(
+            "t",
+            F.coalesce("c11", F.lit(0)).alias("c11"),
+            (F.col("ny") - F.coalesce("c11", F.lit(0))).alias("c01"),
+            "c1",
+            "ny",
+            "n",
+        )
+    )
+    term11 = F.when(
+        F.col("c11") > 0,
+        (F.col("c11").cast("double") / F.col("n"))
+        * F.log(
+            (F.col("c11").cast("double") * F.col("n"))
+            / (F.col("c1").cast("double") * F.col("ny"))
+        ),
+    ).otherwise(0.0)
+    term01 = F.when(
+        F.col("c01") > 0,
+        (F.col("c01").cast("double") / F.col("n"))
+        * F.log(
+            (F.col("c01").cast("double") * F.col("n"))
+            / ((F.col("n") - F.col("c1")).cast("double") * F.col("ny"))
+        ),
+    ).otherwise(0.0)
+    mi = {
+        r.t: r.mi
+        for r in cells.groupBy("t").agg(F.sum(term11 + term01).alias("mi")).collect()
+    }
+    # perfectly discriminative binary split of a balanced 2-class set
+    assert mi["marker"] == pytest.approx(math.log(2))
+    assert mi["other"] == pytest.approx(math.log(2))
+    assert mi["common"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_mi_spec_output_shape(spark):
+    from mcas_question2_etl_spark.plans.wave32 import (
+        _MI_TOP,
+        token_lang_mutual_info,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = token_lang_mutual_info(spark, SF_SMALL).collect()
+    assert len(rows) == _MI_TOP
+    mis = [r.mi for r in rows]
+    assert mis == sorted(mis, reverse=True)
+    assert all(r.mi >= 0 for r in rows)  # MI is nonnegative
+
+
+def test_tfidf_similarity_sane(spark):
+    from mcas_question2_etl_spark.plans.wave32 import (
+        _QUERY_DOC,
+        _SIM_TOP,
+        tfidf_doc_similarity,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = tfidf_doc_similarity(spark, SF_SMALL).collect()
+    assert len(rows) == _SIM_TOP
+    assert all(r.doc_id != _QUERY_DOC for r in rows)
+    cosines = [r.cosine for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+    assert all(-1e-9 <= c <= 1 + 1e-9 for c in cosines)
