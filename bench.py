@@ -173,6 +173,8 @@ HEADLINE = [
     # wave 32: MI feature ranking, tf-idf doc similarity
     "token_lang_mutual_info",
     "tfidf_doc_similarity",
+    # wave 33: IPF raking
+    "ipf_raking_weights",
 ]
 
 

@@ -44,6 +44,7 @@ from . import wave29 as _wave29
 from . import wave30 as _wave30
 from . import wave31 as _wave31
 from . import wave32 as _wave32
+from . import wave33 as _wave33
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -86,6 +87,7 @@ _ALL: list[QuerySpec] = [
     *_wave30.SPECS,
     *_wave31.SPECS,
     *_wave32.SPECS,
+    *_wave33.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
