@@ -175,6 +175,9 @@ HEADLINE = [
     "tfidf_doc_similarity",
     # wave 33: IPF raking
     "ipf_raking_weights",
+    # wave 34: HRW sharding, emerging terms
+    "hrw_shard_assignment",
+    "emerging_terms_report",
 ]
 
 

@@ -45,6 +45,7 @@ from . import wave30 as _wave30
 from . import wave31 as _wave31
 from . import wave32 as _wave32
 from . import wave33 as _wave33
+from . import wave34 as _wave34
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -88,6 +89,7 @@ _ALL: list[QuerySpec] = [
     *_wave31.SPECS,
     *_wave32.SPECS,
     *_wave33.SPECS,
+    *_wave34.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
