@@ -178,6 +178,9 @@ HEADLINE = [
     # wave 34: HRW sharding, emerging terms
     "hrw_shard_assignment",
     "emerging_terms_report",
+    # wave 35: Theil-Sen trend, lagged cross-correlation
+    "theil_sen_daily_trend",
+    "lagged_cross_correlation",
 ]
 
 

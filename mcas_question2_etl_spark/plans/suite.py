@@ -46,6 +46,7 @@ from . import wave31 as _wave31
 from . import wave32 as _wave32
 from . import wave33 as _wave33
 from . import wave34 as _wave34
+from . import wave35 as _wave35
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -90,6 +91,7 @@ _ALL: list[QuerySpec] = [
     *_wave32.SPECS,
     *_wave33.SPECS,
     *_wave34.SPECS,
+    *_wave35.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
