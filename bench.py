@@ -181,6 +181,9 @@ HEADLINE = [
     # wave 35: Theil-Sen trend, lagged cross-correlation
     "theil_sen_daily_trend",
     "lagged_cross_correlation",
+    # wave 36: in-place token dedup, autocorrelation
+    "inplace_token_dedup",
+    "autocorrelation_report",
 ]
 
 

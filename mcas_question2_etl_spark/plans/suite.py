@@ -47,6 +47,7 @@ from . import wave32 as _wave32
 from . import wave33 as _wave33
 from . import wave34 as _wave34
 from . import wave35 as _wave35
+from . import wave36 as _wave36
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -92,6 +93,7 @@ _ALL: list[QuerySpec] = [
     *_wave33.SPECS,
     *_wave34.SPECS,
     *_wave35.SPECS,
+    *_wave36.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
