@@ -123,7 +123,7 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept_counts = kept.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
     return (
-        rates.join(kept_counts, "source", "left")
+        rates.join(F.broadcast(kept_counts), "source", "left")
         .select(
             "source",
             F.col("n").alias("n_docs"),
