@@ -462,3 +462,59 @@ def maintain_time_bucket_rollup(
         .start()
     )
     q.awaitTermination(timeout_sec)
+
+
+def maintain_trending_terms(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    top_k: int = 20,
+    timeout_sec: int = 120,
+):
+    """Live trending-terms table: per micro-batch, merge the batch's
+    event-type counts additively into a full count snapshot, then
+    materialize the top-``top_k`` view from the merged counts — the
+    streaming leaderboard pattern (counts are the mergeable state;
+    the ranking is DERIVED per refresh, never maintained
+    incrementally, because rank is not additive).
+
+    Exactly-once by the same checkpoint + idempotent-overwrite pairing
+    as maintain_aggregate. Writes two tables under ``state_path``:
+    ``counts`` (the mergeable state, corpus-complete) and ``topk``
+    (the serving view). At scale the counts table is vocabulary-sized
+    and the top-k is a TakeOrdered over it — the raw stream never
+    re-scans.
+    """
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        counts_path = f"{state_path}/counts"
+        topk_path = f"{state_path}/topk"
+        try:
+            snap = spark.read.parquet(counts_path)
+            merged = (
+                snap.unionByName(partial)
+                .groupBy("event_type")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        except Exception:  # first batch
+            merged = partial
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(counts_path)
+        (
+            merged.orderBy(F.col("cnt").desc(), F.col("event_type"))
+            .limit(top_k)
+            .write.mode("overwrite")
+            .parquet(topk_path)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

@@ -329,3 +329,38 @@ def test_maintain_time_bucket_rollup_equals_batch(spark, events_path, tmp_path):
     assert sorted(map(tuple, day_from_state.collect())) == sorted(
         map(tuple, day_direct.collect())
     )
+
+
+def test_maintain_trending_terms_matches_batch_topk(spark, events_path, tmp_path):
+    """Streaming trending-terms maintenance: the serving top-k equals
+    the batch ranking after one pass, and a same-checkpoint re-run
+    changes nothing (exactly-once)."""
+    from pyspark.sql import functions as F
+
+    from mcas_question2_etl_spark.catalog import load_table
+
+    state = str(tmp_path / "trend_state")
+    ckpt = str(tmp_path / "trend_ckpt")
+
+    def topk():
+        return [
+            (r.event_type, r.cnt)
+            for r in spark.read.parquet(f"{state}/topk")
+            .orderBy(F.col("cnt").desc(), "event_type")
+            .collect()
+        ]
+
+    sw.maintain_trending_terms(sw.stream_events(spark, events_path), state, ckpt)
+    events = load_table(spark, SF_SMALL, "events")
+    want = [
+        (r.event_type, r.cnt)
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "event_type")
+        .limit(20)
+        .collect()
+    ]
+    assert topk() == want
+
+    sw.maintain_trending_terms(sw.stream_events(spark, events_path), state, ckpt)
+    assert topk() == want
