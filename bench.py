@@ -1,8 +1,11 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
-JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
-"sf": ...}.
+SHORT JSON line: {"metric": ..., "value": N, "unit": "sec", "sf": ...,
+"queries_benched": N, "queries": {<5 slowest>}, "detail": ...}. The full
+per-query timing map is written to BENCH_DETAIL.json (the driver's
+stdout-tail capture truncates long lines, so the printed line stays
+compact).
 
 Each query executes its full physical plan into a noop sink (no collect
 cost, no pruned projections), after a JVM/scan warmup pass.
@@ -184,6 +187,91 @@ HEADLINE = [
     # wave 36: in-place token dedup, autocorrelation
     "inplace_token_dedup",
     "autocorrelation_report",
+    # round 3: the entire previously-unbenched tail (82 specs), appended
+    # per the no-silent-caps rule so every registered spec is timed.
+    # Grouped roughly by family; appended, never reordered/removed.
+    "glm_tidy_coefficients",
+    "weighted_sample_docs",
+    "unigram_logprob_quality",
+    "profile_documents_table",
+    "window_rank_family",
+    "fuzzy_match_names",
+    "scd2_point_in_time_join",
+    "event_transition_matrix",
+    "auc_quality_score",
+    "welch_ttest_click_purchase",
+    "winsorized_price_stats",
+    "events_daily_gapfill_locf",
+    "dedup_incremental_batch",
+    "daily_active_new_returning",
+    "monthly_revenue_growth",
+    "score_calibration_deciles",
+    "anomaly_days_zscore",
+    "join_key_skew_report",
+    "event_debounce_dedup",
+    "zorder_pruning_stats",
+    "project_rename",
+    "constant_and_derived_columns",
+    "filter_inequality_notnull",
+    "conditional_coalesce",
+    "multi_col_pct_transform",
+    "comma_strip_cast",
+    "title_and_directions",
+    "string_split_explode",
+    "separate_unpivot",
+    "join_inner_validated_1to1",
+    "join_left_multikey",
+    "group_count_frequency",
+    "zscore_global",
+    "summary_stats",
+    "distinct_count",
+    "sort_nulls_first",
+    "union_partitions",
+    "events_json_extract",
+    "doc_fingerprint_clusters",
+    "language_id_heuristic",
+    "ngram_jaccard_neardup",
+    "minhash_neardup",
+    "ann_lsh_bucketed",
+    "embedding_neardup_topn",
+    "token_count_bpe",
+    "rolling_hash_fingerprint",
+    "quality_expectations_report",
+    "train_test_split_counts",
+    "balanced_sample_per_lang",
+    "mixture_sample_counts",
+    "rollup_totals",
+    "join_semi_anti",
+    "having_filter",
+    "window_lag_lead",
+    "asof_join_click_purchase",
+    "cube_grouping",
+    "set_intersect_except",
+    "group_percentiles",
+    "range_band_join",
+    "skew_salted_agg",
+    "events_sliding_window",
+    "asof_join_forward_next_purchase",
+    "merge_upsert_customers",
+    "changelog_latest_state",
+    "hll_distinct_users_accuracy",
+    "heavy_hitters_users",
+    "approx_percentile_accuracy",
+    "multimodal_frame_sample",
+    "geo_reproject_validity",
+    "tpch_q7_nation_volume",
+    "tpch_q14_promo_revenue",
+    "correlated_above_customer_avg",
+    "tpch_q4_priority_check",
+    "tpch_q6_forecast_revenue",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_shipment_priority",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_suppliers",
+    "tpch_q22_global_sales_opportunity",
 ]
 
 
@@ -222,14 +310,35 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    # The driver captures only a bounded stdout tail, so the final JSON
+    # line must stay SHORT (r2's 120-entry per-query map overflowed it
+    # and the round's bench record parsed as null). Full per-query map
+    # goes to BENCH_DETAIL.json next to this script; the printed line
+    # carries totals plus the 5 slowest queries as a summary.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "headline_suite_total",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+            },
+            f,
+            indent=1,
+        )
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "queries_benched": len(timings),
+                "queries": slowest,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

@@ -54,6 +54,7 @@ def connected_components(
     src: str = "a_id",
     dst: str = "b_id",
     max_iter: int = 25,
+    method: str = "auto",
 ) -> DataFrame:
     """Label every node with the MIN node id reachable from it.
 
@@ -62,10 +63,38 @@ def connected_components(
     of a real corpus — come out as singleton clusters without riding
     through any join. Returns (id_col, cluster_id).
 
-    Raises ``RuntimeError`` if ``max_iter`` rounds don't converge
-    (diameter > max_iter): silent partial labels would split clusters,
-    which for dedup means silently keeping duplicates.
+    ``method``:
+      * ``"hashmin"`` — min-label propagation + path halving (below);
+        O(log diameter) rounds, cheapest per round. Raises
+        ``RuntimeError`` if ``max_iter`` rounds don't converge: silent
+        partial labels would split clusters, which for dedup means
+        silently keeping duplicates.
+      * ``"star"`` — Kiveris et al. alternating large-star/small-star
+        contraction (:func:`connected_components_star`); O(log^2 n)
+        rounds REGARDLESS of diameter or component structure.
+      * ``"auto"`` (default) — hash-min first (right for the LSH-dense
+        near-dup graphs this serves), falling back to star contraction
+        instead of failing when the diameter budget is exhausted.
     """
+    if method == "star":
+        return connected_components_star(
+            edges, nodes, id_col, src, dst, max_iter=max_iter
+        )
+    if method == "auto":
+        try:
+            return connected_components(
+                edges, nodes, id_col, src, dst, max_iter, method="hashmin"
+            )
+        except RuntimeError:
+            # the caller's max_iter is a DIAMETER budget for hash-min;
+            # star's round count is O(log^2 n) regardless of diameter,
+            # so the fallback gets its own bound rather than inheriting
+            # a deliberately small one
+            return connected_components_star(
+                edges, nodes, id_col, src, dst, max_iter=max(max_iter, 50)
+            )
+    if method != "hashmin":
+        raise ValueError(f"unknown method {method!r}")
     sym = symmetrize(edges, src, dst).distinct().localCheckpoint(eager=False)
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("lbl")
@@ -112,6 +141,112 @@ def connected_components(
     )
 
 
+# --------------------------------------------------------------------------
+# Kiveris et al. alternating star contraction (SoCC'14, "Connected
+# Components in MapReduce and Beyond", alg. 2-3) — the adversarial-
+# diameter core. Public algorithm; re-derived here for DataFrames.
+# --------------------------------------------------------------------------
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """One large-star round. Input: symmetric edge list (u, v), u != v.
+    For each node u with neighborhood N(u), m = min(N(u) ∪ {u}); every
+    strictly LARGER neighbor v > u is re-pointed at m: emit (v, m).
+    Leaves small neighbors untouched, so star centers keep their
+    subtrees; provably halves component height every O(1) rounds when
+    alternated with small-star."""
+    m = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", F.col("u")).alias("mn"))
+    )
+    return (
+        sym.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(directed: DataFrame) -> DataFrame:
+    """One small-star round. Orient every edge child=max -> parent=min,
+    then for each node u let m = min over its SMALLER neighbors ∪ {u}
+    and point all of them (and u itself) at m: emit (v, m) ∀ v ∈
+    N_small(u) ∪ {u}. Flattens each star's small side."""
+    oriented = directed.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    m = oriented.groupBy("u").agg(F.min("v").alias("mn"))
+    repointed = oriented.join(m, "u").select(
+        F.col("v").alias("u"), F.col("mn").alias("v")
+    )
+    self_edge = m.select("u", F.col("mn").alias("v"))
+    return (
+        repointed.unionByName(self_edge)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "a_id",
+    dst: str = "b_id",
+    max_iter: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction — O(log^2 n) rounds on ANY graph, independent of
+    diameter (Kiveris et al. SoCC'14). Same contract as
+    :func:`connected_components`: returns (id_col, cluster_id) with
+    cluster_id = min reachable node id, isolated nodes as singletons.
+
+    Scale notes: each round shuffles only fixed-width (node, node)
+    pairs — two groupBy-min + join per round, never payloads. The edge
+    set only shrinks toward the star forest, so per-round cost decays.
+    Convergence = the oriented edge set reaches a fixed point (checked
+    exactly with a set-difference count, not a lossy checksum); at the
+    fixed point every edge is (member -> component min).
+    """
+    cur = (
+        symmetrize(edges, src, dst)
+        .select(F.col("src").cast("long").alias("u"), F.col("dst").cast("long").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for rounds in range(1, max_iter + 1):
+        # large-star wants full neighborhoods -> re-symmetrize the
+        # directed star edges from the previous round
+        sym = cur.unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        stepped = _small_star(_large_star(sym)).localCheckpoint(eager=False)
+        n_cur, n_stepped = cur.count(), stepped.count()
+        if n_cur == n_stepped and stepped.exceptAll(cur).count() == 0:
+            if stats is not None:
+                stats["rounds"] = rounds
+            break
+        cur = stepped
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds (O(log^2 n) bound exceeded — malformed edge input?)"
+        )
+    # fixed point: cur holds (member, center) for every non-center
+    # member; centers and isolated nodes label themselves
+    labels = nodes.select(
+        F.col(id_col).cast("long").alias("u")
+    ).join(cur, "u", "left")
+    return labels.select(
+        F.col("u").alias(id_col),
+        F.coalesce("v", "u").alias("cluster_id"),
+    )
+
+
 def canonicalize(
     components: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -145,10 +280,15 @@ def canonicalize_by(
     rank-limited window over CLUSTER members (WindowGroupLimit — heap
     per cluster, no full sort). Returns one row per cluster:
     (cluster_id, survivor_id, cluster_size, best_quality).
+
+    Members with no quality row are NOT dropped: the join is left-outer
+    and the survivor ordering puts null quality last, so they still
+    count toward cluster_size and can only win a cluster whose every
+    member lacks a score (then min-id breaks the tie).
     """
-    scored = components.join(quality, id_col)
+    scored = components.join(quality, id_col, "left")
     w = Window.partitionBy("cluster_id").orderBy(
-        F.col(quality_col).desc(), F.col(id_col)
+        F.col(quality_col).desc_nulls_last(), F.col(id_col)
     )
     return (
         scored.withColumn("__rn", F.row_number().over(w))

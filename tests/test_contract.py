@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pytest
 
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_ORACLE, SF_SMALL
 from tests.oracle import compare, duck_connection
 
 
@@ -22,9 +22,16 @@ def duck():
     con.close()
 
 
+# Specs whose oracle is a LITERAL-VALUES pin of the sf0.01 result
+# (non-SQL-expressible iterative fits): the mirror must run them at the
+# driver's sf, not the fast sf0.001, or the pinned values can't match.
+_SF_PINNED = {"glm_tidy_coefficients": SF_ORACLE}
+
+
 @pytest.mark.parametrize("spec", _specs(), ids=lambda s: s.name)
 def test_query_matches_oracle(spark, duck, spec):
-    df = spec.fn(spark, SF_SMALL)
+    sf_dir = _SF_PINNED.get(spec.name, SF_SMALL)
+    df = spec.fn(spark, sf_dir)
     if spec.oracle is None:
         assert df.count() >= 0  # rows-only check, mirroring the driver
         return

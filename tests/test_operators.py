@@ -517,7 +517,74 @@ def test_connected_components_nonconvergence_raises(spark):
     )
     nodes = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, nodes, max_iter=2)
+        connected_components(edges, nodes, max_iter=2, method="hashmin")
+
+
+def test_connected_components_auto_falls_back_to_star(spark):
+    """method='auto' must survive a diameter budget the hash-min core
+    can't: same chain as the raise test, but the star fallback labels
+    it correctly instead of failing."""
+    from mcas_question2_etl_spark.operators.clustering import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], ["a_id", "b_id"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(edges, nodes, max_iter=2).collect()
+    }
+    assert got == {i: 1 for i in range(1, 7)}
+
+
+def test_star_contraction_long_chain_logsq_rounds(spark):
+    """Kiveris star contraction on a 64-node chain (diameter 63, the
+    hash-min adversary): correct labels, and rounds within the
+    O(log^2 n) bound — log2(64)=6, so well under 12 alternations
+    (hash-min without path halving would need ~63)."""
+    from mcas_question2_etl_spark.operators.clustering import (
+        connected_components_star,
+    )
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], ["a_id", "b_id"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], ["doc_id"])
+    stats: dict = {}
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components_star(edges, nodes, stats=stats).collect()
+    }
+    assert got == {i: 1 for i in range(1, n + 1)}
+    assert stats["rounds"] <= 12, stats
+
+
+def test_star_contraction_matches_hashmin_mixed_graph(spark):
+    """Star and hash-min must agree on a graph mixing a clique, a
+    chain, reversed edges, self-referential duplicates, and isolated
+    nodes."""
+    from mcas_question2_etl_spark.operators.clustering import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3),          # triangle
+         (10, 11), (12, 11),              # chain with a reversed edge
+         (20, 21), (20, 21),              # duplicate edge
+         (31, 30)],                       # single reversed pair
+        ["a_id", "b_id"],
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 12, 20, 21, 30, 31, 40]], ["doc_id"]
+    )
+    a = {r.doc_id: r.cluster_id
+         for r in connected_components(edges, nodes, method="hashmin").collect()}
+    b = {r.doc_id: r.cluster_id
+         for r in connected_components_star(edges, nodes).collect()}
+    assert a == b
+    assert b[40] == 40 and b[12] == 10 and b[31] == 30
 
 
 def test_gopher_quality_report_fixtures(spark):

@@ -502,3 +502,59 @@ def test_prefix_filter_join_matches_bruteforce(spark, docs):
     out = prefix_filter_jaccard_join(df, "doc_id", "text", t).collect()
     got = {(r.a_id, r.b_id): (r.n_inter, r.n_union) for r in out}
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=19),
+            st.integers(min_value=0, max_value=19),
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_star_contraction_matches_hashmin_and_unionfind(spark, edges):
+    """Kiveris large-star/small-star == hash-min == a pure-Python
+    union-find on random graphs (self-loops and duplicates included in
+    the input; the node universe is every endpoint plus two guaranteed
+    isolates)."""
+    from mcas_question2_etl_spark.operators.clustering import (
+        connected_components,
+        connected_components_star,
+    )
+
+    universe = sorted({n for e in edges for n in e} | {100, 101})
+    # union-find reference
+    parent = {n: n for n in universe}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min of component
+    comp: dict[int, list[int]] = {}
+    for n in universe:
+        comp.setdefault(find(n), []).append(n)
+    want = {n: min(members) for members in comp.values() for n in members}
+
+    nodes = spark.createDataFrame([(n,) for n in universe], "doc_id long")
+    if edges:
+        edf = spark.createDataFrame(edges, "a_id long, b_id long")
+    else:
+        edf = spark.createDataFrame([], "a_id long, b_id long")
+    # self-loops: the star core filters u==v; hash-min tolerates them
+    hm = {r.doc_id: r.cluster_id
+          for r in connected_components(edf, nodes, method="hashmin").collect()}
+    star = {r.doc_id: r.cluster_id
+            for r in connected_components_star(edf, nodes).collect()}
+    assert hm == want
+    assert star == want
