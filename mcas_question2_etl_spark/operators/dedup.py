@@ -277,8 +277,11 @@ def minhash_lsh_candidates(
     # descends from the md5-per-shingle signature — without
     # materialization the whole hashing stage runs twice (once per
     # side). The banded rows are 3 fixed-width columns, tiny relative
-    # to the hash work that produces them.
-    bands = bands.persist()
+    # to the hash work that produces them. localCheckpoint (not
+    # persist) so the blocks are released by the ContextCleaner when
+    # the plan is garbage-collected — an explicit persist here leaked
+    # cache in long-lived sessions with no scope to unpersist from.
+    bands = bands.localCheckpoint(eager=False)
     a = bands.select(
         F.col(id_col).alias("a_id"), "band_idx", "band_key"
     )
@@ -490,8 +493,9 @@ def hamming_band_pairs(
     n_bands = 32 * len(word_cols) // band_bits
     if max_hamming > n_bands - 1:
         raise ValueError(
-            f"max_hamming={max_hamming} needs > {n_bands} bands for "
-            f"guaranteed recall (have {n_bands}); lower it or shrink band_bits"
+            f"max_hamming={max_hamming} needs >= {max_hamming + 1} bands "
+            f"for guaranteed recall (have {n_bands}); lower it or shrink "
+            "band_bits"
         )
     mask = (1 << band_bits) - 1
     per_word = 32 // band_bits

@@ -214,8 +214,10 @@ def ndcg_at_k(
     idcg = F.sum(
         F.when(F.col("__ri") <= k, F.col("__g") / F.log2(F.col("__ri") + 1)).otherwise(0.0)
     )
+    # all-zero-relevance queries: dcg/idcg = 0/0 -> conventional 0.0,
+    # not a silent NULL
     return ranked.groupBy("qid").agg(
         dcg.alias("dcg"),
         idcg.alias("idcg"),
-        (dcg / idcg).alias("ndcg"),
+        F.when(idcg > 0, dcg / idcg).otherwise(0.0).alias("ndcg"),
     )

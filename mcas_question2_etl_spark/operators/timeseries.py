@@ -125,6 +125,13 @@ def rollup_coarser(
     )
 
 
+#: ewma_half block width: weights inside a block stay within 2^63 (no
+#: overflow), and the one-block carry truncation drops only terms
+#: attenuated by >= 2^-128 from two blocks back — sub-ulp for any
+#: series whose values span < ~59 bits of magnitude.
+_EWMA_BLOCK = 64
+
+
 def ewma_half(
     df: DataFrame,
     keys: Sequence[str],
@@ -136,39 +143,85 @@ def ewma_half(
 
     The recursion unrolls to a prefix sum: with row number j per
     series, ewma_i = cumsum(u)_i / 2^i where u_1 = 2*x_1 and
-    u_j = x_j * 2^(j-1). Because alpha is dyadic, every term is an
-    integer times a power of two, so the doubles are EXACT (no
-    accumulation error, no partition-order sensitivity) as long as
-    series length stays under ~50 bits of dynamic range — engine-
-    portable to the bit. One shuffle on the series key; both windows
-    share it.
+    u_j = x_j * 2^(j-1). A naive unroll overflows double at j ~ 1024
+    (2^j -> inf, every later row silently NaN), so the exponent is
+    renormalized per BLOCK of B=64 rows: within a block the local
+    index l in 1..B bounds every weight by 2^63, and the previous
+    block's tail enters as a carry
+
+        ewma_i = (S_blk(i) + T_prev / 2^B) / 2^l,   T_prev = lag(T, B)
+
+    where S_blk is the within-block prefix sum of u_l = x * 2^(l-1)
+    and T is the block total (every non-final block is exactly full, so
+    the row B positions back always carries the previous block's
+    total). Contributions older than TWO blocks are attenuated by
+    2^-128 and truncated — below double ulp for any series whose
+    values span < ~59 bits, and the SQL twin truncates identically, so
+    engines still agree bit-for-bit. Because alpha is dyadic, every
+    surviving term is an integer times a power of two: exact doubles,
+    no partition-order sensitivity, arbitrary series length. One
+    shuffle on the series key; all windows share it.
     """
+    B = _EWMA_BLOCK
     w = Window.partitionBy(*keys).orderBy(order_col)
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     j = F.row_number().over(w)
-    u = F.when(j == 1, F.col(value_col) * 2.0).otherwise(
-        F.col(value_col) * F.pow(F.lit(2.0), j - 1)
-    )
-    return (
+    df2 = (
         df.withColumn("__j", j)
-        .withColumn("__u", u)
-        .withColumn("ewma", F.sum("__u").over(wrun) / F.pow(F.lit(2.0), F.col("__j")))
-        .drop("__j", "__u")
+        .withColumn("__blk", ((F.col("__j") - 1) / B).cast("long"))
+        .withColumn("__l", F.col("__j") - F.col("__blk") * B)
+    )
+    u = F.when(F.col("__j") == 1, F.col(value_col) * 2.0).otherwise(
+        F.col(value_col) * F.pow(F.lit(2.0), F.col("__l") - 1)
+    )
+    df2 = df2.withColumn("__u", u)
+    wblk_run = Window.partitionBy(*keys, "__blk").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wblk_all = Window.partitionBy(*keys, "__blk")
+    wlag = Window.partitionBy(*keys).orderBy(order_col)
+    df2 = df2.withColumn("__s", F.sum("__u").over(wblk_run)).withColumn(
+        "__t", F.sum("__u").over(wblk_all)
+    )
+    t_prev = F.coalesce(F.lag("__t", B).over(wlag), F.lit(0.0))
+    return (
+        df2.withColumn(
+            "ewma",
+            (F.col("__s") + t_prev / F.pow(F.lit(2.0), F.lit(B)))
+            / F.pow(F.lit(2.0), F.col("__l")),
+        )
+        .drop("__j", "__blk", "__l", "__u", "__s", "__t")
     )
 
 
 def ewma_half_sql(
     inner: str, keys: str, order_col: str, value_col: str
 ) -> str:
-    """DuckDB twin of :func:`ewma_half` over an ``inner`` relation."""
+    """DuckDB twin of :func:`ewma_half` over an ``inner`` relation —
+    the same block-renormalized unroll, truncated identically."""
+    B = _EWMA_BLOCK
     return f"""
-      SELECT *,
-             SUM(CASE WHEN j = 1 THEN {value_col} * 2.0
-                      ELSE {value_col} * power(2.0, j - 1) END)
-               OVER (PARTITION BY {keys} ORDER BY {order_col}
-                     ROWS UNBOUNDED PRECEDING) / power(2.0, j) AS ewma
-      FROM (SELECT *, CAST(ROW_NUMBER() OVER
-                             (PARTITION BY {keys} ORDER BY {order_col})
-                           AS BIGINT) AS j
-            FROM {inner})
+      SELECT * EXCLUDE (j, blk, l, u, s, t),
+             (s + COALESCE(LAG(t, {B}) OVER
+                             (PARTITION BY {keys} ORDER BY {order_col}),
+                           0.0) / power(2.0, {B})) / power(2.0, l) AS ewma
+      FROM (
+        SELECT *,
+               SUM(u) OVER (PARTITION BY {keys}, blk ORDER BY {order_col}
+                            ROWS UNBOUNDED PRECEDING) AS s,
+               SUM(u) OVER (PARTITION BY {keys}, blk) AS t
+        FROM (
+          SELECT *,
+                 CASE WHEN j = 1 THEN {value_col} * 2.0
+                      ELSE {value_col} * power(2.0, l - 1) END AS u
+          FROM (SELECT *,
+                       CAST(ROW_NUMBER() OVER
+                              (PARTITION BY {keys} ORDER BY {order_col})
+                            AS BIGINT) AS j,
+                       CAST((ROW_NUMBER() OVER
+                              (PARTITION BY {keys} ORDER BY {order_col}) - 1)
+                            // {B} AS BIGINT) AS blk,
+                       CAST((ROW_NUMBER() OVER
+                              (PARTITION BY {keys} ORDER BY {order_col}) - 1)
+                            % {B} + 1 AS BIGINT) AS l
+                FROM {inner})))
     """

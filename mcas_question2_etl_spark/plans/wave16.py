@@ -199,7 +199,7 @@ def sft_conversation_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "day",
         "n_events",
-    ).replace("SELECT *,", "SELECT event_type, day, n_events,", 1),
+    ),
     "extension — EWMA trend smoothing (operators/timeseries.py "
     "ewma_half): the recursive filter unrolled to ONE window prefix "
     "sum via the dyadic-alpha trick (alpha=1/2 makes every term an "

@@ -194,6 +194,56 @@ def enrich_with_dim(
     return events.join(d, on, "left")
 
 
+def apply_batch_once(
+    spark,
+    state_path: str,
+    batch_id: int,
+    partial: DataFrame,
+    merge,
+) -> bool:
+    """Merge a micro-batch's ``partial`` into the parquet snapshot at
+    ``state_path`` exactly once per ``batch_id`` — the retry guard the
+    additive maintainers need under foreachBatch's at-least-once
+    contract.
+
+    foreachBatch can re-deliver a batch whose snapshot overwrite
+    SUCCEEDED but whose checkpoint commit didn't (failure in the gap);
+    re-merging additive state then double-counts. The last applied
+    batch id is therefore stored IN the snapshot itself (constant
+    ``__batch_id`` column — same atomicity domain as the data, unlike
+    a sidecar file), and a batch with id <= the stored one is skipped.
+    Valid within one checkpoint lineage: deleting the checkpoint while
+    keeping the state restarts batch numbering and must be treated as
+    operator error (wipe both or neither).
+
+    ``merge(snapshot_df, partial_df) -> DataFrame`` combines the prior
+    state (``__batch_id`` already dropped) with the batch partial.
+    Returns True if the batch was applied, False if skipped as a
+    retry.
+    """
+    try:
+        snap = spark.read.parquet(state_path)
+        applied = snap.agg(F.max("__batch_id")).first()[0]
+        if applied is not None and applied >= batch_id:
+            return False
+        merged = merge(snap.drop("__batch_id"), partial)
+    except Exception:  # first batch: no snapshot yet
+        merged = partial
+    (
+        merged.withColumn("__batch_id", F.lit(int(batch_id)))
+        .localCheckpoint(eager=True)
+        .write.mode("overwrite")
+        .parquet(state_path)
+    )
+    return True
+
+
+def read_state(spark, state_path: str) -> DataFrame:
+    """Read a maintained snapshot without its ``__batch_id`` marker."""
+    snap = spark.read.parquet(state_path)
+    return snap.drop("__batch_id")
+
+
 def maintain_aggregate(
     stream: DataFrame,
     state_path: str,
@@ -207,38 +257,38 @@ def maintain_aggregate(
 
     Each micro-batch computes its partial (count, sum) per key —
     additive, so merging with the snapshot is a union + re-aggregate,
-    never a rescan of history. Exactly-once comes from the pairing of
-    the streaming checkpoint (an already-processed batch is not
-    re-delivered after restart) with an idempotent overwrite of the
-    snapshot. The merged snapshot is localCheckpoint-materialized
-    BEFORE the overwrite, because lazily overwriting a parquet path
-    that the same plan is reading corrupts the read.
+    never a rescan of history. Exactly-once comes from the streaming
+    checkpoint (an already-processed batch is not re-delivered after
+    restart) PLUS the :func:`apply_batch_once` batch-id guard, which
+    closes foreachBatch's at-least-once gap: a batch whose overwrite
+    landed but whose checkpoint commit didn't is skipped on retry
+    instead of double-counted. The merged snapshot is
+    localCheckpoint-materialized BEFORE the overwrite, because lazily
+    overwriting a parquet path that the same plan is reading corrupts
+    the read.
 
     At scale the snapshot overwrite becomes a partition overwrite on
     the key's hash bucket (sources/io.write_partition_overwrite) so a
     batch touching few keys rewrites few files.
     """
 
+    def merge(snap: DataFrame, partial: DataFrame) -> DataFrame:
+        return (
+            snap.unionByName(partial)
+            .groupBy(*keys)
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+            )
+        )
+
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
         partial = batch_df.groupBy(*keys).agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
         )
-        try:
-            snap = spark.read.parquet(state_path)
-            merged = (
-                snap.unionByName(partial)
-                .groupBy(*keys)
-                .agg(
-                    F.sum("n_events").alias("n_events"),
-                    F.sum("sum_value").alias("sum_value"),
-                )
-            )
-        except Exception:  # first batch: no snapshot yet
-            merged = partial
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            state_path
+        apply_batch_once(
+            batch_df.sparkSession, state_path, batch_id, partial, merge
         )
 
     q = (
@@ -424,35 +474,34 @@ def maintain_time_bucket_rollup(
     Every summary is a semigroup (SUM/SUM/MIN/MAX), so merging is a
     union + re-aggregate over only the buckets the batch touched plus
     the snapshot — never a rescan of raw history. Exactly-once: the
-    streaming checkpoint suppresses redelivery, the overwrite is
-    idempotent, and the merged snapshot materializes (localCheckpoint)
-    before overwriting the path it read. At scale the overwrite
-    becomes a partition overwrite keyed by the bucket, so late data
-    rewrites only its own bucket's files.
+    streaming checkpoint suppresses redelivery and the
+    :func:`apply_batch_once` batch-id guard skips a retried batch whose
+    overwrite already landed (the at-least-once gap); the merged
+    snapshot materializes (localCheckpoint) before overwriting the
+    path it read. At scale the overwrite becomes a partition overwrite
+    keyed by the bucket, so late data rewrites only its own bucket's
+    files.
     """
     from ..operators.timeseries import time_bucket_rollup
 
+    def merge(snap: DataFrame, partial: DataFrame) -> DataFrame:
+        return (
+            snap.unionByName(partial)
+            .groupBy(*keys, "bucket_us")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_key").alias("sum_key"),
+                F.min("min_us").alias("min_us"),
+                F.max("max_us").alias("max_us"),
+            )
+        )
+
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
         partial = time_bucket_rollup(
             batch_df, "ts", list(keys), bucket_seconds, "user_id"
         )
-        try:
-            snap = spark.read.parquet(state_path)
-            merged = (
-                snap.unionByName(partial)
-                .groupBy(*keys, "bucket_us")
-                .agg(
-                    F.sum("n_events").alias("n_events"),
-                    F.sum("sum_key").alias("sum_key"),
-                    F.min("min_us").alias("min_us"),
-                    F.max("max_us").alias("max_us"),
-                )
-            )
-        except Exception:  # first batch: no snapshot yet
-            merged = partial
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            state_path
+        apply_batch_once(
+            batch_df.sparkSession, state_path, batch_id, partial, merge
         )
 
     q = (
@@ -478,13 +527,21 @@ def maintain_trending_terms(
     the ranking is DERIVED per refresh, never maintained
     incrementally, because rank is not additive).
 
-    Exactly-once by the same checkpoint + idempotent-overwrite pairing
-    as maintain_aggregate. Writes two tables under ``state_path``:
-    ``counts`` (the mergeable state, corpus-complete) and ``topk``
-    (the serving view). At scale the counts table is vocabulary-sized
-    and the top-k is a TakeOrdered over it — the raw stream never
-    re-scans.
+    Exactly-once by the same checkpoint + :func:`apply_batch_once`
+    batch-id-guard pairing as maintain_aggregate (the additive counts
+    state is what the guard protects; re-deriving the top-k on a retry
+    is harmless). Writes two tables under ``state_path``: ``counts``
+    (the mergeable state, corpus-complete) and ``topk`` (the serving
+    view). At scale the counts table is vocabulary-sized and the top-k
+    is a TakeOrdered over it — the raw stream never re-scans.
     """
+
+    def merge(snap: DataFrame, partial: DataFrame) -> DataFrame:
+        return (
+            snap.unionByName(partial)
+            .groupBy("event_type")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -493,19 +550,10 @@ def maintain_trending_terms(
         )
         counts_path = f"{state_path}/counts"
         topk_path = f"{state_path}/topk"
-        try:
-            snap = spark.read.parquet(counts_path)
-            merged = (
-                snap.unionByName(partial)
-                .groupBy("event_type")
-                .agg(F.sum("cnt").alias("cnt"))
-            )
-        except Exception:  # first batch
-            merged = partial
-        merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(counts_path)
+        apply_batch_once(spark, counts_path, batch_id, partial, merge)
         (
-            merged.orderBy(F.col("cnt").desc(), F.col("event_type"))
+            read_state(spark, counts_path)
+            .orderBy(F.col("cnt").desc(), F.col("event_type"))
             .limit(top_k)
             .write.mode("overwrite")
             .parquet(topk_path)

@@ -305,7 +305,7 @@ def test_maintain_time_bucket_rollup_equals_batch(spark, events_path, tmp_path):
     ckpt = str(tmp_path / "rollup_ckpt")
 
     def snapshot():
-        return sorted(map(tuple, spark.read.parquet(state).collect()))
+        return sorted(map(tuple, sw.read_state(spark, state).collect()))
 
     sw.maintain_time_bucket_rollup(
         sw.stream_events(spark, events_path), state, ckpt
@@ -364,3 +364,38 @@ def test_maintain_trending_terms_matches_batch_topk(spark, events_path, tmp_path
 
     sw.maintain_trending_terms(sw.stream_events(spark, events_path), state, ckpt)
     assert topk() == want
+
+
+def test_apply_batch_once_skips_retried_batch(spark, tmp_path):
+    """The at-least-once gap: a batch whose snapshot overwrite landed
+    but whose checkpoint commit didn't is re-delivered with the SAME
+    batch_id — the guard must skip the re-merge instead of
+    double-counting, while a genuinely new batch id still applies."""
+    from pyspark.sql import functions as F
+
+    state = str(tmp_path / "guard_state")
+
+    def merge(snap, partial):
+        return (
+            snap.unionByName(partial).groupBy("k").agg(F.sum("n").alias("n"))
+        )
+
+    p0 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, n long")
+    p1 = spark.createDataFrame([("a", 10)], "k string, n long")
+
+    assert sw.apply_batch_once(spark, state, 0, p0, merge) is True
+    # retry of batch 0 (same id): must be a no-op
+    assert sw.apply_batch_once(spark, state, 0, p0, merge) is False
+    assert {r.k: r.n for r in sw.read_state(spark, state).collect()} == {
+        "a": 1, "b": 2,
+    }
+    # next batch applies on top
+    assert sw.apply_batch_once(spark, state, 1, p1, merge) is True
+    assert {r.k: r.n for r in sw.read_state(spark, state).collect()} == {
+        "a": 11, "b": 2,
+    }
+    # late retry of an OLDER batch after a newer one applied: skipped
+    assert sw.apply_batch_once(spark, state, 0, p0, merge) is False
+    assert {r.k: r.n for r in sw.read_state(spark, state).collect()} == {
+        "a": 11, "b": 2,
+    }

@@ -90,3 +90,25 @@ def test_decode_thumbnails_images_only_64_nibbles(spark):
     px = rows[0].pixels
     assert len(px) == 64 and all(0 <= v <= 15 for v in px)
     assert px == fake_thumbnail(b"hello")
+
+
+def test_ewma_half_long_series_no_overflow(spark):
+    """The naive 2^j unroll hits double-infinity near j=1024 and turns
+    every later ewma into NaN; the block-renormalized form must stay
+    finite and track the literal recursion to float tolerance over a
+    2000-row series (truncated carry is sub-ulp)."""
+    import math
+
+    from mcas_question2_etl_spark.operators.timeseries import ewma_half
+
+    rng = random.Random(5)
+    rows = [("s", day, rng.randrange(0, 10_000)) for day in range(2000)]
+    df = spark.createDataFrame(rows, "series string, day int, x long")
+    got = {
+        r.day: r.ewma for r in ewma_half(df, ["series"], "day", "x").collect()
+    }
+    e = None
+    for _, day, x in rows:
+        e = float(x) if e is None else x / 2 + e / 2
+        assert math.isfinite(got[day]), f"day {day} not finite"
+        assert got[day] == pytest.approx(e, rel=1e-12), f"day {day}"
