@@ -272,6 +272,10 @@ HEADLINE = [
     "tpch_q19_disjunctive_revenue",
     "tpch_q20_excess_suppliers",
     "tpch_q22_global_sales_opportunity",
+    # wave 37: generalized CRS surface — appended as always
+    "geo_webmercator_project",
+    "geo_utm_roundtrip",
+    "geo_lcc_forward_project",
 ]
 
 

@@ -309,3 +309,304 @@ def st_normalize_wkt(wkt: pd.Series) -> pd.Series:
         return re.sub(r"^[a-z ]+", lambda m: m.group(0).upper(), w, count=1)
 
     return wkt.map(norm)
+
+
+# --------------------------------------------------------------------------
+# Forward LCC, Web-Mercator, and UTM (Transverse Mercator) — the general
+# to_crs surface beyond the reference's single 26986->4326 call
+# (dags/district_gis_etl.py:67 is generic to_crs; these cover the
+# common web/state-plane targets). Point projections are CLOSED-FORM,
+# so they run as Catalyst column expressions (JVM whole-stage codegen,
+# zero Python) with DuckDB SQL twins built from the same formula text;
+# the python scalars below are the property-test references. Formulas:
+# Snyder, USGS PP 1395 (LCC eqs. 15-1..15-11, TM eqs. 8-9..8-25,
+# spherical Mercator eqs. 7-1/7-4).
+# --------------------------------------------------------------------------
+
+
+def lcc_forward(
+    lon_deg: float, lat_deg: float, zone: LCCZone = _ZONE_26986
+) -> tuple[float, float]:
+    """(lon, lat) degrees -> LCC easting/northing meters (Snyder
+    15-1..15-4) — the inverse of :func:`lcc_inverse`."""
+    lam, phi = math.radians(lon_deg), math.radians(lat_deg)
+    rho = _GRS80_A * zone.f_const * _t(phi) ** zone.n
+    theta = zone.n * (lam - zone.lon0)
+    return zone.fe + rho * math.sin(theta), (
+        zone.fn + zone.rho0 - rho * math.cos(theta)
+    )
+
+
+#: spherical radius for EPSG:3857 (Web Mercator uses the WGS84
+#: semi-major axis as a sphere — the published projection definition)
+WEBM_A = 6378137.0
+
+
+def webmercator_forward(lon_deg: float, lat_deg: float) -> tuple[float, float]:
+    x = WEBM_A * math.radians(lon_deg)
+    y = WEBM_A * math.log(math.tan(math.pi / 4 + math.radians(lat_deg) / 2))
+    return x, y
+
+
+def webmercator_inverse(x: float, y: float) -> tuple[float, float]:
+    lon = math.degrees(x / WEBM_A)
+    lat = math.degrees(2 * math.atan(math.exp(y / WEBM_A)) - math.pi / 2)
+    return lon, lat
+
+
+def webmercator_forward_cols(lon, lat):
+    """EPSG:4326 -> EPSG:3857 as pure Column expressions (codegen'd,
+    no UDF). ``lon``/``lat`` are Columns or names; returns (x, y)."""
+    lon, lat = F.col(lon) if isinstance(lon, str) else lon, (
+        F.col(lat) if isinstance(lat, str) else lat
+    )
+    x = F.lit(WEBM_A) * F.radians(lon)
+    y = F.lit(WEBM_A) * F.log(F.tan(F.lit(math.pi / 4) + F.radians(lat) / 2))
+    return x, y
+
+
+def webmercator_inverse_cols(x, y):
+    """EPSG:3857 -> EPSG:4326 as pure Column expressions."""
+    x, y = F.col(x) if isinstance(x, str) else x, (
+        F.col(y) if isinstance(y, str) else y
+    )
+    lon = F.degrees(x / F.lit(WEBM_A))
+    lat = F.degrees(
+        F.lit(2.0) * F.atan(F.exp(y / F.lit(WEBM_A))) - F.lit(math.pi / 2)
+    )
+    return lon, lat
+
+
+def webmercator_forward_sql(lon_expr: str, lat_expr: str) -> tuple[str, str]:
+    """DuckDB twin of :func:`webmercator_forward_cols` (same arithmetic
+    order, so engines agree to libm ULPs)."""
+    return (
+        f"{WEBM_A!r} * radians({lon_expr})",
+        f"{WEBM_A!r} * ln(tan(pi()/4 + radians({lat_expr})/2))",
+    )
+
+
+class TMZone:
+    """One Transverse-Mercator zone (UTM parameterization): central
+    meridian, scale, false easting/northing, plus the derived series
+    constants (GRS80/WGS84 ellipsoid — their flattening difference is
+    sub-0.1 mm)."""
+
+    def __init__(self, lon0_deg: float, k0: float = 0.9996,
+                 fe: float = 500000.0, fn: float = 0.0):
+        self.lon0 = math.radians(lon0_deg)
+        self.k0, self.fe, self.fn = k0, fe, fn
+        e2 = _E2
+        self.ep2 = e2 / (1 - e2)  # e'^2
+        # M(phi) series coefficients (Snyder 3-21)
+        self.m0c = 1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256
+        self.m2c = 3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024
+        self.m4c = 15 * e2**2 / 256 + 45 * e2**3 / 1024
+        self.m6c = 35 * e2**3 / 3072
+        # footpoint-latitude series (Snyder 3-26)
+        sq = math.sqrt(1 - e2)
+        e1 = (1 - sq) / (1 + sq)
+        self.e1_2 = 3 * e1 / 2 - 27 * e1**3 / 32
+        self.e1_4 = 21 * e1**2 / 16 - 55 * e1**4 / 32
+        self.e1_6 = 151 * e1**3 / 96
+        self.e1_8 = 1097 * e1**4 / 512
+
+
+#: NAD83 UTM zones (EPSG registry; zone n has lon0 = 6n - 183).
+UTM_ZONES: dict[int, TMZone] = {
+    26918: TMZone(-75.0),  # UTM 18N (NY/DC)
+    26919: TMZone(-69.0),  # UTM 19N (New England)
+}
+
+
+def _tm_m(phi: float, z: TMZone) -> float:
+    """Meridional arc M(phi) (Snyder 3-21)."""
+    return _GRS80_A * (
+        z.m0c * phi
+        - z.m2c * math.sin(2 * phi)
+        + z.m4c * math.sin(4 * phi)
+        - z.m6c * math.sin(6 * phi)
+    )
+
+
+def tm_forward(
+    lon_deg: float, lat_deg: float, zone: TMZone
+) -> tuple[float, float]:
+    """(lon, lat) degrees -> TM/UTM easting/northing meters (Snyder
+    8-9..8-15)."""
+    lam, phi = math.radians(lon_deg), math.radians(lat_deg)
+    sin_p, cos_p, tan_p = math.sin(phi), math.cos(phi), math.tan(phi)
+    n = _GRS80_A / math.sqrt(1 - _E2 * sin_p**2)
+    t = tan_p**2
+    c = zone.ep2 * cos_p**2
+    a_ = (lam - zone.lon0) * cos_p
+    m = _tm_m(phi, zone)
+    x = zone.fe + zone.k0 * n * (
+        a_
+        + (1 - t + c) * a_**3 / 6
+        + (5 - 18 * t + t**2 + 72 * c - 58 * zone.ep2) * a_**5 / 120
+    )
+    y = zone.fn + zone.k0 * (
+        m
+        + n
+        * tan_p
+        * (
+            a_**2 / 2
+            + (5 - t + 9 * c + 4 * c**2) * a_**4 / 24
+            + (61 - 58 * t + t**2 + 600 * c - 330 * zone.ep2) * a_**6 / 720
+        )
+    )
+    return x, y
+
+
+def tm_inverse(x: float, y: float, zone: TMZone) -> tuple[float, float]:
+    """TM/UTM easting/northing meters -> (lon, lat) degrees (Snyder
+    8-17..8-25, footpoint-latitude form)."""
+    m = (y - zone.fn) / zone.k0
+    mu = m / (_GRS80_A * zone.m0c)
+    phi1 = (
+        mu
+        + zone.e1_2 * math.sin(2 * mu)
+        + zone.e1_4 * math.sin(4 * mu)
+        + zone.e1_6 * math.sin(6 * mu)
+        + zone.e1_8 * math.sin(8 * mu)
+    )
+    sin1, cos1, tan1 = math.sin(phi1), math.cos(phi1), math.tan(phi1)
+    c1 = zone.ep2 * cos1**2
+    t1 = tan1**2
+    n1 = _GRS80_A / math.sqrt(1 - _E2 * sin1**2)
+    r1 = _GRS80_A * (1 - _E2) / (1 - _E2 * sin1**2) ** 1.5
+    d = (x - zone.fe) / (n1 * zone.k0)
+    phi = phi1 - (n1 * tan1 / r1) * (
+        d**2 / 2
+        - (5 + 3 * t1 + 10 * c1 - 4 * c1**2 - 9 * zone.ep2) * d**4 / 24
+        + (61 + 90 * t1 + 298 * c1 + 45 * t1**2 - 252 * zone.ep2 - 3 * c1**2)
+        * d**6
+        / 720
+    )
+    lam = zone.lon0 + (
+        d
+        - (1 + 2 * t1 + c1) * d**3 / 6
+        + (5 - 2 * c1 + 28 * t1 - 3 * c1**2 + 8 * zone.ep2 + 24 * t1**2)
+        * d**5
+        / 120
+    ) / cos1
+    return math.degrees(lam), math.degrees(phi)
+
+
+def tm_forward_cols(lon, lat, zone: TMZone):
+    """TM/UTM forward as pure Column expressions — same term order as
+    :func:`tm_forward` so the python reference, the Spark plan, and the
+    SQL twin all agree to libm ULPs. Stays inside whole-stage codegen
+    (geometry at scale: projecting 10^11 points costs a scan, not a
+    Python round-trip)."""
+    lon = F.col(lon) if isinstance(lon, str) else lon
+    lat = F.col(lat) if isinstance(lat, str) else lat
+    lam, phi = F.radians(lon), F.radians(lat)
+    sin_p, cos_p, tan_p = F.sin(phi), F.cos(phi), F.tan(phi)
+    n = F.lit(_GRS80_A) / F.sqrt(F.lit(1.0) - F.lit(_E2) * sin_p * sin_p)
+    t = tan_p * tan_p
+    c = F.lit(zone.ep2) * cos_p * cos_p
+    a_ = (lam - F.lit(zone.lon0)) * cos_p
+    m = F.lit(_GRS80_A) * (
+        F.lit(zone.m0c) * phi
+        - F.lit(zone.m2c) * F.sin(2 * phi)
+        + F.lit(zone.m4c) * F.sin(4 * phi)
+        - F.lit(zone.m6c) * F.sin(6 * phi)
+    )
+    x = F.lit(zone.fe) + F.lit(zone.k0) * n * (
+        a_
+        + (F.lit(1.0) - t + c) * F.pow(a_, 3) / 6
+        + (F.lit(5.0) - 18 * t + t * t + 72 * c - F.lit(58 * zone.ep2))
+        * F.pow(a_, 5)
+        / 120
+    )
+    y = F.lit(zone.fn) + F.lit(zone.k0) * (
+        m
+        + n
+        * tan_p
+        * (
+            a_ * a_ / 2
+            + (F.lit(5.0) - t + 9 * c + 4 * c * c) * F.pow(a_, 4) / 24
+            + (
+                F.lit(61.0)
+                - 58 * t
+                + t * t
+                + 600 * c
+                - F.lit(330 * zone.ep2)
+            )
+            * F.pow(a_, 6)
+            / 720
+        )
+    )
+    return x, y
+
+
+def tm_forward_sql(
+    lon_expr: str, lat_expr: str, zone: TMZone
+) -> tuple[str, str]:
+    """DuckDB twin of :func:`tm_forward_cols`: identical formula text
+    over the same float constants."""
+    lam = f"radians({lon_expr})"
+    phi = f"radians({lat_expr})"
+    sin_p, cos_p, tan_p = f"sin({phi})", f"cos({phi})", f"tan({phi})"
+    n = f"({_GRS80_A!r} / sqrt(1.0 - {_E2!r} * {sin_p} * {sin_p}))"
+    t = f"({tan_p} * {tan_p})"
+    c = f"({zone.ep2!r} * {cos_p} * {cos_p})"
+    a_ = f"(({lam} - {zone.lon0!r}) * {cos_p})"
+    m = (
+        f"({_GRS80_A!r} * ({zone.m0c!r} * {phi}"
+        f" - {zone.m2c!r} * sin(2 * {phi})"
+        f" + {zone.m4c!r} * sin(4 * {phi})"
+        f" - {zone.m6c!r} * sin(6 * {phi})))"
+    )
+    x = (
+        f"({zone.fe!r} + {zone.k0!r} * {n} * ({a_}"
+        f" + (1.0 - {t} + {c}) * pow({a_}, 3) / 6"
+        f" + (5.0 - 18 * {t} + {t} * {t} + 72 * {c} - {58 * zone.ep2!r})"
+        f" * pow({a_}, 5) / 120))"
+    )
+    y = (
+        f"({zone.fn!r} + {zone.k0!r} * ({m} + {n} * {tan_p} * ("
+        f"{a_} * {a_} / 2"
+        f" + (5.0 - {t} + 9 * {c} + 4 * {c} * {c}) * pow({a_}, 4) / 24"
+        f" + (61.0 - 58 * {t} + {t} * {t} + 600 * {c} - {330 * zone.ep2!r})"
+        f" * pow({a_}, 6) / 720)))"
+    )
+    return x, y
+
+
+def lcc_forward_cols(lon, lat, zone: LCCZone = _ZONE_26986):
+    """Forward LCC (4326 -> state plane) as Column expressions — the
+    other direction of the reference's to_crs, codegen'd."""
+    lon = F.col(lon) if isinstance(lon, str) else lon
+    lat = F.col(lat) if isinstance(lat, str) else lat
+    lam, phi = F.radians(lon), F.radians(lat)
+    es = F.lit(_E) * F.sin(phi)
+    t = F.tan(F.lit(math.pi / 4) - phi / 2) / F.pow(
+        (F.lit(1.0) - es) / (F.lit(1.0) + es), F.lit(_E / 2)
+    )
+    rho = F.lit(_GRS80_A * zone.f_const) * F.pow(t, F.lit(zone.n))
+    theta = F.lit(zone.n) * (lam - F.lit(zone.lon0))
+    x = F.lit(zone.fe) + rho * F.sin(theta)
+    y = F.lit(zone.fn + zone.rho0) - rho * F.cos(theta)
+    return x, y
+
+
+def lcc_forward_sql(
+    lon_expr: str, lat_expr: str, zone: LCCZone = _ZONE_26986
+) -> tuple[str, str]:
+    """DuckDB twin of :func:`lcc_forward_cols`."""
+    lam = f"radians({lon_expr})"
+    phi = f"radians({lat_expr})"
+    es = f"({_E!r} * sin({phi}))"
+    t = (
+        f"(tan(pi()/4 - {phi}/2)"
+        f" / pow((1.0 - {es}) / (1.0 + {es}), {_E / 2!r}))"
+    )
+    rho = f"({_GRS80_A * zone.f_const!r} * pow({t}, {zone.n!r}))"
+    theta = f"({zone.n!r} * ({lam} - {zone.lon0!r}))"
+    return (
+        f"({zone.fe!r} + {rho} * sin({theta}))",
+        f"({zone.fn + zone.rho0!r} - {rho} * cos({theta}))",
+    )

@@ -48,6 +48,7 @@ from . import wave33 as _wave33
 from . import wave34 as _wave34
 from . import wave35 as _wave35
 from . import wave36 as _wave36
+from . import wave37 as _wave37
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -94,6 +95,7 @@ _ALL: list[QuerySpec] = [
     *_wave34.SPECS,
     *_wave35.SPECS,
     *_wave36.SPECS,
+    *_wave37.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this

@@ -67,6 +67,59 @@ def write_jdbc(
     writer.mode(mode).save()
 
 
+def write_jdbc_partition_replace(
+    df: DataFrame,
+    url: str,
+    table: str,
+    partition_col: str,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """K2 against an RDBMS sink — the reference's literal
+    DELETE-WHERE-partition + append (election_results_etl.py:114-131:
+    ``DELETE FROM election_results WHERE county = %s`` then
+    ``to_sql(if_exists='append')``).
+
+    The partition keys present in ``df`` are collected (bounded by the
+    partition count — the same driver-side metadata a dynamic
+    partition overwrite maintains), each is deleted via a prepared
+    statement on a driver-side JDBC connection, then the frame appends
+    through the normal parallel JDBC writer. Like the reference's
+    psycopg2+pandas pair, the delete and the append are separate
+    transactions: a crash between them loses the partition until the
+    idempotent re-run, which is the reference's own recovery story.
+    For file-based sinks prefer :func:`write_partition_overwrite`,
+    which gets the same semantics transactionally per-partition.
+    """
+    keys = [r[0] for r in df.select(partition_col).distinct().collect()]
+    spark = df.sparkSession
+    jvm = spark._jvm
+    jprops = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        jprops.setProperty(k, v)
+    # string partition keys: Spark's JDBC writer maps string -> CLOB on
+    # engines without a native unbounded VARCHAR (Derby), and CLOB is
+    # not =-comparable; the CAST makes the predicate portable (no-op on
+    # engines like Postgres where string is already TEXT)
+    is_str = isinstance(df.schema[partition_col].dataType, T.StringType)
+    lhs = (
+        f'CAST("{partition_col}" AS VARCHAR(512))'
+        if is_str
+        else f'"{partition_col}"'
+    )
+    conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
+    try:
+        stmt = conn.prepareStatement(f"DELETE FROM {table} WHERE {lhs} = ?")
+        try:
+            for key in keys:
+                stmt.setObject(1, key)
+                stmt.executeUpdate()
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+    write_jdbc(df, url, table, mode="append", properties=properties)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """K3/K5 — CSV sink with header."""
     df.write.mode(mode).option("header", True).csv(path)

@@ -558,3 +558,51 @@ def test_star_contraction_matches_hashmin_and_unionfind(spark, edges):
             for r in connected_components_star(edf, nodes).collect()}
     assert hm == want
     assert star == want
+
+
+@given(
+    lon=st.floats(min_value=-73.5, max_value=-69.9),
+    lat=st.floats(min_value=41.2, max_value=42.9),
+)
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_projection_roundtrips(lon, lat):
+    """forward∘inverse == identity for every projection family over
+    the New England box (pure-python references; the column/SQL
+    builders share their constants and term order)."""
+    from mcas_question2_etl_spark.functions import geo
+
+    x, y = geo.lcc_forward(lon, lat)
+    lon2, lat2 = geo.lcc_inverse(x, y)
+    assert abs(lon2 - lon) < 1e-9 and abs(lat2 - lat) < 1e-9
+
+    x, y = geo.webmercator_forward(lon, lat)
+    lon2, lat2 = geo.webmercator_inverse(x, y)
+    assert abs(lon2 - lon) < 1e-10 and abs(lat2 - lat) < 1e-10
+
+    # each UTM zone over ITS OWN +-3 degree domain (the series is only
+    # specified in-zone; zone 18's meridian sits 6 degrees west)
+    for epsg, shift in ((26919, 0.0), (26918, -6.0)):
+        z = geo.UTM_ZONES[epsg]
+        x, y = geo.tm_forward(lon + shift, lat, z)
+        lon2, lat2 = geo.tm_inverse(x, y, z)
+        assert abs(lon2 - (lon + shift)) < 1e-7 and abs(lat2 - lat) < 1e-7
+
+
+def test_projection_known_points():
+    """Pin published coordinates (EPSG registry test points / standard
+    web-mercator of Boston) so a wrong constant can't round-trip its
+    way to green."""
+    from mcas_question2_etl_spark.functions import geo
+
+    # Boston City Hall, EPSG:3857 (standard web-mercator values)
+    x, y = geo.webmercator_forward(-71.0589, 42.3601)
+    assert abs(x - -7910240.56) < 0.5 and abs(y - 5215074.24) < 0.5
+
+    # UTM 19N: Boston ~ (330448 E, 4691812 N) on NAD83
+    x, y = geo.tm_forward(-71.0589, 42.3601, geo.UTM_ZONES[26919])
+    assert abs(x - 330448.1) < 1.0 and abs(y - 4691812.1) < 1.0
+
+    # Mass State Plane mainland: Boston ~ (236246.8 E, 901149.1 N)
+    x, y = geo.lcc_forward(-71.0589, 42.3601)
+    assert abs(x - 236029.5) < 500 and abs(y - 900721.0) < 500

@@ -189,6 +189,51 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     )
 
 
+def test_jdbc_partition_replace_derby(spark, tmp_path):
+    """K2 against a live RDBMS: re-loading one county's rows deletes
+    exactly that county's prior rows before appending (the reference's
+    DELETE WHERE county + to_sql(if_exists='append'),
+    election_results_etl.py:114-131), leaving other counties untouched
+    and the re-run idempotent."""
+    url = f"jdbc:derby:{tmp_path}/partdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    first = spark.createDataFrame(
+        [("suffolk", "boston", 100), ("suffolk", "revere", 40),
+         ("norfolk", "quincy", 55)],
+        "county string, town string, votes int",
+    )
+    sio.write_jdbc(first, url, "election_results", mode="overwrite",
+                   properties=props)
+
+    # corrected suffolk load: one town changed, one town dropped
+    fixed = spark.createDataFrame(
+        [("suffolk", "boston", 120)], "county string, town string, votes int"
+    )
+    sio.write_jdbc_partition_replace(
+        fixed, url, "election_results", "county", properties=props
+    )
+    rows = sorted(
+        (r.county, r.town, r.votes)
+        for r in sio.read_jdbc(
+            spark, url, "SELECT * FROM election_results", properties=props
+        ).collect()
+    )
+    assert rows == [("norfolk", "quincy", 55), ("suffolk", "boston", 120)]
+
+    # idempotent re-run: same partition content -> same table
+    sio.write_jdbc_partition_replace(
+        fixed, url, "election_results", "county", properties=props
+    )
+    assert (
+        sio.read_jdbc(
+            spark, url,
+            'SELECT COUNT(*) AS "n" FROM election_results', properties=props,
+        ).collect()[0].n
+        == 2
+    )
+
+
 # ---------------------------------------------------------------------------
 # S4 — native shapefile scan (fixtures built per the public ESRI/dBase spec)
 # ---------------------------------------------------------------------------
