@@ -177,14 +177,42 @@ MH_PARAMS = [
 ]
 MH_BAND_ROWS = 2  # 8 signatures / 2 rows per band = 4 bands
 
+#: production family size: 128 permutations banded 16x8 — the setting
+#: large-corpus dedups actually run (the 8/4x2 family above is
+#: test-calibrated: cheap enough for hash-checked oracles, S-curve
+#: steep enough at the j>=0.6 gate the specs verify). At 16 bands of
+#: 8 rows the collision curve 1-(1-j^8)^16 passes 0.9886 at j=0.9 and
+#: 0.0006 at j=0.3 — high-threshold recall with a sharp low-j cutoff.
+MH_PROD_PERMS = 128
+MH_PROD_BAND_ROWS = 8
+
+
+def mh_family(n_perms: int) -> list[tuple[int, int]]:
+    """Deterministic affine family of arbitrary size: h_i(x) =
+    (a_i*x + b_i) % MH_P with Knuth-multiplier-derived coefficients.
+    Same int64-safety envelope as MH_PARAMS (a < 2^31, x < 2^30 ->
+    a*x + b < 2^62). The 8-perm default family stays the literal
+    MH_PARAMS table (oracle SQL embeds those constants); this
+    generator serves the production sizes."""
+    out = []
+    for i in range(n_perms):
+        a = (2654435761 * (2 * i + 1)) % MH_P
+        b = (40503 * i + 15_485_863) % MH_P
+        out.append((a or 1, b))
+    return out
+
 _SHINGLE30 = "cast(conv(substring(md5({s}), 1, 7), 16, 10) as bigint) % 1073741824"
 _SHINGLE30_SQL = "CAST(('0x' || substring(md5({s}), 1, 7)) AS BIGINT) % 1073741824"
 
 
-def minhash_signature_expr(shingles_col: str) -> Column:
-    """Array of the 8 min-hash values over a shingle array — one narrow
+def minhash_signature_expr(
+    shingles_col: str, params: list[tuple[int, int]] | None = None
+) -> Column:
+    """Array of the per-permutation min-hash values over a shingle
+    array (default family: the 8 MH_PARAMS literals; pass
+    ``mh_family(128)`` for the production setting) — one narrow
     expression, each shingle md5-hashed ONCE total (not once per
-    permutation: Spark does not CSE the md5 subexpression across the 8
+    permutation: Spark does not CSE the md5 subexpression across the
     array_min terms, and hashing dominates signature cost — measured
     2.5x at sf0.1). The single-evaluation binding uses the
     transform-over-1-element-array trick (``transform(array(x), hs ->
@@ -192,7 +220,7 @@ def minhash_signature_expr(shingles_col: str) -> Column:
     h = _SHINGLE30.format(s="s")
     mins = ", ".join(
         f"array_min(transform(hs, h -> ({a} * h + {b}) % {MH_P}))"
-        for a, b in MH_PARAMS
+        for a, b in (params or MH_PARAMS)
     )
     return F.expr(
         f"transform(array(transform({shingles_col}, s -> {h})), "
@@ -200,10 +228,12 @@ def minhash_signature_expr(shingles_col: str) -> Column:
     )
 
 
-def minhash_signature_sql(shingles_col: str) -> str:
+def minhash_signature_sql(
+    shingles_col: str, params: list[tuple[int, int]] | None = None
+) -> str:
     """DuckDB twin of :func:`minhash_signature_expr`."""
     terms = []
-    for a, b in MH_PARAMS:
+    for a, b in params or MH_PARAMS:
         h = _SHINGLE30_SQL.format(s="s")
         terms.append(
             f"list_min(list_transform({shingles_col}, s -> ({a} * ({h}) + {b}) % {MH_P}))"
@@ -217,6 +247,8 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     n: int = 3,
     max_bucket: int | None = None,
+    params: list[tuple[int, int]] | None = None,
+    band_rows: int = MH_BAND_ROWS,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over the portable MinHash.
 
@@ -240,12 +272,13 @@ def minhash_lsh_candidates(
     per-bucket count rides the same shuffle the join needs (one window
     over the band key), so the guard costs no extra exchange.
     """
+    params = params or MH_PARAMS
     sig = df.select(
         F.col(id_col), char_ngrams(text_col, n).alias("__sh")
     ).filter(F.size("__sh") > 0).select(
-        F.col(id_col), minhash_signature_expr("__sh").alias("__sig")
+        F.col(id_col), minhash_signature_expr("__sh", params).alias("__sig")
     )
-    n_bands = len(MH_PARAMS) // MH_BAND_ROWS
+    n_bands = len(params) // band_rows
     bands = sig.select(
         F.col(id_col),
         F.explode(
@@ -256,8 +289,8 @@ def minhash_lsh_candidates(
                         F.concat_ws(
                             ":",
                             *[
-                                F.col("__sig")[i * MH_BAND_ROWS + r]
-                                for r in range(MH_BAND_ROWS)
+                                F.col("__sig")[i * band_rows + r]
+                                for r in range(band_rows)
                             ],
                         ).alias("band_key"),
                     )

@@ -75,9 +75,76 @@ _SAMPLE_CAP = 1000
 _J_THRESH = 0.6
 
 
-@_spec(
-    "lsh_quality_report",
-    f"""
+#: the two graded banding settings: the oracle-cheap test family and
+#: the production family (dedup.MH_PROD_*). Design recall at the
+#: j=0.9 near-dup threshold is the closed-form S-curve 1-(1-j^r)^b —
+#: a pinned constant on both engines, documenting what the banding
+#: PROMISES while the measured columns show what it DELIVERS on this
+#: corpus at the specs' j>=0.6 gate.
+_SETTINGS = [
+    ("test_8p_4x2", dedup.MH_PARAMS, dedup.MH_BAND_ROWS),
+    (
+        "prod_128p_16x8",
+        dedup.mh_family(dedup.MH_PROD_PERMS),
+        dedup.MH_PROD_BAND_ROWS,
+    ),
+]
+
+
+def _design_recall(params, band_rows: int, j: float = 0.9) -> float:
+    b = len(params) // band_rows
+    return round(1.0 - (1.0 - j**band_rows) ** b, 6)
+
+
+def _setting_ctes(label: str, params, band_rows: int) -> str:
+    """Per-setting candidate CTE chain (sig -> bands -> cand -> tp)."""
+    n_bands = len(params) // band_rows
+    idxs = ", ".join(str(i) for i in range(n_bands))
+    key = " || ':' || ".join(
+        f"CAST(sig[{band_rows}*i + {r + 1}] AS VARCHAR)"
+        for r in range(band_rows)
+    )
+    sig = dedup.minhash_signature_sql("shingles", params)
+    return f"""
+    sig_{label} AS (
+      SELECT doc_id, {sig} AS sig FROM sh WHERE length(shingles) > 0
+    ),
+    allb_{label} AS (
+      SELECT doc_id, i AS band_idx, {key} AS band_key
+      FROM sig_{label}, unnest([{idxs}]) AS t(i)
+    ),
+    bands_{label} AS (
+      SELECT doc_id, band_idx, band_key
+      FROM (SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_key) AS bn
+            FROM allb_{label})
+      WHERE bn <= 100
+    ),
+    cand_{label} AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands_{label} a JOIN bands_{label} b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    tp_{label} AS (SELECT * FROM cand_{label} INTERSECT SELECT * FROM truth)"""
+
+
+def _setting_row_sql(label: str, design: float) -> str:
+    return f"""
+    SELECT '{label}' AS setting,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT COUNT(*) FROM cand_{label}) AS BIGINT) AS n_candidates,
+           CAST((SELECT COUNT(*) FROM tp_{label}) AS BIGINT)
+             AS n_true_positives,
+           (SELECT COUNT(*) FROM tp_{label})
+             / NULLIF(CAST((SELECT COUNT(*) FROM cand_{label}) AS DOUBLE), 0)
+             AS precision,
+           (SELECT COUNT(*) FROM tp_{label})
+             / NULLIF(CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 0)
+             AS recall,
+           CAST({design!r} AS DOUBLE) AS design_recall_at_090"""
+
+
+_LSH_ORACLE = f"""
     WITH sample AS (
       SELECT doc_id, text FROM documents
       WHERE doc_id % {_SAMPLE_MOD} = 0 AND doc_id < {_SAMPLE_CAP}
@@ -90,46 +157,25 @@ _J_THRESH = 0.6
       WHERE CAST(length(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
             / (length(a.shingles) + length(b.shingles)
                - length(list_intersect(a.shingles, b.shingles))) >= {_J_THRESH}
-    ),
-    sig AS (
-      SELECT doc_id, {dedup.minhash_signature_sql('shingles')} AS sig
-      FROM sh WHERE length(shingles) > 0
-    ),
-    all_bands AS (
-      SELECT doc_id, i AS band_idx,
-             CAST(sig[2*i + 1] AS VARCHAR) || ':' || CAST(sig[2*i + 2] AS VARCHAR)
-               AS band_key
-      FROM sig, unnest([0, 1, 2, 3]) AS t(i)
-    ),
-    bands AS (
-      SELECT doc_id, band_idx, band_key
-      FROM (SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_key) AS bn
-            FROM all_bands)
-      WHERE bn <= 100
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM bands a JOIN bands b
-        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-       AND a.doc_id < b.doc_id
-    ),
-    tp AS (SELECT * FROM cand INTERSECT SELECT * FROM truth)
-    SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
-           CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
-           CAST((SELECT COUNT(*) FROM tp) AS BIGINT) AS n_true_positives,
-           (SELECT COUNT(*) FROM tp)
-             / CAST((SELECT COUNT(*) FROM cand) AS DOUBLE) AS precision,
-           (SELECT COUNT(*) FROM tp)
-             / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE) AS recall
-    """,
-    "training-data op — LSH quality report: measured precision/recall "
-    "of the banded-LSH candidate generator against the exact Jaccard "
-    "kernel on a deterministic sample — the trust-the-scale-path "
-    "number you recompute whenever the corpus distribution shifts "
-    "(banding parameters tuned on last year's crawl can silently "
-    "lose recall on this year's). All-pairs truth runs ONLY on the "
-    "bounded sample; candidates come from the production banding "
-    "(same guard). Exact integer counts; ratios divide at the end",
+    ),{",".join(_setting_ctes(lb, p, r) for lb, p, r in _SETTINGS)}
+    {" UNION ALL ".join(_setting_row_sql(lb, _design_recall(p, r)) for lb, p, r in _SETTINGS)}
+"""
+
+
+@_spec(
+    "lsh_quality_report",
+    _LSH_ORACLE,
+    "training-data op — LSH quality report at BOTH banding settings "
+    "(test 8-perm 4x2 and production 128-perm 16x8, "
+    "operators/dedup.mh_family): measured precision/recall of each "
+    "candidate generator against the exact Jaccard kernel on a "
+    "deterministic sample, plus the closed-form S-curve recall each "
+    "banding guarantees at the j=0.9 near-dup threshold — the "
+    "trust-the-scale-path numbers you recompute whenever the corpus "
+    "distribution shifts. All-pairs truth runs ONLY on the bounded "
+    "sample; candidates come from the production banding machinery "
+    "(same bucket guard). Exact integer counts; ratios divide at "
+    "the end",
 )
 def lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -156,15 +202,28 @@ def lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
         .localCheckpoint(eager=False)
     )
-    cand = dedup.minhash_lsh_candidates(
-        sample, max_bucket=100
-    ).localCheckpoint(eager=False)
-    tp = cand.join(truth, ["a_id", "b_id"], "leftsemi")
     n_truth = truth.count()
-    n_cand = cand.count()
-    n_tp = tp.count()
+    rows = []
+    for label, params, band_rows in _SETTINGS:
+        cand = dedup.minhash_lsh_candidates(
+            sample, max_bucket=100, params=params, band_rows=band_rows
+        ).localCheckpoint(eager=False)
+        n_cand = cand.count()
+        n_tp = cand.join(truth, ["a_id", "b_id"], "leftsemi").count()
+        rows.append(
+            (
+                label,
+                n_truth,
+                n_cand,
+                n_tp,
+                n_tp / n_cand if n_cand else None,
+                n_tp / n_truth if n_truth else None,
+                _design_recall(params, band_rows),
+            )
+        )
     return spark.createDataFrame(
-        [(n_truth, n_cand, n_tp, n_tp / n_cand, n_tp / n_truth)],
-        "n_truth long, n_candidates long, n_true_positives long, "
-        "precision double, recall double",
+        rows,
+        "setting string, n_truth long, n_candidates long, "
+        "n_true_positives long, precision double, recall double, "
+        "design_recall_at_090 double",
     )
