@@ -276,6 +276,13 @@ HEADLINE = [
     "geo_webmercator_project",
     "geo_utm_roundtrip",
     "geo_lcc_forward_project",
+    # wave 38: curation/feature primitives
+    "dsir_importance_weights",
+    "countmin_user_frequency",
+    "bloom_prefilter_join",
+    "domain_cap_sample",
+    "cusum_changepoint",
+    "oof_target_encoding",
 ]
 
 

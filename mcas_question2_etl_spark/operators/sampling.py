@@ -234,3 +234,30 @@ def temperature_sample(
     )
     u = hash_bucket(key_col, buckets).cast("double") / buckets
     return df.join(F.broadcast(rates), domain_col).filter(u < F.col("rate"))
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    cap: int,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically by
+    the md5 hash of the key (then the key itself as tiebreak) — the
+    web-corpus "per-domain cap" (C4/RefinedWeb keep at most N pages per
+    registered domain so megadomains can't dominate the training mix).
+
+    Hash order, not arrival order: membership survives repartitioning
+    and re-crawls, per this module's no-RNG contract. One window over
+    the group key; with heavy skew (one domain = half the corpus) the
+    window's sort is per-group and the cap discards early at scale via
+    rank short-circuit (Spark's window TopK pushdown in AQE), or swap
+    in the two-phase top-k from operators/windows.py.
+    """
+    order = [F.md5(F.col(key_col).cast("string")), F.col(key_col)]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )

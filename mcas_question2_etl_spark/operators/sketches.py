@@ -248,3 +248,75 @@ def kll_quantile_rollup(
         for q in quantiles
     ]
     return merged.select(*coarse_keys, *cols)
+
+
+def countmin_table(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch of the frequency of ``col``: a ``depth x width``
+    counter grid as rows ``(cm_row, cm_bucket, cm_count)``.
+
+    Each of the ``depth`` rows uses an independent salted portable hash
+    (md5, same idiom as the repo's other cross-engine hashes); an item's
+    estimate is the MIN over rows of its bucket's counter, which only
+    ever OVER-estimates (Cormode & Muthukrishnan 2005) — the one-sided
+    error that makes the sketch safe for threshold filters.
+
+    Scale shape: the grid is ``depth*width`` rows no matter how many
+    input rows flow in, and it merges by summing counters — partial
+    grids from every partition combine map-side, so the shuffle carries
+    the sketch, never the keys. Rollup across shards/days is a further
+    groupBy-SUM over grid coordinates (same shape as hll_rollup).
+    """
+    rows = None
+    for r in range(depth):
+        h = F.expr(
+            f"cast(conv(substring(md5(concat('cm{r}:', cast({col} as string))),"
+            f" 1, 15), 16, 10) as bigint) % {width}"
+        )
+        part = df.select(
+            F.lit(r).cast("int").alias("cm_row"),
+            h.cast("int").alias("cm_bucket"),
+        )
+        rows = part if rows is None else rows.unionByName(part)
+    return rows.groupBy("cm_row", "cm_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cm_count")
+    )
+
+
+def countmin_estimate(
+    df: DataFrame,
+    keys: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-estimate the frequency of each row of ``keys`` (column
+    ``col``) from the count-min sketch of ``df``: min over the sketch's
+    rows of the salted-hash bucket counter. Returns ``(col, cm_est)``.
+
+    The sketch table is tiny (depth*width) and broadcasts; each probe
+    key touches exactly ``depth`` counters.
+    """
+    sketch = countmin_table(df, col, depth=depth, width=width)
+    probes = None
+    for r in range(depth):
+        h = F.expr(
+            f"cast(conv(substring(md5(concat('cm{r}:', cast({col} as string))),"
+            f" 1, 15), 16, 10) as bigint) % {width}"
+        )
+        part = keys.select(
+            F.col(col),
+            F.lit(r).cast("int").alias("cm_row"),
+            h.cast("int").alias("cm_bucket"),
+        )
+        probes = part if probes is None else probes.unionByName(part)
+    return (
+        probes.join(F.broadcast(sketch), ["cm_row", "cm_bucket"], "left")
+        .na.fill({"cm_count": 0})
+        .groupBy(col)
+        .agg(F.min("cm_count").cast("long").alias("cm_est"))
+    )

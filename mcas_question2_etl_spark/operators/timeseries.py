@@ -225,3 +225,85 @@ def ewma_half_sql(
                             % {B} + 1 AS BIGINT) AS l
                 FROM {inner})))
     """
+
+
+def cusum_changepoint(
+    daily: DataFrame,
+    date_col: str = "day",
+    value_col: str = "daily_mean",
+) -> DataFrame:
+    """Single-changepoint detection by the CUSUM statistic: for the
+    series ``x_1..x_n``, ``S_t = sum_{i<=t} (x_i - xbar)``; the
+    changepoint estimate is the ``t`` maximizing ``|S_t|`` (Page 1954 /
+    the standard binary-segmentation first split), reported with the
+    normalized statistic ``max|S_t| / (s * sqrt(n))`` and the pre/post
+    segment means. Ties break to the earliest date.
+
+    Scale shape: the input is a DAILY AGGREGATE (one row per day —
+    years of data is thousands of rows), so the ordered prefix-sum
+    window over a single partition is deliberate and cheap; the heavy
+    lifting (raw events -> daily series) happens upstream in a keyed
+    groupBy. For per-entity changepoints, partition the windows by the
+    entity key and the same plan parallelizes.
+
+    Returns one row: (cp_date, n_days, cusum_stat, pre_mean, post_mean).
+    """
+    w_ord = Window.orderBy(date_col).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    x = F.col(value_col)
+    scored = (
+        daily.withColumn("__xbar", F.avg(x).over(w_all))
+        .withColumn("__sd", F.stddev_samp(x).over(w_all))
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+        .withColumn("__s", F.sum(x - F.col("__xbar")).over(w_ord))
+        .withColumn("__t", F.count(F.lit(1)).over(w_ord))
+        .withColumn("__pre_sum", F.sum(x).over(w_ord))
+    )
+    best = scored.orderBy(
+        F.abs(F.col("__s")).desc(), F.col(date_col).asc()
+    ).limit(1)
+    return best.select(
+        F.col(date_col).alias("cp_date"),
+        F.col("__n").cast("long").alias("n_days"),
+        F.round(
+            F.abs(F.col("__s")) / (F.col("__sd") * F.sqrt(F.col("__n"))), 6
+        ).alias("cusum_stat"),
+        F.round(F.col("__pre_sum") / F.col("__t"), 6).alias("pre_mean"),
+        F.round(
+            (F.col("__xbar") * F.col("__n") - F.col("__pre_sum"))
+            / (F.col("__n") - F.col("__t")),
+            6,
+        ).alias("post_mean"),
+    )
+
+
+def cusum_changepoint_sql(daily_sql: str, date_col: str = "day",
+                          value_col: str = "daily_mean") -> str:
+    """DuckDB twin of :func:`cusum_changepoint`; ``daily_sql`` yields
+    the daily series."""
+    return f"""
+    WITH d AS ({daily_sql}),
+    stats AS (
+      SELECT AVG({value_col}) AS xbar, stddev_samp({value_col}) AS sd,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM d
+    ),
+    scored AS (
+      SELECT {date_col}, xbar, sd, n,
+             SUM({value_col} - xbar)
+               OVER (ORDER BY {date_col} ROWS UNBOUNDED PRECEDING) AS s,
+             CAST(COUNT(*) OVER (ORDER BY {date_col} ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS t,
+             SUM({value_col})
+               OVER (ORDER BY {date_col} ROWS UNBOUNDED PRECEDING) AS pre_sum
+      FROM d CROSS JOIN stats
+    )
+    SELECT {date_col} AS cp_date,
+           n AS n_days,
+           round(abs(s) / (sd * sqrt(n)), 6) AS cusum_stat,
+           round(pre_sum / t, 6) AS pre_mean,
+           round((xbar * n - pre_sum) / (n - t), 6) AS post_mean
+    FROM scored
+    ORDER BY abs(s) DESC, {date_col} ASC
+    LIMIT 1
+    """

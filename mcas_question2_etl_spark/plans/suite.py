@@ -49,6 +49,7 @@ from . import wave34 as _wave34
 from . import wave35 as _wave35
 from . import wave36 as _wave36
 from . import wave37 as _wave37
+from . import wave38 as _wave38
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -96,6 +97,7 @@ _ALL: list[QuerySpec] = [
     *_wave35.SPECS,
     *_wave36.SPECS,
     *_wave37.SPECS,
+    *_wave38.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
