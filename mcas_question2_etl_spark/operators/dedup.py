@@ -361,7 +361,12 @@ def minhash_neardup_pairs(
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True
     )
-    feats = tf.transform(shingled)
+    # The feature vectors are consumed three times through lineage (the
+    # LSH fit, then BOTH sides of the self approxSimilarityJoin), and
+    # Catalyst does not share the shingle->HashingTF work across those
+    # consumers — checkpoint once so the expensive vectorization runs a
+    # single time. Executor-local storage, fixed row width: safe at scale.
+    feats = tf.transform(shingled).localCheckpoint(eager=False)
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
     )

