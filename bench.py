@@ -283,6 +283,12 @@ HEADLINE = [
     "domain_cap_sample",
     "cusum_changepoint",
     "oof_target_encoding",
+    # wave 39: entropy/rolling-distinct/concentration/kcore/trigrams
+    "doc_entropy_metrics",
+    "rolling_7d_distinct_users",
+    "token_concentration_audit",
+    "kcore_copurchase_peel",
+    "event_trigram_patterns",
 ]
 
 

@@ -1,0 +1,115 @@
+"""Per-document Shannon entropy quality signals — zero-shuffle.
+
+Character- and token-level entropy are classic corpus-quality gates
+(low char entropy ~ boilerplate/repetition, near-uniform ~ random
+bytes; token entropy separates template spam from prose) and a cheap
+proxy for compression ratio, the signal CCNet/RefinedWeb-style
+pipelines use to drop machine-generated filler.
+
+Scale shape: the whole computation is a PER-ROW Catalyst expression —
+``array_sort`` + one ``aggregate`` fold over the sorted array counts
+runs and accumulates Σ n_c·ln n_c in a single pass, so entropy is
+computed inside the scan stage with ZERO shuffle and no Python. The
+equivalent explode→groupBy(doc, char) formulation (what the DuckDB
+oracle runs, making the differential genuinely two-sided) would
+shuffle one row per CHARACTER — O(corpus bytes) — at 100 TB; the fold
+shuffles nothing.
+
+Entropy identity used: H = ln L − (Σ_c n_c ln n_c)/L  (nats), which
+needs only the run-length fold, not per-class probabilities.
+
+Reference scope: the reference repo (pandas/R ETL) has no
+corpus-quality layer; this extends SURVEY.md §2.13's text-analysis
+surface alongside gopher_quality_report / unigram_logprob_quality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _run_nlogn(arr_sql: str) -> str:
+    """Spark SQL expression: Σ n_c ln n_c over the value-runs of a
+    sorted copy of ``arr_sql`` — one sequential fold, O(L log L) for
+    the sort, no shuffle."""
+    return f"""
+    aggregate(
+      array_sort({arr_sql}),
+      named_struct('prev', cast(null as string),
+                   'run',  cast(0 as bigint),
+                   'acc',  cast(0.0 as double)),
+      (s, x) -> CASE WHEN s.prev IS NOT NULL AND x = s.prev
+           THEN named_struct('prev', s.prev, 'run', s.run + cast(1 as bigint),
+                             'acc', s.acc)
+           ELSE named_struct('prev', x, 'run', cast(1 as bigint),
+                'acc', s.acc + CASE WHEN s.run > 1
+                     THEN cast(s.run as double) * ln(cast(s.run as double))
+                     ELSE cast(0.0 as double) END) END,
+      s -> s.acc + CASE WHEN s.run > 1
+           THEN cast(s.run as double) * ln(cast(s.run as double))
+           ELSE cast(0.0 as double) END
+    )"""
+
+
+def entropy_nats(arr_sql: str) -> Column:
+    """Shannon entropy (nats) of the multiset held in an array-typed
+    SQL expression; 0.0 for empty/singleton arrays."""
+    n = f"size({arr_sql})"
+    return F.expr(
+        f"CASE WHEN {n} > 1 THEN ln(cast({n} as double))"
+        f" - ({_run_nlogn(arr_sql)}) / cast({n} as double)"
+        f" ELSE cast(0.0 as double) END"
+    )
+
+
+def doc_entropy_report(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_chars_obs, char_entropy, n_tokens, token_entropy).
+
+    Counts include whitespace characters (split on '' keeps them),
+    matching the oracle's unnest semantics exactly.
+    """
+    chars = f"split({text_col}, '')"
+    toks = f"split({text_col}, ' ')"
+    return df.filter(F.length(text_col) >= 1).select(
+        F.col(id_col),
+        F.expr(f"size({chars})").cast("long").alias("n_chars_obs"),
+        entropy_nats(chars).alias("char_entropy"),
+        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
+        entropy_nats(toks).alias("token_entropy"),
+    )
+
+
+def doc_entropy_report_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin via the explode→group formulation (deliberately a
+    DIFFERENT algorithm than the Spark fold — same identity)."""
+
+    def one(split_arg: str, prefix: str) -> str:
+        return f"""
+    {prefix}_cc AS (
+      SELECT {id_col}, c, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM (SELECT {id_col},
+                   unnest(string_split({text_col}, {split_arg})) AS c
+            FROM {table} WHERE len({text_col}) >= 1)
+      GROUP BY {id_col}, c
+    ),
+    {prefix}_e AS (
+      SELECT {id_col}, CAST(SUM(n) AS BIGINT) AS L,
+             CASE WHEN SUM(n) > 1
+                  THEN ln(SUM(n)) - SUM(n * ln(n)) / SUM(n)
+                  ELSE 0.0 END AS h
+      FROM {prefix}_cc GROUP BY {id_col}
+    )"""
+
+    return f"""
+    WITH {one("''", "ch")},
+    {one("' '", "tk")}
+    SELECT ch_e.{id_col},
+           ch_e.L AS n_chars_obs, ch_e.h AS char_entropy,
+           tk_e.L AS n_tokens,    tk_e.h AS token_entropy
+    FROM ch_e JOIN tk_e USING ({id_col})
+    """

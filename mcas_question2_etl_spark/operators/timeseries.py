@@ -307,3 +307,78 @@ def cusum_changepoint_sql(daily_sql: str, date_col: str = "day",
     ORDER BY abs(s) DESC, {date_col} ASC
     LIMIT 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window distinct counts (the explode-cover trick)
+# ---------------------------------------------------------------------------
+
+
+def rolling_distinct_count(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """Per day, COUNT(DISTINCT key) over the trailing ``window_days``
+    days — e.g. 7-day active users.
+
+    Distinct-over-sliding-window does not decompose into a running
+    aggregate (distinct is not subtractable), so the windowed form
+    that works at scale is the explode-cover trick:
+
+    1. dedup to (day, key) — the only corpus-sized shuffle, with
+       map-side combine;
+    2. each (day, key) emits the ``window_days`` days it CONTRIBUTES
+       to (``sequence(day, day + w-1)`` exploded — a bounded x W
+       blowup of the already-deduped activity table, not of raw
+       events);
+    3. COUNT(DISTINCT key) per covered day, restricted to days that
+       actually appear in the data.
+
+    Versus the collect_set-over-range-window alternative this never
+    materializes a per-day key SET on one executor; both shuffles
+    carry fixed-width rows. Returns (day, n_distinct), one row per
+    observed day.
+    """
+    active = (
+        df.select(
+            F.col(ts_col).cast("date").alias("day"),
+            F.col(key_col).alias("__k"),
+        )
+        .distinct()
+    )
+    covered = active.select(
+        F.explode(
+            F.expr(f"sequence(day, date_add(day, {window_days - 1}))")
+        ).alias("day"),
+        "__k",
+    )
+    observed = active.select("day").distinct()
+    return (
+        covered.join(observed, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("__k").cast("bigint").alias("n_distinct"))
+    )
+
+
+def rolling_distinct_count_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_days: int = 7,
+) -> str:
+    """DuckDB twin via the direct range-join formulation (a different
+    algorithm than the explode-cover trick — same semantics)."""
+    return f"""
+    WITH au AS (
+      SELECT DISTINCT CAST({ts_col} AS DATE) AS day, {key_col} AS k
+      FROM {table}
+    ),
+    days AS (SELECT DISTINCT day FROM au)
+    SELECT d.day,
+           CAST(COUNT(DISTINCT a.k) AS BIGINT) AS n_distinct
+    FROM days d
+    JOIN au a ON a.day BETWEEN d.day - {window_days - 1} AND d.day
+    GROUP BY d.day
+    """

@@ -50,6 +50,7 @@ from . import wave35 as _wave35
 from . import wave36 as _wave36
 from . import wave37 as _wave37
 from . import wave38 as _wave38
+from . import wave39 as _wave39
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -98,6 +99,7 @@ _ALL: list[QuerySpec] = [
     *_wave36.SPECS,
     *_wave37.SPECS,
     *_wave38.SPECS,
+    *_wave39.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
