@@ -289,6 +289,18 @@ HEADLINE = [
     "token_concentration_audit",
     "kcore_copurchase_peel",
     "event_trigram_patterns",
+    # wave 40: audits/weighted stats/markov
+    "benford_price_digits",
+    "twap_user_daily_value",
+    "neyman_stratified_docs",
+    "weighted_price_quantiles",
+    "markov_stationary_mix",
+    # wave 41: survival/segmentation/stats/forecast
+    "kaplan_meier_retention",
+    "rfm_customer_segments",
+    "anova_f_priority_price",
+    "spearman_qty_price",
+    "seasonal_naive_backtest",
 ]
 
 

@@ -154,3 +154,83 @@ def equiwidth_histogram_sql(
     FROM {table}
     GROUP BY 1 ORDER BY 1
     """
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Per-group weighted quantiles (lower weighted-CDF inverse):
+    q_p = MIN(v such that cumweight(<= v) >= p * totalweight).
+
+    The classic survey/usage-weighted percentile (each row counts
+    ``weight_col`` times); ``percentile_approx`` has no weighted form
+    and exploding rows by weight is O(total weight). One window
+    shuffle on the group key; the per-probability picks are
+    conditional MINs in the same aggregation, so added probabilities
+    are free.
+
+    Exactness note: with integer-valued weights (quantities, counts)
+    the prefix sums are exact doubles (< 2^53) and p in {.25,.5,.75}
+    scales the total exactly (powers of two), so the >= comparisons
+    are engine-deterministic — no ulp boundary. Ties in ``value_col``
+    need no tiebreak: whichever tied row crosses the threshold, the
+    MIN selects the same value.
+    """
+    from pyspark.sql import Window
+
+    tot = df.groupBy(group_col).agg(F.sum(weight_col).alias("__T"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        df.select(group_col, value_col, weight_col)
+        .join(F.broadcast(tot), group_col)
+        .withColumn("__cum", F.sum(weight_col).over(w))
+    )
+    aggs = [F.max("__T").alias("total_w")]
+    for p in probs:
+        tag = str(p).replace("0.", "p").replace(".", "_")
+        aggs.append(
+            F.min(
+                F.when(F.col("__cum") >= F.lit(p) * F.col("__T"), F.col(value_col))
+            ).alias(tag)
+        )
+    return cum.groupBy(group_col).agg(*aggs)
+
+
+def weighted_quantiles_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> str:
+    """DuckDB twin of :func:`weighted_quantiles`."""
+    picks = ",\n           ".join(
+        f"MIN(CASE WHEN cum >= {p} * T THEN v END) AS "
+        + str(p).replace("0.", "p").replace(".", "_")
+        for p in probs
+    )
+    return f"""
+    WITH t AS (
+      SELECT {group_col}, SUM({weight_col}) AS T
+      FROM {table} GROUP BY {group_col}
+    ),
+    c AS (
+      SELECT x.{group_col}, x.{value_col} AS v, t.T,
+             SUM(x.{weight_col}) OVER (
+               PARTITION BY x.{group_col} ORDER BY x.{value_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM {table} x JOIN t USING ({group_col})
+    )
+    SELECT {group_col}, MAX(T) AS total_w,
+           {picks}
+    FROM c GROUP BY {group_col}
+    """

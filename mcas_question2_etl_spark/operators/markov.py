@@ -1,0 +1,135 @@
+"""Markov-chain steady-state event mix via bounded power iteration.
+
+Takes the per-user event-type transition counts (the order-1 chain the
+transition-matrix spec already audits) and asks the follow-up product
+question: if users keep behaving like this, what does the long-run
+event mix converge to? Comparing the power-iterate against the
+empirical mix surfaces momentum — event types whose stationary mass
+exceeds today's share are growing under the observed dynamics.
+
+Fixed ``rounds`` of pi <- pi.P from a uniform start keep the operator
+oracle-expressible (unrolled CTEs, same discipline as the IPF/k-core
+specs); convergence is visible in the result (pi at consecutive
+rounds could be emitted by a caller that wants the trace).
+
+Scale shape: the ONLY corpus-sized work is the lead-window transition
+count (one shuffle on the user key — identical to the transition
+matrix spec). Everything after operates on the k x k count table and
+the k-row distribution (k = distinct event types), broadcast through
+every join; power iterating costs rounds tiny joins, not scans.
+
+States are the types observed as transition SOURCES (a final-event
+type with no outgoing edge has an undefined row in P and is excluded
+identically in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def transition_counts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """(frm, to, n) one-step transition counts per user sequence."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    return (
+        df.select(
+            F.col(type_col).alias("frm"),
+            F.lead(type_col, 1).over(w).alias("to"),
+        )
+        .filter(F.col("to").isNotNull())
+        .groupBy("frm", "to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def stationary_mix(trans: DataFrame, rounds: int = 3) -> DataFrame:
+    """(event_type, pi, empirical_share) after ``rounds`` power
+    iterations from uniform over the source states."""
+    trans = trans.localCheckpoint(eager=False)
+    row_tot = trans.groupBy("frm").agg(F.sum("n").alias("__rt"))
+    p = (
+        trans.join(F.broadcast(row_tot), "frm")
+        .select("frm", "to", (F.col("n") / F.col("__rt")).alias("p"))
+        .localCheckpoint(eager=False)
+    )
+    states = row_tot.select("frm").localCheckpoint(eager=False)
+    k = states.agg(F.count(F.lit(1)).cast("double").alias("__k"))
+    pi = states.crossJoin(F.broadcast(k)).select(
+        "frm", (F.lit(1.0) / F.col("__k")).alias("pi")
+    )
+    for _ in range(rounds):
+        pi = (
+            pi.join(p, "frm")
+            .groupBy(F.col("to").alias("frm"))
+            .agg(F.sum(F.col("pi") * F.col("p")).alias("pi"))
+            # mass leaving the source-state space (transitions INTO a
+            # sink type with no outgoing edges) is dropped by the
+            # rejoin on frm next round; keep only tracked states now
+            # so every round sees the same state set
+            .join(states, "frm", "left_semi")
+        )
+    emp_tot = trans.agg(F.sum("n").cast("double").alias("__et"))
+    emp = (
+        trans.groupBy("frm")
+        .agg(F.sum("n").alias("__fn"))
+        .crossJoin(F.broadcast(emp_tot))
+        .select("frm", (F.col("__fn") / F.col("__et")).alias("empirical_share"))
+    )
+    return (
+        pi.join(emp, "frm")
+        .select(F.col("frm").alias("event_type"), "pi", "empirical_share")
+    )
+
+
+def stationary_mix_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    rounds: int = 3,
+) -> str:
+    """DuckDB twin: transition counts + unrolled power iteration."""
+    parts = [f"""
+    tr AS MATERIALIZED (
+      SELECT frm, to_, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT {type_col} AS frm,
+               lead({type_col}, 1) OVER (
+                 PARTITION BY {user_col} ORDER BY {ts_col}, {tiebreak_col}
+               ) AS to_
+        FROM {table}
+      ) WHERE to_ IS NOT NULL
+      GROUP BY frm, to_
+    ),
+    p AS MATERIALIZED (
+      SELECT frm, to_, n / SUM(n) OVER (PARTITION BY frm) AS p FROM tr
+    ),
+    states AS MATERIALIZED (SELECT DISTINCT frm FROM tr),
+    pi0 AS (
+      SELECT frm, 1.0 / (SELECT CAST(COUNT(*) AS DOUBLE) FROM states) AS pi
+      FROM states
+    )"""]
+    for r in range(rounds):
+        parts.append(f"""
+    pi{r + 1} AS (
+      SELECT p.to_ AS frm, SUM(pi{r}.pi * p.p) AS pi
+      FROM pi{r} JOIN p USING (frm)
+      WHERE p.to_ IN (SELECT frm FROM states)
+      GROUP BY p.to_
+    )""")
+    return (
+        "WITH " + ",".join(parts) + f"""
+    SELECT pi{rounds}.frm AS event_type, pi{rounds}.pi,
+           ft.fn / (SELECT CAST(SUM(n) AS DOUBLE) FROM tr) AS empirical_share
+    FROM pi{rounds}
+    JOIN (SELECT frm, CAST(SUM(n) AS DOUBLE) AS fn FROM tr GROUP BY frm) ft
+      USING (frm)
+    """
+    )

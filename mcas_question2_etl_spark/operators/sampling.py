@@ -261,3 +261,138 @@ def cap_per_group(
         .filter(F.col("__rk") <= cap)
         .drop("__rk")
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    measure_col: str,
+    key_col: str,
+    budget: int = 100,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation + deterministic take.
+
+    Optimal allocation puts sampling budget where the variance is:
+    n_h = floor(budget * N_h*s_h / SUM_h N_h*s_h) — the minimum-variance
+    design for estimating the population mean of ``measure_col`` under
+    a fixed total budget, the right way to build eval/QA samples from
+    heterogeneous corpus strata (vs proportional allocation, which
+    wastes budget on large homogeneous strata).
+
+    Determinism discipline: s_h comes from exact integer moments
+    (sum, sum-of-squares over a BIGINT measure), the per-stratum
+    weights N_h*s_h are cast to DECIMAL(28,6) BEFORE the cross-stratum
+    total — decimal addition is exact and order-free, where a double
+    SUM over strata could differ in the last ulp between engines and
+    flip the floor() at an integer boundary. The final ratio divides
+    two bit-identical decimals in double space, so floor() sees the
+    same value everywhere. The realized take is the stratum's first
+    n_h rows in md5(key) order (hash-deterministic, partition-independent).
+
+    Returns per stratum: (stratum, n_rows, sigma, alloc, n_kept).
+    One aggregation shuffle + one window shuffle on the stratum key.
+    """
+    stats = (
+        df.groupBy(stratum_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+            F.sum(F.col(measure_col).cast("bigint")).alias("__sx"),
+            F.sum(
+                F.col(measure_col).cast("bigint") * F.col(measure_col).cast("bigint")
+            ).alias("__sx2"),
+        )
+        .withColumn(
+            "__sigma",
+            F.sqrt(
+                (
+                    F.col("__sx2").cast("double")
+                    - F.col("__sx").cast("double") * F.col("__sx") / F.col("__n")
+                )
+                / (F.col("__n") - 1)
+            ),
+        )
+        .withColumn(
+            "__w",
+            (F.col("__n").cast("double") * F.col("__sigma")).cast("decimal(28,6)"),
+        )
+    )
+    total = stats.agg(F.sum("__w").cast("decimal(38,6)").alias("__wt"))
+    alloc = stats.crossJoin(F.broadcast(total)).select(
+        F.col(stratum_col),
+        F.col("__n").alias("n_rows"),
+        F.col("__sigma").alias("sigma"),
+        F.floor(
+            F.lit(float(budget))
+            * (F.col("__w").cast("double") / F.col("__wt").cast("double"))
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    ranked = df.select(F.col(stratum_col), F.col(key_col)).withColumn(
+        "__rk", F.row_number().over(w)
+    )
+    kept = (
+        ranked.join(F.broadcast(alloc.select(stratum_col, "alloc")), stratum_col)
+        .filter(F.col("__rk") <= F.col("alloc"))
+        .groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    )
+    return alloc.join(kept, stratum_col, "left").na.fill({"n_kept": 0})
+
+
+def neyman_allocation_sql(
+    table: str,
+    stratum_col: str,
+    measure_col: str,
+    key_col: str,
+    budget: int = 100,
+) -> str:
+    """DuckDB twin of :func:`neyman_allocation`."""
+    return f"""
+    WITH stats AS (
+      SELECT {stratum_col},
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST({measure_col} AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST({measure_col} AS BIGINT)
+                      * CAST({measure_col} AS BIGINT)) AS BIGINT) AS sx2
+      FROM {table} GROUP BY {stratum_col}
+    ),
+    sg AS (
+      SELECT {stratum_col}, n_rows,
+             sqrt((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n_rows)
+                  / (n_rows - 1)) AS sigma
+      FROM stats
+    ),
+    wd AS (
+      SELECT {stratum_col}, n_rows, sigma,
+             CAST(CAST(n_rows AS DOUBLE) * sigma AS DECIMAL(28,6)) AS w
+      FROM sg
+    ),
+    t AS (SELECT CAST(SUM(w) AS DECIMAL(38,6)) AS wt FROM wd),
+    alloc AS (
+      SELECT {stratum_col}, n_rows, sigma,
+             CAST(floor({budget}.0 * (CAST(w AS DOUBLE) / CAST(wt AS DOUBLE)))
+                  AS BIGINT) AS alloc
+      FROM wd, t
+    ),
+    ranked AS (
+      SELECT {stratum_col}, {key_col},
+             row_number() OVER (
+               PARTITION BY {stratum_col}
+               ORDER BY md5(CAST({key_col} AS VARCHAR)), {key_col}
+             ) AS rk
+      FROM {table}
+    ),
+    kept AS (
+      SELECT r.{stratum_col}, CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM ranked r JOIN alloc a USING ({stratum_col})
+      WHERE r.rk <= a.alloc
+      GROUP BY r.{stratum_col}
+    )
+    SELECT a.{stratum_col}, a.n_rows, a.sigma, a.alloc,
+           COALESCE(k.n_kept, 0) AS n_kept
+    FROM alloc a LEFT JOIN kept k USING ({stratum_col})
+    """

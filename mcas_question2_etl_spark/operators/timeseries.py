@@ -382,3 +382,170 @@ def rolling_distinct_count_sql(
     JOIN au a ON a.day BETWEEN d.day - {window_days - 1} AND d.day
     GROUP BY d.day
     """
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted averages (TWAP)
+# ---------------------------------------------------------------------------
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("user_id",),
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Interval-weighted mean of ``value_col`` per (keys, day): each
+    observation is weighted by how long it REMAINED the current value
+    (seconds until the next observation in the same key-day), the
+    standard TWAP/sensor-averaging correction for irregular sampling
+    where a plain AVG over-weights bursts.
+
+    The last observation of each key-day has no forward interval and
+    drops out (open intervals carry no defined weight); key-days with
+    a single event therefore produce no row — explicit, not NaN.
+
+    Weights are computed in exact integer MICROSECONDS (a bigint
+    subtraction of epoch-micros, never float epoch seconds) so both
+    engines weight bit-identically. Simultaneous observations need
+    the deterministic ``tiebreak_col`` in the window order: with ties
+    broken arbitrarily, WHICH of two same-instant values receives the
+    zero-length interval (and which carries the span to the next
+    event) is engine-dependent and the weighted sum diverges. One
+    shuffle on the (keys, day) window; the aggregation rides the same
+    partitioning.
+    """
+    keys = [F.col(k) for k in key_cols]
+    day = F.col(ts_col).cast("date").alias("__day")
+    w = Window.partitionBy(*key_cols, "__day").orderBy(ts_col, tiebreak_col)
+    rows = (
+        df.select(*keys, day, F.col(ts_col), F.col(tiebreak_col), F.col(value_col).alias("__v"))
+        .withColumn("__us", F.unix_micros(F.col(ts_col)))
+        .withColumn("__dt", F.lead("__us", 1).over(w) - F.col("__us"))
+        .filter(F.col("__dt").isNotNull())
+    )
+    return (
+        rows.groupBy(*key_cols, F.col("__day").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            (
+                F.sum(F.col("__v") * F.col("__dt").cast("double"))
+                / F.sum(F.col("__dt")).cast("double")
+            ).alias("twap"),
+        )
+    )
+
+
+def time_weighted_avg_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> str:
+    """DuckDB twin of :func:`time_weighted_avg` (single key column)."""
+    return f"""
+    WITH r AS (
+      SELECT {key_col}, CAST({ts_col} AS DATE) AS day, {value_col} AS v,
+             lead(epoch_us({ts_col}), 1) OVER (
+               PARTITION BY {key_col}, CAST({ts_col} AS DATE)
+               ORDER BY {ts_col}, {tiebreak_col}
+             ) - epoch_us({ts_col}) AS dt
+      FROM {table}
+    )
+    SELECT {key_col}, day,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           SUM(v * CAST(dt AS DOUBLE)) / CAST(SUM(dt) AS DOUBLE) AS twap
+    FROM r WHERE dt IS NOT NULL
+    GROUP BY {key_col}, day
+    """
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest
+# ---------------------------------------------------------------------------
+
+
+def seasonal_naive_backtest(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    season_days: int = 7,
+) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (prediction for day d
+    = actual at day d - season) over per-key daily event counts — the
+    standard baseline every real forecaster must beat, and a drift
+    tripwire when its error jumps.
+
+    Error metrics are chosen for exactness: WAPE = SUM|a - f| / SUM a
+    and bias = (SUM f - SUM a) / SUM a aggregate INTEGER counts, so
+    both numerator and denominator are engine-exact bigints and the
+    single final division is reproducible; RMSE's SUM((a-f)^2) is an
+    exact bigint too. (Per-day MAPE would average float ratios —
+    order-dependent — for no extra information.) Scored days are those
+    with BOTH an actual and a season-lagged actual, via a self-join of
+    the daily rollup on (key, day - season); days absent from the data
+    are absent from the score, explicitly — no zero-fill.
+
+    Scale shape: the corpus reduces to the (key, day) daily table in
+    one map-side-combined aggregate; the self-join and scoring run on
+    that days-sized table.
+    """
+    daily = df.groupBy(
+        F.col(key_col).alias("k"), F.col(ts_col).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    fc = daily.select(
+        F.col("k"),
+        F.date_add("d", season_days).alias("d"),
+        F.col("a").alias("f"),
+    )
+    scored = daily.join(fc, ["k", "d"])
+    return (
+        scored.groupBy(F.col("k").alias(key_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum(F.abs(F.col("a") - F.col("f"))).cast("bigint").alias("__ae"),
+            F.sum("a").cast("bigint").alias("__sa"),
+            F.sum("f").cast("bigint").alias("__sf"),
+            F.sum(
+                (F.col("a") - F.col("f")) * (F.col("a") - F.col("f"))
+            ).cast("bigint").alias("__se"),
+        )
+        .select(
+            key_col,
+            "n_days",
+            (F.col("__ae").cast("double") / F.col("__sa")).alias("wape"),
+            (
+                (F.col("__sf") - F.col("__sa")).cast("double") / F.col("__sa")
+            ).alias("bias"),
+            F.sqrt(F.col("__se").cast("double") / F.col("n_days")).alias("rmse"),
+        )
+    )
+
+
+def seasonal_naive_backtest_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    season_days: int = 7,
+) -> str:
+    """DuckDB twin of :func:`seasonal_naive_backtest`."""
+    return f"""
+    WITH daily AS (
+      SELECT {key_col} AS k, CAST({ts_col} AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS a
+      FROM {table} GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT x.k, x.a, y.a AS f
+      FROM daily x
+      JOIN daily y ON y.k = x.k AND y.d = x.d - {season_days}
+    )
+    SELECT k AS {key_col},
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(abs(a - f)) AS DOUBLE) / SUM(a) AS wape,
+           CAST(SUM(f) - SUM(a) AS DOUBLE) / SUM(a) AS bias,
+           sqrt(CAST(SUM((a - f) * (a - f)) AS DOUBLE) / COUNT(*)) AS rmse
+    FROM scored GROUP BY k
+    """
