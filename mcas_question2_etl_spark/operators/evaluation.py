@@ -221,3 +221,199 @@ def ndcg_at_k(
         idcg.alias("idcg"),
         F.when(idcg > 0, dcg / idcg).otherwise(0.0).alias("ndcg"),
     )
+
+
+def anova_f(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-way ANOVA F over a 2-decimal measure: does the group mean
+    differ across k groups? (The k-group generalization of
+    :func:`welch_ttest`'s 2-group comparison, classic pooled-variance
+    form.)
+
+    Determinism discipline: per-group moments are EXACT decimal sums
+    (the measure is 2-decimal so x is DECIMAL(18,2)-exact and x*x is
+    DECIMAL(38,4)-exact — order-free in any engine); grand moments add
+    k exact decimals. Only the final SSB/SSW/F arithmetic runs in
+    double, on bit-identical inputs, and the outputs are rounded at
+    ``round_to`` like the other test statistics.
+
+    Output (one row): (k, n, ss_between, ss_within, f_stat).
+    Scale shape: one map-side-combined aggregate to k rows, then a
+    k-row reduction — the corpus is scanned once, nothing else moves.
+    """
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__s"),
+        F.sum(
+            F.col(value_col).cast("decimal(18,2)")
+            * F.col(value_col).cast("decimal(18,2)")
+        ).alias("__s2"),
+    )
+    # ss_within_g = s2_g - s_g^2/n_g in double from exact decimals;
+    # ss_between from group means vs grand mean
+    agg = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("__n").alias("n"),
+        F.sum("__s").cast("double").alias("__S"),
+        F.sum(
+            F.col("__s2").cast("double")
+            - F.col("__s").cast("double") * F.col("__s").cast("double") / F.col("__n")
+        ).alias("__ssw"),
+        F.sum(
+            F.col("__s").cast("double") * F.col("__s").cast("double") / F.col("__n")
+        ).alias("__sb_raw"),
+    )
+    ssb = F.col("__sb_raw") - F.col("__S") * F.col("__S") / F.col("n")
+    ssw = F.col("__ssw")
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return agg.select(
+        "k",
+        "n",
+        F.round(ssb, round_to).alias("ss_between"),
+        F.round(ssw, round_to).alias("ss_within"),
+        F.round(f_stat, round_to).alias("f_stat"),
+    )
+
+
+def anova_f_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`anova_f`."""
+    return f"""
+    WITH per AS (
+      SELECT {group_col},
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST({value_col} AS DECIMAL(18,2))) AS s,
+             SUM(CAST({value_col} AS DECIMAL(18,2))
+                 * CAST({value_col} AS DECIMAL(18,2))) AS s2
+      FROM {table} GROUP BY {group_col}
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(s) AS DOUBLE) AS S,
+             SUM(CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+               AS ssw,
+             SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS sb_raw
+      FROM per
+    )
+    SELECT k, n,
+           ROUND(sb_raw - S * S / n, {round_to}) AS ss_between,
+           ROUND(ssw, {round_to}) AS ss_within,
+           ROUND(((sb_raw - S * S / n) / (k - 1)) / (ssw / (n - k)),
+                 {round_to}) AS f_stat
+    FROM agg
+    """
+
+
+def spearman_corr(
+    df: DataFrame,
+    group_col: str,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Per-group Spearman rank correlation between two columns —
+    Pearson's formula over AVERAGE ranks (the tie-correct form, not
+    the 6*sum d^2 shortcut, which is wrong under ties).
+
+    Rank-space trick for exactness: the average rank of a tie run
+    [r, r+c-1] is r + (c-1)/2, so DOUBLED average ranks
+    2r + (c - 1) are INTEGERS. Pearson is scale-invariant, so the
+    correlation of the doubled ranks equals Spearman's rho, and every
+    moment (sums, sums of squares/products of bigints) accumulates
+    exactly in DECIMAL(38,0) — order-free across engines. Only the
+    final rho ratio runs in double on bit-identical inputs: no
+    rounding needed at all.
+
+    Scale shape: two rank windows sharing ONE shuffle on the group
+    key, then a map-side-combined aggregate. Within-group rank windows
+    assume groups fit a task (the repo's two-phase global rank is the
+    fallback for a single giant group).
+    """
+    wa = Window.partitionBy(group_col).orderBy(col_a)
+    wb = Window.partitionBy(group_col).orderBy(col_b)
+    ca = Window.partitionBy(group_col, col_a)
+    cb = Window.partitionBy(group_col, col_b)
+    # doubled average rank = 2*rank() + (tie_count - 1), an exact bigint
+    ranked = df.select(
+        F.col(group_col),
+        (
+            2 * F.rank().over(wa) + F.count(F.lit(1)).over(ca) - 1
+        ).cast("bigint").alias("__ra"),
+        (
+            2 * F.rank().over(wb) + F.count(F.lit(1)).over(cb) - 1
+        ).cast("bigint").alias("__rb"),
+    )
+    dec = "decimal(38,0)"
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("__ra").cast(dec)).alias("__sa"),
+        F.sum(F.col("__rb").cast(dec)).alias("__sb"),
+        F.sum((F.col("__ra") * F.col("__ra")).cast(dec)).alias("__saa"),
+        F.sum((F.col("__rb") * F.col("__rb")).cast(dec)).alias("__sbb"),
+        F.sum((F.col("__ra") * F.col("__rb")).cast(dec)).alias("__sab"),
+    )
+    n = F.col("n").cast("double")
+    sa = F.col("__sa").cast("double")
+    sb = F.col("__sb").cast("double")
+    num = n * F.col("__sab").cast("double") - sa * sb
+    den = F.sqrt(
+        (n * F.col("__saa").cast("double") - sa * sa)
+        * (n * F.col("__sbb").cast("double") - sb * sb)
+    )
+    return agg.select(
+        group_col,
+        "n",
+        F.when(den > 0, num / den).otherwise(F.lit(0.0)).alias("spearman_rho"),
+    )
+
+
+def spearman_corr_sql(
+    table: str,
+    group_col: str,
+    col_a: str,
+    col_b: str,
+) -> str:
+    """DuckDB twin of :func:`spearman_corr`."""
+    return f"""
+    WITH ranked AS (
+      SELECT {group_col},
+             CAST(2 * rank() OVER (PARTITION BY {group_col} ORDER BY {col_a})
+                  + COUNT(*) OVER (PARTITION BY {group_col}, {col_a}) - 1
+                  AS BIGINT) AS ra,
+             CAST(2 * rank() OVER (PARTITION BY {group_col} ORDER BY {col_b})
+                  + COUNT(*) OVER (PARTITION BY {group_col}, {col_b}) - 1
+                  AS BIGINT) AS rb
+      FROM {table}
+    ),
+    agg AS (
+      SELECT {group_col},
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(ra AS DECIMAL(38,0))) AS sa,
+             SUM(CAST(rb AS DECIMAL(38,0))) AS sb,
+             SUM(CAST(ra * ra AS DECIMAL(38,0))) AS saa,
+             SUM(CAST(rb * rb AS DECIMAL(38,0))) AS sbb,
+             SUM(CAST(ra * rb AS DECIMAL(38,0))) AS sab
+      FROM ranked GROUP BY {group_col}
+    )
+    SELECT {group_col}, n,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                      - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                             - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                               - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+                ELSE 0.0 END AS spearman_rho
+    FROM agg
+    """

@@ -56,7 +56,7 @@ def with_global_row_number(
     return (
         local.join(F.broadcast(offsets), "__pid")
         .withColumn(out_col, (F.col("__local_rn") + F.col("__offset")))
-        .drop("__pid", "__local_rn")
+        .drop("__pid", "__local_rn", "__offset")
     )
 
 
@@ -95,7 +95,7 @@ def with_running_sum(
     return (
         local.join(F.broadcast(offsets), "__pid")
         .withColumn(out_col, F.col("__local_sum") + F.col("__offset"))
-        .drop("__pid", "__local_sum")
+        .drop("__pid", "__local_sum", "__offset")
     )
 
 

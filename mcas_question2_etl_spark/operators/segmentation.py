@@ -1,0 +1,124 @@
+"""RFM (recency / frequency / monetary) customer segmentation.
+
+The classic marketing-analytics segmentation: per customer, days
+since last order (recency), order count (frequency), and lifetime
+spend (monetary), each scored into quintiles where 5 = best
+(most recent / most frequent / highest spend), then customers
+aggregated per 3-digit segment.
+
+Determinism discipline: recency is integer ``datediff`` days against
+a broadcast global horizon; monetary is an exact DECIMAL(18,2) sum
+(order-free). Quintile scores use SQL NTILE semantics over a UNIQUE
+total order — each ordering ends with the customer key, so bucket
+boundaries cannot depend on partition layout — and the Spark side
+builds NTILE from the distributed two-phase global rank
+(:mod:`.ranking`), never a single-task unpartitioned window. The
+per-segment average spend divides the exact decimal sum by the count.
+
+Scale shape: one groupBy shuffle reduces orders to one row per
+customer; each score is a range shuffle of the per-customer table
+(the :func:`with_ntile` construction); the final segment rollup is a
+125-group aggregate with map-side combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .ranking import with_ntile
+
+_MONEY = "decimal(18,2)"
+
+
+def rfm_segments(
+    df: DataFrame,
+    cust_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """(segment, r_score, f_score, m_score, n_customers, avg_monetary)
+    with quintile scores 1..5, 5 = best."""
+    per_cust = df.groupBy(cust_col).agg(
+        F.max(F.col(ts_col).cast("date")).alias("__last"),
+        F.count(F.lit(1)).cast("bigint").alias("__freq"),
+        F.sum(F.col(amount_col).cast(_MONEY)).alias("__mon"),
+    )
+    horizon = df.agg(F.max(F.col(ts_col).cast("date")).alias("__hz"))
+    rfm = per_cust.crossJoin(F.broadcast(horizon)).select(
+        F.col(cust_col).alias("__ck"),
+        F.datediff("__hz", "__last").cast("bigint").alias("__rec"),
+        "__freq",
+        "__mon",
+    )
+    # NTILE ascending gives bucket 1 to the smallest key; "best" must
+    # land in bucket 5, so recency (smaller = better) orders DESCENDING
+    # while frequency/monetary order ascending. Customer key breaks
+    # every tie to a unique total order.
+    scored = with_ntile(
+        rfm, [F.col("__rec").desc(), F.col("__ck")], 5, out_col="r_score"
+    )
+    scored = with_ntile(
+        scored, [F.col("__freq"), F.col("__ck")], 5, out_col="f_score"
+    )
+    scored = with_ntile(
+        scored, [F.col("__mon"), F.col("__ck")], 5, out_col="m_score"
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            (F.sum("__mon").cast("double") / F.count(F.lit(1))).alias(
+                "avg_monetary"
+            ),
+        )
+        .select(
+            F.concat_ws(
+                "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+            ).alias("segment"),
+            "r_score",
+            "f_score",
+            "m_score",
+            "n_customers",
+            "avg_monetary",
+        )
+    )
+
+
+def rfm_segments_sql(
+    table: str = "orders",
+    cust_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> str:
+    """DuckDB twin of :func:`rfm_segments` (plain NTILE windows — the
+    oracle does not need the distributed construction)."""
+    return f"""
+    WITH pc AS (
+      SELECT {cust_col} AS ck,
+             MAX(CAST({ts_col} AS DATE)) AS last_d,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             SUM(CAST({amount_col} AS DECIMAL(18,2))) AS mon
+      FROM {table} GROUP BY {cust_col}
+    ),
+    hz AS (SELECT MAX(CAST({ts_col} AS DATE)) AS hz FROM {table}),
+    rfm AS (
+      SELECT ck, CAST(date_diff('day', last_d, hz) AS BIGINT) AS rec,
+             freq, mon
+      FROM pc, hz
+    ),
+    scored AS (
+      SELECT ck, mon,
+             CAST(NTILE(5) OVER (ORDER BY rec DESC, ck) AS INTEGER) AS r_score,
+             CAST(NTILE(5) OVER (ORDER BY freq, ck) AS INTEGER) AS f_score,
+             CAST(NTILE(5) OVER (ORDER BY mon, ck) AS INTEGER) AS m_score
+      FROM rfm
+    )
+    SELECT CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment,
+           r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(mon) AS DOUBLE) / COUNT(*) AS avg_monetary
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    """

@@ -51,6 +51,8 @@ from . import wave36 as _wave36
 from . import wave37 as _wave37
 from . import wave38 as _wave38
 from . import wave39 as _wave39
+from . import wave40 as _wave40
+from . import wave41 as _wave41
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -100,6 +102,8 @@ _ALL: list[QuerySpec] = [
     *_wave37.SPECS,
     *_wave38.SPECS,
     *_wave39.SPECS,
+    *_wave40.SPECS,
+    *_wave41.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
