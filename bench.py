@@ -301,6 +301,12 @@ HEADLINE = [
     "anova_f_priority_price",
     "spearman_qty_price",
     "seasonal_naive_backtest",
+    # wave 42: basket/text-ml/graph/profiling
+    "copurchase_association_rules",
+    "nbayes_source_confusion",
+    "hits_supplier_authority",
+    "lpa_copurchase_communities",
+    "token_diversity_by_source",
 ]
 
 

@@ -113,3 +113,72 @@ def doc_entropy_report_sql(
            tk_e.L AS n_tokens,    tk_e.h AS token_entropy
     FROM ch_e JOIN tk_e USING ({id_col})
     """
+
+
+def token_diversity_by_source(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group token diversity profile via Hill numbers' exact
+    members: vocabulary size (q=0) and inverse-Simpson effective
+    vocabulary (q=2), plus the raw token mass — the ecology-standard
+    "effective number of species" view of a corpus slice. A source
+    whose effective vocab is far below its raw vocab is dominated by
+    a few templates/boilerplate tokens even when the tail looks wide
+    (the failure mode Shannon entropy alone smears; q=2 punishes
+    dominance harder).
+
+    Exactness: unlike Shannon (needs ln), the inverse-Simpson
+    n^2 / sum c_t^2 is a RATIO OF EXACT INTEGERS — bigint sums of
+    squared counts, order-free — so the single final division is
+    engine-deterministic with no rounding anywhere.
+
+    Scale shape: one explode + (group, token) count aggregation with
+    map-side combine (vocab-sized result), then a group-sized
+    reduction. The square-sum rides the count table, never the corpus.
+    """
+    tok = df.select(
+        F.col(group_col), F.explode(F.split(F.col(text_col), " ")).alias("__t")
+    )
+    counts = tok.groupBy(group_col, "__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    return (
+        counts.groupBy(group_col)
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            F.sum(F.col("__c") * F.col("__c")).cast("bigint").alias("__c2"),
+        )
+        .select(
+            group_col,
+            "n_tokens",
+            "vocab",
+            (
+                F.col("n_tokens").cast("double")
+                * F.col("n_tokens")
+                / F.col("__c2")
+            ).alias("effective_vocab_q2"),
+        )
+    )
+
+
+def token_diversity_by_source_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`token_diversity_by_source`."""
+    return f"""
+    WITH tok AS (
+      SELECT {group_col} AS g, unnest(string_split({text_col}, ' ')) AS t
+      FROM {table}
+    ),
+    c AS (SELECT g, t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY g, t)
+    SELECT g AS {group_col},
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(c) AS DOUBLE) * SUM(c) / SUM(c * c) AS effective_vocab_q2
+    FROM c GROUP BY g
+    """

@@ -146,3 +146,96 @@ def cooccurrence_triangles_sql(
            CAST(n_triangles AS BIGINT) AS n_triangles
     FROM nodes, edges, tris
     """
+
+
+def hits_authorities(
+    edges: DataFrame,
+    hub_col: str = "hub",
+    auth_col: str = "auth",
+    weight_col: str = "w",
+    rounds: int = 2,
+) -> DataFrame:
+    """HITS (Kleinberg 1999) authority scores on a weighted bipartite
+    graph, ``rounds`` unrolled iterations of a = A^T h; h = A a from
+    h0 = 1 — "who do the important buyers concentrate on" over e.g.
+    the customer -> supplier purchase graph.
+
+    Exact-integer trick: HITS is scale-invariant, so instead of
+    normalizing every round (a float division whose accumulation
+    then poisons the next matmul with order-dependent ulp), the
+    iteration runs UN-normalized on bigint edge weights — every h/a
+    value stays an exact integer-valued DECIMAL(38,0) (sums of
+    products, order-free in any engine) — and a single normalization
+    by max(a) happens once at the end, in double, on bit-identical
+    inputs. Dynamic range bounds the unrolled depth: values grow like
+    (W * deg)^rounds, so 2 rounds holds exactly for any graph with
+    W * deg < 1e19-ish per side; deeper analyses should renormalize
+    blockwise like ewma_half.
+
+    Scale shape: each half-round is one equi-join edge x score on a
+    node key plus one aggregation — the standard distributed matmul-
+    by-join; nothing but (node, score) pairs shuffles.
+    """
+    dec = "decimal(38,0)"
+    a = (
+        edges.groupBy(auth_col)
+        .agg(F.sum(F.col(weight_col).cast(dec)).alias("__a"))
+    )
+    for _ in range(rounds - 1):
+        h = (
+            edges.join(a, auth_col)
+            .groupBy(hub_col)
+            .agg(F.sum(F.col(weight_col).cast(dec) * F.col("__a")).alias("__h"))
+        )
+        a = (
+            edges.join(h, hub_col)
+            .groupBy(auth_col)
+            .agg(F.sum(F.col(weight_col).cast(dec) * F.col("__h")).alias("__a"))
+        )
+    mx = a.agg(F.max("__a").alias("__mx"))
+    return a.crossJoin(F.broadcast(mx)).select(
+        F.col(auth_col),
+        (F.col("__a").cast("double") / F.col("__mx").cast("double")).alias(
+            "authority"
+        ),
+    )
+
+
+def hits_authorities_sql(
+    edges_cte: str,
+    hub_col: str = "hub",
+    auth_col: str = "auth",
+    weight_col: str = "w",
+    rounds: int = 2,
+) -> str:
+    """DuckDB twin of :func:`hits_authorities`. ``edges_cte`` must
+    define a CTE named ``e`` with ({hub_col}, {auth_col}, {weight_col})."""
+    parts = [
+        edges_cte,
+        f"""
+    a0 AS (
+      SELECT {auth_col} AS v, SUM(CAST({weight_col} AS DECIMAL(38,0))) AS a
+      FROM e GROUP BY {auth_col}
+    )""",
+    ]
+    for r in range(rounds - 1):
+        parts.append(f"""
+    h{r} AS (
+      SELECT e.{hub_col} AS v, SUM(CAST(e.{weight_col} AS DECIMAL(38,0)) * a{r}.a) AS h
+      FROM e JOIN a{r} ON a{r}.v = e.{auth_col}
+      GROUP BY e.{hub_col}
+    ),
+    a{r + 1} AS (
+      SELECT e.{auth_col} AS v, SUM(CAST(e.{weight_col} AS DECIMAL(38,0)) * h{r}.h) AS a
+      FROM e JOIN h{r} ON h{r}.v = e.{hub_col}
+      GROUP BY e.{auth_col}
+    )""")
+    last = f"a{rounds - 1}"
+    return (
+        "WITH " + ",".join(parts) + f"""
+    SELECT v AS {auth_col},
+           CAST(a AS DOUBLE) / (SELECT CAST(MAX(a) AS DOUBLE) FROM {last})
+             AS authority
+    FROM {last}
+    """
+    )

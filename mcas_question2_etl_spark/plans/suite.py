@@ -53,6 +53,7 @@ from . import wave38 as _wave38
 from . import wave39 as _wave39
 from . import wave40 as _wave40
 from . import wave41 as _wave41
+from . import wave42 as _wave42
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -104,6 +105,7 @@ _ALL: list[QuerySpec] = [
     *_wave39.SPECS,
     *_wave40.SPECS,
     *_wave41.SPECS,
+    *_wave42.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
