@@ -307,6 +307,12 @@ HEADLINE = [
     "hits_supplier_authority",
     "lpa_copurchase_communities",
     "token_diversity_by_source",
+    # wave 43: concentration/stats/profiling/forensics
+    "abc_revenue_classes",
+    "contingency_priority_status",
+    "user_diversity_histogram",
+    "doc_length_log2_histogram",
+    "neardup_source_matrix",
 ]
 
 

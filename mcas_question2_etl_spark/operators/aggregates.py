@@ -234,3 +234,62 @@ def weighted_quantiles_sql(
            {picks}
     FROM c GROUP BY {group_col}
     """
+
+
+def log2_histogram(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group power-of-two (log2) histogram of a positive integer
+    measure — the right bucketing for heavy-tailed size distributions
+    (doc lengths, payload bytes) where equi-width buckets dump
+    everything into bin 0.
+
+    Exact bucketing trick: floor(log2(x)) via float log sits on a
+    representability cliff at exact powers of two (log2(1024.0) can
+    come out 9.99...9); the bucket here is
+    ``length(bin(x)) - 1`` — the bit length of the integer minus one —
+    which is string/integer arithmetic, exact in both engines, and
+    equals floor(log2(x)) for every positive integer. Non-positive
+    values are excluded explicitly.
+
+    Output: (group, bucket, lo, n, min_v, max_v) where lo = 2^bucket.
+    Scale: one scan-stage expression + one (group, bucket) aggregation
+    with map-side combine.
+    """
+    b = (F.length(F.bin(F.col(value_col))) - 1).cast("int").alias("bucket")
+    return (
+        df.filter(F.col(value_col) > 0)
+        .select(F.col(group_col), b, F.col(value_col).alias("__v"))
+        .groupBy(group_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("__v").cast("bigint").alias("min_v"),
+            F.max("__v").cast("bigint").alias("max_v"),
+        )
+        .withColumn("lo", F.pow(F.lit(2.0), F.col("bucket")).cast("bigint"))
+        .select(group_col, "bucket", "lo", "n", "min_v", "max_v")
+    )
+
+
+def log2_histogram_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+) -> str:
+    """DuckDB twin of :func:`log2_histogram`."""
+    return f"""
+    WITH b AS (
+      SELECT {group_col} AS g,
+             CAST(length(bin({value_col})) - 1 AS INTEGER) AS bucket,
+             {value_col} AS v
+      FROM {table} WHERE {value_col} > 0
+    )
+    SELECT g AS {group_col}, bucket,
+           CAST(pow(2.0, bucket) AS BIGINT) AS lo,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(v) AS BIGINT) AS min_v,
+           CAST(MAX(v) AS BIGINT) AS max_v
+    FROM b GROUP BY g, bucket
+    """

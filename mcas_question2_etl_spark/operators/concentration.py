@@ -93,3 +93,100 @@ def token_concentration_sql(
     FROM ranked
     GROUP BY {group_col}
     """
+
+
+def abc_classes(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    a_cut: str = "0.80",
+    b_cut: str = "0.95",
+) -> DataFrame:
+    """ABC (Pareto) classification: rank keys by a 2-decimal measure
+    descending, class A = keys inside the first ``a_cut`` of cumulative
+    value, B up to ``b_cut``, C the tail — the standard inventory/
+    revenue-concentration rollup ("which 20% of parts carry 80% of
+    revenue").
+
+    Exactness: per-key values, the running prefix, the grand total and
+    the two thresholds are ALL decimals (cuts are decimal literals, so
+    threshold = cut * total is exact) — class assignment never touches
+    a float, so no boundary key can flip between engines. Only the
+    reported revenue share divides to double at the end.
+
+    Scale shape: one groupBy to key grain, then the distributed
+    two-phase running sum (:func:`.ranking.with_running_sum` — range
+    shuffle + per-partition windows, never a single-task global
+    window), a broadcast 1-row total, and a 3-row class rollup.
+    """
+    from .ranking import with_running_sum
+
+    per_key = df.groupBy(key_col).agg(
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__v")
+    )
+    total = per_key.agg(F.sum("__v").alias("__tot"))
+    run = with_running_sum(
+        per_key,
+        [F.col("__v").desc(), F.col(key_col)],
+        "__v",
+        out_col="__run",
+    ).crossJoin(F.broadcast(total))
+    classed = run.withColumn(
+        "abc_class",
+        F.when(
+            F.col("__run") <= F.expr(f"CAST({a_cut} AS DECIMAL(3,2))") * F.col("__tot"),
+            F.lit("A"),
+        )
+        .when(
+            F.col("__run") <= F.expr(f"CAST({b_cut} AS DECIMAL(3,2))") * F.col("__tot"),
+            F.lit("B"),
+        )
+        .otherwise(F.lit("C")),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("__v").cast("double").alias("class_value"),
+            (F.sum("__v").cast("double") / F.max("__tot").cast("double")).alias(
+                "value_share"
+            ),
+        )
+    )
+
+
+def abc_classes_sql(
+    table: str,
+    key_col: str,
+    value_col: str,
+    a_cut: str = "0.80",
+    b_cut: str = "0.95",
+) -> str:
+    """DuckDB twin of :func:`abc_classes` (plain running-sum window —
+    the oracle does not need the distributed construction)."""
+    return f"""
+    WITH pk AS (
+      SELECT {key_col} AS k, SUM(CAST({value_col} AS DECIMAL(18,2))) AS v
+      FROM {table} GROUP BY {key_col}
+    ),
+    t AS (SELECT SUM(v) AS tot FROM pk),
+    run AS (
+      SELECT k, v, tot,
+             SUM(v) OVER (ORDER BY v DESC, k
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM pk, t
+    ),
+    classed AS (
+      SELECT k, v, tot,
+             CASE WHEN cum <= CAST({a_cut} AS DECIMAL(3,2)) * tot THEN 'A'
+                  WHEN cum <= CAST({b_cut} AS DECIMAL(3,2)) * tot THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM run
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(v) AS DOUBLE) AS class_value,
+           CAST(SUM(v) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE) AS value_share
+    FROM classed GROUP BY abc_class
+    """

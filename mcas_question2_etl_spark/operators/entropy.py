@@ -182,3 +182,66 @@ def token_diversity_by_source_sql(
            CAST(SUM(c) AS DOUBLE) * SUM(c) / SUM(c * c) AS effective_vocab_q2
     FROM c GROUP BY g
     """
+
+
+def diversity_histogram(
+    df: DataFrame,
+    key_col: str = "user_id",
+    class_col: str = "event_type",
+) -> DataFrame:
+    """Population histogram of per-key behavioral diversity: each
+    key's inverse-Simpson effective class count (how many event types
+    does this user EFFECTIVELY spread over), floored to an integer
+    bucket, then keys counted per bucket — the audit view for "are
+    users mono-behavior or diverse" without emitting a per-user row.
+
+    Exactness: per-key n^2 / sum c^2 is a single division of exact
+    bigints — bit-identical across engines — and floor() of that
+    identical double is identical too (uniform k-class keys land
+    EXACTLY on k, which floors to k everywhere since the division is
+    exact). No rounding, no ln.
+
+    Scale shape: one (key, class) count aggregation, one key-grain
+    reduction, one bucket-grain rollup — three shrinking map-side-
+    combined aggregations, nothing else.
+    """
+    counts = df.groupBy(key_col, class_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    per_key = counts.groupBy(key_col).agg(
+        F.sum("__c").cast("bigint").alias("__n"),
+        F.sum(F.col("__c") * F.col("__c")).cast("bigint").alias("__c2"),
+    )
+    return (
+        per_key.select(
+            F.floor(
+                F.col("__n").cast("double") * F.col("__n") / F.col("__c2")
+            )
+            .cast("bigint")
+            .alias("diversity_bucket")
+        )
+        .groupBy("diversity_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+    )
+
+
+def diversity_histogram_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    class_col: str = "event_type",
+) -> str:
+    """DuckDB twin of :func:`diversity_histogram`."""
+    return f"""
+    WITH counts AS (
+      SELECT {key_col} AS k, {class_col} AS cl, CAST(COUNT(*) AS BIGINT) AS c
+      FROM {table} GROUP BY 1, 2
+    ),
+    per_key AS (
+      SELECT k, CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(c * c) AS BIGINT) AS c2
+      FROM counts GROUP BY k
+    )
+    SELECT CAST(floor(CAST(n AS DOUBLE) * n / c2) AS BIGINT)
+             AS diversity_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM per_key GROUP BY 1
+    """

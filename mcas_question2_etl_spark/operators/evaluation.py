@@ -417,3 +417,120 @@ def spearman_corr_sql(
                 ELSE 0.0 END AS spearman_rho
     FROM agg
     """
+
+
+def contingency_residuals(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Full contingency-table audit for two categoricals: per-cell
+    observed/expected/standardized residual ((o - e)/sqrt(e) — which
+    cells drive the dependence), plus the table-level chi-square and
+    Cramer's V repeated on every row (V = sqrt(chi2 / (N * min(r-1,
+    c-1))), the [0,1]-normalized effect size chi-square alone lacks).
+
+    Determinism: marginals and N are exact bigints; each cell's
+    expected = r*c/N and residual are single IEEE expressions on those
+    (exact products < 2^53), so per-cell values need no rounding. Only
+    chi2 SUMS float cell terms (cells = r*c rows, a tiny table, but
+    still order-free only after rounding) — chi2 and V are rounded at
+    ``round_to`` like the other test statistics.
+
+    Scale shape: one (row, col) count aggregation over the corpus with
+    map-side combine; marginals derive from the CELL table (never a
+    second corpus scan) and broadcast back; chi2 is a scalar aggregate
+    of the cell table broadcast onto it.
+    """
+    cells = df.groupBy(
+        F.col(row_col).alias("__r"), F.col(col_col).alias("__c")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    row_m = cells.groupBy("__r").agg(F.sum("n_obs").alias("__rn"))
+    col_m = cells.groupBy("__c").agg(F.sum("n_obs").alias("__cn"))
+    tot = cells.agg(
+        F.sum("n_obs").cast("bigint").alias("__N"),
+        F.countDistinct("__r").alias("__nr"),
+        F.countDistinct("__c").alias("__nc"),
+    )
+    based = (
+        cells.join(F.broadcast(row_m), "__r")
+        .join(F.broadcast(col_m), "__c")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "expected",
+            F.col("__rn").cast("double") * F.col("__cn") / F.col("__N"),
+        )
+        .withColumn(
+            "std_residual",
+            (F.col("n_obs") - F.col("expected")) / F.sqrt(F.col("expected")),
+        )
+    )
+    stats = based.agg(
+        F.round(
+            F.sum(F.col("std_residual") * F.col("std_residual")), round_to
+        ).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.sum(F.col("std_residual") * F.col("std_residual"))
+                / (
+                    F.max("__N")
+                    * F.least(F.max("__nr") - 1, F.max("__nc") - 1)
+                )
+            ),
+            round_to,
+        ).alias("cramers_v"),
+    )
+    return based.crossJoin(F.broadcast(stats)).select(
+        F.col("__r").alias(row_col),
+        F.col("__c").alias(col_col),
+        "n_obs",
+        "expected",
+        "std_residual",
+        "chi2",
+        "cramers_v",
+    )
+
+
+def contingency_residuals_sql(
+    table: str,
+    row_col: str,
+    col_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`contingency_residuals`."""
+    return f"""
+    WITH cells AS (
+      SELECT {row_col} AS r, {col_col} AS c, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM {table} GROUP BY 1, 2
+    ),
+    rm AS (SELECT r, CAST(SUM(n_obs) AS BIGINT) AS rn FROM cells GROUP BY r),
+    cm AS (SELECT c, CAST(SUM(n_obs) AS BIGINT) AS cn FROM cells GROUP BY c),
+    t AS (
+      SELECT CAST(SUM(n_obs) AS BIGINT) AS N,
+             CAST(COUNT(DISTINCT r) AS BIGINT) AS nr,
+             CAST(COUNT(DISTINCT c) AS BIGINT) AS nc
+      FROM cells
+    ),
+    based AS (
+      SELECT cells.r, cells.c, cells.n_obs,
+             CAST(rm.rn AS DOUBLE) * cm.cn / t.N AS expected,
+             (cells.n_obs - CAST(rm.rn AS DOUBLE) * cm.cn / t.N)
+               / sqrt(CAST(rm.rn AS DOUBLE) * cm.cn / t.N) AS std_residual,
+             t.N, t.nr, t.nc
+      FROM cells
+      JOIN rm ON rm.r = cells.r
+      JOIN cm ON cm.c = cells.c
+      CROSS JOIN t
+    ),
+    stats AS (
+      SELECT ROUND(SUM(std_residual * std_residual), {round_to}) AS chi2,
+             ROUND(sqrt(SUM(std_residual * std_residual)
+                        / (MAX(N) * least(MAX(nr) - 1, MAX(nc) - 1))),
+                   {round_to}) AS cramers_v
+      FROM based
+    )
+    SELECT b.r AS {row_col}, b.c AS {col_col}, b.n_obs,
+           b.expected, b.std_residual, s.chi2, s.cramers_v
+    FROM based b CROSS JOIN stats s
+    """

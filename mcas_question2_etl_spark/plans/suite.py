@@ -54,6 +54,7 @@ from . import wave39 as _wave39
 from . import wave40 as _wave40
 from . import wave41 as _wave41
 from . import wave42 as _wave42
+from . import wave43 as _wave43
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -106,6 +107,7 @@ _ALL: list[QuerySpec] = [
     *_wave40.SPECS,
     *_wave41.SPECS,
     *_wave42.SPECS,
+    *_wave43.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
