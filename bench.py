@@ -313,6 +313,11 @@ HEADLINE = [
     "user_diversity_histogram",
     "doc_length_log2_histogram",
     "neardup_source_matrix",
+    # wave 44: attribution/finance-audit/feature-hash
+    "last_touch_attribution",
+    "order_total_reconciliation",
+    "duplicate_order_audit",
+    "feature_hash_collision_report",
 ]
 
 

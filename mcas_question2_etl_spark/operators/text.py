@@ -760,3 +760,79 @@ def bigram_logprob_quality_sql(
     FROM pairs p JOIN big USING (w1, w2) JOIN firsts USING (w1) CROSS JOIN vocab
     GROUP BY p.{id_col}
     """
+
+
+def feature_hash_report(
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Hashing-trick audit: map every corpus token into ``n_buckets``
+    via the engine-portable md5 bucket (:func:`.sampling.hash_bucket`)
+    and report the bucket-occupancy histogram — (occupancy = distinct
+    tokens in bucket) -> (n_buckets, vocab mass, token mass). The
+    pre-flight check before committing to a hashed feature dimension:
+    occupancy >= 2 rows quantify collision damage, mass-weighted.
+
+    Exactness: bucket assignment is integer md5 arithmetic (identical
+    in both engines, unlike murmur/xxhash built-ins) and every
+    reported figure is an exact bigint.
+
+    Scale shape: explode + (bucket, token) count with map-side
+    combine (vocabulary-sized result), then bucket-grain and
+    occupancy-grain rollups — each table smaller than the last.
+    """
+    from .sampling import hash_bucket
+
+    tok = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("__t")
+    ).filter(F.col("__t") != "")
+    per_tok = tok.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__m")
+    )
+    per_bucket = (
+        per_tok.withColumn("__b", hash_bucket("__t", n_buckets))
+        .groupBy("__b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__occ"),
+            F.sum("__m").cast("bigint").alias("__mass"),
+        )
+    )
+    return (
+        per_bucket.groupBy(F.col("__occ").alias("occupancy"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum("__occ").cast("bigint").alias("n_tokens"),
+            F.sum("__mass").cast("bigint").alias("token_mass"),
+        )
+    )
+
+
+def feature_hash_report_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> str:
+    """DuckDB twin of :func:`feature_hash_report`."""
+    from .sampling import hash_bucket_sql
+
+    b = hash_bucket_sql("t", n_buckets)
+    return f"""
+    WITH tok AS (
+      SELECT unnest(string_split({text_col}, ' ')) AS t FROM {table}
+    ),
+    pt AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS m
+      FROM tok WHERE t <> '' GROUP BY t
+    ),
+    pb AS (
+      SELECT {b} AS b, CAST(COUNT(*) AS BIGINT) AS occ,
+             CAST(SUM(m) AS BIGINT) AS mass
+      FROM pt GROUP BY 1
+    )
+    SELECT occ AS occupancy,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(occ) AS BIGINT) AS n_tokens,
+           CAST(SUM(mass) AS BIGINT) AS token_mass
+    FROM pb GROUP BY occ
+    """

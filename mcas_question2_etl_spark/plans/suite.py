@@ -55,6 +55,7 @@ from . import wave40 as _wave40
 from . import wave41 as _wave41
 from . import wave42 as _wave42
 from . import wave43 as _wave43
+from . import wave44 as _wave44
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -108,6 +109,7 @@ _ALL: list[QuerySpec] = [
     *_wave41.SPECS,
     *_wave42.SPECS,
     *_wave43.SPECS,
+    *_wave44.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
