@@ -318,6 +318,12 @@ HEADLINE = [
     "order_total_reconciliation",
     "duplicate_order_audit",
     "feature_hash_collision_report",
+    # wave 45: privacy/habit/concordance/profiling
+    "k_anonymity_customers",
+    "activity_streak_histogram",
+    "kwic_spark_snippets",
+    "functional_dependency_parts",
+    "key_candidate_orders",
 ]
 
 

@@ -836,3 +836,66 @@ def feature_hash_report_sql(
            CAST(SUM(mass) AS BIGINT) AS token_mass
     FROM pb GROUP BY occ
     """
+
+
+def kwic_snippets(
+    df: DataFrame,
+    term: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    context: int = 2,
+) -> DataFrame:
+    """Keyword-in-context extraction: every occurrence of ``term`` as
+    (id, pos, snippet) where snippet is the +-``context``-token window
+    joined by spaces — the retrieval-debugging / concordance view
+    ("show me how the corpus actually uses this word") and the
+    snippet generator under search result rendering.
+
+    Exactness: token positions are integers and snippets are pure
+    string slices — byte-identical in both engines.
+
+    Scale shape: tokenize once per row, positional explode, an
+    equality filter on the term (pushed into the generate stage), and
+    a per-hit array slice; no shuffle at all — the whole operator is
+    scan-stage expressions.
+    """
+    a = F.split(F.col(text_col), " ")
+    hit = df.select(
+        F.col(id_col), a.alias("__a"), F.posexplode(a).alias("__p0", "__tok")
+    ).filter(F.col("__tok") == term)
+    pos = F.col("__p0") + 1  # 1-based
+    start = F.greatest(pos - context, F.lit(1))
+    end = F.least(pos + context, F.size("__a"))
+    return hit.select(
+        F.col(id_col),
+        pos.cast("bigint").alias("pos"),
+        F.array_join(
+            F.slice("__a", start, end - start + 1), " "
+        ).alias("snippet"),
+    )
+
+
+def kwic_snippets_sql(
+    term: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    context: int = 2,
+) -> str:
+    """DuckDB twin of :func:`kwic_snippets`."""
+    return f"""
+    WITH t AS (
+      SELECT {id_col}, string_split({text_col}, ' ') AS a
+      FROM {table}
+    ),
+    hits AS (
+      SELECT {id_col}, a, CAST(pos AS BIGINT) AS pos
+      FROM t, LATERAL unnest(generate_series(1, len(a))) AS u(pos)
+      WHERE a[pos] = '{term}'
+    )
+    SELECT {id_col}, pos,
+           array_to_string(
+             list_slice(a, greatest(pos - {context}, 1),
+                        least(pos + {context}, len(a))), ' ') AS snippet
+    FROM hits
+    """

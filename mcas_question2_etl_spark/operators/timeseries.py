@@ -549,3 +549,72 @@ def seasonal_naive_backtest_sql(
            sqrt(CAST(SUM((a - f) * (a - f)) AS DOUBLE) / COUNT(*)) AS rmse
     FROM scored GROUP BY k
     """
+
+
+# ---------------------------------------------------------------------------
+# Activity streaks (gaps-and-islands over calendar days)
+# ---------------------------------------------------------------------------
+
+
+def activity_streak_histogram(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Histogram of each key's LONGEST consecutive-active-day streak —
+    the retention/habit metric gamified products report, computed with
+    the classic gaps-and-islands identity: over a key's DISTINCT
+    active days ordered ascending, ``day - row_number`` is constant
+    exactly within a consecutive run, so grouping on that anchor
+    yields run lengths with no self-join and no iteration.
+
+    All-integer pipeline (dates, row numbers, counts, maxes) — exact
+    in both engines, nothing to round.
+
+    Scale shape: distinct (key, day) is the corpus-reducing
+    aggregation; the islands window and both rollups run per key on
+    day-grain data (bounded by the observation span). One shuffle on
+    the key.
+    """
+    days = df.select(
+        F.col(key_col), F.col(ts_col).cast("date").alias("__day")
+    ).distinct()
+    w = Window.partitionBy(key_col).orderBy("__day")
+    runs = (
+        days.withColumn(
+            "__anchor",
+            F.date_sub(F.col("__day"), F.row_number().over(w)),
+        )
+        .groupBy(key_col, "__anchor")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__run"))
+    )
+    longest = runs.groupBy(key_col).agg(F.max("__run").alias("__best"))
+    return longest.groupBy(F.col("__best").alias("streak_days")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys")
+    )
+
+
+def activity_streak_histogram_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin of :func:`activity_streak_histogram`."""
+    return f"""
+    WITH days AS (
+      SELECT DISTINCT {key_col} AS k, CAST({ts_col} AS DATE) AS day
+      FROM {table}
+    ),
+    runs AS (
+      SELECT k, day - CAST(row_number() OVER (PARTITION BY k ORDER BY day)
+                           AS INTEGER) AS anchor
+      FROM days
+    ),
+    lens AS (
+      SELECT k, anchor, CAST(COUNT(*) AS BIGINT) AS run
+      FROM runs GROUP BY k, anchor
+    ),
+    best AS (SELECT k, MAX(run) AS best FROM lens GROUP BY k)
+    SELECT best AS streak_days, CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM best GROUP BY best
+    """

@@ -56,6 +56,7 @@ from . import wave41 as _wave41
 from . import wave42 as _wave42
 from . import wave43 as _wave43
 from . import wave44 as _wave44
+from . import wave45 as _wave45
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -110,6 +111,7 @@ _ALL: list[QuerySpec] = [
     *_wave42.SPECS,
     *_wave43.SPECS,
     *_wave44.SPECS,
+    *_wave45.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
