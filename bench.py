@@ -324,6 +324,11 @@ HEADLINE = [
     "kwic_spark_snippets",
     "functional_dependency_parts",
     "key_candidate_orders",
+    # wave 46: profiling/integrity/dimension/graph
+    "string_pattern_customers",
+    "event_id_gap_audit",
+    "calendar_dimension",
+    "two_hop_copurchase_reach",
 ]
 
 

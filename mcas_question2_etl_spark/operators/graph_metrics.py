@@ -239,3 +239,88 @@ def hits_authorities_sql(
     FROM {last}
     """
     )
+
+
+def two_hop_reach(edges: DataFrame, seed_pct: int = 100) -> DataFrame:
+    """Per-node 2-hop neighborhood size over undirected edges (a, b):
+    (node, n_1hop, n_2hop) where n_2hop counts DISTINCT nodes
+    reachable in one or two hops, self excluded — the standard
+    "effective audience" / graph-expansion metric, and the cheap
+    upper-bound check before running label propagation or CC.
+
+    Scale discipline: exact 2-hop for EVERY node costs sum(deg^2)
+    pair rows — 236M on the sf0.1 co-purchase graph (median degree
+    106), which is the classic dense-graph blowup. ``seed_pct``
+    restricts the expansion to a deterministic md5-hash sample of
+    SEED nodes (audited against the FULL graph, so their reach is
+    exact, not sampled) — work drops to seed_fraction * sum(deg^2)
+    while the expansion estimate stays unbiased. 100 = every node.
+
+    Scale shape: one middle-node equi-join seeded-edges x edges, then
+    one distinct + one count per seed. All equi-joins on node ids,
+    exact integers.
+    """
+    from .sampling import hash_bucket
+
+    sym = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(
+            edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    seed_sym = (
+        sym if seed_pct >= 100 else sym.filter(hash_bucket("u", 100) < seed_pct)
+    )
+    one = seed_sym.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_1hop")
+    )
+    mid = sym.select(F.col("u").alias("__m"), F.col("v").alias("__c"))
+    two = (
+        seed_sym.join(mid, seed_sym["v"] == mid["__m"])
+        .select("u", "__c")
+        .filter(F.col("u") != F.col("__c"))
+        .unionByName(seed_sym.select("u", F.col("v").alias("__c")))
+        .distinct()
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_2hop"))
+    )
+    return (
+        one.join(two, "u")
+        .select(F.col("u").alias("node"), "n_1hop", "n_2hop")
+    )
+
+
+def two_hop_reach_sql(edges_cte: str, seed_pct: int = 100) -> str:
+    """DuckDB twin of :func:`two_hop_reach`. ``edges_cte`` must define
+    a CTE named ``e0`` with columns (a, b)."""
+    from .sampling import hash_bucket_sql
+
+    seed_cond = (
+        "TRUE" if seed_pct >= 100 else f"{hash_bucket_sql('u', 100)} < {seed_pct}"
+    )
+    return f"""
+    WITH {edges_cte.strip().lstrip(',')},
+    sym AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM e0
+      UNION
+      SELECT b AS u, a AS v FROM e0
+    ),
+    seed_sym AS MATERIALIZED (SELECT u, v FROM sym WHERE {seed_cond}),
+    one AS (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS n_1hop FROM seed_sym GROUP BY u
+    ),
+    reach AS (
+      SELECT DISTINCT u, c FROM (
+        SELECT s1.u, s2.v AS c
+        FROM seed_sym s1 JOIN sym s2 ON s2.u = s1.v
+        WHERE s2.v <> s1.u
+        UNION ALL
+        SELECT u, v AS c FROM seed_sym
+      )
+    ),
+    two AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n_2hop FROM reach GROUP BY u)
+    SELECT one.u AS node, one.n_1hop, two.n_2hop
+    FROM one JOIN two ON two.u = one.u
+    """

@@ -20,7 +20,7 @@ from __future__ import annotations
 from functools import reduce
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -120,3 +120,127 @@ def key_candidate_profile_sql(
              AND SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) = 0 AS is_key
     FROM {table}""")
     return "\nUNION ALL\n".join(parts)
+
+
+def string_pattern_profile(
+    df: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Format-mask profiling of a string column: uppercase -> 'A',
+    lowercase -> 'a', digits -> '9' (other characters kept), then
+    masks counted — the classic wrangling view that surfaces mixed
+    formats ("Customer#000000001" vs "cust-1") in one table instead
+    of eyeballing samples.
+
+    Output: (pattern, n_rows, n_distinct, example) with example = MIN
+    value (deterministic representative). Pure string expressions +
+    one pattern-grain aggregation; exact everywhere.
+    """
+    mask = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(col), "[A-Z]", "A"), "[a-z]", "a"
+        ),
+        "[0-9]",
+        "9",
+    )
+    return (
+        df.select(mask.alias("pattern"), F.col(col).alias("__v"))
+        .groupBy("pattern")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("__v").cast("bigint").alias("n_distinct"),
+            F.min("__v").alias("example"),
+        )
+    )
+
+
+def string_pattern_profile_sql(table: str, col: str) -> str:
+    """DuckDB twin of :func:`string_pattern_profile`."""
+    return f"""
+    SELECT regexp_replace(regexp_replace(regexp_replace(
+             {col}, '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'), '[0-9]', '9', 'g')
+             AS pattern,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           MIN({col}) AS example
+    FROM {table}
+    GROUP BY 1
+    """
+
+
+def id_gap_audit(
+    df: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Contiguity audit of an integer id column WITHOUT a global sort:
+    (n_ids, id_min, id_max, n_missing, n_gaps, max_gap) where a gap is
+    a maximal run of absent ids between two present ones — the
+    sequence-integrity check for ingest pipelines (dropped batches
+    show up as gaps, double-loads as n_missing < 0 never happening
+    because ids are DISTINCT'd first).
+
+    Distributed construction: a plain ``lead() OVER (ORDER BY id)``
+    is a single-task window, so instead the ids are range-shuffled
+    (balanced, ordered partitions), each partition computes its
+    internal consecutive deltas in parallel, and the cross-partition
+    boundary deltas come from the #partitions-row (min, max) table —
+    the same two-phase shape as the repo's global ranks. All-integer,
+    exact.
+    """
+    ids = df.select(F.col(id_col).cast("bigint").alias("__id")).distinct()
+    parts = ids.repartitionByRange("__id").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_in = Window.partitionBy("__pid").orderBy("__id")
+    internal = parts.withColumn(
+        "__gap", F.lead("__id", 1).over(w_in) - F.col("__id") - 1
+    ).filter(F.col("__gap").isNotNull())
+    bounds = parts.groupBy("__pid").agg(
+        F.min("__id").alias("__lo"), F.max("__id").alias("__hi")
+    )
+    w_b = Window.orderBy("__pid")
+    boundary = (
+        bounds.withColumn("__next_lo", F.lead("__lo", 1).over(w_b))
+        .filter(F.col("__next_lo").isNotNull())
+        .select((F.col("__next_lo") - F.col("__hi") - 1).alias("__gap"))
+    )
+    gaps = internal.select("__gap").unionByName(boundary)
+    gap_stats = gaps.agg(
+        F.coalesce(F.sum("__gap"), F.lit(0)).cast("bigint").alias("n_missing"),
+        F.coalesce(
+            F.sum((F.col("__gap") > 0).cast("bigint")), F.lit(0)
+        ).cast("bigint").alias("n_gaps"),
+        F.coalesce(F.max("__gap"), F.lit(0)).cast("bigint").alias("max_gap"),
+    )
+    totals = ids.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ids"),
+        F.min("__id").alias("id_min"),
+        F.max("__id").alias("id_max"),
+    )
+    return totals.crossJoin(F.broadcast(gap_stats))
+
+
+def id_gap_audit_sql(table: str, id_col: str) -> str:
+    """DuckDB twin of :func:`id_gap_audit` (plain global window — the
+    oracle does not need the distributed construction)."""
+    return f"""
+    WITH ids AS (SELECT DISTINCT CAST({id_col} AS BIGINT) AS id FROM {table}),
+    d AS (
+      SELECT lead(id) OVER (ORDER BY id) - id - 1 AS gap FROM ids
+    ),
+    g AS (
+      SELECT COALESCE(CAST(SUM(gap) AS BIGINT), 0) AS n_missing,
+             COALESCE(CAST(SUM(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT),
+                      0) AS n_gaps,
+             COALESCE(CAST(MAX(gap) AS BIGINT), 0) AS max_gap
+      FROM d WHERE gap IS NOT NULL
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_ids,
+             CAST(MIN(id) AS BIGINT) AS id_min,
+             CAST(MAX(id) AS BIGINT) AS id_max
+      FROM ids
+    )
+    SELECT t.n_ids, t.id_min, t.id_max, g.n_missing, g.n_gaps, g.max_gap
+    FROM t CROSS JOIN g
+    """

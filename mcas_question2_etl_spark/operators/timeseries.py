@@ -618,3 +618,69 @@ def activity_streak_histogram_sql(
     SELECT best AS streak_days, CAST(COUNT(*) AS BIGINT) AS n_keys
     FROM best GROUP BY best
     """
+
+
+def calendar_dimension(
+    df: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Generated calendar dimension spanning the data's [min, max]
+    day: (day, year, month, day_of_month, quarter, iso_dow, iso_week,
+    is_weekend) — the standard conformed date dimension every
+    warehouse joins against, derived from the data's own span so it
+    never goes stale.
+
+    Engine-portability note: "day of week" is the classic cross-
+    engine trap (Spark ``dayofweek`` counts Sunday=1, DuckDB ``dow``
+    Sunday=0) — both sides compute the ISO form (Monday=1) explicitly.
+    All-integer output; the spine is sequence-exploded from one
+    2-column aggregate row, never a driver loop.
+    """
+    span = df.agg(
+        F.min(F.col(ts_col).cast("date")).alias("__d0"),
+        F.max(F.col(ts_col).cast("date")).alias("__d1"),
+    )
+    days = span.select(
+        F.explode(F.sequence("__d0", "__d1", F.expr("interval 1 day"))).alias(
+            "day"
+        )
+    )
+    iso_dow = (F.weekday("day") + 1).cast("int")
+    return days.select(
+        "day",
+        F.year("day").cast("int").alias("year"),
+        F.month("day").cast("int").alias("month"),
+        F.dayofmonth("day").cast("int").alias("day_of_month"),
+        F.quarter("day").cast("int").alias("quarter"),
+        iso_dow.alias("iso_dow"),
+        F.weekofyear("day").cast("int").alias("iso_week"),
+        (iso_dow >= 6).alias("is_weekend"),
+    )
+
+
+def calendar_dimension_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin of :func:`calendar_dimension`."""
+    return f"""
+    WITH span AS (
+      SELECT MIN(CAST({ts_col} AS DATE)) AS d0,
+             MAX(CAST({ts_col} AS DATE)) AS d1
+      FROM {table}
+    ),
+    days AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM span
+    )
+    SELECT day,
+           CAST(year(day) AS INTEGER) AS year,
+           CAST(month(day) AS INTEGER) AS month,
+           CAST(day(day) AS INTEGER) AS day_of_month,
+           CAST(quarter(day) AS INTEGER) AS quarter,
+           CAST(isodow(day) AS INTEGER) AS iso_dow,
+           CAST(weekofyear(day) AS INTEGER) AS iso_week,
+           isodow(day) >= 6 AS is_weekend
+    FROM days
+    """

@@ -169,7 +169,7 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH s AS (
       SELECT doc_id, {_DUCK_SHINGLES} AS sh
-      FROM documents WHERE len(text) >= 3 AND doc_id % 3 = 0
+      FROM documents WHERE len(text) >= 3 AND doc_id % 3 = 0 AND doc_id < 500
     ),
     true_pairs AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id
@@ -191,7 +191,7 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near-dup (approxSimilarityJoin's exact distance filter) and (b) "
     "recall >= 80% of the true pairs (8 OR-amplified tables give "
     "P(candidate) = 1-(1-s)^8 > 0.9999 at s=0.7). The all-pairs exact "
-    "kernel forces the contract onto a deterministic doc_id%3 sample "
+    "kernel forces the contract onto a deterministic doc_id%3, id<500 sample (ABSOLUTE cap: the kernel's cost is constant at any sf, not a corpus fraction) "
     "(the capped-verification-kernel discipline, cf. "
     "ngram_jaccard_neardup's %29 cap) — and so does the ml LSH join "
     "itself here, because its OR-amplified single-hash tables cannot "
@@ -203,7 +203,9 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "parity contract runs on the sample",
 )
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 500)
+    )
     # distance 0.3 == Jaccard >= 0.7: actual near-dups, not vocabulary
     # overlap (the synthetic docs share a tiny vocabulary, so looser
     # thresholds degenerate to all-pairs)

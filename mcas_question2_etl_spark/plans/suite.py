@@ -57,6 +57,7 @@ from . import wave42 as _wave42
 from . import wave43 as _wave43
 from . import wave44 as _wave44
 from . import wave45 as _wave45
+from . import wave46 as _wave46
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -112,6 +113,7 @@ _ALL: list[QuerySpec] = [
     *_wave43.SPECS,
     *_wave44.SPECS,
     *_wave45.SPECS,
+    *_wave46.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
