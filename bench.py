@@ -329,6 +329,12 @@ HEADLINE = [
     "event_id_gap_audit",
     "calendar_dimension",
     "two_hop_copurchase_reach",
+    # wave 47: geo/behavioral/graph/preprocessing
+    "shoelace_area_centroid",
+    "user_burstiness_histogram",
+    "interarrival_profile",
+    "copurchase_assortativity",
+    "quantile_normalize_doclen",
 ]
 
 

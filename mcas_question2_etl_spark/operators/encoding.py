@@ -98,3 +98,98 @@ def oof_target_encoding_sql(
                     + {smoothing}), 6) AS oof_mean
     FROM per
     """
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Quantile normalization across groups (the microarray/batch-
+    effect-correction standard): each row's value is replaced by the
+    POOLED distribution's value at the row's within-group quantile, so
+    every group ends up with the same marginal distribution — the
+    principled way to make per-source quality/length scores comparable
+    before mixing corpus slices.
+
+    All-integer index math: with within-group rank r of n_g and pooled
+    size N, the target position is 1 + (r-1)*(N-1) DIV (n_g-1) —
+    exact integer arithmetic, no float quantile that could round
+    differently at .5 boundaries across engines. The pooled
+    position -> value map is built with the distributed two-phase
+    global rank (:mod:`.ranking`), not a single-task window; the
+    within-group ranks shuffle once on the group key. Groups with a
+    single row are excluded explicitly (their quantile is undefined).
+
+    Output: (id, group, value, normalized).
+    """
+    from .ranking import with_global_row_number
+
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("bigint").alias("__ng"))
+    total = df.agg(F.count(F.lit(1)).cast("bigint").alias("__N"))
+    wg = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    ranked = (
+        df.select(group_col, value_col, id_col)
+        .withColumn("__r", F.row_number().over(wg).cast("bigint"))
+        .join(F.broadcast(sizes.filter(F.col("__ng") >= 2)), group_col)
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "__idx",
+            F.lit(1) + F.expr("(__r - 1) * (__N - 1) div (__ng - 1)"),
+        )
+    )
+    pooled = with_global_row_number(
+        df.select(F.col(value_col), F.col(id_col)),
+        [F.col(value_col), F.col(id_col)],
+        out_col="__pos",
+    ).select(
+        F.col("__pos").cast("bigint").alias("__idx"),
+        F.col(value_col).alias("normalized"),
+    )
+    return ranked.join(pooled, "__idx").select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(value_col),
+        "normalized",
+    )
+
+
+def quantile_normalize_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> str:
+    """DuckDB twin of :func:`quantile_normalize` (plain windows — the
+    oracle does not need the distributed construction)."""
+    return f"""
+    WITH sizes AS (
+      SELECT {group_col} AS g, CAST(COUNT(*) AS BIGINT) AS ng
+      FROM {table} GROUP BY {group_col}
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM {table}),
+    ranked AS (
+      SELECT {group_col} AS g, {value_col} AS v, {id_col} AS id,
+             CAST(row_number() OVER (
+               PARTITION BY {group_col} ORDER BY {value_col}, {id_col}
+             ) AS BIGINT) AS r
+      FROM {table}
+    ),
+    idxed AS (
+      SELECT ranked.g, ranked.v, ranked.id,
+             1 + (ranked.r - 1) * (t.N - 1) // (sizes.ng - 1) AS idx
+      FROM ranked
+      JOIN sizes ON sizes.g = ranked.g AND sizes.ng >= 2
+      CROSS JOIN t
+    ),
+    pooled AS (
+      SELECT CAST(row_number() OVER (ORDER BY {value_col}, {id_col}) AS BIGINT)
+               AS idx,
+             {value_col} AS normalized
+      FROM {table}
+    )
+    SELECT i.id AS {id_col}, i.g AS {group_col}, i.v AS {value_col},
+           p.normalized
+    FROM idxed i JOIN pooled p ON p.idx = i.idx
+    """

@@ -324,3 +324,92 @@ def two_hop_reach_sql(edges_cte: str, seed_pct: int = 100) -> str:
     SELECT one.u AS node, one.n_1hop, two.n_2hop
     FROM one JOIN two ON two.u = one.u
     """
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the symmetric directed edge
+    list — positive means hubs attach to hubs (social-network shape),
+    negative means hubs attach to leaves (hub-and-spoke). One number
+    that tells you whether degree-based partitioning/salting will
+    face correlated hot spots.
+
+    Determinism: degrees are exact bigints and all five Pearson
+    moments accumulate in DECIMAL(38,0) (order-free); the final r is
+    one IEEE expression on bit-identical inputs — no rounding.
+
+    Scale shape: one degree aggregation, two equi-joins of the edge
+    list to the (node, degree) table, one scalar moment reduction.
+    """
+    sym = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("__d"))
+    du = deg.select(F.col("u"), F.col("__d").alias("__du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("__d").alias("__dv"))
+    dec = "decimal(38,0)"
+    m = (
+        sym.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.sum(F.col("__du").cast(dec)).alias("__su"),
+            F.sum(F.col("__dv").cast(dec)).alias("__sv"),
+            F.sum((F.col("__du") * F.col("__du")).cast(dec)).alias("__suu"),
+            F.sum((F.col("__dv") * F.col("__dv")).cast(dec)).alias("__svv"),
+            F.sum((F.col("__du") * F.col("__dv")).cast(dec)).alias("__suv"),
+        )
+    )
+    n = F.col("n_edges").cast("double")
+    su = F.col("__su").cast("double")
+    sv = F.col("__sv").cast("double")
+    num = n * F.col("__suv").cast("double") - su * sv
+    den = F.sqrt(
+        (n * F.col("__suu").cast("double") - su * su)
+        * (n * F.col("__svv").cast("double") - sv * sv)
+    )
+    return m.select(
+        "n_edges",
+        F.when(den > 0, num / den).otherwise(F.lit(0.0)).alias("assortativity"),
+    )
+
+
+def degree_assortativity_sql(edges_cte: str) -> str:
+    """DuckDB twin of :func:`degree_assortativity`. ``edges_cte`` must
+    define a CTE named ``e0`` with columns (a, b)."""
+    return f"""
+    WITH {edges_cte.strip().lstrip(',')},
+    sym AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM e0
+      UNION
+      SELECT b AS u, a AS v FROM e0
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+             SUM(CAST(du.d AS DECIMAL(38,0))) AS su,
+             SUM(CAST(dv.d AS DECIMAL(38,0))) AS sv,
+             SUM(CAST(du.d * du.d AS DECIMAL(38,0))) AS suu,
+             SUM(CAST(dv.d * dv.d AS DECIMAL(38,0))) AS svv,
+             SUM(CAST(du.d * dv.d AS DECIMAL(38,0))) AS suv
+      FROM sym
+      JOIN deg du ON du.u = sym.u
+      JOIN deg dv ON dv.u = sym.v
+    )
+    SELECT n_edges,
+           CASE WHEN (CAST(n_edges AS DOUBLE) * CAST(suu AS DOUBLE)
+                      - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+                     * (CAST(n_edges AS DOUBLE) * CAST(svv AS DOUBLE)
+                        - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) > 0
+                THEN (CAST(n_edges AS DOUBLE) * CAST(suv AS DOUBLE)
+                      - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
+                     / sqrt((CAST(n_edges AS DOUBLE) * CAST(suu AS DOUBLE)
+                             - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+                            * (CAST(n_edges AS DOUBLE) * CAST(svv AS DOUBLE)
+                               - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)))
+                ELSE 0.0 END AS assortativity
+    FROM m
+    """

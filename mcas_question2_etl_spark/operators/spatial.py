@@ -28,6 +28,8 @@ oracle matches exactly.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -107,3 +109,104 @@ def point_in_polygon_join(
         .filter(pip_expr_spark("xs", "ys", "px", "py"))
         .drop("cx", "cy", "xs", "ys")
     )
+
+
+def shoelace_area_centroid(
+    df: DataFrame,
+    wkt_col: str,
+    id_cols: Sequence[str] = ("n_nationkey",),
+) -> DataFrame:
+    """Polygon area + centroid via the shoelace formula as pure
+    higher-order array expressions over integer WKT coordinates — the
+    measurement step after validity/reprojection in any GIS pipeline,
+    kept UDF-free so it rides whole-stage codegen.
+
+    With integer coordinates every cross term x_i*y_{i+1} -
+    x_{i+1}*y_i is an exact bigint, so the doubled signed area
+    ``area2`` is exact and the centroid is a single division of exact
+    bigints by 3*area2 — engine-deterministic with no rounding.
+    Degenerate rings (area2 = 0) yield NULL centroids explicitly.
+
+    Output: id cols + (area2, cx, cy). Scale: per-row expressions
+    only, zero shuffle.
+    """
+    nums = F.expr(
+        f"transform(regexp_extract_all({wkt_col}, '-?[0-9]+', 0), "
+        "s -> cast(s as bigint))"
+    )
+    d = df.withColumn("__n", nums)
+    # vertex i is (__n[2i], __n[2i+1]); ring closes at the last vertex
+    cross_terms = F.expr(
+        "transform(sequence(0, int(size(__n)/2) - 2), i -> "
+        "__n[2*i] * __n[2*i+3] - __n[2*i+2] * __n[2*i+1])"
+    )
+    d = d.withColumn("__cross", cross_terms)
+    area2 = F.expr("aggregate(__cross, cast(0 as bigint), (a, x) -> a + x)")
+    cx_num = F.expr(
+        "aggregate(transform(sequence(0, int(size(__n)/2) - 2), i -> "
+        "(__n[2*i] + __n[2*i+2]) * (__n[2*i] * __n[2*i+3] - __n[2*i+2] * __n[2*i+1])), "
+        "cast(0 as bigint), (a, x) -> a + x)"
+    )
+    cy_num = F.expr(
+        "aggregate(transform(sequence(0, int(size(__n)/2) - 2), i -> "
+        "(__n[2*i+1] + __n[2*i+3]) * (__n[2*i] * __n[2*i+3] - __n[2*i+2] * __n[2*i+1])), "
+        "cast(0 as bigint), (a, x) -> a + x)"
+    )
+    d = d.withColumn("__a2", area2)
+    return d.select(
+        *[F.col(c) for c in id_cols],
+        F.col("__a2").alias("area2"),
+        F.when(
+            F.col("__a2") != 0, cx_num.cast("double") / (3 * F.col("__a2"))
+        ).alias("cx"),
+        F.when(
+            F.col("__a2") != 0, cy_num.cast("double") / (3 * F.col("__a2"))
+        ).alias("cy"),
+    )
+
+
+def shoelace_area_centroid_sql(
+    shapes_cte: str,
+    id_cols: Sequence[str] = ("n_nationkey",),
+) -> str:
+    """DuckDB twin of :func:`shoelace_area_centroid`. ``shapes_cte``
+    must define a CTE named ``shapes`` with the id columns and a
+    ``wkt`` column."""
+    ids = ", ".join(id_cols)
+    return f"""
+    WITH {shapes_cte.strip().lstrip(',')},
+    n AS (
+      SELECT {ids},
+             list_transform(regexp_extract_all(wkt, '-?[0-9]+'),
+                            s -> CAST(s AS BIGINT)) AS nn
+      FROM shapes
+    ),
+    c AS (
+      SELECT {ids},
+             [nn[2*i + 1] * nn[2*i + 4] - nn[2*i + 3] * nn[2*i + 2]
+              for i in generate_series(0, CAST(len(nn)/2 AS INTEGER) - 2)]
+               AS cross_terms,
+             [(nn[2*i + 1] + nn[2*i + 3])
+              * (nn[2*i + 1] * nn[2*i + 4] - nn[2*i + 3] * nn[2*i + 2])
+              for i in generate_series(0, CAST(len(nn)/2 AS INTEGER) - 2)]
+               AS cxs,
+             [(nn[2*i + 2] + nn[2*i + 4])
+              * (nn[2*i + 1] * nn[2*i + 4] - nn[2*i + 3] * nn[2*i + 2])
+              for i in generate_series(0, CAST(len(nn)/2 AS INTEGER) - 2)]
+               AS cys
+      FROM n
+    ),
+    s AS (
+      SELECT {ids},
+             CAST(list_sum(cross_terms) AS BIGINT) AS area2,
+             CAST(list_sum(cxs) AS BIGINT) AS cxn,
+             CAST(list_sum(cys) AS BIGINT) AS cyn
+      FROM c
+    )
+    SELECT {ids}, COALESCE(area2, 0) AS area2,
+           CASE WHEN COALESCE(area2, 0) <> 0
+                THEN CAST(cxn AS DOUBLE) / (3 * area2) END AS cx,
+           CASE WHEN COALESCE(area2, 0) <> 0
+                THEN CAST(cyn AS DOUBLE) / (3 * area2) END AS cy
+    FROM s
+    """

@@ -684,3 +684,179 @@ def calendar_dimension_sql(
            isodow(day) >= 6 AS is_weekend
     FROM days
     """
+
+
+def user_burstiness_histogram(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    min_gaps: int = 5,
+) -> DataFrame:
+    """Histogram of per-key burstiness B = (sigma - mu)/(sigma + mu)
+    over inter-event gaps (Goh & Barabasi 2008): B near -1 means
+    metronome-regular activity, near 0 Poisson, toward +1 heavy
+    bursts — the behavioral fingerprint that separates bots (regular)
+    from humans (bursty) without any model.
+
+    Determinism: gaps are exact integer micros; mu and sigma come
+    from exact bigint moments, so each key's B is one IEEE expression
+    on identical inputs (sqrt is correctly rounded — identical in
+    both engines) and the bucket floor((B + 1) * 5) cannot flip.
+    Keys with fewer than ``min_gaps`` gaps or mu = 0 (all
+    simultaneous events) are excluded explicitly. B = -1 exactly
+    (sigma = 0) lands exactly on bucket 0 in both engines.
+
+    Scale shape: one shuffle on the key (the gap window), then
+    key-grain moments and a 10-bucket rollup.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    gaps = (
+        df.select(
+            F.col(key_col),
+            (
+                F.lead(F.unix_micros(F.col(ts_col)), 1).over(w)
+                - F.unix_micros(F.col(ts_col))
+            ).alias("__g"),
+        )
+        .filter(F.col("__g").isNotNull())
+    )
+    per_key = gaps.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__g").cast("bigint").alias("__s"),
+        # micros gaps square past bigint (a 3-hour gap is ~1e10 us);
+        # accumulate the squares in exact decimal instead
+        F.sum(F.col("__g").cast("decimal(38,0)") * F.col("__g")).alias("__s2"),
+    )
+    mu = F.col("__s").cast("double") / F.col("__n")
+    var = (
+        F.col("__s2").cast("double")
+        - F.col("__s").cast("double") * F.col("__s") / F.col("__n")
+    ) / F.col("__n")
+    sigma = F.sqrt(var)
+    b = (sigma - mu) / (sigma + mu)
+    return (
+        per_key.filter((F.col("__n") >= min_gaps) & (F.col("__s") > 0))
+        .select(F.floor((b + 1) * 5).cast("int").alias("burst_bucket"))
+        .groupBy("burst_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+    )
+
+
+def user_burstiness_histogram_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    min_gaps: int = 5,
+) -> str:
+    """DuckDB twin of :func:`user_burstiness_histogram`."""
+    return f"""
+    WITH gaps AS (
+      SELECT {key_col} AS k,
+             lead(epoch_us({ts_col}), 1) OVER (
+               PARTITION BY {key_col} ORDER BY {ts_col}, {tiebreak_col}
+             ) - epoch_us({ts_col}) AS g
+      FROM {table}
+    ),
+    pk AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(g) AS BIGINT) AS s,
+             SUM(CAST(g AS HUGEINT) * g) AS s2
+      FROM gaps WHERE g IS NOT NULL GROUP BY k
+    ),
+    b AS (
+      SELECT k,
+             (sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n)
+              - CAST(s AS DOUBLE) / n)
+             / (sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n)
+                + CAST(s AS DOUBLE) / n) AS bb
+      FROM pk WHERE n >= {min_gaps} AND s > 0
+    )
+    SELECT CAST(floor((bb + 1) * 5) AS INTEGER) AS burst_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM b GROUP BY 1
+    """
+
+
+def interarrival_profile(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-group inter-arrival profile over the group's GLOBAL event
+    stream: (group, n_gaps, mean_gap_us, median_gap_us) — the arrival-
+    rate table capacity planning reads ("how often does each event
+    type fire, and is the median far below the mean" = burst skew).
+
+    Exactness: gaps are integer micros; the mean is one division of
+    exact bigints; the median is an explicit ELEMENT PICK (the
+    (n+1)/2-th smallest via row_number, lower median) rather than any
+    engine's interpolating percentile — integers out, no float.
+
+    Scale shape: one shuffle on the group for the gap window, a
+    second for the median rank (both group-keyed); moments ride the
+    same partitioning.
+    """
+    w = Window.partitionBy(group_col).orderBy(ts_col, tiebreak_col)
+    gaps = (
+        df.select(
+            F.col(group_col),
+            (
+                F.lead(F.unix_micros(F.col(ts_col)), 1).over(w)
+                - F.unix_micros(F.col(ts_col))
+            ).alias("__g"),
+        )
+        .filter(F.col("__g").isNotNull())
+    )
+    stats = gaps.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        (F.sum("__g").cast("double") / F.count(F.lit(1))).alias("mean_gap_us"),
+    )
+    wr = Window.partitionBy(group_col).orderBy("__g")
+    med = (
+        gaps.withColumn("__rn", F.row_number().over(wr))
+        .join(F.broadcast(stats.select(group_col, "n_gaps")), group_col)
+        .filter(F.col("__rn") == F.expr("(n_gaps + 1) div 2"))
+        .select(group_col, F.col("__g").alias("median_gap_us"))
+    )
+    return stats.join(med, group_col).select(
+        group_col, "n_gaps", "mean_gap_us", "median_gap_us"
+    )
+
+
+def interarrival_profile_sql(
+    table: str = "events",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> str:
+    """DuckDB twin of :func:`interarrival_profile`."""
+    return f"""
+    WITH gaps AS (
+      SELECT {group_col} AS g,
+             lead(epoch_us({ts_col}), 1) OVER (
+               PARTITION BY {group_col} ORDER BY {ts_col}, {tiebreak_col}
+             ) - epoch_us({ts_col}) AS gap
+      FROM {table}
+    ),
+    clean AS (SELECT g, gap FROM gaps WHERE gap IS NOT NULL),
+    stats AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap) AS DOUBLE) / COUNT(*) AS mean_gap_us
+      FROM clean GROUP BY g
+    ),
+    ranked AS (
+      SELECT g, gap,
+             row_number() OVER (PARTITION BY g ORDER BY gap) AS rn
+      FROM clean
+    ),
+    med AS (
+      SELECT r.g, r.gap AS median_gap_us
+      FROM ranked r JOIN stats s ON s.g = r.g
+      WHERE r.rn = (s.n_gaps + 1) // 2
+    )
+    SELECT s.g AS {group_col}, s.n_gaps, s.mean_gap_us, m.median_gap_us
+    FROM stats s JOIN med m ON m.g = s.g
+    """

@@ -58,6 +58,7 @@ from . import wave43 as _wave43
 from . import wave44 as _wave44
 from . import wave45 as _wave45
 from . import wave46 as _wave46
+from . import wave47 as _wave47
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -114,6 +115,7 @@ _ALL: list[QuerySpec] = [
     *_wave44.SPECS,
     *_wave45.SPECS,
     *_wave46.SPECS,
+    *_wave47.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
