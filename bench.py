@@ -335,6 +335,18 @@ HEADLINE = [
     "interarrival_profile",
     "copurchase_assortativity",
     "quantile_normalize_doclen",
+    # wave 48: election/ops/SLA/econ/BI
+    "largest_remainder_seats",
+    "xmr_control_chart",
+    "shipping_sla_report",
+    "shift_share_events",
+    "pct_of_parent_rollup",
+    # wave 49: nonparametric stats / calibration / readability / forecast
+    "kruskal_wallis_doclen",
+    "mann_kendall_daily_trend",
+    "isotonic_acctbal_urgency",
+    "coleman_liau_readability",
+    "holt_linear_backtest",
 ]
 
 

@@ -860,3 +860,342 @@ def interarrival_profile_sql(
     SELECT s.g AS {group_col}, s.n_gaps, s.mean_gap_us, m.median_gap_us
     FROM stats s JOIN med m ON m.g = s.g
     """
+
+
+def xmr_control_chart(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """XmR (individuals / moving-range) control chart over per-group
+    daily counts — the Shewhart process-control view of a metric:
+    limits = mean +- 2.66 * mean moving range, days outside them are
+    special-cause signals. The ops-dashboard standard for "did this
+    pipeline's volume go out of control" without tuning thresholds.
+
+    Determinism: daily counts and |consecutive differences| are exact
+    integers; mrbar/xbar/limits are single divisions and one fixed
+    IEEE expression, identical in both engines, so violation flags
+    compare exact integers against bit-identical limits. Output per
+    group: (n_days, xbar, mrbar, ucl, lcl, n_violations).
+
+    Scale shape: the corpus reduces to the daily rollup once; the
+    moving range is one lag window over day-grain data per group.
+    """
+    daily = df.groupBy(
+        F.col(group_col).alias("g"), F.col(ts_col).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w = Window.partitionBy("g").orderBy("d")
+    mr = daily.withColumn(
+        "__mr", F.abs(F.col("x") - F.lag("x", 1).over(w))
+    )
+    stats = mr.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("xbar"),
+        (F.sum("__mr").cast("double") / F.count("__mr")).alias("mrbar"),
+    )
+    lim = stats.select(
+        "g",
+        "n_days",
+        "xbar",
+        "mrbar",
+        (F.col("xbar") + F.lit(2.66) * F.col("mrbar")).alias("ucl"),
+        (F.col("xbar") - F.lit(2.66) * F.col("mrbar")).alias("lcl"),
+    )
+    viol = (
+        daily.join(F.broadcast(lim.select("g", "ucl", "lcl")), "g")
+        .filter((F.col("x") > F.col("ucl")) | (F.col("x") < F.col("lcl")))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+    )
+    return (
+        lim.join(viol, "g", "left")
+        .na.fill({"n_violations": 0})
+        .select(
+            F.col("g").alias(group_col),
+            "n_days", "xbar", "mrbar", "ucl", "lcl", "n_violations",
+        )
+    )
+
+
+def xmr_control_chart_sql(
+    table: str = "events",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin of :func:`xmr_control_chart`."""
+    return f"""
+    WITH daily AS (
+      SELECT {group_col} AS g, CAST({ts_col} AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM {table} GROUP BY 1, 2
+    ),
+    mr AS (
+      SELECT g, d, x,
+             abs(x - lag(x, 1) OVER (PARTITION BY g ORDER BY d)) AS m
+      FROM daily
+    ),
+    stats AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS DOUBLE) / COUNT(*) AS xbar,
+             CAST(SUM(m) AS DOUBLE) / COUNT(m) AS mrbar
+      FROM mr GROUP BY g
+    ),
+    lim AS (
+      SELECT g, n_days, xbar, mrbar,
+             xbar + 2.66 * mrbar AS ucl,
+             xbar - 2.66 * mrbar AS lcl
+      FROM stats
+    ),
+    viol AS (
+      SELECT daily.g, CAST(COUNT(*) AS BIGINT) AS n_violations
+      FROM daily JOIN lim ON lim.g = daily.g
+      WHERE daily.x > lim.ucl OR daily.x < lim.lcl
+      GROUP BY daily.g
+    )
+    SELECT lim.g AS {group_col}, lim.n_days, lim.xbar, lim.mrbar,
+           lim.ucl, lim.lcl, COALESCE(viol.n_violations, 0) AS n_violations
+    FROM lim LEFT JOIN viol ON viol.g = lim.g
+    """
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test over each group's daily
+    counts — the nonparametric "is this metric drifting" detector
+    (pairs-concordance S statistic), complementing the repo's
+    Theil-Sen slope (wave-35): Theil-Sen answers "how steep",
+    Mann-Kendall answers "is the trend statistically real" with a
+    tie-corrected variance and continuity-corrected z.
+
+    Exactness: S = #concordant - #discordant day pairs is an exact
+    bigint; the tie-corrected variance numerator
+    ``n(n-1)(2n+5) - sum(t(t-1)(2t+5))`` and both tau-b denominator
+    factors are exact bigints; only the final /18, sqrt and division
+    run in IEEE double on bit-identical integer inputs — no rounding
+    needed.
+
+    Scale shape: the corpus collapses to the (group, day) rollup
+    once; the pair join is over DAYS per group (O(days^2) fixed-width
+    rows, the same bounded kernel as theil_sen_daily_trend), never
+    events. Output: (group, n_days, s_stat, var_s, tau_b, z).
+    """
+    daily = df.groupBy(
+        F.col(group_col).alias("g"), F.col(ts_col).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    a = daily.select("g", F.col("d").alias("di"), F.col("x").alias("xi"))
+    b = daily.select("g", F.col("d").alias("dj"), F.col("x").alias("xj"))
+    pairs = a.join(b, "g").where(F.col("di") < F.col("dj"))
+    s = pairs.groupBy("g").agg(
+        (
+            F.sum((F.col("xj") > F.col("xi")).cast("long"))
+            - F.sum((F.col("xj") < F.col("xi")).cast("long"))
+        ).cast("bigint").alias("s_stat")
+    )
+    nd = daily.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    ties = (
+        daily.groupBy("g", "x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).cast("bigint").alias("tie_var"),
+            F.sum(F.col("t") * (F.col("t") - 1) / 2)
+            .cast("bigint")
+            .alias("tie_pairs"),
+        )
+    )
+    n = F.col("n_days")
+    var_num = (n * (n - 1) * (2 * n + 5) - F.col("tie_var")).cast("double")
+    var_s = var_num / 18
+    d_pairs = (n * (n - 1) / 2).cast("bigint")
+    tau_den = F.sqrt(
+        (d_pairs - F.col("tie_pairs")).cast("double")
+        * d_pairs.cast("double")
+    )
+    sd = F.col("s_stat").cast("double")
+    z = (
+        F.when(F.col("s_stat") > 0, (sd - 1) / F.sqrt(var_s))
+        .when(F.col("s_stat") < 0, (sd + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        s.join(nd, "g")
+        .join(ties, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_days",
+            "s_stat",
+            var_s.alias("var_s"),
+            F.when(tau_den > 0, sd / tau_den).otherwise(F.lit(0.0)).alias("tau_b"),
+            z.alias("z"),
+        )
+    )
+
+
+def mann_kendall_trend_sql(
+    table: str = "events",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin of :func:`mann_kendall_trend`."""
+    return f"""
+    WITH daily AS (
+      SELECT {group_col} AS g, CAST({ts_col} AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM {table} GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT a.g,
+             CAST(SUM(CASE WHEN b.x > a.x THEN 1 ELSE 0 END)
+                  - SUM(CASE WHEN b.x < a.x THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b ON b.g = a.g AND a.d < b.d
+      GROUP BY a.g
+    ),
+    nd AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY g
+    ),
+    ties AS (
+      SELECT g,
+             CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_var,
+             CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS tie_pairs
+      FROM (SELECT g, x, CAST(COUNT(*) AS BIGINT) AS t
+            FROM daily GROUP BY g, x)
+      GROUP BY g
+    )
+    SELECT s.g AS {group_col}, nd.n_days, s.s_stat,
+           CAST(nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+                - ties.tie_var AS DOUBLE) / 18 AS var_s,
+           CASE WHEN (CAST(nd.n_days * (nd.n_days - 1) / 2 AS BIGINT)
+                      - ties.tie_pairs) > 0
+                THEN CAST(s.s_stat AS DOUBLE)
+                     / sqrt(CAST(CAST(nd.n_days * (nd.n_days - 1) / 2
+                                      AS BIGINT) - ties.tie_pairs AS DOUBLE)
+                            * CAST(CAST(nd.n_days * (nd.n_days - 1) / 2
+                                        AS BIGINT) AS DOUBLE))
+                ELSE 0.0 END AS tau_b,
+           CASE WHEN s.s_stat > 0
+                THEN (CAST(s.s_stat AS DOUBLE) - 1)
+                     / sqrt(CAST(nd.n_days * (nd.n_days - 1)
+                                 * (2 * nd.n_days + 5)
+                                 - ties.tie_var AS DOUBLE) / 18)
+                WHEN s.s_stat < 0
+                THEN (CAST(s.s_stat AS DOUBLE) + 1)
+                     / sqrt(CAST(nd.n_days * (nd.n_days - 1)
+                                 * (2 * nd.n_days + 5)
+                                 - ties.tie_var AS DOUBLE) / 18)
+                ELSE 0.0 END AS z
+    FROM s JOIN nd ON nd.g = s.g JOIN ties ON ties.g = s.g
+    """
+
+
+def holt_linear_backtest(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) one-step-
+    ahead backtest per group's daily counts — the forecasting upgrade
+    over :func:`seasonal_naive_backtest` when the series trends:
+    f_t = l + b, then l' = a*x + (1-a)*(l+b),
+    b' = beta*(l'-l) + (1-beta)*b, initialized l_1 = x_1, b_1 = 0.
+
+    Determinism: the recursion is a FIXED-ORDER IEEE fold over the
+    day-sorted series — Spark runs it as one ``aggregate()`` (JVM
+    codegen, no UDF) over the per-group sorted array, the oracle as a
+    recursive CTE spelling the identical expressions, so level/trend/
+    errors are bit-identical and nothing needs rounding. MAE counts
+    errors from day 2 on.
+
+    Scale shape: the corpus reduces to the daily rollup once; each
+    group's series (array of DAYS, bounded by the calendar, not the
+    corpus) folds inside one task. Output: (group, n_days, mae,
+    level, trend, forecast_next).
+    """
+    a, b = float(alpha), float(beta)
+    daily = df.groupBy(
+        F.col(group_col).alias("g"), F.col(ts_col).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    series = daily.groupBy("g").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", "x"))),
+            lambda s: s["x"].cast("double"),
+        ).alias("xs")
+    )
+    fold = F.expr(
+        f"""
+        aggregate(
+          slice(xs, 2, greatest(size(xs) - 1, 0)),
+          named_struct('l', xs[0], 'b', cast(0.0 as double),
+                       'e', cast(0.0 as double), 'n', cast(0 as bigint)),
+          (acc, x) -> named_struct(
+            'l', {a}D * x + {1 - a}D * (acc.l + acc.b),
+            'b', {b}D * ({a}D * x + {1 - a}D * (acc.l + acc.b) - acc.l)
+                 + {1 - b}D * acc.b,
+            'e', acc.e + abs(x - (acc.l + acc.b)),
+            'n', acc.n + 1L),
+          acc -> acc)
+        """
+    )
+    return series.select(
+        F.col("g").alias(group_col),
+        F.size("xs").cast("bigint").alias("n_days"),
+        fold.alias("__st"),
+    ).select(
+        group_col,
+        "n_days",
+        F.when(F.col("__st.n") > 0, F.col("__st.e") / F.col("__st.n"))
+        .otherwise(F.lit(0.0))
+        .alias("mae"),
+        F.col("__st.l").alias("level"),
+        F.col("__st.b").alias("trend"),
+        (F.col("__st.l") + F.col("__st.b")).alias("forecast_next"),
+    )
+
+
+def holt_linear_backtest_sql(
+    table: str = "events",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> str:
+    """DuckDB twin of :func:`holt_linear_backtest` — the same IEEE
+    recursion as a recursive CTE."""
+    a, b = float(alpha), float(beta)
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT g, d, x,
+             CAST(row_number() OVER (PARTITION BY g ORDER BY d) AS BIGINT) AS i
+      FROM (SELECT {group_col} AS g, CAST({ts_col} AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM {table} GROUP BY 1, 2)
+    ),
+    rec AS (
+      SELECT g, i, CAST(x AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b,
+             CAST(0 AS DOUBLE) AS e, CAST(0 AS BIGINT) AS n
+      FROM daily WHERE i = 1
+      UNION ALL
+      SELECT r.g, d.i,
+             {a} * d.x + {1 - a} * (r.l + r.b),
+             {b} * ({a} * d.x + {1 - a} * (r.l + r.b) - r.l)
+               + {1 - b} * r.b,
+             r.e + abs(d.x - (r.l + r.b)),
+             r.n + 1
+      FROM rec r JOIN daily d ON d.g = r.g AND d.i = r.i + 1
+    ),
+    last AS (
+      SELECT g, CAST(MAX(i) AS BIGINT) AS n_days FROM daily GROUP BY g
+    )
+    SELECT r.g AS {group_col}, last.n_days,
+           CASE WHEN r.n > 0 THEN r.e / r.n ELSE 0.0 END AS mae,
+           r.l AS level, r.b AS trend, r.l + r.b AS forecast_next
+    FROM rec r JOIN last ON last.g = r.g AND r.i = last.n_days
+    """

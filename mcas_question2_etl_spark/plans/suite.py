@@ -59,6 +59,8 @@ from . import wave44 as _wave44
 from . import wave45 as _wave45
 from . import wave46 as _wave46
 from . import wave47 as _wave47
+from . import wave48 as _wave48
+from . import wave49 as _wave49
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -116,6 +118,8 @@ _ALL: list[QuerySpec] = [
     *_wave45.SPECS,
     *_wave46.SPECS,
     *_wave47.SPECS,
+    *_wave48.SPECS,
+    *_wave49.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
