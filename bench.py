@@ -347,6 +347,12 @@ HEADLINE = [
     "isotonic_acctbal_urgency",
     "coleman_liau_readability",
     "holt_linear_backtest",
+    # wave 50: changepoint/FDR/contingency/agreement/seasonality
+    "pettitt_changepoint",
+    "bh_fdr_changepoints",
+    "g_test_source_lang",
+    "cohens_kappa_gates",
+    "dow_seasonality_index",
 ]
 
 

@@ -534,3 +534,448 @@ def contingency_residuals_sql(
            b.expected, b.std_residual, s.chi2, s.cramers_v
     FROM based b CROSS JOIN stats s
     """
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    label_col: str,
+    value_col: str,
+    round_to: int = 9,
+) -> DataFrame:
+    """Kruskal-Wallis H test — "does ``value_col``'s distribution
+    differ across the k groups of ``label_col``" without any normality
+    assumption (the k-sample generalization of Mann-Whitney; the
+    nonparametric sibling of :func:`anova_f`).
+
+    Rank exactness (same device as :func:`spearman_corr`): pooled
+    ranking happens at the VALUE GRAIN — ``groupBy(value)`` counts,
+    one ordered window over the distinct-value rollup yields each
+    value's DOUBLED average rank ``2*cum_before + cnt + 1``, an exact
+    bigint. Per-group doubled rank sums then accumulate in
+    DECIMAL(38,0) from the (label, value) contingency rollup; only H
+    itself runs in double, and it is ROUNDed (default 9 dp) because a
+    k-term double sum's addend order differs across engines.
+
+    Tie correction: ``H_adj = H / (1 - sum(t^3 - t)/(N^3 - N))`` with
+    t the per-value tie counts — mandatory for discrete data like
+    document lengths, where ties dominate.
+
+    Scale shape: two scans collapse the corpus to (value) and
+    (label, value) rollups; the ordered window runs over the DISTINCT
+    VALUE table only (bounded by value cardinality — for a truly
+    unbounded continuous column, swap in the repo's two-phase global
+    rank). Output: one row per label, H/H_adj/df broadcast onto each.
+
+    Beyond-reference (SURVEY §2.13): the reference's analysis story is
+    parametric (run_analysis.Rmd's GLM); this adds the distribution-
+    free comparison a corpus QA report needs.
+    """
+    vals = df.groupBy(F.col(value_col).alias("__v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    )
+    wv = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    # doubled average pooled rank of every row holding value v
+    ranked_vals = vals.select(
+        "__v",
+        "__cnt",
+        (
+            2 * F.coalesce(F.sum("__cnt").over(wv), F.lit(0))
+            + F.col("__cnt")
+            + 1
+        ).cast("bigint").alias("__dr"),
+        ((F.col("__cnt") * F.col("__cnt") * F.col("__cnt")) - F.col("__cnt"))
+        .cast("decimal(38,0)")
+        .alias("__tie"),
+    )
+    cells = df.groupBy(
+        F.col(label_col).alias("__lbl"), F.col(value_col).alias("__v")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    dec = "decimal(38,0)"
+    per_label = (
+        cells.join(F.broadcast(ranked_vals.select("__v", "__dr")), "__v")
+        .groupBy("__lbl")
+        .agg(
+            F.sum("__n").cast("bigint").alias("n"),
+            F.sum((F.col("__n") * F.col("__dr")).cast(dec)).alias("__r2"),
+        )
+    )
+    totals = ranked_vals.agg(
+        F.sum("__cnt").cast("bigint").alias("__N"),
+        F.sum("__tie").cast(dec).alias("__T"),
+    )
+    # H = 12/(N(N+1)) * sum_s (R_s^2 / n_s) - 3(N+1), R_s = __r2/2
+    nd = F.col("__N").cast("double")
+    r = F.col("__r2").cast("double") / 2
+    stats = (
+        per_label.crossJoin(F.broadcast(totals))
+        .select(
+            "__lbl",
+            "n",
+            (r * r / F.col("n")).alias("__term"),
+            "__N",
+            "__T",
+        )
+    )
+    hsum = stats.agg(
+        F.sum("__term").alias("__ssum"),
+        F.max(nd).alias("__Nd"),
+        F.max(F.col("__T").cast("double")).alias("__Td"),
+        F.count(F.lit(1)).cast("bigint").alias("__k"),
+    ).select(
+        F.round(
+            12 / (F.col("__Nd") * (F.col("__Nd") + 1)) * F.col("__ssum")
+            - 3 * (F.col("__Nd") + 1),
+            round_to,
+        ).alias("__h"),
+        (
+            1
+            - F.col("__Td")
+            / (F.col("__Nd") * F.col("__Nd") * F.col("__Nd") - F.col("__Nd"))
+        ).alias("__c"),
+        (F.col("__k") - 1).cast("bigint").alias("df"),
+    )
+    return (
+        per_label.crossJoin(F.broadcast(hsum))
+        .select(
+            F.col("__lbl").alias(label_col),
+            "n",
+            # mean pooled rank = R_s / n_s, single exact-input division
+            (F.col("__r2").cast("double") / 2 / F.col("n")).alias("mean_rank"),
+            F.col("__h").alias("h_stat"),
+            F.round(F.col("__h") / F.col("__c"), round_to).alias("h_adj"),
+            "df",
+        )
+    )
+
+
+def kruskal_wallis_sql(
+    table: str,
+    label_col: str,
+    value_col: str,
+    round_to: int = 9,
+) -> str:
+    """DuckDB twin of :func:`kruskal_wallis`."""
+    return f"""
+    WITH vals AS (
+      SELECT {value_col} AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM {table} GROUP BY 1
+    ),
+    ranked AS (
+      SELECT v, cnt,
+             CAST(2 * COALESCE(SUM(cnt) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + cnt + 1 AS BIGINT) AS dr,
+             CAST(cnt * cnt * cnt - cnt AS DECIMAL(38,0)) AS tie
+      FROM vals
+    ),
+    cells AS (
+      SELECT {label_col} AS lbl, {value_col} AS v,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM {table} GROUP BY 1, 2
+    ),
+    per_label AS (
+      SELECT cells.lbl, CAST(SUM(cells.n) AS BIGINT) AS n,
+             SUM(CAST(cells.n * ranked.dr AS DECIMAL(38,0))) AS r2
+      FROM cells JOIN ranked ON ranked.v = cells.v
+      GROUP BY cells.lbl
+    ),
+    totals AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS N,
+             CAST(SUM(tie) AS DECIMAL(38,0)) AS T
+      FROM ranked
+    ),
+    stats AS (
+      SELECT SUM((CAST(r2 AS DOUBLE) / 2) * (CAST(r2 AS DOUBLE) / 2)
+                 / per_label.n) AS ssum,
+             MAX(CAST(totals.N AS DOUBLE)) AS Nd,
+             MAX(CAST(totals.T AS DOUBLE)) AS Td,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM per_label CROSS JOIN totals
+    ),
+    h AS (
+      SELECT ROUND(12 / (Nd * (Nd + 1)) * ssum - 3 * (Nd + 1), {round_to})
+               AS h_stat,
+             1 - Td / (Nd * Nd * Nd - Nd) AS c,
+             CAST(k - 1 AS BIGINT) AS df
+      FROM stats
+    )
+    SELECT per_label.lbl AS {label_col}, per_label.n,
+           CAST(r2 AS DOUBLE) / 2 / per_label.n AS mean_rank,
+           h.h_stat,
+           ROUND(h.h_stat / h.c, {round_to}) AS h_adj,
+           h.df
+    FROM per_label CROSS JOIN h
+    """
+
+
+def bh_adjust(
+    pvals: DataFrame,
+    key_col: str,
+    p_col: str,
+    round_to: int = 9,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR adjustment over a table of per-key
+    p-values — the multiple-testing control every "run this test per
+    group" operator in the repo (welch/KS/Mann-Kendall/Pettitt)
+    needs before anyone acts on its smallest p.
+
+    Step-up: sort p ascending, q_i = p_i * m / i, adjusted
+    p_i = min(1, min_{j>=i} q_j). Ranking ties break on the key so
+    both engines sort identically even when two keys share an exact
+    p. The adjusted value is ROUNDed (default 9dp): q and the
+    reverse running-min are fixed IEEE expressions, but upstream p's
+    that went through libm (exp/ln) can differ in the last ulp.
+
+    Scale: the p table is per-KEY (groups, not rows) — window over m
+    rows. Output: (key, p, p_rank, p_adj).
+    """
+    m = pvals.select(F.count(F.lit(1)).cast("bigint").alias("__m"))
+    ranked = pvals.crossJoin(F.broadcast(m)).select(
+        F.col(key_col),
+        F.col(p_col),
+        "__m",
+        F.row_number()
+        .over(Window.orderBy(F.col(p_col), F.col(key_col)))
+        .cast("bigint")
+        .alias("p_rank"),
+    )
+    wrev = Window.orderBy(
+        F.col(p_col).desc(), F.col(key_col).desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q = F.col(p_col) * F.col("__m") / F.col("p_rank")
+    return ranked.select(
+        key_col,
+        p_col,
+        "p_rank",
+        F.round(F.least(F.min(q).over(wrev), F.lit(1.0)), round_to).alias(
+            "p_adj"
+        ),
+    )
+
+
+def bh_adjust_sql(
+    pvals_sql: str,
+    key_col: str,
+    p_col: str,
+    round_to: int = 9,
+) -> str:
+    """DuckDB twin of :func:`bh_adjust`; ``pvals_sql`` must yield
+    (key_col, p_col)."""
+    return f"""
+    WITH pv AS ({pvals_sql}),
+    ranked AS (
+      SELECT {key_col}, {p_col},
+             CAST(COUNT(*) OVER () AS BIGINT) AS m,
+             CAST(row_number() OVER (ORDER BY {p_col}, {key_col})
+                  AS BIGINT) AS p_rank
+      FROM pv
+    )
+    SELECT {key_col}, {p_col}, p_rank,
+           ROUND(least(MIN({p_col} * m / p_rank) OVER
+                         (ORDER BY {p_col} DESC, {key_col} DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       1.0), {round_to}) AS p_adj
+    FROM ranked
+    """
+
+
+def g_test(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    round_to: int = 9,
+) -> DataFrame:
+    """G-test of independence (log-likelihood ratio) over a two-way
+    contingency table — the chi-square alternative that is additive
+    across partitions of the table (its decomposability is why corpus
+    drift monitors prefer it): G = 2 * sum O * ln(O/E), E = row*col/N.
+
+    Zero cells are preserved in the output (contribution 0) via the
+    same marginal cross-join device as ``contingency_residuals``.
+    Per-cell contributions are single IEEE expressions on exact
+    integer marginals; G and p-inputs round at ``round_to`` because
+    ln may differ in the last ulp across engines and the k-cell sum
+    order differs. Output: one row per (row, col) cell with n_obs,
+    expected, g_contrib, plus broadcast g_stat and dof.
+    """
+    cells = df.groupBy(
+        F.col(row_col).alias("r"), F.col(col_col).alias("c")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    rm = cells.groupBy("r").agg(F.sum("n_obs").cast("bigint").alias("rn"))
+    cm = cells.groupBy("c").agg(F.sum("n_obs").cast("bigint").alias("cn"))
+    tot = cells.agg(
+        F.sum("n_obs").cast("bigint").alias("N"),
+        F.countDistinct("r").cast("bigint").alias("nr"),
+        F.countDistinct("c").cast("bigint").alias("nc"),
+    )
+    grid = rm.crossJoin(cm).join(cells, ["r", "c"], "left").na.fill(
+        {"n_obs": 0}
+    )
+    based = grid.crossJoin(F.broadcast(tot)).select(
+        "r",
+        "c",
+        "n_obs",
+        (
+            F.col("rn").cast("double") * F.col("cn") / F.col("N")
+        ).alias("expected"),
+        "N",
+        "nr",
+        "nc",
+    )
+    contrib = F.when(
+        F.col("n_obs") > 0,
+        2
+        * F.col("n_obs").cast("double")
+        * F.log(F.col("n_obs").cast("double") / F.col("expected")),
+    ).otherwise(F.lit(0.0))
+    withc = based.select(
+        "r", "c", "n_obs", "expected", contrib.alias("g_contrib"), "nr", "nc"
+    )
+    stats = withc.agg(
+        F.round(F.sum("g_contrib"), round_to).alias("g_stat"),
+        ((F.max("nr") - 1) * (F.max("nc") - 1)).cast("bigint").alias("dof"),
+    )
+    return withc.crossJoin(F.broadcast(stats)).select(
+        F.col("r").alias(row_col),
+        F.col("c").alias(col_col),
+        "n_obs",
+        "expected",
+        "g_contrib",
+        "g_stat",
+        "dof",
+    )
+
+
+def g_test_sql(
+    table: str,
+    row_col: str,
+    col_col: str,
+    round_to: int = 9,
+) -> str:
+    """DuckDB twin of :func:`g_test`."""
+    return f"""
+    WITH cells AS (
+      SELECT {row_col} AS r, {col_col} AS c, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM {table} GROUP BY 1, 2
+    ),
+    rm AS (SELECT r, CAST(SUM(n_obs) AS BIGINT) AS rn FROM cells GROUP BY r),
+    cm AS (SELECT c, CAST(SUM(n_obs) AS BIGINT) AS cn FROM cells GROUP BY c),
+    tot AS (
+      SELECT CAST(SUM(n_obs) AS BIGINT) AS N,
+             CAST(COUNT(DISTINCT r) AS BIGINT) AS nr,
+             CAST(COUNT(DISTINCT c) AS BIGINT) AS nc
+      FROM cells
+    ),
+    grid AS (
+      SELECT rm.r, cm.c, COALESCE(cells.n_obs, 0) AS n_obs, rm.rn, cm.cn
+      FROM rm CROSS JOIN cm
+      LEFT JOIN cells ON cells.r = rm.r AND cells.c = cm.c
+    ),
+    based AS (
+      SELECT grid.r, grid.c, grid.n_obs,
+             CAST(grid.rn AS DOUBLE) * grid.cn / tot.N AS expected,
+             tot.nr, tot.nc
+      FROM grid CROSS JOIN tot
+    ),
+    withc AS (
+      SELECT r, c, n_obs, expected,
+             CASE WHEN n_obs > 0
+                  THEN 2 * CAST(n_obs AS DOUBLE)
+                       * ln(CAST(n_obs AS DOUBLE) / expected)
+                  ELSE 0.0 END AS g_contrib,
+             nr, nc
+      FROM based
+    ),
+    stats AS (
+      SELECT ROUND(SUM(g_contrib), {round_to}) AS g_stat,
+             CAST((MAX(nr) - 1) * (MAX(nc) - 1) AS BIGINT) AS dof
+      FROM withc
+    )
+    SELECT withc.r AS {row_col}, withc.c AS {col_col}, withc.n_obs,
+           withc.expected, withc.g_contrib, stats.g_stat, stats.dof
+    FROM withc CROSS JOIN stats
+    """
+
+
+def cohens_kappa(
+    df: DataFrame,
+    gate_a: Column,
+    gate_b: Column,
+) -> DataFrame:
+    """Cohen's kappa between two boolean raters/gates — chance-
+    corrected agreement. The corpus-QA use: when two document filters
+    (a length gate and a vocabulary gate, a heuristic and a model)
+    mostly agree, raw agreement overstates their interchangeability;
+    kappa subtracts the agreement their marginal rates alone would
+    produce: kappa = (po - pe) / (1 - pe).
+
+    One conditional-aggregate pass over exact bigint cell counts;
+    po/pe/kappa are single IEEE expressions — no rounding needed.
+    Output: one row (n11, n10, n01, n00, po, pe, kappa).
+    """
+    a = gate_a.cast("int")
+    b = gate_b.cast("int")
+    agg = df.agg(
+        F.sum(a * b).cast("bigint").alias("n11"),
+        F.sum(a * (1 - b)).cast("bigint").alias("n10"),
+        F.sum((1 - a) * b).cast("bigint").alias("n01"),
+        F.sum((1 - a) * (1 - b)).cast("bigint").alias("n00"),
+    )
+    n = (
+        F.col("n11") + F.col("n10") + F.col("n01") + F.col("n00")
+    ).cast("double")
+    po = (F.col("n11") + F.col("n00")) / n
+    pa = (F.col("n11") + F.col("n10")) / n
+    pb = (F.col("n11") + F.col("n01")) / n
+    pe = pa * pb + (1 - pa) * (1 - pb)
+    return agg.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        po.alias("po"),
+        pe.alias("pe"),
+        ((po - pe) / (1 - pe)).alias("kappa"),
+    )
+
+
+def cohens_kappa_sql(
+    table: str,
+    gate_a_sql: str,
+    gate_b_sql: str,
+) -> str:
+    """DuckDB twin of :func:`cohens_kappa`; gate args are boolean SQL
+    expressions over ``table``'s columns."""
+    return f"""
+    WITH agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN ({gate_a_sql}) AND ({gate_b_sql})
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        CAST(SUM(CASE WHEN ({gate_a_sql}) AND NOT ({gate_b_sql})
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        CAST(SUM(CASE WHEN NOT ({gate_a_sql}) AND ({gate_b_sql})
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        CAST(SUM(CASE WHEN NOT ({gate_a_sql}) AND NOT ({gate_b_sql})
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      FROM {table}
+    )
+    SELECT n11, n10, n01, n00,
+           (n11 + n00) / CAST(n11 + n10 + n01 + n00 AS DOUBLE) AS po,
+           ((n11 + n10) / CAST(n11 + n10 + n01 + n00 AS DOUBLE))
+             * ((n11 + n01) / CAST(n11 + n10 + n01 + n00 AS DOUBLE))
+           + (1 - (n11 + n10) / CAST(n11 + n10 + n01 + n00 AS DOUBLE))
+             * (1 - (n11 + n01) / CAST(n11 + n10 + n01 + n00 AS DOUBLE))
+             AS pe,
+           ((n11 + n00) / CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+            - (((n11 + n10) / CAST(n11 + n10 + n01 + n00 AS DOUBLE))
+               * ((n11 + n01) / CAST(n11 + n10 + n01 + n00 AS DOUBLE))
+               + (1 - (n11 + n10) / CAST(n11 + n10 + n01 + n00 AS DOUBLE))
+                 * (1 - (n11 + n01) / CAST(n11 + n10 + n01 + n00 AS DOUBLE))))
+           / (1 - (((n11 + n10) / CAST(n11 + n10 + n01 + n00 AS DOUBLE))
+                   * ((n11 + n01) / CAST(n11 + n10 + n01 + n00 AS DOUBLE))
+                   + (1 - (n11 + n10) / CAST(n11 + n10 + n01 + n00 AS DOUBLE))
+                     * (1 - (n11 + n01)
+                        / CAST(n11 + n10 + n01 + n00 AS DOUBLE))))
+             AS kappa
+    FROM agg
+    """

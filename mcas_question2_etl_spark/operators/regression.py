@@ -115,3 +115,135 @@ def group_ols_oracle_sql(
                  {round_to}) AS r2
     FROM d
     """
+
+
+def isotonic_fit(
+    bucketed: DataFrame,
+    bucket_col: str,
+    num_col: str,
+    den_col: str,
+) -> DataFrame:
+    """Weighted L2 isotonic regression (nondecreasing) over a bucketed
+    curve — the calibration step that turns a raw score-vs-rate curve
+    into a monotone one (quality-score -> dup-rate, acctbal ->
+    urgency, model-score -> precision). Classically solved by
+    pool-adjacent-violators; PAV's sequential pooling is hostile to
+    a distributed engine, so this uses the equivalent closed MINIMAX
+    form (Robertson/Wright/Dykstra, "Order Restricted Statistical
+    Inference", 1988):
+
+        iso(t) = max_{i<=t} min_{j>=t} wavg(y[i..j])
+
+    Input: one row per bucket with an exact integer/decimal numerator
+    (``num_col``, e.g. positive-outcome count) and denominator
+    (``den_col``, e.g. trials). Interval averages come from prefix
+    sums, so every wavg is ONE double division of exact integers —
+    bit-identical across engines; max/min over identical doubles is
+    exact, giving a rounding-free oracle.
+
+    Scale shape: the bucket table is tiny by construction (k buckets
+    <= a few hundred: the heavy lifting — bucketing the corpus — is
+    the caller's single aggregation pass). The (t,i,j) triple join is
+    O(k^3) fixed-width rows, all broadcastable; the corpus itself is
+    touched exactly once, upstream. Output: (bucket, n, rate,
+    iso_rate) with rate the raw bucket mean.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(bucket_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = bucketed.select(
+        F.col(bucket_col).alias("t"),
+        F.col(den_col).cast("bigint").alias("n"),
+        (
+            F.col(num_col).cast("double") / F.col(den_col).cast("double")
+        ).alias("rate"),
+        F.sum(F.col(num_col).cast("decimal(38,0)")).over(w).alias("pn"),
+        F.sum(F.col(den_col).cast("decimal(38,0)")).over(w).alias("pd"),
+    )
+    lo = pre.select(
+        F.col("t").alias("i"),
+        F.col("pn").alias("pni"),
+        F.col("pd").alias("pdi"),
+    )
+    hi = pre.select(
+        F.col("t").alias("j"), F.col("pn").alias("pnj"), F.col("pd").alias("pdj")
+    )
+    # wavg(i..j) = (P_j - P_{i-1}) / (W_j - W_{i-1}); express P_{i-1}
+    # as P_i - bucket_i's own mass to avoid a lag join
+    own = bucketed.select(
+        F.col(bucket_col).alias("i"),
+        F.col(num_col).cast("decimal(38,0)").alias("oi_n"),
+        F.col(den_col).cast("decimal(38,0)").alias("oi_d"),
+    )
+    intervals = (
+        lo.join(own, "i")
+        .crossJoin(hi)
+        .where(F.col("j") >= F.col("i"))
+        .select(
+            "i",
+            "j",
+            (
+                (F.col("pnj") - F.col("pni") + F.col("oi_n")).cast("double")
+                / (F.col("pdj") - F.col("pdi") + F.col("oi_d")).cast("double")
+            ).alias("wavg"),
+        )
+    )
+    t_axis = pre.select(F.col("t"), "n", "rate")
+    inner = (
+        t_axis.join(
+            intervals,
+            (F.col("i") <= F.col("t")) & (F.col("j") >= F.col("t")),
+        )
+        .groupBy("t", "n", "rate", "i")
+        .agg(F.min("wavg").alias("mn"))
+    )
+    return (
+        inner.groupBy("t", "n", "rate")
+        .agg(F.max("mn").alias("iso_rate"))
+        .select(
+            F.col("t").alias(bucket_col), "n", "rate", "iso_rate"
+        )
+    )
+
+
+def isotonic_fit_sql(
+    bucketed_sql: str,
+    bucket_col: str = "bucket",
+    num_col: str = "num",
+    den_col: str = "den",
+) -> str:
+    """DuckDB twin of :func:`isotonic_fit`; ``bucketed_sql`` must yield
+    (bucket_col, num_col, den_col) at the bucket grain."""
+    return f"""
+    WITH bucketed AS ({bucketed_sql}),
+    pre AS (
+      SELECT {bucket_col} AS t,
+             CAST({den_col} AS BIGINT) AS n,
+             CAST({num_col} AS DOUBLE) / CAST({den_col} AS DOUBLE) AS rate,
+             SUM(CAST({num_col} AS DECIMAL(38,0))) OVER
+               (ORDER BY {bucket_col} ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS pn,
+             SUM(CAST({den_col} AS DECIMAL(38,0))) OVER
+               (ORDER BY {bucket_col} ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS pd,
+             CAST({num_col} AS DECIMAL(38,0)) AS oi_n,
+             CAST({den_col} AS DECIMAL(38,0)) AS oi_d
+      FROM bucketed
+    ),
+    intervals AS (
+      SELECT lo.t AS i, hi.t AS j,
+             CAST(hi.pn - lo.pn + lo.oi_n AS DOUBLE)
+               / CAST(hi.pd - lo.pd + lo.oi_d AS DOUBLE) AS wavg
+      FROM pre lo JOIN pre hi ON hi.t >= lo.t
+    ),
+    inner_min AS (
+      SELECT pre.t, pre.n, pre.rate, intervals.i, MIN(wavg) AS mn
+      FROM pre JOIN intervals
+        ON intervals.i <= pre.t AND intervals.j >= pre.t
+      GROUP BY pre.t, pre.n, pre.rate, intervals.i
+    )
+    SELECT t AS {bucket_col}, n, rate, MAX(mn) AS iso_rate
+    FROM inner_min GROUP BY t, n, rate
+    """

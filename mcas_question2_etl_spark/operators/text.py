@@ -899,3 +899,82 @@ def kwic_snippets_sql(
                         least(pos + {context}, len(a))), ' ') AS snippet
     FROM hits
     """
+
+
+def coleman_liau_report(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Coleman-Liau readability index per group — the readability
+    grade built ONLY from letter/word/sentence counts (no syllable
+    dictionary, so it is exactly computable on both engines):
+
+        CLI = 0.0588*L - 0.296*S - 15.8,
+        L = letters per 100 words, S = sentences per 100 words.
+
+    A corpus-quality lens the Gopher-style gates lack: flags sources
+    whose text is degenerate prose (boilerplate, code dumps, token
+    soup) by grade-level outliers rather than ratio thresholds.
+
+    Exactness: letters ``[A-Za-z]``, words ``\\S+`` and sentence
+    terminators ``[.!?]+`` are non-overlapping regex counts — exact
+    bigints aggregated per group; L, S and CLI are single fixed IEEE
+    expressions over those sums. Scale shape: pure scan-stage
+    expressions + one group rollup; text never shuffles.
+    """
+    counts = df.select(
+        F.col(group_col).alias("g"),
+        F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]")).cast("bigint").alias("__lt"),
+        F.regexp_count(F.col(text_col), F.lit(r"\S+")).cast("bigint").alias("__wd"),
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")).cast("bigint").alias("__st"),
+    )
+    agg = counts.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__lt").cast("bigint").alias("letters"),
+        F.sum("__wd").cast("bigint").alias("words"),
+        F.sum("__st").cast("bigint").alias("sentences"),
+    )
+    lper = F.col("letters").cast("double") / F.col("words") * 100
+    sper = F.col("sentences").cast("double") / F.col("words") * 100
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_docs",
+        "letters",
+        "words",
+        "sentences",
+        lper.alias("l_per_100w"),
+        sper.alias("s_per_100w"),
+        (F.lit(0.0588) * lper - F.lit(0.296) * sper - 15.8).alias("cli"),
+    )
+
+
+def coleman_liau_report_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`coleman_liau_report`."""
+    return f"""
+    WITH counts AS (
+      SELECT {group_col} AS g,
+             CAST(len(regexp_extract_all({text_col}, '[A-Za-z]')) AS BIGINT) AS lt,
+             CAST(len(regexp_extract_all({text_col}, '\\S+')) AS BIGINT) AS wd,
+             CAST(len(regexp_extract_all({text_col}, '[.!?]+')) AS BIGINT) AS st
+      FROM {table}
+    ),
+    agg AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(lt) AS BIGINT) AS letters,
+             CAST(SUM(wd) AS BIGINT) AS words,
+             CAST(SUM(st) AS BIGINT) AS sentences
+      FROM counts GROUP BY g
+    )
+    SELECT g AS {group_col}, n_docs, letters, words, sentences,
+           CAST(letters AS DOUBLE) / words * 100 AS l_per_100w,
+           CAST(sentences AS DOUBLE) / words * 100 AS s_per_100w,
+           0.0588 * (CAST(letters AS DOUBLE) / words * 100)
+             - 0.296 * (CAST(sentences AS DOUBLE) / words * 100)
+             - 15.8 AS cli
+    FROM agg
+    """

@@ -1199,3 +1199,187 @@ def holt_linear_backtest_sql(
            r.l AS level, r.b AS trend, r.l + r.b AS forecast_next
     FROM rec r JOIN last ON last.g = r.g AND r.i = last.n_days
     """
+
+
+def pettitt_changepoint(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    round_to: int = 9,
+) -> DataFrame:
+    """Pettitt single-changepoint test per group over daily counts —
+    the rank-based (distribution-free) complement to
+    :func:`cusum_changepoint`: U_t = sum_{i<=t} V_i with
+    V_i = sum_j sign(x_i - x_j); K = max|U_t| locates the most likely
+    break, with the classic significance approximation
+    p = 2*exp(-6 K^2 / (n^3 + n^2)).
+
+    Exactness: V and U are exact bigints (day-pair sign kernel +
+    one prefix window over the per-group day series); the argmax day
+    ties break to the EARLIEST day. Only p runs through exp() —
+    rounded (default 9dp) because libm exp may differ in the last ulp
+    across engines.
+
+    Scale shape: corpus -> daily rollup once; the pair join is over
+    DAYS per group (same bounded kernel as mann_kendall_trend).
+    Output: (group, n_days, k_stat, change_day, p_value).
+    """
+    daily = df.groupBy(
+        F.col(group_col).alias("g"), F.col(ts_col).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    a = daily.select("g", F.col("d").alias("di"), F.col("x").alias("xi"))
+    b = daily.select("g", F.col("d").alias("dj"), F.col("x").alias("xj"))
+    v = (
+        a.join(b, "g")
+        .where(F.col("di") != F.col("dj"))
+        .groupBy("g", "di")
+        .agg(
+            (
+                F.sum((F.col("xi") > F.col("xj")).cast("long"))
+                - F.sum((F.col("xi") < F.col("xj")).cast("long"))
+            ).cast("bigint").alias("v")
+        )
+    )
+    w = Window.partitionBy("g").orderBy("di")
+    u = v.select("g", "di", F.sum("v").over(w).cast("bigint").alias("u"))
+    nd = daily.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    best = u.groupBy("g").agg(
+        F.max(F.abs(F.col("u"))).cast("bigint").alias("k_stat"),
+        F.min_by("di", F.struct(-F.abs(F.col("u")), F.col("di"))).alias(
+            "change_day"
+        ),
+    )
+    n = F.col("n_days").cast("double")
+    k = F.col("k_stat").cast("double")
+    return best.join(nd, "g").select(
+        F.col("g").alias(group_col),
+        "n_days",
+        "k_stat",
+        "change_day",
+        F.round(
+            2 * F.exp(-6 * k * k / (n * n * n + n * n)), round_to
+        ).alias("p_value"),
+    )
+
+
+def pettitt_changepoint_sql(
+    table: str = "events",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    round_to: int = 9,
+) -> str:
+    """DuckDB twin of :func:`pettitt_changepoint`."""
+    return f"""
+    WITH daily AS (
+      SELECT {group_col} AS g, CAST({ts_col} AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM {table} GROUP BY 1, 2
+    ),
+    v AS (
+      SELECT a.g, a.d AS di,
+             CAST(SUM(CASE WHEN a.x > b.x THEN 1 ELSE 0 END)
+                  - SUM(CASE WHEN a.x < b.x THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v
+      FROM daily a JOIN daily b ON b.g = a.g AND a.d <> b.d
+      GROUP BY a.g, a.d
+    ),
+    u AS (
+      SELECT g, di,
+             CAST(SUM(v) OVER (PARTITION BY g ORDER BY di) AS BIGINT) AS u
+      FROM v
+    ),
+    nd AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY g
+    ),
+    best AS (
+      SELECT g, CAST(MAX(abs(u)) AS BIGINT) AS k_stat,
+             MIN(di) FILTER (WHERE abs(u) = (SELECT MAX(abs(u2.u))
+                                             FROM u u2 WHERE u2.g = u.g))
+               AS change_day
+      FROM u GROUP BY g
+    )
+    SELECT best.g AS {group_col}, nd.n_days, best.k_stat, best.change_day,
+           ROUND(2 * exp(-6 * CAST(best.k_stat AS DOUBLE)
+                         * CAST(best.k_stat AS DOUBLE)
+                         / (CAST(nd.n_days AS DOUBLE) * nd.n_days * nd.n_days
+                            + CAST(nd.n_days AS DOUBLE) * nd.n_days)),
+                 {round_to}) AS p_value
+    FROM best JOIN nd ON nd.g = best.g
+    """
+
+
+def dow_seasonality_index(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-of-week seasonality index per group: for each ISO weekday,
+    (mean daily count on that weekday) / (overall mean daily count) —
+    the multiplicative seasonal factor a day-grain forecast divides
+    out (the detector feeding seasonal_naive_backtest's lag-7 choice).
+
+    Exactness: both means are ratios of exact bigints over OBSERVED
+    days (days with zero events don't enter either mean, symmetric
+    numerator/denominator); the index is (s_d * days_total) * ... —
+    spelled as one fixed expression of exact-int casts, identical in
+    both engines. Scale: corpus -> daily rollup once; everything after
+    is group x 7 rows.
+    """
+    daily = df.groupBy(
+        F.col(group_col).alias("g"), F.col(ts_col).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    # ISO dow 1=Mon..7=Sun, portable: dayofweek() is 1=Sun in Spark
+    dowed = daily.withColumn(
+        "dow", ((F.dayofweek("d") + 5) % 7 + 1).cast("int")
+    )
+    per_dow = dowed.groupBy("g", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("n_events"),
+    )
+    tot = dowed.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t_days"),
+        F.sum("x").cast("bigint").alias("t_events"),
+    )
+    idx = (
+        F.col("n_events").cast("double") / F.col("n_days")
+    ) / (F.col("t_events").cast("double") / F.col("t_days"))
+    return per_dow.join(tot, "g").select(
+        F.col("g").alias(group_col),
+        "dow",
+        "n_days",
+        "n_events",
+        idx.alias("seasonal_index"),
+    )
+
+
+def dow_seasonality_index_sql(
+    table: str = "events",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin of :func:`dow_seasonality_index`."""
+    return f"""
+    WITH daily AS (
+      SELECT {group_col} AS g, CAST({ts_col} AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM {table} GROUP BY 1, 2
+    ),
+    dowed AS (SELECT g, d, x, CAST(isodow(d) AS INTEGER) AS dow FROM daily),
+    per_dow AS (
+      SELECT g, dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS n_events
+      FROM dowed GROUP BY g, dow
+    ),
+    tot AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS t_days,
+             CAST(SUM(x) AS BIGINT) AS t_events
+      FROM dowed GROUP BY g
+    )
+    SELECT per_dow.g AS {group_col}, per_dow.dow, per_dow.n_days,
+           per_dow.n_events,
+           (CAST(n_events AS DOUBLE) / n_days)
+             / (CAST(t_events AS DOUBLE) / t_days) AS seasonal_index
+    FROM per_dow JOIN tot ON tot.g = per_dow.g
+    """

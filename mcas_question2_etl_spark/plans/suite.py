@@ -61,6 +61,7 @@ from . import wave46 as _wave46
 from . import wave47 as _wave47
 from . import wave48 as _wave48
 from . import wave49 as _wave49
+from . import wave50 as _wave50
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -120,6 +121,7 @@ _ALL: list[QuerySpec] = [
     *_wave47.SPECS,
     *_wave48.SPECS,
     *_wave49.SPECS,
+    *_wave50.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
