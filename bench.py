@@ -353,6 +353,12 @@ HEADLINE = [
     "g_test_source_lang",
     "cohens_kappa_gates",
     "dow_seasonality_index",
+    # wave 51: linkage/profiling/collocations/vocab/decay
+    "jaro_winkler_blocklink",
+    "doclen_moments_profile",
+    "pmi_collocations",
+    "vocab_growth_curve",
+    "decayed_event_popularity",
 ]
 
 

@@ -67,3 +67,142 @@ def edit_distance_pairs(
     return cands.withColumn(
         "dist", F.levenshtein("a_str", "b_str")
     ).filter(F.col("dist") <= 1)
+
+
+def jaro_winkler_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_col=None,
+    threshold: float = 0.85,
+    round_to: int = 9,
+) -> DataFrame:
+    """Jaro-Winkler similarity self-join over blocked candidate pairs
+    — the record-linkage scorer for human-entered names where edit
+    distance over-penalizes transpositions (Winkler 1990, the Census
+    Bureau string comparator). Complements the exact-Levenshtein
+    family above: JW is a similarity (1 = equal) with a prefix bonus.
+
+    Blocking: ``block_col`` (default: the name's first whitespace
+    token) — pairs are scored only within a block, the standard
+    linkage-blocking shape; candidates are O(sum block^2), never
+    O(n^2) corpus-wide.
+
+    The scorer is a vectorized Arrow-batched kernel (the same
+    documented slow-path slot as the multimodal/geo kernels —
+    character-level matching windows have no Catalyst expression),
+    applied AFTER blocking so Python sees only candidate pairs. The
+    implementation follows the textbook definition (match window
+    floor(max/2)-1, half-transpositions, 0.1 prefix scale capped at
+    4, 0.7 boost threshold) and is verified bit-equal to DuckDB's
+    ``jaro_winkler_similarity`` builtin (the oracle); scores are
+    rounded (default 9dp) before the threshold so both engines keep
+    the same pair set.
+
+    Output: (id_a, id_b, name_a, name_b, jw) with id_a < id_b,
+    jw >= threshold.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _jw(s1, s2):
+        def jaro(a: str, b: str) -> float:
+            l1, l2 = len(a), len(b)
+            if l1 == 0 and l2 == 0:
+                return 1.0
+            if l1 == 0 or l2 == 0:
+                return 0.0
+            md = max(l1, l2) // 2 - 1
+            m2 = [False] * l2
+            m1 = [False] * l1
+            m = 0
+            for i, c in enumerate(a):
+                lo, hi = max(0, i - md), min(l2, i + md + 1)
+                for j in range(lo, hi):
+                    if not m2[j] and b[j] == c:
+                        m1[i] = m2[j] = True
+                        m += 1
+                        break
+            if m == 0:
+                return 0.0
+            t = 0
+            j = 0
+            for i in range(l1):
+                if m1[i]:
+                    while not m2[j]:
+                        j += 1
+                    if a[i] != b[j]:
+                        t += 1
+                    j += 1
+            t //= 2
+            return (m / l1 + m / l2 + (m - t) / m) / 3
+
+        def jw_one(a: str, b: str) -> float:
+            ja = jaro(a, b)
+            if ja <= 0.7:
+                return ja
+            p = 0
+            for x, y in zip(a[:4], b[:4]):
+                if x == y:
+                    p += 1
+                else:
+                    break
+            return ja + 0.1 * p * (1 - ja)
+
+        return pd.Series(
+            [jw_one(a, b) for a, b in zip(s1, s2)], dtype="float64"
+        )
+
+    blk = (
+        F.split(F.col(name_col), " ").getItem(0)
+        if block_col is None
+        else F.col(block_col)
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(name_col).alias("__nm"),
+        blk.alias("__blk"),
+    )
+    a = base.select(
+        F.col("__blk"),
+        F.col("__id").alias("id_a"),
+        F.col("__nm").alias("name_a"),
+    )
+    b = base.select(
+        F.col("__blk"),
+        F.col("__id").alias("id_b"),
+        F.col("__nm").alias("name_b"),
+    )
+    cand = a.join(b, "__blk").where(F.col("id_a") < F.col("id_b"))
+    scored = cand.select(
+        "id_a",
+        "id_b",
+        "name_a",
+        "name_b",
+        F.round(_jw(F.col("name_a"), F.col("name_b")), round_to).alias("jw"),
+    )
+    return scored.where(F.col("jw") >= threshold)
+
+
+def jaro_winkler_pairs_sql(
+    table: str,
+    id_col: str,
+    name_col: str,
+    threshold: float = 0.85,
+    round_to: int = 9,
+) -> str:
+    """DuckDB twin of :func:`jaro_winkler_pairs` (default first-token
+    block) using the engine's jaro_winkler_similarity builtin."""
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS id, {name_col} AS nm,
+             string_split({name_col}, ' ')[1] AS blk
+      FROM {table}
+    )
+    SELECT a.id AS id_a, b.id AS id_b, a.nm AS name_a, b.nm AS name_b,
+           ROUND(jaro_winkler_similarity(a.nm, b.nm), {round_to}) AS jw
+    FROM base a JOIN base b ON b.blk = a.blk AND a.id < b.id
+    WHERE ROUND(jaro_winkler_similarity(a.nm, b.nm), {round_to})
+          >= {threshold}
+    """

@@ -244,3 +244,119 @@ def id_gap_audit_sql(table: str, id_col: str) -> str:
     SELECT t.n_ids, t.id_min, t.id_max, g.n_missing, g.n_gaps, g.max_gap
     FROM t CROSS JOIN g
     """
+
+
+def integer_moments_profile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Skewness / excess-kurtosis profile of an INTEGER column per
+    group — the shape statistics a length/count distribution audit
+    needs beyond summary_stats' mean/stddev (heavy right tail?
+    truncation? bimodality hints via g2 < 0).
+
+    Exactness: power sums S1..S4 accumulate in DECIMAL(38,0) (an
+    integer x <= ~1e4 keeps x^4 <= 1e16, far inside 38 digits even
+    summed over billions of rows); the central-moment and g1/g2
+    formulas are then FIXED IEEE expressions over exact-valued
+    doubles, parenthesized identically in both engines — zero
+    rounding. Groups with zero variance emit 0 for both statistics.
+
+    Scale: one map-side-combined aggregation; four decimal sums per
+    group is the whole shuffle payload.
+    """
+    dec = "decimal(38,0)"
+    x = F.col(value_col).cast("bigint")
+    agg = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x.cast(dec)).alias("s1"),
+        F.sum((x * x).cast(dec)).alias("s2"),
+        F.sum((x * x * x).cast(dec)).alias("s3"),
+        F.sum((x * x * x * x).cast(dec)).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n
+    q2 = F.col("s2").cast("double") / n
+    q3 = F.col("s3").cast("double") / n
+    q4 = F.col("s4").cast("double") / n
+    based = agg.select(
+        "g", "n", mean.alias("mean"), q2.alias("q2"), q3.alias("q3"),
+        q4.alias("q4"),
+    )
+    m = F.col("mean")
+    m2 = F.col("q2") - m * m
+    m3 = F.col("q3") - 3 * m * F.col("q2") + 2 * m * m * m
+    m4 = (
+        F.col("q4")
+        - 4 * m * F.col("q3")
+        + 6 * (m * m) * F.col("q2")
+        - 3 * ((m * m) * (m * m))
+    )
+    shaped = based.select(
+        "g", "n", "mean", m2.alias("m2"), m3.alias("m3"), m4.alias("m4")
+    )
+    return shaped.select(
+        F.col("g").alias(group_col),
+        "n",
+        "mean",
+        F.sqrt(F.col("m2")).alias("stddev_pop"),
+        F.when(
+            F.col("m2") > 0,
+            F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2"))),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("skewness"),
+        F.when(
+            F.col("m2") > 0,
+            F.col("m4") / (F.col("m2") * F.col("m2")) - 3,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("excess_kurtosis"),
+    )
+
+
+def integer_moments_profile_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+) -> str:
+    """DuckDB twin of :func:`integer_moments_profile` — identical
+    parenthesization throughout."""
+    return f"""
+    WITH agg AS (
+      SELECT {group_col} AS g, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(CAST({value_col} AS BIGINT) AS DECIMAL(38,0))) AS s1,
+             SUM(CAST(CAST({value_col} AS BIGINT) * CAST({value_col} AS BIGINT)
+                      AS DECIMAL(38,0))) AS s2,
+             SUM(CAST(CAST({value_col} AS BIGINT) * CAST({value_col} AS BIGINT)
+                      * CAST({value_col} AS BIGINT) AS DECIMAL(38,0))) AS s3,
+             SUM(CAST(CAST({value_col} AS BIGINT) * CAST({value_col} AS BIGINT)
+                      * CAST({value_col} AS BIGINT) * CAST({value_col} AS BIGINT)
+                      AS DECIMAL(38,0))) AS s4
+      FROM {table} GROUP BY 1
+    ),
+    based AS (
+      SELECT g, n,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS q2,
+             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS q3,
+             CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS q4
+      FROM agg
+    ),
+    shaped AS (
+      SELECT g, n, mean,
+             q2 - mean * mean AS m2,
+             q3 - 3 * mean * q2 + 2 * mean * mean * mean AS m3,
+             q4 - 4 * mean * q3 + 6 * (mean * mean) * q2
+                - 3 * ((mean * mean) * (mean * mean)) AS m4
+      FROM based
+    )
+    SELECT g AS {group_col}, n, mean,
+           sqrt(m2) AS stddev_pop,
+           CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) ELSE 0.0 END
+             AS skewness,
+           CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3 ELSE 0.0 END
+             AS excess_kurtosis
+    FROM shaped
+    """

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: tiny English stopword set used by the quality/lang-id heuristics;
@@ -977,4 +977,239 @@ def coleman_liau_report_sql(
              - 0.296 * (CAST(sentences AS DOUBLE) / words * 100)
              - 15.8 AS cli
     FROM agg
+    """
+
+
+def pmi_cooccurrence_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_k: int = 40,
+    min_pairs: int = 5,
+    round_to: int = 9,
+) -> DataFrame:
+    """Pointwise mutual information over top-vocabulary token pairs
+    co-occurring in documents — the collocation/topical-association
+    statistic (Church & Hanks 1990): PMI(a,b) = ln(N * c_ab /
+    (c_a * c_b)) with document-level presence counts.
+
+    Scale containment: the pair space is capped to the TOP-``vocab_k``
+    tokens by document frequency (deterministic count-desc/token-asc
+    cut), so the self-join runs over per-doc token sets of <= k
+    entries — O(docs * k^2) worst case with tiny fixed-width rows,
+    never a corpus-wide token cross join. Counts are exact bigints;
+    ln runs once per surviving pair on an exact integer ratio and is
+    rounded (libm ulp). Pairs need >= ``min_pairs`` co-occurrences.
+
+    Output: (token_a, token_b, n_a, n_b, n_ab, pmi), token_a <
+    token_b, ALL qualifying pairs (no top-k row cut — bounded by
+    C(vocab_k, 2)).
+    """
+    toks = df.select(
+        F.col(id_col).alias("d"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+        ).alias("t"),
+    ).where(F.col("t") != "")
+    docfreq = toks.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wtop = Window.orderBy(F.col("c").desc(), F.col("t").asc())
+    top = docfreq.withColumn("__rk", F.row_number().over(wtop)).where(
+        F.col("__rk") <= vocab_k
+    )
+    kept = toks.join(F.broadcast(top.select("t", "c")), "t")
+    a = kept.select(
+        "d", F.col("t").alias("token_a"), F.col("c").alias("n_a")
+    )
+    b = kept.select(
+        "d", F.col("t").alias("token_b"), F.col("c").alias("n_b")
+    )
+    pairs = (
+        a.join(b, "d")
+        .where(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .where(F.col("n_ab") >= min_pairs)
+    )
+    ndocs = df.agg(F.count(F.lit(1)).cast("bigint").alias("__N"))
+    return pairs.crossJoin(F.broadcast(ndocs)).select(
+        "token_a",
+        "token_b",
+        "n_a",
+        "n_b",
+        "n_ab",
+        F.round(
+            F.log(
+                (F.col("n_ab") * F.col("__N")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ),
+            round_to,
+        ).alias("pmi"),
+    )
+
+
+def pmi_cooccurrence_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_k: int = 40,
+    min_pairs: int = 5,
+    round_to: int = 9,
+) -> str:
+    """DuckDB twin of :func:`pmi_cooccurrence_pairs`."""
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT {id_col} AS d, t
+      FROM (SELECT {id_col},
+                   unnest(string_split_regex(lower({text_col}), '\\s+')) AS t
+            FROM {table})
+      WHERE t <> ''
+    ),
+    docfreq AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY t
+    ),
+    top AS (
+      SELECT t, c FROM (
+        SELECT t, c, row_number() OVER (ORDER BY c DESC, t ASC) AS rk
+        FROM docfreq
+      ) WHERE rk <= {vocab_k}
+    ),
+    kept AS (
+      SELECT toks.d, toks.t, top.c FROM toks JOIN top ON top.t = toks.t
+    ),
+    pairs AS (
+      SELECT a.t AS token_a, b.t AS token_b, a.c AS n_a, b.c AS n_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM kept a JOIN kept b ON b.d = a.d AND a.t < b.t
+      GROUP BY a.t, b.t, a.c, b.c
+      HAVING COUNT(*) >= {min_pairs}
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM {table})
+    SELECT token_a, token_b, n_a, n_b, n_ab,
+           ROUND(ln(CAST(n_ab * nd.N AS DOUBLE)
+                    / CAST(n_a * n_b AS DOUBLE)), {round_to}) AS pmi
+    FROM pairs CROSS JOIN nd
+    """
+
+
+def vocab_growth_curve(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10,
+) -> DataFrame:
+    """Vocabulary growth (Heaps-law) curve: cumulative distinct-token
+    count at ``buckets`` equal-width checkpoints of the ``id_col``
+    range (ingest order). A saturating curve says the corpus is
+    recycling vocabulary (boilerplate/duplication); unbounded growth
+    says genuinely novel text — the cheap corpus-novelty monitor that
+    complements the LSH dedup family.
+
+    Exactness: a token's first appearance is MIN(id) over its docs
+    (exact); its checkpoint bucket is integer arithmetic
+    ((first_seen - min_id) * buckets) div (max_id - min_id + 1);
+    cumulative sums run over the ``buckets``-row rollup. Everything
+    is exact integers.
+
+    Scale: one token-grain aggregation (the explode's shuffle), one
+    broadcast of the 2-value id-bounds row, one tiny windowed rollup.
+    Output: (bucket, id_hi, n_docs_cum, vocab_cum).
+    """
+    toks = df.select(
+        F.col(id_col).alias("d"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+        ).alias("t"),
+    ).where(F.col("t") != "")
+    first_seen = toks.groupBy("t").agg(F.min("d").alias("fs"))
+    bounds = df.agg(
+        F.min(F.col(id_col)).cast("bigint").alias("__lo"),
+        F.max(F.col(id_col)).cast("bigint").alias("__hi"),
+    )
+    wdt = F.col("__hi") - F.col("__lo") + 1
+    tok_b = (
+        first_seen.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(f"((fs - __lo) * {buckets}) div (__hi - __lo + 1)")
+            .cast("int")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nv"))
+    )
+    doc_b = (
+        df.select(F.col(id_col).alias("d"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(f"((d - __lo) * {buckets}) div (__hi - __lo + 1)")
+            .cast("int")
+            .alias("bucket"),
+            wdt.alias("__w"),
+            F.col("__lo"),
+        )
+        .groupBy("bucket", "__w", "__lo")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ndocs"))
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    joined = doc_b.join(tok_b, "bucket", "left").na.fill({"nv": 0})
+    return joined.select(
+        F.col("bucket"),
+        (
+            F.col("__lo")
+            + F.expr(f"((bucket + 1) * __w) div {buckets}")
+            - 1
+        ).cast("bigint").alias("id_hi"),
+        F.sum("ndocs").over(wcum).cast("bigint").alias("n_docs_cum"),
+        F.sum("nv").over(wcum).cast("bigint").alias("vocab_cum"),
+    )
+
+
+def vocab_growth_curve_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10,
+) -> str:
+    """DuckDB twin of :func:`vocab_growth_curve`."""
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT {id_col} AS d, t
+      FROM (SELECT {id_col},
+                   unnest(string_split_regex(lower({text_col}), '\\s+')) AS t
+            FROM {table})
+      WHERE t <> ''
+    ),
+    first_seen AS (SELECT t, MIN(d) AS fs FROM toks GROUP BY t),
+    bounds AS (
+      SELECT CAST(MIN({id_col}) AS BIGINT) AS lo,
+             CAST(MAX({id_col}) AS BIGINT) AS hi
+      FROM {table}
+    ),
+    tok_b AS (
+      SELECT CAST(((fs - lo) * {buckets}) // (hi - lo + 1) AS INTEGER)
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS nv
+      FROM first_seen CROSS JOIN bounds GROUP BY 1
+    ),
+    doc_b AS (
+      SELECT CAST((({id_col} - lo) * {buckets}) // (hi - lo + 1) AS INTEGER)
+               AS bucket,
+             CAST(MAX(hi - lo + 1) AS BIGINT) AS w,
+             CAST(MAX(lo) AS BIGINT) AS lo,
+             CAST(COUNT(*) AS BIGINT) AS ndocs
+      FROM {table} CROSS JOIN bounds GROUP BY 1
+    )
+    SELECT doc_b.bucket,
+           CAST(doc_b.lo + ((doc_b.bucket + 1) * doc_b.w) // {buckets} - 1
+                AS BIGINT) AS id_hi,
+           CAST(SUM(doc_b.ndocs) OVER (ORDER BY doc_b.bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_docs_cum,
+           CAST(SUM(COALESCE(tok_b.nv, 0)) OVER (ORDER BY doc_b.bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS vocab_cum
+    FROM doc_b LEFT JOIN tok_b ON tok_b.bucket = doc_b.bucket
     """

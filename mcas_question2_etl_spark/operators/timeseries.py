@@ -1383,3 +1383,79 @@ def dow_seasonality_index_sql(
              / (CAST(t_events AS DOUBLE) / t_days) AS seasonal_index
     FROM per_dow JOIN tot ON tot.g = per_dow.g
     """
+
+
+def decayed_popularity(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    half_life_days: int = 7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exponentially time-decayed popularity per group — the
+    trending-score standard (each event counts 2^(-age/half_life),
+    age measured in whole days from the corpus's max day): recency-
+    weighted volume without a hard cutoff window.
+
+    Determinism: ages are exact integer daydiffs from the single
+    global max day; each DAY's weight is one pow() on an exact ratio
+    (identical inputs both engines, 1-ulp libm risk), multiplied by
+    the exact bigint daily count; the per-group sum over DAYS is
+    ROUNDed (default 6dp) since summation order differs across
+    engines. Scale: corpus -> daily rollup once; weighting and the
+    final rollup run over day-grain rows.
+
+    Output: (group, n_days, total_events, decayed_score).
+    """
+    daily = df.groupBy(
+        F.col(group_col).alias("g"), F.col(ts_col).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    mx = daily.agg(F.max("d").alias("__md"))
+    weighted = daily.crossJoin(F.broadcast(mx)).select(
+        "g",
+        "x",
+        (
+            F.col("x").cast("double")
+            * F.pow(
+                F.lit(2.0),
+                -F.datediff(F.col("__md"), F.col("d")).cast("double")
+                / half_life_days,
+            )
+        ).alias("__wx"),
+    )
+    return weighted.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("total_events"),
+        F.round(F.sum("__wx"), round_to).alias("decayed_score"),
+    ).select(
+        F.col("g").alias(group_col), "n_days", "total_events", "decayed_score"
+    )
+
+
+def decayed_popularity_sql(
+    table: str = "events",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    half_life_days: int = 7,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`decayed_popularity`."""
+    return f"""
+    WITH daily AS (
+      SELECT {group_col} AS g, CAST({ts_col} AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM {table} GROUP BY 1, 2
+    ),
+    mx AS (SELECT MAX(d) AS md FROM daily),
+    weighted AS (
+      SELECT g, x,
+             CAST(x AS DOUBLE)
+               * pow(2.0, -CAST(date_diff('day', d, mx.md) AS DOUBLE)
+                           / {half_life_days}) AS wx
+      FROM daily CROSS JOIN mx
+    )
+    SELECT g AS {group_col}, CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(x) AS BIGINT) AS total_events,
+           ROUND(SUM(wx), {round_to}) AS decayed_score
+    FROM weighted GROUP BY g
+    """

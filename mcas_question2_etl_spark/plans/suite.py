@@ -62,6 +62,7 @@ from . import wave47 as _wave47
 from . import wave48 as _wave48
 from . import wave49 as _wave49
 from . import wave50 as _wave50
+from . import wave51 as _wave51
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -122,6 +123,7 @@ _ALL: list[QuerySpec] = [
     *_wave48.SPECS,
     *_wave49.SPECS,
     *_wave50.SPECS,
+    *_wave51.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
