@@ -359,6 +359,12 @@ HEADLINE = [
     "pmi_collocations",
     "vocab_growth_curve",
     "decayed_event_popularity",
+    # wave 52: QQ/drawdown/sequence-entropy/MAD/dow-anomaly
+    "qq_doclen_sources",
+    "volume_drawdown",
+    "transition_entropy_events",
+    "mad_outlier_days",
+    "dow_anomaly_days",
 ]
 
 

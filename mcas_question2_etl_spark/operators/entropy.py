@@ -25,7 +25,7 @@ surface alongside gopher_quality_report / unigram_logprob_quality.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -244,4 +244,107 @@ def diversity_histogram_sql(
              AS diversity_bucket,
            CAST(COUNT(*) AS BIGINT) AS n_keys
     FROM per_key GROUP BY 1
+    """
+
+
+def transition_entropy(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    order_col: str = "event_id",
+    round_to: int = 9,
+) -> DataFrame:
+    """Conditional entropy H(next | current) of the event-type Markov
+    chain over per-user event sequences — "how predictable is the next
+    action": 0 = deterministic flows, ln(k) = uniform chaos. The
+    scalar summary of the wave-? transition matrix family (markov.py
+    builds the chain; this scores its uncertainty), and the
+    sequence-level cousin of the per-doc Shannon gates above.
+
+    H = sum_ab (c_ab/N) * ln(c_a/c_ab), with c_ab the consecutive-
+    pair counts (one lead() over each user's (ts, order_col)-ordered
+    stream — ties broken by the order column, identically in both
+    engines), c_a the from-state totals, N total transitions. Counts
+    are exact bigints; each term is one ln on an exact integer ratio;
+    the k^2-term sum is ROUNDed (default 9dp). Perplexity = exp(H),
+    rounded the same.
+
+    Output: one row (n_transitions, n_states, entropy_nats,
+    perplexity).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    trans = (
+        df.select(
+            F.col(state_col).alias("a"),
+            F.lead(state_col, 1).over(w).alias("b"),
+        )
+        .where(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    )
+    ca = trans.groupBy("a").agg(F.sum("c_ab").cast("bigint").alias("c_a"))
+    tot = trans.agg(
+        F.sum("c_ab").cast("bigint").alias("N"),
+        F.countDistinct("a").cast("bigint").alias("n_states"),
+    )
+    terms = trans.join(F.broadcast(ca), "a").crossJoin(F.broadcast(tot)).select(
+        "N",
+        "n_states",
+        (
+            F.col("c_ab").cast("double")
+            / F.col("N")
+            * F.log(F.col("c_a").cast("double") / F.col("c_ab"))
+        ).alias("__t"),
+    )
+    return terms.groupBy("N", "n_states").agg(
+        F.round(F.sum("__t"), round_to).alias("entropy_nats")
+    ).select(
+        F.col("N").alias("n_transitions"),
+        "n_states",
+        "entropy_nats",
+        F.round(F.exp(F.col("entropy_nats")), round_to).alias("perplexity"),
+    )
+
+
+def transition_entropy_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    order_col: str = "event_id",
+    round_to: int = 9,
+) -> str:
+    """DuckDB twin of :func:`transition_entropy`."""
+    return f"""
+    WITH seq AS (
+      SELECT {state_col} AS a,
+             lead({state_col}, 1) OVER (PARTITION BY {user_col}
+                 ORDER BY {ts_col}, {order_col}) AS b
+      FROM {table}
+    ),
+    trans AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM seq WHERE b IS NOT NULL GROUP BY a, b
+    ),
+    ca AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM trans GROUP BY a),
+    tot AS (
+      SELECT CAST(SUM(c_ab) AS BIGINT) AS N,
+             CAST(COUNT(DISTINCT a) AS BIGINT) AS n_states
+      FROM trans
+    ),
+    terms AS (
+      SELECT tot.N, tot.n_states,
+             CAST(trans.c_ab AS DOUBLE) / tot.N
+               * ln(CAST(ca.c_a AS DOUBLE) / trans.c_ab) AS t
+      FROM trans JOIN ca ON ca.a = trans.a CROSS JOIN tot
+    ),
+    h AS (
+      SELECT N AS n_transitions, n_states,
+             ROUND(SUM(t), {round_to}) AS entropy_nats
+      FROM terms GROUP BY N, n_states
+    )
+    SELECT n_transitions, n_states, entropy_nats,
+           ROUND(exp(entropy_nats), {round_to}) AS perplexity
+    FROM h
     """

@@ -360,3 +360,126 @@ def integer_moments_profile_sql(
              AS excess_kurtosis
     FROM shaped
     """
+
+
+def qq_compare(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    step: int = 5,
+) -> DataFrame:
+    """Quantile-quantile comparison table: each group's percentile
+    ladder (p = step, 2*step, ..., 100-step) of ``value_col`` against
+    the pooled ladder — the numeric drift report behind a QQ plot,
+    complementing PSI (bucketed densities) with tail-resolved
+    positions.
+
+    Exactness: quantiles are TYPE-1 (lower) element PICKS —
+    index = 1 + ((n-1)*p) div 100 over the value-ordered rows — never
+    interpolated, so every output is an actual data value; the diff
+    column is an exact subtraction. Ties don't matter for the picked
+    VALUE (equal values are interchangeable at the index).
+
+    Scale: one rank window per group (per-group series assumption,
+    same caveat as spearman) + one over the pooled distinct ... the
+    pooled ladder reuses the value-grain rollup device: cumulative
+    counts over the DISTINCT value table, no global row ranking.
+    Output: (group, p, q_value, pooled_q, diff).
+    """
+    n_g = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wg = Window.partitionBy(group_col).orderBy(value_col)
+    ranked = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("bigint").alias("v"),
+        F.row_number().over(wg).cast("bigint").alias("rn"),
+    )
+    ps = [p for p in range(step, 100, step)]
+    pdf = n_g.select(
+        "g", "n", F.explode(F.array(*[F.lit(p) for p in ps])).alias("p")
+    ).select(
+        "g",
+        "p",
+        (1 + F.expr("((n - 1) * p) div 100")).cast("bigint").alias("idx"),
+    )
+    group_q = pdf.join(
+        ranked,
+        (pdf["g"] == ranked["g"]) & (pdf["idx"] == ranked["rn"]),
+    ).select(pdf["g"].alias("g"), "p", F.col("v").alias("q_value"))
+    # pooled ladder from the value-grain rollup (no global row window)
+    vals = df.groupBy(F.col(value_col).cast("bigint").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vals.select(
+        "v", F.sum("c").over(wv).cast("bigint").alias("cum")
+    )
+    ntot = df.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    pooled_idx = ntot.select(
+        F.explode(F.array(*[F.lit(p) for p in ps])).alias("p"),
+        F.col("n"),
+    ).select("p", (1 + F.expr("((n - 1) * p) div 100")).cast("bigint").alias("idx"))
+    # pooled quantile = min value whose cumulative count reaches idx
+    pooled_q = (
+        pooled_idx.join(cum, F.col("cum") >= F.col("idx"))
+        .groupBy("p")
+        .agg(F.min("v").alias("pooled_q"))
+    )
+    return group_q.join(F.broadcast(pooled_q), "p").select(
+        F.col("g").alias(group_col),
+        "p",
+        "q_value",
+        "pooled_q",
+        (F.col("q_value") - F.col("pooled_q")).alias("diff"),
+    )
+
+
+def qq_compare_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    step: int = 5,
+) -> str:
+    """DuckDB twin of :func:`qq_compare`."""
+    ps = ", ".join(str(p) for p in range(step, 100, step))
+    return f"""
+    WITH ranked AS (
+      SELECT {group_col} AS g, CAST({value_col} AS BIGINT) AS v,
+             CAST(row_number() OVER (PARTITION BY {group_col}
+                  ORDER BY {value_col}) AS BIGINT) AS rn
+      FROM {table}
+    ),
+    ng AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM ranked GROUP BY g),
+    pdf AS (
+      SELECT g, p, CAST(1 + ((n - 1) * p) // 100 AS BIGINT) AS idx
+      FROM ng CROSS JOIN (SELECT unnest([{ps}]) AS p)
+    ),
+    group_q AS (
+      SELECT pdf.g, pdf.p, ranked.v AS q_value
+      FROM pdf JOIN ranked ON ranked.g = pdf.g AND ranked.rn = pdf.idx
+    ),
+    vals AS (
+      SELECT CAST({value_col} AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM {table} GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, CAST(SUM(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+      FROM vals
+    ),
+    ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {table}),
+    pooled_idx AS (
+      SELECT p, CAST(1 + ((n - 1) * p) // 100 AS BIGINT) AS idx
+      FROM ntot CROSS JOIN (SELECT unnest([{ps}]) AS p)
+    ),
+    pooled_q AS (
+      SELECT p, MIN(v) AS pooled_q
+      FROM pooled_idx JOIN cum ON cum.cum >= pooled_idx.idx
+      GROUP BY p
+    )
+    SELECT group_q.g AS {group_col}, group_q.p, group_q.q_value,
+           pooled_q.pooled_q, group_q.q_value - pooled_q.pooled_q AS diff
+    FROM group_q JOIN pooled_q ON pooled_q.p = group_q.p
+    """

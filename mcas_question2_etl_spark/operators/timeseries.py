@@ -1459,3 +1459,296 @@ def decayed_popularity_sql(
            ROUND(SUM(wx), {round_to}) AS decayed_score
     FROM weighted GROUP BY g
     """
+
+
+def volume_drawdown(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Peak-to-trough drawdown of each group's daily volume — "what is
+    the worst collapse from a prior peak this series has suffered",
+    the ops-health statistic behind capacity planning and incident
+    retrospectives (finance's max-drawdown applied to volume).
+
+    Exactness: running peak and drawdown = peak - x are exact bigints
+    (one ordered window over the daily rollup); the reported day is
+    the EARLIEST day attaining the max drawdown. Output: (group,
+    n_days, max_count, max_drawdown, drawdown_day).
+    """
+    daily = df.groupBy(
+        F.col(group_col).alias("g"), F.col(ts_col).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w = Window.partitionBy("g").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dd = daily.select(
+        "g",
+        "d",
+        "x",
+        (F.max("x").over(w) - F.col("x")).cast("bigint").alias("__dd"),
+    )
+    return dd.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max("x").cast("bigint").alias("max_count"),
+        F.max("__dd").cast("bigint").alias("max_drawdown"),
+        F.min_by("d", F.struct(-F.col("__dd"), F.col("d"))).alias(
+            "drawdown_day"
+        ),
+    ).select(
+        F.col("g").alias(group_col),
+        "n_days",
+        "max_count",
+        "max_drawdown",
+        "drawdown_day",
+    )
+
+
+def volume_drawdown_sql(
+    table: str = "events",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin of :func:`volume_drawdown`."""
+    return f"""
+    WITH daily AS (
+      SELECT {group_col} AS g, CAST({ts_col} AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM {table} GROUP BY 1, 2
+    ),
+    dd AS (
+      SELECT g, d, x,
+             CAST(MAX(x) OVER (PARTITION BY g ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - x
+                  AS BIGINT) AS dd
+      FROM daily
+    )
+    SELECT g AS {group_col}, CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(x) AS BIGINT) AS max_count,
+           CAST(MAX(dd) AS BIGINT) AS max_drawdown,
+           MIN(d) FILTER (WHERE dd = (SELECT MAX(d2.dd) FROM dd d2
+                                      WHERE d2.g = dd.g)) AS drawdown_day
+    FROM dd GROUP BY g
+    """
+
+
+def mad_outlier_days(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    z_cut: float = 3.5,
+) -> DataFrame:
+    """Median-absolute-deviation outlier audit of each group's daily
+    volume — the robust alternative to anomaly_days_zscore: mean/sd
+    baselines are dragged by the very spikes they should flag; the
+    median/MAD pair is 50%-breakdown robust. Flags days where
+    0.6745 * |x - median| / MAD > ``z_cut`` (the classic modified
+    z-score, Iglewicz & Hoaglin 1993).
+
+    Exactness: the median and MAD are lower-median ELEMENT PICKS over
+    integer daily counts, so both are exact bigints; the z comparison
+    is one fixed IEEE expression per day on exact inputs. Groups with
+    MAD = 0 flag any day deviating from the median (the conventional
+    degenerate-case reading). Output: (group, n_days, median_x, mad,
+    n_outliers).
+    """
+    daily = df.groupBy(
+        F.col(group_col).alias("g"), F.col(ts_col).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    wx = Window.partitionBy("g").orderBy("x")
+    nd = daily.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    ranked = daily.select(
+        "g", "d", "x", F.row_number().over(wx).cast("bigint").alias("rn")
+    )
+    med = (
+        ranked.join(nd, "g")
+        .where(F.col("rn") == F.expr("(n_days + 1) div 2"))
+        .select("g", F.col("x").alias("med"))
+    )
+    devs = daily.join(med, "g").select(
+        "g", "d", "x", F.abs(F.col("x") - F.col("med")).alias("__ad"),
+        "med",
+    )
+    wad = Window.partitionBy("g").orderBy("__ad")
+    mad = (
+        devs.select(
+            "g", "__ad", F.row_number().over(wad).cast("bigint").alias("rn")
+        )
+        .join(nd, "g")
+        .where(F.col("rn") == F.expr("(n_days + 1) div 2"))
+        .select("g", F.col("__ad").alias("mad"))
+    )
+    flagged = devs.join(mad, "g").select(
+        "g",
+        "med",
+        "mad",
+        F.when(
+            F.col("mad") > 0,
+            (
+                F.lit(0.6745) * F.col("__ad").cast("double") / F.col("mad")
+                > z_cut
+            ),
+        )
+        .otherwise(F.col("__ad") > 0)
+        .cast("int")
+        .alias("__out"),
+    )
+    return flagged.groupBy("g", "med", "mad").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("__out").cast("bigint").alias("n_outliers"),
+    ).select(
+        F.col("g").alias(group_col),
+        "n_days",
+        F.col("med").alias("median_x"),
+        "mad",
+        "n_outliers",
+    )
+
+
+def mad_outlier_days_sql(
+    table: str = "events",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    z_cut: float = 3.5,
+) -> str:
+    """DuckDB twin of :func:`mad_outlier_days`."""
+    return f"""
+    WITH daily AS (
+      SELECT {group_col} AS g, CAST({ts_col} AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM {table} GROUP BY 1, 2
+    ),
+    nd AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY g),
+    ranked AS (
+      SELECT g, x, CAST(row_number() OVER (PARTITION BY g ORDER BY x)
+                        AS BIGINT) AS rn
+      FROM daily
+    ),
+    med AS (
+      SELECT ranked.g, ranked.x AS med
+      FROM ranked JOIN nd ON nd.g = ranked.g
+      WHERE ranked.rn = (nd.n_days + 1) // 2
+    ),
+    devs AS (
+      SELECT daily.g, daily.d, daily.x, abs(daily.x - med.med) AS ad, med.med
+      FROM daily JOIN med ON med.g = daily.g
+    ),
+    adr AS (
+      SELECT g, ad, CAST(row_number() OVER (PARTITION BY g ORDER BY ad)
+                         AS BIGINT) AS rn
+      FROM devs
+    ),
+    mad AS (
+      SELECT adr.g, adr.ad AS mad
+      FROM adr JOIN nd ON nd.g = adr.g
+      WHERE adr.rn = (nd.n_days + 1) // 2
+    )
+    SELECT devs.g AS {group_col},
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(devs.med) AS BIGINT) AS median_x,
+           CAST(MAX(mad.mad) AS BIGINT) AS mad,
+           CAST(SUM(CASE WHEN mad.mad > 0
+                    THEN CASE WHEN 0.6745 * CAST(devs.ad AS DOUBLE) / mad.mad
+                              > {z_cut} THEN 1 ELSE 0 END
+                    ELSE CASE WHEN devs.ad > 0 THEN 1 ELSE 0 END END)
+                AS BIGINT) AS n_outliers
+    FROM devs JOIN mad ON mad.g = devs.g
+    GROUP BY devs.g
+    """
+
+
+def dow_anomaly_days(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    n_sigma: float = 2.0,
+) -> DataFrame:
+    """Weekday-conditioned volume anomalies: flag days whose count
+    deviates more than ``n_sigma`` population-sd from THEIR WEEKDAY's
+    mean, per group — the seasonality-adjusted upgrade of
+    anomaly_days_zscore (whose global baseline flags every ordinary
+    Sunday when weekends run hot; wave-36's autocorrelation report
+    detects the problem, this fixes it).
+
+    Exactness: per-(group, weekday) mean and variance derive from
+    exact bigint power sums; the |x - mu| > n_sigma * sigma
+    comparison is one fixed IEEE expression on exact-valued inputs —
+    identical verdicts in both engines, no rounding. Output per
+    (group, dow): (n_days, mu, sigma, n_anomalies).
+    """
+    daily = df.groupBy(
+        F.col(group_col).alias("g"), F.col(ts_col).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    dowed = daily.withColumn(
+        "dow", ((F.dayofweek("d") + 5) % 7 + 1).cast("int")
+    )
+    stats = dowed.groupBy("g", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("s2"),
+    )
+    n = F.col("n_days").cast("double")
+    mu = F.col("s1").cast("double") / n
+    sig = F.sqrt(F.col("s2").cast("double") / n - mu * mu)
+    based = stats.select("g", "dow", "n_days", mu.alias("mu"), sig.alias("sigma"))
+    flagged = (
+        dowed.join(based, ["g", "dow"])
+        .select(
+            "g",
+            "dow",
+            "n_days",
+            "mu",
+            "sigma",
+            (
+                F.abs(F.col("x").cast("double") - F.col("mu"))
+                > n_sigma * F.col("sigma")
+            ).cast("int").alias("__a"),
+        )
+    )
+    return flagged.groupBy("g", "dow", "n_days", "mu", "sigma").agg(
+        F.sum("__a").cast("bigint").alias("n_anomalies")
+    ).select(
+        F.col("g").alias(group_col), "dow", "n_days", "mu", "sigma",
+        "n_anomalies",
+    )
+
+
+def dow_anomaly_days_sql(
+    table: str = "events",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    n_sigma: float = 2.0,
+) -> str:
+    """DuckDB twin of :func:`dow_anomaly_days`."""
+    return f"""
+    WITH daily AS (
+      SELECT {group_col} AS g, CAST({ts_col} AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM {table} GROUP BY 1, 2
+    ),
+    dowed AS (SELECT g, d, x, CAST(isodow(d) AS INTEGER) AS dow FROM daily),
+    stats AS (
+      SELECT g, dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS s1,
+             CAST(SUM(x * x) AS DECIMAL(38,0)) AS s2
+      FROM dowed GROUP BY g, dow
+    ),
+    based AS (
+      SELECT g, dow, n_days,
+             CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) AS mu,
+             sqrt(CAST(s2 AS DOUBLE) / CAST(n_days AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)))
+               AS sigma
+      FROM stats
+    )
+    SELECT dowed.g AS {group_col}, dowed.dow, based.n_days, based.mu,
+           based.sigma,
+           CAST(SUM(CASE WHEN abs(CAST(dowed.x AS DOUBLE) - based.mu)
+                         > {n_sigma} * based.sigma THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_anomalies
+    FROM dowed JOIN based ON based.g = dowed.g AND based.dow = dowed.dow
+    GROUP BY dowed.g, dowed.dow, based.n_days, based.mu, based.sigma
+    """

@@ -63,6 +63,7 @@ from . import wave48 as _wave48
 from . import wave49 as _wave49
 from . import wave50 as _wave50
 from . import wave51 as _wave51
+from . import wave52 as _wave52
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -124,6 +125,7 @@ _ALL: list[QuerySpec] = [
     *_wave49.SPECS,
     *_wave50.SPECS,
     *_wave51.SPECS,
+    *_wave52.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
