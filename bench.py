@@ -365,6 +365,12 @@ HEADLINE = [
     "transition_entropy_events",
     "mad_outlier_days",
     "dow_anomaly_days",
+    # wave 53: EB shrinkage/delta-method/latency/Theil/vocab-overlap
+    "eb_shrunk_return_rates",
+    "ratio_metric_ab_test",
+    "conversion_latency_quantiles",
+    "theil_doclen_decomposition",
+    "source_vocab_jaccard",
 ]
 
 

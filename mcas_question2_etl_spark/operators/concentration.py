@@ -190,3 +190,127 @@ def abc_classes_sql(
            CAST(SUM(v) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE) AS value_share
     FROM classed GROUP BY abc_class
     """
+
+
+def theil_decomposition(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = 9,
+) -> DataFrame:
+    """Theil T inequality index with exact within/between GROUP
+    decomposition — the property Gini famously lacks (Gini's overlap
+    term is unattributable; Theil's T = T_within + T_between exactly,
+    Theil 1967), which is why corpus audits that must ANSWER "is the
+    length inequality inside sources or between them" need this next
+    to token_gini_inequality.
+
+        T_s (within group s) = Sxlnx_s / Sx_s - ln(Sx_s / n_s)
+        between term_s       = share_s * ln(mu_s / mu)
+        T = sum_s share_s * T_s + sum_s between_s,  share_s = Sx_s/Sx
+
+    Exactness: Sx and n are exact bigints; the one row-order-
+    sensitive quantity (sum of x*ln(x) over rows) is ROUNDed per
+    group (default 9dp); everything downstream is fixed IEEE
+    expressions on those values, with the tiny k-term totals rounded
+    too. Rows with x <= 0 are excluded (ln domain). Output: one row
+    per group (group, n, value_share, theil_within, between_term)
+    plus broadcast totals (theil_total, within_total, between_total).
+    """
+    pos = df.where(F.col(value_col) > 0).select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("bigint").alias("x"),
+    )
+    per = pos.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.round(
+            F.sum(
+                F.col("x").cast("double")
+                * F.log(F.col("x").cast("double"))
+            ),
+            round_to,
+        ).alias("sxlnx"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("bigint").alias("__N"),
+        F.sum("sx").cast("bigint").alias("__SX"),
+    )
+    mu_s = F.col("sx").cast("double") / F.col("n")
+    mu = F.col("__SX").cast("double") / F.col("__N")
+    share = F.col("sx").cast("double") / F.col("__SX")
+    t_within = F.col("sxlnx") / F.col("sx") - F.log(mu_s)
+    between = share * F.log(mu_s / mu)
+    rows = per.crossJoin(F.broadcast(tot)).select(
+        "g",
+        "n",
+        share.alias("value_share"),
+        t_within.alias("theil_within"),
+        between.alias("between_term"),
+    )
+    totals = rows.agg(
+        F.round(
+            F.sum(F.col("value_share") * F.col("theil_within")), round_to
+        ).alias("within_total"),
+        F.round(F.sum("between_term"), round_to).alias("between_total"),
+    ).select(
+        "within_total",
+        "between_total",
+        (F.col("within_total") + F.col("between_total")).alias("theil_total"),
+    )
+    return rows.crossJoin(F.broadcast(totals)).select(
+        F.col("g").alias(group_col),
+        "n",
+        "value_share",
+        "theil_within",
+        "between_term",
+        "within_total",
+        "between_total",
+        "theil_total",
+    )
+
+
+def theil_decomposition_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    round_to: int = 9,
+) -> str:
+    """DuckDB twin of :func:`theil_decomposition`."""
+    return f"""
+    WITH pos AS (
+      SELECT {group_col} AS g, CAST({value_col} AS BIGINT) AS x
+      FROM {table} WHERE {value_col} > 0
+    ),
+    per AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             ROUND(SUM(CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE))),
+                   {round_to}) AS sxlnx
+      FROM pos GROUP BY g
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(sx) AS BIGINT) AS sxt
+      FROM per
+    ),
+    rows_ AS (
+      SELECT g, n,
+             CAST(sx AS DOUBLE) / sxt AS value_share,
+             sxlnx / sx - ln(CAST(sx AS DOUBLE) / n) AS theil_within,
+             (CAST(sx AS DOUBLE) / sxt)
+               * ln((CAST(sx AS DOUBLE) / n)
+                    / (CAST(sxt AS DOUBLE) / nt)) AS between_term
+      FROM per CROSS JOIN tot
+    ),
+    totals AS (
+      SELECT ROUND(SUM(value_share * theil_within), {round_to})
+               AS within_total,
+             ROUND(SUM(between_term), {round_to}) AS between_total
+      FROM rows_
+    )
+    SELECT rows_.g AS {group_col}, rows_.n, rows_.value_share,
+           rows_.theil_within, rows_.between_term,
+           totals.within_total, totals.between_total,
+           totals.within_total + totals.between_total AS theil_total
+    FROM rows_ CROSS JOIN totals
+    """

@@ -979,3 +979,140 @@ def cohens_kappa_sql(
              AS kappa
     FROM agg
     """
+
+
+def ratio_metric_ab_test(
+    df: DataFrame,
+    unit_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    num_col: str,
+    den_count: bool = True,
+) -> DataFrame:
+    """Two-sample z-test for a RATIO metric with the delta method —
+    the experimentation-platform workhorse for metrics like
+    revenue-per-order or clicks-per-session where the randomization
+    unit (user) differs from the metric denominator (order): naive
+    per-row variance is wrong because rows within a unit correlate;
+    the delta method computes var of (sum X_u / sum Y_u) from
+    per-UNIT moments (Deng et al., KDD 2018 formulation):
+
+        R = X-bar / Y-bar,
+        var(R) ~ (var_x - 2 R cov_xy + R^2 var_y) / (k * ybar^2)
+
+    Exactness: per-unit numerators accumulate in DECIMAL(18,2) (the
+    repo money discipline); the five cross-unit moments are DECIMAL
+    products summed exactly, so every double that enters the fixed
+    z expression is bit-identical across engines — no rounding.
+
+    Output: one row (n_a, n_b, ratio_a, ratio_b, diff, se, z).
+    """
+    dec = "decimal(18,2)"
+    per_unit = (
+        df.where(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(F.col(unit_col).alias("u"), F.col(group_col).alias("g"))
+        .agg(
+            F.sum(F.col(num_col).cast(dec)).cast(dec).alias("x"),
+            F.count(F.lit(1)).cast("bigint").alias("y"),
+        )
+    )
+    mom = per_unit.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("x").cast("decimal(38,2)").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,4)")).alias("sxx"),
+        F.sum(
+            (F.col("x") * F.col("y").cast("decimal(18,0)")).cast(
+                "decimal(38,2)"
+            )
+        ).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    k = F.col("k").cast("double")
+    xbar = F.col("sx").cast("double") / k
+    ybar = F.col("sy").cast("double") / k
+    r = F.col("sx").cast("double") / F.col("sy")
+    var_x = F.col("sxx").cast("double") / k - xbar * xbar
+    var_y = F.col("syy").cast("double") / k - ybar * ybar
+    cov = F.col("sxy").cast("double") / k - xbar * ybar
+    vr = (var_x - 2 * r * cov + r * r * var_y) / (k * (ybar * ybar))
+    stats = mom.select(
+        "g", "k", r.alias("ratio"), vr.alias("vr")
+    )
+    a = stats.where(F.col("g") == group_a).select(
+        F.col("k").alias("n_a"), F.col("ratio").alias("ratio_a"),
+        F.col("vr").alias("__va"),
+    )
+    b = stats.where(F.col("g") == group_b).select(
+        F.col("k").alias("n_b"), F.col("ratio").alias("ratio_b"),
+        F.col("vr").alias("__vb"),
+    )
+    j = a.crossJoin(b)
+    se = F.sqrt(F.col("__va") + F.col("__vb"))
+    return j.select(
+        "n_a",
+        "n_b",
+        "ratio_a",
+        "ratio_b",
+        (F.col("ratio_a") - F.col("ratio_b")).alias("diff"),
+        se.alias("se"),
+        ((F.col("ratio_a") - F.col("ratio_b")) / se).alias("z"),
+    )
+
+
+def ratio_metric_ab_test_sql(
+    table_sql: str,
+    unit_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    num_col: str,
+) -> str:
+    """DuckDB twin of :func:`ratio_metric_ab_test`; ``table_sql`` is a
+    relation providing (unit_col, group_col, num_col) rows."""
+    return f"""
+    WITH per_unit AS (
+      SELECT {unit_col} AS u, {group_col} AS g,
+             CAST(SUM(CAST({num_col} AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM ({table_sql})
+      WHERE {group_col} IN ('{group_a}', '{group_b}')
+      GROUP BY 1, 2
+    ),
+    mom AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(x) AS DECIMAL(38,2)) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x * x AS DECIMAL(38,4))) AS sxx,
+             SUM(CAST(x * CAST(y AS DECIMAL(18,0)) AS DECIMAL(38,2))) AS sxy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM per_unit GROUP BY g
+    ),
+    stats AS (
+      SELECT g, k,
+             CAST(sx AS DOUBLE) / sy AS ratio,
+             (CAST(sxx AS DOUBLE) / CAST(k AS DOUBLE)
+              - (CAST(sx AS DOUBLE) / CAST(k AS DOUBLE))
+                * (CAST(sx AS DOUBLE) / CAST(k AS DOUBLE))
+              - 2 * (CAST(sx AS DOUBLE) / sy)
+                * (CAST(sxy AS DOUBLE) / CAST(k AS DOUBLE)
+                   - (CAST(sx AS DOUBLE) / CAST(k AS DOUBLE))
+                     * (CAST(sy AS DOUBLE) / CAST(k AS DOUBLE)))
+              + (CAST(sx AS DOUBLE) / sy) * (CAST(sx AS DOUBLE) / sy)
+                * (CAST(syy AS DOUBLE) / CAST(k AS DOUBLE)
+                   - (CAST(sy AS DOUBLE) / CAST(k AS DOUBLE))
+                     * (CAST(sy AS DOUBLE) / CAST(k AS DOUBLE))))
+             / (CAST(k AS DOUBLE)
+                * ((CAST(sy AS DOUBLE) / CAST(k AS DOUBLE))
+                   * (CAST(sy AS DOUBLE) / CAST(k AS DOUBLE)))) AS vr
+      FROM mom
+    )
+    SELECT a.k AS n_a, b.k AS n_b, a.ratio AS ratio_a, b.ratio AS ratio_b,
+           a.ratio - b.ratio AS diff,
+           sqrt(a.vr + b.vr) AS se,
+           (a.ratio - b.ratio) / sqrt(a.vr + b.vr) AS z
+    FROM (SELECT * FROM stats WHERE g = '{group_a}') a
+    CROSS JOIN (SELECT * FROM stats WHERE g = '{group_b}') b
+    """

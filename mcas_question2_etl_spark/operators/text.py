@@ -1213,3 +1213,91 @@ def vocab_growth_curve_sql(
                 AS BIGINT) AS vocab_cum
     FROM doc_b LEFT JOIN tok_b ON tok_b.bucket = doc_b.bucket
     """
+
+
+def source_vocab_jaccard(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-overlap matrix between sources: Jaccard similarity
+    of each source pair's DISTINCT token sets — "do these two crawls
+    speak the same language" at the vocabulary level, complementing
+    cross_source_shared_openings (which fingerprints document
+    openings, i.e. boilerplate) and psi_source_drift (length shape).
+
+    Exactness: all counts are exact bigints — per-source vocab sizes
+    from one distinct aggregation, pairwise intersections from a
+    token-grain self-join (tokens shuffle once; text never does);
+    union = |A| + |B| - |A∩B|; one exact-input division per pair.
+    Output: (source_a, source_b, vocab_a, vocab_b, n_common,
+    jaccard) for source_a < source_b.
+    """
+    toks = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+        ).alias("t"),
+    ).where(F.col("t") != "").distinct()
+    sizes = toks.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    a = toks.select(F.col("g").alias("ga"), "t")
+    b = toks.select(F.col("g").alias("gb"), "t")
+    inter = (
+        a.join(b, "t")
+        .where(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("g").alias("ga"), F.col("v").alias("vocab_a"))
+    sb = sizes.select(F.col("g").alias("gb"), F.col("v").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(sa), "ga")
+        .join(F.broadcast(sb), "gb")
+        .select(
+            F.col("ga").alias("source_a"),
+            F.col("gb").alias("source_b"),
+            "vocab_a",
+            "vocab_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (
+                    F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")
+                )
+            ).alias("jaccard"),
+        )
+    )
+
+
+def source_vocab_jaccard_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`source_vocab_jaccard`."""
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT {group_col} AS g, t
+      FROM (SELECT {group_col},
+                   unnest(string_split_regex(lower({text_col}), '\\s+')) AS t
+            FROM {table})
+      WHERE t <> ''
+    ),
+    sizes AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS v FROM toks GROUP BY g
+    ),
+    inter AS (
+      SELECT a.g AS ga, b.g AS gb, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM toks a JOIN toks b ON b.t = a.t AND a.g < b.g
+      GROUP BY a.g, b.g
+    )
+    SELECT inter.ga AS source_a, inter.gb AS source_b,
+           sa.v AS vocab_a, sb.v AS vocab_b, inter.n_common,
+           CAST(inter.n_common AS DOUBLE)
+             / (sa.v + sb.v - inter.n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.g = inter.ga
+    JOIN sizes sb ON sb.g = inter.gb
+    """

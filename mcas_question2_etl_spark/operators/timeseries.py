@@ -1752,3 +1752,121 @@ def dow_anomaly_days_sql(
     FROM dowed JOIN based ON based.g = dowed.g AND based.dow = dowed.dow
     GROUP BY dowed.g, dowed.dow, based.n_days, based.mu, based.sigma
     """
+
+
+def conversion_latency_quantiles(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    from_type: str = "click",
+    to_type: str = "purchase",
+    ps: tuple = (25, 50, 75, 90),
+) -> DataFrame:
+    """Latency percentiles from each user's FIRST ``from_type`` event
+    to their first ``to_type`` AT OR AFTER it — the funnel-timing
+    report (how long does click -> purchase take) that complements
+    funnel_conversion's how-many with how-fast.
+
+    Exactness: latencies are exact integer micros (one conditional
+    min-pair aggregation per user); percentiles are TYPE-1 lower
+    element picks resolved through the value-grain cumulative device
+    (no global row ranking — same shape as qq_compare's pooled
+    ladder). Output: (p, latency_us, n_users) with n_users the
+    converting-user count.
+    """
+    per_user = (
+        df.where(F.col(type_col).isin([from_type, to_type]))
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(
+            F.min(
+                F.when(
+                    F.col(type_col) == from_type, F.unix_micros(F.col(ts_col))
+                )
+            ).alias("t0")
+        )
+    )
+    # first to_type at/after t0 needs t0 first: re-aggregate with join
+    joined = (
+        df.where(F.col(type_col) == to_type)
+        .select(
+            F.col(user_col).alias("u"),
+            F.unix_micros(F.col(ts_col)).alias("tp"),
+        )
+        .join(per_user.where(F.col("t0").isNotNull()), "u")
+        .where(F.col("tp") >= F.col("t0"))
+        .groupBy("u")
+        # t0 is constant within each user's group, so MIN(t0) = t0
+        .agg((F.min("tp") - F.min("t0")).cast("bigint").alias("lat"))
+    )
+    vals = joined.groupBy("lat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wv = Window.orderBy("lat").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vals.select(
+        "lat", F.sum("c").over(wv).cast("bigint").alias("cum")
+    )
+    ntot = joined.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    idx = ntot.select(
+        F.explode(F.array(*[F.lit(p) for p in ps])).alias("p"),
+        F.col("n"),
+    ).select(
+        "p",
+        (1 + F.expr("((n - 1) * p) div 100")).cast("bigint").alias("idx"),
+        F.col("n").alias("n_users"),
+    )
+    return (
+        idx.join(cum, F.col("cum") >= F.col("idx"))
+        .groupBy("p", "n_users")
+        .agg(F.min("lat").alias("latency_us"))
+        .select("p", "latency_us", "n_users")
+    )
+
+
+def conversion_latency_quantiles_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    from_type: str = "click",
+    to_type: str = "purchase",
+    ps: tuple = (25, 50, 75, 90),
+) -> str:
+    """DuckDB twin of :func:`conversion_latency_quantiles`."""
+    plist = ", ".join(str(p) for p in ps)
+    return f"""
+    WITH per_user AS (
+      SELECT {user_col} AS u,
+             MIN(CASE WHEN {type_col} = '{from_type}'
+                 THEN epoch_us({ts_col}) END) AS t0
+      FROM {table}
+      WHERE {type_col} IN ('{from_type}', '{to_type}')
+      GROUP BY 1
+    ),
+    joined AS (
+      SELECT e.u, CAST(MIN(e.tp) - MIN(per_user.t0) AS BIGINT) AS lat
+      FROM (SELECT {user_col} AS u, epoch_us({ts_col}) AS tp
+            FROM {table} WHERE {type_col} = '{to_type}') e
+      JOIN per_user ON per_user.u = e.u AND per_user.t0 IS NOT NULL
+      WHERE e.tp >= per_user.t0
+      GROUP BY e.u
+    ),
+    vals AS (
+      SELECT lat, CAST(COUNT(*) AS BIGINT) AS c FROM joined GROUP BY lat
+    ),
+    cum AS (
+      SELECT lat, CAST(SUM(c) OVER (ORDER BY lat
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+      FROM vals
+    ),
+    ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM joined),
+    idx AS (
+      SELECT p, CAST(1 + ((n - 1) * p) // 100 AS BIGINT) AS idx,
+             n AS n_users
+      FROM ntot CROSS JOIN (SELECT unnest([{plist}]) AS p)
+    )
+    SELECT idx.p, MIN(cum.lat) AS latency_us, idx.n_users
+    FROM idx JOIN cum ON cum.cum >= idx.idx
+    GROUP BY idx.p, idx.n_users
+    """

@@ -64,6 +64,7 @@ from . import wave49 as _wave49
 from . import wave50 as _wave50
 from . import wave51 as _wave51
 from . import wave52 as _wave52
+from . import wave53 as _wave53
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -126,6 +127,7 @@ _ALL: list[QuerySpec] = [
     *_wave50.SPECS,
     *_wave51.SPECS,
     *_wave52.SPECS,
+    *_wave53.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
