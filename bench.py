@@ -371,6 +371,12 @@ HEADLINE = [
     "conversion_latency_quantiles",
     "theil_doclen_decomposition",
     "source_vocab_jaccard",
+    # wave 54: spatial-NN/triples/LTV/fingerprint/skew
+    "haversine_nearest_supplier",
+    "event_triple_patterns",
+    "cohort_ltv_curve",
+    "part_fingerprint_clusters",
+    "partition_skew_report",
 ]
 
 

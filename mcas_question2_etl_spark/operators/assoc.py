@@ -121,3 +121,84 @@ def association_rules_sql(
     JOIN sup sb ON sb.it = p.item_b
     CROSS JOIN nb
     """
+
+
+def frequent_triples(
+    df: DataFrame,
+    basket_cols: list,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Level-3 frequent itemsets (Apriori's triple pass): count
+    unordered item TRIPLES co-present in a basket, keep support >=
+    ``min_support`` — the next rung above :func:`association_rules`'
+    pairs for "what three behaviors cluster" questions.
+
+    Scale containment: baskets reduce to DISTINCT (basket, item)
+    first; the triple join is a 3-way self-equi-join on the basket
+    key with a < ordering chain, so per-basket cost is C(k,3) over
+    the basket's DISTINCT item count — bounded when baskets are
+    (as in any behavioral log with a small event taxonomy). Counts
+    are exact bigints; support_frac is one exact division. Output:
+    (item_a, item_b, item_c, n_baskets, support_frac).
+    """
+    b = df.select(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in basket_cols])
+        .alias("bk"),
+        F.col(item_col).alias("i"),
+    ).distinct()
+    tot = b.agg(
+        F.countDistinct("bk").cast("bigint").alias("__tot")
+    )
+    t1 = b.select("bk", F.col("i").alias("item_a"))
+    t2 = b.select("bk", F.col("i").alias("item_b"))
+    t3 = b.select("bk", F.col("i").alias("item_c"))
+    triples = (
+        t1.join(t2, "bk")
+        .where(F.col("item_a") < F.col("item_b"))
+        .join(t3, "bk")
+        .where(F.col("item_b") < F.col("item_c"))
+        .groupBy("item_a", "item_b", "item_c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
+        .where(F.col("n_baskets") >= min_support)
+    )
+    return triples.crossJoin(F.broadcast(tot)).select(
+        "item_a",
+        "item_b",
+        "item_c",
+        "n_baskets",
+        (F.col("n_baskets").cast("double") / F.col("__tot")).alias(
+            "support_frac"
+        ),
+    )
+
+
+def frequent_triples_sql(
+    table_sql: str,
+    basket_cols: list,
+    item_col: str,
+    min_support: int = 2,
+) -> str:
+    """DuckDB twin of :func:`frequent_triples`; ``table_sql`` yields
+    the basket rows."""
+    bk = " || chr(31) || ".join(
+        f"CAST({c} AS VARCHAR)" for c in basket_cols
+    )
+    return f"""
+    WITH b AS (
+      SELECT DISTINCT {bk} AS bk, {item_col} AS i FROM ({table_sql})
+    ),
+    tot AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS n FROM b),
+    triples AS (
+      SELECT t1.i AS item_a, t2.i AS item_b, t3.i AS item_c,
+             CAST(COUNT(*) AS BIGINT) AS n_baskets
+      FROM b t1
+      JOIN b t2 ON t2.bk = t1.bk AND t1.i < t2.i
+      JOIN b t3 ON t3.bk = t1.bk AND t2.i < t3.i
+      GROUP BY 1, 2, 3
+      HAVING COUNT(*) >= {min_support}
+    )
+    SELECT item_a, item_b, item_c, n_baskets,
+           CAST(n_baskets AS DOUBLE) / tot.n AS support_frac
+    FROM triples CROSS JOIN tot
+    """

@@ -483,3 +483,85 @@ def qq_compare_sql(
            pooled_q.pooled_q, group_q.q_value - pooled_q.pooled_q AS diff
     FROM group_q JOIN pooled_q ON pooled_q.p = group_q.p
     """
+
+
+def partition_skew_report(
+    df: DataFrame,
+    key_col: str,
+    buckets: int = 32,
+    top_k: int = 5,
+) -> DataFrame:
+    """Shuffle-partition skew diagnosis for a prospective join/agg
+    key: hash every row's key into ``buckets`` portable md5 buckets
+    (the stand-in for Spark's hash partitioner, engine-portable so
+    the oracle can replay it), report each bucket's load plus the
+    skew headline — max/avg ratio and whether the bucket's heaviest
+    single key dominates it (the hot-key-vs-hot-bucket distinction
+    that decides between salting and AQE skew handling).
+
+    Exact integer counts end to end; the ratio is one division.
+    Output: one row per bucket — (bucket, n_rows, n_keys,
+    top_key_rows, skew_ratio).
+    """
+    from .sampling import hash_bucket
+
+    keyed = df.select(
+        F.col(key_col).alias("k"), hash_bucket(key_col, buckets).alias("b")
+    )
+    per_key = keyed.groupBy("b", "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    per_bucket = per_key.groupBy("b").agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("c").cast("bigint").alias("top_key_rows"),
+    )
+    tot = per_bucket.agg(
+        F.sum("n_rows").cast("bigint").alias("__t"),
+        F.count(F.lit(1)).cast("bigint").alias("__nb"),
+    )
+    return per_bucket.crossJoin(F.broadcast(tot)).select(
+        F.col("b").alias("bucket"),
+        "n_rows",
+        "n_keys",
+        "top_key_rows",
+        (
+            F.col("n_rows").cast("double")
+            / (F.col("__t").cast("double") / F.col("__nb"))
+        ).alias("skew_ratio"),
+    )
+
+
+def partition_skew_report_sql(
+    table: str,
+    key_col: str,
+    buckets: int = 32,
+) -> str:
+    """DuckDB twin of :func:`partition_skew_report`."""
+    from .sampling import hash_bucket_sql
+
+    hb = hash_bucket_sql(key_col, buckets)
+    return f"""
+    WITH keyed AS (
+      SELECT {key_col} AS k, {hb} AS b FROM {table}
+    ),
+    per_key AS (
+      SELECT b, k, CAST(COUNT(*) AS BIGINT) AS c FROM keyed GROUP BY b, k
+    ),
+    per_bucket AS (
+      SELECT b, CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(c) AS BIGINT) AS top_key_rows
+      FROM per_key GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_rows) AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS nb
+      FROM per_bucket
+    )
+    SELECT per_bucket.b AS bucket, per_bucket.n_rows, per_bucket.n_keys,
+           per_bucket.top_key_rows,
+           CAST(per_bucket.n_rows AS DOUBLE)
+             / (CAST(tot.t AS DOUBLE) / tot.nb) AS skew_ratio
+    FROM per_bucket CROSS JOIN tot
+    """

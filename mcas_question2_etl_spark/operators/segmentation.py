@@ -23,7 +23,7 @@ customer; each score is a range shuffle of the per-customer table
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .ranking import with_ntile
@@ -121,4 +121,94 @@ def rfm_segments_sql(
            CAST(SUM(mon) AS DOUBLE) / COUNT(*) AS avg_monetary
     FROM scored
     GROUP BY r_score, f_score, m_score
+    """
+
+
+def cohort_ltv_curve(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    round_to: int = 6,
+) -> DataFrame:
+    """Cohort lifetime-value curve: users cohorted by FIRST-activity
+    month, cumulative value per cohort at each month-since-signup —
+    the unit-economics triangle next to cohort_retention_matrix's
+    who-came-back (this one answers what-they-were-worth).
+
+    Determinism: month indices are exact integer year*12+month
+    arithmetic; per-(cohort, month) value sums are ROUNDed (default
+    6dp — double addend order differs across engines), and the
+    cumulative sum then runs over the month-ORDERED rounded values,
+    so the running totals are bit-identical. Scale: two aggregations
+    (user first-month, cohort-month rollup) + one window over the
+    tiny cohort x month grid.
+
+    Output: (cohort_month, months_since, n_users, month_value,
+    cum_value) — n_users = cohort size, constant per cohort row.
+    """
+    mon = F.year(ts_col) * 12 + F.month(ts_col)
+    first = df.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(mon).cast("bigint").alias("cm")
+    )
+    sized = first.groupBy("cm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    rolled = (
+        df.select(
+            F.col(user_col).alias("u"),
+            mon.cast("bigint").alias("em"),
+            F.col(value_col).alias("v"),
+        )
+        .join(first, "u")
+        .groupBy("cm", (F.col("em") - F.col("cm")).alias("months_since"))
+        .agg(F.round(F.sum("v"), round_to).alias("month_value"))
+    )
+    w = Window.partitionBy("cm").orderBy("months_since").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        rolled.join(F.broadcast(sized), "cm")
+        .select(
+            F.col("cm").alias("cohort_month"),
+            "months_since",
+            "n_users",
+            "month_value",
+            F.round(F.sum("month_value").over(w), round_to).alias("cum_value"),
+        )
+    )
+
+
+def cohort_ltv_curve_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`cohort_ltv_curve`."""
+    return f"""
+    WITH first AS (
+      SELECT {user_col} AS u,
+             CAST(MIN(year({ts_col}) * 12 + month({ts_col})) AS BIGINT) AS cm
+      FROM {table} GROUP BY 1
+    ),
+    sized AS (
+      SELECT cm, CAST(COUNT(*) AS BIGINT) AS n_users FROM first GROUP BY cm
+    ),
+    rolled AS (
+      SELECT first.cm,
+             CAST(year(e.{ts_col}) * 12 + month(e.{ts_col}) AS BIGINT)
+               - first.cm AS months_since,
+             ROUND(SUM(e.{value_col}), {round_to}) AS month_value
+      FROM {table} e JOIN first ON first.u = e.{user_col}
+      GROUP BY 1, 2
+    )
+    SELECT rolled.cm AS cohort_month, rolled.months_since, sized.n_users,
+           rolled.month_value,
+           ROUND(SUM(rolled.month_value) OVER (
+                 PARTITION BY rolled.cm ORDER BY rolled.months_since
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 {round_to}) AS cum_value
+    FROM rolled JOIN sized ON sized.cm = rolled.cm
     """

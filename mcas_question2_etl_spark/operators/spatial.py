@@ -210,3 +210,83 @@ def shoelace_area_centroid_sql(
                 THEN CAST(cyn AS DOUBLE) / (3 * area2) END AS cy
     FROM s
     """
+
+
+def haversine_m(lat1, lon1, lat2, lon2):
+    """Great-circle distance in meters (haversine, WGS84 mean radius
+    6371008.8 m) as a Column expression — written in one fixed
+    operation order so both engines produce bit-identical doubles on
+    identical inputs (each trig call is a single libm op on an exact
+    value; cross-engine last-ulp drift is possible, so CALLERS that
+    compare/rank distances should round first)."""
+    rad = 3.141592653589793 / 180
+    r2 = 6371008.8 * 2
+    dlat = (lat2 - lat1) * rad / 2
+    dlon = (lon2 - lon1) * rad / 2
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(lat1 * rad) * F.cos(lat2 * rad) * F.sin(dlon) * F.sin(dlon)
+    )
+    return F.lit(r2) * F.asin(F.sqrt(a))
+
+
+def haversine_m_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """DuckDB twin of :func:`haversine_m` — identical structure."""
+    rad = "3.141592653589793 / 180"
+    return (
+        f"6371008.8 * 2 * asin(sqrt("
+        f"sin((({lat2}) - ({lat1})) * ({rad}) / 2)"
+        f" * sin((({lat2}) - ({lat1})) * ({rad}) / 2)"
+        f" + cos(({lat1}) * ({rad})) * cos(({lat2}) * ({rad}))"
+        f" * sin((({lon2}) - ({lon1})) * ({rad}) / 2)"
+        f" * sin((({lon2}) - ({lon1})) * ({rad}) / 2)))"
+    )
+
+
+def nearest_neighbor_join(
+    points: DataFrame,
+    sites: DataFrame,
+    point_id: str,
+    site_id: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Nearest-site assignment: for every point (id, lat, lon) pick
+    the closest site (id, lat, lon) by haversine distance — the
+    store-assignment / nearest-facility join.
+
+    Strategy: ``sites`` is a DIMENSION (broadcast); every point scans
+    the broadcast site list once — no shuffle of the point table at
+    all, the right plan when sites fit an executor (thousands). For
+    site tables beyond broadcast size, use the grid-bucketed
+    point_in_polygon_join machinery instead. Selection is min_by over
+    (ROUNDed distance, site id) so a last-ulp trig difference can
+    never flip the winner across engines. Output: (point_id, site_id,
+    distance_m).
+    """
+    p = points.select(
+        F.col(point_id).alias("pid"),
+        F.col("lat").alias("plat"),
+        F.col("lon").alias("plon"),
+    )
+    s = sites.select(
+        F.col(site_id).alias("sid"),
+        F.col("lat").alias("slat"),
+        F.col("lon").alias("slon"),
+    )
+    d = F.round(
+        haversine_m(
+            F.col("plat"), F.col("plon"), F.col("slat"), F.col("slon")
+        ),
+        round_to,
+    )
+    scored = p.crossJoin(F.broadcast(s)).select(
+        "pid", "sid", d.alias("d")
+    )
+    return scored.groupBy("pid").agg(
+        F.min_by("sid", F.struct(F.col("d"), F.col("sid"))).alias("nearest"),
+        F.min("d").alias("distance_m"),
+    ).select(
+        F.col("pid").alias(point_id),
+        F.col("nearest").alias(site_id),
+        "distance_m",
+    )

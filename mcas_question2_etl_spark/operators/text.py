@@ -1301,3 +1301,73 @@ def source_vocab_jaccard_sql(
     JOIN sizes sa ON sa.g = inter.ga
     JOIN sizes sb ON sb.g = inter.gb
     """
+
+
+def fingerprint_clusters(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+) -> DataFrame:
+    """OpenRefine-style fingerprint clustering of messy strings: the
+    key is the SORTED distinct lowercase token multiset ("General
+    Electric Co" ~ "co general electric"), entries sharing a key are
+    one cluster — the standard first pass of interactive data
+    cleaning, as a deterministic engine operator.
+
+    All scan-stage expressions (lower/split/distinct/sort/join) + one
+    key rollup; strings shuffle as fingerprints. Output: one row per
+    cluster with >= 2 DISTINCT raw spellings — (fingerprint,
+    n_rows, n_spellings, canonical_name = the min raw spelling,
+    min_id).
+    """
+    keyed = df.select(
+        F.col(id_col).alias("i"),
+        F.col(name_col).alias("nm"),
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.split(F.lower(F.trim(F.col(name_col))), r"\s+")
+                )
+            ),
+            " ",
+        ).alias("fp"),
+    )
+    return (
+        keyed.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("nm").cast("bigint").alias("n_spellings"),
+            F.min("nm").alias("canonical_name"),
+            F.min("i").cast("bigint").alias("min_id"),
+        )
+        .where(F.col("n_spellings") >= 2)
+        .select(
+            F.col("fp").alias("fingerprint"),
+            "n_rows",
+            "n_spellings",
+            "canonical_name",
+            "min_id",
+        )
+    )
+
+
+def fingerprint_clusters_sql(
+    table: str,
+    id_col: str,
+    name_col: str,
+) -> str:
+    """DuckDB twin of :func:`fingerprint_clusters`."""
+    return f"""
+    WITH keyed AS (
+      SELECT {id_col} AS i, {name_col} AS nm,
+             array_to_string(list_sort(list_distinct(
+               string_split_regex(lower(trim({name_col})), '\\s+'))), ' ')
+               AS fp
+      FROM {table}
+    )
+    SELECT fp AS fingerprint, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT nm) AS BIGINT) AS n_spellings,
+           MIN(nm) AS canonical_name, CAST(MIN(i) AS BIGINT) AS min_id
+    FROM keyed GROUP BY fp
+    HAVING COUNT(DISTINCT nm) >= 2
+    """

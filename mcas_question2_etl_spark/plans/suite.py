@@ -65,6 +65,7 @@ from . import wave50 as _wave50
 from . import wave51 as _wave51
 from . import wave52 as _wave52
 from . import wave53 as _wave53
+from . import wave54 as _wave54
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -128,6 +129,7 @@ _ALL: list[QuerySpec] = [
     *_wave51.SPECS,
     *_wave52.SPECS,
     *_wave53.SPECS,
+    *_wave54.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
