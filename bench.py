@@ -377,6 +377,12 @@ HEADLINE = [
     "cohort_ltv_curve",
     "part_fingerprint_clusters",
     "partition_skew_report",
+    # wave 55: RAKE/drift/burstiness/SRM/negatives
+    "rake_keywords",
+    "sliding_vocab_drift",
+    "token_burstiness_report",
+    "srm_check_users",
+    "negative_sampling_pairs",
 ]
 
 

@@ -1116,3 +1116,81 @@ def ratio_metric_ab_test_sql(
     FROM (SELECT * FROM stats WHERE g = '{group_a}') a
     CROSS JOIN (SELECT * FROM stats WHERE g = '{group_b}') b
     """
+
+
+def srm_check(
+    df: DataFrame,
+    unit_col: str,
+    n_arms: int = 2,
+) -> DataFrame:
+    """Sample-ratio-mismatch check for a hash-based experiment split:
+    assign every distinct unit to one of ``n_arms`` arms with the
+    repo's portable md5 bucketing, then chi-square goodness-of-fit
+    against the equal-allocation expectation — the first diagnostic
+    every A/B readout must pass (an SRM means the assignment or
+    logging is broken and all downstream stats are void).
+
+    Exact bigint arm counts; chi2 = sum (o - e)^2 / e is a k-term
+    fixed expression per arm summed over k rows (k tiny, and each
+    term is exact-input IEEE) — spelled identically in both engines.
+    Flag at the 1%% critical value for k-1 df (hardcoded for k <= 5,
+    the practical arm counts). Output: one row per arm
+    (arm, n_units, expected, chi2, srm_flag).
+    """
+    from .sampling import hash_bucket
+
+    crit = {1: 6.635, 2: 9.21, 3: 11.345, 4: 13.277}
+    units = df.select(F.col(unit_col).alias("u")).distinct()
+    arms = units.select(hash_bucket("u", n_arms).alias("arm"))
+    counts = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units")
+    )
+    tot = counts.agg(F.sum("n_units").cast("bigint").alias("__N"))
+    based = counts.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "n_units",
+        (F.col("__N").cast("double") / n_arms).alias("expected"),
+    )
+    dev = (F.col("n_units") - F.col("expected"))
+    chi = based.agg(
+        F.sum(dev * dev / F.col("expected")).alias("chi2")
+    )
+    return based.crossJoin(F.broadcast(chi)).select(
+        "arm",
+        "n_units",
+        "expected",
+        "chi2",
+        (F.col("chi2") > crit[n_arms - 1]).alias("srm_flag"),
+    )
+
+
+def srm_check_sql(
+    table: str,
+    unit_col: str,
+    n_arms: int = 2,
+) -> str:
+    """DuckDB twin of :func:`srm_check`."""
+    from .sampling import hash_bucket_sql
+
+    crit = {1: 6.635, 2: 9.21, 3: 11.345, 4: 13.277}
+    hb = hash_bucket_sql("u", n_arms)
+    return f"""
+    WITH units AS (SELECT DISTINCT {unit_col} AS u FROM {table}),
+    arms AS (SELECT {hb} AS arm FROM units),
+    counts AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_units FROM arms GROUP BY arm
+    ),
+    tot AS (SELECT CAST(SUM(n_units) AS BIGINT) AS N FROM counts),
+    based AS (
+      SELECT arm, n_units, CAST(N AS DOUBLE) / {n_arms} AS expected
+      FROM counts CROSS JOIN tot
+    ),
+    chi AS (
+      SELECT SUM((n_units - expected) * (n_units - expected) / expected)
+               AS chi2
+      FROM based
+    )
+    SELECT based.arm, based.n_units, based.expected, chi.chi2,
+           chi.chi2 > {crit[n_arms - 1]} AS srm_flag
+    FROM based CROSS JOIN chi
+    """

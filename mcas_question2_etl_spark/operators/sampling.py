@@ -396,3 +396,69 @@ def neyman_allocation_sql(
            COALESCE(k.n_kept, 0) AS n_kept
     FROM alloc a LEFT JOIN kept k USING ({stratum_col})
     """
+
+
+def negative_sampling_pairs(
+    df: DataFrame,
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every anchor id, ``k`` pseudo-random NEGATIVE ids drawn from the
+    same table by modular arithmetic over the DENSE id range — no
+    RNG state, no join, so the pairing is reproducible on any
+    engine/partitioning (the same discipline as hash_bucket splits).
+
+    offset_i = (id * 31 + i * 97) %% (N - 1) + 1  (always nonzero)
+    negative = lo + ((id - lo + offset_i) %% N)   (never the anchor)
+
+    Requires a dense integer id domain [lo, hi] (the generated
+    tables' doc_id/custkey shape); callers with sparse ids should
+    densify via the repo's two-phase rank first. Pure scan-stage
+    integer expressions; one broadcast of the 2-value bounds row.
+    Output: (anchor, neg_rank, negative).
+    """
+    bounds = df.agg(
+        F.min(F.col(id_col)).cast("bigint").alias("__lo"),
+        F.max(F.col(id_col)).cast("bigint").alias("__hi"),
+    )
+    ranks = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias(
+        "neg_rank"
+    )
+    based = df.select(F.col(id_col).cast("bigint").alias("anchor")).crossJoin(
+        F.broadcast(bounds)
+    ).select("anchor", "__lo", "__hi", ranks)
+    return based.select(
+        "anchor",
+        F.col("neg_rank").cast("int").alias("neg_rank"),
+        F.expr(
+            "__lo + ((anchor - __lo + ((anchor * 31 + neg_rank * 97) "
+            "% (__hi - __lo) + 1)) % (__hi - __lo + 1))"
+        ).cast("bigint").alias("negative"),
+    )
+
+
+def negative_sampling_pairs_sql(
+    table: str,
+    id_col: str,
+    k: int = 3,
+) -> str:
+    """DuckDB twin of :func:`negative_sampling_pairs`."""
+    ranks = ", ".join(str(i) for i in range(k))
+    return f"""
+    WITH bounds AS (
+      SELECT CAST(MIN({id_col}) AS BIGINT) AS lo,
+             CAST(MAX({id_col}) AS BIGINT) AS hi
+      FROM {table}
+    ),
+    based AS (
+      SELECT CAST({id_col} AS BIGINT) AS anchor, lo, hi, i AS neg_rank
+      FROM {table} CROSS JOIN bounds
+      CROSS JOIN (SELECT unnest([{ranks}]) AS i)
+    )
+    SELECT anchor, CAST(neg_rank AS INTEGER) AS neg_rank,
+           CAST(lo + ((anchor - lo + ((anchor * 31 + neg_rank * 97)
+                       % (hi - lo) + 1)) % (hi - lo + 1)) AS BIGINT)
+             AS negative
+    FROM based
+    """

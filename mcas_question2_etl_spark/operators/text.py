@@ -1371,3 +1371,290 @@ def fingerprint_clusters_sql(
     FROM keyed GROUP BY fp
     HAVING COUNT(DISTINCT nm) >= 2
     """
+
+
+#: RAKE phrase-boundary pattern: runs of stopwords (whole-word) and/or
+#: punctuation. Verified to split identically under Java regex and RE2.
+RAKE_BOUNDARY_RE = (
+    r"(?:\b(?:" + "|".join(STOPWORDS) + r")\b|[^a-z0-9\s])+"
+)
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    min_occurrences: int = 3,
+    max_phrase_words: int = 4,
+    round_to: int = 9,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal runs between stopword/punctuation
+    boundaries; each word scores deg(w)/freq(w) (degree = summed
+    length of phrases containing it, frequency = occurrences) and a
+    phrase scores the sum over its words — multi-word domain terms
+    outrank common unigrams.
+
+    Exactness: deg/freq are exact bigints from one phrase-word
+    explode; the per-phrase score sums <= ``max_phrase_words``
+    ratios and is ROUNDed (addend order differs across engines).
+    Scale: two scans of the phrase table (words shuffle as tokens,
+    documents never do); the boundary split is scan-stage regex.
+
+    Output: (phrase, n_words, n_occurrences, score) for phrases seen
+    >= ``min_occurrences`` times, 1 < n_words <= max_phrase_words.
+    """
+    phrases = (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), RAKE_BOUNDARY_RE)
+            ).alias("__raw")
+        )
+        .select(
+            F.regexp_replace(F.trim(F.col("__raw")), r"\s+", " ").alias("ph")
+        )
+        .where(F.col("ph") != "")
+    )
+    sized = phrases.select(
+        "ph", F.size(F.split(F.col("ph"), " ")).alias("nw")
+    ).where(F.col("nw") <= max_phrase_words)
+    words = sized.select(
+        "ph", "nw", F.explode(F.split(F.col("ph"), " ")).alias("w")
+    )
+    wstats = words.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("nw").cast("bigint").alias("deg"),
+    )
+    scored = (
+        words.join(wstats, "w")
+        .groupBy("ph", "nw")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("deg").cast("double") / F.col("freq")
+                ),
+                round_to,
+            ).alias("__s"),
+        )
+    )
+    # __s sums word scores over EVERY occurrence row of the phrase;
+    # dividing by the occurrence count yields the single-occurrence
+    # RAKE score exactly (each occurrence contributes identical terms)
+    occ = sized.groupBy("ph", "nw").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    per_occurrence = scored.join(occ, ["ph", "nw"]).select(
+        F.col("ph").alias("phrase"),
+        F.col("nw").cast("bigint").alias("n_words"),
+        "n_occurrences",
+        F.round(F.col("__s") / F.col("n_occurrences"), round_to).alias(
+            "score"
+        ),
+    )
+    return per_occurrence.where(
+        (F.col("n_occurrences") >= min_occurrences) & (F.col("n_words") > 1)
+    )
+
+
+def rake_keywords_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    min_occurrences: int = 3,
+    max_phrase_words: int = 4,
+    round_to: int = 9,
+) -> str:
+    """DuckDB twin of :func:`rake_keywords`."""
+    pat = RAKE_BOUNDARY_RE
+    return f"""
+    WITH phrases AS (
+      SELECT regexp_replace(trim(p), '\\s+', ' ', 'g') AS ph
+      FROM (SELECT unnest(string_split_regex(lower({text_col}),
+                   '{pat}')) AS p
+            FROM {table})
+      WHERE regexp_replace(trim(p), '\\s+', ' ', 'g') <> ''
+    ),
+    sized AS (
+      SELECT ph, len(string_split(ph, ' ')) AS nw
+      FROM phrases WHERE len(string_split(ph, ' ')) <= {max_phrase_words}
+    ),
+    words AS (
+      SELECT ph, nw, unnest(string_split(ph, ' ')) AS w FROM sized
+    ),
+    wstats AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(nw) AS BIGINT) AS deg
+      FROM words GROUP BY w
+    ),
+    scored AS (
+      SELECT ph, nw,
+             ROUND(SUM(CAST(deg AS DOUBLE) / freq), {round_to}) AS s
+      FROM words JOIN wstats ON wstats.w = words.w
+      GROUP BY ph, nw
+    ),
+    occ AS (
+      SELECT ph, nw, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM sized GROUP BY ph, nw
+    )
+    SELECT scored.ph AS phrase, CAST(scored.nw AS BIGINT) AS n_words,
+           occ.n_occurrences,
+           ROUND(scored.s / occ.n_occurrences, {round_to}) AS score
+    FROM scored JOIN occ ON occ.ph = scored.ph AND occ.nw = scored.nw
+    WHERE occ.n_occurrences >= {min_occurrences} AND scored.nw > 1
+    """
+
+
+def sliding_vocab_drift(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 5,
+) -> DataFrame:
+    """Vocabulary drift along ingest order: Jaccard similarity of the
+    DISTINCT token sets of CONSECUTIVE equal-width ``id_col`` buckets
+    — a falling curve means the crawl's language is shifting (new
+    domain mix, new boilerplate), the between-checkpoint complement
+    to vocab_growth_curve's cumulative view.
+
+    Exact bigint set algebra throughout (same bucket math as
+    vocab_growth_curve, same pairwise-intersection shape as
+    source_vocab_jaccard but only adjacent pairs join). Output:
+    (bucket_a, bucket_b, vocab_a, vocab_b, n_common, jaccard).
+    """
+    bounds = df.agg(
+        F.min(F.col(id_col)).cast("bigint").alias("__lo"),
+        F.max(F.col(id_col)).cast("bigint").alias("__hi"),
+    )
+    toks = (
+        df.select(
+            F.col(id_col).alias("d"),
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+            ).alias("t"),
+        )
+        .where(F.col("t") != "")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(f"((d - __lo) * {buckets}) div (__hi - __lo + 1)")
+            .cast("int")
+            .alias("b"),
+            "t",
+        )
+        .distinct()
+    )
+    sizes = toks.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    nxt = toks.select((F.col("b") - 1).alias("b"), F.col("t"))
+    inter = (
+        toks.join(nxt, ["b", "t"])
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("b"), F.col("v").alias("vocab_a"))
+    sb = sizes.select((F.col("b") - 1).alias("b"), F.col("v").alias("vocab_b"))
+    return (
+        inter.join(sa, "b")
+        .join(sb, "b")
+        .select(
+            F.col("b").alias("bucket_a"),
+            (F.col("b") + 1).cast("int").alias("bucket_b"),
+            "vocab_a",
+            "vocab_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def sliding_vocab_drift_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 5,
+) -> str:
+    """DuckDB twin of :func:`sliding_vocab_drift`."""
+    return f"""
+    WITH bounds AS (
+      SELECT CAST(MIN({id_col}) AS BIGINT) AS lo,
+             CAST(MAX({id_col}) AS BIGINT) AS hi
+      FROM {table}
+    ),
+    toks AS (
+      SELECT DISTINCT
+             CAST(((d - lo) * {buckets}) // (hi - lo + 1) AS INTEGER) AS b, t
+      FROM (SELECT {id_col} AS d,
+                   unnest(string_split_regex(lower({text_col}), '\\s+')) AS t
+            FROM {table}) CROSS JOIN bounds
+      WHERE t <> ''
+    ),
+    sizes AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS v FROM toks GROUP BY b),
+    inter AS (
+      SELECT a.b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM toks a JOIN toks n ON n.b = a.b + 1 AND n.t = a.t
+      GROUP BY a.b
+    )
+    SELECT inter.b AS bucket_a, CAST(inter.b + 1 AS INTEGER) AS bucket_b,
+           sa.v AS vocab_a, sb.v AS vocab_b, inter.n_common,
+           CAST(inter.n_common AS DOUBLE)
+             / (sa.v + sb.v - inter.n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.b = inter.b
+    JOIN sizes sb ON sb.b = inter.b + 1
+    """
+
+
+def token_burstiness_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 10,
+) -> DataFrame:
+    """Church-Gale token burstiness: collection frequency / document
+    frequency per token — bursty tokens (cf/df >> 1) concentrate
+    inside few documents (names, topical jargon, boilerplate
+    repeats) while function-like words spread evenly; the signal
+    behind adaptive-LM caching and term-weighting beyond tf-idf.
+
+    Exact bigint cf (total occurrences) and df (containing docs)
+    from ONE tokenized pass (posexplode keeps duplicates for cf;
+    countDistinct doc gives df); one division. Output: (token, cf,
+    df, burstiness) for df >= ``min_df``.
+    """
+    toks = df.select(
+        F.col(id_col).alias("d"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("t"),
+    ).where(F.col("t") != "")
+    stats = toks.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cf"),
+        F.countDistinct("d").cast("bigint").alias("df"),
+    )
+    return stats.where(F.col("df") >= min_df).select(
+        F.col("t").alias("token"),
+        "cf",
+        "df",
+        (F.col("cf").cast("double") / F.col("df")).alias("burstiness"),
+    )
+
+
+def token_burstiness_report_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 10,
+) -> str:
+    """DuckDB twin of :func:`token_burstiness_report`."""
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS d,
+             unnest(string_split_regex(lower({text_col}), '\\s+')) AS t
+      FROM {table}
+    )
+    SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS cf,
+           CAST(COUNT(DISTINCT d) AS BIGINT) AS df,
+           CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT d) AS burstiness
+    FROM toks WHERE t <> ''
+    GROUP BY t
+    HAVING COUNT(DISTINCT d) >= {min_df}
+    """

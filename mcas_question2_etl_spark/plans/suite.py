@@ -66,6 +66,7 @@ from . import wave51 as _wave51
 from . import wave52 as _wave52
 from . import wave53 as _wave53
 from . import wave54 as _wave54
+from . import wave55 as _wave55
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -130,6 +131,7 @@ _ALL: list[QuerySpec] = [
     *_wave52.SPECS,
     *_wave53.SPECS,
     *_wave54.SPECS,
+    *_wave55.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
