@@ -383,6 +383,12 @@ HEADLINE = [
     "token_burstiness_report",
     "srm_check_users",
     "negative_sampling_pairs",
+    # wave 56: logrank/powerlaw/growth/ABC-XYZ/hotspots
+    "logrank_retention_test",
+    "powerlaw_alpha_doclen",
+    "monthly_growth_accounting",
+    "abc_xyz_matrix",
+    "grid_density_hotspots",
 ]
 
 

@@ -314,3 +314,222 @@ def theil_decomposition_sql(
            totals.within_total + totals.between_total AS theil_total
     FROM rows_ CROSS JOIN totals
     """
+
+
+def hill_powerlaw_alpha(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    xmin: int = 100,
+    round_to: int = 9,
+) -> DataFrame:
+    """Hill estimator of the power-law tail exponent per group:
+    alpha = 1 + n / sum(ln(x/xmin)) over values >= xmin (Clauset-
+    Shalizi-Newman's discrete MLE approximation) — the one-number
+    heavy-tail summary behind "is this length/degree distribution
+    scale-free", sharper than eyeballing the zipf rank plot.
+
+    Exact bigint tail counts; the ln sum is ROUNDed (row order);
+    alpha is then one fixed expression. Output: (group, n_tail,
+    xmin, alpha); groups whose tail sum is 0 (all values == xmin)
+    emit NULL alpha.
+    """
+    tail = df.where(F.col(value_col) >= xmin).select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+    agg = tail.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        F.round(
+            F.sum(F.log(F.col("x") / xmin)), round_to
+        ).alias("__s"),
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_tail",
+        F.lit(xmin).cast("bigint").alias("xmin"),
+        F.when(
+            F.col("__s") > 0, 1 + F.col("n_tail") / F.col("__s")
+        ).alias("alpha"),
+    )
+
+
+def hill_powerlaw_alpha_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    xmin: int = 100,
+    round_to: int = 9,
+) -> str:
+    """DuckDB twin of :func:`hill_powerlaw_alpha`."""
+    return f"""
+    WITH tail AS (
+      SELECT {group_col} AS g, CAST({value_col} AS DOUBLE) AS x
+      FROM {table} WHERE {value_col} >= {xmin}
+    ),
+    agg AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_tail,
+             ROUND(SUM(ln(x / {xmin})), {round_to}) AS s
+      FROM tail GROUP BY g
+    )
+    SELECT g AS {group_col}, n_tail,
+           CAST({xmin} AS BIGINT) AS xmin,
+           CASE WHEN s > 0 THEN 1 + n_tail / s END AS alpha
+    FROM agg
+    """
+
+
+def abc_xyz_matrix(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    qty_col: str,
+    date_col: str,
+    a_cut: str = "0.80",
+    b_cut: str = "0.95",
+    x_cv: float = 0.5,
+    y_cv: float = 1.0,
+) -> DataFrame:
+    """ABC x XYZ inventory classification matrix: ABC ranks keys by
+    revenue concentration (same decimal-exact machinery as
+    :func:`abc_classes`), XYZ classifies demand VARIABILITY via the
+    coefficient of variation of weekly quantity (X = steady, cv <
+    ``x_cv``; Y = variable; Z = erratic) — the joint view ops teams
+    actually plan stock from (an A/Z part needs very different
+    handling than A/X).
+
+    Exactness: revenue prefix sums and thresholds are all DECIMAL
+    (no float boundary); weekly quantities are exact bigints and the
+    cv is one fixed IEEE expression on exact power sums, so class
+    verdicts are engine-identical. Output: (abc_class, xyz_class,
+    n_keys, revenue).
+    """
+    from .ranking import with_running_sum
+
+    per_key = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__v")
+    )
+    total = per_key.agg(F.sum("__v").alias("__tot"))
+    run = with_running_sum(
+        per_key,
+        [F.col("__v").desc(), F.col("k")],
+        "__v",
+        out_col="__run",
+    ).crossJoin(F.broadcast(total))
+    # EXCLUSIVE-prefix convention (vs abc_classes' inclusive): a key
+    # belongs to the class whose band its cumulative share STARTS in,
+    # so a single dominant key still reads A (inclusive classing would
+    # throw a >80%-alone key straight to C).
+    abc = run.select(
+        "k",
+        "__v",
+        F.when(
+            F.col("__run") - F.col("__v")
+            < F.expr(f"CAST({a_cut} AS DECIMAL(3,2))") * F.col("__tot"),
+            F.lit("A"),
+        )
+        .when(
+            F.col("__run") - F.col("__v")
+            < F.expr(f"CAST({b_cut} AS DECIMAL(3,2))") * F.col("__tot"),
+            F.lit("B"),
+        )
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+    weekly = df.groupBy(
+        F.col(key_col).alias("k"),
+        F.expr(
+            f"datediff(cast({date_col} as date), date'1970-01-01') div 7"
+        ).alias("__wk"),
+    ).agg(F.sum(F.col(qty_col).cast("bigint")).cast("bigint").alias("__q"))
+    mom = weekly.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__kw"),
+        F.sum("__q").cast("bigint").alias("__s1"),
+        F.sum(F.col("__q") * F.col("__q")).cast("bigint").alias("__s2"),
+    )
+    kw = F.col("__kw").cast("double")
+    mean = F.col("__s1").cast("double") / kw
+    sd = F.sqrt(F.col("__s2").cast("double") / kw - mean * mean)
+    xyz = mom.select(
+        "k",
+        F.when(sd / mean < x_cv, F.lit("X"))
+        .when(sd / mean < y_cv, F.lit("Y"))
+        .otherwise(F.lit("Z"))
+        .alias("xyz_class"),
+    )
+    return (
+        abc.join(xyz, "k")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("__v").cast("double").alias("revenue"),
+        )
+    )
+
+
+def abc_xyz_matrix_sql(
+    table: str,
+    key_col: str,
+    value_col: str,
+    qty_col: str,
+    date_col: str,
+    a_cut: str = "0.80",
+    b_cut: str = "0.95",
+    x_cv: float = 0.5,
+    y_cv: float = 1.0,
+) -> str:
+    """DuckDB twin of :func:`abc_xyz_matrix`."""
+    return f"""
+    WITH per_key AS (
+      SELECT {key_col} AS k,
+             SUM(CAST({value_col} AS DECIMAL(18,2))) AS v
+      FROM {table} GROUP BY 1
+    ),
+    total AS (SELECT SUM(v) AS tot FROM per_key),
+    run AS (
+      SELECT k, v,
+             SUM(v) OVER (ORDER BY v DESC, k
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+      FROM per_key
+    ),
+    abc AS (
+      SELECT k, v,
+             CASE WHEN r - v < CAST({a_cut} AS DECIMAL(3,2)) * tot THEN 'A'
+                  WHEN r - v < CAST({b_cut} AS DECIMAL(3,2)) * tot THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM run CROSS JOIN total
+    ),
+    weekly AS (
+      SELECT {key_col} AS k,
+             date_diff('day', DATE '1970-01-01', CAST({date_col} AS DATE))
+               // 7 AS wk,
+             CAST(SUM(CAST({qty_col} AS BIGINT)) AS BIGINT) AS q
+      FROM {table} GROUP BY 1, 2
+    ),
+    mom AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS kw,
+             CAST(SUM(q) AS BIGINT) AS s1,
+             CAST(SUM(q * q) AS BIGINT) AS s2
+      FROM weekly GROUP BY k
+    ),
+    xyz AS (
+      SELECT k,
+             CASE WHEN sqrt(CAST(s2 AS DOUBLE) / CAST(kw AS DOUBLE)
+                            - (CAST(s1 AS DOUBLE) / CAST(kw AS DOUBLE))
+                              * (CAST(s1 AS DOUBLE) / CAST(kw AS DOUBLE)))
+                       / (CAST(s1 AS DOUBLE) / CAST(kw AS DOUBLE)) < {x_cv}
+                  THEN 'X'
+                  WHEN sqrt(CAST(s2 AS DOUBLE) / CAST(kw AS DOUBLE)
+                            - (CAST(s1 AS DOUBLE) / CAST(kw AS DOUBLE))
+                              * (CAST(s1 AS DOUBLE) / CAST(kw AS DOUBLE)))
+                       / (CAST(s1 AS DOUBLE) / CAST(kw AS DOUBLE)) < {y_cv}
+                  THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM mom
+    )
+    SELECT abc.abc_class, xyz.xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(abc.v) AS DOUBLE) AS revenue
+    FROM abc JOIN xyz ON xyz.k = abc.k
+    GROUP BY 1, 2
+    """

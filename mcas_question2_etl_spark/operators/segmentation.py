@@ -212,3 +212,105 @@ def cohort_ltv_curve_sql(
                  {round_to}) AS cum_value
     FROM rolled JOIN sized ON sized.cm = rolled.cm
     """
+
+
+def monthly_growth_accounting(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Growth accounting (the Social Capital framework): per calendar
+    month, decompose the active-user count into NEW (first month),
+    RETAINED (also active the previous month), RESURRECTED (active
+    before, not last month) — and count CHURNED (active last month,
+    absent now) — the standard "is growth real or replacement"
+    decomposition, extending daily_active_new_returning to full
+    lifecycle states.
+
+    Exact integer month indices (year*12+month) and counts; the
+    identity active = new + retained + resurrected holds per row, and
+    churned(m) = active(m-1) - retained(m). Scale: one user-month
+    distinct reduction, one self-join on the adjacent month, one
+    first-month join — all on the user-month grain.
+
+    Output: (month, active, new_users, retained, resurrected,
+    churned).
+    """
+    um = (
+        df.select(
+            F.col(user_col).alias("u"),
+            (F.year(ts_col) * 12 + F.month(ts_col)).cast("bigint").alias("m"),
+        )
+        .distinct()
+    )
+    first = um.groupBy("u").agg(F.min("m").alias("fm"))
+    prev = um.select("u", (F.col("m") + 1).alias("m"), F.lit(1).alias("__p"))
+    flagged = (
+        um.join(first, "u")
+        .join(prev, ["u", "m"], "left")
+        .select(
+            "m",
+            (F.col("fm") == F.col("m")).cast("int").alias("__new"),
+            F.coalesce(F.col("__p"), F.lit(0)).alias("__prev"),
+        )
+    )
+    per_month = flagged.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active"),
+        F.sum("__new").cast("bigint").alias("new_users"),
+        F.sum(F.col("__prev")).cast("bigint").alias("retained"),
+        F.sum(
+            (1 - F.col("__new")) * (1 - F.col("__prev"))
+        ).cast("bigint").alias("resurrected"),
+    )
+    lastm = per_month.select(
+        (F.col("m") + 1).alias("m"), F.col("active").alias("__prev_active")
+    )
+    return (
+        per_month.join(lastm, "m", "left")
+        .select(
+            F.col("m").alias("month"),
+            "active",
+            "new_users",
+            "retained",
+            "resurrected",
+            F.coalesce(
+                F.col("__prev_active") - F.col("retained"), F.lit(0)
+            ).cast("bigint").alias("churned"),
+        )
+    )
+
+
+def monthly_growth_accounting_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin of :func:`monthly_growth_accounting`."""
+    return f"""
+    WITH um AS (
+      SELECT DISTINCT {user_col} AS u,
+             CAST(year({ts_col}) * 12 + month({ts_col}) AS BIGINT) AS m
+      FROM {table}
+    ),
+    first AS (SELECT u, MIN(m) AS fm FROM um GROUP BY u),
+    flagged AS (
+      SELECT um.m,
+             CASE WHEN first.fm = um.m THEN 1 ELSE 0 END AS is_new,
+             CASE WHEN prev.u IS NULL THEN 0 ELSE 1 END AS was_prev
+      FROM um
+      JOIN first ON first.u = um.u
+      LEFT JOIN um prev ON prev.u = um.u AND prev.m = um.m - 1
+    ),
+    per_month AS (
+      SELECT m, CAST(COUNT(*) AS BIGINT) AS active,
+             CAST(SUM(is_new) AS BIGINT) AS new_users,
+             CAST(SUM(was_prev) AS BIGINT) AS retained,
+             CAST(SUM((1 - is_new) * (1 - was_prev)) AS BIGINT)
+               AS resurrected
+      FROM flagged GROUP BY m
+    )
+    SELECT p.m AS month, p.active, p.new_users, p.retained, p.resurrected,
+           CAST(COALESCE(q.active - p.retained, 0) AS BIGINT) AS churned
+    FROM per_month p
+    LEFT JOIN per_month q ON q.m = p.m - 1
+    """

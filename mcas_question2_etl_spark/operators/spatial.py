@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -290,3 +290,60 @@ def nearest_neighbor_join(
         F.col("nearest").alias(site_id),
         "distance_m",
     )
+
+
+def grid_density_hotspots(
+    points: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_deg: int = 5,
+    top_k: int = 10,
+) -> DataFrame:
+    """Grid-density hotspot report: bucket points into
+    ``cell_deg``-degree cells, rank cells by count — the spatial
+    aggregation behind every density heat map, and the pre-clustering
+    step that bounds DBSCAN-style neighborhoods at scale (work per
+    cell, not per point pair).
+
+    Exact integer floor-division cells and counts; ranking is
+    count-desc with (cell_lat, cell_lon) tie-break over the tiny cell
+    table, top ``top_k`` kept. Output: (cell_lat, cell_lon,
+    n_points, rank).
+    """
+    cells = points.groupBy(
+        F.floor(F.col(lat_col) / cell_deg).cast("bigint").alias("cell_lat"),
+        F.floor(F.col(lon_col) / cell_deg).cast("bigint").alias("cell_lon"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+    w = Window.orderBy(
+        F.col("n_points").desc(), F.col("cell_lat"), F.col("cell_lon")
+    )
+    return (
+        cells.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= top_k)
+    )
+
+
+def grid_density_hotspots_sql(
+    points_sql: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_deg: int = 5,
+    top_k: int = 10,
+) -> str:
+    """DuckDB twin of :func:`grid_density_hotspots`; ``points_sql``
+    yields (lat, lon) rows."""
+    return f"""
+    WITH cells AS (
+      SELECT CAST(floor({lat_col} / {cell_deg}) AS BIGINT) AS cell_lat,
+             CAST(floor({lon_col} / {cell_deg}) AS BIGINT) AS cell_lon,
+             CAST(COUNT(*) AS BIGINT) AS n_points
+      FROM ({points_sql})
+      GROUP BY 1, 2
+    )
+    SELECT cell_lat, cell_lon, n_points,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY n_points DESC,
+                    cell_lat, cell_lon) AS rank
+          FROM cells)
+    WHERE rank <= {top_k}
+    """

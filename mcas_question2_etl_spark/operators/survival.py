@@ -123,3 +123,174 @@ def kaplan_meier_sql(
            )) AS survival
     FROM r WHERE n_events > 0
     """
+
+
+def logrank_test(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_days: int = 7,
+    n_arms: int = 2,
+    round_to: int = 9,
+) -> DataFrame:
+    """Log-rank (Mantel-Cox) test between the retention curves of an
+    md5 two-arm split of users — "is arm A churning faster than arm
+    B" with censoring handled correctly, the inferential companion
+    to :func:`kaplan_meier` (which only draws the curves).
+
+    Same lifetime construction as kaplan_meier (integer-day
+    first-to-last spans, horizon-censored). At every observed-churn
+    time t: O1 = arm-1 deaths, E1 = n1*d/n, V = n1*n2*d*(n-d) /
+    (n^2*(n-1)) — each term exact-integer-input IEEE; the sums over
+    the distinct-lifetime table are ROUNDed (default 9dp), then
+    chi2 = (O1-E1)^2 / V with a 1-df 5%% flag.
+
+    Output: one row (n_a, n_b, observed_a, expected_a, variance,
+    chi2, significant).
+    """
+    from .sampling import hash_bucket
+
+    per_user = df.groupBy(user_col).agg(
+        F.min(F.col(ts_col).cast("date")).alias("__fd"),
+        F.max(F.col(ts_col).cast("date")).alias("__ld"),
+    )
+    horizon = df.agg(F.max(F.col(ts_col).cast("date")).alias("__hz"))
+    lifetimes = (
+        per_user.crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff("__ld", "__fd").cast("bigint").alias("t"),
+            (F.col("__ld") <= F.date_sub(F.col("__hz"), censor_days))
+            .cast("int")
+            .alias("obs"),
+            (hash_bucket(user_col, n_arms) == 0).cast("int").alias("a"),
+        )
+    )
+    counts = lifetimes.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m_all"),
+        F.sum("a").cast("bigint").alias("m_a"),
+        F.sum(F.col("obs")).cast("bigint").alias("d"),
+        F.sum(F.col("obs") * F.col("a")).cast("bigint").alias("d_a"),
+    )
+    # risk sets: users with lifetime >= t (suffix sums over the tiny
+    # distinct-lifetime table)
+    w = Window.orderBy("t").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    risk = counts.select(
+        "t",
+        "d",
+        "d_a",
+        F.sum("m_all").over(w).cast("bigint").alias("n"),
+        F.sum("m_a").over(w).cast("bigint").alias("n_a"),
+    ).where(F.col("d") > 0)
+    nd = F.col("n").cast("double")
+    e1 = F.col("n_a").cast("double") * F.col("d") / nd
+    v = F.when(
+        F.col("n") > 1,
+        F.col("n_a").cast("double")
+        * (F.col("n") - F.col("n_a"))
+        * F.col("d")
+        * (F.col("n") - F.col("d"))
+        / (nd * nd * (nd - 1)),
+    ).otherwise(F.lit(0.0))
+    sums = risk.agg(
+        F.sum("d_a").cast("bigint").alias("observed_a"),
+        F.round(F.sum(e1), round_to).alias("expected_a"),
+        F.round(F.sum(v), round_to).alias("variance"),
+    )
+    arms = lifetimes.agg(
+        F.sum("a").cast("bigint").alias("n_arm_a"),
+        F.sum(1 - F.col("a")).cast("bigint").alias("n_arm_b"),
+    )
+    dev = F.col("observed_a").cast("double") - F.col("expected_a")
+    chi2 = F.when(
+        F.col("variance") > 0, dev * dev / F.col("variance")
+    ).otherwise(F.lit(0.0))
+    return sums.crossJoin(F.broadcast(arms)).select(
+        F.col("n_arm_a").alias("n_a"),
+        F.col("n_arm_b").alias("n_b"),
+        "observed_a",
+        "expected_a",
+        "variance",
+        chi2.alias("chi2"),
+        (chi2 > 3.841).alias("significant"),
+    )
+
+
+def logrank_test_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_days: int = 7,
+    n_arms: int = 2,
+    round_to: int = 9,
+) -> str:
+    """DuckDB twin of :func:`logrank_test`."""
+    from .sampling import hash_bucket_sql
+
+    hb = hash_bucket_sql(user_col, n_arms)
+    return f"""
+    WITH per_user AS (
+      SELECT {user_col},
+             MIN(CAST({ts_col} AS DATE)) AS fd,
+             MAX(CAST({ts_col} AS DATE)) AS ld
+      FROM {table} GROUP BY {user_col}
+    ),
+    horizon AS (SELECT MAX(CAST({ts_col} AS DATE)) AS hz FROM {table}),
+    lifetimes AS (
+      SELECT CAST(date_diff('day', fd, ld) AS BIGINT) AS t,
+             CASE WHEN ld <= hz - INTERVAL {censor_days} DAY
+                  THEN 1 ELSE 0 END AS obs,
+             CASE WHEN ({hb}) = 0 THEN 1 ELSE 0 END AS a
+      FROM per_user CROSS JOIN horizon
+    ),
+    counts AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS m_all,
+             CAST(SUM(a) AS BIGINT) AS m_a,
+             CAST(SUM(obs) AS BIGINT) AS d,
+             CAST(SUM(obs * a) AS BIGINT) AS d_a
+      FROM lifetimes GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d, d_a,
+             CAST(SUM(m_all) OVER (ORDER BY t
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                  AS BIGINT) AS n,
+             CAST(SUM(m_a) OVER (ORDER BY t
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                  AS BIGINT) AS n_a
+      FROM counts
+    ),
+    terms AS (
+      SELECT d_a,
+             CAST(n_a AS DOUBLE) * d / CAST(n AS DOUBLE) AS e1,
+             CASE WHEN n > 1
+                  THEN CAST(n_a AS DOUBLE) * (n - n_a) * d * (n - d)
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                          * (CAST(n AS DOUBLE) - 1))
+                  ELSE 0.0 END AS v
+      FROM risk WHERE d > 0
+    ),
+    sums AS (
+      SELECT CAST(SUM(d_a) AS BIGINT) AS observed_a,
+             ROUND(SUM(e1), {round_to}) AS expected_a,
+             ROUND(SUM(v), {round_to}) AS variance
+      FROM terms
+    ),
+    arms AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n_arm_a,
+             CAST(SUM(1 - a) AS BIGINT) AS n_arm_b
+      FROM lifetimes
+    )
+    SELECT arms.n_arm_a AS n_a, arms.n_arm_b AS n_b,
+           sums.observed_a, sums.expected_a, sums.variance,
+           CASE WHEN sums.variance > 0
+                THEN (CAST(sums.observed_a AS DOUBLE) - sums.expected_a)
+                     * (CAST(sums.observed_a AS DOUBLE) - sums.expected_a)
+                     / sums.variance
+                ELSE 0.0 END AS chi2,
+           CASE WHEN sums.variance > 0
+                THEN (CAST(sums.observed_a AS DOUBLE) - sums.expected_a)
+                     * (CAST(sums.observed_a AS DOUBLE) - sums.expected_a)
+                     / sums.variance
+                ELSE 0.0 END > 3.841 AS significant
+    FROM sums CROSS JOIN arms
+    """

@@ -67,6 +67,7 @@ from . import wave52 as _wave52
 from . import wave53 as _wave53
 from . import wave54 as _wave54
 from . import wave55 as _wave55
+from . import wave56 as _wave56
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -132,6 +133,7 @@ _ALL: list[QuerySpec] = [
     *_wave53.SPECS,
     *_wave54.SPECS,
     *_wave55.SPECS,
+    *_wave56.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
