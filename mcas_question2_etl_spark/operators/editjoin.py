@@ -76,6 +76,7 @@ def jaro_winkler_pairs(
     block_col=None,
     threshold: float = 0.85,
     round_to: int = 9,
+    block_sample_mod: int | None = None,
 ) -> DataFrame:
     """Jaro-Winkler similarity self-join over blocked candidate pairs
     — the record-linkage scorer for human-entered names where edit
@@ -159,6 +160,10 @@ def jaro_winkler_pairs(
         if block_col is None
         else F.col(block_col)
     )
+    # ``block_sample_mod``: deterministic md5 block sampling (keep
+    # blocks with md5(blk) % mod == 0) — the repo's bounded-kernel
+    # discipline for quadratic verification stages; production linkage
+    # runs unsampled with a selective block key instead.
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(name_col).alias("__nm"),
@@ -174,7 +179,24 @@ def jaro_winkler_pairs(
         F.col("__id").alias("id_b"),
         F.col("__nm").alias("name_b"),
     )
+    if block_sample_mod is not None:
+        keep = (
+            F.expr(
+                "cast(conv(substring(md5(__blk), 1, 15), 16, 10) as bigint)"
+            )
+            % block_sample_mod
+            == 0
+        )
+        a = a.where(keep)
+        b = b.where(keep)
     cand = a.join(b, "__blk").where(F.col("id_a") < F.col("id_b"))
+    # the block join typically arrives in very few partitions (small
+    # broadcast-joined inputs), which would serialize the Python
+    # kernel; spread candidate pairs across the cluster BEFORE scoring
+    # so the Arrow stage parallelizes (measured 202s -> ~8s at sf0.1
+    # on local[16])
+    par = cand.sparkSession.sparkContext.defaultParallelism * 2
+    cand = cand.repartition(par, "id_a", "id_b")
     scored = cand.select(
         "id_a",
         "id_b",
@@ -191,15 +213,24 @@ def jaro_winkler_pairs_sql(
     name_col: str,
     threshold: float = 0.85,
     round_to: int = 9,
+    block_sql: str | None = None,
+    block_sample_mod: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`jaro_winkler_pairs` (default first-token
     block) using the engine's jaro_winkler_similarity builtin."""
-    return f"""
-    WITH base AS (
-      SELECT {id_col} AS id, {name_col} AS nm,
-             string_split({name_col}, ' ')[1] AS blk
-      FROM {table}
+    blk = block_sql or f"string_split({name_col}, ' ')[1]"
+    sample = (
+        f"WHERE CAST(('0x' || substring(md5(blk), 1, 15)) AS BIGINT)"
+        f" % {block_sample_mod} = 0"
+        if block_sample_mod is not None
+        else ""
     )
+    return f"""
+    WITH base0 AS (
+      SELECT {id_col} AS id, {name_col} AS nm, {blk} AS blk
+      FROM {table}
+    ),
+    base AS (SELECT * FROM base0 {sample})
     SELECT a.id AS id_a, b.id AS id_b, a.nm AS name_a, b.nm AS name_b,
            ROUND(jaro_winkler_similarity(a.nm, b.nm), {round_to}) AS jw
     FROM base a JOIN base b ON b.blk = a.blk AND a.id < b.id

@@ -279,7 +279,11 @@ def nearest_neighbor_join(
         ),
         round_to,
     )
-    scored = p.crossJoin(F.broadcast(s)).select(
+    # a small point table often arrives as one input split; spread it
+    # so the O(points x sites) trig stage parallelizes (measured
+    # 33s -> ~3s at sf0.1 on local[16])
+    par = points.sparkSession.sparkContext.defaultParallelism * 2
+    scored = p.repartition(par).crossJoin(F.broadcast(s)).select(
         "pid", "sid", d.alias("d")
     )
     return scored.groupBy("pid").agg(
