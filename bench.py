@@ -389,6 +389,12 @@ HEADLINE = [
     "monthly_growth_accounting",
     "abc_xyz_matrix",
     "grid_density_hotspots",
+    # wave 57: DiD/CUPED/rolling-corr/tier-migration/McNemar
+    "did_aa_estimator",
+    "cuped_adjusted_lift",
+    "rolling_click_purchase_corr",
+    "tier_migration_matrix",
+    "mcnemar_gates",
 ]
 
 

@@ -1194,3 +1194,450 @@ def srm_check_sql(
            chi.chi2 > {crit[n_arms - 1]} AS srm_flag
     FROM based CROSS JOIN chi
     """
+
+
+def did_estimator(
+    df: DataFrame,
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+    n_arms: int = 2,
+) -> DataFrame:
+    """Difference-in-differences estimator over an md5 2-arm unit
+    split and the corpus's two time halves — the pre/post x
+    treatment/control workhorse of causal measurement, with the SE
+    computed correctly at the UNIT level (per-unit pre-to-post deltas,
+    not pooled rows). On a hash split this is the placebo/AA harness:
+    DiD should read ~0 and its z should be well-behaved.
+
+    Metric: the unit's event count per period (exact bigints; units
+    missing from a period count 0 via the unit x period grid). All
+    moments — per-arm delta sums and squares — are exact integers, so
+    mean/variance/z are fixed IEEE expressions with zero rounding.
+
+    Output: one row (n_a, n_b, mean_a_pre, mean_a_post, mean_b_pre,
+    mean_b_post, did, se, z).
+    """
+    from .sampling import hash_bucket
+
+    span = df.agg(
+        F.min(F.unix_micros(ts_col)).alias("__t0"),
+        F.max(F.unix_micros(ts_col)).alias("__t1"),
+    )
+    tagged = df.crossJoin(F.broadcast(span)).select(
+        F.col(unit_col).alias("u"),
+        (
+            F.unix_micros(ts_col) - F.col("__t0")
+            >= F.expr("(__t1 - __t0) div 2")
+        ).cast("int").alias("post"),
+    )
+    per_unit = tagged.groupBy("u").agg(
+        F.sum(1 - F.col("post")).cast("bigint").alias("pre_x"),
+        F.sum("post").cast("bigint").alias("post_x"),
+    )
+    armed = per_unit.select(
+        (hash_bucket("u", n_arms) == 0).cast("int").alias("a"),
+        "pre_x",
+        "post_x",
+        (F.col("post_x") - F.col("pre_x")).alias("d"),
+    )
+    mom = armed.groupBy("a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("pre_x").cast("bigint").alias("s_pre"),
+        F.sum("post_x").cast("bigint").alias("s_post"),
+        F.sum("d").cast("bigint").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sdd"),
+    )
+    k = F.col("k").cast("double")
+    mean_d = F.col("sd").cast("double") / k
+    var_d = F.col("sdd").cast("double") / k - mean_d * mean_d
+    stats = mom.select(
+        "a",
+        "k",
+        (F.col("s_pre").cast("double") / k).alias("mean_pre"),
+        (F.col("s_post").cast("double") / k).alias("mean_post"),
+        mean_d.alias("mean_d"),
+        (var_d / k).alias("vm"),
+    )
+    a = stats.where(F.col("a") == 1).select(
+        F.col("k").alias("n_a"),
+        F.col("mean_pre").alias("mean_a_pre"),
+        F.col("mean_post").alias("mean_a_post"),
+        F.col("mean_d").alias("__da"),
+        F.col("vm").alias("__va"),
+    )
+    b = stats.where(F.col("a") == 0).select(
+        F.col("k").alias("n_b"),
+        F.col("mean_pre").alias("mean_b_pre"),
+        F.col("mean_post").alias("mean_b_post"),
+        F.col("mean_d").alias("__db"),
+        F.col("vm").alias("__vb"),
+    )
+    j = a.crossJoin(b)
+    did = F.col("__da") - F.col("__db")
+    se = F.sqrt(F.col("__va") + F.col("__vb"))
+    return j.select(
+        "n_a",
+        "n_b",
+        "mean_a_pre",
+        "mean_a_post",
+        "mean_b_pre",
+        "mean_b_post",
+        did.alias("did"),
+        se.alias("se"),
+        (did / se).alias("z"),
+    )
+
+
+def did_estimator_sql(
+    table: str = "events",
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+    n_arms: int = 2,
+) -> str:
+    """DuckDB twin of :func:`did_estimator`."""
+    from .sampling import hash_bucket_sql
+
+    hb = hash_bucket_sql("u", n_arms)
+    return f"""
+    WITH span AS (
+      SELECT epoch_us(MIN({ts_col})) AS t0, epoch_us(MAX({ts_col})) AS t1
+      FROM {table}
+    ),
+    tagged AS (
+      SELECT {unit_col} AS u,
+             CASE WHEN epoch_us({ts_col}) - span.t0
+                       >= (span.t1 - span.t0) // 2
+                  THEN 1 ELSE 0 END AS post
+      FROM {table} CROSS JOIN span
+    ),
+    per_unit AS (
+      SELECT u, CAST(SUM(1 - post) AS BIGINT) AS pre_x,
+             CAST(SUM(post) AS BIGINT) AS post_x
+      FROM tagged GROUP BY u
+    ),
+    armed AS (
+      SELECT CASE WHEN ({hb}) = 0 THEN 1 ELSE 0 END AS a,
+             pre_x, post_x, post_x - pre_x AS d
+      FROM per_unit
+    ),
+    mom AS (
+      SELECT a, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(pre_x) AS BIGINT) AS s_pre,
+             CAST(SUM(post_x) AS BIGINT) AS s_post,
+             CAST(SUM(d) AS BIGINT) AS sd,
+             CAST(SUM(d * d) AS BIGINT) AS sdd
+      FROM armed GROUP BY a
+    ),
+    stats AS (
+      SELECT a, k,
+             CAST(s_pre AS DOUBLE) / CAST(k AS DOUBLE) AS mean_pre,
+             CAST(s_post AS DOUBLE) / CAST(k AS DOUBLE) AS mean_post,
+             CAST(sd AS DOUBLE) / CAST(k AS DOUBLE) AS mean_d,
+             (CAST(sdd AS DOUBLE) / CAST(k AS DOUBLE)
+              - (CAST(sd AS DOUBLE) / CAST(k AS DOUBLE))
+                * (CAST(sd AS DOUBLE) / CAST(k AS DOUBLE)))
+             / CAST(k AS DOUBLE) AS vm
+      FROM mom
+    )
+    SELECT a.k AS n_a, b.k AS n_b,
+           a.mean_pre AS mean_a_pre, a.mean_post AS mean_a_post,
+           b.mean_pre AS mean_b_pre, b.mean_post AS mean_b_post,
+           a.mean_d - b.mean_d AS did,
+           sqrt(a.vm + b.vm) AS se,
+           (a.mean_d - b.mean_d) / sqrt(a.vm + b.vm) AS z
+    FROM (SELECT * FROM stats WHERE a = 1) a
+    CROSS JOIN (SELECT * FROM stats WHERE a = 0) b
+    """
+
+
+def cuped_adjusted_lift(
+    df: DataFrame,
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+    n_arms: int = 2,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013): adjust each
+    unit's post-period metric by theta * (pre - mean_pre) with theta
+    = cov(pre, post) / var(pre) estimated pooled, then compare arm
+    means — the standard way experiments shrink confidence intervals
+    for free using pre-experiment data. On an md5 hash split this is
+    the AA harness: the adjusted lift should stay ~0 while
+    var_ratio = var(adjusted)/var(post) quantifies the reduction.
+
+    Metric: per-unit event counts in the corpus's two time halves
+    (exact bigints incl. the pre*post cross sums), so theta, the
+    adjusted means, and the variance ratio are fixed IEEE
+    expressions with zero rounding.
+
+    Output: one row (n_a, n_b, theta, diff_raw, diff_adj,
+    var_ratio).
+    """
+    from .sampling import hash_bucket
+
+    span = df.agg(
+        F.min(F.unix_micros(ts_col)).alias("__t0"),
+        F.max(F.unix_micros(ts_col)).alias("__t1"),
+    )
+    tagged = df.crossJoin(F.broadcast(span)).select(
+        F.col(unit_col).alias("u"),
+        (
+            F.unix_micros(ts_col) - F.col("__t0")
+            >= F.expr("(__t1 - __t0) div 2")
+        ).cast("int").alias("post"),
+    )
+    per_unit = tagged.groupBy("u").agg(
+        F.sum(1 - F.col("post")).cast("bigint").alias("x"),
+        F.sum("post").cast("bigint").alias("y"),
+    )
+    armed = per_unit.select(
+        (hash_bucket("u", n_arms) == 0).cast("int").alias("a"), "x", "y"
+    )
+    pooled = armed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / n
+    my = F.col("sy").cast("double") / n
+    varx = F.col("sxx").cast("double") / n - mx * mx
+    vary = F.col("syy").cast("double") / n - my * my
+    cov = F.col("sxy").cast("double") / n - mx * my
+    prior = pooled.select(
+        F.when(varx > 0, cov / varx).otherwise(F.lit(0.0)).alias("theta"),
+        mx.alias("mean_x"),
+        vary.alias("var_y"),
+        varx.alias("var_x"),
+        cov.alias("cov_xy"),
+    )
+    adj = armed.crossJoin(F.broadcast(prior)).select(
+        "a",
+        "y",
+        (
+            F.col("y")
+            - F.col("theta") * (F.col("x") - F.col("mean_x"))
+        ).alias("ya"),
+        "theta",
+        "var_y",
+        "var_x",
+        "cov_xy",
+    )
+    per_arm = adj.groupBy("a", "theta", "var_y", "var_x", "cov_xy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("ya").alias("sya"),
+    )
+    arm_stats = per_arm.select(
+        "a",
+        "k",
+        "theta",
+        "var_y",
+        "var_x",
+        "cov_xy",
+        (F.col("sy").cast("double") / F.col("k")).alias("m_raw"),
+        (F.col("sya") / F.col("k")).alias("m_adj"),
+    )
+    a = arm_stats.where(F.col("a") == 1).select(
+        F.col("k").alias("n_a"),
+        "theta",
+        "var_y",
+        "var_x",
+        "cov_xy",
+        F.col("m_raw").alias("__ra"),
+        F.col("m_adj").alias("__aa"),
+    )
+    b = arm_stats.where(F.col("a") == 0).select(
+        F.col("k").alias("n_b"),
+        F.col("m_raw").alias("__rb"),
+        F.col("m_adj").alias("__ab"),
+    )
+    # var(adjusted) = var_y - cov^2/var_x (the CUPED identity) — from
+    # the pooled exact moments, not a second pass
+    var_ratio = F.when(
+        (F.col("var_y") > 0) & (F.col("var_x") > 0),
+        (
+            F.col("var_y")
+            - F.col("cov_xy") * F.col("cov_xy") / F.col("var_x")
+        )
+        / F.col("var_y"),
+    ).otherwise(F.lit(1.0))
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        "theta",
+        (F.col("__ra") - F.col("__rb")).alias("diff_raw"),
+        (F.col("__aa") - F.col("__ab")).alias("diff_adj"),
+        var_ratio.alias("var_ratio"),
+    )
+
+
+def cuped_adjusted_lift_sql(
+    table: str = "events",
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+    n_arms: int = 2,
+) -> str:
+    """DuckDB twin of :func:`cuped_adjusted_lift`."""
+    from .sampling import hash_bucket_sql
+
+    hb = hash_bucket_sql("u", n_arms)
+    return f"""
+    WITH span AS (
+      SELECT epoch_us(MIN({ts_col})) AS t0, epoch_us(MAX({ts_col})) AS t1
+      FROM {table}
+    ),
+    tagged AS (
+      SELECT {unit_col} AS u,
+             CASE WHEN epoch_us({ts_col}) - span.t0
+                       >= (span.t1 - span.t0) // 2
+                  THEN 1 ELSE 0 END AS post
+      FROM {table} CROSS JOIN span
+    ),
+    per_unit AS (
+      SELECT u, CAST(SUM(1 - post) AS BIGINT) AS x,
+             CAST(SUM(post) AS BIGINT) AS y
+      FROM tagged GROUP BY u
+    ),
+    armed AS (
+      SELECT CASE WHEN ({hb}) = 0 THEN 1 ELSE 0 END AS a, x, y
+      FROM per_unit
+    ),
+    pooled AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM armed
+    ),
+    prior AS (
+      SELECT CASE WHEN (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                        - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) > 0
+                  THEN (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                        - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                       / (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                          - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                  ELSE 0.0 END AS theta,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x,
+             CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS var_y,
+             CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS var_x,
+             CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cov_xy
+      FROM pooled
+    ),
+    adj AS (
+      SELECT a, y, y - prior.theta * (x - prior.mean_x) AS ya,
+             prior.theta, prior.var_y, prior.var_x, prior.cov_xy
+      FROM armed CROSS JOIN prior
+    ),
+    per_arm AS (
+      SELECT a, theta, var_y, var_x, cov_xy,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(y) AS BIGINT) AS sy, SUM(ya) AS sya
+      FROM adj GROUP BY a, theta, var_y, var_x, cov_xy
+    ),
+    arm_stats AS (
+      SELECT a, k, theta, var_y, var_x, cov_xy,
+             CAST(sy AS DOUBLE) / k AS m_raw, sya / k AS m_adj
+      FROM per_arm
+    )
+    SELECT a.k AS n_a, b.k AS n_b, a.theta,
+           a.m_raw - b.m_raw AS diff_raw,
+           a.m_adj - b.m_adj AS diff_adj,
+           CASE WHEN a.var_y > 0 AND a.var_x > 0
+                THEN (a.var_y - a.cov_xy * a.cov_xy / a.var_x) / a.var_y
+                ELSE 1.0 END AS var_ratio
+    FROM (SELECT * FROM arm_stats WHERE a = 1) a
+    CROSS JOIN (SELECT * FROM arm_stats WHERE a = 0) b
+    """
+
+
+def mcnemar_gates(
+    df: DataFrame,
+    gate_a: Column,
+    gate_b: Column,
+) -> DataFrame:
+    """McNemar's test for PAIRED binary raters — "do these two gates
+    disagree symmetrically" on the SAME rows, which is the correct
+    question when comparing two classifiers on one corpus (the
+    unpaired chi-square wastes the pairing; Cohen's kappa measures
+    agreement, McNemar tests the DIRECTION of disagreement). Uses
+    only the discordant cells: chi2 = (b-c)^2/(b+c), plus the
+    Edwards continuity-corrected (|b-c|-1)^2/(b+c).
+
+    One conditional-aggregate pass, exact bigint cells, fixed IEEE
+    statistics; b+c = 0 yields 0 by convention. Output: one row
+    (n11, n10, n01, n00, chi2, chi2_corrected, significant).
+    """
+    a = gate_a.cast("int")
+    b = gate_b.cast("int")
+    agg = df.agg(
+        F.sum(a * b).cast("bigint").alias("n11"),
+        F.sum(a * (1 - b)).cast("bigint").alias("n10"),
+        F.sum((1 - a) * b).cast("bigint").alias("n01"),
+        F.sum((1 - a) * (1 - b)).cast("bigint").alias("n00"),
+    )
+    disc = (F.col("n10") + F.col("n01")).cast("double")
+    diff = (F.col("n10") - F.col("n01")).cast("double")
+    adiff = F.abs(F.col("n10") - F.col("n01")).cast("double")
+    chi2 = F.when(disc > 0, diff * diff / disc).otherwise(F.lit(0.0))
+    chi2c = F.when(
+        disc > 0, (adiff - 1) * (adiff - 1) / disc
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        chi2.alias("chi2"),
+        chi2c.alias("chi2_corrected"),
+        (chi2 > 3.841).alias("significant"),
+    )
+
+
+def mcnemar_gates_sql(
+    table: str,
+    gate_a_sql: str,
+    gate_b_sql: str,
+) -> str:
+    """DuckDB twin of :func:`mcnemar_gates`."""
+    return f"""
+    WITH agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN ({gate_a_sql}) AND ({gate_b_sql})
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        CAST(SUM(CASE WHEN ({gate_a_sql}) AND NOT ({gate_b_sql})
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        CAST(SUM(CASE WHEN NOT ({gate_a_sql}) AND ({gate_b_sql})
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        CAST(SUM(CASE WHEN NOT ({gate_a_sql}) AND NOT ({gate_b_sql})
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      FROM {table}
+    )
+    SELECT n11, n10, n01, n00,
+           CASE WHEN n10 + n01 > 0
+                THEN CAST(n10 - n01 AS DOUBLE) * CAST(n10 - n01 AS DOUBLE)
+                     / CAST(n10 + n01 AS DOUBLE)
+                ELSE 0.0 END AS chi2,
+           CASE WHEN n10 + n01 > 0
+                THEN (CAST(abs(n10 - n01) AS DOUBLE) - 1)
+                     * (CAST(abs(n10 - n01) AS DOUBLE) - 1)
+                     / CAST(n10 + n01 AS DOUBLE)
+                ELSE 0.0 END AS chi2_corrected,
+           CASE WHEN n10 + n01 > 0
+                THEN CAST(n10 - n01 AS DOUBLE) * CAST(n10 - n01 AS DOUBLE)
+                     / CAST(n10 + n01 AS DOUBLE)
+                ELSE 0.0 END > 3.841 AS significant
+    FROM agg
+    """

@@ -314,3 +314,112 @@ def monthly_growth_accounting_sql(
     FROM per_month p
     LEFT JOIN per_month q ON q.m = p.m - 1
     """
+
+
+def tier_migration_matrix(
+    df: DataFrame,
+    unit_col: str,
+    ts_col: str,
+    value_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Customer value-tier migration between the corpus's two time
+    halves: quintile each unit's per-half spend (distributed
+    two-phase NTILE — no single-task window), then count the
+    (tier_pre, tier_post) transition matrix, with tier 0 = inactive
+    in that half — the upgrade/downgrade/churn view a revenue team
+    reads weekly.
+
+    Determinism: halves split on the integer-micros midpoint; spend
+    accumulates in DECIMAL(18,2); the NTILE total order breaks ties
+    on (spend desc, unit), so every tier assignment is exact.
+    Output: (tier_pre, tier_post, n_units).
+    """
+    from ..operators.ranking import with_ntile
+
+    # cast covers TIMESTAMP_NTZ sources (identity under the UTC
+    # session zone, matching DuckDB's epoch_us)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    span = df.agg(
+        F.min(us).alias("__t0"),
+        F.max(us).alias("__t1"),
+    )
+    tagged = df.crossJoin(F.broadcast(span)).select(
+        F.col(unit_col).alias("u"),
+        (us - F.col("__t0") >= F.expr("(__t1 - __t0) div 2"))
+        .cast("int")
+        .alias("post"),
+        F.col(value_col).cast("decimal(18,2)").alias("v"),
+    )
+    halves = tagged.groupBy("u", "post").agg(
+        F.sum("v").cast("decimal(18,2)").alias("spend")
+    )
+    pre = with_ntile(
+        halves.where(F.col("post") == 0),
+        [F.col("spend").desc(), F.col("u")],
+        k,
+        out_col="tier",
+    ).select("u", F.col("tier").alias("tier_pre"))
+    post = with_ntile(
+        halves.where(F.col("post") == 1),
+        [F.col("spend").desc(), F.col("u")],
+        k,
+        out_col="tier",
+    ).select("u", F.col("tier").alias("tier_post"))
+    units = halves.select("u").distinct()
+    return (
+        units.join(pre, "u", "left")
+        .join(post, "u", "left")
+        .na.fill({"tier_pre": 0, "tier_post": 0})
+        .groupBy(
+            F.col("tier_pre").cast("int").alias("tier_pre"),
+            F.col("tier_post").cast("int").alias("tier_post"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_units"))
+    )
+
+
+def tier_migration_matrix_sql(
+    table_sql: str,
+    unit_col: str,
+    ts_col: str,
+    value_col: str,
+    k: int = 5,
+) -> str:
+    """DuckDB twin of :func:`tier_migration_matrix`; ``table_sql``
+    yields (unit, ts, value) rows."""
+    return f"""
+    WITH src AS ({table_sql}),
+    span AS (
+      SELECT epoch_us(MIN({ts_col})) AS t0, epoch_us(MAX({ts_col})) AS t1
+      FROM src
+    ),
+    halves AS (
+      SELECT {unit_col} AS u,
+             CASE WHEN epoch_us({ts_col}) - span.t0
+                       >= (span.t1 - span.t0) // 2
+                  THEN 1 ELSE 0 END AS post,
+             CAST(SUM(CAST({value_col} AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS spend
+      FROM src CROSS JOIN span
+      GROUP BY 1, 2
+    ),
+    pre AS (
+      SELECT u, CAST(ntile({k}) OVER (ORDER BY spend DESC, u) AS INTEGER)
+               AS tier_pre
+      FROM halves WHERE post = 0
+    ),
+    post_t AS (
+      SELECT u, CAST(ntile({k}) OVER (ORDER BY spend DESC, u) AS INTEGER)
+               AS tier_post
+      FROM halves WHERE post = 1
+    ),
+    units AS (SELECT DISTINCT u FROM halves)
+    SELECT CAST(COALESCE(pre.tier_pre, 0) AS INTEGER) AS tier_pre,
+           CAST(COALESCE(post_t.tier_post, 0) AS INTEGER) AS tier_post,
+           CAST(COUNT(*) AS BIGINT) AS n_units
+    FROM units
+    LEFT JOIN pre ON pre.u = units.u
+    LEFT JOIN post_t ON post_t.u = units.u
+    GROUP BY 1, 2
+    """

@@ -1870,3 +1870,113 @@ def conversion_latency_quantiles_sql(
     FROM idx JOIN cum ON cum.cum >= idx.idx
     GROUP BY idx.p, idx.n_users
     """
+
+
+def rolling_correlation(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    type_x: str = "click",
+    type_y: str = "purchase",
+    window_days: int = 14,
+) -> DataFrame:
+    """Rolling Pearson correlation between two event types' daily
+    counts over a trailing ``window_days`` window — the time-LOCAL
+    coupling monitor (lagged_cross_correlation gives one global r per
+    lag; this shows WHEN the click->purchase relationship decoupled).
+
+    Exactness: daily counts and all five windowed moment sums are
+    exact bigints (rolling integer sums over the day-ordered daily
+    table); each day's r is one fixed IEEE expression on them — zero
+    rounding. Days with degenerate variance emit NULL r. Scale:
+    corpus -> day grain once; windows run over the tiny day table.
+
+    Output: (day, n_days_in_window, r).
+    """
+    daily = (
+        df.where(F.col(type_col).isin([type_x, type_y]))
+        .groupBy(F.col(ts_col).cast("date").alias("d"))
+        .agg(
+            F.sum((F.col(type_col) == type_x).cast("long"))
+            .cast("bigint")
+            .alias("x"),
+            F.sum((F.col(type_col) == type_y).cast("long"))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(-(window_days - 1), 0)
+    winm = daily.select(
+        "d",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("bigint").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    )
+    denx = n * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    deny = n * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy")
+    return winm.select(
+        F.col("d").alias("day"),
+        F.col("n").alias("n_days_in_window"),
+        F.when(
+            (denx > 0) & (deny > 0), num / F.sqrt(denx * deny)
+        ).alias("r"),
+    )
+
+
+def rolling_correlation_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    type_x: str = "click",
+    type_y: str = "purchase",
+    window_days: int = 14,
+) -> str:
+    """DuckDB twin of :func:`rolling_correlation`."""
+    return f"""
+    WITH daily AS (
+      SELECT CAST({ts_col} AS DATE) AS d,
+             CAST(SUM(CASE WHEN {type_col} = '{type_x}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN {type_col} = '{type_y}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM {table}
+      WHERE {type_col} IN ('{type_x}', '{type_y}')
+      GROUP BY 1
+    ),
+    winm AS (
+      SELECT d,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(x) OVER w AS BIGINT) AS sx,
+             CAST(SUM(y) OVER w AS BIGINT) AS sy,
+             CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+             CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+             CAST(SUM(y * y) OVER w AS BIGINT) AS syy
+      FROM daily
+      WINDOW w AS (ORDER BY d
+                   ROWS BETWEEN {window_days - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT d AS day, n AS n_days_in_window,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * sx) > 0
+                 AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * sy) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * sy)
+                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * sx)
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * sy))
+                END AS r
+    FROM winm
+    """

@@ -68,6 +68,7 @@ from . import wave53 as _wave53
 from . import wave54 as _wave54
 from . import wave55 as _wave55
 from . import wave56 as _wave56
+from . import wave57 as _wave57
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -134,6 +135,7 @@ _ALL: list[QuerySpec] = [
     *_wave54.SPECS,
     *_wave55.SPECS,
     *_wave56.SPECS,
+    *_wave57.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
