@@ -395,6 +395,12 @@ HEADLINE = [
     "rolling_click_purchase_corr",
     "tier_migration_matrix",
     "mcnemar_gates",
+    # wave 58: BT-ratings/attribution/paths/synthetic-control/price-index
+    "bradley_terry_suppliers",
+    "position_based_attribution",
+    "paths_to_purchase",
+    "synthetic_control_effect",
+    "price_index_halves",
 ]
 
 

@@ -133,3 +133,78 @@ def stationary_mix_sql(
       USING (frm)
     """
     )
+
+
+def paths_to_conversion(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    conversion_type: str = "purchase",
+    depth: int = 3,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top conversion paths: for every conversion event, the ordered
+    sequence of the ``depth`` events immediately preceding it in the
+    user's stream, rendered "a>b>c" — the path-mining report behind
+    journey sankeys, complementing the transition matrix (pairwise)
+    with short full sequences.
+
+    Exactness: ordering is (ts, order_col) — fully deterministic;
+    paths are exact strings from ``depth`` lag() calls sharing ONE
+    user-window shuffle; shorter histories render their available
+    prefix. Output: (path, n_conversions) for paths seen >=
+    ``min_count`` times.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    lags = [
+        F.lag(type_col, i).over(w) for i in range(depth, 0, -1)
+    ]
+    pathed = (
+        df.select(
+            F.col(type_col).alias("__t"),
+            F.concat_ws(">", *lags).alias("path"),
+        )
+        .where(F.col("__t") == conversion_type)
+        .where(F.col("path") != "")
+    )
+    return (
+        pathed.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_conversions"))
+        .where(F.col("n_conversions") >= min_count)
+    )
+
+
+def paths_to_conversion_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    conversion_type: str = "purchase",
+    depth: int = 3,
+    min_count: int = 5,
+) -> str:
+    """DuckDB twin of :func:`paths_to_conversion`. concat_ws skips
+    NULLs in both engines, so short histories agree."""
+    lag_cols = ", ".join(
+        f"lag({type_col}, {i}) OVER (PARTITION BY {user_col} "
+        f"ORDER BY {ts_col}, {order_col}) AS l{i}"
+        for i in range(depth, 0, -1)
+    )
+    concat_args = ", ".join(f"l{i}" for i in range(depth, 0, -1))
+    return f"""
+    WITH lagged AS (
+      SELECT {type_col} AS t, {lag_cols}
+      FROM {table}
+    ),
+    pathed AS (
+      SELECT concat_ws('>', {concat_args}) AS path
+      FROM lagged
+      WHERE t = '{conversion_type}' AND concat_ws('>', {concat_args}) <> ''
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_conversions
+    FROM pathed GROUP BY path
+    HAVING COUNT(*) >= {min_count}
+    """

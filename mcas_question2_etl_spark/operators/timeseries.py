@@ -1980,3 +1980,101 @@ def rolling_correlation_sql(
                 END AS r
     FROM winm
     """
+
+
+def synthetic_control_effect(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    treated: str = "purchase",
+    control: str = "signup",
+) -> DataFrame:
+    """Scaled-control counterfactual (synthetic-control-lite): fit
+    the treated/control volume ratio on the FIRST half of the corpus,
+    project the control series through it over the second half, and
+    read the effect as actual - counterfactual — the "what would have
+    happened" baseline when no randomized control exists (the
+    placebo expectation on unperturbed data is effect ~ 0).
+
+    Exactness: all four half-totals are exact bigints (integer-micros
+    midpoint split); ratio, counterfactual, and effect are single
+    IEEE expressions — zero rounding. Output: one row (treated_h1,
+    control_h1, treated_h2, control_h2, ratio, counterfactual_h2,
+    effect, pct_effect).
+    """
+    span = df.agg(
+        F.min(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("__t0"),
+        F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("__t1"),
+    )
+    tagged = (
+        df.where(F.col(type_col).isin([treated, control]))
+        .crossJoin(F.broadcast(span))
+        .select(
+            (F.col(type_col) == treated).cast("int").alias("tr"),
+            (
+                F.unix_micros(F.col(ts_col).cast("timestamp")) - F.col("__t0")
+                >= F.expr("(__t1 - __t0) div 2")
+            ).cast("int").alias("post"),
+        )
+    )
+    agg = tagged.agg(
+        F.sum(F.col("tr") * (1 - F.col("post"))).cast("bigint").alias("treated_h1"),
+        F.sum((1 - F.col("tr")) * (1 - F.col("post"))).cast("bigint").alias("control_h1"),
+        F.sum(F.col("tr") * F.col("post")).cast("bigint").alias("treated_h2"),
+        F.sum((1 - F.col("tr")) * F.col("post")).cast("bigint").alias("control_h2"),
+    )
+    ratio = F.col("treated_h1").cast("double") / F.col("control_h1")
+    cf = ratio * F.col("control_h2")
+    eff = F.col("treated_h2") - cf
+    return agg.select(
+        "treated_h1",
+        "control_h1",
+        "treated_h2",
+        "control_h2",
+        ratio.alias("ratio"),
+        cf.alias("counterfactual_h2"),
+        eff.alias("effect"),
+        (eff / cf).alias("pct_effect"),
+    )
+
+
+def synthetic_control_effect_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    treated: str = "purchase",
+    control: str = "signup",
+) -> str:
+    """DuckDB twin of :func:`synthetic_control_effect`."""
+    return f"""
+    WITH span AS (
+      SELECT epoch_us(MIN({ts_col})) AS t0, epoch_us(MAX({ts_col})) AS t1
+      FROM {table}
+    ),
+    tagged AS (
+      SELECT CASE WHEN {type_col} = '{treated}' THEN 1 ELSE 0 END AS tr,
+             CASE WHEN epoch_us({ts_col}) - span.t0
+                       >= (span.t1 - span.t0) // 2
+                  THEN 1 ELSE 0 END AS post
+      FROM {table} CROSS JOIN span
+      WHERE {type_col} IN ('{treated}', '{control}')
+    ),
+    agg AS (
+      SELECT CAST(SUM(tr * (1 - post)) AS BIGINT) AS treated_h1,
+             CAST(SUM((1 - tr) * (1 - post)) AS BIGINT) AS control_h1,
+             CAST(SUM(tr * post) AS BIGINT) AS treated_h2,
+             CAST(SUM((1 - tr) * post) AS BIGINT) AS control_h2
+      FROM tagged
+    )
+    SELECT treated_h1, control_h1, treated_h2, control_h2,
+           CAST(treated_h1 AS DOUBLE) / control_h1 AS ratio,
+           CAST(treated_h1 AS DOUBLE) / control_h1 * control_h2
+             AS counterfactual_h2,
+           treated_h2 - CAST(treated_h1 AS DOUBLE) / control_h1 * control_h2
+             AS effect,
+           (treated_h2 - CAST(treated_h1 AS DOUBLE) / control_h1
+                         * control_h2)
+             / (CAST(treated_h1 AS DOUBLE) / control_h1 * control_h2)
+             AS pct_effect
+    FROM agg
+    """

@@ -69,6 +69,7 @@ from . import wave54 as _wave54
 from . import wave55 as _wave55
 from . import wave56 as _wave56
 from . import wave57 as _wave57
+from . import wave58 as _wave58
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -136,6 +137,7 @@ _ALL: list[QuerySpec] = [
     *_wave55.SPECS,
     *_wave56.SPECS,
     *_wave57.SPECS,
+    *_wave58.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
