@@ -401,6 +401,12 @@ HEADLINE = [
     "paths_to_purchase",
     "synthetic_control_effect",
     "price_index_halves",
+    # wave 59: embedding audits/OOV/Weibull/Gumbel
+    "embedding_norm_audit",
+    "embedding_dim_variance",
+    "oov_rate_by_source",
+    "weibull_lifetime_fit",
+    "extreme_value_return_levels",
 ]
 
 

@@ -431,3 +431,161 @@ def ivf_sq_topk_sql(query_vec_id: int = 1, k: int = 5, n_centroids: int = 8) -> 
     ORDER BY sq_dist ASC, c.vec_id
     LIMIT {k}
     """
+
+
+def embedding_norm_audit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 9,
+) -> DataFrame:
+    """Per-label L2-norm audit of an embedding column — the first
+    sanity gate on any vector ingest: un-normalized rows break cosine
+    ANN silently (norm != 1 vectors bias every dot-product ranking),
+    and zero/exploded norms flag upstream encoder bugs.
+
+    Exactness: the squared norm is an EXACT bigint via the module's
+    Q20 fixed-point quantization (64 dims x (2^20)^2 stays far inside
+    int64); norm = sqrt(ss)/2^20 is one IEEE expression on exact
+    inputs, so min/max and the near-unit count compare identically;
+    only the mean (row-order sum) is rounded.
+
+    Output per label: (label, n, min_norm, max_norm, mean_norm,
+    n_near_unit) with near-unit = |norm - 1| < 0.01.
+    """
+    ss = F.expr(
+        f"aggregate(transform({vec_col}, x -> cast(floor(cast(x as double)"
+        f" * {Q_SCALE}) as bigint)), cast(0 as bigint),"
+        f" (acc, q) -> acc + q * q)"
+    )
+    normed = df.select(
+        F.col(label_col).alias("g"),
+        (F.sqrt(ss.cast("double")) / Q_SCALE).alias("nrm"),
+    )
+    return normed.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+        F.round(F.sum("nrm"), round_to).alias("__s"),
+        F.sum((F.abs(F.col("nrm") - 1) < 0.01).cast("long"))
+        .cast("bigint")
+        .alias("n_near_unit"),
+    ).select(
+        F.col("g").alias(label_col),
+        "n",
+        "min_norm",
+        "max_norm",
+        F.round(F.col("__s") / F.col("n"), round_to).alias("mean_norm"),
+        "n_near_unit",
+    )
+
+
+def embedding_norm_audit_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 9,
+) -> str:
+    """DuckDB twin of :func:`embedding_norm_audit` (list_reduce with
+    a prepended 0 matches Spark's zero-accumulator fold)."""
+    q = (
+        f"list_transform(CAST({vec_col} AS DOUBLE[]), "
+        f"x -> CAST(FLOOR(x * {Q_SCALE}) AS BIGINT))"
+    )
+    ss = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({q}, q -> q * q)), (acc, v) -> acc + v)"
+    )
+    return f"""
+    WITH normed AS (
+      SELECT {label_col} AS g,
+             sqrt(CAST({ss} AS DOUBLE)) / {Q_SCALE} AS nrm
+      FROM {table}
+    )
+    SELECT g AS {label_col}, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+           ROUND(ROUND(SUM(nrm), {round_to}) / COUNT(*), {round_to})
+             AS mean_norm,
+           CAST(SUM(CASE WHEN abs(nrm - 1) < 0.01 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_near_unit
+    FROM normed GROUP BY g
+    """
+
+
+def embedding_dim_variance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    nzv_threshold: float = 1e-4,
+) -> DataFrame:
+    """Per-dimension variance profile of an embedding column — the
+    dead-dimension detector (near-zero-variance dims waste index
+    space and can break whitening/PCA downstream; a truncated or
+    padded encoder shows up here immediately).
+
+    Exactness: per-dim power sums accumulate over the Q20-quantized
+    INTEGERS (exact bigints), and the variance in original units is
+    one fixed IEEE expression on them — zero rounding, including the
+    near-zero-variance flag. One posexplode pass, dim-grain rollup.
+
+    Output: (dim, n, mean, variance, near_zero_variance).
+    """
+    exploded = df.select(
+        F.posexplode(
+            F.expr(
+                f"transform({vec_col}, x -> cast(floor(cast(x as double)"
+                f" * {Q_SCALE}) as bigint))"
+            )
+        ).alias("dim", "q")
+    )
+    agg = exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mean_q = F.col("s1").cast("double") / n
+    var_q = F.col("s2").cast("double") / n - mean_q * mean_q
+    scale2 = float(Q_SCALE) * float(Q_SCALE)
+    return agg.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n",
+        (mean_q / Q_SCALE).alias("mean"),
+        (var_q / scale2).alias("variance"),
+        (var_q / scale2 < nzv_threshold).alias("near_zero_variance"),
+    )
+
+
+def embedding_dim_variance_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    nzv_threshold: float = 1e-4,
+) -> str:
+    """DuckDB twin of :func:`embedding_dim_variance`
+    (generate_subscripts is 1-based; Spark posexplode is 0-based —
+    aligned by subtracting 1)."""
+    scale2 = float(Q_SCALE) * float(Q_SCALE)
+    return f"""
+    WITH exploded AS (
+      SELECT CAST(generate_subscripts({vec_col}, 1) - 1 AS INTEGER) AS dim,
+             CAST(FLOOR(CAST(unnest({vec_col}) AS DOUBLE) * {Q_SCALE})
+                  AS BIGINT) AS q
+      FROM {table}
+    ),
+    agg AS (
+      SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS s1,
+             CAST(SUM(q * q) AS BIGINT) AS s2
+      FROM exploded GROUP BY dim
+    )
+    SELECT dim, n,
+           (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / {Q_SCALE} AS mean,
+           (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) / {scale2}
+             AS variance,
+           (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) / {scale2}
+             < {nzv_threshold} AS near_zero_variance
+    FROM agg
+    """

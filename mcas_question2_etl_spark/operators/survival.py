@@ -294,3 +294,155 @@ def logrank_test_sql(
                 ELSE 0.0 END > 3.841 AS significant
     FROM sums CROSS JOIN arms
     """
+
+
+def weibull_lifetime_fit(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_days: int = 7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Weibull fit of the user-lifetime distribution via the classic
+    probability-plot regression: ln(-ln S(t)) is linear in ln t under
+    a Weibull, so an OLS on the Kaplan-Meier curve's (ln t,
+    ln(-ln S)) points yields shape k (slope) and scale lambda
+    (exp(-intercept/k)) — the one-line parametric summary of churn
+    (k < 1 infant-mortality, k ~ 1 memoryless, k > 1 wear-out) on top
+    of the non-parametric curve.
+
+    Determinism: the KM machinery matches :func:`kaplan_meier`
+    (exact risk sets; survival via exp-sum-ln over the tiny lifetime
+    table) with survival ROUNDED 9dp before the log-log transform
+    (ulp drift amplifies near S ~ 1); the OLS moment sums over the
+    <= span-in-days points are rounded too. Points need t > 0 and
+    0 < S < 1. Output: one row (n_points, shape, scale).
+    """
+    per_user = df.groupBy(user_col).agg(
+        F.min(F.col(ts_col).cast("date")).alias("__fd"),
+        F.max(F.col(ts_col).cast("date")).alias("__ld"),
+    )
+    horizon = df.agg(F.max(F.col(ts_col).cast("date")).alias("__hz"))
+    lifetimes = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("__ld", "__fd").cast("bigint").alias("t"),
+        (F.col("__ld") <= F.date_sub(F.col("__hz"), censor_days))
+        .cast("int")
+        .alias("obs"),
+    )
+    counts = lifetimes.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("obs").cast("bigint").alias("d"),
+    )
+    w = Window.orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = counts.select(
+        "t", "d", F.sum("m").over(w).cast("bigint").alias("n")
+    )
+    surv = risk.select(
+        "t",
+        "d",
+        F.round(
+            F.exp(
+                F.sum(
+                    F.log(
+                        1 - F.col("d").cast("double") / F.col("n")
+                    )
+                ).over(wcum)
+            ),
+            9,
+        ).alias("s"),
+    )
+    pts = surv.where(
+        (F.col("t") > 0)
+        & (F.col("s") > 0)
+        & (F.col("s") < 1)
+        & (F.col("d") > 0)
+    ).select(
+        F.log(F.col("t").cast("double")).alias("x"),
+        F.log(-F.log(F.col("s"))).alias("y"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.round(F.sum("x"), round_to).alias("sx"),
+        F.round(F.sum("y"), round_to).alias("sy"),
+        F.round(F.sum(F.col("x") * F.col("x")), round_to).alias("sxx"),
+        F.round(F.sum(F.col("x") * F.col("y")), round_to).alias("sxy"),
+    )
+    k = F.col("k").cast("double")
+    slope = (k * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        k * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / k
+    return mom.select(
+        F.col("k").alias("n_points"),
+        F.round(slope, round_to).alias("shape"),
+        F.round(F.exp(-intercept / slope), round_to).alias("scale"),
+    )
+
+
+def weibull_lifetime_fit_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_days: int = 7,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`weibull_lifetime_fit`."""
+    return f"""
+    WITH per_user AS (
+      SELECT {user_col},
+             MIN(CAST({ts_col} AS DATE)) AS fd,
+             MAX(CAST({ts_col} AS DATE)) AS ld
+      FROM {table} GROUP BY {user_col}
+    ),
+    horizon AS (SELECT MAX(CAST({ts_col} AS DATE)) AS hz FROM {table}),
+    lifetimes AS (
+      SELECT CAST(date_diff('day', fd, ld) AS BIGINT) AS t,
+             CASE WHEN ld <= hz - INTERVAL {censor_days} DAY
+                  THEN 1 ELSE 0 END AS obs
+      FROM per_user CROSS JOIN horizon
+    ),
+    counts AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(obs) AS BIGINT) AS d
+      FROM lifetimes GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d,
+             CAST(SUM(m) OVER (ORDER BY t
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                  AS BIGINT) AS n
+      FROM counts
+    ),
+    surv AS (
+      SELECT t, d,
+             ROUND(exp(SUM(ln(1 - CAST(d AS DOUBLE) / n)) OVER
+                       (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)), 9) AS s
+      FROM risk
+    ),
+    pts AS (
+      SELECT ln(CAST(t AS DOUBLE)) AS x, ln(-ln(s)) AS y
+      FROM surv WHERE t > 0 AND s > 0 AND s < 1 AND d > 0
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             ROUND(SUM(x), {round_to}) AS sx,
+             ROUND(SUM(y), {round_to}) AS sy,
+             ROUND(SUM(x * x), {round_to}) AS sxx,
+             ROUND(SUM(x * y), {round_to}) AS sxy
+      FROM pts
+    )
+    SELECT k AS n_points,
+           ROUND((CAST(k AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(k AS DOUBLE) * sxx - sx * sx), {round_to}) AS shape,
+           ROUND(exp(-(((sy - ((CAST(k AS DOUBLE) * sxy - sx * sy)
+                              / (CAST(k AS DOUBLE) * sxx - sx * sx)) * sx)
+                        / CAST(k AS DOUBLE)))
+                     / ((CAST(k AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(k AS DOUBLE) * sxx - sx * sx))),
+                 {round_to}) AS scale
+    FROM mom
+    """

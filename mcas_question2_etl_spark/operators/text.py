@@ -1658,3 +1658,101 @@ def token_burstiness_report_sql(
     GROUP BY t
     HAVING COUNT(DISTINCT d) >= {min_df}
     """
+
+
+def oov_rate_by_source(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Out-of-vocabulary rate per source: build the vocabulary from
+    the FIRST id-half of the corpus (train), measure what fraction of
+    the SECOND half's token OCCURRENCES fall outside it — the
+    tokenizer/vocab-coverage question every train/eval split must
+    answer before perplexities mean anything (a source with high OOV
+    is drifting away from the training distribution).
+
+    Exact bigint token counts throughout; the vocabulary rides a
+    LEFT ANTI join on the token key (tokens shuffle, text never);
+    one division per source. Output: (source, n_tokens, n_oov,
+    oov_rate).
+    """
+    bounds = df.agg(
+        F.min(F.col(id_col)).cast("bigint").alias("__lo"),
+        F.max(F.col(id_col)).cast("bigint").alias("__hi"),
+    )
+    toks = (
+        df.select(
+            F.col(id_col).alias("d"),
+            F.col(group_col).alias("g"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("t"),
+        )
+        .where(F.col("t") != "")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "g",
+            "t",
+            (
+                F.col("d") - F.col("__lo")
+                < F.expr("(__hi - __lo + 1) div 2")
+            ).alias("train"),
+        )
+    )
+    vocab = toks.where(F.col("train")).select("t").distinct()
+    test = toks.where(~F.col("train"))
+    oov = test.join(vocab, "t", "left_anti").groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_oov")
+    )
+    tot = test.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    return (
+        tot.join(oov, "g", "left")
+        .na.fill({"n_oov": 0})
+        .select(
+            F.col("g").alias(group_col),
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+def oov_rate_by_source_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> str:
+    """DuckDB twin of :func:`oov_rate_by_source`."""
+    return f"""
+    WITH bounds AS (
+      SELECT CAST(MIN({id_col}) AS BIGINT) AS lo,
+             CAST(MAX({id_col}) AS BIGINT) AS hi
+      FROM {table}
+    ),
+    toks AS (
+      SELECT g, t, (d - lo) < (hi - lo + 1) // 2 AS train
+      FROM (SELECT {id_col} AS d, {group_col} AS g,
+                   unnest(string_split_regex(lower({text_col}), '\\s+')) AS t
+            FROM {table}) CROSS JOIN bounds
+      WHERE t <> ''
+    ),
+    vocab AS (SELECT DISTINCT t FROM toks WHERE train),
+    test AS (SELECT g, t FROM toks WHERE NOT train),
+    oov AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_oov
+      FROM test ANTI JOIN vocab ON vocab.t = test.t
+      GROUP BY g
+    ),
+    tot AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM test GROUP BY g
+    )
+    SELECT tot.g AS {group_col}, tot.n_tokens,
+           CAST(COALESCE(oov.n_oov, 0) AS BIGINT) AS n_oov,
+           CAST(COALESCE(oov.n_oov, 0) AS DOUBLE) / tot.n_tokens AS oov_rate
+    FROM tot LEFT JOIN oov ON oov.g = tot.g
+    """

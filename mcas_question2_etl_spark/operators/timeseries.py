@@ -2078,3 +2078,92 @@ def synthetic_control_effect_sql(
              AS pct_effect
     FROM agg
     """
+
+
+def extreme_value_return_levels(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    horizons: tuple = (30, 90, 365),
+) -> DataFrame:
+    """Gumbel (EV-I) return levels for daily volume per group: fit by
+    method of moments (beta = sd*sqrt(6)/pi, mu = mean -
+    0.5772156649*beta) over the daily counts and report the level
+    expected to be exceeded once per N days — the capacity-planning
+    number ("size for the 1-in-365-day spike") that a plain max
+    understates and a mean ignores.
+
+    Exactness: mean/sd derive from exact bigint power sums; each
+    return level mu - beta*ln(-ln(1 - 1/N)) is one fixed IEEE
+    expression with shared literal constants — identical in both
+    engines, zero rounding. Output: (group, horizon_days, mu, beta,
+    return_level).
+    """
+    daily = df.groupBy(
+        F.col(group_col).alias("g"), F.col(ts_col).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    mom = daily.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n
+    sd = F.sqrt(F.col("s2").cast("double") / n - mean * mean)
+    beta = sd * 2.449489742783178 / 3.141592653589793  # sqrt(6)/pi
+    mu = mean - 0.5772156649015329 * beta
+    based = mom.select("g", mu.alias("mu"), beta.alias("beta"))
+    hz = F.explode(F.array(*[F.lit(h) for h in horizons])).alias("h")
+    withh = based.select("g", "mu", "beta", hz)
+    rl = F.col("mu") - F.col("beta") * F.log(
+        -F.log(1 - 1 / F.col("h").cast("double"))
+    )
+    return withh.select(
+        F.col("g").alias(group_col),
+        F.col("h").cast("bigint").alias("horizon_days"),
+        "mu",
+        "beta",
+        rl.alias("return_level"),
+    )
+
+
+def extreme_value_return_levels_sql(
+    table: str = "events",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    horizons: tuple = (30, 90, 365),
+) -> str:
+    """DuckDB twin of :func:`extreme_value_return_levels`."""
+    hs = ", ".join(str(h) for h in horizons)
+    return f"""
+    WITH daily AS (
+      SELECT {group_col} AS g, CAST({ts_col} AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM {table} GROUP BY 1, 2
+    ),
+    mom AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s1,
+             CAST(SUM(x * x) AS BIGINT) AS s2
+      FROM daily GROUP BY g
+    ),
+    based AS (
+      SELECT g,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+               - 0.5772156649015329
+                 * (sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                         - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                    * 2.449489742783178 / 3.141592653589793) AS mu,
+             sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+               * 2.449489742783178 / 3.141592653589793 AS beta
+      FROM mom
+    )
+    SELECT based.g AS {group_col}, CAST(h AS BIGINT) AS horizon_days,
+           based.mu, based.beta,
+           based.mu - based.beta * ln(-ln(1 - 1 / CAST(h AS DOUBLE)))
+             AS return_level
+    FROM based CROSS JOIN (SELECT unnest([{hs}]) AS h)
+    """

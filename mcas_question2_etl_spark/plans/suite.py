@@ -70,6 +70,7 @@ from . import wave55 as _wave55
 from . import wave56 as _wave56
 from . import wave57 as _wave57
 from . import wave58 as _wave58
+from . import wave59 as _wave59
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -138,6 +139,7 @@ _ALL: list[QuerySpec] = [
     *_wave56.SPECS,
     *_wave57.SPECS,
     *_wave58.SPECS,
+    *_wave59.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
