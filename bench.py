@@ -407,6 +407,11 @@ HEADLINE = [
     "oov_rate_by_source",
     "weibull_lifetime_fit",
     "extreme_value_return_levels",
+    # wave 60: elasticity/funnel-windows/gini-trend/heatmap
+    "price_elasticity_by_brand",
+    "funnel_window_sensitivity",
+    "spend_gini_by_quarter",
+    "dow_hour_heatmap",
 ]
 
 

@@ -533,3 +533,83 @@ def abc_xyz_matrix_sql(
     FROM abc JOIN xyz ON xyz.k = abc.k
     GROUP BY 1, 2
     """
+
+
+def gini_by_period(
+    df: DataFrame,
+    period_col,
+    unit_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Gini coefficient of per-unit value within each period — the
+    inequality TREND view ("is revenue concentrating quarter over
+    quarter"), complementing the single-shot token_gini_inequality
+    and the Theil decomposition (which splits by group, not time).
+
+    Sorted-rank formula G = 2*sum(r*x)/(n*sum(x)) - (n+1)/n over
+    ascending (value, unit) ranks WITHIN each period — the rank
+    window is partitioned by period, so no single-task global sort.
+    Values accumulate in DECIMAL(18,2) and the rank-weighted sum in
+    DECIMAL(38,2): every input to the final fixed IEEE expression is
+    exact, zero rounding. Output: (period, n_units, total_value,
+    gini).
+    """
+    per_unit = df.groupBy(
+        period_col.alias("q"), F.col(unit_col).alias("u")
+    ).agg(F.sum(F.col(value_col).cast("decimal(18,2)")).cast("decimal(18,2)").alias("x"))
+    w = Window.partitionBy("q").orderBy(F.col("x").asc(), F.col("u").asc())
+    ranked = per_unit.select(
+        "q", "x", F.row_number().over(w).cast("bigint").alias("r")
+    )
+    agg = ranked.groupBy("q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,2)").alias("sx"),
+        F.sum((F.col("r").cast("decimal(18,0)") * F.col("x")).cast("decimal(38,2)"))
+        .alias("srx"),
+    )
+    n = F.col("n").cast("double")
+    g = (
+        2 * F.col("srx").cast("double") / (n * F.col("sx").cast("double"))
+        - (n + 1) / n
+    )
+    return agg.select(
+        F.col("q").alias("period"),
+        F.col("n").alias("n_units"),
+        F.col("sx").cast("double").alias("total_value"),
+        g.alias("gini"),
+    )
+
+
+def gini_by_period_sql(
+    table_sql: str,
+    period_sql: str,
+    unit_col: str,
+    value_col: str,
+) -> str:
+    """DuckDB twin of :func:`gini_by_period`; ``table_sql`` yields the
+    raw rows, ``period_sql`` the period expression over them."""
+    return f"""
+    WITH src AS ({table_sql}),
+    per_unit AS (
+      SELECT {period_sql} AS q, {unit_col} AS u,
+             CAST(SUM(CAST({value_col} AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS x
+      FROM src GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT q, x,
+             CAST(row_number() OVER (PARTITION BY q ORDER BY x ASC, u ASC)
+                  AS BIGINT) AS r
+      FROM per_unit
+    ),
+    agg AS (
+      SELECT q, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DECIMAL(38,2)) AS sx,
+             SUM(CAST(CAST(r AS DECIMAL(18,0)) * x AS DECIMAL(38,2))) AS srx
+      FROM ranked GROUP BY q
+    )
+    SELECT q AS period, n AS n_units, CAST(sx AS DOUBLE) AS total_value,
+           2 * CAST(srx AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE) AS gini
+    FROM agg
+    """

@@ -71,6 +71,7 @@ from . import wave56 as _wave56
 from . import wave57 as _wave57
 from . import wave58 as _wave58
 from . import wave59 as _wave59
+from . import wave60 as _wave60
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -140,6 +141,7 @@ _ALL: list[QuerySpec] = [
     *_wave57.SPECS,
     *_wave58.SPECS,
     *_wave59.SPECS,
+    *_wave60.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
