@@ -155,6 +155,13 @@ def jaro_winkler_pairs(
             [jw_one(a, b) for a, b in zip(s1, s2)], dtype="float64"
         )
 
+    # the kernel IS deterministic, but marking it so lets Catalyst push
+    # the threshold filter through the projection and re-evaluate the
+    # UDF inside it — doubling the Python work (plan-audited: 2
+    # ArrowEvalPython stages). asNondeterministic() blocks the pushdown
+    # so the kernel runs exactly once per candidate pair.
+    _jw = _jw.asNondeterministic()
+
     blk = (
         F.split(F.col(name_col), " ").getItem(0)
         if block_col is None
