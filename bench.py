@@ -412,6 +412,12 @@ HEADLINE = [
     "funnel_window_sensitivity",
     "spend_gini_by_quarter",
     "dow_hour_heatmap",
+    # wave 61: range-frame/periodogram/bollinger/mrr/clustering-coeff
+    "range_frame_rolling_spend",
+    "periodogram_event_periods",
+    "bollinger_breakout_days",
+    "mrr_lang_retrieval",
+    "clustering_coefficient_copurchase",
 ]
 
 

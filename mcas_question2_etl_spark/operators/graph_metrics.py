@@ -413,3 +413,110 @@ def degree_assortativity_sql(edges_cte: str) -> str:
                 ELSE 0.0 END AS assortativity
     FROM m
     """
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Average local clustering coefficient + global transitivity of an
+    undirected (a < b) edge list, as ONE summary row (Watts & Strogatz
+    1998; Newman 2003 for the transitivity form).
+
+    Per-node triangle counts ride the same forward-adjacency
+    intersection as :func:`triangle_count`: each id-ordered triangle
+    a < b < c is found once at its (a, b) edge, then credited to all
+    three corners — a, b get the intersection SIZE, every common
+    neighbor c gets 1 via one explode. Degrees come from the symmetric
+    edge list. lcc(v) = 2*T(v) / (d(v)*(d(v)-1)) over nodes with
+    d >= 2; transitivity = 3*triangles / wedges, wedges = sum d(d-1)/2.
+
+    Scale shape: the per-edge fan-out is |E| rows plus one row per
+    triangle corner (3*#triangles) — never the wedge blowup sum
+    outdeg^2; both aggregates group on node ids. Output:
+    (n_nodes_deg2, avg_lcc, transitivity, n_triangles).
+    """
+    e = edges.select("a", "b").persist()
+    fwd = e.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
+    per_edge = (
+        e.join(fwd.select(F.col("a"), F.col("nbrs").alias("na")), "a")
+        .join(fwd.select(F.col("a").alias("b"), F.col("nbrs").alias("nb")), "b")
+        .select(
+            F.col("a"), F.col("b"),
+            F.array_intersect("na", "nb").alias("__common"),
+        )
+    )
+    credits = per_edge.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(F.col("a").alias("n"), F.size("__common").cast("long").alias("t")),
+                    F.struct(F.col("b").alias("n"), F.size("__common").cast("long").alias("t")),
+                ),
+                F.transform(
+                    "__common",
+                    lambda c: F.struct(c.alias("n"), F.lit(1).cast("long").alias("t")),
+                ),
+            )
+        ).alias("c")
+    ).select("c.n", "c.t")
+    tri_per_node = credits.groupBy("n").agg(F.sum("t").alias("tri"))
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    per_node = deg.join(tri_per_node, "n", "left").select(
+        "d", F.coalesce("tri", F.lit(0)).alias("tri")
+    )
+    lcc = F.when(
+        F.col("d") >= 2,
+        2.0 * F.col("tri") / (F.col("d") * (F.col("d") - 1)),
+    )
+    return per_node.agg(
+        F.count(lcc).cast("bigint").alias("n_nodes_deg2"),
+        F.round(F.avg(lcc), 6).alias("avg_lcc"),
+        F.round(
+            # each triangle was credited to 3 corners -> sum(tri) = 3*T
+            F.sum("tri").cast("double")
+            / F.sum((F.col("d") * (F.col("d") - 1) / 2.0)),
+            6,
+        ).alias("transitivity"),
+        (F.sum("tri") / 3).cast("bigint").alias("n_triangles"),
+    )
+
+
+def clustering_coefficient_sql(edges_cte: str) -> str:
+    """DuckDB twin of :func:`clustering_coefficient`. ``edges_cte``
+    must define a CTE named ``e0`` with columns (a, b), a < b."""
+    return f"""
+    WITH {edges_cte.strip().lstrip(',')},
+    tri AS MATERIALIZED (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e0 e1
+      JOIN e0 e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN e0 e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    corner AS (
+      SELECT x AS n FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ),
+    tpn AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS tri FROM corner GROUP BY n),
+    deg AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0
+      ) GROUP BY n
+    ),
+    per_node AS (
+      SELECT deg.d, COALESCE(tpn.tri, 0) AS tri,
+             CASE WHEN deg.d >= 2
+                  THEN 2.0 * COALESCE(tpn.tri, 0) / (deg.d * (deg.d - 1))
+             END AS lcc
+      FROM deg LEFT JOIN tpn ON tpn.n = deg.n
+    )
+    SELECT CAST(COUNT(lcc) AS BIGINT) AS n_nodes_deg2,
+           ROUND(AVG(lcc), 6) AS avg_lcc,
+           ROUND(CAST(SUM(tri) AS DOUBLE)
+                 / SUM(d * (d - 1) / 2.0), 6) AS transitivity,
+           CAST(SUM(tri) / 3 AS BIGINT) AS n_triangles
+    FROM per_node
+    """

@@ -2167,3 +2167,196 @@ def extreme_value_return_levels_sql(
              AS return_level
     FROM based CROSS JOIN (SELECT unnest([{hs}]) AS h)
     """
+
+
+# --------------------------------------------------------------------------
+# periodicity detection: fixed-period DFT power (periodogram lines)
+# --------------------------------------------------------------------------
+
+#: double literal of pi shared by the Spark and SQL twins (DuckDB's
+#: pi() is the same IEEE double).
+_PI = 3.141592653589793
+
+
+def periodogram_power(
+    df: DataFrame,
+    ts_col: str,
+    periods: Sequence[int],
+    round_to: int = 6,
+) -> DataFrame:
+    """Schuster periodogram lines at candidate ``periods`` (in days)
+    over the daily event-count series: for each period P, the power of
+    the DFT coefficient at frequency 1/P of the mean-centered series,
+    normalized by total variance — the classic seasonality detector
+    (weekly traffic -> a spike at P=7).
+
+    power_frac(P) = [ (sum (x_t - xbar) cos(2*pi*t/P))^2
+                    + (sum (x_t - xbar) sin(2*pi*t/P))^2 ]
+                    / (n/2 * sum (x_t - xbar)^2)
+
+    with t the absolute epoch-day index (a global phase shift only
+    rotates the complex coefficient — power is invariant — so no
+    min-date scalar pass is needed). The n/2 normalizer makes a pure
+    sinusoid at P score ~1.0.
+
+    Scale shape: one groupBy(day) reduces raw events to the daily
+    series; the trig projection and the final aggregate run over DAYS
+    x PERIODS rows (the series length, not the event count) after one
+    tiny mean broadcast. Output: (period_days, power_frac) per period.
+    """
+    daily = df.groupBy(
+        F.datediff(F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("t")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    stats = daily.agg(
+        F.avg("x").alias("__mu"), F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    centered = daily.crossJoin(F.broadcast(stats)).select(
+        "t", (F.col("x") - F.col("__mu")).alias("xc"), "__n"
+    )
+    lines = centered.select(
+        F.explode(
+            F.array(*[F.lit(int(p)).cast("bigint") for p in periods])
+        ).alias("period_days"),
+        "t",
+        "xc",
+        "__n",
+    )
+    ang = 2.0 * _PI * F.col("t").cast("double") / F.col("period_days")
+    return (
+        lines.groupBy("period_days")
+        .agg(
+            F.sum(F.col("xc") * F.cos(ang)).alias("__c"),
+            F.sum(F.col("xc") * F.sin(ang)).alias("__s"),
+            F.sum(F.col("xc") * F.col("xc")).alias("__ss"),
+            F.max("__n").alias("__n"),
+        )
+        .select(
+            "period_days",
+            F.round(
+                (F.col("__c") * F.col("__c") + F.col("__s") * F.col("__s"))
+                / (F.col("__n") / 2.0 * F.col("__ss")),
+                round_to,
+            ).alias("power_frac"),
+        )
+    )
+
+
+def periodogram_power_sql(
+    table: str, ts_col: str, periods: Sequence[int], round_to: int = 6
+) -> str:
+    """DuckDB twin of :func:`periodogram_power`."""
+    ps = ", ".join(str(int(p)) for p in periods)
+    return f"""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01',
+                            CAST({ts_col} AS DATE)) AS BIGINT) AS t,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM {table} GROUP BY 1
+    ),
+    m AS (SELECT AVG(x) AS mu, CAST(COUNT(*) AS DOUBLE) AS n FROM daily),
+    lines AS (
+      SELECT p.period_days, daily.t, daily.x - m.mu AS xc, m.n
+      FROM daily CROSS JOIN m
+      CROSS JOIN (SELECT unnest([{ps}]) AS period_days) p
+    )
+    SELECT CAST(period_days AS BIGINT) AS period_days,
+           ROUND(
+             (POW(SUM(xc * cos(2 * pi() * t / period_days)), 2)
+              + POW(SUM(xc * sin(2 * pi() * t / period_days)), 2))
+             / (MAX(n) / 2.0 * SUM(xc * xc)), {round_to}) AS power_frac
+    FROM lines
+    GROUP BY period_days
+    """
+
+
+# --------------------------------------------------------------------------
+# Bollinger bands: rolling mean +- k sigma breakout days
+# --------------------------------------------------------------------------
+
+
+def bollinger_breakouts(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_days: int = 7,
+    k_sigma: float = 2.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """Days whose total ``value_col`` breaks out of the Bollinger band
+    mean +- k*stddev of the trailing ``window_days``-row window
+    (Bollinger 1992 technical bands, the standard anomaly screen over
+    a daily KPI series).
+
+    The band uses the FULL trailing window only (rows 1..w-1 have no
+    band — matching every charting implementation) and the sample
+    stddev. One groupBy(day) reduces events to the daily series; the
+    rolling window then runs over DAYS, a single narrow partition-free
+    ordered frame — acceptable because the series is one row per day
+    (bounded), never raw events; shard by series key when applying to
+    per-entity series.
+
+    Output: breakout days only — (day, value, band_mean, band_std,
+    side) with side = 'above' | 'below', rounded for oracle parity.
+    """
+    daily = df.groupBy(F.col(ts_col).cast("date").alias("day")).agg(
+        F.sum(F.col(value_col)).alias("v")
+    )
+    w = (
+        Window.orderBy("day").rowsBetween(-(window_days - 1), 0)
+    )
+    banded = daily.select(
+        "day",
+        "v",
+        F.avg("v").over(w).alias("mu"),
+        F.stddev_samp("v").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("nw"),
+    ).filter(F.col("nw") == window_days)
+    out = banded.filter(
+        (F.col("v") > F.col("mu") + k_sigma * F.col("sd"))
+        | (F.col("v") < F.col("mu") - k_sigma * F.col("sd"))
+    )
+    return out.select(
+        "day",
+        F.round("v", round_to).alias("value"),
+        F.round("mu", round_to).alias("band_mean"),
+        F.round("sd", round_to).alias("band_std"),
+        F.when(F.col("v") > F.col("mu"), F.lit("above"))
+        .otherwise(F.lit("below"))
+        .alias("side"),
+    )
+
+
+def bollinger_breakouts_sql(
+    table: str,
+    ts_col: str,
+    value_col: str,
+    window_days: int = 7,
+    k_sigma: float = 2.0,
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin of :func:`bollinger_breakouts`."""
+    return f"""
+    WITH daily AS (
+      SELECT CAST({ts_col} AS DATE) AS day, SUM({value_col}) AS v
+      FROM {table} GROUP BY 1
+    ),
+    banded AS (
+      SELECT day, v,
+             AVG(v) OVER w AS mu,
+             STDDEV_SAMP(v) OVER w AS sd,
+             COUNT(*) OVER w AS nw
+      FROM daily
+      WINDOW w AS (ORDER BY day
+                   ROWS BETWEEN {window_days - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT day,
+           ROUND(v, {round_to}) AS value,
+           ROUND(mu, {round_to}) AS band_mean,
+           ROUND(sd, {round_to}) AS band_std,
+           CASE WHEN v > mu THEN 'above' ELSE 'below' END AS side
+    FROM banded
+    WHERE nw = {window_days}
+      AND (v > mu + {k_sigma} * sd OR v < mu - {k_sigma} * sd)
+    """

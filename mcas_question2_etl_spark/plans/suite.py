@@ -72,6 +72,7 @@ from . import wave57 as _wave57
 from . import wave58 as _wave58
 from . import wave59 as _wave59
 from . import wave60 as _wave60
+from . import wave61 as _wave61
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -142,6 +143,7 @@ _ALL: list[QuerySpec] = [
     *_wave58.SPECS,
     *_wave59.SPECS,
     *_wave60.SPECS,
+    *_wave61.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
