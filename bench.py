@@ -418,6 +418,12 @@ HEADLINE = [
     "bollinger_breakout_days",
     "mrr_lang_retrieval",
     "clustering_coefficient_copurchase",
+    # wave 62: cdc-dedup/granger-ols/brier/rsi/conformal
+    "cdc_chunk_dedup",
+    "granger_lag_regression",
+    "brier_decomposition_langid",
+    "rsi_cutler_daily",
+    "conformal_interval_coverage",
 ]
 
 

@@ -85,3 +85,68 @@ def chunk_documents_sql(
              AS chunk_text
     FROM s
     """
+
+
+# --------------------------------------------------------------------------
+# content-defined chunking (CDC) — boundary-shift-immune dedup units
+# --------------------------------------------------------------------------
+
+#: a token is a chunk boundary iff its md5 starts with this many '0'
+#: hex chars: 1 -> P(boundary) = 1/16 -> expected chunk ~16 tokens.
+#: Content-defined (depends only on the token, never on position), so
+#: an insertion near the top of a document shifts NO downstream chunk
+#: boundaries — the property fixed-size chunking lacks and the reason
+#: CDC is the standard dedup unit in storage systems (LBFS, Muthitacharoen
+#: et al. SOSP'01) and long-document corpus dedup.
+_CDC_BOUNDARY_HEX = "0"
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into content-defined chunks: a chunk ends at
+    every token whose md5 starts with '0' (P=1/16, expected ~16-token
+    chunks). Returns one row per chunk: (``id_col``, ``chunk_text``).
+
+    Implementation is a single narrow projection — O(tokens), no
+    shuffle, no per-position window: each token is rewritten as
+    ``token + (boundary ? SEP : ' ')``, the array is joined and split
+    on SEP, so the chunker pipelines with the parquet scan like
+    :func:`chunk_documents`. SEP is chr(1), which cannot appear in
+    whitespace-tokenized text. Trailing partial chunks are kept
+    (rtrim'd); empty chunks (boundary-final documents) are dropped.
+    """
+    marked = (
+        f"array_join(transform(split({text_col}, ' '), "
+        f"t -> concat(t, if(substring(md5(t), 1, 1) = '{_CDC_BOUNDARY_HEX}', "
+        f"char(1), ' '))), '')"
+    )
+    chunks = f"filter(transform(split({marked}, char(1)), c -> rtrim(c)), c -> c <> '')"
+    return df.select(
+        F.col(id_col), F.explode(F.expr(chunks)).alias("chunk_text")
+    )
+
+
+def cdc_chunks_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`cdc_chunks` (a full SELECT producing
+    (id_col, chunk_text))."""
+    marked = (
+        f"array_to_string(list_transform(string_split({text_col}, ' '), "
+        f"t -> t || CASE WHEN substring(md5(t), 1, 1) = '{_CDC_BOUNDARY_HEX}' "
+        f"THEN chr(1) ELSE ' ' END), '')"
+    )
+    return f"""
+    SELECT {id_col},
+           u.chunk_text
+    FROM (
+      SELECT {id_col},
+             list_filter(list_transform(string_split({marked}, chr(1)),
+                                        c -> rtrim(c)),
+                         c -> c <> '') AS cs
+      FROM {table}
+    ), LATERAL unnest(cs) AS u(chunk_text)
+    """

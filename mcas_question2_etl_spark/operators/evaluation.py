@@ -1641,3 +1641,136 @@ def mcnemar_gates_sql(
                 ELSE 0.0 END > 3.841 AS significant
     FROM agg
     """
+
+
+# --------------------------------------------------------------------------
+# Brier score with Murphy decomposition (train-calibrated binned forecast)
+# --------------------------------------------------------------------------
+
+
+def brier_decomposition(
+    train: DataFrame,
+    test: DataFrame,
+    bin_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Brier score of the train-calibrated binned forecaster on the
+    test set, with the exact Murphy (1973) decomposition
+    ``brier = reliability - resolution + uncertainty``.
+
+    The forecaster is the standard histogram calibrator: for each
+    value of ``bin_col`` the forecast f_k is the TRAIN positive rate
+    (test bins with no train rows fall back to the global train rate).
+    Because forecasts are constant within bins, the decomposition is
+    exact, not approximate:
+
+      reliability = sum_k n_k (f_k - obar_k)^2 / N
+      resolution  = sum_k n_k (obar_k - obar)^2 / N
+      uncertainty = obar (1 - obar)
+
+    with obar_k the test positive rate in bin k. Everything reduces to
+    per-bin integer counts (two groupBys on the bin key) joined
+    through one broadcast of the tiny bin table — no per-row state, no
+    sort. Output: one row (n_test, brier, reliability, resolution,
+    uncertainty).
+    """
+    y = F.col(label_col).cast("int")
+    tr = train.groupBy(bin_col).agg(
+        F.count(F.lit(1)).alias("n_tr"), F.sum(y).alias("pos_tr")
+    )
+    tr_tot = train.agg(
+        (F.sum(y).cast("double") / F.count(F.lit(1))).alias("f_glob")
+    )
+    te = test.groupBy(bin_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_k"),
+        F.sum(y).cast("long").alias("pos_k"),
+    )
+    bins = (
+        te.join(F.broadcast(tr), bin_col, "left")
+        .crossJoin(F.broadcast(tr_tot))
+        .select(
+            "n_k",
+            "pos_k",
+            F.coalesce(
+                F.col("pos_tr").cast("double") / F.col("n_tr"), F.col("f_glob")
+            ).alias("f_k"),
+        )
+    )
+    obar_k = F.col("pos_k") / F.col("n_k")
+    agg = bins.agg(
+        F.sum("n_k").cast("long").alias("n_test"),
+        F.sum("pos_k").cast("long").alias("pos_test"),
+        F.sum(F.col("n_k") * F.pow(F.col("f_k") - obar_k, 2)).alias("rel_num"),
+        F.sum(F.col("n_k") * obar_k).alias("po_num"),
+        F.sum(F.col("n_k") * obar_k * obar_k).alias("poo_num"),
+    )
+    obar = F.col("pos_test") / F.col("n_test")
+    # sum n_k (obar_k - obar)^2 = sum n_k obar_k^2 - N obar^2
+    resolution = (F.col("poo_num") - F.col("n_test") * obar * obar) / F.col("n_test")
+    reliability = F.col("rel_num") / F.col("n_test")
+    uncertainty = obar * (1.0 - obar)
+    return agg.select(
+        "n_test",
+        F.round(reliability - resolution + uncertainty, round_to).alias("brier"),
+        F.round(reliability, round_to).alias("reliability"),
+        F.round(resolution, round_to).alias("resolution"),
+        F.round(uncertainty, round_to).alias("uncertainty"),
+    )
+
+
+def brier_decomposition_sql(
+    train_sql: str,
+    test_sql: str,
+    bin_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`brier_decomposition`. ``train_sql`` /
+    ``test_sql`` are subqueries producing (bin_col, label_col)."""
+    return f"""
+    WITH tr AS (
+      SELECT {bin_col} AS b, COUNT(*) AS n_tr,
+             SUM(CAST({label_col} AS INTEGER)) AS pos_tr
+      FROM ({train_sql}) GROUP BY 1
+    ),
+    trt AS (
+      SELECT CAST(SUM(CAST({label_col} AS INTEGER)) AS DOUBLE) / COUNT(*)
+               AS f_glob
+      FROM ({train_sql})
+    ),
+    te AS (
+      SELECT {bin_col} AS b, CAST(COUNT(*) AS BIGINT) AS n_k,
+             CAST(SUM(CAST({label_col} AS INTEGER)) AS BIGINT) AS pos_k
+      FROM ({test_sql}) GROUP BY 1
+    ),
+    bins AS (
+      SELECT te.n_k, te.pos_k,
+             COALESCE(CAST(tr.pos_tr AS DOUBLE) / tr.n_tr, trt.f_glob) AS f_k
+      FROM te LEFT JOIN tr ON tr.b = te.b CROSS JOIN trt
+    ),
+    agg AS (
+      SELECT CAST(SUM(n_k) AS BIGINT) AS n_test,
+             CAST(SUM(pos_k) AS BIGINT) AS pos_test,
+             SUM(n_k * POW(f_k - pos_k / CAST(n_k AS DOUBLE), 2)) AS rel_num,
+             SUM(n_k * (pos_k / CAST(n_k AS DOUBLE))
+                     * (pos_k / CAST(n_k AS DOUBLE))) AS poo_num
+      FROM bins
+    )
+    SELECT n_test,
+           ROUND(rel_num / n_test
+                 - (poo_num - n_test * (pos_test / CAST(n_test AS DOUBLE))
+                                     * (pos_test / CAST(n_test AS DOUBLE)))
+                   / n_test
+                 + (pos_test / CAST(n_test AS DOUBLE))
+                   * (1.0 - pos_test / CAST(n_test AS DOUBLE)),
+                 {round_to}) AS brier,
+           ROUND(rel_num / n_test, {round_to}) AS reliability,
+           ROUND((poo_num - n_test * (pos_test / CAST(n_test AS DOUBLE))
+                                   * (pos_test / CAST(n_test AS DOUBLE)))
+                 / n_test, {round_to}) AS resolution,
+           ROUND((pos_test / CAST(n_test AS DOUBLE))
+                 * (1.0 - pos_test / CAST(n_test AS DOUBLE)),
+                 {round_to}) AS uncertainty
+    FROM agg
+    """

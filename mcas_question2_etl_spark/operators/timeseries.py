@@ -2360,3 +2360,93 @@ def bollinger_breakouts_sql(
     WHERE nw = {window_days}
       AND (v > mu + {k_sigma} * sd OR v < mu - {k_sigma} * sd)
     """
+
+
+# --------------------------------------------------------------------------
+# RSI (Cutler's SMA form): overbought/oversold screen on a KPI series
+# --------------------------------------------------------------------------
+
+
+def rsi_cutler(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_days: int = 14,
+    round_to: int = 4,
+) -> DataFrame:
+    """Relative Strength Index over the daily total ``value_col``
+    series — Cutler's simple-moving-average form (gain/loss SMAs over
+    the trailing ``window_days`` deltas), the order-insensitive
+    variant: Wilder's original recursive smoothing depends on the
+    series start and is not SQL-expressible, Cutler's is a pure
+    window aggregate and yields the same signal shape.
+
+    RSI = 100 - 100/(1 + avg_gain/avg_loss); all-loss windows -> 0,
+    all-gain windows -> 100 (the conventional limits, emitted
+    explicitly so no engine divides by zero). Only FULL windows emit a
+    row. One groupBy(day) reduces events to the bounded daily series;
+    the lag + frame windows run over days (single series here — shard
+    by entity key for per-entity RSI).
+
+    Output: (day, delta, rsi), rounded for oracle parity.
+    """
+    daily = df.groupBy(F.col(ts_col).cast("date").alias("day")).agg(
+        F.sum(F.col(value_col)).alias("v")
+    )
+    w_ord = Window.orderBy("day")
+    delta = (F.col("v") - F.lag("v", 1).over(w_ord)).alias("delta")
+    deltas = daily.select("day", delta).filter(F.col("delta").isNotNull())
+    w_frame = Window.orderBy("day").rowsBetween(-(window_days - 1), 0)
+    banded = deltas.select(
+        "day",
+        "delta",
+        F.avg(F.greatest(F.col("delta"), F.lit(0.0))).over(w_frame).alias("ag"),
+        F.avg(F.greatest(-F.col("delta"), F.lit(0.0))).over(w_frame).alias("al"),
+        F.count(F.lit(1)).over(w_frame).alias("nw"),
+    ).filter(F.col("nw") == window_days)
+    rsi = (
+        F.when(F.col("al") == 0.0, F.lit(100.0))
+        .when(F.col("ag") == 0.0, F.lit(0.0))
+        .otherwise(100.0 - 100.0 / (1.0 + F.col("ag") / F.col("al")))
+    )
+    return banded.select(
+        "day",
+        F.round("delta", round_to).alias("delta"),
+        F.round(rsi, round_to).alias("rsi"),
+    )
+
+
+def rsi_cutler_sql(
+    table: str,
+    ts_col: str,
+    value_col: str,
+    window_days: int = 14,
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin of :func:`rsi_cutler`."""
+    return f"""
+    WITH daily AS (
+      SELECT CAST({ts_col} AS DATE) AS day, SUM({value_col}) AS v
+      FROM {table} GROUP BY 1
+    ),
+    deltas AS (
+      SELECT day, v - lag(v, 1) OVER (ORDER BY day) AS delta FROM daily
+    ),
+    banded AS (
+      SELECT day, delta,
+             AVG(greatest(delta, 0.0)) OVER w AS ag,
+             AVG(greatest(-delta, 0.0)) OVER w AS al,
+             COUNT(*) OVER w AS nw
+      FROM deltas WHERE delta IS NOT NULL
+      WINDOW w AS (ORDER BY day
+                   ROWS BETWEEN {window_days - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT day,
+           ROUND(delta, {round_to}) AS delta,
+           ROUND(CASE WHEN al = 0.0 THEN 100.0
+                      WHEN ag = 0.0 THEN 0.0
+                      ELSE 100.0 - 100.0 / (1.0 + ag / al) END,
+                 {round_to}) AS rsi
+    FROM banded
+    WHERE nw = {window_days}
+    """

@@ -73,6 +73,7 @@ from . import wave58 as _wave58
 from . import wave59 as _wave59
 from . import wave60 as _wave60
 from . import wave61 as _wave61
+from . import wave62 as _wave62
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -144,6 +145,7 @@ _ALL: list[QuerySpec] = [
     *_wave59.SPECS,
     *_wave60.SPECS,
     *_wave61.SPECS,
+    *_wave62.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
