@@ -424,6 +424,12 @@ HEADLINE = [
     "brier_decomposition_langid",
     "rsi_cutler_daily",
     "conformal_interval_coverage",
+    # wave 63: pq-ann/sprt/rrf/seasonal-dow/hurst
+    "pq_ann_topk",
+    "sprt_conversion_monitor",
+    "rrf_fusion_topk",
+    "seasonal_dow_decompose",
+    "hurst_rs_daily",
 ]
 
 

@@ -63,30 +63,51 @@ def kmeans_assign(
     (`kmeans_cluster_stats`) and semantic dedup (`semdedup.py`) both
     consume it."""
     pts = emb.select(F.col(id_col).alias("vid"), quantize(vec_col).alias("v"))
+    return assign_to_centroids(pts, _lloyd(pts, k, iters))
+
+
+def assign_to_centroids(points: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign ``(vid, v)`` Q20 points to their nearest centroid from a
+    ``(cid, cv)`` codebook: broadcast the k-row codebook as ONE array
+    and take the argmin as a narrow expression (struct ordering picks
+    the smallest (dist, cid) — ties to the lowest cid). No explode, no
+    shuffle of the point table. Returns ``(vid, v, dist, cid)``."""
+    carr = F.broadcast(
+        centroids.groupBy().agg(
+            F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents")
+        )
+    )
+    amin = F.expr(
+        "array_min(transform(cents, c -> "
+        f"struct({_dist_str('v', 'c.cv')} AS dist, c.cid AS cid)))"
+    )
+    return points.crossJoin(carr).select(
+        "vid", "v", amin["dist"].alias("dist"), amin["cid"].alias("cid")
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The trained codebook alone: ``(cid, cv)`` after ``iters`` Lloyd
+    rounds from the deterministic seed. The product-quantization path
+    (operators/pq.py) trains one of these per subspace."""
+    pts = emb.select(F.col(id_col).alias("vid"), quantize(vec_col).alias("v"))
+    return _lloyd(pts, k, iters)
+
+
+def _lloyd(pts: DataFrame, k: int, iters: int) -> DataFrame:
+    """``iters`` Lloyd rounds over ``(vid, v)`` Q20 points from the
+    deterministic seed (vid < k); returns the final ``(cid, cv)``."""
     cents = pts.filter(F.col("vid") < k).select(
         F.col("vid").alias("cid"), F.col("v").alias("cv")
     )
-
-    def assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
-        carr = F.broadcast(
-            centroids.groupBy().agg(
-                F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias(
-                    "cents"
-                )
-            )
-        )
-        # argmin as one narrow expression: struct ordering picks the
-        # smallest (dist, cid) — ties to the lowest cid
-        amin = F.expr(
-            "array_min(transform(cents, c -> "
-            f"struct({_dist_str('v', 'c.cv')} AS dist, c.cid AS cid)))"
-        )
-        return points.crossJoin(carr).select(
-            "vid", "v", amin["dist"].alias("dist"), amin["cid"].alias("cid")
-        )
-
     for _ in range(iters):
-        assigned = assign(pts, cents)
+        assigned = assign_to_centroids(pts, cents)
         dims = assigned.select(
             "cid", F.posexplode("v").alias("d0", "x")
         ).select("cid", (F.col("d0") + 1).alias("d"), "x")
@@ -109,7 +130,7 @@ def kmeans_assign(
         # more than once (semdedup's self-join) pay it multiplied.
         # k rows × dim ints — negligible storage, bounded driver cost.
         cents = cents.localCheckpoint(eager=True)
-    return assign(pts, cents)
+    return cents
 
 
 def kmeans_cluster_stats(
@@ -161,47 +182,51 @@ def kmeans_assign_ctes(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     table: str = "embeddings",
+    prefix: str = "",
 ) -> tuple[str, str]:
     """DuckDB twin of :func:`kmeans_assign`, split for reuse: returns
     ``(with_clause, final_assign_select)`` where the WITH clause unrolls
     the Lloyd loop and the final select yields ``(vid, v, cid, dist)``.
     Consumers append their own CTEs / final query (cluster stats here,
-    within-cluster near-dup pruning in `semdedup.py`)."""
+    within-cluster near-dup pruning in `semdedup.py`). ``prefix``
+    namespaces every CTE so several codebooks can share one WITH
+    clause (the per-subspace PQ oracle in operators/pq.py)."""
+    P = prefix
     parts = [
-        f"WITH pts AS (SELECT {id_col} AS vid, {quantize_sql(vec_col)} AS v"
+        f"WITH {P}pts AS (SELECT {id_col} AS vid, {quantize_sql(vec_col)} AS v"
         f" FROM {table}),",
-        f"c0 AS (SELECT vid AS cid, v AS cv FROM pts WHERE vid < {k})",
+        f"{P}c0 AS (SELECT vid AS cid, v AS cv FROM {P}pts WHERE vid < {k})",
     ]
-    prev = "c0"
+    prev = f"{P}c0"
     for i in range(1, iters + 1):
         dist = _dist_sql("p.v", "c.cv")
         parts.append(
             f""",
-    a{i} AS (
+    {P}a{i} AS (
       SELECT vid, v, cid FROM (
         SELECT p.vid, p.v, c.cid,
                ROW_NUMBER() OVER (PARTITION BY p.vid
                                   ORDER BY {dist}, c.cid) AS rn
-        FROM pts p CROSS JOIN {prev} c
+        FROM {P}pts p CROSS JOIN {prev} c
       ) WHERE rn = 1
     ),
-    d{i} AS (
+    {P}d{i} AS (
       SELECT cid, u.d,
              CAST(FLOOR(CAST(SUM(v[u.d]) AS DOUBLE) / COUNT(*)) AS BIGINT)
                AS val
-      FROM a{i}, LATERAL unnest(generate_series(1, len(v))) AS u(d)
+      FROM {P}a{i}, LATERAL unnest(generate_series(1, len(v))) AS u(d)
       GROUP BY cid, u.d
     ),
-    c{i} AS (SELECT cid, list(val ORDER BY d) AS cv FROM d{i} GROUP BY cid)"""
+    {P}c{i} AS (SELECT cid, list(val ORDER BY d) AS cv FROM {P}d{i} GROUP BY cid)"""
         )
-        prev = f"c{i}"
+        prev = f"{P}c{i}"
     dist = _dist_sql("p.v", "c.cv")
     final_assign = f"""
       SELECT vid, v, cid, dist FROM (
         SELECT p.vid, p.v, c.cid, {dist} AS dist,
                ROW_NUMBER() OVER (PARTITION BY p.vid
                                   ORDER BY {dist}, c.cid) AS rn
-        FROM pts p CROSS JOIN {prev} c
+        FROM {P}pts p CROSS JOIN {prev} c
       ) WHERE rn = 1
     """
     return "\n".join(parts), final_assign

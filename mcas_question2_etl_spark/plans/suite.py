@@ -74,6 +74,7 @@ from . import wave59 as _wave59
 from . import wave60 as _wave60
 from . import wave61 as _wave61
 from . import wave62 as _wave62
+from . import wave63 as _wave63
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -146,6 +147,7 @@ _ALL: list[QuerySpec] = [
     *_wave60.SPECS,
     *_wave61.SPECS,
     *_wave62.SPECS,
+    *_wave63.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
