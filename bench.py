@@ -430,6 +430,12 @@ HEADLINE = [
     "rrf_fusion_topk",
     "seasonal_dow_decompose",
     "hurst_rs_daily",
+    # wave 64: shapley/wilson/strat-ate/rich-club/gamma-bits
+    "shapley_channel_attribution",
+    "wilson_ci_by_source",
+    "stratified_ate_signup",
+    "rich_club_copurchase",
+    "postings_gamma_bits",
 ]
 
 

@@ -75,6 +75,7 @@ from . import wave60 as _wave60
 from . import wave61 as _wave61
 from . import wave62 as _wave62
 from . import wave63 as _wave63
+from . import wave64 as _wave64
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -148,6 +149,7 @@ _ALL: list[QuerySpec] = [
     *_wave61.SPECS,
     *_wave62.SPECS,
     *_wave63.SPECS,
+    *_wave64.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
