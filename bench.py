@@ -436,6 +436,12 @@ HEADLINE = [
     "stratified_ate_signup",
     "rich_club_copurchase",
     "postings_gamma_bits",
+    # wave 65: good-turing/kendall/cochran-armitage/silhouette/lorenz
+    "good_turing_smoothing",
+    "kendall_tau_daily",
+    "cochran_armitage_trend",
+    "simplified_silhouette_report",
+    "lorenz_curve_deciles",
 ]
 
 

@@ -230,3 +230,86 @@ def kmeans_assign_ctes(
       ) WHERE rn = 1
     """
     return "\n".join(parts), final_assign
+
+
+def simplified_silhouette(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-cluster simplified silhouette (Hruschka et al. 2004 — the
+    centroid form sklearn documents as the scalable alternative to
+    full pairwise silhouette): for each point, a = distance to its own
+    centroid, b = distance to the nearest OTHER centroid,
+    s = (b - a) / max(a, b); report each cluster's mean s and size.
+
+    The full-silhouette O(n^2) pairwise matrix is replaced by the k-row
+    codebook broadcast: one narrow expression sorts the k (dist, cid)
+    structs per point and reads the best and second-best — no explode,
+    no shuffle of the point table; the only exchange is the final
+    per-cluster aggregate. Distances are sqrt of the exact integer Q20
+    squared distances (floats enter only at the last two arithmetic
+    steps, identically in the SQL twin).
+    """
+    pts = emb.select(F.col(id_col).alias("vid"), quantize(vec_col).alias("v"))
+    cents = _lloyd(pts, k, iters)
+    carr = F.broadcast(
+        cents.groupBy().agg(
+            F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents")
+        )
+    )
+    pair = F.expr(
+        "array_sort(transform(cents, c -> "
+        f"struct({_dist_str('v', 'c.cv')} AS dist, c.cid AS cid)))"
+    )
+    scored = pts.crossJoin(carr).select(
+        pair[0]["cid"].alias("cid"),
+        F.sqrt(pair[0]["dist"].cast("double")).alias("a"),
+        F.sqrt(pair[1]["dist"].cast("double")).alias("b"),
+    )
+    sil = F.when(
+        F.greatest("a", "b") > 0.0,
+        (F.col("b") - F.col("a")) / F.greatest("a", "b"),
+    ).otherwise(0.0)
+    return scored.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(F.avg(sil), round_to).alias("mean_silhouette"),
+    )
+
+
+def simplified_silhouette_sql(
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin of :func:`simplified_silhouette`."""
+    with_clause, _ = kmeans_assign_ctes(
+        k=k, iters=iters, id_col=id_col, vec_col=vec_col, table=table
+    )
+    dist = _dist_sql("p.v", "c.cv")
+    return f"""{with_clause},
+    ranked AS (
+      SELECT p.vid, c.cid, {dist} AS d,
+             ROW_NUMBER() OVER (PARTITION BY p.vid
+                                ORDER BY {dist}, c.cid) AS rn
+      FROM pts p CROSS JOIN c{iters} c
+    ),
+    scored AS (
+      SELECT vid,
+             MAX(CASE WHEN rn = 1 THEN cid END) AS cid,
+             sqrt(MAX(CASE WHEN rn = 1 THEN CAST(d AS DOUBLE) END)) AS a,
+             sqrt(MAX(CASE WHEN rn = 2 THEN CAST(d AS DOUBLE) END)) AS b
+      FROM ranked WHERE rn <= 2 GROUP BY vid
+    )
+    SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(AVG(CASE WHEN greatest(a, b) > 0.0
+                          THEN (b - a) / greatest(a, b)
+                          ELSE 0.0 END), {round_to}) AS mean_silhouette
+    FROM scored GROUP BY cid
+    """

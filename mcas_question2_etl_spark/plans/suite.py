@@ -76,6 +76,7 @@ from . import wave61 as _wave61
 from . import wave62 as _wave62
 from . import wave63 as _wave63
 from . import wave64 as _wave64
+from . import wave65 as _wave65
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -150,6 +151,7 @@ _ALL: list[QuerySpec] = [
     *_wave62.SPECS,
     *_wave63.SPECS,
     *_wave64.SPECS,
+    *_wave65.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this
