@@ -652,3 +652,85 @@ def minhash_lsh_between(
         .select("batch_id", "corpus_id")
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# winnowing (MOSS) local fingerprints — Schleimer/Wilkerson/Aiken 2003
+# --------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints: hash every ``k``-word gram, slide a
+    ``w``-gram window, keep each window's MINIMUM hash, distinct the
+    picks (Schleimer et al. SIGMOD'03 — the MOSS plagiarism/overlap
+    detector). Guarantees every shared run of >= k+w-1 words yields at
+    least one shared fingerprint, with an expected 2/(w+1) density —
+    position-robust like CDC chunking but tunable to longer matches.
+
+    One narrow projection per document (grams staged as a real column
+    so the window min re-reads an attribute, not a re-evaluated md5
+    chain), then one explode; the shuffle carries (id, 60-bit hash)
+    rows. Documents shorter than ``k`` words emit nothing; shorter
+    than k+w-1 emit the single whole-document window.
+
+    Output: (``id_col``, fp) — one row per distinct fingerprint.
+    """
+    toks = f"split({text_col}, ' ')"
+    gram_hash = _TOKEN_HASH.format(t="concat_ws(' ', slice(ts, i, {k}))").replace(
+        "{k}", str(k)
+    )
+    grams = (
+        f"transform(array({toks}), ts -> "
+        f"if(size(ts) < {k}, cast(array() as array<bigint>), "
+        f"transform(sequence(1, size(ts) - {k - 1}), "
+        f"i -> {gram_hash})))[0]"
+    )
+    staged = df.select(F.col(id_col), F.expr(grams).alias("__grams")).filter(
+        F.size("__grams") > 0
+    )
+    wins = (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size(__grams) - {w - 1}, 1)), "
+        f"j -> array_min(slice(__grams, j, {w}))))"
+    )
+    return staged.select(
+        F.col(id_col), F.explode(F.expr(wins)).alias("fp")
+    )
+
+
+def winnow_fingerprints_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints` (full SELECT yielding
+    (id_col, fp))."""
+    gram = f"array_to_string(list_slice(ts, i, i + {k - 1}), ' ')"
+    gram_hash = _TOKEN_HASH_SQL.format(t=gram)
+    return f"""
+    SELECT {id_col}, u.fp
+    FROM (
+      SELECT {id_col},
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(grams) - {w - 1}, 1)),
+               j -> list_min(list_slice(grams, j, j + {w - 1})))) AS fps
+      FROM (
+        SELECT {id_col},
+               CASE WHEN len(ts) < {k} THEN CAST([] AS BIGINT[])
+                    ELSE list_transform(
+                      generate_series(1, len(ts) - {k - 1}),
+                      i -> {gram_hash})
+               END AS grams
+        FROM (SELECT {id_col}, string_split({text_col}, ' ') AS ts
+              FROM {table})
+      ) WHERE len(grams) > 0
+    ), LATERAL unnest(fps) AS u(fp)
+    """
