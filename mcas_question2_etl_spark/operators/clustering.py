@@ -26,7 +26,12 @@ Scale notes (the 100 TB story):
     scalar aggregate per round instead of a join-and-compare.
   * ``localCheckpoint`` truncates lineage each round; without it the
     plan doubles per iteration and the driver, not the data, becomes
-    the bottleneck.
+    the bottleneck. Caveat (applies to every localCheckpoint in this
+    repo): blocks live on executors only, so truncated lineage cannot
+    recompute a block lost to executor failure or dynamic-allocation
+    scale-down — the job fails instead. On a cluster running dynamic
+    allocation, substitute persist(StorageLevel.DISK_ONLY) (lineage
+    retained, recomputable) or reliable checkpoint() to HDFS/S3.
 
 Reference parity: the reference has no graph stage (its dedup story is
 row-identity via primary keys, e.g. school_outcomes_etl.py's keyed

@@ -314,6 +314,11 @@ def minhash_lsh_candidates(
     # persist) so the blocks are released by the ContextCleaner when
     # the plan is garbage-collected — an explicit persist here leaked
     # cache in long-lived sessions with no scope to unpersist from.
+    # Caveat: localCheckpoint truncates lineage but stores blocks only
+    # on executors, so it is NOT resilient to executor loss / dynamic
+    # allocation — a lost block fails the job instead of recomputing.
+    # On a production cluster with dynamic allocation, swap for
+    # persist(StorageLevel.DISK_ONLY) or reliable checkpoint().
     bands = bands.localCheckpoint(eager=False)
     a = bands.select(
         F.col(id_col).alias("a_id"), "band_idx", "band_key"
@@ -365,7 +370,10 @@ def minhash_neardup_pairs(
     # LSH fit, then BOTH sides of the self approxSimilarityJoin), and
     # Catalyst does not share the shingle->HashingTF work across those
     # consumers — checkpoint once so the expensive vectorization runs a
-    # single time. Executor-local storage, fixed row width: safe at scale.
+    # single time. Executor-local storage: fine in a static-executor
+    # deployment, but NOT resilient to executor loss / dynamic
+    # allocation (truncated lineage cannot recompute lost blocks); use
+    # persist(StorageLevel.DISK_ONLY) or reliable checkpoint() there.
     feats = tf.transform(shingled).localCheckpoint(eager=False)
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed

@@ -155,13 +155,6 @@ def jaro_winkler_pairs(
             [jw_one(a, b) for a, b in zip(s1, s2)], dtype="float64"
         )
 
-    # the kernel IS deterministic, but marking it so lets Catalyst push
-    # the threshold filter through the projection and re-evaluate the
-    # UDF inside it — doubling the Python work (plan-audited: 2
-    # ArrowEvalPython stages). asNondeterministic() blocks the pushdown
-    # so the kernel runs exactly once per candidate pair.
-    _jw = _jw.asNondeterministic()
-
     blk = (
         F.split(F.col(name_col), " ").getItem(0)
         if block_col is None
@@ -211,6 +204,17 @@ def jaro_winkler_pairs(
         "name_b",
         F.round(_jw(F.col("name_a"), F.col("name_b")), round_to).alias("jw"),
     )
+    # Without a barrier, Catalyst pushes the threshold filter through
+    # this projection and re-evaluates the deterministic UDF inside it
+    # — doubling the Python work (plan-audited: 2 ArrowEvalPython
+    # stages). Materialize the scored pairs once instead of lying to
+    # the optimizer with asNondeterministic(): the candidate set is a
+    # bounded kernel (blocked + optionally sampled), so its scored rows
+    # are small; the filter then runs against stored blocks and the
+    # kernel executes exactly once per pair. localCheckpoint stores on
+    # executors only — acceptable for this bounded kernel, see the
+    # dynamic-allocation caveat in operators/dedup.py.
+    scored = scored.localCheckpoint(eager=False)
     return scored.where(F.col("jw") >= threshold)
 
 

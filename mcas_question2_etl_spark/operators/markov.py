@@ -51,7 +51,17 @@ def transition_counts(
 
 def stationary_mix(trans: DataFrame, rounds: int = 3) -> DataFrame:
     """(event_type, pi, empirical_share) after ``rounds`` power
-    iterations from uniform over the source states."""
+    iterations from uniform over the source states.
+
+    ``pi`` is renormalized at output so it is a proper probability
+    distribution over the tracked (source) states: transitions INTO
+    sink types with no outgoing edges leak mass out of the tracked
+    state space each round, so the raw iterate sums to < 1 whenever
+    sinks exist. The renormalized vector is the power iterate
+    conditioned on remaining in the source-state space.
+    """
+    # localCheckpoint: executor-local lineage cut — not resilient to
+    # executor loss / dynamic allocation; see operators/dedup.py caveat.
     trans = trans.localCheckpoint(eager=False)
     row_tot = trans.groupBy("frm").agg(F.sum("n").alias("__rt"))
     p = (
@@ -75,6 +85,12 @@ def stationary_mix(trans: DataFrame, rounds: int = 3) -> DataFrame:
             # so every round sees the same state set
             .join(states, "frm", "left_semi")
         )
+    # renormalize: divide by the surviving mass so pi sums to exactly 1
+    # over the tracked states (sinks absorb mass every round otherwise)
+    pi_tot = pi.agg(F.sum("pi").alias("__pt"))
+    pi = pi.crossJoin(F.broadcast(pi_tot)).select(
+        "frm", (F.col("pi") / F.col("__pt")).alias("pi")
+    )
     emp_tot = trans.agg(F.sum("n").cast("double").alias("__et"))
     emp = (
         trans.groupBy("frm")
@@ -126,7 +142,8 @@ def stationary_mix_sql(
     )""")
     return (
         "WITH " + ",".join(parts) + f"""
-    SELECT pi{rounds}.frm AS event_type, pi{rounds}.pi,
+    SELECT pi{rounds}.frm AS event_type,
+           pi{rounds}.pi / (SELECT SUM(pi) FROM pi{rounds}) AS pi,
            ft.fn / (SELECT CAST(SUM(n) AS DOUBLE) FROM tr) AS empirical_share
     FROM pi{rounds}
     JOIN (SELECT frm, CAST(SUM(n) AS DOUBLE) AS fn FROM tr GROUP BY frm) ft

@@ -233,6 +233,36 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_spec(
+    "minhash_neardup_full",
+    None,
+    "training-data op: pyspark.ml MinHashLSH approxSimilarityJoin over "
+    "the FULL documents table — the O(n) scale path exercised "
+    "unsampled (added round 4 per ADVICE: the sampled contract spec "
+    "minhash_neardup verifies accuracy on a constant-size kernel; THIS "
+    "spec keeps the unsampled scale path measured so bench numbers "
+    "track the real LSH join cost). Rows-only check: the seeded hash "
+    "family is not SQL-portable and the exact all-pairs verification "
+    "kernel is deliberately not run at full scale. Every candidate "
+    "carries approxSimilarityJoin's exact jaccard_distance <= 0.3 by "
+    "construction, so the aggregate verifies internal consistency "
+    "(max_distance bound) without an O(n^2) stage.",
+)
+def minhash_neardup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_neardup_pairs(docs, max_distance=0.3)
+    return cand.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.countDistinct("a_id").cast("bigint").alias("n_left_docs"),
+        F.coalesce(F.round(F.max("jaccard_distance"), 6), F.lit(0.0)).alias(
+            "max_distance"
+        ),
+        (F.coalesce(F.max("jaccard_distance"), F.lit(0.0)) <= 0.3).alias(
+            "distance_bound_holds"
+        ),
+    )
+
+
 _Q_EMB = similarity.quantize_sql("embedding")
 
 

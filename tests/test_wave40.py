@@ -99,3 +99,27 @@ def test_markov_two_state_cycle_is_uniform_fixpoint(spark):
     # deterministic a<->b cycle: uniform is the stationary distribution
     assert math.isclose(out["a"], 0.5, rel_tol=1e-12)
     assert math.isclose(out["b"], 0.5, rel_tol=1e-12)
+
+
+def test_markov_sink_states_pi_renormalized(spark):
+    """ADVICE r3: transitions into sink types leak mass each round; the
+    output pi must be renormalized to a proper distribution over the
+    tracked (source) states."""
+    from mcas_question2_etl_spark.operators.markov import (
+        stationary_mix,
+        transition_counts,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    # one user ending in "end": transitions a->a, a->b, b->end, so
+    # "end" has no outgoing edges (true sink); sources are {a, b} and
+    # half the mass leaks into the sink each a-step
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 1, t)
+        for i, t in enumerate(["a", "a", "b", "end"])
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = {r.event_type: r.pi for r in
+           stationary_mix(transition_counts(ev), rounds=3).collect()}
+    assert set(out) == {"a", "b"}  # sink excluded from tracked states
+    assert math.isclose(sum(out.values()), 1.0, rel_tol=1e-12)

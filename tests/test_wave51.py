@@ -122,3 +122,24 @@ def test_decayed_popularity_math(spark):
     out = decayed_popularity(df, half_life_days=7).collect()[0]
     assert out.total_events == 7 and out.n_days == 2
     assert math.isclose(out.decayed_score, round(3 + 4 * 0.5, 6), rel_tol=1e-9)
+
+
+def test_jaro_winkler_kernel_runs_once_per_pair(spark):
+    """Plan audit (ADVICE r3): the threshold filter must not re-evaluate
+    the Arrow kernel by being pushed below the scoring projection. The
+    materialization barrier keeps exactly ONE ArrowEvalPython stage in
+    the physical plan."""
+    from mcas_question2_etl_spark.operators.editjoin import jaro_winkler_pairs
+
+    # same first token so all three share one block; only (1,2) scores
+    # above threshold (jw 0.98333 vs 0.68182 for the JONES pairs)
+    df = spark.createDataFrame(
+        [(1, "SMITH MARTHA"), (2, "SMITH MARHTA"), (3, "SMITH JONES")],
+        ["id", "name"],
+    )
+    out = jaro_winkler_pairs(df, "id", "name", threshold=0.9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") <= 1
+    # and the result is still correct after the barrier
+    rows = out.collect()
+    assert {(r.id_a, r.id_b) for r in rows} == {(1, 2)}
