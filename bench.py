@@ -447,6 +447,8 @@ HEADLINE = [
     # constant-size sample at every sf — its bench number tracks the
     # KERNEL, not the LSH join; THIS entry tracks the unsampled join)
     "minhash_neardup_full",
+    # round 4: real BMP/PPM/WAV decode spec (VERDICT r3 #3)
+    "multimodal_strict_decode",
 ]
 
 

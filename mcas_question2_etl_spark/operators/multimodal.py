@@ -82,15 +82,186 @@ def fake_decode(payload: bytes, media_type: str) -> dict:
     return out
 
 
-def strict_decoder(payload: bytes, media_type: str) -> dict:
-    """The production decode kernel slot. Intentionally unimplemented in
-    this container (no PIL/libav/ffmpeg): callers opting out of the fake
-    must supply a real kernel."""
-    raise NotImplementedError(
-        "real media decoding requires image/audio codecs not present in "
-        "this environment; pass decoder=<your kernel> (same signature) "
-        "or use the deterministic fake_decode"
+# --------------------------------------------------------------------------
+# Real decoders for the uncompressed container formats (pure stdlib).
+#
+# BMP (BITMAPINFOHEADER, uncompressed BI_RGB), binary PPM/PGM (P6/P5)
+# and PCM WAV cover the fixture formats without any codec library;
+# compressed formats (JPEG/PNG/MP3/H.264) still fail loudly — that slot
+# needs PIL/libav, which this container does not ship.
+# --------------------------------------------------------------------------
+
+import struct as _struct
+
+
+def _decode_bmp(b: bytes) -> dict:
+    if len(b) < 54:
+        raise ValueError(f"BMP truncated: {len(b)} bytes < 54-byte header")
+    # BITMAPFILEHEADER: magic(2) size(4) reserved(4) data_offset(4)
+    file_size, data_off = _struct.unpack_from("<IxxxxI", b, 2)
+    hdr_size = _struct.unpack_from("<I", b, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size} (need BITMAPINFOHEADER)")
+    width, height, _planes, bpp, compression = _struct.unpack_from(
+        "<iihHI", b, 18
     )
+    if compression != 0:
+        raise ValueError(f"unsupported BMP compression {compression} (only BI_RGB)")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    height = abs(height)  # negative height = top-down row order
+    row_bytes = (width * bpp // 8 + 3) & ~3  # rows pad to 4 bytes
+    need = data_off + row_bytes * height
+    if len(b) < need:
+        raise ValueError(f"BMP pixel data truncated: {len(b)} < {need}")
+    return {"width": int(width), "height": int(height), "duration_ms": None}
+
+
+def _decode_pnm(b: bytes) -> dict:
+    # P5 (binary graymap) / P6 (binary pixmap): ASCII header tokens
+    # (magic, width, height, maxval) with #-comments, then raw samples
+    magic = b[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"unsupported PNM magic {magic!r} (only binary P5/P6)")
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        if i >= len(b):
+            raise ValueError("PNM header truncated")
+        c = b[i : i + 1]
+        if c == b"#":  # comment to end of line
+            while i < len(b) and b[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(b) and not b[j : j + 1].isspace():
+                j += 1
+            tokens.append(int(b[i:j]))
+            i = j
+    i += 1  # single whitespace byte after maxval, then raw data
+    width, height, maxval = tokens
+    depth = 3 if magic == b"P6" else 1
+    sample_bytes = 2 if maxval > 255 else 1
+    need = i + width * height * depth * sample_bytes
+    if len(b) < need:
+        raise ValueError(f"PNM sample data truncated: {len(b)} < {need}")
+    return {"width": int(width), "height": int(height), "duration_ms": None}
+
+
+def _decode_wav(b: bytes) -> dict:
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    # walk chunks: need fmt (byte rate) and data (payload size)
+    pos = 12
+    byte_rate = None
+    data_len = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        clen = _struct.unpack_from("<I", b, pos + 4)[0]
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError(f"fmt chunk too short: {clen}")
+            audio_fmt, _ch, _rate, byte_rate = _struct.unpack_from(
+                "<HHII", b, pos + 8
+            )
+            if audio_fmt != 1:
+                raise ValueError(f"unsupported WAV format {audio_fmt} (only PCM)")
+        elif cid == b"data":
+            data_len = clen
+        pos += 8 + clen + (clen & 1)  # chunks pad to even length
+    if byte_rate is None or data_len is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if not byte_rate:
+        raise ValueError("WAV byte rate is zero")
+    return {
+        "width": None,
+        "height": None,
+        "duration_ms": int(data_len * 1000 // byte_rate),
+    }
+
+
+def strict_decoder(payload: bytes, media_type: str) -> dict:
+    """Real decode kernel for the uncompressed formats (pure stdlib):
+    BMP (BITMAPINFOHEADER / BI_RGB), binary PPM/PGM (P6/P5), PCM WAV.
+    Container sniffing is by magic bytes, so a mislabeled payload still
+    decodes by its actual format. Compressed codecs (JPEG/PNG/MP3/...)
+    raise loudly — that slot needs PIL/libav, absent in this container;
+    ``fake_decode`` remains the deterministic stand-in for tests that
+    need synthetic metadata for arbitrary blobs."""
+    if payload is None:
+        return {
+            "n_bytes": 0,
+            "checksum": None,
+            "width": None,
+            "height": None,
+            "duration_ms": None,
+        }
+    if payload[:2] == b"BM":
+        dims = _decode_bmp(payload)
+    elif payload[:2] in (b"P5", b"P6"):
+        dims = _decode_pnm(payload)
+    elif payload[:4] == b"RIFF":
+        dims = _decode_wav(payload)
+    else:
+        raise NotImplementedError(
+            f"no pure-stdlib decoder for payload magic {payload[:4]!r} "
+            f"(media_type={media_type!r}); compressed codecs need "
+            "PIL/libav — pass decoder=<kernel> with the same signature"
+        )
+    return {
+        "n_bytes": len(payload),
+        "checksum": hashlib.md5(payload).hexdigest(),
+        **dims,
+    }
+
+
+# ---- matching encoders: deterministic fixture synthesis ------------------
+
+
+def encode_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """Minimal valid 24bpp BI_RGB BMP with deterministic pixel bytes."""
+    row_bytes = (width * 3 + 3) & ~3
+    data = bytearray()
+    for y in range(height):
+        row = bytearray(
+            (seed + x * 7 + y * 13 + c * 29) % 256
+            for x in range(width)
+            for c in range(3)
+        )
+        row += b"\x00" * (row_bytes - len(row))
+        data += row
+    size = 54 + len(data)
+    hdr = b"BM" + _struct.pack("<IHHI", size, 0, 0, 54)
+    hdr += _struct.pack("<IiihHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return bytes(hdr + data)
+
+
+def encode_ppm(width: int, height: int, seed: int = 0) -> bytes:
+    """Binary P6 PPM with deterministic pixel bytes."""
+    hdr = f"P6\n{width} {height}\n255\n".encode()
+    data = bytes(
+        (seed + i * 11) % 256 for i in range(width * height * 3)
+    )
+    return hdr + data
+
+
+def encode_wav(
+    duration_ms: int, sample_rate: int = 8000, seed: int = 0
+) -> bytes:
+    """PCM 16-bit mono WAV whose data chunk encodes exactly
+    ``duration_ms`` at ``sample_rate`` (byte rate = 2 * rate)."""
+    n_samples = duration_ms * sample_rate // 1000
+    byte_rate = sample_rate * 2
+    data = b"".join(
+        _struct.pack("<h", ((seed + 257 * i) % 65536) - 32768)
+        for i in range(n_samples)
+    )
+    fmt = _struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, 2, 16)
+    body = b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + _struct.pack("<I", len(data)) + data
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
 
 
 def extract_features(

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..catalog import load_table
 from ..operators import kmeans as _kmeans
@@ -121,6 +122,123 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     frames = sample_frames(_synth_media(spark, sf_dir), every_ms=1000, max_frames=16)
     return frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
+
+
+@_spec(
+    "multimodal_strict_decode",
+    """
+    WITH params AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'ppm' END AS kind,
+             4 + doc_id % 29 AS w,
+             3 + doc_id % 17 AS h,
+             500 + (doc_id * 37) % 5000 AS dur
+      FROM documents
+    ),
+    expected AS (
+      SELECT kind,
+             CASE WHEN kind IN ('bmp', 'ppm') THEN w END AS width,
+             CASE WHEN kind IN ('bmp', 'ppm') THEN h END AS height,
+             CASE WHEN kind = 'wav' THEN dur END AS duration_ms,
+             CASE kind
+               WHEN 'bmp' THEN 54 + ((w * 3 + 3) // 4 * 4) * h
+               WHEN 'ppm' THEN 3 + length(CAST(w AS VARCHAR)) + 1
+                               + length(CAST(h AS VARCHAR)) + 1 + 4
+                               + w * h * 3
+               ELSE 44 + (dur * 8000 // 1000) * 2
+             END AS n_bytes
+      FROM params
+    )
+    SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(width) AS BIGINT) AS sum_width,
+           CAST(SUM(height) AS BIGINT) AS sum_height,
+           CAST(SUM(duration_ms) AS BIGINT) AS sum_duration_ms
+    FROM expected GROUP BY kind
+    """,
+    "multimodal: REAL codec decode (round 4, VERDICT r3 #3) — "
+    "synthesizes genuine BMP (24bpp BI_RGB), binary P6 PPM and PCM WAV "
+    "file bytes per document (Arrow-batched encoder kernel), then "
+    "parses them back with operators/multimodal.py strict_decoder "
+    "(pure-stdlib header+pixel/PCM parse; no codec libraries). The "
+    "oracle recomputes width/height/duration AND the exact encoded "
+    "byte size (headers + row padding + sample count) from the same "
+    "doc_id-derived parameters, so a decoder that misreads any header "
+    "field or miscounts padding hash-mismatches. fake_decode remains "
+    "the stand-in for formats needing PIL/libav",
+)
+def multimodal_strict_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'ppm' END"
+        ).alias("kind"),
+        (F.lit(4) + F.col("doc_id") % 29).cast("int").alias("w"),
+        (F.lit(3) + F.col("doc_id") % 17).cast("int").alias("h"),
+        (F.lit(500) + (F.col("doc_id") * 37) % 5000).cast("int").alias("dur"),
+    )
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for kind, w, h, dur, did in zip(
+                pdf["kind"], pdf["w"], pdf["h"], pdf["dur"], pdf["doc_id"]
+            ):
+                if kind == "bmp":
+                    payloads.append(mm.encode_bmp(int(w), int(h), seed=int(did)))
+                elif kind == "ppm":
+                    payloads.append(mm.encode_ppm(int(w), int(h), seed=int(did)))
+                else:
+                    payloads.append(mm.encode_wav(int(dur), seed=int(did)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].values,
+                    "media_type": pdf["kind"].map(
+                        {"bmp": "image", "ppm": "image", "wav": "audio"}
+                    ).values,
+                    "kind": pdf["kind"].values,
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(encode, schema=payload_schema)
+    feats = mm.extract_features(
+        media.select("media_id", "media_type", "payload"),
+        decoder=mm.strict_decoder,
+    )
+    # kind is a pure function of media_id — recompute instead of
+    # joining back to `media`, which would run the encoder twice
+    # (both join sides descend from the mapInPandas stage)
+    feats = feats.withColumn(
+        "kind",
+        F.expr(
+            "CASE media_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'ppm' END"
+        ),
+    )
+    return (
+        feats
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("width").alias("sum_width"),
+            F.sum("height").alias("sum_height"),
+            F.sum("duration_ms").alias("sum_duration_ms"),
+        )
+    )
 
 
 def _lcc_inverse_oracle_sql() -> str:
