@@ -449,6 +449,8 @@ HEADLINE = [
     "minhash_neardup_full",
     # round 4: real BMP/PPM/WAV decode spec (VERDICT r3 #3)
     "multimodal_strict_decode",
+    # round 4: reference-breadth 8-covariate GLM (VERDICT r3 #4)
+    "glm_tidy_coefficients_wide",
 ]
 
 

@@ -444,6 +444,111 @@ def glm_tidy_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _glm_wide_features(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[str]]:
+    """Reference-breadth feature frame: 8 covariates over the star
+    schema (run_analysis.Rmd:80-99 fits 8 school-level covariates; the
+    TPC-H twin uses per-customer behavior + market-segment one-hots)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders_l"),
+            F.avg((F.col("o_orderpriority") == "1-URGENT").cast("double")).alias(
+                "urgent_frac"
+            ),
+            F.avg((F.col("o_orderpriority") == "2-HIGH").cast("double")).alias(
+                "high_frac"
+            ),
+            F.avg((F.col("o_orderstatus") == "O").cast("double")).alias(
+                "open_frac"
+            ),
+            (F.avg("o_totalprice") / 100000.0).alias("avg_value_100k"),
+        )
+        .join(
+            customer.select("c_custkey", "c_acctbal", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "urgent_frac",
+            F.col("n_orders_l").cast("double").alias("n_orders"),
+            (F.col("c_acctbal") / 1000.0).alias("acctbal_k"),
+            "high_frac",
+            "open_frac",
+            "avg_value_100k",
+            (F.col("c_mktsegment") == "AUTOMOBILE").cast("double").alias("seg_auto"),
+            (F.col("c_mktsegment") == "BUILDING").cast("double").alias("seg_building"),
+            (F.col("c_mktsegment") == "FURNITURE").cast("double").alias("seg_furniture"),
+        )
+    )
+    features = [
+        "acctbal_k",
+        "n_orders",
+        "high_frac",
+        "open_frac",
+        "avg_value_100k",
+        "seg_auto",
+        "seg_building",
+        "seg_furniture",
+    ]
+    return per_cust, features
+
+
+# Pinned at sf0.01 like _GLM_ORACLE_SQL (IRLS has no SQL twin); values
+# verified identical across shuffle-partition settings (32 vs 7) at
+# 6-decimal rounding.
+_GLM_WIDE_ORACLE_SQL = """
+SELECT term,
+       CAST(estimate AS DOUBLE) AS estimate,
+       CAST(std_error AS DOUBLE) AS std_error,
+       CAST(statistic AS DOUBLE) AS statistic,
+       CAST(odds_ratio AS DOUBLE) AS odds_ratio,
+       CAST(conf_low AS DOUBLE) AS conf_low,
+       CAST(conf_high AS DOUBLE) AS conf_high
+FROM (VALUES
+    ('acctbal_k',       0.009451, 0.006406,  1.475385, 1.009496, 0.996901, 1.022251),
+    ('n_orders',       -0.001210, 0.006428, -0.188179, 0.998791, 0.986286, 1.011455),
+    ('high_frac',      -1.727962, 0.174837, -9.883288, 0.177646, 0.126106, 0.250252),
+    ('open_frac',       0.049939, 0.137847,  0.362275, 1.051207, 0.802329, 1.377285),
+    ('avg_value_100k',  0.020573, 0.046167,  0.445611, 1.020786, 0.932474, 1.117461),
+    ('seg_auto',        0.011147, 0.055953,  0.199225, 1.011210, 0.906178, 1.128415),
+    ('seg_building',   -0.082543, 0.056966, -1.448993, 0.920772, 0.823498, 1.029536),
+    ('seg_furniture',  -0.109135, 0.056969, -1.915687, 0.896610, 0.801883, 1.002526),
+    ('(Intercept)',    -1.125252, 0.154759, -7.270983, 0.324571, 0.239650, 0.439583)
+) AS t(term, estimate, std_error, statistic, odds_ratio, conf_low, conf_high)
+"""
+
+
+@_spec(
+    "glm_tidy_coefficients_wide",
+    _GLM_WIDE_ORACLE_SQL,
+    "M1/M2 at reference breadth (VERDICT r3 #4): weighted "
+    "quasi-binomial GLM with 8 covariates (behavioral aggregates + "
+    "market-segment one-hots) matching run_analysis.Rmd:80-99's "
+    "8-covariate school model; dispersion-rescaled SEs, tidy table "
+    "with odds-ratio CIs",
+)
+def glm_tidy_coefficients_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.glm import fit_quasibinomial_glm, tidy
+
+    per_cust, features = _glm_wide_features(spark, sf_dir)
+    model = fit_quasibinomial_glm(
+        per_cust, response_col="urgent_frac", feature_cols=features,
+        weight_col="n_orders",
+    )
+    rows = tidy(model, features)
+    return spark.createDataFrame(
+        [
+            (c.term, round(float(c.estimate), 6), round(float(c.std_error), 6),
+             round(float(c.statistic), 6), round(float(c.odds_ratio), 6),
+             round(float(c.conf_low), 6), round(float(c.conf_high), 6))
+            for c in rows
+        ],
+        "term string, estimate double, std_error double, statistic double, "
+        "odds_ratio double, conf_low double, conf_high double",
+    )
+
+
 @_spec(
     "kmeans_cluster_stats",
     _kmeans.kmeans_cluster_stats_sql(k=8, iters=2),

@@ -25,7 +25,10 @@ def duck():
 # Specs whose oracle is a LITERAL-VALUES pin of the sf0.01 result
 # (non-SQL-expressible iterative fits): the mirror must run them at the
 # driver's sf, not the fast sf0.001, or the pinned values can't match.
-_SF_PINNED = {"glm_tidy_coefficients": SF_ORACLE}
+_SF_PINNED = {
+    "glm_tidy_coefficients": SF_ORACLE,
+    "glm_tidy_coefficients_wide": SF_ORACLE,
+}
 
 
 @pytest.mark.parametrize("spec", _specs(), ids=lambda s: s.name)
