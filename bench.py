@@ -451,6 +451,8 @@ HEADLINE = [
     "multimodal_strict_decode",
     # round 4: reference-breadth 8-covariate GLM (VERDICT r3 #4)
     "glm_tidy_coefficients_wide",
+    # round 4: grid-bucketed haversine NN scale path (VERDICT r3 #6)
+    "haversine_nn_bucketed",
 ]
 
 

@@ -296,6 +296,167 @@ def nearest_neighbor_join(
     )
 
 
+def nearest_neighbor_join_bucketed(
+    points: DataFrame,
+    sites: DataFrame,
+    point_id: str,
+    site_id: str,
+    cell_deg: float = 15.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Grid-bucketed nearest-site assignment — the scale path when the
+    site table does NOT fit an executor broadcast (VERDICT r3 #6;
+    complements :func:`nearest_neighbor_join`, which broadcasts sites).
+
+    Strategy:
+      1. Sites explode onto their 3x3 neighborhood of ``cell_deg``
+         lat/lon grid cells (x9 the SITE table — never the point
+         table — with longitude wraparound) and points compute their
+         single cell in the scan stage; one shuffle equi-join on the
+         cell id replaces the all-pairs cross join, so work is
+         O(points x sites-per-neighborhood) instead of
+         O(points x sites).
+      2. Each point's best in-neighborhood candidate is CERTIFIED
+         against a provable lower bound on the distance to any site
+         outside the 3x3 block: a site outside the block differs by
+         >= margin_lat in latitude (central angle >= delta-lat, so
+         d >= R * margin_lat_rad) or >= margin_lon in longitude within
+         the block's latitude range (haversine identity gives
+         d >= 2R * asin(cos(phi_max) * sin(margin_lon_rad / 2))).
+         If best <= bound - 1mm, no outside site can win (the 1 mm
+         slack keeps the 6dp round + site-id tie-break from ever
+         flipping a winner across the certified/global forms).
+      3. The uncertified residual (points in empty neighborhoods, or
+         whose margin bound is weak — a vanishing tail when cell_deg
+         is sized to site density) falls back to the exact broadcast
+         scan. On a cluster where even the residual scan is too big,
+         iterate step 1-2 with a widened ring (3 -> 9 -> 27 cells)
+         before the final fallback; the certification bound is
+         unchanged, only the block width grows.
+
+    Results are EXACTLY equal to :func:`nearest_neighbor_join` (same
+    rounding, same tie-break) — pinned by the equality test in
+    tests/test_wave54.py and the shared oracle row.
+    """
+    import math
+
+    r_earth = 6371008.8
+    rad = math.pi / 180.0
+    n_lon = max(1, int(round(360.0 / cell_deg)))
+
+    p = points.select(
+        F.col(point_id).alias("pid"),
+        F.col("lat").alias("plat"),
+        F.col("lon").alias("plon"),
+        F.floor(F.col("lat") / cell_deg).cast("bigint").alias("clat"),
+        (
+            (F.floor(F.col("lon") / cell_deg).cast("bigint") % n_lon + n_lon)
+            % n_lon
+        ).alias("clon"),
+    )
+    s = sites.select(
+        F.col(site_id).alias("sid"),
+        F.col("lat").alias("slat"),
+        F.col("lon").alias("slon"),
+        F.floor(F.col("lat") / cell_deg).cast("bigint").alias("sclat"),
+        F.floor(F.col("lon") / cell_deg).cast("bigint").alias("sclon"),
+    )
+    # sites x9 onto the neighborhood so the point side joins on ITS own
+    # cell — the big (point) table is never exploded, and the join key
+    # (clat, clon) distributes by geography
+    offs = F.array(
+        *[
+            F.struct(F.lit(a).alias("da"), F.lit(b).alias("db"))
+            for a in (-1, 0, 1)
+            for b in (-1, 0, 1)
+        ]
+    )
+    s9 = (
+        s.select("sid", "slat", "slon", "sclat", "sclon",
+                 F.explode(offs).alias("o"))
+        .select(
+            "sid",
+            "slat",
+            "slon",
+            (F.col("sclat") + F.col("o.da")).alias("clat"),
+            (
+                ((F.col("sclon") + F.col("o.db")) % n_lon + n_lon) % n_lon
+            ).alias("clon"),
+        )
+    )
+    d_raw = haversine_m(
+        F.col("plat"), F.col("plon"), F.col("slat"), F.col("slon")
+    )
+    best = (
+        p.join(s9, ["clat", "clon"])
+        .select(
+            "pid",
+            "plat",
+            "plon",
+            "clat",
+            "sid",
+            F.round(d_raw, round_to).alias("d"),
+            d_raw.alias("d_raw"),
+        )
+        .groupBy("pid", "plat", "plon", "clat")
+        .agg(
+            F.min_by("sid", F.struct(F.col("d"), F.col("sid"))).alias("nearest"),
+            F.min("d").alias("distance_m"),
+            F.min("d_raw").alias("best_raw"),
+        )
+    )
+    # certification bound: margins to the 3x3 block edge (offset within
+    # own cell is o in [0, cell); the block edge is a full cell beyond)
+    o_lat = F.col("plat") - F.col("clat") * cell_deg
+    m_lat = F.lit(cell_deg) + F.least(o_lat, F.lit(cell_deg) - o_lat)
+    o_lon = F.col("plon") - F.floor(F.col("plon") / cell_deg) * cell_deg
+    m_lon = F.lit(cell_deg) + F.least(o_lon, F.lit(cell_deg) - o_lon)
+    phi_max = F.least(
+        F.greatest(
+            F.abs((F.col("clat") - 1) * cell_deg),
+            F.abs((F.col("clat") + 2) * cell_deg),
+        ),
+        F.lit(90.0),
+    )
+    bound_lat = F.lit(r_earth) * m_lat * rad
+    bound_lon = (
+        F.lit(2.0 * r_earth)
+        * F.asin(
+            F.least(
+                F.lit(1.0),
+                F.cos(phi_max * rad) * F.sin(m_lon * rad / 2.0),
+            )
+        )
+    )
+    # a 3x3 block spanning >= 180 deg of longitude has no outside-in-lon
+    # region at all — treat the lon bound as infinite then
+    bound_lon = F.when(
+        F.lit(3 * cell_deg) >= 360.0 / 2, F.lit(float("inf"))
+    ).otherwise(bound_lon)
+    bound = F.least(bound_lat, bound_lon)
+    # consumed by BOTH the certified projection and the residual
+    # anti-join — materialize once (fixed-width per-point rows) so the
+    # candidate join doesn't run twice; executor-local, see the
+    # dynamic-allocation caveat in operators/clustering.py
+    flagged = best.withColumn(
+        "__ok", F.col("best_raw") <= bound - 0.001
+    ).localCheckpoint(eager=False)
+    certified = flagged.where("__ok").select(
+        F.col("pid").alias(point_id),
+        F.col("nearest").alias(site_id),
+        "distance_m",
+    )
+    residual = points.join(
+        flagged.where("__ok").select(F.col("pid").alias(point_id)),
+        point_id,
+        "left_anti",
+    )
+    fallback = nearest_neighbor_join(
+        residual, sites, point_id, site_id, round_to=round_to
+    )
+    return certified.unionByName(fallback)
+
+
 def grid_density_hotspots(
     points: DataFrame,
     lat_col: str = "lat",

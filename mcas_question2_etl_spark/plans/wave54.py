@@ -78,6 +78,53 @@ def haversine_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_spec(
+    "haversine_nn_bucketed",
+    f"""
+    WITH p AS (SELECT c_custkey, {_CLAT} AS lat, {_CLON} AS lon
+               FROM customer),
+    s AS (SELECT s_suppkey, {_SLAT} AS lat, {_SLON} AS lon FROM supplier),
+    scored AS (
+      SELECT p.c_custkey, s.s_suppkey,
+             ROUND({spatial.haversine_m_sql("p.lat", "p.lon", "s.lat", "s.lon")},
+                   6) AS d
+      FROM p CROSS JOIN s
+    )
+    SELECT c_custkey,
+           MIN(s_suppkey) FILTER (WHERE d = md) AS s_suppkey,
+           MIN(md) AS distance_m
+    FROM (SELECT *, MIN(d) OVER (PARTITION BY c_custkey) AS md FROM scored)
+    GROUP BY c_custkey
+    """,
+    "spatial op (round 4, VERDICT r3 #6) — grid-bucketed haversine "
+    "nearest-neighbor join: the scale path when sites exceed broadcast "
+    "size. Sites explode x9 onto a 15-degree cell neighborhood (with "
+    "longitude wrap); ONE shuffle equi-join on the cell id replaces "
+    "the cross join; each winner is certified against a provable "
+    "lower bound on any outside-block site's distance, with the "
+    "uncertified tail falling back to the exact scan. The oracle is "
+    "the same exact-NN SQL as haversine_nearest_supplier — the "
+    "bucketed plan must produce IDENTICAL assignments (equality also "
+    "pinned against the broadcast form in tests/test_wave54.py).",
+)
+def haversine_nn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    points = cust.select(
+        "c_custkey",
+        F.expr(_CLAT).alias("lat"),
+        F.expr(_CLON).alias("lon"),
+    )
+    sites = supp.select(
+        "s_suppkey",
+        F.expr(_SLAT).alias("lat"),
+        F.expr(_SLON).alias("lon"),
+    )
+    return spatial.nearest_neighbor_join_bucketed(
+        points, sites, "c_custkey", "s_suppkey"
+    )
+
+
+@_spec(
     "event_triple_patterns",
     assoc.frequent_triples_sql(
         "SELECT user_id, CAST(ts AS DATE) AS d, event_type FROM events",

@@ -122,3 +122,49 @@ def test_partition_skew_accounting(spark):
     assert hot.top_key_rows == 202  # key 7's bucket dominated by one key
     avg = 400 / len(out)
     assert math.isclose(hot.skew_ratio, hot.n_rows / avg, rel_tol=1e-12)
+
+
+def test_bucketed_nn_equals_broadcast_nn(spark):
+    """Round 4: the grid-bucketed scale path must produce EXACTLY the
+    broadcast form's assignments (same rounding, same tie-break),
+    including points whose 3x3 neighborhood is empty (fallback path)."""
+    from mcas_question2_etl_spark.operators.spatial import (
+        nearest_neighbor_join,
+        nearest_neighbor_join_bucketed,
+    )
+
+    # sparse sites: several points land in empty neighborhoods at
+    # cell_deg=5, exercising the residual fallback
+    pts = spark.createDataFrame(
+        [(i, ((i * 37) % 120) / 2.0 - 30.0, ((i * 73) % 720) / 2.0 - 180.0)
+         for i in range(60)],
+        ["pid", "lat", "lon"],
+    )
+    sites = spark.createDataFrame(
+        [(j, ((j * 41) % 100) / 2.0 - 25.0, ((j * 79) % 680) / 2.0 - 170.0)
+         for j in range(4)],
+        ["sid", "lat", "lon"],
+    )
+    a = nearest_neighbor_join(pts, sites, "pid", "sid")
+    b = nearest_neighbor_join_bucketed(pts, sites, "pid", "sid", cell_deg=5.0)
+    ra = {tuple(r) for r in a.collect()}
+    rb = {tuple(r) for r in b.collect()}
+    assert ra == rb
+    assert len(ra) == 60
+
+
+def test_bucketed_nn_antimeridian_wrap(spark):
+    """Longitude wraparound: a point at lon 179.9 must see a site at
+    lon -179.9 through the wrapped neighbor cell."""
+    from mcas_question2_etl_spark.operators.spatial import (
+        nearest_neighbor_join_bucketed,
+    )
+
+    pts = spark.createDataFrame([(1, 0.0, 179.9)], ["pid", "lat", "lon"])
+    sites = spark.createDataFrame(
+        [(10, 0.0, -179.9), (20, 0.0, 150.0)], ["sid", "lat", "lon"]
+    )
+    out = nearest_neighbor_join_bucketed(
+        pts, sites, "pid", "sid", cell_deg=15.0
+    ).collect()
+    assert out[0].sid == 10  # the across-the-seam site wins
