@@ -390,6 +390,119 @@ def minhash_neardup_pairs(
     )
 
 
+def minhash_ml_banded_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hash_tables: int = 8,
+    band_rows: int = 2,
+    max_bucket: int | None = 100,
+    min_jaccard: float = 0.7,
+    num_features: int = 1 << 18,
+    seed: int = 42,
+) -> DataFrame:
+    """Full-corpus near-dup pairs from pyspark.ml's MinHash family with
+    EXPLICIT banding — the scale path `approxSimilarityJoin` cannot
+    provide (round 4, per ADVICE r3).
+
+    approxSimilarityJoin OR-amplifies its single-hash tables: any
+    shared bucket in ANY table makes a candidate, so on a
+    low-vocabulary corpus it degenerates to near-all-pairs (measured
+    1210 s at sf0.1 vs ~3 s for this function — every doc pair shares
+    some min-shingle). Banding AND-combines ``band_rows`` hashes per
+    bucket key, suppressing those collisions the same way the portable
+    family does (dedup.py `minhash_lsh_candidates`), while still using
+    the seeded pyspark.ml `MinHashLSH` hash family:
+
+      shingle -> HashingTF binary vector -> MinHashLSH.transform
+      -> band keys = concat of ``band_rows`` hash values
+      -> bucket self-join (with the ``max_bucket`` degenerate guard)
+      -> exact-Jaccard verify on candidates only.
+
+    O(n x bands) candidate rows through one band-key shuffle; the
+    verify join touches candidates, never all pairs. Not SQL-portable
+    (seeded family) — callers oracle the accuracy contract or use
+    rows-only checks.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+    from pyspark.ml.functions import vector_to_array
+
+    shingled = df.select(
+        F.col(id_col), char_ngrams(text_col, n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=num_features,
+        binary=True,
+    )
+    # shingles are consumed by BOTH the signature path and the verify
+    # join; materialize once (executor-local — see the
+    # dynamic-allocation caveat in operators/clustering.py)
+    feats = tf.transform(shingled).localCheckpoint(eager=False)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes",
+        numHashTables=num_hash_tables, seed=seed,
+    )
+    model = lsh.fit(feats)
+    hashed = model.transform(feats)
+    n_bands = num_hash_tables // band_rows
+    # the band shuffle carries (id, band_idx, band_key) ONLY — shingle
+    # arrays rejoin after candidate generation, same discipline as
+    # minhash_lsh_candidates (never shuffle bodies on the bucket key)
+    bands = hashed.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.concat_ws(
+                            ":",
+                            *[
+                                vector_to_array(
+                                    F.col("hashes")[i * band_rows + r]
+                                )[0].cast("bigint")
+                                for r in range(band_rows)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "b.band_idx", "b.band_key")
+    if max_bucket is not None:
+        w = Window.partitionBy("band_idx", "band_key")
+        bands = (
+            bands.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
+    a = bands.select(F.col(id_col).alias("a_id"), "band_idx", "band_key")
+    b = bands.select(F.col(id_col).alias("b_id"), "band_idx", "band_key")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sh = feats.select(F.col(id_col), "shingles")
+    cand = cand.join(
+        sh.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("a_sh")),
+        "a_id",
+    ).join(
+        sh.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("b_sh")),
+        "b_id",
+    )
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size("a_sh") + F.size("b_sh") - inter
+    return cand.select(
+        "a_id",
+        "b_id",
+        (inter.cast("double") / union).alias("jaccard"),
+    ).filter(F.col("jaccard") >= min_jaccard)
+
+
 def duplicated_spans(
     df: DataFrame,
     id_col: str = "doc_id",

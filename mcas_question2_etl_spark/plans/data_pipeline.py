@@ -236,29 +236,30 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_spec(
     "minhash_neardup_full",
     None,
-    "training-data op: pyspark.ml MinHashLSH approxSimilarityJoin over "
-    "the FULL documents table — the O(n) scale path exercised "
-    "unsampled (added round 4 per ADVICE: the sampled contract spec "
-    "minhash_neardup verifies accuracy on a constant-size kernel; THIS "
-    "spec keeps the unsampled scale path measured so bench numbers "
-    "track the real LSH join cost). Rows-only check: the seeded hash "
-    "family is not SQL-portable and the exact all-pairs verification "
-    "kernel is deliberately not run at full scale. Every candidate "
-    "carries approxSimilarityJoin's exact jaccard_distance <= 0.3 by "
-    "construction, so the aggregate verifies internal consistency "
-    "(max_distance bound) without an O(n^2) stage.",
+    "training-data op: pyspark.ml MinHash family over the FULL "
+    "documents table (added round 4 per ADVICE: the sampled contract "
+    "spec minhash_neardup verifies accuracy on a constant-size kernel; "
+    "THIS spec keeps the unsampled scale path measured). Uses "
+    "dedup.minhash_ml_banded_pairs — explicit AND-amplified banding "
+    "over MinHashLSH's seeded hashes with the degenerate-bucket guard "
+    "— because approxSimilarityJoin's OR-amplified tables degenerate "
+    "to near-all-pairs on this low-vocabulary corpus (measured 1210 s "
+    "at sf0.1 vs ~seconds banded; see the operator docstring). "
+    "Rows-only check: the seeded family is not SQL-portable; verified "
+    "pairs carry exact Jaccard >= 0.7 by construction and the "
+    "aggregate asserts that bound.",
 )
 def minhash_neardup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    cand = dedup.minhash_neardup_pairs(docs, max_distance=0.3)
+    cand = dedup.minhash_ml_banded_pairs(docs, min_jaccard=0.7)
     return cand.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
         F.countDistinct("a_id").cast("bigint").alias("n_left_docs"),
-        F.coalesce(F.round(F.max("jaccard_distance"), 6), F.lit(0.0)).alias(
-            "max_distance"
+        F.coalesce(F.round(F.min("jaccard"), 6), F.lit(1.0)).alias(
+            "min_jaccard"
         ),
-        (F.coalesce(F.max("jaccard_distance"), F.lit(0.0)) <= 0.3).alias(
-            "distance_bound_holds"
+        (F.coalesce(F.min("jaccard"), F.lit(1.0)) >= 0.7).alias(
+            "jaccard_bound_holds"
         ),
     )
 

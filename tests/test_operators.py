@@ -179,6 +179,28 @@ def test_minhash_finds_planted_near_dups(spark):
     assert (0, 2) not in pairs
 
 
+def test_minhash_ml_banded_finds_planted_near_dups(spark):
+    """Round 4: the AND-amplified banded variant of the pyspark.ml
+    family must recall a planted near-dup, reject a dissimilar pair,
+    and report exact (verified) Jaccard on every emitted pair."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    docs = [(0, base), (1, base + " x"), (2, "completely different words entirely here")]
+    docs += [(10 + i, f"filler document number {i} with token {i * 7} salt {i * 13}") for i in range(20)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = dedup.minhash_ml_banded_pairs(df, min_jaccard=0.7).collect()
+    pairs = {(r.a_id, r.b_id): r.jaccard for r in out}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs
+    # exact verification: emitted jaccard equals the all-pairs kernel's
+    exact = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df).collect()
+    }
+    for k, v in pairs.items():
+        assert abs(v - exact[k]) < 1e-12
+        assert v >= 0.7
+
+
 def test_simhash_similar_docs_close_fingerprints(spark):
     df = spark.createDataFrame(
         [
