@@ -1,0 +1,1302 @@
+"""Operational/BI/geo specs (audits, attribution, spatial, dimensions).
+
+Consolidated from the round-1..3 wave modules (round 4, VERDICT r3
+#7): spec names, oracles and bodies are unchanged (module-private
+helpers colliding across waves carry a _w<N> suffix). Constituent
+waves and their original one-line scopes:
+
+#   wave8: Wave-8 extension specs: operational diagnostics — join-key skew
+#   wave12: Wave-12 extension spec: nested-type processing — array-of-structs
+#   wave13: Wave-13 extension spec: grid-indexed point-in-polygon spatial join
+#   wave37: Wave-37 extension specs: the generalized CRS surface (G1 beyond the
+#   wave43: Wave-43 extension specs: ABC revenue classes, contingency
+#   wave44: Wave-44 extension specs: last-touch attribution, order/line
+#   wave45: Wave-45 extension specs: k-anonymity audit, activity streaks,
+#   wave48: Wave-48 extension specs: Hamilton apportionment, XmR control
+#   wave54: Wave-54 extension specs: haversine nearest-neighbor join, frequent
+#   wave60: Wave-60 extension specs: price elasticity by brand, funnel window
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from ..catalog import load_table
+from pyspark.sql import DataFrame, SparkSession
+from ..operators.spatial import pip_expr_sql, point_in_polygon_join
+import pandas as pd
+from pyspark.sql import types as T
+from ..functions import geo
+from ..operators import aggregates, concentration, dedup, entropy, evaluation
+from .data_pipeline import _LSH_PAIRS_SQL
+from ..operators import attribution, reconcile, text
+from ..operators import privacy, profiling, text, timeseries
+from ..operators import apportion, timeseries
+from ..operators import assoc, profiling, segmentation, spatial, text
+from ..operators import concentration, regression
+
+from ..registry import QuerySpec
+
+SPECS: list[QuerySpec] = []
+
+
+def _spec(name: str, oracle: str | None, survey_ref: str):
+    def wrap(fn):
+        SPECS.append(QuerySpec(name=name, fn=fn, oracle=oracle, survey_ref=survey_ref))
+        return fn
+
+    return wrap
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave8
+# ──────────────────────────────────────────────────────────────────────────
+_SKEW_KEYS = ("l_orderkey", "l_partkey", "l_suppkey")
+
+
+def _skew_branch_sql(key: str) -> str:
+    return f"""
+    SELECT '{key}' AS key_name,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(MAX(cnt) AS BIGINT) AS max_freq,
+           MAX(cnt) / CAST(SUM(cnt) AS DOUBLE) AS top_share
+    FROM (SELECT {key}, COUNT(*) AS cnt FROM lineitem GROUP BY 1)
+    """
+
+
+@_spec(
+    "join_key_skew_report",
+    "SELECT * FROM (\n"
+    + "\nUNION ALL ".join(_skew_branch_sql(k) for k in _SKEW_KEYS)
+    + ")",
+    "extension — join-key skew diagnostics: for each candidate join "
+    "key of the fact table, row count, distinct keys, hottest-key "
+    "frequency and its share of all rows — the numbers that decide "
+    "broadcast vs shuffle vs salting BEFORE a 100 TB join is launched "
+    "(operators/skew.py is the mitigation; this is the detector). One "
+    "column-pruned scan + one map-side-combined group-by per key; "
+    "top_share is an exact int/int division, so no float cliffs",
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    branches = []
+    for key in _SKEW_KEYS:
+        per_key = (
+            li.select(key)
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        branches.append(
+            per_key.agg(
+                F.lit(key).alias("key_name"),
+                F.sum("cnt").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.max("cnt").cast("long").alias("max_freq"),
+                (F.max("cnt") / F.sum("cnt").cast("double")).alias("top_share"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+@_spec(
+    "event_debounce_dedup",
+    """
+    WITH g AS (
+      SELECT user_id, event_type, ts, event_id, value,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN prev_ts IS NOT NULL
+                          AND date_diff('second', prev_ts, ts) < 60
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_debounced
+    FROM g GROUP BY 1, 2
+    """,
+    "extension — telemetry debounce: suppress same-(user, type) events "
+    "arriving within 60s of the previous one (double-click/retry "
+    "noise), the row-level sibling of dedup_exact for event streams. "
+    "One lag window co-keyed with the final rollup — a single shuffle "
+    "on (user, type); the streaming twin is "
+    "dropDuplicatesWithinWatermark (streaming/windows.py)",
+)
+def event_debounce_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    debounced = (
+        F.col("prev_ts").isNotNull()
+        & (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") < 60)
+    )
+    return g.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(debounced.cast("int")).cast("long").alias("n_debounced"),
+    )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave12
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "order_items_nested_ops",
+    """
+    WITH nested AS (
+      SELECT l_orderkey,
+             list({'price': l_extendedprice, 'ln': l_linenumber,
+                   'partkey': l_partkey, 'qty': l_quantity}
+                  ORDER BY l_extendedprice, l_linenumber) AS items
+      FROM lineitem GROUP BY 1
+    ),
+    per_order AS (
+      SELECT n.l_orderkey, o.o_orderpriority,
+             len(n.items) AS n_items,
+             n.items[-1].partkey AS top_partkey,
+             n.items[-1].qty AS top_qty,
+             list_sum(list_transform(n.items,
+                                     x -> CAST(x.qty AS BIGINT)))
+               AS total_qty
+      FROM nested n JOIN orders o ON n.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(n_items) AS BIGINT) AS total_items,
+           CAST(SUM(total_qty) AS BIGINT) AS total_qty,
+           CAST(SUM(CASE WHEN top_qty > 25 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_top_item_bulk,
+           CAST(SUM(top_partkey) AS BIGINT) AS sum_top_partkey
+    FROM per_order GROUP BY 1 ORDER BY 1
+    """,
+    "extension — nested-type toolkit: per-order line items collected "
+    "into a SORTED array of structs (the lakehouse order document "
+    "shape), then processed entirely with higher-order array "
+    "functions — element_at(-1) for the priciest item, transform + "
+    "aggregate for an integer fold — inside the same stage as the "
+    "collect, no second shuffle and no explode-rejoin round trip. "
+    "sort_array over (price, linenumber) structs makes the "
+    "nondeterministic collect_list canonical; every folded measure is "
+    "integer-exact",
+)
+def order_items_nested_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("l_extendedprice").alias("price"),
+                    F.col("l_linenumber").alias("ln"),
+                    F.col("l_partkey").alias("partkey"),
+                    F.col("l_quantity").alias("qty"),
+                )
+            )
+        ).alias("items")
+    )
+    top = F.element_at("items", -1)
+    per_order = nested.join(
+        orders, nested.l_orderkey == orders.o_orderkey
+    ).select(
+        "o_orderpriority",
+        F.size("items").alias("n_items"),
+        top.getField("partkey").alias("top_partkey"),
+        top.getField("qty").alias("top_qty"),
+        F.expr(
+            "aggregate(transform(items, x -> cast(x.qty as bigint)), "
+            "0L, (a, x) -> a + x)"
+        ).alias("total_qty"),
+    )
+    return (
+        per_order.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n_items").cast("long").alias("total_items"),
+            F.sum("total_qty").cast("long").alias("total_qty"),
+            F.sum((F.col("top_qty") > 25).cast("int"))
+            .cast("long")
+            .alias("n_top_item_bulk"),
+            F.sum("top_partkey").cast("long").alias("sum_top_partkey"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave13
+# ──────────────────────────────────────────────────────────────────────────
+#: closed rings (first vertex repeated last), no horizontal edges; one
+#: convex triangle, one concave pentagon, one convex pentagon
+_POLYGONS: list[tuple[str, list[float], list[float]]] = [
+    ("tri", [10.0, 40.0, 25.0, 10.0], [10.0, 12.0, 40.0, 10.0]),
+    (
+        "concave",
+        [50.0, 90.0, 70.0, 86.0, 48.0, 50.0],
+        [20.0, 24.0, 40.0, 60.0, 58.0, 20.0],
+    ),
+    (
+        "pent",
+        [20.0, 45.0, 52.0, 30.0, 12.0, 20.0],
+        [60.0, 62.0, 80.0, 95.0, 78.0, 60.0],
+    ),
+]
+
+_CELL = 10.0
+
+#: deterministic point cloud derived from order keys (integer mod then
+#: /10 — both engines compute identical doubles)
+_PX = "(o_orderkey * 7 % 1000) / 10.0"
+_PY = "(o_orderkey * 13 % 1000) / 10.0"
+
+
+def _poly_values_sql() -> str:
+    rows = ", ".join(
+        f"('{pid}', CAST({xs} AS DOUBLE[]), CAST({ys} AS DOUBLE[]))"
+        for pid, xs, ys in _POLYGONS
+    )
+    return f"(VALUES {rows}) AS polys(poly_id, xs, ys)"
+
+
+@_spec(
+    "spatial_point_in_polygon",
+    f"""
+    WITH pts AS (
+      SELECT o_orderkey, {_PX} AS px, {_PY} AS py FROM orders
+    ),
+    paired AS (
+      SELECT t.o_orderkey, t.px, t.py, polys.poly_id, polys.xs, polys.ys
+      FROM pts t CROSS JOIN {_poly_values_sql()}
+    ),
+    hits AS (
+      SELECT poly_id, o_orderkey FROM paired
+      WHERE {pip_expr_sql("xs", "ys", "px", "py")}
+    )
+    SELECT poly_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_point_ids
+    FROM hits GROUP BY 1 ORDER BY 1
+    """,
+    "extension — spatial JOIN (operators/spatial.py): which polygon "
+    "contains each point, at scale. Polygon bboxes explode onto a "
+    "10-unit grid and BROADCAST; points compute their cell in the "
+    "scan stage and broadcast-join on it (points never shuffle); the "
+    "exact even-odd ray cast is a higher-order array expression under "
+    "whole-stage codegen — no UDF, no geo library. The oracle skips "
+    "the grid (plain theta join + the same ray cast): equality proves "
+    "the grid pruning lost no containment. Complements "
+    "functions/geo.py's validity/reprojection (S4/G1-G3) with the "
+    "join form the reference's GIS stage implies",
+)
+def spatial_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    points = orders.select(
+        "o_orderkey",
+        F.expr(_PX).alias("px"),
+        F.expr(_PY).alias("py"),
+    )
+    polygons = spark.createDataFrame(
+        _POLYGONS, "poly_id string, xs array<double>, ys array<double>"
+    )
+    hits = point_in_polygon_join(points, polygons, _CELL)
+    return (
+        hits.groupBy("poly_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("o_orderkey").cast("long").alias("sum_point_ids"),
+        )
+        .orderBy("poly_id")
+    )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave37
+# ──────────────────────────────────────────────────────────────────────────
+# shared synthetic point cloud: a deterministic lon/lat grid over the
+# New England box (in-domain for zone 19N, the LCC 26986 zone, and web
+# mercator alike), 0.05-degree steps
+_LON_SQL = "(-72.0 + (n_nationkey % 5) * 0.05)"
+_LAT_SQL = "(41.5 + ((n_nationkey // 5) % 5) * 0.05)"
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.select(
+        "n_nationkey",
+        (F.lit(-72.0) + (F.col("n_nationkey") % 5) * 0.05).alias("lon"),
+        (F.lit(41.5) + ((F.col("n_nationkey") / 5).cast("long") % 5) * 0.05).alias(
+            "lat"
+        ),
+    )
+
+
+_WEBM_X_SQL, _WEBM_Y_SQL = geo.webmercator_forward_sql(_LON_SQL, _LAT_SQL)
+
+
+@_spec(
+    "geo_webmercator_project",
+    f"""
+    SELECT n_nationkey,
+           ROUND({_WEBM_X_SQL}, 3) AS x_3857,
+           ROUND({_WEBM_Y_SQL}, 3) AS y_3857,
+           ROUND(degrees(({_WEBM_X_SQL}) / {geo.WEBM_A!r}), 6) AS lon_rt,
+           ROUND(degrees(2 * atan(exp(({_WEBM_Y_SQL}) / {geo.WEBM_A!r}))
+                         - pi() / 2), 6) AS lat_rt
+    FROM nation
+    """,
+    "G1 generalized — EPSG:4326 <-> EPSG:3857 (Web Mercator) both "
+    "directions as Catalyst column expressions (functions/geo.py "
+    "webmercator_*_cols; Snyder 7-1/7-4). The round-trip columns prove "
+    "the inverse composes to identity at mm rounding; projection at "
+    "scale is a codegen'd scan with zero Python",
+)
+def geo_webmercator_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    x, y = geo.webmercator_forward_cols("lon", "lat")
+    projected = pts.select("n_nationkey", x.alias("x"), y.alias("y"))
+    lon_rt, lat_rt = geo.webmercator_inverse_cols("x", "y")
+    return projected.select(
+        "n_nationkey",
+        F.round("x", 3).alias("x_3857"),
+        F.round("y", 3).alias("y_3857"),
+        F.round(lon_rt, 6).alias("lon_rt"),
+        F.round(lat_rt, 6).alias("lat_rt"),
+    )
+
+
+_UTM_X_SQL, _UTM_Y_SQL = geo.tm_forward_sql(
+    _LON_SQL, _LAT_SQL, geo.UTM_ZONES[26919]
+)
+
+
+@_spec(
+    "geo_utm_roundtrip",
+    f"""
+    SELECT n_nationkey,
+           ROUND({_UTM_X_SQL}, 2) AS x_utm19,
+           ROUND({_UTM_Y_SQL}, 2) AS y_utm19,
+           CAST(ROUND({_LON_SQL}, 6) AS DOUBLE) AS lon_rt,
+           CAST(ROUND({_LAT_SQL}, 6) AS DOUBLE) AS lat_rt
+    FROM nation
+    """,
+    "G1 generalized — EPSG:4326 -> EPSG:26919 (UTM 19N) via the full "
+    "Transverse Mercator series (Snyder 8-9..8-15) as column "
+    "expressions, then BACK through the footpoint-latitude inverse "
+    "(Arrow-batched; series round-trip error ~1e-9 deg, so the "
+    "6-decimal rounded round-trip must equal the inputs the oracle "
+    "regenerates literally — a failed series term shows up as a "
+    "hash mismatch)",
+)
+def geo_utm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    zone = geo.UTM_ZONES[26919]
+    pts = _points(spark, sf_dir)
+    x, y = geo.tm_forward_cols("lon", "lat", zone)
+    projected = pts.select("n_nationkey", x.alias("x"), y.alias("y"))
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ]))
+    def inv(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+        pairs = [geo.tm_inverse(a, b, zone) for a, b in zip(x, y)]
+        return pd.DataFrame(pairs, columns=["lon", "lat"])
+
+    return projected.select(
+        "n_nationkey",
+        F.round("x", 2).alias("x_utm19"),
+        F.round("y", 2).alias("y_utm19"),
+        inv("x", "y").alias("rt"),
+    ).select(
+        "n_nationkey",
+        "x_utm19",
+        "y_utm19",
+        F.round(F.col("rt.lon"), 6).alias("lon_rt"),
+        F.round(F.col("rt.lat"), 6).alias("lat_rt"),
+    )
+
+
+_LCC_X_SQL, _LCC_Y_SQL = geo.lcc_forward_sql(_LON_SQL, _LAT_SQL)
+
+
+@_spec(
+    "geo_lcc_forward_project",
+    f"""
+    SELECT n_nationkey,
+           ROUND({_LCC_X_SQL}, 2) AS x_26986,
+           ROUND({_LCC_Y_SQL}, 2) AS y_26986
+    FROM nation
+    """,
+    "G1 — the FORWARD direction of the reference's projection "
+    "(EPSG:4326 -> EPSG:26986 Mass State Plane, Snyder 15-1..15-4) as "
+    "column expressions; with the existing inverse (geo_reproject_"
+    "validity) the engine now reprojects both ways for every "
+    "registered LCC zone",
+)
+def geo_lcc_forward_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    x, y = geo.lcc_forward_cols("lon", "lat")
+    return pts.select(
+        "n_nationkey",
+        F.round(x, 2).alias("x_26986"),
+        F.round(y, 2).alias("y_26986"),
+    )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave43
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "abc_revenue_classes",
+    concentration.abc_classes_sql("lineitem", "l_partkey", "l_extendedprice"),
+    "concentration op — ABC/Pareto classification of parts by revenue "
+    "(A = first 80% of cumulative value, B to 95%, C tail): all-"
+    "decimal running prefix and thresholds so no boundary key can "
+    "flip engines, distributed two-phase running sum (range shuffle + "
+    "per-partition windows, no single-task global window), 3-row "
+    "rollup.",
+)
+def abc_revenue_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return concentration.abc_classes(li, "l_partkey", "l_extendedprice")
+
+
+@_spec(
+    "contingency_priority_status",
+    evaluation.contingency_residuals_sql(
+        "orders", "o_orderpriority", "o_orderstatus"
+    ),
+    "stats op — contingency audit of order priority x status: "
+    "per-cell expected counts and standardized residuals from exact "
+    "integer marginals (single IEEE expressions, no rounding), "
+    "table-level chi-square and Cramer's V rounded like the other "
+    "test statistics; marginals derive from the cell table, never a "
+    "second corpus scan.",
+)
+def contingency_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return evaluation.contingency_residuals(
+        orders, "o_orderpriority", "o_orderstatus"
+    )
+
+
+@_spec(
+    "user_diversity_histogram",
+    entropy.diversity_histogram_sql(),
+    "profiling op — histogram of per-user inverse-Simpson effective "
+    "event-type counts: the per-key diversity is a single division of "
+    "exact bigints (floor lands exactly on k for uniform k-type "
+    "users), three shrinking map-side-combined aggregations, no ln, "
+    "no rounding.",
+)
+def user_diversity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return entropy.diversity_histogram(events)
+
+
+@_spec(
+    "doc_length_log2_histogram",
+    aggregates.log2_histogram_sql("documents", "source", "n_chars"),
+    "profiling op — per-source power-of-two length histogram via "
+    "EXACT bit-length bucketing (length(bin(x)) - 1, immune to the "
+    "float-log2 cliff at exact powers of two); one scan expression + "
+    "one (source, bucket) aggregation.",
+)
+def doc_length_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return aggregates.log2_histogram(docs, "source", "n_chars")
+
+
+_NEARDUP_MATRIX_SQL = f"""
+    WITH hits AS (
+      SELECT a_id, b_id FROM (
+        {_LSH_PAIRS_SQL}
+      ) p WHERE jaccard >= 0.5
+    ),
+    lab AS (
+      SELECT h.a_id, h.b_id,
+             least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b
+      FROM hits h
+      JOIN documents da ON da.doc_id = h.a_id
+      JOIN documents db ON db.doc_id = h.b_id
+    )
+    SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM lab GROUP BY source_a, source_b
+    """
+
+
+@_spec(
+    "neardup_source_matrix",
+    _NEARDUP_MATRIX_SQL,
+    "corpus-forensics op — cross-source near-duplicate contamination "
+    "matrix: portable-family MinHash LSH candidates, exact-Jaccard "
+    "verified at >= 0.5 (a single exact-int division, so the "
+    "threshold cannot flip engines), pair endpoints labeled by source "
+    "with least/greatest normalization, source x source pair counts. "
+    "The who-copies-whom audit that tells you which corpus slices "
+    "leak into each other before mixing weights are set.",
+)
+def neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    cands = dedup.minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text", n=3, max_bucket=100
+    )
+    shingled = docs.select(
+        "doc_id", dedup.char_ngrams("text", 3).alias("shingles")
+    )
+    a = shingled.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"))
+    b = shingled.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    hits = (
+        cands.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn(
+            "jaccard",
+            inter.cast("double") / (F.size("a_sh") + F.size("b_sh") - inter),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("a_id", "b_id")
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        hits.join(src.select(F.col("doc_id").alias("a_id"), F.col("source").alias("__sa")), "a_id")
+        .join(src.select(F.col("doc_id").alias("b_id"), F.col("source").alias("__sb")), "b_id")
+        .groupBy(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave44
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "last_touch_attribution",
+    attribution.last_touch_attribution_sql(),
+    "attribution op — last-touch conversion credit within a 7-day "
+    "lookback as ONE user-keyed window pass (last-ignorenulls over "
+    "unboundedPreceding..-1), not a conversions-to-touches range "
+    "join: deterministic (ts, event_id) order, exact integer-micros "
+    "lookback compare, channels-row rollup.",
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return attribution.last_touch_attribution(events)
+
+
+@_spec(
+    "order_total_reconciliation",
+    reconcile.order_total_reconciliation_sql(),
+    "finance-audit op — header-vs-recomputed-lines reconciliation: "
+    "per-line price*(1-disc)*(1+tax) DECIMAL-exact at scale 6, "
+    "order-free per-order sums, decimal magnitude buckets (exact / "
+    "<1 / >=1 / no_lines) so no boundary order flips engines; one "
+    "order-key join, 4-row rollup.",
+)
+def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return reconcile.order_total_reconciliation(orders, li)
+
+
+@_spec(
+    "duplicate_order_audit",
+    reconcile.duplicate_transaction_audit_sql(),
+    "finance-audit op — double-charge tripwire: (customer, exact-"
+    "decimal amount, day) group multiplicity histogram; one groupBy "
+    "plus a group-table rollup, all exact bigints.",
+)
+def duplicate_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return reconcile.duplicate_transaction_audit(orders)
+
+
+@_spec(
+    "feature_hash_collision_report",
+    text.feature_hash_report_sql(),
+    "feature-engineering op — hashing-trick pre-flight: md5-portable "
+    "token->bucket assignment (1024 buckets), bucket-occupancy "
+    "histogram with vocab and mass columns, all exact bigints; "
+    "explode + three shrinking aggregations.",
+)
+def feature_hash_collision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.feature_hash_report(docs)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave45
+# ──────────────────────────────────────────────────────────────────────────
+_QI = ("c_nationkey", "c_mktsegment")
+
+
+@_spec(
+    "k_anonymity_customers",
+    privacy.k_anonymity_audit_sql("customer", _QI, "c_acctbal"),
+    "privacy op — k-anonymity / l-diversity release audit over the "
+    "customer quasi-identifiers (nation, segment) with account "
+    "balance as the sensitive column: equivalence-class size "
+    "histogram with per-size minimum l, all exact COUNT/COUNT "
+    "DISTINCT, one QI groupBy + class-table rollups.",
+)
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return privacy.k_anonymity_audit(cust, _QI, "c_acctbal")
+
+
+@_spec(
+    "activity_streak_histogram",
+    timeseries.activity_streak_histogram_sql(),
+    "habit-metric op — longest consecutive-active-day streak per user "
+    "via the gaps-and-islands identity (day - row_number constant "
+    "within a run): no self-join, no iteration, all-integer; one "
+    "shuffle on the user key, histogram rollup.",
+)
+def activity_streak_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return timeseries.activity_streak_histogram(events)
+
+
+@_spec(
+    "kwic_spark_snippets",
+    text.kwic_snippets_sql("spark"),
+    "concordance op — keyword-in-context snippets for 'spark': "
+    "tokenize once, positional explode, term filter, +-2-token array "
+    "slice; zero shuffle (pure scan-stage expressions), byte-exact "
+    "string output.",
+)
+def kwic_spark_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.kwic_snippets(docs, "spark")
+
+
+_FD_PAIRS = (("p_brand", "p_type"), ("p_type", "p_brand"), ("p_partkey", "p_name"))
+
+
+@_spec(
+    "functional_dependency_parts",
+    profiling.functional_dependency_audit_sql("part", _FD_PAIRS),
+    "profiling op — candidate functional dependencies over part "
+    "(brand->type, type->brand, key->name): per-lhs distinct-rhs "
+    "class tables, violation counts, exact bigints throughout.",
+)
+def functional_dependency_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return profiling.functional_dependency_audit(part, _FD_PAIRS)
+
+
+_KEY_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+@_spec(
+    "key_candidate_orders",
+    profiling.key_candidate_profile_sql("orders", _KEY_COLS),
+    "profiling op — per-column uniqueness/key-candidate profile of "
+    "orders in ONE aggregate pass (multi-distinct expanded by the "
+    "engine, still a single scan) + static unpivot; exact distinct/"
+    "null counts, single-division uniqueness ratio.",
+)
+def key_candidate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return profiling.key_candidate_profile(orders, _KEY_COLS)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave48
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "largest_remainder_seats",
+    apportion.largest_remainder_seats_sql("customer", "c_nationkey", 120),
+    "election op — Hamilton largest-remainder apportionment of 120 "
+    "seats by customer nation: ALL-integer quotas ((v*S) div T / mod "
+    "T — no float quota boundary), deterministic remainder ranking "
+    "over the party-sized table; total seats sum exactly to S. "
+    "Extends election_results_etl.py's vote-share surface.",
+)
+def largest_remainder_seats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return apportion.largest_remainder_seats(cust, "c_nationkey", 120)
+
+
+@_spec(
+    "xmr_control_chart",
+    timeseries.xmr_control_chart_sql(),
+    "ops op — Shewhart XmR individuals chart over per-type daily "
+    "counts: exact integer moving ranges, one fixed IEEE limit "
+    "expression (identical both engines), exact-integer-vs-limit "
+    "violation counts; daily rollup + one lag window.",
+)
+def xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return timeseries.xmr_control_chart(events)
+
+
+@_spec(
+    "shipping_sla_report",
+    """
+    WITH j AS (
+      SELECT o.o_orderpriority AS priority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS lag_days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_within_30d,
+           CAST(SUM(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS sla_30d,
+           CAST(MAX(lag_days) AS BIGINT) AS max_lag_days
+    FROM j GROUP BY priority
+    """,
+    "SLA op — per-priority shipping latency: integer datediff lag, "
+    "exact within-30d counts, single-division SLA ratio; one "
+    "order-key join + priority rollup.",
+)
+def shipping_sla_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lag = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    j = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"), lag.alias("lag_days")
+    )
+    return j.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum((F.col("lag_days") <= 30).cast("bigint"))
+        .cast("bigint")
+        .alias("n_within_30d"),
+        (
+            F.sum((F.col("lag_days") <= 30).cast("bigint")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("sla_30d"),
+        F.max("lag_days").cast("bigint").alias("max_lag_days"),
+    )
+
+
+@_spec(
+    "shift_share_events",
+    """
+    WITH span AS (
+      SELECT MIN(ts) AS t0, MAX(ts) AS t1 FROM events
+    ),
+    halves AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN epoch_us(ts) - (SELECT epoch_us(t0) FROM span)
+                       < ((SELECT epoch_us(t1) FROM span)
+                          - (SELECT epoch_us(t0) FROM span)) // 2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+             CAST(SUM(CASE WHEN epoch_us(ts) - (SELECT epoch_us(t0) FROM span)
+                       < ((SELECT epoch_us(t1) FROM span)
+                          - (SELECT epoch_us(t0) FROM span)) // 2
+                       THEN 0 ELSE 1 END) AS BIGINT) AS h2
+      FROM events GROUP BY event_type
+    ),
+    nat AS (SELECT CAST(SUM(h1) AS BIGINT) AS N1, CAST(SUM(h2) AS BIGINT) AS N2
+            FROM halves)
+    SELECT h.event_type, h.h1, h.h2,
+           h.h2 - h.h1 AS total_shift,
+           h.h1 * (CAST(nat.N2 AS DOUBLE) / nat.N1 - 1) AS national_effect,
+           (h.h2 - h.h1) - h.h1 * (CAST(nat.N2 AS DOUBLE) / nat.N1 - 1)
+             AS competitive_effect
+    FROM halves h CROSS JOIN nat
+    """,
+    "econ op — shift-share decomposition of event-type growth "
+    "between the corpus's two time halves: each type's change splits "
+    "into the national-growth effect and the competitive residual; "
+    "exact integer half-counts (integer-micros midpoint), single "
+    "IEEE effect expressions; one scan + type rollup.",
+)
+def shift_share_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    span = events.agg(
+        F.min(F.unix_micros("ts")).alias("__t0"),
+        F.max(F.unix_micros("ts")).alias("__t1"),
+    )
+    tagged = events.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.col("__t0")
+            < F.expr("(__t1 - __t0) div 2")
+        ).cast("int").alias("__in_h1"),
+    )
+    halves = tagged.groupBy("event_type").agg(
+        F.sum("__in_h1").cast("bigint").alias("h1"),
+        F.sum(1 - F.col("__in_h1")).cast("bigint").alias("h2"),
+    )
+    nat = halves.agg(
+        F.sum("h1").cast("bigint").alias("__N1"),
+        F.sum("h2").cast("bigint").alias("__N2"),
+    )
+    g = F.col("__N2").cast("double") / F.col("__N1") - 1
+    return halves.crossJoin(F.broadcast(nat)).select(
+        "event_type",
+        "h1",
+        "h2",
+        (F.col("h2") - F.col("h1")).alias("total_shift"),
+        (F.col("h1") * g).alias("national_effect"),
+        ((F.col("h2") - F.col("h1")) - F.col("h1") * g).alias(
+            "competitive_effect"
+        ),
+    )
+
+
+@_spec(
+    "pct_of_parent_rollup",
+    """
+    WITH cust_rev AS (
+      SELECT c.c_nationkey, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                                 AS DECIMAL(38,2)) AS rev
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey
+    ),
+    nation_rev AS (
+      SELECT n.n_regionkey, n.n_nationkey, n.n_name, cr.rev
+      FROM cust_rev cr JOIN nation n ON n.n_nationkey = cr.c_nationkey
+    ),
+    region_rev AS (
+      SELECT n_regionkey, CAST(SUM(rev) AS DECIMAL(38,2)) AS region_rev
+      FROM nation_rev GROUP BY n_regionkey
+    ),
+    grand AS (SELECT CAST(SUM(rev) AS DECIMAL(38,2)) AS grand_rev
+              FROM nation_rev)
+    SELECT nr.n_regionkey, nr.n_nationkey, nr.n_name,
+           CAST(nr.rev AS DOUBLE) AS revenue,
+           CAST(nr.rev AS DOUBLE) / CAST(rr.region_rev AS DOUBLE)
+             AS pct_of_region,
+           CAST(nr.rev AS DOUBLE) / CAST(g.grand_rev AS DOUBLE) AS pct_of_total
+    FROM nation_rev nr
+    JOIN region_rev rr ON rr.n_regionkey = nr.n_regionkey
+    CROSS JOIN grand g
+    """,
+    "BI op — percent-of-parent hierarchy rollup (nation -> region -> "
+    "grand total of order revenue): decimal-exact sums at every "
+    "grain, parent totals derive from the child table (one corpus "
+    "aggregation), single-division shares; broadcast dimension "
+    "joins.",
+)
+def pct_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cust_rev = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("__rev")
+        )
+    )
+    nation_rev = cust_rev.join(
+        F.broadcast(nation.select("n_nationkey", "n_regionkey", "n_name")),
+        cust_rev["c_nationkey"] == F.col("n_nationkey"),
+    )
+    region_rev = nation_rev.groupBy("n_regionkey").agg(
+        F.sum("__rev").cast("decimal(38,2)").alias("__region_rev")
+    )
+    grand = nation_rev.agg(
+        F.sum("__rev").cast("decimal(38,2)").alias("__grand_rev")
+    )
+    return (
+        nation_rev.join(F.broadcast(region_rev), "n_regionkey")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "n_regionkey",
+            "n_nationkey",
+            "n_name",
+            F.col("__rev").cast("double").alias("revenue"),
+            (
+                F.col("__rev").cast("double")
+                / F.col("__region_rev").cast("double")
+            ).alias("pct_of_region"),
+            (
+                F.col("__rev").cast("double")
+                / F.col("__grand_rev").cast("double")
+            ).alias("pct_of_total"),
+        )
+    )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave54
+# ──────────────────────────────────────────────────────────────────────────
+# Deterministic synthetic coordinates (no lat/lon in the star schema):
+# integer modular spreads, exact halves — identical in both engines.
+_CLAT = "((c_custkey * 37) % 120) / 2.0 - 30"
+_CLON = "((c_custkey * 73) % 720) / 2.0 - 180"
+_SLAT = "((s_suppkey * 41) % 120) / 2.0 - 30"
+_SLON = "((s_suppkey * 79) % 720) / 2.0 - 180"
+
+
+@_spec(
+    "haversine_nearest_supplier",
+    f"""
+    WITH p AS (SELECT c_custkey, {_CLAT} AS lat, {_CLON} AS lon
+               FROM customer),
+    s AS (SELECT s_suppkey, {_SLAT} AS lat, {_SLON} AS lon FROM supplier),
+    scored AS (
+      SELECT p.c_custkey, s.s_suppkey,
+             ROUND({spatial.haversine_m_sql("p.lat", "p.lon", "s.lat", "s.lon")},
+                   6) AS d
+      FROM p CROSS JOIN s
+    )
+    SELECT c_custkey,
+           MIN(s_suppkey) FILTER (WHERE d = md) AS s_suppkey,
+           MIN(md) AS distance_m
+    FROM (SELECT *, MIN(d) OVER (PARTITION BY c_custkey) AS md FROM scored)
+    GROUP BY c_custkey
+    """,
+    "spatial op — haversine nearest-supplier assignment per customer "
+    "over deterministic synthetic coordinates: broadcast site "
+    "dimension (points never shuffle), 6dp-rounded distances so a "
+    "last-ulp trig difference cannot flip the winner, min_by with "
+    "site-id tie-break.",
+)
+def haversine_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    points = cust.select(
+        "c_custkey",
+        F.expr(_CLAT).alias("lat"),
+        F.expr(_CLON).alias("lon"),
+    )
+    sites = supp.select(
+        "s_suppkey",
+        F.expr(_SLAT).alias("lat"),
+        F.expr(_SLON).alias("lon"),
+    )
+    return spatial.nearest_neighbor_join(points, sites, "c_custkey", "s_suppkey")
+
+
+@_spec(
+    "haversine_nn_bucketed",
+    f"""
+    WITH p AS (SELECT c_custkey, {_CLAT} AS lat, {_CLON} AS lon
+               FROM customer),
+    s AS (SELECT s_suppkey, {_SLAT} AS lat, {_SLON} AS lon FROM supplier),
+    scored AS (
+      SELECT p.c_custkey, s.s_suppkey,
+             ROUND({spatial.haversine_m_sql("p.lat", "p.lon", "s.lat", "s.lon")},
+                   6) AS d
+      FROM p CROSS JOIN s
+    )
+    SELECT c_custkey,
+           MIN(s_suppkey) FILTER (WHERE d = md) AS s_suppkey,
+           MIN(md) AS distance_m
+    FROM (SELECT *, MIN(d) OVER (PARTITION BY c_custkey) AS md FROM scored)
+    GROUP BY c_custkey
+    """,
+    "spatial op (round 4, VERDICT r3 #6) — grid-bucketed haversine "
+    "nearest-neighbor join: the scale path when sites exceed broadcast "
+    "size. Sites explode x9 onto a 15-degree cell neighborhood (with "
+    "longitude wrap); ONE shuffle equi-join on the cell id replaces "
+    "the cross join; each winner is certified against a provable "
+    "lower bound on any outside-block site's distance, with the "
+    "uncertified tail falling back to the exact scan. The oracle is "
+    "the same exact-NN SQL as haversine_nearest_supplier — the "
+    "bucketed plan must produce IDENTICAL assignments (equality also "
+    "pinned against the broadcast form in tests/test_wave54.py).",
+)
+def haversine_nn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    points = cust.select(
+        "c_custkey",
+        F.expr(_CLAT).alias("lat"),
+        F.expr(_CLON).alias("lon"),
+    )
+    sites = supp.select(
+        "s_suppkey",
+        F.expr(_SLAT).alias("lat"),
+        F.expr(_SLON).alias("lon"),
+    )
+    return spatial.nearest_neighbor_join_bucketed(
+        points, sites, "c_custkey", "s_suppkey"
+    )
+
+
+@_spec(
+    "event_triple_patterns",
+    assoc.frequent_triples_sql(
+        "SELECT user_id, CAST(ts AS DATE) AS d, event_type FROM events",
+        ["user_id", "d"],
+        "event_type",
+    ),
+    "behavior op — Apriori level-3: unordered event-type TRIPLES "
+    "co-present in a (user, day) basket with support >= 2: distinct "
+    "basket-item reduction first, 3-way self-equi-join with an "
+    "ordering chain (C(k,3) per basket, k <= taxonomy size); the set "
+    "complement of wave-39's sequence trigrams.",
+)
+def event_triple_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    b = events.select(
+        "user_id", F.col("ts").cast("date").alias("d"), "event_type"
+    )
+    return assoc.frequent_triples(b, ["user_id", "d"], "event_type")
+
+
+@_spec(
+    "cohort_ltv_curve",
+    segmentation.cohort_ltv_curve_sql(),
+    "BI op — cohort lifetime-value triangle: users cohorted by first-"
+    "activity month, cumulative value at each month-since: exact "
+    "integer month arithmetic, monthly sums rounded 6dp BEFORE the "
+    "ordered cumulative window so running totals are bit-identical; "
+    "the unit-economics companion to cohort_retention_matrix.",
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return segmentation.cohort_ltv_curve(events)
+
+
+@_spec(
+    "part_fingerprint_clusters",
+    text.fingerprint_clusters_sql(
+        """(SELECT p_partkey AS id, p_name AS name FROM part
+            UNION ALL
+            SELECT p_partkey + 1000000000 AS id, upper(p_name) AS name
+            FROM part WHERE p_partkey % 10 = 0)""",
+        "id",
+        "name",
+    ),
+    "cleaning op — OpenRefine fingerprint clustering (sorted distinct "
+    "lowercase token key) over part names with deterministic case-"
+    "variant rows planted (every 10th part uppercased): clusters = "
+    "keys with >= 2 distinct raw spellings; scan-stage expressions, "
+    "fingerprints shuffle, never raw strings twice.",
+)
+def part_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    base = part.select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("name")
+    )
+    variants = (
+        part.where(F.col("p_partkey") % 10 == 0)
+        .select(
+            (F.col("p_partkey") + 1000000000).alias("id"),
+            F.upper(F.col("p_name")).alias("name"),
+        )
+    )
+    return text.fingerprint_clusters(base.unionByName(variants), "id", "name")
+
+
+@_spec(
+    "partition_skew_report",
+    profiling.partition_skew_report_sql("events", "user_id"),
+    "engine-ops op — shuffle-partition skew diagnosis for the "
+    "events.user_id key: portable md5 bucketing (stand-in for the "
+    "hash partitioner), per-bucket load, hot-key-vs-hot-bucket "
+    "distinction (top_key_rows), max/avg skew ratio; exact integers, "
+    "one division.",
+)
+def partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return profiling.partition_skew_report(events, "user_id")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave60
+# ──────────────────────────────────────────────────────────────────────────
+_ELASTICITY_PTS_SQL = """(
+  SELECT part.p_brand,
+         ln(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)) AS lx,
+         ln(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)) AS ly
+  FROM lineitem JOIN part ON part.p_partkey = lineitem.l_partkey
+  GROUP BY lineitem.l_partkey, part.p_brand
+) pts"""
+
+
+@_spec(
+    "price_elasticity_by_brand",
+    regression.group_ols_oracle_sql(_ELASTICITY_PTS_SQL, ["p_brand"], "lx", "ly"),
+    "econ op — log-log demand elasticity per brand: per-part "
+    "(ln unit price, ln total quantity) points from DECIMAL-exact "
+    "spend/quantity sums, then the repo's sufficient-statistics "
+    "group OLS (slope = elasticity, rounded per its oracle "
+    "discipline).",
+)
+def price_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pts = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .groupBy("l_partkey", "p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("__sp"),
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("__sq"),
+        )
+        .select(
+            "p_brand",
+            F.log(F.col("__sp") / F.col("__sq").cast("double")).alias("lx"),
+            F.log(F.col("__sq").cast("double")).alias("ly"),
+        )
+    )
+    fit = regression.group_ols(pts, ["p_brand"], "lx", "ly")
+    return fit.select(
+        "p_brand",
+        "n",
+        F.round("slope", 4).alias("slope"),
+        F.round("intercept", 4).alias("intercept"),
+        F.round("r2", 4).alias("r2"),
+    )
+
+
+@_spec(
+    "funnel_window_sensitivity",
+    """
+    WITH first_click AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t0
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    purchases AS (
+      SELECT user_id, epoch_us(ts) AS tp
+      FROM events WHERE event_type = 'purchase'
+    ),
+    wins AS (SELECT unnest([1, 24, 72]) AS w),
+    conv AS (
+      SELECT wins.w, first_click.user_id,
+             CAST(MAX(CASE WHEN purchases.tp >= first_click.t0
+                            AND purchases.tp < first_click.t0
+                                + w * CAST(3600000000 AS BIGINT)
+                           THEN 1 ELSE 0 END) AS INTEGER) AS c
+      FROM first_click
+      CROSS JOIN wins
+      LEFT JOIN purchases ON purchases.user_id = first_click.user_id
+      GROUP BY wins.w, first_click.user_id
+    )
+    SELECT CAST(w AS BIGINT) AS window_hours,
+           CAST(COUNT(*) AS BIGINT) AS n_clickers,
+           CAST(SUM(c) AS BIGINT) AS n_converted,
+           CAST(SUM(c) AS DOUBLE) / COUNT(*) AS conversion_rate
+    FROM conv GROUP BY w
+    """,
+    "funnel op — conversion-window sensitivity: first-click to "
+    "purchase conversion at 1/24/72h attribution windows in one "
+    "pass (exact integer-micros comparisons); shows how much the "
+    "window choice moves the headline rate.",
+)
+def funnel_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_click = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("t0"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("tp")
+    )
+    wins = F.explode(F.array(F.lit(1), F.lit(24), F.lit(72))).alias("w")
+    conv = (
+        first_click.select("user_id", "t0", wins)
+        .join(purchases, "user_id", "left")
+        .groupBy("w", "user_id")
+        .agg(
+            F.max(
+                (
+                    (F.col("tp") >= F.col("t0"))
+                    & (
+                        F.col("tp")
+                        < F.col("t0")
+                        + F.col("w") * F.lit(3600000000).cast("bigint")
+                    )
+                ).cast("int")
+            ).alias("c")
+        )
+        .na.fill({"c": 0})
+    )
+    return conv.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clickers"),
+        F.sum("c").cast("bigint").alias("n_converted"),
+        (F.sum("c").cast("double") / F.count(F.lit(1))).alias(
+            "conversion_rate"
+        ),
+    ).select(
+        F.col("w").cast("bigint").alias("window_hours"),
+        "n_clickers",
+        "n_converted",
+        "conversion_rate",
+    )
+
+
+@_spec(
+    "spend_gini_by_quarter",
+    concentration.gini_by_period_sql(
+        "SELECT o_custkey, o_orderdate, o_totalprice FROM orders",
+        "CAST(year(o_orderdate) * 10 + quarter(o_orderdate) AS BIGINT)",
+        "o_custkey",
+        "o_totalprice",
+    ),
+    "inequality op — Gini of per-customer spend per quarter: "
+    "DECIMAL-exact spends and rank-weighted sums, period-partitioned "
+    "rank windows (no global sort), fixed IEEE Gini expression with "
+    "zero rounding; the concentration TREND view.",
+)
+def spend_gini_by_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    period = (F.year("o_orderdate") * 10 + F.quarter("o_orderdate")).cast(
+        "bigint"
+    )
+    return concentration.gini_by_period(
+        orders, period, "o_custkey", "o_totalprice"
+    )
+
+
+@_spec(
+    "dow_hour_heatmap",
+    """
+    WITH cells AS (
+      SELECT event_type, CAST(isodow(CAST(ts AS DATE)) AS INTEGER) AS dow,
+             CAST(hour(ts) AS INTEGER) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS t
+      FROM cells GROUP BY event_type
+    )
+    SELECT cells.event_type, cells.dow, cells.hod, cells.n,
+           CAST(cells.n AS DOUBLE) / tot.t AS share
+    FROM cells JOIN tot ON tot.event_type = cells.event_type
+    """,
+    "BI op — (ISO weekday x hour) activity heatmap per event type "
+    "with within-type share: exact integer cells, portable weekday/"
+    "hour extraction, one division.",
+)
+def dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        ((F.dayofweek(F.col("ts").cast("date")) + 5) % 7 + 1)
+        .cast("int")
+        .alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = cells.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("t")
+    )
+    return cells.join(tot, "event_type").select(
+        "event_type",
+        "dow",
+        "hod",
+        "n",
+        (F.col("n").cast("double") / F.col("t")).alias("share"),
+    )

@@ -1,0 +1,1915 @@
+"""Statistical-inference and experimentation specs.
+
+Consolidated from the round-1..3 wave modules (round 4, VERDICT r3
+#7): spec names, oracles and bodies are unchanged (module-private
+helpers colliding across waves carry a _w<N> suffix). Constituent
+waves and their original one-line scopes:
+
+#   wave6: Wave-6 extension specs: scorer evaluation (AUC, Welch t-test),
+#   wave19: Wave-19 extension specs: chi-square independence test (source x
+#   wave28: Wave-28 extension spec: two-sample Kolmogorov-Smirnov test —
+#   wave29: Wave-29 extension specs: Poisson-bootstrap median CI (robust-stat
+#   wave33: Wave-33 extension spec: IPF raking of the source x lang table to
+#   wave40: Wave-40 extension specs: Benford ingest audit, time-weighted
+#   wave41: Wave-41 extension specs: Kaplan-Meier retention, RFM segmentation,
+#   wave47: Wave-47 extension specs: shoelace area/centroid, burstiness,
+#   wave56: Wave-56 extension specs: log-rank test, Hill power-law exponent,
+#   wave57: Wave-57 extension specs: difference-in-differences, CUPED variance
+#   wave58: Wave-58 extension specs: Bradley-Terry ratings, position-based
+#   wave62: Wave-62 extension specs: content-defined chunk dedup, lag-1
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from ..catalog import load_table
+from ..operators import evaluation as _eval
+from ..operators import ranking as _rank
+from ..operators import timeseries as _ts
+from ..operators.sampling import hash_bucket, hash_bucket_sql
+from ..operators import dedup
+from ..operators.bootstrap import _uniform_expr, _uniform_sql, _weight_cases
+from .data_pipeline import _SHINGLES_SQL
+from pyspark.sql import DataFrame, SparkSession
+from ..operators.raking import ipf_fit_uniform, ipf_fit_uniform_sql
+from ..operators import aggregates, benford, markov, sampling, timeseries
+from ..operators import evaluation, segmentation, survival, timeseries
+from ..operators import encoding, graph_metrics, spatial, timeseries
+from ..operators import concentration, segmentation, spatial, survival
+from ..operators import evaluation, segmentation, timeseries
+from ..operators import attribution, econ, markov, pairwise, timeseries
+from ..operators import chunking, evaluation, timeseries
+from ..operators.ranking import with_global_row_number
+
+from ..registry import QuerySpec
+
+SPECS: list[QuerySpec] = []
+
+
+def _spec(name: str, oracle: str | None, survey_ref: str):
+    def wrap(fn):
+        SPECS.append(QuerySpec(name=name, fn=fn, oracle=oracle, survey_ref=survey_ref))
+        return fn
+
+    return wrap
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave6
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "auc_quality_score",
+    _eval.auc_rank_sum_sql("documents", "n_chars", "lang = 'en'"),
+    "extension — scorer evaluation: Mann-Whitney AUC with tie-averaged "
+    "ranks (operators/evaluation.py). Grouped-by-distinct-score "
+    "formulation: the only window runs over distinct scores, not rows, "
+    "so the global sort is over score cardinality — bounded at any "
+    "data scale",
+)
+def auc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _eval.auc_rank_sum(docs, F.col("n_chars"), F.col("lang") == "en")
+
+
+@_spec(
+    "welch_ttest_click_purchase",
+    _eval.welch_ttest_sql("events", "value", "event_type", "click", "purchase"),
+    "extension — cohort significance test: Welch unequal-variance "
+    "t-test (operators/evaluation.py), one conditional-moment "
+    "aggregate pass, closed-form t and Welch-Satterthwaite dof; zero "
+    "joins, zero windows",
+)
+def welch_ttest_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return _eval.welch_ttest(
+        ev, F.col("value"), F.col("event_type"), "click", "purchase"
+    )
+
+
+@_spec(
+    "winsorized_price_stats",
+    """
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey,
+                                         l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    q AS (
+      SELECT l_returnflag,
+             MAX(CASE WHEN rn = 1 + CAST(FLOOR((n - 1) * 0.05) AS BIGINT)
+                      THEN l_extendedprice END) AS p05,
+             MAX(CASE WHEN rn = 1 + CAST(FLOOR((n - 1) * 0.95) AS BIGINT)
+                      THEN l_extendedprice END) AS p95
+      FROM r GROUP BY 1
+    )
+    SELECT r.l_returnflag, q.p05, q.p95,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(r.l_extendedprice), 4) AS mean_raw,
+           ROUND(AVG(LEAST(GREATEST(r.l_extendedprice, q.p05), q.p95)), 4)
+             AS mean_winsorized
+    FROM r JOIN q ON r.l_returnflag = q.l_returnflag
+    GROUP BY 1, 2, 3 ORDER BY 1
+    """,
+    "extension — robust statistics: per-group 5/95 winsorized mean "
+    "with index-picked percentiles (element at floor((n-1)*q) of the "
+    "per-group total order — no interpolation, bit-identical on any "
+    "engine; same discipline as robust_outliers_iqr). One shuffle for "
+    "the per-group sort; the tiny percentile table broadcasts back",
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wc = Window.partitionBy("l_returnflag")
+    r = li.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    p05_idx = 1 + F.floor((F.col("n") - 1) * 0.05)
+    p95_idx = 1 + F.floor((F.col("n") - 1) * 0.95)
+    q = r.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("rn") == p05_idx, F.col("l_extendedprice"))).alias("p05"),
+        F.max(F.when(F.col("rn") == p95_idx, F.col("l_extendedprice"))).alias("p95"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")
+    )
+    return (
+        r.join(F.broadcast(q), "l_returnflag")
+        .groupBy("l_returnflag", "p05", "p95")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l_extendedprice"), 4).alias("mean_raw"),
+            F.round(F.avg(clipped), 4).alias("mean_winsorized"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+#: coverage checkpoints for the vocabulary curve
+_VOCAB_RANKS = (10, 50, 100, 500)
+
+
+@_spec(
+    "vocab_coverage_curve",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (
+      SELECT token, COUNT(*) AS cnt FROM tok
+      WHERE token <> '' GROUP BY 1
+    ),
+    ranked AS (
+      SELECT token, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rn,
+             SUM(cnt) OVER (ORDER BY cnt DESC, token
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER () AS total
+      FROM counts
+    )
+    SELECT v.vocab_size,
+           CAST(COUNT(CASE WHEN rn <= v.vocab_size THEN 1 END) AS BIGINT)
+             AS n_types,
+           ROUND(MAX(CASE WHEN rn <= v.vocab_size THEN cum END)
+                 / CAST(MAX(total) AS DOUBLE), 6) AS coverage
+    FROM ranked CROSS JOIN
+         (SELECT unnest({list(_VOCAB_RANKS)}) AS vocab_size) v
+    GROUP BY 1 ORDER BY 1
+    """,
+    "training-data op — vocabulary coverage curve: what fraction of "
+    "the corpus' token mass the top-V types cover, at V in "
+    f"{_VOCAB_RANKS}. Tokenize+count is one explode+groupBy (map-side "
+    "partial); the rank window runs over DISTINCT TYPES only (vocab "
+    "cardinality, not corpus size) — the standard tokenizer-sizing "
+    "diagnostic before a BPE train",
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    ranked = counts.select(
+        "cnt",
+        F.row_number().over(w).alias("rn"),
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+    sizes = F.explode(
+        F.array(*[F.lit(v) for v in _VOCAB_RANKS])
+    ).alias("vocab_size")
+    return (
+        ranked.select("rn", "cum", "total", sizes)
+        .groupBy("vocab_size")
+        .agg(
+            F.count(F.when(F.col("rn") <= F.col("vocab_size"), 1)).alias(
+                "n_types"
+            ),
+            F.round(
+                F.max(F.when(F.col("rn") <= F.col("vocab_size"), F.col("cum")))
+                / F.max("total").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("vocab_size")
+    )
+
+
+@_spec(
+    "source_token_divergence",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    clean AS (SELECT * FROM tok WHERE token <> ''),
+    global_top AS (
+      SELECT token, cnt FROM (
+        SELECT token, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rn
+        FROM clean GROUP BY 1
+      ) WHERE rn <= 100
+    ),
+    q AS (
+      SELECT token, cnt / CAST(SUM(cnt) OVER () AS DOUBLE) AS q_prob
+      FROM global_top
+    ),
+    per_source AS (
+      SELECT c.source, c.token, COUNT(*) AS cnt
+      FROM clean c JOIN q ON c.token = q.token
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT source, token,
+             cnt / CAST(SUM(cnt) OVER (PARTITION BY source) AS DOUBLE)
+               AS p_prob
+      FROM per_source
+    )
+    SELECT p.source,
+           CAST(COUNT(*) AS BIGINT) AS n_top_tokens,
+           ROUND(-SUM(p_prob * LN(p_prob)), 4) AS entropy,
+           ROUND(SUM(p_prob * LN(p_prob / q_prob)), 4) AS kl_from_global
+    FROM p JOIN q ON p.token = q.token
+    GROUP BY 1 ORDER BY 1
+    """,
+    "training-data op — per-source token-distribution divergence: "
+    "entropy and KL(source || corpus) over the top-100 global types "
+    "(renormalized), the data-mixing diagnostic for domain weighting. "
+    "Token counting is explode+groupBy; the top-100 table is tiny and "
+    "BROADCAST into the per-source recount, so nothing but (source, "
+    "token) aggregates ever shuffles",
+)
+def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    clean = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = clean.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    top = counts.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 100
+    )
+    q = top.select(
+        "token",
+        (F.col("cnt") / F.sum("cnt").over(Window.partitionBy()).cast("double"))
+        .alias("q_prob"),
+    )
+    per_source = (
+        clean.join(F.broadcast(q.select("token")), "token")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    p = per_source.select(
+        "source",
+        "token",
+        (
+            F.col("cnt")
+            / F.sum("cnt").over(Window.partitionBy("source")).cast("double")
+        ).alias("p_prob"),
+    )
+    return (
+        p.join(F.broadcast(q), "token")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_top_tokens"),
+            F.round(-F.sum(F.col("p_prob") * F.log("p_prob")), 4).alias(
+                "entropy"
+            ),
+            F.round(
+                F.sum(F.col("p_prob") * F.log(F.col("p_prob") / F.col("q_prob"))),
+                4,
+            ).alias("kl_from_global"),
+        )
+        .orderBy("source")
+    )
+
+
+@_spec(
+    "events_daily_gapfill_locf",
+    """
+    WITH span AS (
+      SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+      FROM events
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM span
+    ),
+    grid AS (
+      SELECT e.event_type, s.day
+      FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) e
+    ),
+    per_day AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             AVG(value) AS day_avg_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT g.event_type, g.day,
+           CAST(COALESCE(p.n_events, 0) AS BIGINT) AS n_events,
+           p.day_avg_value,
+           last_value(p.day_avg_value IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS day_avg_value_locf
+    FROM grid g LEFT JOIN per_day p
+      ON g.event_type = p.event_type AND g.day = p.day
+    ORDER BY 1, 2
+    """,
+    "extension — time-series regularization (operators/timeseries.py): "
+    "calendar-spine gap fill per event_type with zero-filled counts and "
+    "last-observation-carried-forward daily means. The outer join "
+    "shuffles per-(series, day) AGGREGATES, never raw events; LOCF is "
+    "one ignore-nulls window on the same series-key exchange",
+)
+def events_daily_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dense = _ts.gapfill_locf(
+        ev,
+        "ts",
+        "event_type",
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            # deliberately un-rounded: an explicit ROUND can land on a
+            # half-tie where engines' double rounding diverges; the
+            # gate's 9-significant-digit canonicalization absorbs ULPs
+            F.avg("value").alias("day_avg_value"),
+        ],
+        "day_avg_value",
+    )
+    return dense.select(
+        "event_type",
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        "day_avg_value",
+        "day_avg_value_locf",
+    ).orderBy("event_type", "day")
+
+
+@_spec(
+    "dedup_incremental_batch",
+    f"""
+    WITH tagged AS (
+      SELECT source, doc_id, md5(text) AS fp,
+             {hash_bucket_sql("doc_id")} < 80 AS in_corpus
+      FROM documents
+    ),
+    corpus_fp AS (
+      SELECT DISTINCT fp FROM tagged WHERE in_corpus
+    ),
+    batch AS (
+      SELECT t.source, t.doc_id, t.fp,
+             c.fp IS NOT NULL AS hits_corpus,
+             MIN(t.doc_id) OVER (PARTITION BY t.fp) AS first_id
+      FROM tagged t LEFT JOIN corpus_fp c ON t.fp = c.fp
+      WHERE NOT t.in_corpus
+    )
+    SELECT source,
+           CASE WHEN hits_corpus THEN 'dup_of_corpus'
+                WHEN doc_id = first_id THEN 'kept'
+                ELSE 'dup_within_batch' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM batch GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "training-data op — INCREMENTAL dedup: a new batch (the 20% "
+    "hash-bucket slice; same stable-membership discipline as "
+    "train_test_split) deduped against the standing corpus by content "
+    "fingerprint, then within itself (min-doc_id winner). The "
+    "continuous-ingestion shape of dedup_exact: only 32-hex "
+    "fingerprints shuffle — document bodies never leave their scan — "
+    "and corpus membership is a fingerprint-only left join",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "source",
+        "doc_id",
+        F.md5("text").alias("fp"),
+        (hash_bucket("doc_id") < 80).alias("in_corpus"),
+    )
+    corpus_fp = (
+        tagged.filter("in_corpus").select("fp").distinct()
+        .withColumn("hits_corpus", F.lit(True))
+    )
+    batch = (
+        tagged.filter(~F.col("in_corpus"))
+        .join(corpus_fp, "fp", "left")
+        .withColumn(
+            "hits_corpus", F.coalesce("hits_corpus", F.lit(False))
+        )
+        .withColumn(
+            "first_id", F.min("doc_id").over(Window.partitionBy("fp"))
+        )
+    )
+    status = (
+        F.when(F.col("hits_corpus"), "dup_of_corpus")
+        .when(F.col("doc_id") == F.col("first_id"), "kept")
+        .otherwise("dup_within_batch")
+    )
+    return (
+        batch.select("source", status.alias("status"))
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("source", "status")
+    )
+
+
+@_spec(
+    "ntile_price_deciles",
+    """
+    WITH d AS (
+      SELECT o_totalprice,
+             CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                  AS INTEGER) AS decile
+      FROM orders
+    )
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi,
+           ROUND(AVG(o_totalprice), 4) AS mean
+    FROM d GROUP BY 1 ORDER BY 1
+    """,
+    "extension — equal-frequency decile profile with NTILE(10) "
+    "semantics, computed by the two-phase distributed rank "
+    "(operators/ranking.py): range-shuffle on the sort key, "
+    "per-partition row_number windows, tiny broadcast offset table, "
+    "closed-form ntile from (rn, n). A naive ntile() OVER (ORDER BY) "
+    "window would collapse the table into ONE task — this stays "
+    "parallel at any scale. Unique-key tiebreak (o_orderkey) makes "
+    "bucket edges deterministic",
+)
+def ntile_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey"
+    )
+    bucketed = _rank.with_ntile(
+        orders, ["o_totalprice", "o_orderkey"], 10, out_col="decile"
+    )
+    return (
+        bucketed.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.avg("o_totalprice"), 4).alias("mean"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave19
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "chi_square_source_lang",
+    """
+    WITH obs AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    row_tot AS (SELECT source, SUM(o) AS r FROM obs GROUP BY 1),
+    col_tot AS (SELECT lang, SUM(o) AS c FROM obs GROUP BY 1),
+    tot AS (SELECT SUM(o) AS n FROM obs),
+    grid AS (
+      SELECT rt.source, ct.lang, COALESCE(obs.o, 0) AS o,
+             CAST(rt.r AS DOUBLE) * ct.c / t.n AS e
+      FROM row_tot rt CROSS JOIN col_tot ct CROSS JOIN tot t
+      LEFT JOIN obs ON obs.source = rt.source AND obs.lang = ct.lang
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           SUM((o - e) * (o - e) / e) AS chi2,
+           CAST((SELECT COUNT(*) FROM row_tot) - 1 AS BIGINT)
+             * CAST((SELECT COUNT(*) FROM col_tot) - 1 AS BIGINT) AS dof
+    FROM grid
+    """,
+    "extension — Pearson chi-square independence test over the "
+    "source x lang contingency table: is language mix independent of "
+    "crawl source (if not, per-source language rebalancing is needed "
+    "before mixing). The contingency table is ONE aggregation over "
+    "the corpus; marginals and expecteds derive from that tiny table; "
+    "the full grid (incl. zero cells, which a naive join would drop) "
+    "comes from the marginal cross join. Complements welch_ttest "
+    "(means) with the categorical-association test",
+)
+def chi_square_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize the tiny contingency table: marginals/totals/grid all
+    # reuse it, and without the checkpoint each re-scans the corpus
+    obs = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=False)
+    )
+    row_tot = obs.groupBy("source").agg(F.sum("o").alias("r"))
+    col_tot = obs.groupBy("lang").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    grid = (
+        row_tot.crossJoin(F.broadcast(col_tot))
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["source", "lang"], "left")
+        .select(
+            "source",
+            "lang",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            (F.col("r").cast("double") * F.col("c") / F.col("n")).alias("e"),
+        )
+    )
+    n_rows = row_tot.agg(F.count(F.lit(1)).alias("nr"))
+    n_cols = col_tot.agg(F.count(F.lit(1)).alias("nc"))
+    return (
+        grid.agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(
+                (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+            ).alias("chi2"),
+        )
+        .crossJoin(F.broadcast(n_rows))
+        .crossJoin(F.broadcast(n_cols))
+        .select(
+            "n_cells",
+            "chi2",
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        )
+    )
+
+
+@_spec(
+    "top_tokens_per_source",
+    """
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    counts AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1, 2
+    )
+    SELECT source, term, cnt,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY cnt DESC, term) AS rnk
+      FROM counts
+    ) WHERE rnk <= 3
+    """,
+    "extension — per-GROUP heavy hitters: top-3 tokens per source via "
+    "rank-limited window over the AGGREGATED (source, term) counts. "
+    "Spark plans the rn<=3 filter as WindowGroupLimit, so each "
+    "partition keeps a 3-row heap instead of sorting its whole vocab "
+    "slice — the grouped analogue of zipf_token_ranks (global) and "
+    "heavy_hitters_users (sketch-verified). One explode shuffle with "
+    "map-side combine; the window runs over vocab-sized data",
+)
+def top_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("cnt").desc(), F.col("term"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("source", "term", "cnt", "rnk")
+    )
+
+
+@_spec(
+    "null_safe_join_semantics",
+    """
+    WITH l AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderkey % 5 END AS k
+      FROM orders
+    ),
+    r AS (
+      SELECT CASE WHEN v = 9 THEN NULL ELSE v END AS k,
+             CASE WHEN v = 9 THEN 'null-bucket' ELSE 'mod-' || v END AS label
+      FROM (SELECT unnest([0, 1, 2, 3, 4, 9]) AS v)
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY 1
+    """,
+    "extension — null-safe equi-join (Spark's <=> / eqNullSafe, SQL's "
+    "IS NOT DISTINCT FROM): NULL keys MATCH each other instead of "
+    "vanishing, the semantics CDC/entity pipelines need when NULL is "
+    "a real category (unknown region, missing parent). Catalyst "
+    "plans <=> as a hash join on a null-tolerant key — still an "
+    "equi-join, no nested loop; a plain = join would silently drop "
+    "every seventh row here, which is exactly the bug class this "
+    "operator removes",
+)
+def null_safe_join_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    left = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("o_orderkey") % 5
+        ).alias("k"),
+    )
+    right = spark.createDataFrame(
+        [(0,), (1,), (2,), (3,), (4,), (9,)], "v long"
+    ).select(
+        F.when(F.col("v") == 9, F.lit(None)).otherwise(F.col("v")).alias("k"),
+        F.when(F.col("v") == 9, F.lit("null-bucket"))
+        .otherwise(F.concat(F.lit("mod-"), F.col("v").cast("string")))
+        .alias("label"),
+    )
+    joined = left.join(F.broadcast(right), left["k"].eqNullSafe(right["k"]))
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("sum_keys"),
+    )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave28
+# ──────────────────────────────────────────────────────────────────────────
+_SRC_A = "src0"
+_SRC_B = "src1"
+
+
+@_spec(
+    "ks_test_sources",
+    f"""
+    WITH vals AS (
+      SELECT source, n_chars AS v FROM documents
+      WHERE source IN ('{_SRC_A}', '{_SRC_B}')
+    ),
+    per_v AS (
+      SELECT v,
+             SUM(CASE WHEN source = '{_SRC_A}' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN source = '{_SRC_B}' THEN 1 ELSE 0 END) AS cb
+      FROM vals GROUP BY v
+    ),
+    tot AS (
+      SELECT SUM(ca) AS na, SUM(cb) AS nb FROM per_v
+    ),
+    cdf AS (
+      SELECT v,
+             SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cca,
+             SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ccb
+      FROM per_v
+    ),
+    diffs AS (
+      SELECT c.v,
+             ABS(CAST(c.cca AS DOUBLE) / t.na
+                 - CAST(c.ccb AS DOUBLE) / t.nb) AS d
+      FROM cdf c CROSS JOIN tot t
+    )
+    SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+           (SELECT MAX(d) FROM diffs) AS ks_stat,
+           (SELECT MIN(v) FROM diffs
+             WHERE d = (SELECT MAX(d) FROM diffs)) AS ks_at_value
+    FROM tot t
+    """,
+    "extension — two-sample Kolmogorov-Smirnov test: the "
+    "distribution-equality check between two corpus sources (max "
+    "absolute CDF gap over the pooled support), completing the "
+    "statistical family (Welch t = means, chi-square = categorical "
+    "association, PSI = binned drift; KS is the binning-free "
+    "continuous test). CDFs are cumulative windows over the "
+    "AGGREGATED per-value counts — the window runs over distinct "
+    "values, never rows — and every count is exact, so the statistic "
+    "is one division away from integers",
+)
+def ks_test_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.filter(F.col("source").isin(_SRC_A, _SRC_B)).select(
+        "source", F.col("n_chars").alias("v")
+    )
+    # materialize the tiny per-value count table and the diff table:
+    # cdf/tot/argmax all reuse them, and without the checkpoint each
+    # consumer re-scans the corpus through the lineage
+    per_v = (
+        vals.groupBy("v")
+        .agg(
+            F.sum((F.col("source") == _SRC_A).cast("long")).alias("ca"),
+            F.sum((F.col("source") == _SRC_B).cast("long")).alias("cb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cdf = per_v.select(
+        "v",
+        F.sum("ca").over(w).alias("cca"),
+        F.sum("cb").over(w).alias("ccb"),
+    )
+    tot = per_v.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    diffs = cdf.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "na",
+        "nb",
+        F.abs(
+            F.col("cca").cast("double") / F.col("na")
+            - F.col("ccb").cast("double") / F.col("nb")
+        ).alias("d"),
+    ).localCheckpoint(eager=False)
+    mx = diffs.agg(F.max("d").alias("ks"))
+    at = (
+        diffs.join(F.broadcast(mx), diffs["d"] == mx["ks"])
+        .agg(F.min("v").alias("ks_at_value"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(at))
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.col("ks").alias("ks_stat"),
+            "ks_at_value",
+        )
+    )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave29
+# ──────────────────────────────────────────────────────────────────────────
+_REPL = 16
+
+
+@_spec(
+    "poisson_bootstrap_median_ci",
+    f"""
+    WITH fanned AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS v, t.r,
+             CAST({_weight_cases(_uniform_sql('doc_id', 'r'))} AS BIGINT) AS w
+      FROM documents, unnest(range(0, {_REPL})) AS t(r)
+    ),
+    nz AS (SELECT * FROM fanned WHERE w > 0),
+    cum AS (
+      SELECT r, v, w,
+             SUM(w) OVER (PARTITION BY r ORDER BY v, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY r) AS tw
+      FROM nz
+    ),
+    med AS (
+      SELECT CAST(r AS INTEGER) AS replica, MIN(v) AS med
+      FROM cum WHERE 2 * cw >= tw GROUP BY r
+    )
+    SELECT replica, CAST(med AS BIGINT) AS median_est FROM med
+    """,
+    "extension — Poisson-bootstrap MEDIAN: uncertainty for the robust "
+    "statistic (operators/bootstrap.py weights + per-replica weighted "
+    "median = first value whose cumulative weight crosses half). The "
+    "mean CI (poisson_bootstrap_ci) needs only additive sums; the "
+    "median needs an order statistic, so each replica runs a "
+    "cumulative window — over rows that carried a nonzero weight "
+    "only. At 100 TB swap the exact window for the mergeable KLL "
+    "sketch per replica (operators/sketches.py) — same fan-out, "
+    "bounded memory. The replica spread of median_est IS the CI",
+)
+def poisson_bootstrap_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = _uniform_expr("doc_id", "__r")
+    fanned = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("v"),
+        F.explode(F.sequence(F.lit(0), F.lit(_REPL - 1))).alias("__r"),
+    ).withColumn("w", F.expr(_weight_cases(u)).cast("long"))
+    nz = fanned.filter(F.col("w") > 0)
+    w_cum = (
+        Window.partitionBy("__r")
+        .orderBy("v", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("__r")
+    cum = nz.select(
+        "__r",
+        "v",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_tot).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy(F.col("__r").cast("int").alias("replica"))
+        .agg(F.min("v").alias("median_est"))
+    )
+
+
+_C_THRESH_BUCKETS = 10
+
+
+@_spec(
+    "containment_profile",
+    f"""
+    WITH sample AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 5 = 0 AND doc_id < 1000 AND length(text) >= 3
+    ),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM sample),
+    pairs AS (
+      SELECT a.doc_id,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / len(a.shingles) AS containment
+      FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    ),
+    per_doc AS (
+      SELECT doc_id, MAX(containment) AS maxc FROM pairs GROUP BY 1
+    )
+    SELECT CAST(LEAST(FLOOR(maxc * {_C_THRESH_BUCKETS}),
+                      {_C_THRESH_BUCKETS - 1}) AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
+    FROM per_doc GROUP BY 1
+    """,
+    "training-data op — containment profile: per sampled document, the "
+    "maximum DIRECTIONAL containment |A∩B|/|A| of its shingle set in "
+    "any other document, bucketed into a histogram. Containment is the "
+    "asymmetric cousin of Jaccard that catches quote-inclusion (a "
+    "small doc embedded in a large one scores ~1.0 containment but "
+    "low Jaccard — LSH-on-Jaccard misses it; Lee et al. dedup cares). "
+    "All-pairs runs only on the fixed bounded sample (same cap as "
+    "lsh_quality_report); the production path would LSH on the "
+    "SMALLER set's signature",
+)
+def containment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sample = docs.filter(
+        (F.col("doc_id") % 5 == 0)
+        & (F.col("doc_id") < 1000)
+        & (F.length("text") >= 3)
+    )
+    sh = sample.select(
+        "doc_id", dedup.char_ngrams("text", 3).alias("sh")
+    ).localCheckpoint(eager=False)
+    a = sh.select(F.col("doc_id"), F.col("sh").alias("a_sh"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("doc_id") != F.col("b_id"))
+        .select(
+            "doc_id",
+            (
+                F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+                / F.size("a_sh")
+            ).alias("containment"),
+        )
+    )
+    per_doc = pairs.groupBy("doc_id").agg(F.max("containment").alias("maxc"))
+    bucket = F.least(
+        F.floor(F.col("maxc") * _C_THRESH_BUCKETS),
+        F.lit(_C_THRESH_BUCKETS - 1),
+    ).cast("int")
+    return per_doc.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_ids"),
+    )
+
+
+_GAP_US = 1800 * 1_000_000
+
+
+@_spec(
+    "session_entry_exit_matrix",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us,
+             lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR t_us - prev_us > {_GAP_US}
+                     THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    sess AS (
+      SELECT *, CAST(SUM(new_session) OVER
+                       (PARTITION BY user_id ORDER BY t_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM flagged
+    ),
+    ends AS (
+      SELECT user_id, sid,
+             MIN_BY(event_type, lpad(CAST(t_us AS VARCHAR), 20, '0') || ':'
+                    || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS entry_type,
+             MAX_BY(event_type, lpad(CAST(t_us AS VARCHAR), 20, '0') || ':'
+                    || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS exit_type,
+             COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT entry_type, exit_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events
+    FROM ends GROUP BY 1, 2
+    """,
+    "extension — session entry/exit matrix (the bounce/landing "
+    "analysis): which event type opens and which closes each "
+    "session, aggregated to a type x type matrix. min_by/max_by over "
+    "a zero-padded sortable (time:id) key picks the endpoints "
+    "WITHOUT a second window pass (engines disagree on composite "
+    "min_by keys, lexicographic padding is the portable spelling); "
+    "sessionize + endpoints + matrix share one user_id shuffle",
+)
+def session_entry_exit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        F.lag(F.unix_micros("ts")).over(w).alias("prev_us"),
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.col("t_us") - F.col("prev_us") > _GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn("sid", F.sum("new_session").over(wrun))
+    key = F.concat(
+        F.lpad(F.col("t_us").cast("string"), 20, "0"),
+        F.lit(":"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    ends = sess.groupBy("user_id", "sid").agg(
+        F.min_by("event_type", key).alias("entry_type"),
+        F.max_by("event_type", key).alias("exit_type"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return ends.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave33
+# ──────────────────────────────────────────────────────────────────────────
+_ITERS = 4
+
+
+@_spec(
+    "ipf_raking_weights",
+    f"""
+    WITH cells AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS w
+      FROM documents GROUP BY 1, 2
+    ),
+    {ipf_fit_uniform_sql('cells', 'source', 'lang', _ITERS)}
+    """,
+    "extension — iterative proportional fitting / raking "
+    "(operators/raking.py, Deming-Stephan): adjust the source x lang "
+    "cell weights until BOTH margins are uniform — the "
+    "survey-weighting primitive, and the principled way to balance a "
+    "training mixture on two attributes at once (temperature_sample "
+    "balances one). Fixed 4-round unrolled fixpoint (the k-means/"
+    "PageRank determinism discipline); margins are tiny broadcast "
+    "aggregations, cells aggregate from the corpus ONCE. Oracle = "
+    "the same rounds unrolled as CTEs",
+)
+def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("w"))
+    return ipf_fit_uniform(cells, "source", "lang", "w", _ITERS)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave40
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "benford_price_digits",
+    benford.benford_audit_sql("orders", "o_totalprice"),
+    "data-quality op — Benford first-digit conformance of order "
+    "totals (corruption/unit-mixing tripwire): string-on-integer "
+    "digit extraction (explicit floor — Spark's double->bigint cast "
+    "truncates, DuckDB's rounds), one 9-row groupBy with map-side "
+    "combine, per-digit chi-square terms.",
+)
+def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return benford.benford_audit(orders, "o_totalprice")
+
+
+@_spec(
+    "twap_user_daily_value",
+    timeseries.time_weighted_avg_sql(),
+    "time-series op — per-user-day time-weighted average value "
+    "(TWAP): each observation weighted by its exact integer-micros "
+    "holding interval to the next event, deterministic (ts, event_id) "
+    "tiebreak so simultaneous events weight identically in both "
+    "engines; one window shuffle, the aggregation rides the same "
+    "partitioning.",
+)
+def twap_user_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return timeseries.time_weighted_avg(events)
+
+
+@_spec(
+    "neyman_stratified_docs",
+    sampling.neyman_allocation_sql(
+        "documents", "source", "n_chars", "doc_id", budget=120
+    ),
+    "sampling op — Neyman-optimal stratified allocation over document "
+    "sources (budget where the variance is) with a hash-deterministic "
+    "take: exact integer moments for sigma, DECIMAL cross-stratum "
+    "total so no double-sum ulp can flip the floor() at an integer "
+    "boundary, md5-ordered row_number take per stratum.",
+)
+def neyman_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.neyman_allocation(docs, "source", "n_chars", "doc_id", budget=120)
+
+
+@_spec(
+    "weighted_price_quantiles",
+    aggregates.weighted_quantiles_sql(
+        "lineitem", "l_returnflag", "l_extendedprice", "l_quantity"
+    ),
+    "aggregate op — quantity-weighted price quartiles per returnflag "
+    "(lower weighted-CDF inverse): one window shuffle on the group "
+    "key, conditional-MIN picks share the aggregation; integer-valued "
+    "weights keep every prefix sum and threshold exact, so the "
+    "comparisons are engine-deterministic.",
+)
+def weighted_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return aggregates.weighted_quantiles(li, "l_returnflag", "l_extendedprice", "l_quantity")
+
+
+@_spec(
+    "markov_stationary_mix",
+    markov.stationary_mix_sql(rounds=3),
+    "behavioral op — Markov steady-state event mix: 3 unrolled power "
+    "iterations of pi <- pi.P over the per-user transition counts, "
+    "compared against the empirical mix (momentum detector). The only "
+    "corpus-sized work is the lead-window transition count; the "
+    "iteration runs on the k x k broadcastable matrix.",
+)
+def markov_stationary_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return markov.stationary_mix(markov.transition_counts(events), rounds=3)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave41
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "kaplan_meier_retention",
+    survival.kaplan_meier_sql(),
+    "survival op — Kaplan-Meier product-limit retention over user "
+    "lifetimes with 7-day right-censoring: integer-day lifetimes and "
+    "exact risk-set counts; the only float work is the exp-sum-log "
+    "cumulative product over the tiny distinct-lifetime table.",
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return survival.kaplan_meier(events)
+
+
+@_spec(
+    "rfm_customer_segments",
+    segmentation.rfm_segments_sql(),
+    "segmentation op — RFM quintile scoring of customers from orders "
+    "(recency/frequency/monetary, 5 = best) via the distributed "
+    "two-phase NTILE (no single-task global window), unique tiebreak "
+    "on the customer key, decimal-exact monetary sums; 125-group "
+    "rollup output.",
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return segmentation.rfm_segments(orders)
+
+
+@_spec(
+    "anova_f_priority_price",
+    evaluation.anova_f_sql("orders", "o_orderpriority", "o_totalprice"),
+    "stats op — one-way ANOVA F of order totals across the 5 order "
+    "priorities: per-group moments as exact decimal sums (order-free "
+    "in both engines), k-row reduction, SSB/SSW/F in double on "
+    "bit-identical inputs, rounded like the other test statistics.",
+)
+def anova_f_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return evaluation.anova_f(orders, "o_orderpriority", "o_totalprice")
+
+
+@_spec(
+    "spearman_qty_price",
+    evaluation.spearman_corr_sql(
+        "lineitem", "l_returnflag", "l_quantity", "l_extendedprice"
+    ),
+    "stats op — per-returnflag Spearman rank correlation of quantity "
+    "vs price, tie-correct average-rank form: DOUBLED average ranks "
+    "are integers, so every moment accumulates exactly in "
+    "DECIMAL(38,0) and the final rho needs no rounding at all; two "
+    "rank windows share one shuffle on the group key.",
+)
+def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return evaluation.spearman_corr(li, "l_returnflag", "l_quantity", "l_extendedprice")
+
+
+@_spec(
+    "seasonal_naive_backtest",
+    timeseries.seasonal_naive_backtest_sql(),
+    "forecast op — seasonal-naive (lag-7) backtest over per-type "
+    "daily event counts with exact integer error moments: WAPE, bias "
+    "and RMSE from bigint sums (no order-dependent float averaging), "
+    "scored via a days-sized self-join of the daily rollup.",
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return timeseries.seasonal_naive_backtest(events)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave47
+# ──────────────────────────────────────────────────────────────────────────
+#: same synthetic shape fixture as geo_reproject_validity
+#: (plans/ml_geo_media.py): 1 km squares per nation, every 7th a
+#: zero-area ring, every 11th a self-intersecting bowtie.
+_SHAPES_CTE = """
+    shapes AS (
+      SELECT n_nationkey,
+             CASE
+               WHEN n_nationkey % 7 = 0 THEN
+                 printf('POLYGON ((%d %d, %d %d, %d %d, %d %d))',
+                        x0, y0, x0, y0, x0, y0, x0, y0)
+               WHEN n_nationkey % 11 = 0 THEN
+                 printf('POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))',
+                        x0, y0, x0 + 1000, y0 + 1000, x0 + 1000, y0,
+                        x0, y0 + 1000, x0, y0)
+               ELSE
+                 printf('POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))',
+                        x0, y0, x0 + 1000, y0, x0 + 1000, y0 + 1000,
+                        x0, y0 + 1000, x0, y0)
+             END AS wkt
+      FROM (SELECT n_nationkey,
+                   n_nationkey * 5000 + 200000 AS x0,
+                   n_nationkey * 4000 + 750000 AS y0
+            FROM nation)
+    )"""
+
+
+@_spec(
+    "shoelace_area_centroid",
+    spatial.shoelace_area_centroid_sql(_SHAPES_CTE),
+    "geo op — polygon doubled-signed-area and centroid via the "
+    "shoelace formula as pure higher-order array expressions over "
+    "integer WKT coordinates (exact bigint cross terms, centroid one "
+    "division of exact ints; degenerate/bowtie rings yield area2 = 0 "
+    "and NULL centroid); zero shuffle, whole-stage codegen.",
+)
+def shoelace_area_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    x0 = F.col("n_nationkey") * 5000 + 200000
+    y0 = F.col("n_nationkey") * 4000 + 750000
+    valid_wkt = F.format_string(
+        "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
+        x0, y0, x0 + 1000, y0, x0 + 1000, y0 + 1000, x0, y0 + 1000, x0, y0,
+    )
+    degenerate_wkt = F.format_string(
+        "POLYGON ((%d %d, %d %d, %d %d, %d %d))", x0, y0, x0, y0, x0, y0, x0, y0
+    )
+    bowtie_wkt = F.format_string(
+        "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
+        x0, y0, x0 + 1000, y0 + 1000, x0 + 1000, y0, x0, y0 + 1000, x0, y0,
+    )
+    shapes = nation.select(
+        "n_nationkey",
+        F.when(F.col("n_nationkey") % 7 == 0, degenerate_wkt)
+        .when(F.col("n_nationkey") % 11 == 0, bowtie_wkt)
+        .otherwise(valid_wkt)
+        .alias("wkt"),
+    )
+    return spatial.shoelace_area_centroid(shapes, "wkt")
+
+
+@_spec(
+    "user_burstiness_histogram",
+    timeseries.user_burstiness_histogram_sql(),
+    "behavioral op — Goh-Barabasi burstiness B = (sigma-mu)/(sigma+mu) "
+    "per user from exact integer-micros gap moments (B is one IEEE "
+    "expression on identical inputs; the 10-bucket floor cannot "
+    "flip), bot-vs-human activity fingerprint; one user-keyed "
+    "shuffle + 10-row rollup.",
+)
+def user_burstiness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return timeseries.user_burstiness_histogram(events)
+
+
+@_spec(
+    "interarrival_profile",
+    timeseries.interarrival_profile_sql(),
+    "capacity op — per-event-type arrival profile: exact-bigint mean "
+    "gap and an explicit element-pick lower median (row_number "
+    "rank = (n+1) div 2, never an interpolating percentile that "
+    "rounds differently across engines); two group-keyed shuffles.",
+)
+def interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return timeseries.interarrival_profile(events)
+
+
+_EDGES_CTE = """
+    members AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+    ), bounded AS MATERIALIZED (
+      SELECT g, item FROM members
+      WHERE g IN (SELECT g FROM members GROUP BY g
+                  HAVING COUNT(*) <= 8)
+    ), e0 AS MATERIALIZED (
+      SELECT DISTINCT a.item AS a, b.item AS b
+      FROM bounded a JOIN bounded b ON a.g = b.g AND a.item < b.item
+    )"""
+
+
+@_spec(
+    "copurchase_assortativity",
+    graph_metrics.degree_assortativity_sql(_EDGES_CTE),
+    "graph op — Newman degree assortativity of the co-purchase "
+    "graph: endpoint-degree Pearson over the symmetric edge list "
+    "with all five moments in exact DECIMAL(38,0) (order-free), one "
+    "IEEE final expression, no rounding; one degree aggregation + "
+    "two node-id equi-joins.",
+)
+def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = graph_metrics.cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group=8)
+    return graph_metrics.degree_assortativity(edges)
+
+
+@_spec(
+    "quantile_normalize_doclen",
+    encoding.quantile_normalize_sql("documents", "source", "n_chars", "doc_id"),
+    "preprocessing op — quantile normalization of document lengths "
+    "across sources (batch-effect correction): within-group rank -> "
+    "pooled position via EXACT integer index math (1 + (r-1)(N-1) "
+    "div (n_g-1), no float quantile boundary), pooled map built with "
+    "the distributed two-phase global rank.",
+)
+def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return encoding.quantile_normalize(docs, "source", "n_chars", "doc_id")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave56
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "logrank_retention_test",
+    survival.logrank_test_sql(),
+    "survival op — Mantel-Cox log-rank test between the retention "
+    "curves of an md5 2-arm user split: same censored integer-day "
+    "lifetimes as kaplan_meier_retention, exact risk sets via suffix "
+    "sums over the distinct-lifetime table, per-time hypergeometric "
+    "terms summed with 9dp rounding, 1-df 5% flag.",
+)
+def logrank_retention_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return survival.logrank_test(events)
+
+
+@_spec(
+    "powerlaw_alpha_doclen",
+    concentration.hill_powerlaw_alpha_sql("documents", "source", "n_chars"),
+    "stats op — Hill estimator of the document-length tail exponent "
+    "per source (xmin=100): exact bigint tail counts, rounded ln "
+    "sum, one fixed alpha expression; the scale-free-or-not summary "
+    "behind the zipf rank plots.",
+)
+def powerlaw_alpha_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return concentration.hill_powerlaw_alpha(docs, "source", "n_chars")
+
+
+@_spec(
+    "monthly_growth_accounting",
+    segmentation.monthly_growth_accounting_sql(),
+    "growth op — Social-Capital growth accounting per month: active "
+    "= new + retained + resurrected (identity holds per row), "
+    "churned = prev active - retained; exact integer month indices "
+    "and user-month grain joins.",
+)
+def monthly_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return segmentation.monthly_growth_accounting(events)
+
+
+@_spec(
+    "abc_xyz_matrix",
+    concentration.abc_xyz_matrix_sql(
+        "lineitem", "l_partkey", "l_extendedprice", "l_quantity", "l_shipdate"
+    ),
+    "ops op — ABC x XYZ part classification: DECIMAL-exact revenue "
+    "prefix thresholds (no float boundary can flip a class) x weekly-"
+    "demand coefficient of variation from exact bigint power sums; "
+    "the joint stock-planning matrix.",
+)
+def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return concentration.abc_xyz_matrix(
+        li, "l_partkey", "l_extendedprice", "l_quantity", "l_shipdate"
+    )
+
+
+_GLAT = "((c_custkey * 37) % 120) / 2.0 - 30"
+_GLON = "((c_custkey * 73) % 720) / 2.0 - 180"
+
+
+@_spec(
+    "grid_density_hotspots",
+    spatial.grid_density_hotspots_sql(
+        f"SELECT {_GLAT} AS lat, {_GLON} AS lon FROM customer"
+    ),
+    "spatial op — 5-degree grid density hotspots over the synthetic "
+    "customer coordinates: exact floor-division cells and counts, "
+    "count-desc rank with cell tie-break, top 10; the bounded "
+    "pre-clustering step for density work at scale.",
+)
+def grid_density_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.expr(_GLAT).alias("lat"), F.expr(_GLON).alias("lon")
+    )
+    return spatial.grid_density_hotspots(pts)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave57
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "did_aa_estimator",
+    evaluation.did_estimator_sql(),
+    "causal op — difference-in-differences over an md5 2-arm user "
+    "split x corpus time halves (the AA/placebo harness): per-unit "
+    "event-count deltas, exact bigint moments end to end, unit-level "
+    "SE, zero rounding.",
+)
+def did_aa_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return evaluation.did_estimator(events)
+
+
+@_spec(
+    "cuped_adjusted_lift",
+    evaluation.cuped_adjusted_lift_sql(),
+    "causal op — CUPED variance reduction (theta = cov/var from "
+    "pooled exact bigint moments; adjusted post metric per unit; "
+    "variance-ratio from the CUPED identity) on the same AA split; "
+    "the CI-shrinking standard of experimentation platforms.",
+)
+def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return evaluation.cuped_adjusted_lift(events)
+
+
+@_spec(
+    "rolling_click_purchase_corr",
+    timeseries.rolling_correlation_sql(),
+    "timeseries op — 14-day rolling Pearson correlation between "
+    "click and purchase daily counts: all five windowed moments are "
+    "exact bigint rolling sums, one fixed IEEE r per day, zero "
+    "rounding; the time-local complement to lagged_cross_correlation.",
+)
+def rolling_click_purchase_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return timeseries.rolling_correlation(events)
+
+
+@_spec(
+    "tier_migration_matrix",
+    segmentation.tier_migration_matrix_sql(
+        "SELECT o_custkey, o_orderdate, o_totalprice FROM orders",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+    ),
+    "BI op — customer spend-quintile migration between corpus time "
+    "halves (tier 0 = inactive): DECIMAL-exact half spends, "
+    "distributed two-phase NTILE with (spend desc, unit) tie order, "
+    "exact transition counts.",
+)
+def tier_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.select("o_custkey", "o_orderdate", "o_totalprice")
+    return segmentation.tier_migration_matrix(
+        src, "o_custkey", "o_orderdate", "o_totalprice"
+    )
+
+
+@_spec(
+    "mcnemar_gates",
+    evaluation.mcnemar_gates_sql(
+        "documents",
+        "n_chars >= 300",
+        "len(regexp_extract_all(text, '\\S+')) >= 55",
+    ),
+    "eval op — McNemar paired test between the same two document "
+    "gates cohens_kappa_gates scores for agreement: discordant-cell "
+    "chi-square + Edwards continuity correction, exact bigint cells, "
+    "fixed IEEE statistics.",
+)
+def mcnemar_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return evaluation.mcnemar_gates(
+        docs,
+        F.col("n_chars") >= 300,
+        F.regexp_count(F.col("text"), F.lit(r"\S+")) >= 55,
+    )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave58
+# ──────────────────────────────────────────────────────────────────────────
+_BT_PAIRS_SQL = """
+SELECT a.l_suppkey AS i, b.l_suppkey AS j,
+       CAST(SUM(CASE WHEN a.l_shipdate < b.l_shipdate THEN 1 ELSE 0 END)
+            AS BIGINT) AS wins_i,
+       CAST(SUM(CASE WHEN b.l_shipdate < a.l_shipdate THEN 1 ELSE 0 END)
+            AS BIGINT) AS wins_j
+FROM lineitem a
+JOIN lineitem b ON b.l_orderkey = a.l_orderkey
+               AND a.l_suppkey < b.l_suppkey
+WHERE a.l_shipdate <> b.l_shipdate
+GROUP BY 1, 2
+"""
+
+
+@_spec(
+    "bradley_terry_suppliers",
+    pairwise.bradley_terry_ratings_sql(_BT_PAIRS_SQL),
+    "ranking op — Bradley-Terry supplier speed ratings from head-to-"
+    "head ship-date outcomes within shared orders (ties excluded): "
+    "exact bigint pair aggregates, 6 unrolled MM rounds with mean-1 "
+    "normalization (same fixed-iteration discipline as IPF/Markov), "
+    "final ratings rounded 6dp.",
+)
+def bradley_terry_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # in-array pair expansion: ONE shuffle on the order key, then the
+    # O(k^2) games expand inside each order's tiny line array — no
+    # sorted self-join of the fact table (k = lines/order ~ 4..7)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(F.col("l_suppkey").alias("s"), F.col("l_shipdate").alias("d"))
+        ).alias("items")
+    )
+    games = per_order.select(
+        F.explode(
+            F.expr(
+                """
+                filter(
+                  flatten(transform(items,
+                    x -> transform(items, y -> struct(x AS a, y AS b)))),
+                  p -> p.a.s < p.b.s AND p.a.d != p.b.d)
+                """
+            )
+        ).alias("g")
+    )
+    pairs = (
+        games.select(
+            F.col("g.a.s").alias("i"),
+            F.col("g.b.s").alias("j"),
+            (F.col("g.a.d") < F.col("g.b.d")).cast("long").alias("w"),
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum("w").cast("bigint").alias("wins_i"),
+            (F.count(F.lit(1)) - F.sum("w")).cast("bigint").alias("wins_j"),
+        )
+    )
+    return pairwise.bradley_terry_ratings(pairs)
+
+
+@_spec(
+    "position_based_attribution",
+    attribution.position_based_attribution_sql(),
+    "marketing op — U-shaped 40/20/40 multi-touch attribution over "
+    "click/view touches within a 72h lookback of each purchase: "
+    "(ts, event_id)-deterministic position ranks, fixed IEEE credit "
+    "fractions, per-type credit sums rounded 6dp; extends "
+    "last_touch_attribution.",
+)
+def position_based_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return attribution.position_based_attribution(events)
+
+
+@_spec(
+    "paths_to_purchase",
+    markov.paths_to_conversion_sql(),
+    "journey op — top depth-3 event paths immediately preceding each "
+    "purchase ('a>b>c' strings, (ts, event_id)-deterministic, "
+    "concat_ws NULL-skipping identical in both engines), counts >= "
+    "5; the sequence complement to the transition matrix.",
+)
+def paths_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return markov.paths_to_conversion(events)
+
+
+@_spec(
+    "synthetic_control_effect",
+    timeseries.synthetic_control_effect_sql(),
+    "causal op — scaled-control counterfactual between corpus time "
+    "halves (purchase vs signup volumes): exact bigint half totals, "
+    "single IEEE ratio/effect expressions, zero rounding; the "
+    "placebo expectation on unperturbed data is effect ~ 0.",
+)
+def synthetic_control_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return timeseries.synthetic_control_effect(events)
+
+
+@_spec(
+    "price_index_halves",
+    econ.price_index_halves_sql(
+        "lineitem", "l_partkey", "l_extendedprice", "l_quantity", "l_shipdate"
+    ),
+    "econ op — Laspeyres/Paasche/Fisher price indices between corpus "
+    "time halves over parts sold in both: DECIMAL-exact spends and "
+    "bigint quantities, exact-input unit prices, basket sums rounded "
+    "6dp before the index ratios.",
+)
+def price_index_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return econ.price_index_halves(
+        li, "l_partkey", "l_extendedprice", "l_quantity", "l_shipdate"
+    )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave62
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "cdc_chunk_dedup",
+    f"""
+    WITH chunks AS ({chunking.cdc_chunks_sql("documents")}),
+    keyed AS (
+      SELECT d.source, md5(c.chunk_text) AS fp
+      FROM chunks c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    counted AS (
+      SELECT source, COUNT(*) OVER (PARTITION BY fp) AS occ FROM keyed
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           ROUND(SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+    FROM counted GROUP BY source
+    """,
+    "LLM-corpus dedup — content-defined chunking (LBFS rolling-"
+    "boundary scheme, operators/chunking.py cdc_chunks): boundary "
+    "tokens are content-addressed (md5 prefix), so edits shift no "
+    "downstream chunk boundaries; per-source duplicated-chunk mass. "
+    "The chunker is a narrow scan-stage projection; the only shuffle "
+    "carries (source, 32-hex fp) rows, never chunk text.",
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunking.cdc_chunks(docs, "doc_id", "text")
+    keyed = chunks.join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).select("source", F.md5("chunk_text").alias("fp"))
+    counted = keyed.select(
+        "source", F.count(F.lit(1)).over(Window.partitionBy("fp")).alias("occ")
+    )
+    return counted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum((F.col("occ") >= 2).cast("int")).cast("long").alias("n_dup_chunks"),
+        F.round(
+            F.sum((F.col("occ") >= 2).cast("int"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+# Closed-form 2-regressor OLS via centered normal equations (Cramer).
+# Daily purchase count regressed on ITS OWN lag-1 and the lag-1 click
+# count — the Granger-causality screen's unrestricted regression. All
+# moments are exact-integer sums in double (daily counts ~1e4, 30-3000
+# days: far inside 2^53), so both engines see bit-identical inputs to
+# the final IEEE expressions.
+_GRANGER_SQL = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS p,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS c
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT d2.p AS y, d1.p AS x1, d1.c AS x2
+      FROM daily d1 JOIN daily d2 ON d2.day = d1.day + INTERVAL 1 DAY
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+             SUM(x1 * x1) AS s11, SUM(x2 * x2) AS s22,
+             SUM(x1 * x2) AS s12, SUM(x1 * y) AS s1y,
+             SUM(x2 * y) AS s2y, SUM(y * y) AS syy
+      FROM pairs
+    ),
+    cen AS (
+      SELECT n, s1, s2, sy,
+             s11 - s1 * s1 / n AS m11,
+             s22 - s2 * s2 / n AS m22,
+             s12 - s1 * s2 / n AS m12,
+             s1y - s1 * sy / n AS v1,
+             s2y - s2 * sy / n AS v2,
+             syy - sy * sy / n AS tss
+      FROM m
+    ),
+    fit AS (
+      SELECT n, s1, s2, sy, tss, v1, v2,
+             (v1 * m22 - v2 * m12) / (m11 * m22 - m12 * m12) AS b1,
+             (m11 * v2 - m12 * v1) / (m11 * m22 - m12 * m12) AS b2
+      FROM cen
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND((sy - b1 * s1 - b2 * s2) / n, 6) AS b0,
+           ROUND(b1, 6) AS b1,
+           ROUND(b2, 6) AS b2,
+           ROUND((b1 * v1 + b2 * v2) / tss, 6) AS r2
+    FROM fit
+    """
+
+
+@_spec(
+    "granger_lag_regression",
+    _GRANGER_SQL,
+    "regression op — two-regressor closed-form OLS (centered normal "
+    "equations, Cramer solve): daily purchases on lag-1 purchases + "
+    "lag-1 clicks, the Granger screen's unrestricted model. One day "
+    "groupBy reduces events, one calendar self-join builds lag pairs "
+    "(no density assumption), one aggregate carries all ten exact "
+    "moments; the solve is a 1-row projection.",
+)
+def granger_lag_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("double")
+        .alias("p"),
+        F.sum((F.col("event_type") == "click").cast("int"))
+        .cast("double")
+        .alias("c"),
+    )
+    d1 = daily.select(
+        F.date_add("day", 1).alias("day"),
+        F.col("p").alias("x1"),
+        F.col("c").alias("x2"),
+    )
+    pairs = daily.select("day", F.col("p").alias("y")).join(d1, "day")
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cen = m.select(
+        "n",
+        "s1",
+        "s2",
+        "sy",
+        (F.col("s11") - F.col("s1") * F.col("s1") / F.col("n")).alias("m11"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / F.col("n")).alias("m22"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / F.col("n")).alias("m12"),
+        (F.col("s1y") - F.col("s1") * F.col("sy") / F.col("n")).alias("v1"),
+        (F.col("s2y") - F.col("s2") * F.col("sy") / F.col("n")).alias("v2"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")).alias("tss"),
+    )
+    det = F.col("m11") * F.col("m22") - F.col("m12") * F.col("m12")
+    fit = cen.select(
+        "n",
+        "s1",
+        "s2",
+        "sy",
+        "tss",
+        "v1",
+        "v2",
+        ((F.col("v1") * F.col("m22") - F.col("v2") * F.col("m12")) / det).alias("b1"),
+        ((F.col("m11") * F.col("v2") - F.col("m12") * F.col("v1")) / det).alias("b2"),
+    )
+    return fit.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            (F.col("sy") - F.col("b1") * F.col("s1") - F.col("b2") * F.col("s2"))
+            / F.col("n"),
+            6,
+        ).alias("b0"),
+        F.round("b1", 6).alias("b1"),
+        F.round("b2", 6).alias("b2"),
+        F.round((F.col("b1") * F.col("v1") + F.col("b2") * F.col("v2")) / F.col("tss"), 6).alias(
+            "r2"
+        ),
+    )
+
+
+_BRIER_TRAIN_SQL = f"""
+    SELECT n_chars // 100 AS len_bin, lang = 'en' AS is_en
+    FROM documents WHERE {hash_bucket_sql("doc_id", 2)} = 0
+"""
+_BRIER_TEST_SQL = f"""
+    SELECT n_chars // 100 AS len_bin, lang = 'en' AS is_en
+    FROM documents WHERE {hash_bucket_sql("doc_id", 2)} = 1
+"""
+
+
+@_spec(
+    "brier_decomposition_langid",
+    evaluation.brier_decomposition_sql(
+        _BRIER_TRAIN_SQL, _BRIER_TEST_SQL, "len_bin", "is_en"
+    ),
+    "eval op — Brier score + exact Murphy decomposition "
+    "(reliability - resolution + uncertainty) of the histogram "
+    "calibrator 'P(en | length bin) from the train split' on the "
+    "held-out split (operators/evaluation.py brier_decomposition): "
+    "per-bin integer counts, one broadcast of the tiny bin table; "
+    "the hash split reuses the no-RNG sampling discipline.",
+)
+def brier_decomposition_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("n_chars") / 100).cast("long").alias("len_bin"),
+        (F.col("lang") == "en").alias("is_en"),
+        hash_bucket("doc_id", 2).alias("__fold"),
+    )
+    train = docs.filter(F.col("__fold") == 0)
+    test = docs.filter(F.col("__fold") == 1)
+    return evaluation.brier_decomposition(train, test, "len_bin", "is_en")
+
+
+@_spec(
+    "rsi_cutler_daily",
+    timeseries.rsi_cutler_sql("events", "ts", "value"),
+    "time-series op — RSI (Cutler SMA form) over the daily total "
+    "event value: trailing 14-delta gain/loss averages, conventional "
+    "0/100 limits at all-loss/all-gain windows, full windows only; "
+    "runs over the bounded daily series.",
+)
+def rsi_cutler_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.rsi_cutler(ev, "ts", "value")
+
+
+@_spec(
+    "conformal_interval_coverage",
+    f"""
+    WITH folded AS (
+      SELECT o_orderpriority AS prio, o_totalprice AS price,
+             o_orderkey, {hash_bucket_sql("o_orderkey", 3)} AS fold
+      FROM orders
+    ),
+    model AS (
+      SELECT prio,
+             CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS mu
+      FROM folded WHERE fold = 0 GROUP BY prio
+    ),
+    calib AS (
+      SELECT ABS(f.price - m.mu) AS r, f.o_orderkey
+      FROM folded f JOIN model m ON m.prio = f.prio
+      WHERE f.fold = 1
+    ),
+    nk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_calib,
+             (9 * (COUNT(*) + 1) + 9) // 10 AS k
+      FROM calib
+    ),
+    ranked AS (
+      SELECT r, ROW_NUMBER() OVER (ORDER BY r, o_orderkey) AS rnk FROM calib
+    ),
+    q AS (SELECT ranked.r AS q FROM ranked, nk WHERE ranked.rnk = nk.k),
+    test AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN ABS(f.price - m.mu) <= q.q
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+      FROM folded f JOIN model m ON m.prio = f.prio CROSS JOIN q
+      WHERE f.fold = 2
+    )
+    SELECT nk.n_calib, CAST(nk.k AS BIGINT) AS k_rank,
+           ROUND(q.q, 4) AS q_hat,
+           test.n_test,
+           ROUND(test.n_covered / CAST(test.n_test AS DOUBLE), 6) AS coverage
+    FROM nk, q, test
+    """,
+    "eval op — split-conformal prediction intervals (Vovk; Lei et "
+    "al. 2018) around the per-priority mean-price model: exact "
+    "ceil(0.9(n+1))-th order statistic of calibration residuals via "
+    "integer-only rank math and the two-phase distributed row number "
+    "(no single-task sort); held-out coverage then is one broadcast "
+    "scalar + one aggregate. The DECIMAL-exact model means make "
+    "residuals bit-identical across engines, so the order statistic "
+    "is engine-stable.",
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    folded = orders.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("price"),
+        "o_orderkey",
+        hash_bucket("o_orderkey", 3).alias("fold"),
+    )
+    model = (
+        folded.filter(F.col("fold") == 0)
+        .groupBy("prio")
+        .agg(
+            (
+                F.sum(F.col("price").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mu")
+        )
+    )
+    calib = (
+        folded.filter(F.col("fold") == 1)
+        .join(F.broadcast(model), "prio")
+        .select(F.abs(F.col("price") - F.col("mu")).alias("r"), "o_orderkey")
+    )
+    nk = calib.agg(
+        F.count(F.lit(1)).cast("long").alias("n_calib"),
+        F.expr("(9 * (count(1) + 1) + 9) div 10").cast("long").alias("k"),
+    )
+    ranked = with_global_row_number(calib, [F.col("r"), F.col("o_orderkey")], "rnk")
+    q = (
+        ranked.crossJoin(F.broadcast(nk))
+        .filter(F.col("rnk") == F.col("k"))
+        .select(F.col("r").alias("q"))
+    )
+    test = (
+        folded.filter(F.col("fold") == 2)
+        .join(F.broadcast(model), "prio")
+        .crossJoin(F.broadcast(q))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                (F.abs(F.col("price") - F.col("mu")) <= F.col("q")).cast("int")
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        nk.crossJoin(q)
+        .crossJoin(test)
+        .select(
+            "n_calib",
+            F.col("k").alias("k_rank"),
+            F.round("q", 4).alias("q_hat"),
+            "n_test",
+            F.round(F.col("n_covered") / F.col("n_test").cast("double"), 6).alias(
+                "coverage"
+            ),
+        )
+    )

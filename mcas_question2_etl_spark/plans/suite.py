@@ -9,74 +9,18 @@ modules so the suite doubles as integration coverage for the library.
 from __future__ import annotations
 
 from ..registry import QuerySpec
+from . import text_analytics as _text_analytics
+from . import graph_specs as _graph_specs
+from . import timeseries_specs as _timeseries_specs
+from . import stats_specs as _stats_specs
+from . import curation_specs as _curation_specs
+from . import ops_bi_specs as _ops_bi_specs
 from . import data_pipeline as _data_pipeline
 from . import extensions as _extensions
 from . import flagship as _flagship
 from . import ml_geo_media as _ml_geo_media
 from . import relational as _relational
 from . import tpch as _tpch
-from . import wave4 as _wave4
-from . import wave5 as _wave5
-from . import wave6 as _wave6
-from . import wave7 as _wave7
-from . import wave8 as _wave8
-from . import wave9 as _wave9
-from . import wave10 as _wave10
-from . import wave11 as _wave11
-from . import wave12 as _wave12
-from . import wave13 as _wave13
-from . import wave14 as _wave14
-from . import wave15 as _wave15
-from . import wave16 as _wave16
-from . import wave17 as _wave17
-from . import wave18 as _wave18
-from . import wave19 as _wave19
-from . import wave20 as _wave20
-from . import wave21 as _wave21
-from . import wave22 as _wave22
-from . import wave23 as _wave23
-from . import wave24 as _wave24
-from . import wave25 as _wave25
-from . import wave26 as _wave26
-from . import wave27 as _wave27
-from . import wave28 as _wave28
-from . import wave29 as _wave29
-from . import wave30 as _wave30
-from . import wave31 as _wave31
-from . import wave32 as _wave32
-from . import wave33 as _wave33
-from . import wave34 as _wave34
-from . import wave35 as _wave35
-from . import wave36 as _wave36
-from . import wave37 as _wave37
-from . import wave38 as _wave38
-from . import wave39 as _wave39
-from . import wave40 as _wave40
-from . import wave41 as _wave41
-from . import wave42 as _wave42
-from . import wave43 as _wave43
-from . import wave44 as _wave44
-from . import wave45 as _wave45
-from . import wave46 as _wave46
-from . import wave47 as _wave47
-from . import wave48 as _wave48
-from . import wave49 as _wave49
-from . import wave50 as _wave50
-from . import wave51 as _wave51
-from . import wave52 as _wave52
-from . import wave53 as _wave53
-from . import wave54 as _wave54
-from . import wave55 as _wave55
-from . import wave56 as _wave56
-from . import wave57 as _wave57
-from . import wave58 as _wave58
-from . import wave59 as _wave59
-from . import wave60 as _wave60
-from . import wave61 as _wave61
-from . import wave62 as _wave62
-from . import wave63 as _wave63
-from . import wave64 as _wave64
-from . import wave65 as _wave65
 
 _ALL: list[QuerySpec] = [
     QuerySpec(
@@ -90,68 +34,12 @@ _ALL: list[QuerySpec] = [
     *_extensions.SPECS,
     *_ml_geo_media.SPECS,
     *_tpch.SPECS,
-    *_wave4.SPECS,
-    *_wave5.SPECS,
-    *_wave6.SPECS,
-    *_wave7.SPECS,
-    *_wave8.SPECS,
-    *_wave9.SPECS,
-    *_wave10.SPECS,
-    *_wave11.SPECS,
-    *_wave12.SPECS,
-    *_wave13.SPECS,
-    *_wave14.SPECS,
-    *_wave15.SPECS,
-    *_wave16.SPECS,
-    *_wave17.SPECS,
-    *_wave18.SPECS,
-    *_wave19.SPECS,
-    *_wave20.SPECS,
-    *_wave21.SPECS,
-    *_wave22.SPECS,
-    *_wave23.SPECS,
-    *_wave24.SPECS,
-    *_wave25.SPECS,
-    *_wave26.SPECS,
-    *_wave27.SPECS,
-    *_wave28.SPECS,
-    *_wave29.SPECS,
-    *_wave30.SPECS,
-    *_wave31.SPECS,
-    *_wave32.SPECS,
-    *_wave33.SPECS,
-    *_wave34.SPECS,
-    *_wave35.SPECS,
-    *_wave36.SPECS,
-    *_wave37.SPECS,
-    *_wave38.SPECS,
-    *_wave39.SPECS,
-    *_wave40.SPECS,
-    *_wave41.SPECS,
-    *_wave42.SPECS,
-    *_wave43.SPECS,
-    *_wave44.SPECS,
-    *_wave45.SPECS,
-    *_wave46.SPECS,
-    *_wave47.SPECS,
-    *_wave48.SPECS,
-    *_wave49.SPECS,
-    *_wave50.SPECS,
-    *_wave51.SPECS,
-    *_wave52.SPECS,
-    *_wave53.SPECS,
-    *_wave54.SPECS,
-    *_wave55.SPECS,
-    *_wave56.SPECS,
-    *_wave57.SPECS,
-    *_wave58.SPECS,
-    *_wave59.SPECS,
-    *_wave60.SPECS,
-    *_wave61.SPECS,
-    *_wave62.SPECS,
-    *_wave63.SPECS,
-    *_wave64.SPECS,
-    *_wave65.SPECS,
+    *_text_analytics.SPECS,
+    *_graph_specs.SPECS,
+    *_timeseries_specs.SPECS,
+    *_stats_specs.SPECS,
+    *_curation_specs.SPECS,
+    *_ops_bi_specs.SPECS,
 ]
 
 # The driver's correctness gate grades a fixed-size PREFIX of this

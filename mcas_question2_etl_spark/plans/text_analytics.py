@@ -1,0 +1,1518 @@
+"""Text/NLP/LM/retrieval analytics specs.
+
+Consolidated from the round-1..3 wave modules (round 4, VERDICT r3
+#7): spec names, oracles and bodies are unchanged (module-private
+helpers colliding across waves carry a _w<N> suffix). Constituent
+waves and their original one-line scopes:
+
+#   wave9: Wave-9 extension specs: within-document repetition metrics (the
+#   wave20: Wave-20 extension spec: NDCG@k retrieval evaluation — the graded
+#   wave32: Wave-32 extension specs: token-language mutual information
+#   wave34: Wave-34 extension specs: rendezvous (HRW) shard assignment — the
+#   wave36: Wave-36 extension specs: in-place within-document token dedup
+#   wave39: Wave-39 extension specs: entropy quality gates, trailing-window
+#   wave51: Wave-51 extension specs: Jaro-Winkler linkage, integer moments
+#   wave53: Wave-53 extension specs: empirical-Bayes rate shrinkage,
+#   wave55: Wave-55 extension specs: RAKE keywords, sliding vocabulary drift,
+#   wave59: Wave-59 extension specs: embedding norm audit, embedding dimension
+#   wave65: Wave-65 extension specs: Good-Turing frequency smoothing, Kendall
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from ..catalog import load_table
+from ..operators.zorder import morton_key, morton_key_sql
+from ..operators.evaluation import ndcg_at_k
+from pyspark.sql import DataFrame, SparkSession, Window
+from ..operators import concentration, entropy, graph_metrics, kcore, text, timeseries
+from ..operators import editjoin, profiling, text, timeseries
+from ..operators import concentration, evaluation, shrinkage, text, timeseries
+from ..operators import evaluation, sampling, text
+from ..operators import similarity, survival, text, timeseries
+from ..operators import kmeans
+from ..operators.ranking import with_ntile
+
+from ..registry import QuerySpec
+
+SPECS: list[QuerySpec] = []
+
+
+def _spec(name: str, oracle: str | None, survey_ref: str):
+    def wrap(fn):
+        SPECS.append(QuerySpec(name=name, fn=fn, oracle=oracle, survey_ref=survey_ref))
+        return fn
+
+    return wrap
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave9
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "repetition_quality_report",
+    """
+    WITH toks AS (
+      SELECT source,
+             string_split(text, ' ') AS w
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT source,
+             len(w) AS n_tok,
+             len(list_distinct(w)) AS n_distinct,
+             len(w) - 1 AS n_bi,
+             len(list_distinct(list_transform(
+               range(2, len(w) + 1),
+               i -> w[i - 1] || ' ' || w[i]))) AS n_bi_distinct
+      FROM toks WHERE len(w) >= 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tok - n_distinct) AS BIGINT) AS repeated_tokens,
+           CAST(SUM(n_bi - n_bi_distinct) AS BIGINT) AS repeated_bigrams,
+           CAST(SUM(CASE WHEN 10 * (n_tok - n_distinct) > 5 * n_tok
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged_dup_tokens,
+           CAST(SUM(CASE WHEN 10 * (n_bi - n_bi_distinct) > 8 * n_bi
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged_dup_bigrams
+    FROM per_doc GROUP BY 1 ORDER BY 1
+    """,
+    "training-data op — within-document repetition metrics, the "
+    "Gopher repetition-filter family (duplicate-token and "
+    "duplicate-bigram mass per doc, docs over the 50%/80% repetition "
+    "thresholds). Pure array expressions (split / array_distinct / "
+    "transform) inside the scan stage — no explode, no shuffle of "
+    "token rows, one group-by on source; thresholds are "
+    "cross-multiplied INTEGER comparisons so the oracle is exact",
+)
+def repetition_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # tokenize ONCE per row, then build the bigram array off the array
+    # column (a lambda that re-invokes split(text) per element is
+    # O(len^2) splits per document)
+    toked = docs.select("source", F.split("text", " ").alias("w"))
+    d = toked.select(
+        "source",
+        F.size("w").alias("n_tok"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+        (F.size("w") - 1).alias("n_bi"),
+        F.size(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> concat(w[i - 1], ' ', w[i]))"
+                )
+            )
+        ).alias("n_bi_distinct"),
+    ).filter(F.col("n_tok") >= 2)
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum(F.col("n_tok") - F.col("n_distinct"))
+            .cast("long")
+            .alias("repeated_tokens"),
+            F.sum(F.col("n_bi") - F.col("n_bi_distinct"))
+            .cast("long")
+            .alias("repeated_bigrams"),
+            F.sum(
+                (
+                    10 * (F.col("n_tok") - F.col("n_distinct"))
+                    > 5 * F.col("n_tok")
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("n_flagged_dup_tokens"),
+            F.sum(
+                (
+                    10 * (F.col("n_bi") - F.col("n_bi_distinct"))
+                    > 8 * F.col("n_bi")
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("n_flagged_dup_bigrams"),
+        )
+        .orderBy("source")
+    )
+
+
+#: pruning-probe geometry: 10-bit dims -> 20-bit morton key, top-6-bit
+#: buckets (64 tiles); query box on both dimensions
+_ZP_BITS = 10
+_ZP_BUCKETS_SHIFT = 2 * _ZP_BITS - 6
+_ZP_BOX = (100, 199, 300, 399)  # x_lo, x_hi, y_lo, y_hi inclusive
+
+
+def _zp_oracle() -> str:
+    x_lo, x_hi, y_lo, y_hi = _ZP_BOX
+    mk = morton_key_sql(
+        f"(l_partkey % {1 << _ZP_BITS})",
+        f"(l_orderkey % {1 << _ZP_BITS})",
+        bits=_ZP_BITS,
+    )
+    return f"""
+    WITH pts AS (
+      SELECT l_partkey % {1 << _ZP_BITS} AS x,
+             l_orderkey % {1 << _ZP_BITS} AS y,
+             {mk} AS zkey
+      FROM lineitem
+    ),
+    layouts AS (
+      SELECT 'zorder' AS layout, zkey // {1 << _ZP_BUCKETS_SHIFT} AS bucket,
+             x, y FROM pts
+      UNION ALL
+      SELECT 'linear', x // {1 << (_ZP_BITS - 6)}, x, y FROM pts
+    ),
+    per_bucket AS (
+      SELECT layout, bucket,
+             MIN(x) AS min_x, MAX(x) AS max_x,
+             MIN(y) AS min_y, MAX(y) AS max_y,
+             COUNT(*) AS n_rows,
+             SUM(CASE WHEN x BETWEEN {x_lo} AND {x_hi}
+                       AND y BETWEEN {y_lo} AND {y_hi}
+                      THEN 1 ELSE 0 END) AS n_match
+      FROM layouts GROUP BY 1, 2
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CASE WHEN min_x <= {x_hi} AND max_x >= {x_lo}
+                          AND min_y <= {y_hi} AND max_y >= {y_lo}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_hit,
+           CAST(SUM(CASE WHEN min_x <= {x_hi} AND max_x >= {x_lo}
+                          AND min_y <= {y_hi} AND max_y >= {y_lo}
+                         THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+           CAST(SUM(n_match) AS BIGINT) AS rows_matching
+    FROM per_bucket GROUP BY 1 ORDER BY 1
+    """
+
+
+@_spec(
+    "zorder_pruning_stats",
+    _zp_oracle(),
+    "extension — layout-effectiveness probe for the Z-order operator "
+    "(operators/zorder.py): bucket the fact table under (a) the Morton "
+    "key and (b) a single-column linear layout, compute each bucket's "
+    "min/max envelope (exactly the parquet footer statistics a file "
+    "would carry), and count buckets/rows a 2-D box predicate must "
+    "scan under each. The zorder row shows strictly fewer scanned "
+    "rows — the measured justification for the layout rewrite. All "
+    "integer bit arithmetic, no UDF",
+)
+def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x_lo, x_hi, y_lo, y_hi = _ZP_BOX
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.pmod("l_partkey", F.lit(1 << _ZP_BITS)).cast("long").alias("x"),
+        F.pmod("l_orderkey", F.lit(1 << _ZP_BITS)).cast("long").alias("y"),
+    ).withColumn(
+        "zkey", morton_key(F.col("x"), F.col("y"), bits=_ZP_BITS)
+    )
+    layouts = pts.select(
+        F.lit("zorder").alias("layout"),
+        F.expr(f"zkey div {1 << _ZP_BUCKETS_SHIFT}").alias("bucket"),
+        "x",
+        "y",
+    ).unionByName(
+        pts.select(
+            F.lit("linear").alias("layout"),
+            F.expr(f"x div {1 << (_ZP_BITS - 6)}").alias("bucket"),
+            "x",
+            "y",
+        )
+    )
+    in_box = (
+        F.col("x").between(x_lo, x_hi) & F.col("y").between(y_lo, y_hi)
+    )
+    per_bucket = layouts.groupBy("layout", "bucket").agg(
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(in_box.cast("int")).alias("n_match"),
+    )
+    hit = (
+        (F.col("min_x") <= x_hi)
+        & (F.col("max_x") >= x_lo)
+        & (F.col("min_y") <= y_hi)
+        & (F.col("max_y") >= y_lo)
+    )
+    return (
+        per_bucket.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(hit.cast("int")).cast("long").alias("n_buckets_hit"),
+            F.sum(F.when(hit, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_scanned"),
+            F.sum("n_match").cast("long").alias("rows_matching"),
+        )
+        .orderBy("layout")
+    )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave20
+# ──────────────────────────────────────────────────────────────────────────
+_TERMS = ("spark", "window", "join")
+_K = 10
+
+
+def _terms_in() -> str:
+    return ", ".join(f"'{t}'" for t in _TERMS)
+
+
+@_spec(
+    "ndcg_retrieval_eval",
+    f"""
+    WITH tf AS (
+      SELECT t.term AS qid, d.doc_id,
+             CAST(len(list_filter(string_split(d.text, ' '), w -> w = t.term))
+                  AS BIGINT) AS rel
+      FROM documents d CROSS JOIN (SELECT unnest([{_terms_in()}]) AS term) t
+    ),
+    cands AS (SELECT * FROM tf WHERE rel > 0),
+    n_docs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    dfreq AS (SELECT qid, CAST(COUNT(*) AS DOUBLE) AS df FROM cands GROUP BY 1),
+    scored AS (
+      SELECT c.qid, c.doc_id, c.rel,
+             c.rel * ln(1 + (n.n - f.df + 0.5) / (f.df + 0.5)) AS score
+      FROM cands c JOIN dfreq f USING (qid) CROSS JOIN n_docs n
+    ),
+    ranked AS (
+      SELECT qid, rel,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, rel DESC) AS r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY rel DESC, score DESC) AS ri,
+             power(2.0, rel) - 1 AS g
+      FROM scored
+    )
+    SELECT qid,
+           SUM(CASE WHEN r <= {_K} THEN g / log2(r + 1) ELSE 0 END) AS dcg,
+           SUM(CASE WHEN ri <= {_K} THEN g / log2(ri + 1) ELSE 0 END) AS idcg,
+           SUM(CASE WHEN r <= {_K} THEN g / log2(r + 1) ELSE 0 END)
+             / SUM(CASE WHEN ri <= {_K} THEN g / log2(ri + 1) ELSE 0 END) AS ndcg
+    FROM ranked GROUP BY 1
+    """,
+    "extension — NDCG@10 retrieval evaluation "
+    "(operators/evaluation.py ndcg_at_k, Jarvelin-Kekalainen "
+    "exponential-gain form): three single-term queries ranked by "
+    "tf-idf, graded relevance = raw term frequency, DCG/IDCG/NDCG per "
+    "query. Tie order cannot change the sums (equal gains at equal "
+    "rank sets), so the metric is deterministic under any "
+    "partitioning. Candidates are filtered AT THE SCAN to docs "
+    "containing the term, so the per-query windows run over matches, "
+    "not the corpus — the eval loop stays cheap enough to gate every "
+    "index build",
+)
+def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    terms = spark.createDataFrame([(t,) for t in _TERMS], "term string")
+    tf = (
+        docs.crossJoin(F.broadcast(terms))
+        .select(
+            F.col("term").alias("qid"),
+            "doc_id",
+            F.size(
+                F.expr("filter(split(text, ' '), w -> w = term)")
+            ).cast("long").alias("rel"),
+        )
+        .filter(F.col("rel") > 0)
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    dfreq = tf.groupBy("qid").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "qid")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "qid",
+            "doc_id",
+            "rel",
+            (
+                F.col("rel")
+                * F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            ).alias("score"),
+        )
+    )
+    return ndcg_at_k(scored, "qid", "score", "rel", _K)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave32
+# ──────────────────────────────────────────────────────────────────────────
+_MI_TOP = 15
+
+
+@_spec(
+    "token_lang_mutual_info",
+    f"""
+    WITH docs_t AS (
+      SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    ),
+    pres AS (
+      SELECT lang, unnest(toks) AS t FROM docs_t
+    ),
+    n_t AS (SELECT t, COUNT(*) AS c1 FROM pres GROUP BY t),
+    n_ty AS (SELECT t, lang, COUNT(*) AS c11 FROM pres GROUP BY t, lang),
+    n_y AS (SELECT lang, COUNT(*) AS ny FROM docs_t GROUP BY lang),
+    n AS (SELECT COUNT(*) AS n FROM docs_t),
+    -- joint cells: present/absent x lang, zero-safe via xlogx(0)=0
+    cells AS (
+      SELECT t.t, y.lang,
+             COALESCE(j.c11, 0) AS c11,
+             y.ny - COALESCE(j.c11, 0) AS c01,
+             t.c1, y.ny, n.n
+      FROM n_t t CROSS JOIN n_y y CROSS JOIN n
+      LEFT JOIN n_ty j ON j.t = t.t AND j.lang = y.lang
+    ),
+    mi AS (
+      SELECT t,
+             SUM(
+               CASE WHEN c11 > 0 THEN (CAST(c11 AS DOUBLE) / n)
+                    * ln((CAST(c11 AS DOUBLE) * n)
+                         / (CAST(c1 AS DOUBLE) * ny)) ELSE 0 END
+               + CASE WHEN c01 > 0 THEN (CAST(c01 AS DOUBLE) / n)
+                      * ln((CAST(c01 AS DOUBLE) * n)
+                           / (CAST(n - c1 AS DOUBLE) * ny)) ELSE 0 END
+             ) AS mi
+      FROM cells GROUP BY t
+    )
+    SELECT t AS token, mi,
+           CAST(row_number() OVER (ORDER BY mi DESC, t) AS BIGINT) AS rnk
+    FROM mi
+    QUALIFY rnk <= {_MI_TOP}
+    ORDER BY rnk
+    """,
+    "extension — mutual information I(token presence; language): the "
+    "classic feature-selection statistic, here ranking which tokens "
+    "identify a document's language (the supervised upgrade of "
+    "language_id's hand-picked cue lists — run this to LEARN the cue "
+    "lists). All counts come from one distinct-presence explode with "
+    "map-side combine; the MI table is vocab x langs (tiny), and the "
+    "zero cells a naive join would drop are restored by the marginal "
+    "cross join, with xlogx(0)=0 handled explicitly",
+)
+def token_lang_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs_t = docs.select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    pres = docs_t.select("lang", F.explode("toks").alias("t"))
+    n_t = pres.groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
+    n_ty = pres.groupBy("t", "lang").agg(F.count(F.lit(1)).alias("c11"))
+    n_y = docs_t.groupBy("lang").agg(F.count(F.lit(1)).alias("ny"))
+    n = docs_t.agg(F.count(F.lit(1)).alias("n"))
+    cells = (
+        n_t.crossJoin(F.broadcast(n_y))
+        .crossJoin(F.broadcast(n))
+        .join(F.broadcast(n_ty), ["t", "lang"], "left")
+        .select(
+            "t",
+            "lang",
+            F.coalesce("c11", F.lit(0)).alias("c11"),
+            (F.col("ny") - F.coalesce("c11", F.lit(0))).alias("c01"),
+            "c1",
+            "ny",
+            "n",
+        )
+    )
+    term11 = F.when(
+        F.col("c11") > 0,
+        (F.col("c11").cast("double") / F.col("n"))
+        * F.log(
+            (F.col("c11").cast("double") * F.col("n"))
+            / (F.col("c1").cast("double") * F.col("ny"))
+        ),
+    ).otherwise(0.0)
+    term01 = F.when(
+        F.col("c01") > 0,
+        (F.col("c01").cast("double") / F.col("n"))
+        * F.log(
+            (F.col("c01").cast("double") * F.col("n"))
+            / ((F.col("n") - F.col("c1")).cast("double") * F.col("ny"))
+        ),
+    ).otherwise(0.0)
+    mi = cells.groupBy("t").agg(F.sum(term11 + term01).alias("mi"))
+    w = Window.orderBy(F.col("mi").desc(), F.col("t"))
+    return (
+        mi.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _MI_TOP)
+        .select(F.col("t").alias("token"), "mi", "rnk")
+        .orderBy("rnk")
+    )
+
+
+_QUERY_DOC = 42
+_SIM_TOP = 10
+
+
+@_spec(
+    "tfidf_doc_similarity",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      GROUP BY doc_id, t
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    df AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY t),
+    w AS (
+      SELECT tf.doc_id, tf.t, tf.tf * ln(n.n / df.df) AS w
+      FROM tf JOIN df USING (t) CROSS JOIN n
+    ),
+    norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY doc_id),
+    q AS (SELECT t, w FROM w WHERE doc_id = {_QUERY_DOC}),
+    dots AS (
+      SELECT w.doc_id, SUM(w.w * q.w) AS dot
+      FROM w JOIN q USING (t)
+      WHERE w.doc_id <> {_QUERY_DOC}
+      GROUP BY w.doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             d.dot / (na.nrm * nq.nrm) AS cosine
+      FROM dots d
+      JOIN norms na USING (doc_id)
+      CROSS JOIN (SELECT nrm FROM norms WHERE doc_id = {_QUERY_DOC}) nq
+    )
+    SELECT doc_id, cosine FROM scored
+    ORDER BY cosine DESC, doc_id LIMIT {_SIM_TOP}
+    """,
+    "extension — TF-IDF document-to-document retrieval: sparse-vector "
+    "cosine top-k WITHOUT embeddings (the lexical half of hybrid "
+    "search; bm25_topk is query-to-doc, this is doc-to-doc). The "
+    "sparse dot product touches only postings of the QUERY's terms "
+    "(broadcast query vector into the postings join); norms are one "
+    "doc-keyed aggregation; global top-k is TakeOrdered. Zero dense "
+    "vectors anywhere — at 100 TB the postings join shuffles "
+    "(term-hash, doc, weight) triples only for matched terms",
+)
+def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    w = (
+        tf.join(F.broadcast(dfreq), "t")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "t",
+            (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    q = w.filter(F.col("doc_id") == _QUERY_DOC).select(
+        "t", F.col("w").alias("qw")
+    )
+    dots = (
+        w.filter(F.col("doc_id") != _QUERY_DOC)
+        .join(F.broadcast(q), "t")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+    )
+    qnorm = norms.filter(F.col("doc_id") == _QUERY_DOC).select(
+        F.col("nrm").alias("qnrm")
+    )
+    return (
+        dots.join(norms, "doc_id")
+        .crossJoin(F.broadcast(qnorm))
+        .select(
+            "doc_id", (F.col("dot") / (F.col("nrm") * F.col("qnrm"))).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col("doc_id"))
+        .limit(_SIM_TOP)
+    )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave34
+# ──────────────────────────────────────────────────────────────────────────
+_N_SHARDS = 16
+
+
+def hrw_shard_expr(key_col: str, n_shards: int) -> F.Column:
+    """Highest-random-weight (rendezvous) shard pick: argmax over
+    shards of the portable md5 hash of key#shard. Unlike modulo
+    bucketing, growing the shard set only moves keys INTO new shards
+    (everything else keeps its argmax) — the property that makes
+    resharding a 100 TB corpus an incremental copy, not a reshuffle."""
+    weights = ", ".join(
+        "named_struct('w', cast(conv(substring(md5(concat(cast("
+        f"{key_col} as string), '#', '{s}')), 1, 15), 16, 10) as bigint), 's', {s})"
+        for s in range(n_shards)
+    )
+    return F.expr(
+        f"array_max(array({weights})).s"
+    ).cast("int")
+
+
+def hrw_shard_sql(key_col: str, n_shards: int) -> str:
+    """DuckDB twin (same hash family, same BIGINT weight compare)."""
+    weights = ", ".join(
+        f"{{'w': CAST(('0x' || substring(md5(CAST({key_col} AS VARCHAR) "
+        f"|| '#' || '{s}'), 1, 15)) AS BIGINT), 's': {s}}}"
+        for s in range(n_shards)
+    )
+    return f"CAST(list_max([{weights}]).s AS INTEGER)"
+
+
+@_spec(
+    "hrw_shard_assignment",
+    f"""
+    SELECT {hrw_shard_sql('doc_id', _N_SHARDS)} AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
+    FROM documents GROUP BY 1
+    """,
+    "extension — rendezvous/HRW sharding: each doc goes to the shard "
+    "with the highest hash(doc#shard) — consistent-hashing placement "
+    "where ADDING a shard steals ~1/(n+1) of keys and moves them ONLY "
+    "into the new shard (pytest-pinned), versus modulo bucketing "
+    "where nearly every key moves. The argmax is one scan-stage "
+    "array_max over n_shards named structs — no shuffle, no "
+    "coordination; complements shard_manifest (fixed-count export) "
+    "with the grow-the-cluster story",
+)
+def hrw_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(
+        hrw_shard_expr("doc_id", _N_SHARDS).alias("shard")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_ids"),
+    )
+
+
+_SMOOTH = 5.0
+_TOP = 15
+
+
+@_spec(
+    "emerging_terms_report",
+    f"""
+    WITH halves AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'old' ELSE 'new' END AS half,
+             unnest(string_split(text, ' ')) AS t
+      FROM documents
+    ),
+    counts AS (
+      SELECT t,
+             SUM(CASE WHEN half = 'old' THEN 1 ELSE 0 END) AS c_old,
+             SUM(CASE WHEN half = 'new' THEN 1 ELSE 0 END) AS c_new
+      FROM halves GROUP BY t
+    ),
+    tots AS (SELECT SUM(c_old) AS n_old, SUM(c_new) AS n_new FROM counts),
+    scored AS (
+      SELECT t, CAST(c_old AS BIGINT) AS c_old, CAST(c_new AS BIGINT) AS c_new,
+             ((c_new + {_SMOOTH}) / (tt.n_new + {_SMOOTH}))
+               / ((c_old + {_SMOOTH}) / (tt.n_old + {_SMOOTH})) AS rise
+      FROM counts CROSS JOIN tots tt
+    )
+    SELECT t AS term, c_old, c_new, rise,
+           CAST(row_number() OVER (ORDER BY rise DESC, t) AS BIGINT) AS rnk
+    FROM scored
+    QUALIFY rnk <= {_TOP}
+    ORDER BY rnk
+    """,
+    "extension — emerging-terms report: which tokens RISE most in "
+    "relative frequency between the old and new corpus halves "
+    "(smoothed rate ratio — the trend detector run between crawl "
+    "snapshots to catch topic drift before it skews a training mix). "
+    "One token-count aggregation carries both halves as conditional "
+    "sums (single corpus scan); the ranking window runs over the "
+    "Zipf-tiny vocabulary",
+)
+def emerging_terms_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    halves = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, "old").otherwise("new").alias("half"),
+        F.explode(F.split("text", " ")).alias("t"),
+    )
+    counts = halves.groupBy("t").agg(
+        F.sum((F.col("half") == "old").cast("long")).alias("c_old"),
+        F.sum((F.col("half") == "new").cast("long")).alias("c_new"),
+    )
+    tots = counts.agg(
+        F.sum("c_old").alias("n_old"), F.sum("c_new").alias("n_new")
+    )
+    scored = counts.crossJoin(F.broadcast(tots)).select(
+        "t",
+        "c_old",
+        "c_new",
+        (
+            ((F.col("c_new") + _SMOOTH) / (F.col("n_new") + _SMOOTH))
+            / ((F.col("c_old") + _SMOOTH) / (F.col("n_old") + _SMOOTH))
+        ).alias("rise"),
+    )
+    w = Window.orderBy(F.col("rise").desc(), F.col("t"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _TOP)
+        .select(F.col("t").alias("term"), "c_old", "c_new", "rise", "rnk")
+        .orderBy("rnk")
+    )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave36
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "inplace_token_dedup",
+    """
+    WITH toked AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
+    ),
+    dedup AS (
+      SELECT doc_id, source, len(ts) AS n_before,
+             len([ts[i] for i in range(1, len(ts) + 1)
+                  IF list_position(ts, ts[i]) = i]) AS n_after
+      FROM toked
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_before) AS BIGINT) AS tokens_before,
+           CAST(SUM(n_after) AS BIGINT) AS tokens_after,
+           CAST(SUM(n_before - n_after) AS BIGINT) AS tokens_removed
+    FROM dedup GROUP BY 1
+    """,
+    "training-data op — in-place within-document dedup: drop every "
+    "repeated token occurrence while PRESERVING first-occurrence "
+    "order (array_distinct guarantees no order; the keep-if-first "
+    "filter does — the same primitive removes repeated boilerplate "
+    "lines/sentences in place when fed line arrays). Pure array "
+    "expressions in the scan stage (keep test = list_position == "
+    "own index), one source-keyed aggregation for the removal "
+    "accounting. Complements the Gopher repetition FILTERS (which "
+    "drop whole docs) with the repair that keeps them",
+)
+def inplace_token_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", "source", F.split("text", " ").alias("ts"))
+    kept = F.expr(
+        "size(filter(ts, (t, i) -> array_position(ts, t) = i + 1))"
+    )
+    dedup = toked.select(
+        "source",
+        F.size("ts").alias("n_before"),
+        kept.alias("n_after"),
+    )
+    return dedup.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_before").cast("long").alias("tokens_before"),
+        F.sum("n_after").cast("long").alias("tokens_after"),
+        F.sum(F.col("n_before") - F.col("n_after")).cast("long").alias(
+            "tokens_removed"
+        ),
+    )
+
+
+_AC_LAGS = (1, 2, 3, 7)
+
+
+@_spec(
+    "autocorrelation_report",
+    f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type, l.lag, a.c AS vx, b.c AS vy
+      FROM (SELECT unnest([{", ".join(map(str, _AC_LAGS))}]) AS lag) l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.event_type = a.event_type AND b.day = a.day + l.lag
+    )
+    SELECT event_type, CAST(lag AS INTEGER) AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           (COUNT(*) * SUM(vx * vy) - SUM(vx) * SUM(vy))
+             / sqrt((COUNT(*) * SUM(vx * vx) - SUM(vx) * SUM(vx))
+                    * (COUNT(*) * SUM(vy * vy) - SUM(vy) * SUM(vy))) AS acf
+    FROM pairs GROUP BY 1, 2
+    """,
+    "extension — autocorrelation report: per event type, Pearson "
+    "autocorrelation of the daily series at lags 1/2/3/7 — the "
+    "seasonality detector (a lag-7 spike = weekly cycle) that decides "
+    "whether anomaly baselines (anomaly_days_zscore) need day-of-week "
+    "adjustment. Same five-raw-moments shape as "
+    "lagged_cross_correlation, per (type, lag) over the tiny daily "
+    "rollup; events scan once",
+)
+def autocorrelation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            "event_type",
+            F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    lags = spark.createDataFrame([(l,) for l in _AC_LAGS], "lag int")
+    a = daily.select("event_type", "day", F.col("c").alias("vx"))
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("day2"),
+        F.col("c").alias("vy"),
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("et2") == F.col("event_type"))
+            & (F.col("day2") == F.col("day") + F.col("lag")),
+        )
+    )
+    n = F.count(F.lit(1))
+    num = n * F.sum(F.col("vx") * F.col("vy")) - F.sum("vx") * F.sum("vy")
+    den = F.sqrt(
+        (n * F.sum(F.col("vx") * F.col("vx")) - F.sum("vx") * F.sum("vx"))
+        * (n * F.sum(F.col("vy") * F.col("vy")) - F.sum("vy") * F.sum("vy"))
+    )
+    return pairs.groupBy("event_type", "lag").agg(
+        n.cast("long").alias("n_days"), (num / den).alias("acf")
+    )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave39
+# ──────────────────────────────────────────────────────────────────────────
+# --- per-doc entropy ---------------------------------------------------------
+
+@_spec(
+    "doc_entropy_metrics",
+    entropy.doc_entropy_report_sql(),
+    "text-quality op — per-document char/token Shannon entropy "
+    "(CCNet-style gibberish/boilerplate signal): computed as a "
+    "zero-shuffle Catalyst fold (array_sort + aggregate run-length "
+    "pass inside the scan stage) while the oracle recomputes it via "
+    "the explode->groupBy identity, making the differential "
+    "genuinely two-algorithm.",
+)
+def doc_entropy_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return entropy.doc_entropy_report(docs)
+
+
+# --- trailing 7-day distinct users ------------------------------------------
+
+@_spec(
+    "rolling_7d_distinct_users",
+    timeseries.rolling_distinct_count_sql(),
+    "time-series op — trailing-7-day distinct users per day via the "
+    "explode-cover trick: distinct is not subtractable, so each "
+    "deduped (day,user) row is exploded into the <=7 days it covers "
+    "and re-counted — two fixed-width shuffles, no per-day key sets, "
+    "no range self-join of raw events (which is what the oracle "
+    "runs).",
+)
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return timeseries.rolling_distinct_count(events)
+
+
+# --- token concentration -----------------------------------------------------
+
+@_spec(
+    "token_concentration_audit",
+    concentration.token_concentration_sql(),
+    "corpus-audit op — per-source token-frequency HHI and Gini "
+    "(training-mixture boilerplate detector): one corpus-sized "
+    "(source,term) count shuffle with map-side combine; the rank "
+    "window and concentration sums run over the vocabulary-sized "
+    "count table only.",
+)
+def token_concentration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(text.tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return concentration.group_concentration(counts, "source", "n", "term")
+
+
+# --- bounded k-core ----------------------------------------------------------
+
+_KCORE_EDGES_CTE = """
+    members AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+    ), bounded AS MATERIALIZED (
+      SELECT g, item FROM members
+      WHERE g IN (SELECT g FROM members GROUP BY g
+                  HAVING COUNT(*) <= 8)
+    ), e0 AS MATERIALIZED (
+      SELECT DISTINCT a.item AS a, b.item AS b
+      FROM bounded a JOIN bounded b ON a.g = b.g AND a.item < b.item
+    )"""
+
+
+@_spec(
+    "kcore_copurchase_peel",
+    kcore.kcore_peel_report_sql(_KCORE_EDGES_CTE, rounds=3),
+    "graph op — bounded k-core peel (3 rounds at the input graph's "
+    "25th-percentile degree, so the cascade is exercised at any scale factor) "
+    "on the co-purchase graph: per-round (nodes, edges) survivor "
+    "report; each round is one degree aggregation plus two semi-joins, "
+    "all equi-joins on node ids, the 1-row threshold broadcast, "
+    "lineage cut per round. Fixed rounds keep it oracle-expressible "
+    "(unrolled MATERIALIZED CTEs); a fixpoint shows as identical "
+    "trailing rows rather than silent truncation.",
+)
+def kcore_copurchase_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = graph_metrics.cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group=8)
+    return kcore.kcore_peel_report(edges, rounds=3)
+
+
+# --- sequential event patterns ----------------------------------------------
+
+@_spec(
+    "event_trigram_patterns",
+    """
+    WITH seq AS (
+      SELECT event_type AS t1,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1 || '>' || t2 || '>' || t3 AS trigram,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, trigram LIMIT 15
+    """,
+    "behavioral op — top per-user event-type trigrams (order-2 "
+    "extension of the transition matrix): lead windows partitioned on "
+    "user_id (each user sorts its own partition), deterministic "
+    "(ts, event_id) tiebreak, TakeOrdered top-15.",
+)
+def event_trigram_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            F.col("event_type").alias("t1"),
+            F.lead("event_type", 1).over(w).alias("t2"),
+            F.lead("event_type", 2).over(w).alias("t3"),
+        )
+        .filter(F.col("t3").isNotNull())
+        .select(F.concat_ws(">", "t1", "t2", "t3").alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "trigram")
+        .limit(15)
+    )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave51
+# ──────────────────────────────────────────────────────────────────────────
+_JW_BLOCK_SQL = (
+    "string_split(p_name, ' ')[1] || ' ' || string_split(p_name, ' ')[2]"
+)
+
+
+@_spec(
+    "jaro_winkler_blocklink",
+    editjoin.jaro_winkler_pairs_sql(
+        "part", "p_partkey", "p_name",
+        threshold=0.95, block_sql=_JW_BLOCK_SQL, block_sample_mod=8,
+    ),
+    "linkage op — Jaro-Winkler similarity self-join over two-token "
+    "blocks of part names (md5-sampled 1-in-8 blocks, the bounded-"
+    "kernel discipline — the synthetic color-vocab names make single-"
+    "token blocks quadratic-dense): Arrow-batched textbook JW kernel "
+    "on candidate pairs only (verified bit-equal to DuckDB's "
+    "builtin), scores rounded 9dp before the 0.95 threshold.",
+)
+def jaro_winkler_blocklink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    part = load_table(spark, sf_dir, "part")
+    blocked = part.withColumn(
+        "__blk2",
+        F.concat_ws(
+            " ",
+            F.split(F.col("p_name"), " ").getItem(0),
+            F.split(F.col("p_name"), " ").getItem(1),
+        ),
+    )
+    return editjoin.jaro_winkler_pairs(
+        blocked, "p_partkey", "p_name",
+        block_col="__blk2", threshold=0.95, block_sample_mod=8,
+    )
+
+
+@_spec(
+    "doclen_moments_profile",
+    profiling.integer_moments_profile_sql("documents", "source", "n_chars"),
+    "profiling op — skewness/excess-kurtosis of document length per "
+    "source from DECIMAL(38,0)-exact power sums S1..S4; fixed IEEE "
+    "central-moment expressions parenthesized identically in both "
+    "engines, zero rounding.",
+)
+def doclen_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return profiling.integer_moments_profile(docs, "source", "n_chars")
+
+
+@_spec(
+    "pmi_collocations",
+    text.pmi_cooccurrence_pairs_sql(),
+    "text op — PMI collocations over top-40 vocabulary token pairs "
+    "co-occurring in documents: doc-frequency-capped pair space "
+    "(O(docs*k^2), never corpus-wide), exact bigint counts, one "
+    "rounded ln per pair.",
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.pmi_cooccurrence_pairs(docs)
+
+
+@_spec(
+    "vocab_growth_curve",
+    text.vocab_growth_curve_sql(),
+    "corpus op — Heaps-law vocabulary growth at 10 id-range "
+    "checkpoints: first-appearance MIN(id) per token, integer-exact "
+    "bucket math and cumulative sums; the corpus-novelty monitor "
+    "complementing the LSH dedup family.",
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.vocab_growth_curve(docs)
+
+
+@_spec(
+    "decayed_event_popularity",
+    timeseries.decayed_popularity_sql(),
+    "ops op — exponentially time-decayed popularity per event type "
+    "(half-life 7d, ages as exact integer daydiffs from the global "
+    "max day): per-day pow weights on exact inputs, day-grain sum "
+    "rounded 6dp.",
+)
+def decayed_event_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return timeseries.decayed_popularity(events)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave53
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "eb_shrunk_return_rates",
+    shrinkage.eb_shrunk_rates_sql("lineitem", "l_partkey", "l_returnflag = 'R'"),
+    "analytics op — beta-binomial empirical-Bayes shrinkage of "
+    "per-part return rates (method of moments): exact global rate, "
+    "rounded between-part variance (the one order-sensitive sum), "
+    "guarded prior strength, one fixed shrink expression per part; "
+    "the small-sample fix the reference's raw rate reports need.",
+)
+def eb_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return shrinkage.eb_shrunk_rates(li, "l_partkey", F.col("l_returnflag") == "R")
+
+
+_RATIO_TABLE_SQL = """
+SELECT o.o_custkey AS unit, c.c_mktsegment AS seg, o.o_totalprice AS price
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+@_spec(
+    "ratio_metric_ab_test",
+    evaluation.ratio_metric_ab_test_sql(
+        _RATIO_TABLE_SQL, "unit", "seg", "BUILDING", "MACHINERY", "price"
+    ),
+    "experimentation op — delta-method z-test for the revenue-per-"
+    "order ratio metric between two market segments with the CUSTOMER "
+    "as randomization unit: DECIMAL-exact per-unit numerators and "
+    "cross-unit moment sums, fixed IEEE variance expression, zero "
+    "rounding.",
+)
+def ratio_metric_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == F.col("c_custkey"),
+    ).select(
+        F.col("o_custkey").alias("unit"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return evaluation.ratio_metric_ab_test(
+        joined, "unit", "seg", "BUILDING", "MACHINERY", "price"
+    )
+
+
+@_spec(
+    "conversion_latency_quantiles",
+    timeseries.conversion_latency_quantiles_sql(),
+    "funnel op — click->purchase latency percentiles per converting "
+    "user: exact integer-micros first-pair latencies, type-1 lower "
+    "element picks through the value-grain cumulative ladder; the "
+    "how-fast companion to funnel_conversion's how-many.",
+)
+def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return timeseries.conversion_latency_quantiles(events)
+
+
+@_spec(
+    "theil_doclen_decomposition",
+    concentration.theil_decomposition_sql("documents", "source", "n_chars"),
+    "inequality op — Theil T of document length with the exact "
+    "within/between source decomposition Gini lacks: exact bigint "
+    "char totals, per-source x*ln(x) sums rounded 9dp, fixed IEEE "
+    "share/term expressions, k-term totals rounded.",
+)
+def theil_doclen_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return concentration.theil_decomposition(docs, "source", "n_chars")
+
+
+@_spec(
+    "source_vocab_jaccard",
+    text.source_vocab_jaccard_sql(),
+    "corpus op — vocabulary-overlap Jaccard matrix between sources: "
+    "distinct token sets per source, token-grain self-join "
+    "intersections (tokens shuffle once, text never), exact bigint "
+    "set algebra, one division per pair.",
+)
+def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.source_vocab_jaccard(docs)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave55
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "rake_keywords",
+    text.rake_keywords_sql(),
+    "NLP op — RAKE keyword extraction: stopword/punctuation boundary "
+    "phrases (regex verified to split identically under Java regex "
+    "and RE2), exact deg/freq bigints, per-phrase ratio sums rounded "
+    "9dp; multi-word domain terms outrank unigrams.",
+)
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.rake_keywords(docs)
+
+
+@_spec(
+    "sliding_vocab_drift",
+    text.sliding_vocab_drift_sql(),
+    "monitoring op — Jaccard of consecutive id-bucket vocabularies "
+    "(5 equal-width ingest-order buckets): exact bigint set algebra, "
+    "adjacent pairs only; the between-checkpoint complement to "
+    "vocab_growth_curve.",
+)
+def sliding_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.sliding_vocab_drift(docs)
+
+
+@_spec(
+    "token_burstiness_report",
+    text.token_burstiness_report_sql(),
+    "text op — Church-Gale burstiness (collection frequency / "
+    "document frequency) per token with df >= 10: one tokenized "
+    "pass, exact bigints, one division; the term-concentration "
+    "signal beyond tf-idf.",
+)
+def token_burstiness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_burstiness_report(docs)
+
+
+@_spec(
+    "srm_check_users",
+    evaluation.srm_check_sql("events", "user_id"),
+    "experimentation op — sample-ratio-mismatch check of a 2-arm "
+    "md5-hash split over distinct users: exact arm counts, "
+    "chi-square GOF against equal allocation, 1%% critical flag; "
+    "the gate every A/B readout must pass first.",
+)
+def srm_check_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return evaluation.srm_check(events, "user_id")
+
+
+@_spec(
+    "negative_sampling_pairs",
+    sampling.negative_sampling_pairs_sql("documents", "doc_id"),
+    "training-data op — deterministic contrastive negatives: k=3 "
+    "modular-arithmetic draws over the dense doc_id range, "
+    "RNG-free and partitioning-independent (never the anchor); "
+    "scan-stage integer expressions only.",
+)
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.negative_sampling_pairs(docs, "doc_id")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave59
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "embedding_norm_audit",
+    similarity.embedding_norm_audit_sql(),
+    "vector op — per-label L2-norm audit: Q20 fixed-point squared "
+    "norms are exact bigints, min/max and the near-unit count compare "
+    "on bit-identical doubles, only the mean rounds; the un-"
+    "normalized-vector gate ANN correctness depends on.",
+)
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_norm_audit(emb)
+
+
+@_spec(
+    "embedding_dim_variance",
+    similarity.embedding_dim_variance_sql(),
+    "vector op — per-dimension variance profile over Q20-quantized "
+    "integers (exact power sums, fixed IEEE variance, exact near-"
+    "zero flag); the dead-dimension detector for index/whitening "
+    "hygiene.",
+)
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_dim_variance(emb)
+
+
+@_spec(
+    "oov_rate_by_source",
+    text.oov_rate_by_source_sql(),
+    "corpus op — out-of-vocabulary occurrence rate per source with "
+    "the vocabulary built from the first id-half (train): exact "
+    "bigint counts, anti-join on the token key, one division; the "
+    "vocab-coverage gate for train/eval splits.",
+)
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.oov_rate_by_source(docs)
+
+
+@_spec(
+    "weibull_lifetime_fit",
+    survival.weibull_lifetime_fit_sql(),
+    "survival op — Weibull probability-plot fit of user lifetimes on "
+    "the Kaplan-Meier curve (shape from the ln(-ln S) vs ln t OLS, "
+    "scale = exp(-intercept/shape)): survival rounded 9dp before the "
+    "log-log transform, moment sums rounded 6dp; the parametric "
+    "churn summary (k<1 infant-mortality, k>1 wear-out).",
+)
+def weibull_lifetime_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return survival.weibull_lifetime_fit(events)
+
+
+@_spec(
+    "extreme_value_return_levels",
+    timeseries.extreme_value_return_levels_sql(),
+    "ops op — Gumbel method-of-moments return levels (1-in-30/90/365 "
+    "day volumes) per event type: exact bigint power sums, shared "
+    "literal constants, fixed IEEE expressions, zero rounding; the "
+    "capacity-planning number a plain max understates.",
+)
+def extreme_value_return_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return timeseries.extreme_value_return_levels(events)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave65
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "good_turing_smoothing",
+    """
+    WITH freqs AS (
+      SELECT u.term, CAST(COUNT(*) AS BIGINT) AS r
+      FROM documents, LATERAL unnest(string_split(lower(text), ' ')) AS u(term)
+      WHERE u.term <> ''
+      GROUP BY u.term
+    ),
+    fof AS (
+      SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r
+      FROM freqs GROUP BY r
+    )
+    SELECT a.r, a.n_r,
+           ROUND((a.r + 1) * COALESCE(b.n_r, 0) / CAST(a.n_r AS DOUBLE), 6)
+             AS r_star
+    FROM fof a LEFT JOIN fof b ON b.r = a.r + 1
+    WHERE a.r <= 10
+    """,
+    "LM op — Good-Turing smoothed counts r* = (r+1) N_{r+1}/N_r over "
+    "the token frequency-of-frequencies (Good 1953; the estimator "
+    "behind Katz backoff): one token groupBy, one tiny "
+    "frequency-histogram self-join; exact integer inputs. Reported "
+    "for the low-count head (r <= 10) where smoothing matters.",
+)
+def good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    freqs = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("r"))
+    )
+    fof = freqs.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    nxt = fof.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_next"))
+    return (
+        fof.join(nxt, "r", "left")
+        .filter(F.col("r") <= 10)
+        .select(
+            "r",
+            "n_r",
+            F.round(
+                (F.col("r") + 1)
+                * F.coalesce(F.col("n_next"), F.lit(0))
+                / F.col("n_r").cast("double"),
+                6,
+            ).alias("r_star"),
+        )
+    )
+
+
+@_spec(
+    "kendall_tau_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS p,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CASE WHEN (a.p - b.p) * (a.c - b.c) > 0 THEN 1 ELSE 0 END AS con,
+             CASE WHEN (a.p - b.p) * (a.c - b.c) < 0 THEN 1 ELSE 0 END AS dis
+      FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    t1 AS (SELECT SUM(tp * (tp - 1) / 2) AS ties FROM
+           (SELECT COUNT(*) AS tp FROM daily GROUP BY p)),
+    t2 AS (SELECT SUM(tc * (tc - 1) / 2) AS ties FROM
+           (SELECT COUNT(*) AS tc FROM daily GROUP BY c)),
+    agg AS (
+      SELECT CAST(SUM(con) AS BIGINT) AS concordant,
+             CAST(SUM(dis) AS BIGINT) AS discordant
+      FROM pairs
+    )
+    SELECT np.n AS n_days, agg.concordant, agg.discordant,
+           ROUND((agg.concordant - agg.discordant)
+                 / sqrt((np.n * (np.n - 1) / 2.0 - t1.ties)
+                        * (np.n * (np.n - 1) / 2.0 - t2.ties)), 6) AS tau_b
+    FROM agg, np, t1, t2
+    """,
+    "stats op — Kendall tau-b (tie-corrected) between daily purchase "
+    "and click counts, Spearman's companion: the all-pairs kernel is "
+    "BOUNDED by the day axis (series-length^2, never event rows — "
+    "the same documented bounded-kernel discipline as the exact "
+    "Jaccard verifiers), tie terms from two tiny group-bys, all "
+    "integer until the final ratio.",
+)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("long")
+        .alias("p"),
+        F.sum((F.col("event_type") == "click").cast("int"))
+        .cast("long")
+        .alias("c"),
+    ).localCheckpoint(eager=False)
+    a = daily.select(
+        F.col("day").alias("da"), F.col("p").alias("pa"), F.col("c").alias("ca")
+    )
+    b = daily.select(
+        F.col("day").alias("db"), F.col("p").alias("pb"), F.col("c").alias("cb")
+    )
+    sgn = (F.col("pa") - F.col("pb")) * (F.col("ca") - F.col("cb"))
+    pairs = a.join(b, F.col("da") < F.col("db")).select(
+        (sgn > 0).cast("int").alias("con"), (sgn < 0).cast("int").alias("dis")
+    )
+    agg = pairs.agg(
+        F.sum("con").cast("long").alias("concordant"),
+        F.sum("dis").cast("long").alias("discordant"),
+    )
+    np_ = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    t1 = (
+        daily.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("tp"))
+        .agg(F.sum(F.col("tp") * (F.col("tp") - 1) / 2).alias("ties1"))
+    )
+    t2 = (
+        daily.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .agg(F.sum(F.col("tc") * (F.col("tc") - 1) / 2).alias("ties2"))
+    )
+    n = F.col("n_days")
+    n0 = n * (n - 1) / 2.0
+    return (
+        agg.crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            "n_days",
+            "concordant",
+            "discordant",
+            F.round(
+                (F.col("concordant") - F.col("discordant"))
+                / F.sqrt((n0 - F.col("ties1")) * (n0 - F.col("ties2"))),
+                6,
+            ).alias("tau_b"),
+        )
+    )
+
+
+@_spec(
+    "cochran_armitage_trend",
+    """
+    WITH cells AS (
+      SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_i,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x_i
+      FROM orders GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(SUM(n_i) AS DOUBLE) AS n,
+             CAST(SUM(x_i) AS DOUBLE) AS x,
+             SUM(s * x_i) AS sx,
+             SUM(s * n_i) AS sn,
+             SUM(s * s * n_i) AS ssn
+      FROM cells
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           ROUND((sx - sn * (x / n))
+                 / sqrt((x / n) * (1 - x / n) * (ssn - sn * sn / n)),
+                 4) AS z_trend,
+           ROUND(POW((sx - sn * (x / n)), 2)
+                 / ((x / n) * (1 - x / n) * (ssn - sn * sn / n)),
+                 4) AS chi2_trend
+    FROM m
+    """,
+    "stats op — Cochran-Armitage trend test: is the order-failure "
+    "rate monotone in the priority score (ordinal 1..5 parsed from "
+    "the priority label)? One groupBy to 5 cells, closed-form z from "
+    "exact integer moments.",
+)
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("s")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        F.sum((F.col("o_orderstatus") == "F").cast("int"))
+        .cast("long")
+        .alias("x_i"),
+    )
+    m = cells.agg(
+        F.sum("n_i").cast("double").alias("n"),
+        F.sum("x_i").cast("double").alias("x"),
+        F.sum(F.col("s") * F.col("x_i")).alias("sx"),
+        F.sum(F.col("s") * F.col("n_i")).alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n_i")).alias("ssn"),
+    )
+    p = F.col("x") / F.col("n")
+    num = F.col("sx") - F.col("sn") * p
+    var = p * (1 - p) * (F.col("ssn") - F.col("sn") * F.col("sn") / F.col("n"))
+    return m.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(num / F.sqrt(var), 4).alias("z_trend"),
+        F.round(F.pow(num, 2) / var, 4).alias("chi2_trend"),
+    )
+
+
+@_spec(
+    "simplified_silhouette_report",
+    kmeans.simplified_silhouette_sql(k=8, iters=2),
+    "ML-eval op — per-cluster simplified silhouette over the trained "
+    "k-means codebook (operators/kmeans.py): a/b from the broadcast "
+    "k-row codebook in one narrow sorted-struct expression (the "
+    "full pairwise silhouette's O(n^2) replaced by O(n*k)); exact "
+    "Q20 squared distances under the sqrt.",
+)
+def simplified_silhouette_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans.simplified_silhouette(emb, k=8, iters=2)
+
+
+@_spec(
+    "lorenz_curve_deciles",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS y
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT y, CAST(ntile(10) OVER (ORDER BY y, o_custkey) AS INTEGER)
+               AS decile
+      FROM spend
+    ),
+    per AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             SUM(y) AS dy
+      FROM ranked GROUP BY decile
+    ),
+    tot AS (SELECT SUM(dy) AS ty FROM per)
+    SELECT decile, n_customers,
+           ROUND(dy / ty, 6) AS share,
+           ROUND(SUM(dy) OVER (ORDER BY decile
+                               ROWS UNBOUNDED PRECEDING) / ty, 6)
+             AS cum_share
+    FROM per CROSS JOIN tot
+    """,
+    "econ op — Lorenz curve at decile resolution over per-customer "
+    "spend (the tabulated curve the Gini specs integrate): deciles "
+    "via the two-phase distributed NTILE, DECIMAL-exact spend sums, "
+    "cumulative shares over the 10-row decile table only.",
+)
+def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    ranked = with_ntile(spend, [F.col("y"), F.col("o_custkey")], 10, out_col="decile")
+    per = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("y").alias("dy"),
+    )
+    tot = per.agg(F.sum("dy").alias("ty"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            F.round(F.col("dy") / F.col("ty"), 6).alias("share"),
+            F.round(F.sum("dy").over(w) / F.col("ty"), 6).alias("cum_share"),
+        )
+    )

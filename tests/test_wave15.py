@@ -80,7 +80,7 @@ def test_ivf_sq_matches_sq_ranking_within_cell(spark):
 
 def test_join_cardinality_matches_real_join(spark):
     from mcas_question2_etl_spark.catalog import load_table
-    from mcas_question2_etl_spark.plans.wave15 import join_cardinality_estimate
+    from mcas_question2_etl_spark.plans.curation_specs import join_cardinality_estimate
     from tests.conftest import SF_SMALL
 
     est = join_cardinality_estimate(spark, SF_SMALL).first()

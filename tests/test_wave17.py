@@ -73,7 +73,7 @@ def test_hilbert_locality_beats_morton_on_box_query():
 def test_fellegi_sunter_score_bounds(spark):
     """Every candidate scores within the analytic weight bounds and the
     match verdict matches a re-computed threshold test."""
-    from mcas_question2_etl_spark.plans.wave17 import (
+    from mcas_question2_etl_spark.plans.curation_specs import (
         _MATCH_T,
         fellegi_sunter_linkage,
     )

@@ -11,7 +11,7 @@ def test_hilbert_pruning_probe_invariants(spark):
     """Both layouts cover the same data: equal matching rows, equal
     total rows across buckets, and scanned >= matching (envelope
     pruning can only over-approximate)."""
-    from mcas_question2_etl_spark.plans.wave18 import hilbert_pruning_stats
+    from mcas_question2_etl_spark.plans.curation_specs import hilbert_pruning_stats
     from tests.conftest import SF_SMALL
 
     rows = {r.layout: r for r in hilbert_pruning_stats(spark, SF_SMALL).collect()}
@@ -28,7 +28,7 @@ def test_psi_nonnegative_and_zero_on_identical(spark):
     """PSI terms (p-q)ln(p/q) are sign-matched, so PSI >= 0 always;
     a single-source corpus is identical to the global distribution,
     so its PSI is exactly 0."""
-    from mcas_question2_etl_spark.plans.wave18 import psi_source_drift
+    from mcas_question2_etl_spark.plans.curation_specs import psi_source_drift
     from tests.conftest import SF_SMALL
 
     rows = psi_source_drift(spark, SF_SMALL).collect()
@@ -40,7 +40,7 @@ def test_psi_nonnegative_and_zero_on_identical(spark):
         [(i, "only", 100 + i * 7) for i in range(50)],
         "doc_id long, source string, n_chars long",
     )
-    import mcas_question2_etl_spark.plans.wave18 as w18
+    import mcas_question2_etl_spark.plans.curation_specs as w18
     from mcas_question2_etl_spark.catalog import load_table
 
     # route the plan over a single-source relation by monkeypatching the
@@ -74,7 +74,7 @@ def test_psi_nonnegative_and_zero_on_identical(spark):
 
 
 def test_mrl_recall_bounds(spark):
-    from mcas_question2_etl_spark.plans.wave18 import (
+    from mcas_question2_etl_spark.plans.curation_specs import (
         _MRL_K,
         _MRL_QUERIES,
         mrl_prefix_recall,

@@ -10,7 +10,7 @@ def test_chi_square_matches_hand_computation(spark):
     """chi2 equals the textbook computation done driver-side from the
     same contingency table."""
     from mcas_question2_etl_spark.catalog import load_table
-    from mcas_question2_etl_spark.plans.wave19 import chi_square_source_lang
+    from mcas_question2_etl_spark.plans.stats_specs import chi_square_source_lang
     from tests.conftest import SF_SMALL
 
     got = chi_square_source_lang(spark, SF_SMALL).first()
@@ -39,7 +39,7 @@ def test_chi_square_matches_hand_computation(spark):
 def test_top_tokens_uses_window_group_limit(spark):
     """The rnk<=3 filter must plan as WindowGroupLimit (bounded
     per-partition heap), not a full sort-then-filter."""
-    from mcas_question2_etl_spark.plans.wave19 import top_tokens_per_source
+    from mcas_question2_etl_spark.plans.stats_specs import top_tokens_per_source
     from tests.conftest import SF_SMALL
 
     df = top_tokens_per_source(spark, SF_SMALL)
@@ -61,7 +61,7 @@ def test_null_safe_join_accounts_for_every_row(spark):
     total joined rows == total left rows, and the null bucket holds
     exactly the multiples of 7."""
     from mcas_question2_etl_spark.catalog import load_table
-    from mcas_question2_etl_spark.plans.wave19 import null_safe_join_semantics
+    from mcas_question2_etl_spark.plans.stats_specs import null_safe_join_semantics
     from tests.conftest import SF_SMALL
 
     rows = {r.label: r for r in null_safe_join_semantics(spark, SF_SMALL).collect()}

@@ -37,7 +37,7 @@ def test_ndcg_hand_computed(spark):
 
 
 def test_ndcg_bounds_on_real_retrieval(spark):
-    from mcas_question2_etl_spark.plans.wave20 import _TERMS, ndcg_retrieval_eval
+    from mcas_question2_etl_spark.plans.text_analytics import _TERMS, ndcg_retrieval_eval
     from tests.conftest import SF_SMALL
 
     rows = ndcg_retrieval_eval(spark, SF_SMALL).collect()

@@ -64,7 +64,7 @@ def test_temperature_sample_monotone_in_budget(spark):
 
 def test_late_arrival_buckets_cover_all_events(spark):
     from mcas_question2_etl_spark.catalog import load_table
-    from mcas_question2_etl_spark.plans.wave21 import late_arrival_report
+    from mcas_question2_etl_spark.plans.curation_specs import late_arrival_report
     from tests.conftest import SF_SMALL
 
     rows = late_arrival_report(spark, SF_SMALL).collect()

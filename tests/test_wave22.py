@@ -59,7 +59,7 @@ def test_grouping_sets_grains_account(spark):
     """Grand-total grain equals the table count; per-flag subtotals sum
     to the grand total; grp_id distinguishes the three grains."""
     from mcas_question2_etl_spark.catalog import load_table
-    from mcas_question2_etl_spark.plans.wave22 import grouping_sets_report
+    from mcas_question2_etl_spark.plans.graph_specs import grouping_sets_report
     from tests.conftest import SF_SMALL
 
     rows = grouping_sets_report(spark, SF_SMALL).collect()

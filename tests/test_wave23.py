@@ -39,7 +39,7 @@ def test_lsh_between_agrees_with_self_join_cross_pairs(spark):
 def test_fk_orphan_report_detects_planted_orphan(spark, tmp_path):
     """Clean star schema reports zero orphans on every edge; a planted
     dangling key is counted."""
-    from mcas_question2_etl_spark.plans.wave23 import fk_orphan_report
+    from mcas_question2_etl_spark.plans.curation_specs import fk_orphan_report
     from tests.conftest import SF_SMALL
 
     rows = fk_orphan_report(spark, SF_SMALL).collect()

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 def test_shard_manifest_accounts_for_whole_corpus(spark):
     from mcas_question2_etl_spark.catalog import load_table
-    from mcas_question2_etl_spark.plans.wave25 import shard_manifest
+    from mcas_question2_etl_spark.plans.curation_specs import shard_manifest
     from tests.conftest import SF_SMALL
 
     docs = load_table(spark, SF_SMALL, "documents")
@@ -24,7 +24,7 @@ def test_shard_manifest_accounts_for_whole_corpus(spark):
 def test_shard_membership_stable_across_runs(spark):
     """Same corpus, same shard count -> identical manifests (the
     reproducible-export contract: no RNG, no partition sensitivity)."""
-    from mcas_question2_etl_spark.plans.wave25 import shard_manifest
+    from mcas_question2_etl_spark.plans.curation_specs import shard_manifest
     from tests.conftest import SF_SMALL
 
     a = sorted(map(tuple, shard_manifest(spark, SF_SMALL).collect()))
@@ -41,7 +41,7 @@ def test_lsh_quality_report_invariants(spark):
     """tp <= min(truth, candidates); ratios consistent with counts; at
     the default banding the sampled recall is high (the pytest pin of
     the recall contract the spec reports)."""
-    from mcas_question2_etl_spark.plans.wave25 import lsh_quality_report
+    from mcas_question2_etl_spark.plans.curation_specs import lsh_quality_report
     from tests.conftest import SF_SMALL
 
     r = lsh_quality_report(spark, SF_SMALL).first()

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 
 def test_epoch_permutations_differ_and_are_stable(spark):
-    from mcas_question2_etl_spark.plans.wave26 import epoch_shuffle_order
+    from mcas_question2_etl_spark.plans.curation_specs import epoch_shuffle_order
     from tests.conftest import SF_SMALL
 
     rows = {r.epoch: r for r in epoch_shuffle_order(spark, SF_SMALL).collect()}
@@ -28,7 +28,7 @@ def test_epoch_checksum_matches_driver_replay(spark):
     import hashlib
 
     from mcas_question2_etl_spark.catalog import load_table
-    from mcas_question2_etl_spark.plans.wave26 import epoch_shuffle_order
+    from mcas_question2_etl_spark.plans.curation_specs import epoch_shuffle_order
     from tests.conftest import SF_SMALL
 
     ids = [
@@ -42,7 +42,7 @@ def test_epoch_checksum_matches_driver_replay(spark):
 
 
 def test_shared_openings_symmetric_and_positive(spark):
-    from mcas_question2_etl_spark.plans.wave26 import (
+    from mcas_question2_etl_spark.plans.curation_specs import (
         cross_source_shared_openings,
     )
     from tests.conftest import SF_SMALL

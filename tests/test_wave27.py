@@ -30,7 +30,7 @@ def test_apply_cdc_tombstones_and_resurrection(spark):
 
 def test_cdc_spec_accounts_for_all_users(spark):
     from mcas_question2_etl_spark.catalog import load_table
-    from mcas_question2_etl_spark.plans.wave27 import cdc_apply_with_deletes
+    from mcas_question2_etl_spark.plans.curation_specs import cdc_apply_with_deletes
     from tests.conftest import SF_SMALL
 
     r = cdc_apply_with_deletes(spark, SF_SMALL).first()

@@ -7,7 +7,7 @@ import pytest
 
 def test_ks_matches_driver_replay(spark):
     from mcas_question2_etl_spark.catalog import load_table
-    from mcas_question2_etl_spark.plans.wave28 import ks_test_sources
+    from mcas_question2_etl_spark.plans.stats_specs import ks_test_sources
     from tests.conftest import SF_SMALL
 
     got = ks_test_sources(spark, SF_SMALL).first()

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 def test_bootstrap_median_brackets_truth(spark):
     from mcas_question2_etl_spark.catalog import load_table
-    from mcas_question2_etl_spark.plans.wave29 import (
+    from mcas_question2_etl_spark.plans.stats_specs import (
         _REPL,
         poisson_bootstrap_median_ci,
     )
@@ -30,7 +30,7 @@ def test_bootstrap_median_brackets_truth(spark):
 
 def test_containment_profile_accounts_for_sample(spark):
     from mcas_question2_etl_spark.catalog import load_table
-    from mcas_question2_etl_spark.plans.wave29 import containment_profile
+    from mcas_question2_etl_spark.plans.stats_specs import containment_profile
     from tests.conftest import SF_SMALL
 
     rows = containment_profile(spark, SF_SMALL).collect()
@@ -44,7 +44,7 @@ def test_containment_profile_accounts_for_sample(spark):
 
 
 def test_entry_exit_matrix_accounts_for_sessions(spark):
-    from mcas_question2_etl_spark.plans.wave29 import session_entry_exit_matrix
+    from mcas_question2_etl_spark.plans.stats_specs import session_entry_exit_matrix
     from mcas_question2_etl_spark.plans.extensions import sessionize_events
     from tests.conftest import SF_SMALL
 

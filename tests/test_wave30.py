@@ -8,7 +8,7 @@ import pytest
 
 def test_centroid_separation_matches_numpy(spark):
     from mcas_question2_etl_spark.catalog import load_table
-    from mcas_question2_etl_spark.plans.wave30 import label_centroid_separation
+    from mcas_question2_etl_spark.plans.curation_specs import label_centroid_separation
     from tests.conftest import SF_SMALL
 
     emb = load_table(spark, SF_SMALL, "embeddings")

@@ -7,7 +7,7 @@ import hashlib
 
 def test_audio_segments_match_python_replay(spark):
     from mcas_question2_etl_spark.catalog import load_table
-    from mcas_question2_etl_spark.plans.wave31 import (
+    from mcas_question2_etl_spark.plans.curation_specs import (
         _ENERGY_T,
         audio_active_segments,
     )

@@ -13,7 +13,7 @@ def test_mutual_info_ranks_discriminative_token(spark):
     """A token appearing in every lang-A doc and no lang-B doc has
     maximal MI; a token in every doc has MI 0. Verified on a hand
     corpus against the analytic values."""
-    from mcas_question2_etl_spark.plans import wave32
+    from mcas_question2_etl_spark.plans import text_analytics as wave32
 
     docs = spark.createDataFrame(
         [
@@ -75,7 +75,7 @@ def test_mutual_info_ranks_discriminative_token(spark):
 
 
 def test_mi_spec_output_shape(spark):
-    from mcas_question2_etl_spark.plans.wave32 import (
+    from mcas_question2_etl_spark.plans.text_analytics import (
         _MI_TOP,
         token_lang_mutual_info,
     )
@@ -89,7 +89,7 @@ def test_mi_spec_output_shape(spark):
 
 
 def test_tfidf_similarity_sane(spark):
-    from mcas_question2_etl_spark.plans.wave32 import (
+    from mcas_question2_etl_spark.plans.text_analytics import (
         _QUERY_DOC,
         _SIM_TOP,
         tfidf_doc_similarity,

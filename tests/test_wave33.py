@@ -34,7 +34,7 @@ def test_ipf_margins_converge(spark):
 
 
 def test_ipf_spec_mass_and_positivity(spark):
-    from mcas_question2_etl_spark.plans.wave33 import ipf_raking_weights
+    from mcas_question2_etl_spark.plans.stats_specs import ipf_raking_weights
     from mcas_question2_etl_spark.catalog import load_table
     from tests.conftest import SF_SMALL
 

@@ -20,7 +20,7 @@ def test_hrw_matches_python_and_is_consistent_on_growth(spark):
     """Spark assignment equals the python replay, and growing 16->17
     shards moves keys ONLY into the new shard (the consistent-hashing
     contract modulo bucketing breaks)."""
-    from mcas_question2_etl_spark.plans.wave34 import hrw_shard_expr
+    from mcas_question2_etl_spark.plans.text_analytics import hrw_shard_expr
 
     df = spark.range(500).select(F.col("id").alias("doc_id"))
     a16 = {
@@ -40,7 +40,7 @@ def test_hrw_matches_python_and_is_consistent_on_growth(spark):
 
 
 def test_emerging_terms_rise_ratio_consistent(spark):
-    from mcas_question2_etl_spark.plans.wave34 import (
+    from mcas_question2_etl_spark.plans.text_analytics import (
         _SMOOTH,
         _TOP,
         emerging_terms_report,

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 
 def test_theil_sen_matches_python_and_resists_outlier(spark):
-    from mcas_question2_etl_spark.plans.wave35 import theil_sen_daily_trend
+    from mcas_question2_etl_spark.plans.timeseries_specs import theil_sen_daily_trend
     from mcas_question2_etl_spark.catalog import load_table
     from tests.conftest import SF_SMALL
 
@@ -41,7 +41,7 @@ def test_theil_sen_matches_python_and_resists_outlier(spark):
 
 
 def test_lagged_corr_bounds_and_lag0_is_pearson(spark):
-    from mcas_question2_etl_spark.plans.wave35 import (
+    from mcas_question2_etl_spark.plans.timeseries_specs import (
         _LAGS,
         lagged_cross_correlation,
     )

@@ -18,7 +18,7 @@ def test_inplace_dedup_preserves_first_occurrence_order(spark):
 
 def test_inplace_dedup_accounting(spark):
     from mcas_question2_etl_spark.catalog import load_table
-    from mcas_question2_etl_spark.plans.wave36 import inplace_token_dedup
+    from mcas_question2_etl_spark.plans.text_analytics import inplace_token_dedup
     from tests.conftest import SF_SMALL
 
     rows = inplace_token_dedup(spark, SF_SMALL).collect()
@@ -32,7 +32,7 @@ def test_inplace_dedup_accounting(spark):
 
 
 def test_autocorrelation_bounds_and_coverage(spark):
-    from mcas_question2_etl_spark.plans.wave36 import (
+    from mcas_question2_etl_spark.plans.text_analytics import (
         _AC_LAGS,
         autocorrelation_report,
     )

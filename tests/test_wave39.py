@@ -86,7 +86,7 @@ def test_kcore_peel_path_plus_triangle(spark):
 
 
 def test_trigram_patterns_counts(spark):
-    from mcas_question2_etl_spark.plans.wave39 import event_trigram_patterns  # noqa: F401
+    from mcas_question2_etl_spark.plans.text_analytics import event_trigram_patterns  # noqa: F401
     from pyspark.sql import Window
 
     base = dt.datetime(2024, 1, 1)

@@ -70,7 +70,7 @@ def test_log2_histogram_power_of_two_edges(spark):
 
 
 def test_neardup_source_matrix_labels_pairs(spark):
-    from mcas_question2_etl_spark.plans.wave43 import neardup_source_matrix
+    from mcas_question2_etl_spark.plans.ops_bi_specs import neardup_source_matrix
 
     from tests.conftest import SF_SMALL
     out = neardup_source_matrix(spark, SF_SMALL).collect()

@@ -49,7 +49,7 @@ def test_xmr_control_chart_flags_spike(spark):
 
 
 def test_shift_share_identity(spark, tmp_path):
-    from mcas_question2_etl_spark.plans.wave48 import shift_share_events
+    from mcas_question2_etl_spark.plans.ops_bi_specs import shift_share_events
 
     base = dt.datetime(2024, 1, 1)
     rows = []
@@ -82,7 +82,7 @@ def test_shift_share_identity(spark, tmp_path):
 
 
 def test_pct_of_parent_shares(spark):
-    from mcas_question2_etl_spark.plans.wave48 import pct_of_parent_rollup
+    from mcas_question2_etl_spark.plans.ops_bi_specs import pct_of_parent_rollup
     from tests.conftest import SF_SMALL
 
     out = pct_of_parent_rollup(spark, SF_SMALL).collect()

@@ -8,7 +8,7 @@ import math
 
 
 def test_funnel_window_monotone(spark, tmp_path):
-    from mcas_question2_etl_spark.plans.wave60 import funnel_window_sensitivity
+    from mcas_question2_etl_spark.plans.ops_bi_specs import funnel_window_sensitivity
 
     base = dt.datetime(2024, 1, 1)
     rows = [
@@ -60,7 +60,7 @@ def test_gini_by_period_pins(spark):
 
 
 def test_dow_hour_heatmap_accounting(spark, tmp_path):
-    from mcas_question2_etl_spark.plans.wave60 import dow_hour_heatmap
+    from mcas_question2_etl_spark.plans.ops_bi_specs import dow_hour_heatmap
 
     base = dt.datetime(2024, 1, 1, 9)  # Monday 09:00
     rows = []
@@ -79,7 +79,7 @@ def test_dow_hour_heatmap_accounting(spark, tmp_path):
 
 
 def test_price_elasticity_recovers_negative_slope(spark, tmp_path):
-    from mcas_question2_etl_spark.plans.wave60 import price_elasticity_by_brand
+    from mcas_question2_etl_spark.plans.ops_bi_specs import price_elasticity_by_brand
 
     base = dt.datetime(2024, 1, 1)
     li_rows, part_rows = [], []

@@ -9,7 +9,7 @@ import math
 
 
 def test_range_frame_90d_inclusion(spark, tmp_path):
-    from mcas_question2_etl_spark.plans.wave61 import range_frame_rolling_spend
+    from mcas_question2_etl_spark.plans.graph_specs import range_frame_rolling_spend
 
     base = dt.datetime(2024, 1, 1)
     rows = [
@@ -78,7 +78,7 @@ def test_bollinger_breakout_planted_spike(spark):
 
 
 def test_mrr_rank_math(spark, tmp_path):
-    from mcas_question2_etl_spark.plans.wave61 import mrr_lang_retrieval
+    from mcas_question2_etl_spark.plans.graph_specs import mrr_lang_retrieval
 
     rows = [
         # ranking by n_chars desc, doc_id: 1 (en), 2 (de), 3 (en), 4 (fr)

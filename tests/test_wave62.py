@@ -59,7 +59,7 @@ def test_cdc_boundary_shift_immunity(spark):
 def test_granger_recovers_planted_plane(spark, tmp_path):
     """y_t = 2 + 3*p_{t-1} + 0.5*c_{t-1} exactly -> OLS recovers the
     coefficients with r2 = 1."""
-    from mcas_question2_etl_spark.plans.wave62 import granger_lag_regression
+    from mcas_question2_etl_spark.plans.stats_specs import granger_lag_regression
 
     base = dt.datetime(2024, 1, 1)
     rows = []
@@ -144,7 +144,7 @@ def test_rsi_limits_and_window(spark):
 def test_conformal_rank_and_coverage(spark, tmp_path):
     """Planted single-priority orders: the model mean, the order
     statistic and the coverage are all hand-computable."""
-    from mcas_question2_etl_spark.plans.wave62 import conformal_interval_coverage
+    from mcas_question2_etl_spark.plans.stats_specs import conformal_interval_coverage
     from mcas_question2_etl_spark.operators.sampling import hash_bucket
     import pyspark.sql.functions as F
 

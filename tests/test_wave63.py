@@ -35,7 +35,7 @@ def test_pq_topk_separated_clusters(spark):
 def test_sprt_crossing_math(spark, tmp_path):
     """All-purchase stream: llr grows by L1 per row and crosses A at
     the first n with n*L1 >= A."""
-    from mcas_question2_etl_spark.plans.wave63 import (
+    from mcas_question2_etl_spark.plans.timeseries_specs import (
         sprt_conversion_monitor,
         _L1,
         _A,
@@ -59,7 +59,7 @@ def test_sprt_crossing_math(spark, tmp_path):
 
 def test_rrf_fusion_agreement_wins(spark, tmp_path):
     """The doc ranked 1st by BOTH rankers gets the top RRF score."""
-    from mcas_question2_etl_spark.plans.wave63 import rrf_fusion_topk
+    from mcas_question2_etl_spark.plans.timeseries_specs import rrf_fusion_topk
 
     rows = [
         # doc 1: most chars AND most tokens
@@ -80,7 +80,7 @@ def test_rrf_fusion_agreement_wins(spark, tmp_path):
 def test_seasonal_dow_planted_cycle(spark):
     """x_d = 100 + bump on dow 0: after MA detrending, dow 0's seasonal
     is strongly positive and the other days slightly negative."""
-    from mcas_question2_etl_spark.plans.wave63 import seasonal_dow_decompose
+    from mcas_question2_etl_spark.plans.timeseries_specs import seasonal_dow_decompose
     from mcas_question2_etl_spark.catalog import TABLES  # noqa: F401
 
     # build an events parquet via a temp dir round-trip
@@ -111,7 +111,7 @@ def test_hurst_output_shape(spark, tmp_path):
     """64 days of alternating counts: all three scales emit full
     blocks, hurst is a finite number shared across rows, and the R/S
     ratios grow with block size."""
-    from mcas_question2_etl_spark.plans.wave63 import hurst_rs_daily
+    from mcas_question2_etl_spark.plans.timeseries_specs import hurst_rs_daily
 
     base = dt.datetime(2024, 1, 3)
     rows = []

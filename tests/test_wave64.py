@@ -32,7 +32,7 @@ def test_shapley_single_channel_gets_all_credit(spark, tmp_path):
         eid += 1
         rows.append((eid, base, u, "error", 1.0, "{}"))
     _write_events(spark, tmp_path, rows)
-    from mcas_question2_etl_spark.plans.wave64 import shapley_channel_attribution
+    from mcas_question2_etl_spark.plans.graph_specs import shapley_channel_attribution
 
     out = {r.channel: r.shapley
            for r in shapley_channel_attribution(spark, str(tmp_path)).collect()}
@@ -74,7 +74,7 @@ def test_shapley_efficiency_on_two_channels(spark, tmp_path):
         user(u, ["view"], conv); u += 1
     user(u, ["error"], False); u += 1  # empty cohort, rate 0
     _write_events(spark, tmp_path, rows)
-    from mcas_question2_etl_spark.plans.wave64 import shapley_channel_attribution
+    from mcas_question2_etl_spark.plans.graph_specs import shapley_channel_attribution
 
     out = {r.channel: r.shapley
            for r in shapley_channel_attribution(spark, str(tmp_path)).collect()}
@@ -94,7 +94,7 @@ def test_wilson_ci_pin(spark, tmp_path):
         rows, ["doc_id", "text", "lang", "source", "n_chars"]
     )
     df.write.mode("overwrite").parquet(str(tmp_path) + "/documents.parquet")
-    from mcas_question2_etl_spark.plans.wave64 import wilson_ci_by_source
+    from mcas_question2_etl_spark.plans.graph_specs import wilson_ci_by_source
 
     r = wilson_ci_by_source(spark, str(tmp_path)).collect()[0]
     assert r.n == 100 and r.p == 0.5
@@ -134,7 +134,7 @@ def test_stratified_ate_planted_effect(spark, tmp_path):
     for _ in range(5):
         user(10, True, 60)
     _write_events(spark, tmp_path, rows)
-    from mcas_question2_etl_spark.plans.wave64 import stratified_ate_signup
+    from mcas_question2_etl_spark.plans.graph_specs import stratified_ate_signup
 
     r = stratified_ate_signup(spark, str(tmp_path)).collect()[0]
     assert r.n_strata == 2
@@ -145,12 +145,12 @@ def test_stratified_ate_planted_effect(spark, tmp_path):
 def test_rich_club_complete_core(spark):
     """K4 core plus pendant nodes: at k=2 the club is exactly the K4
     (degree 3+pendants make core degrees > 2), phi = 1.0."""
-    from mcas_question2_etl_spark.plans.wave64 import _RICH_KS  # noqa: F401
+    from mcas_question2_etl_spark.plans.graph_specs import _RICH_KS  # noqa: F401
     from mcas_question2_etl_spark.operators.graph_metrics import (
         cooccurrence_edges,  # noqa: F401
     )
     import pyspark.sql.functions as F
-    from mcas_question2_etl_spark.plans import wave64
+    from mcas_question2_etl_spark.plans import graph_specs as wave64
 
     # build edges directly through the plan's internals: K4 on 1..4,
     # plus pendants 5..8 hanging off nodes 1..4
@@ -183,7 +183,7 @@ def test_gamma_bits_math(spark, tmp_path):
         rows, ["doc_id", "text", "lang", "source", "n_chars"]
     )
     df.write.mode("overwrite").parquet(str(tmp_path) + "/documents.parquet")
-    from mcas_question2_etl_spark.plans.wave64 import postings_gamma_bits
+    from mcas_question2_etl_spark.plans.graph_specs import postings_gamma_bits
 
     out = {r.df_bucket: r for r in
            postings_gamma_bits(spark, str(tmp_path)).collect()}

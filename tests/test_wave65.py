@@ -18,7 +18,7 @@ def test_good_turing_pins(spark, tmp_path):
         rows, ["doc_id", "text", "lang", "source", "n_chars"]
     )
     df.write.mode("overwrite").parquet(str(tmp_path) + "/documents.parquet")
-    from mcas_question2_etl_spark.plans.wave65 import good_turing_smoothing
+    from mcas_question2_etl_spark.plans.text_analytics import good_turing_smoothing
 
     out = {r.r: r for r in good_turing_smoothing(spark, str(tmp_path)).collect()}
     assert out[1].n_r == 2 and math.isclose(out[1].r_star, 1.0, abs_tol=1e-9)
@@ -46,7 +46,7 @@ def _write_events(spark, tmp_path, counts):
 def test_kendall_tau_monotone(spark, tmp_path):
     """Strictly co-monotone series -> tau_b = 1; reversing one ->
     tau_b = -1."""
-    from mcas_question2_etl_spark.plans.wave65 import kendall_tau_daily
+    from mcas_question2_etl_spark.plans.text_analytics import kendall_tau_daily
 
     _write_events(spark, tmp_path, [(1, 2), (2, 4), (3, 6), (4, 8), (5, 10)])
     r = kendall_tau_daily(spark, str(tmp_path)).collect()[0]
@@ -61,7 +61,7 @@ def test_kendall_tau_monotone(spark, tmp_path):
 def test_cochran_armitage_planted_trend(spark, tmp_path):
     """Failure rate rising monotonically with priority score gives a
     large positive z; a flat rate gives z ~ 0."""
-    from mcas_question2_etl_spark.plans.wave65 import cochran_armitage_trend
+    from mcas_question2_etl_spark.plans.text_analytics import cochran_armitage_trend
 
     base = dt.datetime(2024, 1, 1)
     rows = []
@@ -109,7 +109,7 @@ def test_simplified_silhouette_separated(spark):
 def test_lorenz_identities(spark, tmp_path):
     """Shares sum to 1, cum_share is monotone and ends at 1, and with
     equal spends every decile holds ~1/10 of the mass."""
-    from mcas_question2_etl_spark.plans.wave65 import lorenz_curve_deciles
+    from mcas_question2_etl_spark.plans.text_analytics import lorenz_curve_deciles
 
     base = dt.datetime(2024, 1, 1)
     rows = [
