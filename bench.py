@@ -456,6 +456,9 @@ HEADLINE = [
 ]
 
 
+_HYGIENE_CALLS = 0
+
+
 def _session_hygiene(spark) -> None:
     """Release cross-query JVM state so each query's timing reflects its
     own plan, not the session's history (ADVICE r3: a 343-query
@@ -464,6 +467,7 @@ def _session_hygiene(spark) -> None:
     25x vs an idle JVM)."""
     import gc
 
+    global _HYGIENE_CALLS
     spark.catalog.clearCache()
     try:
         # localCheckpoint blocks register as persistent RDDs; drop them
@@ -473,6 +477,17 @@ def _session_hygiene(spark) -> None:
     except Exception:
         pass
     gc.collect()  # release py-side DataFrame refs -> ContextCleaner
+    _HYGIENE_CALLS += 1
+    if _HYGIENE_CALLS % 10 == 0:
+        # local mode frees shuffle files and broadcast garbage only when
+        # the DRIVER JVM collects; without a periodic full GC the heap
+        # ratchets over a ~90-query chunk and late queries absorb
+        # multi-second collection pauses (r4: two graph queries timed
+        # 45 s / 14 s in-chunk vs 3.3 s / 3.5 s on an idle JVM)
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
 
 def main() -> None:

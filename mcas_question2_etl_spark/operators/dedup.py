@@ -836,14 +836,16 @@ def minhash_lsh_between(
     an oversized bucket is corpus-common-shingle noise, exactly as in
     the self-join case. Output: distinct (batch_id, corpus_id).
     """
-    cb = minhash_bands(corpus, id_col, text_col, n)
+    # spread both signature scans (round 4): local single-split inputs
+    # otherwise hash every shingle on one core
+    cb = minhash_bands(spread_small_scan(corpus, id_col), id_col, text_col, n)
     w = Window.partitionBy("band_idx", "band_key")
     cb = (
         cb.withColumn("__bn", F.count(F.lit(1)).over(w))
         .filter(F.col("__bn") <= max_bucket)
         .drop("__bn")
     )
-    bb = minhash_bands(batch, id_col, text_col, n)
+    bb = minhash_bands(spread_small_scan(batch, id_col), id_col, text_col, n)
     return (
         bb.select(F.col(id_col).alias("batch_id"), "band_idx", "band_key")
         .join(

@@ -924,19 +924,27 @@ def corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    lsh_docs = eligible.filter(F.length("text") >= 3)
+    # spread before the signature scan: AQE coalesces the gated corpus
+    # to ~1 partition, which would hash every shingle on one core; the
+    # repartition + broadcast-verify discipline matches
+    # dedup.verified_lsh_edges (round 4)
+    lsh_docs = dedup.spread_small_scan(
+        eligible.filter(F.length("text") >= 3), "doc_id"
+    )
     cands = dedup.minhash_lsh_candidates(
         lsh_docs, id_col="doc_id", text_col="text", n=3, max_bucket=100
     )
     shingled = lsh_docs.select(
         "doc_id", dedup.char_ngrams("text", 3).alias("sh")
-    ).persist()
+    )
     a = shingled.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
     b = shingled.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    par = spark.sparkContext.defaultParallelism * 2
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
     edges = (
-        cands.join(a, "a_id")
-        .join(b, "b_id")
+        cands.repartition(par, "a_id", "b_id")
+        .join(F.broadcast(a), "a_id")
+        .join(F.broadcast(b), "b_id")
         .select(
             "a_id",
             "b_id",

@@ -541,25 +541,12 @@ _NEARDUP_MATRIX_SQL = f"""
 )
 def neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
-    cands = dedup.minhash_lsh_candidates(
-        docs, id_col="doc_id", text_col="text", n=3, max_bucket=100
-    )
-    shingled = docs.select(
-        "doc_id", dedup.char_ngrams("text", 3).alias("shingles")
-    )
-    a = shingled.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"))
-    b = shingled.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"))
-    inter = F.size(F.array_intersect("a_sh", "b_sh"))
-    hits = (
-        cands.join(a, "a_id")
-        .join(b, "b_id")
-        .withColumn(
-            "jaccard",
-            inter.cast("double") / (F.size("a_sh") + F.size("b_sh") - inter),
-        )
-        .filter(F.col("jaccard") >= 0.5)
-        .select("a_id", "b_id")
-    )
+    # round 4: ride the shared optimized edge stage (spread signature
+    # scan, repartitioned candidates, broadcast verify join)
+    hits = dedup.verified_lsh_edges(
+        docs, id_col="doc_id", text_col="text", n=3, max_bucket=100,
+        min_jaccard=0.5,
+    ).select("a_id", "b_id")
     src = docs.select("doc_id", "source")
     return (
         hits.join(src.select(F.col("doc_id").alias("a_id"), F.col("source").alias("__sa")), "a_id")
