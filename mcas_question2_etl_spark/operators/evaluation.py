@@ -1774,3 +1774,277 @@ def brier_decomposition_sql(
                  {round_to}) AS uncertainty
     FROM agg
     """
+
+
+def levene_brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Brown-Forsythe variant of Levene's test: does the SPREAD (not
+    the mean — that is :func:`anova_f`) differ across k groups? The
+    statistic is the one-way ANOVA F computed on the absolute
+    deviations from each group's MEDIAN, the robust form recommended
+    over Levene's original mean-centered version for skewed data
+    (Brown & Forsythe 1974).
+
+    Determinism discipline (cross-engine exact until the final ratio):
+    medians are never float-interpolated — the DOUBLED median
+    ``med2 = x_(⌈(n+1)/2⌉) + x_(⌊(n+1)/2⌋)`` (sum of the one or two
+    middle order statistics) is an exact 2-decimal DECIMAL, so the
+    doubled deviations ``z2 = |2x - med2|`` are exact decimals too,
+    and the F statistic is scale-invariant (F(z2) = F(z)). All
+    moments accumulate as decimals; only the final SSB/SSW ratio runs
+    in double.
+
+    Scale shape: one ranked window per group to pick the two middle
+    rows (partitioned by group — parallel across groups), a broadcast
+    of the k-row median table back onto the scan, then the same
+    map-side-combined moment aggregate as :func:`anova_f`.
+
+    Output (one row): (k, n, median_min, median_max, w_stat).
+    """
+    x = F.col(value_col).cast("decimal(18,2)")
+    ranked = df.select(F.col(group_col).alias("__g"), x.alias("__x")).withColumn(
+        "__rn",
+        F.row_number().over(Window.partitionBy("__g").orderBy("__x")),
+    )
+    sizes = ranked.groupBy("__g").agg(F.max("__rn").alias("__n"))
+    med2 = (
+        ranked.join(F.broadcast(sizes), "__g")
+        .filter(
+            (F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
+            | (F.col("__rn") == F.ceil((F.col("__n") + 1) / 2))
+        )
+        .groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).alias("__mid_rows"),
+            F.sum("__x").alias("__mid_sum"),
+        )
+        .select(
+            "__g",
+            F.when(
+                F.col("__mid_rows") == 1, F.col("__mid_sum") * 2
+            )
+            .otherwise(F.col("__mid_sum"))
+            .cast("decimal(18,2)")
+            .alias("__med2"),
+        )
+    )
+    z2 = (
+        df.select(F.col(group_col).alias("__g"), x.alias("__x"))
+        .join(F.broadcast(med2), "__g")
+        .select(
+            "__g",
+            F.abs(F.col("__x") * 2 - F.col("__med2"))
+            .cast("decimal(18,2)")
+            .alias("__z2"),
+        )
+    )
+    per = z2.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__z2").alias("__s"),
+        F.sum(F.col("__z2") * F.col("__z2")).alias("__s2"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("__n").alias("n"),
+        F.sum("__s").cast("double").alias("__S"),
+        F.sum(
+            F.col("__s2").cast("double")
+            - F.col("__s").cast("double") * F.col("__s").cast("double") / F.col("__n")
+        ).alias("__ssw"),
+        F.sum(
+            F.col("__s").cast("double") * F.col("__s").cast("double") / F.col("__n")
+        ).alias("__sb_raw"),
+    )
+    meds = med2.agg(
+        (F.min("__med2") / 2).cast("double").alias("median_min"),
+        (F.max("__med2") / 2).cast("double").alias("median_max"),
+    )
+    ssb = F.col("__sb_raw") - F.col("__S") * F.col("__S") / F.col("n")
+    w_stat = (ssb / (F.col("k") - 1)) / (F.col("__ssw") / (F.col("n") - F.col("k")))
+    return agg.crossJoin(F.broadcast(meds)).select(
+        "k",
+        "n",
+        F.round("median_min", round_to).alias("median_min"),
+        F.round("median_max", round_to).alias("median_max"),
+        F.round(w_stat, round_to).alias("w_stat"),
+    )
+
+
+def levene_brown_forsythe_sql(
+    table: str, group_col: str, value_col: str, round_to: int = 6
+) -> str:
+    """DuckDB twin of :func:`levene_brown_forsythe` (same doubled-
+    median + exact-decimal-moment construction)."""
+    return f"""
+    WITH ranked AS (
+      SELECT {group_col} AS g,
+             CAST({value_col} AS DECIMAL(18,2)) AS x,
+             ROW_NUMBER() OVER (
+               PARTITION BY {group_col}
+               ORDER BY CAST({value_col} AS DECIMAL(18,2))
+             ) AS rn
+      FROM {table}
+    ),
+    sizes AS (SELECT g, MAX(rn) AS n FROM ranked GROUP BY g),
+    med2 AS (
+      SELECT r.g,
+             CAST(CASE WHEN COUNT(*) = 1 THEN SUM(r.x) * 2
+                       ELSE SUM(r.x) END AS DECIMAL(18,2)) AS med2
+      FROM ranked r JOIN sizes s ON r.g = s.g
+      WHERE r.rn = (s.n + 1) // 2 OR r.rn = (s.n + 2) // 2
+      GROUP BY r.g
+    ),
+    z AS (
+      SELECT r.g,
+             CAST(ABS(r.x * 2 - m.med2) AS DECIMAL(18,2)) AS z2
+      FROM (SELECT {group_col} AS g,
+                   CAST({value_col} AS DECIMAL(18,2)) AS x
+            FROM {table}) r
+      JOIN med2 m ON r.g = m.g
+    ),
+    per AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(z2) AS s, SUM(z2 * z2) AS s2
+      FROM z GROUP BY g
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(s) AS DOUBLE) AS S,
+             SUM(CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+               AS ssw,
+             SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS sb_raw
+      FROM per
+    ),
+    meds AS (
+      SELECT CAST(MIN(med2) / 2 AS DOUBLE) AS median_min,
+             CAST(MAX(med2) / 2 AS DOUBLE) AS median_max
+      FROM med2
+    )
+    SELECT k, n,
+           ROUND(median_min, {round_to}) AS median_min,
+           ROUND(median_max, {round_to}) AS median_max,
+           ROUND(((sb_raw - S * S / n) / (k - 1)) / (ssw / (n - k)),
+                 {round_to}) AS w_stat
+    FROM agg CROSS JOIN meds
+    """
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) two-sample test with the
+    tie-corrected normal approximation — the distribution-free
+    complement to :func:`welch_ttest` (which assumes normal-ish
+    means), and the 2-sample special case of `kruskal_wallis`.
+
+    Rank-space trick for exactness (same as `spearman_corr`): doubled
+    average ranks are INTEGERS — for a value with ``c_prev`` combined
+    observations strictly below it and ``c`` ties, the doubled rank is
+    ``2*c_prev + c + 1``. Ranks are computed on the aggregated
+    (value -> count) table, never per row, so the rank stage shuffles
+    distinct values only; the per-row scan just aggregates counts.
+    ``2*U_a = 2*R_a - n_a*(n_a+1)`` stays integer; the tie term
+    ``sum(t^3 - t)`` is an integer sum over the same value-count
+    table. Only the final z ratio runs in double.
+
+    Output (one row):
+    (n_a, n_b, u2_a BIGINT = 2*U_a, u_a DOUBLE, z DOUBLE).
+    """
+    x = F.col(value_col).cast("decimal(18,2)")
+    two = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("__g"), x.alias("__x")
+    )
+    counts = two.groupBy("__x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c"),
+        F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0))
+        .cast("bigint")
+        .alias("__ca"),
+    )
+    w = Window.orderBy("__x").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = counts.withColumn(
+        "__cprev", F.coalesce(F.sum("__c").over(w), F.lit(0))
+    ).withColumn("__dr", 2 * F.col("__cprev") + F.col("__c") + 1)
+    agg = ranked.agg(
+        F.sum("__ca").alias("n_a"),
+        F.sum(F.col("__c") - F.col("__ca")).alias("n_b"),
+        F.sum(F.col("__ca") * F.col("__dr")).alias("__r2a"),
+        F.sum(
+            F.col("__c") * F.col("__c") * F.col("__c") - F.col("__c")
+        ).alias("__ties"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    n = n_a + n_b
+    u2 = F.col("__r2a") - n_a * (n_a + 1)
+    mu2 = (n_a * n_b).cast("double")  # 2 * n_a*n_b/2
+    var = (n_a * n_b).cast("double") / 12.0 * (
+        (n + 1).cast("double")
+        - F.col("__ties").cast("double") / (n * (n - 1)).cast("double")
+    )
+    z = (u2.cast("double") - mu2) / (2.0 * F.sqrt(var))
+    return agg.select(
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
+        u2.cast("bigint").alias("u2_a"),
+        (u2.cast("double") / 2.0).alias("u_a"),
+        F.round(z, round_to).alias("z"),
+    )
+
+
+def mann_whitney_u_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`mann_whitney_u`."""
+    return f"""
+    WITH two AS (
+      SELECT {group_col} AS g, CAST({value_col} AS DECIMAL(18,2)) AS x
+      FROM {table}
+      WHERE {group_col} IN ('{group_a}', '{group_b}')
+    ),
+    counts AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN g = '{group_a}' THEN 1 ELSE 0 END) AS BIGINT)
+               AS ca
+      FROM two GROUP BY x
+    ),
+    ranked AS (
+      SELECT c, ca,
+             COALESCE(SUM(c) OVER (
+               ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cprev
+      FROM counts
+    ),
+    agg AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(c - ca) AS BIGINT) AS n_b,
+             CAST(SUM(ca * (2 * cprev + c + 1)) AS BIGINT) AS r2a,
+             CAST(SUM(c * c * c - c) AS BIGINT) AS ties
+      FROM ranked
+    )
+    SELECT n_a, n_b,
+           CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+           CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+           ROUND(
+             (CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
+              - CAST(n_a * n_b AS DOUBLE))
+             / (2.0 * SQRT(CAST(n_a * n_b AS DOUBLE) / 12.0
+                 * (CAST(n_a + n_b + 1 AS DOUBLE)
+                    - CAST(ties AS DOUBLE)
+                      / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)))),
+             {round_to}) AS z
+    FROM agg
+    """

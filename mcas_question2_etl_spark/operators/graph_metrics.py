@@ -520,3 +520,94 @@ def clustering_coefficient_sql(edges_cte: str) -> str:
            CAST(SUM(tri) / 3 AS BIGINT) AS n_triangles
     FROM per_node
     """
+
+
+def bfs_layers(
+    edges: DataFrame, seed_mod: int = 50, depth: int = 3
+) -> DataFrame:
+    """Multi-source breadth-first search: exact minimum hop distance
+    from a deterministic seed set (nodes whose id is divisible by
+    ``seed_mod``) out to ``depth`` hops, reported as one row per layer
+    with a node-id checksum so the oracle verifies WHICH nodes landed
+    in each layer, not just how many.
+
+    ``edges`` is the undirected (a, b) pair list (a < b). Each of the
+    ``depth`` rounds is one equi-join frontier-expansion plus a
+    left-anti dedup against the visited set — the textbook scale-out
+    BFS (Pregel's per-superstep shape): work per round is
+    O(edges touching the frontier), never all-pairs, and the visited
+    set only grows by the new layer. Depth is a small constant, so
+    lineage stays shallow and no checkpointing is needed.
+
+    Output: (dist, n_nodes, node_checksum) for dist in 0..depth,
+    layers that exist.
+    """
+    und = edges.select(
+        F.col("a").alias("s"), F.col("b").alias("d")
+    ).unionAll(edges.select(F.col("b").alias("s"), F.col("a").alias("d")))
+    nodes = und.select(F.col("s").alias("node")).distinct()
+    layer = nodes.filter((F.col("node") % seed_mod) == 0)
+    visited = layer.withColumn("dist", F.lit(0))
+    frontier = layer
+    for d in range(1, depth + 1):
+        nxt = (
+            und.join(
+                frontier.select(F.col("node").alias("s")), "s"
+            )
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "leftanti")
+        )
+        visited = visited.unionAll(nxt.withColumn("dist", F.lit(d)))
+        frontier = nxt
+    return (
+        visited.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("node").cast("bigint").alias("node_checksum"),
+        )
+        .orderBy("dist")
+    )
+
+
+def bfs_layers_sql(
+    edges_cte: str, seed_mod: int = 50, depth: int = 3
+) -> str:
+    """DuckDB twin of :func:`bfs_layers` — the frontier rounds are
+    unrolled as chained CTEs (``depth`` is a literal constant), with
+    the edge list supplied as a CTE fragment ending in ``e0(a, b)``."""
+    assert depth == 3, "SQL twin is unrolled for depth=3"
+    return f"""
+    WITH {edges_cte},
+    und AS (
+      SELECT a AS s, b AS d FROM e0
+      UNION ALL SELECT b, a FROM e0
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM und),
+    l0 AS (SELECT node FROM nodes WHERE node % {seed_mod} = 0),
+    l1 AS (
+      SELECT DISTINCT u.d AS node FROM und u JOIN l0 ON u.s = l0.node
+      WHERE u.d NOT IN (SELECT node FROM l0)
+    ),
+    l2 AS (
+      SELECT DISTINCT u.d AS node FROM und u JOIN l1 ON u.s = l1.node
+      WHERE u.d NOT IN (SELECT node FROM l0)
+        AND u.d NOT IN (SELECT node FROM l1)
+    ),
+    l3 AS (
+      SELECT DISTINCT u.d AS node FROM und u JOIN l2 ON u.s = l2.node
+      WHERE u.d NOT IN (SELECT node FROM l0)
+        AND u.d NOT IN (SELECT node FROM l1)
+        AND u.d NOT IN (SELECT node FROM l2)
+    ),
+    layers AS (
+      SELECT 0 AS dist, node FROM l0
+      UNION ALL SELECT 1, node FROM l1
+      UNION ALL SELECT 2, node FROM l2
+      UNION ALL SELECT 3, node FROM l3
+    )
+    SELECT dist,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(node) AS BIGINT) AS node_checksum
+    FROM layers GROUP BY dist ORDER BY dist
+    """

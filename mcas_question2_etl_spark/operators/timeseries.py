@@ -2450,3 +2450,251 @@ def rsi_cutler_sql(
     FROM banded
     WHERE nw = {window_days}
     """
+
+
+def page_hinkley(
+    daily: DataFrame,
+    series_col: str = "event_type",
+    date_col: str = "day",
+    value_col: str = "c",
+    delta: float = 2.0,
+    lam: float = 50.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Page-Hinkley drift detector per series (Page 1954; the
+    sequential mean-shift test ADWIN-style stream monitors descend
+    from): for each step t over the daily series,
+
+      ``m_t = sum_{s<=t} (x_s - xbar_s - delta)``  (xbar_s = running
+      mean through s), ``PH_t = m_t - min_{s<=t} m_s``, alarm when
+      ``PH_t > lambda``.
+
+    A positive drift in the level makes the increments systematically
+    exceed the running mean by more than ``delta``, so PH ratchets up;
+    ``lambda`` trades detection delay for false alarms. Everything is
+    windowed prefix arithmetic over the DAILY aggregate (one row per
+    (series, day)), partitioned by series — the raw-event scan reduces
+    upstream, so the sequential statistic costs O(days) per series,
+    parallel across series, same scale shape as `cusum_changepoint`.
+
+    Output per (series, day): (series, day, x, ph, alarm).
+    """
+    w_ord = (
+        Window.partitionBy(series_col)
+        .orderBy(date_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    x = F.col(value_col).cast("double")
+    staged = daily.withColumn(
+        "__term", x - F.avg(x).over(w_ord) - F.lit(float(delta))
+    )
+    cum = staged.withColumn("__m", F.sum("__term").over(w_ord))
+    ph = cum.withColumn("__ph", F.col("__m") - F.min("__m").over(w_ord))
+    return ph.select(
+        F.col(series_col),
+        F.col(date_col),
+        F.col(value_col).cast("bigint").alias("x"),
+        F.round("__ph", round_to).alias("ph"),
+        (F.col("__ph") > F.lit(float(lam))).alias("alarm"),
+    ).orderBy(series_col, date_col)
+
+
+def page_hinkley_sql(
+    daily_sql: str,
+    series_col: str = "event_type",
+    date_col: str = "day",
+    value_col: str = "c",
+    delta: float = 2.0,
+    lam: float = 50.0,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`page_hinkley`; ``daily_sql`` yields the
+    (series, day, value) table."""
+    return f"""
+    WITH d AS ({daily_sql}),
+    staged AS (
+      SELECT {series_col}, {date_col}, {value_col},
+             CAST({value_col} AS DOUBLE)
+             - AVG(CAST({value_col} AS DOUBLE)) OVER (
+                 PARTITION BY {series_col} ORDER BY {date_col}
+                 ROWS UNBOUNDED PRECEDING)
+             - {delta!r} AS term
+      FROM d
+    ),
+    cum AS (
+      SELECT *, SUM(term) OVER (
+               PARTITION BY {series_col} ORDER BY {date_col}
+               ROWS UNBOUNDED PRECEDING) AS m
+      FROM staged
+    ),
+    ph AS (
+      SELECT *, m - MIN(m) OVER (
+               PARTITION BY {series_col} ORDER BY {date_col}
+               ROWS UNBOUNDED PRECEDING) AS ph
+      FROM cum
+    )
+    SELECT {series_col}, {date_col},
+           CAST({value_col} AS BIGINT) AS x,
+           ROUND(ph, {round_to}) AS ph,
+           ph > {lam!r} AS alarm
+    FROM ph
+    ORDER BY {series_col}, {date_col}
+    """
+
+
+def segmented_regression(
+    daily: DataFrame,
+    date_col: str = "day",
+    value_col: str = "y",
+    min_seg: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Single-breakpoint segmented (piecewise-linear) regression over
+    a daily series: fit separate OLS lines left and right of every
+    candidate break k and report the k minimizing total SSE — the
+    structural-break fit behind "did the trend change, and when".
+
+    One-pass trick: every candidate split is scored from PREFIX SUMS
+    of the six sufficient statistics (n, Σt, Σt², Σy, Σty, Σy²) — the
+    right-segment stats are total-minus-prefix, so all n-2*min_seg
+    candidate fits come from ONE ordered window pass over the daily
+    aggregate plus a broadcast of the 1-row totals; no per-candidate
+    rescan, no O(n²) anywhere. Time is the 1..n day INDEX (row
+    number), so Σt/Σt² accumulate as exact integers; y moments run in
+    double with a fixed summation order (the window order), identical
+    in both engines.
+
+    SSE of an OLS segment from centered moments:
+      ``Stt = Σt² - (Σt)²/n``, ``Sty = Σty - ΣtΣy/n``,
+      ``Syy = Σy² - (Σy)²/n``, ``SSE = Syy - Sty²/Stt``,
+      ``slope = Sty/Stt``.
+
+    Output (one row): (n_days, break_index, break_day, slope_left,
+    slope_right, sse_best). Ties break to the earliest k.
+    """
+    w_ord = Window.orderBy(date_col).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    y = F.col(value_col).cast("double")
+    idx = daily.select(
+        F.col(date_col),
+        y.alias("__y"),
+        F.row_number().over(Window.orderBy(date_col)).alias("__t"),
+    )
+    t = F.col("__t").cast("double")
+    pre = (
+        idx.withColumn("__pn", F.col("__t"))
+        .withColumn("__pt", F.sum("__t").over(w_ord))
+        .withColumn("__pt2", F.sum(F.col("__t") * F.col("__t")).over(w_ord))
+        .withColumn("__py", F.sum("__y").over(w_ord))
+        .withColumn("__pty", F.sum(t * F.col("__y")).over(w_ord))
+        .withColumn("__py2", F.sum(F.col("__y") * F.col("__y")).over(w_ord))
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+        .withColumn("__tt", F.sum("__t").over(w_all))
+        .withColumn("__tt2", F.sum(F.col("__t") * F.col("__t")).over(w_all))
+        .withColumn("__ty", F.sum("__y").over(w_all))
+        .withColumn("__tty", F.sum(t * F.col("__y")).over(w_all))
+        .withColumn("__ty2", F.sum(F.col("__y") * F.col("__y")).over(w_all))
+    )
+
+    def _sse(n, st, st2, sy, sty, sy2):
+        nn = n.cast("double")
+        stt = st2.cast("double") - st.cast("double") * st.cast("double") / nn
+        sty_c = sty - st.cast("double") * sy / nn
+        syy = sy2 - sy * sy / nn
+        return syy - sty_c * sty_c / stt, sty_c / stt
+
+    sse_l, slope_l = _sse(
+        F.col("__pn"), F.col("__pt"), F.col("__pt2"),
+        F.col("__py"), F.col("__pty"), F.col("__py2"),
+    )
+    sse_r, slope_r = _sse(
+        F.col("__n") - F.col("__pn"),
+        F.col("__tt") - F.col("__pt"),
+        F.col("__tt2") - F.col("__pt2"),
+        F.col("__ty") - F.col("__py"),
+        F.col("__tty") - F.col("__pty"),
+        F.col("__ty2") - F.col("__py2"),
+    )
+    cands = (
+        pre.filter(
+            (F.col("__pn") >= min_seg)
+            & (F.col("__pn") <= F.col("__n") - min_seg)
+        )
+        .withColumn("__sse", sse_l + sse_r)
+        .withColumn("__sl", slope_l)
+        .withColumn("__sr", slope_r)
+    )
+    best = cands.orderBy(F.col("__sse").asc(), F.col("__t").asc()).limit(1)
+    return best.select(
+        F.col("__n").cast("bigint").alias("n_days"),
+        F.col("__t").cast("bigint").alias("break_index"),
+        F.col(date_col).alias("break_day"),
+        F.round("__sl", round_to).alias("slope_left"),
+        F.round("__sr", round_to).alias("slope_right"),
+        F.round("__sse", round_to).alias("sse_best"),
+    )
+
+
+def segmented_regression_sql(
+    daily_sql: str,
+    date_col: str = "day",
+    value_col: str = "y",
+    min_seg: int = 5,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`segmented_regression`."""
+    return f"""
+    WITH d AS ({daily_sql}),
+    idx AS (
+      SELECT {date_col},
+             CAST({value_col} AS DOUBLE) AS y,
+             CAST(ROW_NUMBER() OVER (ORDER BY {date_col}) AS BIGINT) AS t
+      FROM d
+    ),
+    pre AS (
+      SELECT {date_col}, t,
+             t AS pn,
+             SUM(t) OVER w AS pt,
+             SUM(t * t) OVER w AS pt2,
+             SUM(y) OVER w AS py,
+             SUM(t * y) OVER w AS pty,
+             SUM(y * y) OVER w AS py2,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             SUM(t) OVER () AS tt,
+             SUM(t * t) OVER () AS tt2,
+             SUM(y) OVER () AS ty,
+             SUM(t * y) OVER () AS tty,
+             SUM(y * y) OVER () AS ty2
+      FROM idx
+      WINDOW w AS (ORDER BY {date_col} ROWS UNBOUNDED PRECEDING)
+    ),
+    cands AS (
+      SELECT *,
+        (py2 - py * py / CAST(pn AS DOUBLE))
+          - (pty - CAST(pt AS DOUBLE) * py / pn)
+            * (pty - CAST(pt AS DOUBLE) * py / pn)
+            / (CAST(pt2 AS DOUBLE) - CAST(pt AS DOUBLE) * pt / pn)
+        + ((ty2 - py2) - (ty - py) * (ty - py) / CAST(n - pn AS DOUBLE))
+          - ((tty - pty) - CAST(tt - pt AS DOUBLE) * (ty - py) / (n - pn))
+            * ((tty - pty) - CAST(tt - pt AS DOUBLE) * (ty - py) / (n - pn))
+            / (CAST(tt2 - pt2 AS DOUBLE)
+               - CAST(tt - pt AS DOUBLE) * (tt - pt) / (n - pn))
+        AS sse,
+        (pty - CAST(pt AS DOUBLE) * py / pn)
+          / (CAST(pt2 AS DOUBLE) - CAST(pt AS DOUBLE) * pt / pn) AS sl,
+        ((tty - pty) - CAST(tt - pt AS DOUBLE) * (ty - py) / (n - pn))
+          / (CAST(tt2 - pt2 AS DOUBLE)
+             - CAST(tt - pt AS DOUBLE) * (tt - pt) / (n - pn)) AS sr
+      FROM pre
+      WHERE pn >= {min_seg} AND pn <= n - {min_seg}
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(t AS BIGINT) AS break_index,
+           {date_col} AS break_day,
+           ROUND(sl, {round_to}) AS slope_left,
+           ROUND(sr, {round_to}) AS slope_right,
+           ROUND(sse, {round_to}) AS sse_best
+    FROM cands
+    ORDER BY sse ASC, t ASC
+    LIMIT 1
+    """

@@ -1032,3 +1032,23 @@ def postings_gamma_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("gamma_bits").cast("double") / F.sum("df"), 4
         ).alias("bits_per_posting"),
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave66
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "bfs_layers_copurchase",
+    graph_metrics.bfs_layers_sql(_EDGES_CTE, seed_mod=50, depth=3),
+    "graph op — multi-source BFS on the co-purchase graph: exact "
+    "minimum hop distance from the deterministic seed set (part ids "
+    "divisible by 50) out to 3 hops, one row per layer with a "
+    "node-id checksum. Each round is one frontier equi-join plus a "
+    "left-anti dedup (Pregel superstep shape, O(frontier edges) per "
+    "round, never all-pairs); rides the shared copurchase_edges "
+    "parquet. Oracle unrolls the rounds as chained CTEs.",
+)
+def bfs_layers_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph_metrics.bfs_layers(
+        copurchase_edges(spark, sf_dir), seed_mod=50, depth=3
+    )

@@ -1913,3 +1913,122 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave66
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators import causal
+
+
+@_spec(
+    "levene_priority_price_spread",
+    evaluation.levene_brown_forsythe_sql(
+        "orders", "o_orderpriority", "o_totalprice"
+    ),
+    "stats op — Brown-Forsythe Levene test: does order-price SPREAD "
+    "differ across the 5 priorities? (anova_f_priority_price asks the "
+    "same of the MEAN.) Medians are never float-interpolated — the "
+    "doubled-median order statistics keep every deviation an exact "
+    "2-decimal DECIMAL, and the scale-invariant F(2z)=F(z) identity "
+    "makes the cross-engine contract exact until the final ratio. "
+    "One ranked window per group + broadcast median join + the "
+    "map-side-combined moment aggregate.",
+)
+def levene_priority_price_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return evaluation.levene_brown_forsythe(
+        orders, "o_orderpriority", "o_totalprice"
+    )
+
+
+@_spec(
+    "mann_whitney_click_purchase",
+    evaluation.mann_whitney_u_sql(
+        "events", "event_type", "value", "click", "purchase"
+    ),
+    "stats op — Mann-Whitney U (Wilcoxon rank-sum) on click vs "
+    "purchase event values, tie-corrected normal z: the "
+    "distribution-free complement to welch_ttest_click_purchase. "
+    "Doubled average ranks are exact INTEGERS computed on the "
+    "aggregated value->count table (distinct 2-decimal values, never "
+    "per-row), so the rank shuffle is bounded by value cardinality; "
+    "2*U_a and the tie term stay integer to the final z ratio.",
+)
+def mann_whitney_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return evaluation.mann_whitney_u(
+        events, "event_type", "value", "click", "purchase"
+    )
+
+
+_CEM_UNITS_SQL = """
+      SELECT c.c_custkey,
+             c.c_mktsegment = 'BUILDING' AS treated,
+             r.r_name AS region,
+             n.n_name AS nation,
+             CAST(LEAST(GREATEST(FLOOR((c.c_acctbal + 1000.0) / 2200.0),
+                                 0), 4) AS INTEGER) AS bal_bin,
+             COALESCE(o.spend, CAST(0 AS DECIMAL(18,2))) AS spend
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      LEFT JOIN (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        FROM orders GROUP BY o_custkey
+      ) o ON o.o_custkey = c.c_custkey
+"""
+
+
+@_spec(
+    "cem_att_building_segment",
+    causal.cem_att_sql(
+        _CEM_UNITS_SQL,
+        "treated",
+        "spend",
+        ["region", "nation", "bal_bin"],
+        ["region"],
+    ),
+    "causal op — Coarsened Exact Matching ATT of the BUILDING market "
+    "segment on customer lifetime spend, matched within (nation x "
+    "acctbal-quintile-bin) strata and reported per region: the "
+    "design-based complement to the reference's weighted GLM "
+    "(run_analysis.Rmd:80-99). No pairwise matching anywhere — CEM's "
+    "strata turn 1:NN matching into two hash aggregates (O(strata) "
+    "shuffle rows, outcome sums exact DECIMAL), which is why this is "
+    "the matching estimator that survives 100 TB. Dimension joins "
+    "broadcast; the orders rollup is the only corpus-sized shuffle.",
+)
+def cem_att_building_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    units = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .join(spend, cust.c_custkey == spend.o_custkey, "left")
+        .select(
+            (F.col("c_mktsegment") == "BUILDING").alias("treated"),
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.least(
+                F.greatest(
+                    F.floor((F.col("c_acctbal") + 1000.0) / 2200.0), F.lit(0)
+                ),
+                F.lit(4),
+            )
+            .cast("int")
+            .alias("bal_bin"),
+            F.coalesce(
+                F.col("spend"), F.lit(0).cast("decimal(18,2)")
+            ).alias("spend"),
+        )
+    )
+    return causal.cem_att(
+        units, "treated", "spend", ["region", "nation", "bal_bin"], ["region"]
+    )

@@ -1404,3 +1404,63 @@ def hurst_rs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_rs", 4).alias("mean_rs"),
         F.round("h", 4).alias("hurst"),
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave66
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "page_hinkley_drift",
+    timeseries.page_hinkley_sql(_DAILY_SQL.strip()),
+    "timeseries op — Page-Hinkley sequential drift detector per event "
+    "type over the daily count series (the mean-shift monitor "
+    "streaming pipelines run on ingest volumes): running-mean "
+    "deviations accumulate into m_t, PH_t = m_t - min m_s, alarm "
+    "when PH crosses lambda. Pure windowed prefix arithmetic over "
+    "the daily AGGREGATE, partitioned by series — O(days) per "
+    "series after the one corpus-sized groupBy, same scale shape as "
+    "cusum_changepoint.",
+)
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return timeseries.page_hinkley(daily)
+
+
+_ORDERS_DAILY_SQL = """
+      SELECT CAST(date_diff('day', DATE '1990-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+      FROM orders GROUP BY 1
+"""
+
+
+@_spec(
+    "segmented_regression_daily",
+    timeseries.segmented_regression_sql(_ORDERS_DAILY_SQL.strip()),
+    "timeseries op — single-breakpoint segmented regression over "
+    "daily order revenue: separate OLS lines left/right of every "
+    "candidate break, best split by total SSE. All n-2*min_seg "
+    "candidate fits come from ONE ordered prefix-sum pass over the "
+    "daily aggregate (six sufficient statistics; right segment = "
+    "total minus prefix) — no per-candidate rescan, no O(n^2). Day "
+    "index and its moments are exact integers; daily revenue enters "
+    "as an exact DECIMAL sum cast to double once.",
+)
+def segmented_regression_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    return timeseries.segmented_regression(daily)
