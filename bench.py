@@ -453,6 +453,21 @@ HEADLINE = [
     "glm_tidy_coefficients_wide",
     # round 4: grid-bucketed haversine NN scale path (VERDICT r3 #6)
     "haversine_nn_bucketed",
+    # wave 66: BFS layers, CEM ATT, Levene/BF, Mann-Whitney U,
+    # Page-Hinkley, segmented regression
+    "bfs_layers_copurchase",
+    "cem_att_building_segment",
+    "levene_priority_price_spread",
+    "mann_whitney_click_purchase",
+    "page_hinkley_drift",
+    "segmented_regression_daily",
+    # wave 67: Kneser-Ney LM, DoReMi mixing, paired/blocked rank tests,
+    # Adamic-Adar link prediction
+    "kneser_ney_doc_scores",
+    "doremi_domain_weights",
+    "wilcoxon_signed_rank_daily",
+    "friedman_event_type_ranks",
+    "adamic_adar_links",
 ]
 
 

@@ -2048,3 +2048,213 @@ def mann_whitney_u_sql(
              {round_to}) AS z
     FROM agg
     """
+
+
+def wilcoxon_signed_rank(
+    paired: DataFrame,
+    diff_col: str = "d",
+    round_to: int = 6,
+) -> DataFrame:
+    """Wilcoxon signed-rank test over a paired-difference column (the
+    paired complement to :func:`mann_whitney_u`'s independent-samples
+    rank-sum): drop zero differences, rank |d| with average ranks,
+    and compare W+ (rank sum of positive differences) against its
+    null mean with the tie-corrected normal approximation
+
+      ``z = (W+ - n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 - sum(t^3-t)/48)``.
+
+    ``diff_col`` must be integer-valued (e.g. a difference of counts)
+    so |d| ranks aggregate exactly. Doubled average ranks are INTEGERS
+    computed on the |d| -> count table (same trick as
+    `mann_whitney_u`), so 2*W+ and the tie term stay integer all the
+    way to the final z ratio.
+
+    Output (one row): (n_nonzero, w2_plus BIGINT = 2*W+, w_plus,
+    z).
+    """
+    nz = paired.filter(F.col(diff_col) != 0).select(
+        F.abs(F.col(diff_col)).cast("bigint").alias("__ad"),
+        (F.col(diff_col) > 0).alias("__pos"),
+    )
+    counts = nz.groupBy("__ad").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c"),
+        F.sum(F.when(F.col("__pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("__cp"),
+    )
+    w = Window.orderBy("__ad").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = counts.withColumn(
+        "__cprev", F.coalesce(F.sum("__c").over(w), F.lit(0))
+    ).withColumn("__dr", 2 * F.col("__cprev") + F.col("__c") + 1)
+    agg = ranked.agg(
+        F.sum("__c").alias("n"),
+        F.sum(F.col("__cp") * F.col("__dr")).alias("__w2p"),
+        F.sum(
+            F.col("__c") * F.col("__c") * F.col("__c") - F.col("__c")
+        ).alias("__ties"),
+    )
+    n = F.col("n")
+    mu2 = (n * (n + 1)).cast("double") / 2.0  # 2 * n(n+1)/4
+    var = (n * (n + 1) * (2 * n + 1)).cast("double") / 24.0 - F.col(
+        "__ties"
+    ).cast("double") / 48.0
+    z = (F.col("__w2p").cast("double") - mu2) / (2.0 * F.sqrt(var))
+    return agg.select(
+        n.cast("bigint").alias("n_nonzero"),
+        F.col("__w2p").cast("bigint").alias("w2_plus"),
+        (F.col("__w2p").cast("double") / 2.0).alias("w_plus"),
+        F.round(z, round_to).alias("z"),
+    )
+
+
+def wilcoxon_signed_rank_sql(
+    paired_sql: str, diff_col: str = "d", round_to: int = 6
+) -> str:
+    """DuckDB twin of :func:`wilcoxon_signed_rank`; ``paired_sql``
+    yields the paired-difference table."""
+    return f"""
+    WITH paired AS ({paired_sql}),
+    nz AS (
+      SELECT CAST(ABS({diff_col}) AS BIGINT) AS ad,
+             {diff_col} > 0 AS pos
+      FROM paired WHERE {diff_col} <> 0
+    ),
+    counts AS (
+      SELECT ad, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp
+      FROM nz GROUP BY ad
+    ),
+    ranked AS (
+      SELECT c, cp,
+             COALESCE(SUM(c) OVER (
+               ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cprev
+      FROM counts
+    ),
+    agg AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(cp * (2 * cprev + c + 1)) AS BIGINT) AS w2p,
+             CAST(SUM(c * c * c - c) AS BIGINT) AS ties
+      FROM ranked
+    )
+    SELECT n AS n_nonzero,
+           w2p AS w2_plus,
+           CAST(w2p AS DOUBLE) / 2.0 AS w_plus,
+           ROUND(
+             (CAST(w2p AS DOUBLE) - CAST(n * (n + 1) AS DOUBLE) / 2.0)
+             / (2.0 * SQRT(CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 24.0
+                           - CAST(ties AS DOUBLE) / 48.0)),
+             {round_to}) AS z
+    FROM agg
+    """
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Friedman rank test for k treatments over n blocks (the
+    nonparametric repeated-measures ANOVA; Friedman 1937): rank the k
+    treatment values WITHIN each block (average ranks on ties), sum
+    ranks per treatment, and
+
+      ``Q = 12/(n k (k+1)) * sum_j R_j^2 - 3 n (k+1)``.
+
+    Only COMPLETE blocks (all k treatments present) enter, filtered
+    identically in both engines. Doubled within-block average ranks
+    are exact integers: ``dr = 2*rank_min + (ties - 1)`` from the
+    block-partitioned RANK() window plus the per-(block, value) tie
+    count — so rank sums accumulate exactly and only the final Q
+    arithmetic runs in double (sum R_j^2 is exact at .25 grain).
+
+    Scale shape: blocks are the window partition key — thousands of
+    small windows, fully parallel; rank sums shuffle k rows.
+
+    Output (one row): (n_blocks, k, q_stat).
+    """
+    k_total = df.select(treatment_col).distinct().count()
+    complete = (
+        df.groupBy(block_col)
+        .agg(F.count(F.lit(1)).alias("__nb"))
+        .filter(F.col("__nb") == k_total)
+        .select(block_col)
+    )
+    rows = df.join(complete, block_col)
+    w_rank = Window.partitionBy(block_col).orderBy(value_col)
+    w_tie = Window.partitionBy(block_col, value_col)
+    ranked = rows.select(
+        F.col(treatment_col).alias("__tr"),
+        (
+            2 * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_tie)
+            - 1
+        ).alias("__dr"),
+    )
+    per_tr = ranked.groupBy("__tr").agg(
+        F.sum("__dr").cast("bigint").alias("__r2")
+    )
+    agg = per_tr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(
+            F.col("__r2").cast("double") * F.col("__r2") / 4.0
+        ).alias("__sumr2"),
+    )
+    n_blocks = complete.count()
+    n, k = F.lit(n_blocks).cast("bigint"), F.col("k")
+    q = (
+        12.0 / (n * k * (k + 1)).cast("double") * F.col("__sumr2")
+        - 3.0 * (n * (k + 1)).cast("double")
+    )
+    return agg.select(
+        n.alias("n_blocks"),
+        k.alias("k"),
+        F.round(q, round_to).alias("q_stat"),
+    )
+
+
+def friedman_test_sql(
+    table_sql: str,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`friedman_test`; ``table_sql`` yields the
+    (block, treatment, value) table."""
+    return f"""
+    WITH t AS ({table_sql}),
+    kt AS (SELECT CAST(COUNT(DISTINCT {treatment_col}) AS BIGINT) AS k
+           FROM t),
+    complete AS (
+      SELECT {block_col} FROM t CROSS JOIN kt
+      GROUP BY {block_col}, kt.k HAVING COUNT(*) = kt.k
+    ),
+    rows_c AS (SELECT t.* FROM t JOIN complete USING ({block_col})),
+    ranked AS (
+      SELECT {treatment_col} AS tr,
+             2 * RANK() OVER (
+               PARTITION BY {block_col} ORDER BY {value_col})
+             + COUNT(*) OVER (
+               PARTITION BY {block_col}, {value_col})
+             - 1 AS dr
+      FROM rows_c
+    ),
+    per_tr AS (
+      SELECT tr, CAST(SUM(dr) AS BIGINT) AS r2 FROM ranked GROUP BY tr
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(CAST(r2 AS DOUBLE) * r2 / 4.0) AS sumr2
+      FROM per_tr
+    ),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM complete)
+    SELECT nb.n AS n_blocks, agg.k,
+           ROUND(12.0 / CAST(nb.n * agg.k * (agg.k + 1) AS DOUBLE)
+                   * agg.sumr2
+                 - 3.0 * CAST(nb.n * (agg.k + 1) AS DOUBLE),
+                 {round_to}) AS q_stat
+    FROM agg CROSS JOIN nb
+    """

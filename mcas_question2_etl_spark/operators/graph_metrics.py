@@ -611,3 +611,88 @@ def bfs_layers_sql(
            CAST(SUM(node) AS BIGINT) AS node_checksum
     FROM layers GROUP BY dist ORDER BY dist
     """
+
+
+def adamic_adar_links(edges: DataFrame, top_n: int = 20) -> DataFrame:
+    """Adamic-Adar link prediction: for every NON-adjacent node pair
+    (u, v) with at least one common neighbor, score
+    ``AA(u,v) = sum over common neighbors w of 1/ln(deg(w))`` —
+    common neighbors discounted by how promiscuous they are (a shared
+    hub says little; a shared degree-2 node says a lot). Report the
+    ``top_n`` highest-scoring candidate edges.
+
+    Scale shape: same fan-out budget as `triangle_count` — candidate
+    pairs materialize through the middle node (sum over w of
+    deg(w)^2 wedge rows, bounded by the clique-capped edge build),
+    aggregate to (u, v) with map-side combine, then one left-anti
+    against the existing edge list and a top-n. Degrees come from the
+    aggregated edge list, broadcast into the wedge join; no per-row
+    Python, no cartesian stage. Tie-break: (rounded score desc, u, v)
+    so the cut is deterministic in both engines.
+
+    Output: (u, v, common_neighbors, aa_score) — ``top_n`` rows.
+    """
+    und = edges.select(
+        F.col("a").alias("s"), F.col("b").alias("d")
+    ).unionAll(edges.select(F.col("b").alias("s"), F.col("a").alias("d")))
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    # wedges u - w - v (u < v): join the two halves of each wedge on
+    # the middle node, weight by 1/ln(deg(w))
+    left = und.select(F.col("d").alias("w"), F.col("s").alias("u"))
+    right = und.select(F.col("d").alias("w"), F.col("s").alias("v"))
+    wedges = (
+        left.join(right, "w")
+        .filter(F.col("u") < F.col("v"))
+        .join(F.broadcast(deg.withColumnRenamed("s", "w")), "w")
+    )
+    scored = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+        F.sum(1.0 / F.log(F.col("deg"))).alias("__aa"),
+    )
+    cand = scored.join(
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "leftanti",
+    ).withColumn("aa_score", F.round("__aa", 6))
+    return (
+        cand.orderBy(
+            F.col("aa_score").desc(), F.col("u").asc(), F.col("v").asc()
+        )
+        .limit(top_n)
+        .select("u", "v", "common_neighbors", "aa_score")
+    )
+
+
+def adamic_adar_links_sql(edges_cte: str, top_n: int = 20) -> str:
+    """DuckDB twin of :func:`adamic_adar_links`; ``edges_cte`` ends in
+    ``e0(a, b)``."""
+    return f"""
+    WITH {edges_cte},
+    und AS (
+      SELECT a AS s, b AS d FROM e0
+      UNION ALL SELECT b, a FROM e0
+    ),
+    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY s),
+    wedges AS (
+      SELECT l.s AS u, r.s AS v, l.d AS w
+      FROM und l JOIN und r ON l.d = r.d AND l.s < r.s
+    ),
+    scored AS (
+      SELECT u, v,
+             CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+             SUM(1.0 / ln(deg.deg)) AS aa
+      FROM wedges JOIN deg ON wedges.w = deg.s
+      GROUP BY u, v
+    ),
+    cand AS (
+      SELECT u, v, common_neighbors, ROUND(aa, 6) AS aa_score
+      FROM scored
+      WHERE NOT EXISTS (
+        SELECT 1 FROM e0 WHERE e0.a = scored.u AND e0.b = scored.v
+      )
+    )
+    SELECT u, v, common_neighbors, aa_score
+    FROM cand
+    ORDER BY aa_score DESC, u ASC, v ASC
+    LIMIT {top_n}
+    """

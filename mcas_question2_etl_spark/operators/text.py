@@ -1756,3 +1756,226 @@ def oov_rate_by_source_sql(
            CAST(COALESCE(oov.n_oov, 0) AS DOUBLE) / tot.n_tokens AS oov_rate
     FROM tot LEFT JOIN oov ON oov.g = tot.g
     """
+
+
+def kneser_ney_bigram(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring — the canonical n-gram
+    LM smoothing (Kneser & Ney 1995; what KenLM/SRILM default to),
+    one full rung above :func:`bigram_logprob_quality`'s add-one:
+
+      ``P_KN(w2|w1) = max(c12 - D, 0)/c1
+                      + D * N1+(w1*)/c1 * N1+(*w2)/T``
+
+    where ``N1+(w1*)`` = distinct continuations of w1, ``N1+(*w2)`` =
+    distinct histories of w2 (the continuation probability that scores
+    "Francisco" low despite high unigram count), and T = distinct
+    bigram types. Per-doc mean negative log-prob under the corpus's
+    own model.
+
+    Scale shape: identical to :func:`bigram_logprob_quality` — the
+    corpus is scanned exactly twice (model build, scoring); every
+    model table (bigram counts, the two continuation-count marginals,
+    T) derives from the ONE Zipf-bounded aggregated bigram table and
+    broadcasts back into the scoring scan; the per-doc score is one
+    doc-keyed aggregation.
+    """
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__ts"))
+    bigrams = F.expr(
+        "transform(slice(__ts, 1, size(__ts) - 1), "
+        "(t, i) -> struct(t as w1, __ts[i + 1] as w2))"
+    )
+    pairs = toked.select(
+        F.col(id_col), F.explode(bigrams).alias("bg")
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
+    firsts = big.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cont"),
+    )
+    hists = big.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hist")
+    )
+    types = big.agg(F.count(F.lit(1)).cast("double").alias("t_types"))
+    d = F.lit(float(discount))
+    p_kn = (
+        F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
+        + d * F.col("n_cont") / F.col("c1")
+        * (F.col("n_hist") / F.col("t_types"))
+    )
+    nll = -F.log(p_kn)
+    return (
+        pairs.join(F.broadcast(big), ["w1", "w2"])
+        .join(F.broadcast(firsts), "w1")
+        .join(F.broadcast(hists), "w2")
+        .crossJoin(F.broadcast(types))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            (F.sum(nll) / F.count(F.lit(1))).alias("mean_nll_kn"),
+        )
+    )
+
+
+def kneser_ney_bigram_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    discount: float = 0.75,
+) -> str:
+    """DuckDB twin of :func:`kneser_ney_bigram`."""
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, string_split({text_col}, ' ') AS ts FROM {table}
+    ),
+    pairs AS (
+      SELECT {id_col}, ts[i] AS w1, ts[i + 1] AS w2
+      FROM toks, unnest(range(1, len(ts))) AS t(i)
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2),
+    firsts AS (
+      SELECT w1, SUM(c12) AS c1, CAST(COUNT(*) AS BIGINT) AS n_cont
+      FROM big GROUP BY w1
+    ),
+    hists AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_hist FROM big GROUP BY w2
+    ),
+    types AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t_types FROM big)
+    SELECT p.{id_col},
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           SUM(-ln(GREATEST(big.c12 - {discount!r}, 0.0) / firsts.c1
+                   + {discount!r} * firsts.n_cont / firsts.c1
+                     * (hists.n_hist / types.t_types)))
+             / COUNT(*) AS mean_nll_kn
+    FROM pairs p JOIN big USING (w1, w2) JOIN firsts USING (w1)
+         JOIN hists USING (w2) CROSS JOIN types
+    GROUP BY p.{id_col}
+    """
+
+
+def doremi_domain_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    eta: float = 1.0,
+) -> DataFrame:
+    """DoReMi-style domain mixture reweighting, one multiplicative-
+    weights step (Xie et al. 2023, simplified to a unigram reference):
+    each domain's EXCESS LOSS — its mean token NLL under the corpus
+    unigram LM minus the corpus mean — scales its baseline token share
+    by ``exp(eta * excess)``, renormalized. Domains the reference
+    model finds hardest (relative to the mix) get upweighted, the
+    data-mixing knob a 100 TB pretraining pipeline tunes before
+    sampling shards.
+
+    Scale shape: one explode -> (source, token) count with map-side
+    combine (Zipf-bounded result); the corpus unigram table and the
+    per-domain rollups all derive from that aggregate — the corpus is
+    scanned ONCE and nothing row-sized ever shuffles again; the final
+    softmax runs over #domains rows.
+
+    Output per source: (source, n_tokens, mean_nll, excess, weight).
+    """
+    tok = df.select(
+        F.col(source_col).alias("__src"),
+        F.explode(tokens(text_col)).alias("__t"),
+    ).filter(F.col("__t") != "")
+    st = tok.groupBy("__src", "__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    ).localCheckpoint(eager=False)
+    corpus = st.groupBy("__t").agg(F.sum("__c").alias("__ct"))
+    total = corpus.agg(F.sum("__ct").cast("double").alias("__n"))
+    scored = (
+        st.join(F.broadcast(corpus), "__t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("__src")
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_tokens"),
+            (
+                F.sum(F.col("__c") * -F.log(F.col("__ct") / F.col("__n")))
+                / F.sum("__c")
+            ).alias("mean_nll"),
+        )
+    )
+    grand = scored.agg(
+        (
+            F.sum(F.col("n_tokens") * F.col("mean_nll")) / F.sum("n_tokens")
+        ).alias("__gm"),
+        F.sum("n_tokens").cast("double").alias("__nt"),
+    )
+    ex = scored.crossJoin(F.broadcast(grand)).withColumn(
+        "excess", F.col("mean_nll") - F.col("__gm")
+    ).withColumn(
+        "__raw",
+        (F.col("n_tokens") / F.col("__nt"))
+        * F.exp(F.lit(float(eta)) * F.col("excess")),
+    )
+    z = ex.agg(F.sum("__raw").alias("__z"))
+    return (
+        ex.crossJoin(F.broadcast(z))
+        .select(
+            F.col("__src").alias("source"),
+            "n_tokens",
+            F.round("mean_nll", 6).alias("mean_nll"),
+            F.round("excess", 6).alias("excess"),
+            F.round(F.col("__raw") / F.col("__z"), 6).alias("weight"),
+        )
+        .orderBy("source")
+    )
+
+
+def doremi_domain_weights_sql(
+    source_col: str = "source",
+    text_col: str = "text",
+    table: str = "documents",
+    eta: float = 1.0,
+) -> str:
+    """DuckDB twin of :func:`doremi_domain_weights`."""
+    return f"""
+    WITH tok AS (
+      SELECT {source_col} AS src,
+             unnest(string_split({text_col}, ' ')) AS t
+      FROM {table}
+    ),
+    clean AS (SELECT * FROM tok WHERE t <> ''),
+    st AS (
+      SELECT src, t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM clean GROUP BY src, t
+    ),
+    corpus AS (SELECT t, SUM(c) AS ct FROM st GROUP BY t),
+    total AS (SELECT CAST(SUM(ct) AS DOUBLE) AS n FROM corpus),
+    scored AS (
+      SELECT st.src,
+             CAST(SUM(st.c) AS BIGINT) AS n_tokens,
+             SUM(st.c * -ln(corpus.ct / total.n)) / SUM(st.c) AS mean_nll
+      FROM st JOIN corpus USING (t) CROSS JOIN total
+      GROUP BY st.src
+    ),
+    grand AS (
+      SELECT SUM(n_tokens * mean_nll) / SUM(n_tokens) AS gm,
+             CAST(SUM(n_tokens) AS DOUBLE) AS nt
+      FROM scored
+    ),
+    ex AS (
+      SELECT s.src, s.n_tokens, s.mean_nll,
+             s.mean_nll - g.gm AS excess,
+             (s.n_tokens / g.nt) * EXP({eta!r} * (s.mean_nll - g.gm))
+               AS raw
+      FROM scored s CROSS JOIN grand g
+    ),
+    z AS (SELECT SUM(raw) AS z FROM ex)
+    SELECT ex.src AS source, ex.n_tokens,
+           ROUND(ex.mean_nll, 6) AS mean_nll,
+           ROUND(ex.excess, 6) AS excess,
+           ROUND(ex.raw / z.z, 6) AS weight
+    FROM ex CROSS JOIN z
+    ORDER BY source
+    """

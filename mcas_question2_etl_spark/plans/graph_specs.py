@@ -1052,3 +1052,20 @@ def bfs_layers_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_metrics.bfs_layers(
         copurchase_edges(spark, sf_dir), seed_mod=50, depth=3
     )
+
+
+@_spec(
+    "adamic_adar_links",
+    graph_metrics.adamic_adar_links_sql(_EDGES_CTE, top_n=20),
+    "graph op — Adamic-Adar link prediction on the co-purchase "
+    "graph: top-20 non-adjacent pairs by sum 1/ln(deg) over common "
+    "neighbors (shared hubs discounted). Wedge join through the "
+    "middle node at the same fan-out budget as triangle_count, "
+    "map-side-combined (u,v) aggregate, left-anti against existing "
+    "edges, deterministic (rounded score, u, v) top-n; rides the "
+    "shared copurchase_edges parquet.",
+)
+def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph_metrics.adamic_adar_links(
+        copurchase_edges(spark, sf_dir), top_n=20
+    )

@@ -2032,3 +2032,76 @@ def cem_att_building_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return causal.cem_att(
         units, "treated", "spend", ["region", "nation", "bal_bin"], ["region"]
     )
+
+
+_PAIRED_DAILY_SQL = """
+      SELECT CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT)
+             - CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+"""
+
+
+@_spec(
+    "wilcoxon_signed_rank_daily",
+    evaluation.wilcoxon_signed_rank_sql(_PAIRED_DAILY_SQL.strip()),
+    "stats op — Wilcoxon signed-rank on the per-day (click - "
+    "purchase) count difference: the PAIRED complement to "
+    "mann_whitney_click_purchase (days are natural blocks, so the "
+    "paired test removes day-level volume variance). Differences are "
+    "exact integers; doubled average ranks computed on the "
+    "|d|->count aggregate keep 2*W+ and the tie term integer to the "
+    "final z.",
+)
+def wilcoxon_signed_rank_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    paired = (
+        events.filter(F.col("event_type").isin(["click", "purchase"]))
+        .groupBy(
+            F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("day")
+        )
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("event_type") == "click", 1).otherwise(0)
+                ).cast("bigint")
+                - F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                ).cast("bigint")
+            ).alias("d")
+        )
+    )
+    return evaluation.wilcoxon_signed_rank(paired)
+
+
+_BLOCKS_DAILY_SQL = """
+      SELECT CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+"""
+
+
+@_spec(
+    "friedman_event_type_ranks",
+    evaluation.friedman_test_sql(
+        _BLOCKS_DAILY_SQL.strip(), "day", "event_type", "c"
+    ),
+    "stats op — Friedman rank test: do the 5 event types keep the "
+    "same volume ordering across days? (The nonparametric repeated-"
+    "measures ANOVA; blocks = days.) Within-block doubled average "
+    "ranks are exact integers from the day-partitioned RANK window "
+    "plus tie counts — thousands of tiny windows, fully parallel; "
+    "rank sums shuffle k rows.",
+)
+def friedman_event_type_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return evaluation.friedman_test(daily, "day", "event_type", "c")

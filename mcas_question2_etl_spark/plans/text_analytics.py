@@ -1516,3 +1516,37 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("dy").over(w) / F.col("ty"), 6).alias("cum_share"),
         )
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave67
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "kneser_ney_doc_scores",
+    text.kneser_ney_bigram_sql(),
+    "LM op — interpolated Kneser-Ney bigram scoring (the KenLM/SRILM "
+    "default smoothing): absolute discounting plus the continuation-"
+    "probability backoff that add-one smoothing (bigram_logprob_"
+    "quality) lacks. Corpus scanned exactly twice; every model table "
+    "derives from the ONE Zipf-bounded bigram aggregate and "
+    "broadcasts into the scoring scan.",
+)
+def kneser_ney_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.kneser_ney_bigram(docs)
+
+
+@_spec(
+    "doremi_domain_weights",
+    text.doremi_domain_weights_sql(),
+    "data-mixing op — DoReMi-style domain reweighting, one "
+    "multiplicative-weights step against a unigram reference: domains "
+    "with excess loss vs the corpus mix get exp(eta*excess) "
+    "upweighted, renormalized — the mixture knob a pretraining "
+    "pipeline tunes before sampling shards. One corpus scan into a "
+    "(source, token) aggregate; all rollups and the softmax run on "
+    "Zipf-bounded or #domains-sized tables.",
+)
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.doremi_domain_weights(docs)
