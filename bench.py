@@ -468,6 +468,11 @@ HEADLINE = [
     "wilcoxon_signed_rank_daily",
     "friedman_event_type_ranks",
     "adamic_adar_links",
+    # wave 68: multivariate stats, AMS sketch, Ripley's K
+    "mahalanobis_outliers_2d",
+    "partial_correlation_qty_price",
+    "ams_f2_user_frequency",
+    "ripley_k_suppliers",
 ]
 
 

@@ -2258,3 +2258,251 @@ def friedman_test_sql(
                  {round_to}) AS q_stat
     FROM agg CROSS JOIN nb
     """
+
+
+def mahalanobis_outliers_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    threshold: float = 13.8155,
+    round_to: int = 6,
+) -> DataFrame:
+    """Bivariate Mahalanobis-distance outlier audit — the MULTIVARIATE
+    step up from the per-column robust family (`robust_outliers_iqr`,
+    MAD, z-score): a point can be unremarkable on each margin yet far
+    from the joint distribution, and d² sees exactly that through the
+    correlation term:
+
+      ``d² = (zx² - 2·rho·zx·zy + zy²) / (1 - rho²)``.
+
+    Under bivariate normality d² ~ chi²(2); the default threshold is
+    the 0.999 quantile (13.8155).
+
+    Determinism discipline: all six sufficient moments accumulate as
+    EXACT decimals (2-decimal inputs), so means/variances/rho are
+    bit-identical doubles in both engines and every per-row d² is
+    bit-identical too — the outlier COUNT is exact, not tolerance-
+    matched. Two scans (moments, then score) with the 1-row moment
+    table broadcast into the second; nothing else shuffles.
+
+    Output (one row): (n, n_outliers, mean_d2, max_d2).
+    """
+    x = F.col(x_col).cast("decimal(18,2)")
+    y = F.col(y_col).cast("decimal(18,2)")
+    m = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    nn = F.col("__n").cast("double")
+    mx = F.col("__sx").cast("double") / nn
+    my = F.col("__sy").cast("double") / nn
+    vx = (F.col("__sxx").cast("double") - F.col("__sx").cast("double") * F.col("__sx").cast("double") / nn) / (nn - 1)
+    vy = (F.col("__syy").cast("double") - F.col("__sy").cast("double") * F.col("__sy").cast("double") / nn) / (nn - 1)
+    cxy = (F.col("__sxy").cast("double") - F.col("__sx").cast("double") * F.col("__sy").cast("double") / nn) / (nn - 1)
+    stats = m.select(
+        F.col("__n"),
+        mx.alias("__mx"),
+        my.alias("__my"),
+        vx.alias("__vx"),
+        vy.alias("__vy"),
+        (cxy / F.sqrt(vx * vy)).alias("__rho"),
+    )
+    zx = (x.cast("double") - F.col("__mx")) / F.sqrt(F.col("__vx"))
+    zy = (y.cast("double") - F.col("__my")) / F.sqrt(F.col("__vy"))
+    d2 = (
+        zx * zx - 2.0 * F.col("__rho") * zx * zy + zy * zy
+    ) / (1.0 - F.col("__rho") * F.col("__rho"))
+    scored = df.crossJoin(F.broadcast(stats)).select(
+        F.col("__n"), d2.alias("__d2")
+    )
+    return scored.groupBy("__n").agg(
+        F.sum((F.col("__d2") > F.lit(float(threshold))).cast("long"))
+        .cast("bigint")
+        .alias("n_outliers"),
+        F.round(F.avg("__d2"), round_to).alias("mean_d2"),
+        F.round(F.max("__d2"), round_to).alias("max_d2"),
+    ).select(
+        F.col("__n").alias("n"), "n_outliers", "mean_d2", "max_d2"
+    )
+
+
+def mahalanobis_outliers_2d_sql(
+    table: str,
+    x_col: str,
+    y_col: str,
+    threshold: float = 13.8155,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`mahalanobis_outliers_2d`."""
+    return f"""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST({x_col} AS DECIMAL(18,2))) AS sx,
+             SUM(CAST({y_col} AS DECIMAL(18,2))) AS sy,
+             SUM(CAST({x_col} AS DECIMAL(18,2))
+                 * CAST({x_col} AS DECIMAL(18,2))) AS sxx,
+             SUM(CAST({y_col} AS DECIMAL(18,2))
+                 * CAST({y_col} AS DECIMAL(18,2))) AS syy,
+             SUM(CAST({x_col} AS DECIMAL(18,2))
+                 * CAST({y_col} AS DECIMAL(18,2))) AS sxy
+      FROM {table}
+    ),
+    stats AS (
+      SELECT n,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+             (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS vx,
+             (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS vy,
+             ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+             / SQRT(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                      * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                     / (CAST(n AS DOUBLE) - 1))
+                    * ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                        * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                       / (CAST(n AS DOUBLE) - 1))) AS rho
+      FROM m
+    ),
+    scored AS (
+      SELECT stats.n,
+             ((CAST(CAST({x_col} AS DECIMAL(18,2)) AS DOUBLE) - mx)
+                / SQRT(vx)
+              * ((CAST(CAST({x_col} AS DECIMAL(18,2)) AS DOUBLE) - mx)
+                 / SQRT(vx))
+              - 2.0 * rho
+                * ((CAST(CAST({x_col} AS DECIMAL(18,2)) AS DOUBLE) - mx)
+                   / SQRT(vx))
+                * ((CAST(CAST({y_col} AS DECIMAL(18,2)) AS DOUBLE) - my)
+                   / SQRT(vy))
+              + ((CAST(CAST({y_col} AS DECIMAL(18,2)) AS DOUBLE) - my)
+                 / SQRT(vy))
+                * ((CAST(CAST({y_col} AS DECIMAL(18,2)) AS DOUBLE) - my)
+                   / SQRT(vy)))
+             / (1.0 - rho * rho) AS d2
+      FROM {table} CROSS JOIN stats
+    )
+    SELECT n,
+           CAST(SUM(CASE WHEN d2 > {threshold!r} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           ROUND(AVG(d2), {round_to}) AS mean_d2,
+           ROUND(MAX(d2), {round_to}) AS max_d2
+    FROM scored GROUP BY n
+    """
+
+
+def partial_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """First-order partial correlation r(x,y | z) — how much of the
+    x~y association survives after controlling for z:
+
+      ``r_xy.z = (r_xy - r_xz * r_yz)
+                 / sqrt((1 - r_xz²) * (1 - r_yz²))``.
+
+    The inference step `correlation_matrix` stops short of: a strong
+    marginal correlation driven entirely by a confounder z zeroes out
+    here. All nine sufficient moments accumulate as EXACT decimals in
+    ONE map-side-combined aggregate (the corpus is scanned once);
+    every r and the final partial run in double on bit-identical
+    inputs.
+
+    Output (one row): (n, r_xy, r_xz, r_yz, r_xy_given_z).
+    """
+    x = F.col(x_col).cast("decimal(18,2)")
+    y = F.col(y_col).cast("decimal(18,2)")
+    z = F.col(z_col).cast("decimal(18,2)")
+    m = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(x).alias("__sx"), F.sum(y).alias("__sy"), F.sum(z).alias("__sz"),
+        F.sum(x * x).alias("__sxx"), F.sum(y * y).alias("__syy"),
+        F.sum(z * z).alias("__szz"),
+        F.sum(x * y).alias("__sxy"), F.sum(x * z).alias("__sxz"),
+        F.sum(y * z).alias("__syz"),
+    )
+    nn = F.col("__n").cast("double")
+
+    def _r(sab, sa, sb, saa, sbb):
+        num = F.col(sab).cast("double") - F.col(sa).cast("double") * F.col(sb).cast("double") / nn
+        da = F.col(saa).cast("double") - F.col(sa).cast("double") * F.col(sa).cast("double") / nn
+        db = F.col(sbb).cast("double") - F.col(sb).cast("double") * F.col(sb).cast("double") / nn
+        return num / F.sqrt(da * db)
+
+    rxy = _r("__sxy", "__sx", "__sy", "__sxx", "__syy")
+    rxz = _r("__sxz", "__sx", "__sz", "__sxx", "__szz")
+    ryz = _r("__syz", "__sy", "__sz", "__syy", "__szz")
+    partial = (rxy - rxz * ryz) / F.sqrt(
+        (1.0 - rxz * rxz) * (1.0 - ryz * ryz)
+    )
+    return m.select(
+        F.col("__n").alias("n"),
+        F.round(rxy, round_to).alias("r_xy"),
+        F.round(rxz, round_to).alias("r_xz"),
+        F.round(ryz, round_to).alias("r_yz"),
+        F.round(partial, round_to).alias("r_xy_given_z"),
+    )
+
+
+def partial_correlation_sql(
+    table: str,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`partial_correlation`."""
+    dx, dy, dz = (
+        f"CAST({x_col} AS DECIMAL(18,2))",
+        f"CAST({y_col} AS DECIMAL(18,2))",
+        f"CAST({z_col} AS DECIMAL(18,2))",
+    )
+    return f"""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM({dx}) AS sx, SUM({dy}) AS sy, SUM({dz}) AS sz,
+             SUM({dx} * {dx}) AS sxx, SUM({dy} * {dy}) AS syy,
+             SUM({dz} * {dz}) AS szz,
+             SUM({dx} * {dy}) AS sxy, SUM({dx} * {dz}) AS sxz,
+             SUM({dy} * {dz}) AS syz
+      FROM {table}
+    ),
+    r AS (
+      SELECT n,
+        (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+           / CAST(n AS DOUBLE))
+        / SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                  / CAST(n AS DOUBLE))) AS rxy,
+        (CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE)
+           / CAST(n AS DOUBLE))
+        / SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               * (CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+                  / CAST(n AS DOUBLE))) AS rxz,
+        (CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE)
+           / CAST(n AS DOUBLE))
+        / SQRT((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               * (CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+                  / CAST(n AS DOUBLE))) AS ryz
+      FROM m
+    )
+    SELECT n,
+           ROUND(rxy, {round_to}) AS r_xy,
+           ROUND(rxz, {round_to}) AS r_xz,
+           ROUND(ryz, {round_to}) AS r_yz,
+           ROUND((rxy - rxz * ryz)
+                 / SQRT((1.0 - rxz * rxz) * (1.0 - ryz * ryz)),
+                 {round_to}) AS r_xy_given_z
+    FROM r
+    """

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_LG_K = 14
@@ -320,3 +320,144 @@ def countmin_estimate(
         .groupBy(col)
         .agg(F.min("cm_count").cast("long").alias("cm_est"))
     )
+
+
+def ams_f2_accuracy(
+    df: DataFrame,
+    key_col: str,
+    n_estimators: int = 16,
+    group_size: int = 4,
+    tolerance: float = 0.5,
+) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon-Matias-Szegedy 1996)
+    with a median-of-means accuracy check against the exact
+    ``F2 = sum_t c_t²`` — the self-join-size / skew estimator that
+    predates every modern sketch, here with the repo's portable-hash
+    discipline: the ±1 estimator signs come from md5 of
+    ``key || '|' || estimator_id`` (identical integer arithmetic in
+    both engines, unlike murmur/xxhash), so the WHOLE construction is
+    INTEGER-exact — each ``S_r = sum_t sign_r(t)·c_t`` is a bigint,
+    each estimate ``S_r²`` a bigint, group means are .25-grain and the
+    median of means is exactly representable (division by 8 is exact
+    in binary) — the oracle hash-matches values, not tolerances.
+
+    Scale shape: the corpus reduces to the (key, count) aggregate
+    once (map-side combined); the sketch stage explodes that table
+    ``n_estimators``-fold and reduces to ``n_estimators`` rows; the
+    exact-F2 pass reuses the same aggregate. At 100 TB you keep the
+    sketch and drop the exact pass — it is here because the spec's
+    contract is the accuracy check.
+
+    Output (one row): (n_keys, f2_exact, f2_est, rel_err, within_tol).
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("__k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    ).localCheckpoint(eager=False)
+    exact = counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(F.col("__c") * F.col("__c")).cast("bigint").alias("f2_exact"),
+    )
+    est_ids = F.explode(
+        F.array(*[F.lit(i) for i in range(n_estimators)])
+    ).alias("__r")
+    signed = counts.select("__k", "__c", est_ids).withColumn(
+        "__sign",
+        F.expr(
+            "cast(conv(substring(md5(concat(__k, '|', cast(__r as string))),"
+            " 1, 15), 16, 10) as bigint) % 2"
+        )
+        * 2
+        - 1,
+    )
+    s_r = signed.groupBy("__r").agg(
+        F.sum(F.col("__sign") * F.col("__c")).cast("bigint").alias("__s")
+    )
+    grp = s_r.groupBy((F.col("__r") / group_size).cast("int").alias("__g")).agg(
+        F.sum(F.col("__s") * F.col("__s")).cast("bigint").alias("__gsum")
+    )
+    w = Window.orderBy("__gsum")
+    ranked = grp.select(
+        F.col("__gsum"),
+        F.row_number().over(w).alias("__i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("__m"),
+    )
+    # median of group sums = avg of the middle one/two; estimate =
+    # median_sum / group_size
+    med = ranked.filter(
+        (F.col("__i") == F.floor((F.col("__m") + 1) / 2))
+        | (F.col("__i") == F.ceil((F.col("__m") + 1) / 2))
+    ).agg(
+        (
+            F.sum("__gsum").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(float(group_size))
+        ).alias("f2_est")
+    )
+    joined = exact.crossJoin(F.broadcast(med))
+    rel = F.abs(F.col("f2_est") - F.col("f2_exact").cast("double")) / F.col(
+        "f2_exact"
+    ).cast("double")
+    return joined.select(
+        "n_keys",
+        "f2_exact",
+        "f2_est",
+        F.round(rel, 6).alias("rel_err"),
+        (rel < F.lit(float(tolerance))).alias("within_tol"),
+    )
+
+
+def ams_f2_accuracy_sql(
+    table: str,
+    key_col: str,
+    n_estimators: int = 16,
+    group_size: int = 4,
+    tolerance: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`ams_f2_accuracy`."""
+    return f"""
+    WITH counts AS (
+      SELECT CAST({key_col} AS VARCHAR) AS k,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM {table} GROUP BY 1
+    ),
+    exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(c * c) AS BIGINT) AS f2_exact
+      FROM counts
+    ),
+    signed AS (
+      SELECT r.r,
+             (CAST(('0x' || substring(md5(k || '|' || CAST(r.r AS VARCHAR)),
+                                      1, 15)) AS BIGINT) % 2) * 2 - 1
+               AS sign,
+             c
+      FROM counts CROSS JOIN
+           (SELECT unnest(range(0, {n_estimators})) AS r) r
+    ),
+    s_r AS (
+      SELECT r, CAST(SUM(sign * c) AS BIGINT) AS s
+      FROM signed GROUP BY r
+    ),
+    grp AS (
+      SELECT CAST(r // {group_size} AS INTEGER) AS g,
+             CAST(SUM(s * s) AS BIGINT) AS gsum
+      FROM s_r GROUP BY 1
+    ),
+    ranked AS (
+      SELECT gsum,
+             ROW_NUMBER() OVER (ORDER BY gsum) AS i,
+             COUNT(*) OVER () AS m
+      FROM grp
+    ),
+    med AS (
+      SELECT CAST(SUM(gsum) AS DOUBLE) / COUNT(*) / {group_size}.0 AS f2_est
+      FROM ranked
+      WHERE i = (m + 1) // 2 OR i = (m + 2) // 2
+    )
+    SELECT exact.n_keys, exact.f2_exact, med.f2_est,
+           ROUND(ABS(med.f2_est - CAST(exact.f2_exact AS DOUBLE))
+                 / CAST(exact.f2_exact AS DOUBLE), 6) AS rel_err,
+           ABS(med.f2_est - CAST(exact.f2_exact AS DOUBLE))
+             / CAST(exact.f2_exact AS DOUBLE) < {tolerance!r} AS within_tol
+    FROM exact CROSS JOIN med
+    """

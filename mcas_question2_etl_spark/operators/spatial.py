@@ -512,3 +512,124 @@ def grid_density_hotspots_sql(
           FROM cells)
     WHERE rank <= {top_k}
     """
+
+
+def ripley_k(
+    points: DataFrame,
+    id_col: str,
+    radii_m: "list[float]",
+    area_m2_expr: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Ripley's K function at fixed radii — the spatial-clustering
+    diagnostic (is the point pattern clustered, random, or dispersed
+    at scale r?):
+
+      ``K(r) = A / (n(n-1)) * #ordered pairs with d_ij <= r``,
+      ``L(r) = sqrt(K(r)/pi)`` (≈ r under complete spatial
+      randomness, so L(r) - r reads directly as clustering excess).
+
+    ``points`` carries (id, lat, lon); distances are haversine meters
+    ROUNDED to 6dp (the repo's trig-determinism discipline — a
+    last-ulp difference cannot move a pair across a radius). The pair
+    stage is the EXPLICITLY BOUNDED kernel over a broadcastable
+    dimension table (same contract as `nearest_neighbor_join`, which
+    documents the grid-bucketed path for point tables beyond
+    broadcast size — `polygon_grid_cells` buckets apply here
+    unchanged); pair counts are exact integers, so only the final
+    K/L arithmetic runs in double.
+
+    Output per radius: (r_m, n_points, pairs_within, k_est, l_est).
+    """
+    a = points.select(
+        F.col(id_col).alias("ida"),
+        F.col("lat").alias("lata"),
+        F.col("lon").alias("lona"),
+    )
+    b = points.select(
+        F.col(id_col).alias("idb"),
+        F.col("lat").alias("latb"),
+        F.col("lon").alias("lonb"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("ida") < F.col("idb"))
+        .select(
+            F.round(
+                haversine_m(
+                    F.col("lata"), F.col("lona"),
+                    F.col("latb"), F.col("lonb"),
+                ),
+                6,
+            ).alias("d")
+        )
+    )
+    n_row = points.agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+    counts = pairs.agg(
+        *[
+            F.sum((F.col("d") <= F.lit(float(r))).cast("long"))
+            .cast("bigint")
+            .alias(f"__c{i}")
+            for i, r in enumerate(radii_m)
+        ]
+    )
+    joined = n_row.crossJoin(F.broadcast(counts))
+    area = F.expr(area_m2_expr)
+    out = None
+    for i, r in enumerate(radii_m):
+        nn = F.col("n_points").cast("double")
+        k = area / (nn * (nn - 1.0)) * (2.0 * F.col(f"__c{i}").cast("double"))
+        row = joined.select(
+            F.lit(float(r)).alias("r_m"),
+            F.col("n_points"),
+            F.col(f"__c{i}").alias("pairs_within"),
+            F.round(k, round_to).alias("k_est"),
+            F.round(F.sqrt(k / F.lit(3.141592653589793)), round_to).alias(
+                "l_est"
+            ),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def ripley_k_sql(
+    points_sql: str,
+    id_col: str,
+    radii_m: "list[float]",
+    area_m2_expr: str,
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin of :func:`ripley_k`; ``points_sql`` yields the
+    (id, lat, lon) table."""
+    d = haversine_m_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    count_cols = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN d <= {float(r)!r} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS c{i}"
+        for i, r in enumerate(radii_m)
+    )
+    selects = "\n    UNION ALL ".join(
+        f"""SELECT CAST({float(r)!r} AS DOUBLE) AS r_m, n_points,
+           c{i} AS pairs_within,
+           ROUND(({area_m2_expr}) / (CAST(n_points AS DOUBLE)
+                  * (CAST(n_points AS DOUBLE) - 1.0))
+                 * (2.0 * CAST(c{i} AS DOUBLE)), {round_to}) AS k_est,
+           ROUND(SQRT(({area_m2_expr}) / (CAST(n_points AS DOUBLE)
+                  * (CAST(n_points AS DOUBLE) - 1.0))
+                 * (2.0 * CAST(c{i} AS DOUBLE)) / 3.141592653589793),
+                 {round_to}) AS l_est
+    FROM joined"""
+        for i, r in enumerate(radii_m)
+    )
+    return f"""
+    WITH pts AS ({points_sql}),
+    pairs AS (
+      SELECT ROUND({d}, 6) AS d
+      FROM pts a JOIN pts b ON a.{id_col} < b.{id_col}
+    ),
+    n_row AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points FROM pts),
+    counts AS (
+      SELECT {count_cols}
+      FROM pairs
+    ),
+    joined AS (SELECT * FROM n_row CROSS JOIN counts)
+    {selects}
+    """

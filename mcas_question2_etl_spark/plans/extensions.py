@@ -1429,3 +1429,28 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active_users"))
         .orderBy("cohort_day", "week_offset")
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave68
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.sketches import ams_f2_accuracy_sql as _ams_sql
+
+
+@_spec(
+    "ams_f2_user_frequency",
+    _ams_sql("events", "user_id"),
+    "sketch op — AMS second-frequency-moment estimate of the events "
+    "user-activity distribution with a median-of-means accuracy "
+    "check vs exact F2 = sum c^2 (the self-join-size / skew "
+    "estimator). Estimator signs are portable md5 integers, so the "
+    "whole construction is INTEGER-exact (division by 8 exact in "
+    "binary) and the oracle hash-matches values, not tolerances. "
+    "Corpus reduces once to (user, count); sketch stage is a "
+    "16-fold explode of that aggregate.",
+)
+def ams_f2_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import ams_f2_accuracy
+
+    ev = load_table(spark, sf_dir, "events")
+    return ams_f2_accuracy(ev, "user_id")

@@ -1287,3 +1287,45 @@ def dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("t")).alias("share"),
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave68
+# ──────────────────────────────────────────────────────────────────────────
+_RIPLEY_RADII = [500000.0, 1000000.0, 2000000.0]
+#: area of the ±30° latitude band the synthetic coordinates span:
+#: 2*pi*R^2*(sin(30°) - sin(-30°)) = 2*pi*R^2 — spelled as one literal
+#: expression so both engines evaluate the identical double
+_RIPLEY_AREA = (
+    "CAST(2.0 AS DOUBLE) * CAST(3.141592653589793 AS DOUBLE)"
+    " * CAST(6371000.0 AS DOUBLE) * CAST(6371000.0 AS DOUBLE)"
+)
+_SUPP_POINTS_SQL = f"""
+      SELECT s_suppkey, {_SLAT} AS lat, {_SLON} AS lon FROM supplier
+"""
+
+
+@_spec(
+    "ripley_k_suppliers",
+    spatial.ripley_k_sql(
+        _SUPP_POINTS_SQL.strip(), "s_suppkey", _RIPLEY_RADII, _RIPLEY_AREA
+    ),
+    "spatial op — Ripley's K/L at 500/1000/2000 km over the supplier "
+    "point pattern (clustered vs CSR vs dispersed at each scale; "
+    "L(r)-r reads as clustering excess). Distances are 6dp-rounded "
+    "haversine (trig-determinism discipline) so pair counts are "
+    "exact integers. The pair stage is the explicitly bounded kernel "
+    "over a broadcastable dimension — the same contract as "
+    "nearest_neighbor_join, with the grid-bucketed path documented "
+    "for point tables beyond broadcast size.",
+)
+def ripley_k_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    points = supp.select(
+        "s_suppkey",
+        F.expr(_SLAT).alias("lat"),
+        F.expr(_SLON).alias("lon"),
+    )
+    return spatial.ripley_k(
+        points, "s_suppkey", _RIPLEY_RADII, _RIPLEY_AREA
+    )

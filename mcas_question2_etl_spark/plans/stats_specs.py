@@ -2105,3 +2105,44 @@ def friedman_event_type_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     return evaluation.friedman_test(daily, "day", "event_type", "c")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave68
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "mahalanobis_outliers_2d",
+    evaluation.mahalanobis_outliers_2d_sql(
+        "lineitem", "l_quantity", "l_extendedprice"
+    ),
+    "stats op — bivariate Mahalanobis outlier audit over (quantity, "
+    "extendedprice): the multivariate step up from the per-column "
+    "robust family — the correlation term flags points unremarkable "
+    "on each margin but far from the joint. All six moments are "
+    "EXACT decimals, so per-row d^2 is bit-identical across engines "
+    "and the chi2(2)-threshold outlier count is exact. Two scans, "
+    "1-row moment broadcast.",
+)
+def mahalanobis_outliers_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return evaluation.mahalanobis_outliers_2d(
+        li, "l_quantity", "l_extendedprice"
+    )
+
+
+@_spec(
+    "partial_correlation_qty_price",
+    evaluation.partial_correlation_sql(
+        "lineitem", "l_quantity", "l_extendedprice", "l_discount"
+    ),
+    "stats op — first-order partial correlation r(quantity, price | "
+    "discount): how much of the marginal association survives "
+    "controlling for the discount confounder — the inference step "
+    "correlation_matrix stops short of. Nine exact-decimal moments "
+    "in ONE map-side-combined aggregate; one corpus scan total.",
+)
+def partial_correlation_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return evaluation.partial_correlation(
+        li, "l_quantity", "l_extendedprice", "l_discount"
+    )
