@@ -473,6 +473,13 @@ HEADLINE = [
     "partial_correlation_qty_price",
     "ams_f2_user_frequency",
     "ripley_k_suppliers",
+    # wave 69: survival, tree primitive, wavelets, robust location,
+    # effect sizes
+    "nelson_aalen_hazard",
+    "decision_stump_totalprice",
+    "haar_energy_daily",
+    "trimmed_mean_price",
+    "effect_sizes_click_purchase",
 ]
 
 

@@ -2506,3 +2506,109 @@ def partial_correlation_sql(
                  {round_to}) AS r_xy_given_z
     FROM r
     """
+
+
+def effect_sizes(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Standardized effect sizes for a two-group mean difference —
+    the MAGNITUDE report that significance tests (`welch_ttest`,
+    `mann_whitney_u`) deliberately do not give:
+
+    - Cohen's d (pooled-SD standardized difference),
+    - Hedges' g (d times the small-sample bias correction
+      ``1 - 3/(4(n_a+n_b) - 9)``),
+    - Glass's delta (control-SD standardized, group_b as control).
+
+    Moments accumulate as exact decimals (one map-side-combined
+    aggregate, corpus scanned once); all ratios run in double on
+    bit-identical inputs.
+
+    Output (one row): (n_a, n_b, mean_diff, cohen_d, hedges_g,
+    glass_delta).
+    """
+    x = F.col(value_col).cast("decimal(18,2)")
+    g = F.col(group_col)
+    two = df.filter(g.isin([group_a, group_b]))
+    m = two.agg(
+        F.sum(F.when(g == group_a, 1).otherwise(0)).cast("bigint").alias("__na"),
+        F.sum(F.when(g == group_b, 1).otherwise(0)).cast("bigint").alias("__nb"),
+        F.sum(F.when(g == group_a, x)).alias("__sa"),
+        F.sum(F.when(g == group_b, x)).alias("__sb"),
+        F.sum(F.when(g == group_a, x * x)).alias("__sa2"),
+        F.sum(F.when(g == group_b, x * x)).alias("__sb2"),
+    )
+    na, nb = F.col("__na").cast("double"), F.col("__nb").cast("double")
+    ma = F.col("__sa").cast("double") / na
+    mb = F.col("__sb").cast("double") / nb
+    va = (F.col("__sa2").cast("double") - F.col("__sa").cast("double") * F.col("__sa").cast("double") / na) / (na - 1.0)
+    vb = (F.col("__sb2").cast("double") - F.col("__sb").cast("double") * F.col("__sb").cast("double") / nb) / (nb - 1.0)
+    sp = F.sqrt(((na - 1.0) * va + (nb - 1.0) * vb) / (na + nb - 2.0))
+    d = (ma - mb) / sp
+    corr = 1.0 - 3.0 / (4.0 * (na + nb) - 9.0)
+    return m.select(
+        F.col("__na").alias("n_a"),
+        F.col("__nb").alias("n_b"),
+        F.round(ma - mb, round_to).alias("mean_diff"),
+        F.round(d, round_to).alias("cohen_d"),
+        F.round(d * corr, round_to).alias("hedges_g"),
+        F.round((ma - mb) / F.sqrt(vb), round_to).alias("glass_delta"),
+    )
+
+
+def effect_sizes_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`effect_sizes`."""
+    x = f"CAST({value_col} AS DECIMAL(18,2))"
+    return f"""
+    WITH m AS (
+      SELECT
+        CAST(SUM(CASE WHEN {group_col} = '{group_a}' THEN 1 ELSE 0 END)
+             AS BIGINT) AS na,
+        CAST(SUM(CASE WHEN {group_col} = '{group_b}' THEN 1 ELSE 0 END)
+             AS BIGINT) AS nb,
+        SUM(CASE WHEN {group_col} = '{group_a}' THEN {x} END) AS sa,
+        SUM(CASE WHEN {group_col} = '{group_b}' THEN {x} END) AS sb,
+        SUM(CASE WHEN {group_col} = '{group_a}' THEN {x} * {x} END) AS sa2,
+        SUM(CASE WHEN {group_col} = '{group_b}' THEN {x} * {x} END) AS sb2
+      FROM {table}
+      WHERE {group_col} IN ('{group_a}', '{group_b}')
+    ),
+    s AS (
+      SELECT na, nb,
+             CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+             CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+             (CAST(sa2 AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0) AS va,
+             (CAST(sb2 AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0) AS vb
+      FROM m
+    )
+    SELECT na AS n_a, nb AS n_b,
+           ROUND(ma - mb, {round_to}) AS mean_diff,
+           ROUND((ma - mb)
+                 / SQRT(((CAST(na AS DOUBLE) - 1.0) * va
+                         + (CAST(nb AS DOUBLE) - 1.0) * vb)
+                        / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0)),
+                 {round_to}) AS cohen_d,
+           ROUND((ma - mb)
+                 / SQRT(((CAST(na AS DOUBLE) - 1.0) * va
+                         + (CAST(nb AS DOUBLE) - 1.0) * vb)
+                        / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0))
+                 * (1.0 - 3.0 / (4.0 * (CAST(na AS DOUBLE)
+                                        + CAST(nb AS DOUBLE)) - 9.0)),
+                 {round_to}) AS hedges_g,
+           ROUND((ma - mb) / SQRT(vb), {round_to}) AS glass_delta
+    FROM s
+    """

@@ -446,3 +446,112 @@ def weibull_lifetime_fit_sql(
                  {round_to}) AS scale
     FROM mom
     """
+
+
+def nelson_aalen(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_days: int = 7,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator over the same
+    right-censored lifetime construction as :func:`kaplan_meier`:
+    ``H(t) = sum_{t_i <= t} d_i / n_i`` with the Fleming-Harrington
+    survival ``S_FH(t) = exp(-H(t))`` — the estimator of choice when
+    risk sets are small (no product-limit zero-collapse) and the
+    standard input to Cox-model baselines.
+
+    Same scale shape as KM: the corpus reduces once to per-user
+    lifetimes, then every statistic lives on the tiny distinct-
+    lifetime table (suffix-sum risk sets, ordered cumulative hazard).
+
+    Output: (t_days, n_risk, n_events, cum_hazard, survival_fh) at
+    each observed-event lifetime.
+    """
+    per_user = df.groupBy(user_col).agg(
+        F.min(F.col(ts_col).cast("date")).alias("__fd"),
+        F.max(F.col(ts_col).cast("date")).alias("__ld"),
+    )
+    horizon = df.agg(F.max(F.col(ts_col).cast("date")).alias("__hz"))
+    lifetimes = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("__ld", "__fd").cast("bigint").alias("t_days"),
+        (F.col("__ld") <= F.date_sub(F.col("__hz"), censor_days))
+        .cast("int")
+        .alias("__obs"),
+    )
+    counts = lifetimes.groupBy("t_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_all"),
+        F.sum("__obs").cast("bigint").alias("n_events"),
+    )
+    w_risk = Window.orderBy(F.col("t_days").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_cum = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        counts.withColumn("n_risk", F.sum("__n_all").over(w_risk))
+        .filter(F.col("n_events") > 0)
+        .withColumn(
+            "cum_hazard",
+            F.sum(
+                F.col("n_events") / F.col("n_risk").cast("double")
+            ).over(w_cum),
+        )
+        .select(
+            "t_days",
+            "n_risk",
+            "n_events",
+            F.round("cum_hazard", 6).alias("cum_hazard"),
+            F.round(F.exp(-F.col("cum_hazard")), 6).alias("survival_fh"),
+        )
+    )
+
+
+def nelson_aalen_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_days: int = 7,
+) -> str:
+    """DuckDB twin of :func:`nelson_aalen`."""
+    return f"""
+    WITH pu AS (
+      SELECT {user_col},
+             MIN(CAST({ts_col} AS DATE)) AS fd,
+             MAX(CAST({ts_col} AS DATE)) AS ld
+      FROM {table} GROUP BY {user_col}
+    ),
+    hz AS (SELECT MAX(CAST({ts_col} AS DATE)) AS hz FROM {table}),
+    lt AS (
+      SELECT CAST(date_diff('day', fd, ld) AS BIGINT) AS t_days,
+             CASE WHEN ld <= hz - INTERVAL {censor_days} DAY
+                  THEN 1 ELSE 0 END AS obs
+      FROM pu, hz
+    ),
+    c AS (
+      SELECT t_days, CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(SUM(obs) AS BIGINT) AS n_events
+      FROM lt GROUP BY t_days
+    ),
+    r AS (
+      SELECT t_days, n_events,
+             CAST(SUM(n_all) OVER (
+               ORDER BY t_days DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS n_risk
+      FROM c
+    ),
+    h AS (
+      SELECT t_days, n_risk, n_events,
+             SUM(n_events / CAST(n_risk AS DOUBLE)) OVER (
+               ORDER BY t_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_hazard
+      FROM r WHERE n_events > 0
+    )
+    SELECT t_days, n_risk, n_events,
+           ROUND(cum_hazard, 6) AS cum_hazard,
+           ROUND(exp(-cum_hazard), 6) AS survival_fh
+    FROM h
+    """

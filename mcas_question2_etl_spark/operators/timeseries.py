@@ -2698,3 +2698,123 @@ def segmented_regression_sql(
     ORDER BY sse ASC, t ASC
     LIMIT 1
     """
+
+
+def haar_energy(
+    daily: DataFrame,
+    series_col: str = "event_type",
+    date_col: str = "day",
+    value_col: str = "c",
+    levels: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Unnormalized Haar wavelet detail energies per series — the
+    multi-resolution complement to `periodogram_event_periods`
+    (Fourier sees global periodicity; Haar details localize variance
+    to a TIME SCALE: level 1 = day-to-day roughness, level 2 =
+    2-day-block roughness, ...).
+
+    Per level the series pairs up in time order: detail
+    ``d = x_odd - x_even``, approximation ``a = x_odd + x_even``
+    (unnormalized integer Haar — exact BIGINTs on count data; the
+    conventional 1/2^l normalization is applied only at output in
+    double). Odd tails drop deterministically. Energy_l = sum d².
+
+    Scale shape: the corpus reduces once to the daily aggregate; each
+    level is a groupBy on (series, pair-id) over a table that HALVES
+    per level — levels cost a geometric series of tiny shuffles,
+    parallel across series.
+
+    Output per (series, level): (series, level, n_pairs, energy_raw,
+    energy_norm).
+    """
+    idx = daily.select(
+        F.col(series_col).alias("__s"),
+        F.col(value_col).cast("bigint").alias("__x"),
+        F.row_number()
+        .over(Window.partitionBy(series_col).orderBy(date_col))
+        .alias("__i"),
+    )
+    out = None
+    cur = idx
+    for lvl in range(1, levels + 1):
+        paired = cur.groupBy(
+            "__s", ((F.col("__i") - 1) / 2).cast("bigint").alias("__p")
+        ).agg(
+            F.sum(
+                F.when(F.col("__i") % 2 == 1, F.col("__x")).otherwise(
+                    -F.col("__x")
+                )
+            ).alias("__d"),
+            F.sum("__x").alias("__a"),
+            F.count(F.lit(1)).alias("__c"),
+        ).filter(F.col("__c") == 2)
+        energy = paired.groupBy("__s").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("__d") * F.col("__d")).cast("bigint").alias(
+                "energy_raw"
+            ),
+        ).select(
+            F.col("__s").alias(series_col),
+            F.lit(lvl).alias("level"),
+            "n_pairs",
+            "energy_raw",
+            F.round(
+                F.col("energy_raw").cast("double")
+                / F.lit(float(2 ** lvl)),
+                round_to,
+            ).alias("energy_norm"),
+        )
+        out = energy if out is None else out.unionAll(energy)
+        cur = paired.select(
+            "__s", (F.col("__p") + 1).alias("__i"), F.col("__a").alias("__x")
+        )
+    return out.orderBy(series_col, "level")
+
+
+def haar_energy_sql(
+    daily_sql: str,
+    series_col: str = "event_type",
+    date_col: str = "day",
+    value_col: str = "c",
+    levels: int = 3,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`haar_energy` (levels unrolled as chained
+    CTEs)."""
+    ctes = [
+        f"""d0 AS ({daily_sql}),
+    idx0 AS (
+      SELECT {series_col} AS s, CAST({value_col} AS BIGINT) AS x,
+             ROW_NUMBER() OVER (
+               PARTITION BY {series_col} ORDER BY {date_col}) AS i
+      FROM d0
+    )"""
+    ]
+    energies = []
+    for lvl in range(1, levels + 1):
+        ctes.append(
+            f"""p{lvl} AS (
+      SELECT s, (i - 1) // 2 AS p,
+             SUM(CASE WHEN i % 2 = 1 THEN x ELSE -x END) AS d,
+             SUM(x) AS a, COUNT(*) AS c
+      FROM idx{lvl - 1} GROUP BY s, (i - 1) // 2
+    ),
+    pc{lvl} AS (SELECT * FROM p{lvl} WHERE c = 2),
+    idx{lvl} AS (SELECT s, p + 1 AS i, a AS x FROM pc{lvl})"""
+        )
+        energies.append(
+            f"""SELECT s AS {series_col}, {lvl} AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(d * d) AS BIGINT) AS energy_raw,
+           ROUND(CAST(SUM(d * d) AS DOUBLE) / {float(2 ** lvl)!r},
+                 {round_to}) AS energy_norm
+    FROM pc{lvl} GROUP BY s"""
+        )
+    body = "\n    UNION ALL ".join(energies)
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT * FROM (\n    {body}\n    ) "
+        + f"ORDER BY {series_col}, level\n    "
+    )

@@ -2146,3 +2146,118 @@ def partial_correlation_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame
     return evaluation.partial_correlation(
         li, "l_quantity", "l_extendedprice", "l_discount"
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave69
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators import stump as _stump
+
+
+@_spec(
+    "nelson_aalen_hazard",
+    survival.nelson_aalen_sql(),
+    "survival op — Nelson-Aalen cumulative hazard + Fleming-"
+    "Harrington survival over the same censored-lifetime "
+    "construction as kaplan_meier_retention: the small-risk-set-"
+    "robust estimator and the standard Cox baseline input. Corpus "
+    "reduces once to per-user lifetimes; all statistics live on the "
+    "tiny distinct-lifetime table.",
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return survival.nelson_aalen(events)
+
+
+@_spec(
+    "decision_stump_totalprice",
+    _stump.decision_stump_sql(
+        "orders", "o_totalprice", "o_orderstatus = 'F'", 0.0, 600000.0
+    ),
+    "ML primitive — depth-1 CART split of o_totalprice for "
+    "predicting order status 'F', found the way distributed GBDTs "
+    "do it: 256 equi-width histogram bins in ONE corpus pass "
+    "(map-side combined), prefix sums over the bin table, then every "
+    "candidate boundary's weighted Gini from integer counts — no "
+    "per-threshold rescan, no sort.",
+)
+def decision_stump_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return _stump.decision_stump(
+        orders, "o_totalprice", "o_orderstatus = 'F'", 0.0, 600000.0
+    )
+
+
+@_spec(
+    "trimmed_mean_price",
+    """
+    WITH v AS (
+      SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    r AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v, l_orderkey, l_linenumber)
+               AS rn
+      FROM v
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v)
+    SELECT t.n,
+           t.n // 10 AS k_trim,
+           ROUND(CAST(SUM(r.v) AS DOUBLE)
+                 / (t.n - 2 * (t.n // 10)), 6) AS trimmed_mean
+    FROM r CROSS JOIN t
+    WHERE r.rn > t.n // 10 AND r.rn <= t.n - t.n // 10
+    GROUP BY t.n
+    """,
+    "robust op — 10%-per-side trimmed mean of l_extendedprice: the "
+    "robust-location complement to winsorized_price_stats (drop the "
+    "tails instead of clamping them). Global positions come from the "
+    "scale-out two-pass row_number (partition-local ranks + "
+    "broadcast offsets, no single-task window); trimmed sums stay "
+    "exact DECIMAL. Boundary ties are value-identical either side of "
+    "the cut, so the trimmed sum is order-tie invariant.",
+)
+def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    val = li.select(
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = with_global_row_number(
+        val, ["v", "l_orderkey", "l_linenumber"], "rn"
+    )
+    tot = val.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    klo = F.floor(F.col("n") / F.lit(10)).cast("bigint")
+    trimmed = ranked.crossJoin(F.broadcast(tot)).filter(
+        (F.col("rn") > klo) & (F.col("rn") <= F.col("n") - klo)
+    )
+    return trimmed.groupBy("n").agg(
+        F.floor(F.col("n") / F.lit(10)).cast("bigint").alias("k_trim"),
+        F.round(
+            F.sum("v").cast("double")
+            / (
+                F.col("n") - 2 * F.floor(F.col("n") / F.lit(10))
+            ).cast("double"),
+            6,
+        ).alias("trimmed_mean"),
+    ).select("n", "k_trim", "trimmed_mean")
+
+
+@_spec(
+    "effect_sizes_click_purchase",
+    evaluation.effect_sizes_sql(
+        "events", "event_type", "value", "click", "purchase"
+    ),
+    "stats op — Cohen's d / Hedges' g / Glass's delta for the click "
+    "vs purchase value difference: the standardized-magnitude report "
+    "the significance tests (welch_ttest, mann_whitney) deliberately "
+    "do not give. Exact-decimal moments in one map-side-combined "
+    "aggregate; ratios in double on bit-identical inputs.",
+)
+def effect_sizes_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return evaluation.effect_sizes(
+        events, "event_type", "value", "click", "purchase"
+    )

@@ -1464,3 +1464,23 @@ def segmented_regression_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y")
     )
     return timeseries.segmented_regression(daily)
+
+
+@_spec(
+    "haar_energy_daily",
+    timeseries.haar_energy_sql(_DAILY_SQL.strip()),
+    "timeseries op — Haar wavelet detail energies (levels 1-3) per "
+    "event type over the daily count series: the multi-resolution "
+    "complement to the periodogram — details localize variance to a "
+    "TIME SCALE. Unnormalized integer Haar keeps every detail and "
+    "energy an exact BIGINT (normalization applied only at output); "
+    "each level is a groupBy over a table that halves, parallel "
+    "across series.",
+)
+def haar_energy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return timeseries.haar_energy(daily)
