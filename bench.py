@@ -480,6 +480,13 @@ HEADLINE = [
     "haar_energy_daily",
     "trimmed_mean_price",
     "effect_sizes_click_purchase",
+    # wave 70: association measures, divergences, stylometry, runs test
+    "cramers_v_source_lang",
+    "theils_u_source_lang",
+    "hellinger_click_purchase",
+    "js_divergence_sources",
+    "burrows_delta_sources",
+    "runs_test_daily",
 ]
 
 

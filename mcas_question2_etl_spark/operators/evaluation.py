@@ -2612,3 +2612,340 @@ def effect_sizes_sql(
            ROUND((ma - mb) / SQRT(vb), {round_to}) AS glass_delta
     FROM s
     """
+
+
+def cramers_v(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cramér's V with the Bergsma bias correction — the EFFECT-SIZE
+    companion to the chi-square independence test (chi2 says "is
+    there association", V says "how much", on [0,1] regardless of
+    table shape):
+
+      ``V = sqrt(chi2/n / min(r-1, c-1))``, and the corrected form
+      replaces ``chi2/n`` with ``max(0, chi2/n - (r-1)(c-1)/(n-1))``
+      and shrinks r, c the same way (Bergsma 2013).
+
+    Scale shape: identical to `chi_square_source_lang` — ONE corpus
+    aggregation to the contingency table; marginals, expecteds and
+    the zero-cell-complete grid all derive from that tiny table.
+
+    Output (one row): (n, r, c, chi2, v, v_corrected).
+    """
+    obs = (
+        df.groupBy(row_col, col_col)
+        .agg(F.count(F.lit(1)).alias("__o"))
+        .localCheckpoint(eager=False)
+    )
+    row_tot = obs.groupBy(row_col).agg(F.sum("__o").alias("__r"))
+    col_tot = obs.groupBy(col_col).agg(F.sum("__o").alias("__c"))
+    tot = obs.agg(F.sum("__o").cast("bigint").alias("__n"))
+    grid = (
+        row_tot.crossJoin(col_tot)
+        .join(obs, [row_col, col_col], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.coalesce(F.col("__o"), F.lit(0)).alias("__o"),
+            (
+                F.col("__r").cast("double")
+                * F.col("__c")
+                / F.col("__n")
+            ).alias("__e"),
+            "__n",
+        )
+    )
+    chi2 = grid.groupBy("__n").agg(
+        F.sum(
+            (F.col("__o") - F.col("__e"))
+            * (F.col("__o") - F.col("__e"))
+            / F.col("__e")
+        ).alias("__chi2")
+    )
+    dims = row_tot.agg(F.count(F.lit(1)).cast("bigint").alias("__rr")).crossJoin(
+        col_tot.agg(F.count(F.lit(1)).cast("bigint").alias("__cc"))
+    )
+    j = chi2.crossJoin(F.broadcast(dims))
+    nn = F.col("__n").cast("double")
+    rr, cc = F.col("__rr").cast("double"), F.col("__cc").cast("double")
+    phi2 = F.col("__chi2") / nn
+    v = F.sqrt(phi2 / F.least(rr - 1.0, cc - 1.0))
+    phi2c = F.greatest(
+        phi2 - (rr - 1.0) * (cc - 1.0) / (nn - 1.0), F.lit(0.0)
+    )
+    rc = rr - (rr - 1.0) * (rr - 1.0) / (nn - 1.0)
+    cc2 = cc - (cc - 1.0) * (cc - 1.0) / (nn - 1.0)
+    vc = F.sqrt(phi2c / F.least(rc - 1.0, cc2 - 1.0))
+    return j.select(
+        F.col("__n").alias("n"),
+        F.col("__rr").alias("r"),
+        F.col("__cc").alias("c"),
+        F.round("__chi2", round_to).alias("chi2"),
+        F.round(v, round_to).alias("v"),
+        F.round(vc, round_to).alias("v_corrected"),
+    )
+
+
+def cramers_v_sql(
+    table: str,
+    row_col: str,
+    col_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`cramers_v`."""
+    return f"""
+    WITH obs AS (
+      SELECT {row_col} AS rk, {col_col} AS ck,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM {table} GROUP BY 1, 2
+    ),
+    row_tot AS (SELECT rk, SUM(o) AS r FROM obs GROUP BY 1),
+    col_tot AS (SELECT ck, SUM(o) AS c FROM obs GROUP BY 1),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    grid AS (
+      SELECT COALESCE(obs.o, 0) AS o,
+             CAST(rt.r AS DOUBLE) * ct.c / t.n AS e,
+             t.n
+      FROM row_tot rt CROSS JOIN col_tot ct CROSS JOIN tot t
+      LEFT JOIN obs ON obs.rk = rt.rk AND obs.ck = ct.ck
+    ),
+    x AS (
+      SELECT n, SUM((o - e) * (o - e) / e) AS chi2 FROM grid GROUP BY n
+    ),
+    dims AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM row_tot) AS rr,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM col_tot) AS cc
+    )
+    SELECT x.n, dims.rr AS r, dims.cc AS c,
+           ROUND(x.chi2, {round_to}) AS chi2,
+           ROUND(SQRT((x.chi2 / CAST(x.n AS DOUBLE))
+                 / LEAST(CAST(dims.rr AS DOUBLE) - 1.0,
+                         CAST(dims.cc AS DOUBLE) - 1.0)),
+                 {round_to}) AS v,
+           ROUND(SQRT(GREATEST(x.chi2 / CAST(x.n AS DOUBLE)
+                       - (CAST(dims.rr AS DOUBLE) - 1.0)
+                         * (CAST(dims.cc AS DOUBLE) - 1.0)
+                         / (CAST(x.n AS DOUBLE) - 1.0), 0.0)
+                 / LEAST((CAST(dims.rr AS DOUBLE)
+                          - (CAST(dims.rr AS DOUBLE) - 1.0)
+                            * (CAST(dims.rr AS DOUBLE) - 1.0)
+                            / (CAST(x.n AS DOUBLE) - 1.0)) - 1.0,
+                         (CAST(dims.cc AS DOUBLE)
+                          - (CAST(dims.cc AS DOUBLE) - 1.0)
+                            * (CAST(dims.cc AS DOUBLE) - 1.0)
+                            / (CAST(x.n AS DOUBLE) - 1.0)) - 1.0)),
+                 {round_to}) AS v_corrected
+    FROM x CROSS JOIN dims
+    """
+
+
+def theils_u(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Theil's uncertainty coefficient U(x|y) and U(y|x) — the
+    ASYMMETRIC categorical-association measure (how much knowing y
+    reduces uncertainty about x, as a fraction of H(x)); Cramér's V
+    is symmetric and can hide one-directional dependence:
+
+      ``U(x|y) = (H(x) - H(x|y)) / H(x) = I(x;y) / H(x)``.
+
+    Everything derives from the one contingency aggregation: H(x),
+    H(y) from the marginals, the mutual information from the joint —
+    all natural-log arithmetic over the tiny table.
+
+    Output (one row): (n, h_x, h_y, mutual_info, u_x_given_y,
+    u_y_given_x).
+    """
+    obs = (
+        df.groupBy(x_col, y_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__o"))
+        .localCheckpoint(eager=False)
+    )
+    tot = obs.agg(F.sum("__o").cast("double").alias("__n"))
+    xm = obs.groupBy(x_col).agg(F.sum("__o").alias("__rx"))
+    ym = obs.groupBy(y_col).agg(F.sum("__o").alias("__ry"))
+    hx = xm.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(
+            (F.col("__rx") / F.col("__n"))
+            * F.log(F.col("__rx") / F.col("__n"))
+        )).alias("__hx")
+    )
+    hy = ym.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(
+            (F.col("__ry") / F.col("__n"))
+            * F.log(F.col("__ry") / F.col("__n"))
+        )).alias("__hy")
+    )
+    mi = (
+        obs.join(F.broadcast(xm), x_col)
+        .join(F.broadcast(ym), y_col)
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("__o") / F.col("__n"))
+                * F.log(
+                    F.col("__o").cast("double")
+                    * F.col("__n")
+                    / (F.col("__rx").cast("double") * F.col("__ry"))
+                )
+            ).alias("__mi"),
+            F.sum("__o").cast("bigint").alias("n"),
+        )
+    )
+    j = mi.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+    return j.select(
+        "n",
+        F.round("__hx", round_to).alias("h_x"),
+        F.round("__hy", round_to).alias("h_y"),
+        F.round("__mi", round_to).alias("mutual_info"),
+        F.round(F.col("__mi") / F.col("__hx"), round_to).alias("u_x_given_y"),
+        F.round(F.col("__mi") / F.col("__hy"), round_to).alias("u_y_given_x"),
+    )
+
+
+def theils_u_sql(
+    table: str,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`theils_u`."""
+    return f"""
+    WITH obs AS (
+      SELECT {x_col} AS xk, {y_col} AS yk,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM {table} GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM obs),
+    xm AS (SELECT xk, SUM(o) AS rx FROM obs GROUP BY 1),
+    ym AS (SELECT yk, SUM(o) AS ry FROM obs GROUP BY 1),
+    hx AS (
+      SELECT -SUM((rx / n) * ln(rx / n)) AS hx FROM xm CROSS JOIN tot
+    ),
+    hy AS (
+      SELECT -SUM((ry / n) * ln(ry / n)) AS hy FROM ym CROSS JOIN tot
+    ),
+    mi AS (
+      SELECT SUM((o / n) * ln(CAST(o AS DOUBLE) * n
+                              / (CAST(rx AS DOUBLE) * ry))) AS mi,
+             CAST(SUM(o) AS BIGINT) AS n_rows
+      FROM obs JOIN xm USING (xk) JOIN ym USING (yk) CROSS JOIN tot
+    )
+    SELECT mi.n_rows AS n,
+           ROUND(hx.hx, {round_to}) AS h_x,
+           ROUND(hy.hy, {round_to}) AS h_y,
+           ROUND(mi.mi, {round_to}) AS mutual_info,
+           ROUND(mi.mi / hx.hx, {round_to}) AS u_x_given_y,
+           ROUND(mi.mi / hy.hy, {round_to}) AS u_y_given_x
+    FROM mi CROSS JOIN hx CROSS JOIN hy
+    """
+
+
+def hellinger_binned(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 24,
+    round_to: int = 6,
+) -> DataFrame:
+    """Hellinger distance between two groups' value distributions
+    over a fixed equi-width histogram — the bounded-metric complement
+    to `psi_source_drift` (PSI explodes on near-empty bins; Hellinger
+    stays in [0,1] and is a true metric):
+
+      ``BC = sum_i sqrt(p_i * q_i)``, ``H = sqrt(1 - BC)``.
+
+    Bin assignment is the repo's explicit floor-divide histogram
+    discipline; bin counts are exact integers from ONE corpus
+    aggregation, so only the final sqrt arithmetic runs in double.
+
+    Output (one row): (n_a, n_b, bhattacharyya, hellinger).
+    """
+    width = (hi - lo) / n_bins
+    x = F.col(value_col).cast("double")
+    b = F.least(
+        F.greatest(
+            F.floor((x - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    )
+    g = F.col(group_col)
+    two = df.filter(g.isin([group_a, group_b]))
+    bins = two.groupBy(b.alias("__b")).agg(
+        F.sum(F.when(g == group_a, 1).otherwise(0)).cast("bigint").alias("__ca"),
+        F.sum(F.when(g == group_b, 1).otherwise(0)).cast("bigint").alias("__cb"),
+    )
+    tot = bins.agg(
+        F.sum("__ca").cast("bigint").alias("__na"),
+        F.sum("__cb").cast("bigint").alias("__nb"),
+    )
+    bc = bins.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.sqrt(
+                (F.col("__ca").cast("double") / F.col("__na"))
+                * (F.col("__cb").cast("double") / F.col("__nb"))
+            )
+        ).alias("__bc"),
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+    )
+    return bc.select(
+        "n_a",
+        "n_b",
+        F.round("__bc", round_to).alias("bhattacharyya"),
+        F.round(F.sqrt(1.0 - F.col("__bc")), round_to).alias("hellinger"),
+    )
+
+
+def hellinger_binned_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 24,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`hellinger_binned`."""
+    width = (hi - lo) / n_bins
+    return f"""
+    WITH bins AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((CAST({value_col} AS DOUBLE)
+                                        - CAST({lo!r} AS DOUBLE))
+                                       / CAST({width!r} AS DOUBLE))
+                                 AS INTEGER), 0), {n_bins - 1}) AS b,
+             CAST(SUM(CASE WHEN {group_col} = '{group_a}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN {group_col} = '{group_b}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM {table}
+      WHERE {group_col} IN ('{group_a}', '{group_b}')
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na,
+             CAST(SUM(cb) AS BIGINT) AS nb
+      FROM bins
+    ),
+    bc AS (
+      SELECT SUM(SQRT((CAST(ca AS DOUBLE) / na)
+                      * (CAST(cb AS DOUBLE) / nb))) AS bc,
+             MAX(na) AS n_a, MAX(nb) AS n_b
+      FROM bins CROSS JOIN tot
+    )
+    SELECT n_a, n_b,
+           ROUND(bc, {round_to}) AS bhattacharyya,
+           ROUND(SQRT(1.0 - bc), {round_to}) AS hellinger
+    FROM bc
+    """

@@ -1979,3 +1979,286 @@ def doremi_domain_weights_sql(
     FROM ex CROSS JOIN z
     ORDER BY source
     """
+
+
+def js_divergence_pairs(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source token
+    distributions over the top-``top_n`` global types (renormalized)
+    — the SYMMETRIC, bounded (<= ln 2) divergence matrix that
+    `source_token_divergence`'s KL-from-global cannot give (KL is
+    asymmetric and unbounded; JS is what you cluster domains by):
+
+      ``JS(p,q) = 0.5 KL(p||m) + 0.5 KL(q||m)``, ``m = (p+q)/2``.
+
+    Scale shape: one corpus explode to (source, token) counts; the
+    top-n type table broadcasts back; per-source distributions are
+    (sources x top_n) tiny and the pair matrix is #source-pairs rows.
+    Zero-count cells contribute 0 to their own KL term (lim p->0 of
+    p ln(p/m) = 0) and are handled identically in both engines via
+    the full grid.
+
+    Output per pair (a < b): (source_a, source_b, js, js_distance).
+    """
+    clean = df.select(
+        F.col(source_col).alias("__src"),
+        F.explode(tokens(text_col)).alias("__t"),
+    ).filter(F.col("__t") != "")
+    counts = clean.groupBy("__t").agg(F.count(F.lit(1)).alias("__cnt"))
+    w = Window.orderBy(F.col("__cnt").desc(), F.col("__t"))
+    top = counts.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= top_n
+    ).select("__t")
+    per_src = (
+        clean.join(F.broadcast(top), "__t")
+        .groupBy("__src", "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    src_tot = per_src.groupBy("__src").agg(F.sum("__c").alias("__n"))
+    # full grid (source x top token) incl. zero cells
+    grid = (
+        src_tot.crossJoin(top)
+        .join(per_src, ["__src", "__t"], "left")
+        .select(
+            "__src",
+            "__t",
+            (
+                F.coalesce(F.col("__c"), F.lit(0)).cast("double")
+                / F.col("__n")
+            ).alias("__p"),
+        )
+    )
+    a = grid.select(
+        F.col("__src").alias("source_a"),
+        F.col("__t").alias("__t"),
+        F.col("__p").alias("__pa"),
+    )
+    b = grid.select(
+        F.col("__src").alias("source_b"),
+        F.col("__t").alias("__t"),
+        F.col("__p").alias("__pb"),
+    )
+    pairs = a.join(b, "__t").filter(F.col("source_a") < F.col("source_b"))
+    m = (F.col("__pa") + F.col("__pb")) / 2.0
+    term_a = F.when(
+        F.col("__pa") > 0.0,
+        F.col("__pa") * F.log(F.col("__pa") / m),
+    ).otherwise(0.0)
+    term_b = F.when(
+        F.col("__pb") > 0.0,
+        F.col("__pb") * F.log(F.col("__pb") / m),
+    ).otherwise(0.0)
+    js = pairs.groupBy("source_a", "source_b").agg(
+        (0.5 * F.sum(term_a) + 0.5 * F.sum(term_b)).alias("__js")
+    )
+    return js.select(
+        "source_a",
+        "source_b",
+        F.round("__js", 6).alias("js"),
+        F.round(F.sqrt(F.col("__js")), 6).alias("js_distance"),
+    ).orderBy("source_a", "source_b")
+
+
+def js_divergence_pairs_sql(
+    source_col: str = "source",
+    text_col: str = "text",
+    table: str = "documents",
+    top_n: int = 100,
+) -> str:
+    """DuckDB twin of :func:`js_divergence_pairs`."""
+    return f"""
+    WITH clean AS (
+      SELECT {source_col} AS src,
+             unnest(string_split({text_col}, ' ')) AS t
+      FROM {table}
+    ),
+    cl AS (SELECT * FROM clean WHERE t <> ''),
+    counts AS (SELECT t, COUNT(*) AS cnt FROM cl GROUP BY t),
+    top AS (
+      SELECT t FROM (
+        SELECT t, ROW_NUMBER() OVER (ORDER BY cnt DESC, t) AS rn
+        FROM counts
+      ) WHERE rn <= {top_n}
+    ),
+    per_src AS (
+      SELECT cl.src, cl.t, COUNT(*) AS c
+      FROM cl JOIN top USING (t) GROUP BY cl.src, cl.t
+    ),
+    src_tot AS (SELECT src, SUM(c) AS n FROM per_src GROUP BY src),
+    grid AS (
+      SELECT st.src, top.t,
+             CAST(COALESCE(ps.c, 0) AS DOUBLE) / st.n AS p
+      FROM src_tot st CROSS JOIN top
+      LEFT JOIN per_src ps ON ps.src = st.src AND ps.t = top.t
+    ),
+    pairs AS (
+      SELECT a.src AS source_a, b.src AS source_b,
+             a.p AS pa, b.p AS pb
+      FROM grid a JOIN grid b ON a.t = b.t AND a.src < b.src
+    ),
+    js AS (
+      SELECT source_a, source_b,
+             0.5 * SUM(CASE WHEN pa > 0.0
+                            THEN pa * ln(pa / ((pa + pb) / 2.0))
+                            ELSE 0.0 END)
+             + 0.5 * SUM(CASE WHEN pb > 0.0
+                              THEN pb * ln(pb / ((pa + pb) / 2.0))
+                              ELSE 0.0 END) AS js
+      FROM pairs GROUP BY source_a, source_b
+    )
+    SELECT source_a, source_b,
+           ROUND(js, 6) AS js,
+           ROUND(SQRT(js), 6) AS js_distance
+    FROM js ORDER BY source_a, source_b
+    """
+
+
+def burrows_delta(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    top_n: int = 50,
+) -> DataFrame:
+    """Burrows' Delta — the classic stylometric distance (Burrows
+    2002; the standard authorship-attribution measure): z-score each
+    source's relative frequency of the top-``top_n`` corpus types
+    across sources, then Delta(a,b) = mean |z_a - z_b| over the
+    types. Domains with similar function-word profiles score low —
+    a copy-editing/provenance signal no content-topic measure gives.
+
+    Same scale shape as :func:`js_divergence_pairs`: one corpus
+    explode; everything after lives on (sources x top_n) tables.
+    The population sd across sources uses the exact-moment form; a
+    type with zero cross-source variance is skipped in both engines
+    (contributes no |dz| term and shrinks the denominator count).
+
+    Output per pair (a < b): (source_a, source_b, n_terms, delta).
+    """
+    clean = df.select(
+        F.col(source_col).alias("__src"),
+        F.explode(tokens(text_col)).alias("__t"),
+    ).filter(F.col("__t") != "")
+    counts = clean.groupBy("__t").agg(F.count(F.lit(1)).alias("__cnt"))
+    w = Window.orderBy(F.col("__cnt").desc(), F.col("__t"))
+    top = counts.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= top_n
+    ).select("__t")
+    per_src = (
+        clean.join(F.broadcast(top), "__t")
+        .groupBy("__src", "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    src_tot = clean.groupBy("__src").agg(F.sum(F.lit(1)).alias("__n"))
+    grid = (
+        src_tot.crossJoin(top)
+        .join(per_src, ["__src", "__t"], "left")
+        .select(
+            "__src",
+            "__t",
+            (
+                F.coalesce(F.col("__c"), F.lit(0)).cast("double")
+                / F.col("__n")
+            ).alias("__f"),
+        )
+    )
+    stats = grid.groupBy("__t").agg(
+        F.avg("__f").alias("__mu"),
+        F.count(F.lit(1)).alias("__k"),
+        (
+            F.sum(F.col("__f") * F.col("__f")) / F.count(F.lit(1))
+        ).alias("__m2"),
+    ).select(
+        "__t",
+        "__mu",
+        F.sqrt(
+            F.greatest(
+                F.col("__m2") - F.col("__mu") * F.col("__mu"), F.lit(0.0)
+            )
+        ).alias("__sd"),
+    ).filter(F.col("__sd") > 0.0)
+    z = grid.join(F.broadcast(stats), "__t").select(
+        "__src",
+        "__t",
+        ((F.col("__f") - F.col("__mu")) / F.col("__sd")).alias("__z"),
+    )
+    a = z.select(
+        F.col("__src").alias("source_a"), "__t", F.col("__z").alias("__za")
+    )
+    b = z.select(
+        F.col("__src").alias("source_b"), "__t", F.col("__z").alias("__zb")
+    )
+    pairs = a.join(b, "__t").filter(F.col("source_a") < F.col("source_b"))
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.round(
+                F.sum(F.abs(F.col("__za") - F.col("__zb")))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("delta"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def burrows_delta_sql(
+    source_col: str = "source",
+    text_col: str = "text",
+    table: str = "documents",
+    top_n: int = 50,
+) -> str:
+    """DuckDB twin of :func:`burrows_delta`."""
+    return f"""
+    WITH clean AS (
+      SELECT {source_col} AS src,
+             unnest(string_split({text_col}, ' ')) AS t
+      FROM {table}
+    ),
+    cl AS (SELECT * FROM clean WHERE t <> ''),
+    counts AS (SELECT t, COUNT(*) AS cnt FROM cl GROUP BY t),
+    top AS (
+      SELECT t FROM (
+        SELECT t, ROW_NUMBER() OVER (ORDER BY cnt DESC, t) AS rn
+        FROM counts
+      ) WHERE rn <= {top_n}
+    ),
+    per_src AS (
+      SELECT cl.src, cl.t, COUNT(*) AS c
+      FROM cl JOIN top USING (t) GROUP BY cl.src, cl.t
+    ),
+    src_tot AS (SELECT src, SUM(1) AS n FROM cl GROUP BY src),
+    grid AS (
+      SELECT st.src, top.t,
+             CAST(COALESCE(ps.c, 0) AS DOUBLE) / st.n AS f
+      FROM src_tot st CROSS JOIN top
+      LEFT JOIN per_src ps ON ps.src = st.src AND ps.t = top.t
+    ),
+    stats AS (
+      SELECT t, mu, SQRT(GREATEST(m2 - mu * mu, 0.0)) AS sd
+      FROM (
+        SELECT t, AVG(f) AS mu,
+               SUM(f * f) / COUNT(*) AS m2
+        FROM grid GROUP BY t
+      )
+      WHERE SQRT(GREATEST(m2 - mu * mu, 0.0)) > 0.0
+    ),
+    z AS (
+      SELECT g.src, g.t, (g.f - s.mu) / s.sd AS z
+      FROM grid g JOIN stats s ON g.t = s.t
+    ),
+    pairs AS (
+      SELECT a.src AS source_a, b.src AS source_b,
+             ABS(a.z - b.z) AS dz
+      FROM z a JOIN z b ON a.t = b.t AND a.src < b.src
+    )
+    SELECT source_a, source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(SUM(dz) / COUNT(*), 6) AS delta
+    FROM pairs GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """

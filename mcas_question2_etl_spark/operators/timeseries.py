@@ -2818,3 +2818,140 @@ def haar_energy_sql(
         + f"\n    SELECT * FROM (\n    {body}\n    ) "
         + f"ORDER BY {series_col}, level\n    "
     )
+
+
+def runs_test(
+    daily: DataFrame,
+    date_col: str = "day",
+    value_col: str = "c",
+    round_to: int = 6,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of a daily series
+    around its median: code each day above/below the median (ties to
+    the median are dropped, the standard treatment), count RUNS of
+    consecutive same-signs, and compare against the expected run
+    count under exchangeability:
+
+      ``E[R] = 2 n1 n2 / (n1+n2) + 1``,
+      ``Var[R] = 2 n1 n2 (2 n1 n2 - n1 - n2)
+                 / ((n1+n2)^2 (n1+n2-1))``.
+
+    Too FEW runs = trending/clustered; too MANY = oscillating. The
+    median uses the doubled-median order-statistic trick (exact
+    integer 2*median on count data, no float interpolation); signs,
+    run boundaries (a lag window over the daily table) and n1/n2 are
+    all exact integers — only the final z runs in double.
+
+    Output (one row): (n_days, n_above, n_below, runs, z).
+    """
+    ranked = daily.select(
+        F.col(date_col).alias("__d"),
+        F.col(value_col).cast("bigint").alias("__x"),
+    ).withColumn("__rn", F.row_number().over(Window.orderBy("__x", "__d")))
+    cnt = ranked.agg(F.max("__rn").alias("__n"))
+    med2 = (
+        ranked.crossJoin(F.broadcast(cnt))
+        .filter(
+            (F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
+            | (F.col("__rn") == F.ceil((F.col("__n") + 1) / 2))
+        )
+        .agg(
+            F.when(F.count(F.lit(1)) == 1, F.sum("__x") * 2)
+            .otherwise(F.sum("__x"))
+            .alias("__m2")
+        )
+    )
+    signed = (
+        ranked.crossJoin(F.broadcast(med2))
+        .filter(F.col("__x") * 2 != F.col("__m2"))
+        .select(
+            "__d",
+            (F.col("__x") * 2 > F.col("__m2")).cast("int").alias("__s"),
+        )
+    )
+    w_lag = Window.orderBy("__d")
+    runs = signed.withColumn(
+        "__new", (F.col("__s") != F.lag("__s", 1).over(w_lag)).cast("int")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nd"),
+        F.sum("__s").cast("bigint").alias("n_above"),
+        F.sum(F.lit(1) - F.col("__s")).cast("bigint").alias("n_below"),
+        (F.coalesce(F.sum("__new"), F.lit(0)) + 1).cast("bigint").alias(
+            "runs"
+        ),
+    )
+    n1, n2 = F.col("n_above").cast("double"), F.col("n_below").cast("double")
+    er = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    vr = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    z = (F.col("runs").cast("double") - er) / F.sqrt(vr)
+    return runs.select(
+        F.col("__nd").alias("n_days"),
+        "n_above",
+        "n_below",
+        "runs",
+        F.round(z, round_to).alias("z"),
+    )
+
+
+def runs_test_sql(
+    daily_sql: str,
+    date_col: str = "day",
+    value_col: str = "c",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`runs_test`."""
+    return f"""
+    WITH d AS ({daily_sql}),
+    ranked AS (
+      SELECT {date_col} AS dd, CAST({value_col} AS BIGINT) AS x,
+             ROW_NUMBER() OVER (ORDER BY CAST({value_col} AS BIGINT),
+                                {date_col}) AS rn
+      FROM d
+    ),
+    cnt AS (SELECT MAX(rn) AS n FROM ranked),
+    med2 AS (
+      SELECT CASE WHEN COUNT(*) = 1 THEN SUM(x) * 2 ELSE SUM(x) END AS m2
+      FROM ranked CROSS JOIN cnt
+      WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    ),
+    signed AS (
+      SELECT dd, CASE WHEN x * 2 > m2 THEN 1 ELSE 0 END AS s
+      FROM ranked CROSS JOIN med2
+      WHERE x * 2 <> m2
+    ),
+    r AS (
+      SELECT dd, s,
+             CASE WHEN s <> LAG(s, 1) OVER (ORDER BY dd)
+                  THEN 1 ELSE 0 END AS new
+      FROM signed
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(SUM(s) AS BIGINT) AS n_above,
+             CAST(SUM(1 - s) AS BIGINT) AS n_below,
+             CAST(COALESCE(SUM(new), 0) + 1 AS BIGINT) AS runs
+      FROM r
+    )
+    SELECT nd AS n_days, n_above, n_below, runs,
+           ROUND((CAST(runs AS DOUBLE)
+                  - (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                     / (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+                     + 1.0))
+                 / SQRT(2.0 * CAST(n_above AS DOUBLE)
+                        * CAST(n_below AS DOUBLE)
+                        * (2.0 * CAST(n_above AS DOUBLE)
+                           * CAST(n_below AS DOUBLE)
+                           - CAST(n_above AS DOUBLE)
+                           - CAST(n_below AS DOUBLE))
+                        / ((CAST(n_above AS DOUBLE)
+                            + CAST(n_below AS DOUBLE))
+                           * (CAST(n_above AS DOUBLE)
+                              + CAST(n_below AS DOUBLE))
+                           * (CAST(n_above AS DOUBLE)
+                              + CAST(n_below AS DOUBLE) - 1.0))),
+                 {round_to}) AS z
+    FROM agg
+    """

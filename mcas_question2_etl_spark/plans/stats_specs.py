@@ -2261,3 +2261,51 @@ def effect_sizes_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluation.effect_sizes(
         events, "event_type", "value", "click", "purchase"
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave70
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "cramers_v_source_lang",
+    evaluation.cramers_v_sql("documents", "source", "lang"),
+    "stats op — Cramér's V with Bergsma bias correction over the "
+    "source x lang contingency: the EFFECT-SIZE companion to "
+    "chi_square_source_lang (chi2 says whether, V says how much, on "
+    "[0,1]). One corpus aggregation; marginals, expecteds and the "
+    "zero-cell-complete grid derive from the tiny contingency table.",
+)
+def cramers_v_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return evaluation.cramers_v(docs, "source", "lang")
+
+
+@_spec(
+    "theils_u_source_lang",
+    evaluation.theils_u_sql("documents", "source", "lang"),
+    "stats op — Theil's uncertainty coefficient U(source|lang) and "
+    "U(lang|source): the ASYMMETRIC association measure Cramér's V "
+    "cannot give (one-directional dependence). Entropies and mutual "
+    "information all from the one contingency aggregation.",
+)
+def theils_u_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return evaluation.theils_u(docs, "source", "lang")
+
+
+@_spec(
+    "hellinger_click_purchase",
+    evaluation.hellinger_binned_sql(
+        "events", "event_type", "value", "click", "purchase", 0.0, 600.0
+    ),
+    "stats op — Hellinger distance between click and purchase value "
+    "distributions over a 24-bin fixed histogram: the bounded-metric "
+    "complement to psi_source_drift (PSI explodes on near-empty "
+    "bins; Hellinger stays in [0,1]). Bin counts exact integers from "
+    "ONE corpus aggregation.",
+)
+def hellinger_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return evaluation.hellinger_binned(
+        events, "event_type", "value", "click", "purchase", 0.0, 600.0
+    )

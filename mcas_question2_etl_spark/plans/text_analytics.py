@@ -1550,3 +1550,33 @@ def kneser_ney_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.doremi_domain_weights(docs)
+
+
+@_spec(
+    "js_divergence_sources",
+    text.js_divergence_pairs_sql(),
+    "data-mixing op — pairwise Jensen-Shannon divergence matrix "
+    "between source token distributions over the renormalized "
+    "top-100 global types: the symmetric bounded divergence you "
+    "cluster domains by (KL-from-global in source_token_divergence "
+    "is asymmetric/unbounded). Zero cells contribute 0 via the full "
+    "grid, identically in both engines; everything after the one "
+    "corpus explode lives on (sources x 100) tables.",
+)
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.js_divergence_pairs(docs)
+
+
+@_spec(
+    "burrows_delta_sources",
+    text.burrows_delta_sql(),
+    "stylometry op — Burrows' Delta between sources over the top-50 "
+    "corpus types: z-scored relative frequencies, mean |dz| per "
+    "source pair — the classic authorship/provenance distance, a "
+    "style signal no topic measure gives. One corpus explode; "
+    "(sources x 50) tables after.",
+)
+def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.burrows_delta(docs)

@@ -1484,3 +1484,28 @@ def haar_energy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("day"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     return timeseries.haar_energy(daily)
+
+
+_TOTAL_DAILY_SQL = """
+      SELECT CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+"""
+
+
+@_spec(
+    "runs_test_daily",
+    timeseries.runs_test_sql(_TOTAL_DAILY_SQL.strip()),
+    "stats op — Wald-Wolfowitz runs test on daily total event counts "
+    "around the median: too few runs = trending, too many = "
+    "oscillating. Doubled-median order statistics keep the median "
+    "exact; signs, run boundaries and counts are exact integers, "
+    "only the final z is double. Prefix/lag windows over the daily "
+    "aggregate.",
+)
+def runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return timeseries.runs_test(daily)
