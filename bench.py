@@ -487,6 +487,10 @@ HEADLINE = [
     "js_divergence_sources",
     "burrows_delta_sources",
     "runs_test_daily",
+    # wave 71: seeded harmonic centrality, TextRank, RANSAC
+    "harmonic_centrality_seeds",
+    "textrank_keywords",
+    "ransac_line_daily",
 ]
 
 

@@ -696,3 +696,119 @@ def adamic_adar_links_sql(edges_cte: str, top_n: int = 20) -> str:
     ORDER BY aa_score DESC, u ASC, v ASC
     LIMIT {top_n}
     """
+
+
+def harmonic_centrality_seeds(
+    edges: DataFrame, seed_mod: int = 101, depth: int = 3
+) -> DataFrame:
+    """Truncated harmonic centrality for a deterministic seed set
+    (nodes with id divisible by ``seed_mod``): per seed,
+    ``H(s) = sum over v != s, d(s,v) <= depth of 1/d(s,v)`` — the
+    centrality that handles disconnected graphs gracefully (closeness
+    is undefined there) and, truncated at small depth, is the
+    standard big-graph compromise (full harmonic needs all-pairs
+    distances).
+
+    Unlike :func:`bfs_layers` (ONE multi-source wave), this keeps the
+    (seed, node) pair through the expansion, so per-round work is
+    O(edges touching the per-seed frontiers) — fan-out scales with
+    the seed count, which the modulus bounds; the left-anti dedup is
+    per (seed, node). Distances are exact small integers; 1/d sums
+    are bit-identical doubles in both engines.
+
+    Output per seed: (seed, n_hop1, n_hop2, n_hop3, harmonic).
+    """
+    und = edges.select(
+        F.col("a").alias("s"), F.col("b").alias("d")
+    ).unionAll(edges.select(F.col("b").alias("s"), F.col("a").alias("d")))
+    nodes = und.select(F.col("s").alias("node")).distinct()
+    seeds = nodes.filter((F.col("node") % seed_mod) == 0).select(
+        F.col("node").alias("seed")
+    )
+    frontier = seeds.select("seed", F.col("seed").alias("node"))
+    visited = frontier.withColumn("dist", F.lit(0))
+    for dd in range(1, depth + 1):
+        nxt = (
+            und.join(
+                frontier.select("seed", F.col("node").alias("s")), "s"
+            )
+            .select("seed", F.col("d").alias("node"))
+            .distinct()
+            .join(visited.select("seed", "node"), ["seed", "node"], "leftanti")
+        )
+        visited = visited.unionAll(nxt.withColumn("dist", F.lit(dd)))
+        frontier = nxt
+    per = visited.filter(F.col("dist") > 0).groupBy("seed").agg(
+        F.sum((F.col("dist") == 1).cast("long")).cast("bigint").alias("n_hop1"),
+        F.sum((F.col("dist") == 2).cast("long")).cast("bigint").alias("n_hop2"),
+        F.sum((F.col("dist") == 3).cast("long")).cast("bigint").alias("n_hop3"),
+    )
+    h = (
+        F.col("n_hop1").cast("double")
+        + F.col("n_hop2").cast("double") / 2.0
+        + F.col("n_hop3").cast("double") / 3.0
+    )
+    return per.select(
+        "seed", "n_hop1", "n_hop2", "n_hop3",
+        F.round(h, 6).alias("harmonic"),
+    ).orderBy("seed")
+
+
+def harmonic_centrality_seeds_sql(
+    edges_cte: str, seed_mod: int = 101, depth: int = 3
+) -> str:
+    """DuckDB twin of :func:`harmonic_centrality_seeds` (depth-3
+    unrolled)."""
+    assert depth == 3, "SQL twin is unrolled for depth=3"
+    return f"""
+    WITH {edges_cte},
+    und AS (
+      SELECT a AS s, b AS d FROM e0
+      UNION ALL SELECT b, a FROM e0
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM und),
+    seeds AS (SELECT node AS seed FROM nodes WHERE node % {seed_mod} = 0),
+    l0 AS (SELECT seed, seed AS node FROM seeds),
+    l1 AS (
+      SELECT DISTINCT f.seed, u.d AS node
+      FROM und u JOIN l0 f ON u.s = f.node
+      WHERE NOT EXISTS (SELECT 1 FROM l0 v
+                        WHERE v.seed = f.seed AND v.node = u.d)
+    ),
+    l2 AS (
+      SELECT DISTINCT f.seed, u.d AS node
+      FROM und u JOIN l1 f ON u.s = f.node
+      WHERE NOT EXISTS (SELECT 1 FROM l0 v
+                        WHERE v.seed = f.seed AND v.node = u.d)
+        AND NOT EXISTS (SELECT 1 FROM l1 v
+                        WHERE v.seed = f.seed AND v.node = u.d)
+    ),
+    l3 AS (
+      SELECT DISTINCT f.seed, u.d AS node
+      FROM und u JOIN l2 f ON u.s = f.node
+      WHERE NOT EXISTS (SELECT 1 FROM l0 v
+                        WHERE v.seed = f.seed AND v.node = u.d)
+        AND NOT EXISTS (SELECT 1 FROM l1 v
+                        WHERE v.seed = f.seed AND v.node = u.d)
+        AND NOT EXISTS (SELECT 1 FROM l2 v
+                        WHERE v.seed = f.seed AND v.node = u.d)
+    ),
+    layers AS (
+      SELECT seed, node, 1 AS dist FROM l1
+      UNION ALL SELECT seed, node, 2 FROM l2
+      UNION ALL SELECT seed, node, 3 FROM l3
+    )
+    SELECT seed,
+           CAST(SUM(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hop1,
+           CAST(SUM(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hop2,
+           CAST(SUM(CASE WHEN dist = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hop3,
+           ROUND(CAST(SUM(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 + CAST(SUM(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / 2.0
+                 + CAST(SUM(CASE WHEN dist = 3 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / 3.0, 6) AS harmonic
+    FROM layers GROUP BY seed ORDER BY seed
+    """

@@ -247,3 +247,152 @@ def isotonic_fit_sql(
     SELECT t AS {bucket_col}, n, rate, MAX(mn) AS iso_rate
     FROM inner_min GROUP BY t, n, rate
     """
+
+
+def ransac_line(
+    daily: DataFrame,
+    date_col: str = "day",
+    value_col: str = "y",
+    seed_mod: int = 7,
+    seed_rem: int = 3,
+    eps_frac: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """RANSAC line fit over a daily series — the high-breakdown
+    alternative to OLS (`group_ols`) and Theil-Sen: candidate lines
+    come from pairs of DETERMINISTIC seed days (``day % seed_mod ==
+    seed_rem`` — the repo's modular-seed discipline, no RNG), each
+    candidate is scored by its INLIER COUNT (|residual| <= eps where
+    ``eps = eps_frac * stddev(y)``), and the best model wins with a
+    lowest-seed-pair tie-break.
+
+    Scale shape: seeds are a fixed fraction of DAYS (tiny), so the
+    candidate set is bounded pairs-of-seeds; scoring is ONE
+    broadcast join of candidates against the daily table with an
+    integer count aggregate — no per-candidate rescan, no O(n²) on
+    the data. Inlier decisions compare 6dp-ROUNDED residuals to a
+    4dp-ROUNDED eps so a last-ulp stddev difference cannot flip a
+    count across engines.
+
+    Output (one row): (n_days, n_candidates, x1, x2, slope,
+    intercept, n_inliers, inlier_frac).
+    """
+    pts = daily.select(
+        F.col(date_col).cast("bigint").alias("__x"),
+        F.col(value_col).cast("double").alias("__y"),
+    )
+    stats = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.round(
+            F.stddev_samp("__y") * F.lit(float(eps_frac)), 4
+        ).alias("__eps"),
+    )
+    seeds = pts.filter(F.col("__x") % seed_mod == seed_rem)
+    a = seeds.select(F.col("__x").alias("x1"), F.col("__y").alias("y1"))
+    b = seeds.select(F.col("__x").alias("x2"), F.col("__y").alias("y2"))
+    cands = (
+        a.join(b, F.col("x1") < F.col("x2"))
+        .select(
+            "x1",
+            "x2",
+            (
+                (F.col("y2") - F.col("y1"))
+                / (F.col("x2") - F.col("x1")).cast("double")
+            ).alias("__b"),
+            (
+                F.col("y1")
+                - (F.col("y2") - F.col("y1"))
+                / (F.col("x2") - F.col("x1")).cast("double")
+                * F.col("x1")
+            ).alias("__a"),
+        )
+    )
+    scored = (
+        pts.crossJoin(F.broadcast(cands))
+        .crossJoin(F.broadcast(stats))
+        .groupBy("x1", "x2", "__a", "__b", "__n", "__eps")
+        .agg(
+            F.sum(
+                (
+                    F.round(
+                        F.abs(
+                            F.col("__y")
+                            - (F.col("__a") + F.col("__b") * F.col("__x"))
+                        ),
+                        6,
+                    )
+                    <= F.col("__eps")
+                ).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_inliers")
+        )
+    )
+    n_cand = cands.count()
+    best = scored.orderBy(
+        F.col("n_inliers").desc(), F.col("x1").asc(), F.col("x2").asc()
+    ).limit(1)
+    return best.select(
+        F.col("__n").alias("n_days"),
+        F.lit(n_cand).cast("bigint").alias("n_candidates"),
+        "x1",
+        "x2",
+        F.round("__b", round_to).alias("slope"),
+        F.round("__a", round_to).alias("intercept"),
+        "n_inliers",
+        F.round(
+            F.col("n_inliers").cast("double") / F.col("__n"), round_to
+        ).alias("inlier_frac"),
+    )
+
+
+def ransac_line_sql(
+    daily_sql: str,
+    date_col: str = "day",
+    value_col: str = "y",
+    seed_mod: int = 7,
+    seed_rem: int = 3,
+    eps_frac: float = 0.5,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`ransac_line`."""
+    return f"""
+    WITH d AS ({daily_sql}),
+    pts AS (
+      SELECT CAST({date_col} AS BIGINT) AS x,
+             CAST({value_col} AS DOUBLE) AS y
+      FROM d
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(stddev_samp(y) * CAST({eps_frac!r} AS DOUBLE), 4) AS eps
+      FROM pts
+    ),
+    seeds AS (SELECT x, y FROM pts WHERE x % {seed_mod} = {seed_rem}),
+    cands AS (
+      SELECT a.x AS x1, b.x AS x2,
+             (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS slope,
+             a.y - (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) * a.x
+               AS intercept
+      FROM seeds a JOIN seeds b ON a.x < b.x
+    ),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cands),
+    scored AS (
+      SELECT c.x1, c.x2, c.slope, c.intercept, s.n, s.eps,
+             CAST(SUM(CASE WHEN ROUND(ABS(p.y - (c.intercept
+                                               + c.slope * p.x)), 6)
+                                <= s.eps
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers
+      FROM pts p CROSS JOIN cands c CROSS JOIN stats s
+      GROUP BY c.x1, c.x2, c.slope, c.intercept, s.n, s.eps
+    )
+    SELECT s.n AS n_days, nc.n_candidates, s.x1, s.x2,
+           ROUND(s.slope, {round_to}) AS slope,
+           ROUND(s.intercept, {round_to}) AS intercept,
+           s.n_inliers,
+           ROUND(CAST(s.n_inliers AS DOUBLE) / s.n, {round_to})
+             AS inlier_frac
+    FROM scored s CROSS JOIN nc
+    ORDER BY s.n_inliers DESC, s.x1 ASC, s.x2 ASC
+    LIMIT 1
+    """

@@ -2262,3 +2262,135 @@ def burrows_delta_sql(
     FROM pairs GROUP BY source_a, source_b
     ORDER BY source_a, source_b
     """
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 2,
+    damping: float = 0.85,
+    top_n: int = 20,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) — PageRank
+    over the word co-occurrence graph (adjacent-token edges), the
+    graph-centrality complement to `rake_keywords` (degree-heuristic)
+    and `tfidf_top_terms` (frequency-contrast):
+
+      ``PR_{t+1}(w) = (1-d) + d * sum over neighbors u of
+        weight(u,w)/wdeg(u) * PR_t(u)``,
+
+    from PR_0 = 1, a fixed small number of rounds (the deterministic-
+    iteration discipline used by `pagerank_customer_supplier` and
+    `hits_supplier_authority`).
+
+    Scale shape: ONE corpus scan builds the Zipf-bounded weighted
+    edge list (adjacent bigrams, symmetrized, weight = count); each
+    round is one broadcast-join + aggregate over that edge table;
+    scores live on the vocabulary table. Integer weights and degree
+    sums keep the transition fractions bit-identical across engines.
+
+    Output: top-``top_n`` (word, score) by rounded score, word
+    tie-break.
+    """
+    toked = df.select(tokens(text_col).alias("__ts"))
+    bigrams = F.expr(
+        "transform(slice(__ts, 1, size(__ts) - 1), "
+        "(t, i) -> struct(t as w1, __ts[i + 1] as w2))"
+    )
+    pairs = toked.select(F.explode(bigrams).alias("bg")).select(
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    ).filter((F.col("w1") != "") & (F.col("w2") != "") & (F.col("w1") != F.col("w2")))
+    und = pairs.unionAll(
+        pairs.select(F.col("w2").alias("w1"), F.col("w1").alias("w2"))
+    )
+    edges = und.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__wt")
+    ).localCheckpoint(eager=False)
+    wdeg = edges.groupBy("w1").agg(F.sum("__wt").alias("__deg"))
+    trans = edges.join(F.broadcast(wdeg), "w1").select(
+        "w1",
+        "w2",
+        (F.col("__wt").cast("double") / F.col("__deg")).alias("__p"),
+    )
+    scores = wdeg.select("w1", F.lit(1.0).alias("__pr"))
+    d = float(damping)
+    for _ in range(rounds):
+        contrib = trans.join(
+            F.broadcast(scores.withColumnRenamed("__pr", "__prev")), "w1"
+        ).groupBy("w2").agg(
+            F.sum(F.col("__p") * F.col("__prev")).alias("__in")
+        )
+        scores = (
+            wdeg.select("w1")
+            .join(contrib.withColumnRenamed("w2", "w1"), "w1", "left")
+            .select(
+                "w1",
+                (
+                    F.lit(1.0 - d)
+                    + F.lit(d) * F.coalesce(F.col("__in"), F.lit(0.0))
+                ).alias("__pr"),
+            )
+        )
+    return (
+        scores.select(
+            F.col("w1").alias("word"), F.round("__pr", 6).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("word").asc())
+        .limit(top_n)
+    )
+
+
+def textrank_keywords_sql(
+    text_col: str = "text",
+    table: str = "documents",
+    rounds: int = 2,
+    damping: float = 0.85,
+    top_n: int = 20,
+) -> str:
+    """DuckDB twin of :func:`textrank_keywords` (rounds unrolled)."""
+    d = float(damping)
+    prev = "s0"
+    round_ctes = []
+    for k in range(1, rounds + 1):
+        round_ctes.append(
+            f"""c{k} AS (
+      SELECT t.w2, SUM(t.p * s.pr) AS cin
+      FROM trans t JOIN {prev} s ON t.w1 = s.w1
+      GROUP BY t.w2
+    ),
+    s{k} AS (
+      SELECT wdeg.w1,
+             {1.0 - d!r} + {d!r} * COALESCE(c{k}.cin, 0.0) AS pr
+      FROM wdeg LEFT JOIN c{k} ON wdeg.w1 = c{k}.w2
+    )"""
+        )
+        prev = f"s{k}"
+    rounds_sql = ",\n    ".join(round_ctes)
+    return f"""
+    WITH toks AS (
+      SELECT string_split({text_col}, ' ') AS ts FROM {table}
+    ),
+    pairs AS (
+      SELECT ts[i] AS w1, ts[i + 1] AS w2
+      FROM toks, unnest(range(1, len(ts))) AS t(i)
+      WHERE ts[i] <> '' AND ts[i + 1] <> '' AND ts[i] <> ts[i + 1]
+    ),
+    und AS (
+      SELECT w1, w2 FROM pairs UNION ALL SELECT w2, w1 FROM pairs
+    ),
+    edges AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS wt
+      FROM und GROUP BY w1, w2
+    ),
+    wdeg AS (SELECT w1, SUM(wt) AS deg FROM edges GROUP BY w1),
+    trans AS (
+      SELECT e.w1, e.w2, CAST(e.wt AS DOUBLE) / w.deg AS p
+      FROM edges e JOIN wdeg w ON e.w1 = w.w1
+    ),
+    s0 AS (SELECT w1, 1.0 AS pr FROM wdeg),
+    {rounds_sql}
+    SELECT w1 AS word, ROUND(pr, 6) AS score
+    FROM {prev}
+    ORDER BY score DESC, word ASC
+    LIMIT {top_n}
+    """

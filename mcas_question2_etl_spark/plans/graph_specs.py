@@ -1069,3 +1069,21 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_metrics.adamic_adar_links(
         copurchase_edges(spark, sf_dir), top_n=20
     )
+
+
+@_spec(
+    "harmonic_centrality_seeds",
+    graph_metrics.harmonic_centrality_seeds_sql(_EDGES_CTE, seed_mod=101),
+    "graph op — truncated harmonic centrality (depth 3) for the "
+    "deterministic seed set on the co-purchase graph: the "
+    "disconnect-robust centrality, truncated as big-graph practice "
+    "requires. Keeps (seed, node) through the BFS expansion — "
+    "per-round cost scales with seed count (modulus-bounded), "
+    "per-(seed,node) left-anti dedup; 1/d sums are bit-identical "
+    "doubles from exact layer counts. Rides the shared "
+    "copurchase_edges parquet.",
+)
+def harmonic_centrality_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph_metrics.harmonic_centrality_seeds(
+        copurchase_edges(spark, sf_dir), seed_mod=101
+    )

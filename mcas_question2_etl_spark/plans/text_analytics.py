@@ -1580,3 +1580,19 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.burrows_delta(docs)
+
+
+@_spec(
+    "textrank_keywords",
+    text.textrank_keywords_sql(),
+    "text op — TextRank keyword extraction: PageRank (2 fixed "
+    "rounds, damping 0.85) over the adjacent-token co-occurrence "
+    "graph, the graph-centrality complement to rake_keywords and "
+    "tfidf_top_terms. One corpus scan builds the Zipf-bounded "
+    "weighted edge list; each round is one broadcast join + "
+    "aggregate over it; integer weights keep transition fractions "
+    "bit-identical.",
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.textrank_keywords(docs)

@@ -1509,3 +1509,35 @@ def runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("day")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     return timeseries.runs_test(daily)
+
+
+from ..operators import regression
+
+
+@_spec(
+    "ransac_line_daily",
+    regression.ransac_line_sql(_ORDERS_DAILY_SQL.strip(), seed_mod=53),
+    "robust op — RANSAC line fit over daily order revenue: candidate "
+    "lines from deterministic modular seed-day pairs (no RNG), each "
+    "scored by inlier count against a 6dp-rounded residual vs "
+    "4dp-rounded eps = 0.5*sd — counts stay exact integers across "
+    "engines. Bounded candidate set x ONE broadcast-join scoring "
+    "pass; no per-candidate rescan. Completes the robust-trend "
+    "family (Theil-Sen = median-of-slopes, RANSAC = consensus).",
+)
+def ransac_line_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    from ..operators import regression as _reg
+
+    return _reg.ransac_line(daily, seed_mod=53)
