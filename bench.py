@@ -491,6 +491,10 @@ HEADLINE = [
     "harmonic_centrality_seeds",
     "textrank_keywords",
     "ransac_line_daily",
+    # wave 72: Anderson-Darling, seasonal MK, spectral entropy
+    "anderson_darling_doclen",
+    "seasonal_mann_kendall",
+    "spectral_entropy_daily",
 ]
 
 

@@ -2949,3 +2949,168 @@ def hellinger_binned_sql(
            ROUND(SQRT(1.0 - bc), {round_to}) AS hellinger
     FROM bc
     """
+
+
+def anderson_darling_2s(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample Anderson-Darling test, tie-adjusted midrank version
+    (Scholz & Stephens 1987, A²_akN) — the TAIL-SENSITIVE upgrade to
+    `ks_test_sources`: KS sees only the single largest ECDF gap (and
+    is blind in the tails where the ECDFs pinch); AD integrates the
+    squared gap with 1/(F(1-F)) weighting, exactly where
+    distribution drift in length/score columns hides.
+
+      ``A² = (N-1)/N * sum_a (1/n_a) * sum_j (l_j/N)
+             * (N*M_aj - n_a*B_j)² / (B_j(N-B_j) - N*l_j/4)``
+
+    over distinct pooled values j (l_j ties at j; B_j, M_aj midrank
+    cumulative counts). DOUBLED midrank counts are exact integers
+    (same trick as `mann_whitney_u`), and multiplying each term's
+    numerator and denominator by 4 keeps EVERY intermediate an exact
+    bigint: ``(N*M2 - n_a*B2)² / (B2*(2N - B2) - N*l_j)`` with
+    ``M2 = 2*M_aj``, ``B2 = 2*B_j`` — only the final weighted sum
+    runs in double.
+
+    Scale shape: one scan to (value -> per-group counts); prefix
+    sums over the distinct-value table; a #distinct-row reduction.
+
+    Output (one row): (n_a, n_b, n_values, a2).
+    """
+    v = F.col(value_col).cast("bigint")
+    two = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("__g"), v.alias("__v")
+    )
+    counts = two.groupBy("__v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__l"),
+        F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0))
+        .cast("bigint")
+        .alias("__la"),
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    pre = counts.select(
+        "__v",
+        "__l",
+        "__la",
+        (F.col("__l") - F.col("__la")).alias("__lb"),
+        F.coalesce(F.sum("__l").over(w), F.lit(0)).alias("__bprev"),
+        F.coalesce(F.sum("__la").over(w), F.lit(0)).alias("__aprev"),
+    ).select(
+        "__v",
+        "__l",
+        "__la",
+        "__lb",
+        (2 * F.col("__bprev") + F.col("__l")).alias("__b2"),
+        (2 * F.col("__aprev") + F.col("__la")).alias("__ma2"),
+        (
+            2 * (F.col("__bprev") - F.col("__aprev"))
+            + F.col("__lb")
+        ).alias("__mb2"),
+    )
+    tot = counts.agg(
+        F.sum("__la").cast("bigint").alias("__na"),
+        F.sum(F.col("__l") - F.col("__la")).cast("bigint").alias("__nb"),
+        F.count(F.lit(1)).cast("bigint").alias("__nv"),
+    )
+    j = pre.crossJoin(F.broadcast(tot))
+    nn = (F.col("__na") + F.col("__nb")).cast("double")
+    big_n = F.col("__na") + F.col("__nb")
+
+    def _term(m2, n_s):
+        num = (big_n * m2 - n_s * F.col("__b2")).cast("double")
+        den = (
+            F.col("__b2") * (2 * big_n - F.col("__b2"))
+            - big_n * F.col("__l")
+        ).cast("double")
+        return F.when(
+            den > 0.0,
+            (F.col("__l").cast("double") / nn) * num * num / den,
+        ).otherwise(0.0)
+
+    agg = j.agg(
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+        F.max("__nv").alias("n_values"),
+        F.sum(_term(F.col("__ma2"), F.col("__na"))).alias("__sa"),
+        F.sum(_term(F.col("__mb2"), F.col("__nb"))).alias("__sb"),
+    )
+    nnn = (F.col("n_a") + F.col("n_b")).cast("double")
+    a2 = ((nnn - 1.0) / nnn) * (
+        F.col("__sa") / F.col("n_a") + F.col("__sb") / F.col("n_b")
+    )
+    return agg.select(
+        "n_a", "n_b", "n_values", F.round(a2, round_to).alias("a2")
+    )
+
+
+def anderson_darling_2s_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`anderson_darling_2s`."""
+    return f"""
+    WITH two AS (
+      SELECT {group_col} AS g, CAST({value_col} AS BIGINT) AS v
+      FROM {table}
+      WHERE {group_col} IN ('{group_a}', '{group_b}')
+    ),
+    counts AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS l,
+             CAST(SUM(CASE WHEN g = '{group_a}' THEN 1 ELSE 0 END) AS BIGINT)
+               AS la
+      FROM two GROUP BY v
+    ),
+    pre AS (
+      SELECT v, l, la, l - la AS lb,
+             2 * COALESCE(SUM(l) OVER wp, 0) + l AS b2,
+             2 * COALESCE(SUM(la) OVER wp, 0) + la AS ma2,
+             2 * (COALESCE(SUM(l) OVER wp, 0)
+                  - COALESCE(SUM(la) OVER wp, 0)) + (l - la) AS mb2
+      FROM counts
+      WINDOW wp AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING)
+    ),
+    tot AS (
+      SELECT CAST(SUM(la) AS BIGINT) AS na,
+             CAST(SUM(l - la) AS BIGINT) AS nb,
+             CAST(COUNT(*) AS BIGINT) AS nv
+      FROM counts
+    ),
+    terms AS (
+      SELECT tot.na, tot.nb, tot.nv,
+        CASE WHEN b2 * (2 * (na + nb) - b2) - (na + nb) * l > 0
+             THEN (CAST(l AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                  * CAST((na + nb) * ma2 - na * b2 AS DOUBLE)
+                  * CAST((na + nb) * ma2 - na * b2 AS DOUBLE)
+                  / CAST(b2 * (2 * (na + nb) - b2) - (na + nb) * l
+                         AS DOUBLE)
+             ELSE 0.0 END AS ta,
+        CASE WHEN b2 * (2 * (na + nb) - b2) - (na + nb) * l > 0
+             THEN (CAST(l AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                  * CAST((na + nb) * mb2 - nb * b2 AS DOUBLE)
+                  * CAST((na + nb) * mb2 - nb * b2 AS DOUBLE)
+                  / CAST(b2 * (2 * (na + nb) - b2) - (na + nb) * l
+                         AS DOUBLE)
+             ELSE 0.0 END AS tb
+      FROM pre CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT MAX(na) AS n_a, MAX(nb) AS n_b, MAX(nv) AS n_values,
+             SUM(ta) AS sa, SUM(tb) AS sb
+      FROM terms
+    )
+    SELECT n_a, n_b, n_values,
+           ROUND(((CAST(n_a + n_b AS DOUBLE) - 1.0)
+                  / CAST(n_a + n_b AS DOUBLE))
+                 * (sa / n_a + sb / n_b), {round_to}) AS a2
+    FROM agg
+    """

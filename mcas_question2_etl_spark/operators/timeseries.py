@@ -2955,3 +2955,130 @@ def runs_test_sql(
                  {round_to}) AS z
     FROM agg
     """
+
+
+def seasonal_mann_kendall(
+    df: DataFrame,
+    ts_col: str = "ts",
+    round_to: int = 6,
+) -> DataFrame:
+    """Seasonal Mann-Kendall trend test (Hirsch & Slack 1984) over
+    the daily total-count series, seasons = day-of-week: pairs are
+    compared only WITHIN a season, so a strong weekly cycle cannot
+    masquerade as (or mask) a monotonic trend — the failure mode of
+    plain `mann_kendall_trend` on weekday-patterned data.
+    ``S = sum_season S_s``, ``Var = sum_season Var_s`` (seasons
+    independent under H0), continuity-corrected z.
+
+    Exactness: identical integer discipline to the plain MK — S and
+    every tie-corrected variance numerator are exact bigints; the
+    day-pair join runs per season (O((days/7)²) bounded rows).
+
+    Output (one row): (n_days, s_stat, var_s, z).
+    """
+    daily = df.groupBy(
+        F.datediff(
+            F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    szn = daily.select(
+        (F.col("d") % 7).alias("g"), "d", "x"
+    )
+    a = szn.select("g", F.col("d").alias("di"), F.col("x").alias("xi"))
+    b = szn.select("g", F.col("d").alias("dj"), F.col("x").alias("xj"))
+    pairs = a.join(b, "g").where(F.col("di") < F.col("dj"))
+    s = pairs.groupBy("g").agg(
+        (
+            F.sum((F.col("xj") > F.col("xi")).cast("long"))
+            - F.sum((F.col("xj") < F.col("xi")).cast("long"))
+        ).cast("bigint").alias("__s")
+    )
+    nd = szn.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    ties = (
+        szn.groupBy("g", "x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__t"))
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.col("__t") * (F.col("__t") - 1) * (2 * F.col("__t") + 5)
+            ).cast("bigint").alias("__tv")
+        )
+    )
+    per = s.join(nd, "g").join(ties, "g").select(
+        "__s",
+        "__n",
+        (
+            F.col("__n") * (F.col("__n") - 1) * (2 * F.col("__n") + 5)
+            - F.col("__tv")
+        ).alias("__vn"),
+    )
+    agg = per.agg(
+        F.sum("__n").cast("bigint").alias("n_days"),
+        F.sum("__s").cast("bigint").alias("s_stat"),
+        (F.sum("__vn").cast("double") / 18.0).alias("var_s"),
+    )
+    s_d = F.col("s_stat").cast("double")
+    z = F.when(
+        F.col("s_stat") > 0, (s_d - 1.0) / F.sqrt(F.col("var_s"))
+    ).when(
+        F.col("s_stat") < 0, (s_d + 1.0) / F.sqrt(F.col("var_s"))
+    ).otherwise(0.0)
+    return agg.select(
+        "n_days",
+        "s_stat",
+        F.round("var_s", round_to).alias("var_s"),
+        F.round(z, round_to).alias("z"),
+    )
+
+
+def seasonal_mann_kendall_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`seasonal_mann_kendall`."""
+    return f"""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01',
+                            CAST({ts_col} AS DATE)) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM {table} GROUP BY 1
+    ),
+    szn AS (SELECT d % 7 AS g, d, x FROM daily),
+    s AS (
+      SELECT a.g,
+             CAST(SUM(CASE WHEN b.x > a.x THEN 1 ELSE 0 END)
+                  - SUM(CASE WHEN b.x < a.x THEN 1 ELSE 0 END) AS BIGINT)
+               AS s
+      FROM szn a JOIN szn b ON a.g = b.g AND a.d < b.d
+      GROUP BY a.g
+    ),
+    nd AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM szn GROUP BY g),
+    ties AS (
+      SELECT g, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tv
+      FROM (SELECT g, x, CAST(COUNT(*) AS BIGINT) AS t
+            FROM szn GROUP BY g, x)
+      GROUP BY g
+    ),
+    per AS (
+      SELECT s.s, nd.n,
+             nd.n * (nd.n - 1) * (2 * nd.n + 5) - ties.tv AS vn
+      FROM s JOIN nd USING (g) JOIN ties USING (g)
+    ),
+    agg AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_days,
+             CAST(SUM(s) AS BIGINT) AS s_stat,
+             CAST(SUM(vn) AS DOUBLE) / 18.0 AS var_s
+      FROM per
+    )
+    SELECT n_days, s_stat,
+           ROUND(var_s, {round_to}) AS var_s,
+           ROUND(CASE WHEN s_stat > 0
+                      THEN (CAST(s_stat AS DOUBLE) - 1.0) / SQRT(var_s)
+                      WHEN s_stat < 0
+                      THEN (CAST(s_stat AS DOUBLE) + 1.0) / SQRT(var_s)
+                      ELSE 0.0 END, {round_to}) AS z
+    FROM agg
+    """

@@ -2309,3 +2309,24 @@ def hellinger_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluation.hellinger_binned(
         events, "event_type", "value", "click", "purchase", 0.0, 600.0
     )
+
+
+@_spec(
+    "anderson_darling_doclen",
+    evaluation.anderson_darling_2s_sql(
+        "documents", "source", "LENGTH(text)", "src0", "src1"
+    ),
+    "stats op — two-sample Anderson-Darling (tie-adjusted midrank "
+    "A2_akN) on document lengths of src0 vs src1: the tail-"
+    "sensitive upgrade to ks_test_sources. Doubled midrank counts "
+    "and the x4-scaled term numerators/denominators keep EVERY "
+    "intermediate an exact bigint; one scan to the value->count "
+    "table, prefix sums over distinct values.",
+)
+def anderson_darling_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.length("text").alias("doclen")
+    )
+    return evaluation.anderson_darling_2s(
+        docs, "source", "doclen", "src0", "src1"
+    )

@@ -1541,3 +1541,81 @@ def ransac_line_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import regression as _reg
 
     return _reg.ransac_line(daily, seed_mod=53)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave72
+# ──────────────────────────────────────────────────────────────────────────
+_SPECTRAL_PERIODS = list(range(2, 31))
+
+
+@_spec(
+    "spectral_entropy_daily",
+    f"""
+    WITH pg AS ({{PG}})
+    , tot AS (SELECT SUM(power_frac) AS tp,
+                     CAST(COUNT(*) AS BIGINT) AS np
+              FROM pg WHERE power_frac > 0.0)
+    SELECT tot.np AS n_periods,
+           ROUND(tot.tp, 6) AS total_power_frac,
+           ROUND(-SUM((power_frac / tot.tp)
+                      * ln(power_frac / tot.tp)), 6) AS spectral_entropy,
+           ROUND(-SUM((power_frac / tot.tp)
+                      * ln(power_frac / tot.tp)) / ln(tot.np),
+                 6) AS entropy_norm
+    FROM pg CROSS JOIN tot
+    WHERE power_frac > 0.0
+    GROUP BY tot.np, tot.tp
+    """.replace(
+        "{PG}",
+        timeseries.periodogram_power_sql("events", "ts", _SPECTRAL_PERIODS),
+    ),
+    "timeseries op — spectral entropy of the daily count series over "
+    "the period-2..30 periodogram grid: one number for 'how "
+    "concentrated is the seasonality' (low = one dominant cycle, "
+    "high = noise-like) — the summary the per-period periodogram "
+    "lines don't give. Entropy is computed from the 6dp-ROUNDED "
+    "power fractions in BOTH engines, so the normalization and log "
+    "arithmetic see bit-identical inputs.",
+)
+def spectral_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pg = timeseries.periodogram_power(events, "ts", _SPECTRAL_PERIODS)
+    pos = pg.filter(F.col("power_frac") > 0.0)
+    tot = pos.agg(
+        F.sum("power_frac").alias("__tp"),
+        F.count(F.lit(1)).cast("bigint").alias("__np"),
+    )
+    p = F.col("power_frac") / F.col("__tp")
+    return (
+        pos.crossJoin(F.broadcast(tot))
+        .groupBy("__np", "__tp")
+        .agg(
+            F.round(F.max("__tp"), 6).alias("total_power_frac"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("spectral_entropy"),
+            F.round(
+                -F.sum(p * F.log(p)) / F.log(F.col("__np").cast("double")),
+                6,
+            ).alias("entropy_norm"),
+        )
+        .select(
+            F.col("__np").alias("n_periods"),
+            "total_power_frac",
+            "spectral_entropy",
+            "entropy_norm",
+        )
+    )
+
+
+@_spec(
+    "seasonal_mann_kendall",
+    timeseries.seasonal_mann_kendall_sql(),
+    "timeseries op — seasonal Mann-Kendall (seasons = day-of-week) "
+    "on daily total counts: within-season pair concordance so the "
+    "weekly cycle cannot masquerade as trend. S and the tie-"
+    "corrected variance numerators are exact bigints; the pair join "
+    "is O((days/7)^2) per season, bounded.",
+)
+def seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return timeseries.seasonal_mann_kendall(events)
