@@ -495,6 +495,14 @@ HEADLINE = [
     "anderson_darling_doclen",
     "seasonal_mann_kendall",
     "spectral_entropy_daily",
+    # wave 73: matched-binary Q, ordinal association, universe estimators
+    "cochrans_q_events",
+    "somers_d_qty_discount",
+    "capture_recapture_users",
+    "chao1_vocab_estimate",
+    # wave 74: concordance effect size, median test
+    "kendalls_w_event_types",
+    "median_test_priority_price",
 ]
 
 

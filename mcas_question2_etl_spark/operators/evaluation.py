@@ -3114,3 +3114,509 @@ def anderson_darling_2s_sql(
                  * (sa / n_a + sb / n_b), {round_to}) AS a2
     FROM agg
     """
+
+
+def cochrans_q(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cochran's Q test — the k-treatment generalization of McNemar
+    (`mcnemar_gates`) for BINARY outcomes over matched blocks: did
+    the success rate differ across k treatments, given each block
+    (user) was exposed to all of them?
+
+      ``Q = k(k-1) * sum_j (C_j - T/k)² / (k*T - sum_i R_i²)``
+
+    with C_j = per-treatment success counts, R_i = per-block success
+    counts, T = total successes. Presence is the binary outcome here
+    (did the block ever produce treatment j). EVERYTHING except the
+    final ratio is exact integer arithmetic — C_j, R_i, T, and the
+    squared sums; the j-sum is expanded as
+    ``sum C_j² - T²/k`` scaled by k² to stay integer:
+    ``Q = (k-1) * (k * sum C_j² - T²) / (k*T - sum R_i²)``.
+
+    Scale shape: one corpus scan to the distinct (block, treatment)
+    pair table; per-block and per-treatment rollups of that table;
+    two tiny reductions.
+
+    Output (one row): (n_blocks, k, q_stat).
+    """
+    pairs = df.select(
+        F.col(block_col).alias("__b"), F.col(treatment_col).alias("__t")
+    ).distinct()
+    k_row = pairs.select("__t").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("__k")
+    )
+    per_block = pairs.groupBy("__b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__r")
+    )
+    per_treat = pairs.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    blocks = per_block.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum("__r").cast("bigint").alias("__tt"),
+        F.sum(F.col("__r") * F.col("__r")).cast("bigint").alias("__r2"),
+    )
+    treats = per_treat.agg(
+        F.sum(F.col("__c") * F.col("__c")).cast("bigint").alias("__c2")
+    )
+    j = blocks.crossJoin(F.broadcast(treats)).crossJoin(F.broadcast(k_row))
+    k = F.col("__k")
+    den = k * F.col("__tt") - F.col("__r2")
+    q = F.when(
+        den != 0,
+        (k - 1).cast("double")
+        * (k * F.col("__c2") - F.col("__tt") * F.col("__tt")).cast("double")
+        / den.cast("double"),
+    )  # NULL when every block hit all k treatments (zero variance)
+    return j.select(
+        "n_blocks",
+        k.alias("k"),
+        F.round(q, round_to).alias("q_stat"),
+    )
+
+
+def cochrans_q_sql(
+    table: str,
+    block_col: str,
+    treatment_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`cochrans_q`."""
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT {block_col} AS b, {treatment_col} AS t
+      FROM {table}
+    ),
+    kk AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM pairs),
+    per_block AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS r FROM pairs GROUP BY b
+    ),
+    per_treat AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY t
+    ),
+    blocks AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(SUM(r) AS BIGINT) AS tt,
+             CAST(SUM(r * r) AS BIGINT) AS r2
+      FROM per_block
+    ),
+    treats AS (SELECT CAST(SUM(c * c) AS BIGINT) AS c2 FROM per_treat)
+    SELECT blocks.n_blocks, kk.k,
+           ROUND(CASE WHEN kk.k * blocks.tt - blocks.r2 <> 0
+                      THEN CAST(kk.k - 1 AS DOUBLE)
+                           * CAST(kk.k * treats.c2
+                                  - blocks.tt * blocks.tt AS DOUBLE)
+                           / CAST(kk.k * blocks.tt - blocks.r2 AS DOUBLE)
+                      ELSE NULL END,
+                 {round_to}) AS q_stat
+    FROM blocks CROSS JOIN treats CROSS JOIN kk
+    """
+
+
+def somers_d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Somers' D and Goodman-Kruskal gamma — ordinal-by-ordinal
+    association from the contingency table (the ordered complement to
+    Cramér's V, which ignores category ORDER): concordant/discordant
+    pair counts
+
+      ``gamma = (C - D) / (C + D)``,
+      ``D_yx = (C - D) / (n(n-1)/2 - sum ties_x)``.
+
+    Both ``x_col`` and ``y_col`` must be integer ordinal codes. C and
+    D come from the contingency grid via prefix rectangles:
+    ``C = sum_xy n_xy * N_above(x,y)`` where N_above is the count in
+    cells strictly greater on both axes — computed with grid-level
+    window sums over the TINY contingency table, so every
+    intermediate is an exact bigint; the corpus is scanned once.
+
+    Output (one row): (n, conc, disc, gamma, somers_d_yx).
+    """
+    obs = (
+        df.groupBy(
+            F.col(x_col).cast("bigint").alias("__x"),
+            F.col(y_col).cast("bigint").alias("__y"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__o"))
+        .localCheckpoint(eager=False)
+    )
+    a = obs.select(
+        F.col("__x").alias("x1"), F.col("__y").alias("y1"),
+        F.col("__o").alias("o1"),
+    )
+    b = obs.select(
+        F.col("__x").alias("x2"), F.col("__y").alias("y2"),
+        F.col("__o").alias("o2"),
+    )
+    cross = a.crossJoin(b)
+    conc = (
+        cross.filter((F.col("x2") > F.col("x1")) & (F.col("y2") > F.col("y1")))
+        .agg(
+            F.coalesce(F.sum(F.col("o1") * F.col("o2")), F.lit(0))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    disc = (
+        cross.filter((F.col("x2") > F.col("x1")) & (F.col("y2") < F.col("y1")))
+        .agg(
+            F.coalesce(F.sum(F.col("o1") * F.col("o2")), F.lit(0))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    tx = (
+        obs.groupBy("__x").agg(F.sum("__o").alias("__cx"))
+        .agg(
+            F.sum(F.col("__cx") * (F.col("__cx") - 1) / 2)
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    tot = obs.agg(F.sum("__o").cast("bigint").alias("n"))
+    j = (
+        tot.crossJoin(F.broadcast(conc.withColumnRenamed("v", "__conc")))
+        .crossJoin(F.broadcast(disc.withColumnRenamed("v", "__disc")))
+        .crossJoin(F.broadcast(tx.withColumnRenamed("v", "__tx")))
+    )
+    c, d = F.col("__conc").cast("double"), F.col("__disc").cast("double")
+    npairs = (F.col("n") * (F.col("n") - 1) / 2).cast("bigint")
+    return j.select(
+        "n",
+        F.col("__conc").alias("conc"),
+        F.col("__disc").alias("disc"),
+        F.round((c - d) / (c + d), round_to).alias("gamma"),
+        F.round(
+            (c - d) / (npairs - F.col("__tx")).cast("double"), round_to
+        ).alias("somers_d_yx"),
+    )
+
+
+def somers_d_sql(
+    table: str,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`somers_d`."""
+    return f"""
+    WITH obs AS (
+      SELECT CAST({x_col} AS BIGINT) AS x, CAST({y_col} AS BIGINT) AS y,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM {table} GROUP BY 1, 2
+    ),
+    conc AS (
+      SELECT CAST(COALESCE(SUM(a.o * b.o), 0) AS BIGINT) AS v
+      FROM obs a JOIN obs b ON b.x > a.x AND b.y > a.y
+    ),
+    disc AS (
+      SELECT CAST(COALESCE(SUM(a.o * b.o), 0) AS BIGINT) AS v
+      FROM obs a JOIN obs b ON b.x > a.x AND b.y < a.y
+    ),
+    tx AS (
+      SELECT CAST(SUM(cx * (cx - 1) / 2) AS BIGINT) AS v
+      FROM (SELECT SUM(o) AS cx FROM obs GROUP BY x)
+    ),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs)
+    SELECT tot.n,
+           conc.v AS conc,
+           disc.v AS disc,
+           ROUND((CAST(conc.v AS DOUBLE) - disc.v)
+                 / (CAST(conc.v AS DOUBLE) + disc.v), {round_to}) AS gamma,
+           ROUND((CAST(conc.v AS DOUBLE) - disc.v)
+                 / CAST(CAST(tot.n * (tot.n - 1) / 2 AS BIGINT) - tx.v
+                        AS DOUBLE),
+                 {round_to}) AS somers_d_yx
+    FROM tot CROSS JOIN conc CROSS JOIN disc CROSS JOIN tx
+    """
+
+
+def kendalls_w(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Kendall's coefficient of concordance W — "how consistently do
+    the blocks rank the treatments" on [0,1] (the EFFECT SIZE whose
+    significance test is `friedman_test`; W=1 means every day ranks
+    the event types identically). Tie-corrected form:
+
+      ``W = (12*sum R_j² - 3 n² k (k+1)²)
+            / (n² k (k²-1) - n * sum_i T_i)``,
+
+    with R_j the treatment rank sums and T_i = sum(t³-t) over tie
+    groups within block i. DOUBLED within-block average ranks are
+    exact integers (rank-window + tie-count, as in `friedman_test`),
+    so ``sum (2R_j)² = 4 sum R_j²`` and every T_i stay exact bigints
+    — the x4-scaled numerator/denominator identity
+    ``W = (12*sum R2_j² - 12 n² k (k+1)²/4*4...)`` reduces to exact
+    integer arithmetic; only the final ratio is double.
+
+    Output (one row): (n_blocks, k, w).
+    """
+    k_total = df.select(treatment_col).distinct().count()
+    complete = (
+        df.groupBy(block_col)
+        .agg(F.count(F.lit(1)).alias("__nb"))
+        .filter(F.col("__nb") == k_total)
+        .select(block_col)
+    )
+    rows = df.join(complete, block_col)
+    w_rank = Window.partitionBy(block_col).orderBy(value_col)
+    w_tie = Window.partitionBy(block_col, value_col)
+    ranked = rows.select(
+        F.col(block_col).alias("__bl"),
+        F.col(treatment_col).alias("__tr"),
+        (
+            2 * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_tie)
+            - 1
+        ).alias("__dr"),
+    )
+    per_tr = ranked.groupBy("__tr").agg(
+        F.sum("__dr").cast("bigint").alias("__r2")
+    )
+    sums = per_tr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("__r2") * F.col("__r2")).cast("bigint").alias("__sr22"),
+    )
+    ties = (
+        rows.groupBy(block_col, value_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__t"))
+        .agg(
+            F.sum(
+                F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+            ).cast("bigint").alias("__tt")
+        )
+    )
+    n_blocks = complete.count()
+    j = sums.crossJoin(F.broadcast(ties))
+    n = F.lit(n_blocks).cast("bigint")
+    k = F.col("k")
+    # with R2 = 2R: sum R² = sr22/4 -> W = (12*sr22/4 - 3n²k(k+1)²)
+    #   / (n²k(k²-1) - n*tt) = (3*sr22 - 3n²k(k+1)²) / denom
+    num = (
+        3 * F.col("__sr22") - 3 * n * n * k * (k + 1) * (k + 1)
+    ).cast("double")
+    den = (n * n * k * (k * k - 1) - n * F.col("__tt")).cast("double")
+    return j.select(
+        n.alias("n_blocks"),
+        k.alias("k"),
+        F.round(num / den, round_to).alias("w"),
+    )
+
+
+def kendalls_w_sql(
+    table_sql: str,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`kendalls_w`."""
+    return f"""
+    WITH t AS ({table_sql}),
+    kt AS (SELECT CAST(COUNT(DISTINCT {treatment_col}) AS BIGINT) AS k
+           FROM t),
+    complete AS (
+      SELECT {block_col} FROM t CROSS JOIN kt
+      GROUP BY {block_col}, kt.k HAVING COUNT(*) = kt.k
+    ),
+    rows_c AS (SELECT t.* FROM t JOIN complete USING ({block_col})),
+    ranked AS (
+      SELECT {treatment_col} AS tr,
+             2 * RANK() OVER (
+               PARTITION BY {block_col} ORDER BY {value_col})
+             + COUNT(*) OVER (
+               PARTITION BY {block_col}, {value_col})
+             - 1 AS dr
+      FROM rows_c
+    ),
+    per_tr AS (
+      SELECT tr, CAST(SUM(dr) AS BIGINT) AS r2 FROM ranked GROUP BY tr
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(r2 * r2) AS BIGINT) AS sr22
+      FROM per_tr
+    ),
+    tiec AS (
+      SELECT CAST(SUM(tc * tc * tc - tc) AS BIGINT) AS tt
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS tc
+            FROM rows_c GROUP BY {block_col}, {value_col})
+    ),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM complete)
+    SELECT nb.n AS n_blocks, sums.k,
+           ROUND(CAST(3 * sums.sr22
+                      - 3 * nb.n * nb.n * sums.k
+                        * (sums.k + 1) * (sums.k + 1) AS DOUBLE)
+                 / CAST(nb.n * nb.n * sums.k * (sums.k * sums.k - 1)
+                        - nb.n * tiec.tt AS DOUBLE),
+                 {round_to}) AS w
+    FROM sums CROSS JOIN tiec CROSS JOIN nb
+    """
+
+
+def median_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Brown-Mood median test: do the k groups share a common median?
+    Each observation is classified above/below the GRAND median
+    (doubled-median order statistics — exact, no interpolation; ties
+    AT the median drop, the standard treatment) and the k x 2
+    above/below contingency is tested with Pearson chi-square. The
+    crudest but most assumption-free of the k-sample location tests
+    (`kruskal_wallis` uses full ranks; this uses one bit per row).
+
+    Counts are exact integers; expecteds and chi2 run in double on
+    bit-identical inputs. One ranked pass for the grand median (the
+    scale-out two-pass global position would slot in beyond memory),
+    one classification scan, k-row arithmetic.
+
+    Output (one row): (k, n_used, n_dropped, chi2, dof).
+    """
+    x = F.col(value_col).cast("decimal(18,2)")
+    vals = df.select(F.col(group_col).alias("__g"), x.alias("__x"))
+    ranked = vals.withColumn(
+        "__rn", F.row_number().over(Window.orderBy("__x"))
+    )
+    cnt = ranked.agg(F.max("__rn").alias("__n"))
+    med2 = (
+        ranked.crossJoin(F.broadcast(cnt))
+        .filter(
+            (F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
+            | (F.col("__rn") == F.ceil((F.col("__n") + 1) / 2))
+        )
+        .agg(
+            F.when(F.count(F.lit(1)) == 1, F.sum("__x") * 2)
+            .otherwise(F.sum("__x"))
+            .cast("decimal(18,2)")
+            .alias("__m2")
+        )
+    )
+    classified = vals.crossJoin(F.broadcast(med2)).withColumn(
+        "__above",
+        F.when(F.col("__x") * 2 > F.col("__m2"), 1)
+        .when(F.col("__x") * 2 < F.col("__m2"), 0)
+        .otherwise(F.lit(None)),
+    )
+    per = classified.groupBy("__g").agg(
+        F.sum((F.col("__above") == 1).cast("long")).cast("bigint").alias("__a"),
+        F.sum((F.col("__above") == 0).cast("long")).cast("bigint").alias("__b"),
+        F.sum(F.col("__above").isNull().cast("long")).cast("bigint").alias(
+            "__d"
+        ),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("__a").cast("bigint").alias("__ta"),
+        F.sum("__b").cast("bigint").alias("__tb"),
+        F.sum("__d").cast("bigint").alias("__td"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    nn = (F.col("__ta") + F.col("__tb")).cast("double")
+    ea = (F.col("__a") + F.col("__b")).cast("double") * F.col("__ta") / nn
+    eb = (F.col("__a") + F.col("__b")).cast("double") * F.col("__tb") / nn
+    chi_terms = (
+        (F.col("__a").cast("double") - ea) * (F.col("__a").cast("double") - ea) / ea
+        + (F.col("__b").cast("double") - eb) * (F.col("__b").cast("double") - eb) / eb
+    )
+    agg = j.groupBy("k", "__ta", "__tb", "__td").agg(
+        F.sum(chi_terms).alias("__chi2")
+    )
+    return agg.select(
+        "k",
+        (F.col("__ta") + F.col("__tb")).cast("bigint").alias("n_used"),
+        F.col("__td").alias("n_dropped"),
+        F.round("__chi2", round_to).alias("chi2"),
+        (F.col("k") - 1).cast("bigint").alias("dof"),
+    )
+
+
+def median_test_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`median_test`."""
+    return f"""
+    WITH vals AS (
+      SELECT {group_col} AS g, CAST({value_col} AS DECIMAL(18,2)) AS x
+      FROM {table}
+    ),
+    ranked AS (
+      SELECT g, x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM vals
+    ),
+    cnt AS (SELECT MAX(rn) AS n FROM ranked),
+    med2 AS (
+      SELECT CAST(CASE WHEN COUNT(*) = 1 THEN SUM(x) * 2 ELSE SUM(x) END
+                  AS DECIMAL(18,2)) AS m2
+      FROM ranked CROSS JOIN cnt
+      WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    ),
+    classified AS (
+      SELECT g,
+             CASE WHEN x * 2 > m2 THEN 1
+                  WHEN x * 2 < m2 THEN 0
+                  ELSE NULL END AS above
+      FROM vals CROSS JOIN med2
+    ),
+    per AS (
+      SELECT g,
+             CAST(SUM(CASE WHEN above = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS a,
+             CAST(SUM(CASE WHEN above = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS b,
+             CAST(SUM(CASE WHEN above IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS d
+      FROM classified GROUP BY g
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(a) AS BIGINT) AS ta,
+             CAST(SUM(b) AS BIGINT) AS tb,
+             CAST(SUM(d) AS BIGINT) AS td
+      FROM per
+    ),
+    agg AS (
+      SELECT tot.k, tot.ta, tot.tb, tot.td,
+             SUM((CAST(a AS DOUBLE)
+                  - CAST(a + b AS DOUBLE) * tot.ta
+                    / CAST(tot.ta + tot.tb AS DOUBLE))
+                 * (CAST(a AS DOUBLE)
+                    - CAST(a + b AS DOUBLE) * tot.ta
+                      / CAST(tot.ta + tot.tb AS DOUBLE))
+                 / (CAST(a + b AS DOUBLE) * tot.ta
+                    / CAST(tot.ta + tot.tb AS DOUBLE))
+                 + (CAST(b AS DOUBLE)
+                    - CAST(a + b AS DOUBLE) * tot.tb
+                      / CAST(tot.ta + tot.tb AS DOUBLE))
+                   * (CAST(b AS DOUBLE)
+                      - CAST(a + b AS DOUBLE) * tot.tb
+                        / CAST(tot.ta + tot.tb AS DOUBLE))
+                   / (CAST(a + b AS DOUBLE) * tot.tb
+                      / CAST(tot.ta + tot.tb AS DOUBLE))) AS chi2
+      FROM per CROSS JOIN tot
+      GROUP BY tot.k, tot.ta, tot.tb, tot.td
+    )
+    SELECT k,
+           CAST(ta + tb AS BIGINT) AS n_used,
+           td AS n_dropped,
+           ROUND(chi2, {round_to}) AS chi2,
+           CAST(k - 1 AS BIGINT) AS dof
+    FROM agg
+    """

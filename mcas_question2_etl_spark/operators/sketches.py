@@ -461,3 +461,163 @@ def ams_f2_accuracy_sql(
              / CAST(exact.f2_exact AS DOUBLE) < {tolerance!r} AS within_tol
     FROM exact CROSS JOIN med
     """
+
+
+def capture_recapture(
+    df: DataFrame,
+    key_col: str,
+    mark_a_expr: str,
+    mark_b_expr: str,
+    round_to: int = 2,
+) -> DataFrame:
+    """Chapman capture-recapture population estimate — how many
+    distinct keys exist in the UNIVERSE given two overlapping
+    observation windows (the ecology estimator data engineers reuse
+    to size a partially-crawled corpus or user base):
+
+      ``N_hat = (n1 + 1)(n2 + 1) / (m + 1) - 1``
+
+    with n1/n2 = distinct keys marked by each window and m = marked
+    by both; Chapman's +1s debias the classic Lincoln-Petersen form.
+    The standard error is
+    ``sqrt((n1+1)(n2+1)(n1-m)(n2-m) / ((m+1)²(m+2)))``.
+
+    n1, n2, m come from ONE scan aggregated per key (two boolean
+    marks), then one count aggregate — exact integers into the final
+    two ratios.
+
+    Output (one row): (n1, n2, m_both, n_hat, se).
+    """
+    marks = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.max(F.expr(mark_a_expr).cast("int")).alias("__a"),
+        F.max(F.expr(mark_b_expr).cast("int")).alias("__b"),
+    )
+    agg = marks.agg(
+        F.sum("__a").cast("bigint").alias("n1"),
+        F.sum("__b").cast("bigint").alias("n2"),
+        F.sum(F.col("__a") * F.col("__b")).cast("bigint").alias("m_both"),
+    )
+    n1, n2, m = (
+        F.col("n1").cast("double"),
+        F.col("n2").cast("double"),
+        F.col("m_both").cast("double"),
+    )
+    n_hat = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+    se = F.sqrt(
+        (n1 + 1.0) * (n2 + 1.0) * (n1 - m) * (n2 - m)
+        / ((m + 1.0) * (m + 1.0) * (m + 2.0))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "m_both",
+        F.round(n_hat, round_to).alias("n_hat"),
+        F.round(se, round_to).alias("se"),
+    )
+
+
+def capture_recapture_sql(
+    table: str,
+    key_col: str,
+    mark_a_expr: str,
+    mark_b_expr: str,
+    round_to: int = 2,
+) -> str:
+    """DuckDB twin of :func:`capture_recapture`."""
+    return f"""
+    WITH marks AS (
+      SELECT {key_col} AS k,
+             MAX(CAST(({mark_a_expr}) AS INTEGER)) AS a,
+             MAX(CAST(({mark_b_expr}) AS INTEGER)) AS b
+      FROM {table} GROUP BY {key_col}
+    ),
+    agg AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n1,
+             CAST(SUM(b) AS BIGINT) AS n2,
+             CAST(SUM(a * b) AS BIGINT) AS m_both
+      FROM marks
+    )
+    SELECT n1, n2, m_both,
+           ROUND((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+                 / (CAST(m_both AS DOUBLE) + 1.0) - 1.0,
+                 {round_to}) AS n_hat,
+           ROUND(SQRT((CAST(n1 AS DOUBLE) + 1.0)
+                      * (CAST(n2 AS DOUBLE) + 1.0)
+                      * (CAST(n1 AS DOUBLE) - m_both)
+                      * (CAST(n2 AS DOUBLE) - m_both)
+                      / ((CAST(m_both AS DOUBLE) + 1.0)
+                         * (CAST(m_both AS DOUBLE) + 1.0)
+                         * (CAST(m_both AS DOUBLE) + 2.0))),
+                 {round_to}) AS se
+    FROM agg
+    """
+
+
+def chao1_richness(
+    df: DataFrame,
+    key_col: str,
+    round_to: int = 2,
+) -> DataFrame:
+    """Chao1 species-richness estimator over a key column — "how
+    many distinct types exist in the population, given what this
+    sample saw" (Chao 1984), the vocabulary-size/universe estimator
+    that shares its frequency-of-frequencies input with Good-Turing
+    (`good_turing_smoothing`):
+
+      ``Chao1 = S_obs + F1² / (2 F2)``  (bias-corrected
+      ``S_obs + F1(F1-1)/(2(F2+1))`` when F2 = 0 — applied always,
+      as iNEXT does, for continuity),
+
+    with F1/F2 = types seen exactly once/twice. The singleton mass
+    predicts how much of the type universe remains unseen — the
+    principled answer to "is the vocabulary curve saturating"
+    (`vocab_growth_curve` shows the trajectory; Chao1 names the
+    asymptote).
+
+    One scan to (key, count); frequency-of-frequency rollup; exact
+    integers into the final ratio.
+
+    Output (one row): (s_obs, f1, f2, chao1).
+    """
+    counts = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    fof = counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("s_obs"),
+        F.sum((F.col("__c") == 1).cast("long")).cast("bigint").alias("f1"),
+        F.sum((F.col("__c") == 2).cast("long")).cast("bigint").alias("f2"),
+    )
+    f1, f2 = F.col("f1").cast("double"), F.col("f2").cast("double")
+    chao1 = F.col("s_obs").cast("double") + f1 * (f1 - 1.0) / (
+        2.0 * (f2 + 1.0)
+    )
+    return fof.select(
+        "s_obs", "f1", "f2", F.round(chao1, round_to).alias("chao1")
+    )
+
+
+def chao1_richness_sql(
+    table: str,
+    key_expr: str,
+    round_to: int = 2,
+) -> str:
+    """DuckDB twin of :func:`chao1_richness`; ``key_expr`` may be an
+    expression (e.g. an unnested token)."""
+    return f"""
+    WITH counts AS (
+      SELECT {key_expr} AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM {table} GROUP BY 1
+    ),
+    fof AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS s_obs,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM counts
+    )
+    SELECT s_obs, f1, f2,
+           ROUND(CAST(s_obs AS DOUBLE)
+                 + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+                   / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)),
+                 {round_to}) AS chao1
+    FROM fof
+    """

@@ -2330,3 +2330,204 @@ def anderson_darling_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluation.anderson_darling_2s(
         docs, "source", "doclen", "src0", "src1"
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave73
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "cochrans_q_events",
+    evaluation.cochrans_q_sql(
+        "(SELECT user_id, event_type FROM events "
+        "GROUP BY user_id, event_type HAVING COUNT(*) >= 3)",
+        "user_id",
+        "event_type",
+    ),
+    "stats op — Cochran's Q over the user x event-type presence "
+    "matrix: the k-treatment generalization of McNemar for matched "
+    "binary outcomes (did each user produce >= 3 of each event type "
+    "— the ever-produced matrix is saturated on this data, which "
+    "degenerates Q to 0/0). "
+    "Expanded to the all-integer form (k-1)(k*sum C^2 - T^2)/"
+    "(k*T - sum R^2), so only the final ratio is double. One scan "
+    "to the distinct pair table, two tiny rollups.",
+)
+def cochrans_q_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    marked = (
+        events.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 3)
+        .select("user_id", "event_type")
+    )
+    return evaluation.cochrans_q(marked, "user_id", "event_type")
+
+
+@_spec(
+    "somers_d_qty_discount",
+    evaluation.somers_d_sql(
+        "lineitem",
+        "CAST(l_quantity AS BIGINT)",
+        "CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)",
+    ),
+    "stats op — Goodman-Kruskal gamma and Somers' D between quantity "
+    "and discount percent: ordinal-by-ordinal association that "
+    "respects category ORDER (Cramér's V cannot). Concordant/"
+    "discordant pair sums come from the tiny contingency grid "
+    "cross-join — exact bigints; discount enters via an exact "
+    "DECIMAL scale, never double*100 truncation.",
+)
+def somers_d_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        (F.col("l_discount").cast("decimal(4,2)") * 100)
+        .cast("bigint")
+        .alias("disc_pct"),
+    )
+    return evaluation.somers_d(li, "qty", "disc_pct")
+
+
+_CR_MARK_A = "CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) % 2 = 0"
+_CR_MARK_B = "CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) % 2 = 1"
+_CR_MARK_A_SPARK = (
+    "cast(floor(unix_micros(ts) / 86400000000) as bigint) % 2 = 0"
+)
+_CR_MARK_B_SPARK = (
+    "cast(floor(unix_micros(ts) / 86400000000) as bigint) % 2 = 1"
+)
+
+
+@_spec(
+    "capture_recapture_users",
+    "    WITH t AS (SELECT user_id, "
+    + _CR_MARK_A
+    + " AS ma, "
+    + _CR_MARK_B
+    + " AS mb FROM events)\n"
+    + """
+    , marks AS (
+      SELECT user_id AS k,
+             MAX(CAST(ma AS INTEGER)) AS a,
+             MAX(CAST(mb AS INTEGER)) AS b
+      FROM t GROUP BY user_id
+    ),
+    agg AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n1,
+             CAST(SUM(b) AS BIGINT) AS n2,
+             CAST(SUM(a * b) AS BIGINT) AS m_both
+      FROM marks
+    )
+    SELECT n1, n2, m_both,
+           ROUND((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+                 / (CAST(m_both AS DOUBLE) + 1.0) - 1.0, 2) AS n_hat,
+           ROUND(SQRT((CAST(n1 AS DOUBLE) + 1.0)
+                      * (CAST(n2 AS DOUBLE) + 1.0)
+                      * (CAST(n1 AS DOUBLE) - m_both)
+                      * (CAST(n2 AS DOUBLE) - m_both)
+                      / ((CAST(m_both AS DOUBLE) + 1.0)
+                         * (CAST(m_both AS DOUBLE) + 1.0)
+                         * (CAST(m_both AS DOUBLE) + 2.0))), 2) AS se
+    FROM agg
+    """,
+    "estimation op — Chapman capture-recapture estimate of the "
+    "distinct-user universe from two interleaved observation windows "
+    "(even vs odd days): the ecology estimator reused to size a "
+    "partially-observed population — with full overlap the estimate "
+    "collapses to the true distinct count, the built-in sanity "
+    "check. One scan to per-key marks; exact integers into two "
+    "final ratios.",
+)
+def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import capture_recapture
+
+    events = load_table(spark, sf_dir, "events")
+    return capture_recapture(
+        events, "user_id", _CR_MARK_A_SPARK, _CR_MARK_B_SPARK
+    )
+
+
+@_spec(
+    "chao1_vocab_estimate",
+    """
+    WITH toks AS (
+      SELECT t AS k FROM (
+        SELECT unnest(string_split(text, ' ')) AS t FROM documents
+      ) WHERE t <> ''
+    ),
+    counts AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1
+    ),
+    fof AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS s_obs,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM counts
+    )
+    SELECT s_obs, f1, f2,
+           ROUND(CAST(s_obs AS DOUBLE)
+                 + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+                   / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 2) AS chao1
+    FROM fof
+    """,
+    "estimation op — Chao1 richness estimate of the corpus "
+    "vocabulary: singleton/doubleton mass names the asymptote of "
+    "vocab_growth_curve (how many types the corpus would reveal at "
+    "infinite sampling), sharing its frequency-of-frequencies input "
+    "with good_turing_smoothing. Bias-corrected form; exact "
+    "integers into the final ratio.",
+)
+def chao1_vocab_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import chao1_richness
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return chao1_richness(toks, "tok")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave74
+# ──────────────────────────────────────────────────────────────────────────
+_KW_BLOCKS_SQL = """
+      SELECT CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+"""
+
+
+@_spec(
+    "kendalls_w_event_types",
+    evaluation.kendalls_w_sql(
+        _KW_BLOCKS_SQL.strip(), "day", "event_type", "c"
+    ),
+    "stats op — Kendall's coefficient of concordance W (tie-"
+    "corrected) across days ranking the 5 event types: the [0,1] "
+    "EFFECT SIZE whose significance test is friedman_event_type_"
+    "ranks. Doubled within-block ranks keep rank sums and tie terms "
+    "exact bigints; the x4-scaled identity reduces the whole "
+    "statistic to one integer ratio.",
+)
+def kendalls_w_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return evaluation.kendalls_w(daily, "day", "event_type", "c")
+
+
+@_spec(
+    "median_test_priority_price",
+    evaluation.median_test_sql("orders", "o_orderpriority", "o_totalprice"),
+    "stats op — Brown-Mood median test across the 5 order "
+    "priorities: each order classified above/below the GRAND median "
+    "(doubled-median order statistics, ties at the median dropped), "
+    "k x 2 chi-square on exact counts. The assumption-free "
+    "complement to kruskal_wallis (one bit per row instead of full "
+    "ranks).",
+)
+def median_test_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return evaluation.median_test(orders, "o_orderpriority", "o_totalprice")
