@@ -503,6 +503,10 @@ HEADLINE = [
     # wave 74: concordance effect size, median test
     "kendalls_w_event_types",
     "median_test_priority_price",
+    # wave 75: orthogonal regression, HAC SEs, parametric GOF
+    "deming_regression_qty_price",
+    "newey_west_trend_se",
+    "ks_exponential_interarrival",
 ]
 
 

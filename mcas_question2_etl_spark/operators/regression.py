@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -395,4 +395,268 @@ def ransac_line_sql(
     FROM scored s CROSS JOIN nc
     ORDER BY s.n_inliers DESC, s.x1 ASC, s.x2 ASC
     LIMIT 1
+    """
+
+
+def deming_regression(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Deming (orthogonal / total-least-squares) regression, error
+    ratio 1 — the line that minimizes PERPENDICULAR distances, for
+    when BOTH variables carry measurement error (OLS assumes x is
+    exact and attenuates the slope; `group_ols` vs this is the
+    method-comparison classic). Closed form from the centered
+    moments:
+
+      ``slope = (Syy - Sxx + sqrt((Syy - Sxx)² + 4 Sxy²))
+                / (2 Sxy)``.
+
+    All five sufficient moments accumulate as EXACT decimals in one
+    map-side-combined aggregate (corpus scanned once); the final
+    quadratic runs in double on bit-identical inputs.
+
+    Output (one row): (n, slope, intercept, slope_ols, attenuation).
+    """
+    x = F.col(x_col).cast("decimal(18,2)")
+    y = F.col(y_col).cast("decimal(18,2)")
+    m = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    nn = F.col("__n").cast("double")
+    sxx = F.col("__sxx").cast("double") - F.col("__sx").cast("double") * F.col("__sx").cast("double") / nn
+    syy = F.col("__syy").cast("double") - F.col("__sy").cast("double") * F.col("__sy").cast("double") / nn
+    sxy = F.col("__sxy").cast("double") - F.col("__sx").cast("double") * F.col("__sy").cast("double") / nn
+    slope = (
+        syy - sxx + F.sqrt((syy - sxx) * (syy - sxx) + 4.0 * sxy * sxy)
+    ) / (2.0 * sxy)
+    mx = F.col("__sx").cast("double") / nn
+    my = F.col("__sy").cast("double") / nn
+    ols = sxy / sxx
+    return m.select(
+        F.col("__n").alias("n"),
+        F.round(slope, round_to).alias("slope"),
+        F.round(my - slope * mx, round_to).alias("intercept"),
+        F.round(ols, round_to).alias("slope_ols"),
+        F.round(ols / slope, round_to).alias("attenuation"),
+    )
+
+
+def deming_regression_sql(
+    table: str,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`deming_regression`."""
+    dx = f"CAST({x_col} AS DECIMAL(18,2))"
+    dy = f"CAST({y_col} AS DECIMAL(18,2))"
+    return f"""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM({dx}) AS sx, SUM({dy}) AS sy,
+             SUM({dx} * {dx}) AS sxx, SUM({dy} * {dy}) AS syy,
+             SUM({dx} * {dy}) AS sxy
+      FROM {table}
+    ),
+    c AS (
+      SELECT n,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+             CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+               / CAST(n AS DOUBLE) AS cxx,
+             CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+               / CAST(n AS DOUBLE) AS cyy,
+             CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+               / CAST(n AS DOUBLE) AS cxy
+      FROM m
+    )
+    SELECT n,
+           ROUND((cyy - cxx + SQRT((cyy - cxx) * (cyy - cxx)
+                                   + 4.0 * cxy * cxy))
+                 / (2.0 * cxy), {round_to}) AS slope,
+           ROUND(my - (cyy - cxx + SQRT((cyy - cxx) * (cyy - cxx)
+                                        + 4.0 * cxy * cxy))
+                      / (2.0 * cxy) * mx, {round_to}) AS intercept,
+           ROUND(cxy / cxx, {round_to}) AS slope_ols,
+           ROUND((cxy / cxx)
+                 / ((cyy - cxx + SQRT((cyy - cxx) * (cyy - cxx)
+                                      + 4.0 * cxy * cxy))
+                    / (2.0 * cxy)), {round_to}) AS attenuation
+    FROM c
+    """
+
+
+def newey_west_trend(
+    daily: DataFrame,
+    date_col: str = "day",
+    value_col: str = "y",
+    lags: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Daily-trend OLS slope with Newey-West (HAC) standard errors —
+    the autocorrelation-robust SE that replaces the iid OLS SE a
+    time series always violates (positive autocorrelation makes the
+    naive SE overconfident, the classic false-positive trend):
+
+      ``Var_HAC(b) = (sum_l w_l * sum_t u_t u_{t-l} x~_t x~_{t-l}
+                      summed both directions) / Sxx²``
+
+    with Bartlett weights ``w_l = 1 - l/(L+1)``, u the OLS
+    residuals, x~ the centered regressor. The slope comes from exact
+    integer/decimal moments; residual products per lag are lag
+    self-joins over the DAILY table (L tiny, the table is days-sized)
+    with a fixed summation order per lag.
+
+    Output (one row): (n_days, slope, se_ols, se_hac, ratio).
+    """
+    pts = daily.select(
+        F.col(date_col).cast("bigint").alias("__d"),
+        F.col(value_col).cast("double").alias("__y"),
+    ).withColumn(
+        "__t", F.row_number().over(Window.orderBy("__d")).cast("bigint")
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__t").cast("bigint").alias("__st"),
+        F.sum(F.col("__t") * F.col("__t")).cast("bigint").alias("__st2"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__t").cast("double") * F.col("__y")).alias("__sty"),
+    )
+    nn = F.col("__n").cast("double")
+    stt = F.col("__st2").cast("double") - F.col("__st").cast("double") * F.col("__st").cast("double") / nn
+    sty = F.col("__sty") - F.col("__st").cast("double") * F.col("__sy") / nn
+    stats = m.select(
+        "__n",
+        (F.col("__st").cast("double") / nn).alias("__mt"),
+        (F.col("__sy") / nn).alias("__my"),
+        stt.alias("__stt"),
+        (sty / stt).alias("__b"),
+    )
+    resid = pts.crossJoin(F.broadcast(stats)).select(
+        "__t",
+        "__n",
+        "__stt",
+        "__b",
+        (F.col("__t").cast("double") - F.col("__mt")).alias("__xc"),
+        (
+            F.col("__y")
+            - F.col("__my")
+            - F.col("__b") * (F.col("__t").cast("double") - F.col("__mt"))
+        ).alias("__u"),
+    )
+    s0 = resid.agg(
+        F.sum(F.col("__u") * F.col("__u") * F.col("__xc") * F.col("__xc")).alias("v"),
+        F.sum(F.col("__u") * F.col("__u")).alias("__ssr"),
+        F.max("__n").alias("__n"),
+        F.max("__stt").alias("__stt"),
+        F.max("__b").alias("__b"),
+    )
+    lag_terms = None
+    a = resid.select(
+        F.col("__t").alias("t1"), F.col("__u").alias("u1"),
+        F.col("__xc").alias("x1"),
+    )
+    for l in range(1, lags + 1):
+        b = resid.select(
+            (F.col("__t") + l).alias("t1"),
+            F.col("__u").alias("u2"),
+            F.col("__xc").alias("x2"),
+        )
+        term = a.join(b, "t1").agg(
+            F.sum(
+                F.col("u1") * F.col("u2") * F.col("x1") * F.col("x2")
+            ).alias("v")
+        ).select((F.lit(1.0 - l / (lags + 1.0)) * 2.0 * F.col("v")).alias("v"))
+        lag_terms = term if lag_terms is None else lag_terms.unionAll(term)
+    lag_sum = lag_terms.agg(F.coalesce(F.sum("v"), F.lit(0.0)).alias("__lv"))
+    j = s0.crossJoin(F.broadcast(lag_sum))
+    nn2 = F.col("__n").cast("double")
+    var_ols = (F.col("__ssr") / (nn2 - 2.0)) / F.col("__stt")
+    var_hac = (F.col("v") + F.col("__lv")) / (
+        F.col("__stt") * F.col("__stt")
+    )
+    return j.select(
+        F.col("__n").alias("n_days"),
+        F.round("__b", round_to).alias("slope"),
+        F.round(F.sqrt(var_ols), round_to).alias("se_ols"),
+        F.round(F.sqrt(var_hac), round_to).alias("se_hac"),
+        F.round(F.sqrt(var_hac) / F.sqrt(var_ols), round_to).alias("ratio"),
+    )
+
+
+def newey_west_trend_sql(
+    daily_sql: str,
+    date_col: str = "day",
+    value_col: str = "y",
+    lags: int = 5,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`newey_west_trend` (lags unrolled)."""
+    lag_selects = "\n    UNION ALL ".join(
+        f"""SELECT {1.0 - l / (lags + 1.0)!r} * 2.0
+           * SUM(a.u * b.u * a.xc * b.xc) AS v
+    FROM resid a JOIN resid b ON a.t = b.t + {l}"""
+        for l in range(1, lags + 1)
+    )
+    return f"""
+    WITH d AS ({daily_sql}),
+    pts AS (
+      SELECT CAST({value_col} AS DOUBLE) AS y,
+             CAST(ROW_NUMBER() OVER (ORDER BY {date_col}) AS BIGINT) AS t
+      FROM d
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(t * t) AS BIGINT) AS st2,
+             SUM(y) AS sy,
+             SUM(CAST(t AS DOUBLE) * y) AS sty
+      FROM pts
+    ),
+    stats AS (
+      SELECT n,
+             CAST(st AS DOUBLE) / CAST(n AS DOUBLE) AS mt,
+             sy / CAST(n AS DOUBLE) AS my,
+             CAST(st2 AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+               / CAST(n AS DOUBLE) AS stt,
+             (sty - CAST(st AS DOUBLE) * sy / CAST(n AS DOUBLE))
+             / (CAST(st2 AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                / CAST(n AS DOUBLE)) AS b
+      FROM m
+    ),
+    resid AS (
+      SELECT pts.t, stats.n, stats.stt, stats.b,
+             CAST(pts.t AS DOUBLE) - stats.mt AS xc,
+             pts.y - stats.my
+               - stats.b * (CAST(pts.t AS DOUBLE) - stats.mt) AS u
+      FROM pts CROSS JOIN stats
+    ),
+    s0 AS (
+      SELECT SUM(u * u * xc * xc) AS v,
+             SUM(u * u) AS ssr,
+             MAX(n) AS n, MAX(stt) AS stt, MAX(b) AS b
+      FROM resid
+    ),
+    lags_t AS (
+      {lag_selects}
+    ),
+    lag_sum AS (SELECT COALESCE(SUM(v), 0.0) AS lv FROM lags_t)
+    SELECT s0.n AS n_days,
+           ROUND(s0.b, {round_to}) AS slope,
+           ROUND(SQRT((s0.ssr / (CAST(s0.n AS DOUBLE) - 2.0)) / s0.stt),
+                 {round_to}) AS se_ols,
+           ROUND(SQRT((s0.v + lag_sum.lv) / (s0.stt * s0.stt)),
+                 {round_to}) AS se_hac,
+           ROUND(SQRT((s0.v + lag_sum.lv) / (s0.stt * s0.stt))
+                 / SQRT((s0.ssr / (CAST(s0.n AS DOUBLE) - 2.0)) / s0.stt),
+                 {round_to}) AS ratio
+    FROM s0 CROSS JOIN lag_sum
     """

@@ -3082,3 +3082,135 @@ def seasonal_mann_kendall_sql(
                       ELSE 0.0 END, {round_to}) AS z
     FROM agg
     """
+
+
+def ks_exponential_gaps(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    round_to: int = 6,
+) -> DataFrame:
+    """One-sample Kolmogorov-Smirnov goodness-of-fit of the pooled
+    per-user interarrival gaps against a fitted exponential — "is
+    arrival timing memoryless?", the assumption behind every Poisson
+    traffic model downstream (`ks_test_sources` is the two-sample
+    sibling; this one tests against a PARAMETRIC null):
+
+      ``D = sup_x max(|F_hi(x) - F(x)|, |F_lo(x) - F(x)|)``,
+      ``F(x) = 1 - exp(-x / mean_gap)``
+
+    with F_hi/F_lo the upper/lower ECDF steps (the sup of a step
+    function vs a continuous CDF is attained at a step, checking
+    both sides of the jump).
+
+    Exactness: gaps are integer MICROSECONDS from per-user lag
+    windows (partitioned — fully parallel, no global sort); the
+    ECDF comes from integer prefix counts over the distinct-gap
+    table; the fitted mean is a ratio of exact integers, so F(x) is
+    bit-identical in both engines and the argmax is over identical
+    doubles.
+
+    Output (one row): (n_gaps, mean_gap_s, d_stat, d_sqrt_n).
+    """
+    w_u = Window.partitionBy("__u").orderBy("__tus")
+    gaps = (
+        df.select(
+            F.col(user_col).alias("__u"),
+            F.unix_micros(F.col(ts_col)).alias("__tus"),
+        )
+        .withColumn("__gap", F.col("__tus") - F.lag("__tus", 1).over(w_u))
+        .filter(F.col("__gap").isNotNull() & (F.col("__gap") > 0))
+        .select(F.col("__gap").cast("bigint").alias("__g"))
+    )
+    counts = gaps.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    tot = counts.agg(
+        F.sum("__c").cast("bigint").alias("__n"),
+        F.sum(F.col("__g") * F.col("__c")).cast("bigint").alias("__sg"),
+    )
+    w_ord = Window.orderBy("__g").rowsBetween(Window.unboundedPreceding, 0)
+    pre = counts.withColumn("__hi", F.sum("__c").over(w_ord)).crossJoin(
+        F.broadcast(tot)
+    )
+    nn = F.col("__n").cast("double")
+    f_exp = 1.0 - F.exp(
+        -F.col("__g").cast("double")
+        / (F.col("__sg").cast("double") / F.col("__n").cast("double"))
+    )
+    d_hi = F.abs(F.col("__hi").cast("double") / nn - f_exp)
+    d_lo = F.abs(
+        (F.col("__hi") - F.col("__c")).cast("double") / nn - f_exp
+    )
+    scored = pre.select(
+        "__n", "__sg", F.greatest(d_hi, d_lo).alias("__d")
+    )
+    agg = scored.groupBy("__n", "__sg").agg(F.max("__d").alias("__dmax"))
+    return agg.select(
+        F.col("__n").alias("n_gaps"),
+        F.round(
+            F.col("__sg").cast("double") / F.col("__n") / 1000000.0,
+            round_to,
+        ).alias("mean_gap_s"),
+        F.round("__dmax", round_to).alias("d_stat"),
+        F.round(
+            F.col("__dmax") * F.sqrt(F.col("__n").cast("double")), round_to
+        ).alias("d_sqrt_n"),
+    )
+
+
+def ks_exponential_gaps_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`ks_exponential_gaps`."""
+    return f"""
+    WITH g0 AS (
+      SELECT {user_col} AS u, epoch_us({ts_col}) AS tus
+      FROM {table}
+    ),
+    gaps AS (
+      SELECT CAST(gap AS BIGINT) AS g FROM (
+        SELECT tus - LAG(tus, 1) OVER (PARTITION BY u ORDER BY tus)
+                 AS gap
+        FROM g0
+      ) WHERE gap IS NOT NULL AND gap > 0
+    ),
+    counts AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM gaps GROUP BY g
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(g * c) AS BIGINT) AS sg
+      FROM counts
+    ),
+    pre AS (
+      SELECT g, c,
+             SUM(c) OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS hi,
+             tot.n, tot.sg
+      FROM counts CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT n, sg,
+             GREATEST(
+               ABS(CAST(hi AS DOUBLE) / CAST(n AS DOUBLE)
+                   - (1.0 - EXP(-CAST(g AS DOUBLE)
+                                / (CAST(sg AS DOUBLE)
+                                   / CAST(n AS DOUBLE))))),
+               ABS(CAST(hi - c AS DOUBLE) / CAST(n AS DOUBLE)
+                   - (1.0 - EXP(-CAST(g AS DOUBLE)
+                                / (CAST(sg AS DOUBLE)
+                                   / CAST(n AS DOUBLE)))))
+             ) AS d
+      FROM pre
+    ),
+    agg AS (SELECT n, sg, MAX(d) AS dmax FROM scored GROUP BY n, sg)
+    SELECT n AS n_gaps,
+           ROUND(CAST(sg AS DOUBLE) / n / 1000000.0, {round_to})
+             AS mean_gap_s,
+           ROUND(dmax, {round_to}) AS d_stat,
+           ROUND(dmax * SQRT(CAST(n AS DOUBLE)), {round_to}) AS d_sqrt_n
+    FROM agg
+    """

@@ -2531,3 +2531,23 @@ def kendalls_w_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 def median_test_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return evaluation.median_test(orders, "o_orderpriority", "o_totalprice")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave75
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators import regression as _reg75
+
+
+@_spec(
+    "deming_regression_qty_price",
+    _reg75.deming_regression_sql("lineitem", "l_quantity", "l_extendedprice"),
+    "stats op — Deming (orthogonal / total-least-squares) regression "
+    "of price on quantity: the errors-in-both-variables line OLS "
+    "attenuates away, closed-form from five exact-decimal moments in "
+    "one map-side-combined aggregate; reports the OLS slope and the "
+    "attenuation ratio alongside. One corpus scan.",
+)
+def deming_regression_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return _reg75.deming_regression(li, "l_quantity", "l_extendedprice")

@@ -1619,3 +1619,49 @@ def spectral_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 def seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return timeseries.seasonal_mann_kendall(events)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave75
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "newey_west_trend_se",
+    regression.newey_west_trend_sql(_ORDERS_DAILY_SQL.strip(), lags=5),
+    "econometrics op — daily-revenue OLS trend with Newey-West HAC "
+    "standard errors (Bartlett weights, 5 lags): the "
+    "autocorrelation-robust SE that replaces the always-violated iid "
+    "OLS SE on time series. Slope from exact integer/decimal "
+    "moments; per-lag residual products are tiny lag self-joins over "
+    "the DAYS table, unrolled identically in the oracle.",
+)
+def newey_west_trend_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    return regression.newey_west_trend(daily, lags=5)
+
+
+@_spec(
+    "ks_exponential_interarrival",
+    timeseries.ks_exponential_gaps_sql(),
+    "timeseries op — one-sample KS goodness-of-fit of pooled "
+    "per-user interarrival gaps vs a fitted exponential: the "
+    "memorylessness check behind Poisson traffic assumptions "
+    "(ks_test_sources is the two-sample sibling). Integer-"
+    "microsecond gaps from PARTITIONED per-user lag windows (no "
+    "global sort); ECDF from integer prefix counts; the fitted CDF "
+    "is bit-identical in both engines, so the sup is over identical "
+    "doubles.",
+)
+def ks_exponential_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return timeseries.ks_exponential_gaps(events)
