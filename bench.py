@@ -507,6 +507,9 @@ HEADLINE = [
     "deming_regression_qty_price",
     "newey_west_trend_se",
     "ks_exponential_interarrival",
+    # wave 76: reliability + residual diagnostics
+    "cronbachs_alpha_event_types",
+    "durbin_watson_daily",
 ]
 
 

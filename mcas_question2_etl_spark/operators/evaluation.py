@@ -3620,3 +3620,135 @@ def median_test_sql(
            CAST(k - 1 AS BIGINT) AS dof
     FROM agg
     """
+
+
+def cronbachs_alpha(
+    df: DataFrame,
+    block_col: str,
+    item_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cronbach's alpha — internal-consistency reliability of k
+    "items" measured over common blocks (here: do the per-type daily
+    volumes move together day to day, i.e. is total daily volume a
+    reliable single scale?):
+
+      ``alpha = k/(k-1) * (1 - sum_i var_i / var_total)``
+
+    with var_i the per-item variance across blocks and var_total the
+    variance of the per-block item SUM. Only COMPLETE blocks enter
+    (identical filter both engines). Values are integer counts, so
+    every moment (per-item sums/squares, block-sum squares)
+    accumulates as an exact bigint; sample variances share the same
+    (n-1) denominator, so alpha reduces to exact-integer numerators
+    over one double ratio.
+
+    Output (one row): (n_blocks, k, sum_item_var, total_var, alpha).
+    """
+    k_total = df.select(item_col).distinct().count()
+    complete = (
+        df.groupBy(block_col)
+        .agg(F.count(F.lit(1)).alias("__nb"))
+        .filter(F.col("__nb") == k_total)
+        .select(block_col)
+    )
+    rows = df.join(complete, block_col).select(
+        F.col(block_col).alias("__b"),
+        F.col(item_col).alias("__i"),
+        F.col(value_col).cast("bigint").alias("__x"),
+    )
+    n_blocks = complete.count()
+    n = F.lit(n_blocks).cast("bigint")
+    per_item = rows.groupBy("__i").agg(
+        F.sum("__x").cast("bigint").alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).cast("bigint").alias("__s2"),
+    )
+    # n*sum(x^2) - sum(x)^2 = n(n-1) * var -> exact integer numerators
+    item_num = per_item.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(
+            n * F.col("__s2") - F.col("__s") * F.col("__s")
+        ).cast("bigint").alias("__iv"),
+    )
+    per_block = rows.groupBy("__b").agg(
+        F.sum("__x").cast("bigint").alias("__t")
+    )
+    tot_num = per_block.agg(
+        (
+            n * F.sum(F.col("__t") * F.col("__t"))
+            - F.sum("__t") * F.sum("__t")
+        ).cast("bigint").alias("__tv")
+    )
+    j = item_num.crossJoin(F.broadcast(tot_num))
+    k = F.col("k")
+    denom = (n * (n - 1)).cast("double")
+    alpha = (k.cast("double") / (k - 1).cast("double")) * (
+        1.0 - F.col("__iv").cast("double") / F.col("__tv").cast("double")
+    )
+    return j.select(
+        n.alias("n_blocks"),
+        k.alias("k"),
+        F.round(F.col("__iv").cast("double") / denom, round_to).alias(
+            "sum_item_var"
+        ),
+        F.round(F.col("__tv").cast("double") / denom, round_to).alias(
+            "total_var"
+        ),
+        F.round(alpha, round_to).alias("alpha"),
+    )
+
+
+def cronbachs_alpha_sql(
+    table_sql: str,
+    block_col: str,
+    item_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`cronbachs_alpha`."""
+    return f"""
+    WITH t AS ({table_sql}),
+    kt AS (SELECT CAST(COUNT(DISTINCT {item_col}) AS BIGINT) AS k FROM t),
+    complete AS (
+      SELECT {block_col} FROM t CROSS JOIN kt
+      GROUP BY {block_col}, kt.k HAVING COUNT(*) = kt.k
+    ),
+    rows_c AS (
+      SELECT t.{block_col} AS b, t.{item_col} AS i,
+             CAST(t.{value_col} AS BIGINT) AS x
+      FROM t JOIN complete USING ({block_col})
+    ),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM complete),
+    per_item AS (
+      SELECT i, CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS s2
+      FROM rows_c GROUP BY i
+    ),
+    item_num AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(nb.n * s2 - s * s) AS BIGINT) AS iv
+      FROM per_item CROSS JOIN nb
+    ),
+    per_block AS (
+      SELECT b, CAST(SUM(x) AS BIGINT) AS tt FROM rows_c GROUP BY b
+    ),
+    tot_num AS (
+      SELECT CAST(nb.n * SUM(tt * tt) - SUM(tt) * SUM(tt) AS BIGINT) AS tv
+      FROM per_block CROSS JOIN nb
+      GROUP BY nb.n
+    )
+    SELECT nb.n AS n_blocks, item_num.k,
+           ROUND(CAST(item_num.iv AS DOUBLE)
+                 / CAST(nb.n * (nb.n - 1) AS DOUBLE), {round_to})
+             AS sum_item_var,
+           ROUND(CAST(tot_num.tv AS DOUBLE)
+                 / CAST(nb.n * (nb.n - 1) AS DOUBLE), {round_to})
+             AS total_var,
+           ROUND((CAST(item_num.k AS DOUBLE)
+                  / CAST(item_num.k - 1 AS DOUBLE))
+                 * (1.0 - CAST(item_num.iv AS DOUBLE)
+                          / CAST(tot_num.tv AS DOUBLE)),
+                 {round_to}) AS alpha
+    FROM item_num CROSS JOIN tot_num CROSS JOIN nb
+    """

@@ -660,3 +660,125 @@ def newey_west_trend_sql(
                  {round_to}) AS ratio
     FROM s0 CROSS JOIN lag_sum
     """
+
+
+def durbin_watson_trend(
+    daily: DataFrame,
+    date_col: str = "day",
+    value_col: str = "y",
+    round_to: int = 6,
+) -> DataFrame:
+    """Durbin-Watson statistic on the daily-trend OLS residuals — the
+    canonical "are the residuals autocorrelated" check that decides
+    whether :func:`newey_west_trend`'s HAC correction is even needed
+    (DW ~ 2 means no lag-1 autocorrelation; toward 0 positive,
+    toward 4 negative):
+
+      ``DW = sum_t (u_t - u_{t-1})² / sum_t u_t²``.
+
+    The slope comes from exact integer/decimal moments (same
+    construction as `newey_west_trend`); residual differences are a
+    single lag window over the days-sized table.
+
+    Output (one row): (n_days, slope, dw, rho1).
+    """
+    pts = daily.select(
+        F.col(date_col).cast("bigint").alias("__d"),
+        F.col(value_col).cast("double").alias("__y"),
+    ).withColumn(
+        "__t", F.row_number().over(Window.orderBy("__d")).cast("bigint")
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__t").cast("bigint").alias("__st"),
+        F.sum(F.col("__t") * F.col("__t")).cast("bigint").alias("__st2"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__t").cast("double") * F.col("__y")).alias("__sty"),
+    )
+    nn = F.col("__n").cast("double")
+    stt = F.col("__st2").cast("double") - F.col("__st").cast("double") * F.col("__st").cast("double") / nn
+    sty = F.col("__sty") - F.col("__st").cast("double") * F.col("__sy") / nn
+    stats = m.select(
+        "__n",
+        (F.col("__st").cast("double") / nn).alias("__mt"),
+        (F.col("__sy") / nn).alias("__my"),
+        (sty / stt).alias("__b"),
+    )
+    resid = pts.crossJoin(F.broadcast(stats)).select(
+        "__t",
+        "__n",
+        "__b",
+        (
+            F.col("__y")
+            - F.col("__my")
+            - F.col("__b") * (F.col("__t").cast("double") - F.col("__mt"))
+        ).alias("__u"),
+    )
+    w = Window.orderBy("__t")
+    dd = resid.withColumn(
+        "__du", F.col("__u") - F.lag("__u", 1).over(w)
+    ).withColumn("__ul", F.col("__u") * F.lag("__u", 1).over(w))
+    agg = dd.agg(
+        F.max("__n").alias("n_days"),
+        F.max("__b").alias("__b"),
+        F.sum(F.col("__du") * F.col("__du")).alias("__sdu2"),
+        F.sum(F.col("__u") * F.col("__u")).alias("__su2"),
+        F.sum("__ul").alias("__ulag"),
+    )
+    return agg.select(
+        "n_days",
+        F.round("__b", round_to).alias("slope"),
+        F.round(F.col("__sdu2") / F.col("__su2"), round_to).alias("dw"),
+        F.round(F.col("__ulag") / F.col("__su2"), round_to).alias("rho1"),
+    )
+
+
+def durbin_watson_trend_sql(
+    daily_sql: str,
+    date_col: str = "day",
+    value_col: str = "y",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`durbin_watson_trend`."""
+    return f"""
+    WITH d AS ({daily_sql}),
+    pts AS (
+      SELECT CAST({value_col} AS DOUBLE) AS y,
+             CAST(ROW_NUMBER() OVER (ORDER BY {date_col}) AS BIGINT) AS t
+      FROM d
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(t * t) AS BIGINT) AS st2,
+             SUM(y) AS sy,
+             SUM(CAST(t AS DOUBLE) * y) AS sty
+      FROM pts
+    ),
+    stats AS (
+      SELECT n,
+             CAST(st AS DOUBLE) / CAST(n AS DOUBLE) AS mt,
+             sy / CAST(n AS DOUBLE) AS my,
+             (sty - CAST(st AS DOUBLE) * sy / CAST(n AS DOUBLE))
+             / (CAST(st2 AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                / CAST(n AS DOUBLE)) AS b
+      FROM m
+    ),
+    resid AS (
+      SELECT pts.t, stats.n, stats.b,
+             pts.y - stats.my
+               - stats.b * (CAST(pts.t AS DOUBLE) - stats.mt) AS u
+      FROM pts CROSS JOIN stats
+    ),
+    dd AS (
+      SELECT n, b, u,
+             u - LAG(u, 1) OVER (ORDER BY t) AS du,
+             u * LAG(u, 1) OVER (ORDER BY t) AS ul
+      FROM resid
+    )
+    SELECT MAX(n) AS n_days,
+           ROUND(MAX(b), {round_to}) AS slope,
+           ROUND(SUM(du * du) / SUM(u * u), {round_to}) AS dw,
+           ROUND(SUM(ul) / SUM(u * u), {round_to}) AS rho1
+    FROM dd
+    """

@@ -2551,3 +2551,35 @@ from ..operators import regression as _reg75
 def deming_regression_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return _reg75.deming_regression(li, "l_quantity", "l_extendedprice")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave76
+# ──────────────────────────────────────────────────────────────────────────
+_CA_BLOCKS_SQL = """
+      SELECT CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+"""
+
+
+@_spec(
+    "cronbachs_alpha_event_types",
+    evaluation.cronbachs_alpha_sql(
+        _CA_BLOCKS_SQL.strip(), "day", "event_type", "c"
+    ),
+    "stats op — Cronbach's alpha over days x event-type daily "
+    "volumes: do the per-type series move together enough that "
+    "total daily volume is a reliable single scale? Integer counts "
+    "make every variance numerator an exact bigint (n*sum x^2 - "
+    "(sum x)^2 form); complete blocks only, identical filter both "
+    "engines.",
+)
+def cronbachs_alpha_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return evaluation.cronbachs_alpha(daily, "day", "event_type", "c")

@@ -1665,3 +1665,28 @@ def newey_west_trend_se(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ks_exponential_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return timeseries.ks_exponential_gaps(events)
+
+
+@_spec(
+    "durbin_watson_daily",
+    regression.durbin_watson_trend_sql(_ORDERS_DAILY_SQL.strip()),
+    "econometrics op — Durbin-Watson on the daily-revenue OLS trend "
+    "residuals (plus the lag-1 residual autocorrelation): the check "
+    "that decides whether newey_west_trend_se's HAC correction is "
+    "needed. Slope from exact moments; residual differences are one "
+    "lag window over the days table.",
+)
+def durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    return regression.durbin_watson_trend(daily)
