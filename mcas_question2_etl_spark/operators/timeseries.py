@@ -2887,12 +2887,15 @@ def runs_test(
         / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
     )
     z = (F.col("runs").cast("double") - er) / F.sqrt(vr)
+    # degenerate retained series (all days on one side of the median,
+    # or empty after tie removal) makes vr = 0/0 -> NaN; emit NULL z
+    # like the sibling zero-variance guards (cochrans_q, mann-kendall)
     return runs.select(
         F.col("__nd").alias("n_days"),
         "n_above",
         "n_below",
         "runs",
-        F.round(z, round_to).alias("z"),
+        F.when(vr > 0, F.round(z, round_to)).alias("z"),
     )
 
 
@@ -2936,6 +2939,10 @@ def runs_test_sql(
       FROM r
     )
     SELECT nd AS n_days, n_above, n_below, runs,
+           CASE WHEN n_above >= 1 AND n_below >= 1
+                 AND 2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                     - CAST(n_above AS DOUBLE) - CAST(n_below AS DOUBLE) > 0
+           THEN
            ROUND((CAST(runs AS DOUBLE)
                   - (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
                      / (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
@@ -2952,7 +2959,8 @@ def runs_test_sql(
                               + CAST(n_below AS DOUBLE))
                            * (CAST(n_above AS DOUBLE)
                               + CAST(n_below AS DOUBLE) - 1.0))),
-                 {round_to}) AS z
+                 {round_to})
+           END AS z
     FROM agg
     """
 

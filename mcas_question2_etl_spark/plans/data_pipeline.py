@@ -924,35 +924,18 @@ def corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    # spread before the signature scan: AQE coalesces the gated corpus
-    # to ~1 partition, which would hash every shingle on one core; the
-    # repartition + broadcast-verify discipline matches
-    # dedup.verified_lsh_edges (round 4)
-    lsh_docs = dedup.spread_small_scan(
-        eligible.filter(F.length("text") >= 3), "doc_id"
-    )
-    cands = dedup.minhash_lsh_candidates(
-        lsh_docs, id_col="doc_id", text_col="text", n=3, max_bucket=100
-    )
-    shingled = lsh_docs.select(
-        "doc_id", dedup.char_ngrams("text", 3).alias("sh")
-    )
-    a = shingled.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
-    b = shingled.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
-    par = spark.sparkContext.defaultParallelism * 2
-    inter = F.size(F.array_intersect("a_sh", "b_sh"))
-    edges = (
-        cands.repartition(par, "a_id", "b_id")
-        .join(F.broadcast(a), "a_id")
-        .join(F.broadcast(b), "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            (inter.cast("double") / (F.size("a_sh") + F.size("b_sh") - inter)).alias(
-                "jaccard"
-            ),
-        )
-        .filter(F.col("jaccard") >= 0.6)
+    # the edge stage (spread scan -> banded LSH candidates -> exact
+    # Jaccard verify) is dedup.verified_lsh_edges, which auto-selects
+    # the broadcast verify form below a size threshold and the
+    # shuffle-hash form above it — the 100-TB path (round 5); the
+    # inline copy this replaces hard-coded the broadcast form
+    edges = dedup.verified_lsh_edges(
+        eligible.select("doc_id", "text"),
+        id_col="doc_id",
+        text_col="text",
+        n=3,
+        max_bucket=100,
+        min_jaccard=0.6,
     )
     comp = clustering.connected_components(
         edges, eligible.select("doc_id"), id_col="doc_id"
