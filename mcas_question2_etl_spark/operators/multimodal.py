@@ -182,14 +182,119 @@ def _decode_wav(b: bytes) -> dict:
     }
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+#: colortype -> samples per pixel (bit depth 8); palette (3) excluded —
+#: PLTE indirection needs a palette table, raise loudly instead
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    # PNG spec filter heuristic: nearest of left/up/up-left to a+b-c
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(b: bytes, return_raster: bool = False):
+    """Pure-stdlib PNG decode (round 5, VERDICT r4 #5): chunk walk with
+    CRC verification, zlib-inflate the IDAT stream, per-scanline
+    unfilter (all five filter types incl. Paeth). Supports 8-bit
+    non-interlaced grayscale/RGB/gray+alpha/RGBA; palette and Adam7
+    raise loudly (they need a PLTE table / deinterlace pass this slot
+    deliberately does not fake). Returns the metadata dict, or the
+    recovered raster bytes when ``return_raster`` (used by the pytest
+    that round-trips encode_png pixels)."""
+    import zlib
+
+    if b[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    ihdr: bytes | None = None
+    idat = bytearray()
+    while pos + 12 <= len(b):
+        clen = int.from_bytes(b[pos : pos + 4], "big")
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + clen]
+        if len(data) < clen:
+            raise ValueError(f"PNG chunk {ctype!r} truncated")
+        crc = int.from_bytes(b[pos + 8 + clen : pos + 12 + clen], "big")
+        if (zlib.crc32(ctype + data) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("PNG missing/short IHDR")
+    width, height, depth, colortype, comp, filt, interlace = _struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if comp != 0 or filt != 0:
+        raise ValueError(f"PNG unknown compression/filter method {comp}/{filt}")
+    if interlace != 0:
+        raise ValueError("PNG Adam7 interlace unsupported (pure-stdlib slot)")
+    if depth != 8 or colortype not in _PNG_CHANNELS:
+        raise ValueError(
+            f"PNG bit depth {depth} / color type {colortype} unsupported "
+            "(8-bit gray/RGB/GA/RGBA only; palette needs PLTE handling)"
+        )
+    bpp = _PNG_CHANNELS[colortype]
+    stride = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (1 + stride):
+        raise ValueError(
+            f"PNG raster size mismatch: {len(raw)} != {height * (1 + stride)}"
+        )
+    recon = bytearray(height * stride)
+    prev_off = -stride
+    for y in range(height):
+        f = raw[y * (1 + stride)]
+        line = raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)]
+        off = y * stride
+        if f == 0:
+            recon[off : off + stride] = line
+        elif f == 1:  # Sub
+            for i in range(stride):
+                left = recon[off + i - bpp] if i >= bpp else 0
+                recon[off + i] = (line[i] + left) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                up = recon[prev_off + i] if y else 0
+                recon[off + i] = (line[i] + up) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = recon[off + i - bpp] if i >= bpp else 0
+                up = recon[prev_off + i] if y else 0
+                recon[off + i] = (line[i] + (left + up) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                left = recon[off + i - bpp] if i >= bpp else 0
+                up = recon[prev_off + i] if y else 0
+                ul = recon[prev_off + i - bpp] if (y and i >= bpp) else 0
+                recon[off + i] = (line[i] + _png_paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"PNG scanline filter {f} invalid")
+        prev_off = off
+    if return_raster:
+        return bytes(recon)
+    return {"width": int(width), "height": int(height), "duration_ms": None}
+
+
 def strict_decoder(payload: bytes, media_type: str) -> dict:
-    """Real decode kernel for the uncompressed formats (pure stdlib):
-    BMP (BITMAPINFOHEADER / BI_RGB), binary PPM/PGM (P6/P5), PCM WAV.
+    """Real decode kernel (pure stdlib): BMP (BITMAPINFOHEADER /
+    BI_RGB), binary PPM/PGM (P6/P5), PCM WAV, and 8-bit non-interlaced
+    PNG (zlib IDAT inflate + full scanline unfilter — round 5).
     Container sniffing is by magic bytes, so a mislabeled payload still
-    decodes by its actual format. Compressed codecs (JPEG/PNG/MP3/...)
-    raise loudly — that slot needs PIL/libav, absent in this container;
-    ``fake_decode`` remains the deterministic stand-in for tests that
-    need synthetic metadata for arbitrary blobs."""
+    decodes by its actual format. Remaining compressed codecs
+    (JPEG/MP3/H.264) raise loudly — that slot needs PIL/libav, absent
+    in this container; ``fake_decode`` remains the deterministic
+    stand-in for tests that need synthetic metadata for arbitrary
+    blobs."""
     if payload is None:
         return {
             "n_bytes": 0,
@@ -198,7 +303,9 @@ def strict_decoder(payload: bytes, media_type: str) -> dict:
             "height": None,
             "duration_ms": None,
         }
-    if payload[:2] == b"BM":
+    if payload[:8] == _PNG_MAGIC:
+        dims = _decode_png(payload)
+    elif payload[:2] == b"BM":
         dims = _decode_bmp(payload)
     elif payload[:2] in (b"P5", b"P6"):
         dims = _decode_pnm(payload)
@@ -236,6 +343,77 @@ def encode_bmp(width: int, height: int, seed: int = 0) -> bytes:
     hdr = b"BM" + _struct.pack("<IHHI", size, 0, 0, 54)
     hdr += _struct.pack("<IiihHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0)
     return bytes(hdr + data)
+
+
+def encode_png(width: int, height: int, seed: int = 0) -> bytes:
+    """Minimal valid 8-bit RGB PNG with deterministic pixels (same
+    pixel function as :func:`encode_bmp`) and a DIFFERENT scanline
+    filter per row (y % 5 — none/sub/up/average/paeth), so decoding it
+    exercises every unfilter branch. IDAT is zlib level 0 (stored
+    blocks), making the encoded byte count a closed-form function of
+    (width, height) that a SQL oracle can recompute:
+
+        raw   = height * (1 + 3*width)
+        idat  = 2 + 5*ceil(raw/65535) + raw + 4
+        total = 57 + idat          # 8 sig + 25 IHDR + 12 IEND + 12+idat
+    """
+    import zlib
+
+    bpp = 3
+    stride = width * bpp
+    pixel = lambda x, y, c: (seed + x * 7 + y * 13 + c * 29) % 256  # noqa: E731
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        cur = bytes(pixel(x, y, c) for x in range(width) for c in range(bpp))
+        f = y % 5
+        raw.append(f)
+        if f == 0:
+            raw += cur
+        elif f == 1:
+            raw += bytes(
+                (cur[i] - (cur[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif f == 2:
+            raw += bytes((cur[i] - prev[i]) & 0xFF for i in range(stride))
+        elif f == 3:
+            raw += bytes(
+                (cur[i] - ((cur[i - bpp] if i >= bpp else 0) + prev[i]) // 2)
+                & 0xFF
+                for i in range(stride)
+            )
+        else:
+            raw += bytes(
+                (
+                    cur[i]
+                    - _png_paeth(
+                        cur[i - bpp] if i >= bpp else 0,
+                        prev[i],
+                        prev[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(data))
+            + ctype
+            + data
+            + _struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    idat = zlib.compress(bytes(raw), 0)  # stored blocks: size is closed-form
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
 
 
 def encode_ppm(width: int, height: int, seed: int = 0) -> bytes:

@@ -69,6 +69,51 @@ def test_strict_decoder_raises(spark, media_df):
     )
 
 
+def test_png_codec_roundtrip_all_filters():
+    """Round 5 (VERDICT r4 #5): the pure-stdlib PNG decoder must
+    recover the exact raster through all five scanline filter types
+    (encode_png varies the filter per row), match the closed-form
+    byte-size formula the SQL oracle uses, and fail loudly on chunk
+    corruption and unsupported features."""
+    for w, h, seed in [(1, 1, 0), (4, 3, 7), (29, 17, 42), (64, 11, 255)]:
+        b = multimodal.encode_png(w, h, seed=seed)
+        raw = h * (1 + 3 * w)
+        assert len(b) == 63 + raw + 5 * ((raw + 65534) // 65535)
+        meta = multimodal.strict_decoder(b, "image")
+        assert (meta["width"], meta["height"], meta["duration_ms"]) == (w, h, None)
+        assert meta["n_bytes"] == len(b)
+        raster = multimodal._decode_png(b, return_raster=True)
+        expected = bytes(
+            (seed + x * 7 + y * 13 + c * 29) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        assert raster == expected
+
+    # corruption: any flipped IDAT byte must fail the chunk CRC
+    bad = bytearray(multimodal.encode_png(8, 8, seed=1))
+    bad[60] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal._decode_png(bytes(bad))
+    # interlaced / non-8-bit PNGs stay loud, not silently wrong
+    import struct as _s
+    import zlib as _z
+
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # Adam7 flag
+    chunk = (
+        _s.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + _s.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="interlace"):
+        multimodal._decode_png(multimodal._PNG_MAGIC + chunk)
+    # JPEG magic still routes to the loud NotImplementedError slot
+    with pytest.raises(NotImplementedError):
+        multimodal.strict_decoder(b"\xff\xd8\xff\xe0payload", "image")
+
+
 def test_sample_frames_video_only(spark, media_df):
     frames = multimodal.sample_frames(media_df, every_ms=60_000, max_frames=4).collect()
     assert frames and all(r.media_id == 2 for r in frames)
@@ -211,7 +256,9 @@ class TestStrictDecoder:
     def test_compressed_formats_raise(self):
         import pytest
         from mcas_question2_etl_spark.operators.multimodal import strict_decoder
-        with pytest.raises(NotImplementedError):
+        # PNG is a REAL decoder since round 5 — a malformed PNG body now
+        # fails its chunk walk loudly rather than hitting the codec gap
+        with pytest.raises(ValueError):
             strict_decoder(b"\x89PNG\r\n\x1a\n....", "image")
         with pytest.raises(NotImplementedError):
             strict_decoder(b"\xff\xd8\xff\xe0JFIF", "image")
