@@ -510,6 +510,14 @@ HEADLINE = [
     # wave 76: reliability + residual diagnostics
     "cronbachs_alpha_event_types",
     "durbin_watson_daily",
+    # wave 77: serial-dependence/randomness diagnostics + moment
+    # normality + ordered trend
+    "ljung_box_daily",
+    "cox_stuart_trend_daily",
+    "turning_points_daily",
+    "variance_ratio_daily",
+    "jarque_bera_doclen",
+    "jonckheere_price_trend",
 ]
 
 

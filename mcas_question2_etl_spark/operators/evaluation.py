@@ -3752,3 +3752,233 @@ def cronbachs_alpha_sql(
                  {round_to}) AS alpha
     FROM item_num CROSS JOIN tot_num CROSS JOIN nb
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 77: moment-based normality + ordered-alternative trend
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def jarque_bera(
+    df: DataFrame,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Jarque-Bera normality test from exact integer power sums —
+    skewness and excess kurtosis of an integer-valued column (doc
+    lengths here), then ``JB = n/6 * (S² + (K-3)²/4)``; the
+    moment-based normality gate that complements the distribution-
+    shape family (anderson_darling, ks_test, qq):
+
+      ``m_r = central moments``, ``S = m3/m2^1.5``, ``K = m4/m2²``.
+
+    Exactness: the four raw power sums Σx, Σx², Σx³, Σx⁴ accumulate
+    as EXACT bigints in one map-side-combined aggregate; the central-
+    moment expansion runs in double on bit-identical inputs with one
+    spelled-out operation order shared by both engines.
+
+    Output (one row): (n, mean, skewness, kurtosis, jb_stat).
+    """
+    x = F.col(value_col).cast("bigint")
+    m = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(x).cast("bigint").alias("__s1"),
+        F.sum(x * x).cast("bigint").alias("__s2"),
+        F.sum(x * x * x).cast("bigint").alias("__s3"),
+        F.sum(x * x * x * x).cast("bigint").alias("__s4"),
+    )
+    nn = F.col("__n").cast("double")
+    mu = F.col("__s1").cast("double") / nn
+    m2 = F.col("__s2").cast("double") / nn - mu * mu
+    m3 = (
+        F.col("__s3").cast("double") / nn
+        - 3.0 * mu * (F.col("__s2").cast("double") / nn)
+        + 2.0 * mu * mu * mu
+    )
+    m4 = (
+        F.col("__s4").cast("double") / nn
+        - 4.0 * mu * (F.col("__s3").cast("double") / nn)
+        + 6.0 * mu * mu * (F.col("__s2").cast("double") / nn)
+        - 3.0 * mu * mu * mu * mu
+    )
+    s = m3 / (m2 * F.sqrt(m2))
+    k = m4 / (m2 * m2)
+    jb = nn / 6.0 * (s * s + (k - 3.0) * (k - 3.0) / 4.0)
+    return m.select(
+        F.col("__n").alias("n"),
+        F.round(mu, round_to).alias("mean"),
+        F.round(s, round_to).alias("skewness"),
+        F.round(k, round_to).alias("kurtosis"),
+        F.round(jb, round_to).alias("jb_stat"),
+    )
+
+
+def jarque_bera_sql(
+    table: str,
+    value_expr: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`jarque_bera` (identical expansion order)."""
+    x = f"CAST({value_expr} AS BIGINT)"
+    return f"""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM({x}) AS BIGINT) AS s1,
+             CAST(SUM({x} * {x}) AS BIGINT) AS s2,
+             CAST(SUM({x} * {x} * {x}) AS BIGINT) AS s3,
+             CAST(SUM({x} * {x} * {x} * {x}) AS BIGINT) AS s4
+      FROM {table}
+    ),
+    c AS (
+      SELECT n,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+             CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+      FROM m
+    ),
+    cm AS (
+      SELECT n, mu,
+             r2 - mu * mu AS m2,
+             r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+             r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+                - 3.0 * mu * mu * mu * mu AS m4
+      FROM c
+    )
+    SELECT n,
+           ROUND(mu, {round_to}) AS mean,
+           ROUND(m3 / (m2 * SQRT(m2)), {round_to}) AS skewness,
+           ROUND(m4 / (m2 * m2), {round_to}) AS kurtosis,
+           ROUND(CAST(n AS DOUBLE) / 6.0
+                 * ((m3 / (m2 * SQRT(m2))) * (m3 / (m2 * SQRT(m2)))
+                    + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0)
+                      / 4.0),
+                 {round_to}) AS jb_stat
+    FROM cm
+    """
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Jonckheere-Terpstra test for an ORDERED alternative across k
+    ordinal groups — "does the value tend to RISE with the group
+    code", the directional upgrade to `kruskal_wallis` (which only
+    asks "differ?"). ``JT = sum over group pairs i<j of U_ij`` with
+    ties counted half; doubled counts keep JT exact:
+
+      ``2*JT = sum_{gi<gj, cells} o_i * o_j * (2*[v_j > v_i] + [v_j = v_i])``
+
+    z uses the standard NO-TIE null moments (documented convention,
+    identical in both engines): ``E = (N² - Σn_i²)/4``,
+    ``Var = (N²(2N+3) - Σn_i²(2n_i+3))/72``.
+
+    Scale shape: one corpus aggregation to the (group, value) grid;
+    the pair sum is a grid self-join over the TINY contingency table
+    (cells², not rows²); group sizes from the same grid.
+
+    Output (one row): (n, k, jt2 BIGINT = 2*JT, jt, z).
+    """
+    g = F.col(group_col).cast("bigint")
+    v = F.col(value_col).cast("decimal(18,2)")
+    obs = (
+        df.groupBy(g.alias("__g"), v.alias("__v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__o"))
+        .localCheckpoint(eager=False)
+    )
+    a = obs.select(
+        F.col("__g").alias("g1"), F.col("__v").alias("v1"),
+        F.col("__o").alias("o1"),
+    )
+    b = obs.select(
+        F.col("__g").alias("g2"), F.col("__v").alias("v2"),
+        F.col("__o").alias("o2"),
+    )
+    pairs = a.join(b, F.col("g1") < F.col("g2"))
+    jt2 = pairs.agg(
+        F.coalesce(
+            F.sum(
+                F.col("o1")
+                * F.col("o2")
+                * (
+                    2 * (F.col("v2") > F.col("v1")).cast("long")
+                    + (F.col("v2") == F.col("v1")).cast("long")
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("__jt2")
+    )
+    sizes = obs.groupBy("__g").agg(F.sum("__o").cast("bigint").alias("__ni"))
+    tot = sizes.agg(
+        F.sum("__ni").cast("bigint").alias("__nn"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("__ni") * F.col("__ni")).cast("bigint").alias("__sn2"),
+        F.sum(
+            F.col("__ni") * F.col("__ni") * (2 * F.col("__ni") + 3)
+        ).cast("bigint").alias("__sn23"),
+    )
+    j = jt2.crossJoin(F.broadcast(tot))
+    nn = F.col("__nn").cast("double")
+    e = (nn * nn - F.col("__sn2").cast("double")) / 4.0
+    var = (
+        nn * nn * (2.0 * nn + 3.0) - F.col("__sn23").cast("double")
+    ) / 72.0
+    jt = F.col("__jt2").cast("double") / 2.0
+    z = F.when(var > 0, (jt - e) / F.sqrt(var))
+    return j.select(
+        F.col("__nn").alias("n"),
+        "k",
+        F.col("__jt2").alias("jt2"),
+        jt.alias("jt"),
+        F.round(z, round_to).alias("z"),
+    )
+
+
+def jonckheere_terpstra_sql(
+    table: str,
+    group_expr: str,
+    value_expr: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`jonckheere_terpstra`."""
+    return f"""
+    WITH obs AS (
+      SELECT CAST({group_expr} AS BIGINT) AS g,
+             CAST({value_expr} AS DECIMAL(18,2)) AS v,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM {table} GROUP BY 1, 2
+    ),
+    jt AS (
+      SELECT CAST(COALESCE(SUM(a.o * b.o *
+               (2 * CASE WHEN b.v > a.v THEN 1 ELSE 0 END
+                + CASE WHEN b.v = a.v THEN 1 ELSE 0 END)), 0) AS BIGINT)
+               AS jt2
+      FROM obs a JOIN obs b ON a.g < b.g
+    ),
+    sizes AS (SELECT g, CAST(SUM(o) AS BIGINT) AS ni FROM obs GROUP BY g),
+    tot AS (
+      SELECT CAST(SUM(ni) AS BIGINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(ni * ni) AS BIGINT) AS sn2,
+             CAST(SUM(ni * ni * (2 * ni + 3)) AS BIGINT) AS sn23
+      FROM sizes
+    )
+    SELECT tot.nn AS n, tot.k, jt.jt2,
+           CAST(jt.jt2 AS DOUBLE) / 2.0 AS jt,
+           ROUND(CASE WHEN (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                            * (2.0 * CAST(nn AS DOUBLE) + 3.0)
+                            - CAST(sn23 AS DOUBLE)) / 72.0 > 0
+                 THEN (CAST(jt.jt2 AS DOUBLE) / 2.0
+                       - (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                          - CAST(sn2 AS DOUBLE)) / 4.0)
+                      / SQRT((CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                              * (2.0 * CAST(nn AS DOUBLE) + 3.0)
+                              - CAST(sn23 AS DOUBLE)) / 72.0)
+                 END, {round_to}) AS z
+    FROM jt CROSS JOIN tot
+    """

@@ -3222,3 +3222,426 @@ def ks_exponential_gaps_sql(
            ROUND(dmax * SQRT(CAST(n AS DOUBLE)), {round_to}) AS d_sqrt_n
     FROM agg
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 77: serial-dependence / randomness diagnostics
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def ljung_box(
+    daily: DataFrame,
+    date_col: str = "day",
+    value_col: str = "c",
+    lags: int = 7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Ljung-Box portmanteau test over the daily series — "is there
+    ANY autocorrelation in the first ``lags`` lags", the multi-lag
+    complement to `durbin_watson_trend`'s single lag-1 check (and the
+    standard residual-whiteness gate after any forecast fit):
+
+      ``Q = n (n+2) * sum_{l=1..L} r_l^2 / (n - l)``,
+      ``r_l = sum_t (x_t - xbar)(x_{t-l} - xbar) / sum_t (x_t - xbar)^2``.
+
+    One ordered window pass builds the L lag columns; one aggregate
+    reduces every numerator and the common denominator — the corpus
+    reduced to the daily table upstream, so this is O(days * L) with
+    no self-joins. The mean enters as an exact ratio of a decimal/int
+    sum, so both engines center on bit-identical values.
+
+    Output (one row): (n_days, lags, r1, q_stat).
+    """
+    pts = daily.select(
+        F.col(date_col).alias("__d"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.avg("__x").alias("__mu"),
+    )
+    w = Window.orderBy("__d")
+    cen = pts.crossJoin(F.broadcast(m)).select(
+        "__n", (F.col("__x") - F.col("__mu")).alias("__xc"), "__d"
+    )
+    lagged = cen.select(
+        "__n",
+        "__xc",
+        *[F.lag("__xc", l).over(w).alias(f"__l{l}") for l in range(1, lags + 1)],
+    )
+    agg = lagged.agg(
+        F.max("__n").alias("n_days"),
+        F.sum(F.col("__xc") * F.col("__xc")).alias("__den"),
+        *[
+            F.coalesce(F.sum(F.col("__xc") * F.col(f"__l{l}")), F.lit(0.0)).alias(
+                f"__s{l}"
+            )
+            for l in range(1, lags + 1)
+        ],
+    )
+    nn = F.col("n_days").cast("double")
+    q = None
+    for l in range(1, lags + 1):
+        r = F.col(f"__s{l}") / F.col("__den")
+        term = r * r / (nn - l)
+        q = term if q is None else q + term
+    q = nn * (nn + 2.0) * q
+    return agg.select(
+        "n_days",
+        F.lit(lags).cast("int").alias("lags"),
+        F.round(F.col("__s1") / F.col("__den"), round_to).alias("r1"),
+        F.round(q, round_to).alias("q_stat"),
+    )
+
+
+def ljung_box_sql(
+    daily_sql: str,
+    date_col: str = "day",
+    value_col: str = "c",
+    lags: int = 7,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`ljung_box` (lags unrolled)."""
+    lag_cols = ",\n             ".join(
+        f"LAG(xc, {l}) OVER (ORDER BY d) AS l{l}" for l in range(1, lags + 1)
+    )
+    sum_cols = ",\n             ".join(
+        f"COALESCE(SUM(xc * l{l}), 0.0) AS s{l}" for l in range(1, lags + 1)
+    )
+    q_terms = "\n                  + ".join(
+        f"(s{l} / den) * (s{l} / den) / (CAST(n AS DOUBLE) - {l})"
+        for l in range(1, lags + 1)
+    )
+    return f"""
+    WITH d AS ({daily_sql}),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 AVG(CAST({value_col} AS DOUBLE)) AS mu
+          FROM d),
+    cen AS (
+      SELECT {date_col} AS d, CAST({value_col} AS DOUBLE) - m.mu AS xc, m.n
+      FROM d CROSS JOIN m
+    ),
+    lagged AS (
+      SELECT n, xc,
+             {lag_cols}
+      FROM cen
+    ),
+    agg AS (
+      SELECT MAX(n) AS n_days,
+             SUM(xc * xc) AS den,
+             {sum_cols}
+      FROM lagged
+    )
+    SELECT n_days AS n_days,
+           CAST({lags} AS INTEGER) AS lags,
+           ROUND(s1 / den, {round_to}) AS r1,
+           ROUND(CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 2.0)
+                 * ({q_terms}),
+                 {round_to}) AS q_stat
+    FROM (SELECT n_days AS n, * FROM agg)
+    """
+
+
+def cox_stuart(
+    daily: DataFrame,
+    date_col: str = "day",
+    value_col: str = "c",
+    round_to: int = 6,
+) -> DataFrame:
+    """Cox-Stuart sign test for trend: pair each day in the first
+    half with its opposite number in the second half (odd middle
+    observation drops), count rises vs falls, and z-test the sign
+    count against Binomial(n_pairs, 1/2) — the crudest, most
+    assumption-free trend check (runs_test asks "random?", this asks
+    "drifting?"). Ties (equal pair values) drop, the standard
+    treatment. Signs and counts are exact integers; z has no
+    continuity correction (documented convention, identical both
+    engines).
+
+    Output (one row): (n_days, n_pairs, n_plus, n_minus, z).
+    """
+    pts = daily.select(
+        F.col(date_col).alias("__d"),
+        F.col(value_col).cast("bigint").alias("__x"),
+    ).withColumn("__t", F.row_number().over(Window.orderBy("__d")))
+    n_row = pts.agg(F.max("__t").cast("bigint").alias("__n"))
+    # shift h = ceil(n/2); first-half indices 1..n//2 pair with i+h
+    a = pts.select(F.col("__t").alias("__i"), F.col("__x").alias("__xa"))
+    b = pts.select(F.col("__t").alias("__j"), F.col("__x").alias("__xb"))
+    paired = (
+        a.crossJoin(F.broadcast(n_row))
+        .filter(F.col("__i") <= F.floor(F.col("__n") / 2))
+        .join(
+            b,
+            F.col("__j")
+            == F.col("__i") + F.ceil(F.col("__n").cast("double") / 2).cast("bigint"),
+        )
+    )
+    agg = paired.agg(
+        F.max("__n").alias("n_days"),
+        F.sum((F.col("__xb") > F.col("__xa")).cast("long"))
+        .cast("bigint")
+        .alias("n_plus"),
+        F.sum((F.col("__xb") < F.col("__xa")).cast("long"))
+        .cast("bigint")
+        .alias("n_minus"),
+    )
+    np_, nm = F.col("n_plus").cast("double"), F.col("n_minus").cast("double")
+    npairs = np_ + nm
+    z = F.when(npairs > 0, (np_ - npairs / 2.0) / F.sqrt(npairs / 4.0))
+    return agg.select(
+        "n_days",
+        (F.col("n_plus") + F.col("n_minus")).cast("bigint").alias("n_pairs"),
+        "n_plus",
+        "n_minus",
+        F.round(z, round_to).alias("z"),
+    )
+
+
+def cox_stuart_sql(
+    daily_sql: str,
+    date_col: str = "day",
+    value_col: str = "c",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`cox_stuart`."""
+    return f"""
+    WITH d AS ({daily_sql}),
+    pts AS (
+      SELECT CAST({value_col} AS BIGINT) AS x,
+             CAST(ROW_NUMBER() OVER (ORDER BY {date_col}) AS BIGINT) AS t
+      FROM d
+    ),
+    n AS (SELECT MAX(t) AS n FROM pts),
+    paired AS (
+      SELECT a.x AS xa, b.x AS xb, n.n
+      FROM pts a CROSS JOIN n
+      JOIN pts b ON b.t = a.t + CAST(CEIL(CAST(n.n AS DOUBLE) / 2) AS BIGINT)
+      WHERE a.t <= n.n // 2
+    ),
+    agg AS (
+      SELECT MAX(n) AS n_days,
+             CAST(SUM(CASE WHEN xb > xa THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_plus,
+             CAST(SUM(CASE WHEN xb < xa THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_minus
+      FROM paired
+    )
+    SELECT n_days,
+           CAST(n_plus + n_minus AS BIGINT) AS n_pairs,
+           n_plus, n_minus,
+           ROUND(CASE WHEN n_plus + n_minus > 0
+                 THEN (CAST(n_plus AS DOUBLE)
+                       - CAST(n_plus + n_minus AS DOUBLE) / 2.0)
+                      / SQRT(CAST(n_plus + n_minus AS DOUBLE) / 4.0)
+                 END, {round_to}) AS z
+    FROM agg
+    """
+
+
+def turning_points(
+    daily: DataFrame,
+    date_col: str = "day",
+    value_col: str = "c",
+    round_to: int = 6,
+) -> DataFrame:
+    """Turning-points randomness test: count interior days that are a
+    strict local max or min — ``(x_t - x_{t-1})(x_{t+1} - x_t) < 0``
+    (flat steps are NOT turning points; documented tie convention).
+    Under iid, ``E[T] = 2(n-2)/3`` and ``Var[T] = (16n - 29)/90``;
+    too few turns = trend/persistence, too many = oscillation — the
+    second-difference complement to `runs_test` (which ignores
+    magnitude order). One lag/lead window over the daily aggregate.
+
+    Output (one row): (n_days, n_turning, expected, z).
+    """
+    w = Window.orderBy(date_col)
+    x = F.col(value_col).cast("bigint")
+    marked = daily.select(
+        x.alias("__x"),
+        F.lag(x, 1).over(w).alias("__p"),
+        F.lead(x, 1).over(w).alias("__f"),
+    ).withColumn(
+        "__turn",
+        (
+            F.col("__p").isNotNull()
+            & F.col("__f").isNotNull()
+            & (
+                (F.col("__x") - F.col("__p")) * (F.col("__f") - F.col("__x"))
+                < 0
+            )
+        ).cast("long"),
+    )
+    agg = marked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("__turn").cast("bigint").alias("n_turning"),
+    )
+    nn = F.col("n_days").cast("double")
+    e = 2.0 * (nn - 2.0) / 3.0
+    v = (16.0 * nn - 29.0) / 90.0
+    z = F.when(
+        v > 0, (F.col("n_turning").cast("double") - e) / F.sqrt(v)
+    )
+    return agg.select(
+        "n_days",
+        "n_turning",
+        F.round(e, round_to).alias("expected"),
+        F.round(z, round_to).alias("z"),
+    )
+
+
+def turning_points_sql(
+    daily_sql: str,
+    date_col: str = "day",
+    value_col: str = "c",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`turning_points`."""
+    return f"""
+    WITH d AS ({daily_sql}),
+    marked AS (
+      SELECT CAST({value_col} AS BIGINT) AS x,
+             LAG(CAST({value_col} AS BIGINT), 1)
+               OVER (ORDER BY {date_col}) AS p,
+             LEAD(CAST({value_col} AS BIGINT), 1)
+               OVER (ORDER BY {date_col}) AS f
+      FROM d
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(CASE WHEN p IS NOT NULL AND f IS NOT NULL
+                            AND (x - p) * (f - x) < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_turning
+      FROM marked
+    )
+    SELECT n_days, n_turning,
+           ROUND(2.0 * (CAST(n_days AS DOUBLE) - 2.0) / 3.0, {round_to})
+             AS expected,
+           ROUND(CASE WHEN (16.0 * CAST(n_days AS DOUBLE) - 29.0) / 90.0 > 0
+                 THEN (CAST(n_turning AS DOUBLE)
+                       - 2.0 * (CAST(n_days AS DOUBLE) - 2.0) / 3.0)
+                      / SQRT((16.0 * CAST(n_days AS DOUBLE) - 29.0) / 90.0)
+                 END, {round_to}) AS z
+    FROM agg
+    """
+
+
+def variance_ratio(
+    daily: DataFrame,
+    date_col: str = "day",
+    value_col: str = "c",
+    q: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Lo-MacKinlay variance-ratio statistic VR(q) over the daily
+    series' first differences — the random-walk diagnostic (VR ~ 1
+    under iid increments; > 1 = positive serial dependence /
+    trending, < 1 = mean reversion):
+
+      ``VR(q) = Var_q / (q * Var_1)`` with ``Var_1`` the population
+      variance of 1-step differences and ``Var_q`` that of the
+      OVERLAPPING q-step differences divided by q's worth of steps —
+      both centered on the same per-step mean drift
+      ``mu = (x_n - x_1)/(n - 1)``.
+
+    Convention (documented; identical in both engines): population
+    variances (divide by the difference count, no small-sample or
+    overlap bias correction). Two lag windows over the daily table.
+
+    Output (one row): (n_days, q, var_1, var_q, vr).
+    """
+    w = Window.orderBy(date_col)
+    x = F.col(value_col).cast("double")
+    pts = daily.select(
+        F.col(date_col).alias("__d"),
+        x.alias("__x"),
+        F.lag(x, 1).over(w).alias("__x1"),
+        F.lag(x, int(q)).over(w).alias("__xq"),
+        F.first(x).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("__first"),
+        F.last(x).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("__last"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("__n"),
+    )
+    mu = (F.col("__last") - F.col("__first")) / (
+        F.col("__n").cast("double") - 1.0
+    )
+    r1 = F.col("__x") - F.col("__x1") - mu
+    rq = F.col("__x") - F.col("__xq") - F.lit(float(q)) * mu
+    agg = pts.agg(
+        F.max("__n").cast("bigint").alias("n_days"),
+        (
+            F.sum(F.when(F.col("__x1").isNotNull(), r1 * r1))
+            / F.sum(F.when(F.col("__x1").isNotNull(), 1).cast("double"))
+        ).alias("__v1"),
+        (
+            F.sum(F.when(F.col("__xq").isNotNull(), rq * rq))
+            / (
+                F.sum(F.when(F.col("__xq").isNotNull(), 1).cast("double"))
+                * F.lit(float(q))
+            )
+        ).alias("__vq"),
+    )
+    return agg.select(
+        "n_days",
+        F.lit(int(q)).cast("int").alias("q"),
+        F.round("__v1", round_to).alias("var_1"),
+        F.round("__vq", round_to).alias("var_q"),
+        F.round(
+            F.when(F.col("__v1") > 0, F.col("__vq") / F.col("__v1")),
+            round_to,
+        ).alias("vr"),
+    )
+
+
+def variance_ratio_sql(
+    daily_sql: str,
+    date_col: str = "day",
+    value_col: str = "c",
+    q: int = 5,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`variance_ratio`."""
+    return f"""
+    WITH d AS ({daily_sql}),
+    pts AS (
+      SELECT CAST({value_col} AS DOUBLE) AS x,
+             LAG(CAST({value_col} AS DOUBLE), 1)
+               OVER (ORDER BY {date_col}) AS x1,
+             LAG(CAST({value_col} AS DOUBLE), {q})
+               OVER (ORDER BY {date_col}) AS xq,
+             FIRST_VALUE(CAST({value_col} AS DOUBLE)) OVER (
+               ORDER BY {date_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             ) AS xf,
+             LAST_VALUE(CAST({value_col} AS DOUBLE)) OVER (
+               ORDER BY {date_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             ) AS xl,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM d
+    ),
+    agg AS (
+      SELECT MAX(n) AS n_days,
+             SUM(CASE WHEN x1 IS NOT NULL
+                 THEN (x - x1 - (xl - xf) / (CAST(n AS DOUBLE) - 1.0))
+                    * (x - x1 - (xl - xf) / (CAST(n AS DOUBLE) - 1.0)) END)
+             / SUM(CASE WHEN x1 IS NOT NULL THEN 1 END) AS v1,
+             SUM(CASE WHEN xq IS NOT NULL
+                 THEN (x - xq - CAST({q} AS DOUBLE)
+                               * (xl - xf) / (CAST(n AS DOUBLE) - 1.0))
+                    * (x - xq - CAST({q} AS DOUBLE)
+                               * (xl - xf) / (CAST(n AS DOUBLE) - 1.0)) END)
+             / (SUM(CASE WHEN xq IS NOT NULL THEN 1 END)
+                * CAST({q} AS DOUBLE)) AS vq
+      FROM pts
+    )
+    SELECT n_days,
+           CAST({q} AS INTEGER) AS q,
+           ROUND(v1, {round_to}) AS var_1,
+           ROUND(vq, {round_to}) AS var_q,
+           ROUND(CASE WHEN v1 > 0 THEN vq / v1 END, {round_to}) AS vr
+    FROM agg
+    """

@@ -2583,3 +2583,44 @@ def cronbachs_alpha_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     return evaluation.cronbachs_alpha(daily, "day", "event_type", "c")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave77: moment-based normality + ordered trend
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "jarque_bera_doclen",
+    evaluation.jarque_bera_sql("documents", "LENGTH(text)"),
+    "stats op — Jarque-Bera normality test on document lengths from "
+    "four exact-bigint power sums (one map-side-combined aggregate): "
+    "the moment-based gate beside the shape family "
+    "(anderson_darling_doclen, qq_doclen_sources). Skewness/kurtosis "
+    "expansion order spelled out identically in both engines.",
+)
+def jarque_bera_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.length("text").alias("doclen")
+    )
+    return evaluation.jarque_bera(docs, "doclen")
+
+
+@_spec(
+    "jonckheere_price_trend",
+    evaluation.jonckheere_terpstra_sql(
+        "orders",
+        "CAST(substring(o_orderpriority, 1, 1) AS BIGINT)",
+        "o_totalprice",
+    ),
+    "stats op — Jonckheere-Terpstra ordered-alternative trend test: "
+    "does order price RISE with the priority code (1-URGENT .. "
+    "5-LOW)? The directional upgrade to kruskal_wallis. Doubled "
+    "Mann-Whitney counts over the tiny (group, value) contingency "
+    "grid keep 2*JT an exact bigint; no-tie null moments documented "
+    "identically in both engines.",
+)
+def jonckheere_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("prio"),
+        F.col("o_totalprice"),
+    )
+    return evaluation.jonckheere_terpstra(orders, "prio", "o_totalprice")

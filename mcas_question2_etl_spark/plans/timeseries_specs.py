@@ -1690,3 +1690,72 @@ def durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y")
     )
     return regression.durbin_watson_trend(daily)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave77: serial-dependence / randomness diagnostics
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "ljung_box_daily",
+    timeseries.ljung_box_sql(_TOTAL_DAILY_SQL.strip(), lags=7),
+    "timeseries op — Ljung-Box portmanteau Q over the first 7 lags "
+    "of daily total event counts: the ANY-lag whiteness gate that "
+    "complements durbin_watson_daily's lag-1 check. One ordered "
+    "window pass builds the lag columns, one aggregate reduces all "
+    "numerators — O(days * L), no self-joins.",
+)
+def ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return timeseries.ljung_box(daily, lags=7)
+
+
+@_spec(
+    "cox_stuart_trend_daily",
+    timeseries.cox_stuart_sql(_TOTAL_DAILY_SQL.strip()),
+    "timeseries op — Cox-Stuart sign test for trend on daily total "
+    "counts: first-half days paired with second-half opposite "
+    "numbers, rises vs falls sign-tested. Exact integer signs; the "
+    "pair join is days-sized.",
+)
+def cox_stuart_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return timeseries.cox_stuart(daily)
+
+
+@_spec(
+    "turning_points_daily",
+    timeseries.turning_points_sql(_TOTAL_DAILY_SQL.strip()),
+    "timeseries op — turning-points randomness test on daily total "
+    "counts (strict local max/min count vs the iid 2(n-2)/3 "
+    "expectation): the second-difference complement to "
+    "runs_test_daily. One lag/lead window over the daily aggregate.",
+)
+def turning_points_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return timeseries.turning_points(daily)
+
+
+@_spec(
+    "variance_ratio_daily",
+    timeseries.variance_ratio_sql(_TOTAL_DAILY_SQL.strip(), q=5),
+    "timeseries op — Lo-MacKinlay variance ratio VR(5) on daily "
+    "total counts: random-walk vs mean-reversion vs trending "
+    "diagnostic from overlapping q-step differences; population-"
+    "variance convention documented and identical in both engines. "
+    "Two lag windows over the daily aggregate.",
+)
+def variance_ratio_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return timeseries.variance_ratio(daily, q=5)
