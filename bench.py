@@ -518,6 +518,13 @@ HEADLINE = [
     "variance_ratio_daily",
     "jarque_bera_doclen",
     "jonckheere_price_trend",
+    # wave 78: econometric / structural diagnostics
+    "adf_unit_root_daily",
+    "engle_granger_coint",
+    "chow_break_daily",
+    "breusch_pagan_daily",
+    "arch_lm_daily",
+    "pacf_daily",
 ]
 
 

@@ -791,3 +791,651 @@ def durbin_watson_trend_sql(
            ROUND(SUM(ul) / SUM(u * u), {round_to}) AS rho1
     FROM dd
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 78: econometric / structural diagnostics
+# ──────────────────────────────────────────────────────────────────────────
+def adf_unit_root(
+    daily: DataFrame,
+    date_col: str = "day",
+    value_col: str = "y",
+    round_to: int = 6,
+) -> DataFrame:
+    """Dickey-Fuller unit-root test (constant, lag 0) on the daily
+    series — "is this a random walk or does it mean-revert?", the
+    stationarity gate every trend/forecast spec implicitly assumes:
+
+      regress ``Δx_t`` on ``[1, x_{t-1}]``; DF stat = b / SE(b).
+
+    A unit root (b ≈ 0) means shocks are permanent and the OLS-trend
+    family (newey_west_trend, segmented_regression) is describing a
+    drifting random walk, not structure. One ordered-window lag over
+    the days-sized table, one aggregate of six sufficient statistics
+    — the corpus already reduced upstream, so O(days), no self-joins.
+    Closed-form OLS over centered sums, identical expression order in
+    both engines.
+
+    Output (one row): (n_obs, slope, df_stat).
+    """
+    w = Window.orderBy("__d")
+    pts = daily.select(
+        F.col(date_col).alias("__d"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    lagged = (
+        pts.withColumn("__xl", F.lag("__x", 1).over(w))
+        .filter(F.col("__xl").isNotNull())
+        .select(
+            (F.col("__x") - F.col("__xl")).alias("__y"),
+            F.col("__xl").alias("__z"),
+        )
+    )
+    agg = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("__z").alias("sz"),
+        F.sum(F.col("__z") * F.col("__z")).alias("sz2"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__y") * F.col("__y")).alias("sy2"),
+        F.sum(F.col("__z") * F.col("__y")).alias("szy"),
+    )
+    mm = F.col("m").cast("double")
+    cen = agg.select(
+        "m",
+        (F.col("sz2") - F.col("sz") * F.col("sz") / mm).alias("szz"),
+        (F.col("szy") - F.col("sz") * F.col("sy") / mm).alias("szy_c"),
+        (F.col("sy2") - F.col("sy") * F.col("sy") / mm).alias("syy"),
+    )
+    fit = cen.select(
+        "m",
+        "szz",
+        "szy_c",
+        "syy",
+        (F.col("szy_c") / F.col("szz")).alias("b"),
+    )
+    mm2 = F.col("m").cast("double")
+    ssr = F.col("syy") - F.col("b") * F.col("szy_c")
+    se = F.sqrt((ssr / (mm2 - 2.0)) / F.col("szz"))
+    return fit.select(
+        F.col("m").alias("n_obs"),
+        F.round("b", round_to).alias("slope"),
+        F.round(F.col("b") / se, round_to).alias("df_stat"),
+    )
+
+
+def adf_unit_root_sql(
+    daily_sql: str,
+    date_col: str = "day",
+    value_col: str = "y",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`adf_unit_root`."""
+    return f"""
+    WITH d AS ({daily_sql}),
+    pts AS (
+      SELECT {date_col} AS dd, CAST({value_col} AS DOUBLE) AS x FROM d
+    ),
+    lagged AS (
+      SELECT x - xl AS y, xl AS z
+      FROM (SELECT x, LAG(x, 1) OVER (ORDER BY dd) AS xl FROM pts)
+      WHERE xl IS NOT NULL
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             SUM(z) AS sz, SUM(z * z) AS sz2,
+             SUM(y) AS sy, SUM(y * y) AS sy2,
+             SUM(z * y) AS szy
+      FROM lagged
+    ),
+    cen AS (
+      SELECT m,
+             sz2 - sz * sz / CAST(m AS DOUBLE) AS szz,
+             szy - sz * sy / CAST(m AS DOUBLE) AS szy_c,
+             sy2 - sy * sy / CAST(m AS DOUBLE) AS syy
+      FROM agg
+    ),
+    fit AS (
+      SELECT m, szz, szy_c, syy, szy_c / szz AS b FROM cen
+    )
+    SELECT m AS n_obs,
+           ROUND(b, {round_to}) AS slope,
+           ROUND(b / SQRT(((syy - b * szy_c) / (CAST(m AS DOUBLE) - 2.0))
+                          / szz),
+                 {round_to}) AS df_stat
+    FROM fit
+    """
+
+
+def engle_granger(
+    xy: DataFrame,
+    date_col: str = "day",
+    x_col: str = "x",
+    y_col: str = "y",
+    round_to: int = 6,
+) -> DataFrame:
+    """Engle-Granger two-step cointegration test between two daily
+    series on a shared day axis — "do these drift TOGETHER?" (a pair
+    can each be non-stationary yet keep a stationary spread; that
+    spread is what pairs-monitoring and ratio alerts implicitly bet
+    on):
+
+      step 1: OLS ``y = a + β x`` in levels → residuals e_t;
+      step 2: Dickey-Fuller on e (no constant, lag 0):
+              ``ρ = Σ e_{t-1} Δe_t / Σ e_{t-1}²``, stat = ρ / SE(ρ).
+
+    Two days-sized aggregates and one ordered-window lag; the OLS
+    stats broadcast back (scalar row), so nothing data-sized ever
+    shuffles twice. Closed-form sums, identical expression order in
+    both engines.
+
+    Output (one row): (n_days, beta, eg_stat).
+    """
+    pts = xy.select(
+        F.col(date_col).alias("__d"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sx2"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+    )
+    nn = F.col("n").cast("double")
+    stats = m.select(
+        "n",
+        (F.col("sx") / nn).alias("mx"),
+        (F.col("sy") / nn).alias("my"),
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / nn)
+            / (F.col("sx2") - F.col("sx") * F.col("sx") / nn)
+        ).alias("beta"),
+    )
+    resid = pts.crossJoin(F.broadcast(stats)).select(
+        "__d",
+        "n",
+        "beta",
+        (
+            (F.col("__y") - F.col("my"))
+            - F.col("beta") * (F.col("__x") - F.col("mx"))
+        ).alias("__e"),
+    )
+    w = Window.orderBy("__d")
+    de = (
+        resid.withColumn("__el", F.lag("__e", 1).over(w))
+        .filter(F.col("__el").isNotNull())
+        .select(
+            "n",
+            "beta",
+            F.col("__el").alias("__el"),
+            (F.col("__e") - F.col("__el")).alias("__de"),
+        )
+    )
+    agg2 = de.agg(
+        F.max("n").alias("n_days"),
+        F.max("beta").alias("beta"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(F.col("__el") * F.col("__el")).alias("sel2"),
+        F.sum(F.col("__el") * F.col("__de")).alias("selde"),
+        F.sum(F.col("__de") * F.col("__de")).alias("sde2"),
+    )
+    rho = F.col("selde") / F.col("sel2")
+    mm = F.col("m").cast("double")
+    ssr = F.col("sde2") - rho * F.col("selde")
+    se = F.sqrt((ssr / (mm - 1.0)) / F.col("sel2"))
+    return agg2.select(
+        "n_days",
+        F.round("beta", round_to).alias("beta"),
+        F.round(rho / se, round_to).alias("eg_stat"),
+    )
+
+
+def engle_granger_sql(
+    xy_sql: str,
+    date_col: str = "day",
+    x_col: str = "x",
+    y_col: str = "y",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`engle_granger`."""
+    return f"""
+    WITH xy AS ({xy_sql}),
+    pts AS (
+      SELECT {date_col} AS dd,
+             CAST({x_col} AS DOUBLE) AS x,
+             CAST({y_col} AS DOUBLE) AS y
+      FROM xy
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sx2, SUM(x * y) AS sxy
+      FROM pts
+    ),
+    stats AS (
+      SELECT n,
+             sx / CAST(n AS DOUBLE) AS mx,
+             sy / CAST(n AS DOUBLE) AS my,
+             (sxy - sx * sy / CAST(n AS DOUBLE))
+             / (sx2 - sx * sx / CAST(n AS DOUBLE)) AS beta
+      FROM m
+    ),
+    resid AS (
+      SELECT pts.dd, stats.n, stats.beta,
+             (pts.y - stats.my) - stats.beta * (pts.x - stats.mx) AS e
+      FROM pts CROSS JOIN stats
+    ),
+    de AS (
+      SELECT n, beta, el, e - el AS de
+      FROM (SELECT n, beta, e, LAG(e, 1) OVER (ORDER BY dd) AS el
+            FROM resid)
+      WHERE el IS NOT NULL
+    ),
+    agg2 AS (
+      SELECT MAX(n) AS n_days, MAX(beta) AS beta,
+             CAST(COUNT(*) AS BIGINT) AS m,
+             SUM(el * el) AS sel2,
+             SUM(el * de) AS selde,
+             SUM(de * de) AS sde2
+      FROM de
+    )
+    SELECT n_days,
+           ROUND(beta, {round_to}) AS beta,
+           ROUND((selde / sel2)
+                 / SQRT(((sde2 - (selde / sel2) * selde)
+                         / (CAST(m AS DOUBLE) - 1.0)) / sel2),
+                 {round_to}) AS eg_stat
+    FROM agg2
+    """
+
+
+def chow_break(
+    daily: DataFrame,
+    date_col: str = "day",
+    value_col: str = "y",
+    round_to: int = 6,
+) -> DataFrame:
+    """Chow structural-break F-test of the daily trend at the sample
+    midpoint — "is it ONE line or TWO?": fit ``y = a + b·t`` pooled
+    and separately on each half, then
+
+      ``F = ((SSR_p - SSR_1 - SSR_2) / k) / ((SSR_1 + SSR_2) / (n - 2k))``,
+      k = 2.
+
+    The hypothesis-test complement to segmented_regression (which
+    *finds* the best break; this *tests* a fixed one — the classic
+    deploy-date / policy-change question). Each segment's SSR is the
+    closed form ``Syy - Sxy²/Sxx`` over conditional sums, so the whole
+    test is ONE aggregate over the days-sized table after a scalar
+    count broadcast. Identical expression order in both engines.
+
+    Output (one row): (n_days, break_t, ssr_pooled, ssr_split, f_stat).
+    """
+    pts = daily.select(
+        F.col(value_col).cast("double").alias("__y"),
+        F.row_number()
+        .over(Window.orderBy(date_col))
+        .cast("bigint")
+        .alias("__t"),
+    )
+    n_row = pts.agg(F.max("__t").cast("bigint").alias("__n"))
+    seg = pts.crossJoin(F.broadcast(n_row)).select(
+        "__y",
+        "__t",
+        "__n",
+        (F.col("__t") <= F.floor(F.col("__n") / 2)).alias("__first"),
+    )
+
+    def _sums(pred, tag):
+        t = F.when(pred, F.col("__t").cast("double"))
+        y = F.when(pred, F.col("__y"))
+        return [
+            F.sum(F.when(pred, F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"n{tag}"),
+            F.sum(t).alias(f"st{tag}"),
+            F.sum(t * F.col("__t").cast("double")).alias(f"st2{tag}"),
+            F.sum(y).alias(f"sy{tag}"),
+            F.sum(y * F.col("__y")).alias(f"sy2{tag}"),
+            F.sum(t * F.col("__y")).alias(f"sty{tag}"),
+        ]
+
+    agg = seg.agg(
+        F.max("__n").alias("n_days"),
+        *_sums(F.lit(True), "p"),
+        *_sums(F.col("__first"), "1"),
+        *_sums(~F.col("__first"), "2"),
+    )
+
+    def _ssr(tag):
+        n = F.col(f"n{tag}").cast("double")
+        sxx = F.col(f"st2{tag}") - F.col(f"st{tag}") * F.col(f"st{tag}") / n
+        sxy = F.col(f"sty{tag}") - F.col(f"st{tag}") * F.col(f"sy{tag}") / n
+        syy = F.col(f"sy2{tag}") - F.col(f"sy{tag}") * F.col(f"sy{tag}") / n
+        return syy - sxy * sxy / sxx
+
+    ssrs = agg.select(
+        "n_days",
+        _ssr("p").alias("ssr_p"),
+        _ssr("1").alias("ssr_1"),
+        _ssr("2").alias("ssr_2"),
+    )
+    nn = F.col("n_days").cast("double")
+    split = F.col("ssr_1") + F.col("ssr_2")
+    f_stat = ((F.col("ssr_p") - split) / 2.0) / (split / (nn - 4.0))
+    return ssrs.select(
+        "n_days",
+        F.floor(F.col("n_days") / 2).cast("bigint").alias("break_t"),
+        F.round("ssr_p", round_to).alias("ssr_pooled"),
+        F.round(split, round_to).alias("ssr_split"),
+        F.round(f_stat, round_to).alias("f_stat"),
+    )
+
+
+def chow_break_sql(
+    daily_sql: str,
+    date_col: str = "day",
+    value_col: str = "y",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`chow_break`."""
+
+    def _sums(pred, tag):
+        return f"""CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS n{tag},
+             SUM(CASE WHEN {pred} THEN CAST(t AS DOUBLE) END) AS st{tag},
+             SUM(CASE WHEN {pred} THEN CAST(t AS DOUBLE) END * CAST(t AS DOUBLE)) AS st2{tag},
+             SUM(CASE WHEN {pred} THEN y END) AS sy{tag},
+             SUM(CASE WHEN {pred} THEN y END * y) AS sy2{tag},
+             SUM(CASE WHEN {pred} THEN CAST(t AS DOUBLE) END * y) AS sty{tag}"""
+
+    def _ssr(tag):
+        n = f"CAST(n{tag} AS DOUBLE)"
+        sxx = f"(st2{tag} - st{tag} * st{tag} / {n})"
+        sxy = f"(sty{tag} - st{tag} * sy{tag} / {n})"
+        syy = f"(sy2{tag} - sy{tag} * sy{tag} / {n})"
+        return f"({syy} - {sxy} * {sxy} / {sxx})"
+
+    return f"""
+    WITH d AS ({daily_sql}),
+    pts AS (
+      SELECT CAST({value_col} AS DOUBLE) AS y,
+             CAST(ROW_NUMBER() OVER (ORDER BY {date_col}) AS BIGINT) AS t
+      FROM d
+    ),
+    n_row AS (SELECT CAST(MAX(t) AS BIGINT) AS n FROM pts),
+    seg AS (
+      SELECT y, t, n, t <= n // 2 AS first
+      FROM pts CROSS JOIN n_row
+    ),
+    agg AS (
+      SELECT MAX(n) AS n_days,
+             {_sums("TRUE", "p")},
+             {_sums("first", "1")},
+             {_sums("NOT first", "2")}
+      FROM seg
+    ),
+    ssrs AS (
+      SELECT n_days,
+             {_ssr("p")} AS ssr_p,
+             {_ssr("1")} AS ssr_1,
+             {_ssr("2")} AS ssr_2
+      FROM agg
+    )
+    SELECT n_days,
+           CAST(n_days // 2 AS BIGINT) AS break_t,
+           ROUND(ssr_p, {round_to}) AS ssr_pooled,
+           ROUND(ssr_1 + ssr_2, {round_to}) AS ssr_split,
+           ROUND(((ssr_p - (ssr_1 + ssr_2)) / 2.0)
+                 / ((ssr_1 + ssr_2) / (CAST(n_days AS DOUBLE) - 4.0)),
+                 {round_to}) AS f_stat
+    FROM ssrs
+    """
+
+
+def breusch_pagan(
+    daily: DataFrame,
+    date_col: str = "day",
+    value_col: str = "y",
+    round_to: int = 6,
+) -> DataFrame:
+    """Breusch-Pagan heteroskedasticity test (Koenker's studentized
+    form) on the daily trend fit — "does the VARIANCE drift even if
+    the mean doesn't?": OLS ``y = a + b·t``, then the auxiliary
+    regression of squared residuals on t;
+
+      ``LM = n · R²_aux``,  R²_aux the simple-OLS r² closed form.
+
+    Growing dispersion invalidates the constant-variance SE every
+    trend CI in the suite quotes (newey_west_trend fixes
+    autocorrelation, this detects the *other* violation). Two
+    aggregates over the days-sized table with a scalar broadcast
+    between — O(days), no self-joins, identical expression order in
+    both engines.
+
+    Output (one row): (n_days, r2_aux, lm_stat).
+    """
+    pts = daily.select(
+        F.col(value_col).cast("double").alias("__y"),
+        F.row_number()
+        .over(Window.orderBy(date_col))
+        .cast("bigint")
+        .alias("__t"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("__t").cast("double")).alias("st"),
+        F.sum(F.col("__t").cast("double") * F.col("__t").cast("double")).alias(
+            "st2"
+        ),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__t").cast("double") * F.col("__y")).alias("sty"),
+    )
+    nn = F.col("n").cast("double")
+    stats = m.select(
+        "n",
+        (F.col("st") / nn).alias("mt"),
+        (F.col("sy") / nn).alias("my"),
+        (
+            (F.col("sty") - F.col("st") * F.col("sy") / nn)
+            / (F.col("st2") - F.col("st") * F.col("st") / nn)
+        ).alias("b"),
+    )
+    aux = pts.crossJoin(F.broadcast(stats)).select(
+        F.col("__t").cast("double").alias("__x"),
+        (
+            (
+                F.col("__y")
+                - F.col("my")
+                - F.col("b") * (F.col("__t").cast("double") - F.col("mt"))
+            )
+            * (
+                F.col("__y")
+                - F.col("my")
+                - F.col("b") * (F.col("__t").cast("double") - F.col("mt"))
+            )
+        ).alias("__g"),
+    )
+    agg2 = aux.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("__x").alias("sx"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sx2"),
+        F.sum("__g").alias("sg"),
+        F.sum(F.col("__g") * F.col("__g")).alias("sg2"),
+        F.sum(F.col("__x") * F.col("__g")).alias("sxg"),
+    )
+    nn2 = F.col("n_days").cast("double")
+    sxx = F.col("sx2") - F.col("sx") * F.col("sx") / nn2
+    sgg = F.col("sg2") - F.col("sg") * F.col("sg") / nn2
+    sxg_c = F.col("sxg") - F.col("sx") * F.col("sg") / nn2
+    r2 = sxg_c * sxg_c / (sxx * sgg)
+    return agg2.select(
+        "n_days",
+        F.round(r2, round_to).alias("r2_aux"),
+        F.round(nn2 * r2, round_to).alias("lm_stat"),
+    )
+
+
+def breusch_pagan_sql(
+    daily_sql: str,
+    date_col: str = "day",
+    value_col: str = "y",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`breusch_pagan`."""
+    return f"""
+    WITH d AS ({daily_sql}),
+    pts AS (
+      SELECT CAST({value_col} AS DOUBLE) AS y,
+             CAST(ROW_NUMBER() OVER (ORDER BY {date_col}) AS BIGINT) AS t
+      FROM d
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(t AS DOUBLE)) AS st,
+             SUM(CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) AS st2,
+             SUM(y) AS sy,
+             SUM(CAST(t AS DOUBLE) * y) AS sty
+      FROM pts
+    ),
+    stats AS (
+      SELECT n,
+             st / CAST(n AS DOUBLE) AS mt,
+             sy / CAST(n AS DOUBLE) AS my,
+             (sty - st * sy / CAST(n AS DOUBLE))
+             / (st2 - st * st / CAST(n AS DOUBLE)) AS b
+      FROM m
+    ),
+    aux AS (
+      SELECT CAST(pts.t AS DOUBLE) AS x,
+             (pts.y - stats.my
+              - stats.b * (CAST(pts.t AS DOUBLE) - stats.mt))
+             * (pts.y - stats.my
+                - stats.b * (CAST(pts.t AS DOUBLE) - stats.mt)) AS g
+      FROM pts CROSS JOIN stats
+    ),
+    agg2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             SUM(x) AS sx, SUM(x * x) AS sx2,
+             SUM(g) AS sg, SUM(g * g) AS sg2,
+             SUM(x * g) AS sxg
+      FROM aux
+    )
+    SELECT n_days,
+           ROUND((sxg - sx * sg / CAST(n_days AS DOUBLE))
+                 * (sxg - sx * sg / CAST(n_days AS DOUBLE))
+                 / ((sx2 - sx * sx / CAST(n_days AS DOUBLE))
+                    * (sg2 - sg * sg / CAST(n_days AS DOUBLE))),
+                 {round_to}) AS r2_aux,
+           ROUND(CAST(n_days AS DOUBLE)
+                 * ((sxg - sx * sg / CAST(n_days AS DOUBLE))
+                    * (sxg - sx * sg / CAST(n_days AS DOUBLE))
+                    / ((sx2 - sx * sx / CAST(n_days AS DOUBLE))
+                       * (sg2 - sg * sg / CAST(n_days AS DOUBLE)))),
+                 {round_to}) AS lm_stat
+    FROM agg2
+    """
+
+
+def arch_lm(
+    daily: DataFrame,
+    date_col: str = "day",
+    value_col: str = "y",
+    round_to: int = 6,
+) -> DataFrame:
+    """Engle's ARCH-LM test (1 lag) on the demeaned daily series —
+    "is VOLATILITY autocorrelated?" (calm days cluster, bursty days
+    cluster): with e_t = y_t - ȳ and u_t = e_t², regress u_t on
+    u_{t-1};
+
+      ``LM = m · R²``,  m = usable observations.
+
+    Variance clustering is invisible to every mean-equation
+    diagnostic (ljung_box sees correlation in LEVELS, this in
+    squared shocks) and is the standard burst-detection gate before
+    trusting iid-based anomaly thresholds. One scalar-mean broadcast,
+    one ordered lag, one aggregate — O(days). Identical expression
+    order in both engines.
+
+    Output (one row): (n_obs, r2, lm_stat).
+    """
+    pts = daily.select(
+        F.col(date_col).alias("__d"),
+        F.col(value_col).cast("double").alias("__y"),
+    )
+    m = pts.agg(F.avg("__y").alias("my"))
+    w = Window.orderBy("__d")
+    u = pts.crossJoin(F.broadcast(m)).select(
+        "__d",
+        (
+            (F.col("__y") - F.col("my")) * (F.col("__y") - F.col("my"))
+        ).alias("__u"),
+    )
+    lagged = (
+        u.withColumn("__ul", F.lag("__u", 1).over(w))
+        .filter(F.col("__ul").isNotNull())
+        .select("__u", "__ul")
+    )
+    agg = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum("__ul").alias("sx"),
+        F.sum(F.col("__ul") * F.col("__ul")).alias("sx2"),
+        F.sum("__u").alias("sy"),
+        F.sum(F.col("__u") * F.col("__u")).alias("sy2"),
+        F.sum(F.col("__ul") * F.col("__u")).alias("sxy"),
+    )
+    mm = F.col("n_obs").cast("double")
+    sxx = F.col("sx2") - F.col("sx") * F.col("sx") / mm
+    syy = F.col("sy2") - F.col("sy") * F.col("sy") / mm
+    sxy_c = F.col("sxy") - F.col("sx") * F.col("sy") / mm
+    r2 = sxy_c * sxy_c / (sxx * syy)
+    return agg.select(
+        "n_obs",
+        F.round(r2, round_to).alias("r2"),
+        F.round(mm * r2, round_to).alias("lm_stat"),
+    )
+
+
+def arch_lm_sql(
+    daily_sql: str,
+    date_col: str = "day",
+    value_col: str = "y",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`arch_lm`."""
+    return f"""
+    WITH d AS ({daily_sql}),
+    pts AS (
+      SELECT {date_col} AS dd, CAST({value_col} AS DOUBLE) AS y FROM d
+    ),
+    m AS (SELECT AVG(y) AS my FROM pts),
+    u AS (
+      SELECT dd, (y - my) * (y - my) AS u
+      FROM pts CROSS JOIN m
+    ),
+    lagged AS (
+      SELECT u, ul
+      FROM (SELECT u, LAG(u, 1) OVER (ORDER BY dd) AS ul FROM u)
+      WHERE ul IS NOT NULL
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
+             SUM(ul) AS sx, SUM(ul * ul) AS sx2,
+             SUM(u) AS sy, SUM(u * u) AS sy2,
+             SUM(ul * u) AS sxy
+      FROM lagged
+    )
+    SELECT n_obs,
+           ROUND((sxy - sx * sy / CAST(n_obs AS DOUBLE))
+                 * (sxy - sx * sy / CAST(n_obs AS DOUBLE))
+                 / ((sx2 - sx * sx / CAST(n_obs AS DOUBLE))
+                    * (sy2 - sy * sy / CAST(n_obs AS DOUBLE))),
+                 {round_to}) AS r2,
+           ROUND(CAST(n_obs AS DOUBLE)
+                 * ((sxy - sx * sy / CAST(n_obs AS DOUBLE))
+                    * (sxy - sx * sy / CAST(n_obs AS DOUBLE))
+                    / ((sx2 - sx * sx / CAST(n_obs AS DOUBLE))
+                       * (sy2 - sy * sy / CAST(n_obs AS DOUBLE)))),
+                 {round_to}) AS lm_stat
+    FROM agg
+    """

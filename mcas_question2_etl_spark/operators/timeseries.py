@@ -3645,3 +3645,148 @@ def variance_ratio_sql(
            ROUND(CASE WHEN v1 > 0 THEN vq / v1 END, {round_to}) AS vr
     FROM agg
     """
+
+
+def pacf3(
+    daily: DataFrame,
+    date_col: str = "day",
+    value_col: str = "c",
+    round_to: int = 6,
+) -> DataFrame:
+    """Partial autocorrelations at lags 1-3 via the Durbin-Levinson
+    recursion — "which lags matter DIRECTLY?": the ACF
+    (autocorrelation_report, ljung_box) confounds lag-2 dependence
+    with lag-1-applied-twice; the PACF removes the shorter-lag
+    pass-through, which is what actually picks an AR order.
+
+      ``φ11 = r1``;  ``φ22 = (r2 - r1²)/(1 - r1²)``;
+      ``φ21 = φ11 - φ22·φ11``;
+      ``φ33 = (r3 - φ21 r2 - φ22 r1)/(1 - φ21 r1 - φ22 r2)``.
+
+    The r_l use the standard biased estimator over the mean-centered
+    series (same convention as :func:`ljung_box`): one ordered-window
+    lag pass, one aggregate, then pure scalar arithmetic — O(days),
+    identical expression order in both engines.
+
+    Output (one row): (n_days, r1, r2, r3, pacf2, pacf3).
+    """
+    pts = daily.select(
+        F.col(date_col).alias("__d"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.avg("__x").alias("__mu"),
+    )
+    w = Window.orderBy("__d")
+    cen = pts.crossJoin(F.broadcast(m)).select(
+        "__n", (F.col("__x") - F.col("__mu")).alias("__xc"), "__d"
+    )
+    lagged = cen.select(
+        "__n",
+        "__xc",
+        *[F.lag("__xc", l).over(w).alias(f"__l{l}") for l in (1, 2, 3)],
+    )
+    agg = lagged.agg(
+        F.max("__n").alias("n_days"),
+        F.sum(F.col("__xc") * F.col("__xc")).alias("__den"),
+        *[
+            F.coalesce(F.sum(F.col("__xc") * F.col(f"__l{l}")), F.lit(0.0)).alias(
+                f"__s{l}"
+            )
+            for l in (1, 2, 3)
+        ],
+    )
+    rs = agg.select(
+        "n_days",
+        (F.col("__s1") / F.col("__den")).alias("r1"),
+        (F.col("__s2") / F.col("__den")).alias("r2"),
+        (F.col("__s3") / F.col("__den")).alias("r3"),
+    )
+    p2 = rs.select(
+        "n_days",
+        "r1",
+        "r2",
+        "r3",
+        (
+            (F.col("r2") - F.col("r1") * F.col("r1"))
+            / (F.lit(1.0) - F.col("r1") * F.col("r1"))
+        ).alias("p2"),
+    )
+    p21 = p2.select(
+        "n_days",
+        "r1",
+        "r2",
+        "r3",
+        "p2",
+        (F.col("r1") - F.col("p2") * F.col("r1")).alias("p21"),
+    )
+    p3 = (
+        F.col("r3") - F.col("p21") * F.col("r2") - F.col("p2") * F.col("r1")
+    ) / (
+        F.lit(1.0) - F.col("p21") * F.col("r1") - F.col("p2") * F.col("r2")
+    )
+    return p21.select(
+        "n_days",
+        F.round("r1", round_to).alias("r1"),
+        F.round("r2", round_to).alias("r2"),
+        F.round("r3", round_to).alias("r3"),
+        F.round("p2", round_to).alias("pacf2"),
+        F.round(p3, round_to).alias("pacf3"),
+    )
+
+
+def pacf3_sql(
+    daily_sql: str,
+    date_col: str = "day",
+    value_col: str = "c",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`pacf3`."""
+    return f"""
+    WITH d AS ({daily_sql}),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 AVG(CAST({value_col} AS DOUBLE)) AS mu
+          FROM d),
+    cen AS (
+      SELECT {date_col} AS dd, CAST({value_col} AS DOUBLE) - m.mu AS xc, m.n
+      FROM d CROSS JOIN m
+    ),
+    lagged AS (
+      SELECT n, xc,
+             LAG(xc, 1) OVER (ORDER BY dd) AS l1,
+             LAG(xc, 2) OVER (ORDER BY dd) AS l2,
+             LAG(xc, 3) OVER (ORDER BY dd) AS l3
+      FROM cen
+    ),
+    agg AS (
+      SELECT MAX(n) AS n_days,
+             SUM(xc * xc) AS den,
+             COALESCE(SUM(xc * l1), 0.0) AS s1,
+             COALESCE(SUM(xc * l2), 0.0) AS s2,
+             COALESCE(SUM(xc * l3), 0.0) AS s3
+      FROM lagged
+    ),
+    rs AS (
+      SELECT n_days, s1 / den AS r1, s2 / den AS r2, s3 / den AS r3
+      FROM agg
+    ),
+    p2t AS (
+      SELECT n_days, r1, r2, r3,
+             (r2 - r1 * r1) / (1.0 - r1 * r1) AS p2
+      FROM rs
+    ),
+    p21t AS (
+      SELECT n_days, r1, r2, r3, p2, r1 - p2 * r1 AS p21
+      FROM p2t
+    )
+    SELECT n_days,
+           ROUND(r1, {round_to}) AS r1,
+           ROUND(r2, {round_to}) AS r2,
+           ROUND(r3, {round_to}) AS r3,
+           ROUND(p2, {round_to}) AS pacf2,
+           ROUND((r3 - p21 * r2 - p2 * r1)
+                 / (1.0 - p21 * r1 - p2 * r2),
+                 {round_to}) AS pacf3
+    FROM p21t
+    """

@@ -1759,3 +1759,143 @@ def variance_ratio_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("day")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     return timeseries.variance_ratio(daily, q=5)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave78: econometric / structural diagnostics
+# ──────────────────────────────────────────────────────────────────────────
+_CLICK_PURCHASE_DAILY_SQL = """
+      SELECT CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1
+"""
+
+
+def _click_purchase_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("day")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+
+
+@_spec(
+    "adf_unit_root_daily",
+    regression.adf_unit_root_sql(_TOTAL_DAILY_SQL.strip(), value_col="c"),
+    "timeseries op — Dickey-Fuller unit-root test (constant, lag 0) "
+    "on daily total event counts: random-walk vs mean-reverting, the "
+    "stationarity gate the whole trend family implicitly assumes. "
+    "One ordered lag + one six-statistic aggregate, O(days).",
+)
+def adf_unit_root_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return regression.adf_unit_root(daily, value_col="c")
+
+
+@_spec(
+    "engle_granger_coint",
+    regression.engle_granger_sql(_CLICK_PURCHASE_DAILY_SQL.strip()),
+    "timeseries op — Engle-Granger two-step cointegration test "
+    "between daily click and purchase counts: levels OLS, then "
+    "Dickey-Fuller on the residual spread. Two days-sized aggregates "
+    "with a scalar broadcast between; the drift-together complement "
+    "to rolling_click_purchase_corr's local co-movement.",
+)
+def engle_granger_coint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return regression.engle_granger(_click_purchase_daily(spark, sf_dir))
+
+
+@_spec(
+    "chow_break_daily",
+    regression.chow_break_sql(_ORDERS_DAILY_SQL.strip()),
+    "timeseries op — Chow structural-break F-test of the daily order "
+    "revenue trend at the sample midpoint: one line or two? The "
+    "fixed-break hypothesis test beside segmented_regression_daily's "
+    "best-break search. One conditional-sums aggregate, O(days).",
+)
+def chow_break_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    return regression.chow_break(daily)
+
+
+@_spec(
+    "breusch_pagan_daily",
+    regression.breusch_pagan_sql(_ORDERS_DAILY_SQL.strip()),
+    "timeseries op — Breusch-Pagan (Koenker studentized) "
+    "heteroskedasticity test on the daily-revenue trend fit: "
+    "LM = n*R² of squared residuals on the day index. Detects the "
+    "variance drift that invalidates iid trend SEs (the second "
+    "violation next to newey_west_trend's autocorrelation). Two "
+    "aggregates + scalar broadcast, O(days).",
+)
+def breusch_pagan_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    return regression.breusch_pagan(daily)
+
+
+@_spec(
+    "arch_lm_daily",
+    regression.arch_lm_sql(_TOTAL_DAILY_SQL.strip(), value_col="c"),
+    "timeseries op — Engle's ARCH-LM test (1 lag) on demeaned daily "
+    "total counts: is volatility autocorrelated (bursty days "
+    "cluster)? The squared-shock complement to ljung_box_daily's "
+    "level autocorrelation. Scalar-mean broadcast + one lag + one "
+    "aggregate, O(days).",
+)
+def arch_lm_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return regression.arch_lm(daily, value_col="c")
+
+
+@_spec(
+    "pacf_daily",
+    timeseries.pacf3_sql(_TOTAL_DAILY_SQL.strip()),
+    "timeseries op — partial autocorrelations at lags 1-3 (Durbin-"
+    "Levinson) on daily total counts: the direct-dependence view "
+    "that picks an AR order, removing the shorter-lag pass-through "
+    "the raw ACF confounds. Same biased-r convention as "
+    "ljung_box_daily; one lag pass + scalar recursion.",
+)
+def pacf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return timeseries.pacf3(daily)
