@@ -525,6 +525,12 @@ HEADLINE = [
     "breusch_pagan_daily",
     "arch_lm_daily",
     "pacf_daily",
+    # wave 79: lexical richness / readability + embedding-space eval
+    "lexical_richness_report",
+    "flesch_kincaid_readability",
+    "knn_label_eval",
+    "novelty_vs_centroid",
+    "mmr_diversified_topk",
 ]
 
 

@@ -589,3 +589,402 @@ def embedding_dim_variance_sql(
              < {nzv_threshold} AS near_zero_variance
     FROM agg
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 79: embedding-space evaluation / curation operators
+# ──────────────────────────────────────────────────────────────────────────
+def knn_label_eval(
+    emb: DataFrame,
+    probe_mod: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """Leave-one-out k-NN label-prediction accuracy over the embedding
+    table — "does embedding distance actually predict the label?", the
+    standard sanity gate before trusting any embedding-based curation
+    step (semdedup_prune, novelty filtering, ANN retrieval):
+
+      probes = every ``probe_mod``-th vector; for each, take its k
+      nearest OTHER vectors by exact-integer cosine, majority-vote the
+      label (ties -> smaller label), score against the true label.
+
+    Scale shape: the sampled probe set is tiny and BROADCAST; the
+    corpus scans exactly once against it (no self-join of the full
+    table); per-probe top-k is a window over the probe key. Cosines
+    are Q20 fixed-point (bit-reproducible), the vote tie-break is
+    total, so the confusion outcome is deterministic in both engines.
+
+    Output: (label, n_probes, n_correct, accuracy) per true label,
+    ordered by label.
+    """
+    from pyspark.sql import Window
+
+    probes = emb.filter(F.col("vec_id") % probe_mod == 0).select(
+        F.col("vec_id").alias("p_id"),
+        F.col("label").alias("p_label"),
+        quantize("embedding").alias("pv"),
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        quantize("embedding").alias("cv"),
+    )
+    pairs = cands.join(F.broadcast(probes), F.col("c_id") != F.col("p_id")).select(
+        "p_id",
+        "p_label",
+        "c_id",
+        "c_label",
+        cosine_expr("cv", "pv").alias("cos"),
+    )
+    wk = Window.partitionBy("p_id").orderBy(
+        F.col("cos").desc(), F.col("c_id")
+    )
+    topk = pairs.withColumn("rk", F.row_number().over(wk)).filter(
+        F.col("rk") <= k
+    )
+    votes = topk.groupBy("p_id", "p_label", "c_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    wv = Window.partitionBy("p_id").orderBy(
+        F.col("v").desc(), F.col("c_label")
+    )
+    pred = votes.withColumn("vr", F.row_number().over(wv)).filter(
+        F.col("vr") == 1
+    )
+    return (
+        pred.groupBy(F.col("p_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+            F.sum((F.col("c_label") == F.col("p_label")).cast("long"))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_probes",
+            "n_correct",
+            (
+                F.col("n_correct").cast("double")
+                / F.col("n_probes").cast("double")
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
+
+
+def knn_label_eval_sql(
+    table: str = "embeddings", probe_mod: int = 10, k: int = 5
+) -> str:
+    """DuckDB twin of :func:`knn_label_eval`."""
+    qv = quantize_sql("embedding")
+    return f"""
+    WITH e AS (SELECT vec_id, label, {qv} AS qv FROM {table}),
+    probes AS (
+      SELECT vec_id AS p_id, label AS p_label, qv AS pv
+      FROM e WHERE vec_id % {probe_mod} = 0
+    ),
+    pairs AS (
+      SELECT p.p_id, p.p_label, c.vec_id AS c_id, c.label AS c_label,
+             {cosine_sql('c.qv', 'p.pv')} AS cos
+      FROM e c JOIN probes p ON c.vec_id <> p.p_id
+    ),
+    topk AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY p_id
+                                     ORDER BY cos DESC, c_id) AS rk
+        FROM pairs
+      ) WHERE rk <= {k}
+    ),
+    votes AS (
+      SELECT p_id, p_label, c_label, CAST(COUNT(*) AS BIGINT) AS v
+      FROM topk GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY p_id
+                                     ORDER BY v DESC, c_label) AS vr
+        FROM votes
+      ) WHERE vr = 1
+    )
+    SELECT p_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN c_label = p_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN c_label = p_label THEN 1 ELSE 0 END)
+                AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS accuracy
+    FROM pred GROUP BY 1 ORDER BY 1
+    """
+
+
+def novelty_vs_centroid(
+    emb: DataFrame,
+    top_n: int = 20,
+    round_to: int = 9,
+) -> DataFrame:
+    """Per-label centroid novelty: cosine of every vector to its
+    label's centroid, surfacing the ``top_n`` LEAST typical members —
+    the outlier-mining dual of semdedup (which prunes the most
+    redundant): mislabeled points, contamination, and genuinely novel
+    examples all sit in this tail.
+
+    Exactness at scale: the centroid is the element-wise BIGINT sum of
+    Q20-quantized vectors, integer-divided by the member count
+    (``floor(S_j / n)``) — exact, order-independent, and small enough
+    that the cosine's integer dot product cannot overflow (a raw-sum
+    centroid squared would at ~2k members x Q20). One groupBy over
+    dims via the posexplode path, one broadcast join back, one
+    TakeOrderedAndProject — the corpus never self-joins.
+
+    Output: (vec_id, label, cosine) for the top_n lowest cosines,
+    ordered (cosine asc, vec_id).
+    """
+    q = emb.select(
+        "vec_id", "label", quantize("embedding").alias("qv")
+    )
+    by_dim = q.select(
+        "label", F.posexplode("qv").alias("dim", "qx")
+    )
+    cent = (
+        by_dim.groupBy("label", "dim")
+        .agg(
+            F.sum("qx").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .select(
+            "label",
+            "dim",
+            (F.col("s") - F.pmod(F.col("s"), F.col("n")))
+            .cast("bigint")
+            .alias("snum"),
+            "n",
+        )
+        .select(
+            "label",
+            "dim",
+            (F.col("snum") / F.col("n")).cast("bigint").alias("cq"),
+        )
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "cq"))
+            ).alias("pairs")
+        )
+        .select(
+            "label",
+            F.expr("transform(pairs, p -> p.cq)").alias("cent"),
+        )
+    )
+    scored = q.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.round(cosine_expr("qv", "cent"), round_to).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").asc(), F.col("vec_id")).limit(top_n)
+
+
+def novelty_vs_centroid_sql(
+    table: str = "embeddings", top_n: int = 20, round_to: int = 9
+) -> str:
+    """DuckDB twin of :func:`novelty_vs_centroid` (floor-division
+    centroid spelled as (s - s % n) / n in BOTH engines so negative
+    sums floor identically)."""
+    qv = quantize_sql("embedding")
+    return f"""
+    WITH q AS (SELECT vec_id, label, {qv} AS qv FROM {table}),
+    by_dim AS (
+      SELECT label,
+             CAST(generate_subscripts(qv, 1) - 1 AS INTEGER) AS dim,
+             unnest(qv) AS qx
+      FROM q
+    ),
+    sums AS (
+      SELECT label, dim, CAST(SUM(qx) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM by_dim GROUP BY 1, 2
+    ),
+    cdim AS (
+      SELECT label, dim,
+             CAST((s - ((s % n + n) % n)) / n AS BIGINT) AS cq
+      FROM sums
+    ),
+    cent AS (
+      SELECT label, list(cq ORDER BY dim) AS cent
+      FROM cdim GROUP BY label
+    ),
+    scored AS (
+      SELECT q.vec_id, q.label,
+             ROUND({cosine_sql('q.qv', 'cent.cent')}, {round_to}) AS cosine
+      FROM q JOIN cent ON q.label = cent.label
+    )
+    SELECT vec_id, label, cosine
+    FROM scored ORDER BY cosine ASC, vec_id LIMIT {top_n}
+    """
+
+
+def mmr_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    pool: int = 8,
+    k: int = 4,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    round_to: int = 9,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — diversified top-k: greedily pick the candidate maximizing
+
+      ``lam * rel(c) - mu * max_{s in selected} sim(c, s)``
+
+    so near-duplicate hits don't crowd the result page (the retrieval
+    dual of semdedup). ``lam``/``mu`` are passed as SEPARATE literals
+    (never ``1 - lam``: 1-0.7 is not 0.3 in IEEE) so both engines
+    score identically; round 1 scores ``lam * rel`` (empty-set max
+    term = 0 by convention, documented).
+
+    Scale shape: the candidate POOL is the bounded stage — top-``pool``
+    by exact-integer cosine via TakeOrderedAndProject (no shuffle of
+    the embedding table); the greedy rounds then run on that tiny set
+    (pairwise sims = pool² fixed-width rows, each round a
+    one-row argmax), unrolled k times into the plan — iterative
+    semantics, zero driver loops over data.
+
+    Output: (rank, vec_id, label, relevance, mmr_score), k rows in
+    selection order.
+    """
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        quantize("embedding").alias("qq")
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "label", quantize("embedding").alias("qv"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "label", "qv", cosine_expr("qv", "qq").alias("rel")
+        )
+        .orderBy(F.col("rel").desc(), F.col("vec_id"))
+        .limit(pool)
+    )
+    # The pool is referenced by the sims self-pair and by every
+    # unrolled round (~2k lineages); without a barrier each reference
+    # re-runs the full embedding scan + top-k. The pool is `pool`
+    # fixed-width rows — materialize it once (same bounded-kernel
+    # localCheckpoint pattern as editjoin.py).
+    cand = cand.localCheckpoint(eager=False)
+    a = cand.select(
+        F.col("vec_id").alias("a_id"), F.col("qv").alias("av")
+    )
+    b = cand.select(
+        F.col("vec_id").alias("b_id"), F.col("qv").alias("bv")
+    )
+    sims = (
+        a.join(F.broadcast(b), F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", cosine_expr("av", "bv").alias("sim"))
+    )
+    sel = (
+        cand.orderBy(F.col("rel").desc(), F.col("vec_id"))
+        .limit(1)
+        .select(
+            F.lit(1).cast("int").alias("rank"),
+            "vec_id",
+            "label",
+            "rel",
+            (F.lit(lam) * F.col("rel")).alias("score"),
+        )
+    )
+    for r in range(2, k + 1):
+        ms = (
+            sims.join(
+                sel.select(F.col("vec_id").alias("b_id")), "b_id"
+            )
+            .groupBy("a_id")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        pick = (
+            cand.join(sel.select("vec_id"), "vec_id", "left_anti")
+            .join(ms, F.col("vec_id") == F.col("a_id"))
+            .select(
+                "vec_id",
+                "label",
+                "rel",
+                (
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(mu) * F.col("maxsim")
+                ).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col("vec_id"))
+            .limit(1)
+            .select(
+                F.lit(r).cast("int").alias("rank"),
+                "vec_id",
+                "label",
+                "rel",
+                "score",
+            )
+        )
+        sel = sel.unionByName(pick)
+    return sel.select(
+        "rank",
+        "vec_id",
+        "label",
+        F.round("rel", round_to).alias("relevance"),
+        F.round("score", round_to).alias("mmr_score"),
+    ).orderBy("rank")
+
+
+def mmr_topk_sql(
+    table: str = "embeddings",
+    query_vec_id: int = 0,
+    pool: int = 8,
+    k: int = 4,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    round_to: int = 9,
+) -> str:
+    """DuckDB twin of :func:`mmr_topk` (rounds unrolled as CTEs)."""
+    qv = quantize_sql("embedding")
+    parts = [
+        f"""q AS (SELECT {qv} AS qq FROM {table} WHERE vec_id = {query_vec_id}),
+    cand AS (
+      SELECT vec_id, label, qv, {cosine_sql('qv', 'qq')} AS rel
+      FROM (SELECT vec_id, label, {qv} AS qv FROM {table}
+            WHERE vec_id <> {query_vec_id}) e CROSS JOIN q
+      ORDER BY rel DESC, vec_id LIMIT {pool}
+    ),
+    sims AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             {cosine_sql('a.qv', 'b.qv')} AS sim
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    sel1 AS (
+      SELECT CAST(1 AS INTEGER) AS rank, vec_id, label, rel,
+             {lam!r} * rel AS score
+      FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+    )"""
+    ]
+    prev = ["sel1"]
+    for r in range(2, k + 1):
+        sel_union = " UNION ALL ".join(
+            f"SELECT vec_id FROM {p}" for p in prev
+        )
+        parts.append(
+            f"""ms{r} AS (
+      SELECT a_id, MAX(sim) AS maxsim
+      FROM sims WHERE b_id IN ({sel_union})
+      GROUP BY a_id
+    ),
+    sel{r} AS (
+      SELECT CAST({r} AS INTEGER) AS rank, c.vec_id, c.label, c.rel,
+             {lam!r} * c.rel - {mu!r} * m.maxsim AS score
+      FROM cand c JOIN ms{r} m ON c.vec_id = m.a_id
+      WHERE c.vec_id NOT IN ({sel_union})
+      ORDER BY score DESC, c.vec_id LIMIT 1
+    )"""
+        )
+        prev.append(f"sel{r}")
+    union = " UNION ALL ".join(
+        f"SELECT rank, vec_id, label, ROUND(rel, {round_to}) AS relevance, "
+        f"ROUND(score, {round_to}) AS mmr_score FROM {p}"
+        for p in prev
+    )
+    return "WITH " + ",\n    ".join(parts) + f"\n    {union} ORDER BY rank"

@@ -2394,3 +2394,211 @@ def textrank_keywords_sql(
     ORDER BY score DESC, word ASC
     LIMIT {top_n}
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 79: lexical richness + readability
+# ──────────────────────────────────────────────────────────────────────────
+def lexical_richness_report(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    round_to: int = 9,
+) -> DataFrame:
+    """Vocabulary-richness profile per group from the token frequency
+    spectrum — the length-robust quality signals TTR can't give
+    (type/token ratio collapses as N grows; these are designed not
+    to):
+
+      Yule's K  = 10^4 * (Σc² - N) / N²      (repeat-rate; boilerplate
+                                              and template spam push it UP)
+      Simpson's D = Σ c(c-1) / (N(N-1))      (p two random tokens equal)
+      Herdan's C  = ln V / ln N              (log-log TTR)
+      Guiraud's R = V / sqrt(N)              (root TTR)
+
+    Tokens are ``split(lower(text), '\\s+')`` minus empties — the
+    suite-wide whitespace convention. The frequency spectrum is ONE
+    hash aggregate (map-side combined) and the rollup reduces each
+    group to four exact-bigint power sums before any double math, so
+    the shuffle carries (group, token) counts, never text.
+
+    Output: (group, n_tokens, vocab, yules_k, simpson_d, herdan_c,
+    guiraud_r), ordered by group.
+    """
+    toks = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("t"),
+    ).filter(F.col("t") != "")
+    tf = toks.groupBy("g", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    agg = tf.groupBy("g").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+        F.sum(F.col("c") * (F.col("c") - F.lit(1)))
+        .cast("bigint")
+        .alias("sc1"),
+    )
+    nn = F.col("n_tokens").cast("double")
+    vv = F.col("vocab").cast("double")
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_tokens",
+        "vocab",
+        F.round(
+            F.lit(10000.0) * (F.col("s2").cast("double") - nn) / (nn * nn),
+            round_to,
+        ).alias("yules_k"),
+        F.round(
+            F.col("sc1").cast("double") / (nn * (nn - 1.0)), round_to
+        ).alias("simpson_d"),
+        F.round(F.log(vv) / F.log(nn), round_to).alias("herdan_c"),
+        F.round(vv / F.sqrt(nn), round_to).alias("guiraud_r"),
+    ).orderBy(group_col)
+
+
+def lexical_richness_report_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+    round_to: int = 9,
+) -> str:
+    """DuckDB twin of :func:`lexical_richness_report`."""
+    return f"""
+    WITH toks AS (
+      SELECT g, t FROM (
+        SELECT {group_col} AS g,
+               unnest(string_split_regex(lower({text_col}), '\\s+')) AS t
+        FROM {table}
+      ) WHERE t <> ''
+    ),
+    tf AS (
+      SELECT g, t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT g,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(SUM(c * c) AS BIGINT) AS s2,
+             CAST(SUM(c * (c - 1)) AS BIGINT) AS sc1
+      FROM tf GROUP BY g
+    )
+    SELECT g AS {group_col}, n_tokens, vocab,
+           ROUND(10000.0 * (CAST(s2 AS DOUBLE) - CAST(n_tokens AS DOUBLE))
+                 / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)),
+                 {round_to}) AS yules_k,
+           ROUND(CAST(sc1 AS DOUBLE)
+                 / (CAST(n_tokens AS DOUBLE)
+                    * (CAST(n_tokens AS DOUBLE) - 1.0)),
+                 {round_to}) AS simpson_d,
+           ROUND(LN(CAST(vocab AS DOUBLE)) / LN(CAST(n_tokens AS DOUBLE)),
+                 {round_to}) AS herdan_c,
+           ROUND(CAST(vocab AS DOUBLE) / SQRT(CAST(n_tokens AS DOUBLE)),
+                 {round_to}) AS guiraud_r
+    FROM agg ORDER BY {group_col}
+    """
+
+
+def flesch_kincaid_report(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    round_to: int = 9,
+) -> DataFrame:
+    """Flesch-Kincaid grade level + Flesch reading ease per group —
+    the syllable-weighted readability pair beside coleman_liau_report
+    (CLI avoids syllables; FK is the convention most corpus-quality
+    filters quote). Syllables use the standard vowel-group heuristic
+    ``[aeiouy]+`` over the lowercased text (documented estimator, the
+    SAME regexp in both engines; exactness is in the counting, not
+    the phonology):
+
+      grade = 0.39 * words/sentence + 11.8 * syllables/word - 15.59
+      ease  = 206.835 - 1.015 * words/sentence - 84.6 * syllables/word
+
+    All three counts are scan-stage ``regexp_count`` expressions
+    reduced to exact bigint sums per group; ratios use group TOTALS
+    (micro-average), so empty-sentence docs never divide by zero.
+
+    Output: (group, n_docs, words, sentences, syllables, fk_grade,
+    flesch_ease), ordered by group.
+    """
+    counts = df.select(
+        F.col(group_col).alias("g"),
+        F.regexp_count(F.col(text_col), F.lit(r"\S+"))
+        .cast("bigint")
+        .alias("__wd"),
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+"))
+        .cast("bigint")
+        .alias("__st"),
+        F.regexp_count(F.lower(F.col(text_col)), F.lit(r"[aeiouy]+"))
+        .cast("bigint")
+        .alias("__sy"),
+    )
+    agg = counts.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__wd").cast("bigint").alias("words"),
+        F.sum("__st").cast("bigint").alias("sentences"),
+        F.sum("__sy").cast("bigint").alias("syllables"),
+    )
+    ok = (F.col("sentences") > 0) & (F.col("words") > 0)
+    wps = F.col("words").cast("double") / F.col("sentences").cast("double")
+    spw = F.col("syllables").cast("double") / F.col("words").cast("double")
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_docs",
+        "words",
+        "sentences",
+        "syllables",
+        F.round(
+            F.when(
+                ok, F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+            ),
+            round_to,
+        ).alias("fk_grade"),
+        F.round(
+            F.when(
+                ok,
+                F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw,
+            ),
+            round_to,
+        ).alias("flesch_ease"),
+    ).orderBy(group_col)
+
+
+def flesch_kincaid_report_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+    round_to: int = 9,
+) -> str:
+    """DuckDB twin of :func:`flesch_kincaid_report`."""
+    return f"""
+    WITH counts AS (
+      SELECT {group_col} AS g,
+             CAST(len(regexp_extract_all({text_col}, '\\S+')) AS BIGINT) AS wd,
+             CAST(len(regexp_extract_all({text_col}, '[.!?]+')) AS BIGINT) AS st,
+             CAST(len(regexp_extract_all(lower({text_col}), '[aeiouy]+'))
+                  AS BIGINT) AS sy
+      FROM {table}
+    ),
+    agg AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(wd) AS BIGINT) AS words,
+             CAST(SUM(st) AS BIGINT) AS sentences,
+             CAST(SUM(sy) AS BIGINT) AS syllables
+      FROM counts GROUP BY g
+    )
+    SELECT g AS {group_col}, n_docs, words, sentences, syllables,
+           ROUND(CASE WHEN sentences > 0 AND words > 0 THEN
+                 0.39 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+                 + 11.8 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+                 - 15.59 END, {round_to}) AS fk_grade,
+           ROUND(CASE WHEN sentences > 0 AND words > 0 THEN
+                 206.835
+                 - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+                 - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+                 END, {round_to}) AS flesch_ease
+    FROM agg ORDER BY {group_col}
+    """

@@ -2109,3 +2109,48 @@ def oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoding.oof_target_encoding(
         orders, "o_orderpriority", "o_totalprice", "o_orderkey"
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave79: embedding-space evaluation / diversified retrieval
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "knn_label_eval",
+    similarity.knn_label_eval_sql(),
+    "training-data op — leave-one-out k-NN label-prediction accuracy "
+    "over the embedding table (Q20 exact-integer cosine, total "
+    "majority-vote tie order): the does-distance-predict-label gate "
+    "before any embedding-based curation. Sampled probes broadcast; "
+    "the corpus scans once, no self-join.",
+)
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_label_eval(emb)
+
+
+@_spec(
+    "novelty_vs_centroid",
+    similarity.novelty_vs_centroid_sql(),
+    "training-data op — least-typical members per label by cosine to "
+    "the label centroid (floor-divided exact-integer centroid, no "
+    "overflow at scale): the outlier-mining dual of semdedup_prune. "
+    "One dim-wise aggregate, one broadcast join back, one "
+    "TakeOrderedAndProject.",
+)
+def novelty_vs_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.novelty_vs_centroid(emb)
+
+
+@_spec(
+    "mmr_diversified_topk",
+    similarity.mmr_topk_sql(),
+    "training-data op — Maximal Marginal Relevance diversified top-k "
+    "re-ranking (lam=0.7) over the ANN candidate pool: greedy "
+    "relevance-minus-redundancy selection unrolled into the plan "
+    "(zero driver loops); the retrieval dual of semdedup. Pool stage "
+    "is a TakeOrderedAndProject; rounds run on the tiny pool only.",
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.mmr_topk(emb)

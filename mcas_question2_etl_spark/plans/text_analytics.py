@@ -1596,3 +1596,34 @@ def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.textrank_keywords(docs)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave79: lexical richness + readability
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "lexical_richness_report",
+    text.lexical_richness_report_sql(),
+    "text op — vocabulary-richness spectrum per source (Yule's K, "
+    "Simpson's D, Herdan's C, Guiraud's R): the length-robust "
+    "boilerplate/template-spam signals TTR can't give. One (source, "
+    "token) hash aggregate reduced to four exact-bigint power sums "
+    "per source; the shuffle carries counts, never text.",
+)
+def lexical_richness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lexical_richness_report(docs)
+
+
+@_spec(
+    "flesch_kincaid_readability",
+    text.flesch_kincaid_report_sql(),
+    "text op — Flesch-Kincaid grade + Flesch reading ease per source "
+    "(vowel-group syllable heuristic, micro-averaged over group "
+    "totals): the syllable-weighted readability pair beside "
+    "coleman_liau_readability. Three scan-stage regexp counts, one "
+    "bigint rollup.",
+)
+def flesch_kincaid_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.flesch_kincaid_report(docs)
