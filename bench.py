@@ -531,6 +531,10 @@ HEADLINE = [
     "knn_label_eval",
     "novelty_vs_centroid",
     "mmr_diversified_topk",
+    # wave 80: link prediction battery, Katz walks, modularity
+    "link_prediction_scores",
+    "katz_centrality_walks",
+    "brand_modularity_copurchase",
 ]
 
 

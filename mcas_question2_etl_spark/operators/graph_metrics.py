@@ -822,3 +822,328 @@ def harmonic_centrality_seeds_sql(
                    / 3.0, 6) AS harmonic
     FROM layers GROUP BY seed ORDER BY seed
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 80: link-prediction battery, Katz walks, partition modularity
+# ──────────────────────────────────────────────────────────────────────────
+def link_prediction_scores(
+    edges: DataFrame, top_n: int = 20, max_degree: int = 32
+) -> DataFrame:
+    """Multi-score link-prediction battery on the same hub-capped
+    wedge stage as :func:`adamic_adar_links` — the three classic
+    alternatives a ranker ensembles with AA, computed in ONE pass so
+    model comparison doesn't re-shuffle the graph:
+
+      resource allocation  RA(u,v) = Σ_w 1/deg(w)   (Zhou et al. 2009;
+                           discounts hubs harder than AA's 1/ln)
+      Jaccard              |Γu ∩ Γv| / (deg u + deg v - |Γu ∩ Γv|)
+      preferential attach. deg(u) * deg(v)
+
+    The wedge stage only expands middles with deg(w) <= ``max_degree``
+    (the Σ deg² clique guard adamic_adar documents), so the common-
+    neighbor counts are CAPPED EVIDENCE — a documented lower bound;
+    endpoint degrees are exact full degrees (node-sized table,
+    broadcast). Candidates anti-join the existing edge list; top-n by
+    (rounded RA desc, u, v), fully deterministic.
+
+    Output: (u, v, common_neighbors, ra_score, jaccard, pref_attach).
+    """
+    und = edges.select(
+        F.col("a").alias("s"), F.col("b").alias("d")
+    ).unionAll(edges.select(F.col("b").alias("s"), F.col("a").alias("d")))
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    mid = deg.filter(F.col("deg") <= max_degree).withColumnRenamed("s", "w")
+    left = und.select(F.col("d").alias("w"), F.col("s").alias("u")).join(
+        F.broadcast(mid), "w"
+    )
+    right = und.select(F.col("d").alias("w"), F.col("s").alias("v"))
+    wedges = left.join(right, "w").filter(F.col("u") < F.col("v"))
+    scored = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+        F.sum(1.0 / F.col("deg").cast("double")).alias("__ra"),
+    )
+    cand = scored.join(
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "leftanti",
+    )
+    du = deg.select(F.col("s").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("s").alias("v"), F.col("deg").alias("deg_v"))
+    cn = F.col("common_neighbors").cast("double")
+    out = (
+        cand.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            F.round("__ra", 6).alias("ra_score"),
+            F.round(
+                cn
+                / (
+                    F.col("deg_u").cast("double")
+                    + F.col("deg_v").cast("double")
+                    - cn
+                ),
+                6,
+            ).alias("jaccard"),
+            (F.col("deg_u") * F.col("deg_v")).cast("bigint").alias(
+                "pref_attach"
+            ),
+        )
+    )
+    return out.orderBy(
+        F.col("ra_score").desc(), F.col("u").asc(), F.col("v").asc()
+    ).limit(top_n)
+
+
+def link_prediction_scores_sql(
+    edges_cte: str, top_n: int = 20, max_degree: int = 32
+) -> str:
+    """DuckDB twin of :func:`link_prediction_scores`; ``edges_cte``
+    ends in ``e0(a, b)``."""
+    return f"""
+    WITH {edges_cte},
+    und AS (
+      SELECT a AS s, b AS d FROM e0
+      UNION ALL SELECT b, a FROM e0
+    ),
+    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY s),
+    mid AS (SELECT s AS w, deg FROM deg WHERE deg <= {max_degree}),
+    wedges AS (
+      SELECT l.s AS u, r.s AS v, m.deg
+      FROM und l JOIN mid m ON l.d = m.w
+                JOIN und r ON r.d = m.w AND l.s < r.s
+    ),
+    scored AS (
+      SELECT u, v,
+             CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+             SUM(1.0 / CAST(deg AS DOUBLE)) AS ra
+      FROM wedges GROUP BY u, v
+    ),
+    cand AS (
+      SELECT * FROM scored
+      WHERE NOT EXISTS (
+        SELECT 1 FROM e0 WHERE e0.a = scored.u AND e0.b = scored.v
+      )
+    )
+    SELECT c.u, c.v, c.common_neighbors,
+           ROUND(c.ra, 6) AS ra_score,
+           ROUND(CAST(c.common_neighbors AS DOUBLE)
+                 / (CAST(du.deg AS DOUBLE) + CAST(dv.deg AS DOUBLE)
+                    - CAST(c.common_neighbors AS DOUBLE)),
+                 6) AS jaccard,
+           CAST(du.deg * dv.deg AS BIGINT) AS pref_attach
+    FROM cand c JOIN deg du ON c.u = du.s
+                JOIN deg dv ON c.v = dv.s
+    ORDER BY ra_score DESC, c.u ASC, c.v ASC
+    LIMIT {top_n}
+    """
+
+
+def katz_walks(
+    edges: DataFrame, rounds: int = 3, top_n: int = 20
+) -> DataFrame:
+    """Truncated Katz centrality via exact walk counts:
+    ``katz(v) = Σ_{k=1..rounds} α^k · walks_k(v)`` with
+    ``walks_k = (A^k 1)_v`` (number of length-k walks ending at v)
+    and α = 0.05 — the attenuated-influence centrality between
+    degree (k=1 only) and eigenvector/PageRank (k→∞). Walk counts
+    stay EXACT BIGINTs through every round (each round is one
+    neighbor-sum equi-join, the Pregel superstep shape — O(edges)
+    per round, never materializing paths); the tiny α^k literals
+    (0.05 / 0.0025 / 0.000125, exact decimal-to-double constants)
+    multiply once at output, so both engines score bit-identically.
+
+    Output: (node, walks1, walks2, walks3, katz), top_n by
+    (katz desc, node) — with exact integer walk counts the float
+    tie-order is total.
+    """
+    if rounds != 3:
+        raise ValueError("katz_walks is unrolled for rounds=3")
+    und = edges.select(
+        F.col("a").alias("s"), F.col("b").alias("d")
+    ).unionAll(edges.select(F.col("b").alias("s"), F.col("a").alias("d")))
+    w1 = und.groupBy(F.col("d").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("walks1")
+    )
+    w2 = (
+        und.join(
+            w1.select(F.col("node").alias("s"), F.col("walks1").alias("w")),
+            "s",
+        )
+        .groupBy(F.col("d").alias("node"))
+        .agg(F.sum("w").cast("bigint").alias("walks2"))
+    )
+    w3 = (
+        und.join(
+            w2.select(F.col("node").alias("s"), F.col("walks2").alias("w")),
+            "s",
+        )
+        .groupBy(F.col("d").alias("node"))
+        .agg(F.sum("w").cast("bigint").alias("walks3"))
+    )
+    out = w1.join(w2, "node").join(w3, "node").select(
+        "node",
+        "walks1",
+        "walks2",
+        "walks3",
+        F.round(
+            F.lit(0.05) * F.col("walks1").cast("double")
+            + F.lit(0.0025) * F.col("walks2").cast("double")
+            + F.lit(0.000125) * F.col("walks3").cast("double"),
+            6,
+        ).alias("katz"),
+    )
+    return out.orderBy(F.col("katz").desc(), F.col("node").asc()).limit(
+        top_n
+    )
+
+
+def katz_walks_sql(edges_cte: str, top_n: int = 20) -> str:
+    """DuckDB twin of :func:`katz_walks` (rounds unrolled)."""
+    return f"""
+    WITH {edges_cte},
+    und AS (
+      SELECT a AS s, b AS d FROM e0
+      UNION ALL SELECT b, a FROM e0
+    ),
+    w1 AS (SELECT d AS node, CAST(COUNT(*) AS BIGINT) AS walks1
+           FROM und GROUP BY d),
+    w2 AS (
+      SELECT und.d AS node, CAST(SUM(w1.walks1) AS BIGINT) AS walks2
+      FROM und JOIN w1 ON und.s = w1.node GROUP BY und.d
+    ),
+    w3 AS (
+      SELECT und.d AS node, CAST(SUM(w2.walks2) AS BIGINT) AS walks3
+      FROM und JOIN w2 ON und.s = w2.node GROUP BY und.d
+    )
+    SELECT w1.node, walks1, walks2, walks3,
+           ROUND(0.05 * CAST(walks1 AS DOUBLE)
+                 + 0.0025 * CAST(walks2 AS DOUBLE)
+                 + 0.000125 * CAST(walks3 AS DOUBLE), 6) AS katz
+    FROM w1 JOIN w2 ON w1.node = w2.node
+            JOIN w3 ON w1.node = w3.node
+    ORDER BY katz DESC, w1.node ASC
+    LIMIT {top_n}
+    """
+
+
+def partition_modularity(
+    edges: DataFrame, labels: DataFrame, round_to: int = 9
+) -> DataFrame:
+    """Newman modularity decomposition of a FIXED node partition:
+    per community c,
+
+      ``q_c = e_c / m  -  (d_c / 2m)²``
+
+    (e_c intra-community edges, d_c total degree in c, m total
+    edges; Q = Σ_c q_c). The assignment-quality audit for ANY
+    labeling — brand taxonomies, LPA output, geography — answering
+    "does this partition actually bound the edges?" without running
+    community detection. All counts are exact bigints from two
+    node-sized aggregates and one dim-BROADCAST join of the edge
+    list against the label table (twice, for each endpoint); the
+    double math happens once per community. ``labels`` must be
+    (node, community).
+
+    Output: (community, n_nodes, intra_edges, degree_sum, q_contrib),
+    ordered by community.
+    """
+    lab_a = labels.select(
+        F.col("node").alias("a"), F.col("community").alias("ca")
+    )
+    lab_b = labels.select(
+        F.col("node").alias("b"), F.col("community").alias("cb")
+    )
+    tagged = edges.join(F.broadcast(lab_a), "a").join(
+        F.broadcast(lab_b), "b"
+    )
+    m_row = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    intra = (
+        tagged.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("intra_edges"))
+    )
+    und = edges.select(
+        F.col("a").alias("node")
+    ).unionAll(edges.select(F.col("b").alias("node")))
+    nodedeg = und.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    per_c = (
+        nodedeg.join(
+            F.broadcast(
+                labels.select("node", F.col("community"))
+            ),
+            "node",
+        )
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("deg").cast("bigint").alias("degree_sum"),
+        )
+    )
+    joined = (
+        per_c.join(intra, "community", "left")
+        .withColumn(
+            "intra_edges", F.coalesce(F.col("intra_edges"), F.lit(0).cast("bigint"))
+        )
+        .crossJoin(F.broadcast(m_row))
+    )
+    mm = F.col("m").cast("double")
+    half = F.col("degree_sum").cast("double") / (2.0 * mm)
+    return joined.select(
+        "community",
+        "n_nodes",
+        "intra_edges",
+        "degree_sum",
+        F.round(
+            F.col("intra_edges").cast("double") / mm - half * half,
+            round_to,
+        ).alias("q_contrib"),
+    ).orderBy("community")
+
+
+def partition_modularity_sql(
+    edges_cte: str, labels_sql: str, round_to: int = 9
+) -> str:
+    """DuckDB twin of :func:`partition_modularity`; ``labels_sql``
+    yields (node, community)."""
+    return f"""
+    WITH {edges_cte},
+    labels AS ({labels_sql}),
+    m_row AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+    tagged AS (
+      SELECT la.community AS ca, lb.community AS cb
+      FROM e0 JOIN labels la ON e0.a = la.node
+              JOIN labels lb ON e0.b = lb.node
+    ),
+    intra AS (
+      SELECT ca AS community, CAST(COUNT(*) AS BIGINT) AS intra_edges
+      FROM tagged WHERE ca = cb GROUP BY ca
+    ),
+    und AS (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0),
+    nodedeg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM und GROUP BY node),
+    per_c AS (
+      SELECT l.community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d.deg) AS BIGINT) AS degree_sum
+      FROM nodedeg d JOIN labels l ON d.node = l.node
+      GROUP BY l.community
+    )
+    SELECT p.community, p.n_nodes,
+           COALESCE(i.intra_edges, 0) AS intra_edges,
+           p.degree_sum,
+           ROUND(CAST(COALESCE(i.intra_edges, 0) AS DOUBLE)
+                   / CAST(m AS DOUBLE)
+                 - (CAST(p.degree_sum AS DOUBLE)
+                    / (2.0 * CAST(m AS DOUBLE)))
+                   * (CAST(p.degree_sum AS DOUBLE)
+                      / (2.0 * CAST(m AS DOUBLE))),
+                 {round_to}) AS q_contrib
+    FROM per_c p LEFT JOIN intra i ON p.community = i.community
+    CROSS JOIN m_row
+    ORDER BY p.community
+    """

@@ -1089,3 +1089,61 @@ def harmonic_centrality_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_metrics.harmonic_centrality_seeds(
         copurchase_edges(spark, sf_dir), seed_mod=997
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave80: link-prediction battery, Katz walks, partition modularity
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "link_prediction_scores",
+    graph_metrics.link_prediction_scores_sql(
+        _EDGES_CTE, top_n=20, max_degree=32
+    ),
+    "graph op — one-pass link-prediction battery (resource "
+    "allocation, capped-evidence Jaccard, preferential attachment) "
+    "on the same hub-capped wedge stage as adamic_adar_links: the "
+    "scores a ranker ensembles, without re-shuffling the graph per "
+    "score. Endpoint degrees broadcast; top-20 by (RA desc, u, v); "
+    "rides the shared copurchase_edges parquet.",
+)
+def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph_metrics.link_prediction_scores(
+        copurchase_edges(spark, sf_dir), top_n=20, max_degree=32
+    )
+
+
+@_spec(
+    "katz_centrality_walks",
+    graph_metrics.katz_walks_sql(_EDGES_CTE, top_n=20),
+    "graph op — truncated Katz centrality (alpha=0.05, 3 rounds) via "
+    "EXACT bigint walk counts on the co-purchase graph: the "
+    "attenuated-influence centrality between degree and PageRank. "
+    "Each round is one neighbor-sum equi-join (Pregel superstep, "
+    "O(edges), no path materialization); alpha^k literals multiply "
+    "once at output so both engines are bit-identical. Rides the "
+    "shared copurchase_edges parquet.",
+)
+def katz_centrality_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph_metrics.katz_walks(copurchase_edges(spark, sf_dir), top_n=20)
+
+
+@_spec(
+    "brand_modularity_copurchase",
+    graph_metrics.partition_modularity_sql(
+        _EDGES_CTE,
+        "SELECT p_partkey AS node, p_brand AS community FROM part",
+    ),
+    "graph op — Newman modularity decomposition of the PART-BRAND "
+    "partition over the co-purchase graph (q_c = e_c/m - (d_c/2m)^2 "
+    "per brand): does the catalog taxonomy actually bound "
+    "co-purchase structure? Exact bigint edge/degree counts, the "
+    "brand dim broadcast onto both edge endpoints, double math once "
+    "per community.",
+)
+def brand_modularity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("community")
+    )
+    return graph_metrics.partition_modularity(
+        copurchase_edges(spark, sf_dir), part
+    )
