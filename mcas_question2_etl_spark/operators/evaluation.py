@@ -3876,44 +3876,98 @@ def jonckheere_terpstra(
     identical in both engines): ``E = (N² - Σn_i²)/4``,
     ``Var = (N²(2N+3) - Σn_i²(2n_i+3))/72``.
 
-    Scale shape: one corpus aggregation to the (group, value) grid;
-    the pair sum is a grid self-join over the TINY contingency table
-    (cells², not rows²); group sizes from the same grid.
+    Scale shape (the round-5 rewrite): the naive grid self-join is
+    cells² — QUADRATIC when the value is continuous (every row its
+    own cell; at sf0.1 the o_totalprice grid is ~150k rows and the
+    pair join never finishes). Instead the k per-group counts pivot
+    into columns of the DISTINCT-VALUE table and 2·JT reduces to one
+    ordered prefix-sum pass:
+
+      ``2·JT = Σ_v Σ_{i<j} o_j(v) · (2·below_i(v) + o_i(v))``
+
+    with ``below_i(v)`` the count of group-i observations strictly
+    below v — O(V log V), one range shuffle. The prefix sums use the
+    two-phase distributed scan (range-partition, local window,
+    broadcast partition offsets), never a single-task global window.
+    The ordinal group codes are collected once (k-sized list, driver-
+    side-small by definition of an ordered-alternative test; guarded
+    at 64).
 
     Output (one row): (n, k, jt2 BIGINT = 2*JT, jt, z).
     """
     g = F.col(group_col).cast("bigint")
     v = F.col(value_col).cast("decimal(18,2)")
-    obs = (
-        df.groupBy(g.alias("__g"), v.alias("__v"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("__o"))
-        .localCheckpoint(eager=False)
+    src = df.select(g.alias("__g"), v.alias("__v"))
+    groups = sorted(
+        r[0] for r in src.select("__g").distinct().collect() if r[0] is not None
     )
-    a = obs.select(
-        F.col("__g").alias("g1"), F.col("__v").alias("v1"),
-        F.col("__o").alias("o1"),
-    )
-    b = obs.select(
-        F.col("__g").alias("g2"), F.col("__v").alias("v2"),
-        F.col("__o").alias("o2"),
-    )
-    pairs = a.join(b, F.col("g1") < F.col("g2"))
-    jt2 = pairs.agg(
-        F.coalesce(
-            F.sum(
-                F.col("o1")
-                * F.col("o2")
-                * (
-                    2 * (F.col("v2") > F.col("v1")).cast("long")
-                    + (F.col("v2") == F.col("v1")).cast("long")
-                )
-            ),
-            F.lit(0),
+    if len(groups) > 64:
+        raise ValueError(
+            f"jonckheere_terpstra: {len(groups)} group codes; an ordered-"
+            "alternative test wants a small ordinal scale (<= 64)"
         )
-        .cast("bigint")
-        .alias("__jt2")
+    cells = src.groupBy("__v").agg(
+        *[
+            F.sum((F.col("__g") == gi).cast("long"))
+            .cast("bigint")
+            .alias(f"__o{idx}")
+            for idx, gi in enumerate(groups)
+        ]
     )
-    sizes = obs.groupBy("__g").agg(F.sum("__o").cast("bigint").alias("__ni"))
+    # two-phase prefix sums for every group column at once: range
+    # shuffle on value, per-partition inclusive window, partition
+    # totals offset via a #partitions-row window, broadcast back
+    parts = cells.repartitionByRange("__v").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parts.select(
+        "*",
+        *[
+            F.sum(f"__o{i}").over(w_local).alias(f"__c{i}")
+            for i in range(len(groups))
+        ],
+    )
+    totals = local.groupBy("__pid").agg(
+        *[F.sum(f"__o{i}").alias(f"__t{i}") for i in range(len(groups))]
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid",
+        *[
+            F.coalesce(F.sum(f"__t{i}").over(w_off), F.lit(0)).alias(
+                f"__off{i}"
+            )
+            for i in range(len(groups))
+        ],
+    )
+    cum = local.join(F.broadcast(offsets), "__pid")
+    # below_i = inclusive cum - own count (one row per distinct value)
+    contrib = None
+    for jdx in range(len(groups)):
+        for idx in range(jdx):
+            below_i = (
+                F.col(f"__c{idx}") + F.col(f"__off{idx}") - F.col(f"__o{idx}")
+            )
+            term = F.col(f"__o{jdx}") * (2 * below_i + F.col(f"__o{idx}"))
+            contrib = term if contrib is None else contrib + term
+    jt2 = cum.agg(
+        F.coalesce(F.sum(contrib), F.lit(0)).cast("bigint").alias("__jt2")
+    )
+    sizes = cells.agg(
+        *[
+            F.sum(f"__o{i}").cast("bigint").alias(f"__n{i}")
+            for i in range(len(groups))
+        ]
+    ).select(
+        F.explode(
+            F.array(*[F.col(f"__n{i}") for i in range(len(groups))])
+        ).alias("__ni")
+    ).filter(F.col("__ni") > 0)
     tot = sizes.agg(
         F.sum("__ni").cast("bigint").alias("__nn"),
         F.count(F.lit(1)).cast("bigint").alias("k"),
@@ -3943,24 +3997,57 @@ def jonckheere_terpstra_sql(
     table: str,
     group_expr: str,
     value_expr: str,
+    groups: tuple = (1, 2, 3, 4, 5),
     round_to: int = 6,
 ) -> str:
-    """DuckDB twin of :func:`jonckheere_terpstra`."""
+    """DuckDB twin of :func:`jonckheere_terpstra` (same pivoted
+    prefix-sum form — the grid self-join is quadratic on continuous
+    values; ``groups`` unrolls the known ordinal codes)."""
+    o_cols = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN g = {gi} THEN 1 ELSE 0 END) AS BIGINT) AS o{i}"
+        for i, gi in enumerate(groups)
+    )
+    c_cols = ",\n             ".join(
+        f"SUM(o{i}) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING "
+        f"AND CURRENT ROW) AS c{i}"
+        for i in range(len(groups))
+    )
+    terms = []
+    for jdx in range(len(groups)):
+        for idx in range(jdx):
+            terms.append(
+                f"o{jdx} * (2 * (c{idx} - o{idx}) + o{idx})"
+            )
+    contrib = "\n               + ".join(terms)
+    n_cols = ", ".join(
+        f"CAST(SUM(o{i}) AS BIGINT) AS n{i}" for i in range(len(groups))
+    )
+    n_list = ", ".join(f"n{i}" for i in range(len(groups)))
     return f"""
-    WITH obs AS (
+    WITH src AS (
       SELECT CAST({group_expr} AS BIGINT) AS g,
-             CAST({value_expr} AS DECIMAL(18,2)) AS v,
-             CAST(COUNT(*) AS BIGINT) AS o
-      FROM {table} GROUP BY 1, 2
+             CAST({value_expr} AS DECIMAL(18,2)) AS v
+      FROM {table}
+    ),
+    cells AS (
+      SELECT v,
+             {o_cols}
+      FROM src GROUP BY v
+    ),
+    cum AS (
+      SELECT *,
+             {c_cols}
+      FROM cells
     ),
     jt AS (
-      SELECT CAST(COALESCE(SUM(a.o * b.o *
-               (2 * CASE WHEN b.v > a.v THEN 1 ELSE 0 END
-                + CASE WHEN b.v = a.v THEN 1 ELSE 0 END)), 0) AS BIGINT)
-               AS jt2
-      FROM obs a JOIN obs b ON a.g < b.g
+      SELECT CAST(COALESCE(SUM({contrib}), 0) AS BIGINT) AS jt2
+      FROM cum
     ),
-    sizes AS (SELECT g, CAST(SUM(o) AS BIGINT) AS ni FROM obs GROUP BY g),
+    nsum AS (SELECT {n_cols} FROM cells),
+    sizes AS (
+      SELECT ni FROM (SELECT unnest([{n_list}]) AS ni FROM nsum)
+      WHERE ni > 0
+    ),
     tot AS (
       SELECT CAST(SUM(ni) AS BIGINT) AS nn,
              CAST(COUNT(*) AS BIGINT) AS k,
