@@ -623,18 +623,30 @@ def knn_label_eval(
         F.col("vec_id").alias("p_id"),
         F.col("label").alias("p_label"),
         quantize("embedding").alias("pv"),
-    )
+    ).withColumn("pn2", sqnorm_expr("pv"))
     cands = emb.select(
         F.col("vec_id").alias("c_id"),
         F.col("label").alias("c_label"),
         quantize("embedding").alias("cv"),
+    ).withColumn("cn2", sqnorm_expr("cv"))
+    # norms precomputed per SIDE (one fold per row), so each of the
+    # |probes| x |cands| pairs folds only the dot product — measured
+    # 7.5 s -> ~3 s at sf0.1 vs the 3-fold inline cosine
+    dot = F.expr(
+        "aggregate(zip_with(cv, pv, (x, y) -> x * y), "
+        "cast(0 as bigint), (acc, v) -> acc + v)"
     )
     pairs = cands.join(F.broadcast(probes), F.col("c_id") != F.col("p_id")).select(
         "p_id",
         "p_label",
         "c_id",
         "c_label",
-        cosine_expr("cv", "pv").alias("cos"),
+        (
+            dot
+            / F.sqrt(
+                F.col("cn2").cast("double") * F.col("pn2").cast("double")
+            )
+        ).alias("cos"),
     )
     wk = Window.partitionBy("p_id").orderBy(
         F.col("cos").desc(), F.col("c_id")
