@@ -535,6 +535,12 @@ HEADLINE = [
     "link_prediction_scores",
     "katz_centrality_walks",
     "brand_modularity_copurchase",
+    # wave 81: finite-sample normality/variance battery + tokenizer econ
+    "dagostino_k2_doclen",
+    "bartlett_priority_price",
+    "kuiper_dow_events",
+    "tokenizer_fertility_report",
+    "heaps_law_fit",
 ]
 
 

@@ -4069,3 +4069,420 @@ def jonckheere_terpstra_sql(
                  END, {round_to}) AS z
     FROM jt CROSS JOIN tot
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 81: normality/variance battery + circular uniformity
+# ──────────────────────────────────────────────────────────────────────────
+def dagostino_k2(
+    df: DataFrame,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """D'Agostino-Pearson K² omnibus normality test — the finite-
+    sample-calibrated upgrade to :func:`jarque_bera` (JB compares raw
+    b1/b2 to their ASYMPTOTIC null; K² first maps each through its
+    exact-moment normalizing transform, so the statistic is usable at
+    the daily/grouped sample sizes this suite actually produces):
+
+      Z1 = delta * ln(Y/alpha + sqrt((Y/alpha)² + 1))   (skew,
+           Johnson SU transform), Z2 = Anscombe-Glynn cube-root
+           transform of b2;  K² = Z1² + Z2².
+
+    Same exactness discipline as jarque_bera: four exact-bigint power
+    sums in one map-side-combined aggregate; every constant of the
+    transforms is a ratio of exact integer polynomials in n, and the
+    scalar chain (ln/sqrt/cbrt, both engines' libm) is spelled in ONE
+    shared operation order.
+
+    Output (one row): (n, skew_z, kurt_z, k2_stat).
+    """
+    x = F.col(value_col).cast("bigint")
+    m = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(x).cast("bigint").alias("__s1"),
+        F.sum(x * x).cast("bigint").alias("__s2"),
+        F.sum(x * x * x).cast("bigint").alias("__s3"),
+        F.sum(x * x * x * x).cast("bigint").alias("__s4"),
+    )
+    nn = F.col("__n").cast("double")
+    mu = F.col("__s1").cast("double") / nn
+    r2 = F.col("__s2").cast("double") / nn
+    r3 = F.col("__s3").cast("double") / nn
+    r4 = F.col("__s4").cast("double") / nn
+    m2 = r2 - mu * mu
+    m3 = r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu
+    m4 = r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - 3.0 * mu * mu * mu * mu
+    cm = m.select(
+        "__n",
+        m2.alias("m2"),
+        m3.alias("m3"),
+        m4.alias("m4"),
+    )
+    nn2 = F.col("__n").cast("double")
+    b1 = F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2")))
+    b2 = F.col("m4") / (F.col("m2") * F.col("m2"))
+    shape = cm.select("__n", b1.alias("b1"), b2.alias("b2"))
+    n = F.col("__n").cast("double")
+    # --- skewness: Johnson SU (D'Agostino 1970) ---
+    yy = F.col("b1") * F.sqrt(
+        ((n + 1.0) * (n + 3.0)) / (6.0 * (n - 2.0))
+    )
+    beta2 = (
+        3.0
+        * (n * n + 27.0 * n - 70.0)
+        * (n + 1.0)
+        * (n + 3.0)
+        / ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0))
+    )
+    w2 = -1.0 + F.sqrt(2.0 * (beta2 - 1.0))
+    delta = 1.0 / F.sqrt(F.log(F.sqrt(w2)))
+    alpha = F.sqrt(2.0 / (w2 - 1.0))
+    z1 = delta * F.log(
+        yy / alpha + F.sqrt((yy / alpha) * (yy / alpha) + 1.0)
+    )
+    # --- kurtosis: Anscombe-Glynn (1983) ---
+    eb2 = 3.0 * (n - 1.0) / (n + 1.0)
+    vb2 = (
+        24.0
+        * n
+        * (n - 2.0)
+        * (n - 3.0)
+        / ((n + 1.0) * (n + 1.0) * (n + 3.0) * (n + 5.0))
+    )
+    xx = (F.col("b2") - eb2) / F.sqrt(vb2)
+    sb1 = (
+        6.0
+        * (n * n - 5.0 * n + 2.0)
+        / ((n + 7.0) * (n + 9.0))
+    ) * F.sqrt(
+        6.0 * (n + 3.0) * (n + 5.0) / (n * (n - 2.0) * (n - 3.0))
+    )
+    aa = 6.0 + (8.0 / sb1) * (
+        2.0 / sb1 + F.sqrt(1.0 + 4.0 / (sb1 * sb1))
+    )
+    z2 = (
+        (1.0 - 2.0 / (9.0 * aa))
+        - F.cbrt(
+            (1.0 - 2.0 / aa)
+            / (1.0 + xx * F.sqrt(2.0 / (aa - 4.0)))
+        )
+    ) / F.sqrt(2.0 / (9.0 * aa))
+    return shape.select(
+        F.col("__n").alias("n"),
+        F.round(z1, round_to).alias("skew_z"),
+        F.round(z2, round_to).alias("kurt_z"),
+        F.round(z1 * z1 + z2 * z2, round_to).alias("k2_stat"),
+    )
+
+
+def dagostino_k2_sql(
+    table: str,
+    value_expr: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`dagostino_k2` (identical operation
+    order through the Johnson SU / Anscombe-Glynn chains)."""
+    x = f"CAST({value_expr} AS BIGINT)"
+    return f"""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM({x}) AS BIGINT) AS s1,
+             CAST(SUM({x} * {x}) AS BIGINT) AS s2,
+             CAST(SUM({x} * {x} * {x}) AS BIGINT) AS s3,
+             CAST(SUM({x} * {x} * {x} * {x}) AS BIGINT) AS s4
+      FROM {table}
+    ),
+    c AS (
+      SELECT n,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+             CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+      FROM m
+    ),
+    cm AS (
+      SELECT n,
+             r2 - mu * mu AS m2,
+             r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+             r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+                - 3.0 * mu * mu * mu * mu AS m4
+      FROM c
+    ),
+    shape AS (
+      SELECT n,
+             m3 / (m2 * SQRT(m2)) AS b1,
+             m4 / (m2 * m2) AS b2,
+             CAST(n AS DOUBLE) AS nd
+      FROM cm
+    ),
+    skewt AS (
+      SELECT *,
+             b1 * SQRT(((nd + 1.0) * (nd + 3.0)) / (6.0 * (nd - 2.0))) AS yy,
+             -1.0 + SQRT(2.0 * (3.0 * (nd * nd + 27.0 * nd - 70.0)
+               * (nd + 1.0) * (nd + 3.0)
+               / ((nd - 2.0) * (nd + 5.0) * (nd + 7.0) * (nd + 9.0))
+               - 1.0)) AS w2
+      FROM shape
+    ),
+    z1t AS (
+      SELECT *,
+             (1.0 / SQRT(LN(SQRT(w2))))
+             * LN(yy / SQRT(2.0 / (w2 - 1.0))
+                  + SQRT((yy / SQRT(2.0 / (w2 - 1.0)))
+                         * (yy / SQRT(2.0 / (w2 - 1.0))) + 1.0)) AS z1
+      FROM skewt
+    ),
+    kurt AS (
+      SELECT *,
+             (b2 - 3.0 * (nd - 1.0) / (nd + 1.0))
+             / SQRT(24.0 * nd * (nd - 2.0) * (nd - 3.0)
+                    / ((nd + 1.0) * (nd + 1.0) * (nd + 3.0) * (nd + 5.0)))
+               AS xx,
+             (6.0 * (nd * nd - 5.0 * nd + 2.0) / ((nd + 7.0) * (nd + 9.0)))
+             * SQRT(6.0 * (nd + 3.0) * (nd + 5.0)
+                    / (nd * (nd - 2.0) * (nd - 3.0))) AS sb1
+      FROM z1t
+    ),
+    z2t AS (
+      SELECT *,
+             ((1.0 - 2.0 / (9.0 * (6.0 + (8.0 / sb1)
+                 * (2.0 / sb1 + SQRT(1.0 + 4.0 / (sb1 * sb1))))))
+              - CBRT((1.0 - 2.0 / (6.0 + (8.0 / sb1)
+                   * (2.0 / sb1 + SQRT(1.0 + 4.0 / (sb1 * sb1)))))
+                / (1.0 + xx * SQRT(2.0 / ((6.0 + (8.0 / sb1)
+                     * (2.0 / sb1 + SQRT(1.0 + 4.0 / (sb1 * sb1)))) - 4.0)))))
+             / SQRT(2.0 / (9.0 * (6.0 + (8.0 / sb1)
+                 * (2.0 / sb1 + SQRT(1.0 + 4.0 / (sb1 * sb1)))))) AS z2
+      FROM kurt
+    )
+    SELECT n,
+           ROUND(z1, {round_to}) AS skew_z,
+           ROUND(z2, {round_to}) AS kurt_z,
+           ROUND(z1 * z1 + z2 * z2, {round_to}) AS k2_stat
+    FROM z2t
+    """
+
+
+def bartlett_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Bartlett's test for homogeneity of variances across k groups —
+    the likelihood-ratio (normal-theory) member of the variance
+    battery next to :func:`levene_brown_forsythe` (Levene is robust
+    to non-normality; Bartlett is the more powerful test when the
+    normality gates — jarque_bera, dagostino_k2 — pass):
+
+      ``T = ((N-k) ln s_p² - Σ (n_i-1) ln s_i²) / C``,
+      ``C = 1 + (Σ 1/(n_i-1) - 1/(N-k)) / (3(k-1))``.
+
+    Same exactness discipline as :func:`anova_f`: per-group moments
+    are exact DECIMAL sums (x and x*x are DECIMAL-exact, order-free);
+    sample variances and the ln chain run in double on bit-identical
+    inputs; the k-row reduction is tiny. Groups with n_i < 2 are
+    excluded (their variance is undefined), documented.
+
+    Output (one row): (k, n, pooled_var, bartlett_stat).
+    """
+    per = (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__s"),
+            F.sum(
+                F.col(value_col).cast("decimal(18,2)")
+                * F.col(value_col).cast("decimal(18,2)")
+            ).alias("__s2"),
+        )
+        .filter(F.col("__n") >= 2)
+    )
+    ni = F.col("__n").cast("double")
+    ssw_i = (
+        F.col("__s2").cast("double")
+        - F.col("__s").cast("double") * F.col("__s").cast("double") / ni
+    )
+    var_i = ssw_i / (ni - 1.0)
+    stats = per.select(
+        "__n",
+        ssw_i.alias("__ssw"),
+        ((ni - 1.0) * F.log(var_i)).alias("__nlnv"),
+        (1.0 / (ni - 1.0)).alias("__inv"),
+    )
+    agg = stats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("__n").cast("bigint").alias("n"),
+        F.sum("__ssw").alias("__ssw_tot"),
+        F.sum("__nlnv").alias("__sum_nlnv"),
+        F.sum("__inv").alias("__sum_inv"),
+    )
+    nn = F.col("n").cast("double")
+    kk = F.col("k").cast("double")
+    sp2 = F.col("__ssw_tot") / (nn - kk)
+    t = (nn - kk) * F.log(sp2) - F.col("__sum_nlnv")
+    c = 1.0 + (F.col("__sum_inv") - 1.0 / (nn - kk)) / (3.0 * (kk - 1.0))
+    return agg.select(
+        "k",
+        "n",
+        F.round(sp2, round_to).alias("pooled_var"),
+        F.round(t / c, round_to).alias("bartlett_stat"),
+    )
+
+
+def bartlett_test_sql(
+    table: str,
+    group_expr: str,
+    value_expr: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`bartlett_test`."""
+    v = f"CAST({value_expr} AS DECIMAL(18,2))"
+    return f"""
+    WITH per AS (
+      SELECT {group_expr} AS g,
+             CAST(COUNT(*) AS BIGINT) AS n_i,
+             SUM({v}) AS s,
+             SUM({v} * {v}) AS s2
+      FROM {table} GROUP BY 1
+      HAVING COUNT(*) >= 2
+    ),
+    stats AS (
+      SELECT n_i,
+             CAST(s2 AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(n_i AS DOUBLE) AS ssw,
+             (CAST(n_i AS DOUBLE) - 1.0)
+               * LN((CAST(s2 AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                       / CAST(n_i AS DOUBLE))
+                    / (CAST(n_i AS DOUBLE) - 1.0)) AS nlnv,
+             1.0 / (CAST(n_i AS DOUBLE) - 1.0) AS inv
+      FROM per
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_i) AS BIGINT) AS n,
+             SUM(ssw) AS ssw_tot,
+             SUM(nlnv) AS sum_nlnv,
+             SUM(inv) AS sum_inv
+      FROM stats
+    )
+    SELECT k, n,
+           ROUND(ssw_tot / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)),
+                 {round_to}) AS pooled_var,
+           ROUND(((CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+                  * LN(ssw_tot / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                  - sum_nlnv)
+                 / (1.0 + (sum_inv
+                           - 1.0 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                          / (3.0 * (CAST(k AS DOUBLE) - 1.0))),
+                 {round_to}) AS bartlett_stat
+    FROM agg
+    """
+
+
+def kuiper_uniformity(
+    df: DataFrame,
+    cell_col: str,
+    n_cells: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Kuiper's V test of uniformity over an ordered CYCLIC category
+    (day-of-week here) — the circular complement to the KS family:
+    KS's D is blind to deviations that straddle the cycle's cut point
+    (a weekend bulge splits into week-start deficit + week-end
+    excess); V = D+ + D- is rotation-invariant, so it sees them.
+
+    Convention (documented, identical in both engines): cells are the
+    integers 0..n_cells-1, the null CDF at cell i is (i+1)/n_cells,
+    D+ = max_i(F_i - E_i), D- = max_i(E_i - F_i) over the observed
+    cumulative proportions F_i, and the studentized statistic is
+    ``V * (sqrt(N) + 0.155 + 0.24/sqrt(N))`` (Stephens 1970). Counts
+    are exact bigints; the cumulative pass runs over the n_cells-row
+    rollup, never the corpus.
+
+    Output (one row): (n, n_cells, d_plus, d_minus, v_stat, v_mod).
+    """
+    counts = df.groupBy(
+        F.col(cell_col).cast("int").alias("__cell")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    w = Window.orderBy("__cell").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_row = counts.agg(F.sum("__c").cast("bigint").alias("__n"))
+    cum = (
+        counts.withColumn("__cum", F.sum("__c").over(w))
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "__n",
+            (F.col("__cum").cast("double") / F.col("__n").cast("double"))
+            .alias("__f"),
+            (
+                (F.col("__cell").cast("double") + 1.0) / float(n_cells)
+            ).alias("__e"),
+        )
+    )
+    agg = cum.agg(
+        F.max("__n").alias("n"),
+        F.max(F.col("__f") - F.col("__e")).alias("__dp"),
+        F.max(F.col("__e") - F.col("__f")).alias("__dm"),
+    )
+    dp = F.greatest(F.col("__dp"), F.lit(0.0))
+    dm = F.greatest(F.col("__dm"), F.lit(0.0))
+    v = dp + dm
+    rn = F.sqrt(F.col("n").cast("double"))
+    return agg.select(
+        "n",
+        F.lit(n_cells).cast("int").alias("n_cells"),
+        F.round(dp, round_to).alias("d_plus"),
+        F.round(dm, round_to).alias("d_minus"),
+        F.round(v, round_to).alias("v_stat"),
+        F.round(v * (rn + 0.155 + 0.24 / rn), round_to).alias("v_mod"),
+    )
+
+
+def kuiper_uniformity_sql(
+    table_sql: str,
+    cell_expr: str,
+    n_cells: int,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`kuiper_uniformity`; ``table_sql`` is a
+    full SELECT producing the rows."""
+    return f"""
+    WITH src AS ({table_sql}),
+    counts AS (
+      SELECT CAST({cell_expr} AS INTEGER) AS cell,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM src GROUP BY 1
+    ),
+    n_row AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+    cum AS (
+      SELECT n,
+             CAST(SUM(c) OVER (ORDER BY cell
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS DOUBLE)
+               / CAST(n AS DOUBLE) AS f,
+             (CAST(cell AS DOUBLE) + 1.0) / {float(n_cells)!r} AS e
+      FROM counts CROSS JOIN n_row
+    ),
+    agg AS (
+      SELECT MAX(n) AS n,
+             MAX(f - e) AS dp_raw,
+             MAX(e - f) AS dm_raw
+      FROM cum
+    )
+    SELECT n,
+           CAST({n_cells} AS INTEGER) AS n_cells,
+           ROUND(GREATEST(dp_raw, 0.0), {round_to}) AS d_plus,
+           ROUND(GREATEST(dm_raw, 0.0), {round_to}) AS d_minus,
+           ROUND(GREATEST(dp_raw, 0.0) + GREATEST(dm_raw, 0.0),
+                 {round_to}) AS v_stat,
+           ROUND((GREATEST(dp_raw, 0.0) + GREATEST(dm_raw, 0.0))
+                 * (SQRT(CAST(n AS DOUBLE)) + 0.155
+                    + 0.24 / SQRT(CAST(n AS DOUBLE))),
+                 {round_to}) AS v_mod
+    FROM agg
+    """

@@ -2602,3 +2602,262 @@ def flesch_kincaid_report_sql(
                  END, {round_to}) AS flesch_ease
     FROM agg ORDER BY {group_col}
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 81: tokenizer fertility + Heaps-law fit
+# ──────────────────────────────────────────────────────────────────────────
+def tokenizer_fertility_report(
+    df: DataFrame,
+    lang_col: str = "lang",
+    source_col: str = "source",
+    text_col: str = "text",
+    round_to: int = 9,
+) -> DataFrame:
+    """Tokenizer fertility per (lang, source): BPE-ish subword tokens
+    per whitespace word, plus characters per token — THE standard
+    tokenizer-efficiency metrics (fertility >> 1 means the tokenizer
+    fragments that language/source, inflating sequence lengths and
+    training cost; the per-slice view is what drives vocab rebalance
+    decisions). Counts are the suite's shared pre-tokenizer
+    (``BPE_TOKEN_RE``) and whitespace-word regexes, all scan-stage
+    JVM expressions reduced to exact bigint sums; ratios are
+    micro-averages over slice totals.
+
+    Output: (lang, source, n_docs, words, bpe_tokens, chars,
+    fertility, chars_per_token), ordered by (lang, source).
+    """
+    counts = df.select(
+        F.col(lang_col).alias("l"),
+        F.col(source_col).alias("s"),
+        F.regexp_count(F.col(text_col), F.lit(r"\S+"))
+        .cast("bigint")
+        .alias("__wd"),
+        bpe_token_count(F.col(text_col)).cast("bigint").alias("__tk"),
+        F.length(F.col(text_col)).cast("bigint").alias("__ch"),
+    )
+    agg = counts.groupBy("l", "s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__wd").cast("bigint").alias("words"),
+        F.sum("__tk").cast("bigint").alias("bpe_tokens"),
+        F.sum("__ch").cast("bigint").alias("chars"),
+    )
+    ok_w = F.col("words") > 0
+    ok_t = F.col("bpe_tokens") > 0
+    return agg.select(
+        F.col("l").alias(lang_col),
+        F.col("s").alias(source_col),
+        "n_docs",
+        "words",
+        "bpe_tokens",
+        "chars",
+        F.round(
+            F.when(
+                ok_w,
+                F.col("bpe_tokens").cast("double")
+                / F.col("words").cast("double"),
+            ),
+            round_to,
+        ).alias("fertility"),
+        F.round(
+            F.when(
+                ok_t,
+                F.col("chars").cast("double")
+                / F.col("bpe_tokens").cast("double"),
+            ),
+            round_to,
+        ).alias("chars_per_token"),
+    ).orderBy(lang_col, source_col)
+
+
+def tokenizer_fertility_report_sql(
+    table: str = "documents",
+    lang_col: str = "lang",
+    source_col: str = "source",
+    text_col: str = "text",
+    round_to: int = 9,
+) -> str:
+    """DuckDB twin of :func:`tokenizer_fertility_report`."""
+    return f"""
+    WITH counts AS (
+      SELECT {lang_col} AS l, {source_col} AS s,
+             CAST(len(regexp_extract_all({text_col}, '\\S+')) AS BIGINT) AS wd,
+             CAST({bpe_token_count_sql(text_col)} AS BIGINT) AS tk,
+             CAST(length({text_col}) AS BIGINT) AS ch
+      FROM {table}
+    ),
+    agg AS (
+      SELECT l, s, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(wd) AS BIGINT) AS words,
+             CAST(SUM(tk) AS BIGINT) AS bpe_tokens,
+             CAST(SUM(ch) AS BIGINT) AS chars
+      FROM counts GROUP BY l, s
+    )
+    SELECT l AS {lang_col}, s AS {source_col}, n_docs, words, bpe_tokens,
+           chars,
+           ROUND(CASE WHEN words > 0 THEN
+                 CAST(bpe_tokens AS DOUBLE) / CAST(words AS DOUBLE) END,
+                 {round_to}) AS fertility,
+           ROUND(CASE WHEN bpe_tokens > 0 THEN
+                 CAST(chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE) END,
+                 {round_to}) AS chars_per_token
+    FROM agg ORDER BY {lang_col}, {source_col}
+    """
+
+
+def heaps_law_fit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10,
+    round_to: int = 9,
+) -> DataFrame:
+    """Heaps-law fit ``V = k * N^alpha`` over the corpus growth
+    checkpoints — the fitted-exponent summary of
+    :func:`vocab_growth_curve` (alpha near the english-corpus 0.4-0.6
+    band = healthy novelty; alpha collapsing toward 0 = the corpus is
+    recycling vocabulary, the aggregate symptom LSH dedup then
+    localizes). ln V regresses on ln N over the ``buckets`` cumulative
+    (tokens, vocab) points by closed-form OLS.
+
+    Exactness: cumulative token counts and first-seen vocab counts
+    are exact bigints (same bucketing arithmetic as
+    vocab_growth_curve); the ln/OLS chain runs over the
+    ``buckets``-row rollup in one shared operation order.
+
+    Output (one row): (n_points, alpha, k_coef, r2).
+    """
+    toks = df.select(
+        F.col(id_col).alias("d"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("t"),
+    ).where(F.col("t") != "")
+    bounds = df.agg(
+        F.min(F.col(id_col)).cast("bigint").alias("__lo"),
+        F.max(F.col(id_col)).cast("bigint").alias("__hi"),
+    )
+    tok_b = (
+        toks.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(f"((d - __lo) * {buckets}) div (__hi - __lo + 1)")
+            .cast("int")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tc"))
+    )
+    first_seen = toks.groupBy("t").agg(F.min("d").alias("fs"))
+    voc_b = (
+        first_seen.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(f"((fs - __lo) * {buckets}) div (__hi - __lo + 1)")
+            .cast("int")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nv"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pts = (
+        tok_b.join(voc_b, "bucket", "left")
+        .withColumn("nv", F.coalesce(F.col("nv"), F.lit(0).cast("bigint")))
+        .select(
+            "bucket",
+            F.sum("tc").over(w).alias("tn"),
+            F.sum("nv").over(w).alias("vc"),
+        )
+        .select(
+            F.log(F.col("tn").cast("double")).alias("__x"),
+            F.log(F.col("vc").cast("double")).alias("__y"),
+        )
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.sum("__x").alias("sx"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sx2"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__y") * F.col("__y")).alias("sy2"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+    )
+    nn = F.col("n_points").cast("double")
+    sxx = F.col("sx2") - F.col("sx") * F.col("sx") / nn
+    syy = F.col("sy2") - F.col("sy") * F.col("sy") / nn
+    sxy_c = F.col("sxy") - F.col("sx") * F.col("sy") / nn
+    alpha = sxy_c / sxx
+    intercept = F.col("sy") / nn - alpha * (F.col("sx") / nn)
+    r2 = sxy_c * sxy_c / (sxx * syy)
+    return agg.select(
+        "n_points",
+        F.round(alpha, round_to).alias("alpha"),
+        F.round(F.exp(intercept), round_to).alias("k_coef"),
+        F.round(r2, round_to).alias("r2"),
+    )
+
+
+def heaps_law_fit_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10,
+    round_to: int = 9,
+) -> str:
+    """DuckDB twin of :func:`heaps_law_fit`."""
+    return f"""
+    WITH toks AS (
+      SELECT d, t FROM (
+        SELECT {id_col} AS d,
+               unnest(string_split_regex(lower({text_col}), '\\s+')) AS t
+        FROM {table}
+      ) WHERE t <> ''
+    ),
+    bounds AS (
+      SELECT CAST(MIN({id_col}) AS BIGINT) AS lo,
+             CAST(MAX({id_col}) AS BIGINT) AS hi
+      FROM {table}
+    ),
+    tok_b AS (
+      SELECT CAST(((d - lo) * {buckets}) // (hi - lo + 1) AS INTEGER)
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS tc
+      FROM toks CROSS JOIN bounds GROUP BY 1
+    ),
+    first_seen AS (SELECT t, MIN(d) AS fs FROM toks GROUP BY t),
+    voc_b AS (
+      SELECT CAST(((fs - lo) * {buckets}) // (hi - lo + 1) AS INTEGER)
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS nv
+      FROM first_seen CROSS JOIN bounds GROUP BY 1
+    ),
+    pts AS (
+      SELECT LN(CAST(SUM(tc) OVER (ORDER BY t.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE)) AS x,
+             LN(CAST(SUM(COALESCE(v.nv, 0)) OVER (ORDER BY t.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE)) AS y
+      FROM tok_b t LEFT JOIN voc_b v ON t.bucket = v.bucket
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+             SUM(x) AS sx, SUM(x * x) AS sx2,
+             SUM(y) AS sy, SUM(y * y) AS sy2,
+             SUM(x * y) AS sxy
+      FROM pts
+    )
+    SELECT n_points,
+           ROUND((sxy - sx * sy / CAST(n_points AS DOUBLE))
+                 / (sx2 - sx * sx / CAST(n_points AS DOUBLE)),
+                 {round_to}) AS alpha,
+           ROUND(EXP(sy / CAST(n_points AS DOUBLE)
+                 - ((sxy - sx * sy / CAST(n_points AS DOUBLE))
+                    / (sx2 - sx * sx / CAST(n_points AS DOUBLE)))
+                   * (sx / CAST(n_points AS DOUBLE))),
+                 {round_to}) AS k_coef,
+           ROUND((sxy - sx * sy / CAST(n_points AS DOUBLE))
+                 * (sxy - sx * sy / CAST(n_points AS DOUBLE))
+                 / ((sx2 - sx * sx / CAST(n_points AS DOUBLE))
+                    * (sy2 - sy * sy / CAST(n_points AS DOUBLE))),
+                 {round_to}) AS r2
+    FROM agg
+    """

@@ -2624,3 +2624,65 @@ def jonckheere_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice"),
     )
     return evaluation.jonckheere_terpstra(orders, "prio", "o_totalprice")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave81: finite-sample normality + variance battery + circular uniformity
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "dagostino_k2_doclen",
+    evaluation.dagostino_k2_sql("documents", "LENGTH(text)"),
+    "stats op — D'Agostino-Pearson K² omnibus normality on document "
+    "lengths: the finite-sample-calibrated upgrade to "
+    "jarque_bera_doclen (Johnson SU skew transform + Anscombe-Glynn "
+    "cube-root kurtosis transform, every constant an exact integer "
+    "polynomial in n). Same four exact-bigint power sums, one shared "
+    "ln/sqrt/cbrt operation order.",
+)
+def dagostino_k2_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.length("text").alias("doclen")
+    )
+    return evaluation.dagostino_k2(docs, "doclen")
+
+
+@_spec(
+    "bartlett_priority_price",
+    evaluation.bartlett_test_sql(
+        "orders", "o_orderpriority", "o_totalprice"
+    ),
+    "stats op — Bartlett's likelihood-ratio homogeneity-of-variance "
+    "test of order price across the five priorities: the normal-"
+    "theory member of the variance battery beside "
+    "levene_priority_price_spread's robust one. Exact DECIMAL group "
+    "moments, k-row ln reduction.",
+)
+def bartlett_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    return evaluation.bartlett_test(orders, "o_orderpriority", "o_totalprice")
+
+
+@_spec(
+    "kuiper_dow_events",
+    evaluation.kuiper_uniformity_sql(
+        """SELECT CAST(FLOOR(epoch_us(ts) / 86400000000) % 7 AS INTEGER)
+                  AS dow FROM events""",
+        "dow",
+        7,
+    ),
+    "stats op — Kuiper's V uniformity test on the event day-of-week "
+    "cycle: the rotation-invariant circular complement to the KS "
+    "family (a weekend bulge that straddles the week cut is "
+    "invisible to D, visible to V = D+ + D-). Exact bigint cell "
+    "counts; the cumulative pass runs over the 7-row rollup.",
+)
+def kuiper_dow_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    dow = events.select(
+        (F.floor(F.unix_micros("ts") / F.lit(86400000000)) % 7)
+        .cast("int")
+        .alias("dow")
+    )
+    return evaluation.kuiper_uniformity(dow, "dow", 7)

@@ -1627,3 +1627,32 @@ def lexical_richness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flesch_kincaid_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.flesch_kincaid_report(docs)
+
+
+@_spec(
+    "tokenizer_fertility_report",
+    text.tokenizer_fertility_report_sql(),
+    "text op — tokenizer fertility (BPE-ish subword tokens per "
+    "whitespace word) and chars-per-token by (lang, source): the "
+    "standard tokenizer-efficiency slice that drives vocab rebalance "
+    "decisions. Scan-stage regexp counts, exact bigint rollup, "
+    "micro-averaged ratios.",
+)
+def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tokenizer_fertility_report(docs)
+
+
+@_spec(
+    "heaps_law_fit",
+    text.heaps_law_fit_sql(),
+    "text op — Heaps-law exponent fit V = k*N^alpha over cumulative "
+    "(tokens, vocab) checkpoints: the one-number novelty summary of "
+    "vocab_growth_curve (alpha collapsing toward 0 = vocabulary "
+    "recycling, the aggregate symptom LSH dedup then localizes). "
+    "Exact bigint growth points, closed-form log-log OLS over the "
+    "10-row rollup.",
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.heaps_law_fit(docs)
