@@ -933,8 +933,7 @@ _SLON = "((s_suppkey * 79) % 720) / 2.0 - 180"
     s AS (SELECT s_suppkey, {_SLAT} AS lat, {_SLON} AS lon FROM supplier),
     scored AS (
       SELECT p.c_custkey, s.s_suppkey,
-             ROUND({spatial.haversine_m_sql("p.lat", "p.lon", "s.lat", "s.lon")},
-                   6) AS d
+             {spatial.round_fast_sql(spatial.haversine_m_sql("p.lat", "p.lon", "s.lat", "s.lon"))} AS d
       FROM p CROSS JOIN s
     )
     SELECT c_custkey,
@@ -973,8 +972,7 @@ def haversine_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (SELECT s_suppkey, {_SLAT} AS lat, {_SLON} AS lon FROM supplier),
     scored AS (
       SELECT p.c_custkey, s.s_suppkey,
-             ROUND({spatial.haversine_m_sql("p.lat", "p.lon", "s.lat", "s.lon")},
-                   6) AS d
+             {spatial.round_fast_sql(spatial.haversine_m_sql("p.lat", "p.lon", "s.lat", "s.lon"))} AS d
       FROM p CROSS JOIN s
     )
     SELECT c_custkey,
