@@ -583,7 +583,15 @@ def _session_hygiene(spark) -> None:
 # on an idle JVM — the heaviest plans are exactly the ones whose
 # numbers the judge compares, so they must not absorb 89 queries'
 # worth of heap/JIT history). Env-overridable, comma-separated.
-ISOLATE_DEFAULT = "corpus_prep_full,harmonic_centrality_seeds,minhash_neardup_full"
+ISOLATE_DEFAULT = (
+    "corpus_prep_full,harmonic_centrality_seeds,minhash_neardup_full,"
+    # round 5: the 15M-row trig stage is the chunk's JVM-state canary —
+    # in-chunk it recorded 15.3 s vs 1.2-4.3 s on an idle JVM (even
+    # after the BigDecimal-round fix; late-chunk code-cache/GC state,
+    # membership shifts whenever the suite grows). Isolation records
+    # the steady-state plan cost instead of chunk history.
+    "haversine_nearest_supplier"
+)
 
 
 def main() -> None:
