@@ -541,6 +541,7 @@ HEADLINE = [
     "kuiper_dow_events",
     "tokenizer_fertility_report",
     "heaps_law_fit",
+    "gate_confusion_metrics",
 ]
 
 

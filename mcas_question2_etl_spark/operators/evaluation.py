@@ -4486,3 +4486,119 @@ def kuiper_uniformity_sql(
                  {round_to}) AS v_mod
     FROM agg
     """
+
+
+def gate_confusion_metrics(
+    df: DataFrame,
+    gate_truth: Column,
+    gate_pred: Column,
+    round_to: int = 9,
+) -> DataFrame:
+    """Binary-confusion metric battery between a reference gate and a
+    candidate gate — the numbers a filter swap actually gets judged
+    on, complementing :func:`cohens_kappa`'s agreement view:
+
+      MCC     = (n11 n00 - n10 n01) / sqrt((n11+n10)(n11+n01)(n00+n10)(n00+n01))
+      Youden J = recall + specificity - 1
+      F1      = 2 n11 / (2 n11 + n10 + n01)
+      odds ratio = (n11 n00) / (n10 n01), with the Wald 95% CI on
+      ln OR (±1.96 sqrt(Σ 1/cell)).
+
+    One conditional-aggregate pass produces the four exact bigint
+    cells; every factor casts to double BEFORE multiplying (the raw
+    bigint product overflows at crawl scale), one shared IEEE order.
+    Degenerate margins (a zero cell) NULL the affected ratios rather
+    than fabricating a continuity correction, documented.
+
+    Output (one row): (n11, n10, n01, n00, mcc, youden_j, f1,
+    odds_ratio, log_or_lo, log_or_hi).
+    """
+    t = gate_truth.cast("int")
+    p = gate_pred.cast("int")
+    agg = df.agg(
+        F.sum(t * p).cast("bigint").alias("n11"),
+        F.sum(t * (1 - p)).cast("bigint").alias("n10"),
+        F.sum((1 - t) * p).cast("bigint").alias("n01"),
+        F.sum((1 - t) * (1 - p)).cast("bigint").alias("n00"),
+    )
+    a = F.col("n11").cast("double")
+    b = F.col("n10").cast("double")
+    c = F.col("n01").cast("double")
+    d = F.col("n00").cast("double")
+    denom = F.sqrt((a + b) * (a + c) * (d + b) * (d + c))
+    mcc = F.when(denom > 0, (a * d - b * c) / denom)
+    recall = F.when(a + b > 0, a / (a + b))
+    spec = F.when(d + c > 0, d / (d + c))
+    f1 = F.when(2.0 * a + b + c > 0, 2.0 * a / (2.0 * a + b + c))
+    all_pos = (
+        (F.col("n11") > 0)
+        & (F.col("n10") > 0)
+        & (F.col("n01") > 0)
+        & (F.col("n00") > 0)
+    )
+    orr = F.when(all_pos, (a * d) / (b * c))
+    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    log_or = F.log((a * d) / (b * c))
+    return agg.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(mcc, round_to).alias("mcc"),
+        F.round(recall + spec - 1.0, round_to).alias("youden_j"),
+        F.round(f1, round_to).alias("f1"),
+        F.round(orr, round_to).alias("odds_ratio"),
+        F.round(F.when(all_pos, log_or - 1.96 * se), round_to).alias(
+            "log_or_lo"
+        ),
+        F.round(F.when(all_pos, log_or + 1.96 * se), round_to).alias(
+            "log_or_hi"
+        ),
+    )
+
+
+def gate_confusion_metrics_sql(
+    table: str,
+    gate_truth_sql: str,
+    gate_pred_sql: str,
+    round_to: int = 9,
+) -> str:
+    """DuckDB twin of :func:`gate_confusion_metrics`."""
+    t = f"CAST({gate_truth_sql} AS INTEGER)"
+    p = f"CAST({gate_pred_sql} AS INTEGER)"
+    return f"""
+    WITH agg AS (
+      SELECT CAST(SUM({t} * {p}) AS BIGINT) AS n11,
+             CAST(SUM({t} * (1 - {p})) AS BIGINT) AS n10,
+             CAST(SUM((1 - {t}) * {p}) AS BIGINT) AS n01,
+             CAST(SUM((1 - {t}) * (1 - {p})) AS BIGINT) AS n00
+      FROM {table}
+    ),
+    c AS (
+      SELECT n11, n10, n01, n00,
+             CAST(n11 AS DOUBLE) AS a, CAST(n10 AS DOUBLE) AS b,
+             CAST(n01 AS DOUBLE) AS c, CAST(n00 AS DOUBLE) AS d,
+             n11 > 0 AND n10 > 0 AND n01 > 0 AND n00 > 0 AS all_pos
+      FROM agg
+    )
+    SELECT n11, n10, n01, n00,
+           ROUND(CASE WHEN SQRT((a + b) * (a + c) * (d + b) * (d + c)) > 0
+                 THEN (a * d - b * c)
+                      / SQRT((a + b) * (a + c) * (d + b) * (d + c)) END,
+                 {round_to}) AS mcc,
+           ROUND((CASE WHEN a + b > 0 THEN a / (a + b) END)
+                 + (CASE WHEN d + c > 0 THEN d / (d + c) END) - 1.0,
+                 {round_to}) AS youden_j,
+           ROUND(CASE WHEN 2.0 * a + b + c > 0
+                 THEN 2.0 * a / (2.0 * a + b + c) END,
+                 {round_to}) AS f1,
+           ROUND(CASE WHEN all_pos THEN (a * d) / (b * c) END,
+                 {round_to}) AS odds_ratio,
+           ROUND(CASE WHEN all_pos THEN LN((a * d) / (b * c))
+                 - 1.96 * SQRT(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d) END,
+                 {round_to}) AS log_or_lo,
+           ROUND(CASE WHEN all_pos THEN LN((a * d) / (b * c))
+                 + 1.96 * SQRT(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d) END,
+                 {round_to}) AS log_or_hi
+    FROM c
+    """

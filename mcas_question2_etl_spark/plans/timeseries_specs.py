@@ -1899,3 +1899,26 @@ def pacf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("day")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     return timeseries.pacf3(daily)
+
+
+@_spec(
+    "gate_confusion_metrics",
+    evaluation.gate_confusion_metrics_sql(
+        "documents",
+        "n_chars >= 300",
+        "len(regexp_extract_all(text, '\\S+')) >= 55",
+    ),
+    "eval op — binary-confusion battery between the char-length gate "
+    "(reference) and the word-count gate (candidate): MCC, Youden's "
+    "J, F1, odds ratio + Wald CI from ONE conditional-aggregate pass "
+    "over exact 2x2 cells (factors cast to double before multiplying "
+    "— the bigint product overflows at crawl scale). The "
+    "swap-decision numbers beside cohens_kappa_gates' agreement.",
+)
+def gate_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return evaluation.gate_confusion_metrics(
+        docs,
+        F.col("n_chars") >= 300,
+        F.regexp_count(F.col("text"), F.lit(r"\S+")) >= 55,
+    )

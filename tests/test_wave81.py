@@ -167,3 +167,57 @@ def test_heaps_law_fit_pin(spark):
     assert r.k_coef == pytest.approx(round(kc, 9), abs=1e-9)
     assert r.r2 == pytest.approx(round(r2, 9), abs=1e-9)
     assert 0 < r.alpha < 1  # sublinear growth: vocabulary recycles
+
+
+def test_gate_confusion_metrics_pin(spark):
+    """Hand-built 2x2: cells (6,2,1,11); every metric recomputed."""
+    import math as _m
+
+    rows = (
+        [(1, 1)] * 6 + [(1, 0)] * 2 + [(0, 1)] * 1 + [(0, 0)] * 11
+    )
+    df = spark.createDataFrame(rows, "t int, p int")
+    from mcas_question2_etl_spark.operators.evaluation import (
+        gate_confusion_metrics,
+    )
+    from pyspark.sql import functions as F
+
+    r = gate_confusion_metrics(
+        df, F.col("t") == 1, F.col("p") == 1
+    ).collect()[0]
+    a, b, c, d = 6.0, 2.0, 1.0, 11.0
+    assert (r.n11, r.n10, r.n01, r.n00) == (6, 2, 1, 11)
+    mcc = (a * d - b * c) / _m.sqrt((a + b) * (a + c) * (d + b) * (d + c))
+    assert r.mcc == pytest.approx(round(mcc, 9), abs=1e-12)
+    assert r.youden_j == pytest.approx(
+        round(a / (a + b) + d / (d + c) - 1, 9), abs=1e-12
+    )
+    assert r.f1 == pytest.approx(
+        round(2 * a / (2 * a + b + c), 9), abs=1e-12
+    )
+    orr = (a * d) / (b * c)
+    se = _m.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    assert r.odds_ratio == pytest.approx(round(orr, 9), abs=1e-12)
+    assert r.log_or_lo == pytest.approx(
+        round(_m.log(orr) - 1.96 * se, 9), abs=1e-12
+    )
+    assert r.log_or_hi == pytest.approx(
+        round(_m.log(orr) + 1.96 * se, 9), abs=1e-12
+    )
+
+
+def test_gate_confusion_zero_cell(spark):
+    """A zero cell NULLs the odds-ratio family but not MCC/F1."""
+    rows = [(1, 1)] * 4 + [(0, 0)] * 5 + [(0, 1)] * 2
+    df = spark.createDataFrame(rows, "t int, p int")
+    from mcas_question2_etl_spark.operators.evaluation import (
+        gate_confusion_metrics,
+    )
+    from pyspark.sql import functions as F
+
+    r = gate_confusion_metrics(
+        df, F.col("t") == 1, F.col("p") == 1
+    ).collect()[0]
+    assert r.n10 == 0
+    assert r.odds_ratio is None and r.log_or_lo is None
+    assert r.mcc is not None and r.f1 is not None
