@@ -542,6 +542,8 @@ HEADLINE = [
     "tokenizer_fertility_report",
     "heaps_law_fit",
     "gate_confusion_metrics",
+    # wave 82 (round 6): GIF LZW decode
+    "multimodal_gif_decode",
 ]
 
 

@@ -591,3 +591,94 @@ def kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return _semdedup.semdedup_keep(emb, k=16, iters=2, threshold=0.35)
+
+
+@_spec(
+    "multimodal_gif_decode",
+    """
+    WITH params AS (
+      SELECT doc_id,
+             8 + doc_id % 25 AS w,
+             6 + doc_id % 13 AS h,
+             3 + doc_id % 11 AS delay_cs
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_gifs,
+           CAST(SUM(w) AS BIGINT) AS sum_width,
+           CAST(SUM(h) AS BIGINT) AS sum_height,
+           CAST(SUM(delay_cs * 10) AS BIGINT) AS sum_duration_ms,
+           TRUE AS all_rasters_match
+    FROM params
+    """,
+    "multimodal: GIF decode (round 6, VERDICT r5 #5) — synthesizes a "
+    "genuine GIF89a per document (256-entry GCT, Graphic Control "
+    "delay, frame compressed by a REAL variable-width LZW encoder) in "
+    "an Arrow-batched kernel, then decodes it back with "
+    "operators/multimodal.py strict_decoder: container walk, "
+    "extension sub-block chains, full LZW decompress with dictionary "
+    "growth and the KwKwK case. The oracle recomputes width/height/"
+    "duration from the same doc_id-derived parameters; the LZW stream "
+    "itself is checked by the all_rasters_match invariant — the "
+    "decoded palette-index raster must equal the deterministic pixel "
+    "generator, recomputed independently in the kernel (the "
+    "TRUE-contract pattern, cf. minhash_neardup). Compressed size is "
+    "data-dependent (real LZW), so n_bytes stays out of the output",
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(8) + F.col("doc_id") % 25).cast("int").alias("w"),
+        (F.lit(6) + F.col("doc_id") % 13).cast("int").alias("h"),
+        (F.lit(3) + F.col("doc_id") % 11).cast("int").alias("delay_cs"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("raster_ok", T.BooleanType()),
+        ]
+    )
+
+    def encode_decode(batches):
+        for pdf in batches:
+            rows = []
+            for did, w, h, dcs in zip(
+                pdf["doc_id"], pdf["w"], pdf["h"], pdf["delay_cs"]
+            ):
+                g = mm.encode_gif(
+                    int(w), int(h), delay_cs=int(dcs), seed=int(did)
+                )
+                meta = mm.strict_decoder(g, "image")
+                raster = mm._decode_gif(g, return_raster=True)
+                rows.append(
+                    (
+                        int(did),
+                        meta["width"],
+                        meta["height"],
+                        meta["duration_ms"],
+                        raster
+                        == mm.gif_pixels(int(w), int(h), seed=int(did)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "duration_ms", "raster_ok",
+                ],
+            )
+
+    feats = docs.mapInPandas(encode_decode, schema=out_schema)
+    return feats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gifs"),
+        F.sum("width").cast("bigint").alias("sum_width"),
+        F.sum("height").cast("bigint").alias("sum_height"),
+        F.sum("duration_ms").cast("bigint").alias("sum_duration_ms"),
+        F.bool_and("raster_ok").alias("all_rasters_match"),
+    )
