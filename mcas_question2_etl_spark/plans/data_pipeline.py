@@ -235,7 +235,23 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_spec(
     "minhash_neardup_full",
-    None,
+    f"""
+    WITH s AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM documents WHERE len(text) >= 3
+    ),
+    truth99 AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.99
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_neardup99_pairs,
+           CAST(COALESCE(SUM(CAST(a_id AS BIGINT) * 1000003 + b_id), 0)
+                AS BIGINT) AS neardup99_pair_checksum,
+           TRUE AS jaccard_bound_holds
+    FROM truth99
+    """,
     "training-data op: pyspark.ml MinHash family over the FULL "
     "documents table (added round 4 per ADVICE: the sampled contract "
     "spec minhash_neardup verifies accuracy on a constant-size kernel; "
@@ -245,19 +261,45 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— because approxSimilarityJoin's OR-amplified tables degenerate "
     "to near-all-pairs on this low-vocabulary corpus (measured 1210 s "
     "at sf0.1 vs ~seconds banded; see the operator docstring). "
-    "Rows-only check: the seeded family is not SQL-portable; verified "
-    "pairs carry exact Jaccard >= 0.7 by construction and the "
-    "aggregate asserts that bound.",
+    "PARTIAL ORACLE (round 6, VERDICT r5 #3): the seeded hash family "
+    "is not SQL-portable, but the emitted pairs' exact Jaccards are — "
+    "DuckDB recomputes ground truth from the same char-3-gram "
+    "shingles and the spec asserts the two judge invariants: (a) "
+    "every emitted pair verifies >= 0.7 (jaccard_bound_holds — the "
+    "verify stage computes exact shingle Jaccard, so a violation is "
+    "an engine bug, not LSH noise) and (b) the known-dup stratum "
+    "(exact Jaccard >= 0.99) is recalled EXACTLY: count plus an "
+    "order-free integer pair checksum equal set equality on the "
+    "stratum, since emitted-pair Jaccards are exact and hence the "
+    "emitted >= 0.99 subset cannot contain false positives. The 0.99 "
+    "cut is the structural one: identical/near-identical docs "
+    "collide in every band, so misses can come only from the "
+    "max_bucket degenerate guard (measured: the guard's one high-J "
+    "casualty at sf0.01 sits at J=0.978; the >= 0.99 stratum is "
+    "fully recalled at both gate SFs, deterministically — seeded "
+    "hashes over fixed data). Looser strata stay covered by "
+    "minhash_neardup's 80%-recall contract on its capped kernel.",
 )
 def minhash_neardup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cand = dedup.minhash_ml_banded_pairs(docs, min_jaccard=0.7)
+    in99 = F.col("jaccard") >= 0.99
     return cand.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
-        F.countDistinct("a_id").cast("bigint").alias("n_left_docs"),
-        F.coalesce(F.round(F.min("jaccard"), 6), F.lit(1.0)).alias(
-            "min_jaccard"
-        ),
+        F.coalesce(F.sum(F.when(in99, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("n_neardup99_pairs"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    in99,
+                    F.col("a_id").cast("bigint") * F.lit(1000003)
+                    + F.col("b_id"),
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("neardup99_pair_checksum"),
         (F.coalesce(F.min("jaccard"), F.lit(1.0)) >= 0.7).alias(
             "jaccard_bound_holds"
         ),
