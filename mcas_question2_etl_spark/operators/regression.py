@@ -1439,3 +1439,469 @@ def arch_lm_sql(
                  {round_to}) AS lm_stat
     FROM agg
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 83: OLS influence diagnostics — leverage, Cook's distance,
+# closed-form leave-one-out (PRESS), VIF, ridge. The reference stops at a
+# single fitted GLM (run_analysis.Rmd:80-99, SURVEY §2.12 M1); a user who
+# trusts that fit next asks WHICH rows drive it and whether the covariates
+# are even identifiable — the diagnostics R hands out via influence.measures
+# and car::vif. Simple/2-feature regression keeps every one of them in
+# closed form over ONE hash aggregate of sufficient statistics, so the
+# whole battery is scan-stage work: no iterative refits, no n x n hat
+# matrix, no driver loops. Leave-one-out in particular NEVER refits —
+# PRESS = sum (e_i / (1 - h_i))^2 is an algebraic identity, which is the
+# difference between one scan and n regressions at 100 TB.
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def _ols_core_stats(df: DataFrame, x: str, y: str) -> DataFrame:
+    """One-row DataFrame of the shared simple-OLS sufficient statistics:
+    (n, mx, my, sxx_c, syy_c, sxy_c, b) — the centered second moments and
+    slope every wave-83 diagnostic reuses. Null pairs are dropped (same
+    policy as :func:`group_ols`). The arithmetic ORDER here is mirrored
+    literally in the `_sql` twins so both engines make identical IEEE
+    choices."""
+    pts = df.filter(F.col(x).isNotNull() & F.col(y).isNotNull()).select(
+        F.col(x).cast("double").alias("__x"),
+        F.col(y).cast("double").alias("__y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    nn = F.col("__n").cast("double")
+    sxx_c = F.col("__sxx") - F.col("__sx") * F.col("__sx") / nn
+    syy_c = F.col("__syy") - F.col("__sy") * F.col("__sy") / nn
+    sxy_c = F.col("__sxy") - F.col("__sx") * F.col("__sy") / nn
+    return m.select(
+        "__n",
+        (F.col("__sx") / nn).alias("__mx"),
+        (F.col("__sy") / nn).alias("__my"),
+        sxx_c.alias("__sxx_c"),
+        syy_c.alias("__syy_c"),
+        sxy_c.alias("__sxy_c"),
+        (sxy_c / sxx_c).alias("__b"),
+    )
+
+
+_OLS_CORE_SQL = """
+      SELECT CAST(n AS BIGINT) AS n,
+             sx / CAST(n AS DOUBLE) AS mx,
+             sy / CAST(n AS DOUBLE) AS my,
+             sxx - sx * sx / CAST(n AS DOUBLE) AS sxx_c,
+             syy - sy * sy / CAST(n AS DOUBLE) AS syy_c,
+             sxy - sx * sy / CAST(n AS DOUBLE) AS sxy_c,
+             (sxy - sx * sy / CAST(n AS DOUBLE))
+               / (sxx - sx * sx / CAST(n AS DOUBLE)) AS b
+      FROM (
+        SELECT COUNT(*) AS n, SUM(xv) AS sx, SUM(yv) AS sy,
+               SUM(xv * xv) AS sxx, SUM(yv * yv) AS syy,
+               SUM(xv * yv) AS sxy
+        FROM pts
+      )
+"""
+
+
+def _pts_sql(table: str, x: str, y: str, keys: Sequence[str]) -> str:
+    key_list = ", ".join(keys)
+    return f"""
+      SELECT {key_list},
+             CAST({x} AS DOUBLE) AS xv, CAST({y} AS DOUBLE) AS yv
+      FROM {table}
+      WHERE {x} IS NOT NULL AND {y} IS NOT NULL
+"""
+
+
+def cooks_influence(
+    df: DataFrame,
+    x: str,
+    y: str,
+    keys: Sequence[str],
+    top_n: int = 20,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-``top_n`` most influential observations of the simple OLS of
+    ``y`` on ``x``: leverage ``h_i = 1/n + (x_i - mx)^2 / Sxx``,
+    internally studentized residual ``r_i = e_i / sqrt(s^2 (1 - h_i))``,
+    and Cook's distance ``D_i = r_i^2 h_i / (p (1 - h_i))`` with p = 2.
+
+    Plan shape: one sufficient-statistics aggregate, the 1-row result
+    broadcast back onto the scan, then TakeOrdered(top_n) — per-row
+    diagnostics for a trillion rows never materialize a hat matrix and
+    never shuffle the fact table. Ordered by cooks_d DESC with the key
+    columns as deterministic tie-breaks."""
+    stats = _ols_core_stats(df, x, y)
+    pts = df.filter(F.col(x).isNotNull() & F.col(y).isNotNull()).select(
+        *keys,
+        F.col(x).cast("double").alias("__x"),
+        F.col(y).cast("double").alias("__y"),
+    )
+    j = pts.crossJoin(F.broadcast(stats))
+    nn = F.col("__n").cast("double")
+    xc = F.col("__x") - F.col("__mx")
+    h = F.lit(1.0) / nn + xc * xc / F.col("__sxx_c")
+    e = F.col("__y") - F.col("__my") - F.col("__b") * xc
+    sse = F.col("__syy_c") - F.col("__b") * F.col("__sxy_c")
+    s2 = sse / (nn - 2.0)
+    rstud = e / F.sqrt(s2 * (F.lit(1.0) - h))
+    cooks = rstud * rstud * h / (F.lit(2.0) * (F.lit(1.0) - h))
+    out = j.select(
+        *keys,
+        F.round(h, round_to).alias("leverage"),
+        F.round(rstud, round_to).alias("r_student"),
+        F.round(cooks, round_to).alias("cooks_d"),
+        cooks.alias("__raw"),
+    )
+    return (
+        out.orderBy(F.col("__raw").desc(), *[F.col(k) for k in keys])
+        .limit(top_n)
+        .drop("__raw")
+    )
+
+
+def cooks_influence_sql(
+    table: str,
+    x: str,
+    y: str,
+    keys: Sequence[str],
+    top_n: int = 20,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`cooks_influence` (identical formula order)."""
+    key_list = ", ".join(keys)
+    return f"""
+    WITH pts AS ({_pts_sql(table, x, y, keys)}),
+    m AS ({_OLS_CORE_SQL}),
+    d AS (
+      SELECT {key_list},
+             1.0 / CAST(n AS DOUBLE) + (xv - mx) * (xv - mx) / sxx_c AS h,
+             (yv - my - b * (xv - mx))
+               / SQRT(((syy_c - b * sxy_c) / (CAST(n AS DOUBLE) - 2.0))
+                      * (1.0 - (1.0 / CAST(n AS DOUBLE)
+                                + (xv - mx) * (xv - mx) / sxx_c))) AS r
+      FROM pts CROSS JOIN m
+    )
+    SELECT {key_list},
+           ROUND(h, {round_to}) AS leverage,
+           ROUND(r, {round_to}) AS r_student,
+           ROUND(r * r * h / (2.0 * (1.0 - h)), {round_to}) AS cooks_d
+    FROM d
+    ORDER BY r * r * h / (2.0 * (1.0 - h)) DESC, {key_list}
+    LIMIT {top_n}
+    """
+
+
+def press_loocv(
+    df: DataFrame, x: str, y: str, round_to: int = 6
+) -> DataFrame:
+    """Leave-one-out cross-validation of the simple OLS WITHOUT refitting:
+    the PRESS identity ``e_(i) = e_i / (1 - h_i)`` turns n held-out
+    regressions into one scan. Output (one row): n, r2 (in-sample),
+    press (sum of squared LOO residuals), and predicted_r2 =
+    1 - PRESS / Syy — the honest generalization number that drops when
+    the fit leans on single points. Two scans total (moments, then the
+    broadcast-stats residual pass); nothing iterative, nothing driver-side.
+    """
+    stats = _ols_core_stats(df, x, y)
+    pts = df.filter(F.col(x).isNotNull() & F.col(y).isNotNull()).select(
+        F.col(x).cast("double").alias("__x"),
+        F.col(y).cast("double").alias("__y"),
+    )
+    j = pts.crossJoin(F.broadcast(stats))
+    nn = F.col("__n").cast("double")
+    xc = F.col("__x") - F.col("__mx")
+    h = F.lit(1.0) / nn + xc * xc / F.col("__sxx_c")
+    e = F.col("__y") - F.col("__my") - F.col("__b") * xc
+    loo = e / (F.lit(1.0) - h)
+    agg = j.agg(
+        F.max("__n").alias("n"),
+        F.max("__syy_c").alias("__syy_c"),
+        F.max(F.col("__syy_c") - F.col("__b") * F.col("__sxy_c")).alias(
+            "__sse"
+        ),
+        F.sum(loo * loo).alias("__press"),
+    )
+    return agg.select(
+        F.col("n"),
+        F.round(F.lit(1.0) - F.col("__sse") / F.col("__syy_c"), round_to)
+        .alias("r2"),
+        F.round(F.col("__press"), round_to).alias("press"),
+        F.round(
+            F.lit(1.0) - F.col("__press") / F.col("__syy_c"), round_to
+        ).alias("predicted_r2"),
+    )
+
+
+def press_loocv_sql(table: str, x: str, y: str, round_to: int = 6) -> str:
+    """DuckDB twin of :func:`press_loocv`."""
+    return f"""
+    WITH pts AS ({_pts_sql(table, x, y, ["1 AS one"])}),
+    m AS ({_OLS_CORE_SQL}),
+    d AS (
+      SELECT n, syy_c, syy_c - b * sxy_c AS sse,
+             (yv - my - b * (xv - mx))
+               / (1.0 - (1.0 / CAST(n AS DOUBLE)
+                         + (xv - mx) * (xv - mx) / sxx_c)) AS loo
+      FROM pts CROSS JOIN m
+    )
+    SELECT MAX(n) AS n,
+           ROUND(1.0 - MAX(sse) / MAX(syy_c), {round_to}) AS r2,
+           ROUND(SUM(loo * loo), {round_to}) AS press,
+           ROUND(1.0 - SUM(loo * loo) / MAX(syy_c), {round_to})
+             AS predicted_r2
+    FROM d
+    """
+
+
+def vif_three(
+    df: DataFrame,
+    cols: Sequence[str],
+    round_to: int = 6,
+) -> DataFrame:
+    """Variance inflation factors for exactly three covariates, in closed
+    form from the pairwise correlations (for p = 3 the auxiliary
+    regression R² has the textbook identity
+    ``R²_1|23 = (r12² + r13² - 2 r12 r13 r23) / (1 - r23²)``, cyclically)
+    — so multicollinearity screening is ONE aggregate of nine moments,
+    not three regression fits. Output: one row per variable
+    (variable, r_squared_others, vif), ordered by variable name. Rows
+    with any NULL among the three are dropped (complete-case, matching
+    ``car::vif`` on ``na.omit`` data)."""
+    if len(cols) != 3:
+        raise ValueError("vif_three: exactly three covariates required")
+    c1, c2, c3 = cols
+    pts = df.filter(
+        F.col(c1).isNotNull() & F.col(c2).isNotNull() & F.col(c3).isNotNull()
+    ).select(
+        F.col(c1).cast("double").alias("__v1"),
+        F.col(c2).cast("double").alias("__v2"),
+        F.col(c3).cast("double").alias("__v3"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[F.sum(f"__v{i}").alias(f"s{i}") for i in (1, 2, 3)],
+        *[
+            F.sum(F.col(f"__v{i}") * F.col(f"__v{j}")).alias(f"s{i}{j}")
+            for i, j in ((1, 1), (2, 2), (3, 3), (1, 2), (1, 3), (2, 3))
+        ],
+    )
+    nn = F.col("n").cast("double")
+
+    def r(i: int, j: int):
+        sij = F.col(f"s{min(i, j)}{max(i, j)}")
+        return (nn * sij - F.col(f"s{i}") * F.col(f"s{j}")) / F.sqrt(
+            (nn * F.col(f"s{i}{i}") - F.col(f"s{i}") * F.col(f"s{i}"))
+            * (nn * F.col(f"s{j}{j}") - F.col(f"s{j}") * F.col(f"s{j}"))
+        )
+
+    r12, r13, r23 = r(1, 2), r(1, 3), r(2, 3)
+
+    def r2_of(ra, rb, rcc):
+        # R² of the target on the other two: ra, rb target-other corrs,
+        # rcc the other-other corr
+        return (ra * ra + rb * rb - F.lit(2.0) * ra * rb * rcc) / (
+            F.lit(1.0) - rcc * rcc
+        )
+
+    rows = m.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(c1).alias("variable"),
+                    r2_of(r12, r13, r23).alias("r2o"),
+                ),
+                F.struct(
+                    F.lit(c2).alias("variable"),
+                    r2_of(r12, r23, r13).alias("r2o"),
+                ),
+                F.struct(
+                    F.lit(c3).alias("variable"),
+                    r2_of(r13, r23, r12).alias("r2o"),
+                ),
+            )
+        ).alias("e")
+    ).select(
+        F.col("e.variable").alias("variable"),
+        F.round(F.col("e.r2o"), round_to).alias("r_squared_others"),
+        F.round(F.lit(1.0) / (F.lit(1.0) - F.col("e.r2o")), round_to).alias(
+            "vif"
+        ),
+    )
+    return rows.orderBy("variable")
+
+
+def vif_three_sql(
+    table: str, cols: Sequence[str], round_to: int = 6
+) -> str:
+    """DuckDB twin of :func:`vif_three` (same correlation formula order)."""
+    c1, c2, c3 = cols
+    corr = lambda i, j: (  # noqa: E731 — tiny local SQL fragment builder
+        f"(CAST(n AS DOUBLE) * s{min(i, j)}{max(i, j)} - s{i} * s{j})"
+        f" / SQRT((CAST(n AS DOUBLE) * s{i}{i} - s{i} * s{i})"
+        f" * (CAST(n AS DOUBLE) * s{j}{j} - s{j} * s{j}))"
+    )
+    return f"""
+    WITH pts AS (
+      SELECT CAST({c1} AS DOUBLE) AS v1, CAST({c2} AS DOUBLE) AS v2,
+             CAST({c3} AS DOUBLE) AS v3
+      FROM {table}
+      WHERE {c1} IS NOT NULL AND {c2} IS NOT NULL AND {c3} IS NOT NULL
+    ),
+    m AS (
+      SELECT COUNT(*) AS n, SUM(v1) AS s1, SUM(v2) AS s2, SUM(v3) AS s3,
+             SUM(v1 * v1) AS s11, SUM(v2 * v2) AS s22, SUM(v3 * v3) AS s33,
+             SUM(v1 * v2) AS s12, SUM(v1 * v3) AS s13, SUM(v2 * v3) AS s23
+      FROM pts
+    ),
+    c AS (
+      SELECT {corr(1, 2)} AS r12, {corr(1, 3)} AS r13, {corr(2, 3)} AS r23
+      FROM m
+    ),
+    v AS (
+      SELECT '{c1}' AS variable,
+             (r12 * r12 + r13 * r13 - 2.0 * r12 * r13 * r23)
+               / (1.0 - r23 * r23) AS r2o FROM c
+      UNION ALL
+      SELECT '{c2}',
+             (r12 * r12 + r23 * r23 - 2.0 * r12 * r23 * r13)
+               / (1.0 - r13 * r13) FROM c
+      UNION ALL
+      SELECT '{c3}',
+             (r13 * r13 + r23 * r23 - 2.0 * r13 * r23 * r12)
+               / (1.0 - r12 * r12) FROM c
+    )
+    SELECT variable, ROUND(r2o, {round_to}) AS r_squared_others,
+           ROUND(1.0 / (1.0 - r2o), {round_to}) AS vif
+    FROM v ORDER BY variable
+    """
+
+
+def ridge_two_feature(
+    df: DataFrame,
+    x1: str,
+    x2: str,
+    y: str,
+    lambdas: Sequence[float] = (0.0, 1000.0, 100000.0),
+    round_to: int = 6,
+) -> DataFrame:
+    """Closed-form ridge regression of ``y`` on two centered features
+    across a λ grid: ``(X'X + λI) β = X'y`` solved by 2×2 Cramer's rule
+    over centered sufficient statistics, intercept recovered as
+    ``my - β·mx``. The ENTIRE λ path costs one hash aggregate — the grid
+    multiplies literals, not scans — which is the shape regularization
+    sweeps should have at 100 TB. λ = 0 reproduces OLS exactly (pinned in
+    tests). Output: (lambda, intercept, beta_<x1>, beta_<x2>, coef_norm)
+    ordered by lambda."""
+    pts = df.filter(
+        F.col(x1).isNotNull() & F.col(x2).isNotNull() & F.col(y).isNotNull()
+    ).select(
+        F.col(x1).cast("double").alias("__x1"),
+        F.col(x2).cast("double").alias("__x2"),
+        F.col(y).cast("double").alias("__y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__x1").alias("s1"),
+        F.sum("__x2").alias("s2"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x1") * F.col("__x1")).alias("s11"),
+        F.sum(F.col("__x2") * F.col("__x2")).alias("s22"),
+        F.sum(F.col("__x1") * F.col("__x2")).alias("s12"),
+        F.sum(F.col("__x1") * F.col("__y")).alias("s1y"),
+        F.sum(F.col("__x2") * F.col("__y")).alias("s2y"),
+    )
+    nn = F.col("n").cast("double")
+    cent = m.select(
+        "n",
+        (F.col("s1") / nn).alias("m1"),
+        (F.col("s2") / nn).alias("m2"),
+        (F.col("sy") / nn).alias("my"),
+        (F.col("s11") - F.col("s1") * F.col("s1") / nn).alias("c11"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / nn).alias("c22"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / nn).alias("c12"),
+        (F.col("s1y") - F.col("s1") * F.col("sy") / nn).alias("c1y"),
+        (F.col("s2y") - F.col("s2") * F.col("sy") / nn).alias("c2y"),
+    )
+    lam = F.explode(
+        F.array(*[F.lit(float(v)) for v in lambdas])
+    ).alias("lambda")
+    g = cent.select("*", lam)
+    det = (F.col("c11") + F.col("lambda")) * (
+        F.col("c22") + F.col("lambda")
+    ) - F.col("c12") * F.col("c12")
+    b1 = (
+        (F.col("c22") + F.col("lambda")) * F.col("c1y")
+        - F.col("c12") * F.col("c2y")
+    ) / det
+    b2 = (
+        (F.col("c11") + F.col("lambda")) * F.col("c2y")
+        - F.col("c12") * F.col("c1y")
+    ) / det
+    b0 = F.col("my") - b1 * F.col("m1") - b2 * F.col("m2")
+    return g.select(
+        F.col("lambda"),
+        F.round(b0, round_to).alias("intercept"),
+        F.round(b1, round_to).alias(f"beta_{x1}"),
+        F.round(b2, round_to).alias(f"beta_{x2}"),
+        F.round(F.sqrt(b1 * b1 + b2 * b2), round_to).alias("coef_norm"),
+    ).orderBy("lambda")
+
+
+def ridge_two_feature_sql(
+    table: str,
+    x1: str,
+    x2: str,
+    y: str,
+    lambdas: Sequence[float] = (0.0, 1000.0, 100000.0),
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`ridge_two_feature` (λ grid as VALUES)."""
+    values = ", ".join(f"({float(v)!r})" for v in lambdas)
+    return f"""
+    WITH pts AS (
+      SELECT CAST({x1} AS DOUBLE) AS v1, CAST({x2} AS DOUBLE) AS v2,
+             CAST({y} AS DOUBLE) AS yv
+      FROM {table}
+      WHERE {x1} IS NOT NULL AND {x2} IS NOT NULL AND {y} IS NOT NULL
+    ),
+    m AS (
+      SELECT COUNT(*) AS n, SUM(v1) AS s1, SUM(v2) AS s2, SUM(yv) AS sy,
+             SUM(v1 * v1) AS s11, SUM(v2 * v2) AS s22,
+             SUM(v1 * v2) AS s12, SUM(v1 * yv) AS s1y, SUM(v2 * yv) AS s2y
+      FROM pts
+    ),
+    cent AS (
+      SELECT s1 / CAST(n AS DOUBLE) AS m1, s2 / CAST(n AS DOUBLE) AS m2,
+             sy / CAST(n AS DOUBLE) AS my,
+             s11 - s1 * s1 / CAST(n AS DOUBLE) AS c11,
+             s22 - s2 * s2 / CAST(n AS DOUBLE) AS c22,
+             s12 - s1 * s2 / CAST(n AS DOUBLE) AS c12,
+             s1y - s1 * sy / CAST(n AS DOUBLE) AS c1y,
+             s2y - s2 * sy / CAST(n AS DOUBLE) AS c2y
+      FROM m
+    ),
+    g AS (
+      SELECT cent.*, CAST(l.lambda AS DOUBLE) AS lambda
+      FROM cent CROSS JOIN (VALUES {values}) AS l(lambda)
+    ),
+    sol AS (
+      SELECT lambda, m1, m2, my, c12,
+             ((c22 + lambda) * c1y - c12 * c2y)
+               / ((c11 + lambda) * (c22 + lambda) - c12 * c12) AS b1,
+             ((c11 + lambda) * c2y - c12 * c1y)
+               / ((c11 + lambda) * (c22 + lambda) - c12 * c12) AS b2
+      FROM g
+    )
+    SELECT lambda AS "lambda",
+           ROUND(my - b1 * m1 - b2 * m2, {round_to}) AS intercept,
+           ROUND(b1, {round_to}) AS beta_{x1},
+           ROUND(b2, {round_to}) AS beta_{x2},
+           ROUND(SQRT(b1 * b1 + b2 * b2), {round_to}) AS coef_norm
+    FROM sol ORDER BY lambda
+    """

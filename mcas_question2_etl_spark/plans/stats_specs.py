@@ -2686,3 +2686,83 @@ def kuiper_dow_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dow")
     )
     return evaluation.kuiper_uniformity(dow, "dow", 7)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave83: OLS influence diagnostics — Cook's distance, closed-form LOO
+# (PRESS), VIF, ridge path (operators/regression.py wave-83 block)
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators import regression as _reg83
+
+_W83_KEYS = ("l_orderkey", "l_linenumber")
+
+
+@_spec(
+    "cooks_distance_influence",
+    _reg83.cooks_influence_sql(
+        "lineitem", "l_quantity", "l_extendedprice", _W83_KEYS
+    ),
+    "stats op — per-row OLS influence diagnostics (leverage, "
+    "studentized residual, Cook's D) for extendedprice ~ quantity, "
+    "top-20 by Cook's D: WHICH line items drive the fitted price "
+    "curve, the influence.measures() companion to the reference's "
+    "single GLM (SURVEY §2.12 M1). One sufficient-statistics "
+    "aggregate broadcast back onto the scan + TakeOrdered — no hat "
+    "matrix, no per-row refits, the fact table never shuffles.",
+)
+def cooks_distance_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return _reg83.cooks_influence(
+        li, "l_quantity", "l_extendedprice", _W83_KEYS
+    )
+
+
+@_spec(
+    "press_loocv_r2",
+    _reg83.press_loocv_sql("lineitem", "l_quantity", "l_extendedprice"),
+    "stats op — leave-one-out cross-validation of the price~quantity "
+    "OLS WITHOUT refitting: PRESS = sum (e_i/(1-h_i))^2 is an "
+    "algebraic identity, so the honest predicted-R² costs two scans "
+    "instead of n regressions — the difference between feasible and "
+    "absurd at 100 TB. Output: n, in-sample r2, press, predicted_r2.",
+)
+def press_loocv_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return _reg83.press_loocv(li, "l_quantity", "l_extendedprice")
+
+
+_W83_VIF_COLS = ("l_discount", "l_extendedprice", "l_quantity")
+
+
+@_spec(
+    "vif_multicollinearity",
+    _reg83.vif_three_sql("lineitem", _W83_VIF_COLS),
+    "stats op — variance inflation factors for three lineitem "
+    "covariates in closed form from the pairwise correlations "
+    "(p=3 auxiliary-regression identity): multicollinearity "
+    "screening as ONE nine-moment aggregate, not three fits. The "
+    "car::vif companion a modeler runs before trusting coefficient "
+    "signs.",
+)
+def vif_multicollinearity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return _reg83.vif_three(li, _W83_VIF_COLS)
+
+
+@_spec(
+    "ridge_price_model",
+    _reg83.ridge_two_feature_sql(
+        "lineitem", "l_quantity", "l_discount", "l_extendedprice"
+    ),
+    "stats op — closed-form ridge path of extendedprice on "
+    "(quantity, discount): (X'X + λI)β = X'y by 2×2 Cramer over "
+    "centered sufficient statistics, the whole λ grid priced into "
+    "ONE hash aggregate (the grid multiplies literals, not scans). "
+    "λ=0 reproduces OLS exactly; coef_norm exposes the shrinkage "
+    "path.",
+)
+def ridge_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return _reg83.ridge_two_feature(
+        li, "l_quantity", "l_discount", "l_extendedprice"
+    )
