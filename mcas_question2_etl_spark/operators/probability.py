@@ -1,0 +1,447 @@
+"""Engine-portable normal probability kernels: Φ, Φ⁻¹, and the
+experimentation batteries built on them (Bayesian A/B, power analysis,
+Gaussian rank correlation).
+
+The suite's statistical specs report z statistics rather than p-values
+because neither Spark SQL nor DuckDB ships erf as a builtin the other
+reproduces bit-for-bit. This module closes that gap the same way the
+fixed-point cosine kernel does for floats (operators/similarity.py):
+pick ONE explicit rational approximation and spell the identical
+arithmetic in both engines, then round. Two classics, both public
+domain:
+
+* Φ via Zelen & Severo / Abramowitz-Stegun 26.2.17 — a degree-5
+  polynomial in t = 1/(1 + 0.2316419·x) times the normal pdf,
+  |error| < 7.5e-8 — plenty under the round-to-6 contract.
+* Φ⁻¹ via Acklam's piecewise rational approximation (central + two
+  tails), |relative error| < 1.15e-9.
+
+Everything downstream is plain closed-form arithmetic over hash
+aggregates: the Bayesian A/B posterior uses the Beta→normal moment
+match, the power analysis is the two-proportion sample-size identity
+with the z constants inlined as literals, and the Gaussian rank
+correlation is Pearson over normal scores (ranks → Φ⁻¹). No sampling,
+no iteration, no UDFs — scan-stage math at any scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 1/sqrt(2*pi)
+_INV_SQRT_2PI = 0.3989422804014327
+
+#: Zelen & Severo coefficients (A&S 26.2.17)
+_ZS_P = 0.2316419
+_ZS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+
+#: two-sided alpha=0.05 and power=0.80 normal quantiles, as literals so
+#: neither engine computes an inverse CDF in the hot path
+Z_975 = 1.959963984540054
+Z_80 = 0.8416212335729143
+
+
+def phi(x: Column) -> Column:
+    """Standard normal CDF Φ(x) (Zelen & Severo, |err| < 7.5e-8)."""
+    ax = F.abs(x)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_ZS_P) * ax)
+    b1, b2, b3, b4, b5 = (F.lit(b) for b in _ZS_B)
+    poly = t * (b1 + t * (b2 + t * (b3 + t * (b4 + t * b5))))
+    pdf = F.lit(_INV_SQRT_2PI) * F.exp(F.lit(-0.5) * ax * ax)
+    upper = pdf * poly  # P(Z > |x|)
+    return F.when(x >= 0, F.lit(1.0) - upper).otherwise(upper)
+
+
+def phi_sql(x: str) -> str:
+    """DuckDB twin of :func:`phi` (identical Horner order)."""
+    b1, b2, b3, b4, b5 = _ZS_B
+    t = f"(1.0 / (1.0 + {_ZS_P!r} * ABS({x})))"
+    poly = (
+        f"({t} * ({b1!r} + {t} * ({b2!r} + {t} * ({b3!r} + {t} * "
+        f"({b4!r} + {t} * {b5!r})))))"
+    )
+    upper = f"({_INV_SQRT_2PI!r} * EXP(-0.5 * ABS({x}) * ABS({x})) * {poly})"
+    return f"(CASE WHEN {x} >= 0 THEN 1.0 - {upper} ELSE {upper} END)"
+
+
+#: Acklam inverse-normal coefficients
+_ACK_A = (
+    -3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
+    1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00,
+)
+_ACK_B = (
+    -5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
+    6.680131188771972e01, -1.328068155288572e01,
+)
+_ACK_C = (
+    -7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e00,
+    -2.549732539343734e00, 4.374664141464968e00, 2.938163982698783e00,
+)
+_ACK_D = (
+    7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e00,
+    3.754408661907416e00,
+)
+#: central-region break point
+_ACK_PLOW = 0.02425
+
+
+def inv_phi(p: Column) -> Column:
+    """Acklam's Φ⁻¹(p) for p in (0, 1), |rel err| < 1.15e-9."""
+    a1, a2, a3, a4, a5, a6 = (F.lit(v) for v in _ACK_A)
+    b1, b2, b3, b4, b5 = (F.lit(v) for v in _ACK_B)
+    c1, c2, c3, c4, c5, c6 = (F.lit(v) for v in _ACK_C)
+    d1, d2, d3, d4 = (F.lit(v) for v in _ACK_D)
+    # lower tail
+    ql = F.sqrt(F.lit(-2.0) * F.log(p))
+    low = (
+        ((((c1 * ql + c2) * ql + c3) * ql + c4) * ql + c5) * ql + c6
+    ) / ((((d1 * ql + d2) * ql + d3) * ql + d4) * ql + F.lit(1.0))
+    # upper tail (mirror)
+    qu = F.sqrt(F.lit(-2.0) * F.log(F.lit(1.0) - p))
+    up = -(
+        ((((c1 * qu + c2) * qu + c3) * qu + c4) * qu + c5) * qu + c6
+    ) / ((((d1 * qu + d2) * qu + d3) * qu + d4) * qu + F.lit(1.0))
+    # central region
+    qc = p - F.lit(0.5)
+    r = qc * qc
+    mid = (
+        ((((a1 * r + a2) * r + a3) * r + a4) * r + a5) * r + a6
+    ) * qc / (((((b1 * r + b2) * r + b3) * r + b4) * r + b5) * r + F.lit(1.0))
+    return (
+        F.when(p < _ACK_PLOW, low)
+        .when(p > 1.0 - _ACK_PLOW, up)
+        .otherwise(mid)
+    )
+
+
+def inv_phi_sql(p: str) -> str:
+    """DuckDB twin of :func:`inv_phi` (identical Horner order)."""
+    a1, a2, a3, a4, a5, a6 = _ACK_A
+    b1, b2, b3, b4, b5 = _ACK_B
+    c1, c2, c3, c4, c5, c6 = _ACK_C
+    d1, d2, d3, d4 = _ACK_D
+    ql = f"SQRT(-2.0 * LN({p}))"
+    low_num = (
+        f"((((({c1!r} * {ql} + {c2!r}) * {ql} + {c3!r}) * {ql} + {c4!r})"
+        f" * {ql} + {c5!r}) * {ql} + {c6!r})"
+    )
+    low_den = (
+        f"(((({d1!r} * {ql} + {d2!r}) * {ql} + {d3!r}) * {ql} + {d4!r})"
+        f" * {ql} + 1.0)"
+    )
+    qu = f"SQRT(-2.0 * LN(1.0 - {p}))"
+    up_num = (
+        f"((((({c1!r} * {qu} + {c2!r}) * {qu} + {c3!r}) * {qu} + {c4!r})"
+        f" * {qu} + {c5!r}) * {qu} + {c6!r})"
+    )
+    up_den = (
+        f"(((({d1!r} * {qu} + {d2!r}) * {qu} + {d3!r}) * {qu} + {d4!r})"
+        f" * {qu} + 1.0)"
+    )
+    r = f"(({p} - 0.5) * ({p} - 0.5))"
+    mid_num = (
+        f"((((({a1!r} * {r} + {a2!r}) * {r} + {a3!r}) * {r} + {a4!r})"
+        f" * {r} + {a5!r}) * {r} + {a6!r}) * ({p} - 0.5)"
+    )
+    mid_den = (
+        f"((((({b1!r} * {r} + {b2!r}) * {r} + {b3!r}) * {r} + {b4!r})"
+        f" * {r} + {b5!r}) * {r} + 1.0)"
+    )
+    return (
+        f"(CASE WHEN {p} < {_ACK_PLOW!r} THEN {low_num} / {low_den} "
+        f"WHEN {p} > 1.0 - {_ACK_PLOW!r} THEN -({up_num}) / {up_den} "
+        f"ELSE {mid_num} / {mid_den} END)"
+    )
+
+
+def bayes_ab_conversion(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    min_value: float = 200.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Bayesian A/B read-out on a deterministic user split: arm A =
+    even user_id, arm B = odd. A user converts if they emit at least
+    one ``convert_type`` event with ``value >= min_value`` (the
+    high-value cut keeps the baseline mid-range; the raw any-purchase
+    rate saturates at ~1.0 in this corpus, where p2 = p1 + MDE would
+    leave [0, 1]). Beta(1,1) prior → posterior
+    Beta(1+s, 1+f); the posterior is moment-matched to a normal
+    (μ = a/(a+b), σ² = ab/((a+b)²(a+b+1))) and
+    P(p_B > p_A) = Φ((μ_B-μ_A)/√(σ_A²+σ_B²)). One users-sized
+    aggregate after a per-user any() rollup — the Monte Carlo a
+    notebook would run is replaced by closed-form scan math."""
+    users = events.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == convert_type)
+                & (F.col("value") >= min_value),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    arms = users.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    a_ = F.lit(1.0) + F.col("n_converted").cast("double")
+    b_ = F.lit(1.0) + (F.col("n_users") - F.col("n_converted")).cast(
+        "double"
+    )
+    post = arms.select(
+        "arm",
+        "n_users",
+        "n_converted",
+        (a_ / (a_ + b_)).alias("mu"),
+        (a_ * b_ / ((a_ + b_) * (a_ + b_) * (a_ + b_ + 1.0))).alias("var"),
+    )
+    a = post.filter(F.col("arm") == 0).select(
+        F.col("n_users").alias("users_a"),
+        F.col("n_converted").alias("conv_a"),
+        F.col("mu").alias("mu_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = post.filter(F.col("arm") == 1).select(
+        F.col("n_users").alias("users_b"),
+        F.col("n_converted").alias("conv_b"),
+        F.col("mu").alias("mu_b"),
+        F.col("var").alias("var_b"),
+    )
+    z = (F.col("mu_b") - F.col("mu_a")) / F.sqrt(
+        F.col("var_a") + F.col("var_b")
+    )
+    return a.crossJoin(b).select(
+        "users_a",
+        "conv_a",
+        "users_b",
+        "conv_b",
+        F.round("mu_a", round_to).alias("posterior_rate_a"),
+        F.round("mu_b", round_to).alias("posterior_rate_b"),
+        F.round(phi(z), round_to).alias("prob_b_beats_a"),
+    )
+
+
+def bayes_ab_conversion_sql(
+    convert_type: str = "purchase",
+    min_value: float = 200.0,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`bayes_ab_conversion`."""
+    z = "((mu_b - mu_a) / SQRT(var_a + var_b))"
+    return f"""
+    WITH users AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = '{convert_type}'
+                      AND value >= {min_value!r} THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT user_id % 2 AS arm,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM users GROUP BY user_id % 2
+    ),
+    post AS (
+      SELECT arm, n_users, n_converted,
+             (1.0 + CAST(n_converted AS DOUBLE))
+               / ((1.0 + CAST(n_converted AS DOUBLE))
+                  + (1.0 + CAST(n_users - n_converted AS DOUBLE))) AS mu,
+             (1.0 + CAST(n_converted AS DOUBLE))
+               * (1.0 + CAST(n_users - n_converted AS DOUBLE))
+               / (((1.0 + CAST(n_converted AS DOUBLE))
+                   + (1.0 + CAST(n_users - n_converted AS DOUBLE)))
+                  * ((1.0 + CAST(n_converted AS DOUBLE))
+                     + (1.0 + CAST(n_users - n_converted AS DOUBLE)))
+                  * ((1.0 + CAST(n_converted AS DOUBLE))
+                     + (1.0 + CAST(n_users - n_converted AS DOUBLE))
+                     + 1.0)) AS var
+      FROM arms
+    ),
+    ab AS (
+      SELECT a.n_users AS users_a, a.n_converted AS conv_a,
+             b.n_users AS users_b, b.n_converted AS conv_b,
+             a.mu AS mu_a, a.var AS var_a, b.mu AS mu_b, b.var AS var_b
+      FROM (SELECT * FROM post WHERE arm = 0) a
+      CROSS JOIN (SELECT * FROM post WHERE arm = 1) b
+    )
+    SELECT users_a, conv_a, users_b, conv_b,
+           ROUND(mu_a, {round_to}) AS posterior_rate_a,
+           ROUND(mu_b, {round_to}) AS posterior_rate_b,
+           ROUND({phi_sql(z)}, {round_to}) AS prob_b_beats_a
+    FROM ab
+    """
+
+
+def ab_power_analysis(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    min_value: float = 200.0,
+    mdes: Sequence[float] = (0.01, 0.02, 0.05, 0.10),
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-proportion sample-size planning off the OBSERVED baseline:
+    with baseline conversion p1 (share of users emitting
+    ``convert_type``) and target p2 = p1 + MDE, the required users per
+    arm at α = 0.05 (two-sided), power = 0.80 is
+
+      n = (z_{α/2}·√(2·p̄(1-p̄)) + z_β·√(p1(1-p1)+p2(1-p2)))² / (p2-p1)²
+
+    with p̄ = (p1+p2)/2 and the z quantiles inlined as literals. The
+    whole MDE grid prices off ONE per-user aggregate; CEIL to whole
+    users. Output per MDE row: (mde, baseline_rate, target_rate,
+    required_n_per_arm)."""
+    users = events.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == convert_type)
+                & (F.col("value") >= min_value),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    base = users.agg(
+        (F.sum("converted").cast("double") / F.count(F.lit(1))).alias("p1")
+    )
+    g = base.select(
+        "p1",
+        F.explode(F.array(*[F.lit(float(m)) for m in mdes])).alias("mde"),
+    )
+    p1 = F.col("p1")
+    p2 = p1 + F.col("mde")
+    pbar = (p1 + p2) / 2.0
+    num = F.lit(Z_975) * F.sqrt(F.lit(2.0) * pbar * (F.lit(1.0) - pbar)) + F.lit(
+        Z_80
+    ) * F.sqrt(p1 * (F.lit(1.0) - p1) + p2 * (F.lit(1.0) - p2))
+    n = F.ceil(num * num / (F.col("mde") * F.col("mde"))).cast("bigint")
+    return g.select(
+        F.col("mde"),
+        F.round(p1, round_to).alias("baseline_rate"),
+        F.round(p2, round_to).alias("target_rate"),
+        n.alias("required_n_per_arm"),
+    ).orderBy("mde")
+
+
+def ab_power_analysis_sql(
+    convert_type: str = "purchase",
+    min_value: float = 200.0,
+    mdes: Sequence[float] = (0.01, 0.02, 0.05, 0.10),
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`ab_power_analysis`."""
+    values = ", ".join(f"({float(m)!r})" for m in mdes)
+    return f"""
+    WITH users AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = '{convert_type}'
+                      AND value >= {min_value!r} THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    base AS (
+      SELECT SUM(converted) / CAST(COUNT(*) AS DOUBLE) AS p1 FROM users
+    ),
+    g AS (
+      SELECT base.p1, CAST(m.mde AS DOUBLE) AS mde
+      FROM base CROSS JOIN (VALUES {values}) AS m(mde)
+    ),
+    c AS (
+      SELECT mde, p1, p1 + mde AS p2, (p1 + (p1 + mde)) / 2.0 AS pbar
+      FROM g
+    )
+    SELECT mde,
+           ROUND(p1, {round_to}) AS baseline_rate,
+           ROUND(p2, {round_to}) AS target_rate,
+           CAST(CEIL(
+             ({Z_975!r} * SQRT(2.0 * pbar * (1.0 - pbar))
+              + {Z_80!r} * SQRT(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+             * ({Z_975!r} * SQRT(2.0 * pbar * (1.0 - pbar))
+                + {Z_80!r} * SQRT(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+             / (mde * mde)) AS BIGINT) AS required_n_per_arm
+    FROM c ORDER BY mde
+    """
+
+
+def gaussian_rank_correlation(
+    df: DataFrame,
+    x: str,
+    y: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Gaussian rank (normal-scores) correlation of two columns: each
+    value is replaced by Φ⁻¹(rank/(n+1)) and the Pearson correlation of
+    the scores is returned — the rank-based estimator that is robust to
+    monotone marginal transforms AND heavy tails, yet (unlike
+    Spearman) consistent for the Gaussian-copula ρ. ROW_NUMBER ordered
+    by (value, the other column) gives deterministic dense ranks; the
+    correlation is one aggregate over the scored rows. Output (one
+    row): n, gauss_rank_corr."""
+    pts = df.filter(F.col(x).isNotNull() & F.col(y).isNotNull()).select(
+        F.col(x).cast("double").alias("__x"),
+        F.col(y).cast("double").alias("__y"),
+    )
+    rx = F.row_number().over(Window.orderBy(F.col("__x"), F.col("__y")))
+    ry = F.row_number().over(Window.orderBy(F.col("__y"), F.col("__x")))
+    ranked = pts.select(
+        rx.cast("double").alias("__rx"), ry.cast("double").alias("__ry")
+    )
+    n_w = F.count(F.lit(1)).over(Window.partitionBy())
+    scored = ranked.select(
+        inv_phi(F.col("__rx") / (n_w.cast("double") + 1.0)).alias("__zx"),
+        inv_phi(F.col("__ry") / (n_w.cast("double") + 1.0)).alias("__zy"),
+    )
+    m = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__zx").alias("sx"),
+        F.sum("__zy").alias("sy"),
+        F.sum(F.col("__zx") * F.col("__zx")).alias("sxx"),
+        F.sum(F.col("__zy") * F.col("__zy")).alias("syy"),
+        F.sum(F.col("__zx") * F.col("__zy")).alias("sxy"),
+    )
+    nn = F.col("n").cast("double")
+    corr = (nn * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (nn * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (nn * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "n", F.round(corr, round_to).alias("gauss_rank_corr")
+    )
+
+
+def gaussian_rank_correlation_sql(
+    source_sql: str, x: str, y: str, round_to: int = 6
+) -> str:
+    """DuckDB twin of :func:`gaussian_rank_correlation`. ``source_sql``
+    must yield columns ``{x}`` and ``{y}``."""
+    zx = inv_phi_sql("(rx / (CAST(n AS DOUBLE) + 1.0))")
+    zy = inv_phi_sql("(ry / (CAST(n AS DOUBLE) + 1.0))")
+    return f"""
+    WITH src AS ({source_sql}),
+    pts AS (
+      SELECT CAST({x} AS DOUBLE) AS xv, CAST({y} AS DOUBLE) AS yv
+      FROM src WHERE {x} IS NOT NULL AND {y} IS NOT NULL
+    ),
+    ranked AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY xv, yv) AS DOUBLE) AS rx,
+             CAST(ROW_NUMBER() OVER (ORDER BY yv, xv) AS DOUBLE) AS ry,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM pts
+    ),
+    scored AS (
+      SELECT {zx} AS zx, {zy} AS zy FROM ranked
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(zx) AS sx, SUM(zy) AS sy,
+             SUM(zx * zx) AS sxx, SUM(zy * zy) AS syy, SUM(zx * zy) AS sxy
+      FROM scored
+    )
+    SELECT n,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / SQRT((CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(n AS DOUBLE) * syy - sy * sy)),
+                 {round_to}) AS gauss_rank_corr
+    FROM m
+    """

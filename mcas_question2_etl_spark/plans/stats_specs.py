@@ -2766,3 +2766,77 @@ def ridge_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _reg83.ridge_two_feature(
         li, "l_quantity", "l_discount", "l_extendedprice"
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave84: engine-portable normal kernels — Bayesian A/B, power analysis,
+# Gaussian rank correlation (operators/probability.py: Zelen-Severo Φ and
+# Acklam Φ⁻¹ spelled identically in both engines)
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators import probability as _prob84
+
+
+@_spec(
+    "bayes_ab_conversion",
+    _prob84.bayes_ab_conversion_sql("purchase"),
+    "experimentation op — Bayesian A/B conversion read-out on the "
+    "deterministic even/odd user split: Beta(1,1) prior, "
+    "moment-matched normal posterior, P(p_B > p_A) = Φ(Δμ/σ) via the "
+    "Zelen-Severo polynomial CDF (|err| < 7.5e-8) inlined identically "
+    "in both engines — the first p-value-grade probability in the "
+    "suite without a sampling loop. One users-sized rollup; scan math "
+    "after that.",
+)
+def bayes_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return _prob84.bayes_ab_conversion(events)
+
+
+@_spec(
+    "ab_power_analysis",
+    _prob84.ab_power_analysis_sql("purchase"),
+    "experimentation op — two-proportion sample-size planning off the "
+    "OBSERVED baseline conversion: required users per arm at "
+    "alpha=0.05/power=0.80 for an absolute-MDE grid, z quantiles as "
+    "literals so no engine computes an inverse CDF. The whole grid "
+    "prices off one per-user aggregate.",
+)
+def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return _prob84.ab_power_analysis(events)
+
+
+@_spec(
+    "gaussian_rank_corr_daily",
+    _prob84.gaussian_rank_correlation_sql(
+        """SELECT CAST(date_diff('day', DATE '1990-01-01',
+                                 CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS revenue,
+                  CAST(COUNT(*) AS DOUBLE) AS n_orders
+           FROM orders GROUP BY 1""",
+        "revenue",
+        "n_orders",
+    ),
+    "stats op — Gaussian rank (normal-scores) correlation between "
+    "daily revenue and daily order count: ranks -> Acklam Φ⁻¹ -> "
+    "Pearson, the Gaussian-copula-consistent robust correlation "
+    "Spearman isn't. Runs on the bounded daily rollup (the global "
+    "rank window is days-sized, same discipline as newey_west_trend); "
+    "daily revenue sums in exact DECIMAL so ranks cannot flip on "
+    "summation order.",
+)
+def gaussian_rank_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1990-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        aggregates.money_sum("o_totalprice").alias("revenue"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+    )
+    return _prob84.gaussian_rank_correlation(daily, "revenue", "n_orders")
