@@ -1147,3 +1147,25 @@ def brand_modularity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_metrics.partition_modularity(
         copurchase_edges(spark, sf_dir), part
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave85: personalized PageRank in exact integer fixed point
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "personalized_pagerank_seeds",
+    graph_metrics.ppr_fixed_point_sql(_EDGES_CTE, seed_mod=97),
+    "graph op — personalized PageRank from the deterministic "
+    "node%97 seed set, damping 0.85, 3 Pregel supersteps in EXACT "
+    "integer fixed point (mass = 1e-9 units, contrib = r div deg, "
+    "damping = *85 div 100): the seeded-influence ranking PageRank "
+    "can't give and Katz under-damps, with bit-identical bigint "
+    "ranks in both engines regardless of aggregation order. One "
+    "equi-join + hash agg per superstep over the shared "
+    "copurchase_edges parquet; the truncation leak is < deg/1e9 "
+    "relative, inside the round-6 contract.",
+)
+def personalized_pagerank_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph_metrics.ppr_fixed_point(
+        copurchase_edges(spark, sf_dir), seed_mod=97
+    )
