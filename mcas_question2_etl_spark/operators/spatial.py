@@ -655,3 +655,204 @@ def ripley_k_sql(
     joined AS (SELECT * FROM n_row CROSS JOIN counts)
     {selects}
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 86: grid-bucketed DBSCAN
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def dbscan_grid(
+    points: DataFrame,
+    id_col: str,
+    x: str,
+    y: str,
+    eps: float,
+    min_pts: int,
+) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. 1996) with the
+    ε-neighbor search grid-bucketed so the pair stage is O(n · local
+    density), never O(n²):
+
+      1. each point lands in cell (⌊x/ε⌋, ⌊y/ε⌋); one side explodes to
+         its 3×3 cell neighborhood, the other keeps its home cell, and
+         an EQUI-join on the cell key yields candidate pairs — any two
+         points within ε share one of those 9 cells by construction;
+      2. the exact ``dx² + dy² ≤ ε²`` filter keeps true neighbors
+         (self included, per the classic minPts convention);
+      3. core points (≥ min_pts neighbors) form a graph on ε-adjacent
+         core pairs, resolved to clusters by the suite's min-label
+         connected components (operators/clustering.py) — cluster_id =
+         MIN core point id, deterministic in both engines;
+      4. border points (non-core with ≥1 core neighbor) take the MIN
+         cluster label among their core neighbors; everything else is
+         noise (NULL cluster).
+
+    Scale: the only shuffles are the cell-key equi-join and the CC
+    label rounds (int pairs); skewed cells (duplicate coordinates) fan
+    out as |cell|² candidate rows, the same bounded blow-up every
+    production grid join carries — pick ε so cells stay small relative
+    to partitions. Output per point: (id_col, role core/border/noise,
+    cluster_id nullable BIGINT), ordered by id.
+    """
+    from . import clustering
+
+    if eps <= 0:
+        raise ValueError("dbscan_grid: eps must be positive")
+    pts = points.select(
+        F.col(id_col).cast("bigint").alias("pid"),
+        F.col(x).cast("double").alias("px"),
+        F.col(y).cast("double").alias("py"),
+    )
+    cx = F.floor(F.col("px") / eps).cast("bigint")
+    cy = F.floor(F.col("py") / eps).cast("bigint")
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("ox"), F.lit(dy).alias("oy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    a = pts.select(
+        F.col("pid").alias("a_id"),
+        F.col("px").alias("ax"),
+        F.col("py").alias("ay"),
+        F.explode(offs).alias("o"),
+        cx.alias("__cx"),
+        cy.alias("__cy"),
+    ).select(
+        "a_id",
+        "ax",
+        "ay",
+        (F.col("__cx") + F.col("o.ox")).alias("kx"),
+        (F.col("__cy") + F.col("o.oy")).alias("ky"),
+    )
+    b = pts.select(
+        F.col("pid").alias("b_id"),
+        F.col("px").alias("bx"),
+        F.col("py").alias("by"),
+        cx.alias("kx"),
+        cy.alias("ky"),
+    )
+    dx = F.col("ax") - F.col("bx")
+    dy = F.col("ay") - F.col("by")
+    nbr = (
+        a.join(b, ["kx", "ky"])
+        .filter(dx * dx + dy * dy <= F.lit(eps * eps))
+        .select("a_id", "b_id")
+    )
+    counts = nbr.groupBy(F.col("a_id").alias("pid")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nbr")
+    )
+    core = counts.filter(F.col("n_nbr") >= min_pts).select("pid")
+    core_edges = (
+        nbr.filter(F.col("a_id") < F.col("b_id"))
+        .join(core.select(F.col("pid").alias("a_id")), "a_id")
+        .join(core.select(F.col("pid").alias("b_id")), "b_id")
+    )
+    comp = clustering.connected_components(
+        core_edges.select("a_id", "b_id"),
+        core.select(F.col("pid").alias("doc_id")),
+        id_col="doc_id",
+    ).select(
+        F.col("doc_id").alias("pid"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    )
+    # border: non-core points with >= 1 core neighbor take the MIN
+    # neighbor cluster label
+    border = (
+        nbr.join(core.select(F.col("pid").alias("a_id")), "a_id", "left_anti")
+        .join(
+            comp.select(
+                F.col("pid").alias("b_id"), F.col("cluster_id")
+            ),
+            "b_id",
+        )
+        .groupBy(F.col("a_id").alias("pid"))
+        .agg(F.min("cluster_id").cast("bigint").alias("cluster_id"))
+    )
+    out = (
+        pts.select("pid")
+        .join(comp.withColumn("role", F.lit("core")), "pid", "left")
+        .join(
+            border.select(
+                F.col("pid"), F.col("cluster_id").alias("b_cluster")
+            ),
+            "pid",
+            "left",
+        )
+        .select(
+            F.col("pid").alias(id_col),
+            F.when(F.col("role").isNotNull(), F.lit("core"))
+            .when(F.col("b_cluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce(F.col("cluster_id"), F.col("b_cluster")).alias(
+                "cluster_id"
+            ),
+        )
+    )
+    return out.orderBy(id_col)
+
+
+def dbscan_grid_sql(
+    points_sql: str,
+    id_col: str,
+    eps: float,
+    min_pts: int,
+) -> str:
+    """DuckDB twin of :func:`dbscan_grid`. ``points_sql`` must yield
+    (``{id_col}``, px, py). The oracle uses a deliberately DIFFERENT
+    neighbor search — a plain all-pairs distance join (fine at oracle
+    scale) — and a recursive-CTE BFS for the core components, so it
+    cross-checks the grid pruning AND the iterative CC against
+    independent algorithms."""
+    return f"""
+    WITH RECURSIVE pts AS ({points_sql}),
+    nbr AS (
+      SELECT a.{id_col} AS a_id, b.{id_col} AS b_id
+      FROM pts a JOIN pts b
+        ON (a.px - b.px) * (a.px - b.px)
+           + (a.py - b.py) * (a.py - b.py) <= {eps * eps!r}
+    ),
+    counts AS (
+      SELECT a_id AS pid, CAST(COUNT(*) AS BIGINT) AS n_nbr
+      FROM nbr GROUP BY a_id
+    ),
+    core AS (SELECT pid FROM counts WHERE n_nbr >= {min_pts}),
+    core_edges AS (
+      SELECT n.a_id, n.b_id FROM nbr n
+      JOIN core ca ON n.a_id = ca.pid
+      JOIN core cb ON n.b_id = cb.pid
+      WHERE n.a_id < n.b_id
+    ),
+    sym AS (
+      SELECT a_id AS src, b_id AS dst FROM core_edges
+      UNION ALL SELECT b_id, a_id FROM core_edges
+    ),
+    reach(node, lbl) AS (
+      SELECT pid, pid FROM core
+      UNION
+      SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    comp AS (
+      SELECT node AS pid, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY node
+    ),
+    border AS (
+      SELECT n.a_id AS pid, CAST(MIN(c.cluster_id) AS BIGINT) AS cluster_id
+      FROM nbr n
+      JOIN comp c ON n.b_id = c.pid
+      WHERE n.a_id NOT IN (SELECT pid FROM core)
+      GROUP BY n.a_id
+    )
+    SELECT p.{id_col},
+           CASE WHEN comp.pid IS NOT NULL THEN 'core'
+                WHEN border.pid IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           COALESCE(comp.cluster_id, border.cluster_id) AS cluster_id
+    FROM pts p
+    LEFT JOIN comp ON p.{id_col} = comp.pid
+    LEFT JOIN border ON p.{id_col} = border.pid
+    ORDER BY p.{id_col}
+    """

@@ -1327,3 +1327,37 @@ def ripley_k_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial.ripley_k(
         points, "s_suppkey", _RIPLEY_RADII, _RIPLEY_AREA
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave86: grid-bucketed DBSCAN (operators/spatial.py dbscan_grid)
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators import spatial as _spatial86
+
+_DBSCAN_PTS_SQL = f"""SELECT c_custkey, {_CLAT} AS px, {_CLON} AS py
+           FROM customer"""
+
+
+@_spec(
+    "dbscan_customer_sites",
+    _spatial86.dbscan_grid_sql(_DBSCAN_PTS_SQL, "c_custkey", 1.0, 3),
+    "spatial op — DBSCAN over the synthesized customer coordinates "
+    "(eps=1.0, minPts=3): cell-grid candidate generation (3x3 "
+    "neighborhood equi-join, O(n x local density) instead of "
+    "all-pairs), exact eps filter, min-label connected components "
+    "over core pairs, border points adopt the MIN core-neighbor "
+    "label. The oracle deliberately searches neighbors by ALL-PAIRS "
+    "join and resolves components by recursive-CTE BFS, so the grid "
+    "pruning and the iterative CC are each cross-checked against an "
+    "independent algorithm.",
+)
+def dbscan_customer_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        F.expr(_CLAT).alias("px"),
+        F.expr(_CLON).alias("py"),
+    )
+    return _spatial86.dbscan_grid(
+        pts, "c_custkey", "px", "py", eps=1.0, min_pts=3
+    )
