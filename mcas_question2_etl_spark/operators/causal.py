@@ -114,3 +114,160 @@ def cem_att_sql(
     GROUP BY {report}
     ORDER BY {report}
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 87: inverse-propensity weighting / doubly-robust AIPW with a
+# PINNED score — the scoring pass of observational inference, kept
+# separate from the fitting pass exactly as production pipelines do.
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def ipw_ate_scored(
+    df: DataFrame,
+    treat: str,
+    outcome: str,
+    score_logit: "F.Column",
+    mu1: "F.Column",
+    mu0: "F.Column",
+    trims: Sequence[float] = (0.01, 0.05, 0.10),
+    round_to: int = 6,
+) -> DataFrame:
+    """ATE via Hajek-normalized inverse-propensity weighting AND
+    doubly-robust AIPW, across a propensity-trim grid — with the
+    propensity given as a pinned LOGIT expression (``score_logit``)
+    and the outcome models as pinned mean expressions (``mu1``/
+    ``mu0``). Fitting those models is a separate concern (ml/glm.py
+    does IRLS); THIS operator is the scoring pass a production
+    pipeline runs daily with frozen coefficients, so the whole
+    estimator is closed-form scan math both engines reproduce.
+
+      p        = 1/(1+exp(-logit)), clipped to [trim, 1-trim]
+      IPW ATE  = Σ(t·y/p)/Σ(t/p) − Σ((1−t)·y/(1−p))/Σ((1−t)/(1−p))
+      AIPW ATE = mean[ mu1 − mu0 + t·(y−mu1)/p − (1−t)·(y−mu0)/(1−p) ]
+      ESS_t    = (Σ_t w)² / Σ_t w²   (Kish effective sample size)
+
+    The trim grid multiplies one aggregate — each trim level is a
+    conditional re-clip of the same scan, not a re-scan. Output per
+    trim: (trim, n_treat, n_control, ate_naive, ate_ipw, ate_aipw,
+    ess_treat, ess_control), ordered by trim."""
+    base = df.select(
+        F.col(treat).cast("int").alias("t"),
+        F.col(outcome).cast("double").alias("y"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-score_logit))).alias("p_raw"),
+        mu1.cast("double").alias("m1"),
+        mu0.cast("double").alias("m0"),
+    )
+    g = base.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(float(v)) for v in trims])
+        ).alias("trim"),
+    )
+    p = F.least(
+        F.greatest(F.col("p_raw"), F.col("trim")),
+        F.lit(1.0) - F.col("trim"),
+    )
+    tt = F.col("t").cast("double")
+    w_t = tt / p
+    w_c = (F.lit(1.0) - tt) / (F.lit(1.0) - p)
+    aipw_term = (
+        F.col("m1")
+        - F.col("m0")
+        + tt * (F.col("y") - F.col("m1")) / p
+        - (F.lit(1.0) - tt) * (F.col("y") - F.col("m0")) / (F.lit(1.0) - p)
+    )
+    agg = g.groupBy("trim").agg(
+        F.sum("t").cast("bigint").alias("n_treat"),
+        (F.count(F.lit(1)) - F.sum("t")).cast("bigint").alias("n_control"),
+        F.sum(tt * F.col("y")).alias("sy_t"),
+        F.sum((F.lit(1.0) - tt) * F.col("y")).alias("sy_c"),
+        F.sum(w_t * F.col("y")).alias("swy_t"),
+        F.sum(w_c * F.col("y")).alias("swy_c"),
+        F.sum(w_t).alias("sw_t"),
+        F.sum(w_c).alias("sw_c"),
+        F.sum(w_t * w_t).alias("sw2_t"),
+        F.sum(w_c * w_c).alias("sw2_c"),
+        F.avg(aipw_term).alias("aipw"),
+    )
+    naive = F.col("sy_t") / F.col("n_treat").cast("double") - F.col(
+        "sy_c"
+    ) / F.col("n_control").cast("double")
+    ipw = F.col("swy_t") / F.col("sw_t") - F.col("swy_c") / F.col("sw_c")
+    return agg.select(
+        F.col("trim"),
+        "n_treat",
+        "n_control",
+        F.round(naive, round_to).alias("ate_naive"),
+        F.round(ipw, round_to).alias("ate_ipw"),
+        F.round(F.col("aipw"), round_to).alias("ate_aipw"),
+        F.round(
+            F.col("sw_t") * F.col("sw_t") / F.col("sw2_t"), round_to
+        ).alias("ess_treat"),
+        F.round(
+            F.col("sw_c") * F.col("sw_c") / F.col("sw2_c"), round_to
+        ).alias("ess_control"),
+    ).orderBy("trim")
+
+
+def ipw_ate_scored_sql(
+    source_sql: str,
+    treat: str,
+    outcome: str,
+    score_logit_sql: str,
+    mu1_sql: str,
+    mu0_sql: str,
+    trims: Sequence[float] = (0.01, 0.05, 0.10),
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`ipw_ate_scored` (identical formula order)."""
+    values = ", ".join(f"({float(v)!r})" for v in trims)
+    return f"""
+    WITH src AS ({source_sql}),
+    base AS (
+      SELECT CAST({treat} AS INTEGER) AS t,
+             CAST({outcome} AS DOUBLE) AS y,
+             1.0 / (1.0 + EXP(-({score_logit_sql}))) AS p_raw,
+             CAST({mu1_sql} AS DOUBLE) AS m1,
+             CAST({mu0_sql} AS DOUBLE) AS m0
+      FROM src
+    ),
+    g AS (
+      SELECT base.*, CAST(tr.trim AS DOUBLE) AS trim
+      FROM base CROSS JOIN (VALUES {values}) AS tr(trim)
+    ),
+    w AS (
+      SELECT trim, t, y, m1, m0,
+             LEAST(GREATEST(p_raw, trim), 1.0 - trim) AS p
+      FROM g
+    ),
+    agg AS (
+      SELECT trim,
+             CAST(SUM(t) AS BIGINT) AS n_treat,
+             CAST(COUNT(*) - SUM(t) AS BIGINT) AS n_control,
+             SUM(CAST(t AS DOUBLE) * y) AS sy_t,
+             SUM((1.0 - CAST(t AS DOUBLE)) * y) AS sy_c,
+             SUM(CAST(t AS DOUBLE) / p * y) AS swy_t,
+             SUM((1.0 - CAST(t AS DOUBLE)) / (1.0 - p) * y) AS swy_c,
+             SUM(CAST(t AS DOUBLE) / p) AS sw_t,
+             SUM((1.0 - CAST(t AS DOUBLE)) / (1.0 - p)) AS sw_c,
+             SUM((CAST(t AS DOUBLE) / p) * (CAST(t AS DOUBLE) / p))
+               AS sw2_t,
+             SUM(((1.0 - CAST(t AS DOUBLE)) / (1.0 - p))
+                 * ((1.0 - CAST(t AS DOUBLE)) / (1.0 - p))) AS sw2_c,
+             AVG(m1 - m0 + CAST(t AS DOUBLE) * (y - m1) / p
+                 - (1.0 - CAST(t AS DOUBLE)) * (y - m0) / (1.0 - p))
+               AS aipw
+      FROM w GROUP BY trim
+    )
+    SELECT trim,
+           n_treat, n_control,
+           ROUND(sy_t / CAST(n_treat AS DOUBLE)
+                 - sy_c / CAST(n_control AS DOUBLE), {round_to})
+             AS ate_naive,
+           ROUND(swy_t / sw_t - swy_c / sw_c, {round_to}) AS ate_ipw,
+           ROUND(aipw, {round_to}) AS ate_aipw,
+           ROUND(sw_t * sw_t / sw2_t, {round_to}) AS ess_treat,
+           ROUND(sw_c * sw_c / sw2_c, {round_to}) AS ess_control
+    FROM agg ORDER BY trim
+    """

@@ -2840,3 +2840,59 @@ def gaussian_rank_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("n_orders"),
     )
     return _prob84.gaussian_rank_correlation(daily, "revenue", "n_orders")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave87: IPW / doubly-robust AIPW scoring pass (operators/causal.py)
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators import causal as _causal87
+
+#: frozen model artifacts for the scoring pass — in production these
+#: come out of a fitting job (ml/glm.py IRLS); pinned as literals here
+#: so the estimator is pure closed-form scan math in both engines
+_IPW_LOGIT = (
+    "-0.6 + 0.3 * (CAST(MONTH(o_orderdate) AS DOUBLE) / 6.0 - 1.0)"
+    " + 0.2 * (CAST(o_custkey % 5 AS DOUBLE) / 2.0 - 1.0)"
+)
+_IPW_MU1 = "160000.0 + 2000.0 * CAST(o_custkey % 5 AS DOUBLE)"
+_IPW_MU0 = "150000.0 + 1800.0 * CAST(o_custkey % 5 AS DOUBLE)"
+_IPW_TREAT = "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END"
+
+
+@_spec(
+    "ipw_ate_order_priority",
+    _causal87.ipw_ate_scored_sql(
+        "SELECT o_custkey, o_orderdate, o_orderpriority, o_totalprice FROM orders",
+        _IPW_TREAT,
+        "o_totalprice",
+        _IPW_LOGIT,
+        _IPW_MU1,
+        _IPW_MU0,
+    ),
+    "causal op — Hajek IPW and doubly-robust AIPW estimates of the "
+    "urgent-priority effect on order value, across a propensity-trim "
+    "grid, with the propensity logit and outcome means PINNED as "
+    "frozen model artifacts (the production scoring pass; fitting "
+    "lives in ml/glm.py). Closed-form scan math: one aggregate "
+    "serves naive, IPW, AIPW, and Kish effective-sample-size columns "
+    "for every trim level — the trim grid re-clips the same scan, "
+    "never re-scans.",
+)
+def ipw_ate_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    treat = F.expr(_IPW_TREAT)
+    logit = F.expr(_IPW_LOGIT)
+    return _causal87.ipw_ate_scored(
+        orders.select(
+            treat.alias("__treat"),
+            F.col("o_totalprice"),
+            logit.alias("__logit_v"),
+            F.expr(_IPW_MU1).alias("__mu1_v"),
+            F.expr(_IPW_MU0).alias("__mu0_v"),
+        ),
+        "__treat",
+        "o_totalprice",
+        F.col("__logit_v"),
+        F.col("__mu1_v"),
+        F.col("__mu0_v"),
+    )
