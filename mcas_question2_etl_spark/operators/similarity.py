@@ -1021,3 +1021,193 @@ def mmr_topk_sql(
         for p in prev
     )
     return "WITH " + ",\n    ".join(parts) + f"\n    {union} ORDER BY rank"
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 88: Johnson-Lindenstrauss random-projection distortion audit
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def _jl_sign_matrix(k: int, dim: int) -> list[list[int]]:
+    """Deterministic Rademacher ±1 matrix derived from md5 — a PINNED
+    projection artifact both engines inline as literals (no runtime
+    hashing; the matrix is row-independent, so hashing per row would be
+    pure waste). Public recipe: sign(j, d) = +1 iff the low bit of the
+    first md5 byte of "jl:{j}:{d}" is set."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"jl:{j}:{d}".encode()).digest()[0] & 1
+            else -1
+            for d in range(dim)
+        ]
+        for j in range(k)
+    ]
+
+
+def jl_distortion_report(
+    emb: DataFrame,
+    k: int = 16,
+    dim: int = 64,
+    id_mod: int = 7,
+    id_cap: int = 700,
+    round_to: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss distortion audit of a Rademacher random
+    projection R^dim -> R^k: for sampled vector pairs, the ratio
+    ``(||Ra - Rb||\u00b2 / k) / ||a - b||\u00b2`` whose concentration around 1.0
+    is the JL guarantee — the number to check BEFORE swapping full
+    embeddings for cheap projections in a dedup or ANN pipeline.
+
+    The \u00b11 matrix is the pinned md5 artifact of
+    :func:`_jl_sign_matrix`, but it is DERIVED IN-ENGINE from the same
+    recipe (sign(j,d) = +1 iff the first md5 byte of "jl:{j}:{d}" is
+    odd) rather than inlined as 1024 literals: everything stays narrow
+    element tables — (vec_id, d, val) exploded once, signs broadcast,
+    z = one hash aggregate, pair distances two equi-join aggregates —
+    no wide rows, no thousand-node expressions (the literal-inline
+    form blew the vanilla driver's optimizer heap; narrow joins are
+    also the shape that scales). Pairs come from the ABSOLUTE-capped
+    deterministic sample ``vec_id % id_mod == 0 AND vec_id < id_cap``
+    (the containment_profile discipline: constant kernel cost at any
+    corpus size). Output (one row): n_pairs, mean_ratio, min_ratio,
+    max_ratio."""
+    spark = emb.sparkSession
+    sign = (
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("jl:"),
+                            F.col("j").cast("string"),
+                            F.lit(":"),
+                            (F.col("d") - 1).cast("string"),
+                        )
+                    ),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 2
+            == 1,
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("s")
+    )
+    signs = (
+        spark.range(k)
+        .select(F.col("id").cast("int").alias("j"))
+        .select("j", F.explode(F.sequence(F.lit(1), F.lit(dim))).alias("d"))
+        .select("j", "d", sign)
+    )
+    el = (
+        emb.filter(
+            (F.col("vec_id") % id_mod == 0) & (F.col("vec_id") < id_cap)
+        )
+        .select("vec_id", F.posexplode("embedding").alias("d0", "val"))
+        .select(
+            "vec_id",
+            (F.col("d0") + 1).alias("d"),
+            F.col("val").cast("double").alias("val"),
+        )
+    )
+    z = (
+        el.join(F.broadcast(signs), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("val")).alias("z"))
+    )
+    dz = (
+        z.alias("a")
+        .join(z.alias("b"), "j")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .groupBy(
+            F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id")
+        )
+        .agg(
+            F.sum(
+                (F.col("a.z") - F.col("b.z")) * (F.col("a.z") - F.col("b.z"))
+            ).alias("dz")
+        )
+    )
+    dv = (
+        el.alias("a")
+        .join(el.alias("b"), "d")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .groupBy(
+            F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id")
+        )
+        .agg(
+            F.sum(
+                (F.col("a.val") - F.col("b.val"))
+                * (F.col("a.val") - F.col("b.val"))
+            ).alias("dv")
+        )
+    )
+    scored = dz.join(dv, ["a_id", "b_id"]).select(
+        ((F.col("dz") / F.lit(float(k))) / F.col("dv")).alias("ratio")
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.avg("ratio"), round_to).alias("mean_ratio"),
+        F.round(F.min("ratio"), round_to).alias("min_ratio"),
+        F.round(F.max("ratio"), round_to).alias("max_ratio"),
+    )
+
+
+def jl_distortion_report_sql(
+    k: int = 16,
+    dim: int = 64,
+    id_mod: int = 7,
+    id_cap: int = 700,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`jl_distortion_report` (same in-engine md5
+    sign recipe, same narrow element-table shape)."""
+    return f"""
+    WITH signs AS (
+      SELECT j.range AS j, d.range AS d,
+             CASE WHEN CAST('0x' || substring(
+                      md5('jl:' || j.range || ':' || (d.range - 1)), 1, 2)
+                    AS INTEGER) % 2 = 1
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM range({k}) j CROSS JOIN range(1, {dim + 1}) d
+    ),
+    el AS (
+      SELECT vec_id, d.range AS d,
+             CAST(embedding[d.range] AS DOUBLE) AS val
+      FROM embeddings CROSS JOIN range(1, {dim + 1}) d
+      WHERE vec_id % {id_mod} = 0 AND vec_id < {id_cap}
+    ),
+    z AS (
+      SELECT el.vec_id, signs.j, SUM(signs.s * el.val) AS z
+      FROM el JOIN signs ON el.d = signs.d
+      GROUP BY el.vec_id, signs.j
+    ),
+    dz AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             SUM((a.z - b.z) * (a.z - b.z)) AS dz
+      FROM z a JOIN z b ON a.j = b.j AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    dv AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             SUM((a.val - b.val) * (a.val - b.val)) AS dv
+      FROM el a JOIN el b ON a.d = b.d AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    scored AS (
+      SELECT (dz.dz / {float(k)!r}) / dv.dv AS ratio
+      FROM dz JOIN dv ON dz.a_id = dv.a_id AND dz.b_id = dv.b_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(ratio), {round_to}) AS mean_ratio,
+           ROUND(MIN(ratio), {round_to}) AS min_ratio,
+           ROUND(MAX(ratio), {round_to}) AS max_ratio
+    FROM scored
+    """

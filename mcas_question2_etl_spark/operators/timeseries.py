@@ -3790,3 +3790,171 @@ def pacf3_sql(
                  {round_to}) AS pacf3
     FROM p21t
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 88: matrix profile (exact, bounded kernel)
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def matrix_profile(
+    daily: DataFrame,
+    date_col: str = "day",
+    value_col: str = "y",
+    m: int = 7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact matrix profile of the daily series (Yeh et al. 2016): for
+    every length-``m`` subsequence, the z-normalized Euclidean distance
+    to its nearest non-trivial neighbor —
+    ``d(i,j) = sqrt(2m(1 - ρ(S_i, S_j)))`` minimized over
+    ``|i - j| > m/2``. Low profile values mark MOTIFS (repeated
+    shapes), the maximum marks the top DISCORD (the series' most
+    anomalous week) — the shape-mining primitive a plain z-score scan
+    cannot give.
+
+    Shape: the series is first densified to t = 1..n by ROW_NUMBER
+    (calendar gaps become index-adjacent, noted in the output contract);
+    subsequence moments come from one windowed pass; the cross-dot is
+    an equi-join of the element table with itself on the offset key —
+    O(n² · m) ONLY over the bounded DAILY rollup (n ≈ days), the same
+    bounded-kernel discipline as newey_west_trend. Never point this at
+    a raw fact table; roll up first. Ties in the nearest-neighbor
+    argmin break to the smallest j (exact ties arise from genuinely
+    identical windows, where any j is equally correct).
+
+    Output per subsequence: (i, nn_index, profile_dist), ordered by i.
+    """
+    pts = daily.select(
+        F.col(date_col).cast("bigint").alias("__d"),
+        F.col(value_col).cast("double").alias("__y"),
+    ).withColumn(
+        "__t", F.row_number().over(Window.orderBy("__d")).cast("bigint")
+    )
+    # element table: subsequence i covers offsets 0..m-1
+    el = pts.select(
+        F.explode(
+            F.array(*[F.lit(k) for k in range(m)])
+        ).alias("__k"),
+        F.col("__t"),
+        F.col("__y"),
+    ).select(
+        (F.col("__t") - F.col("__k")).alias("i"),
+        F.col("__k"),
+        F.col("__y"),
+    ).filter(F.col("i") >= 1)
+    n_total = pts.groupBy().agg(F.max("__t").alias("__n"))
+    el = el.crossJoin(F.broadcast(n_total)).filter(
+        F.col("i") <= F.col("__n") - m + 1
+    ).select("i", "__k", "__y")
+    mom = el.groupBy("i").agg(
+        F.sum("__y").alias("s"),
+        F.sum(F.col("__y") * F.col("__y")).alias("ss"),
+    )
+    a = el.select(
+        F.col("i").alias("ia"), F.col("__k"), F.col("__y").alias("va")
+    )
+    b = el.select(
+        F.col("i").alias("jb"), F.col("__k"), F.col("__y").alias("vb")
+    )
+    dots = (
+        a.join(b, "__k")
+        .filter(F.abs(F.col("ia") - F.col("jb")) > m // 2)
+        .groupBy("ia", "jb")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    md = float(m)
+    j = (
+        dots.join(
+            mom.select(
+                F.col("i").alias("ia"),
+                F.col("s").alias("sa"),
+                F.col("ss").alias("ssa"),
+            ),
+            "ia",
+        )
+        .join(
+            mom.select(
+                F.col("i").alias("jb"),
+                F.col("s").alias("sb"),
+                F.col("ss").alias("ssb"),
+            ),
+            "jb",
+        )
+    )
+    var_a = F.col("ssa") - F.col("sa") * F.col("sa") / md
+    var_b = F.col("ssb") - F.col("sb") * F.col("sb") / md
+    cov = F.col("dot") - F.col("sa") * F.col("sb") / md
+    rho = cov / F.sqrt(var_a * var_b)
+    dist = F.sqrt(
+        F.greatest(F.lit(0.0), F.lit(2.0 * md) * (F.lit(1.0) - rho))
+    )
+    scored = j.select(
+        F.col("ia").alias("i"), F.col("jb").alias("j"), dist.alias("d")
+    )
+    w = Window.partitionBy("i").orderBy(F.col("d").asc(), F.col("j").asc())
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "i",
+            F.col("j").alias("nn_index"),
+            F.round(F.col("d"), round_to).alias("profile_dist"),
+        )
+    )
+    return best.orderBy("i")
+
+
+def matrix_profile_sql(
+    daily_sql: str,
+    date_col: str = "day",
+    value_col: str = "y",
+    m: int = 7,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`matrix_profile` (identical formula order)."""
+    offs = ", ".join(f"({k})" for k in range(m))
+    return f"""
+    WITH d0 AS ({daily_sql}),
+    pts AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY {date_col}) AS BIGINT) AS t,
+             CAST({value_col} AS DOUBLE) AS y
+      FROM d0
+    ),
+    n_row AS (SELECT MAX(t) AS n FROM pts),
+    el AS (
+      SELECT pts.t - k.k AS i, k.k AS k, pts.y
+      FROM pts CROSS JOIN (VALUES {offs}) AS k(k)
+      CROSS JOIN n_row
+      WHERE pts.t - k.k >= 1 AND pts.t - k.k <= n_row.n - {m} + 1
+    ),
+    mom AS (
+      SELECT i, SUM(y) AS s, SUM(y * y) AS ss FROM el GROUP BY i
+    ),
+    dots AS (
+      SELECT a.i AS ia, b.i AS jb, SUM(a.y * b.y) AS dot
+      FROM el a JOIN el b ON a.k = b.k
+      WHERE ABS(a.i - b.i) > {m // 2}
+      GROUP BY a.i, b.i
+    ),
+    scored AS (
+      SELECT ia AS i, jb AS j,
+             SQRT(GREATEST(0.0,
+               {2.0 * m!r} * (1.0 -
+                 (dot - ma.s * mb.s / {float(m)!r})
+                 / SQRT((ma.ss - ma.s * ma.s / {float(m)!r})
+                        * (mb.ss - mb.s * mb.s / {float(m)!r}))))) AS d
+      FROM dots
+      JOIN mom ma ON dots.ia = ma.i
+      JOIN mom mb ON dots.jb = mb.i
+    ),
+    best AS (
+      SELECT i, j, d,
+             ROW_NUMBER() OVER (PARTITION BY i ORDER BY d ASC, j ASC)
+               AS rn
+      FROM scored
+    )
+    SELECT i, j AS nn_index, ROUND(d, {round_to}) AS profile_dist
+    FROM best WHERE rn = 1
+    ORDER BY i
+    """

@@ -1183,3 +1183,24 @@ def zipf_token_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def term_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.term_cooccurrence_lift(docs, vocab_k=200, top_pairs=30)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave88: Johnson-Lindenstrauss projection distortion audit
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "jl_projection_distortion",
+    similarity.jl_distortion_report_sql(),
+    "training-data op: Johnson-Lindenstrauss distortion audit of a "
+    "pinned Rademacher projection R^64 -> R^16 — pairwise "
+    "(||Ra-Rb||^2/k) / ||a-b||^2 ratios on the ABSOLUTE-capped "
+    "deterministic sample (vec_id%7, <700: constant kernel cost at "
+    "any corpus size, the containment_profile discipline). The +-1 "
+    "matrix is md5-derived literals inlined in both engines, each "
+    "projected coordinate one fixed-order signed sum, so the audit "
+    "is bit-comparable. This is the go/no-go number before swapping "
+    "full embeddings for cheap projections in dedup/ANN pipelines.",
+)
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.jl_distortion_report(emb)

@@ -1922,3 +1922,35 @@ def gate_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars") >= 300,
         F.regexp_count(F.col("text"), F.lit(r"\S+")) >= 55,
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave88: exact matrix profile (operators/timeseries.py matrix_profile)
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "matrix_profile_daily",
+    timeseries.matrix_profile_sql(_ORDERS_DAILY_SQL.strip(), m=7),
+    "timeseries op — exact matrix profile of daily order revenue "
+    "(window m=7, z-normalized Euclidean distance, non-trivial "
+    "exclusion |i-j| > 3): every week-shaped subsequence's nearest "
+    "neighbor, the motif/discord mining primitive (Yeh et al. 2016) "
+    "a z-score scan cannot give. The O(n² m) cross-dot is an "
+    "offset-key equi-join over the BOUNDED daily rollup (the "
+    "newey_west bounded-kernel discipline — roll up first, never the "
+    "fact table); subsequence moments come from one aggregate; "
+    "argmin ties break to the smallest neighbor index.",
+)
+def matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    return timeseries.matrix_profile(daily, "day", "y", m=7)

@@ -64,8 +64,17 @@ def test_strict_decoder_raises(spark, media_df):
 
     with pytest.raises(Exception) as exc_info:
         multimodal.extract_features(media_df, decoder=multimodal.strict_decoder).collect()
-    assert "NotImplementedError" in str(exc_info.value) or "real media decoding" in str(
-        exc_info.value
+    # every fixture payload is fake, so several parallel tasks raise at
+    # once and whichever surfaces first wins — accept any of the strict
+    # decoder's loud per-format failures (NotImplementedError for
+    # unknown magics, the RIFF/WAVE container check for the fake-RIFF
+    # row), never a silent fabricated feature row
+    msg = str(exc_info.value)
+    assert (
+        "NotImplementedError" in msg
+        or "real media decoding" in msg
+        or "no pure-stdlib decoder" in msg
+        or "not a RIFF/WAVE container" in msg
     )
 
 
