@@ -4602,3 +4602,101 @@ def gate_confusion_metrics_sql(
                  {round_to}) AS log_or_hi
     FROM c
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 89: average precision (the PR-curve area, rank form)
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def average_precision(
+    df: DataFrame,
+    qid_col: str = "qid",
+    score_col: str = "score",
+    rel_col: str = "rel",
+    tie_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Average precision per query over (qid, score, binary rel)
+    candidates: ``AP = Σ_k rel_k · P@k / n_relevant`` with P@k the
+    precision at each relevant hit — the area under the PR curve in
+    its rank form, the metric MRR under-counts (MRR sees only the
+    first hit) and NDCG grades differently (log discount vs precision
+    weighting).
+
+    Unlike NDCG's gain sums, AP IS tie-order sensitive, so the rank
+    window orders by (score DESC, ``tie_col`` ASC) — a total order
+    both engines share. One shuffle on qid; the running-relevant count
+    and the final rollup ride the same window partitioning. Output:
+    (qid, n_candidates, n_relevant, ap), ap = 0.0 for queries with no
+    relevant candidate (conventional, not NULL)."""
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col(score_col).desc(), F.col(tie_col).asc()
+    )
+    ranked = df.select(
+        F.col(qid_col).alias("qid"),
+        F.col(rel_col).cast("int").alias("__rel"),
+        F.row_number().over(w).alias("__r"),
+        F.sum(F.col(rel_col).cast("int"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__cum"),
+    )
+    agg = ranked.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum("__rel").cast("bigint").alias("n_relevant"),
+        F.sum(
+            F.col("__rel").cast("double")
+            * F.col("__cum").cast("double")
+            / F.col("__r").cast("double")
+        ).alias("__ap_num"),
+    )
+    ap = F.when(
+        F.col("n_relevant") > 0,
+        F.col("__ap_num") / F.col("n_relevant").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "qid",
+        "n_candidates",
+        "n_relevant",
+        F.round(ap, round_to).alias("ap"),
+    ).orderBy("qid")
+
+
+def average_precision_sql(
+    cands_sql: str,
+    qid_col: str = "qid",
+    score_col: str = "score",
+    rel_col: str = "rel",
+    tie_col: str = "doc_id",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`average_precision`. ``cands_sql`` must
+    yield (qid, score, rel, tie) columns."""
+    return f"""
+    WITH cands AS ({cands_sql}),
+    ranked AS (
+      SELECT {qid_col} AS qid,
+             CAST({rel_col} AS INTEGER) AS rel,
+             ROW_NUMBER() OVER (PARTITION BY {qid_col}
+                                ORDER BY {score_col} DESC,
+                                         {tie_col} ASC) AS r,
+             SUM(CAST({rel_col} AS INTEGER))
+               OVER (PARTITION BY {qid_col}
+                     ORDER BY {score_col} DESC, {tie_col} ASC
+                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM cands
+    ),
+    agg AS (
+      SELECT qid,
+             CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(SUM(rel) AS BIGINT) AS n_relevant,
+             SUM(CAST(rel AS DOUBLE) * CAST(cum AS DOUBLE)
+                 / CAST(r AS DOUBLE)) AS ap_num
+      FROM ranked GROUP BY qid
+    )
+    SELECT qid, n_candidates, n_relevant,
+           ROUND(CASE WHEN n_relevant > 0
+                      THEN ap_num / CAST(n_relevant AS DOUBLE)
+                      ELSE 0.0 END, {round_to}) AS ap
+    FROM agg ORDER BY qid
+    """

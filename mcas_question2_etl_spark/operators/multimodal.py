@@ -480,8 +480,10 @@ def _decode_gif(b: bytes, return_raster: bool = False):
 
 def strict_decoder(payload: bytes, media_type: str) -> dict:
     """Real decode kernel (pure stdlib): BMP (BITMAPINFOHEADER /
-    BI_RGB), binary PPM/PGM (P6/P5), PCM WAV, and 8-bit non-interlaced
-    PNG (zlib IDAT inflate + full scanline unfilter — round 5).
+    BI_RGB), binary PPM/PGM (P6/P5), PCM WAV, 8-bit non-interlaced
+    PNG (zlib IDAT inflate + full scanline unfilter — round 5), GIF
+    (full LZW — round 6), and baseline uncompressed TIFF (both byte
+    orders, multi-strip — round 6).
     Container sniffing is by magic bytes, so a mislabeled payload still
     decodes by its actual format. Remaining compressed codecs
     (JPEG/MP3/H.264) raise loudly — that slot needs PIL/libav, absent
@@ -500,6 +502,8 @@ def strict_decoder(payload: bytes, media_type: str) -> dict:
         dims = _decode_png(payload)
     elif payload[:6] in _GIF_MAGICS:
         dims = _decode_gif(payload)
+    elif payload[:4] in _TIFF_MAGICS:
+        dims = _decode_tiff(payload)
     elif payload[:2] == b"BM":
         dims = _decode_bmp(payload)
     elif payload[:2] in (b"P5", b"P6"):
@@ -824,3 +828,179 @@ def ahash_words_sql(pixels: str) -> tuple[str, str]:
         )
 
     return word(0), word(32)
+
+
+# --------------------------------------------------------------------------
+# TIFF (baseline, uncompressed) — round 6 codec-matrix extension.
+# --------------------------------------------------------------------------
+
+_TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
+
+#: the baseline tags the decoder consumes
+_TIFF_WIDTH, _TIFF_LENGTH = 256, 257
+_TIFF_BITS, _TIFF_COMPRESSION = 258, 259
+_TIFF_STRIP_OFFSETS, _TIFF_SPP = 273, 277
+_TIFF_ROWS_PER_STRIP, _TIFF_STRIP_COUNTS = 278, 279
+
+_TIFF_TYPE_SIZES = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+
+def _decode_tiff(b: bytes, return_raster: bool = False):
+    """Baseline TIFF decode, pure stdlib: both byte orders (II/MM), the
+    first IFD walked tag by tag, values read as BYTE/SHORT/LONG either
+    inline (≤4 bytes) or via offset, raster reassembled by
+    concatenating the uncompressed strips. Any Compression other than
+    1 raises loudly (LZW/JPEG-in-TIFF need a codec library)."""
+    if len(b) < 8:
+        raise ValueError(f"TIFF truncated: {len(b)} bytes < 8-byte header")
+    if b[:4] not in _TIFF_MAGICS:
+        raise ValueError(f"not a TIFF header: {b[:4]!r}")
+    eo = "<" if b[:2] == b"II" else ">"
+    (ifd_off,) = _struct.unpack(eo + "I", b[4:8])
+    if ifd_off + 2 > len(b):
+        raise ValueError("TIFF truncated: IFD offset past EOF")
+    (n_entries,) = _struct.unpack(eo + "H", b[ifd_off : ifd_off + 2])
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        ep = ifd_off + 2 + 12 * i
+        if ep + 12 > len(b):
+            raise ValueError("TIFF truncated: IFD entry past EOF")
+        tag, typ, cnt = _struct.unpack(eo + "HHI", b[ep : ep + 8])
+        size = _TIFF_TYPE_SIZES.get(typ)
+        if size is None:
+            continue  # RATIONAL etc. — not consumed by the baseline set
+        total = size * cnt
+        if total <= 4:
+            raw = b[ep + 8 : ep + 8 + total]
+        else:
+            (off,) = _struct.unpack(eo + "I", b[ep + 8 : ep + 12])
+            if off + total > len(b):
+                raise ValueError(f"TIFF truncated: tag {tag} value past EOF")
+            raw = b[off : off + total]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(_struct.unpack(eo + str(cnt) + fmt, raw))
+    for required in (
+        _TIFF_WIDTH, _TIFF_LENGTH, _TIFF_STRIP_OFFSETS, _TIFF_STRIP_COUNTS
+    ):
+        if required not in tags:
+            raise ValueError(f"TIFF missing required baseline tag {required}")
+    compression = tags.get(_TIFF_COMPRESSION, [1])[0]
+    if compression != 1:
+        raise NotImplementedError(
+            f"TIFF compression {compression} needs a codec library; only "
+            "baseline uncompressed (1) decodes pure-stdlib"
+        )
+    width = tags[_TIFF_WIDTH][0]
+    height = tags[_TIFF_LENGTH][0]
+    spp = tags.get(_TIFF_SPP, [1])[0]
+    bits = tags.get(_TIFF_BITS, [8])[0]
+    if bits != 8:
+        raise NotImplementedError(f"TIFF bits-per-sample {bits} != 8")
+    strips = []
+    for off, cnt in zip(tags[_TIFF_STRIP_OFFSETS], tags[_TIFF_STRIP_COUNTS]):
+        if off + cnt > len(b):
+            raise ValueError("TIFF truncated: strip past EOF")
+        strips.append(b[off : off + cnt])
+    raster = b"".join(strips)
+    expected = width * height * spp
+    if len(raster) != expected:
+        raise ValueError(
+            f"TIFF raster size {len(raster)} != w*h*spp {expected}"
+        )
+    if return_raster:
+        return raster
+    return {"width": width, "height": height, "duration_ms": None}
+
+
+def tiff_pixels(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic RGB bytes for TIFF fixtures (same recipe family as
+    gif_pixels: position-and-seed arithmetic, no RNG state)."""
+    return bytes(
+        (x * 7 + y * 13 + seed * 31 + c * 101) % 256
+        for y in range(height)
+        for x in range(width)
+        for c in range(3)
+    )
+
+
+def encode_tiff(
+    width: int,
+    height: int,
+    seed: int = 0,
+    big_endian: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Minimal baseline TIFF (8-bit RGB, Compression=1), either byte
+    order, raster split into real multi-strip layout when
+    ``rows_per_strip`` is set — so the decoder's strip reassembly is
+    exercised, not just the single-strip happy path."""
+    eo = ">" if big_endian else "<"
+    pixels = tiff_pixels(width, height, seed)
+    rps = rows_per_strip or height
+    row_bytes = width * 3
+    strips = [
+        pixels[y * row_bytes : (y + rps) * row_bytes]
+        for y in range(0, height, rps)
+    ]
+    n = len(strips)
+    # layout: header(8) | IFD | offsets arrays | strip data
+    n_entries = 8
+    ifd_off = 8
+    ifd_size = 2 + 12 * n_entries + 4
+    arrays_off = ifd_off + ifd_size
+    # arrays: strip offsets (n LONGs) + strip counts (n LONGs) +
+    # bits-per-sample (3 SHORTs)
+    bits_off = arrays_off
+    so_off = bits_off + 6
+    sc_off = so_off + 4 * n
+    data_off = sc_off + 4 * n
+    offs = []
+    pos = data_off
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+
+    def entry(tag, typ, cnt, value, inline_fmt=None):
+        head = _struct.pack(eo + "HHI", tag, typ, cnt)
+        if inline_fmt:
+            val = _struct.pack(eo + inline_fmt, *value)
+            val += b"\x00" * (4 - len(val))
+        else:
+            val = _struct.pack(eo + "I", value)
+        return head + val
+
+    entries = [
+        entry(_TIFF_WIDTH, 4, 1, (width,), "I"),
+        entry(_TIFF_LENGTH, 4, 1, (height,), "I"),
+        entry(_TIFF_BITS, 3, 3, bits_off),
+        entry(_TIFF_COMPRESSION, 3, 1, (1,), "H"),
+        entry(
+            _TIFF_STRIP_OFFSETS, 4, n, (offs[0],) if n == 1 else so_off,
+            "I" if n == 1 else None,
+        ),
+        entry(_TIFF_SPP, 3, 1, (3,), "H"),
+        entry(_TIFF_ROWS_PER_STRIP, 4, 1, (rps,), "I"),
+        entry(
+            _TIFF_STRIP_COUNTS, 4, n,
+            (len(strips[0]),) if n == 1 else sc_off,
+            "I" if n == 1 else None,
+        ),
+    ]
+    out = bytearray()
+    out += (b"II*\x00" if not big_endian else b"MM\x00*")
+    out += _struct.pack(eo + "I", ifd_off)
+    out += _struct.pack(eo + "H", n_entries)
+    for e in entries:
+        out += e
+    out += _struct.pack(eo + "I", 0)  # next-IFD pointer
+    out += _struct.pack(eo + "3H", 8, 8, 8)  # bits-per-sample array
+    if n > 1:
+        out += _struct.pack(eo + f"{n}I", *offs)
+        out += _struct.pack(eo + f"{n}I", *[len(s) for s in strips])
+    else:
+        # keep the layout stable: reserve the (unused) array slots
+        out += _struct.pack(eo + "I", offs[0])
+        out += _struct.pack(eo + "I", len(strips[0]))
+    for s in strips:
+        out += s
+    return bytes(out)

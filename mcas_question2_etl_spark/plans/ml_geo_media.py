@@ -682,3 +682,105 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("duration_ms").cast("bigint").alias("sum_duration_ms"),
         F.bool_and("raster_ok").alias("all_rasters_match"),
     )
+
+
+@_spec(
+    "multimodal_tiff_decode",
+    """
+    WITH params AS (
+      SELECT doc_id,
+             5 + doc_id % 21 AS w,
+             4 + doc_id % 9 AS h,
+             1 + doc_id % 4 AS rps,
+             doc_id % 2 = 1 AS big_endian
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_tiffs,
+           CAST(SUM(w) AS BIGINT) AS sum_width,
+           CAST(SUM(h) AS BIGINT) AS sum_height,
+           CAST(SUM(CASE WHEN big_endian THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_big_endian,
+           CAST(SUM(w * h * 3) AS BIGINT) AS sum_raster_bytes,
+           TRUE AS all_rasters_match
+    FROM params
+    """,
+    "multimodal: baseline TIFF decode (round 6 codec-matrix "
+    "extension) — synthesizes a genuine uncompressed TIFF per "
+    "document, alternating byte order per doc_id and splitting the "
+    "raster into real multi-row strips, then decodes it back with "
+    "operators/multimodal.py strict_decoder: header sniff, IFD tag "
+    "walk (inline vs offset values), strip reassembly, loud raise on "
+    "any Compression != 1. The oracle recomputes width/height/"
+    "endianness counts from the same doc_id-derived parameters; the "
+    "IFD/strip plumbing is checked by all_rasters_match — the "
+    "reassembled raster must equal the deterministic pixel "
+    "generator, recomputed independently in the kernel (the "
+    "TRUE-contract pattern, cf. multimodal_gif_decode).",
+)
+def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(5) + F.col("doc_id") % 21).cast("int").alias("w"),
+        (F.lit(4) + F.col("doc_id") % 9).cast("int").alias("h"),
+        (F.lit(1) + F.col("doc_id") % 4).cast("int").alias("rps"),
+        (F.col("doc_id") % 2 == 1).alias("big_endian"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("big_endian", T.BooleanType()),
+            T.StructField("n_raster_bytes", T.LongType()),
+            T.StructField("raster_ok", T.BooleanType()),
+        ]
+    )
+
+    def encode_decode(batches):
+        for pdf in batches:
+            rows = []
+            for did, w, h, rps, be in zip(
+                pdf["doc_id"], pdf["w"], pdf["h"], pdf["rps"],
+                pdf["big_endian"],
+            ):
+                t = mm.encode_tiff(
+                    int(w), int(h), seed=int(did),
+                    big_endian=bool(be), rows_per_strip=int(rps),
+                )
+                meta = mm.strict_decoder(t, "image")
+                raster = mm._decode_tiff(t, return_raster=True)
+                rows.append(
+                    (
+                        int(did),
+                        meta["width"],
+                        meta["height"],
+                        bool(be),
+                        len(raster),
+                        raster
+                        == mm.tiff_pixels(int(w), int(h), seed=int(did)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "big_endian",
+                    "n_raster_bytes", "raster_ok",
+                ],
+            )
+
+    feats = docs.mapInPandas(encode_decode, schema=out_schema)
+    return feats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tiffs"),
+        F.sum("width").cast("bigint").alias("sum_width"),
+        F.sum("height").cast("bigint").alias("sum_height"),
+        F.sum(F.when(F.col("big_endian"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_big_endian"),
+        F.sum("n_raster_bytes").cast("bigint").alias("sum_raster_bytes"),
+        F.bool_and("raster_ok").alias("all_rasters_match"),
+    )

@@ -1656,3 +1656,60 @@ def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.heaps_law_fit(docs)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave89: average precision (operators/evaluation.py average_precision)
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.evaluation import average_precision, average_precision_sql
+
+_AP_CANDS_SQL = f"""
+      SELECT t.term AS qid, d.doc_id,
+             CAST(len(list_filter(string_split(d.text, ' '),
+                                  w -> w = t.term)) AS BIGINT) AS tf,
+             CASE WHEN len(list_filter(string_split(d.text, ' '),
+                                       w -> w = t.term)) >= 2
+                  THEN 1 ELSE 0 END AS rel,
+             CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS dl
+      FROM documents d
+      CROSS JOIN (SELECT unnest([{_terms_in()}]) AS term) t
+      WHERE len(list_filter(string_split(d.text, ' '), w -> w = t.term)) > 0
+"""
+
+
+@_spec(
+    "average_precision_retrieval",
+    average_precision_sql(
+        f"SELECT qid, doc_id, tf / dl AS score, rel FROM ({_AP_CANDS_SQL})",
+    ),
+    "extension — average precision per query (the PR-curve area in "
+    "rank form): three single-term queries ranked by term density "
+    "tf/doclen, binary relevance = tf >= 2. AP is the metric MRR "
+    "under-counts (first hit only) and NDCG grades differently (log "
+    "discount); unlike NDCG's tie-immune gain sums AP IS tie-order "
+    "sensitive, so the rank window carries a (score DESC, doc_id ASC) "
+    "total order shared by both engines. Candidates filter AT THE "
+    "SCAN to docs containing the term; one shuffle on qid.",
+)
+def average_precision_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    terms = spark.createDataFrame([(t,) for t in _TERMS], "term string")
+    cands = (
+        docs.crossJoin(F.broadcast(terms))
+        .select(
+            F.col("term").alias("qid"),
+            "doc_id",
+            F.size(F.expr("filter(split(text, ' '), w -> w = term)"))
+            .cast("long")
+            .alias("tf"),
+            F.size(F.split("text", " ")).cast("double").alias("dl"),
+        )
+        .filter(F.col("tf") > 0)
+        .select(
+            "qid",
+            "doc_id",
+            (F.col("tf").cast("double") / F.col("dl")).alias("score"),
+            (F.col("tf") >= 2).cast("int").alias("rel"),
+        )
+    )
+    return average_precision(cands)
