@@ -544,6 +544,30 @@ HEADLINE = [
     "gate_confusion_metrics",
     # wave 82 (round 6): GIF LZW decode
     "multimodal_gif_decode",
+    # wave 83 (round 6): OLS influence diagnostics
+    "cooks_distance_influence",
+    "press_loocv_r2",
+    "vif_multicollinearity",
+    "ridge_price_model",
+    # wave 84 (round 6): portable normal kernels + experimentation
+    "bayes_ab_conversion",
+    "ab_power_analysis",
+    "gaussian_rank_corr_daily",
+    # wave 85 (round 6): integer fixed-point personalized PageRank
+    "personalized_pagerank_seeds",
+    # wave 86 (round 6): grid-bucketed DBSCAN
+    "dbscan_customer_sites",
+    # wave 87 (round 6): IPW / doubly-robust AIPW scoring pass
+    "ipw_ate_order_priority",
+    # wave 88 (round 6): matrix profile + JL distortion audit
+    "matrix_profile_daily",
+    "jl_projection_distortion",
+    # wave 89 (round 6): TIFF codec + average precision
+    "multimodal_tiff_decode",
+    "average_precision_retrieval",
+    # wave 90 (round 6): Wasserstein drift + GPD tail fit
+    "wasserstein_doclen_drift",
+    "gpd_tail_fit_prices",
 ]
 
 

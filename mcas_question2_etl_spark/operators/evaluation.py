@@ -4700,3 +4700,126 @@ def average_precision_sql(
                       ELSE 0.0 END, {round_to}) AS ap
     FROM agg ORDER BY qid
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 90: Wasserstein-1 distribution drift (CDF-integral form)
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Earth-mover (Wasserstein-1) distance between the ``value_col``
+    distributions of two groups, in the CDF-integral form
+    ``W1 = ∫ |F_a(v) - F_b(v)| dv`` evaluated exactly on the merged
+    empirical support: one rollup to distinct values with per-group
+    counts, a running-sum window for the two CDFs, and
+    ``Σ |F_a - F_b| · (next_v - v)`` over consecutive support points.
+    Unlike KS (sup metric, location-blind magnitude) or PSI/Hellinger
+    (bin-dependent), W1 reads in the VALUE's own units — "the
+    distributions differ by this many characters/dollars on average".
+
+    Handles unequal group sizes exactly (CDFs normalize per group).
+    The global-order window runs over DISTINCT values — use a column
+    with bounded support (integer lengths, bucketed prices); for
+    continuous uniques at 100-TB scale, discretize first or estimate
+    from KLL quantiles (operators/sketches.py). Output (one row):
+    n_a, n_b, n_support, w1."""
+    pts = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    per_val = pts.groupBy("__v").agg(
+        F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0))
+        .cast("bigint")
+        .alias("__ca"),
+        F.sum(F.when(F.col("__g") == group_b, 1).otherwise(0))
+        .cast("bigint")
+        .alias("__cb"),
+    )
+    w = Window.orderBy("__v")
+    tot = per_val.agg(
+        F.sum("__ca").alias("na"), F.sum("__cb").alias("nb")
+    )
+    cum = per_val.select(
+        "__v",
+        F.sum("__ca")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__cuma"),
+        F.sum("__cb")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__cumb"),
+        F.lead("__v").over(w).alias("__nextv"),
+    ).crossJoin(F.broadcast(tot))
+    seg = cum.filter(F.col("__nextv").isNotNull()).select(
+        (
+            F.abs(
+                F.col("__cuma").cast("double") / F.col("na").cast("double")
+                - F.col("__cumb").cast("double") / F.col("nb").cast("double")
+            )
+            * (F.col("__nextv") - F.col("__v"))
+        ).alias("__seg"),
+        "na",
+        "nb",
+    )
+    return seg.agg(
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("n_support"),
+        F.round(F.coalesce(F.sum("__seg"), F.lit(0.0)), round_to).alias(
+            "w1"
+        ),
+    )
+
+
+def wasserstein_1d_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`wasserstein_1d`."""
+    return f"""
+    WITH pts AS (
+      SELECT {group_col} AS g, CAST({value_col} AS DOUBLE) AS v
+      FROM {table}
+      WHERE {group_col} IN ('{group_a}', '{group_b}')
+    ),
+    per_val AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN g = '{group_a}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN g = '{group_b}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM pts GROUP BY v
+    ),
+    tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM per_val),
+    cum AS (
+      SELECT v,
+             SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+             SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb,
+             LEAD(v) OVER (ORDER BY v) AS nextv
+      FROM per_val
+    ),
+    seg AS (
+      SELECT ABS(CAST(cuma AS DOUBLE) / CAST(tot.na AS DOUBLE)
+                 - CAST(cumb AS DOUBLE) / CAST(tot.nb AS DOUBLE))
+             * (nextv - v) AS seg,
+             tot.na AS na, tot.nb AS nb
+      FROM cum CROSS JOIN tot
+      WHERE nextv IS NOT NULL
+    )
+    SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b,
+           CAST(COUNT(*) + 1 AS BIGINT) AS n_support,
+           ROUND(COALESCE(SUM(seg), 0.0), {round_to}) AS w1
+    FROM seg
+    """

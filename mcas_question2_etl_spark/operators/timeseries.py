@@ -3958,3 +3958,97 @@ def matrix_profile_sql(
     FROM best WHERE rn = 1
     ORDER BY i
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 90: generalized Pareto tail fit (peaks over threshold)
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def gpd_tail_fit(
+    df: DataFrame,
+    value_col: str,
+    threshold: float,
+    round_to: int = 6,
+) -> DataFrame:
+    """Peaks-over-threshold tail model: exceedances ``e = x - u`` over
+    the fixed threshold ``u`` fitted to a Generalized Pareto by the
+    method of moments —
+
+      ξ̂ = (1 - m²/s²) / 2,   σ̂ = m · (m²/s² + 1) / 2
+
+    (m, s² the exceedance mean/variance; Hosking & Wallis 1987). The
+    EVT complement to block-maxima return levels
+    (extreme_value_return_levels): POT uses every tail observation,
+    not one per block, so the tail index stabilizes on far less data.
+    Plus the conditional tail expectation at 2u implied by the fit.
+    One scan-stage aggregate; the threshold is a pinned literal (at
+    scale you would read it off a KLL quantile sketch first).
+
+    Output (one row): n_exceedances, mean_excess, xi_hat, sigma_hat,
+    tail_expect_2u (NULL when ξ ≥ 1, where the mean is infinite)."""
+    e = F.when(
+        F.col(value_col).cast("double") > threshold,
+        F.col(value_col).cast("double") - threshold,
+    )
+    m = df.agg(
+        F.count(e).cast("bigint").alias("n"),
+        F.sum(e).alias("s1"),
+        F.sum(e * e).alias("s2"),
+    )
+    nn = F.col("n").cast("double")
+    mean = F.col("s1") / nn
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / nn) / (nn - 1.0)
+    ratio = mean * mean / var
+    xi = (F.lit(1.0) - ratio) / 2.0
+    sigma = mean * (ratio + 1.0) / 2.0
+    # E[X - 2u | X > 2u] = (sigma + xi*u) / (1 - xi) for xi < 1
+    tail2u = F.when(
+        xi < 1.0, (sigma + xi * F.lit(float(threshold))) / (F.lit(1.0) - xi)
+    )
+    return m.select(
+        F.col("n").alias("n_exceedances"),
+        F.round(mean, round_to).alias("mean_excess"),
+        F.round(xi, round_to).alias("xi_hat"),
+        F.round(sigma, round_to).alias("sigma_hat"),
+        F.round(tail2u, round_to).alias("tail_expect_2u"),
+    )
+
+
+def gpd_tail_fit_sql(
+    table: str, value_col: str, threshold: float, round_to: int = 6
+) -> str:
+    """DuckDB twin of :func:`gpd_tail_fit`."""
+    u = float(threshold)
+    e = (
+        f"CASE WHEN CAST({value_col} AS DOUBLE) > {u!r} "
+        f"THEN CAST({value_col} AS DOUBLE) - {u!r} END"
+    )
+    return f"""
+    WITH m AS (
+      SELECT CAST(COUNT({e}) AS BIGINT) AS n,
+             SUM({e}) AS s1, SUM(({e}) * ({e})) AS s2
+      FROM {table}
+    ),
+    d AS (
+      SELECT n,
+             s1 / CAST(n AS DOUBLE) AS mean,
+             (s2 - s1 * s1 / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0) AS var
+      FROM m
+    ),
+    f AS (
+      SELECT n, mean,
+             (1.0 - mean * mean / var) / 2.0 AS xi,
+             mean * (mean * mean / var + 1.0) / 2.0 AS sigma
+      FROM d
+    )
+    SELECT n AS n_exceedances,
+           ROUND(mean, {round_to}) AS mean_excess,
+           ROUND(xi, {round_to}) AS xi_hat,
+           ROUND(sigma, {round_to}) AS sigma_hat,
+           ROUND(CASE WHEN xi < 1.0
+                      THEN (sigma + xi * {u!r}) / (1.0 - xi) END,
+                 {round_to}) AS tail_expect_2u
+    FROM f
+    """

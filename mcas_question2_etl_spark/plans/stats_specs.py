@@ -2896,3 +2896,43 @@ def ipw_ate_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__mu1_v"),
         F.col("__mu0_v"),
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave90: Wasserstein-1 drift + generalized-Pareto tail fit
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "wasserstein_doclen_drift",
+    evaluation.wasserstein_1d_sql(
+        "documents", "source", "n_chars", "src0", "src1"
+    ),
+    "stats op — Wasserstein-1 (earth mover) distance between the "
+    "src0 and src1 document-length distributions, exact CDF-integral "
+    "form on the merged integer support: one distinct-value rollup, "
+    "one running-sum window, sum of |F_a - F_b| x support gaps. The "
+    "drift number PSI/Hellinger can't give — it reads in the value's "
+    "own units (characters of average shift) and needs no binning; "
+    "the global window runs over DISTINCT lengths (bounded support), "
+    "never rows.",
+)
+def wasserstein_doclen_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return evaluation.wasserstein_1d(
+        docs, "source", "n_chars", "src0", "src1"
+    )
+
+
+@_spec(
+    "gpd_tail_fit_prices",
+    _ts.gpd_tail_fit_sql("lineitem", "l_extendedprice", 95000.0),
+    "stats op — peaks-over-threshold tail model: extendedprice "
+    "exceedances over the pinned u=95000 threshold fitted to a "
+    "Generalized Pareto by method of moments (Hosking-Wallis), plus "
+    "the implied conditional tail expectation at 2u. The EVT "
+    "complement to extreme_value_return_levels: POT uses every tail "
+    "observation instead of one per block. One scan-stage aggregate; "
+    "at scale the threshold comes off a KLL sketch first.",
+)
+def gpd_tail_fit_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return _ts.gpd_tail_fit(li, "l_extendedprice", 95000.0)
