@@ -568,6 +568,9 @@ HEADLINE = [
     # wave 90 (round 6): Wasserstein drift + GPD tail fit
     "wasserstein_doclen_drift",
     "gpd_tail_fit_prices",
+    # wave 91 (round 6): support hull + newsvendor quantiles
+    "support_hull_nations",
+    "newsvendor_stock_levels",
 ]
 
 

@@ -856,3 +856,145 @@ def dbscan_grid_sql(
     LEFT JOIN border ON p.{id_col} = border.pid
     ORDER BY p.{id_col}
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 91: support-function approximate convex hull
+# ──────────────────────────────────────────────────────────────────────────
+
+import math as _math
+
+#: pinned direction table for the support hull: k unit vectors at
+#: 2πi/k, materialized as Python-evaluated double literals so neither
+#: engine computes trig (identical constants by construction)
+SUPPORT_HULL_K = 12
+_SUPPORT_DIRS = [
+    (
+        i,
+        float(_math.cos(2.0 * _math.pi * i / SUPPORT_HULL_K)),
+        float(_math.sin(2.0 * _math.pi * i / SUPPORT_HULL_K)),
+    )
+    for i in range(SUPPORT_HULL_K)
+]
+
+
+def support_hull(
+    points: DataFrame,
+    group_col: str,
+    id_col: str,
+    x: str,
+    y: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate convex hull per group via SUPPORT FUNCTIONS: for
+    each of ``SUPPORT_HULL_K`` pinned directions, the extreme point of
+    the group (argmax of the projection x·cosθ + y·sinθ, ties to the
+    smallest id), then the shoelace area of those extreme points
+    walked in direction order.
+
+    Monotone-chain hulls are sequential per group; the support form
+    replaces them with ONE groupBy over a k-way broadcast fan-out —
+    scan-shape at any scale, with a bounded approximation: the support
+    polygon inscribes the true hull and its area approaches it as
+    k grows (exact when every hull vertex is extreme in some pinned
+    direction). Direction cosines are Python-evaluated literals, so
+    both engines project with identical constants. Output per group:
+    (group, n_support_points distinct extremes, hull_area)."""
+    dirs = points.sparkSession.createDataFrame(
+        _SUPPORT_DIRS, "dir int, cx double, cy double"
+    )
+    fan = points.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).cast("bigint").alias("pid"),
+        F.col(x).cast("double").alias("px"),
+        F.col(y).cast("double").alias("py"),
+    ).crossJoin(F.broadcast(dirs))
+    proj = (
+        F.col("px") * F.col("cx") + F.col("py") * F.col("cy")
+    ).alias("proj")
+    best = (
+        fan.select("g", "dir", "pid", "px", "py", proj)
+        .groupBy("g", "dir")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("proj"), (-F.col("pid")).alias("npid"),
+                    F.col("pid"), F.col("px"), F.col("py"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "g",
+            "dir",
+            F.col("b.pid").alias("pid"),
+            F.col("b.px").alias("hx"),
+            F.col("b.py").alias("hy"),
+        )
+    )
+    nxt = best.select(
+        F.col("g"),
+        ((F.col("dir") + 1) % SUPPORT_HULL_K).alias("dir"),
+        F.col("hx").alias("nx"),
+        F.col("hy").alias("ny"),
+    )
+    cross = best.join(nxt, ["g", "dir"]).groupBy("g").agg(
+        F.countDistinct("pid").cast("bigint").alias("n_support_points"),
+        (
+            F.abs(
+                F.sum(
+                    F.col("hx") * F.col("ny") - F.col("nx") * F.col("hy")
+                )
+            )
+            / 2.0
+        ).alias("__area"),
+    )
+    return cross.select(
+        F.col("g").alias(group_col),
+        "n_support_points",
+        F.round("__area", round_to).alias("hull_area"),
+    ).orderBy(group_col)
+
+
+def support_hull_sql(
+    points_sql: str,
+    group_col: str,
+    id_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`support_hull`. ``points_sql`` must yield
+    (``{group_col}``, ``{id_col}``, px, py)."""
+    dirs = ", ".join(
+        f"({i}, {cx!r}, {cy!r})" for i, cx, cy in _SUPPORT_DIRS
+    )
+    k = SUPPORT_HULL_K
+    return f"""
+    WITH pts AS ({points_sql}),
+    dirs AS (SELECT * FROM (VALUES {dirs}) AS d(dir, cx, cy)),
+    fan AS (
+      SELECT pts.{group_col} AS g, CAST(pts.{id_col} AS BIGINT) AS pid,
+             pts.px, pts.py, dirs.dir,
+             pts.px * dirs.cx + pts.py * dirs.cy AS proj
+      FROM pts CROSS JOIN dirs
+    ),
+    best AS (
+      SELECT g, dir, pid, px AS hx, py AS hy
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY g, dir
+                                     ORDER BY proj DESC, pid ASC) AS rn
+        FROM fan
+      ) WHERE rn = 1
+    ),
+    nxt AS (
+      SELECT g, (dir + 1) % {k} AS dir, hx AS nx, hy AS ny FROM best
+    ),
+    area AS (
+      SELECT b.g,
+             CAST(COUNT(DISTINCT b.pid) AS BIGINT) AS n_support_points,
+             ABS(SUM(b.hx * n.ny - n.nx * b.hy)) / 2.0 AS area
+      FROM best b JOIN nxt n ON b.g = n.g AND b.dir = n.dir
+      GROUP BY b.g
+    )
+    SELECT g AS {group_col}, n_support_points,
+           ROUND(area, {round_to}) AS hull_area
+    FROM area ORDER BY {group_col}
+    """

@@ -1361,3 +1361,98 @@ def dbscan_customer_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spatial86.dbscan_grid(
         pts, "c_custkey", "px", "py", eps=1.0, min_pts=3
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave91: support-function hull + newsvendor stocking quantiles
+# ──────────────────────────────────────────────────────────────────────────
+_HULL_PTS_SQL = f"""SELECT s_nationkey, s_suppkey, {_SLAT} AS px, {_SLON} AS py
+           FROM supplier"""
+
+
+@_spec(
+    "support_hull_nations",
+    _spatial86.support_hull_sql(_HULL_PTS_SQL, "s_nationkey", "s_suppkey"),
+    "spatial op — approximate convex hull of each nation's supplier "
+    "footprint via SUPPORT FUNCTIONS: 12 pinned directions (cosines "
+    "are Python-evaluated literals, no engine trig), per-direction "
+    "extreme point by one groupBy argmax, shoelace area over the "
+    "direction-ordered extremes. Monotone-chain hulls are sequential "
+    "per group; the support form is one broadcast fan-out + two hash "
+    "aggregates — scan shape at any scale, inscribing the true hull "
+    "with error vanishing in the direction count.",
+)
+def support_hull_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    pts = supp.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.expr(_SLAT).alias("px"),
+        F.expr(_SLON).alias("py"),
+    )
+    return _spatial86.support_hull(
+        pts, "s_nationkey", "s_suppkey", "px", "py"
+    )
+
+
+@_spec(
+    "newsvendor_stock_levels",
+    """
+    WITH weekly AS (
+      SELECT p.p_brand,
+             CAST(date_diff('day', DATE '1990-01-01',
+                            CAST(l.l_shipdate AS DATE)) // 7 AS BIGINT)
+               AS week,
+             SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS demand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_weeks,
+           quantile_cont(CAST(demand AS DOUBLE), 0.5) AS stock_cf50,
+           quantile_cont(CAST(demand AS DOUBLE), 0.75) AS stock_cf75,
+           quantile_cont(CAST(demand AS DOUBLE), 0.9) AS stock_cf90
+    FROM weekly GROUP BY p_brand ORDER BY p_brand
+    """,
+    "ops op — newsvendor stocking levels per brand: weekly demand "
+    "distribution (DECIMAL-exact sums), optimal stock = the demand "
+    "quantile at the critical fractile cu/(cu+co) for three "
+    "cost-ratio scenarios (1:1, 3:1, 9:1 -> 0.5/0.75/0.9). The "
+    "classic single-period inventory optimum reduced to exact "
+    "interpolated group quantiles — two hash aggregates, no solver. "
+    "At 100 TB the quantiles come off percentile_approx/KLL instead "
+    "(group_percentiles' documented swap).",
+)
+def newsvendor_stock_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    weekly = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.floor(
+                F.datediff(
+                    F.col("l_shipdate").cast("date"),
+                    F.lit("1990-01-01").cast("date"),
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("week"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("demand")
+        )
+    )
+    return (
+        weekly.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_weeks"),
+            F.expr("percentile(demand, 0.5)").alias("stock_cf50"),
+            F.expr("percentile(demand, 0.75)").alias("stock_cf75"),
+            F.expr("percentile(demand, 0.9)").alias("stock_cf90"),
+        )
+        .orderBy("p_brand")
+    )
