@@ -571,6 +571,9 @@ HEADLINE = [
     # wave 91 (round 6): support hull + newsvendor quantiles
     "support_hull_nations",
     "newsvendor_stock_levels",
+    # wave 92 (round 6): LMG importance + transition latency
+    "lmg_importance_price",
+    "transition_latency_profile",
 ]
 
 

@@ -1905,3 +1905,224 @@ def ridge_two_feature_sql(
            ROUND(SQRT(b1 * b1 + b2 * b2), {round_to}) AS coef_norm
     FROM sol ORDER BY lambda
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 92: LMG relative importance (exact Shapley R² decomposition, p=3)
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def lmg_importance(
+    df: DataFrame,
+    xs: Sequence[str],
+    y: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact LMG relative importance (Lindeman-Merenda-Gold; R's
+    relaimpo::lmg) for THREE predictors: each x_i's Shapley share of
+    the full model R² — the average of its R² increment over all 3!
+    orderings, the principled answer to "which covariate matters most"
+    that raw coefficients and marginal R²s both get wrong under
+    collinearity.
+
+    For p = 3 every subset R² is closed-form in the pairwise
+    correlations (1-var: r²; 2-var: the partial identity; 3-var:
+    Cramer on the 3×3 correlation matrix), so the WHOLE decomposition
+    is literal algebra over one 14-moment aggregate — no model fits,
+    no orderings enumerated at runtime. Shapley weights for p=3:
+    1/3·(0-subset), 1/6·(each 1-subset), 1/3·(2-subset).
+
+    Output: one row per predictor (variable, lmg_share, pct_of_r2),
+    plus exact additivity: Σ lmg_share = R²_full (pinned in tests).
+    Ordered by variable."""
+    if len(xs) != 3:
+        raise ValueError("lmg_importance: exactly three predictors")
+    x1, x2, x3 = xs
+    pts = df.filter(
+        F.col(x1).isNotNull()
+        & F.col(x2).isNotNull()
+        & F.col(x3).isNotNull()
+        & F.col(y).isNotNull()
+    ).select(
+        F.col(x1).cast("double").alias("__v1"),
+        F.col(x2).cast("double").alias("__v2"),
+        F.col(x3).cast("double").alias("__v3"),
+        F.col(y).cast("double").alias("__vy"),
+    )
+    names = ["1", "2", "3", "y"]
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[F.sum(f"__v{a}").alias(f"s{a}") for a in names],
+        *[
+            F.sum(F.col(f"__v{a}") * F.col(f"__v{b}")).alias(f"s{a}{b}")
+            for ai, a in enumerate(names)
+            for b in names[ai:]
+        ],
+    )
+    nn = F.col("n").cast("double")
+
+    def corr(a: str, b: str):
+        key = f"s{a}{b}" if f"s{a}{b}" in m.columns else f"s{b}{a}"
+        return (nn * F.col(key) - F.col(f"s{a}") * F.col(f"s{b}")) / F.sqrt(
+            (nn * F.col(f"s{a}{a}") - F.col(f"s{a}") * F.col(f"s{a}"))
+            * (nn * F.col(f"s{b}{b}") - F.col(f"s{b}") * F.col(f"s{b}"))
+        )
+
+    r12, r13, r23 = corr("1", "2"), corr("1", "3"), corr("2", "3")
+    r1y, r2y, r3y = corr("1", "y"), corr("2", "y"), corr("3", "y")
+
+    def r2_one(riy):
+        return riy * riy
+
+    def r2_two(ra, rb, rab):
+        return (ra * ra + rb * rb - F.lit(2.0) * ra * rb * rab) / (
+            F.lit(1.0) - rab * rab
+        )
+
+    # full-model R² = r' C⁻¹ r via Cramer on the correlation matrix
+    det = (
+        F.lit(1.0)
+        + F.lit(2.0) * r12 * r13 * r23
+        - r12 * r12
+        - r13 * r13
+        - r23 * r23
+    )
+    b1 = (
+        r1y * (F.lit(1.0) - r23 * r23)
+        + r2y * (r13 * r23 - r12)
+        + r3y * (r12 * r23 - r13)
+    ) / det
+    b2 = (
+        r1y * (r13 * r23 - r12)
+        + r2y * (F.lit(1.0) - r13 * r13)
+        + r3y * (r12 * r13 - r23)
+    ) / det
+    b3 = (
+        r1y * (r12 * r23 - r13)
+        + r2y * (r12 * r13 - r23)
+        + r3y * (F.lit(1.0) - r12 * r12)
+    ) / det
+    r2_full = b1 * r1y + b2 * r2y + b3 * r3y
+    r2_1, r2_2, r2_3 = r2_one(r1y), r2_one(r2y), r2_one(r3y)
+    r2_12 = r2_two(r1y, r2y, r12)
+    r2_13 = r2_two(r1y, r3y, r13)
+    r2_23 = r2_two(r2y, r3y, r23)
+    lmg1 = (
+        r2_1 / 3.0
+        + ((r2_12 - r2_2) + (r2_13 - r2_3)) / 6.0
+        + (r2_full - r2_23) / 3.0
+    )
+    lmg2 = (
+        r2_2 / 3.0
+        + ((r2_12 - r2_1) + (r2_23 - r2_3)) / 6.0
+        + (r2_full - r2_13) / 3.0
+    )
+    lmg3 = (
+        r2_3 / 3.0
+        + ((r2_13 - r2_1) + (r2_23 - r2_2)) / 6.0
+        + (r2_full - r2_12) / 3.0
+    )
+    rows = m.select(
+        r2_full.alias("__r2f"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(x1).alias("variable"), lmg1.alias("lmg")),
+                F.struct(F.lit(x2).alias("variable"), lmg2.alias("lmg")),
+                F.struct(F.lit(x3).alias("variable"), lmg3.alias("lmg")),
+            )
+        ).alias("e"),
+    ).select(
+        F.col("e.variable").alias("variable"),
+        F.round(F.col("e.lmg"), round_to).alias("lmg_share"),
+        F.round(F.col("e.lmg") / F.col("__r2f"), round_to).alias(
+            "pct_of_r2"
+        ),
+    )
+    return rows.orderBy("variable")
+
+
+def lmg_importance_sql(
+    table: str, xs: Sequence[str], y: str, round_to: int = 6
+) -> str:
+    """DuckDB twin of :func:`lmg_importance` (same formula order)."""
+    x1, x2, x3 = xs
+    names = ["1", "2", "3", "y"]
+    moment_cols = ", ".join(
+        [f"SUM(v{a}) AS s{a}" for a in names]
+        + [
+            f"SUM(v{a} * v{b}) AS s{a}{b}"
+            for ai, a in enumerate(names)
+            for b in names[ai:]
+        ]
+    )
+
+    def corr(a, b):
+        # callers always pass (a, b) in moment-column order
+        key = f"s{a}{b}"
+        return (
+            f"((CAST(n AS DOUBLE) * {key} - s{a} * s{b})"
+            f" / SQRT((CAST(n AS DOUBLE) * s{a}{a} - s{a} * s{a})"
+            f" * (CAST(n AS DOUBLE) * s{b}{b} - s{b} * s{b})))"
+        )
+
+    r12, r13, r23 = corr("1", "2"), corr("1", "3"), corr("2", "3")
+    r1y, r2y, r3y = corr("1", "y"), corr("2", "y"), corr("3", "y")
+    return f"""
+    WITH pts AS (
+      SELECT CAST({x1} AS DOUBLE) AS v1, CAST({x2} AS DOUBLE) AS v2,
+             CAST({x3} AS DOUBLE) AS v3, CAST({y} AS DOUBLE) AS vy
+      FROM {table}
+      WHERE {x1} IS NOT NULL AND {x2} IS NOT NULL AND {x3} IS NOT NULL
+        AND {y} IS NOT NULL
+    ),
+    m AS (SELECT COUNT(*) AS n, {moment_cols} FROM pts),
+    c AS (
+      SELECT {r12} AS r12, {r13} AS r13, {r23} AS r23,
+             {r1y} AS r1y, {r2y} AS r2y, {r3y} AS r3y
+      FROM m
+    ),
+    f AS (
+      SELECT *,
+             1.0 + 2.0 * r12 * r13 * r23 - r12 * r12 - r13 * r13
+               - r23 * r23 AS det
+      FROM c
+    ),
+    b AS (
+      SELECT *,
+             (r1y * (1.0 - r23 * r23) + r2y * (r13 * r23 - r12)
+              + r3y * (r12 * r23 - r13)) / det AS b1,
+             (r1y * (r13 * r23 - r12) + r2y * (1.0 - r13 * r13)
+              + r3y * (r12 * r13 - r23)) / det AS b2,
+             (r1y * (r12 * r23 - r13) + r2y * (r12 * r13 - r23)
+              + r3y * (1.0 - r12 * r12)) / det AS b3
+      FROM f
+    ),
+    r2s AS (
+      SELECT *,
+             b1 * r1y + b2 * r2y + b3 * r3y AS r2_full,
+             r1y * r1y AS r2_1, r2y * r2y AS r2_2, r3y * r3y AS r2_3,
+             (r1y * r1y + r2y * r2y - 2.0 * r1y * r2y * r12)
+               / (1.0 - r12 * r12) AS r2_12,
+             (r1y * r1y + r3y * r3y - 2.0 * r1y * r3y * r13)
+               / (1.0 - r13 * r13) AS r2_13,
+             (r2y * r2y + r3y * r3y - 2.0 * r2y * r3y * r23)
+               / (1.0 - r23 * r23) AS r2_23
+      FROM b
+    ),
+    lmg AS (
+      SELECT '{x1}' AS variable,
+             r2_1 / 3.0 + ((r2_12 - r2_2) + (r2_13 - r2_3)) / 6.0
+               + (r2_full - r2_23) / 3.0 AS lmg, r2_full FROM r2s
+      UNION ALL
+      SELECT '{x2}',
+             r2_2 / 3.0 + ((r2_12 - r2_1) + (r2_23 - r2_3)) / 6.0
+               + (r2_full - r2_13) / 3.0, r2_full FROM r2s
+      UNION ALL
+      SELECT '{x3}',
+             r2_3 / 3.0 + ((r2_13 - r2_1) + (r2_23 - r2_2)) / 6.0
+               + (r2_full - r2_12) / 3.0, r2_full FROM r2s
+    )
+    SELECT variable, ROUND(lmg, {round_to}) AS lmg_share,
+           ROUND(lmg / r2_full, {round_to}) AS pct_of_r2
+    FROM lmg ORDER BY variable
+    """

@@ -1456,3 +1456,64 @@ def newsvendor_stock_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@_spec(
+    "transition_latency_profile",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             epoch_us(ts) AS t,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_t
+      FROM events
+    ),
+    gaps AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(next_t - t AS BIGINT) AS gap_us
+      FROM seq WHERE next_type IS NOT NULL
+    )
+    SELECT from_type, to_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           quantile_cont(CAST(gap_us AS DOUBLE), 0.5) AS p50_gap_us,
+           quantile_cont(CAST(gap_us AS DOUBLE), 0.9) AS p90_gap_us
+    FROM gaps GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "ops op — process-mining transition latency profile: per "
+    "directly-follows pair (from_event -> to_event), the transition "
+    "count and the median / p90 inter-event gap — the bottleneck map "
+    "event_transition_matrix's bare counts can't give (a frequent "
+    "fast hop and a rare slow one need different fixes). One "
+    "per-user window (lag shuffle on user_id), exact microsecond "
+    "gaps, then a 25-row group-quantile rollup; ties in the event "
+    "order break on event_id in both engines.",
+)
+def transition_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type"),
+        F.unix_micros("ts").alias("t"),
+        F.lead("event_type").over(w).alias("to_type"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_t"),
+    ).filter(F.col("to_type").isNotNull())
+    gaps = seq.select(
+        F.col("event_type").alias("from_type"),
+        "to_type",
+        (F.col("next_t") - F.col("t")).cast("bigint").alias("gap_us"),
+    )
+    return (
+        gaps.groupBy("from_type", "to_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.expr("percentile(CAST(gap_us AS DOUBLE), 0.5)").alias(
+                "p50_gap_us"
+            ),
+            F.expr("percentile(CAST(gap_us AS DOUBLE), 0.9)").alias(
+                "p90_gap_us"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -2936,3 +2936,28 @@ def wasserstein_doclen_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gpd_tail_fit_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return _ts.gpd_tail_fit(li, "l_extendedprice", 95000.0)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave92: LMG relative importance (exact Shapley R² decomposition)
+# ──────────────────────────────────────────────────────────────────────────
+_W92_XS = ("l_discount", "l_quantity", "l_tax")
+
+
+@_spec(
+    "lmg_importance_price",
+    _reg83.lmg_importance_sql("lineitem", _W92_XS, "l_extendedprice"),
+    "stats op — exact LMG relative importance (relaimpo::lmg): each "
+    "predictor's Shapley share of the full-model R² for "
+    "extendedprice ~ (discount, quantity, tax), averaged over all 3! "
+    "orderings — the collinearity-proof answer to 'which covariate "
+    "matters most'. For p=3 every subset R² is closed-form in the "
+    "pairwise correlations (Cramer on the 3x3 correlation matrix for "
+    "the full model), so the whole decomposition is literal algebra "
+    "over ONE 14-moment aggregate: no fits, no ordering enumeration, "
+    "no second scan. Shares sum exactly to the full R² (pinned in "
+    "tests).",
+)
+def lmg_importance_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return _reg83.lmg_importance(li, _W92_XS, "l_extendedprice")
