@@ -574,6 +574,9 @@ HEADLINE = [
     # wave 92 (round 6): LMG importance + transition latency
     "lmg_importance_price",
     "transition_latency_profile",
+    # wave 93 (round 6): RMST + Qini uplift deciles
+    "rmst_retention",
+    "qini_uplift_deciles",
 ]
 
 

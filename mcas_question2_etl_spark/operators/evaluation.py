@@ -4823,3 +4823,128 @@ def wasserstein_1d_sql(
            ROUND(COALESCE(SUM(seg), 0.0), {round_to}) AS w1
     FROM seg
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 93: Qini uplift deciles
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def qini_uplift_deciles(
+    units: DataFrame,
+    treat_col: str = "t",
+    outcome_col: str = "y",
+    score_col: str = "score",
+    tie_col: str = "unit_id",
+    n_buckets: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Qini/uplift decile table over scored units: rank by the uplift
+    score (DESC, ``tie_col`` tie-break), split into ``n_buckets``
+    equal-frequency buckets, and report per bucket the CUMULATIVE
+    treated/control counts and conversions plus the two standard
+    curves —
+
+      uplift_at_k = conv_t/n_t − conv_c/n_c           (rate gap)
+      qini_at_k   = conv_t − conv_c · n_t/n_c         (absolute scale)
+
+    the targeting read-out behind every uplift model: if the score
+    works, early deciles carry most of the incremental conversions.
+    NTILE over the total order is deterministic in both engines; the
+    cumulative pass is a second window over the 10-row rollup. Output
+    per bucket: (bucket, n_treat, n_control, conv_treat, conv_control,
+    uplift_at_k, qini_at_k)."""
+    w = Window.orderBy(F.col(score_col).desc(), F.col(tie_col).asc())
+    bucketed = units.select(
+        F.ntile(n_buckets).over(w).cast("bigint").alias("bucket"),
+        F.col(treat_col).cast("int").alias("__t"),
+        F.col(outcome_col).cast("int").alias("__y"),
+    )
+    per = bucketed.groupBy("bucket").agg(
+        F.sum("__t").cast("bigint").alias("__bt"),
+        F.sum(F.lit(1) - F.col("__t")).cast("bigint").alias("__bc"),
+        F.sum(F.col("__t") * F.col("__y")).cast("bigint").alias("__byt"),
+        F.sum((F.lit(1) - F.col("__t")) * F.col("__y"))
+        .cast("bigint")
+        .alias("__byc"),
+    )
+    wc = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per.select(
+        "bucket",
+        F.sum("__bt").over(wc).alias("n_treat"),
+        F.sum("__bc").over(wc).alias("n_control"),
+        F.sum("__byt").over(wc).alias("conv_treat"),
+        F.sum("__byc").over(wc).alias("conv_control"),
+    )
+    nt = F.col("n_treat").cast("double")
+    nc = F.col("n_control").cast("double")
+    uplift = F.col("conv_treat").cast("double") / nt - F.col(
+        "conv_control"
+    ).cast("double") / nc
+    qini = F.col("conv_treat").cast("double") - F.col(
+        "conv_control"
+    ).cast("double") * nt / nc
+    return cum.select(
+        "bucket",
+        "n_treat",
+        "n_control",
+        "conv_treat",
+        "conv_control",
+        F.round(uplift, round_to).alias("uplift_at_k"),
+        F.round(qini, round_to).alias("qini_at_k"),
+    ).orderBy("bucket")
+
+
+def qini_uplift_deciles_sql(
+    units_sql: str,
+    treat_col: str = "t",
+    outcome_col: str = "y",
+    score_col: str = "score",
+    tie_col: str = "unit_id",
+    n_buckets: int = 10,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`qini_uplift_deciles`. ``units_sql`` must
+    yield (tie, treat, outcome, score) columns."""
+    return f"""
+    WITH units AS ({units_sql}),
+    bucketed AS (
+      SELECT NTILE({n_buckets}) OVER (ORDER BY {score_col} DESC,
+                                      {tie_col} ASC) AS bucket,
+             CAST({treat_col} AS INTEGER) AS t,
+             CAST({outcome_col} AS INTEGER) AS y
+      FROM units
+    ),
+    per AS (
+      SELECT bucket,
+             CAST(SUM(t) AS BIGINT) AS bt,
+             CAST(SUM(1 - t) AS BIGINT) AS bc,
+             CAST(SUM(t * y) AS BIGINT) AS byt,
+             CAST(SUM((1 - t) * y) AS BIGINT) AS byc
+      FROM bucketed GROUP BY bucket
+    ),
+    cum AS (
+      SELECT bucket,
+             CAST(SUM(bt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS n_treat,
+             CAST(SUM(bc) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS n_control,
+             CAST(SUM(byt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS conv_treat,
+             CAST(SUM(byc) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS conv_control
+      FROM per
+    )
+    SELECT bucket, n_treat, n_control, conv_treat, conv_control,
+           ROUND(CAST(conv_treat AS DOUBLE) / CAST(n_treat AS DOUBLE)
+                 - CAST(conv_control AS DOUBLE)
+                   / CAST(n_control AS DOUBLE), {round_to})
+             AS uplift_at_k,
+           ROUND(CAST(conv_treat AS DOUBLE)
+                 - CAST(conv_control AS DOUBLE)
+                   * CAST(n_treat AS DOUBLE) / CAST(n_control AS DOUBLE),
+                 {round_to}) AS qini_at_k
+    FROM cum ORDER BY bucket
+    """

@@ -555,3 +555,98 @@ def nelson_aalen_sql(
            ROUND(exp(-cum_hazard), 6) AS survival_fh
     FROM h
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 93: restricted mean survival time (area under the KM curve)
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def rmst(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_days: int = 7,
+    tau: int = 14,
+    round_to: int = 6,
+) -> DataFrame:
+    """Restricted mean survival time to horizon ``tau``: the area under
+    the Kaplan-Meier step curve, ``∫₀^τ Ŝ(t) dt`` — "expected retained
+    days within the first τ", the single-number survival summary that
+    stays defined under censoring where the plain mean does not
+    (Royston & Parmar 2013).
+
+    Step integration over the KM table (event times only): segment
+    [t_{i-1}, t_i) contributes S(t_{i-1})·(t_i - t_{i-1}) with
+    S(before first event) = 1, plus the tail S(t_last)·(τ - t_last).
+    The KM table is days-sized, so the lag window is a bounded kernel.
+    Output (one row): tau_days, n_event_times (≤ τ), rmst_days,
+    survival_at_tau."""
+    km = kaplan_meier(df, user_col, ts_col, censor_days).filter(
+        F.col("t_days") <= tau
+    )
+    w = Window.orderBy("t_days")
+    seg = km.select(
+        "t_days",
+        "survival",
+        F.lag("t_days", 1, 0).over(w).alias("__pt"),
+        F.lag("survival", 1, 1.0).over(w).alias("__ps"),
+    )
+    agg = seg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_event_times"),
+        F.sum(
+            F.col("__ps") * (F.col("t_days") - F.col("__pt")).cast("double")
+        ).alias("__steps"),
+        F.max(F.struct(F.col("t_days"), F.col("survival"))).alias("__last"),
+    )
+    tail = F.col("__last.survival") * (
+        F.lit(float(tau)) - F.col("__last.t_days").cast("double")
+    )
+    rmst_val = F.when(
+        F.col("n_event_times") > 0, F.col("__steps") + tail
+    ).otherwise(F.lit(float(tau)))
+    s_at_tau = F.coalesce(F.col("__last.survival"), F.lit(1.0))
+    return agg.select(
+        F.lit(tau).cast("bigint").alias("tau_days"),
+        "n_event_times",
+        F.round(rmst_val, round_to).alias("rmst_days"),
+        F.round(s_at_tau, round_to).alias("survival_at_tau"),
+    )
+
+
+def rmst_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_days: int = 7,
+    tau: int = 14,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`rmst` (wraps the KM twin as a subquery)."""
+    km = kaplan_meier_sql(table, user_col, ts_col, censor_days)
+    return f"""
+    WITH km AS (
+      SELECT * FROM ({km}) AS km_inner WHERE t_days <= {tau}
+    ),
+    seg AS (
+      SELECT t_days, survival,
+             LAG(t_days, 1, 0) OVER (ORDER BY t_days) AS pt,
+             LAG(survival, 1, 1.0) OVER (ORDER BY t_days) AS ps
+      FROM km
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_event_times,
+             SUM(ps * CAST(t_days - pt AS DOUBLE)) AS steps,
+             MAX(t_days) AS last_t,
+             ARG_MAX(survival, t_days) AS last_s
+      FROM seg
+    )
+    SELECT CAST({tau} AS BIGINT) AS tau_days,
+           n_event_times,
+           ROUND(CASE WHEN n_event_times > 0
+                      THEN steps + last_s
+                           * ({float(tau)!r} - CAST(last_t AS DOUBLE))
+                      ELSE {float(tau)!r} END, {round_to}) AS rmst_days,
+           ROUND(COALESCE(last_s, 1.0), {round_to}) AS survival_at_tau
+    FROM agg
+    """

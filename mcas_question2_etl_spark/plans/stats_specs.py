@@ -2961,3 +2961,69 @@ _W92_XS = ("l_discount", "l_quantity", "l_tax")
 def lmg_importance_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return _reg83.lmg_importance(li, _W92_XS, "l_extendedprice")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave93: RMST + Qini uplift deciles
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "rmst_retention",
+    survival.rmst_sql(tau=14),
+    "survival op — restricted mean survival time to tau=14 days: the "
+    "area under the Kaplan-Meier retention curve, 'expected retained "
+    "days in the first two weeks' — the censoring-proof single-number "
+    "summary the plain mean lifetime isn't (Royston-Parmar). Step "
+    "integration is a lag window over the days-sized KM table "
+    "(bounded kernel); rides the same lifetimes rollup as "
+    "kaplan_meier_retention.",
+)
+def rmst_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return survival.rmst(events, tau=14)
+
+
+_QINI_UNITS_SQL = """
+      SELECT user_id AS unit_id,
+             CAST(user_id % 2 AS INTEGER) AS t,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 200.0
+                      THEN 1 ELSE 0 END) AS y,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS score
+      FROM events GROUP BY user_id
+"""
+
+
+@_spec(
+    "qini_uplift_deciles",
+    evaluation.qini_uplift_deciles_sql(_QINI_UNITS_SQL),
+    "experimentation op — Qini/uplift decile table: users ranked by "
+    "an engagement score (click count — the candidate targeting "
+    "signal), split into 10 NTILE buckets over a (score DESC, "
+    "user_id) total order, cumulative treated/control conversions "
+    "per bucket and the two standard curves (rate-gap uplift_at_k, "
+    "absolute-scale qini_at_k). The read-out behind every uplift "
+    "model: if the score targets well, early deciles carry the "
+    "incremental conversions. Treatment is the deterministic "
+    "even/odd split shared with bayes_ab_conversion; one users-sized "
+    "rollup, then two 10-row windows.",
+)
+def qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    units = events.groupBy(F.col("user_id").alias("unit_id")).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 200.0),
+                1,
+            ).otherwise(0)
+        ).alias("y"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("double")
+        .alias("score"),
+    ).select(
+        "unit_id",
+        (F.col("unit_id") % 2).cast("int").alias("t"),
+        "y",
+        "score",
+    )
+    return evaluation.qini_uplift_deciles(units)
