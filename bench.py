@@ -577,6 +577,9 @@ HEADLINE = [
     # wave 93 (round 6): RMST + Qini uplift deciles
     "rmst_retention",
     "qini_uplift_deciles",
+    # wave 94 (round 6): Siegel repeated medians + GK lambda
+    "siegel_repeated_medians_daily",
+    "gk_lambda_source_lang",
 ]
 
 

@@ -4948,3 +4948,120 @@ def qini_uplift_deciles_sql(
                  {round_to}) AS qini_at_k
     FROM cum ORDER BY bucket
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 94: Goodman-Kruskal lambda (proportional reduction in error)
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def gk_lambda(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Goodman-Kruskal λ for a pair of categoricals: the proportional
+    reduction in prediction ERROR — λ_{B|A} = (Σ_a max_b n_ab − max_b
+    n_b) / (n − max_b n_b), i.e. how much knowing A shrinks the
+    misclassification rate of guessing B's mode. The PRE complement to
+    the suite's chi²/Cramér's V/Theil's U family: V measures
+    association strength, U information shared, λ answers the modeling
+    question directly ("does this feature improve a majority-class
+    baseline at all?") and is exactly 0 when A never changes B's
+    modal guess — a sharper null than V's.
+
+    Exact integer cell counts; three tiny aggregates over the
+    contingency rollup. Output (one row): n, lambda_b_given_a,
+    lambda_a_given_b, lambda_symmetric (Goodman-Kruskal's averaged
+    form)."""
+    cells = df.groupBy(
+        F.col(a_col).alias("__a"), F.col(b_col).alias("__b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    row_max = cells.groupBy("__a").agg(F.max("__n").alias("__m"))
+    col_max = cells.groupBy("__b").agg(F.max("__n").alias("__m"))
+    marg_b = (
+        cells.groupBy("__b")
+        .agg(F.sum("__n").alias("__nb"))
+        .agg(F.max("__nb").cast("bigint").alias("max_b"))
+    )
+    marg_a = (
+        cells.groupBy("__a")
+        .agg(F.sum("__n").alias("__na"))
+        .agg(F.max("__na").cast("bigint").alias("max_a"))
+    )
+    sums = (
+        cells.agg(F.sum("__n").cast("bigint").alias("n"))
+        .crossJoin(
+            F.broadcast(
+                row_max.agg(F.sum("__m").cast("bigint").alias("sum_row_max"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                col_max.agg(F.sum("__m").cast("bigint").alias("sum_col_max"))
+            )
+        )
+        .crossJoin(F.broadcast(marg_b))
+        .crossJoin(F.broadcast(marg_a))
+    )
+    nn = F.col("n").cast("double")
+    l_ba = (F.col("sum_row_max") - F.col("max_b")).cast("double") / (
+        nn - F.col("max_b").cast("double")
+    )
+    l_ab = (F.col("sum_col_max") - F.col("max_a")).cast("double") / (
+        nn - F.col("max_a").cast("double")
+    )
+    l_sym = (
+        (
+            F.col("sum_row_max")
+            + F.col("sum_col_max")
+            - F.col("max_b")
+            - F.col("max_a")
+        ).cast("double")
+        / (F.lit(2.0) * nn - F.col("max_b").cast("double") - F.col("max_a").cast("double"))
+    )
+    return sums.select(
+        "n",
+        F.round(l_ba, round_to).alias("lambda_b_given_a"),
+        F.round(l_ab, round_to).alias("lambda_a_given_b"),
+        F.round(l_sym, round_to).alias("lambda_symmetric"),
+    )
+
+
+def gk_lambda_sql(
+    table: str, a_col: str, b_col: str, round_to: int = 6
+) -> str:
+    """DuckDB twin of :func:`gk_lambda`."""
+    return f"""
+    WITH cells AS (
+      SELECT {a_col} AS a, {b_col} AS b, CAST(COUNT(*) AS BIGINT) AS n
+      FROM {table} GROUP BY 1, 2
+    ),
+    sums AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n,
+             CAST((SELECT SUM(m) FROM (SELECT MAX(n) AS m FROM cells
+                                       GROUP BY a)) AS BIGINT)
+               AS sum_row_max,
+             CAST((SELECT SUM(m) FROM (SELECT MAX(n) AS m FROM cells
+                                       GROUP BY b)) AS BIGINT)
+               AS sum_col_max,
+             CAST((SELECT MAX(nb) FROM (SELECT SUM(n) AS nb FROM cells
+                                        GROUP BY b)) AS BIGINT) AS max_b,
+             CAST((SELECT MAX(na) FROM (SELECT SUM(n) AS na FROM cells
+                                        GROUP BY a)) AS BIGINT) AS max_a
+      FROM cells
+    )
+    SELECT n,
+           ROUND(CAST(sum_row_max - max_b AS DOUBLE)
+                 / (CAST(n AS DOUBLE) - CAST(max_b AS DOUBLE)),
+                 {round_to}) AS lambda_b_given_a,
+           ROUND(CAST(sum_col_max - max_a AS DOUBLE)
+                 / (CAST(n AS DOUBLE) - CAST(max_a AS DOUBLE)),
+                 {round_to}) AS lambda_a_given_b,
+           ROUND(CAST(sum_row_max + sum_col_max - max_b - max_a AS DOUBLE)
+                 / (2.0 * CAST(n AS DOUBLE) - CAST(max_b AS DOUBLE)
+                    - CAST(max_a AS DOUBLE)), {round_to})
+             AS lambda_symmetric
+    FROM sums
+    """

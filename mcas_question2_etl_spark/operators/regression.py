@@ -2126,3 +2126,92 @@ def lmg_importance_sql(
            ROUND(lmg / r2_full, {round_to}) AS pct_of_r2
     FROM lmg ORDER BY variable
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 94: Siegel repeated-medians slope (50% breakdown robust trend)
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def siegel_repeated_medians(
+    daily: DataFrame,
+    date_col: str = "day",
+    value_col: str = "y",
+    round_to: int = 6,
+) -> DataFrame:
+    """Siegel's repeated-medians line: slope = median over points i of
+    (median over j≠i of pairwise slope (y_j-y_i)/(x_j-x_i)), intercept
+    = median of (y_i - slope·x_i). Breakdown point 50% — twice
+    Theil-Sen's 29%, the strongest simple robust trend there is: half
+    the days can be garbage and the line stands.
+
+    The pair stage is the daily-rollup self-join (bounded kernel, same
+    discipline as matrix_profile/newey_west: n = days, never rows);
+    the two median passes are exact interpolated percentiles. Output
+    (one row): n_days, slope, intercept."""
+    pts = daily.select(
+        F.col(date_col).cast("double").alias("__x"),
+        F.col(value_col).cast("double").alias("__y"),
+    )
+    a = pts.select(F.col("__x").alias("xi"), F.col("__y").alias("yi"))
+    b = pts.select(F.col("__x").alias("xj"), F.col("__y").alias("yj"))
+    inner = (
+        a.join(b, F.col("xi") != F.col("xj"))
+        .select(
+            "xi",
+            "yi",
+            (
+                (F.col("yj") - F.col("yi")) / (F.col("xj") - F.col("xi"))
+            ).alias("__s"),
+        )
+        .groupBy("xi", "yi")
+        .agg(F.expr("percentile(__s, 0.5)").alias("__ms"))
+    )
+    agg = inner.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr("percentile(__ms, 0.5)").alias("__slope"),
+    )
+    both = inner.crossJoin(F.broadcast(agg)).agg(
+        F.max("n_days").alias("n_days"),
+        F.max("__slope").alias("__slope"),
+        F.expr("percentile(yi - __slope * xi, 0.5)").alias("__icpt"),
+    )
+    return both.select(
+        "n_days",
+        F.round("__slope", round_to).alias("slope"),
+        F.round("__icpt", round_to).alias("intercept"),
+    )
+
+
+def siegel_repeated_medians_sql(
+    daily_sql: str,
+    date_col: str = "day",
+    value_col: str = "y",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`siegel_repeated_medians`."""
+    return f"""
+    WITH d0 AS ({daily_sql}),
+    pts AS (
+      SELECT CAST({date_col} AS DOUBLE) AS x,
+             CAST({value_col} AS DOUBLE) AS y
+      FROM d0
+    ),
+    inner_med AS (
+      SELECT a.x AS xi, a.y AS yi,
+             quantile_cont((b.y - a.y) / (b.x - a.x), 0.5) AS ms
+      FROM pts a JOIN pts b ON a.x <> b.x
+      GROUP BY a.x, a.y
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             quantile_cont(ms, 0.5) AS slope
+      FROM inner_med
+    )
+    SELECT s.n_days,
+           ROUND(s.slope, {round_to}) AS slope,
+           ROUND(quantile_cont(i.yi - s.slope * i.xi, 0.5), {round_to})
+             AS intercept
+    FROM inner_med i CROSS JOIN s
+    GROUP BY s.n_days, s.slope
+    """

@@ -3027,3 +3027,59 @@ def qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
     )
     return evaluation.qini_uplift_deciles(units)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave94: Siegel repeated medians + Goodman-Kruskal lambda
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "siegel_repeated_medians_daily",
+    _reg83.siegel_repeated_medians_sql(
+        """SELECT CAST(date_diff('day', DATE '1990-01-01',
+                                 CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS y
+           FROM orders GROUP BY 1"""
+    ),
+    "stats op — Siegel repeated-medians trend of daily revenue: slope "
+    "= median over days of (median of pairwise slopes through that "
+    "day), intercept = median of residual offsets. Breakdown point "
+    "50% — twice Theil-Sen's, the strongest simple robust line: half "
+    "the days can be corrupt and the trend stands. The pair stage is "
+    "the bounded daily-rollup self-join (n = days, never rows); both "
+    "median passes are exact interpolated percentiles.",
+)
+def siegel_repeated_medians_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1990-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    return _reg83.siegel_repeated_medians(daily, "day", "y")
+
+
+@_spec(
+    "gk_lambda_source_lang",
+    evaluation.gk_lambda_sql("documents", "source", "lang"),
+    "stats op — Goodman-Kruskal lambda on the source x lang "
+    "contingency: the proportional-reduction-in-error association "
+    "measure (how much knowing source shrinks the error of guessing "
+    "lang's mode, both directions + the symmetric form). The PRE "
+    "complement to chi2/Cramers-V/Theils-U already in the suite: "
+    "exactly 0 when the feature never changes the modal guess — the "
+    "baseline-beating question a modeler actually asks. Exact "
+    "integer cell counts, three tiny rollups.",
+)
+def gk_lambda_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return evaluation.gk_lambda(docs, "source", "lang")
