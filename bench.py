@@ -580,6 +580,9 @@ HEADLINE = [
     # wave 94 (round 6): Siegel repeated medians + GK lambda
     "siegel_repeated_medians_daily",
     "gk_lambda_source_lang",
+    # wave 95 (round 6): Chatterjee xi + distance correlation
+    "chatterjee_xi_daily",
+    "distance_corr_weekly",
 ]
 
 

@@ -445,3 +445,257 @@ def gaussian_rank_correlation_sql(
                  {round_to}) AS gauss_rank_corr
     FROM m
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 95: Chatterjee's ξ + distance correlation
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def chatterjee_xi(
+    df: DataFrame,
+    x: str,
+    y: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Chatterjee's ξ rank coefficient (JASA 2020): the dependence
+    measure that is 0 iff the columns are independent and 1 iff ``y``
+    is a measurable FUNCTION of ``x`` — monotone or not. Pearson /
+    Spearman / Kendall / the Gaussian-rank estimator all read ~0 on a
+    perfect parabola; ξ reads ~1, which is the question a feature
+    screen actually asks ("does x determine y at all?"). Deliberately
+    asymmetric in (x, y).
+
+    Ties-robust form: sort by x (deterministic (x, y) tie-break so
+    both engines walk the same permutation), let r_i = #{j: y_j ≤
+    y_i} and l_i = #{j: y_j ≥ y_i} (both via RANK(), no RANGE
+    frames), then
+
+        ξ = 1 − n · Σ_{i<n} |r_{i+1} − r_i| / (2 · Σ_i l_i (n − l_i))
+
+    which reduces to the classic 1 − 3Σ|Δr|/(n²−1) when y has no
+    ties. Intended for a bounded rollup (days-sized): the rank
+    windows are global by construction, same discipline as
+    gaussian_rank_correlation above. Output (one row): n, xi."""
+    pts = df.filter(F.col(x).isNotNull() & F.col(y).isNotNull()).select(
+        F.col(x).cast("double").alias("__x"),
+        F.col(y).cast("double").alias("__y"),
+    )
+    n_w = F.count(F.lit(1)).over(Window.partitionBy())
+    rank_desc = F.rank().over(Window.orderBy(F.col("__y").desc()))
+    rank_asc = F.rank().over(Window.orderBy(F.col("__y")))
+    ranked = pts.select(
+        "__x",
+        "__y",
+        n_w.cast("bigint").alias("__n"),
+        (n_w - rank_desc + 1).cast("bigint").alias("__r"),
+        (n_w - rank_asc + 1).cast("bigint").alias("__l"),
+    )
+    w_x = Window.orderBy(F.col("__x"), F.col("__y"))
+    stepped = ranked.select(
+        "__n",
+        "__r",
+        "__l",
+        F.lead("__r").over(w_x).alias("__r_next"),
+    )
+    m = stepped.agg(
+        F.max("__n").alias("n"),
+        F.sum(
+            F.when(
+                F.col("__r_next").isNotNull(),
+                F.abs(F.col("__r_next") - F.col("__r")),
+            ).otherwise(F.lit(0))
+        )
+        .cast("double")
+        .alias("num"),
+        F.sum(F.col("__l") * (F.col("__n") - F.col("__l")))
+        .cast("double")
+        .alias("den"),
+    )
+    xi = F.lit(1.0) - F.col("n").cast("double") * F.col("num") / (
+        F.lit(2.0) * F.col("den")
+    )
+    return m.select("n", F.round(xi, round_to).alias("xi"))
+
+
+def chatterjee_xi_sql(
+    source_sql: str, x: str, y: str, round_to: int = 6
+) -> str:
+    """DuckDB twin of :func:`chatterjee_xi`. ``source_sql`` must yield
+    columns ``{x}`` and ``{y}``."""
+    return f"""
+    WITH src AS ({source_sql}),
+    pts AS (
+      SELECT CAST({x} AS DOUBLE) AS xv, CAST({y} AS DOUBLE) AS yv
+      FROM src WHERE {x} IS NOT NULL AND {y} IS NOT NULL
+    ),
+    ranked AS (
+      SELECT xv, yv,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             CAST(COUNT(*) OVER ()
+                  - RANK() OVER (ORDER BY yv DESC) + 1 AS BIGINT) AS r,
+             CAST(COUNT(*) OVER ()
+                  - RANK() OVER (ORDER BY yv) + 1 AS BIGINT) AS l
+      FROM pts
+    ),
+    stepped AS (
+      SELECT n, r, l, LEAD(r) OVER (ORDER BY xv, yv) AS r_next
+      FROM ranked
+    ),
+    m AS (
+      SELECT MAX(n) AS n,
+             CAST(SUM(CASE WHEN r_next IS NOT NULL
+                           THEN ABS(r_next - r) ELSE 0 END) AS DOUBLE)
+               AS num,
+             CAST(SUM(l * (n - l)) AS DOUBLE) AS den
+      FROM stepped
+    )
+    SELECT n,
+           ROUND(1.0 - CAST(n AS DOUBLE) * num / (2.0 * den),
+                 {round_to}) AS xi
+    FROM m
+    """
+
+
+def distance_correlation(
+    df: DataFrame,
+    x: str,
+    y: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Székely-Rizzo distance correlation of two columns: dCor = 0
+    iff independent (unlike Pearson's 0), sensitive to ANY form of
+    dependence, via the V-statistic identity that needs only pair
+    distances — dCov² = S1 + S2 − 2·S3 with S1 = Σa·b/n², S2 = ā·b̄,
+    S3 = Σ_j ā_j·b̄_j/n (a_jk = |x_j − x_k|, row sums from one
+    groupBy over the pair table), and dCor² = dCov²/√(dVarX·dVarY)
+    where the dVars apply the same identity to (a,a) and (b,b).
+
+    One self-join over the (already aggregated, bounded) input — the
+    caller must pass a rollup whose row count is weeks/days-sized, so
+    the pair table is n² of a SMALL n, never of the raw table. Rows
+    must be distinct on (x, y) — the row-sum stage keys on the point
+    itself (a keyed rollup satisfies this for free; exact duplicates
+    would collapse to one observation, identically in both engines).
+    Both inputs should be pre-normalized to O(1) scale (the statistic
+    is scale-invariant; normalizing keeps the n²-term float sums well
+    inside the round-to-6 contract across engines). Output (one row):
+    n, dcor, dvar_x, dvar_y."""
+    pts = df.filter(F.col(x).isNotNull() & F.col(y).isNotNull()).select(
+        F.col(x).cast("double").alias("__x"),
+        F.col(y).cast("double").alias("__y"),
+    )
+    left = pts.select(
+        F.col("__x").alias("__xi"), F.col("__y").alias("__yi")
+    )
+    right = pts.select(
+        F.col("__x").alias("__xj"), F.col("__y").alias("__yj")
+    )
+    pairs = left.crossJoin(right).select(
+        "__xi",
+        "__yi",
+        F.abs(F.col("__xi") - F.col("__xj")).alias("__a"),
+        F.abs(F.col("__yi") - F.col("__yj")).alias("__b"),
+    )
+    per_i = pairs.groupBy("__xi", "__yi").agg(
+        F.sum("__a").alias("ra"),
+        F.sum("__b").alias("rb"),
+        F.sum(F.col("__a") * F.col("__b")).alias("sab"),
+        F.sum(F.col("__a") * F.col("__a")).alias("saa"),
+        F.sum(F.col("__b") * F.col("__b")).alias("sbb"),
+    )
+    g = per_i.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ra").alias("sa"),
+        F.sum("rb").alias("sb"),
+        F.sum("sab").alias("t_ab"),
+        F.sum("saa").alias("t_aa"),
+        F.sum("sbb").alias("t_bb"),
+        F.sum(F.col("ra") * F.col("rb")).alias("t_rab"),
+        F.sum(F.col("ra") * F.col("ra")).alias("t_raa"),
+        F.sum(F.col("rb") * F.col("rb")).alias("t_rbb"),
+    )
+    nn = F.col("n").cast("double")
+    n2 = nn * nn
+    n3 = n2 * nn
+    abar = F.col("sa") / n2
+    bbar = F.col("sb") / n2
+    dcov2 = (
+        F.col("t_ab") / n2 + abar * bbar - F.lit(2.0) * F.col("t_rab") / n3
+    )
+    dvarx = (
+        F.col("t_aa") / n2 + abar * abar - F.lit(2.0) * F.col("t_raa") / n3
+    )
+    dvary = (
+        F.col("t_bb") / n2 + bbar * bbar - F.lit(2.0) * F.col("t_rbb") / n3
+    )
+    dcor = F.sqrt(
+        F.greatest(dcov2, F.lit(0.0)) / F.sqrt(dvarx * dvary)
+    )
+    return g.select(
+        "n",
+        F.round(dcor, round_to).alias("dcor"),
+        F.round(dvarx, round_to).alias("dvar_x"),
+        F.round(dvary, round_to).alias("dvar_y"),
+    )
+
+
+def distance_correlation_sql(
+    source_sql: str, x: str, y: str, round_to: int = 6
+) -> str:
+    """DuckDB twin of :func:`distance_correlation`. ``source_sql``
+    must yield columns ``{x}`` and ``{y}``."""
+    return f"""
+    WITH src AS ({source_sql}),
+    pts AS (
+      SELECT CAST({x} AS DOUBLE) AS xv, CAST({y} AS DOUBLE) AS yv
+      FROM src WHERE {x} IS NOT NULL AND {y} IS NOT NULL
+    ),
+    pairs AS (
+      SELECT i.xv AS xi, i.yv AS yi,
+             ABS(i.xv - j.xv) AS a, ABS(i.yv - j.yv) AS b
+      FROM pts i CROSS JOIN pts j
+    ),
+    per_i AS (
+      SELECT xi, yi,
+             SUM(a) AS ra, SUM(b) AS rb,
+             SUM(a * b) AS sab, SUM(a * a) AS saa, SUM(b * b) AS sbb
+      FROM pairs GROUP BY xi, yi
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(ra) AS sa, SUM(rb) AS sb,
+             SUM(sab) AS t_ab, SUM(saa) AS t_aa, SUM(sbb) AS t_bb,
+             SUM(ra * rb) AS t_rab, SUM(ra * ra) AS t_raa,
+             SUM(rb * rb) AS t_rbb
+      FROM per_i
+    )
+    SELECT n,
+           ROUND(SQRT(GREATEST(t_ab / (CAST(n AS DOUBLE) * n)
+                               + (sa / (CAST(n AS DOUBLE) * n))
+                                 * (sb / (CAST(n AS DOUBLE) * n))
+                               - 2.0 * t_rab
+                                 / (CAST(n AS DOUBLE) * n * n), 0.0)
+                      / SQRT((t_aa / (CAST(n AS DOUBLE) * n)
+                              + (sa / (CAST(n AS DOUBLE) * n))
+                                * (sa / (CAST(n AS DOUBLE) * n))
+                              - 2.0 * t_raa
+                                / (CAST(n AS DOUBLE) * n * n))
+                             * (t_bb / (CAST(n AS DOUBLE) * n)
+                                + (sb / (CAST(n AS DOUBLE) * n))
+                                  * (sb / (CAST(n AS DOUBLE) * n))
+                                - 2.0 * t_rbb
+                                  / (CAST(n AS DOUBLE) * n * n)))),
+                 {round_to}) AS dcor,
+           ROUND(t_aa / (CAST(n AS DOUBLE) * n)
+                 + (sa / (CAST(n AS DOUBLE) * n))
+                   * (sa / (CAST(n AS DOUBLE) * n))
+                 - 2.0 * t_raa / (CAST(n AS DOUBLE) * n * n),
+                 {round_to}) AS dvar_x,
+           ROUND(t_bb / (CAST(n AS DOUBLE) * n)
+                 + (sb / (CAST(n AS DOUBLE) * n))
+                   * (sb / (CAST(n AS DOUBLE) * n))
+                 - 2.0 * t_rbb / (CAST(n AS DOUBLE) * n * n),
+                 {round_to}) AS dvar_y
+    FROM g
+    """

@@ -3083,3 +3083,106 @@ def siegel_repeated_medians_daily(
 def gk_lambda_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return evaluation.gk_lambda(docs, "source", "lang")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave95: Chatterjee's ξ + distance correlation
+# ──────────────────────────────────────────────────────────────────────────
+
+_DAILY_REV_SQL_W95 = """SELECT CAST(date_diff('day', DATE '1990-01-01',
+                                 CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS revenue
+           FROM orders GROUP BY 1"""
+
+_WEEKLY_NORM_SQL_W95 = """WITH weekly AS (
+      SELECT CAST(FLOOR(date_diff('day', DATE '1990-01-01',
+                                  CAST(o_orderdate AS DATE)) / 7)
+                  AS BIGINT) AS week,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(rev_d AS DOUBLE) * CAST(COUNT(*) OVER () AS DOUBLE)
+             / CAST(SUM(rev_d) OVER () AS DOUBLE) AS rev_n,
+           CAST(cnt AS DOUBLE) * CAST(COUNT(*) OVER () AS DOUBLE)
+             / CAST(SUM(cnt) OVER () AS DOUBLE) AS cnt_n
+    FROM weekly"""
+
+
+@_spec(
+    "chatterjee_xi_daily",
+    _prob84.chatterjee_xi_sql(_DAILY_REV_SQL_W95, "day", "revenue"),
+    "stats op — Chatterjee's ξ (JASA 2020) of daily revenue as a "
+    "function of the day index: the rank coefficient that is 0 iff "
+    "independent and 1 iff y is a measurable function of x, monotone "
+    "or NOT — the feature-screen question Pearson/Spearman/Kendall/"
+    "Gaussian-rank (all already in the suite) cannot answer on a "
+    "non-monotone signal. Ties-robust RANK() form, no RANGE frames; "
+    "the global rank windows run on the bounded daily rollup, same "
+    "discipline as gaussian_rank_corr_daily; daily revenue sums in "
+    "exact DECIMAL so ranks cannot flip on summation order.",
+)
+def chatterjee_xi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1990-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    return _prob84.chatterjee_xi(daily, "day", "revenue")
+
+
+@_spec(
+    "distance_corr_weekly",
+    _prob84.distance_correlation_sql(
+        _WEEKLY_NORM_SQL_W95, "rev_n", "cnt_n"
+    ),
+    "stats op — Székely-Rizzo distance correlation between weekly "
+    "revenue and weekly order count: dCor = 0 iff INDEPENDENT (a "
+    "strictly stronger null than Pearson's), sensitive to any "
+    "dependence shape, via the V-statistic identity dCov² = S1 + S2 "
+    "− 2·S3 over pair distances. The pair stage is the bounded "
+    "weekly-rollup self-join (n = weeks, never rows — ~360² pairs); "
+    "both series are mean-normalized with DECIMAL-exact totals so "
+    "every pair term is O(1) and the n² float sums sit well inside "
+    "the round-to-6 cross-engine contract.",
+)
+def distance_corr_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.floor(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1990-01-01").cast("date"),
+            )
+            / 7
+        )
+        .cast("bigint")
+        .alias("week")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_d"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    w_all = Window.partitionBy()
+    n_weeks = F.count(F.lit(1)).over(w_all).cast("double")
+    norm = weekly.select(
+        (
+            F.col("rev_d").cast("double")
+            * n_weeks
+            / F.sum("rev_d").over(w_all).cast("double")
+        ).alias("rev_n"),
+        (
+            F.col("cnt").cast("double")
+            * n_weeks
+            / F.sum("cnt").over(w_all).cast("double")
+        ).alias("cnt_n"),
+    )
+    return _prob84.distance_correlation(norm, "rev_n", "cnt_n")
