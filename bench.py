@@ -583,6 +583,9 @@ HEADLINE = [
     # wave 95 (round 6): Chatterjee xi + distance correlation
     "chatterjee_xi_daily",
     "distance_corr_weekly",
+    # wave 96 (round 6): Fleiss kappa + Krippendorff alpha
+    "fleiss_kappa_gates",
+    "krippendorff_alpha_gates",
 ]
 
 

@@ -5065,3 +5065,233 @@ def gk_lambda_sql(
              AS lambda_symmetric
     FROM sums
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 96: multi-rater agreement — Fleiss' κ + Krippendorff's α
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    ratings: list[Column],
+    round_to: int = 6,
+) -> DataFrame:
+    """Fleiss' κ: chance-corrected agreement among m ≥ 2 raters
+    assigning each item to one of k categories — the multi-rater
+    generalization of Cohen's κ (cohens_kappa above handles exactly
+    two). Each entry of ``ratings`` is a string-typed Column (one
+    rater's verdict per row); ratings must be COMPLETE (no NULLs) —
+    the formula assumes a constant m per item (krippendorff_alpha
+    below is the missing-data-tolerant sibling).
+
+    With n_ij = raters putting item i in category j:
+    P_i = (Σ_j n_ij² − m)/(m(m−1)), P̄ = mean_i P_i,
+    p_j = Σ_i n_ij/(N·m), P̄_e = Σ_j p_j², κ = (P̄−P̄_e)/(1−P̄_e).
+    Everything is exact integer aggregation (melt → two tiny
+    rollups); one double division at the end. Output (one row):
+    n_items, n_raters, p_bar, p_e, kappa."""
+    m = len(ratings)
+    long = None
+    for r in ratings:
+        part = df.select(
+            F.col(item_col).alias("__item"), r.cast("string").alias("__c")
+        )
+        long = part if long is None else long.unionByName(part)
+    nij = long.groupBy("__item", "__c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    per_item = nij.groupBy("__item").agg(
+        F.sum(F.col("__n") * F.col("__n")).alias("__s2")
+    )
+    items = per_item.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("__s2").cast("bigint").alias("t_s2"),
+    )
+    cats = (
+        nij.groupBy("__c")
+        .agg(F.sum("__n").alias("__nc"))
+        .agg(F.sum(F.col("__nc") * F.col("__nc")).cast("bigint").alias("t_c2"))
+    )
+    g = items.crossJoin(F.broadcast(cats))
+    nm = F.col("n_items").cast("double") * F.lit(float(m))
+    p_bar = (F.col("t_s2").cast("double") - nm) / (
+        nm * F.lit(float(m - 1))
+    )
+    p_e = F.col("t_c2").cast("double") / (nm * nm)
+    kappa = (p_bar - p_e) / (F.lit(1.0) - p_e)
+    return g.select(
+        "n_items",
+        F.lit(m).cast("int").alias("n_raters"),
+        F.round(p_bar, round_to).alias("p_bar"),
+        F.round(p_e, round_to).alias("p_e"),
+        F.round(kappa, round_to).alias("kappa"),
+    )
+
+
+def fleiss_kappa_sql(
+    table: str,
+    item_col: str,
+    rating_sqls: list[str],
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`fleiss_kappa`. Each entry of
+    ``rating_sqls`` is a SQL expression over ``table`` yielding one
+    rater's string verdict."""
+    m = len(rating_sqls)
+    melt = "\n      UNION ALL ".join(
+        f"SELECT {item_col} AS item, CAST({r} AS VARCHAR) AS c FROM {table}"
+        for r in rating_sqls
+    )
+    return f"""
+    WITH long AS (
+      {melt}
+    ),
+    nij AS (
+      SELECT item, c, CAST(COUNT(*) AS BIGINT) AS n
+      FROM long GROUP BY item, c
+    ),
+    items AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(s2) AS BIGINT) AS t_s2
+      FROM (SELECT item, SUM(n * n) AS s2 FROM nij GROUP BY item)
+    ),
+    cats AS (
+      SELECT CAST(SUM(nc * nc) AS BIGINT) AS t_c2
+      FROM (SELECT c, SUM(n) AS nc FROM nij GROUP BY c)
+    )
+    SELECT n_items,
+           CAST({m} AS INT) AS n_raters,
+           ROUND((CAST(t_s2 AS DOUBLE)
+                  - CAST(n_items AS DOUBLE) * {float(m)})
+                 / (CAST(n_items AS DOUBLE) * {float(m)} * {float(m - 1)}),
+                 {round_to}) AS p_bar,
+           ROUND(CAST(t_c2 AS DOUBLE)
+                 / ((CAST(n_items AS DOUBLE) * {float(m)})
+                    * (CAST(n_items AS DOUBLE) * {float(m)})),
+                 {round_to}) AS p_e,
+           ROUND(((CAST(t_s2 AS DOUBLE)
+                   - CAST(n_items AS DOUBLE) * {float(m)})
+                  / (CAST(n_items AS DOUBLE) * {float(m)} * {float(m - 1)})
+                  - CAST(t_c2 AS DOUBLE)
+                    / ((CAST(n_items AS DOUBLE) * {float(m)})
+                       * (CAST(n_items AS DOUBLE) * {float(m)})))
+                 / (1.0 - CAST(t_c2 AS DOUBLE)
+                          / ((CAST(n_items AS DOUBLE) * {float(m)})
+                             * (CAST(n_items AS DOUBLE) * {float(m)}))),
+                 {round_to}) AS kappa
+    FROM items CROSS JOIN cats
+    """
+
+
+def krippendorff_alpha_nominal(
+    df: DataFrame,
+    item_col: str,
+    ratings: list[Column],
+    round_to: int = 6,
+) -> DataFrame:
+    """Krippendorff's α for nominal data — the agreement coefficient
+    that tolerates MISSING ratings (its whole reason to exist over
+    Fleiss' κ): NULL verdicts are dropped in the melt, each item
+    keeps its own rating count m_i, and items with m_i < 2 are
+    excluded (they carry no pairable information).
+
+    Coincidence form, all-integer until the last division: per item
+    the disagreeing-pair mass is (m_i² − Σ_c n_ic²)/(m_i − 1); with
+    n = Σ m_i and category totals n_c over the included items,
+    α = 1 − (n−1)·Σ_i[(m_i² − Σn_ic²)/(m_i−1)] / (n² − Σ_c n_c²).
+    Output (one row): n_items, n_ratings, alpha."""
+    long = None
+    for r in ratings:
+        part = df.select(
+            F.col(item_col).alias("__item"), r.cast("string").alias("__c")
+        )
+        long = part if long is None else long.unionByName(part)
+    long = long.filter(F.col("__c").isNotNull())
+    nij = long.groupBy("__item", "__c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    per_item = (
+        nij.groupBy("__item")
+        .agg(
+            F.sum("__n").cast("bigint").alias("__m"),
+            F.sum(F.col("__n") * F.col("__n")).cast("bigint").alias("__s2"),
+        )
+        .filter(F.col("__m") >= 2)
+    )
+    items = per_item.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("__m").cast("bigint").alias("n_ratings"),
+        F.sum(
+            (
+                F.col("__m") * F.col("__m") - F.col("__s2")
+            ).cast("double")
+            / (F.col("__m") - 1).cast("double")
+        ).alias("d_num"),
+    )
+    cats = (
+        nij.join(per_item.select("__item"), "__item")
+        .groupBy("__c")
+        .agg(F.sum("__n").alias("__nc"))
+        .agg(F.sum(F.col("__nc") * F.col("__nc")).cast("bigint").alias("t_c2"))
+    )
+    g = items.crossJoin(F.broadcast(cats))
+    n = F.col("n_ratings").cast("double")
+    alpha = F.lit(1.0) - (n - F.lit(1.0)) * F.col("d_num") / (
+        n * n - F.col("t_c2").cast("double")
+    )
+    return g.select(
+        "n_items",
+        "n_ratings",
+        F.round(alpha, round_to).alias("alpha"),
+    )
+
+
+def krippendorff_alpha_nominal_sql(
+    table: str,
+    item_col: str,
+    rating_sqls: list[str],
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`krippendorff_alpha_nominal`."""
+    melt = "\n      UNION ALL ".join(
+        f"SELECT {item_col} AS item, CAST({r} AS VARCHAR) AS c FROM {table}"
+        for r in rating_sqls
+    )
+    return f"""
+    WITH long AS (
+      SELECT * FROM (
+      {melt}
+      ) WHERE c IS NOT NULL
+    ),
+    nij AS (
+      SELECT item, c, CAST(COUNT(*) AS BIGINT) AS n
+      FROM long GROUP BY item, c
+    ),
+    per_item AS (
+      SELECT item, CAST(SUM(n) AS BIGINT) AS m,
+             CAST(SUM(n * n) AS BIGINT) AS s2
+      FROM nij GROUP BY item
+      HAVING SUM(n) >= 2
+    ),
+    items AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(m) AS BIGINT) AS n_ratings,
+             SUM(CAST(m * m - s2 AS DOUBLE) / CAST(m - 1 AS DOUBLE))
+               AS d_num
+      FROM per_item
+    ),
+    cats AS (
+      SELECT CAST(SUM(nc * nc) AS BIGINT) AS t_c2
+      FROM (SELECT c, SUM(n) AS nc
+            FROM nij JOIN per_item USING (item) GROUP BY c)
+    )
+    SELECT n_items, n_ratings,
+           ROUND(1.0 - (CAST(n_ratings AS DOUBLE) - 1.0) * d_num
+                       / (CAST(n_ratings AS DOUBLE)
+                          * CAST(n_ratings AS DOUBLE)
+                          - CAST(t_c2 AS DOUBLE)),
+                 {round_to}) AS alpha
+    FROM items CROSS JOIN cats
+    """

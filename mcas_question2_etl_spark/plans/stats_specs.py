@@ -3186,3 +3186,89 @@ def distance_corr_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cnt_n"),
     )
     return _prob84.distance_correlation(norm, "rev_n", "cnt_n")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave96: multi-rater agreement — Fleiss' κ + Krippendorff's α
+# ──────────────────────────────────────────────────────────────────────────
+
+_G1_SQL_W96 = (
+    "CASE WHEN COALESCE(n_chars, 0) >= 300 THEN 'pass' ELSE 'fail' END"
+)
+_G2_SQL_W96 = (
+    "CASE WHEN len(regexp_extract_all(COALESCE(text, ''), '\\S+')) >= 55 "
+    "THEN 'pass' ELSE 'fail' END"
+)
+_G3_COND_W96 = (
+    "LENGTH(COALESCE(text, '')) "
+    "- LENGTH(REPLACE(COALESCE(text, ''), '.', '')) >= 3"
+)
+_G3_SQL_W96 = f"CASE WHEN {_G3_COND_W96} THEN 'pass' ELSE 'fail' END"
+_G3_MISS_SQL_W96 = (
+    f"CASE WHEN doc_id % 7 = 0 THEN NULL "
+    f"WHEN {_G3_COND_W96} THEN 'pass' ELSE 'fail' END"
+)
+
+
+def _w96_gates():
+    text = F.coalesce(F.col("text"), F.lit(""))
+    g1 = F.when(
+        F.coalesce(F.col("n_chars"), F.lit(0)) >= 300, F.lit("pass")
+    ).otherwise(F.lit("fail"))
+    g2 = F.when(
+        F.regexp_count(text, F.lit(r"\S+")) >= 55, F.lit("pass")
+    ).otherwise(F.lit("fail"))
+    g3_cond = (
+        F.length(text) - F.length(F.replace(text, F.lit("."), F.lit("")))
+        >= 3
+    )
+    g3 = F.when(g3_cond, F.lit("pass")).otherwise(F.lit("fail"))
+    g3_miss = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+        .when(g3_cond, F.lit("pass"))
+        .otherwise(F.lit("fail"))
+    )
+    return g1, g2, g3, g3_miss
+
+
+@_spec(
+    "fleiss_kappa_gates",
+    evaluation.fleiss_kappa_sql(
+        "documents",
+        "doc_id",
+        [_G1_SQL_W96, _G2_SQL_W96, _G3_SQL_W96],
+    ),
+    "eval op — Fleiss' kappa among THREE document quality gates "
+    "(char-length >= 300, word-count >= 55, sentence-count >= 3 via "
+    "period count): the multi-rater generalization of the suite's "
+    "two-rater cohens_kappa_gates. Melt -> exact integer n_ij "
+    "rollups; P_i = (sum n_ij^2 - m)/(m(m-1)); one double division "
+    "at the end, everything before it order-proof integers.",
+)
+def fleiss_kappa_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g1, g2, g3, _ = _w96_gates()
+    return evaluation.fleiss_kappa(docs, "doc_id", [g1, g2, g3])
+
+
+@_spec(
+    "krippendorff_alpha_gates",
+    evaluation.krippendorff_alpha_nominal_sql(
+        "documents",
+        "doc_id",
+        [_G1_SQL_W96, _G2_SQL_W96, _G3_MISS_SQL_W96],
+    ),
+    "eval op — Krippendorff's alpha (nominal) over the same three "
+    "gates with the third rater ABSTAINING on every doc_id % 7 == 0 "
+    "document: the agreement coefficient built for missing ratings, "
+    "which Fleiss' kappa cannot absorb. Per-item m_i from the "
+    "NULL-dropped melt, disagreeing-pair mass (m_i^2 - sum n_ic^2)/"
+    "(m_i - 1) — exact small rationals, so the cross-engine double "
+    "sum is exact — and one closing division.",
+)
+def krippendorff_alpha_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g1, g2, _, g3_miss = _w96_gates()
+    return evaluation.krippendorff_alpha_nominal(
+        docs, "doc_id", [g1, g2, g3_miss]
+    )
