@@ -586,6 +586,9 @@ HEADLINE = [
     # wave 96 (round 6): Fleiss kappa + Krippendorff alpha
     "fleiss_kappa_gates",
     "krippendorff_alpha_gates",
+    # wave 97 (round 6): White test + Ramsey RESET
+    "white_test_daily",
+    "ramsey_reset_daily",
 ]
 
 

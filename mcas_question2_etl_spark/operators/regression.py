@@ -2215,3 +2215,340 @@ def siegel_repeated_medians_sql(
     FROM inner_med i CROSS JOIN s
     GROUP BY s.n_days, s.slope
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 97: misspecification battery — White test + Ramsey RESET
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def _w97_scaled(daily: DataFrame, date_col: str, value_col: str) -> DataFrame:
+    """Shared prep for the wave-97 tests: t = ROW_NUMBER over the date
+    order, u = (2t − n − 1)/(n − 1) ∈ [−1, 1] (integer numerator, so
+    both engines compute the identical double), and y normalized by
+    its mean so every downstream moment is O(n) — White's LM and
+    RESET's F are scale-free, the normalization is purely numeric
+    conditioning (u, u², u³ on a [−1,1] grid keep the normal-equation
+    determinant well away from 0, where raw t, t², t³ would be
+    catastrophically collinear)."""
+    pts = daily.select(
+        F.col(value_col).cast("double").alias("__y"),
+        F.row_number()
+        .over(Window.orderBy(date_col))
+        .cast("bigint")
+        .alias("__t"),
+    )
+    w = Window.partitionBy()
+    n_w = F.count(F.lit(1)).over(w).cast("double")
+    sy_w = F.sum("__y").over(w)
+    return pts.select(
+        (
+            (F.lit(2.0) * F.col("__t").cast("double") - n_w - F.lit(1.0))
+            / (n_w - F.lit(1.0))
+        ).alias("__u"),
+        (F.col("__y") * n_w / sy_w).alias("__yn"),
+    )
+
+
+_W97_SCALED_SQL = """
+    pts AS (
+      SELECT CAST({value_col} AS DOUBLE) AS y,
+             CAST(ROW_NUMBER() OVER (ORDER BY {date_col}) AS BIGINT) AS t
+      FROM d
+    ),
+    scaled AS (
+      SELECT (2.0 * CAST(t AS DOUBLE)
+              - CAST(COUNT(*) OVER () AS DOUBLE) - 1.0)
+             / (CAST(COUNT(*) OVER () AS DOUBLE) - 1.0) AS u,
+             y * CAST(COUNT(*) OVER () AS DOUBLE) / SUM(y) OVER () AS yn
+      FROM pts
+    )"""
+
+
+def white_test(
+    daily: DataFrame,
+    date_col: str = "day",
+    value_col: str = "y",
+    round_to: int = 6,
+) -> DataFrame:
+    """White's general heteroskedasticity test on the daily trend
+    fit: OLS y = a + b·u, then the auxiliary regression of squared
+    residuals on (u, u²) — LM = n·R²_aux ~ χ²(2) under
+    homoskedasticity. The strictly stronger sibling of breusch_pagan
+    above: BP's auxiliary is linear in u and misses variance that
+    swells at BOTH ends of the sample (a U-shape); White's u² term
+    catches it, with no distributional assumption on the errors.
+
+    Two O(days) aggregate passes with a scalar broadcast between; the
+    2×2 auxiliary normal equations are solved in closed form.
+    Output (one row): n_days, r2_aux, lm_stat."""
+    scaled = _w97_scaled(daily, date_col, value_col)
+    m = scaled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__u").alias("su"),
+        F.sum(F.col("__u") * F.col("__u")).alias("su2"),
+        F.sum("__yn").alias("syn"),
+        F.sum(F.col("__u") * F.col("__yn")).alias("suy"),
+    )
+    nn = F.col("n").cast("double")
+    stats = m.select(
+        (F.col("su") / nn).alias("mu"),
+        (F.col("syn") / nn).alias("my"),
+        (
+            (F.col("suy") - F.col("su") * F.col("syn") / nn)
+            / (F.col("su2") - F.col("su") * F.col("su") / nn)
+        ).alias("b"),
+    )
+    resid = F.col("__yn") - F.col("my") - F.col("b") * (
+        F.col("__u") - F.col("mu")
+    )
+    aux = scaled.crossJoin(F.broadcast(stats)).select(
+        F.col("__u").alias("__z1"),
+        (F.col("__u") * F.col("__u")).alias("__z2"),
+        (resid * resid).alias("__g"),
+    )
+    a = aux.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("__z1").alias("s1"),
+        F.sum("__z2").alias("s2"),
+        F.sum(F.col("__z1") * F.col("__z1")).alias("s11"),
+        F.sum(F.col("__z1") * F.col("__z2")).alias("s12"),
+        F.sum(F.col("__z2") * F.col("__z2")).alias("s22"),
+        F.sum("__g").alias("sg"),
+        F.sum(F.col("__g") * F.col("__g")).alias("sgg"),
+        F.sum(F.col("__z1") * F.col("__g")).alias("s1g"),
+        F.sum(F.col("__z2") * F.col("__g")).alias("s2g"),
+    )
+    nn2 = F.col("n_days").cast("double")
+    a11 = F.col("s11") - F.col("s1") * F.col("s1") / nn2
+    a12 = F.col("s12") - F.col("s1") * F.col("s2") / nn2
+    a22 = F.col("s22") - F.col("s2") * F.col("s2") / nn2
+    c1 = F.col("s1g") - F.col("s1") * F.col("sg") / nn2
+    c2 = F.col("s2g") - F.col("s2") * F.col("sg") / nn2
+    sgg_c = F.col("sgg") - F.col("sg") * F.col("sg") / nn2
+    ess = (a22 * c1 * c1 - F.lit(2.0) * a12 * c1 * c2 + a11 * c2 * c2) / (
+        a11 * a22 - a12 * a12
+    )
+    r2 = ess / sgg_c
+    return a.select(
+        "n_days",
+        F.round(r2, round_to).alias("r2_aux"),
+        F.round(nn2 * r2, round_to).alias("lm_stat"),
+    )
+
+
+def white_test_sql(
+    daily_sql: str,
+    date_col: str = "day",
+    value_col: str = "y",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`white_test`."""
+    scaled = _W97_SCALED_SQL.format(date_col=date_col, value_col=value_col)
+    return f"""
+    WITH d AS ({daily_sql}),{scaled},
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(u) AS su, SUM(u * u) AS su2,
+             SUM(yn) AS syn, SUM(u * yn) AS suy
+      FROM scaled
+    ),
+    st AS (
+      SELECT su / CAST(n AS DOUBLE) AS mu,
+             syn / CAST(n AS DOUBLE) AS my,
+             (suy - su * syn / CAST(n AS DOUBLE))
+             / (su2 - su * su / CAST(n AS DOUBLE)) AS b
+      FROM m
+    ),
+    aux AS (
+      SELECT u AS z1, u * u AS z2,
+             (yn - my - b * (u - mu)) * (yn - my - b * (u - mu)) AS g
+      FROM scaled CROSS JOIN st
+    ),
+    a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             SUM(z1) AS s1, SUM(z2) AS s2,
+             SUM(z1 * z1) AS s11, SUM(z1 * z2) AS s12,
+             SUM(z2 * z2) AS s22,
+             SUM(g) AS sg, SUM(g * g) AS sgg,
+             SUM(z1 * g) AS s1g, SUM(z2 * g) AS s2g
+      FROM aux
+    )
+    SELECT n_days,
+           ROUND(((s22 - s2 * s2 / CAST(n_days AS DOUBLE))
+                    * (s1g - s1 * sg / CAST(n_days AS DOUBLE))
+                    * (s1g - s1 * sg / CAST(n_days AS DOUBLE))
+                  - 2.0 * (s12 - s1 * s2 / CAST(n_days AS DOUBLE))
+                    * (s1g - s1 * sg / CAST(n_days AS DOUBLE))
+                    * (s2g - s2 * sg / CAST(n_days AS DOUBLE))
+                  + (s11 - s1 * s1 / CAST(n_days AS DOUBLE))
+                    * (s2g - s2 * sg / CAST(n_days AS DOUBLE))
+                    * (s2g - s2 * sg / CAST(n_days AS DOUBLE)))
+                 / (((s11 - s1 * s1 / CAST(n_days AS DOUBLE))
+                     * (s22 - s2 * s2 / CAST(n_days AS DOUBLE))
+                     - (s12 - s1 * s2 / CAST(n_days AS DOUBLE))
+                       * (s12 - s1 * s2 / CAST(n_days AS DOUBLE)))
+                    * (sgg - sg * sg / CAST(n_days AS DOUBLE))),
+                 {round_to}) AS r2_aux,
+           ROUND(CAST(n_days AS DOUBLE)
+                 * ((s22 - s2 * s2 / CAST(n_days AS DOUBLE))
+                      * (s1g - s1 * sg / CAST(n_days AS DOUBLE))
+                      * (s1g - s1 * sg / CAST(n_days AS DOUBLE))
+                    - 2.0 * (s12 - s1 * s2 / CAST(n_days AS DOUBLE))
+                      * (s1g - s1 * sg / CAST(n_days AS DOUBLE))
+                      * (s2g - s2 * sg / CAST(n_days AS DOUBLE))
+                    + (s11 - s1 * s1 / CAST(n_days AS DOUBLE))
+                      * (s2g - s2 * sg / CAST(n_days AS DOUBLE))
+                      * (s2g - s2 * sg / CAST(n_days AS DOUBLE)))
+                 / (((s11 - s1 * s1 / CAST(n_days AS DOUBLE))
+                     * (s22 - s2 * s2 / CAST(n_days AS DOUBLE))
+                     - (s12 - s1 * s2 / CAST(n_days AS DOUBLE))
+                       * (s12 - s1 * s2 / CAST(n_days AS DOUBLE)))
+                    * (sgg - sg * sg / CAST(n_days AS DOUBLE))),
+                 {round_to}) AS lm_stat
+    FROM a
+    """
+
+
+def ramsey_reset(
+    daily: DataFrame,
+    date_col: str = "day",
+    value_col: str = "y",
+    round_to: int = 6,
+) -> DataFrame:
+    """Ramsey RESET (regression specification error test) on the
+    daily trend: does adding powers of the fitted values improve the
+    linear fit more than chance? With a single regressor the fitted
+    values are affine in u, so span(1, u, ŷ², ŷ³) = span(1, u, u²,
+    u³) and the joint F on the added powers is IDENTICAL to testing
+    (u², u³) directly — the numerically conditioned form used here
+    (u ∈ [−1, 1], so the 3×3 normal-equation determinant stays far
+    from zero; raw t, t², t³ would be catastrophically collinear).
+
+      F = ((RSS_base − RSS_full)/2) / (RSS_full/(n − 4)) ~ F(2, n−4)
+
+    under correct specification. One O(days) aggregate pass; the 3×3
+    system is solved by the explicit symmetric inverse. Output (one
+    row): n_days, r2_base, r2_full, f_stat."""
+    scaled = _w97_scaled(daily, date_col, value_col)
+    rows = scaled.select(
+        F.col("__u").alias("__z1"),
+        (F.col("__u") * F.col("__u")).alias("__z2"),
+        (F.col("__u") * F.col("__u") * F.col("__u")).alias("__z3"),
+        F.col("__yn").alias("__g"),
+    )
+    a = rows.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("__z1").alias("s1"),
+        F.sum("__z2").alias("s2"),
+        F.sum("__z3").alias("s3"),
+        F.sum(F.col("__z1") * F.col("__z1")).alias("s11"),
+        F.sum(F.col("__z1") * F.col("__z2")).alias("s12"),
+        F.sum(F.col("__z1") * F.col("__z3")).alias("s13"),
+        F.sum(F.col("__z2") * F.col("__z2")).alias("s22"),
+        F.sum(F.col("__z2") * F.col("__z3")).alias("s23"),
+        F.sum(F.col("__z3") * F.col("__z3")).alias("s33"),
+        F.sum("__g").alias("sg"),
+        F.sum(F.col("__g") * F.col("__g")).alias("sgg"),
+        F.sum(F.col("__z1") * F.col("__g")).alias("s1g"),
+        F.sum(F.col("__z2") * F.col("__g")).alias("s2g"),
+        F.sum(F.col("__z3") * F.col("__g")).alias("s3g"),
+    )
+    nn = F.col("n_days").cast("double")
+    a11 = F.col("s11") - F.col("s1") * F.col("s1") / nn
+    a12 = F.col("s12") - F.col("s1") * F.col("s2") / nn
+    a13 = F.col("s13") - F.col("s1") * F.col("s3") / nn
+    a22 = F.col("s22") - F.col("s2") * F.col("s2") / nn
+    a23 = F.col("s23") - F.col("s2") * F.col("s3") / nn
+    a33 = F.col("s33") - F.col("s3") * F.col("s3") / nn
+    c1 = F.col("s1g") - F.col("s1") * F.col("sg") / nn
+    c2 = F.col("s2g") - F.col("s2") * F.col("sg") / nn
+    c3 = F.col("s3g") - F.col("s3") * F.col("sg") / nn
+    syy = F.col("sgg") - F.col("sg") * F.col("sg") / nn
+    det = (
+        a11 * (a22 * a33 - a23 * a23)
+        - a12 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * a23 - a22 * a13)
+    )
+    ess_full = (
+        c1 * c1 * (a22 * a33 - a23 * a23)
+        + c2 * c2 * (a11 * a33 - a13 * a13)
+        + c3 * c3 * (a11 * a22 - a12 * a12)
+        + F.lit(2.0) * c1 * c2 * (a13 * a23 - a12 * a33)
+        + F.lit(2.0) * c1 * c3 * (a12 * a23 - a13 * a22)
+        + F.lit(2.0) * c2 * c3 * (a12 * a13 - a11 * a23)
+    ) / det
+    ess_base = c1 * c1 / a11
+    rss_base = syy - ess_base
+    rss_full = syy - ess_full
+    f_stat = ((rss_base - rss_full) / F.lit(2.0)) / (
+        rss_full / (nn - F.lit(4.0))
+    )
+    return a.select(
+        "n_days",
+        F.round(ess_base / syy, round_to).alias("r2_base"),
+        F.round(ess_full / syy, round_to).alias("r2_full"),
+        F.round(f_stat, round_to).alias("f_stat"),
+    )
+
+
+def ramsey_reset_sql(
+    daily_sql: str,
+    date_col: str = "day",
+    value_col: str = "y",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`ramsey_reset`."""
+    scaled = _W97_SCALED_SQL.format(date_col=date_col, value_col=value_col)
+    return f"""
+    WITH d AS ({daily_sql}),{scaled},
+    rows_ AS (
+      SELECT u AS z1, u * u AS z2, u * u * u AS z3, yn AS g
+      FROM scaled
+    ),
+    a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             SUM(z1) AS s1, SUM(z2) AS s2, SUM(z3) AS s3,
+             SUM(z1 * z1) AS s11, SUM(z1 * z2) AS s12,
+             SUM(z1 * z3) AS s13, SUM(z2 * z2) AS s22,
+             SUM(z2 * z3) AS s23, SUM(z3 * z3) AS s33,
+             SUM(g) AS sg, SUM(g * g) AS sgg,
+             SUM(z1 * g) AS s1g, SUM(z2 * g) AS s2g, SUM(z3 * g) AS s3g
+      FROM rows_
+    ),
+    cm AS (
+      SELECT n_days,
+             s11 - s1 * s1 / CAST(n_days AS DOUBLE) AS a11,
+             s12 - s1 * s2 / CAST(n_days AS DOUBLE) AS a12,
+             s13 - s1 * s3 / CAST(n_days AS DOUBLE) AS a13,
+             s22 - s2 * s2 / CAST(n_days AS DOUBLE) AS a22,
+             s23 - s2 * s3 / CAST(n_days AS DOUBLE) AS a23,
+             s33 - s3 * s3 / CAST(n_days AS DOUBLE) AS a33,
+             s1g - s1 * sg / CAST(n_days AS DOUBLE) AS c1,
+             s2g - s2 * sg / CAST(n_days AS DOUBLE) AS c2,
+             s3g - s3 * sg / CAST(n_days AS DOUBLE) AS c3,
+             sgg - sg * sg / CAST(n_days AS DOUBLE) AS syy
+      FROM a
+    ),
+    sol AS (
+      SELECT n_days, syy,
+             c1 * c1 / a11 AS ess_base,
+             (c1 * c1 * (a22 * a33 - a23 * a23)
+              + c2 * c2 * (a11 * a33 - a13 * a13)
+              + c3 * c3 * (a11 * a22 - a12 * a12)
+              + 2.0 * c1 * c2 * (a13 * a23 - a12 * a33)
+              + 2.0 * c1 * c3 * (a12 * a23 - a13 * a22)
+              + 2.0 * c2 * c3 * (a12 * a13 - a11 * a23))
+             / (a11 * (a22 * a33 - a23 * a23)
+                - a12 * (a12 * a33 - a23 * a13)
+                + a13 * (a12 * a23 - a22 * a13)) AS ess_full
+      FROM cm
+    )
+    SELECT n_days,
+           ROUND(ess_base / syy, {round_to}) AS r2_base,
+           ROUND(ess_full / syy, {round_to}) AS r2_full,
+           ROUND(((syy - ess_base) - (syy - ess_full)) / 2.0
+                 / ((syy - ess_full) / (CAST(n_days AS DOUBLE) - 4.0)),
+                 {round_to}) AS f_stat
+    FROM sol
+    """

@@ -3272,3 +3272,74 @@ def krippendorff_alpha_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluation.krippendorff_alpha_nominal(
         docs, "doc_id", [g1, g2, g3_miss]
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave97: misspecification battery — White test + Ramsey RESET
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators import regression as _reg97
+
+_DAILY_Y_SQL_W97 = """SELECT CAST(date_diff('day', DATE '1990-01-01',
+                                 CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS y
+           FROM orders GROUP BY 1"""
+
+
+@_spec(
+    "white_test_daily",
+    _reg97.white_test_sql(_DAILY_Y_SQL_W97),
+    "stats op — White's general heteroskedasticity test on the "
+    "daily-revenue trend fit: auxiliary regression of squared "
+    "residuals on (u, u^2), LM = n*R^2 ~ chi2(2). The strictly "
+    "stronger sibling of breusch_pagan_daily: BP's linear auxiliary "
+    "misses variance that swells at BOTH ends of the sample; the "
+    "quadratic term catches it, assumption-free. Regressor scaled to "
+    "[-1,1] with an integer numerator and y mean-normalized, so the "
+    "closed-form 2x2 normal equations stay conditioned and every "
+    "moment is O(days) and cross-engine stable.",
+)
+def white_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1990-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    return _reg97.white_test(daily)
+
+
+@_spec(
+    "ramsey_reset_daily",
+    _reg97.ramsey_reset_sql(_DAILY_Y_SQL_W97),
+    "stats op — Ramsey RESET on the daily-revenue trend: the joint "
+    "F-test that adding powers of the fitted values improves the "
+    "linear fit more than chance — THE standard functional-form "
+    "misspecification check (is a straight line even the right "
+    "model?), absent from the trend battery until now. With one "
+    "regressor span(1,u,yhat^2,yhat^3) = span(1,u,u^2,u^3), so the "
+    "test runs in the conditioned polynomial basis on u in [-1,1]; "
+    "explicit symmetric 3x3 inverse, one O(days) aggregate pass.",
+)
+def ramsey_reset_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1990-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    return _reg97.ramsey_reset(daily)
