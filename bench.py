@@ -589,6 +589,9 @@ HEADLINE = [
     # wave 97 (round 6): White test + Ramsey RESET
     "white_test_daily",
     "ramsey_reset_daily",
+    # wave 98 (round 6): forecast accuracy battery + Diebold-Mariano
+    "forecast_accuracy_battery",
+    "diebold_mariano_naive",
 ]
 
 

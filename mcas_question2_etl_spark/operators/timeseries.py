@@ -4052,3 +4052,277 @@ def gpd_tail_fit_sql(
                  {round_to}) AS tail_expect_2u
     FROM f
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 98: forecast accuracy battery + Diebold-Mariano
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def _w98_scored(
+    df: DataFrame, ts_col: str, key_col: str, season_days: int
+) -> DataFrame:
+    """Daily per-key counts joined with their lag-1 (naive forecast)
+    and lag-``season_days`` (seasonal-naive forecast) actuals; only
+    days where all three exist are scored — the same no-zero-fill
+    discipline as seasonal_naive_backtest above."""
+    daily = df.groupBy(
+        F.col(key_col).alias("k"), F.col(ts_col).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    f_n = daily.select(
+        "k", F.date_add("d", 1).alias("d"), F.col("a").alias("fn")
+    )
+    f_s = daily.select(
+        "k",
+        F.date_add("d", season_days).alias("d"),
+        F.col("a").alias("fs"),
+    )
+    return daily.join(f_n, ["k", "d"]).join(f_s, ["k", "d"])
+
+
+def forecast_accuracy_battery(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    season_days: int = 7,
+    round_to: int = 6,
+) -> DataFrame:
+    """The three scale-free forecast-accuracy metrics the WAPE/bias/
+    RMSE trio of seasonal_naive_backtest doesn't give, for the
+    seasonal-naive forecaster per key:
+
+    * MASE (evaluation-window form) = MAE(seasonal)/MAE(naive) over
+      the same scored days — < 1 means the seasonality is worth
+      having; both MAEs are exact bigint sums, one division.
+    * sMAPE = mean of 2|a−f|/(a+f) — the symmetric percentage error
+      (a, f are counts ≥ 1, so the denominator never vanishes).
+    * Theil's U2 in its RMSE-ratio form = RMSE(seasonal)/RMSE(naive)
+      — exact bigint sums of squares, one sqrt of a ratio.
+
+    Scored days need actual, lag-1 and lag-season actuals present
+    (two self-joins of the days-sized rollup). Output per key:
+    (key, n_days, mase, smape, theil_u2), key-ordered."""
+    scored = _w98_scored(df, ts_col, key_col, season_days)
+    g = scored.groupBy(F.col("k").alias(key_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.abs(F.col("a") - F.col("fs"))).cast("bigint").alias("sae_s"),
+        F.sum(F.abs(F.col("a") - F.col("fn"))).cast("bigint").alias("sae_n"),
+        F.sum(
+            (F.col("a") - F.col("fs")) * (F.col("a") - F.col("fs"))
+        ).cast("bigint").alias("sse_s"),
+        F.sum(
+            (F.col("a") - F.col("fn")) * (F.col("a") - F.col("fn"))
+        ).cast("bigint").alias("sse_n"),
+        F.sum(
+            F.lit(2.0)
+            * F.abs(F.col("a") - F.col("fs")).cast("double")
+            / (F.col("a") + F.col("fs")).cast("double")
+        ).alias("smape_sum"),
+    )
+    return g.select(
+        key_col,
+        "n_days",
+        F.round(
+            F.col("sae_s").cast("double") / F.col("sae_n").cast("double"),
+            round_to,
+        ).alias("mase"),
+        F.round(
+            F.col("smape_sum") / F.col("n_days").cast("double"), round_to
+        ).alias("smape"),
+        F.round(
+            F.sqrt(
+                F.col("sse_s").cast("double") / F.col("sse_n").cast("double")
+            ),
+            round_to,
+        ).alias("theil_u2"),
+    ).orderBy(key_col)
+
+
+def forecast_accuracy_battery_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    season_days: int = 7,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`forecast_accuracy_battery`."""
+    return f"""
+    WITH daily AS (
+      SELECT {key_col} AS k, CAST({ts_col} AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS a
+      FROM {table} GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT x.k, x.a, n.a AS fn, s.a AS fs
+      FROM daily x
+      JOIN daily n ON n.k = x.k AND n.d = x.d - 1
+      JOIN daily s ON s.k = x.k AND s.d = x.d - {season_days}
+    ),
+    g AS (
+      SELECT k AS {key_col},
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(ABS(a - fs)) AS BIGINT) AS sae_s,
+             CAST(SUM(ABS(a - fn)) AS BIGINT) AS sae_n,
+             CAST(SUM((a - fs) * (a - fs)) AS BIGINT) AS sse_s,
+             CAST(SUM((a - fn) * (a - fn)) AS BIGINT) AS sse_n,
+             SUM(2.0 * CAST(ABS(a - fs) AS DOUBLE)
+                 / CAST(a + fs AS DOUBLE)) AS smape_sum
+      FROM scored GROUP BY 1
+    )
+    SELECT {key_col}, n_days,
+           ROUND(CAST(sae_s AS DOUBLE) / CAST(sae_n AS DOUBLE),
+                 {round_to}) AS mase,
+           ROUND(smape_sum / CAST(n_days AS DOUBLE), {round_to}) AS smape,
+           ROUND(SQRT(CAST(sse_s AS DOUBLE) / CAST(sse_n AS DOUBLE)),
+                 {round_to}) AS theil_u2
+    FROM g ORDER BY {key_col}
+    """
+
+
+def diebold_mariano(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    season_days: int = 7,
+    nw_lags: int = 7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Diebold-Mariano test per key: is the seasonal-naive forecast
+    SIGNIFICANTLY better than the naive one, or just luckier on this
+    sample? Loss differential d_t = (a−f_seasonal)² − (a−f_naive)²
+    (exact bigint per day, negative favors seasonal); DM = d̄ /
+    √(ŝ/n) with ŝ the Newey-West long-run variance (Bartlett weights
+    w_l = 1 − l/(L+1), L = ``nw_lags``) — the autocorrelation in
+    overlapping forecast errors is exactly why a plain t-test is
+    invalid here. Autocovariances run over the observed-day sequence
+    (LEAD over the date order per key); if ŝ degenerates to ≤ 0 the
+    stat is NULL rather than a fabricated number.
+
+    Two O(days) passes: exact per-key means, then demeaned lag
+    products. Output per key: (key, n_days, mean_loss_diff, dm_stat),
+    key-ordered."""
+    scored = _w98_scored(df, ts_col, key_col, season_days)
+    base = scored.select(
+        "k",
+        "d",
+        (
+            (F.col("a") - F.col("fs")) * (F.col("a") - F.col("fs"))
+            - (F.col("a") - F.col("fn")) * (F.col("a") - F.col("fn"))
+        )
+        .cast("bigint")
+        .alias("dt"),
+    )
+    means = base.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dt").cast("bigint").alias("sd"),
+    )
+    demeaned = base.join(F.broadcast(means), "k").select(
+        "k",
+        "d",
+        "n",
+        (F.col("sd").cast("double") / F.col("n").cast("double")).alias("m"),
+        (
+            F.col("dt").cast("double")
+            - F.col("sd").cast("double") / F.col("n").cast("double")
+        ).alias("e"),
+    )
+    w = Window.partitionBy("k").orderBy("d")
+    lead_cols = [
+        (F.col("e") * F.lead("e", lag).over(w)).alias(f"p{lag}")
+        for lag in range(1, nw_lags + 1)
+    ]
+    rows = demeaned.select("k", "n", "m", (F.col("e") * F.col("e")).alias("p0"), *lead_cols)
+    aggs = [F.sum("p0").alias("g0")] + [
+        F.sum(F.coalesce(F.col(f"p{lag}"), F.lit(0.0))).alias(f"g{lag}")
+        for lag in range(1, nw_lags + 1)
+    ]
+    g = rows.groupBy(F.col("k").alias(key_col)).agg(
+        F.max("n").alias("n_days"), F.max("m").alias("m"), *aggs
+    )
+    nn = F.col("n_days").cast("double")
+    s = F.col("g0") / nn
+    for lag in range(1, nw_lags + 1):
+        wgt = 1.0 - lag / (nw_lags + 1.0)
+        s = s + F.lit(2.0 * wgt) * F.col(f"g{lag}") / nn
+    dm = F.when(s > 0, F.col("m") / F.sqrt(s / nn)).otherwise(
+        F.lit(None).cast("double")
+    )
+    return g.select(
+        key_col,
+        "n_days",
+        F.round(F.col("m"), round_to).alias("mean_loss_diff"),
+        F.round(dm, round_to).alias("dm_stat"),
+    ).orderBy(key_col)
+
+
+def diebold_mariano_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    season_days: int = 7,
+    nw_lags: int = 7,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`diebold_mariano`."""
+    lead_sel = ",\n             ".join(
+        f"e * LEAD(e, {lag}) OVER (PARTITION BY k ORDER BY d) AS p{lag}"
+        for lag in range(1, nw_lags + 1)
+    )
+    lead_agg = ",\n             ".join(
+        f"SUM(COALESCE(p{lag}, 0.0)) AS g{lag}"
+        for lag in range(1, nw_lags + 1)
+    )
+    s_expr = "g0 / CAST(n_days AS DOUBLE)"
+    for lag in range(1, nw_lags + 1):
+        wgt = 2.0 * (1.0 - lag / (nw_lags + 1.0))
+        s_expr += f" + {wgt!r} * g{lag} / CAST(n_days AS DOUBLE)"
+    return f"""
+    WITH daily AS (
+      SELECT {key_col} AS k, CAST({ts_col} AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS a
+      FROM {table} GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT x.k, x.d, x.a, n.a AS fn, s.a AS fs
+      FROM daily x
+      JOIN daily n ON n.k = x.k AND n.d = x.d - 1
+      JOIN daily s ON s.k = x.k AND s.d = x.d - {season_days}
+    ),
+    base AS (
+      SELECT k, d,
+             CAST((a - fs) * (a - fs) - (a - fn) * (a - fn) AS BIGINT)
+               AS dt
+      FROM scored
+    ),
+    means AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dt) AS BIGINT) AS sd
+      FROM base GROUP BY k
+    ),
+    demeaned AS (
+      SELECT b.k, b.d, m.n,
+             CAST(m.sd AS DOUBLE) / CAST(m.n AS DOUBLE) AS m,
+             CAST(b.dt AS DOUBLE)
+               - CAST(m.sd AS DOUBLE) / CAST(m.n AS DOUBLE) AS e
+      FROM base b JOIN means m ON m.k = b.k
+    ),
+    rows_ AS (
+      SELECT k, n, m, e * e AS p0,
+             {lead_sel}
+      FROM demeaned
+    ),
+    g AS (
+      SELECT k AS {key_col}, MAX(n) AS n_days, MAX(m) AS m,
+             SUM(p0) AS g0,
+             {lead_agg}
+      FROM rows_ GROUP BY 1
+    )
+    SELECT {key_col}, n_days,
+           ROUND(m, {round_to}) AS mean_loss_diff,
+           ROUND(CASE WHEN ({s_expr}) > 0
+                      THEN m / SQRT(({s_expr})
+                                    / CAST(n_days AS DOUBLE))
+                      ELSE NULL END,
+                 {round_to}) AS dm_stat
+    FROM g ORDER BY {key_col}
+    """

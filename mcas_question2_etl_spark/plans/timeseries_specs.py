@@ -1954,3 +1954,40 @@ def matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y")
     )
     return timeseries.matrix_profile(daily, "day", "y", m=7)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave98: forecast accuracy battery + Diebold-Mariano
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "forecast_accuracy_battery",
+    timeseries.forecast_accuracy_battery_sql(),
+    "forecast op — the scale-free accuracy trio for the seasonal-"
+    "naive forecaster per event type: MASE (MAE ratio vs the naive "
+    "no-change forecast — < 1 means the lag-7 seasonality earns its "
+    "keep), sMAPE, and Theil's U2 in RMSE-ratio form. Completes "
+    "seasonal_naive_backtest's WAPE/bias/RMSE with the metrics that "
+    "compare ACROSS series of different scales. All numerators and "
+    "denominators are exact bigint sums over the days-sized rollup; "
+    "one division each.",
+)
+def forecast_accuracy_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return timeseries.forecast_accuracy_battery(events)
+
+
+@_spec(
+    "diebold_mariano_naive",
+    timeseries.diebold_mariano_sql(),
+    "forecast op — Diebold-Mariano test per event type: is the "
+    "seasonal-naive forecaster SIGNIFICANTLY better than the naive "
+    "one, or just lucky on this sample? Squared-loss differential "
+    "(exact bigint per day), DM = mean / sqrt(NW-variance/n) with "
+    "Bartlett weights at 7 lags — the autocorrelation of forecast "
+    "errors is exactly why a plain t-test is invalid here, the same "
+    "reason newey_west_trend exists. Degenerate long-run variance "
+    "yields NULL, never a fabricated stat. Two O(days) passes.",
+)
+def diebold_mariano_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return timeseries.diebold_mariano(events)
