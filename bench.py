@@ -592,6 +592,9 @@ HEADLINE = [
     # wave 98 (round 6): forecast accuracy battery + Diebold-Mariano
     "forecast_accuracy_battery",
     "diebold_mariano_naive",
+    # wave 99 (round 6): Moran's I + Getis-Ord Gi*
+    "moran_i_customer_grid",
+    "getis_ord_hotspots",
 ]
 
 

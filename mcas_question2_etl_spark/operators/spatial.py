@@ -998,3 +998,313 @@ def support_hull_sql(
            ROUND(area, {round_to}) AS hull_area
     FROM area ORDER BY {group_col}
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 99: spatial autocorrelation — Moran's I + Getis-Ord Gi*
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def _w99_offsets(cells: DataFrame, i_col: str, j_col: str, x_col: str,
+                 include_self: bool) -> DataFrame:
+    """Queen-contiguity neighbor edges by exploding each cell to its
+    8 (or 9, with self) offset positions and equi-joining back onto
+    the cell table — the shuffle-friendly form of the |Δi|≤1 ∧ |Δj|≤1
+    non-equi predicate (which would otherwise plan as a broadcast
+    nested-loop). Returns (ci, cj, x_a, x_b) per directed edge."""
+    offsets = [
+        (di, dj)
+        for di in (-1, 0, 1)
+        for dj in (-1, 0, 1)
+        if include_self or not (di == 0 and dj == 0)
+    ]
+    off = F.array(
+        *[F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+          for di, dj in offsets]
+    )
+    probes = (
+        cells.select(
+            F.col(i_col).alias("__ci"),
+            F.col(j_col).alias("__cj"),
+            F.col(x_col).cast("bigint").alias("__xa"),
+            F.explode(off).alias("__o"),
+        )
+        .select(
+            "__ci",
+            "__cj",
+            "__xa",
+            (F.col("__ci") + F.col("__o.di")).alias("__ni"),
+            (F.col("__cj") + F.col("__o.dj")).alias("__nj"),
+        )
+    )
+    nbrs = cells.select(
+        F.col(i_col).alias("__ni"),
+        F.col(j_col).alias("__nj"),
+        F.col(x_col).cast("bigint").alias("__xb"),
+    )
+    return probes.join(nbrs, ["__ni", "__nj"]).select(
+        "__ci", "__cj", "__xa", "__xb"
+    )
+
+
+def moran_i_queen(
+    cells: DataFrame,
+    i_col: str = "ci",
+    j_col: str = "cj",
+    x_col: str = "x",
+    round_to: int = 6,
+) -> DataFrame:
+    """Global Moran's I under queen contiguity (binary weights, 8
+    neighbors, edge cells keep their smaller neighborhoods): is the
+    cell value spatially CLUSTERED (I > E[I]), random, or dispersed
+    (checkerboard, I < E[I])? The caller passes a complete cell
+    lattice (zero-filled — absent cells would silently change the
+    weight structure); grid-rollup-first is what makes this O(cells),
+    not O(points²), at any corpus size.
+
+      I = (n/W) · Σ_ij w_ij (x_i−x̄)(x_j−x̄) / Σ_i (x_i−x̄)²
+
+    expanded to exact integer pair sums plus the rational x̄, so both
+    engines compute identical doubles. Also returns E[I] = −1/(n−1)
+    and the z-score under normality, with S1 = 2W and S2 = 4·Σdeg²
+    for symmetric binary weights. Output (one row): n_cells, w_sum,
+    moran_i, e_i, z_norm."""
+    edges = _w99_offsets(cells, i_col, j_col, x_col, include_self=False)
+    deg = edges.groupBy("__ci", "__cj").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__deg")
+    )
+    s2 = deg.agg(
+        (F.lit(4) * F.sum(F.col("__deg") * F.col("__deg")))
+        .cast("bigint")
+        .alias("s2")
+    )
+    pair = edges.agg(
+        F.count(F.lit(1)).cast("bigint").alias("w_sum"),
+        F.sum(F.col("__xa") * F.col("__xb")).cast("bigint").alias("sab"),
+        F.sum("__xa").cast("bigint").alias("sa"),
+        F.sum("__xb").cast("bigint").alias("sb"),
+    )
+    node = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(F.col(x_col).cast("bigint")).cast("bigint").alias("sx"),
+        F.sum(
+            F.col(x_col).cast("bigint") * F.col(x_col).cast("bigint")
+        ).cast("bigint").alias("sxx"),
+    )
+    g = node.crossJoin(F.broadcast(pair)).crossJoin(F.broadcast(s2))
+    nn = F.col("n_cells").cast("double")
+    ww = F.col("w_sum").cast("double")
+    xbar = F.col("sx").cast("double") / nn
+    num = (
+        F.col("sab").cast("double")
+        - xbar * (F.col("sa").cast("double") + F.col("sb").cast("double"))
+        + ww * xbar * xbar
+    )
+    den = F.col("sxx").cast("double") - nn * xbar * xbar
+    i_stat = (nn / ww) * num / den
+    e_i = F.lit(-1.0) / (nn - F.lit(1.0))
+    s1 = F.lit(2.0) * ww
+    var_i = (
+        (nn * nn * s1 - nn * F.col("s2").cast("double")
+         + F.lit(3.0) * ww * ww)
+        / ((nn * nn - F.lit(1.0)) * ww * ww)
+        - e_i * e_i
+    )
+    z = (i_stat - e_i) / F.sqrt(var_i)
+    return g.select(
+        "n_cells",
+        "w_sum",
+        F.round(i_stat, round_to).alias("moran_i"),
+        F.round(e_i, round_to).alias("e_i"),
+        F.round(z, round_to).alias("z_norm"),
+    )
+
+
+def moran_i_queen_sql(
+    cells_sql: str,
+    i_col: str = "ci",
+    j_col: str = "cj",
+    x_col: str = "x",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`moran_i_queen`. ``cells_sql`` must yield
+    (ci, cj, x) for the COMPLETE lattice."""
+    return f"""
+    WITH cells AS ({cells_sql}),
+    offs AS (
+      SELECT di, dj FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                                 (1,-1),(1,0),(1,1)) o(di, dj)
+    ),
+    edges AS (
+      SELECT a.{i_col} AS ci, a.{j_col} AS cj,
+             CAST(a.{x_col} AS BIGINT) AS xa,
+             CAST(b.{x_col} AS BIGINT) AS xb
+      FROM cells a CROSS JOIN offs o
+      JOIN cells b ON b.{i_col} = a.{i_col} + o.di
+                  AND b.{j_col} = a.{j_col} + o.dj
+    ),
+    s2t AS (
+      SELECT CAST(4 * SUM(deg * deg) AS BIGINT) AS s2
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS deg
+            FROM edges GROUP BY ci, cj)
+    ),
+    pair AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS w_sum,
+             CAST(SUM(xa * xb) AS BIGINT) AS sab,
+             CAST(SUM(xa) AS BIGINT) AS sa,
+             CAST(SUM(xb) AS BIGINT) AS sb
+      FROM edges
+    ),
+    node AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(SUM(CAST({x_col} AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST({x_col} AS BIGINT) * CAST({x_col} AS BIGINT))
+                  AS BIGINT) AS sxx
+      FROM cells
+    )
+    SELECT n_cells, w_sum,
+           ROUND((CAST(n_cells AS DOUBLE) / CAST(w_sum AS DOUBLE))
+                 * (CAST(sab AS DOUBLE)
+                    - (CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE))
+                      * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+                    + CAST(w_sum AS DOUBLE)
+                      * (CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE))
+                      * (CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE)))
+                 / (CAST(sxx AS DOUBLE)
+                    - CAST(n_cells AS DOUBLE)
+                      * (CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE))
+                      * (CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE))),
+                 {round_to}) AS moran_i,
+           ROUND(-1.0 / (CAST(n_cells AS DOUBLE) - 1.0), {round_to}) AS e_i,
+           ROUND(((CAST(n_cells AS DOUBLE) / CAST(w_sum AS DOUBLE))
+                  * (CAST(sab AS DOUBLE)
+                     - (CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE))
+                       * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+                     + CAST(w_sum AS DOUBLE)
+                       * (CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE))
+                       * (CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE)))
+                  / (CAST(sxx AS DOUBLE)
+                     - CAST(n_cells AS DOUBLE)
+                       * (CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE))
+                       * (CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE)))
+                  - (-1.0 / (CAST(n_cells AS DOUBLE) - 1.0)))
+                 / SQRT((CAST(n_cells AS DOUBLE) * CAST(n_cells AS DOUBLE)
+                           * 2.0 * CAST(w_sum AS DOUBLE)
+                         - CAST(n_cells AS DOUBLE) * CAST(s2 AS DOUBLE)
+                         + 3.0 * CAST(w_sum AS DOUBLE)
+                           * CAST(w_sum AS DOUBLE))
+                        / ((CAST(n_cells AS DOUBLE)
+                              * CAST(n_cells AS DOUBLE) - 1.0)
+                           * CAST(w_sum AS DOUBLE)
+                           * CAST(w_sum AS DOUBLE))
+                        - (-1.0 / (CAST(n_cells AS DOUBLE) - 1.0))
+                          * (-1.0 / (CAST(n_cells AS DOUBLE) - 1.0))),
+                 {round_to}) AS z_norm
+    FROM node CROSS JOIN pair CROSS JOIN s2t
+    """
+
+
+def getis_ord_gstar(
+    cells: DataFrame,
+    i_col: str = "ci",
+    j_col: str = "cj",
+    x_col: str = "x",
+    top_k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Getis-Ord Gi* hot-spot z-scores under queen contiguity + self
+    (the star form): WHERE is the clustering Moran's I only says
+    exists? For each cell, the standardized neighborhood sum
+
+      Gi* = (Σ_j w_ij x_j − x̄ Σw) / (S·√((n·Σw − (Σw)²)/(n−1)))
+
+    with binary weights over the 3×3 block (edge cells keep smaller
+    blocks), S = √(Σx²/n − x̄²). Same complete-lattice contract and
+    exact-integer sums as moran_i_queen. Output: the ``top_k``
+    hottest cells (gi desc, cell-coord tie-break):
+    (ci, cj, x, w_cells, gi_star)."""
+    edges = _w99_offsets(cells, i_col, j_col, x_col, include_self=True)
+    per = edges.groupBy(
+        F.col("__ci").alias(i_col), F.col("__cj").alias(j_col)
+    ).agg(
+        F.max("__xa").cast("bigint").alias("x"),
+        F.count(F.lit(1)).cast("bigint").alias("w_cells"),
+        F.sum("__xb").cast("bigint").alias("xsum"),
+    )
+    node = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(F.col(x_col).cast("bigint")).cast("bigint").alias("sx"),
+        F.sum(
+            F.col(x_col).cast("bigint") * F.col(x_col).cast("bigint")
+        ).cast("bigint").alias("sxx"),
+    )
+    j = per.crossJoin(F.broadcast(node))
+    nn = F.col("n_cells").cast("double")
+    xbar = F.col("sx").cast("double") / nn
+    s = F.sqrt(F.col("sxx").cast("double") / nn - xbar * xbar)
+    wd = F.col("w_cells").cast("double")
+    gi = (F.col("xsum").cast("double") - xbar * wd) / (
+        s * F.sqrt((nn * wd - wd * wd) / (nn - F.lit(1.0)))
+    )
+    return (
+        j.select(
+            i_col,
+            j_col,
+            "x",
+            "w_cells",
+            F.round(gi, round_to).alias("gi_star"),
+        )
+        .orderBy(F.col("gi_star").desc(), i_col, j_col)
+        .limit(top_k)
+    )
+
+
+def getis_ord_gstar_sql(
+    cells_sql: str,
+    i_col: str = "ci",
+    j_col: str = "cj",
+    x_col: str = "x",
+    top_k: int = 10,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`getis_ord_gstar`."""
+    return f"""
+    WITH cells AS ({cells_sql}),
+    offs AS (
+      SELECT di, dj FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                 (0,1),(1,-1),(1,0),(1,1)) o(di, dj)
+    ),
+    per AS (
+      SELECT a.{i_col} AS {i_col}, a.{j_col} AS {j_col},
+             CAST(MAX(a.{x_col}) AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS w_cells,
+             CAST(SUM(CAST(b.{x_col} AS BIGINT)) AS BIGINT) AS xsum
+      FROM cells a CROSS JOIN offs o
+      JOIN cells b ON b.{i_col} = a.{i_col} + o.di
+                  AND b.{j_col} = a.{j_col} + o.dj
+      GROUP BY 1, 2
+    ),
+    node AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(SUM(CAST({x_col} AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST({x_col} AS BIGINT) * CAST({x_col} AS BIGINT))
+                  AS BIGINT) AS sxx
+      FROM cells
+    )
+    SELECT {i_col}, {j_col}, x, w_cells,
+           ROUND((CAST(xsum AS DOUBLE)
+                  - (CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE))
+                    * CAST(w_cells AS DOUBLE))
+                 / (SQRT(CAST(sxx AS DOUBLE) / CAST(n_cells AS DOUBLE)
+                         - (CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE))
+                           * (CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE)))
+                    * SQRT((CAST(n_cells AS DOUBLE)
+                              * CAST(w_cells AS DOUBLE)
+                            - CAST(w_cells AS DOUBLE)
+                              * CAST(w_cells AS DOUBLE))
+                           / (CAST(n_cells AS DOUBLE) - 1.0))),
+                 {round_to}) AS gi_star
+    FROM per CROSS JOIN node
+    ORDER BY gi_star DESC, {i_col}, {j_col}
+    LIMIT {top_k}
+    """

@@ -3343,3 +3343,73 @@ def ramsey_reset_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y")
     )
     return _reg97.ramsey_reset(daily)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave99: spatial autocorrelation — Moran's I + Getis-Ord Gi*
+# ──────────────────────────────────────────────────────────────────────────
+
+#: the COMPLETE 12x72 5-degree lattice over the synthetic customer
+#: coordinate domain, zero-filled — absent cells would silently change
+#: the contiguity weight structure of both statistics
+_CELLS_SQL_W99 = """SELECT l.range AS ci, m.range AS cj,
+           COALESCE(c.x, 0) AS x
+    FROM range(0, 12) l
+    CROSS JOIN range(0, 72) m
+    LEFT JOIN (
+      SELECT CAST(FLOOR(((c_custkey * 37) % 120) / 10.0) AS BIGINT) AS ci,
+             CAST(FLOOR(((c_custkey * 73) % 720) / 10.0) AS BIGINT) AS cj,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM customer GROUP BY 1, 2
+    ) c ON c.ci = l.range AND c.cj = m.range"""
+
+
+def _w99_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    counts = cust.groupBy(
+        F.floor(((F.col("c_custkey") * 37) % 120) / 10.0)
+        .cast("bigint")
+        .alias("ci"),
+        F.floor(((F.col("c_custkey") * 73) % 720) / 10.0)
+        .cast("bigint")
+        .alias("cj"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    lattice = (
+        spark.range(12)
+        .select(F.col("id").alias("ci"))
+        .crossJoin(spark.range(72).select(F.col("id").alias("cj")))
+    )
+    return lattice.join(counts, ["ci", "cj"], "left").select(
+        "ci", "cj", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+
+
+@_spec(
+    "moran_i_customer_grid",
+    spatial.moran_i_queen_sql(_CELLS_SQL_W99),
+    "spatial op — global Moran's I of customer counts over the "
+    "complete 5-degree cell lattice (queen contiguity, binary "
+    "weights): the spatial-autocorrelation read-out grid_density_"
+    "hotspots cannot give — are dense cells NEXT TO each other "
+    "(clustered), random, or checkerboard-dispersed? Exact integer "
+    "pair sums via the offset-explode equi-join (no nested-loop "
+    "non-equi join), plus E[I] and the z-score under normality "
+    "(S1 = 2W, S2 = 4*sum deg^2). Grid-rollup-first: O(cells), "
+    "never O(points^2), at any corpus size.",
+)
+def moran_i_customer_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spatial.moran_i_queen(_w99_cells(spark, sf_dir))
+
+
+@_spec(
+    "getis_ord_hotspots",
+    spatial.getis_ord_gstar_sql(_CELLS_SQL_W99),
+    "spatial op — Getis-Ord Gi* hot-spot z-scores on the same "
+    "lattice: WHERE the clustering is, the local complement to "
+    "moran_i_customer_grid's single global number. Standardized "
+    "3x3-block neighborhood sums (self included, edge cells keep "
+    "smaller blocks), exact integer sums, top-10 hottest cells with "
+    "deterministic gi-desc/cell tie-break ordering.",
+)
+def getis_ord_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spatial.getis_ord_gstar(_w99_cells(spark, sf_dir))
