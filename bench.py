@@ -595,6 +595,9 @@ HEADLINE = [
     # wave 99 (round 6): Moran's I + Getis-Ord Gi*
     "moran_i_customer_grid",
     "getis_ord_hotspots",
+    # wave 100 (round 6): sample entropy + permutation entropy
+    "sample_entropy_daily",
+    "permutation_entropy_daily",
 ]
 
 

@@ -4326,3 +4326,252 @@ def diebold_mariano_sql(
                  {round_to}) AS dm_stat
     FROM g ORDER BY {key_col}
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 100: complexity — sample entropy + permutation entropy
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def sample_entropy(
+    daily: DataFrame,
+    date_col: str = "day",
+    value_col: str = "y",
+    r_frac: float = 0.2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Sample entropy SampEn(m=2, r=``r_frac``·SD) of the ordered
+    series: −ln(A/B) where B counts template pairs of length 2 and A
+    of length 3 that match within Chebyshev tolerance r (self-matches
+    excluded) — the regularity measure behind physiological and
+    anomaly work (Richman & Moorman 2000): low SampEn = repetitive
+    dynamics, high = irregularity. Complements hurst_rs (memory) and
+    spectral_entropy (frequency spread) with time-domain determinism.
+
+    The pair stage is the bounded daily-rollup self-join (n = days,
+    never rows — matrix_profile discipline); r derives from exact
+    moments so both engines compare against the identical double, and
+    matching is pure comparison counting (exact bigints) with one
+    closing log. Output (one row): n_days, r_tol, b_count, a_count,
+    sampen."""
+    pts = daily.select(
+        F.col(value_col).cast("double").alias("__y"),
+        F.row_number()
+        .over(Window.orderBy(date_col))
+        .cast("bigint")
+        .alias("__t"),
+    )
+    w = Window.orderBy("__t")
+    tmpl = pts.select(
+        "__t",
+        F.col("__y").alias("__v0"),
+        F.lead("__y", 1).over(w).alias("__v1"),
+        F.lead("__y", 2).over(w).alias("__v2"),
+    ).filter(F.col("__v2").isNotNull())
+    stats = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__y") * F.col("__y")).alias("syy"),
+    ).select(
+        "n_days",
+        (
+            F.lit(r_frac)
+            * F.sqrt(
+                F.col("syy") / F.col("n_days").cast("double")
+                - (F.col("sy") / F.col("n_days").cast("double"))
+                * (F.col("sy") / F.col("n_days").cast("double"))
+            )
+        ).alias("r_tol"),
+    )
+    a = tmpl.select(
+        F.col("__t").alias("__ta"),
+        F.col("__v0").alias("__a0"),
+        F.col("__v1").alias("__a1"),
+        F.col("__v2").alias("__a2"),
+    )
+    b = tmpl.select(
+        F.col("__t").alias("__tb"),
+        F.col("__v0").alias("__b0"),
+        F.col("__v1").alias("__b1"),
+        F.col("__v2").alias("__b2"),
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("__ta") < F.col("__tb"))
+        .crossJoin(F.broadcast(stats))
+    )
+    m2 = (F.abs(F.col("__a0") - F.col("__b0")) <= F.col("r_tol")) & (
+        F.abs(F.col("__a1") - F.col("__b1")) <= F.col("r_tol")
+    )
+    m3 = m2 & (F.abs(F.col("__a2") - F.col("__b2")) <= F.col("r_tol"))
+    g = pairs.agg(
+        F.max("n_days").alias("n_days"),
+        F.max("r_tol").alias("r_tol"),
+        F.sum(F.when(m2, 1).otherwise(0)).cast("bigint").alias("b_count"),
+        F.sum(F.when(m3, 1).otherwise(0)).cast("bigint").alias("a_count"),
+    )
+    sampen = F.when(
+        (F.col("a_count") > 0) & (F.col("b_count") > 0),
+        -F.log(
+            F.col("a_count").cast("double") / F.col("b_count").cast("double")
+        ),
+    ).otherwise(F.lit(None).cast("double"))
+    return g.select(
+        "n_days",
+        F.round(F.col("r_tol"), round_to).alias("r_tol"),
+        "b_count",
+        "a_count",
+        F.round(sampen, round_to).alias("sampen"),
+    )
+
+
+def sample_entropy_sql(
+    daily_sql: str,
+    date_col: str = "day",
+    value_col: str = "y",
+    r_frac: float = 0.2,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`sample_entropy`."""
+    return f"""
+    WITH d AS ({daily_sql}),
+    pts AS (
+      SELECT CAST({value_col} AS DOUBLE) AS y,
+             CAST(ROW_NUMBER() OVER (ORDER BY {date_col}) AS BIGINT) AS t
+      FROM d
+    ),
+    tmpl AS (
+      SELECT t, y AS v0,
+             LEAD(y, 1) OVER (ORDER BY t) AS v1,
+             LEAD(y, 2) OVER (ORDER BY t) AS v2
+      FROM pts
+      QUALIFY v2 IS NOT NULL
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             {r_frac!r} * SQRT(SUM(y * y) / CAST(COUNT(*) AS DOUBLE)
+                               - (SUM(y) / CAST(COUNT(*) AS DOUBLE))
+                                 * (SUM(y) / CAST(COUNT(*) AS DOUBLE)))
+               AS r_tol
+      FROM pts
+    ),
+    g AS (
+      SELECT MAX(s.n_days) AS n_days, MAX(s.r_tol) AS r_tol,
+             CAST(SUM(CASE WHEN ABS(a.v0 - b.v0) <= s.r_tol
+                            AND ABS(a.v1 - b.v1) <= s.r_tol
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b_count,
+             CAST(SUM(CASE WHEN ABS(a.v0 - b.v0) <= s.r_tol
+                            AND ABS(a.v1 - b.v1) <= s.r_tol
+                            AND ABS(a.v2 - b.v2) <= s.r_tol
+                           THEN 1 ELSE 0 END) AS BIGINT) AS a_count
+      FROM tmpl a JOIN tmpl b ON a.t < b.t
+      CROSS JOIN stats s
+    )
+    SELECT n_days,
+           ROUND(r_tol, {round_to}) AS r_tol,
+           b_count, a_count,
+           ROUND(CASE WHEN a_count > 0 AND b_count > 0
+                      THEN -LN(CAST(a_count AS DOUBLE)
+                               / CAST(b_count AS DOUBLE))
+                      ELSE NULL END,
+                 {round_to}) AS sampen
+    FROM g
+    """
+
+
+def permutation_entropy(
+    daily: DataFrame,
+    date_col: str = "day",
+    value_col: str = "y",
+    round_to: int = 6,
+) -> DataFrame:
+    """Permutation entropy of order 3 (Bandt & Pompe 2002): the
+    Shannon entropy of the 6 ordinal patterns of consecutive value
+    triples, normalized by ln(6) — 1 for white noise, small for
+    deterministic dynamics; invariant to ANY monotone transform of
+    the values (a robustness sample_entropy's amplitude tolerance
+    doesn't have). Ties break by temporal order (the (value, index)
+    sort convention), encoded as three ≤ comparisons so both engines
+    bucket identically. One window pass + a ≤6-row groupBy. Output
+    (one row): n_windows, n_patterns, perm_entropy."""
+    pts = daily.select(
+        F.col(value_col).cast("double").alias("__y"),
+        F.row_number()
+        .over(Window.orderBy(date_col))
+        .cast("bigint")
+        .alias("__t"),
+    )
+    w = Window.orderBy("__t")
+    tri = pts.select(
+        F.col("__y").alias("__v0"),
+        F.lead("__y", 1).over(w).alias("__v1"),
+        F.lead("__y", 2).over(w).alias("__v2"),
+    ).filter(F.col("__v2").isNotNull())
+    pat = tri.select(
+        (
+            F.when(F.col("__v0") <= F.col("__v1"), 4).otherwise(0)
+            + F.when(F.col("__v0") <= F.col("__v2"), 2).otherwise(0)
+            + F.when(F.col("__v1") <= F.col("__v2"), 1).otherwise(0)
+        ).alias("__p")
+    )
+    counts = pat.groupBy("__p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    g = counts.agg(
+        F.sum("__c").cast("bigint").alias("n_windows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_patterns"),
+        F.sum(
+            F.col("__c").cast("double") * F.log(F.col("__c").cast("double"))
+        ).alias("sclogc"),
+    )
+    nn = F.col("n_windows").cast("double")
+    h = (F.log(nn) - F.col("sclogc") / nn) / F.log(F.lit(6.0))
+    return g.select(
+        "n_windows",
+        "n_patterns",
+        F.round(h, round_to).alias("perm_entropy"),
+    )
+
+
+def permutation_entropy_sql(
+    daily_sql: str,
+    date_col: str = "day",
+    value_col: str = "y",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`permutation_entropy`."""
+    return f"""
+    WITH d AS ({daily_sql}),
+    pts AS (
+      SELECT CAST({value_col} AS DOUBLE) AS y,
+             CAST(ROW_NUMBER() OVER (ORDER BY {date_col}) AS BIGINT) AS t
+      FROM d
+    ),
+    tri AS (
+      SELECT y AS v0,
+             LEAD(y, 1) OVER (ORDER BY t) AS v1,
+             LEAD(y, 2) OVER (ORDER BY t) AS v2
+      FROM pts
+      QUALIFY v2 IS NOT NULL
+    ),
+    pat AS (
+      SELECT (CASE WHEN v0 <= v1 THEN 4 ELSE 0 END
+              + CASE WHEN v0 <= v2 THEN 2 ELSE 0 END
+              + CASE WHEN v1 <= v2 THEN 1 ELSE 0 END) AS p
+      FROM tri
+    ),
+    counts AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM pat GROUP BY p
+    ),
+    g AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_windows,
+             CAST(COUNT(*) AS BIGINT) AS n_patterns,
+             SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS sclogc
+      FROM counts
+    )
+    SELECT n_windows, n_patterns,
+           ROUND((LN(CAST(n_windows AS DOUBLE))
+                  - sclogc / CAST(n_windows AS DOUBLE)) / LN(6.0),
+                 {round_to}) AS perm_entropy
+    FROM g
+    """

@@ -1991,3 +1991,62 @@ def forecast_accuracy_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 def diebold_mariano_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return timeseries.diebold_mariano(events)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave100: complexity — sample entropy + permutation entropy
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "sample_entropy_daily",
+    timeseries.sample_entropy_sql(_ORDERS_DAILY_SQL.strip()),
+    "timeseries op — sample entropy SampEn(m=2, r=0.2*SD) of daily "
+    "revenue: -ln(A/B) over Chebyshev template matches, the time-"
+    "domain regularity measure (Richman-Moorman) next to hurst_rs's "
+    "memory and spectral_entropy's frequency spread. The pair stage "
+    "is the bounded daily-rollup self-join (matrix_profile "
+    "discipline); r comes from exact moments so both engines compare "
+    "against the identical double, and matching is exact bigint "
+    "comparison counting with one closing log.",
+)
+def sample_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    return timeseries.sample_entropy(daily)
+
+
+@_spec(
+    "permutation_entropy_daily",
+    timeseries.permutation_entropy_sql(_ORDERS_DAILY_SQL.strip()),
+    "timeseries op — order-3 permutation entropy (Bandt-Pompe) of "
+    "daily revenue: Shannon entropy of the 6 ordinal triple patterns "
+    "normalized by ln(6) — 1 for white noise, small for "
+    "deterministic dynamics, and invariant to ANY monotone transform "
+    "of the values (the robustness sample_entropy's amplitude "
+    "tolerance lacks). Ties break by temporal order via three <= "
+    "comparisons so both engines bucket identically; one window pass "
+    "+ a <=6-row groupBy.",
+)
+def permutation_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    return timeseries.permutation_entropy(daily)
