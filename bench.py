@@ -598,6 +598,8 @@ HEADLINE = [
     # wave 100 (round 6): sample entropy + permutation entropy
     "sample_entropy_daily",
     "permutation_entropy_daily",
+    # wave 101 (round 6): ERR + RBP retrieval metrics
+    "err_rbp_retrieval",
 ]
 
 

@@ -5295,3 +5295,144 @@ def krippendorff_alpha_nominal_sql(
                  {round_to}) AS alpha
     FROM items CROSS JOIN cats
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 101: cascade + rank-biased retrieval metrics — ERR@k and RBP
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def err_rbp(
+    candidates: DataFrame,
+    k: int = 10,
+    g_cap: int = 4,
+    persistence: float = 0.8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Expected Reciprocal Rank (Chapelle 2009 cascade model) and
+    Rank-Biased Precision (Moffat & Zobel 2008) per query — the two
+    user-model metrics the suite's NDCG/MRR/AP trio doesn't cover:
+    ERR models a user who STOPS at the first satisfying result
+    (diminishing credit after strong hits, which NDCG's additive
+    gains ignore); RBP models a user who scans downward with
+    persistence p (geometric attention, no hard cutoff).
+
+    Input: (qid, doc_id, score, rel) rows; ranking is the (score
+    DESC, doc_id ASC) total order so both engines walk identical
+    permutations. Grades cap at ``g_cap`` (TREC convention), giving
+    stop probability R = (2^g − 1)/2^g_cap ∈ (0, 1) for g ≥ 1 — the
+    cascade survival product is exp(Σ ln(1−R)) over the strict rank
+    prefix, never a log of zero. RBP uses binary relevance rel ≥ 2
+    over the full candidate ranking: (1−p)·Σ rel_bin·p^(r−1).
+    Output per query: (qid, n_cands, err_at_k, rbp)."""
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    ranked = candidates.select(
+        "qid",
+        "doc_id",
+        "rel",
+        F.row_number().over(w_rank).alias("__r"),
+    ).select(
+        "qid",
+        "__r",
+        (
+            (
+                F.pow(
+                    F.lit(2.0),
+                    F.least(F.col("rel").cast("double"), F.lit(float(g_cap))),
+                )
+                - F.lit(1.0)
+            )
+            / F.lit(float(2**g_cap))
+        ).alias("__stopp"),
+        F.when(F.col("rel") >= 2, 1.0).otherwise(0.0).alias("__relbin"),
+    )
+    w_prefix = (
+        Window.partitionBy("qid")
+        .orderBy("__r")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stepped = ranked.select(
+        "qid",
+        "__r",
+        "__stopp",
+        "__relbin",
+        F.exp(
+            F.coalesce(
+                F.sum(F.log(F.lit(1.0) - F.col("__stopp"))).over(w_prefix),
+                F.lit(0.0),
+            )
+        ).alias("__surv"),
+    )
+    return (
+        stepped.groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cands"),
+            F.sum(
+                F.when(
+                    F.col("__r") <= k,
+                    F.col("__stopp")
+                    * F.col("__surv")
+                    / F.col("__r").cast("double"),
+                ).otherwise(0.0)
+            ).alias("__err"),
+            F.sum(
+                F.col("__relbin")
+                * F.pow(
+                    F.lit(persistence), F.col("__r").cast("double") - 1.0
+                )
+            ).alias("__rbpsum"),
+        )
+        .select(
+            "qid",
+            "n_cands",
+            F.round(F.col("__err"), round_to).alias("err_at_k"),
+            F.round(
+                F.lit(1.0 - persistence) * F.col("__rbpsum"), round_to
+            ).alias("rbp"),
+        )
+        .orderBy("qid")
+    )
+
+
+def err_rbp_sql(
+    candidates_sql: str,
+    k: int = 10,
+    g_cap: int = 4,
+    persistence: float = 0.8,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`err_rbp`. ``candidates_sql`` must yield
+    (qid, doc_id, score, rel)."""
+    return f"""
+    WITH cands AS ({candidates_sql}),
+    ranked AS (
+      SELECT qid,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS r,
+             (POWER(2.0, LEAST(CAST(rel AS DOUBLE), {float(g_cap)!r}))
+              - 1.0) / {float(2**g_cap)!r} AS bigr,
+             CASE WHEN rel >= 2 THEN 1.0 ELSE 0.0 END AS relbin
+      FROM cands
+    ),
+    stepped AS (
+      SELECT qid, r, bigr, relbin,
+             EXP(COALESCE(SUM(LN(1.0 - bigr))
+                            OVER (PARTITION BY qid ORDER BY r
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING),
+                          0.0)) AS surv
+      FROM ranked
+    )
+    SELECT qid,
+           CAST(COUNT(*) AS BIGINT) AS n_cands,
+           ROUND(SUM(CASE WHEN r <= {k}
+                          THEN bigr * surv / CAST(r AS DOUBLE)
+                          ELSE 0.0 END), {round_to}) AS err_at_k,
+           ROUND({1.0 - persistence!r}
+                 * SUM(relbin * POWER({persistence!r},
+                                      CAST(r AS DOUBLE) - 1.0)),
+                 {round_to}) AS rbp
+    FROM stepped GROUP BY qid ORDER BY qid
+    """

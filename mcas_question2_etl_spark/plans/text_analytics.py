@@ -1713,3 +1713,49 @@ def average_precision_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return average_precision(cands)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave101: ERR + RBP (operators/evaluation.py err_rbp)
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.evaluation import err_rbp, err_rbp_sql
+
+
+@_spec(
+    "err_rbp_retrieval",
+    err_rbp_sql(
+        f"SELECT qid, doc_id, tf / dl AS score, tf AS rel "
+        f"FROM ({_AP_CANDS_SQL})",
+    ),
+    "extension — ERR@10 (Chapelle cascade) + RBP(p=0.8) per query on "
+    "the shared three-term term-density ranking: the two USER-MODEL "
+    "metrics NDCG/MRR/AP don't cover — ERR's stop-at-satisfaction "
+    "credit collapses after a strong early hit (additive NDCG can't "
+    "see that), RBP's geometric attention has no hard cutoff. Grades "
+    "cap at 4 (TREC convention) so the cascade stop probability "
+    "stays in (0,1) and the survival product is a prefix ln-sum, "
+    "never log(0); ranking carries the (score DESC, doc_id) total "
+    "order both engines share. One shuffle on qid.",
+)
+def err_rbp_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    terms = spark.createDataFrame([(t,) for t in _TERMS], "term string")
+    cands = (
+        docs.crossJoin(F.broadcast(terms))
+        .select(
+            F.col("term").alias("qid"),
+            "doc_id",
+            F.size(F.expr("filter(split(text, ' '), w -> w = term)"))
+            .cast("long")
+            .alias("tf"),
+            F.size(F.split("text", " ")).cast("double").alias("dl"),
+        )
+        .filter(F.col("tf") > 0)
+        .select(
+            "qid",
+            "doc_id",
+            (F.col("tf") / F.col("dl")).alias("score"),
+            F.col("tf").alias("rel"),
+        )
+    )
+    return err_rbp(cands)
