@@ -600,6 +600,9 @@ HEADLINE = [
     "permutation_entropy_daily",
     # wave 101 (round 6): ERR + RBP retrieval metrics
     "err_rbp_retrieval",
+    # wave 102 (round 6): jackknife + Horvitz-Thompson
+    "jackknife_aov_se",
+    "horvitz_thompson_revenue",
 ]
 
 

@@ -3413,3 +3413,78 @@ def moran_i_customer_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def getis_ord_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial.getis_ord_gstar(_w99_cells(spark, sf_dir))
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave102: survey estimation — jackknife + Horvitz-Thompson
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators import survey as _survey102
+
+
+@_spec(
+    "jackknife_aov_se",
+    _survey102.jackknife_ratio_variance_sql(
+        """SELECT CAST(FLOOR(date_diff('day', DATE '1990-01-01',
+                                      CAST(o_orderdate AS DATE)) / 30.0)
+                      AS BIGINT) AS grp,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS num,
+                  1 AS den
+           FROM orders""",
+        "grp",
+        "num",
+        "den",
+    ),
+    "survey op — delete-one-month jackknife standard error for "
+    "average order value (a RATIO statistic, Σprice/Σorders, whose "
+    "per-row variance formula doesn't exist): each replicate is the "
+    "totals-minus-group ratio of DECIMAL/bigint sums, so every "
+    "θ_(-g) is the identical double in both engines; se² = "
+    "(G-1)/G · Σ(θ_(-g) - θ̄)² plus the jackknife bias estimate. One "
+    "rollup + a broadcast of the ~80-row replicate table — the "
+    "grouped-jackknife pattern prices ANY nonlinear statistic's SE "
+    "at one extra tiny aggregate.",
+)
+def jackknife_aov_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.floor(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1990-01-01").cast("date"),
+            )
+            / 30.0
+        )
+        .cast("bigint")
+        .alias("grp"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("num"),
+        F.lit(1).alias("den"),
+    )
+    return _survey102.jackknife_ratio_variance(base, "grp", "num", "den")
+
+
+@_spec(
+    "horvitz_thompson_revenue",
+    _survey102.horvitz_thompson_total_sql(
+        "orders",
+        "o_orderkey",
+        "o_totalprice",
+        "CAST(o_totalprice AS DECIMAL(18,2)) >= 200000",
+    ),
+    "survey op — Horvitz-Thompson revenue total under deterministic "
+    "two-stratum Poisson sampling (π = 0.5 for orders ≥ 200k, 0.1 "
+    "below — size-biased, the design that keeps a ~15% sample "
+    "unbiased for the population total). Inclusion is the portable "
+    "md5 uniform, so both engines draw the identical sample; with "
+    "π ∈ {0.1, 0.5}, y/π and y²(1-π)/π² are exact DECIMAL multiples "
+    "(×10/×2, ×90/×2) — the whole estimator aggregates exactly and "
+    "casts to double once. Reports the realized relative error and "
+    "the Poisson design SE.",
+)
+def horvitz_thompson_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return _survey102.horvitz_thompson_total(
+        orders,
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_totalprice").cast("decimal(18,2)") >= 200000,
+    )
