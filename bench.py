@@ -603,6 +603,9 @@ HEADLINE = [
     # wave 102 (round 6): jackknife + Horvitz-Thompson
     "jackknife_aov_se",
     "horvitz_thompson_revenue",
+    # wave 103 (round 6): Hoeffding's D + Blomqvist beta
+    "hoeffding_d_daily",
+    "blomqvist_beta_daily",
 ]
 
 

@@ -699,3 +699,268 @@ def distance_correlation_sql(
                  {round_to}) AS dvar_y
     FROM g
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 103: Hoeffding's D + Blomqvist's β
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def hoeffding_d(
+    df: DataFrame,
+    x: str,
+    y: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Hoeffding's D (1948): the rank test of INDEPENDENCE against
+    arbitrary alternatives — like distance correlation it sees any
+    dependence shape, but it is a pure rank statistic (outlier-proof,
+    monotone-invariant) with a known null distribution. Ties get the
+    classical half-credit φ ∈ {0, ½, 1}.
+
+    Exactness: mid-ranks are stored doubled (R2 = 2R, integers) and
+    the pair credit quadrupled (Q4 = Σ 4·φx·φy, integers), so
+    D1·16 = Σ Q4(Q4−4), D2·16 = Σ(R2−2)(R2−4)(S2−2)(S2−4) and
+    D3·16 = Σ(R2−4)(S2−4)Q4 are EXACT bigint sums — the whole
+    statistic is integer arithmetic until one closing division:
+
+      D = 30·[(n−2)(n−3)D1 + D2 − 2(n−2)D3] / (n(n−1)(n−2)(n−3)(n−4))
+
+    The pair stage is the bounded rollup self-join (n = days, the
+    distance_correlation discipline); requires n ≥ 5. D ranges in
+    [−1/60, 1/30]; under independence D ≈ 0. Output (one row):
+    n, d_stat, d_scaled (= 30·D, so 1 = perfect dependence)."""
+    pts = df.filter(F.col(x).isNotNull() & F.col(y).isNotNull()).select(
+        F.col(x).cast("double").alias("__x"),
+        F.col(y).cast("double").alias("__y"),
+    )
+    n_w = F.count(F.lit(1)).over(Window.partitionBy())
+    # doubled mid-rank: 2R = rank_asc + n - rank_desc + 1 (exact ints)
+    r2 = (
+        F.rank().over(Window.orderBy("__x"))
+        + n_w
+        - F.rank().over(Window.orderBy(F.col("__x").desc()))
+        + 1
+    )
+    s2 = (
+        F.rank().over(Window.orderBy("__y"))
+        + n_w
+        - F.rank().over(Window.orderBy(F.col("__y").desc()))
+        + 1
+    )
+    ranked = pts.select(
+        F.monotonically_increasing_id().alias("__id"),
+        "__x",
+        "__y",
+        r2.cast("bigint").alias("__r2"),
+        s2.cast("bigint").alias("__s2"),
+    )
+    a = ranked.select(
+        F.col("__id").alias("__ia"),
+        F.col("__x").alias("__xa"),
+        F.col("__y").alias("__ya"),
+        F.col("__r2").alias("__r2a"),
+        F.col("__s2").alias("__s2a"),
+    )
+    b = ranked.select(
+        F.col("__id").alias("__ib"),
+        F.col("__x").alias("__xb"),
+        F.col("__y").alias("__yb"),
+    )
+    phix2 = (
+        F.when(F.col("__xb") < F.col("__xa"), 2)
+        .when(F.col("__xb") == F.col("__xa"), 1)
+        .otherwise(0)
+    )
+    phiy2 = (
+        F.when(F.col("__yb") < F.col("__ya"), 2)
+        .when(F.col("__yb") == F.col("__ya"), 1)
+        .otherwise(0)
+    )
+    q4 = (
+        a.crossJoin(b)
+        .filter(F.col("__ia") != F.col("__ib"))
+        .groupBy("__ia", "__r2a", "__s2a")
+        .agg(F.sum(phix2 * phiy2).cast("bigint").alias("__q4"))
+    )
+    g = q4.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("__q4") * (F.col("__q4") - 4))
+        .cast("bigint")
+        .alias("d1_16"),
+        F.sum(
+            (F.col("__r2a") - 2)
+            * (F.col("__r2a") - 4)
+            * (F.col("__s2a") - 2)
+            * (F.col("__s2a") - 4)
+        )
+        .cast("bigint")
+        .alias("d2_16"),
+        F.sum(
+            (F.col("__r2a") - 4) * (F.col("__s2a") - 4) * F.col("__q4")
+        )
+        .cast("bigint")
+        .alias("d3_16"),
+    )
+    nn = F.col("n").cast("double")
+    num = (
+        (F.col("n") - 2) * (F.col("n") - 3) * F.col("d1_16")
+        + F.col("d2_16")
+        - 2 * (F.col("n") - 2) * F.col("d3_16")
+    ).cast("double")
+    den = (
+        F.lit(16.0)
+        * nn
+        * (nn - 1.0)
+        * (nn - 2.0)
+        * (nn - 3.0)
+        * (nn - 4.0)
+    )
+    d = F.lit(30.0) * num / den
+    return g.select(
+        "n",
+        F.round(d / F.lit(30.0), round_to).alias("d_stat"),
+        F.round(d, round_to).alias("d_scaled"),
+    )
+
+
+def hoeffding_d_sql(
+    source_sql: str, x: str, y: str, round_to: int = 6
+) -> str:
+    """DuckDB twin of :func:`hoeffding_d`."""
+    return f"""
+    WITH src AS ({source_sql}),
+    pts AS (
+      SELECT CAST({x} AS DOUBLE) AS xv, CAST({y} AS DOUBLE) AS yv
+      FROM src WHERE {x} IS NOT NULL AND {y} IS NOT NULL
+    ),
+    ranked AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY xv, yv) AS id, xv, yv,
+             CAST(RANK() OVER (ORDER BY xv)
+                  + COUNT(*) OVER ()
+                  - RANK() OVER (ORDER BY xv DESC) + 1 AS BIGINT) AS r2,
+             CAST(RANK() OVER (ORDER BY yv)
+                  + COUNT(*) OVER ()
+                  - RANK() OVER (ORDER BY yv DESC) + 1 AS BIGINT) AS s2
+      FROM pts
+    ),
+    q AS (
+      SELECT a.id, a.r2, a.s2,
+             CAST(SUM((CASE WHEN b.xv < a.xv THEN 2
+                            WHEN b.xv = a.xv THEN 1 ELSE 0 END)
+                      * (CASE WHEN b.yv < a.yv THEN 2
+                              WHEN b.yv = a.yv THEN 1 ELSE 0 END))
+                  AS BIGINT) AS q4
+      FROM ranked a JOIN ranked b ON a.id <> b.id
+      GROUP BY a.id, a.r2, a.s2
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q4 * (q4 - 4)) AS BIGINT) AS d1_16,
+             CAST(SUM((r2 - 2) * (r2 - 4) * (s2 - 2) * (s2 - 4))
+                  AS BIGINT) AS d2_16,
+             CAST(SUM((r2 - 4) * (s2 - 4) * q4) AS BIGINT) AS d3_16
+      FROM q
+    )
+    SELECT n,
+           ROUND(CAST((n - 2) * (n - 3) * d1_16 + d2_16
+                      - 2 * (n - 2) * d3_16 AS DOUBLE)
+                 / (16.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                    * (CAST(n AS DOUBLE) - 2.0) * (CAST(n AS DOUBLE) - 3.0)
+                    * (CAST(n AS DOUBLE) - 4.0)),
+                 {round_to}) AS d_stat,
+           ROUND(30.0 * CAST((n - 2) * (n - 3) * d1_16 + d2_16
+                             - 2 * (n - 2) * d3_16 AS DOUBLE)
+                 / (16.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                    * (CAST(n AS DOUBLE) - 2.0) * (CAST(n AS DOUBLE) - 3.0)
+                    * (CAST(n AS DOUBLE) - 4.0)),
+                 {round_to}) AS d_scaled
+    FROM g
+    """
+
+
+def blomqvist_beta(
+    df: DataFrame,
+    x: str,
+    y: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Blomqvist's β (medial correlation): split the plane at the two
+    medians and score quadrant agreement, β = (concordant −
+    discordant)/(concordant + discordant) — the coarsest, most
+    outlier-proof dependence sign there is (it only asks "when x is
+    above ITS median, is y above ITS?"). Points landing exactly on a
+    median are excluded, the classical convention. Medians are the
+    shared exact interpolated percentile (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``), so both engines cut the plane at the
+    identical doubles. Output (one row): n, n_used, beta."""
+    pts = df.filter(F.col(x).isNotNull() & F.col(y).isNotNull()).select(
+        F.col(x).cast("double").alias("__x"),
+        F.col(y).cast("double").alias("__y"),
+    )
+    med = pts.agg(
+        F.expr("percentile(__x, 0.5)").alias("__mx"),
+        F.expr("percentile(__y, 0.5)").alias("__my"),
+    )
+    marked = pts.crossJoin(F.broadcast(med)).select(
+        F.when(
+            (F.col("__x") > F.col("__mx")) & (F.col("__y") > F.col("__my"))
+            | (F.col("__x") < F.col("__mx"))
+            & (F.col("__y") < F.col("__my")),
+            1,
+        )
+        .when(
+            (F.col("__x") == F.col("__mx"))
+            | (F.col("__y") == F.col("__my")),
+            F.lit(None).cast("int"),
+        )
+        .otherwise(0)
+        .alias("__conc")
+    )
+    g = marked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count("__conc").cast("bigint").alias("n_used"),
+        F.sum(F.coalesce(F.col("__conc"), F.lit(0)))
+        .cast("bigint")
+        .alias("__c"),
+    )
+    beta = (
+        F.lit(2.0) * F.col("__c").cast("double")
+        / F.col("n_used").cast("double")
+        - F.lit(1.0)
+    )
+    return g.select("n", "n_used", F.round(beta, round_to).alias("beta"))
+
+
+def blomqvist_beta_sql(
+    source_sql: str, x: str, y: str, round_to: int = 6
+) -> str:
+    """DuckDB twin of :func:`blomqvist_beta`."""
+    return f"""
+    WITH src AS ({source_sql}),
+    pts AS (
+      SELECT CAST({x} AS DOUBLE) AS xv, CAST({y} AS DOUBLE) AS yv
+      FROM src WHERE {x} IS NOT NULL AND {y} IS NOT NULL
+    ),
+    med AS (
+      SELECT quantile_cont(xv, 0.5) AS mx, quantile_cont(yv, 0.5) AS my
+      FROM pts
+    ),
+    marked AS (
+      SELECT CASE WHEN (xv > mx AND yv > my) OR (xv < mx AND yv < my)
+                  THEN 1
+                  WHEN xv = mx OR yv = my THEN NULL
+                  ELSE 0 END AS conc
+      FROM pts CROSS JOIN med
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(conc) AS BIGINT) AS n_used,
+             CAST(SUM(COALESCE(conc, 0)) AS BIGINT) AS c
+      FROM marked
+    )
+    SELECT n, n_used,
+           ROUND(2.0 * CAST(c AS DOUBLE) / CAST(n_used AS DOUBLE) - 1.0,
+                 {round_to}) AS beta
+    FROM g
+    """

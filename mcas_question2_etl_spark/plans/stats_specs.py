@@ -3488,3 +3488,72 @@ def horvitz_thompson_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.col("o_totalprice").cast("decimal(18,2)") >= 200000,
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave103: Hoeffding's D + Blomqvist's β
+# ──────────────────────────────────────────────────────────────────────────
+
+_DAILY_REV_CNT_SQL_W103 = """SELECT CAST(date_diff('day', DATE '1990-01-01',
+                                 CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS revenue,
+                  CAST(COUNT(*) AS DOUBLE) AS n_orders
+           FROM orders GROUP BY 1"""
+
+
+def _w103_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1990-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+    )
+
+
+@_spec(
+    "hoeffding_d_daily",
+    _prob84.hoeffding_d_sql(
+        _DAILY_REV_CNT_SQL_W103, "revenue", "n_orders"
+    ),
+    "stats op — Hoeffding's D between daily revenue and daily order "
+    "count: the classical rank test of independence against ANY "
+    "alternative — distance correlation's power with pure-rank "
+    "robustness (monotone-invariant, outlier-proof) and classical "
+    "half-credit tie handling (order counts tie heavily). The whole "
+    "statistic is exact integer arithmetic — doubled mid-ranks, "
+    "quadrupled quadrant credits, bigint D1/D2/D3 in sixteenths — "
+    "until one closing division; the pair stage is the bounded "
+    "daily-rollup self-join.",
+)
+def hoeffding_d_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _prob84.hoeffding_d(
+        _w103_daily(spark, sf_dir), "revenue", "n_orders"
+    )
+
+
+@_spec(
+    "blomqvist_beta_daily",
+    _prob84.blomqvist_beta_sql(
+        _DAILY_REV_CNT_SQL_W103, "revenue", "n_orders"
+    ),
+    "stats op — Blomqvist's β (medial correlation) between daily "
+    "revenue and order count: quadrant agreement around the two "
+    "medians, the coarsest outlier-proof dependence sign. Medians "
+    "are the shared exact interpolated percentile (Spark percentile "
+    "= DuckDB quantile_cont) so both engines cut the plane at "
+    "identical doubles; on-median points excluded per the classical "
+    "convention; exact integer quadrant counts, one division.",
+)
+def blomqvist_beta_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _prob84.blomqvist_beta(
+        _w103_daily(spark, sf_dir), "revenue", "n_orders"
+    )
