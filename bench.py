@@ -606,6 +606,9 @@ HEADLINE = [
     # wave 103 (round 6): Hoeffding's D + Blomqvist beta
     "hoeffding_d_daily",
     "blomqvist_beta_daily",
+    # wave 104 (round 6): ACE richness + Chao-Shen entropy
+    "ace_vocab_estimate",
+    "chao_shen_entropy_vocab",
 ]
 
 

@@ -621,3 +621,244 @@ def chao1_richness_sql(
                  {round_to}) AS chao1
     FROM fof
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 104: ACE richness + Chao-Shen entropy
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def ace_richness(
+    df: DataFrame,
+    key_col: str,
+    rare_cutoff: int = 10,
+    round_to: int = 2,
+) -> DataFrame:
+    """ACE — the Abundance-based Coverage Estimator of species
+    richness (Chao & Lee 1992): where Chao1 prices the unseen mass
+    from singletons/doubletons alone, ACE uses the WHOLE rare tail
+    (frequency ≤ ``rare_cutoff``) with a sample-coverage correction
+    and a CV adjustment for heterogeneous abundances — the estimator
+    of record when doubletons are noisy:
+
+      C = 1 − F1/N_rare,  γ² = max(S_rare·Σi(i−1)Fi /
+      (C·N_rare·(N_rare−1)) − 1, 0),
+      ACE = S_abund + S_rare/C + F1·γ²/C.
+
+    All inputs are exact integer frequency-of-frequency sums; three
+    closing divisions. Output (one row): s_obs, s_rare, s_abund, f1,
+    coverage, cv2, ace."""
+    counts = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    rare = F.col("__c") <= rare_cutoff
+    g = counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("s_obs"),
+        F.sum(rare.cast("long")).cast("bigint").alias("s_rare"),
+        F.sum((~rare).cast("long")).cast("bigint").alias("s_abund"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.when(rare, F.col("__c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rare"),
+        F.sum(
+            F.when(rare, F.col("__c") * (F.col("__c") - 1)).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("sum_ii1"),
+    )
+    # degenerate tails (no rare types, or an all-singleton rare tail
+    # where coverage would be 0) yield NULL rather than a divide-by-
+    # zero — same CASE shape as the SQL twin
+    c_ace = F.when(
+        (F.col("n_rare") > 0) & (F.col("f1") < F.col("n_rare")),
+        F.lit(1.0)
+        - F.col("f1").cast("double") / F.col("n_rare").cast("double"),
+    ).otherwise(F.lit(None).cast("double"))
+    gamma2 = F.greatest(
+        F.col("s_rare").cast("double")
+        * F.col("sum_ii1").cast("double")
+        / (
+            c_ace
+            * F.col("n_rare").cast("double")
+            * (F.col("n_rare").cast("double") - 1.0)
+        )
+        - 1.0,
+        F.lit(0.0),
+    )
+    ace = (
+        F.col("s_abund").cast("double")
+        + F.col("s_rare").cast("double") / c_ace
+        + F.col("f1").cast("double") * gamma2 / c_ace
+    )
+    return g.select(
+        "s_obs",
+        "s_rare",
+        "s_abund",
+        "f1",
+        F.round(c_ace, 6).alias("coverage"),
+        F.round(gamma2, 6).alias("cv2"),
+        F.round(ace, round_to).alias("ace"),
+    )
+
+
+def ace_richness_sql(
+    table: str,
+    key_expr: str,
+    rare_cutoff: int = 10,
+    round_to: int = 2,
+) -> str:
+    """DuckDB twin of :func:`ace_richness`."""
+    return f"""
+    WITH counts AS (
+      SELECT {key_expr} AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM {table} GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS s_obs,
+             CAST(SUM(CASE WHEN c <= {rare_cutoff} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s_rare,
+             CAST(SUM(CASE WHEN c > {rare_cutoff} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s_abund,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(SUM(CASE WHEN c <= {rare_cutoff} THEN c ELSE 0 END)
+                  AS BIGINT) AS n_rare,
+             CAST(SUM(CASE WHEN c <= {rare_cutoff} THEN c * (c - 1)
+                           ELSE 0 END) AS BIGINT) AS sum_ii1
+      FROM counts
+    )
+    SELECT s_obs, s_rare, s_abund, f1,
+           ROUND(CASE WHEN n_rare > 0 AND f1 < n_rare
+                      THEN 1.0 - CAST(f1 AS DOUBLE) / CAST(n_rare AS DOUBLE)
+                      ELSE NULL END, 6)
+             AS coverage,
+           ROUND(CASE WHEN n_rare > 0 AND f1 < n_rare
+                      THEN GREATEST(CAST(s_rare AS DOUBLE)
+                          * CAST(sum_ii1 AS DOUBLE)
+                          / ((1.0 - CAST(f1 AS DOUBLE)
+                                    / CAST(n_rare AS DOUBLE))
+                             * CAST(n_rare AS DOUBLE)
+                             * (CAST(n_rare AS DOUBLE) - 1.0))
+                          - 1.0, 0.0) ELSE NULL END, 6) AS cv2,
+           ROUND(CASE WHEN n_rare > 0 AND f1 < n_rare
+                 THEN CAST(s_abund AS DOUBLE)
+                 + CAST(s_rare AS DOUBLE)
+                   / (1.0 - CAST(f1 AS DOUBLE) / CAST(n_rare AS DOUBLE))
+                 + CAST(f1 AS DOUBLE)
+                   * GREATEST(CAST(s_rare AS DOUBLE)
+                              * CAST(sum_ii1 AS DOUBLE)
+                              / ((1.0 - CAST(f1 AS DOUBLE)
+                                        / CAST(n_rare AS DOUBLE))
+                                 * CAST(n_rare AS DOUBLE)
+                                 * (CAST(n_rare AS DOUBLE) - 1.0))
+                              - 1.0, 0.0)
+                   / (1.0 - CAST(f1 AS DOUBLE) / CAST(n_rare AS DOUBLE))
+                 ELSE NULL END,
+                 {round_to}) AS ace
+    FROM g
+    """
+
+
+def chao_shen_entropy(
+    df: DataFrame,
+    key_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Chao-Shen (2003) coverage-adjusted Shannon entropy: the plug-in
+    entropy −Σp̂ln p̂ is biased LOW exactly when the tail is unseen;
+    Chao-Shen shrinks each plug-in probability by the Good-Turing
+    coverage C = 1 − F1/n and Horvitz-Thompson-weights each term by
+    its detection probability 1 − (1−Cp̂)ⁿ:
+
+      Ĥ_CS = −Σ_i  C·p̂_i·ln(C·p̂_i) / (1 − (1−C·p̂_i)ⁿ)
+
+    — the entropy the suite's doc_entropy/diversity plug-ins would
+    converge to with more data. The power term is computed as
+    exp(n·ln(1−Cp̂)) identically in both engines (it underflows to 0
+    for common types, where the weight is 1 anyway). One frequency
+    rollup, one vocabulary-sized sum, one pass. Output (one row):
+    n_tokens, s_obs, coverage, h_plugin, h_chao_shen."""
+    counts = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    tot = counts.agg(
+        F.sum("__c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("s_obs"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    nn = F.col("n_tokens").cast("double")
+    cov = F.lit(1.0) - F.col("f1").cast("double") / nn
+    p = F.col("__c").cast("double") / nn
+    cp = cov * p
+    detect = F.lit(1.0) - F.exp(nn * F.log(F.lit(1.0) - cp))
+    terms = j.select(
+        "n_tokens",
+        "s_obs",
+        cov.alias("__cov"),
+        (p * F.log(p)).alias("__plug"),
+        # an all-singleton sample has coverage 0: ln(C*p) is
+        # undefined, report NULL rather than raise (same CASE as SQL)
+        F.when(
+            F.col("f1") < F.col("n_tokens"), cp * F.log(cp) / detect
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("__cs"),
+    )
+    g = terms.groupBy("n_tokens", "s_obs", "__cov").agg(
+        F.sum("__plug").alias("__hp"),
+        F.sum("__cs").alias("__hcs"),
+    )
+    return g.select(
+        "n_tokens",
+        "s_obs",
+        F.round(F.col("__cov"), round_to).alias("coverage"),
+        F.round(-F.col("__hp"), round_to).alias("h_plugin"),
+        F.round(-F.col("__hcs"), round_to).alias("h_chao_shen"),
+    )
+
+
+def chao_shen_entropy_sql(
+    table: str,
+    key_expr: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`chao_shen_entropy`."""
+    return f"""
+    WITH counts AS (
+      SELECT {key_expr} AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM {table} GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS s_obs,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1
+      FROM counts
+    ),
+    terms AS (
+      SELECT n_tokens, s_obs,
+             1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS cov,
+             (CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+               * LN(CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS plug,
+             CASE WHEN f1 < n_tokens THEN
+             ((1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+              * CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             * LN((1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                  * CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             / (1.0 - EXP(CAST(n_tokens AS DOUBLE)
+                          * LN(1.0 - (1.0 - CAST(f1 AS DOUBLE)
+                                            / CAST(n_tokens AS DOUBLE))
+                                     * CAST(c AS DOUBLE)
+                                     / CAST(n_tokens AS DOUBLE))))
+             ELSE NULL END AS cs
+      FROM counts CROSS JOIN tot
+    )
+    SELECT n_tokens, s_obs,
+           ROUND(MAX(cov), {round_to}) AS coverage,
+           ROUND(-SUM(plug), {round_to}) AS h_plugin,
+           ROUND(-SUM(cs), {round_to}) AS h_chao_shen
+    FROM terms GROUP BY n_tokens, s_obs
+    """

@@ -3557,3 +3557,90 @@ def blomqvist_beta_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _prob84.blomqvist_beta(
         _w103_daily(spark, sf_dir), "revenue", "n_orders"
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave104: diversity estimation — ACE richness + Chao-Shen entropy
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.sketches import (
+    ace_richness,
+    ace_richness_sql,
+    chao_shen_entropy,
+    chao_shen_entropy_sql,
+)
+
+#: the UNIGRAM vocabulary of the synthetic corpus is a closed ~31-word
+#: pool with no rare tail (every estimator degenerates: n_rare = 0), so
+#: the "species" here are token BIGRAMS — ~900 types with a genuine
+#: singleton/rare tail at every SF
+_TOKS_SQL_W104 = """(SELECT a.w || ' ' || b.w AS k
+     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM documents) a
+     JOIN (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM documents) b
+       ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+     WHERE a.w <> '' AND b.w <> '')"""
+
+
+def _w104_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "w"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    a = t.select(
+        F.col("doc_id").alias("da"),
+        F.col("pos").alias("pa"),
+        F.col("w").alias("wa"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("db"),
+        F.col("pos").alias("pb"),
+        F.col("w").alias("wb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("db") == F.col("da")) & (F.col("pb") == F.col("pa") + 1),
+        )
+        .filter((F.col("wa") != "") & (F.col("wb") != ""))
+        .select(
+            F.concat(F.col("wa"), F.lit(" "), F.col("wb")).alias("tok")
+        )
+    )
+
+
+@_spec(
+    "ace_vocab_estimate",
+    ace_richness_sql(_TOKS_SQL_W104, "k"),
+    "estimation op — ACE (abundance-based coverage estimator) of the "
+    "corpus BIGRAM vocabulary (the unigram pool is closed, ~31 words, "
+    "no rare tail — bigrams carry a genuine singleton tail): where "
+    "chao1_vocab_estimate prices the unseen "
+    "mass from singletons/doubletons alone, ACE uses the WHOLE rare "
+    "tail (freq <= 10) with a Good-Turing coverage correction and a "
+    "CV adjustment for heterogeneous type abundances — the estimator "
+    "of record when doubleton counts are noisy. Exact integer "
+    "frequency-of-frequency sums; three closing divisions.",
+)
+def ace_vocab_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ace_richness(_w104_toks(spark, sf_dir), "tok")
+
+
+@_spec(
+    "chao_shen_entropy_vocab",
+    chao_shen_entropy_sql(_TOKS_SQL_W104, "k"),
+    "estimation op — Chao-Shen coverage-adjusted Shannon entropy of "
+    "the token distribution: the plug-in entropy is biased LOW "
+    "exactly when the tail is unseen; Chao-Shen shrinks each "
+    "probability by Good-Turing coverage and Horvitz-Thompson-"
+    "weights each term by its detection probability 1-(1-Cp)^n. "
+    "Reports plug-in and adjusted side by side — the gap IS the "
+    "unseen-tail correction. One frequency rollup, one vocabulary-"
+    "sized sum; the power term is exp(n*ln(1-Cp)) spelled "
+    "identically in both engines.",
+)
+def chao_shen_entropy_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chao_shen_entropy(_w104_toks(spark, sf_dir), "tok")
