@@ -609,6 +609,9 @@ HEADLINE = [
     # wave 104 (round 6): ACE richness + Chao-Shen entropy
     "ace_vocab_estimate",
     "chao_shen_entropy_vocab",
+    # wave 105 (round 6): Slope-One CF + Dunning keyness
+    "slope_one_rating_eval",
+    "dunning_keyness_sources",
 ]
 
 

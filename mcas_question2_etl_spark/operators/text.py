@@ -2861,3 +2861,174 @@ def heaps_law_fit_sql(
                  {round_to}) AS r2
     FROM agg
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 105: Dunning log-likelihood keyness
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def dunning_keyness(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Dunning (1993) log-likelihood keyness: for every (group, token)
+    the G² statistic of the 2×2 table (token vs rest-of-vocabulary ×
+    group vs rest-of-corpus) — the INFERENTIAL "what words
+    characterize this source" ranking, where raw top-frequency lists
+    (top_tokens_per_source) just re-rank the global Zipf head and
+    PMI over-rewards rare flukes. G² = 2·Σ O·ln(O/E) over the four
+    cells with the 0·ln0 = 0 convention; only OVERUSED terms
+    (O11 > E11) are ranked, the keyness convention.
+
+    All cell counts and marginals are exact bigints; E-cells are
+    rationals of those, so both engines sum identical doubles over 4
+    terms. One token rollup + two broadcast marginal joins + a per-
+    group top-k window. Output: (group, token, obs, expected, g2),
+    top ``top_k`` per group by (g2 desc, token)."""
+    toks = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__t"),
+    ).filter(F.col("__t") != "")
+    cells = toks.groupBy("__g", "__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o11")
+    )
+    tok_tot = toks.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tot_t")
+    )
+    grp_tot = toks.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g")
+    )
+    n_all = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n_all"))
+    j = (
+        cells.join(F.broadcast(tok_tot), "__t")
+        .join(F.broadcast(grp_tot), "__g")
+        .crossJoin(F.broadcast(n_all))
+    )
+    o11 = F.col("o11").cast("double")
+    o12 = (F.col("tot_t") - F.col("o11")).cast("double")
+    o21 = (F.col("n_g") - F.col("o11")).cast("double")
+    o22 = (
+        F.col("n_all") - F.col("tot_t") - F.col("n_g") + F.col("o11")
+    ).cast("double")
+    nn = F.col("n_all").cast("double")
+    e11 = F.col("tot_t").cast("double") * F.col("n_g").cast("double") / nn
+    e12 = F.col("tot_t").cast("double") * (nn - F.col("n_g").cast("double")) / nn
+    e21 = (nn - F.col("tot_t").cast("double")) * F.col("n_g").cast("double") / nn
+    e22 = (
+        (nn - F.col("tot_t").cast("double"))
+        * (nn - F.col("n_g").cast("double"))
+        / nn
+    )
+
+    def _term(o, e):
+        return F.when(o > 0, o * F.log(o / e)).otherwise(F.lit(0.0))
+
+    g2 = F.lit(2.0) * (
+        _term(o11, e11) + _term(o12, e12) + _term(o21, e21) + _term(o22, e22)
+    )
+    ranked = j.select(
+        F.col("__g").alias(group_col),
+        F.col("__t").alias("token"),
+        F.col("o11").alias("obs"),
+        F.round(e11, round_to).alias("expected"),
+        F.round(g2, round_to).alias("g2"),
+        (o11 > e11).alias("__over"),
+    ).filter(F.col("__over"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("g2").desc(), F.col("token")
+    )
+    return (
+        ranked.select(
+            group_col,
+            "token",
+            "obs",
+            "expected",
+            "g2",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+        .filter(F.col("rank") <= top_k)
+        .orderBy(group_col, "rank")
+    )
+
+
+def dunning_keyness_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 5,
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin of :func:`dunning_keyness`."""
+    return f"""
+    WITH toks AS (
+      SELECT {group_col} AS g, t FROM (
+        SELECT {group_col}, unnest(string_split({text_col}, ' ')) AS t
+        FROM {table}
+      ) WHERE t <> ''
+    ),
+    cells AS (
+      SELECT g, t, CAST(COUNT(*) AS BIGINT) AS o11
+      FROM toks GROUP BY 1, 2
+    ),
+    tok_tot AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS tot_t FROM toks GROUP BY 1
+    ),
+    grp_tot AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g FROM toks GROUP BY 1
+    ),
+    n_all AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM toks),
+    terms AS (
+      SELECT c.g, c.t, c.o11,
+             CAST(tt.tot_t AS DOUBLE) * CAST(gt.n_g AS DOUBLE)
+               / CAST(n.n_all AS DOUBLE) AS e11,
+             2.0 * (
+               (CASE WHEN c.o11 > 0 THEN CAST(c.o11 AS DOUBLE)
+                 * LN(CAST(c.o11 AS DOUBLE)
+                      / (CAST(tt.tot_t AS DOUBLE) * CAST(gt.n_g AS DOUBLE)
+                         / CAST(n.n_all AS DOUBLE))) ELSE 0.0 END)
+             + (CASE WHEN tt.tot_t - c.o11 > 0
+                 THEN CAST(tt.tot_t - c.o11 AS DOUBLE)
+                 * LN(CAST(tt.tot_t - c.o11 AS DOUBLE)
+                      / (CAST(tt.tot_t AS DOUBLE)
+                         * (CAST(n.n_all AS DOUBLE)
+                            - CAST(gt.n_g AS DOUBLE))
+                         / CAST(n.n_all AS DOUBLE))) ELSE 0.0 END)
+             + (CASE WHEN gt.n_g - c.o11 > 0
+                 THEN CAST(gt.n_g - c.o11 AS DOUBLE)
+                 * LN(CAST(gt.n_g - c.o11 AS DOUBLE)
+                      / ((CAST(n.n_all AS DOUBLE)
+                          - CAST(tt.tot_t AS DOUBLE))
+                         * CAST(gt.n_g AS DOUBLE)
+                         / CAST(n.n_all AS DOUBLE))) ELSE 0.0 END)
+             + (CASE WHEN n.n_all - tt.tot_t - gt.n_g + c.o11 > 0
+                 THEN CAST(n.n_all - tt.tot_t - gt.n_g + c.o11 AS DOUBLE)
+                 * LN(CAST(n.n_all - tt.tot_t - gt.n_g + c.o11 AS DOUBLE)
+                      / ((CAST(n.n_all AS DOUBLE)
+                          - CAST(tt.tot_t AS DOUBLE))
+                         * (CAST(n.n_all AS DOUBLE)
+                            - CAST(gt.n_g AS DOUBLE))
+                         / CAST(n.n_all AS DOUBLE))) ELSE 0.0 END)
+             ) AS g2
+      FROM cells c
+      JOIN tok_tot tt ON tt.t = c.t
+      JOIN grp_tot gt ON gt.g = c.g
+      CROSS JOIN n_all n
+    ),
+    ranked AS (
+      SELECT g AS {group_col}, t AS token, o11 AS obs,
+             ROUND(e11, {round_to}) AS expected,
+             ROUND(g2, {round_to}) AS g2,
+             ROW_NUMBER() OVER (PARTITION BY g
+                                ORDER BY ROUND(g2, {round_to}) DESC, t)
+               AS rank
+      FROM terms
+      WHERE CAST(o11 AS DOUBLE) > e11
+    )
+    SELECT {group_col}, token, obs, expected, g2, rank
+    FROM ranked WHERE rank <= {top_k}
+    ORDER BY {group_col}, rank
+    """

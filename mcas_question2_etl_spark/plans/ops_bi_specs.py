@@ -1517,3 +1517,41 @@ def transition_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave105: Slope-One collaborative filtering (operators/recommend.py)
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.recommend import slope_one_eval, slope_one_eval_sql
+
+_RATINGS_SQL_W105 = """SELECT o_custkey AS u, l_partkey AS i,
+                  CAST(SUM(l_quantity) AS BIGINT) AS r
+           FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           GROUP BY 1, 2"""
+
+
+@_spec(
+    "slope_one_rating_eval",
+    slope_one_eval_sql(_RATINGS_SQL_W105),
+    "recsys op — weighted Slope-One collaborative filtering on the "
+    "customer x part quantity matrix with a deterministic (u+i)%10 "
+    "hold-out: precompute per-item-pair deviation state from the "
+    "user-keyed self-join (the Amazon-style item-item shape — pair "
+    "state is bounded by items^2 and co-rating sparsity, never "
+    "users^2), predict each held-out rating as the support-weighted "
+    "rational, and report MAE against the user-train-mean baseline "
+    "every CF model must beat. Ratings, deviations and predictions "
+    "are exact integer sums end to end — no iterative training, no "
+    "float drift.",
+)
+def slope_one_rating_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ratings = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
+        )
+        .agg(F.sum("l_quantity").cast("bigint").alias("r"))
+    )
+    return slope_one_eval(ratings, "u", "i", "r")

@@ -1759,3 +1759,26 @@ def err_rbp_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return err_rbp(cands)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave105: Dunning log-likelihood keyness (operators/text.py)
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.text import dunning_keyness, dunning_keyness_sql
+
+
+@_spec(
+    "dunning_keyness_sources",
+    dunning_keyness_sql(),
+    "text op — Dunning log-likelihood keyness per source: the "
+    "inferential 'what words characterize this source' ranking via "
+    "G2 over the 2x2 (token x source-vs-rest) table, where raw "
+    "top-frequency lists re-rank the global Zipf head and PMI "
+    "over-rewards rare flukes. Only overused terms (O > E) rank, "
+    "the keyness convention; exact bigint cells and marginals, four "
+    "ln terms, per-source top-5 with rounded-G2/token tie-break "
+    "shared by both engines.",
+)
+def dunning_keyness_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dunning_keyness(docs)
