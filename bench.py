@@ -612,6 +612,9 @@ HEADLINE = [
     # wave 105 (round 6): Slope-One CF + Dunning keyness
     "slope_one_rating_eval",
     "dunning_keyness_sources",
+    # wave 106 (round 6): Brunner-Munzel + Fligner-Killeen
+    "brunner_munzel_click_purchase",
+    "fligner_killeen_priority_price",
 ]
 
 

@@ -5436,3 +5436,331 @@ def err_rbp_sql(
                  {round_to}) AS rbp
     FROM stepped GROUP BY qid ORDER BY qid
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 106: Brunner-Munzel + Fligner-Killeen
+# ──────────────────────────────────────────────────────────────────────────
+from .probability import inv_phi, inv_phi_sql  # noqa: E402
+
+
+def brunner_munzel(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Brunner-Munzel (2000) generalized Wilcoxon test: tests
+    P(X < Y) + ½P(X = Y) = ½ WITHOUT Mann-Whitney's hidden
+    equal-variance-of-ranks assumption — the two-sample test of
+    record when the groups' spreads differ (Behrens-Fisher in rank
+    space). Same doubled-rank exactness discipline as mann_whitney_u:
+    for a distinct value with ``c_prev`` combined observations below
+    and ``c`` ties (``ca``/``ca_prev`` within-group), the doubled
+    combined and within mid-ranks are integers, so the per-
+    observation deviation 2d = 2(c_prev − ca_prev) + (c − ca) is an
+    integer CONSTANT across that value's group members — rank
+    variances come from exact bigint (Σ2d, Σ(2d)²) power sums and the
+    closing statistic
+
+      W = n_a·n_b·(R̄_b − R̄_a) / ((n_a+n_b)·√(n_a·S_a² + n_b·S_b²))
+
+    is one double expression. Ranks are computed on the aggregated
+    value-count table, never per row. Output (one row): n_a, n_b,
+    p_hat (= P̂(X<Y)+½P̂(X=Y)), bm_stat."""
+    x = F.col(value_col).cast("decimal(18,2)")
+    two = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("__g"), x.alias("__x")
+    )
+    counts = two.groupBy("__x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c"),
+        F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0))
+        .cast("bigint")
+        .alias("__ca"),
+    )
+    w = Window.orderBy("__x").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = (
+        counts.withColumn(
+            "__cprev", F.coalesce(F.sum("__c").over(w), F.lit(0))
+        )
+        .withColumn(
+            "__caprev", F.coalesce(F.sum("__ca").over(w), F.lit(0))
+        )
+        .withColumn(
+            "__cbprev", F.col("__cprev") - F.col("__caprev")
+        )
+        .withColumn("__cb", F.col("__c") - F.col("__ca"))
+    )
+    # doubled combined mid-rank and doubled within-group deviations
+    r2 = 2 * F.col("__cprev") + F.col("__c") + 1
+    d2a = 2 * (F.col("__cprev") - F.col("__caprev")) + (
+        F.col("__c") - F.col("__ca")
+    )
+    d2b = 2 * (F.col("__cprev") - F.col("__cbprev")) + (
+        F.col("__c") - F.col("__cb")
+    )
+    agg = ranked.agg(
+        F.sum("__ca").cast("bigint").alias("n_a"),
+        F.sum("__cb").cast("bigint").alias("n_b"),
+        F.sum(F.col("__ca") * r2).cast("bigint").alias("r2a"),
+        F.sum(F.col("__cb") * r2).cast("bigint").alias("r2b"),
+        F.sum(F.col("__ca") * d2a).cast("bigint").alias("sda"),
+        F.sum(F.col("__ca") * d2a * d2a).cast("bigint").alias("sdda"),
+        F.sum(F.col("__cb") * d2b).cast("bigint").alias("sdb"),
+        F.sum(F.col("__cb") * d2b * d2b).cast("bigint").alias("sddb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    rbar_a = F.col("r2a").cast("double") / (2.0 * na)
+    rbar_b = F.col("r2b").cast("double") / (2.0 * nb)
+    s2a = (
+        F.col("sdda").cast("double")
+        - F.col("sda").cast("double") * F.col("sda").cast("double") / na
+    ) / (4.0 * (na - 1.0))
+    s2b = (
+        F.col("sddb").cast("double")
+        - F.col("sdb").cast("double") * F.col("sdb").cast("double") / nb
+    ) / (4.0 * (nb - 1.0))
+    bm = (
+        na
+        * nb
+        * (rbar_b - rbar_a)
+        / ((na + nb) * F.sqrt(na * s2a + nb * s2b))
+    )
+    p_hat = (rbar_b - (nb + 1.0) / 2.0) / na
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(p_hat, round_to).alias("p_hat"),
+        F.round(bm, round_to).alias("bm_stat"),
+    )
+
+
+def brunner_munzel_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`brunner_munzel`."""
+    return f"""
+    WITH two AS (
+      SELECT {group_col} AS g, CAST({value_col} AS DECIMAL(18,2)) AS x
+      FROM {table} WHERE {group_col} IN ('{group_a}', '{group_b}')
+    ),
+    counts AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN g = '{group_a}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca
+      FROM two GROUP BY x
+    ),
+    ranked AS (
+      SELECT c, ca, c - ca AS cb,
+             COALESCE(SUM(c) OVER (ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cprev,
+             COALESCE(SUM(ca) OVER (ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS caprev
+      FROM counts
+    ),
+    agg AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(cb) AS BIGINT) AS n_b,
+             CAST(SUM(ca * (2 * cprev + c + 1)) AS BIGINT) AS r2a,
+             CAST(SUM(cb * (2 * cprev + c + 1)) AS BIGINT) AS r2b,
+             CAST(SUM(ca * (2 * (cprev - caprev) + (c - ca)))
+                  AS BIGINT) AS sda,
+             CAST(SUM(ca * (2 * (cprev - caprev) + (c - ca))
+                         * (2 * (cprev - caprev) + (c - ca)))
+                  AS BIGINT) AS sdda,
+             CAST(SUM(cb * (2 * (cprev - (cprev - caprev))
+                            + (c - (c - ca))))
+                  AS BIGINT) AS sdb,
+             CAST(SUM(cb * (2 * caprev + ca)
+                         * (2 * caprev + ca)) AS BIGINT) AS sddb
+      FROM ranked
+    )
+    SELECT n_a, n_b,
+           ROUND((CAST(r2b AS DOUBLE) / (2.0 * CAST(n_b AS DOUBLE))
+                  - (CAST(n_b AS DOUBLE) + 1.0) / 2.0)
+                 / CAST(n_a AS DOUBLE), {round_to}) AS p_hat,
+           ROUND(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                 * (CAST(r2b AS DOUBLE) / (2.0 * CAST(n_b AS DOUBLE))
+                    - CAST(r2a AS DOUBLE) / (2.0 * CAST(n_a AS DOUBLE)))
+                 / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                    * SQRT(CAST(n_a AS DOUBLE)
+                           * ((CAST(sdda AS DOUBLE)
+                               - CAST(sda AS DOUBLE) * CAST(sda AS DOUBLE)
+                                 / CAST(n_a AS DOUBLE))
+                              / (4.0 * (CAST(n_a AS DOUBLE) - 1.0)))
+                           + CAST(n_b AS DOUBLE)
+                             * ((CAST(sddb AS DOUBLE)
+                                 - CAST(sdb AS DOUBLE) * CAST(sdb AS DOUBLE)
+                                   / CAST(n_b AS DOUBLE))
+                                / (4.0 * (CAST(n_b AS DOUBLE) - 1.0))))),
+                 {round_to}) AS bm_stat
+    FROM agg
+    """
+
+
+def fligner_killeen(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Fligner-Killeen test of scale homogeneity: the RANK-based
+    variance-equality test — levene_brown_forsythe is robust to
+    non-normality through medians but still averages raw deviations;
+    FK replaces deviations with normal scores of their mid-ranks,
+    a_i = Φ⁻¹(½ + r_i/(2(N+1))), making it the most outlier-resistant
+    member of the family (and R's var-test default for k groups):
+
+      FK = Σ_g n_g·(ā_g − ā)² / V,   V = Σ(a_i − ā)²/(N−1),
+      FK ~ χ²(k−1) under equal scales.
+
+    Group medians are the shared exact interpolated percentile;
+    mid-ranks of |x − med_g| come from the aggregated distinct-value
+    table (doubled ranks are integers); Φ⁻¹ is the same Acklam
+    rational both engines already share (gaussian rank correlation).
+    Output (one row): k, n, fk_stat, df."""
+    pts = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__x"),
+    ).filter(F.col("__x").isNotNull())
+    meds = pts.groupBy("__g").agg(
+        F.expr("percentile(__x, 0.5)").alias("__med")
+    )
+    u = pts.join(F.broadcast(meds), "__g").select(
+        "__g", F.abs(F.col("__x") - F.col("__med")).alias("__u")
+    )
+    counts = u.groupBy("__g", "__u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cgu")
+    )
+    per_u = counts.groupBy("__u").agg(
+        F.sum("__cgu").cast("bigint").alias("__c")
+    )
+    w = Window.orderBy("__u").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_u.withColumn(
+        "__cprev", F.coalesce(F.sum("__c").over(w), F.lit(0))
+    )
+    n_tot = per_u.agg(F.sum("__c").cast("bigint").alias("n"))
+    scored = (
+        counts.join(ranked.select("__u", "__c", "__cprev"), "__u")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "__g",
+            "__cgu",
+            "n",
+            inv_phi(
+                F.lit(0.5)
+                + (
+                    (2.0 * F.col("__cprev") + F.col("__c") + 1).cast(
+                        "double"
+                    )
+                    / 2.0
+                )
+                / (2.0 * (F.col("n").cast("double") + 1.0))
+            ).alias("__a"),
+        )
+    )
+    per_g = scored.groupBy("__g").agg(
+        F.max("n").alias("n"),
+        F.sum("__cgu").cast("bigint").alias("__ng"),
+        F.sum(F.col("__cgu") * F.col("__a")).alias("__sa"),
+        F.sum(F.col("__cgu") * F.col("__a") * F.col("__a")).alias("__saa"),
+    )
+    g = per_g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.max("n").alias("n"),
+        F.sum("__ng").cast("bigint").alias("__ntot"),
+        F.sum("__sa").alias("t_a"),
+        F.sum("__saa").alias("t_aa"),
+        F.sum(
+            F.col("__sa") * F.col("__sa") / F.col("__ng").cast("double")
+        ).alias("t_grp"),
+    )
+    nn = F.col("n").cast("double")
+    abar = F.col("t_a") / nn
+    v = (F.col("t_aa") - nn * abar * abar) / (nn - 1.0)
+    fk = (F.col("t_grp") - nn * abar * abar) / v
+    return g.select(
+        "k",
+        "n",
+        F.round(fk, round_to).alias("fk_stat"),
+        (F.col("k") - 1).cast("int").alias("df"),
+    )
+
+
+def fligner_killeen_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`fligner_killeen`."""
+    a_expr = inv_phi_sql(
+        "(0.5 + ((2 * cprev + c + 1) / 2.0)"
+        " / (2.0 * (CAST(n AS DOUBLE) + 1.0)))"
+    )
+    return f"""
+    WITH pts AS (
+      SELECT {group_col} AS g, CAST({value_col} AS DOUBLE) AS x
+      FROM {table} WHERE {value_col} IS NOT NULL
+    ),
+    meds AS (
+      SELECT g, quantile_cont(x, 0.5) AS med FROM pts GROUP BY g
+    ),
+    u AS (
+      SELECT p.g, ABS(p.x - m.med) AS uu
+      FROM pts p JOIN meds m ON m.g = p.g
+    ),
+    counts AS (
+      SELECT g, uu, CAST(COUNT(*) AS BIGINT) AS cgu
+      FROM u GROUP BY g, uu
+    ),
+    per_u AS (
+      SELECT uu, CAST(SUM(cgu) AS BIGINT) AS c FROM counts GROUP BY uu
+    ),
+    ranked AS (
+      SELECT uu, c,
+             COALESCE(SUM(c) OVER (ORDER BY uu
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cprev
+      FROM per_u
+    ),
+    n_tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM per_u),
+    scored AS (
+      SELECT co.g, co.cgu, n.n, {a_expr} AS a
+      FROM counts co
+      JOIN ranked r ON r.uu = co.uu
+      CROSS JOIN n_tot n
+    ),
+    per_g AS (
+      SELECT g, MAX(n) AS n, CAST(SUM(cgu) AS BIGINT) AS ng,
+             SUM(cgu * a) AS sa, SUM(cgu * a * a) AS saa
+      FROM scored GROUP BY g
+    ),
+    gg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, MAX(n) AS n,
+             SUM(sa) AS t_a, SUM(saa) AS t_aa,
+             SUM(sa * sa / CAST(ng AS DOUBLE)) AS t_grp
+      FROM per_g
+    )
+    SELECT k, n,
+           ROUND((t_grp - CAST(n AS DOUBLE)
+                          * (t_a / CAST(n AS DOUBLE))
+                          * (t_a / CAST(n AS DOUBLE)))
+                 / ((t_aa - CAST(n AS DOUBLE)
+                            * (t_a / CAST(n AS DOUBLE))
+                            * (t_a / CAST(n AS DOUBLE)))
+                    / (CAST(n AS DOUBLE) - 1.0)),
+                 {round_to}) AS fk_stat,
+           CAST(k - 1 AS INT) AS df
+    FROM gg
+    """

@@ -3644,3 +3644,49 @@ def ace_vocab_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def chao_shen_entropy_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chao_shen_entropy(_w104_toks(spark, sf_dir), "tok")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave106: Brunner-Munzel + Fligner-Killeen
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "brunner_munzel_click_purchase",
+    evaluation.brunner_munzel_sql(
+        "events", "event_type", "value", "click", "purchase"
+    ),
+    "stats op — Brunner-Munzel generalized Wilcoxon test on click vs "
+    "purchase event values: tests P(X<Y) + 0.5*P(X=Y) = 0.5 WITHOUT "
+    "Mann-Whitney's hidden equal-rank-variance assumption — the "
+    "Behrens-Fisher problem in rank space, the right default when "
+    "spreads differ. Same doubled-mid-rank exactness discipline as "
+    "mann_whitney_click_purchase: per-observation rank deviations "
+    "are integer constants per distinct value, rank variances come "
+    "from exact bigint power sums, ranks computed on the value-count "
+    "rollup, never per row.",
+)
+def brunner_munzel_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return evaluation.brunner_munzel(
+        events, "event_type", "value", "click", "purchase"
+    )
+
+
+@_spec(
+    "fligner_killeen_priority_price",
+    evaluation.fligner_killeen_sql("orders", "o_orderpriority", "o_totalprice"),
+    "stats op — Fligner-Killeen scale-homogeneity test of order "
+    "totals across the five priorities: ranks of |x - group median| "
+    "mapped through the shared Acklam normal scores, FK ~ chi2(k-1) "
+    "— the most outlier-resistant member of the variance-equality "
+    "family next to levene_priority_price_spread (median-centered "
+    "raw deviations) and bartlett_priority_price (normal-theory). "
+    "Group medians are the shared exact interpolated percentile; "
+    "doubled mid-ranks are integers off the distinct-|dev| rollup.",
+)
+def fligner_killeen_priority_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return evaluation.fligner_killeen(orders, "o_orderpriority", "o_totalprice")
