@@ -615,6 +615,9 @@ HEADLINE = [
     # wave 106 (round 6): Brunner-Munzel + Fligner-Killeen
     "brunner_munzel_click_purchase",
     "fligner_killeen_priority_price",
+    # wave 107 (round 6): Prais-Winsten + Pesaran-Timmermann
+    "prais_winsten_daily",
+    "pesaran_timmermann_momentum",
 ]
 
 

@@ -2552,3 +2552,384 @@ def ramsey_reset_sql(
                  {round_to}) AS f_stat
     FROM sol
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 107: Prais-Winsten AR(1) GLS + Pesaran-Timmermann
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def prais_winsten(
+    daily: DataFrame,
+    date_col: str = "day",
+    value_col: str = "y",
+    round_to: int = 6,
+) -> DataFrame:
+    """Prais-Winsten feasible-GLS trend under AR(1) errors: the suite
+    DETECTS serial correlation (durbin_watson, ljung_box) and patches
+    the SEs (newey_west_trend); this is the step nobody else takes —
+    RE-ESTIMATING the line itself, which under strong AR(1) is more
+    efficient than OLS and shifts the point estimate. Two passes:
+
+    1. OLS y = a + b·t, residual autocorrelation
+       ρ̂ = Σ e_t e_{t−1} / Σ e_{t−1}².
+    2. quasi-difference y*_t = y_t − ρ̂y_{t−1}, x*_t = t − ρ̂(t−1),
+       c*_t = 1 − ρ̂, with the FIRST observation retained scaled by
+       √(1−ρ̂²) (the Prais-Winsten improvement over Cochrane-Orcutt's
+       row drop); then no-intercept OLS on (c*, x*) via the closed
+       2×2 normal equations.
+
+    y is mean-normalized (scale-free slopes are reported relative to
+    it — the RATIO slope_pw/slope_ols is the economically meaningful
+    read-out) and t enters raw; all aggregates are O(days). Output
+    (one row): n_days, rho, slope_ols, slope_pw, intercept_pw —
+    slopes on the normalized-y scale."""
+    pts = daily.select(
+        F.col(value_col).cast("double").alias("__y0"),
+        F.row_number()
+        .over(Window.orderBy(date_col))
+        .cast("double")
+        .alias("__t"),
+    )
+    w_all = Window.partitionBy()
+    pts = pts.select(
+        "__t",
+        (
+            F.col("__y0")
+            * F.count(F.lit(1)).over(w_all).cast("double")
+            / F.sum("__y0").over(w_all)
+        ).alias("__y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__t").alias("st"),
+        F.sum(F.col("__t") * F.col("__t")).alias("st2"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__t") * F.col("__y")).alias("sty"),
+    )
+    nn = F.col("n").cast("double")
+    ols = m.select(
+        "n",
+        (F.col("st") / nn).alias("mt"),
+        (F.col("sy") / nn).alias("my"),
+        (
+            (F.col("sty") - F.col("st") * F.col("sy") / nn)
+            / (F.col("st2") - F.col("st") * F.col("st") / nn)
+        ).alias("b_ols"),
+    )
+    w_t = Window.orderBy("__t")
+    resid = pts.crossJoin(F.broadcast(ols)).select(
+        "__t",
+        "__y",
+        "n",
+        "b_ols",
+        "my",
+        "mt",
+        (
+            F.col("__y")
+            - F.col("my")
+            - F.col("b_ols") * (F.col("__t") - F.col("mt"))
+        ).alias("__e"),
+    )
+    lagged = resid.select(
+        "*", F.lag("__e").over(w_t).alias("__el"),
+        F.lag("__y").over(w_t).alias("__yl"),
+    )
+    rho_agg = lagged.agg(
+        F.max("n").alias("n"),
+        F.max("b_ols").alias("b_ols"),
+        (
+            F.sum(
+                F.when(
+                    F.col("__el").isNotNull(), F.col("__e") * F.col("__el")
+                ).otherwise(0.0)
+            )
+            / F.sum(
+                F.when(
+                    F.col("__el").isNotNull(), F.col("__el") * F.col("__el")
+                ).otherwise(0.0)
+            )
+        ).alias("rho"),
+    )
+    star = lagged.crossJoin(
+        F.broadcast(rho_agg.select(F.col("rho").alias("__rho")))
+    ).select(
+        F.when(
+            F.col("__yl").isNotNull(),
+            F.col("__y") - F.col("__rho") * F.col("__yl"),
+        )
+        .otherwise(
+            F.col("__y")
+            * F.sqrt(F.lit(1.0) - F.col("__rho") * F.col("__rho"))
+        )
+        .alias("__ys"),
+        F.when(
+            F.col("__yl").isNotNull(),
+            F.col("__t") - F.col("__rho") * (F.col("__t") - 1.0),
+        )
+        .otherwise(
+            F.col("__t")
+            * F.sqrt(F.lit(1.0) - F.col("__rho") * F.col("__rho"))
+        )
+        .alias("__xs"),
+        F.when(
+            F.col("__yl").isNotNull(), F.lit(1.0) - F.col("__rho")
+        )
+        .otherwise(F.sqrt(F.lit(1.0) - F.col("__rho") * F.col("__rho")))
+        .alias("__cs"),
+    )
+    g = star.agg(
+        F.sum(F.col("__cs") * F.col("__cs")).alias("scc"),
+        F.sum(F.col("__cs") * F.col("__xs")).alias("scx"),
+        F.sum(F.col("__xs") * F.col("__xs")).alias("sxx"),
+        F.sum(F.col("__cs") * F.col("__ys")).alias("scy"),
+        F.sum(F.col("__xs") * F.col("__ys")).alias("sxy"),
+    )
+    det = F.col("scc") * F.col("sxx") - F.col("scx") * F.col("scx")
+    b_pw = (F.col("scc") * F.col("sxy") - F.col("scx") * F.col("scy")) / det
+    a_pw = (F.col("sxx") * F.col("scy") - F.col("scx") * F.col("sxy")) / det
+    final = rho_agg.crossJoin(F.broadcast(g.select(b_pw.alias("__bpw"), a_pw.alias("__apw"))))
+    return final.select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("rho"), round_to).alias("rho"),
+        F.round(F.col("b_ols"), round_to).alias("slope_ols"),
+        F.round(F.col("__bpw"), round_to).alias("slope_pw"),
+        F.round(F.col("__apw"), round_to).alias("intercept_pw"),
+    )
+
+
+def prais_winsten_sql(
+    daily_sql: str,
+    date_col: str = "day",
+    value_col: str = "y",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`prais_winsten`."""
+    return f"""
+    WITH d AS ({daily_sql}),
+    pts0 AS (
+      SELECT CAST({value_col} AS DOUBLE) AS y0,
+             CAST(ROW_NUMBER() OVER (ORDER BY {date_col}) AS DOUBLE) AS t
+      FROM d
+    ),
+    pts AS (
+      SELECT t, y0 * CAST(COUNT(*) OVER () AS DOUBLE) / SUM(y0) OVER ()
+               AS y
+      FROM pts0
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(t) AS st,
+             SUM(t * t) AS st2, SUM(y) AS sy, SUM(t * y) AS sty
+      FROM pts
+    ),
+    ols AS (
+      SELECT n, st / CAST(n AS DOUBLE) AS mt, sy / CAST(n AS DOUBLE) AS my,
+             (sty - st * sy / CAST(n AS DOUBLE))
+             / (st2 - st * st / CAST(n AS DOUBLE)) AS b_ols
+      FROM m
+    ),
+    resid AS (
+      SELECT p.t, p.y, o.n, o.b_ols,
+             p.y - o.my - o.b_ols * (p.t - o.mt) AS e
+      FROM pts p CROSS JOIN ols o
+    ),
+    lagged AS (
+      SELECT t, y, n, b_ols, e,
+             LAG(e) OVER (ORDER BY t) AS el,
+             LAG(y) OVER (ORDER BY t) AS yl
+      FROM resid
+    ),
+    rho_t AS (
+      SELECT MAX(n) AS n, MAX(b_ols) AS b_ols,
+             SUM(CASE WHEN el IS NOT NULL THEN e * el ELSE 0.0 END)
+             / SUM(CASE WHEN el IS NOT NULL THEN el * el ELSE 0.0 END)
+               AS rho
+      FROM lagged
+    ),
+    star AS (
+      SELECT CASE WHEN l.yl IS NOT NULL THEN l.y - r.rho * l.yl
+                  ELSE l.y * SQRT(1.0 - r.rho * r.rho) END AS ys,
+             CASE WHEN l.yl IS NOT NULL THEN l.t - r.rho * (l.t - 1.0)
+                  ELSE l.t * SQRT(1.0 - r.rho * r.rho) END AS xs,
+             CASE WHEN l.yl IS NOT NULL THEN 1.0 - r.rho
+                  ELSE SQRT(1.0 - r.rho * r.rho) END AS cs
+      FROM lagged l CROSS JOIN rho_t r
+    ),
+    g AS (
+      SELECT SUM(cs * cs) AS scc, SUM(cs * xs) AS scx,
+             SUM(xs * xs) AS sxx, SUM(cs * ys) AS scy,
+             SUM(xs * ys) AS sxy
+      FROM star
+    )
+    SELECT r.n AS n_days,
+           ROUND(r.rho, {round_to}) AS rho,
+           ROUND(r.b_ols, {round_to}) AS slope_ols,
+           ROUND((g.scc * g.sxy - g.scx * g.scy)
+                 / (g.scc * g.sxx - g.scx * g.scx), {round_to}) AS slope_pw,
+           ROUND((g.sxx * g.scy - g.scx * g.sxy)
+                 / (g.scc * g.sxx - g.scx * g.scx), {round_to})
+             AS intercept_pw
+    FROM rho_t r CROSS JOIN g
+    """
+
+
+def pesaran_timmermann(
+    daily: DataFrame,
+    date_col: str = "day",
+    value_col: str = "y",
+    round_to: int = 6,
+) -> DataFrame:
+    """Pesaran-Timmermann (1992) directional-accuracy test of the
+    momentum rule "predict today's direction by yesterday's": is the
+    sign hit rate better than the no-skill rate implied by the two
+    marginal up-probabilities? The market-efficiency read-out a raw
+    hit percentage cannot give (a drifting series makes 70% hit rates
+    trivially):
+
+      PT = (p̂ − p*) / √(V̂(p̂) − V̂(p*)) ~ N(0, 1),
+      p* = P_a·P_f + (1−P_a)(1−P_f).
+
+    Directions are exact sign comparisons (Δ > 0; the zero-change
+    convention maps to down) and every probability is a ratio of
+    exact bigint counts — one window pass, one aggregate, one closing
+    expression. Output (one row): n_pairs, hit_rate, p_star,
+    pt_stat."""
+    pts = daily.select(
+        F.col(value_col).cast("double").alias("__y"),
+        F.row_number()
+        .over(Window.orderBy(date_col))
+        .cast("bigint")
+        .alias("__t"),
+    )
+    w = Window.orderBy("__t")
+    # actual = sign of today's change, forecast = sign of yesterday's
+    paired = pts.select(
+        "__t",
+        (F.col("__y") - F.lag("__y").over(w)).alias("__d"),
+    ).select(
+        "__t",
+        (F.col("__d") > 0).cast("int").alias("__a"),
+        (F.lag("__d").over(w) > 0).cast("int").alias("__f"),
+    ).filter(F.col("__f").isNotNull() & F.col("__a").isNotNull())
+    g = paired.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("__a") == F.col("__f"), 1).otherwise(0)
+        ).cast("bigint").alias("hits"),
+        F.sum("__a").cast("bigint").alias("ups_a"),
+        F.sum("__f").cast("bigint").alias("ups_f"),
+    )
+    nn = F.col("n_pairs").cast("double")
+    p_hat = F.col("hits").cast("double") / nn
+    pa = F.col("ups_a").cast("double") / nn
+    pf = F.col("ups_f").cast("double") / nn
+    p_star = pa * pf + (1.0 - pa) * (1.0 - pf)
+    v_hat = p_star * (1.0 - p_star) / nn
+    v_star = (
+        (2.0 * pf - 1.0) * (2.0 * pf - 1.0) * pa * (1.0 - pa) / nn
+        + (2.0 * pa - 1.0) * (2.0 * pa - 1.0) * pf * (1.0 - pf) / nn
+        + 4.0 * pa * pf * (1.0 - pa) * (1.0 - pf) / (nn * nn)
+    )
+    pt = (p_hat - p_star) / F.sqrt(v_hat - v_star)
+    return g.select(
+        "n_pairs",
+        F.round(p_hat, round_to).alias("hit_rate"),
+        F.round(p_star, round_to).alias("p_star"),
+        F.round(pt, round_to).alias("pt_stat"),
+    )
+
+
+def pesaran_timmermann_sql(
+    daily_sql: str,
+    date_col: str = "day",
+    value_col: str = "y",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`pesaran_timmermann`."""
+    return f"""
+    WITH d AS ({daily_sql}),
+    pts AS (
+      SELECT CAST({value_col} AS DOUBLE) AS y,
+             CAST(ROW_NUMBER() OVER (ORDER BY {date_col}) AS BIGINT) AS t
+      FROM d
+    ),
+    diffs AS (
+      SELECT t, y - LAG(y) OVER (ORDER BY t) AS dd FROM pts
+    ),
+    paired AS (
+      SELECT CASE WHEN dd > 0 THEN 1 ELSE 0 END AS a,
+             CASE WHEN LAG(dd) OVER (ORDER BY t) > 0 THEN 1 ELSE 0 END AS f,
+             LAG(dd) OVER (ORDER BY t) AS fl, dd
+      FROM diffs
+      QUALIFY dd IS NOT NULL AND fl IS NOT NULL
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN a = f THEN 1 ELSE 0 END) AS BIGINT)
+               AS hits,
+             CAST(SUM(a) AS BIGINT) AS ups_a,
+             CAST(SUM(f) AS BIGINT) AS ups_f
+      FROM paired
+    )
+    SELECT n_pairs,
+           ROUND(CAST(hits AS DOUBLE) / CAST(n_pairs AS DOUBLE),
+                 {round_to}) AS hit_rate,
+           ROUND((CAST(ups_a AS DOUBLE) / CAST(n_pairs AS DOUBLE))
+                 * (CAST(ups_f AS DOUBLE) / CAST(n_pairs AS DOUBLE))
+                 + (1.0 - CAST(ups_a AS DOUBLE) / CAST(n_pairs AS DOUBLE))
+                   * (1.0 - CAST(ups_f AS DOUBLE)
+                            / CAST(n_pairs AS DOUBLE)),
+                 {round_to}) AS p_star,
+           ROUND((CAST(hits AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+                  - ((CAST(ups_a AS DOUBLE) / CAST(n_pairs AS DOUBLE))
+                     * (CAST(ups_f AS DOUBLE) / CAST(n_pairs AS DOUBLE))
+                     + (1.0 - CAST(ups_a AS DOUBLE)
+                              / CAST(n_pairs AS DOUBLE))
+                       * (1.0 - CAST(ups_f AS DOUBLE)
+                                / CAST(n_pairs AS DOUBLE))))
+                 / SQRT(((CAST(ups_a AS DOUBLE) / CAST(n_pairs AS DOUBLE))
+                         * (CAST(ups_f AS DOUBLE) / CAST(n_pairs AS DOUBLE))
+                         + (1.0 - CAST(ups_a AS DOUBLE)
+                                  / CAST(n_pairs AS DOUBLE))
+                           * (1.0 - CAST(ups_f AS DOUBLE)
+                                    / CAST(n_pairs AS DOUBLE)))
+                        * (1.0 - ((CAST(ups_a AS DOUBLE)
+                                   / CAST(n_pairs AS DOUBLE))
+                                  * (CAST(ups_f AS DOUBLE)
+                                     / CAST(n_pairs AS DOUBLE))
+                                  + (1.0 - CAST(ups_a AS DOUBLE)
+                                           / CAST(n_pairs AS DOUBLE))
+                                    * (1.0 - CAST(ups_f AS DOUBLE)
+                                             / CAST(n_pairs AS DOUBLE))))
+                        / CAST(n_pairs AS DOUBLE)
+                        - ((2.0 * CAST(ups_f AS DOUBLE)
+                                  / CAST(n_pairs AS DOUBLE) - 1.0)
+                           * (2.0 * CAST(ups_f AS DOUBLE)
+                                    / CAST(n_pairs AS DOUBLE) - 1.0)
+                           * (CAST(ups_a AS DOUBLE)
+                              / CAST(n_pairs AS DOUBLE))
+                           * (1.0 - CAST(ups_a AS DOUBLE)
+                                    / CAST(n_pairs AS DOUBLE))
+                           / CAST(n_pairs AS DOUBLE)
+                           + (2.0 * CAST(ups_a AS DOUBLE)
+                                    / CAST(n_pairs AS DOUBLE) - 1.0)
+                             * (2.0 * CAST(ups_a AS DOUBLE)
+                                      / CAST(n_pairs AS DOUBLE) - 1.0)
+                             * (CAST(ups_f AS DOUBLE)
+                                / CAST(n_pairs AS DOUBLE))
+                             * (1.0 - CAST(ups_f AS DOUBLE)
+                                      / CAST(n_pairs AS DOUBLE))
+                             / CAST(n_pairs AS DOUBLE)
+                           + 4.0 * (CAST(ups_a AS DOUBLE)
+                                    / CAST(n_pairs AS DOUBLE))
+                                 * (CAST(ups_f AS DOUBLE)
+                                    / CAST(n_pairs AS DOUBLE))
+                                 * (1.0 - CAST(ups_a AS DOUBLE)
+                                          / CAST(n_pairs AS DOUBLE))
+                                 * (1.0 - CAST(ups_f AS DOUBLE)
+                                          / CAST(n_pairs AS DOUBLE))
+                                 / (CAST(n_pairs AS DOUBLE)
+                                    * CAST(n_pairs AS DOUBLE)))),
+                 {round_to}) AS pt_stat
+    FROM g
+    """

@@ -2050,3 +2050,65 @@ def permutation_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y")
     )
     return timeseries.permutation_entropy(daily)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave107: Prais-Winsten AR(1) GLS + Pesaran-Timmermann
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "prais_winsten_daily",
+    regression.prais_winsten_sql(_ORDERS_DAILY_SQL.strip()),
+    "timeseries op — Prais-Winsten feasible-GLS trend of daily "
+    "revenue under AR(1) errors: the suite detects serial "
+    "correlation (durbin_watson_daily, ljung_box_daily) and patches "
+    "the SEs (newey_west_trend_se); this RE-ESTIMATES the line "
+    "itself — residual rho from one lag pass, quasi-differenced "
+    "regression with the first observation retained at sqrt(1-rho^2) "
+    "weight (the improvement over Cochrane-Orcutt's row drop), "
+    "closed 2x2 normal equations. Reports OLS and PW slopes side by "
+    "side on the mean-normalized scale; O(days) passes only.",
+)
+def prais_winsten_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    return regression.prais_winsten(daily)
+
+
+@_spec(
+    "pesaran_timmermann_momentum",
+    regression.pesaran_timmermann_sql(_ORDERS_DAILY_SQL.strip()),
+    "timeseries op — Pesaran-Timmermann directional-accuracy test of "
+    "the momentum rule (predict today's revenue direction by "
+    "yesterday's) on daily revenue: is the sign hit rate better than "
+    "the no-skill rate implied by the marginal up-probabilities? The "
+    "market-efficiency read-out a raw hit percentage cannot give — "
+    "drift alone makes high hit rates trivial. Exact sign "
+    "comparisons, every probability a ratio of exact bigint counts, "
+    "one window pass + one aggregate.",
+)
+def pesaran_timmermann_momentum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    return regression.pesaran_timmermann(daily)
