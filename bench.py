@@ -618,6 +618,9 @@ HEADLINE = [
     # wave 107 (round 6): Prais-Winsten + Pesaran-Timmermann
     "prais_winsten_daily",
     "pesaran_timmermann_momentum",
+    # wave 108 (round 6): DFA + Higuchi fractal dimension
+    "dfa_alpha_daily",
+    "higuchi_fd_daily",
 ]
 
 

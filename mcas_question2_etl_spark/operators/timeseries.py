@@ -4575,3 +4575,349 @@ def permutation_entropy_sql(
                  {round_to}) AS perm_entropy
     FROM g
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 108: fractal scaling — DFA + Higuchi fractal dimension
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def dfa_alpha(
+    daily: DataFrame,
+    date_col: str = "day",
+    value_col: str = "y",
+    box_sizes: tuple = (8, 16, 32, 64),
+    round_to: int = 6,
+) -> DataFrame:
+    """Detrended fluctuation analysis (Peng 1994): integrate the
+    centered series into a profile, split into boxes of size s,
+    linearly detrend EACH box, and fit log F(s) ~ α·log s over the
+    RMS fluctuations — the long-memory exponent that, unlike
+    hurst_rs, is valid under nonstationarity (trends are removed
+    box-by-box, the whole reason DFA displaced R/S in physiology and
+    finance). α ≈ 0.5 white noise, > 0.5 persistent, ≈ 1.5 random
+    walk.
+
+    Profile = window cumsum (sequentially deterministic in both
+    engines); per-box detrending is the closed-form residual SS from
+    six in-box moments (boxes are ≤ 64 rows, an exact-enough double
+    sum); incomplete trailing boxes are dropped. The box stage is one
+    explode over |box_sizes| literals — O(days·4) rows. Output (one
+    row): n_days, f_s for each s, dfa_alpha."""
+    pts = daily.select(
+        F.col(value_col).cast("double").alias("__y0"),
+        F.row_number()
+        .over(Window.orderBy(date_col))
+        .cast("bigint")
+        .alias("__t"),
+    )
+    w_all = Window.partitionBy()
+    norm = pts.select(
+        "__t",
+        (
+            F.col("__y0") * F.count(F.lit(1)).over(w_all).cast("double")
+            / F.sum("__y0").over(w_all)
+            - F.lit(1.0)
+        ).alias("__c"),
+    )
+    w_cum = Window.orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    prof = norm.select(
+        "__t", F.sum("__c").over(w_cum).alias("__p")
+    )
+    sizes = F.array(*[F.lit(s) for s in box_sizes])
+    boxed = prof.select(
+        "__t", "__p", F.explode(sizes).alias("__s")
+    ).select(
+        "__s",
+        "__p",
+        F.col("__t").cast("double").alias("__x"),
+        F.floor((F.col("__t") - 1) / F.col("__s")).alias("__b"),
+    )
+    per_box = boxed.groupBy("__s", "__b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("__x").alias("sx"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum("__p").alias("sp"),
+        F.sum(F.col("__p") * F.col("__p")).alias("spp"),
+        F.sum(F.col("__x") * F.col("__p")).alias("sxp"),
+    ).filter(F.col("cnt") == F.col("__s"))
+    cc = F.col("cnt").cast("double")
+    sxx_c = F.col("sxx") - F.col("sx") * F.col("sx") / cc
+    spp_c = F.col("spp") - F.col("sp") * F.col("sp") / cc
+    sxp_c = F.col("sxp") - F.col("sx") * F.col("sp") / cc
+    ss_res = spp_c - sxp_c * sxp_c / sxx_c
+    per_s = per_box.groupBy("__s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_boxes"),
+        F.sum(ss_res).alias("t_ss"),
+    ).select(
+        "__s",
+        F.sqrt(
+            F.col("t_ss")
+            / (F.col("n_boxes").cast("double") * F.col("__s").cast("double"))
+        ).alias("__f"),
+    )
+    fit = per_s.select(
+        F.log(F.col("__s").cast("double")).alias("__lx"),
+        F.log("__f").alias("__ly"),
+        "__s",
+        "__f",
+    )
+    g = fit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("__lx").alias("slx"),
+        F.sum(F.col("__lx") * F.col("__lx")).alias("slxx"),
+        F.sum("__ly").alias("sly"),
+        F.sum(F.col("__lx") * F.col("__ly")).alias("slxy"),
+        *[
+            F.max(F.when(F.col("__s") == s, F.col("__f"))).alias(f"f{s}")
+            for s in box_sizes
+        ],
+    )
+    kk = F.col("k").cast("double")
+    alpha = (F.col("slxy") - F.col("slx") * F.col("sly") / kk) / (
+        F.col("slxx") - F.col("slx") * F.col("slx") / kk
+    )
+    n_days = pts.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return n_days.crossJoin(F.broadcast(g)).select(
+        "n_days",
+        *[F.round(F.col(f"f{s}"), round_to).alias(f"f{s}") for s in box_sizes],
+        F.round(alpha, round_to).alias("dfa_alpha"),
+    )
+
+
+def dfa_alpha_sql(
+    daily_sql: str,
+    date_col: str = "day",
+    value_col: str = "y",
+    box_sizes: tuple = (8, 16, 32, 64),
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`dfa_alpha`."""
+    sizes = ", ".join(str(s) for s in box_sizes)
+    f_cols = ",\n             ".join(
+        f"MAX(CASE WHEN s = {s} THEN f END) AS f{s}" for s in box_sizes
+    )
+    f_out = ",\n           ".join(
+        f"ROUND(f{s}, {round_to}) AS f{s}" for s in box_sizes
+    )
+    return f"""
+    WITH d AS ({daily_sql}),
+    pts AS (
+      SELECT CAST({value_col} AS DOUBLE) AS y0,
+             CAST(ROW_NUMBER() OVER (ORDER BY {date_col}) AS BIGINT) AS t
+      FROM d
+    ),
+    norm AS (
+      SELECT t, y0 * CAST(COUNT(*) OVER () AS DOUBLE) / SUM(y0) OVER ()
+               - 1.0 AS c
+      FROM pts
+    ),
+    prof AS (
+      SELECT t, SUM(c) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM norm
+    ),
+    boxed AS (
+      SELECT s.s, CAST(prof.t AS DOUBLE) AS x, prof.p,
+             CAST(FLOOR((prof.t - 1) / s.s) AS BIGINT) AS b
+      FROM prof CROSS JOIN (SELECT unnest([{sizes}]) AS s) s
+    ),
+    per_box AS (
+      SELECT s, b, CAST(COUNT(*) AS BIGINT) AS cnt,
+             SUM(x) AS sx, SUM(x * x) AS sxx,
+             SUM(p) AS sp, SUM(p * p) AS spp, SUM(x * p) AS sxp
+      FROM boxed GROUP BY s, b
+      HAVING COUNT(*) = MAX(s)
+    ),
+    per_s AS (
+      SELECT s,
+             SQRT(SUM((spp - sp * sp / CAST(cnt AS DOUBLE))
+                      - (sxp - sx * sp / CAST(cnt AS DOUBLE))
+                        * (sxp - sx * sp / CAST(cnt AS DOUBLE))
+                        / (sxx - sx * sx / CAST(cnt AS DOUBLE)))
+                  / (CAST(COUNT(*) AS DOUBLE) * CAST(s AS DOUBLE))) AS f
+      FROM per_box GROUP BY s
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(LN(CAST(s AS DOUBLE))) AS slx,
+             SUM(LN(CAST(s AS DOUBLE)) * LN(CAST(s AS DOUBLE))) AS slxx,
+             SUM(LN(f)) AS sly,
+             SUM(LN(CAST(s AS DOUBLE)) * LN(f)) AS slxy,
+             {f_cols}
+      FROM per_s
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pts) AS n_days,
+           {f_out},
+           ROUND((slxy - slx * sly / CAST(k AS DOUBLE))
+                 / (slxx - slx * slx / CAST(k AS DOUBLE)),
+                 {round_to}) AS dfa_alpha
+    FROM g
+    """
+
+
+def higuchi_fd(
+    daily: DataFrame,
+    date_col: str = "day",
+    value_col: str = "y",
+    k_values: tuple = (1, 2, 3, 4, 6, 8),
+    round_to: int = 6,
+) -> DataFrame:
+    """Higuchi fractal dimension (1988): average curve length L(k)
+    over the k decimated sub-series at each lag k, fit
+    ln L(k) ~ −D·ln k — the roughness dimension of the series graph,
+    D ∈ [1, 2] (1 = smooth curve, 2 = space-filling noise; for
+    fractional processes D ≈ 2 − α, the complement of dfa_alpha).
+
+    The decimation trick: partitioning rows by (k, t mod k) and
+    lagging within the partition gives y_{t−k} with ONE window pass
+    over the |k_values|-exploded table — no per-k joins. Lengths use
+    Higuchi's exact normalization (n−1)/(⌊(n−m)/k⌋·k²) per offset m,
+    all counts exact bigints. Output (one row): n_days, higuchi_d,
+    r2_fit."""
+    pts = daily.select(
+        F.col(value_col).cast("double").alias("__y0"),
+        F.row_number()
+        .over(Window.orderBy(date_col))
+        .cast("bigint")
+        .alias("__t"),
+    )
+    w_all = Window.partitionBy()
+    norm = pts.select(
+        "__t",
+        (
+            F.col("__y0") * F.count(F.lit(1)).over(w_all).cast("double")
+            / F.sum("__y0").over(w_all)
+        ).alias("__y"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("__n"),
+    )
+    ks = F.array(*[F.lit(k) for k in k_values])
+    ex = norm.select(
+        "__t", "__y", "__n", F.explode(ks).alias("__k")
+    ).select(
+        "__k",
+        "__t",
+        "__y",
+        "__n",
+        ((F.col("__t") - 1) % F.col("__k")).alias("__m"),
+    )
+    w_dec = Window.partitionBy("__k", "__m").orderBy("__t")
+    stepped = ex.select(
+        "__k",
+        "__m",
+        "__n",
+        F.abs(F.col("__y") - F.lag("__y").over(w_dec)).alias("__ad"),
+    ).filter(F.col("__ad").isNotNull())
+    per_m = stepped.groupBy("__k", "__m").agg(
+        F.max("__n").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_steps"),
+        F.sum("__ad").alias("sad"),
+    )
+    # L_m(k) = sad * (n-1) / (n_steps * k^2)
+    lm = per_m.select(
+        "__k",
+        (
+            F.col("sad")
+            * (F.col("n") - 1).cast("double")
+            / (
+                F.col("n_steps").cast("double")
+                * F.col("__k").cast("double")
+                * F.col("__k").cast("double")
+            )
+        ).alias("__lm"),
+    )
+    per_k = lm.groupBy("__k").agg(F.avg("__lm").alias("__lk"))
+    fit = per_k.select(
+        F.log(F.col("__k").cast("double")).alias("__lx"),
+        F.log("__lk").alias("__ly"),
+    )
+    g = fit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("kk"),
+        F.sum("__lx").alias("slx"),
+        F.sum(F.col("__lx") * F.col("__lx")).alias("slxx"),
+        F.sum("__ly").alias("sly"),
+        F.sum(F.col("__ly") * F.col("__ly")).alias("slyy"),
+        F.sum(F.col("__lx") * F.col("__ly")).alias("slxy"),
+    )
+    kk = F.col("kk").cast("double")
+    sxx_c = F.col("slxx") - F.col("slx") * F.col("slx") / kk
+    syy_c = F.col("slyy") - F.col("sly") * F.col("sly") / kk
+    sxy_c = F.col("slxy") - F.col("slx") * F.col("sly") / kk
+    d = -sxy_c / sxx_c
+    r2 = sxy_c * sxy_c / (sxx_c * syy_c)
+    n_days = pts.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return n_days.crossJoin(F.broadcast(g)).select(
+        "n_days",
+        F.round(d, round_to).alias("higuchi_d"),
+        F.round(r2, round_to).alias("r2_fit"),
+    )
+
+
+def higuchi_fd_sql(
+    daily_sql: str,
+    date_col: str = "day",
+    value_col: str = "y",
+    k_values: tuple = (1, 2, 3, 4, 6, 8),
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`higuchi_fd`."""
+    ks = ", ".join(str(k) for k in k_values)
+    return f"""
+    WITH d AS ({daily_sql}),
+    pts AS (
+      SELECT CAST({value_col} AS DOUBLE) AS y0,
+             CAST(ROW_NUMBER() OVER (ORDER BY {date_col}) AS BIGINT) AS t
+      FROM d
+    ),
+    norm AS (
+      SELECT t,
+             y0 * CAST(COUNT(*) OVER () AS DOUBLE) / SUM(y0) OVER () AS y,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM pts
+    ),
+    ex AS (
+      SELECT k.k, norm.t, norm.y, norm.n,
+             (norm.t - 1) % k.k AS m
+      FROM norm CROSS JOIN (SELECT unnest([{ks}]) AS k) k
+    ),
+    stepped AS (
+      SELECT k, m, n,
+             ABS(y - LAG(y) OVER (PARTITION BY k, m ORDER BY t)) AS ad
+      FROM ex
+      QUALIFY ad IS NOT NULL
+    ),
+    per_m AS (
+      SELECT k, m, MAX(n) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_steps,
+             SUM(ad) AS sad
+      FROM stepped GROUP BY k, m
+    ),
+    per_k AS (
+      SELECT k,
+             AVG(sad * CAST(n - 1 AS DOUBLE)
+                 / (CAST(n_steps AS DOUBLE)
+                    * CAST(k AS DOUBLE) * CAST(k AS DOUBLE))) AS lk
+      FROM per_m GROUP BY k
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS kk,
+             SUM(LN(CAST(k AS DOUBLE))) AS slx,
+             SUM(LN(CAST(k AS DOUBLE)) * LN(CAST(k AS DOUBLE))) AS slxx,
+             SUM(LN(lk)) AS sly,
+             SUM(LN(lk) * LN(lk)) AS slyy,
+             SUM(LN(CAST(k AS DOUBLE)) * LN(lk)) AS slxy
+      FROM per_k
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pts) AS n_days,
+           ROUND(-(slxy - slx * sly / CAST(kk AS DOUBLE))
+                 / (slxx - slx * slx / CAST(kk AS DOUBLE)),
+                 {round_to}) AS higuchi_d,
+           ROUND((slxy - slx * sly / CAST(kk AS DOUBLE))
+                 * (slxy - slx * sly / CAST(kk AS DOUBLE))
+                 / ((slxx - slx * slx / CAST(kk AS DOUBLE))
+                    * (slyy - sly * sly / CAST(kk AS DOUBLE))),
+                 {round_to}) AS r2_fit
+    FROM g
+    """

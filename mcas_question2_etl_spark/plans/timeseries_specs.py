@@ -2112,3 +2112,62 @@ def pesaran_timmermann_momentum(
         .alias("y")
     )
     return regression.pesaran_timmermann(daily)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave108: fractal scaling — DFA + Higuchi fractal dimension
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "dfa_alpha_daily",
+    timeseries.dfa_alpha_sql(_ORDERS_DAILY_SQL.strip()),
+    "timeseries op — detrended fluctuation analysis of daily "
+    "revenue: profile cumsum -> per-box linear detrend (closed-form "
+    "residual SS from six in-box moments, boxes of 8/16/32/64 days) "
+    "-> log-log alpha. The long-memory exponent that, unlike "
+    "hurst_rs_daily, stays valid under nonstationary trends (they "
+    "are removed box-by-box) — the reason DFA displaced R/S. One "
+    "explode over four box-size literals, O(days*4) rows, no "
+    "self-joins.",
+)
+def dfa_alpha_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    return timeseries.dfa_alpha(daily)
+
+
+@_spec(
+    "higuchi_fd_daily",
+    timeseries.higuchi_fd_sql(_ORDERS_DAILY_SQL.strip()),
+    "timeseries op — Higuchi fractal dimension of daily revenue: "
+    "average decimated curve length L(k) at lags 1..8, "
+    "ln L(k) ~ -D ln k; D in [1,2] is the graph-roughness complement "
+    "of dfa_alpha (D ~ 2 - alpha for fractional processes). The "
+    "decimation trick: partition by (k, t mod k) and lag within the "
+    "partition — one window pass over the k-exploded table, no "
+    "per-lag joins; Higuchi's exact normalization from bigint "
+    "counts.",
+)
+def higuchi_fd_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    return timeseries.higuchi_fd(daily)
