@@ -621,6 +621,9 @@ HEADLINE = [
     # wave 108 (round 6): DFA + Higuchi fractal dimension
     "dfa_alpha_daily",
     "higuchi_fd_daily",
+    # wave 109 (round 6): Fisher LDA + IND discovery
+    "lda_returnflag_axis",
+    "inclusion_dependency_sweep",
 ]
 
 

@@ -565,3 +565,102 @@ def partition_skew_report_sql(
              / (CAST(tot.t AS DOUBLE) / tot.nb) AS skew_ratio
     FROM per_bucket CROSS JOIN tot
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 109: inclusion-dependency discovery
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def inclusion_dependency_report(
+    pairs,
+    round_to: int = 6,
+):
+    """Inclusion-dependency (IND) discovery over a candidate battery:
+    for each (label, df_a, col_a, df_b, col_b) candidate, does the
+    value set of A embed in B? Completes the classical profiling
+    trio next to unique-column discovery (key_candidate_orders) and
+    functional dependencies (functional_dependency_parts) — INDs are
+    the joinability/FK map a schema-less lake needs before any join
+    is trusted, and fk_orphan_report's single-FK check generalized
+    to a sweep.
+
+    Per candidate: distinct projections of both sides, a LEFT ANTI
+    join for violations (the distinct-then-anti-join shape shuffles
+    value sets, never fact rows), exact bigint counts, coverage =
+    1 − violations/|A|. The battery is a fixed literal list — the
+    loop is over candidates, never data. Output per candidate:
+    (candidate, distinct_a, distinct_b, violations, coverage,
+    holds), label-ordered."""
+    out = None
+    for label, df_a, col_a, df_b, col_b in pairs:
+        a = (
+            df_a.select(F.col(col_a).cast("bigint").alias("__v"))
+            .filter(F.col("__v").isNotNull())
+            .distinct()
+        )
+        b = (
+            df_b.select(F.col(col_b).cast("bigint").alias("__v"))
+            .filter(F.col("__v").isNotNull())
+            .distinct()
+        )
+        viol = a.join(b, "__v", "left_anti").agg(
+            F.count(F.lit(1)).cast("bigint").alias("violations")
+        )
+        counts = a.agg(
+            F.count(F.lit(1)).cast("bigint").alias("distinct_a")
+        ).crossJoin(
+            F.broadcast(
+                b.agg(F.count(F.lit(1)).cast("bigint").alias("distinct_b"))
+            )
+        )
+        row = counts.crossJoin(F.broadcast(viol)).select(
+            F.lit(label).alias("candidate"),
+            "distinct_a",
+            "distinct_b",
+            "violations",
+            F.round(
+                F.lit(1.0)
+                - F.col("violations").cast("double")
+                / F.col("distinct_a").cast("double"),
+                round_to,
+            ).alias("coverage"),
+            (F.col("violations") == 0).alias("holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("candidate")
+
+
+def inclusion_dependency_report_sql(
+    pairs,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`inclusion_dependency_report`. ``pairs``
+    entries are (label, table_a, col_a, table_b, col_b) strings."""
+    subs = []
+    for label, ta, ca, tb, cb in pairs:
+        subs.append(f"""
+      SELECT '{label}' AS candidate,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM (SELECT DISTINCT CAST({ca} AS BIGINT) AS v FROM {ta}
+                    WHERE {ca} IS NOT NULL)) AS distinct_a,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM (SELECT DISTINCT CAST({cb} AS BIGINT) AS v FROM {tb}
+                    WHERE {cb} IS NOT NULL)) AS distinct_b,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT DISTINCT CAST({ca} AS BIGINT) AS v FROM {ta}
+                WHERE {ca} IS NOT NULL) a
+               WHERE NOT EXISTS (SELECT 1 FROM {tb} b
+                                 WHERE CAST(b.{cb} AS BIGINT) = a.v))
+               AS violations""")
+    union = "\n      UNION ALL".join(subs)
+    return f"""
+    WITH raw AS ({union}
+    )
+    SELECT candidate, distinct_a, distinct_b, violations,
+           ROUND(1.0 - CAST(violations AS DOUBLE)
+                       / CAST(distinct_a AS DOUBLE), {round_to})
+             AS coverage,
+           violations = 0 AS holds
+    FROM raw ORDER BY candidate
+    """

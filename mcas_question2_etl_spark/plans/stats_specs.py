@@ -3690,3 +3690,81 @@ def fligner_killeen_priority_price(
 ) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return evaluation.fligner_killeen(orders, "o_orderpriority", "o_totalprice")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave109: Fisher LDA + inclusion-dependency discovery
+# ──────────────────────────────────────────────────────────────────────────
+from ..ml.lda import lda_two_feature, lda_two_feature_sql
+from ..operators.profiling import (
+    inclusion_dependency_report,
+    inclusion_dependency_report_sql,
+)
+
+_IND_PAIRS_W109 = [
+    ("cust.nation_in_nation", "customer", "c_nationkey", "nation",
+     "n_nationkey"),
+    ("custkey_in_orders_rev", "customer", "c_custkey", "orders",
+     "o_custkey"),
+    ("events.user_in_customer", "events", "user_id", "customer",
+     "c_custkey"),
+    ("li.order_in_orders", "lineitem", "l_orderkey", "orders",
+     "o_orderkey"),
+    ("li.part_in_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("li.supp_in_supplier", "lineitem", "l_suppkey", "supplier",
+     "s_suppkey"),
+    ("orders.cust_in_customer", "orders", "o_custkey", "customer",
+     "c_custkey"),
+]
+
+
+@_spec(
+    "lda_returnflag_axis",
+    lda_two_feature_sql(
+        "lineitem",
+        "l_returnflag = 'R'",
+        "l_quantity",
+        "l_discount",
+    ),
+    "ml op — closed-form Fisher LDA on (quantity, discount) "
+    "predicting returned lineitems: pooled within-class scatter from "
+    "exact per-class moments, axis w = Sw^-1 * dmu via the explicit "
+    "2x2 inverse, midpoint threshold, Fisher criterion J, and exact "
+    "comparison-counted training accuracy. The missing classical "
+    "member between nbayes (independence), the decision stump "
+    "(single split) and the IRLS GLM (iterative) — Bayes-optimal "
+    "under shared-covariance Gaussians and fully closed form: one "
+    "moments pass + one scoring scan, no iteration at any scale.",
+)
+def lda_returnflag_axis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return lda_two_feature(
+        li, F.col("l_returnflag") == "R", "l_quantity", "l_discount"
+    )
+
+
+@_spec(
+    "inclusion_dependency_sweep",
+    inclusion_dependency_report_sql(_IND_PAIRS_W109),
+    "profiling op — inclusion-dependency discovery over a 7-pair "
+    "candidate battery (the TPC-H FK lattice + the reverse direction "
+    "+ the cross-dataset events.user_id -> customer probe): distinct "
+    "projections, LEFT ANTI violations, exact coverage. Completes "
+    "the classical profiling trio next to key_candidate_orders "
+    "(UCCs) and functional_dependency_parts (FDs) — the joinability "
+    "map a schema-less lake needs before trusting any join; value "
+    "SETS shuffle, never fact rows.",
+)
+def inclusion_dependency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = {
+        name: load_table(spark, sf_dir, name)
+        for name in (
+            "customer", "nation", "orders", "events", "lineitem",
+            "part", "supplier",
+        )
+    }
+    pairs = [
+        (label, tables[ta], ca, tables[tb], cb)
+        for label, ta, ca, tb, cb in _IND_PAIRS_W109
+    ]
+    return inclusion_dependency_report(pairs)
