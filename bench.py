@@ -624,6 +624,8 @@ HEADLINE = [
     # wave 109 (round 6): Fisher LDA + IND discovery
     "lda_returnflag_axis",
     "inclusion_dependency_sweep",
+    # wave 110 (round 6): audio spectral profile
+    "audio_spectral_profile",
 ]
 
 

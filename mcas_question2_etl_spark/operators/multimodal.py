@@ -1004,3 +1004,151 @@ def encode_tiff(
     for s in strips:
         out += s
     return bytes(out)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 110: audio spectral profile via explicit DFT bins
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def spectral_profile(
+    frames: DataFrame,
+    media_col: str = "media_id",
+    frame_col: str = "frame",
+    energy_col: str = "energy",
+    n_frames: int = 64,
+    k_max: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-media spectral read-out of a frame-energy envelope via
+    EXPLICIT DFT bins — X_k = Σ_n e_n·e^(−2πikn/N) spelled as two
+    cos/sin sums per bin, entirely JVM-side expression code (the
+    audio analogue of the suite's "no Python in the hot path" rule;
+    an FFT library would be a UDF, the O(N·k_max) naive transform for
+    small k_max is pure SQL in both engines).
+
+    Reports the standard low-level audio descriptors over bins
+    1..k_max: per-bin power P_k = |X_k|², total band power, the
+    spectral centroid Σk·P_k/ΣP_k (bin units — where the energy
+    lives), and spectral flatness exp(mean ln P)/mean P (1 = white,
+    → 0 = tonal; NULL if any bin is exactly empty). One explode to
+    (media, k, n) — N·k_max rows per media — and two rollups.
+    Output per media: (media_id, total_power, spectral_centroid,
+    spectral_flatness)."""
+    two_pi = 6.283185307179586
+    ks = F.array(*[F.lit(k) for k in range(1, k_max + 1)])
+    terms = frames.select(
+        F.col(media_col).alias("__m"),
+        F.col(frame_col).cast("double").alias("__n"),
+        F.col(energy_col).cast("double").alias("__e"),
+        F.explode(ks).alias("__k"),
+    ).select(
+        "__m",
+        "__k",
+        (
+            F.col("__e")
+            * F.cos(
+                F.lit(two_pi)
+                * F.col("__k").cast("double")
+                * F.col("__n")
+                / F.lit(float(n_frames))
+            )
+        ).alias("__re"),
+        (
+            -F.col("__e")
+            * F.sin(
+                F.lit(two_pi)
+                * F.col("__k").cast("double")
+                * F.col("__n")
+                / F.lit(float(n_frames))
+            )
+        ).alias("__im"),
+    )
+    bins = terms.groupBy("__m", "__k").agg(
+        F.sum("__re").alias("re"), F.sum("__im").alias("im")
+    ).select(
+        "__m",
+        "__k",
+        (F.col("re") * F.col("re") + F.col("im") * F.col("im")).alias(
+            "__p"
+        ),
+    )
+    g = bins.groupBy(F.col("__m").alias(media_col)).agg(
+        F.sum("__p").alias("total"),
+        F.sum(F.col("__k").cast("double") * F.col("__p")).alias("kp"),
+        F.avg("__p").alias("pbar"),
+        F.avg(
+            F.when(F.col("__p") > 0, F.log("__p"))
+        ).alias("lnbar"),
+        F.sum(F.when(F.col("__p") > 0, 0).otherwise(1)).alias("zeros"),
+    )
+    # a DC-only envelope leaves ~1e-24 of cos/sin float dust in the
+    # bins, not exact zeros: anything below 1e-9 total band power is
+    # silence (real envelopes land at O(1)+), NULL read-outs
+    flat = F.when(
+        (F.col("zeros") == 0) & (F.col("total") > 1e-9),
+        F.exp(F.col("lnbar")) / F.col("pbar"),
+    ).otherwise(F.lit(None).cast("double"))
+    return g.select(
+        media_col,
+        F.round(F.col("total"), round_to).alias("total_power"),
+        F.round(
+            F.when(
+                F.col("total") > 1e-9, F.col("kp") / F.col("total")
+            ).otherwise(F.lit(None).cast("double")),
+            round_to,
+        ).alias("spectral_centroid"),
+        F.round(flat, round_to).alias("spectral_flatness"),
+    ).orderBy(media_col)
+
+
+def spectral_profile_sql(
+    frames_sql: str,
+    media_col: str = "media_id",
+    frame_col: str = "frame",
+    energy_col: str = "energy",
+    n_frames: int = 64,
+    k_max: int = 8,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`spectral_profile`. ``frames_sql`` must
+    yield (media_id, frame, energy)."""
+    two_pi = 6.283185307179586
+    return f"""
+    WITH frames AS ({frames_sql}),
+    terms AS (
+      SELECT f.{media_col} AS m, k.k,
+             CAST(f.{energy_col} AS DOUBLE)
+               * COS({two_pi!r} * CAST(k.k AS DOUBLE)
+                     * CAST(f.{frame_col} AS DOUBLE)
+                     / {float(n_frames)!r}) AS re,
+             -CAST(f.{energy_col} AS DOUBLE)
+               * SIN({two_pi!r} * CAST(k.k AS DOUBLE)
+                     * CAST(f.{frame_col} AS DOUBLE)
+                     / {float(n_frames)!r}) AS im
+      FROM frames f
+      CROSS JOIN (SELECT unnest(range(1, {k_max + 1})) AS k) k
+    ),
+    bins AS (
+      SELECT m, k, re * re + im * im AS p
+      FROM (SELECT m, k, SUM(re) AS re, SUM(im) AS im
+            FROM terms GROUP BY m, k)
+    ),
+    g AS (
+      SELECT m AS {media_col},
+             SUM(p) AS total,
+             SUM(CAST(k AS DOUBLE) * p) AS kp,
+             AVG(p) AS pbar,
+             AVG(CASE WHEN p > 0 THEN LN(p) END) AS lnbar,
+             SUM(CASE WHEN p > 0 THEN 0 ELSE 1 END) AS zeros
+      FROM bins GROUP BY m
+    )
+    SELECT {media_col},
+           ROUND(total, {round_to}) AS total_power,
+           ROUND(CASE WHEN total > 1e-9 THEN kp / total ELSE NULL END,
+                 {round_to}) AS spectral_centroid,
+           ROUND(CASE WHEN zeros = 0 AND total > 1e-9
+                      THEN EXP(lnbar) / pbar ELSE NULL END,
+                 {round_to}) AS spectral_flatness
+    FROM g ORDER BY {media_col}
+    """

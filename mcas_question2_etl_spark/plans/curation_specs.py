@@ -2154,3 +2154,53 @@ def novelty_vs_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.mmr_topk(emb)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave110: audio spectral profile (operators/multimodal.py)
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.multimodal import spectral_profile, spectral_profile_sql
+
+_FRAMES_SQL_W110 = """SELECT media_id, frame, energy FROM (
+      SELECT doc_id AS media_id, i - 1 AS frame,
+             CAST(('0x' || substring(
+                 md5(text || ':0') || md5(text || ':1'), i, 1))
+               AS INTEGER) AS energy
+      FROM documents, unnest(range(1, 65)) AS t(i)
+    )"""
+
+
+@_spec(
+    "audio_spectral_profile",
+    spectral_profile_sql(_FRAMES_SQL_W110),
+    "multimodal (audio) — spectral profile of the shared 64-frame "
+    "energy envelope (same deterministic decode as "
+    "audio_active_segments): explicit DFT bins X_k = sum e_n * "
+    "exp(-2*pi*i*k*n/N) for k = 1..8 spelled as cos/sin sums — the "
+    "no-Python-in-the-hot-path audio transform (an FFT library would "
+    "be a UDF; the O(N*k) naive form IS expression code in both "
+    "engines). Reports per-media band power, spectral centroid (bin "
+    "units) and spectral flatness (1 = white, -> 0 = tonal); one "
+    "explode to N*8 rows per media + two rollups.",
+)
+def audio_spectral_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.concat(
+        F.md5(F.concat(F.col("text"), F.lit(":0"))),
+        F.md5(F.concat(F.col("text"), F.lit(":1"))),
+    )
+    frames = docs.select(
+        F.col("doc_id").alias("media_id"), hx.alias("__hx")
+    ).select(
+        "media_id",
+        F.posexplode(
+            F.split(F.regexp_replace("__hx", "(.)", "$1,"), ",").cast(
+                "array<string>"
+            )
+        ).alias("frame", "__nib"),
+    ).filter(F.col("__nib") != "").select(
+        "media_id",
+        "frame",
+        F.conv(F.col("__nib"), 16, 10).cast("int").alias("energy"),
+    )
+    return spectral_profile(frames)
