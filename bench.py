@@ -626,6 +626,9 @@ HEADLINE = [
     "inclusion_dependency_sweep",
     # wave 110 (round 6): audio spectral profile
     "audio_spectral_profile",
+    # wave 111 (round 6): CvM + BWS two-sample tests
+    "cvm_two_sample_priority",
+    "bws_two_sample_priority",
 ]
 
 

@@ -5764,3 +5764,306 @@ def fligner_killeen_sql(
            CAST(k - 1 AS INT) AS df
     FROM gg
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 111: two-sample battery — Cramér-von Mises + BWS
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def _w111_ranked(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Combined and within-group ranks for the two-sample rank tests
+    under the (value, group) total order. Exact duplicates of
+    (group, value) would make two independent ROW_NUMBER windows pair
+    combined and within ranks ARBITRARILY (different shuffles,
+    different pairings, different squared sums) — so ranks are built
+    from the deduplicated (group, value, count) rollup instead: block
+    cumsums give each tie run's starting ranks, and an exploded
+    1..count sequence pairs the k-th combined rank with the k-th
+    within rank, deterministically in both engines. Returns
+    (g, r, i)."""
+    blocks = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(
+            F.col(group_col).alias("__g"),
+            F.col(value_col).cast("decimal(18,2)").alias("__x"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
+    )
+    w_all = Window.orderBy("__x", "__g").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_grp = (
+        Window.partitionBy("__g")
+        .orderBy("__x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    based = blocks.select(
+        "__g",
+        "__cnt",
+        F.coalesce(F.sum("__cnt").over(w_all), F.lit(0)).alias("__r0"),
+        F.coalesce(F.sum("__cnt").over(w_grp), F.lit(0)).alias("__i0"),
+    )
+    return based.select(
+        "__g",
+        "__r0",
+        "__i0",
+        F.explode(F.sequence(F.lit(1), F.col("__cnt"))).alias("__k"),
+    ).select(
+        "__g",
+        (F.col("__r0") + F.col("__k")).cast("bigint").alias("__r"),
+        (F.col("__i0") + F.col("__k")).cast("bigint").alias("__i"),
+    )
+
+
+def cramer_von_mises_2s(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample Cramér-von Mises test (Anderson 1962 rank form):
+    integrates the SQUARED gap between the two empirical CDFs where
+    ks_test takes only the single largest gap — CvM sees distributed
+    small differences KS misses, without Kuiper's cyclic focus.
+
+      U = n·Σ_a (r_i − i)² + m·Σ_b (r_j − j)²
+      T = U/(n·m·(n+m)) − (4nm − 1)/(6(n+m))
+
+    with r the combined rank and i/j within-group indices — U is an
+    exact bigint, T one closing expression (critical values: 0.461 at
+    5%, 0.743 at 1%). Ranks ride the shared (value, group) total
+    order. Output (one row): n_a, n_b, u_stat, cvm_t."""
+    ranked = _w111_ranked(df, group_col, value_col, group_a, group_b)
+    g = ranked.agg(
+        F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("__g") == group_b, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(
+            F.when(
+                F.col("__g") == group_a,
+                (F.col("__r") - F.col("__i")) * (F.col("__r") - F.col("__i")),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("ssq_a"),
+        F.sum(
+            F.when(
+                F.col("__g") == group_b,
+                (F.col("__r") - F.col("__i")) * (F.col("__r") - F.col("__i")),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("ssq_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    u = F.col("n_a") * F.col("ssq_a") + F.col("n_b") * F.col("ssq_b")
+    t = u.cast("double") / (na * nb * (na + nb)) - (
+        F.lit(4.0) * na * nb - F.lit(1.0)
+    ) / (F.lit(6.0) * (na + nb))
+    return g.select(
+        "n_a",
+        "n_b",
+        u.cast("bigint").alias("u_stat"),
+        F.round(t, round_to).alias("cvm_t"),
+    )
+
+
+def cramer_von_mises_2s_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`cramer_von_mises_2s`."""
+    return f"""
+    WITH blocks AS (
+      SELECT {group_col} AS g, CAST({value_col} AS DECIMAL(18,2)) AS x,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM {table} WHERE {group_col} IN ('{group_a}', '{group_b}')
+      GROUP BY 1, 2
+    ),
+    based AS (
+      SELECT g, cnt,
+             COALESCE(SUM(cnt) OVER (ORDER BY x, g
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS r0,
+             COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS i0
+      FROM blocks
+    ),
+    ranked AS (
+      SELECT g, CAST(r0 + k AS BIGINT) AS r, CAST(i0 + k AS BIGINT) AS i
+      FROM (SELECT g, r0, i0, unnest(range(1, cnt + 1)) AS k FROM based)
+    ),
+    gg AS (
+      SELECT CAST(SUM(CASE WHEN g = '{group_a}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN g = '{group_b}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN g = '{group_a}'
+                           THEN (r - i) * (r - i) ELSE 0 END)
+                  AS BIGINT) AS ssq_a,
+             CAST(SUM(CASE WHEN g = '{group_b}'
+                           THEN (r - i) * (r - i) ELSE 0 END)
+                  AS BIGINT) AS ssq_b
+      FROM ranked
+    )
+    SELECT n_a, n_b,
+           CAST(n_a * ssq_a + n_b * ssq_b AS BIGINT) AS u_stat,
+           ROUND(CAST(n_a * ssq_a + n_b * ssq_b AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                    * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                 - (4.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) - 1.0)
+                   / (6.0 * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))),
+                 {round_to}) AS cvm_t
+    FROM gg
+    """
+
+
+def bws_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Baumgartner-Weiß-Schindler (1998) two-sample test: the CDF-gap
+    integral WEIGHTED by the inverse null variance, so the tails —
+    where KS and CvM are least sensitive — count the most; the B
+    statistic's null distribution is nearly sample-size-free
+    (reject at 5% near B = 2.49, 1% near 3.88):
+
+      B_x = (1/n)Σ_i (R_i − (m+n)/n·i)² /
+            [ i/(n+1)·(1−i/(n+1)) · m(m+n)/n ],    B = (B_x + B_y)/2.
+
+    Every term is a rational of exact integers (combined rank R,
+    within-group index i), summed per group — one pass over the
+    shared ranked rollup. Output (one row): n_a, n_b, b_x, b_y,
+    bws_b."""
+    ranked = _w111_ranked(df, group_col, value_col, group_a, group_b)
+    w_all = Window.partitionBy()
+    counts = ranked.select(
+        "__g",
+        "__r",
+        "__i",
+        F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0))
+        .over(w_all)
+        .cast("double")
+        .alias("__n"),
+        F.sum(F.when(F.col("__g") == group_b, 1).otherwise(0))
+        .over(w_all)
+        .cast("double")
+        .alias("__m"),
+    )
+    rr = F.col("__r").cast("double")
+    ii = F.col("__i").cast("double")
+    n_, m_ = F.col("__n"), F.col("__m")
+    term_a = (
+        (rr - (m_ + n_) / n_ * ii)
+        * (rr - (m_ + n_) / n_ * ii)
+        / (
+            (ii / (n_ + 1.0))
+            * (1.0 - ii / (n_ + 1.0))
+            * (m_ * (m_ + n_) / n_)
+        )
+    )
+    term_b = (
+        (rr - (m_ + n_) / m_ * ii)
+        * (rr - (m_ + n_) / m_ * ii)
+        / (
+            (ii / (m_ + 1.0))
+            * (1.0 - ii / (m_ + 1.0))
+            * (n_ * (m_ + n_) / m_)
+        )
+    )
+    g = counts.agg(
+        F.max("__n").cast("bigint").alias("n_a"),
+        F.max("__m").cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("__g") == group_a, term_a)).alias("sa"),
+        F.sum(F.when(F.col("__g") == group_b, term_b)).alias("sb"),
+    )
+    b_x = F.col("sa") / F.col("n_a").cast("double")
+    b_y = F.col("sb") / F.col("n_b").cast("double")
+    return g.select(
+        "n_a",
+        "n_b",
+        F.round(b_x, round_to).alias("b_x"),
+        F.round(b_y, round_to).alias("b_y"),
+        F.round((b_x + b_y) / F.lit(2.0), round_to).alias("bws_b"),
+    )
+
+
+def bws_test_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`bws_test`."""
+    return f"""
+    WITH blocks AS (
+      SELECT {group_col} AS g, CAST({value_col} AS DECIMAL(18,2)) AS x,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM {table} WHERE {group_col} IN ('{group_a}', '{group_b}')
+      GROUP BY 1, 2
+    ),
+    based AS (
+      SELECT g, cnt,
+             COALESCE(SUM(cnt) OVER (ORDER BY x, g
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS r0,
+             COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS i0
+      FROM blocks
+    ),
+    ranked AS (
+      SELECT g, CAST(r0 + k AS DOUBLE) AS r, CAST(i0 + k AS DOUBLE) AS i
+      FROM (SELECT g, r0, i0, unnest(range(1, cnt + 1)) AS k FROM based)
+    ),
+    counts AS (
+      SELECT g, r, i,
+             CAST(SUM(CASE WHEN g = '{group_a}' THEN 1 ELSE 0 END)
+                  OVER () AS DOUBLE) AS n,
+             CAST(SUM(CASE WHEN g = '{group_b}' THEN 1 ELSE 0 END)
+                  OVER () AS DOUBLE) AS m
+      FROM ranked
+    ),
+    gg AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n_a, CAST(MAX(m) AS BIGINT) AS n_b,
+             SUM(CASE WHEN g = '{group_a}' THEN
+                 (r - (m + n) / n * i) * (r - (m + n) / n * i)
+                 / ((i / (n + 1.0)) * (1.0 - i / (n + 1.0))
+                    * (m * (m + n) / n)) END) AS sa,
+             SUM(CASE WHEN g = '{group_b}' THEN
+                 (r - (m + n) / m * i) * (r - (m + n) / m * i)
+                 / ((i / (m + 1.0)) * (1.0 - i / (m + 1.0))
+                    * (n * (m + n) / m)) END) AS sb
+      FROM counts
+    )
+    SELECT n_a, n_b,
+           ROUND(sa / CAST(n_a AS DOUBLE), {round_to}) AS b_x,
+           ROUND(sb / CAST(n_b AS DOUBLE), {round_to}) AS b_y,
+           ROUND((sa / CAST(n_a AS DOUBLE) + sb / CAST(n_b AS DOUBLE))
+                 / 2.0, {round_to}) AS bws_b
+    FROM gg
+    """

@@ -3768,3 +3768,46 @@ def inclusion_dependency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         for label, ta, ca, tb, cb in _IND_PAIRS_W109
     ]
     return inclusion_dependency_report(pairs)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave111: two-sample battery — Cramér-von Mises + BWS
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "cvm_two_sample_priority",
+    evaluation.cramer_von_mises_2s_sql(
+        "orders", "o_orderpriority", "o_totalprice", "1-URGENT", "5-LOW"
+    ),
+    "stats op — two-sample Cramér-von Mises test of urgent vs low "
+    "priority order totals: integrates the SQUARED gap between the "
+    "empirical CDFs where ks_test takes only the largest single gap "
+    "— CvM sees distributed small differences KS misses. U is an "
+    "exact bigint from (combined rank - within rank)^2 sums; ranks "
+    "come from the deduplicated value-block rollup with an exploded "
+    "tie expansion, so duplicate money values cannot scramble the "
+    "rank pairing across engines.",
+)
+def cvm_two_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return evaluation.cramer_von_mises_2s(
+        orders, "o_orderpriority", "o_totalprice", "1-URGENT", "5-LOW"
+    )
+
+
+@_spec(
+    "bws_two_sample_priority",
+    evaluation.bws_test_sql(
+        "orders", "o_orderpriority", "o_totalprice", "1-URGENT", "5-LOW"
+    ),
+    "stats op — Baumgartner-Weiss-Schindler test on the same pair: "
+    "the CDF-gap integral weighted by its inverse null variance, so "
+    "the TAILS — where KS and CvM are least sensitive — count most; "
+    "the B statistic's null distribution is nearly sample-size-free "
+    "(5% near 2.49). Every term is a rational of exact integer "
+    "ranks off the shared deterministic tie-expanded rollup.",
+)
+def bws_two_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return evaluation.bws_test(
+        orders, "o_orderpriority", "o_totalprice", "1-URGENT", "5-LOW"
+    )
