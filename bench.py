@@ -629,6 +629,9 @@ HEADLINE = [
     # wave 111 (round 6): CvM + BWS two-sample tests
     "cvm_two_sample_priority",
     "bws_two_sample_priority",
+    # wave 112 (round 6): CUSUM-of-squares + KM Greenwood bands
+    "cusum_squares_daily",
+    "km_greenwood_bands",
 ]
 
 

@@ -650,3 +650,111 @@ def rmst_sql(
            ROUND(COALESCE(last_s, 1.0), {round_to}) AS survival_at_tau
     FROM agg
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 112: Greenwood variance + log-log confidence bands
+# ──────────────────────────────────────────────────────────────────────────
+
+#: two-sided 95% normal quantile, as a literal (probability.py rule:
+#: neither engine computes an inverse CDF in the hot path)
+_Z95 = 1.959963984540054
+
+
+def km_greenwood_ci(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_days: int = 7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Kaplan-Meier with Greenwood variance and the log(−log)
+    95% confidence band — the uncertainty kaplan_meier_retention's
+    point curve doesn't carry, in the transformed form every survival
+    package defaults to because it respects the [0, 1] range (a plain
+    ±z·se band crosses 1 near the origin):
+
+      v̂(t) = Σ_{t_i ≤ t} d_i/(n_i(n_i−d_i))          (Greenwood)
+      CI(t) = S(t)^exp(±z·√v̂ / ln S)                 (log-log)
+
+    Same lifetimes/risk-set construction as kaplan_meier (suffix-sum
+    over the distinct-lifetime rollup; prefix ln-sum for S); the
+    band collapses to NULL once S hits 0 or stays at 1 (ln S = 0),
+    the standard convention. Output per event time: (t_days, n_risk,
+    n_events, survival, se_greenwood, ci_lo, ci_hi)."""
+    km = kaplan_meier(df, user_col, ts_col, censor_days)
+    w_cum = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_v = km.withColumn(
+        "__v",
+        F.sum(
+            F.col("n_events").cast("double")
+            / (
+                F.col("n_risk").cast("double")
+                * (F.col("n_risk") - F.col("n_events")).cast("double")
+            )
+        ).over(w_cum),
+    )
+    s = F.col("survival")
+    se = s * F.sqrt(F.col("__v"))
+    ok = (s > 0) & (s < 1)
+    # ln S < 0, so the +z exponent SHRINKS theta below 1 and raises
+    # S^theta above S: +z is the upper bound, -z the lower
+    theta_up = F.exp(F.lit(_Z95) * F.sqrt(F.col("__v")) / F.log(s))
+    theta_dn = F.exp(-F.lit(_Z95) * F.sqrt(F.col("__v")) / F.log(s))
+    return with_v.select(
+        "t_days",
+        "n_risk",
+        "n_events",
+        F.round(s, round_to).alias("survival"),
+        F.round(se, round_to).alias("se_greenwood"),
+        F.round(
+            F.when(ok, F.pow(s, theta_dn)).otherwise(
+                F.lit(None).cast("double")
+            ),
+            round_to,
+        ).alias("ci_lo"),
+        F.round(
+            F.when(ok, F.pow(s, theta_up)).otherwise(
+                F.lit(None).cast("double")
+            ),
+            round_to,
+        ).alias("ci_hi"),
+    ).orderBy("t_days")
+
+
+def km_greenwood_ci_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_days: int = 7,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`km_greenwood_ci`."""
+    km = kaplan_meier_sql(table, user_col, ts_col, censor_days)
+    return f"""
+    WITH km AS ({km}),
+    with_v AS (
+      SELECT t_days, n_risk, n_events, survival,
+             SUM(CAST(n_events AS DOUBLE)
+                 / (CAST(n_risk AS DOUBLE)
+                    * CAST(n_risk - n_events AS DOUBLE)))
+               OVER (ORDER BY t_days
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS v
+      FROM km
+    )
+    SELECT t_days, n_risk, n_events,
+           ROUND(survival, {round_to}) AS survival,
+           ROUND(survival * SQRT(v), {round_to}) AS se_greenwood,
+           ROUND(CASE WHEN survival > 0 AND survival < 1
+                      THEN POWER(survival,
+                                 EXP(-{_Z95!r} * SQRT(v) / LN(survival)))
+                      ELSE NULL END, {round_to}) AS ci_lo,
+           ROUND(CASE WHEN survival > 0 AND survival < 1
+                      THEN POWER(survival,
+                                 EXP({_Z95!r} * SQRT(v) / LN(survival)))
+                      ELSE NULL END, {round_to}) AS ci_hi
+    FROM with_v ORDER BY t_days
+    """

@@ -4921,3 +4921,120 @@ def higuchi_fd_sql(
                  {round_to}) AS r2_fit
     FROM g
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 112: Inclán-Tiao CUSUM of squares (variance changepoint)
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def cusum_squares(
+    daily: DataFrame,
+    date_col: str = "day",
+    value_col: str = "y",
+    round_to: int = 6,
+) -> DataFrame:
+    """Inclán-Tiao centered CUSUM of SQUARES: where cusum_changepoint
+    hunts a mean shift, this hunts a VARIANCE shift — D_t = C_t/C_n −
+    t/n over cumulative squared deviations from the global mean, the
+    statistic √(n/2)·max|D_t| and its argmax day (the volatility-
+    regime boundary). Asymptotic 5%/1% critical values 1.358/1.628
+    (the Brownian-bridge sup).
+
+    The mean is an exact rational of the DECIMAL-backed sums; the
+    cumulative squares are a window prefix sum (sequentially
+    deterministic); argmax ties break to the earliest day. O(days),
+    no joins. Output (one row): n_days, break_day, d_max, it_stat."""
+    pts = daily.select(
+        F.col(date_col).cast("bigint").alias("__d"),
+        F.col(value_col).cast("double").alias("__y"),
+    )
+    w_all = Window.partitionBy()
+    centered = pts.select(
+        "__d",
+        (
+            F.col("__y")
+            - F.sum("__y").over(w_all)
+            / F.count(F.lit(1)).over(w_all).cast("double")
+        ).alias("__e"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("__n"),
+    )
+    w_cum = Window.orderBy("__d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_t = Window.orderBy("__d")
+    stepped = centered.select(
+        "__d",
+        "__n",
+        F.sum(F.col("__e") * F.col("__e")).over(w_cum).alias("__c"),
+        F.row_number().over(w_t).cast("bigint").alias("__t"),
+    )
+    tot = stepped.agg(F.max("__c").alias("__cn"))
+    d_t = stepped.crossJoin(F.broadcast(tot)).select(
+        "__d",
+        "__n",
+        F.abs(
+            F.col("__c") / F.col("__cn")
+            - F.col("__t").cast("double") / F.col("__n").cast("double")
+        ).alias("__dt"),
+    )
+    w_rank = Window.orderBy(F.col("__dt").desc(), F.col("__d"))
+    best = d_t.select(
+        "__d", "__n", "__dt", F.row_number().over(w_rank).alias("__r")
+    ).filter(F.col("__r") == 1)
+    return best.select(
+        F.col("__n").alias("n_days"),
+        F.col("__d").alias("break_day"),
+        F.round(F.col("__dt"), round_to).alias("d_max"),
+        F.round(
+            F.sqrt(F.col("__n").cast("double") / F.lit(2.0))
+            * F.col("__dt"),
+            round_to,
+        ).alias("it_stat"),
+    )
+
+
+def cusum_squares_sql(
+    daily_sql: str,
+    date_col: str = "day",
+    value_col: str = "y",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`cusum_squares`."""
+    return f"""
+    WITH d AS ({daily_sql}),
+    pts AS (
+      SELECT CAST({date_col} AS BIGINT) AS dd,
+             CAST({value_col} AS DOUBLE) AS y
+      FROM d
+    ),
+    centered AS (
+      SELECT dd,
+             y - SUM(y) OVER () / CAST(COUNT(*) OVER () AS DOUBLE) AS e,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM pts
+    ),
+    stepped AS (
+      SELECT dd, n,
+             SUM(e * e) OVER (ORDER BY dd
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+             CAST(ROW_NUMBER() OVER (ORDER BY dd) AS BIGINT) AS t
+      FROM centered
+    ),
+    tot AS (SELECT MAX(c) AS cn FROM stepped),
+    d_t AS (
+      SELECT dd, n,
+             ABS(c / cn - CAST(t AS DOUBLE) / CAST(n AS DOUBLE)) AS dt
+      FROM stepped CROSS JOIN tot
+    ),
+    best AS (
+      SELECT dd, n, dt,
+             ROW_NUMBER() OVER (ORDER BY dt DESC, dd) AS r
+      FROM d_t
+    )
+    SELECT n AS n_days, dd AS break_day,
+           ROUND(dt, {round_to}) AS d_max,
+           ROUND(SQRT(CAST(n AS DOUBLE) / 2.0) * dt, {round_to})
+             AS it_stat
+    FROM best WHERE r = 1
+    """

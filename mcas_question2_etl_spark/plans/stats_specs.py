@@ -3811,3 +3811,26 @@ def bws_two_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluation.bws_test(
         orders, "o_orderpriority", "o_totalprice", "1-URGENT", "5-LOW"
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave112: KM Greenwood confidence bands
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.survival import km_greenwood_ci, km_greenwood_ci_sql
+
+
+@_spec(
+    "km_greenwood_bands",
+    km_greenwood_ci_sql(),
+    "survival op — Kaplan-Meier retention with Greenwood variance "
+    "and the log(-log) 95% band: the uncertainty "
+    "kaplan_meier_retention's point curve doesn't carry, in the "
+    "transform every survival package defaults to because it "
+    "respects [0,1] (a plain +-z*se band crosses 1 near the origin). "
+    "Same lifetimes/risk-set rollup as KM; the z quantile is a "
+    "literal (probability.py rule); S in {0,1} yields NULL bands, "
+    "the standard convention.",
+)
+def km_greenwood_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return km_greenwood_ci(events)

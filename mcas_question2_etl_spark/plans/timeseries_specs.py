@@ -2171,3 +2171,34 @@ def higuchi_fd_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y")
     )
     return timeseries.higuchi_fd(daily)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave112: Inclán-Tiao CUSUM of squares
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "cusum_squares_daily",
+    timeseries.cusum_squares_sql(_ORDERS_DAILY_SQL.strip()),
+    "timeseries op — Inclán-Tiao centered CUSUM of SQUARES on daily "
+    "revenue: where cusum_changepoint hunts a mean shift, this hunts "
+    "a VARIANCE-regime boundary — D_t = C_t/C_n - t/n over "
+    "cumulative squared deviations, sqrt(n/2)*max|D_t| against the "
+    "Brownian-bridge critical values (1.358 at 5%). The volatility "
+    "complement to breusch_pagan/white (which test a TREND in "
+    "variance, not a break). One prefix-sum pass, argmax ties to the "
+    "earliest day.",
+)
+def cusum_squares_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    return timeseries.cusum_squares(daily)
