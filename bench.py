@@ -632,6 +632,9 @@ HEADLINE = [
     # wave 112 (round 6): CUSUM-of-squares + KM Greenwood bands
     "cusum_squares_daily",
     "km_greenwood_bands",
+    # wave 113 (round 6): Shapiro-Francia + Grubbs
+    "shapiro_francia_daily",
+    "grubbs_daily_outlier",
 ]
 
 

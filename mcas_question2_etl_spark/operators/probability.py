@@ -964,3 +964,168 @@ def blomqvist_beta_sql(
                  {round_to}) AS beta
     FROM g
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 113: Shapiro-Francia W' + Grubbs outlier test
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def shapiro_francia(
+    df: DataFrame,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Shapiro-Francia W′ normality test: the squared Pearson
+    correlation between the ORDER STATISTICS and their expected
+    normal (Blom) scores m_i = Φ⁻¹((i − 3/8)/(n + 1/4)) — the
+    correlation-based normality family (Shapiro-Wilk's large-n twin,
+    and the member that IS computable distributed: SW's exact
+    coefficients need the full covariance matrix, W′ needs one rank
+    window plus the shared Acklam Φ⁻¹). Complements the suite's
+    moment-based Jarque-Bera/D'Agostino and EDF-based
+    Anderson-Darling with the Q-Q-plot-straightness reading: W′ → 1
+    is normal, deficit = curvature.
+
+    Ranks are ROW_NUMBER over (value, …) — exact duplicates share a
+    value so ANY tie order yields identical (x, m) pair multisets.
+    Output (one row): n, w_prime."""
+    pts = df.select(F.col(value_col).cast("double").alias("__x")).filter(
+        F.col("__x").isNotNull()
+    )
+    w = Window.orderBy("__x")
+    n_w = F.count(F.lit(1)).over(Window.partitionBy())
+    scored = pts.select(
+        "__x",
+        inv_phi(
+            (F.row_number().over(w).cast("double") - F.lit(0.375))
+            / (n_w.cast("double") + F.lit(0.25))
+        ).alias("__m"),
+    )
+    g = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum("__m").alias("sm"),
+        F.sum(F.col("__m") * F.col("__m")).alias("smm"),
+        F.sum(F.col("__x") * F.col("__m")).alias("sxm"),
+    )
+    nn = F.col("n").cast("double")
+    cov = F.col("sxm") - F.col("sx") * F.col("sm") / nn
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / nn
+    vm = F.col("smm") - F.col("sm") * F.col("sm") / nn
+    return g.select(
+        "n", F.round(cov * cov / (vx * vm), round_to).alias("w_prime")
+    )
+
+
+def shapiro_francia_sql(
+    source_sql: str, value_col: str, round_to: int = 6
+) -> str:
+    """DuckDB twin of :func:`shapiro_francia`."""
+    m = inv_phi_sql(
+        "((CAST(ROW_NUMBER() OVER (ORDER BY x) AS DOUBLE) - 0.375)"
+        " / (CAST(COUNT(*) OVER () AS DOUBLE) + 0.25))"
+    )
+    return f"""
+    WITH src AS ({source_sql}),
+    pts AS (
+      SELECT CAST({value_col} AS DOUBLE) AS x
+      FROM src WHERE {value_col} IS NOT NULL
+    ),
+    scored AS (
+      SELECT x, {m} AS mm FROM pts
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(x * x) AS sxx,
+             SUM(mm) AS sm, SUM(mm * mm) AS smm,
+             SUM(x * mm) AS sxm
+      FROM scored
+    )
+    SELECT n,
+           ROUND((sxm - sx * sm / CAST(n AS DOUBLE))
+                 * (sxm - sx * sm / CAST(n AS DOUBLE))
+                 / ((sxx - sx * sx / CAST(n AS DOUBLE))
+                    * (smm - sm * sm / CAST(n AS DOUBLE))),
+                 {round_to}) AS w_prime
+    FROM g
+    """
+
+
+def grubbs_test(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Grubbs' (maximum normed residual) test: G = max|x − x̄|/s with
+    the (n−1)-denominator s — the formal single-outlier test the
+    z-score/IQR screens (anomaly_days_zscore, robust_outliers_iqr)
+    don't give a sampling distribution for; compare G against the
+    t-based critical value offline. Reports the flagged key too
+    (ties break to the smallest key). Exact moment sums; one scan +
+    one tiny argmax window. Output (one row): n, flagged_key,
+    flagged_value, g_stat."""
+    pts = df.select(
+        F.col(key_col).cast("bigint").alias("__k"),
+        F.col(value_col).cast("double").alias("__x"),
+    ).filter(F.col("__x").isNotNull())
+    w_all = Window.partitionBy()
+    nn = F.count(F.lit(1)).over(w_all).cast("double")
+    mean = F.sum("__x").over(w_all) / nn
+    var = (
+        F.sum(F.col("__x") * F.col("__x")).over(w_all)
+        - F.sum("__x").over(w_all) * F.sum("__x").over(w_all) / nn
+    ) / (nn - F.lit(1.0))
+    dev = pts.select(
+        "__k",
+        "__x",
+        nn.cast("bigint").alias("__n"),
+        (F.abs(F.col("__x") - mean) / F.sqrt(var)).alias("__g"),
+    )
+    w_rank = Window.orderBy(F.col("__g").desc(), F.col("__k"))
+    best = dev.select(
+        "*", F.row_number().over(w_rank).alias("__r")
+    ).filter(F.col("__r") == 1)
+    return best.select(
+        F.col("__n").alias("n"),
+        F.col("__k").alias("flagged_key"),
+        F.round(F.col("__x"), round_to).alias("flagged_value"),
+        F.round(F.col("__g"), round_to).alias("g_stat"),
+    )
+
+
+def grubbs_test_sql(
+    source_sql: str,
+    key_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`grubbs_test`."""
+    return f"""
+    WITH src AS ({source_sql}),
+    pts AS (
+      SELECT CAST({key_col} AS BIGINT) AS k,
+             CAST({value_col} AS DOUBLE) AS x
+      FROM src WHERE {value_col} IS NOT NULL
+    ),
+    dev AS (
+      SELECT k, x,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             ABS(x - SUM(x) OVER () / CAST(COUNT(*) OVER () AS DOUBLE))
+             / SQRT((SUM(x * x) OVER ()
+                     - SUM(x) OVER () * SUM(x) OVER ()
+                       / CAST(COUNT(*) OVER () AS DOUBLE))
+                    / (CAST(COUNT(*) OVER () AS DOUBLE) - 1.0)) AS g
+      FROM pts
+    ),
+    best AS (
+      SELECT k, x, n, g, ROW_NUMBER() OVER (ORDER BY g DESC, k) AS r
+      FROM dev
+    )
+    SELECT n, k AS flagged_key,
+           ROUND(x, {round_to}) AS flagged_value,
+           ROUND(g, {round_to}) AS g_stat
+    FROM best WHERE r = 1
+    """

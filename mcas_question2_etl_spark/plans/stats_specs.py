@@ -3834,3 +3834,62 @@ from ..operators.survival import km_greenwood_ci, km_greenwood_ci_sql
 def km_greenwood_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return km_greenwood_ci(events)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave113: Shapiro-Francia W' + Grubbs outlier test
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "shapiro_francia_daily",
+    _prob84.shapiro_francia_sql(_DAILY_Y_SQL_W97, "y"),
+    "stats op — Shapiro-Francia W' normality test of daily revenue: "
+    "squared correlation between the order statistics and their Blom "
+    "normal scores through the shared Acklam inverse CDF — the "
+    "correlation-based normality family member that IS computable "
+    "distributed (Shapiro-Wilk's exact coefficients need the full "
+    "covariance matrix; W' needs one rank window). The "
+    "Q-Q-straightness complement to the moment-based Jarque-Bera/"
+    "D'Agostino and EDF-based Anderson-Darling specs.",
+)
+def shapiro_francia_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1990-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    return _prob84.shapiro_francia(daily, "y")
+
+
+@_spec(
+    "grubbs_daily_outlier",
+    _prob84.grubbs_test_sql(_DAILY_Y_SQL_W97, "day", "y"),
+    "stats op — Grubbs' maximum-normed-residual test on daily "
+    "revenue: G = max|y - mean|/s with the (n-1) denominator, plus "
+    "the flagged day — the FORMAL single-outlier test behind the "
+    "z-score/IQR screens (anomaly_days_zscore, robust_outliers_iqr) "
+    "that have no sampling distribution. Exact moment sums, one "
+    "scan + a tiny argmax window, smallest-day tie-break.",
+)
+def grubbs_daily_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1990-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    return _prob84.grubbs_test(daily, "day", "y")
