@@ -635,6 +635,8 @@ HEADLINE = [
     # wave 113 (round 6): Shapiro-Francia + Grubbs
     "shapiro_francia_daily",
     "grubbs_daily_outlier",
+    # wave 114 (round 6): Kendall tau-b + Stuart tau-c
+    "ordinal_tau_qty_discount",
 ]
 
 

@@ -6067,3 +6067,163 @@ def bws_test_sql(
                  / 2.0, {round_to}) AS bws_b
     FROM gg
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 114: Kendall tau-b + Stuart tau-c on the contingency grid
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def ordinal_tau(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Kendall's τ-b and Stuart's τ-c from the contingency grid —
+    the two ordinal-association members somers_d's (gamma, D_yx)
+    output doesn't carry: τ-b corrects the concordance gap by BOTH
+    margins' ties (symmetric, but cannot reach ±1 off-square
+    tables), τ-c rescales by the table shape so a perfect monotone
+    relation scores ±1 on any r×c grid:
+
+      τ-b = (C−D)/√((N₀−T_x)(N₀−T_y)),  N₀ = n(n−1)/2
+      τ-c = 2m(C−D)/(n²(m−1)),          m = min(r, c).
+
+    Same grid cross-join as somers_d (exact bigints off the TINY
+    contingency rollup; the corpus scans once). Output (one row):
+    n, conc, disc, tau_b, tau_c."""
+    obs = (
+        df.groupBy(
+            F.col(x_col).cast("bigint").alias("__x"),
+            F.col(y_col).cast("bigint").alias("__y"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__o"))
+        .localCheckpoint(eager=False)
+    )
+    a = obs.select(
+        F.col("__x").alias("x1"), F.col("__y").alias("y1"),
+        F.col("__o").alias("o1"),
+    )
+    b = obs.select(
+        F.col("__x").alias("x2"), F.col("__y").alias("y2"),
+        F.col("__o").alias("o2"),
+    )
+    cross = a.crossJoin(b)
+    conc = cross.filter(
+        (F.col("x2") > F.col("x1")) & (F.col("y2") > F.col("y1"))
+    ).agg(
+        F.coalesce(F.sum(F.col("o1") * F.col("o2")), F.lit(0))
+        .cast("bigint")
+        .alias("v")
+    )
+    disc = cross.filter(
+        (F.col("x2") > F.col("x1")) & (F.col("y2") < F.col("y1"))
+    ).agg(
+        F.coalesce(F.sum(F.col("o1") * F.col("o2")), F.lit(0))
+        .cast("bigint")
+        .alias("v")
+    )
+    tx = (
+        obs.groupBy("__x")
+        .agg(F.sum("__o").alias("__c"))
+        .agg(
+            F.sum(F.col("__c") * (F.col("__c") - 1) / 2)
+            .cast("bigint")
+            .alias("v"),
+            F.count(F.lit(1)).cast("bigint").alias("levels"),
+        )
+    )
+    ty = (
+        obs.groupBy("__y")
+        .agg(F.sum("__o").alias("__c"))
+        .agg(
+            F.sum(F.col("__c") * (F.col("__c") - 1) / 2)
+            .cast("bigint")
+            .alias("v"),
+            F.count(F.lit(1)).cast("bigint").alias("levels"),
+        )
+    )
+    tot = obs.agg(F.sum("__o").cast("bigint").alias("n"))
+    j = (
+        tot.crossJoin(F.broadcast(conc.withColumnRenamed("v", "__conc")))
+        .crossJoin(F.broadcast(disc.withColumnRenamed("v", "__disc")))
+        .crossJoin(
+            F.broadcast(
+                tx.select(
+                    F.col("v").alias("__tx"), F.col("levels").alias("__rx")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                ty.select(
+                    F.col("v").alias("__ty"), F.col("levels").alias("__ry")
+                )
+            )
+        )
+    )
+    c, d = F.col("__conc").cast("double"), F.col("__disc").cast("double")
+    nn = F.col("n").cast("double")
+    n0 = nn * (nn - 1.0) / 2.0
+    tau_b = (c - d) / F.sqrt(
+        (n0 - F.col("__tx").cast("double"))
+        * (n0 - F.col("__ty").cast("double"))
+    )
+    m = F.least(F.col("__rx"), F.col("__ry")).cast("double")
+    tau_c = 2.0 * m * (c - d) / (nn * nn * (m - 1.0))
+    return j.select(
+        "n",
+        F.col("__conc").alias("conc"),
+        F.col("__disc").alias("disc"),
+        F.round(tau_b, round_to).alias("tau_b"),
+        F.round(tau_c, round_to).alias("tau_c"),
+    )
+
+
+def ordinal_tau_sql(
+    table: str,
+    x_expr: str,
+    y_expr: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`ordinal_tau`."""
+    return f"""
+    WITH obs AS (
+      SELECT CAST({x_expr} AS BIGINT) AS x, CAST({y_expr} AS BIGINT) AS y,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM {table} GROUP BY 1, 2
+    ),
+    conc AS (
+      SELECT CAST(COALESCE(SUM(a.o * b.o), 0) AS BIGINT) AS v
+      FROM obs a JOIN obs b ON b.x > a.x AND b.y > a.y
+    ),
+    disc AS (
+      SELECT CAST(COALESCE(SUM(a.o * b.o), 0) AS BIGINT) AS v
+      FROM obs a JOIN obs b ON b.x > a.x AND b.y < a.y
+    ),
+    tx AS (
+      SELECT CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS levels
+      FROM (SELECT SUM(o) AS c FROM obs GROUP BY x)
+    ),
+    ty AS (
+      SELECT CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS levels
+      FROM (SELECT SUM(o) AS c FROM obs GROUP BY y)
+    ),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs)
+    SELECT n, conc.v AS conc, disc.v AS disc,
+           ROUND((CAST(conc.v AS DOUBLE) - CAST(disc.v AS DOUBLE))
+                 / SQRT((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                           / 2.0 - CAST(tx.v AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                             / 2.0 - CAST(ty.v AS DOUBLE))),
+                 {round_to}) AS tau_b,
+           ROUND(2.0 * CAST(LEAST(tx.levels, ty.levels) AS DOUBLE)
+                 * (CAST(conc.v AS DOUBLE) - CAST(disc.v AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    * (CAST(LEAST(tx.levels, ty.levels) AS DOUBLE) - 1.0)),
+                 {round_to}) AS tau_c
+    FROM tot CROSS JOIN conc CROSS JOIN disc CROSS JOIN tx CROSS JOIN ty
+    """

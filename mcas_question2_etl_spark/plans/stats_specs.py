@@ -3893,3 +3893,32 @@ def grubbs_daily_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y")
     )
     return _prob84.grubbs_test(daily, "day", "y")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave114: Kendall tau-b + Stuart tau-c
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "ordinal_tau_qty_discount",
+    evaluation.ordinal_tau_sql(
+        "lineitem",
+        "CAST(l_quantity AS BIGINT)",
+        "CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)",
+    ),
+    "stats op — Kendall's tau-b and Stuart's tau-c between quantity "
+    "and discount percent: the two ordinal-association members "
+    "somers_d_qty_discount's (gamma, D_yx) doesn't carry — tau-b "
+    "corrects by BOTH margins' ties (symmetric, cannot reach +-1 on "
+    "off-square tables), tau-c rescales by the table shape so a "
+    "perfect monotone relation scores +-1 on any r x c grid. Same "
+    "tiny contingency cross-join, exact bigints, one closing "
+    "expression each.",
+)
+def ordinal_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        (F.col("l_discount").cast("decimal(4,2)") * 100)
+        .cast("bigint")
+        .alias("disc_pct"),
+    )
+    return evaluation.ordinal_tau(li, "qty", "disc_pct")
