@@ -637,6 +637,9 @@ HEADLINE = [
     "grubbs_daily_outlier",
     # wave 114 (round 6): Kendall tau-b + Stuart tau-c
     "ordinal_tau_qty_discount",
+    # wave 115 (round 6): Welch ANOVA + Qn robust scale
+    "welch_anova_priority_price",
+    "qn_scale_daily",
 ]
 
 

@@ -6227,3 +6227,162 @@ def ordinal_tau_sql(
                  {round_to}) AS tau_c
     FROM tot CROSS JOIN conc CROSS JOIN disc CROSS JOIN tx CROSS JOIN ty
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 115: heteroskedastic one-way ANOVA — Welch + Brown-Forsythe
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def welch_anova(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Welch's heteroskedastic one-way ANOVA plus the Brown-Forsythe
+    F* — the mean-equality tests that stay valid when the groups'
+    variances DIFFER (anova_f assumes they don't; bartlett/levene/
+    fligner in this suite exist precisely to detect when that
+    assumption fails, and this is the test to run when they fire):
+
+      Welch: F = Σw_i(x̄_i − x̄_w)²/(k−1) /
+                 (1 + 2(k−2)/(k²−1)·Λ),  w_i = n_i/s_i²,
+             Λ = Σ(1 − w_i/Σw)²/(n_i−1),  df2 = (k²−1)/(3Λ)
+      BF:    F* = Σn_i(x̄_i − x̄)² / Σ(1 − n_i/N)·s_i²
+
+    Everything is closed-form arithmetic over per-group DECIMAL/
+    bigint moment sums — one rollup, one k-row combine. Output (one
+    row): k, n, welch_f, welch_df2, bf_f."""
+    pts = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("decimal(18,2)").alias("__x"),
+    ).filter(F.col("__x").isNotNull())
+    per_g = pts.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("__x").alias("sx"),
+        F.sum(F.col("__x").cast("double") * F.col("__x").cast("double"))
+        .alias("sxx"),
+    )
+    ngd = F.col("ng").cast("double")
+    mean_g = F.col("sx").cast("double") / ngd
+    s2_g = (F.col("sxx") - ngd * mean_g * mean_g) / (ngd - 1.0)
+    w_g = ngd / s2_g
+    staged = per_g.select(
+        "ng",
+        mean_g.alias("m"),
+        s2_g.alias("s2"),
+        w_g.alias("w"),
+    )
+    g = staged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("m")).alias("swm"),
+        F.sum(F.col("w") * F.col("m") * F.col("m")).alias("swmm"),
+        F.sum(F.col("ng").cast("double") * F.col("m")).alias("snm"),
+        F.sum(
+            F.col("ng").cast("double") * F.col("m") * F.col("m")
+        ).alias("snmm"),
+        F.sum(F.col("s2")).alias("ss2"),
+        F.sum(F.col("ng").cast("double") * F.col("s2")).alias("sns2"),
+        # Λ needs w/Σw per group: carry Σ over groups of
+        # (1 − w/Σw)²/(ng−1) via a second pass below
+    )
+    # second pass for Λ (needs the total weight); k is tiny so the
+    # broadcast-and-reaggregate costs one ~5-row exchange
+    lam = staged.crossJoin(
+        F.broadcast(g.select(F.col("sw").alias("__swt")))
+    ).agg(
+        F.sum(
+            (F.lit(1.0) - F.col("w") / F.col("__swt"))
+            * (F.lit(1.0) - F.col("w") / F.col("__swt"))
+            / (F.col("ng").cast("double") - 1.0)
+        ).alias("lam")
+    )
+    j = g.crossJoin(F.broadcast(lam))
+    kk = F.col("k").cast("double")
+    nn = F.col("n").cast("double")
+    xw = F.col("swm") / F.col("sw")
+    between_w = F.col("swmm") - F.col("sw") * xw * xw
+    welch_f = (between_w / (kk - 1.0)) / (
+        F.lit(1.0)
+        + F.lit(2.0) * (kk - 2.0) / (kk * kk - 1.0) * F.col("lam")
+    )
+    welch_df2 = (kk * kk - 1.0) / (F.lit(3.0) * F.col("lam"))
+    xbar = F.col("snm") / nn
+    bf_num = F.col("snmm") - nn * xbar * xbar
+    bf_den = F.col("ss2") - F.col("sns2") / nn
+    bf_f = bf_num / bf_den
+    return j.select(
+        "k",
+        "n",
+        F.round(welch_f, round_to).alias("welch_f"),
+        F.round(welch_df2, round_to).alias("welch_df2"),
+        F.round(bf_f, round_to).alias("bf_f"),
+    )
+
+
+def welch_anova_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`welch_anova`."""
+    return f"""
+    WITH pts AS (
+      SELECT {group_col} AS g, CAST({value_col} AS DECIMAL(18,2)) AS x
+      FROM {table} WHERE {value_col} IS NOT NULL
+    ),
+    per_g AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+             SUM(x) AS sx,
+             SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sxx
+      FROM pts GROUP BY g
+    ),
+    staged AS (
+      SELECT ng,
+             CAST(sx AS DOUBLE) / CAST(ng AS DOUBLE) AS m,
+             (sxx - CAST(ng AS DOUBLE)
+                    * (CAST(sx AS DOUBLE) / CAST(ng AS DOUBLE))
+                    * (CAST(sx AS DOUBLE) / CAST(ng AS DOUBLE)))
+               / (CAST(ng AS DOUBLE) - 1.0) AS s2
+      FROM per_g
+    ),
+    staged2 AS (
+      SELECT ng, m, s2, CAST(ng AS DOUBLE) / s2 AS w FROM staged
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(ng) AS BIGINT) AS n,
+             SUM(w) AS sw,
+             SUM(w * m) AS swm,
+             SUM(w * m * m) AS swmm,
+             SUM(CAST(ng AS DOUBLE) * m) AS snm,
+             SUM(CAST(ng AS DOUBLE) * m * m) AS snmm,
+             SUM(s2) AS ss2,
+             SUM(CAST(ng AS DOUBLE) * s2) AS sns2
+      FROM staged2
+    ),
+    lam AS (
+      SELECT SUM((1.0 - s.w / g.sw) * (1.0 - s.w / g.sw)
+                 / (CAST(s.ng AS DOUBLE) - 1.0)) AS lam
+      FROM staged2 s CROSS JOIN g
+    )
+    SELECT k, n,
+           ROUND(((swmm - sw * (swm / sw) * (swm / sw))
+                  / (CAST(k AS DOUBLE) - 1.0))
+                 / (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0)
+                          / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+                          * lam),
+                 {round_to}) AS welch_f,
+           ROUND((CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+                 / (3.0 * lam), {round_to}) AS welch_df2,
+           ROUND((snmm - CAST(n AS DOUBLE)
+                         * (snm / CAST(n AS DOUBLE))
+                         * (snm / CAST(n AS DOUBLE)))
+                 / (ss2 - sns2 / CAST(n AS DOUBLE)),
+                 {round_to}) AS bf_f
+    FROM g CROSS JOIN lam
+    """

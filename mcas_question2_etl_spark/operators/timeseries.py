@@ -5038,3 +5038,140 @@ def cusum_squares_sql(
              AS it_stat
     FROM best WHERE r = 1
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 115: Rousseeuw-Croux Qn robust scale
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def qn_scale(
+    daily: DataFrame,
+    value_col: str = "y",
+    round_to: int = 6,
+) -> DataFrame:
+    """Rousseeuw-Croux Qn scale estimator: the k-th order statistic
+    of all pairwise distances, k = C(h,2) with h = ⌊n/2⌋+1, scaled by
+    the Gaussian-consistency constant 2.2219 — the robust scale that
+    beats the MAD where it matters: 50% breakdown WITH 82% Gaussian
+    efficiency (MAD: 37%) and no symmetry assumption (MAD centers on
+    the median; Qn is location-free). Reported beside 1.4826·MAD and
+    the classical SD so the three scales' disagreement IS the
+    outlier/asymmetry read-out.
+
+    The pair stage is the bounded daily-rollup self-join (the
+    distance_correlation discipline); the k-th order statistic is a
+    value (tie order cannot change it), picked by one rank window
+    over the pair table. Output (one row): n, n_pairs, k, qn,
+    mad_scaled, sd."""
+    pts = daily.select(
+        F.col(value_col).cast("double").alias("__y")
+    ).filter(F.col("__y").isNotNull())
+    idx = pts.select(
+        "__y",
+        F.row_number()
+        .over(Window.orderBy("__y"))
+        .cast("bigint")
+        .alias("__i"),
+    )
+    a = idx.select(F.col("__y").alias("__ya"), F.col("__i").alias("__ia"))
+    b = idx.select(F.col("__y").alias("__yb"), F.col("__i").alias("__ib"))
+    pairs = a.join(b, F.col("__ib") > F.col("__ia")).select(
+        F.abs(F.col("__ya") - F.col("__yb")).alias("__d")
+    )
+    stats = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__y") * F.col("__y")).alias("syy"),
+        F.expr("percentile(__y, 0.5)").alias("med"),
+    )
+    mad = (
+        pts.crossJoin(F.broadcast(stats.select("med")))
+        .select(F.abs(F.col("__y") - F.col("med")).alias("__ad"))
+        .agg(F.expr("percentile(__ad, 0.5)").alias("mad"))
+    )
+    ranked = pairs.crossJoin(F.broadcast(stats.select("n"))).select(
+        "__d",
+        "n",
+        F.row_number().over(Window.orderBy("__d")).cast("bigint").alias(
+            "__r"
+        ),
+    )
+    h = F.floor(F.col("n") / 2) + 1
+    k = (h * (h - 1) / 2).cast("bigint")
+    picked = ranked.filter(F.col("__r") == k).select(
+        "n",
+        F.col("__r").alias("k"),
+        F.col("__d").alias("__dk"),
+    )
+    nn = F.col("n").cast("double")
+    sd = F.sqrt(
+        (F.col("syy") - F.col("sy") * F.col("sy") / nn) / (nn - 1.0)
+    )
+    return (
+        picked.crossJoin(
+            F.broadcast(stats.select("sy", "syy", F.col("n").alias("__n2")))
+        )
+        .crossJoin(F.broadcast(mad))
+        .select(
+            "n",
+            (F.col("__n2") * (F.col("__n2") - 1) / 2)
+            .cast("bigint")
+            .alias("n_pairs"),
+            "k",
+            F.round(F.lit(2.2219) * F.col("__dk"), round_to).alias("qn"),
+            F.round(F.lit(1.4826) * F.col("mad"), round_to).alias(
+                "mad_scaled"
+            ),
+            F.round(sd, round_to).alias("sd"),
+        )
+    )
+
+
+def qn_scale_sql(
+    daily_sql: str,
+    value_col: str = "y",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`qn_scale`."""
+    return f"""
+    WITH d AS ({daily_sql}),
+    pts AS (
+      SELECT CAST({value_col} AS DOUBLE) AS y FROM d
+      WHERE {value_col} IS NOT NULL
+    ),
+    idx AS (
+      SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY y) AS BIGINT) AS i
+      FROM pts
+    ),
+    pairs AS (
+      SELECT ABS(a.y - b.y) AS dd
+      FROM idx a JOIN idx b ON b.i > a.i
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(y) AS sy,
+             SUM(y * y) AS syy, quantile_cont(y, 0.5) AS med
+      FROM pts
+    ),
+    madt AS (
+      SELECT quantile_cont(ABS(p.y - s.med), 0.5) AS mad
+      FROM pts p CROSS JOIN stats s
+    ),
+    ranked AS (
+      SELECT dd, CAST(ROW_NUMBER() OVER (ORDER BY dd) AS BIGINT) AS r
+      FROM pairs
+    ),
+    picked AS (
+      SELECT r AS k, dd AS dk
+      FROM ranked CROSS JOIN stats
+      WHERE r = CAST((FLOOR(n / 2) + 1) * FLOOR(n / 2) / 2 AS BIGINT)
+    )
+    SELECT s.n,
+           CAST(s.n * (s.n - 1) / 2 AS BIGINT) AS n_pairs,
+           p.k,
+           ROUND(2.2219 * p.dk, {round_to}) AS qn,
+           ROUND(1.4826 * m.mad, {round_to}) AS mad_scaled,
+           ROUND(SQRT((s.syy - s.sy * s.sy / CAST(s.n AS DOUBLE))
+                      / (CAST(s.n AS DOUBLE) - 1.0)), {round_to}) AS sd
+    FROM picked p CROSS JOIN stats s CROSS JOIN madt m
+    """

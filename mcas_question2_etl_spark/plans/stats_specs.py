@@ -3922,3 +3922,52 @@ def ordinal_tau_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("disc_pct"),
     )
     return evaluation.ordinal_tau(li, "qty", "disc_pct")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave115: Welch ANOVA + Qn robust scale
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "welch_anova_priority_price",
+    evaluation.welch_anova_sql("orders", "o_orderpriority", "o_totalprice"),
+    "stats op — Welch's heteroskedastic one-way ANOVA plus the "
+    "Brown-Forsythe F* on order totals across priorities: the mean-"
+    "equality tests that stay valid when variances differ — "
+    "anova_f_priority_price assumes they don't, and bartlett/levene/"
+    "fligner exist precisely to detect when that fails; this is the "
+    "test to run when they fire. Closed-form arithmetic over "
+    "per-group DECIMAL/bigint moments; one rollup + a k-row combine "
+    "+ a broadcast for Welch's Lambda.",
+)
+def welch_anova_priority_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return evaluation.welch_anova(orders, "o_orderpriority", "o_totalprice")
+
+
+@_spec(
+    "qn_scale_daily",
+    timeseries.qn_scale_sql(_DAILY_Y_SQL_W97),
+    "stats op — Rousseeuw-Croux Qn scale of daily revenue: the k-th "
+    "order statistic of pairwise distances (k = C(h,2), h = n/2+1) "
+    "times 2.2219 — 50% breakdown WITH 82% Gaussian efficiency and "
+    "no symmetry assumption, reported beside 1.4826*MAD and the "
+    "classical SD so the three scales' disagreement IS the outlier/"
+    "asymmetry read-out. The pair stage is the bounded daily-rollup "
+    "self-join; an order STATISTIC is a value, so tie order cannot "
+    "change it.",
+)
+def qn_scale_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1990-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    return timeseries.qn_scale(daily)
