@@ -640,6 +640,9 @@ HEADLINE = [
     # wave 115 (round 6): Welch ANOVA + Qn robust scale
     "welch_anova_priority_price",
     "qn_scale_daily",
+    # wave 116 (round 6): Zipf-Mandelbrot + second-digit Benford
+    "zipf_mandelbrot_fit",
+    "benford_second_digit_prices",
 ]
 
 

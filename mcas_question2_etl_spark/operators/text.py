@@ -3032,3 +3032,146 @@ def dunning_keyness_sql(
     FROM ranked WHERE rank <= {top_k}
     ORDER BY {group_col}, rank
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 116: Zipf-Mandelbrot rank-law fit
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def zipf_mandelbrot_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 100,
+    q_grid: tuple = (0, 1, 2, 3, 4, 5, 6, 8, 10, 15, 20),
+    round_to: int = 6,
+) -> DataFrame:
+    """Zipf-Mandelbrot fit f(r) ∝ (r + q)^(−α): plain Zipf
+    (zipf_token_ranks shows the curve) systematically bends at the
+    head — Mandelbrot's offset q straightens it. Nonlinear in q, but
+    q is a SMALL literal grid: for each candidate the fit is the
+    closed-form log-log OLS of ln f on ln(r + q), and the winner is
+    the candidate minimizing residual SS (tie → smaller q). Reports
+    the plain-Zipf fit (q = 0) beside the winner, so the R² gain IS
+    the head-bend measurement.
+
+    One vocab rollup → top_k ranks → |grid|×top_k tiny cross —
+    everything downstream of the corpus scan is literal-sized.
+    Output (one row): n_ranks, q_best, alpha, r2, alpha_zipf,
+    r2_zipf."""
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("term")).limit(top_k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term"))
+    ranked = top.select(
+        F.row_number().over(w).cast("double").alias("__r"),
+        F.col("cnt").cast("double").alias("__f"),
+    )
+    qs = F.array(*[F.lit(float(q)) for q in q_grid])
+    terms = ranked.select(
+        "__r", "__f", F.explode(qs).alias("__q")
+    ).select(
+        "__q",
+        F.log(F.col("__r") + F.col("__q")).alias("__lx"),
+        F.log("__f").alias("__ly"),
+    )
+    fits = terms.groupBy("__q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranks"),
+        F.sum("__lx").alias("sx"),
+        F.sum(F.col("__lx") * F.col("__lx")).alias("sxx"),
+        F.sum("__ly").alias("sy"),
+        F.sum(F.col("__ly") * F.col("__ly")).alias("syy"),
+        F.sum(F.col("__lx") * F.col("__ly")).alias("sxy"),
+    )
+    nn = F.col("n_ranks").cast("double")
+    sxx_c = F.col("sxx") - F.col("sx") * F.col("sx") / nn
+    syy_c = F.col("syy") - F.col("sy") * F.col("sy") / nn
+    sxy_c = F.col("sxy") - F.col("sx") * F.col("sy") / nn
+    scored = fits.select(
+        "__q",
+        "n_ranks",
+        (-sxy_c / sxx_c).alias("__alpha"),
+        (sxy_c * sxy_c / (sxx_c * syy_c)).alias("__r2"),
+        (syy_c - sxy_c * sxy_c / sxx_c).alias("__ssr"),
+    )
+    w_best = Window.orderBy(F.col("__ssr"), F.col("__q"))
+    best = scored.select(
+        "*", F.row_number().over(w_best).alias("__rk")
+    ).filter(F.col("__rk") == 1)
+    zipf0 = scored.filter(F.col("__q") == 0.0).select(
+        F.col("__alpha").alias("__a0"), F.col("__r2").alias("__r20")
+    )
+    return best.crossJoin(F.broadcast(zipf0)).select(
+        "n_ranks",
+        F.col("__q").cast("int").alias("q_best"),
+        F.round(F.col("__alpha"), round_to).alias("alpha"),
+        F.round(F.col("__r2"), round_to).alias("r2"),
+        F.round(F.col("__a0"), round_to).alias("alpha_zipf"),
+        F.round(F.col("__r20"), round_to).alias("r2_zipf"),
+    )
+
+
+def zipf_mandelbrot_fit_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    top_k: int = 100,
+    q_grid: tuple = (0, 1, 2, 3, 4, 5, 6, 8, 10, 15, 20),
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`zipf_mandelbrot_fit`."""
+    grid = ", ".join(f"{float(q)!r}" for q in q_grid)
+    return f"""
+    WITH toks AS (
+      SELECT t AS term FROM (
+        SELECT unnest(string_split({text_col}, ' ')) AS t FROM {table}
+      ) WHERE t <> ''
+    ),
+    counts AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+    ranked AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS DOUBLE)
+               AS r,
+             CAST(cnt AS DOUBLE) AS f
+      FROM counts
+      QUALIFY r <= {top_k}
+    ),
+    terms AS (
+      SELECT q.q, LN(r + q.q) AS lx, LN(f) AS ly
+      FROM ranked CROSS JOIN (SELECT unnest([{grid}]) AS q) q
+    ),
+    fits AS (
+      SELECT q, CAST(COUNT(*) AS BIGINT) AS n_ranks,
+             SUM(lx) AS sx, SUM(lx * lx) AS sxx,
+             SUM(ly) AS sy, SUM(ly * ly) AS syy,
+             SUM(lx * ly) AS sxy
+      FROM terms GROUP BY q
+    ),
+    scored AS (
+      SELECT q, n_ranks,
+             -(sxy - sx * sy / CAST(n_ranks AS DOUBLE))
+               / (sxx - sx * sx / CAST(n_ranks AS DOUBLE)) AS alpha,
+             (sxy - sx * sy / CAST(n_ranks AS DOUBLE))
+               * (sxy - sx * sy / CAST(n_ranks AS DOUBLE))
+               / ((sxx - sx * sx / CAST(n_ranks AS DOUBLE))
+                  * (syy - sy * sy / CAST(n_ranks AS DOUBLE))) AS r2,
+             (syy - sy * sy / CAST(n_ranks AS DOUBLE))
+               - (sxy - sx * sy / CAST(n_ranks AS DOUBLE))
+                 * (sxy - sx * sy / CAST(n_ranks AS DOUBLE))
+                 / (sxx - sx * sx / CAST(n_ranks AS DOUBLE)) AS ssr
+      FROM fits
+    ),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY ssr, q) AS rk FROM scored
+    ),
+    zipf0 AS (SELECT alpha AS a0, r2 AS r20 FROM scored WHERE q = 0.0)
+    SELECT b.n_ranks,
+           CAST(b.q AS INT) AS q_best,
+           ROUND(b.alpha, {round_to}) AS alpha,
+           ROUND(b.r2, {round_to}) AS r2,
+           ROUND(z.a0, {round_to}) AS alpha_zipf,
+           ROUND(z.r20, {round_to}) AS r2_zipf
+    FROM best b CROSS JOIN zipf0 z WHERE b.rk = 1
+    """

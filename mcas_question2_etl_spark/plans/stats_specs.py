@@ -3971,3 +3971,24 @@ def qn_scale_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y")
     )
     return timeseries.qn_scale(daily)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave116: second-digit Benford
+# ──────────────────────────────────────────────────────────────────────────
+@_spec(
+    "benford_second_digit_prices",
+    benford.benford_second_digit_sql("orders", "o_totalprice"),
+    "data-quality op — SECOND-digit Benford conformance of order "
+    "totals: the forensic standard for detecting rounding and "
+    "threshold manipulation first-digit Benford is blind to (padding "
+    "to 4,9xx or x,000 leaves first digits intact and warps the "
+    "second). P(d2) = sum_k log10(1 + 1/(10k+d)); values need two "
+    "integer digits; same exact-count + literal-expectation shape as "
+    "benford_price_digits, one 10-row groupBy.",
+)
+def benford_second_digit_prices(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return benford.benford_second_digit(orders, "o_totalprice")

@@ -1782,3 +1782,26 @@ from ..operators.text import dunning_keyness, dunning_keyness_sql
 def dunning_keyness_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dunning_keyness(docs)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave116: Zipf-Mandelbrot fit (operators/text.py)
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.text import zipf_mandelbrot_fit, zipf_mandelbrot_fit_sql
+
+
+@_spec(
+    "zipf_mandelbrot_fit",
+    zipf_mandelbrot_fit_sql(),
+    "text op — Zipf-Mandelbrot fit f(r) ~ (r+q)^-alpha over the "
+    "top-100 rank curve: plain Zipf (zipf_token_ranks) bends "
+    "systematically at the head; Mandelbrot's offset q straightens "
+    "it. q is a small literal grid, each candidate a closed-form "
+    "log-log OLS, winner by residual SS with a smaller-q tie-break; "
+    "the q=0 fit is reported beside it so the R^2 gain IS the "
+    "head-bend measurement. Everything below the corpus scan is "
+    "literal-sized.",
+)
+def zipf_mandelbrot_fit_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_mandelbrot_fit(docs)
