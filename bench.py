@@ -692,7 +692,11 @@ ISOLATE_DEFAULT = (
     # after the BigDecimal-round fix; late-chunk code-cache/GC state,
     # membership shifts whenever the suite grows). Isolation records
     # the steady-state plan cost instead of chunk history.
-    "haversine_nearest_supplier"
+    "haversine_nearest_supplier,"
+    # round 6: the item-item deviation self-join is the suite's
+    # heaviest single plan at sf0.1 (~23 s idle-JVM); keep its
+    # recorded number chunk-state-free like the other heavy plans
+    "slope_one_rating_eval"
 )
 
 
