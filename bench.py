@@ -643,6 +643,9 @@ HEADLINE = [
     # wave 116 (round 6): Zipf-Mandelbrot + second-digit Benford
     "zipf_mandelbrot_fit",
     "benford_second_digit_prices",
+    # wave 117 (round 6): Lin's CCC + Bland-Altman
+    "ccc_revenue_pipelines",
+    "bland_altman_revenue",
 ]
 
 

@@ -1555,3 +1555,98 @@ def slope_one_rating_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity").cast("bigint").alias("r"))
     )
     return slope_one_eval(ratings, "u", "i", "r")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave117: method agreement — Lin's CCC + Bland-Altman
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.reconcile import (
+    bland_altman,
+    bland_altman_sql,
+    concordance_ccc,
+    concordance_ccc_sql,
+)
+
+#: the two revenue pipelines, paired per day: the orders header total
+#: vs the lineitem-derived net (price*(1-disc)*(1+tax)), both
+#: DECIMAL-exact daily sums -> identical doubles per row
+_PAIRED_DAILY_SQL_W117 = """SELECT o.day, o.rev_orders, l.rev_lines FROM (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS rev_orders
+      FROM orders GROUP BY 1
+    ) o JOIN (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(
+                 CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                 * (1 + CAST(l_tax AS DECIMAL(4,2)))
+               AS DECIMAL(28,6))) AS DOUBLE) AS rev_lines
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY 1
+    ) l ON l.day = o.day"""
+
+
+def _w117_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o_daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev_orders")
+    )
+    l_daily = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (1 - F.col("l_discount").cast("decimal(4,2)"))
+                    * (1 + F.col("l_tax").cast("decimal(4,2)"))
+                ).cast("decimal(28,6)")
+            )
+            .cast("double")
+            .alias("rev_lines")
+        )
+    )
+    return o_daily.join(l_daily, "day")
+
+
+@_spec(
+    "ccc_revenue_pipelines",
+    concordance_ccc_sql(_PAIRED_DAILY_SQL_W117, "rev_orders", "rev_lines"),
+    "reconciliation op — Lin's concordance correlation between the "
+    "two daily revenue pipelines (orders header totals vs lineitem-"
+    "derived net): the agreement statistic Pearson is NOT — r "
+    "rewards any linear relation (y = 2x + 5 scores 1) while CCC "
+    "penalizes scale and location bias, only reaching 1 when the "
+    "pipelines actually AGREE. Reports r and the bias-correction "
+    "factor C_b = CCC/r separating precision from accuracy; the "
+    "single-number companion to row-level "
+    "order_total_reconciliation. One exact-moment aggregate over "
+    "the paired daily rollup.",
+)
+def ccc_revenue_pipelines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return concordance_ccc(
+        _w117_paired(spark, sf_dir), "rev_orders", "rev_lines"
+    )
+
+
+@_spec(
+    "bland_altman_revenue",
+    bland_altman_sql(_PAIRED_DAILY_SQL_W117, "rev_orders", "rev_lines"),
+    "reconciliation op — Bland-Altman limits of agreement for the "
+    "same pipeline pair: systematic bias, bias +- 1.96*SD_d (the "
+    "per-day disagreement range to EXPECT), and the observed "
+    "fraction outside (~5% under normal differences — a free "
+    "normality cross-check). CCC says how much agreement; the "
+    "limits say what range of disagreement a single day can show. "
+    "Two exact-moment passes, z as a literal.",
+)
+def bland_altman_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bland_altman(
+        _w117_paired(spark, sf_dir), "rev_orders", "rev_lines"
+    )
