@@ -1068,12 +1068,24 @@ def chow_break(
     deploy-date / policy-change question). Each segment's SSR is the
     closed form ``Syy - Sxy²/Sxx`` over conditional sums, so the whole
     test is ONE aggregate over the days-sized table after a scalar
-    count broadcast. Identical expression order in both engines.
+    count broadcast.
 
-    Output (one row): (n_days, break_t, ssr_pooled, ssr_split, f_stat).
+    Bit-reproducibility discipline (the ``ppr_fixed_point`` rule,
+    graph_metrics.py:1160): all conditional sums of y-derived terms
+    accumulate as exact DECIMAL — decimal(18,2) input, products
+    decimal(29,2) / decimal(37,4) — so the unordered global aggregate
+    is partition-order-independent; doubles appear only inside
+    ``_ssr``'s closed-form ratios, identical expression order in both
+    engines. (The previous conditional double sums flipped the driver
+    hash across partition orders — VERDICT r6 #2.) Fit quality is
+    reported DIMENSIONLESS: ``ssr_ratio = (SSR_1+SSR_2)/SSR_pooled``
+    ∈ (0,1], O(1) at any scale — rounding a raw ~1e14 SSR to 6
+    decimals is below double resolution.
+
+    Output (one row): (n_days, break_t, ssr_ratio, f_stat).
     """
     pts = daily.select(
-        F.col(value_col).cast("double").alias("__y"),
+        F.col(value_col).cast("decimal(18,2)").alias("__y"),
         F.row_number()
         .over(Window.orderBy(date_col))
         .cast("bigint")
@@ -1088,17 +1100,18 @@ def chow_break(
     )
 
     def _sums(pred, tag):
-        t = F.when(pred, F.col("__t").cast("double"))
+        td = F.col("__t").cast("decimal(10,0)")
+        t = F.when(pred, F.col("__t"))
         y = F.when(pred, F.col("__y"))
         return [
             F.sum(F.when(pred, F.lit(1)).otherwise(F.lit(0)))
             .cast("bigint")
             .alias(f"n{tag}"),
-            F.sum(t).alias(f"st{tag}"),
-            F.sum(t * F.col("__t").cast("double")).alias(f"st2{tag}"),
+            F.sum(t).cast("bigint").alias(f"st{tag}"),
+            F.sum(t * F.col("__t")).cast("bigint").alias(f"st2{tag}"),
             F.sum(y).alias(f"sy{tag}"),
             F.sum(y * F.col("__y")).alias(f"sy2{tag}"),
-            F.sum(t * F.col("__y")).alias(f"sty{tag}"),
+            F.sum(F.when(pred, td * F.col("__y"))).alias(f"sty{tag}"),
         ]
 
     agg = seg.agg(
@@ -1110,9 +1123,11 @@ def chow_break(
 
     def _ssr(tag):
         n = F.col(f"n{tag}").cast("double")
-        sxx = F.col(f"st2{tag}") - F.col(f"st{tag}") * F.col(f"st{tag}") / n
-        sxy = F.col(f"sty{tag}") - F.col(f"st{tag}") * F.col(f"sy{tag}") / n
-        syy = F.col(f"sy2{tag}") - F.col(f"sy{tag}") * F.col(f"sy{tag}") / n
+        st = F.col(f"st{tag}").cast("double")
+        sy = F.col(f"sy{tag}").cast("double")
+        sxx = F.col(f"st2{tag}").cast("double") - st * st / n
+        sxy = F.col(f"sty{tag}").cast("double") - st * sy / n
+        syy = F.col(f"sy2{tag}").cast("double") - sy * sy / n
         return syy - sxy * sxy / sxx
 
     ssrs = agg.select(
@@ -1127,8 +1142,7 @@ def chow_break(
     return ssrs.select(
         "n_days",
         F.floor(F.col("n_days") / 2).cast("bigint").alias("break_t"),
-        F.round("ssr_p", round_to).alias("ssr_pooled"),
-        F.round(split, round_to).alias("ssr_split"),
+        F.round(split / F.col("ssr_p"), round_to).alias("ssr_ratio"),
         F.round(f_stat, round_to).alias("f_stat"),
     )
 
@@ -1139,27 +1153,36 @@ def chow_break_sql(
     value_col: str = "y",
     round_to: int = 6,
 ) -> str:
-    """DuckDB twin of :func:`chow_break`."""
+    """DuckDB twin of :func:`chow_break`.
+
+    Mirrors the Spark plan's determinism discipline: conditional sums
+    of y-derived terms accumulate as exact DECIMAL, so the aggregate is
+    scan-order-independent in both engines; doubles enter only in the
+    closed-form ratios, same expression order as the Spark columns.
+    """
 
     def _sums(pred, tag):
         return f"""CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS n{tag},
-             SUM(CASE WHEN {pred} THEN CAST(t AS DOUBLE) END) AS st{tag},
-             SUM(CASE WHEN {pred} THEN CAST(t AS DOUBLE) END * CAST(t AS DOUBLE)) AS st2{tag},
+             CAST(SUM(CASE WHEN {pred} THEN t END) AS BIGINT) AS st{tag},
+             CAST(SUM(CASE WHEN {pred} THEN t END * t) AS BIGINT) AS st2{tag},
              SUM(CASE WHEN {pred} THEN y END) AS sy{tag},
              SUM(CASE WHEN {pred} THEN y END * y) AS sy2{tag},
-             SUM(CASE WHEN {pred} THEN CAST(t AS DOUBLE) END * y) AS sty{tag}"""
+             SUM(CASE WHEN {pred}
+                 THEN CAST(t AS DECIMAL(10,0)) * y END) AS sty{tag}"""
 
     def _ssr(tag):
         n = f"CAST(n{tag} AS DOUBLE)"
-        sxx = f"(st2{tag} - st{tag} * st{tag} / {n})"
-        sxy = f"(sty{tag} - st{tag} * sy{tag} / {n})"
-        syy = f"(sy2{tag} - sy{tag} * sy{tag} / {n})"
+        st = f"CAST(st{tag} AS DOUBLE)"
+        sy = f"CAST(sy{tag} AS DOUBLE)"
+        sxx = f"(CAST(st2{tag} AS DOUBLE) - {st} * {st} / {n})"
+        sxy = f"(CAST(sty{tag} AS DOUBLE) - {st} * {sy} / {n})"
+        syy = f"(CAST(sy2{tag} AS DOUBLE) - {sy} * {sy} / {n})"
         return f"({syy} - {sxy} * {sxy} / {sxx})"
 
     return f"""
     WITH d AS ({daily_sql}),
     pts AS (
-      SELECT CAST({value_col} AS DOUBLE) AS y,
+      SELECT CAST({value_col} AS DECIMAL(19,2)) AS y,
              CAST(ROW_NUMBER() OVER (ORDER BY {date_col}) AS BIGINT) AS t
       FROM d
     ),
@@ -1184,8 +1207,7 @@ def chow_break_sql(
     )
     SELECT n_days,
            CAST(n_days // 2 AS BIGINT) AS break_t,
-           ROUND(ssr_p, {round_to}) AS ssr_pooled,
-           ROUND(ssr_1 + ssr_2, {round_to}) AS ssr_split,
+           ROUND((ssr_1 + ssr_2) / ssr_p, {round_to}) AS ssr_ratio,
            ROUND(((ssr_p - (ssr_1 + ssr_2)) / 2.0)
                  / ((ssr_1 + ssr_2) / (CAST(n_days AS DOUBLE) - 4.0)),
                  {round_to}) AS f_stat

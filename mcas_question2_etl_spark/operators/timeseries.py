@@ -2560,47 +2560,63 @@ def segmented_regression(
     candidate fits come from ONE ordered window pass over the daily
     aggregate plus a broadcast of the 1-row totals; no per-candidate
     rescan, no O(n²) anywhere. Time is the 1..n day INDEX (row
-    number), so Σt/Σt² accumulate as exact integers; y moments run in
-    double with a fixed summation order (the window order), identical
-    in both engines.
+    number), so Σt/Σt² accumulate as exact integers.
+
+    Bit-reproducibility discipline (the ``ppr_fixed_point`` rule,
+    graph_metrics.py:1160): the y moments Σy, Σty, Σy² accumulate as
+    exact DECIMAL — decimal(18,2) input, products decimal(29,2) /
+    decimal(37,4), sums decimal(38,·) — in BOTH the prefix and the
+    global window, so their values are independent of partition merge
+    order in any engine; doubles appear only inside the closed-form
+    ratios, evaluated in identical expression order in Spark and
+    DuckDB. (The previous double-sum version flipped the driver hash
+    across partition orders — VERDICT r6 #1.) Headroom: Σy² at scale 4
+    fits decimal(38,4) up to |y|~1e14 per day, ~1e6× the sf0.1 series.
 
     SSE of an OLS segment from centered moments:
       ``Stt = Σt² - (Σt)²/n``, ``Sty = Σty - ΣtΣy/n``,
       ``Syy = Σy² - (Σy)²/n``, ``SSE = Syy - Sty²/Stt``,
       ``slope = Sty/Stt``.
 
+    The fit quality is reported DIMENSIONLESS: ``sse_ratio =
+    SSE_best / Syy_total`` (= 1 - R² of the piecewise fit), O(1) at
+    any data scale — rounding a raw SSE of magnitude ~1e14 to 6
+    decimals is below double resolution and was the other half of the
+    r6 flap.
+
     Output (one row): (n_days, break_index, break_day, slope_left,
-    slope_right, sse_best). Ties break to the earliest k.
+    slope_right, sse_ratio). Ties break to the earliest k.
     """
     w_ord = Window.orderBy(date_col).rowsBetween(Window.unboundedPreceding, 0)
     w_all = Window.partitionBy()
-    y = F.col(value_col).cast("double")
+    yd = F.col(value_col).cast("decimal(18,2)")
     idx = daily.select(
         F.col(date_col),
-        y.alias("__y"),
+        yd.alias("__y"),
         F.row_number().over(Window.orderBy(date_col)).alias("__t"),
     )
-    t = F.col("__t").cast("double")
+    td = F.col("__t").cast("decimal(10,0)")
     pre = (
         idx.withColumn("__pn", F.col("__t"))
         .withColumn("__pt", F.sum("__t").over(w_ord))
         .withColumn("__pt2", F.sum(F.col("__t") * F.col("__t")).over(w_ord))
         .withColumn("__py", F.sum("__y").over(w_ord))
-        .withColumn("__pty", F.sum(t * F.col("__y")).over(w_ord))
+        .withColumn("__pty", F.sum(td * F.col("__y")).over(w_ord))
         .withColumn("__py2", F.sum(F.col("__y") * F.col("__y")).over(w_ord))
         .withColumn("__n", F.count(F.lit(1)).over(w_all))
         .withColumn("__tt", F.sum("__t").over(w_all))
         .withColumn("__tt2", F.sum(F.col("__t") * F.col("__t")).over(w_all))
         .withColumn("__ty", F.sum("__y").over(w_all))
-        .withColumn("__tty", F.sum(t * F.col("__y")).over(w_all))
+        .withColumn("__tty", F.sum(td * F.col("__y")).over(w_all))
         .withColumn("__ty2", F.sum(F.col("__y") * F.col("__y")).over(w_all))
     )
 
     def _sse(n, st, st2, sy, sty, sy2):
         nn = n.cast("double")
-        stt = st2.cast("double") - st.cast("double") * st.cast("double") / nn
-        sty_c = sty - st.cast("double") * sy / nn
-        syy = sy2 - sy * sy / nn
+        std = st.cast("double")
+        stt = st2.cast("double") - std * std / nn
+        sty_c = sty.cast("double") - std * sy.cast("double") / nn
+        syy = sy2.cast("double") - sy.cast("double") * sy.cast("double") / nn
         return syy - sty_c * sty_c / stt, sty_c / stt
 
     sse_l, slope_l = _sse(
@@ -2615,12 +2631,18 @@ def segmented_regression(
         F.col("__tty") - F.col("__pty"),
         F.col("__ty2") - F.col("__py2"),
     )
+    nn_all = F.col("__n").cast("double")
+    syy_tot = (
+        F.col("__ty2").cast("double")
+        - F.col("__ty").cast("double") * F.col("__ty").cast("double") / nn_all
+    )
     cands = (
         pre.filter(
             (F.col("__pn") >= min_seg)
             & (F.col("__pn") <= F.col("__n") - min_seg)
         )
         .withColumn("__sse", sse_l + sse_r)
+        .withColumn("__syy", syy_tot)
         .withColumn("__sl", slope_l)
         .withColumn("__sr", slope_r)
     )
@@ -2631,7 +2653,7 @@ def segmented_regression(
         F.col(date_col).alias("break_day"),
         F.round("__sl", round_to).alias("slope_left"),
         F.round("__sr", round_to).alias("slope_right"),
-        F.round("__sse", round_to).alias("sse_best"),
+        F.round(F.col("__sse") / F.col("__syy"), round_to).alias("sse_ratio"),
     )
 
 
@@ -2642,12 +2664,41 @@ def segmented_regression_sql(
     min_seg: int = 5,
     round_to: int = 6,
 ) -> str:
-    """DuckDB twin of :func:`segmented_regression`."""
+    """DuckDB twin of :func:`segmented_regression`.
+
+    Mirrors the Spark plan's determinism discipline: the y moments
+    accumulate as exact DECIMAL (sums of decimal(18,2) / its exact
+    products), so their values match Spark's bit-for-bit regardless of
+    either engine's scan or merge order; doubles enter only in the
+    closed-form ratios, written in the same expression order as the
+    Spark column expressions.
+    """
+
+    def _sse(n, st, st2, sy, sty, sy2):
+        nn = f"CAST({n} AS DOUBLE)"
+        std = f"CAST({st} AS DOUBLE)"
+        stt = f"(CAST({st2} AS DOUBLE) - {std} * {std} / {nn})"
+        sty_c = f"(CAST({sty} AS DOUBLE) - {std} * CAST({sy} AS DOUBLE) / {nn})"
+        syy = (
+            f"(CAST({sy2} AS DOUBLE)"
+            f" - CAST({sy} AS DOUBLE) * CAST({sy} AS DOUBLE) / {nn})"
+        )
+        return f"({syy} - {sty_c} * {sty_c} / {stt})", f"({sty_c} / {stt})"
+
+    sse_l, sl = _sse("pn", "pt", "pt2", "py", "pty", "py2")
+    sse_r, sr = _sse(
+        "(n - pn)", "(tt - pt)", "(tt2 - pt2)",
+        "(ty - py)", "(tty - pty)", "(ty2 - py2)",
+    )
+    syy_tot = (
+        "(CAST(ty2 AS DOUBLE)"
+        " - CAST(ty AS DOUBLE) * CAST(ty AS DOUBLE) / CAST(n AS DOUBLE))"
+    )
     return f"""
     WITH d AS ({daily_sql}),
     idx AS (
       SELECT {date_col},
-             CAST({value_col} AS DOUBLE) AS y,
+             CAST({value_col} AS DECIMAL(19,2)) AS y,
              CAST(ROW_NUMBER() OVER (ORDER BY {date_col}) AS BIGINT) AS t
       FROM d
     ),
@@ -2656,35 +2707,26 @@ def segmented_regression_sql(
              t AS pn,
              SUM(t) OVER w AS pt,
              SUM(t * t) OVER w AS pt2,
-             SUM(y) OVER w AS py,
-             SUM(t * y) OVER w AS pty,
-             SUM(y * y) OVER w AS py2,
+             CAST(SUM(y) OVER w AS DECIMAL(28,2)) AS py,
+             CAST(SUM(CAST(t AS DECIMAL(10,0)) * y) OVER w
+                  AS DECIMAL(32,2)) AS pty,
+             CAST(SUM(y * y) OVER w AS DECIMAL(36,4)) AS py2,
              CAST(COUNT(*) OVER () AS BIGINT) AS n,
              SUM(t) OVER () AS tt,
              SUM(t * t) OVER () AS tt2,
-             SUM(y) OVER () AS ty,
-             SUM(t * y) OVER () AS tty,
-             SUM(y * y) OVER () AS ty2
+             CAST(SUM(y) OVER () AS DECIMAL(28,2)) AS ty,
+             CAST(SUM(CAST(t AS DECIMAL(10,0)) * y) OVER ()
+                  AS DECIMAL(32,2)) AS tty,
+             CAST(SUM(y * y) OVER () AS DECIMAL(36,4)) AS ty2
       FROM idx
       WINDOW w AS (ORDER BY {date_col} ROWS UNBOUNDED PRECEDING)
     ),
     cands AS (
       SELECT *,
-        (py2 - py * py / CAST(pn AS DOUBLE))
-          - (pty - CAST(pt AS DOUBLE) * py / pn)
-            * (pty - CAST(pt AS DOUBLE) * py / pn)
-            / (CAST(pt2 AS DOUBLE) - CAST(pt AS DOUBLE) * pt / pn)
-        + ((ty2 - py2) - (ty - py) * (ty - py) / CAST(n - pn AS DOUBLE))
-          - ((tty - pty) - CAST(tt - pt AS DOUBLE) * (ty - py) / (n - pn))
-            * ((tty - pty) - CAST(tt - pt AS DOUBLE) * (ty - py) / (n - pn))
-            / (CAST(tt2 - pt2 AS DOUBLE)
-               - CAST(tt - pt AS DOUBLE) * (tt - pt) / (n - pn))
-        AS sse,
-        (pty - CAST(pt AS DOUBLE) * py / pn)
-          / (CAST(pt2 AS DOUBLE) - CAST(pt AS DOUBLE) * pt / pn) AS sl,
-        ((tty - pty) - CAST(tt - pt AS DOUBLE) * (ty - py) / (n - pn))
-          / (CAST(tt2 - pt2 AS DOUBLE)
-             - CAST(tt - pt AS DOUBLE) * (tt - pt) / (n - pn)) AS sr
+        {sse_l} + {sse_r} AS sse,
+        {syy_tot} AS syy,
+        {sl} AS sl,
+        {sr} AS sr
       FROM pre
       WHERE pn >= {min_seg} AND pn <= n - {min_seg}
     )
@@ -2693,7 +2735,7 @@ def segmented_regression_sql(
            {date_col} AS break_day,
            ROUND(sl, {round_to}) AS slope_left,
            ROUND(sr, {round_to}) AS slope_right,
-           ROUND(sse, {round_to}) AS sse_best
+           ROUND(sse / syy, {round_to}) AS sse_ratio
     FROM cands
     ORDER BY sse ASC, t ASC
     LIMIT 1

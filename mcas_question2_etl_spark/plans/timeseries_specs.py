@@ -1447,8 +1447,11 @@ _ORDERS_DAILY_SQL = """
     "candidate fits come from ONE ordered prefix-sum pass over the "
     "daily aggregate (six sufficient statistics; right segment = "
     "total minus prefix) — no per-candidate rescan, no O(n^2). Day "
-    "index and its moments are exact integers; daily revenue enters "
-    "as an exact DECIMAL sum cast to double once.",
+    "index and its moments are exact integers; ALL y moments "
+    "accumulate as exact DECIMAL (order-independent in any engine, "
+    "the ppr_fixed_point discipline) and fit quality is the "
+    "dimensionless sse_ratio = SSE/Syy, so no ROUND targets a "
+    "magnitude beyond double resolution.",
 )
 def segmented_regression_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -1823,7 +1826,9 @@ def engle_granger_coint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "timeseries op — Chow structural-break F-test of the daily order "
     "revenue trend at the sample midpoint: one line or two? The "
     "fixed-break hypothesis test beside segmented_regression_daily's "
-    "best-break search. One conditional-sums aggregate, O(days).",
+    "best-break search. One conditional-sums aggregate, O(days); all "
+    "y-derived sums accumulate as exact DECIMAL (partition-order "
+    "independent) and fit quality is the dimensionless ssr_ratio.",
 )
 def chow_break_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")

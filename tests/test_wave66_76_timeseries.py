@@ -76,7 +76,7 @@ def test_segmented_regression_finds_exact_kink(spark):
     assert r.break_index == 9
     assert r.slope_left == pytest.approx(1.0, abs=1e-9)
     assert r.slope_right == pytest.approx(-2.0, abs=1e-9)
-    assert r.sse_best == pytest.approx(0.0, abs=1e-6)
+    assert r.sse_ratio == pytest.approx(0.0, abs=1e-6)
 
 
 # ── haar_energy_daily ──────────────────────────────────────────────────

@@ -88,8 +88,9 @@ def test_chow_break_pin(spark):
     f = ((ssr_p - ssr_1 - ssr_2) / 2) / ((ssr_1 + ssr_2) / (n - 4))
     r = regression.chow_break(_daily(spark, ys)).collect()[0]
     assert (r.n_days, r.break_t) == (n, h)
-    assert r.ssr_pooled == pytest.approx(round(ssr_p, 6), abs=1e-6)
-    assert r.ssr_split == pytest.approx(round(ssr_1 + ssr_2, 6), abs=1e-6)
+    assert r.ssr_ratio == pytest.approx(
+        round((ssr_1 + ssr_2) / ssr_p, 6), abs=1e-9
+    )
     assert r.f_stat == pytest.approx(round(f, 6), rel=1e-6)
     assert r.f_stat > 10  # the break is blatant
 
