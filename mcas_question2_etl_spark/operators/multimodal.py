@@ -25,6 +25,7 @@ unit, not row count).
 from __future__ import annotations
 
 import hashlib
+import math
 import zlib
 from collections.abc import Callable, Iterator
 
@@ -479,17 +480,18 @@ def _decode_gif(b: bytes, return_raster: bool = False):
 
 
 def strict_decoder(payload: bytes, media_type: str) -> dict:
-    """Real decode kernel (pure stdlib): BMP (BITMAPINFOHEADER /
-    BI_RGB), binary PPM/PGM (P6/P5), PCM WAV, 8-bit non-interlaced
+    """Real decode kernel (pure stdlib + numpy): BMP (BITMAPINFOHEADER
+    / BI_RGB), binary PPM/PGM (P6/P5), PCM WAV, 8-bit non-interlaced
     PNG (zlib IDAT inflate + full scanline unfilter — round 5), GIF
-    (full LZW — round 6), and baseline uncompressed TIFF (both byte
-    orders, multi-strip — round 6).
+    (full LZW — round 6), baseline uncompressed TIFF (both byte
+    orders, multi-strip — round 6), and baseline sequential JPEG
+    (huffman + DCT — round 7, VERDICT r6 #7).
     Container sniffing is by magic bytes, so a mislabeled payload still
     decodes by its actual format. Remaining compressed codecs
-    (JPEG/MP3/H.264) raise loudly — that slot needs PIL/libav, absent
-    in this container; ``fake_decode`` remains the deterministic
-    stand-in for tests that need synthetic metadata for arbitrary
-    blobs."""
+    (MP3/H.264, progressive JPEG) raise loudly — those slots need
+    libav/PIL, absent in this container; ``fake_decode`` remains the
+    deterministic stand-in for tests that need synthetic metadata for
+    arbitrary blobs."""
     if payload is None:
         return {
             "n_bytes": 0,
@@ -504,6 +506,8 @@ def strict_decoder(payload: bytes, media_type: str) -> dict:
         dims = _decode_gif(payload)
     elif payload[:4] in _TIFF_MAGICS:
         dims = _decode_tiff(payload)
+    elif payload[:2] == b"\xff\xd8":
+        dims = _decode_jpeg(payload)
     elif payload[:2] == b"BM":
         dims = _decode_bmp(payload)
     elif payload[:2] in (b"P5", b"P6"):
@@ -513,8 +517,9 @@ def strict_decoder(payload: bytes, media_type: str) -> dict:
     else:
         raise NotImplementedError(
             f"no pure-stdlib decoder for payload magic {payload[:4]!r} "
-            f"(media_type={media_type!r}); compressed codecs need "
-            "PIL/libav — pass decoder=<kernel> with the same signature"
+            f"(media_type={media_type!r}); remaining compressed codecs "
+            "(MP3/H.264) need libav — pass decoder=<kernel> with the "
+            "same signature"
         )
     return {
         "n_bytes": len(payload),
@@ -1004,6 +1009,563 @@ def encode_tiff(
     for s in strips:
         out += s
     return bytes(out)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 119: baseline sequential JPEG (VERDICT r6 #7 — the one format a
+# real multimodal corpus hits constantly). Pure stdlib + numpy: canonical
+# Huffman coding, zigzag run-length, quality-scaled Annex-K quantization,
+# vectorized 8x8 DCT/IDCT, JFIF YCbCr. Baseline (SOF0) only; progressive
+# (SOF2) and arithmetic coding raise loudly. All tables below are from
+# the public JPEG standard (ITU-T T.81 Annex K).
+# ──────────────────────────────────────────────────────────────────────────
+
+#: zigzag scan order: zigzag index -> natural (row-major) index
+_JPEG_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_JPEG_QL = [  # Annex K luminance base quant table (natural order)
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QC = [  # Annex K chrominance base quant table
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K huffman specs: (bits[1..16], values)
+_JPEG_HUFF = {
+    ("dc", 0): (
+        [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+        list(range(12)),
+    ),
+    ("dc", 1): (
+        [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+        list(range(12)),
+    ),
+    ("ac", 0): (
+        [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+        [
+            0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+            0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+            0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+            0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+            0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+            0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+            0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+            0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+            0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+            0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+            0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+            0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+            0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+            0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+            0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+            0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+            0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+            0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+            0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+            0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+            0xF9, 0xFA,
+        ],
+    ),
+    ("ac", 1): (
+        [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+        [
+            0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+            0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+            0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+            0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+            0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+            0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+            0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+            0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+            0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+            0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+            0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+            0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+            0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+            0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+            0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+            0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+            0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+            0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+            0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+            0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+            0xF9, 0xFA,
+        ],
+    ),
+}
+
+
+def _jpeg_canonical_codes(bits, vals):
+    """Canonical JPEG huffman code assignment (T.81 C.2): symbols of
+    length L get consecutive codes, lengths ascending. Returns
+    {symbol: (code, length)}."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_quant_tables(quality: int):
+    """libjpeg-style quality scaling of the Annex-K base tables."""
+    q = max(1, min(100, quality))
+    s = 5000 // q if q < 50 else 200 - 2 * q
+    return tuple(
+        [max(1, min(255, (b * s + 50) // 100)) for b in base]
+        for base in (_JPEG_QL, _JPEG_QC)
+    )
+
+
+def _dct_mat():
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / (2.0**0.5)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return m
+
+
+def jpeg_pixels(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic SMOOTH RGB bytes for JPEG fixtures: sinusoidal
+    ramps (no sawtooth wrap like gif_pixels — block discontinuities
+    inflate quantization error and would force a sloppy closeness
+    bound)."""
+    out = bytearray()
+    for y in range(height):
+        for x in range(width):
+            for c in range(3):
+                v = (
+                    128.0
+                    + 60.0 * math.sin(0.31 * x + 0.17 * y + 0.9 * (seed % 17))
+                    + 40.0 * math.cos(0.23 * y - 0.11 * x + 1.7 * c)
+                )
+                out.append(max(0, min(255, int(v))))
+    return bytes(out)
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per T.81 F.1.2.3
+        return bytes(self.buf)
+
+
+def _jpeg_magnitude(v: int) -> int:
+    return 0 if v == 0 else v.bit_length() if v > 0 else (-v).bit_length()
+
+
+def _jpeg_rgb_to_ycbcr(rgb):
+    import numpy as np
+
+    r = rgb[..., 0].astype("f8")
+    g = rgb[..., 1].astype("f8")
+    b = rgb[..., 2].astype("f8")
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    seed: int = 0,
+    quality: int = 90,
+    return_coeffs: bool = False,
+    restart_interval: int = 0,
+):
+    """Baseline sequential JFIF JPEG (SOF0, 3-component YCbCr 4:4:4,
+    Annex-K huffman tables, quality-scaled Annex-K quant tables) of the
+    deterministic :func:`jpeg_pixels` raster. ``restart_interval`` > 0
+    emits a DRI segment and RSTn markers every that-many MCUs (with DC
+    predictor reset + byte realignment), so the decoder's restart
+    resync path is exercised by real streams. With ``return_coeffs``,
+    also returns the per-component quantized zigzag coefficient lists —
+    the entropy coding is lossless, so a correct decoder must recover
+    them EXACTLY (the roundtrip invariant multimodal_jpeg_decode
+    grades)."""
+    import numpy as np
+
+    ql, qc = _jpeg_quant_tables(quality)
+    dct = _dct_mat()
+    px = np.frombuffer(
+        jpeg_pixels(width, height, seed), dtype=np.uint8
+    ).reshape(height, width, 3)
+    ycc = _jpeg_rgb_to_ycbcr(px)
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    # edge-replicate pad to full blocks
+    pad = np.pad(
+        ycc, ((0, bh * 8 - height), (0, bw * 8 - width), (0, 0)), mode="edge"
+    )
+    qtabs = (ql, qc, qc)
+    coeffs: list[list[int]] = [[], [], []]
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(3):
+                block = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci]
+                f = dct @ (block - 128.0) @ dct.T
+                qt = np.array(qtabs[ci], dtype="f8").reshape(8, 8)
+                qz = np.rint(f / qt).astype(np.int64).reshape(64)
+                coeffs[ci].extend(int(qz[_JPEG_ZZ[i]]) for i in range(64))
+    # entropy-code interleaved 4:4:4 MCUs (one block per component)
+    htabs = {k: _jpeg_canonical_codes(*v) for k, v in _JPEG_HUFF.items()}
+    scan_parts = []
+    w = _JpegBitWriter()
+    prev_dc = [0, 0, 0]
+    n_blocks = bw * bh
+    for bi in range(n_blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            scan_parts.append(w.flush())
+            scan_parts.append(
+                bytes([0xFF, 0xD0 + (bi // restart_interval - 1) % 8])
+            )
+            w = _JpegBitWriter()
+            prev_dc = [0, 0, 0]
+        for ci in range(3):
+            tid = 0 if ci == 0 else 1
+            zz = coeffs[ci][bi * 64 : bi * 64 + 64]
+            diff = zz[0] - prev_dc[ci]
+            prev_dc[ci] = zz[0]
+            cat = _jpeg_magnitude(diff)
+            code, ln = htabs[("dc", tid)][cat]
+            w.write(code, ln)
+            if cat:
+                w.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+            run = 0
+            for k in range(1, 64):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zc, zl = htabs[("ac", tid)][0xF0]  # ZRL
+                    w.write(zc, zl)
+                    run -= 16
+                cat = _jpeg_magnitude(v)
+                ac, al = htabs[("ac", tid)][(run << 4) | cat]
+                w.write(ac, al)
+                w.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+                run = 0
+            if run:
+                ec, el = htabs[("ac", tid)][0x00]  # EOB
+                w.write(ec, el)
+    scan_parts.append(w.flush())
+    scan = b"".join(scan_parts)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return _struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, qt in ((0, ql), (1, qc)):
+        out += seg(
+            0xFFDB,
+            bytes([tid]) + bytes(qt[_JPEG_ZZ[i]] for i in range(64)),
+        )
+    sof = bytes([8]) + _struct.pack(">HH", height, width) + bytes([3])
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, tq])  # 4:4:4 — h=v=1
+    out += seg(0xFFC0, sof)
+    for (kind, tid), (bits, vals) in _JPEG_HUFF.items():
+        tc = 0 if kind == "dc" else 1
+        out += seg(
+            0xFFC4, bytes([(tc << 4) | tid]) + bytes(bits) + bytes(vals)
+        )
+    if restart_interval:
+        out += seg(0xFFDD, _struct.pack(">H", restart_interval))
+    sos = bytes([3])
+    for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        sos += bytes([cid, tabs])
+    sos += bytes([0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    payload = bytes(out)
+    return (payload, coeffs) if return_coeffs else payload
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None
+
+    def _fill(self) -> None:
+        b = self.d[self.pos]
+        if b == 0xFF:
+            nxt = self.d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2  # stuffed 0xFF data byte
+            elif 0xD0 <= nxt <= 0xD7:  # RSTn consumed by caller
+                self.marker = nxt
+                raise StopIteration
+            else:
+                self.marker = nxt  # EOI / next segment: bitstream over
+                raise StopIteration
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG huffman code")
+
+    def sync_restart(self) -> None:
+        """Consume an RSTn marker and realign to a byte boundary."""
+        self.acc = 0
+        self.nbits = 0
+        while self.d[self.pos] != 0xFF or not (
+            0xD0 <= self.d[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 1
+        self.pos += 2
+        self.marker = None
+
+
+def _jpeg_decode_table(bits, vals):
+    """{(length, code): symbol} decode map from a DHT segment."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_extend(v: int, cat: int) -> int:
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def _decode_jpeg(b: bytes, return_coeffs: bool = False,
+                 return_raster: bool = False):
+    """Baseline sequential JPEG decoder (pure stdlib + numpy): marker
+    walk, DQT/DHT/SOF0/SOS/DRI parse, huffman entropy decode with byte
+    unstuffing and restart-marker resync, dequant, de-zigzag, vectorized
+    IDCT, replication chroma upsampling, JFIF YCbCr->RGB. Progressive
+    (SOF2), arithmetic coding (SOF9+), and 12-bit precision raise
+    loudly — baseline covers the dominant share of real corpora."""
+    import numpy as np
+
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[dict] = []
+    w = h = 0
+    dri = 0
+    scan_pos = None
+    scan_comps: list[tuple[int, int, int]] = []
+    while pos < len(b):
+        if b[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = b[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        ln = _struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+        seg = b[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            sp = 0
+            while sp < len(seg):
+                pq, tq = seg[sp] >> 4, seg[sp] & 0xF
+                if pq:  # 16-bit table
+                    raw = list(
+                        _struct.unpack(f">64H", seg[sp + 1 : sp + 129])
+                    )
+                    sp += 129
+                else:
+                    raw = list(seg[sp + 1 : sp + 65])
+                    sp += 65
+                nat = [0] * 64
+                for i in range(64):
+                    nat[_JPEG_ZZ[i]] = raw[i]
+                qt[tq] = nat
+        elif marker == 0xC4:  # DHT
+            sp = 0
+            while sp < len(seg):
+                tc, th = seg[sp] >> 4, seg[sp] & 0xF
+                bits = list(seg[sp + 1 : sp + 17])
+                n = sum(bits)
+                vals = list(seg[sp + 17 : sp + 17 + n])
+                huff[(tc, th)] = _jpeg_decode_table(bits, vals)
+                sp += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec = seg[0]
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec} != 8")
+            h, w = _struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = []
+            for i in range(nc):
+                cid, hv, tq2 = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq2}
+                )
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0xFF{marker:02X}: only baseline "
+                "sequential (SOF0) is implemented"
+            )
+        elif marker == 0xDD:  # DRI
+            dri = _struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tabs = seg[1 + 2 * i : 3 + 2 * i]
+                scan_comps.append((cs, tabs >> 4, tabs & 0xF))
+            scan_pos = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if scan_pos is None or not comps:
+        raise ValueError("JPEG: no SOS/SOF0 found")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    by_id = {c["id"]: c for c in comps}
+    order = [by_id[cs] for cs, _, _ in scan_comps]
+    tabs_of = {cs: (td, ta) for cs, td, ta in scan_comps}
+    dct = _dct_mat()
+    planes = []
+    coeffs: list[list[int]] = []
+    for c in comps:
+        planes.append(
+            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
+        )
+        coeffs.append([])
+    rd = _JpegBitReader(b, scan_pos)
+    prev_dc = {c["id"]: 0 for c in comps}
+    n_mcu = mcux * mcuy
+    for mi in range(n_mcu):
+        if dri and mi and mi % dri == 0:
+            rd.sync_restart()
+            prev_dc = {c["id"]: 0 for c in comps}
+        my, mx = divmod(mi, mcux)
+        for c in order:
+            ci = comps.index(c)
+            td, ta = tabs_of[c["id"]]
+            for vy in range(c["v"]):
+                for vx in range(c["h"]):
+                    zz = [0] * 64
+                    cat = rd.huff(huff[(0, td)])
+                    diff = _jpeg_extend(rd.bits(cat), cat) if cat else 0
+                    prev_dc[c["id"]] += diff
+                    zz[0] = prev_dc[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = rd.huff(huff[(1, ta)])
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            break  # EOB
+                        k += r
+                        zz[k] = _jpeg_extend(rd.bits(s), s)
+                        k += 1
+                    if return_coeffs:
+                        coeffs[ci].extend(zz)
+                    q = qt[c["tq"]]
+                    blk = np.zeros(64)
+                    for i in range(64):
+                        blk[_JPEG_ZZ[i]] = zz[i] * q[_JPEG_ZZ[i]]
+                    pix = dct.T @ blk.reshape(8, 8) @ dct + 128.0
+                    py0 = (my * c["v"] + vy) * 8
+                    px0 = (mx * c["h"] + vx) * 8
+                    planes[ci][py0 : py0 + 8, px0 : px0 + 8] = pix
+    dims = {"width": w, "height": h, "duration_ms": None}
+    if not (return_coeffs or return_raster):
+        return dims
+    raster = None
+    if return_raster:
+        full = []
+        for ci, c in enumerate(comps):
+            p = planes[ci]
+            if c["h"] != hmax or c["v"] != vmax:
+                p = np.repeat(
+                    np.repeat(p, vmax // c["v"], axis=0),
+                    hmax // c["h"],
+                    axis=1,
+                )
+            full.append(p[:h, :w])
+        if len(comps) == 3:
+            y, cb, cr = full
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+            bch = y + 1.772 * (cb - 128.0)
+            rgb = np.stack([r, g, bch], axis=-1)
+        else:
+            rgb = np.stack([full[0]] * 3, axis=-1)
+        raster = bytes(
+            np.clip(np.rint(rgb), 0, 255).astype(np.uint8).tobytes()
+        )
+    if return_coeffs and return_raster:
+        return dims, coeffs, raster
+    if return_coeffs:
+        return dims, coeffs
+    return raster
 
 
 # ──────────────────────────────────────────────────────────────────────────

@@ -784,3 +784,115 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_raster_bytes").cast("bigint").alias("sum_raster_bytes"),
         F.bool_and("raster_ok").alias("all_rasters_match"),
     )
+
+
+@_spec(
+    "multimodal_jpeg_decode",
+    """
+    WITH params AS (
+      SELECT doc_id,
+             8 + doc_id % 25 AS w,
+             6 + doc_id % 13 AS h,
+             75 + (doc_id % 6) * 5 AS quality,
+             CAST(doc_id % 4 AS INT) AS ri
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_jpegs,
+           CAST(SUM(w) AS BIGINT) AS sum_width,
+           CAST(SUM(h) AS BIGINT) AS sum_height,
+           CAST(SUM(CASE WHEN ri > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_restarts,
+           TRUE AS all_coeffs_roundtrip,
+           TRUE AS all_pixels_close
+    FROM params
+    """,
+    "multimodal: baseline sequential JPEG decode (round 7, VERDICT r6 "
+    "#7) — synthesizes a genuine JFIF JPEG per document (YCbCr 4:4:4, "
+    "quality-scaled Annex-K quant tables, canonical huffman coding, "
+    "byte stuffing, RSTn restart markers on 3 of 4 docs) in an "
+    "Arrow-batched kernel, then decodes it back with "
+    "operators/multimodal.py strict_decoder + _decode_jpeg: marker "
+    "walk, DQT/DHT/SOF0/SOS/DRI parse, huffman entropy decode with "
+    "unstuffing and restart resync, dequant, de-zigzag, IDCT, YCbCr->"
+    "RGB. The oracle recomputes counts/dims from the same "
+    "doc_id-derived parameters; the codec itself is checked by two "
+    "TRUE-contract invariants (cf. multimodal_gif_decode): "
+    "all_coeffs_roundtrip — the decoder must recover the encoder's "
+    "quantized coefficients EXACTLY (entropy coding is lossless) — "
+    "and all_pixels_close — max |decoded-source| <= 16 on the smooth "
+    "fixture (quantization error bound at quality >= 75). Compressed "
+    "size is data-dependent, so n_bytes stays out of the output.",
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(8) + F.col("doc_id") % 25).cast("int").alias("w"),
+        (F.lit(6) + F.col("doc_id") % 13).cast("int").alias("h"),
+        (F.lit(75) + (F.col("doc_id") % 6) * 5).cast("int").alias("quality"),
+        (F.col("doc_id") % 4).cast("int").alias("ri"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("has_restarts", T.BooleanType()),
+            T.StructField("coeffs_ok", T.BooleanType()),
+            T.StructField("pixels_ok", T.BooleanType()),
+        ]
+    )
+
+    def encode_decode(batches):
+        for pdf in batches:
+            rows = []
+            for did, w, h, q, ri in zip(
+                pdf["doc_id"], pdf["w"], pdf["h"], pdf["quality"], pdf["ri"]
+            ):
+                payload, enc = mm.encode_jpeg(
+                    int(w), int(h), seed=int(did), quality=int(q),
+                    return_coeffs=True, restart_interval=int(ri),
+                )
+                meta = mm.strict_decoder(payload, "image")
+                _, dec, raster = mm._decode_jpeg(
+                    payload, return_coeffs=True, return_raster=True
+                )
+                src = np.frombuffer(
+                    mm.jpeg_pixels(int(w), int(h), seed=int(did)),
+                    dtype=np.uint8,
+                ).astype(np.int64)
+                got = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+                rows.append(
+                    (
+                        int(did),
+                        meta["width"],
+                        meta["height"],
+                        int(ri) > 0,
+                        dec == enc,
+                        int(np.abs(src - got).max(initial=0)) <= 16,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "has_restarts",
+                    "coeffs_ok", "pixels_ok",
+                ],
+            )
+
+    feats = docs.mapInPandas(encode_decode, schema=out_schema)
+    return feats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_jpegs"),
+        F.sum("width").cast("bigint").alias("sum_width"),
+        F.sum("height").cast("bigint").alias("sum_height"),
+        F.sum(F.when(F.col("has_restarts"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_restarts"),
+        F.bool_and("coeffs_ok").alias("all_coeffs_roundtrip"),
+        F.bool_and("pixels_ok").alias("all_pixels_close"),
+    )
