@@ -1569,6 +1569,178 @@ def _decode_jpeg(b: bytes, return_coeffs: bool = False,
 
 
 # ──────────────────────────────────────────────────────────────────────────
+# wave 120: compressed AUDIO codecs — G.711 mu-law / A-law (the
+# telephony companding standard, ITU-T G.711) and IMA/DVI4 ADPCM
+# (IMA Digital Audio Pack, the classic 4-bit predictive codec). All
+# pure-integer state machines — bit-exact by construction, the codec
+# sibling of wave 119's JPEG. Published algorithms; tables from the
+# public specs.
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def ulaw_encode_sample(x: int) -> int:
+    """G.711 mu-law compress one int16 sample to an 8-bit code
+    (bias-133 segmented log, sign-magnitude, ones-complement output)."""
+    x = max(-32635, min(32635, x))
+    sign = 0x80 if x < 0 else 0
+    if x < 0:
+        x = -x
+    x += 0x84  # bias
+    exp = 7
+    mask = 0x4000
+    while exp > 0 and not (x & mask):
+        exp -= 1
+        mask >>= 1
+    mant = (x >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mant) & 0xFF
+
+
+def ulaw_decode_sample(u: int) -> int:
+    """Exact inverse expansion: returns the segment-midpoint int16."""
+    u = ~u & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    x = (((mant << 3) + 0x84) << exp) - 0x84
+    return -x if sign else x
+
+
+_ALAW_SEG_END = [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF]
+
+
+def alaw_encode_sample(x: int) -> int:
+    """G.711 A-law compress one int16 sample to an 8-bit code
+    (13-bit segmented log, even-bit inversion 0x55)."""
+    x >>= 3  # 13-bit domain (arithmetic shift keeps the sign)
+    if x >= 0:
+        mask = 0xD5  # sign bit 1 for non-negative, then 0x55 inversion
+    else:
+        mask = 0x55
+        x = -x - 1
+    seg = 8
+    for i, end in enumerate(_ALAW_SEG_END):
+        if x <= end:
+            seg = i
+            break
+    if seg >= 8:
+        return 0x7F ^ mask
+    aval = seg << 4
+    aval |= (x >> 1) & 0x0F if seg < 2 else (x >> seg) & 0x0F
+    return aval ^ mask
+
+
+def alaw_decode_sample(a: int) -> int:
+    """Exact inverse expansion: segment-midpoint int16."""
+    a ^= 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
+_ADPCM_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_ADPCM_IDX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _adpcm_step(code: int, pred: int, index: int) -> tuple[int, int]:
+    """Shared decoder state transition (T-quantizer reconstruction):
+    returns (new_pred, new_index). Integer-exact per the IMA spec."""
+    step = _ADPCM_STEPS[index]
+    diff = step >> 3
+    if code & 1:
+        diff += step >> 2
+    if code & 2:
+        diff += step >> 1
+    if code & 4:
+        diff += step
+    pred = pred - diff if code & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _ADPCM_IDX[code & 7]))
+    return pred, index
+
+
+def adpcm_encode(samples: list[int]) -> tuple[bytes, list[int]]:
+    """IMA ADPCM encode int16 samples to 4-bit codes (two per byte,
+    low nibble first). Returns (codes, reconstructed) where
+    ``reconstructed`` is the encoder's own integer prediction path — a
+    correct decoder must reproduce it EXACTLY (both sides run the same
+    integer state machine)."""
+    pred, index = 0, 0
+    nibbles: list[int] = []
+    recon: list[int] = []
+    for s in samples:
+        step = _ADPCM_STEPS[index]
+        diff = s - pred
+        code = 0
+        if diff < 0:
+            code = 8
+            diff = -diff
+        if diff >= step:
+            code |= 4
+            diff -= step
+        if diff >= step >> 1:
+            code |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            code |= 1
+        pred, index = _adpcm_step(code, pred, index)
+        nibbles.append(code)
+        recon.append(pred)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    data = bytes(
+        nibbles[i] | (nibbles[i + 1] << 4) for i in range(0, len(nibbles), 2)
+    )
+    return data, recon
+
+
+def adpcm_decode(data: bytes, n_samples: int) -> list[int]:
+    """IMA ADPCM decode: the exact mirror state machine."""
+    pred, index = 0, 0
+    out: list[int] = []
+    for b in data:
+        for code in (b & 0x0F, b >> 4):
+            pred, index = _adpcm_step(code, pred, index)
+            out.append(pred)
+            if len(out) == n_samples:
+                return out
+    return out
+
+
+def pcm_fixture(n: int, seed: int = 0) -> list[int]:
+    """Deterministic int16 test signal: two sinusoids + a ramp, full
+    dynamic range, no RNG state (the audio sibling of jpeg_pixels)."""
+    return [
+        max(
+            -32768,
+            min(
+                32767,
+                int(
+                    12000.0 * math.sin(0.07 * i + 0.9 * (seed % 13))
+                    + 6000.0 * math.sin(0.41 * i + 0.3 * seed)
+                    + ((i * (7 + seed % 5)) % 4096)
+                    - 2048
+                ),
+            ),
+        )
+        for i in range(n)
+    ]
+
+
+# ──────────────────────────────────────────────────────────────────────────
 # wave 110: audio spectral profile via explicit DFT bins
 # ──────────────────────────────────────────────────────────────────────────
 

@@ -896,3 +896,91 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and("coeffs_ok").alias("all_coeffs_roundtrip"),
         F.bool_and("pixels_ok").alias("all_pixels_close"),
     )
+
+
+@_spec(
+    "audio_codec_roundtrip",
+    """
+    WITH params AS (
+      SELECT doc_id, 256 + doc_id % 241 AS n FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS sum_samples,
+           CAST(SUM((n + 1) // 2) AS BIGINT) AS sum_adpcm_bytes,
+           TRUE AS all_adpcm_exact,
+           TRUE AS all_g711_bounded
+    FROM params
+    """,
+    "multimodal: compressed audio codecs (wave 120, the audio sibling "
+    "of multimodal_jpeg_decode) — per document, synthesizes a "
+    "deterministic int16 PCM signal, compresses it with G.711 mu-law, "
+    "G.711 A-law, and IMA ADPCM (operators/multimodal.py, pure-integer "
+    "state machines from the public specs), and decodes each back. The "
+    "oracle recomputes counts and the exact ADPCM byte length "
+    "(ceil(n/2), two 4-bit codes per byte) from the same doc_id "
+    "params; the codecs themselves are checked by TRUE-contract "
+    "invariants: all_adpcm_exact — the decoder must reproduce the "
+    "encoder's integer prediction path EXACTLY — and all_g711_bounded "
+    "— companding error <= 512 (half the top-segment step) on every "
+    "sample of both laws. Kernel is mapInPandas over the documents "
+    "partitioning; payload bytes never shuffle.",
+)
+def audio_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(256) + F.col("doc_id") % 241).cast("int").alias("n"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("adpcm_bytes", T.LongType()),
+            T.StructField("adpcm_exact", T.BooleanType()),
+            T.StructField("g711_bounded", T.BooleanType()),
+        ]
+    )
+
+    def roundtrip(batches):
+        for pdf in batches:
+            rows = []
+            for did, n in zip(pdf["doc_id"], pdf["n"]):
+                pcm = mm.pcm_fixture(int(n), seed=int(did))
+                data, recon = mm.adpcm_encode(pcm)
+                dec = mm.adpcm_decode(data, len(pcm))
+                g711_ok = True
+                for s in pcm:
+                    cu = max(-32635, min(32635, s))
+                    if abs(
+                        mm.ulaw_decode_sample(mm.ulaw_encode_sample(s)) - cu
+                    ) > 512:
+                        g711_ok = False
+                        break
+                    if abs(
+                        mm.alaw_decode_sample(mm.alaw_encode_sample(s)) - s
+                    ) > 512:
+                        g711_ok = False
+                        break
+                rows.append(
+                    (int(did), int(n), len(data), dec == recon, g711_ok)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "adpcm_bytes",
+                    "adpcm_exact", "g711_bounded",
+                ],
+            )
+
+    feats = docs.mapInPandas(roundtrip, schema=out_schema)
+    return feats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_samples").cast("bigint").alias("sum_samples"),
+        F.sum("adpcm_bytes").cast("bigint").alias("sum_adpcm_bytes"),
+        F.bool_and("adpcm_exact").alias("all_adpcm_exact"),
+        F.bool_and("g711_bounded").alias("all_g711_bounded"),
+    )
