@@ -1805,3 +1805,64 @@ from ..operators.text import zipf_mandelbrot_fit, zipf_mandelbrot_fit_sql
 def zipf_mandelbrot_fit_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return zipf_mandelbrot_fit(docs)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 121: winnowing fingerprints (MOSS) per source
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.text import winnow_fingerprints, winnow_fingerprints_sql
+
+
+@_spec(
+    "winnow_fingerprints_sources",
+    f"""
+    WITH fp AS (
+      {winnow_fingerprints_sql("SELECT doc_id, text FROM documents")}
+    ),
+    joined AS (
+      SELECT d.source, fp.* FROM fp JOIN documents d USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_grams) AS BIGINT) AS sum_grams,
+           CAST(SUM(n_fps) AS BIGINT) AS sum_fps,
+           CAST(SUM(fp_checksum) AS BIGINT) % 1000000000000
+             AS checksum_sum,
+           CAST(SUM(CAST(CAST(density AS DECIMAL(10,6)) * 1000000
+                         AS BIGINT)) AS BIGINT) AS density_sum_micro
+    FROM joined GROUP BY source ORDER BY source
+    """,
+    "text op — winnowing document fingerprints (Schleimer/Wilkerson/"
+    "Aiken SIGMOD'03, the MOSS algorithm): token 4-gram md5 hashes, "
+    "per-window-of-4 minimum with the paper's rightmost tie rule "
+    "(packed-integer MIN), fingerprint set = distinct selected "
+    "(hash,pos) pairs. Guarantees: any shared token run >= k+w-1 "
+    "yields a shared fingerprint; expected density 2/(w+1) ~ 0.4. "
+    "Aggregated per source: gram/fingerprint totals, an exact integer "
+    "checksum of every selected fingerprint (order-free, mod 1e12), "
+    "and density sums as exact micro-units (no unordered double sums "
+    "feed a ROUND — the wave-118 discipline). All array expressions "
+    "inside the scan stage; bodies never shuffle.",
+)
+def winnow_fingerprints_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(docs.select("doc_id", "text"))
+    joined = fp.join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_grams").cast("bigint").alias("sum_grams"),
+            F.sum("n_fps").cast("bigint").alias("sum_fps"),
+            (F.sum("fp_checksum").cast("bigint") % 1000000000000).alias(
+                "checksum_sum"
+            ),
+            F.sum(
+                (F.col("density").cast("decimal(10,6)") * 1000000)
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("density_sum_micro"),
+        )
+        .orderBy("source")
+    )
