@@ -1625,10 +1625,17 @@ def press_loocv(
     """Leave-one-out cross-validation of the simple OLS WITHOUT refitting:
     the PRESS identity ``e_(i) = e_i / (1 - h_i)`` turns n held-out
     regressions into one scan. Output (one row): n, r2 (in-sample),
-    press (sum of squared LOO residuals), and predicted_r2 =
-    1 - PRESS / Syy — the honest generalization number that drops when
-    the fit leans on single points. Two scans total (moments, then the
-    broadcast-stats residual pass); nothing iterative, nothing driver-side.
+    press_rmse (sqrt(PRESS/n) — the LOO prediction error in y-units),
+    and predicted_r2 = 1 - PRESS / Syy — the honest generalization
+    number that drops when the fit leans on single points. Two scans
+    total (moments, then the broadcast-stats residual pass); nothing
+    iterative, nothing driver-side.
+
+    PRESS itself is an unordered double sum of magnitude ~n·y² (5e14 at
+    sf0.1), so emitting ``ROUND(press, 6)`` was sub-ULP — one partition
+    order away from a driver hash flip (the wave-118 disease, caught by
+    tools/audit_rounding.py). The emitted contracts are INTENSIVE
+    (rmse in y-units, R² ratios): O(y)/O(1) at any corpus scale.
     """
     stats = _ols_core_stats(df, x, y)
     pts = df.filter(F.col(x).isNotNull() & F.col(y).isNotNull()).select(
@@ -1653,7 +1660,9 @@ def press_loocv(
         F.col("n"),
         F.round(F.lit(1.0) - F.col("__sse") / F.col("__syy_c"), round_to)
         .alias("r2"),
-        F.round(F.col("__press"), round_to).alias("press"),
+        F.round(
+            F.sqrt(F.col("__press") / F.col("n").cast("double")), round_to
+        ).alias("press_rmse"),
         F.round(
             F.lit(1.0) - F.col("__press") / F.col("__syy_c"), round_to
         ).alias("predicted_r2"),
@@ -1674,7 +1683,8 @@ def press_loocv_sql(table: str, x: str, y: str, round_to: int = 6) -> str:
     )
     SELECT MAX(n) AS n,
            ROUND(1.0 - MAX(sse) / MAX(syy_c), {round_to}) AS r2,
-           ROUND(SUM(loo * loo), {round_to}) AS press,
+           ROUND(sqrt(SUM(loo * loo) / CAST(MAX(n) AS DOUBLE)), {round_to})
+             AS press_rmse,
            ROUND(1.0 - SUM(loo * loo) / MAX(syy_c), {round_to})
              AS predicted_r2
     FROM d
@@ -2954,4 +2964,184 @@ def pesaran_timmermann_sql(
                                     * CAST(n_pairs AS DOUBLE)))),
                  {round_to}) AS pt_stat
     FROM g
+    """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 122: Huber M-estimator trend (IRLS, fixed unrolled iterations)
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def huber_trend(
+    daily: DataFrame,
+    date_col: str = "day",
+    value_col: str = "y",
+    k: float = 1.345,
+    iters: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Huber M-estimator fit of the daily trend ``y = a + b·t`` —
+    the missing member of the robust-trend family (theil_sen: rank;
+    ransac: consensus; siegel: repeated medians; this: M-estimation,
+    the textbook compromise keeping OLS efficiency on clean data while
+    bounding any single day's influence at ``k`` scale units).
+
+    IRLS with a FIXED, UNROLLED iteration count (deterministic — no
+    data-dependent convergence test): OLS init from exact-integer /
+    ordered moments, then per iteration (1) robust scale = 1.4826 x
+    MAD of residuals (exact interpolated medians, identical in both
+    engines), (2) Huber weights w = min(1, k*s/|r|), (3) weighted
+    closed-form refit. Each iteration is two O(days) aggregates + a
+    scalar broadcast — no per-candidate rescans.
+
+    Weighted sums run in double (weights are intrinsically double);
+    every ROUND target is slope/intercept/scale-magnitude (O(1e4) at
+    sf0.1), far inside double resolution at 6 dp — the wave-118
+    magnitude rule, checked by tools/audit_rounding.py.
+
+    Output (one row): (n_days, slope_ols, slope_huber,
+    intercept_huber, scale_mad, n_downweighted).
+    """
+    pts = daily.select(
+        F.col(value_col).cast("double").alias("__y"),
+        F.row_number()
+        .over(Window.orderBy(date_col))
+        .cast("double")
+        .alias("__t"),
+    ).localCheckpoint(eager=False)
+
+    def _wols(df, w):
+        sw = F.sum(w)
+        st = F.sum(w * F.col("__t"))
+        st2 = F.sum(w * F.col("__t") * F.col("__t"))
+        sy = F.sum(w * F.col("__y"))
+        sty = F.sum(w * F.col("__t") * F.col("__y"))
+        agg = df.agg(
+            sw.alias("sw"), st.alias("st"), st2.alias("st2"),
+            sy.alias("sy"), sty.alias("sty"),
+        )
+        det = F.col("sw") * F.col("st2") - F.col("st") * F.col("st")
+        b = (F.col("sw") * F.col("sty") - F.col("st") * F.col("sy")) / det
+        a = (F.col("st2") * F.col("sy") - F.col("st") * F.col("sty")) / det
+        return agg.select(b.alias("b"), a.alias("a"))
+
+    fit = _wols(pts, F.lit(1.0))
+    slope_ols = None
+    n_down = None
+    scale = None
+    for it in range(iters):
+        with_r = pts.crossJoin(F.broadcast(fit)).withColumn(
+            "__r", F.col("__y") - F.col("a") - F.col("b") * F.col("__t")
+        )
+        med = with_r.agg(F.percentile("__r", 0.5).alias("med"))
+        with_ar = with_r.crossJoin(F.broadcast(med)).withColumn(
+            "__ar", F.abs(F.col("__r") - F.col("med"))
+        )
+        sc = with_ar.agg(
+            (F.percentile("__ar", 0.5) * 1.4826).alias("s")
+        )
+        weighted = with_ar.crossJoin(F.broadcast(sc)).withColumn(
+            "__w",
+            # zero residual -> full weight (guards ANSI div-by-zero on
+            # exactly-fit days; also the correct Huber limit)
+            F.when(
+                F.abs(F.col("__r")) > 0.0,
+                F.least(
+                    F.lit(1.0), F.lit(k) * F.col("s") / F.abs(F.col("__r"))
+                ),
+            ).otherwise(F.lit(1.0)),
+        )
+        if it == 0:
+            slope_ols = fit.select(F.col("b").alias("slope_ols"))
+        if it == iters - 1:
+            n_down = weighted.agg(
+                F.sum((F.col("__w") < 1.0).cast("bigint")).alias(
+                    "n_downweighted"
+                ),
+                F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            )
+            scale = sc.select(F.col("s").alias("scale_mad"))
+        fit = _wols(weighted, F.col("__w"))
+    return (
+        n_down.crossJoin(F.broadcast(slope_ols))
+        .crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(scale))
+        .select(
+            "n_days",
+            F.round("slope_ols", round_to).alias("slope_ols"),
+            F.round("b", round_to).alias("slope_huber"),
+            F.round("a", round_to).alias("intercept_huber"),
+            F.round("scale_mad", round_to).alias("scale_mad"),
+            "n_downweighted",
+        )
+    )
+
+
+def huber_trend_sql(
+    daily_sql: str,
+    date_col: str = "day",
+    value_col: str = "y",
+    k: float = 1.345,
+    iters: int = 3,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`huber_trend` (iterations unrolled as
+    chained CTEs; quantile_cont matches Spark's interpolated
+    percentile)."""
+
+    def _wols(src, w):
+        return f"""(
+      SELECT (SUM({w}) * SUM({w} * t * y) - SUM({w} * t) * SUM({w} * y))
+               / (SUM({w}) * SUM({w} * t * t) - SUM({w} * t) * SUM({w} * t))
+               AS b,
+             (SUM({w} * t * t) * SUM({w} * y) - SUM({w} * t) * SUM({w} * t * y))
+               / (SUM({w}) * SUM({w} * t * t) - SUM({w} * t) * SUM({w} * t))
+               AS a
+      FROM {src})"""
+
+    ctes = [
+        f"""pts AS (
+      SELECT CAST({value_col} AS DOUBLE) AS y,
+             CAST(ROW_NUMBER() OVER (ORDER BY {date_col}) AS DOUBLE) AS t
+      FROM d
+    )""",
+        f"fit0 AS {_wols('pts', '1.0')}",
+    ]
+    prev = "fit0"
+    for i in range(iters):
+        ctes.append(
+            f"""r{i} AS (
+      SELECT pts.*, y - a - b * t AS r FROM pts CROSS JOIN {prev}
+    )"""
+        )
+        ctes.append(
+            f"""s{i} AS (
+      SELECT quantile_cont(abs(r - med), 0.5) * 1.4826 AS s
+      FROM r{i} CROSS JOIN
+           (SELECT quantile_cont(r, 0.5) AS med FROM r{i}) m
+    )"""
+        )
+        ctes.append(
+            f"""w{i} AS (
+      SELECT r{i}.*,
+             CASE WHEN abs(r) > 0.0
+                  THEN LEAST(1.0, {k} * s / abs(r))
+                  ELSE 1.0 END AS w
+      FROM r{i} CROSS JOIN s{i}
+    )"""
+        )
+        ctes.append(f"fit{i + 1} AS {_wols(f'w{i}', 'w')}")
+        prev = f"fit{i + 1}"
+    last = iters - 1
+    return f"""
+    WITH d AS ({daily_sql}),
+    {','.join(ctes)}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pts) AS n_days,
+           ROUND((SELECT b FROM fit0), {round_to}) AS slope_ols,
+           ROUND(f.b, {round_to}) AS slope_huber,
+           ROUND(f.a, {round_to}) AS intercept_huber,
+           ROUND((SELECT s FROM s{last}), {round_to}) AS scale_mad,
+           (SELECT CAST(SUM(CASE WHEN w < 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM w{last}) AS n_downweighted
+    FROM fit{iters} f
     """

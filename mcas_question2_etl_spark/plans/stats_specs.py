@@ -2724,7 +2724,9 @@ def cooks_distance_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "OLS WITHOUT refitting: PRESS = sum (e_i/(1-h_i))^2 is an "
     "algebraic identity, so the honest predicted-R² costs two scans "
     "instead of n regressions — the difference between feasible and "
-    "absurd at 100 TB. Output: n, in-sample r2, press, predicted_r2.",
+    "absurd at 100 TB. Output: n, in-sample r2, press_rmse, "
+    "predicted_r2 — all INTENSIVE contracts (raw PRESS ~ n·y² was a "
+    "sub-ULP ROUND target, the wave-118 rounding-magnitude hazard).",
 )
 def press_loocv_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")

@@ -2207,3 +2207,37 @@ def cusum_squares_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y")
     )
     return timeseries.cusum_squares(daily)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 122: Huber M-estimator robust trend
+# ──────────────────────────────────────────────────────────────────────────
+
+
+@_spec(
+    "huber_trend_daily",
+    regression.huber_trend_sql(_ORDERS_DAILY_SQL.strip()),
+    "stats op — Huber M-estimator trend on daily order revenue "
+    "(IRLS, 3 FIXED unrolled iterations; scale = 1.4826*MAD via exact "
+    "interpolated medians; weights w = min(1, k*s/|r|), k = 1.345): "
+    "the M-estimation member of the robust-trend family beside "
+    "theil_sen (rank), ransac (consensus), and siegel (repeated "
+    "medians) — bounded influence with near-OLS efficiency. Each "
+    "iteration is two O(days) aggregates + scalar broadcasts; every "
+    "ROUND target is slope/scale-magnitude, inside double resolution "
+    "(the wave-118 rule).",
+)
+def huber_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    return regression.huber_trend(daily)

@@ -75,7 +75,9 @@ def test_press_equals_brute_force_loo_refits(spark):
         pred = a + b * _XS[i]
         press += (_YS[i] - pred) ** 2
     assert out.n == 6
-    assert out.press == pytest.approx(press, rel=1e-9)
+    assert out.press_rmse == pytest.approx(
+        round((press / 6) ** 0.5, 6), abs=1e-9
+    )
     y = np.asarray(_YS)
     syy = ((y - y.mean()) ** 2).sum()
     assert out.predicted_r2 == pytest.approx(1.0 - press / syy, abs=1e-6)

@@ -19,7 +19,6 @@ Usage: python tools/audit_rounding.py [sf_dir] [--json OUT.json]
 
 from __future__ import annotations
 
-import math
 import sys
 
 sys.path.insert(0, ".")
@@ -47,27 +46,35 @@ def main() -> int:
         if spec.oracle is None:
             continue
         try:
-            cur = duck.execute(spec.oracle)
-            cols = [d[0] for d in cur.description]
-            rows = cur.fetchall()
+            # schema probe first; stats computed INSIDE DuckDB (a
+            # fetchall of a full-table spec at sf0.1 is 600k Python
+            # tuples per spec — the audit must aggregate engine-side)
+            desc = duck.execute(
+                f"DESCRIBE SELECT * FROM ({spec.oracle}) q"
+            ).fetchall()
+            dbl_cols = [d[0] for d in desc if d[1] in ("DOUBLE", "FLOAT")]
+            if not dbl_cols:
+                n_checked += 1
+                continue
+            agg = ", ".join(
+                f'max(abs("{c}")) FILTER (isfinite("{c}")) AS "mx_{c}", '
+                f'bool_and("{c}" = floor("{c}")) FILTER (isfinite("{c}"))'
+                f' AS "int_{c}"'
+                for c in dbl_cols
+            )
+            row = duck.execute(
+                f"SELECT {agg} FROM ({spec.oracle}) q"
+            ).fetchone()
         except Exception as exc:  # noqa: BLE001
             errors[spec.name] = repr(exc)[:200]
             continue
         n_checked += 1
-        if n_checked % 25 == 0:
-            print(f"...{n_checked} checked", flush=True)
+        print(f"[{n_checked}] {spec.name}", flush=True)
         hot = {}
-        for i, c in enumerate(cols):
-            mx = 0.0
-            intish = True
-            for r in rows:
-                v = r[i]
-                if isinstance(v, float) and not math.isnan(v) and not math.isinf(v):
-                    mx = max(mx, abs(v))
-                    if v != int(v) if abs(v) < 2**62 else False:
-                        intish = False
-            if mx > THRESH:
-                hot[c] = {"max_abs": mx, "integer_valued": intish}
+        for i, c in enumerate(dbl_cols):
+            mx, intish = row[2 * i], row[2 * i + 1]
+            if mx is not None and mx > THRESH:
+                hot[c] = {"max_abs": mx, "integer_valued": bool(intish)}
         if hot:
             flagged[spec.name] = hot
     print(f"checked {n_checked} oracle-backed specs at {sf_dir}")
