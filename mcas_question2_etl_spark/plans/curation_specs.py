@@ -2204,3 +2204,31 @@ def audio_spectral_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.col("__nib"), 16, 10).cast("int").alias("energy"),
     )
     return spectral_profile(frames)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 123: RFF-MMD embedding drift (kernel two-sample test, linear time)
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.mmd import mmd_rff, mmd_rff_sql
+
+
+@_spec(
+    "mmd_rff_label_drift",
+    mmd_rff_sql(
+        "SELECT label, embedding FROM embeddings",
+        "label < 5",
+    ),
+    "embedding-drift op — kernel two-sample MMD² between the label<5 "
+    "and label>=5 embedding populations via Random Fourier Features "
+    "(Rahimi-Recht): 32 md5-derived (W, b) constants embedded as "
+    "LITERALS in both engines, z = sqrt(2/D)·cos(Wx+b) rounded to 6dp "
+    "(the trig-determinism rule) and accumulated as exact DECIMAL, "
+    "MMD² = ||mean_P z - mean_Q z||². ONE corpus scan + a 2·D-row "
+    "shuffle — the linear-time scale path where the quadratic-time "
+    "estimator needs |P|x|Q| kernel evals; mmd_scaled = "
+    "n_p·n_q/(n_p+n_q)·MMD² is the asymptotically pivotal statistic, "
+    "comparable across corpus sizes.",
+)
+def mmd_rff_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmd_rff(emb, F.col("label") < 5)

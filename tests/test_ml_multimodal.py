@@ -118,9 +118,13 @@ def test_png_codec_roundtrip_all_filters():
     )
     with pytest.raises(ValueError, match="interlace"):
         multimodal._decode_png(multimodal._PNG_MAGIC + chunk)
-    # JPEG magic still routes to the loud NotImplementedError slot
-    with pytest.raises(NotImplementedError):
+    # JPEG magic now routes to the real decoder (wave 119), which fails
+    # loudly on a truncated/garbage stream; codecs that remain
+    # unimplemented (MP3) still hit the NotImplementedError slot
+    with pytest.raises(ValueError, match="JPEG"):
         multimodal.strict_decoder(b"\xff\xd8\xff\xe0payload", "image")
+    with pytest.raises(NotImplementedError):
+        multimodal.strict_decoder(b"ID3\x04mp3-payload", "audio")
 
 
 def test_sample_frames_video_only(spark, media_df):
@@ -265,9 +269,12 @@ class TestStrictDecoder:
     def test_compressed_formats_raise(self):
         import pytest
         from mcas_question2_etl_spark.operators.multimodal import strict_decoder
-        # PNG is a REAL decoder since round 5 — a malformed PNG body now
-        # fails its chunk walk loudly rather than hitting the codec gap
+        # PNG and JPEG are REAL decoders (rounds 5 and 7) — malformed
+        # bodies now fail their parse loudly rather than hitting the
+        # codec gap; MP3 remains the NotImplementedError slot
         with pytest.raises(ValueError):
             strict_decoder(b"\x89PNG\r\n\x1a\n....", "image")
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             strict_decoder(b"\xff\xd8\xff\xe0JFIF", "image")
+        with pytest.raises(NotImplementedError):
+            strict_decoder(b"ID3\x04....", "audio")
