@@ -1650,3 +1650,57 @@ def bland_altman_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bland_altman(
         _w117_paired(spark, sf_dir), "rev_orders", "rev_lines"
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 124: HBOS anomaly screening
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.hbos import hbos_scores, hbos_scores_sql
+
+
+@_spec(
+    "hbos_order_anomalies",
+    hbos_scores_sql(
+        """SELECT o_orderkey,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS price_cents,
+                  CAST(date_diff('day', DATE '1990-01-01',
+                                 CAST(o_orderdate AS DATE)) AS BIGINT)
+                    AS day_idx,
+                  CAST(substring(o_orderpriority, 1, 1) AS BIGINT)
+                    AS prio_code
+           FROM orders""",
+        "o_orderkey",
+        ["price_cents", "day_idx", "prio_code"],
+    ),
+    "anomaly op — HBOS (histogram-based outlier score, Goldstein-"
+    "Dengel): per-feature equal-width histograms over exact-integer "
+    "features (price cents, day index, priority code), score = sum "
+    "of log(max_density/density) — the linear-time screening pass "
+    "before per-record review, two bounded shuffles at ANY corpus "
+    "size (B-row bin counts broadcast back into the scan) vs kNN/"
+    "iForest per-record neighborhoods. Bin index is pure integer "
+    "math (no float boundary can split engines); score is a fixed "
+    "closed form on exact integer counts; (score desc, key asc) is a "
+    "total order so the top-20 cut is deterministic.",
+)
+def hbos_order_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    feats = orders.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1990-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("day_idx"),
+        F.substring("o_orderpriority", 1, 1)
+        .cast("bigint")
+        .alias("prio_code"),
+    )
+    return hbos_scores(
+        feats, "o_orderkey", ["price_cents", "day_idx", "prio_code"]
+    )
