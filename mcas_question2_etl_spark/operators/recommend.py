@@ -185,3 +185,111 @@ def slope_one_eval_sql(
              AS mae_user_mean
     FROM g
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 125: item-item cosine similarity (binary co-occurrence CF)
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def item_cosine_topk(
+    baskets: DataFrame,
+    basket_col: str = "basket_id",
+    item_col: str = "item_id",
+    top_k: int = 20,
+    min_support: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Item-item cosine similarity over binary basket co-occurrence —
+    the similarity matrix behind Amazon-style item-item CF
+    (Linden/Smith/York 2003): ``cos(i,j) = c_ij / sqrt(n_i n_j)``
+    where c_ij counts baskets containing both and n_i baskets
+    containing i. Unlike slope_one's rating deviations this is the
+    BINARY/implicit-feedback path, and unlike association-rule
+    confidence it is symmetric and length-normalized.
+
+    Everything is exact integer counts; the only double is the final
+    ``c / sqrt(n_i·n_j)`` — one IEEE sqrt + divide on exact integers,
+    bit-identical in any engine. (cos desc, i asc, j asc) is a total
+    order, so the global top-``top_k`` cut is deterministic.
+
+    Scale shape: the pair stage is the basket-keyed self-join (i < j),
+    bounded by basket sparsity — identical to the slope_one /
+    copurchase pair discipline; item marginals broadcast back onto the
+    pair aggregate. Output: top_k rows (item_i, item_j, n_i, n_j,
+    c_ij, cosine).
+    """
+    bi = baskets.select(
+        F.col(basket_col).cast("bigint").alias("b"),
+        F.col(item_col).cast("bigint").alias("i"),
+    ).distinct()
+    n_items = bi.groupBy(F.col("i").alias("mi")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = bi.select(F.col("b").alias("ba"), F.col("i").alias("ia"))
+    c = (
+        a.join(
+            bi.select(F.col("b").alias("bb"), F.col("i").alias("ib")),
+            (F.col("bb") == F.col("ba")) & (F.col("ia") < F.col("ib")),
+        )
+        .groupBy(
+            F.col("ia").alias("item_i"), F.col("ib").alias("item_j")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ij"))
+        .filter(F.col("c_ij") >= min_support)
+    )
+    withn = (
+        c.join(F.broadcast(n_items), c["item_i"] == n_items["mi"])
+        .select("item_i", "item_j", "c_ij", F.col("n").alias("n_i"))
+        .join(F.broadcast(n_items), F.col("item_j") == n_items["mi"])
+        .select("item_i", "item_j", "n_i", F.col("n").alias("n_j"), "c_ij")
+    )
+    cos = F.col("c_ij").cast("double") / F.sqrt(
+        (F.col("n_i") * F.col("n_j")).cast("double")
+    )
+    return (
+        withn.withColumn("cosine", F.round(cos, round_to))
+        .orderBy(
+            F.col("cosine").desc(),
+            F.col("item_i").asc(),
+            F.col("item_j").asc(),
+        )
+        .limit(top_k)
+    )
+
+
+def item_cosine_topk_sql(
+    baskets_sql: str,
+    basket_col: str = "basket_id",
+    item_col: str = "item_id",
+    top_k: int = 20,
+    min_support: int = 2,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`item_cosine_topk`."""
+    return f"""
+    WITH src AS ({baskets_sql}),
+    bi AS (
+      SELECT DISTINCT CAST({basket_col} AS BIGINT) AS b,
+                      CAST({item_col} AS BIGINT) AS i
+      FROM src
+    ),
+    n_items AS (
+      SELECT i AS mi, CAST(COUNT(*) AS BIGINT) AS n FROM bi GROUP BY i
+    ),
+    pairs AS (
+      SELECT a.i AS item_i, x.i AS item_j,
+             CAST(COUNT(*) AS BIGINT) AS c_ij
+      FROM bi a JOIN bi x ON x.b = a.b AND a.i < x.i
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {min_support}
+    )
+    SELECT item_i, item_j, ni.n AS n_i, nj.n AS n_j, c_ij,
+           ROUND(CAST(c_ij AS DOUBLE)
+                 / sqrt(CAST(ni.n * nj.n AS DOUBLE)), {round_to}) AS cosine
+    FROM pairs
+    JOIN n_items ni ON ni.mi = item_i
+    JOIN n_items nj ON nj.mi = item_j
+    ORDER BY cosine DESC, item_i ASC, item_j ASC
+    LIMIT {top_k}
+    """

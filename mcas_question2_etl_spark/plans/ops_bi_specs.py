@@ -1704,3 +1704,33 @@ def hbos_order_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hbos_scores(
         feats, "o_orderkey", ["price_cents", "day_idx", "prio_code"]
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 125: item-item cosine CF over order baskets
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.recommend import item_cosine_topk, item_cosine_topk_sql
+
+
+@_spec(
+    "item_cosine_copurchase",
+    item_cosine_topk_sql(
+        "SELECT l_orderkey, l_partkey FROM lineitem",
+        "l_orderkey",
+        "l_partkey",
+    ),
+    "recommend op — item-item cosine similarity over binary order-"
+    "basket co-occurrence (the Amazon item-item CF similarity, "
+    "Linden/Smith/York): cos(i,j) = c_ij/sqrt(n_i·n_j) from exact "
+    "integer counts, one IEEE sqrt per surviving pair. The implicit-"
+    "feedback complement to slope_one_rating_eval (rating deviations) "
+    "and copurchase_association_rules (asymmetric confidence/lift). "
+    "Pair stage = basket-keyed self-join bounded by order sparsity "
+    "(<= 7 lines/order); item marginals broadcast; (cosine desc, ids) "
+    "is a total order so the global top-20 cut is deterministic.",
+)
+def item_cosine_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return item_cosine_topk(
+        li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey"
+    )
