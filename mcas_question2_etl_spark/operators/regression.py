@@ -3145,3 +3145,183 @@ def huber_trend_sql(
             FROM w{last}) AS n_downweighted
     FROM fit{iters} f
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 126: split conformal prediction interval for the daily trend
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def conformal_trend_interval(
+    daily: DataFrame,
+    date_col: str = "day",
+    value_col: str = "y",
+    alpha: float = 0.1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Split conformal prediction interval (Vovk; Lei et al. JASA
+    2018) around the linear daily trend — DISTRIBUTION-FREE uncertainty
+    with a finite-sample marginal coverage guarantee >= 1-alpha, the
+    modern replacement for normal-theory prediction bands when nothing
+    is Gaussian.
+
+    Protocol: chronological thirds-ish split — FIT on days 1..n/2
+    (closed-form OLS), CALIBRATE on n/2+1..3n/4 (conformal score
+    |y - yhat|; q_hat = the ceil((1-alpha)(n_cal+1))-th order
+    statistic, the exact finite-sample-valid quantile — an ORDER
+    STATISTIC, not an interpolated percentile, so selection is
+    deterministic), TEST on the rest (empirical coverage of
+    yhat ± q_hat — an integer count).
+
+    Determinism: fit moments accumulate as exact DECIMAL (wave-118
+    discipline); the order-statistic selection and integer coverage
+    count involve no unordered double sums. ROUND targets are y-scale
+    (q_hat) or O(1) (coverage) — inside double resolution.
+
+    Output (one row): (n_fit, n_cal, n_test, slope, q_hat,
+    coverage_test).
+    """
+    yd = F.col(value_col).cast("decimal(18,2)")
+    idx = daily.select(
+        yd.alias("__y"),
+        F.row_number().over(Window.orderBy(date_col)).alias("__t"),
+    ).localCheckpoint(eager=False)
+    n_row = idx.agg(F.max("__t").alias("__n"))
+    td = F.col("__t").cast("decimal(10,0)")
+    fit = (
+        idx.crossJoin(F.broadcast(n_row))
+        .filter(F.col("__t") * 2 <= F.col("__n"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nf"),
+            F.sum("__t").cast("bigint").alias("st"),
+            F.sum(F.col("__t") * F.col("__t")).cast("bigint").alias("st2"),
+            F.sum("__y").alias("sy"),
+            F.sum(td * F.col("__y")).alias("sty"),
+        )
+    )
+    nn = F.col("nf").cast("double")
+    st = F.col("st").cast("double")
+    sxx = F.col("st2").cast("double") - st * st / nn
+    sxy = F.col("sty").cast("double") - st * F.col("sy").cast("double") / nn
+    ab = fit.select(
+        "nf",
+        (sxy / sxx).alias("b"),
+        (
+            (F.col("sy").cast("double") - (sxy / sxx) * st) / nn
+        ).alias("a"),
+    )
+    scored = idx.crossJoin(F.broadcast(n_row)).crossJoin(F.broadcast(ab)).select(
+        "__t",
+        "__n",
+        "nf",
+        F.abs(
+            F.col("__y").cast("double")
+            - F.col("a")
+            - F.col("b") * F.col("__t").cast("double")
+        ).alias("__score"),
+    )
+    cal = scored.filter(
+        (F.col("__t") * 2 > F.col("__n")) & (F.col("__t") * 4 <= F.col("__n") * 3)
+    )
+    n_cal = cal.agg(F.count(F.lit(1)).cast("bigint").alias("nc"))
+    # k-th order statistic, k = ceil((1-alpha)(n_cal+1)) clamped to n_cal
+    ranked = cal.crossJoin(F.broadcast(n_cal)).withColumn(
+        "__rk",
+        F.row_number().over(Window.orderBy(F.col("__score").asc(), F.col("__t").asc())),
+    )
+    k = F.least(
+        F.ceil(F.lit(1.0 - alpha) * (F.col("nc") + 1).cast("double")).cast(
+            "bigint"
+        ),
+        F.col("nc"),
+    )
+    q_row = ranked.filter(F.col("__rk") == k).select(
+        F.col("__score").alias("qh"), F.col("nc")
+    )
+    test = scored.filter(F.col("__t") * 4 > F.col("__n") * 3)
+    cov = test.crossJoin(F.broadcast(q_row)).agg(
+        F.max("nf").alias("n_fit"),
+        F.max("nc").alias("n_cal"),
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.max("qh").alias("qh"),
+        F.sum((F.col("__score") <= F.col("qh")).cast("bigint"))
+        .cast("bigint")
+        .alias("covered"),
+    )
+    return cov.crossJoin(F.broadcast(ab.select(F.col("b").alias("slope")))).select(
+        "n_fit",
+        "n_cal",
+        "n_test",
+        F.round("slope", round_to).alias("slope"),
+        F.round("qh", round_to).alias("q_hat"),
+        F.round(
+            F.col("covered").cast("double") / F.col("n_test").cast("double"),
+            round_to,
+        ).alias("coverage_test"),
+    )
+
+
+def conformal_trend_interval_sql(
+    daily_sql: str,
+    date_col: str = "day",
+    value_col: str = "y",
+    alpha: float = 0.1,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`conformal_trend_interval`."""
+    return f"""
+    WITH d AS ({daily_sql}),
+    idx AS (
+      SELECT CAST({value_col} AS DECIMAL(19,2)) AS y,
+             CAST(ROW_NUMBER() OVER (ORDER BY {date_col}) AS BIGINT) AS t
+      FROM d
+    ),
+    n_row AS (SELECT MAX(t) AS n FROM idx),
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nf,
+             CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(t * t) AS BIGINT) AS st2,
+             CAST(SUM(y) AS DECIMAL(28,2)) AS sy,
+             CAST(SUM(CAST(t AS DECIMAL(10,0)) * y) AS DECIMAL(32,2)) AS sty
+      FROM idx CROSS JOIN n_row WHERE t * 2 <= n
+    ),
+    ab AS (
+      SELECT nf,
+             (CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE)
+                / CAST(nf AS DOUBLE))
+             / (CAST(st2 AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                / CAST(nf AS DOUBLE)) AS b,
+             (CAST(sy AS DOUBLE)
+              - ((CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE)
+                    / CAST(nf AS DOUBLE))
+                 / (CAST(st2 AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                    / CAST(nf AS DOUBLE))) * CAST(st AS DOUBLE))
+             / CAST(nf AS DOUBLE) AS a
+      FROM fit
+    ),
+    scored AS (
+      SELECT t, n, nf,
+             abs(CAST(y AS DOUBLE) - a - b * CAST(t AS DOUBLE)) AS score
+      FROM idx CROSS JOIN n_row CROSS JOIN ab
+    ),
+    cal AS (SELECT * FROM scored WHERE t * 2 > n AND t * 4 <= n * 3),
+    n_cal AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM cal),
+    ranked AS (
+      SELECT cal.*, nc,
+             ROW_NUMBER() OVER (ORDER BY score ASC, t ASC) AS rk
+      FROM cal CROSS JOIN n_cal
+    ),
+    q_row AS (
+      SELECT score AS qh, nc FROM ranked
+      WHERE rk = LEAST(CAST(ceil({1.0 - alpha} * (nc + 1)) AS BIGINT), nc)
+    ),
+    test AS (SELECT * FROM scored WHERE t * 4 > n * 3)
+    SELECT MAX(t.nf) AS n_fit,
+           MAX(q.nc) AS n_cal,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(MAX(ab.b), {round_to}) AS slope,
+           ROUND(MAX(q.qh), {round_to}) AS q_hat,
+           ROUND(CAST(SUM(CASE WHEN t.score <= q.qh THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), {round_to}) AS coverage_test
+    FROM test t CROSS JOIN q_row q CROSS JOIN ab
+    """

@@ -2241,3 +2241,38 @@ def huber_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y")
     )
     return regression.huber_trend(daily)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 126: split conformal prediction interval
+# ──────────────────────────────────────────────────────────────────────────
+
+
+@_spec(
+    "conformal_trend_daily",
+    regression.conformal_trend_interval_sql(_ORDERS_DAILY_SQL.strip()),
+    "stats op — split conformal prediction interval around the daily "
+    "revenue trend (Lei et al.): fit OLS on the first half, take the "
+    "exact finite-sample conformal quantile (an ORDER STATISTIC, "
+    "ceil((1-a)(n+1))-th absolute residual) on the next quarter, "
+    "report empirical coverage on the held-out tail — distribution-"
+    "free uncertainty with a marginal >=90% guarantee, no normality "
+    "assumed anywhere. Fit moments are exact DECIMAL (wave-118 "
+    "discipline); selection and coverage are order-statistic / "
+    "integer-count operations, immune to summation order. O(days), "
+    "three filters over one cached index.",
+)
+def conformal_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    return regression.conformal_trend_interval(daily)
