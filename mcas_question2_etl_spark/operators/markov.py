@@ -225,3 +225,131 @@ def paths_to_conversion_sql(
     FROM pathed GROUP BY path
     HAVING COUNT(*) >= {min_count}
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 127: gap-bounded skip-gram sequential patterns
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def skipgram_patterns(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap: int = 5,
+    top_k: int = 20,
+    round_to: int = 6,
+) -> DataFrame:
+    """Gap-bounded sequential patterns "a THEN b (within the next
+    ``gap`` events)" per user stream — the skip-gram generalization of
+    :func:`transition_counts` (which sees only ADJACENT pairs, so
+    'view ... later purchase' with interleaved clicks is invisible to
+    it). This is the support/confidence core of PrefixSpan-style
+    sequence mining restricted to length-2 patterns, which is the
+    scale-honest cut: length-2 support needs one windowed projection,
+    no candidate explosion.
+
+    confidence(a->b) = c_ab / n_a (occurrences of a followed by b in
+    window / occurrences of a with a full-or-partial window);
+    lift = confidence / (consequent share of all emitted pairs).
+    All counts exact integers; ordering (n_occurrences desc, a, b) is
+    total, so the top-k cut is deterministic.
+
+    Scale shape: ONE user-keyed shuffle for the ordered window (ties
+    broken by ``id_col`` — a total event order, identical in both
+    engines); the window materializes <= gap successor types per
+    event, so pair rows are gap x events regardless of corpus size.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(1, gap)
+    )
+    nxt = events.select(
+        F.col(type_col).alias("a"),
+        F.collect_list(type_col).over(w).alias("__succ"),
+    )
+    pairs = nxt.select(
+        "a", F.explode("__succ").alias("b")
+    ).groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    n_a = pairs.groupBy(F.col("a").alias("ka")).agg(
+        F.sum("n_occurrences").cast("bigint").alias("n_ant")
+    )
+    n_b = pairs.groupBy(F.col("b").alias("kb")).agg(
+        F.sum("n_occurrences").cast("bigint").alias("n_con")
+    )
+    tot = pairs.agg(F.sum("n_occurrences").cast("bigint").alias("n_all"))
+    out = (
+        pairs.join(F.broadcast(n_a), pairs["a"] == n_a["ka"])
+        .join(F.broadcast(n_b), pairs["b"] == n_b["kb"])
+        .crossJoin(F.broadcast(tot))
+    )
+    conf = F.col("n_occurrences").cast("double") / F.col("n_ant").cast("double")
+    lift = conf / (F.col("n_con").cast("double") / F.col("n_all").cast("double"))
+    return (
+        out.select(
+            "a",
+            "b",
+            "n_occurrences",
+            F.col("n_ant").alias("n_antecedent"),
+            F.round(conf, round_to).alias("confidence"),
+            F.round(lift, round_to).alias("lift"),
+        )
+        .orderBy(
+            F.col("n_occurrences").desc(), F.col("a").asc(), F.col("b").asc()
+        )
+        .limit(top_k)
+    )
+
+
+def skipgram_patterns_sql(
+    events_sql: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap: int = 5,
+    top_k: int = 20,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`skipgram_patterns`."""
+    return f"""
+    WITH src AS ({events_sql}),
+    nxt AS (
+      SELECT {type_col} AS a,
+             list({type_col}) OVER (
+               PARTITION BY {user_col}
+               ORDER BY {ts_col} ASC, {id_col} ASC
+               ROWS BETWEEN 1 FOLLOWING AND {gap} FOLLOWING
+             ) AS succ
+      FROM src
+    ),
+    pairs AS (
+      SELECT a, UNNEST(succ) AS b FROM nxt
+    ),
+    cnt AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM pairs GROUP BY a, b
+    ),
+    n_a AS (SELECT a AS ka, CAST(SUM(n_occurrences) AS BIGINT) AS n_ant
+            FROM cnt GROUP BY a),
+    n_b AS (SELECT b AS kb, CAST(SUM(n_occurrences) AS BIGINT) AS n_con
+            FROM cnt GROUP BY b),
+    tot AS (SELECT CAST(SUM(n_occurrences) AS BIGINT) AS n_all FROM cnt)
+    SELECT a, b, n_occurrences,
+           n_ant AS n_antecedent,
+           ROUND(CAST(n_occurrences AS DOUBLE) / n_ant, {round_to})
+             AS confidence,
+           ROUND((CAST(n_occurrences AS DOUBLE) / n_ant)
+                 / (CAST(n_con AS DOUBLE) / n_all), {round_to}) AS lift
+    FROM cnt
+    JOIN n_a ON ka = a
+    JOIN n_b ON kb = b
+    CROSS JOIN tot
+    ORDER BY n_occurrences DESC, a ASC, b ASC
+    LIMIT {top_k}
+    """

@@ -1734,3 +1734,32 @@ def item_cosine_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return item_cosine_topk(
         li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey"
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 127: skip-gram sequential patterns over the event stream
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.markov import skipgram_patterns, skipgram_patterns_sql
+
+
+@_spec(
+    "skipgram_event_patterns",
+    skipgram_patterns_sql(
+        "SELECT event_id, user_id, event_type, ts FROM events"
+    ),
+    "sequence op — gap-bounded skip-gram patterns 'a THEN b within "
+    "the next 5 events' per user stream: the PrefixSpan length-2 cut "
+    "that adjacent-transition ops (transition_entropy, markov mix) "
+    "cannot see ('view ... later purchase' with interleaved clicks). "
+    "Support/confidence/lift from exact integer counts; one user-"
+    "keyed shuffle; the window materializes <= gap successor types "
+    "per event so pair rows are gap x events at any corpus size; "
+    "(support desc, a, b) totally orders the top-20 cut. Tie-safe: "
+    "the event order is (ts, event_id), a total order in both "
+    "engines.",
+)
+def skipgram_event_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return skipgram_patterns(
+        ev.select("event_id", "user_id", "event_type", "ts")
+    )
