@@ -5217,3 +5217,99 @@ def qn_scale_sql(
                       / (CAST(s.n AS DOUBLE) - 1.0)), {round_to}) AS sd
     FROM picked p CROSS JOIN stats s CROSS JOIN madt m
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 128: Cameron-Trivedi overdispersion test for count series
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def overdispersion_test(
+    daily: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "c",
+    round_to: int = 6,
+) -> DataFrame:
+    """Cameron-Trivedi overdispersion test per group over a daily
+    COUNT series — "is Poisson even the right error model?", the
+    question every Poisson rate CI and exponential-interarrival test
+    in the suite silently assumes away. Under the constant-mean
+    Poisson null, ``T = Σ[(y-μ̂)² - y] / sqrt(2 Σ μ̂²) ~ N(0,1)``;
+    large positive T means variance grows faster than the mean
+    (negative binomial territory).
+
+    Exactness: with S = Σy and Q = Σ(n·y - S)² (both EXACT BIGINTs —
+    counts are integers, so every term is an integer), the statistic
+    is ``(Q/n² - S) / sqrt(2·S²/n)`` — integer-exact numerators, one
+    sqrt, order-independent in any engine (the wave-118 discipline;
+    no double accumulates anywhere). One groupBy over the
+    days-per-group table. Headroom: n²·Σy² must fit int64 — with the
+    bounded calendar (n ≈ 150 days) that allows daily counts up to
+    ~2e7 (~300x the sf0.1 series); past that, move Q to DECIMAL.
+
+    Output per group: (group, n_days, mean_count, dispersion_index,
+    ct_stat, overdispersed) ordered by group.
+    """
+    g = daily.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col(value_col).cast("bigint")).cast("bigint").alias("s"),
+        F.sum(
+            F.col(value_col).cast("bigint") * F.col(value_col).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    # Q = sum (n*y - S)^2 = n^2*S2 - 2nS*S + n*S^2 = n^2*S2 - n*S^2
+    q = (
+        F.col("n") * F.col("n") * F.col("s2") - F.col("n") * F.col("s") * F.col("s")
+    ).cast("double")
+    ct_num = q / (n * n) - s
+    ct_den = F.sqrt(F.lit(2.0) * s * s / n)
+    disp = (q / (n * n)) / (n - F.lit(1.0)) / (s / n)
+    ct = ct_num / ct_den
+    return g.select(
+        F.col("grp").alias(group_col),
+        F.col("n").alias("n_days"),
+        F.round(s / n, round_to).alias("mean_count"),
+        F.round(disp, round_to).alias("dispersion_index"),
+        F.round(ct, round_to).alias("ct_stat"),
+        (ct > F.lit(1.6449)).alias("overdispersed"),
+    ).orderBy(group_col)
+
+
+def overdispersion_test_sql(
+    daily_sql: str,
+    group_col: str = "event_type",
+    value_col: str = "c",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`overdispersion_test`."""
+    return f"""
+    WITH d AS ({daily_sql}),
+    g AS (
+      SELECT {group_col} AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST({value_col} AS BIGINT)) AS BIGINT) AS s,
+             CAST(SUM(CAST({value_col} AS BIGINT)
+                      * CAST({value_col} AS BIGINT)) AS BIGINT) AS s2
+      FROM d GROUP BY 1
+    )
+    SELECT grp AS {group_col},
+           n AS n_days,
+           ROUND(CAST(s AS DOUBLE) / n, {round_to}) AS mean_count,
+           ROUND((CAST(n * n * s2 - n * s * s AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * n))
+                 / (CAST(n AS DOUBLE) - 1.0)
+                 / (CAST(s AS DOUBLE) / n), {round_to}) AS dispersion_index,
+           ROUND((CAST(n * n * s2 - n * s * s AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * n) - CAST(s AS DOUBLE))
+                 / sqrt(2.0 * CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        / CAST(n AS DOUBLE)), {round_to}) AS ct_stat,
+           ((CAST(n * n * s2 - n * s * s AS DOUBLE)
+               / (CAST(n AS DOUBLE) * n) - CAST(s AS DOUBLE))
+            / sqrt(2.0 * CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(n AS DOUBLE))) > 1.6449 AS overdispersed
+    FROM g ORDER BY grp
+    """

@@ -2276,3 +2276,29 @@ def conformal_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y")
     )
     return regression.conformal_trend_interval(daily)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 128: Cameron-Trivedi overdispersion test
+# ──────────────────────────────────────────────────────────────────────────
+
+
+@_spec(
+    "overdispersion_event_counts",
+    timeseries.overdispersion_test_sql(_DAILY_SQL.strip()),
+    "stats op — Cameron-Trivedi overdispersion test per event type "
+    "over the daily count series: is Poisson even the right error "
+    "model? T = Σ[(y-μ)²-y]/sqrt(2Σμ²) ~ N(0,1) under the Poisson "
+    "null; large positive T = negative-binomial territory, which "
+    "invalidates every Poisson rate CI downstream. With S = Σy and "
+    "Q = Σ(n·y-S)² exact BIGINTs, the statistic is pure integer "
+    "closed form + one sqrt — no double accumulates anywhere "
+    "(wave-118 discipline). One groupBy over days-per-type.",
+)
+def overdispersion_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return timeseries.overdispersion_test(daily)
