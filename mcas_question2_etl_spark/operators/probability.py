@@ -1129,3 +1129,159 @@ def grubbs_test_sql(
            ROUND(g, {round_to}) AS g_stat
     FROM best WHERE r = 1
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 129: Mantel-Haenszel pooled odds ratio + CMH test
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    stratum_col: str,
+    exposure_col: str,
+    outcome_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel analysis of a stratified 2x2 design:
+    the pooled odds ratio ``OR_MH = Σ(a_i d_i / n_i) / Σ(b_i c_i / n_i)``
+    and the CMH chi-square ``(Σa_i - ΣE[a_i])² / ΣVar(a_i)`` — THE
+    confounder-adjusted association test (does exposure move outcome
+    once the stratifier is held fixed?), and the classic Simpson's-
+    paradox guard a crude pooled 2x2 walks straight into.
+
+    Determinism: per-stratum cells a,b,c,d are exact integers from one
+    groupBy; the across-strata reduction sums ~|strata| rationals in a
+    FIXED ORDER (sort_array(collect_list(struct(stratum, ...)))) —
+    the fixed-summation-order trick, so no unordered double sum exists
+    anywhere (wave-118 discipline). Strata counts are GROUP-BY
+    cardinality (tiny); everything after the first aggregate is
+    driver-sized.
+
+    Output (one row): (n_strata, n_total, or_mh, cmh_stat,
+    or_crude) — crude OR included to expose the Simpson gap.
+    """
+    cells = df.select(
+        F.col(stratum_col).alias("s"),
+        F.col(exposure_col).cast("boolean").alias("e"),
+        F.col(outcome_col).cast("boolean").alias("o"),
+    ).groupBy("s").agg(
+        F.sum((F.col("e") & F.col("o")).cast("bigint")).alias("a"),
+        F.sum((F.col("e") & ~F.col("o")).cast("bigint")).alias("b"),
+        F.sum((~F.col("e") & F.col("o")).cast("bigint")).alias("c"),
+        F.sum((~F.col("e") & ~F.col("o")).cast("bigint")).alias("d"),
+    )
+    t = cells.withColumn(
+        "n", (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    )
+    terms = t.select(
+        F.struct(
+            F.col("s").cast("string").alias("s"),
+            (F.col("a") * F.col("d") / F.col("n")).alias("ad_n"),
+            (F.col("b") * F.col("c") / F.col("n")).alias("bc_n"),
+            F.col("a").cast("double").alias("a"),
+            (
+                (F.col("a") + F.col("b"))
+                * (F.col("a") + F.col("c"))
+                / F.col("n")
+            ).alias("ea"),
+            (
+                (F.col("a") + F.col("b")).cast("double")
+                * (F.col("c") + F.col("d"))
+                * (F.col("a") + F.col("c"))
+                * (F.col("b") + F.col("d"))
+                / (F.col("n") * F.col("n") * (F.col("n") - 1.0))
+            ).alias("va"),
+        ).alias("t"),
+        F.col("a").alias("ra"),
+        F.col("b").alias("rb"),
+        F.col("c").alias("rc"),
+        F.col("d").alias("rd"),
+    )
+    agg = terms.agg(
+        F.sort_array(F.collect_list("t")).alias("ts"),
+        F.sum("ra").cast("bigint").alias("sa"),
+        F.sum("rb").cast("bigint").alias("sb"),
+        F.sum("rc").cast("bigint").alias("sc"),
+        F.sum("rd").cast("bigint").alias("sd"),
+    )
+
+    def _fold(field):
+        return F.expr(
+            f"aggregate(ts, cast(0.0 as double), (acc, x) -> acc + x.{field})"
+        )
+
+    or_mh = _fold("ad_n") / _fold("bc_n")
+    diff = _fold("a") - _fold("ea")
+    cmh = diff * diff / _fold("va")
+    or_crude = (
+        F.col("sa").cast("double") * F.col("sd").cast("double")
+    ) / (F.col("sb").cast("double") * F.col("sc").cast("double"))
+    return agg.select(
+        F.size("ts").cast("bigint").alias("n_strata"),
+        (F.col("sa") + F.col("sb") + F.col("sc") + F.col("sd"))
+        .cast("bigint")
+        .alias("n_total"),
+        F.round(or_mh, round_to).alias("or_mh"),
+        F.round(cmh, round_to).alias("cmh_stat"),
+        F.round(or_crude, round_to).alias("or_crude"),
+    )
+
+
+def mantel_haenszel_sql(
+    src_sql: str,
+    stratum_col: str,
+    exposure_col: str,
+    outcome_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`mantel_haenszel` (same fixed reduction
+    order via list(... ORDER BY stratum) + list fold)."""
+    return f"""
+    WITH src AS ({src_sql}),
+    cells AS (
+      SELECT {stratum_col} AS s,
+             CAST(SUM(CASE WHEN ({exposure_col}) AND ({outcome_col})
+                           THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN ({exposure_col}) AND NOT ({outcome_col})
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN NOT ({exposure_col}) AND ({outcome_col})
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN NOT ({exposure_col}) AND NOT ({outcome_col})
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM src GROUP BY 1
+    ),
+    t AS (
+      SELECT *, CAST(a + b + c + d AS DOUBLE) AS n FROM cells
+    ),
+    folded AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_strata,
+        CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+        CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(d) AS BIGINT) AS sd,
+        list_reduce(list_prepend(0.0,
+          list(a * d / n ORDER BY CAST(s AS VARCHAR))), (x, y) -> x + y)
+          AS s_ad,
+        list_reduce(list_prepend(0.0,
+          list(b * c / n ORDER BY CAST(s AS VARCHAR))), (x, y) -> x + y)
+          AS s_bc,
+        list_reduce(list_prepend(0.0,
+          list(CAST(a AS DOUBLE) ORDER BY CAST(s AS VARCHAR))),
+          (x, y) -> x + y) AS s_a,
+        list_reduce(list_prepend(0.0,
+          list((a + b) * (a + c) / n ORDER BY CAST(s AS VARCHAR))),
+          (x, y) -> x + y) AS s_ea,
+        list_reduce(list_prepend(0.0,
+          list(CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)
+               / (n * n * (n - 1.0)) ORDER BY CAST(s AS VARCHAR))),
+          (x, y) -> x + y) AS s_va
+      FROM t
+    )
+    SELECT n_strata,
+           CAST(sa + sb + sc + sd AS BIGINT) AS n_total,
+           ROUND(s_ad / s_bc, {round_to}) AS or_mh,
+           ROUND((s_a - s_ea) * (s_a - s_ea) / s_va, {round_to}) AS cmh_stat,
+           ROUND(CAST(sa AS DOUBLE) * sd / (CAST(sb AS DOUBLE) * sc),
+                 {round_to}) AS or_crude
+    FROM folded
+    """

@@ -3994,3 +3994,47 @@ def benford_second_digit_prices(
 ) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return benford.benford_second_digit(orders, "o_totalprice")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 129: Cochran-Mantel-Haenszel stratified association
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.probability import mantel_haenszel, mantel_haenszel_sql
+
+
+@_spec(
+    "mantel_haenszel_segment_status",
+    mantel_haenszel_sql(
+        """SELECT o.o_orderpriority AS prio,
+                  c.c_mktsegment = 'BUILDING' AS exposed,
+                  o.o_orderstatus = 'F' AS outcome
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey""",
+        "prio",
+        "exposed",
+        "outcome",
+    ),
+    "stats op — Cochran-Mantel-Haenszel stratified 2x2 analysis: "
+    "pooled odds ratio OR_MH and the CMH chi-square for BUILDING-"
+    "segment customers vs fulfilled order status, stratified by order "
+    "priority — the confounder-adjusted association test, reported "
+    "beside the crude pooled OR to expose any Simpson's-paradox gap. "
+    "Per-stratum cells are exact integers from ONE groupBy after a "
+    "broadcastable dim join; the across-strata reduction folds ~5 "
+    "rationals in a FIXED sorted order (no unordered double sums — "
+    "wave-118 discipline); everything past the first aggregate is "
+    "driver-sized.",
+)
+def mantel_haenszel_segment_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == F.col("c_custkey"),
+    ).select(
+        F.col("o_orderpriority").alias("prio"),
+        (F.col("c_mktsegment") == "BUILDING").alias("exposed"),
+        (F.col("o_orderstatus") == "F").alias("outcome"),
+    )
+    return mantel_haenszel(j, "prio", "exposed", "outcome")
