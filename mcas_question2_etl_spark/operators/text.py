@@ -3315,3 +3315,110 @@ def winnow_fingerprints_sql(
              AS density
     FROM fpd
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 130: term burstiness / adaptation (Church & Gale; Katz)
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def term_burstiness(
+    df: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    min_df: int = 10,
+    top_k: int = 25,
+    round_to: int = 6,
+) -> DataFrame:
+    """Term burstiness a la Church-Gale / Katz: content words do not
+    arrive Poisson — once a term appears in a document it tends to
+    RECUR. Two standard measurements per term:
+
+      * adaptation ``P(k >= 2 | k >= 1) = df2 / df1`` (Church's
+        "adaptation" probability; df_k = docs with >= k occurrences),
+      * burstiness ``B = cf/df1 / (lambda / (1 - e^-lambda))`` —
+        observed within-doc mean vs the zero-truncated-Poisson mean a
+        memoryless term with the same corpus rate lambda = cf/N would
+        show; B >> 1 marks topical/content terms, B ~ 1 function words.
+
+    All inputs are exact integer counts (cf, df1, df2, N); the only
+    doubles are the final closed-form ratios (one exp), bit-identical
+    cross-engine. (adaptation desc, term) totally orders the top-k.
+
+    Scale shape: one (doc, term) count aggregate (the shuffle every
+    vocabulary statistic pays), one term rollup; min_df keeps the
+    long-tail noise out of the ranking.
+    """
+    n_docs = df.select(F.countDistinct(doc_col).alias("nd"))
+    dt = (
+        df.select(
+            F.col(doc_col).alias("d"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("d", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    per_term = dt.groupBy("term").agg(
+        F.sum("k").cast("bigint").alias("cf"),
+        F.count(F.lit(1)).cast("bigint").alias("df1"),
+        F.sum((F.col("k") >= 2).cast("bigint")).cast("bigint").alias("df2"),
+    ).filter(F.col("df1") >= min_df)
+    j = per_term.crossJoin(F.broadcast(n_docs))
+    lam = F.col("cf").cast("double") / F.col("nd").cast("double")
+    ztp_mean = lam / (F.lit(1.0) - F.exp(-lam))
+    obs_mean = F.col("cf").cast("double") / F.col("df1").cast("double")
+    adapt = F.col("df2").cast("double") / F.col("df1").cast("double")
+    return (
+        j.select(
+            "term",
+            "cf",
+            "df1",
+            "df2",
+            F.round(adapt, round_to).alias("adaptation"),
+            F.round(obs_mean / ztp_mean, round_to).alias("burstiness"),
+        )
+        .orderBy(F.col("adaptation").desc(), F.col("term").asc())
+        .limit(top_k)
+    )
+
+
+def term_burstiness_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    min_df: int = 10,
+    top_k: int = 25,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`term_burstiness` (raw whitespace split,
+    matching the Spark side's ``tokens()``)."""
+    return f"""
+    WITH n_docs AS (
+      SELECT CAST(COUNT(DISTINCT {doc_col}) AS BIGINT) AS nd FROM {table}
+    ),
+    dt AS (
+      SELECT {doc_col} AS d, UNNEST(string_split({text_col}, ' ')) AS term
+      FROM {table}
+    ),
+    dtk AS (
+      SELECT d, term, CAST(COUNT(*) AS BIGINT) AS k
+      FROM dt WHERE term <> '' GROUP BY d, term
+    ),
+    per_term AS (
+      SELECT term,
+             CAST(SUM(k) AS BIGINT) AS cf,
+             CAST(COUNT(*) AS BIGINT) AS df1,
+             CAST(SUM(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+      FROM dtk GROUP BY term HAVING COUNT(*) >= {min_df}
+    )
+    SELECT term, cf, df1, df2,
+           ROUND(CAST(df2 AS DOUBLE) / df1, {round_to}) AS adaptation,
+           ROUND((CAST(cf AS DOUBLE) / df1)
+                 / ((CAST(cf AS DOUBLE) / nd)
+                    / (1.0 - exp(-(CAST(cf AS DOUBLE) / nd)))),
+                 {round_to}) AS burstiness
+    FROM per_term CROSS JOIN n_docs
+    ORDER BY adaptation DESC, term ASC
+    LIMIT {top_k}
+    """

@@ -1866,3 +1866,28 @@ def winnow_fingerprints_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 130: term burstiness / adaptation
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.text import term_burstiness, term_burstiness_sql
+
+
+@_spec(
+    "term_burstiness_docs",
+    term_burstiness_sql(),
+    "text op — Church-Gale term adaptation P(k>=2 | k>=1) = df2/df1 "
+    "and Katz burstiness (observed within-doc mean vs the zero-"
+    "truncated-Poisson mean at the same corpus rate) for the top-25 "
+    "most adaptive terms: content words RECUR once present — the "
+    "anti-Poisson signature that separates topical terms from "
+    "function words, the corpus-linguistics complement to "
+    "dunning_keyness (which compares corpora, not within-doc "
+    "clumping). All counts exact integers from one (doc, term) "
+    "aggregate + one term rollup; min_df=10 keeps tail noise out; "
+    "(adaptation desc, term) totally orders the cut.",
+)
+def term_burstiness_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return term_burstiness(docs)
