@@ -1891,3 +1891,50 @@ from ..operators.text import term_burstiness, term_burstiness_sql
 def term_burstiness_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return term_burstiness(docs)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 131: calibration diagnostics (ECE + Brier decomposition)
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.calibration import calibration_report, calibration_report_sql
+from ..operators.text import STOPWORDS as _STOPWORDS_131
+
+_STOP_LIST_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS_131)
+
+
+@_spec(
+    "calibration_langid_score",
+    calibration_report_sql(
+        f"""SELECT LEAST(1.0, 10.0 * len(list_filter(
+                     string_split(text, ' '),
+                     t -> list_contains([{_STOP_LIST_SQL}], t)))
+                   / len(string_split(text, ' '))) AS score,
+                  lang = 'en' AS label
+           FROM documents""",
+        "score",
+        "label",
+    ),
+    "eval op — calibration diagnostics for the stopword-fraction "
+    "language-ID score against the true lang label: 10-bin Expected "
+    "Calibration Error (Guo et al.) + the Murphy decomposition of "
+    "the Brier score (reliability - resolution + uncertainty). A "
+    "scorer that RANKS well can still say 0.9 and be right 60% of "
+    "the time — every downstream threshold assumes calibration, and "
+    "this is the operator that checks it. Scores quantized to 4dp "
+    "DECIMAL so every accumulation is exact; bin index is integer "
+    "math; the <= 10 per-bin rationals fold in fixed sorted order "
+    "(wave-118/129 discipline).",
+)
+def calibration_langid_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    frac = F.size(
+        F.filter(toks, lambda t: t.isin(*_STOPWORDS_131))
+    ) / F.size(toks)
+    scored = docs.select(
+        F.least(F.lit(1.0), F.lit(10.0) * frac).alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return calibration_report(scored, "score", "label")
