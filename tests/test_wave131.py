@@ -65,11 +65,15 @@ def test_score_one_lands_in_last_bin(spark):
 
 
 def test_within_bin_variance_gap(spark):
-    """Non-bin-constant scores: brier exceeds rel - res + unc by the
-    within-bin score variance (Murphy's generalized identity)."""
+    """Non-bin-constant scores: the generalized Murphy identity is
+    brier = rel - res + unc + WBV - 2·WBCov (within-bin score variance
+    minus twice the within-bin score/outcome covariance). For this
+    fixture WBV = 0.00125, WBCov = 0.0025, so the gap is exactly
+    -0.00375 — recomputed by hand."""
     rows = _mk(0.62, 1, 0) + _mk(0.68, 0, 1) + _mk(0.11, 0, 1) + _mk(0.19, 1, 0)
     r = calibration_report(_df(spark, rows), "score", "label").collect()[0]
-    assert r.brier > r.reliability - r.resolution + r.uncertainty
+    gap = r.brier - (r.reliability - r.resolution + r.uncertainty)
+    assert gap == pytest.approx(-0.00375, abs=1e-9)
 
 
 def test_sql_twin_matches_spark_exactly(spark):
