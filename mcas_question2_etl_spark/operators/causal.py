@@ -271,3 +271,147 @@ def ipw_ate_scored_sql(
            ROUND(sw_c * sw_c / sw2_c, {round_to}) AS ess_control
     FROM agg ORDER BY trim
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 132: two-period difference-in-differences
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def diff_in_diff(
+    df: DataFrame,
+    group_col: str,
+    post_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-group / two-period difference-in-differences — the workhorse
+    quasi-experimental estimator the causal family (cem_att: matching;
+    ipw_ate: weighting) lacked: with ``D = (ȳ_T,post − ȳ_T,pre) −
+    (ȳ_C,post − ȳ_C,pre)``, time-invariant group differences and
+    group-invariant time shocks both cancel; D equals the OLS
+    interaction coefficient of y ~ group*post. The Welch-style SE from
+    the four cell variances gives the usual z for the effect.
+
+    Determinism discipline (wave 118): values enter as exact
+    DECIMAL(18,2) — cell sums Σy and Σy² accumulate exactly in any
+    order; the four cell means/variances and the final D/SE are a
+    fixed closed form on those exact sums. ONE aggregate over the fact
+    table (4 conditional sum-triples), everything after is one row.
+
+    Output (one row): (n_obs, did_effect, se, z_stat,
+    pre_gap, post_gap) — pre_gap is the parallel-trends eyeball:
+    a large pre-period group gap is fine, but the IDENTIFYING
+    assumption is that it would have stayed constant.
+    """
+    g = F.col(group_col).cast("boolean")
+    p = F.col(post_col).cast("boolean")
+    yd = F.col(value_col).cast("decimal(18,2)")
+    cells = []
+    for name, cond in (
+        ("tpre", g & ~p), ("tpost", g & p),
+        ("cpre", ~g & ~p), ("cpost", ~g & p),
+    ):
+        yc = F.when(cond, yd)
+        cells += [
+            F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"n_{name}"),
+            F.sum(yc).alias(f"s_{name}"),
+            F.sum(yc * yd).alias(f"q_{name}"),
+        ]
+    agg = df.agg(*cells)
+
+    def _mean(name):
+        return F.col(f"s_{name}").cast("double") / F.col(f"n_{name}").cast(
+            "double"
+        )
+
+    def _var(name):
+        n = F.col(f"n_{name}").cast("double")
+        s = F.col(f"s_{name}").cast("double")
+        return (
+            (F.col(f"q_{name}").cast("double") - s * s / n) / (n - F.lit(1.0))
+        )
+
+    did = (_mean("tpost") - _mean("tpre")) - (_mean("cpost") - _mean("cpre"))
+    se = F.sqrt(
+        _var("tpost") / F.col("n_tpost").cast("double")
+        + _var("tpre") / F.col("n_tpre").cast("double")
+        + _var("cpost") / F.col("n_cpost").cast("double")
+        + _var("cpre") / F.col("n_cpre").cast("double")
+    )
+    n_obs = (
+        F.col("n_tpre") + F.col("n_tpost") + F.col("n_cpre") + F.col("n_cpost")
+    ).cast("bigint")
+    return agg.select(
+        n_obs.alias("n_obs"),
+        F.round(did, round_to).alias("did_effect"),
+        F.round(se, round_to).alias("se"),
+        F.round(did / se, round_to).alias("z_stat"),
+        F.round(_mean("tpre") - _mean("cpre"), round_to).alias("pre_gap"),
+        F.round(_mean("tpost") - _mean("cpost"), round_to).alias("post_gap"),
+    )
+
+
+def diff_in_diff_sql(
+    src_sql: str,
+    group_col: str,
+    post_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`diff_in_diff` (same DECIMAL cell sums,
+    same closed-form order)."""
+
+    def _cell(name, cond):
+        return (
+            f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_{name},\n"
+            f"      SUM(CASE WHEN {cond} THEN y END) AS s_{name},\n"
+            f"      SUM(CASE WHEN {cond} THEN y END * y) AS q_{name}"
+        )
+
+    def _mean(name):
+        return f"(CAST(s_{name} AS DOUBLE) / CAST(n_{name} AS DOUBLE))"
+
+    def _var(name):
+        n = f"CAST(n_{name} AS DOUBLE)"
+        s = f"CAST(s_{name} AS DOUBLE)"
+        return (
+            f"((CAST(q_{name} AS DOUBLE) - {s} * {s} / {n}) / ({n} - 1.0))"
+        )
+
+    did = (
+        f"(({_mean('tpost')} - {_mean('tpre')})"
+        f" - ({_mean('cpost')} - {_mean('cpre')}))"
+    )
+    se = (
+        f"sqrt({_var('tpost')} / CAST(n_tpost AS DOUBLE)"
+        f" + {_var('tpre')} / CAST(n_tpre AS DOUBLE)"
+        f" + {_var('cpost')} / CAST(n_cpost AS DOUBLE)"
+        f" + {_var('cpre')} / CAST(n_cpre AS DOUBLE))"
+    )
+    g, p = f"({group_col})", f"({post_col})"
+    return f"""
+    WITH src AS ({src_sql}),
+    pts AS (
+      SELECT {g} AS g, {p} AS p,
+             CAST({value_col} AS DECIMAL(19,2)) AS y
+      FROM src
+    ),
+    agg AS (
+      SELECT {_cell('tpre', 'g AND NOT p')},
+             {_cell('tpost', 'g AND p')},
+             {_cell('cpre', 'NOT g AND NOT p')},
+             {_cell('cpost', 'NOT g AND p')}
+      FROM pts
+    )
+    SELECT CAST(n_tpre + n_tpost + n_cpre + n_cpost AS BIGINT) AS n_obs,
+           ROUND({did}, {round_to}) AS did_effect,
+           ROUND({se}, {round_to}) AS se,
+           ROUND({did} / {se}, {round_to}) AS z_stat,
+           ROUND({_mean('tpre')} - {_mean('cpre')}, {round_to}) AS pre_gap,
+           ROUND({_mean('tpost')} - {_mean('cpost')}, {round_to}) AS post_gap
+    FROM agg
+    """

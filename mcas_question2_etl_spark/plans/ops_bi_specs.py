@@ -1763,3 +1763,43 @@ def skipgram_event_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipgram_patterns(
         ev.select("event_id", "user_id", "event_type", "ts")
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 132: difference-in-differences on the event stream
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.causal import diff_in_diff, diff_in_diff_sql
+
+
+@_spec(
+    "did_event_value",
+    diff_in_diff_sql(
+        """SELECT user_id % 2 = 0 AS grp,
+                  ts >= TIMESTAMP '2024-02-15 00:00:00' AS post,
+                  value AS v
+           FROM events""",
+        "grp",
+        "post",
+        "v",
+    ),
+    "causal op — two-period difference-in-differences on per-event "
+    "value (treated = even user ids, post = after 2024-02-15): "
+    "D = (T_post - T_pre) - (C_post - C_pre) cancels time-invariant "
+    "group differences AND group-invariant time shocks — the quasi-"
+    "experimental estimator the causal family (cem_att matching, "
+    "ipw_ate weighting) lacked; equals the OLS group*post interaction "
+    "coefficient. Values enter as exact DECIMAL so the four cell "
+    "sum-triples are order-independent (wave-118 discipline); ONE "
+    "aggregate over the fact table, Welch SE from the cell variances, "
+    "pre_gap reported as the parallel-trends diagnostic.",
+)
+def did_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2 == 0).alias("grp"),
+        (
+            F.col("ts")
+            >= F.lit("2024-02-15 00:00:00").cast("timestamp")
+        ).alias("post"),
+        F.col("value").alias("v"),
+    )
+    return diff_in_diff(ev, "grp", "post", "v")
