@@ -250,3 +250,144 @@ def horvitz_thompson_total_sql(
            ROUND(SQRT(CAST(v AS DOUBLE)), {round_to}) AS se_est
     FROM g
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 133: intraclass correlation + Kish design effect
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def icc_design_effect(
+    df: DataFrame,
+    cluster_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-way ANOVA intraclass correlation ICC(1) and the Kish design
+    effect ``deff = 1 + (m̄ - 1)·ICC`` — the number every
+    cluster-randomized experiment divides its effective sample size
+    by. Events from the same user are correlated; a user-level
+    randomization analyzed at the event level overstates n by deff
+    (deff = 3 means your million events carry a third of a million
+    events' worth of information).
+
+    Estimator (unbalanced one-way ANOVA, n0 = (N - Σm²/N)/(k-1)):
+    ``MSB = (Σ S_c²/m_c - G²/N)/(k-1)``,
+    ``MSW = (Σy² - Σ S_c²/m_c)/(N-k)``,
+    ``ICC = (MSB - MSW)/(MSB + (n0-1)·MSW)``.
+
+    Per-cluster S_c = Σy and Σy² accumulate as exact DECIMAL
+    (wave-118); the across-cluster reduction Σ S_c²/m_c is a sum of
+    per-cluster rationals — kept as an UNORDERED double sum because
+    clusters grow with the corpus (a sorted fold would be a driver-
+    side scale-killer); the ROUND targets (icc, deff) are O(1) ratios
+    where the summation-order ulp is ~1e-13 relative, far inside the
+    6-dp contract.
+
+    Output (one row): (n_obs, n_clusters, mean_cluster_size, icc,
+    deff, n_effective).
+    """
+    yd = F.col(value_col).cast("decimal(18,2)")
+    per = df.groupBy(F.col(cluster_col).alias("c")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(yd).alias("s"),
+        F.sum(yd * yd).alias("q"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("m").cast("bigint").alias("n"),
+        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("m2"),
+        F.sum("s").alias("g"),
+        F.sum("q").alias("qq"),
+        F.sum(
+            F.col("s").cast("double")
+            * F.col("s").cast("double")
+            / F.col("m").cast("double")
+        ).alias("ss_c"),
+    )
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    gg = F.col("g").cast("double")
+    ssb = F.col("ss_c") - gg * gg / n
+    ssw = F.col("qq").cast("double") - F.col("ss_c")
+    msb = ssb / (k - F.lit(1.0))
+    msw = ssw / (n - k)
+    n0 = (n - F.col("m2").cast("double") / n) / (k - F.lit(1.0))
+    icc = (msb - msw) / (msb + (n0 - F.lit(1.0)) * msw)
+    mbar = n / k
+    deff = F.lit(1.0) + (mbar - F.lit(1.0)) * icc
+    return agg.select(
+        F.col("n").alias("n_obs"),
+        F.col("k").alias("n_clusters"),
+        F.round(mbar, round_to).alias("mean_cluster_size"),
+        F.round(icc, round_to).alias("icc"),
+        F.round(deff, round_to).alias("deff"),
+        # deff <= 0 happens when the negatively-biased ANOVA estimator
+        # bottoms out (ICC -> -1/(m-1)); n_effective is undefined there
+        F.round(
+            F.when(deff > 0.0, n / deff), round_to
+        ).alias("n_effective"),
+    )
+
+
+def icc_design_effect_sql(
+    src_sql: str,
+    cluster_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`icc_design_effect` (icc/deff staged in a
+    CTE so each closed form appears once)."""
+    return f"""
+    WITH src AS ({src_sql}),
+    per AS (
+      SELECT {cluster_col} AS c,
+             CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(CAST({value_col} AS DECIMAL(19,2)))
+                  AS DECIMAL(28,2)) AS s,
+             CAST(SUM(CAST({value_col} AS DECIMAL(19,2))
+                      * CAST({value_col} AS DECIMAL(19,2)))
+                  AS DECIMAL(36,4)) AS q
+      FROM src GROUP BY 1
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(m) AS BIGINT) AS n,
+             CAST(SUM(m * m) AS BIGINT) AS m2,
+             CAST(SUM(s) AS DECIMAL(38,2)) AS g,
+             CAST(SUM(q) AS DECIMAL(38,4)) AS qq,
+             SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(m AS DOUBLE)) AS ss_c
+      FROM per
+    ),
+    ms AS (
+      SELECT *,
+             (ss_c - CAST(g AS DOUBLE) * CAST(g AS DOUBLE)
+                      / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0)
+               AS msb,
+             (CAST(qq AS DOUBLE) - ss_c)
+               / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) AS msw,
+             (CAST(n AS DOUBLE) - CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(k AS DOUBLE) - 1.0) AS n0
+      FROM agg
+    ),
+    stats AS (
+      SELECT *,
+             (msb - msw) / (msb + (n0 - 1.0) * msw) AS icc_v
+      FROM ms
+    ),
+    eff AS (
+      SELECT *,
+             1.0 + (CAST(n AS DOUBLE) / k - 1.0) * icc_v AS deff_v
+      FROM stats
+    )
+    SELECT n AS n_obs,
+           k AS n_clusters,
+           ROUND(CAST(n AS DOUBLE) / k, {round_to}) AS mean_cluster_size,
+           ROUND(icc_v, {round_to}) AS icc,
+           ROUND(deff_v, {round_to}) AS deff,
+           ROUND(CASE WHEN deff_v > 0.0
+                      THEN CAST(n AS DOUBLE) / deff_v END,
+                 {round_to}) AS n_effective
+    FROM eff
+    """

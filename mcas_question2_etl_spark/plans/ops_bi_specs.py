@@ -1803,3 +1803,32 @@ def did_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("v"),
     )
     return diff_in_diff(ev, "grp", "post", "v")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 133: ICC + Kish design effect for user-clustered events
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.survey import icc_design_effect, icc_design_effect_sql
+
+
+@_spec(
+    "icc_design_effect_users",
+    icc_design_effect_sql(
+        "SELECT user_id, value FROM events", "user_id", "value"
+    ),
+    "experimentation op — one-way ANOVA intraclass correlation ICC(1) "
+    "of event values within users plus the Kish design effect "
+    "deff = 1 + (m-1)*ICC and the effective sample size n/deff: a "
+    "user-level randomization analyzed at the event level overstates "
+    "n by deff, the single most common A/B-testing variance mistake. "
+    "Per-cluster sums are exact DECIMAL; the across-cluster rational "
+    "sum stays an unordered double ON PURPOSE (clusters grow with the "
+    "corpus — a sorted fold would be a driver-side scale-killer) and "
+    "feeds only O(1) ROUND targets. Two aggregates, O(rows) then "
+    "O(users).",
+)
+def icc_design_effect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return icc_design_effect(
+        ev.select("user_id", "value"), "user_id", "value"
+    )
