@@ -3422,3 +3422,136 @@ def term_burstiness_sql(
     ORDER BY adaptation DESC, term ASC
     LIMIT {top_k}
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 134: simple Good-Turing frequency smoothing
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def good_turing_mass(
+    df: DataFrame,
+    text_col: str = "text",
+    max_r: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Good-Turing frequency-of-frequencies analysis of the token
+    unigram distribution: the unseen-type mass ``P0 = N1/N`` (the
+    probability the NEXT token is a type never seen — what every
+    smoothed language model reserves) and the Turing-discounted counts
+    ``r* = (r+1)·N_{r+1}/N_r`` for r = 1..max_r, whose ratio r*/r IS
+    the discount the Kneser-Ney family applies. The inventory-side
+    complement to the ACE/Chao richness estimators (how many types are
+    MISSING) — this prices how much probability they carry.
+
+    Every statistic derives from the frequency-of-frequencies table
+    N_r — exact integer counts of integer counts; the only doubles are
+    final closed-form ratios (wave-118 discipline). Two aggregates:
+    the (term -> count) rollup every vocabulary op pays, then the
+    (count -> N_r) rollup, which is tiny.
+
+    Output: one row per r in 0..max_r: (r, n_r, p_mass, r_star) where
+    p_mass is the TOTAL probability of the r-count stratum under GT
+    (r=0 row: N_r = distinct singleton types N1, p_mass = P0,
+    r_star = NULL).
+    """
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    )
+    fof = counts.groupBy("r").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_r")
+    )
+    tot = counts.agg(
+        F.sum("r").cast("bigint").alias("n_tok"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    nxt = fof.select(
+        (F.col("r") - 1).alias("rp"), F.col("n_r").alias("n_r1")
+    )
+    base = (
+        fof.filter(F.col("r") <= max_r)
+        .join(nxt, fof["r"] == nxt["rp"], "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    r_d = F.col("r").cast("double")
+    mass = (
+        (r_d + F.lit(1.0))
+        * F.col("n_r1").cast("double")
+        / F.col("n_tok").cast("double")
+    )
+    r_star = (
+        (r_d + F.lit(1.0))
+        * F.col("n_r1").cast("double")
+        / F.col("n_r").cast("double")
+    )
+    rows = base.select(
+        F.col("r").cast("bigint").alias("r"),
+        F.col("n_r"),
+        F.round(mass, round_to).alias("p_mass"),
+        F.round(r_star, round_to).alias("r_star"),
+    )
+    zero = (
+        fof.filter(F.col("r") == 1)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.lit(0).cast("bigint").alias("r"),
+            F.col("n_r"),
+            F.round(
+                F.col("n_r").cast("double") / F.col("n_tok").cast("double"),
+                round_to,
+            ).alias("p_mass"),
+            F.lit(None).cast("double").alias("r_star"),
+        )
+    )
+    return zero.unionByName(rows).orderBy("r")
+
+
+def good_turing_mass_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    max_r: int = 5,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`good_turing_mass`."""
+    return f"""
+    WITH terms AS (
+      SELECT UNNEST(string_split({text_col}, ' ')) AS term FROM {table}
+    ),
+    counts AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS r
+      FROM terms WHERE term <> '' GROUP BY term
+    ),
+    fof AS (
+      SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM counts GROUP BY r
+    ),
+    tot AS (
+      SELECT CAST(SUM(r) AS BIGINT) AS n_tok,
+             CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM counts
+    ),
+    rows_r AS (
+      SELECT f.r, f.n_r,
+             ROUND((CAST(f.r AS DOUBLE) + 1.0) * CAST(nx.n_r AS DOUBLE)
+                   / CAST(t.n_tok AS DOUBLE), {round_to}) AS p_mass,
+             ROUND((CAST(f.r AS DOUBLE) + 1.0) * CAST(nx.n_r AS DOUBLE)
+                   / CAST(f.n_r AS DOUBLE), {round_to}) AS r_star
+      FROM fof f
+      LEFT JOIN fof nx ON nx.r = f.r + 1
+      CROSS JOIN tot t
+      WHERE f.r <= {max_r}
+    ),
+    row_zero AS (
+      SELECT CAST(0 AS BIGINT) AS r, f.n_r,
+             ROUND(CAST(f.n_r AS DOUBLE) / CAST(t.n_tok AS DOUBLE),
+                   {round_to}) AS p_mass,
+             CAST(NULL AS DOUBLE) AS r_star
+      FROM fof f CROSS JOIN tot t WHERE f.r = 1
+    )
+    SELECT * FROM row_zero
+    UNION ALL
+    SELECT * FROM rows_r
+    ORDER BY r
+    """

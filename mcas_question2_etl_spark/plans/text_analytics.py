@@ -1938,3 +1938,27 @@ def calibration_langid_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").alias("label"),
     )
     return calibration_report(scored, "score", "label")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 134: Good-Turing unseen mass + discounts
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.text import good_turing_mass, good_turing_mass_sql
+
+
+@_spec(
+    "good_turing_unigrams",
+    good_turing_mass_sql(),
+    "text op — Good-Turing frequency-of-frequencies analysis of the "
+    "corpus unigram distribution: unseen-type mass P0 = N1/N (the "
+    "probability the next token is a brand-new type — what every "
+    "smoothed LM reserves) and Turing discounts r* = (r+1)N_{r+1}/N_r "
+    "for r <= 5, the discount the Kneser-Ney family applies. The "
+    "probability-mass complement to ace_vocab_estimate's missing-TYPE "
+    "count. Everything derives from exact integer counts-of-counts; "
+    "doubles only in final ratios. Two rollups: the vocabulary "
+    "aggregate, then the tiny N_r table.",
+)
+def good_turing_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return good_turing_mass(docs)
