@@ -3555,191 +3555,3 @@ def good_turing_mass_sql(
     SELECT * FROM rows_r
     ORDER BY r
     """
-
-
-# ──────────────────────────────────────────────────────────────────────────
-# wave 135: Burrows' Delta stylometric distance between sources
-# ──────────────────────────────────────────────────────────────────────────
-
-
-def burrows_delta(
-    df: DataFrame,
-    group_col: str = "source",
-    text_col: str = "text",
-    top_k: int = 40,
-    round_to: int = 6,
-) -> DataFrame:
-    """Burrows' Delta (Burrows 2002; Evert et al. 2017) between every
-    pair of sources: z-score each of the ``top_k`` most frequent
-    corpus words' RELATIVE frequency across sources, then
-    ``Delta(s1, s2) = mean_w |z_w(s1) - z_w(s2)|`` — the standard
-    stylometric authorship/register distance, built on function-word
-    usage (exactly the words tf-idf throws away).
-
-    Determinism: relative frequencies are rationals of exact integer
-    counts; the across-source mean/sd per word and the across-word
-    Delta reduction both fold SORTED collected lists (|sources| and
-    top_k are small constants; the wave-129 fixed-order trick), so no
-    unordered double sum exists. Scale shape: one (source, term)
-    count aggregate, a broadcast top-k word list, and literal-sized
-    everything after.
-
-    Output: one row per unordered source pair (source_a, source_b,
-    n_words, delta), ordered by (source_a, source_b).
-    """
-    st = (
-        df.select(
-            F.col(group_col).alias("g"),
-            F.explode(tokens(text_col)).alias("term"),
-        )
-        .filter(F.col("term") != "")
-        .groupBy("g", "term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    ).localCheckpoint(eager=False)
-    totals = st.groupBy("g").agg(F.sum("c").cast("bigint").alias("tot"))
-    topw = (
-        st.groupBy("term")
-        .agg(F.sum("c").cast("bigint").alias("cc"))
-        .orderBy(F.col("cc").desc(), F.col("term").asc())
-        .limit(top_k)
-        .select("term")
-    )
-    # dense (source x top word) grid so zero counts are explicit
-    grid = totals.crossJoin(F.broadcast(topw))
-    freq = (
-        grid.join(st, ["g", "term"], "left")
-        .select(
-            "g",
-            "term",
-            (
-                F.coalesce(F.col("c"), F.lit(0)).cast("double")
-                / F.col("tot").cast("double")
-            ).alias("f"),
-        )
-    )
-    per_word = freq.groupBy("term").agg(
-        F.sort_array(F.collect_list(F.struct("g", "f"))).alias("fs"),
-        F.count(F.lit(1)).cast("bigint").alias("ng"),
-    )
-    mean = F.expr(
-        "aggregate(fs, cast(0.0 as double), (a, x) -> a + x.f)"
-    ) / F.col("ng").cast("double")
-    zed = per_word.withColumn("mu", mean).withColumn(
-        "sd",
-        F.sqrt(
-            F.expr(
-                "aggregate(fs, cast(0.0 as double),"
-                " (a, x) -> a + (x.f - mu) * (x.f - mu))"
-            )
-            / (F.col("ng").cast("double") - F.lit(1.0))
-        ),
-    ).select(
-        "term",
-        # sd = 0 (identical usage everywhere) carries no style signal:
-        # z = 0 keeps the word neutral without shrinking n_words
-        F.expr(
-            "transform(fs, x -> struct(x.g as g,"
-            " if(sd > 0.0, (x.f - mu) / sd, 0.0) as z))"
-        ).alias("zs"),
-    )
-    z = zed.select("term", F.explode("zs").alias("x")).select(
-        "term", F.col("x.g").alias("g"), F.col("x.z").alias("z")
-    )
-    a = z.select(
-        F.col("term"), F.col("g").alias("source_a"), F.col("z").alias("za")
-    )
-    b = z.select(
-        F.col("term").alias("t2"),
-        F.col("g").alias("source_b"),
-        F.col("z").alias("zb"),
-    )
-    pairs = a.join(
-        b,
-        (F.col("term") == F.col("t2"))
-        & (F.col("source_a") < F.col("source_b")),
-    )
-    out = pairs.groupBy("source_a", "source_b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_words"),
-        F.sort_array(
-            F.collect_list(F.struct("term", (F.abs(F.col("za") - F.col("zb"))).alias("d")))
-        ).alias("ds"),
-    )
-    delta = F.expr(
-        "aggregate(ds, cast(0.0 as double), (a, x) -> a + x.d)"
-    ) / F.col("n_words").cast("double")
-    return out.select(
-        "source_a",
-        "source_b",
-        "n_words",
-        F.round(delta, round_to).alias("delta"),
-    ).orderBy("source_a", "source_b")
-
-
-def burrows_delta_sql(
-    table: str = "documents",
-    group_col: str = "source",
-    text_col: str = "text",
-    top_k: int = 40,
-    round_to: int = 6,
-) -> str:
-    """DuckDB twin of :func:`burrows_delta` (same sorted folds)."""
-    return f"""
-    WITH st AS (
-      SELECT {group_col} AS g, term, CAST(COUNT(*) AS BIGINT) AS c
-      FROM (SELECT {group_col},
-                   UNNEST(string_split({text_col}, ' ')) AS term
-            FROM {table})
-      WHERE term <> '' GROUP BY 1, 2
-    ),
-    totals AS (SELECT g, CAST(SUM(c) AS BIGINT) AS tot FROM st GROUP BY g),
-    topw AS (
-      SELECT term FROM (
-        SELECT term, SUM(c) AS cc FROM st GROUP BY term
-        ORDER BY cc DESC, term ASC LIMIT {top_k}
-      )
-    ),
-    freq AS (
-      SELECT t.g, w.term,
-             CAST(COALESCE(s.c, 0) AS DOUBLE) / t.tot AS f
-      FROM totals t CROSS JOIN topw w
-      LEFT JOIN st s ON s.g = t.g AND s.term = w.term
-    ),
-    per_word AS (
-      SELECT term,
-             list(f ORDER BY g) AS fs,
-             list(g ORDER BY g) AS gs,
-             CAST(COUNT(*) AS BIGINT) AS ng
-      FROM freq GROUP BY term
-    ),
-    mz AS (
-      SELECT term, gs, ng,
-             list_reduce(list_prepend(0.0, fs), (a, v) -> a + v)
-               / ng AS mu, fs
-      FROM per_word
-    ),
-    zt AS (
-      SELECT term, gs, fs, mu,
-             sqrt(list_reduce(list_prepend(0.0,
-               list_transform(fs, v -> (v - mu) * (v - mu))),
-               (a, v) -> a + v) / (ng - 1.0)) AS sd
-      FROM mz
-    ),
-    z AS (
-      SELECT term, UNNEST(gs) AS g,
-             UNNEST(list_transform(fs, v ->
-               CASE WHEN sd > 0.0 THEN (v - mu) / sd ELSE 0.0 END)) AS z
-      FROM zt
-    ),
-    pairs AS (
-      SELECT a.term, a.g AS source_a, b.g AS source_b,
-             abs(a.z - b.z) AS d
-      FROM z a JOIN z b ON b.term = a.term AND a.g < b.g
-    )
-    SELECT source_a, source_b,
-           CAST(COUNT(*) AS BIGINT) AS n_words,
-           ROUND(list_reduce(list_prepend(0.0, list(d ORDER BY term)),
-                             (a, v) -> a + v) / COUNT(*), {round_to})
-             AS delta
-    FROM pairs GROUP BY source_a, source_b
-    ORDER BY source_a, source_b
-    """

@@ -1962,27 +1962,3 @@ from ..operators.text import good_turing_mass, good_turing_mass_sql
 def good_turing_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return good_turing_mass(docs)
-
-
-# ──────────────────────────────────────────────────────────────────────────
-# wave 135: Burrows' Delta stylometric distances
-# ──────────────────────────────────────────────────────────────────────────
-from ..operators.text import burrows_delta, burrows_delta_sql
-
-
-@_spec(
-    "burrows_delta_sources",
-    burrows_delta_sql(),
-    "text op — Burrows' Delta stylometric distance between every "
-    "source pair: z-score the top-40 corpus words' relative "
-    "frequencies across sources, Delta = mean |z difference| — THE "
-    "standard authorship/register distance, built on the function "
-    "words tf-idf discards. Counts exact integers; the across-source "
-    "and across-word reductions fold SORTED lists (both literal-"
-    "sized), so no unordered double sum exists (wave-118/129 "
-    "discipline). One (source, term) aggregate; everything after is "
-    "literal-sized.",
-)
-def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return burrows_delta(docs)
