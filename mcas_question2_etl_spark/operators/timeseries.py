@@ -5313,3 +5313,136 @@ def overdispersion_test_sql(
                    / CAST(n AS DOUBLE))) > 1.6449 AS overdispersed
     FROM g ORDER BY grp
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 136: Croston's method (+ SBA) for intermittent demand
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def croston_forecast(
+    demand: DataFrame,
+    key_col: str = "item",
+    day_col: str = "day",
+    qty_col: str = "qty",
+    alpha: float = 0.2,
+    min_events: int = 3,
+) -> DataFrame:
+    """Croston's method (Croston 1972) with the Syntetos-Boylan
+    approximation — THE intermittent-demand forecaster: plain SES on a
+    mostly-zero series chases zeros down and spikes up, so Croston
+    smooths the nonzero demand SIZES and the inter-demand INTERVALS
+    separately and forecasts ``ẑ/p̂`` per period; SBA multiplies by
+    ``(1 - α/2)`` to kill Croston's positive bias. The spare-parts /
+    slow-mover complement to holt_linear_backtest (which assumes a
+    dense series).
+
+    Determinism: the double SES recursion is a FIXED-ORDER IEEE fold
+    over each key's day-sorted demand events (the holt_linear
+    discipline — one ``aggregate()`` in Spark, the identical
+    expressions as a recursive CTE in DuckDB), initialized
+    ẑ₁ = z₁ and p̂₂ = i₂ (the first observable interval), so every
+    output double is bit-identical with NO rounding. Demand sizes and
+    intervals are exact integers.
+
+    Scale shape: the fact table reduces to per-(key, day) demand once;
+    each key's event array is bounded by ITS demand sparsity (that is
+    the point of the method), folding inside one task.
+
+    Output per key with >= ``min_events`` demand days: (key, n_demands,
+    z_hat, p_hat, croston_rate, sba_rate), ordered by key.
+    """
+    a = float(alpha)
+    per_day = demand.groupBy(
+        F.col(key_col).alias("k"), F.col(day_col).alias("d")
+    ).agg(F.sum(F.col(qty_col)).cast("bigint").alias("z"))
+    series = (
+        per_day.filter(F.col("z") > 0)
+        .groupBy("k")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("d", "z"))).alias("ev")
+        )
+        .filter(F.size("ev") >= min_events)
+    )
+    fold = F.expr(
+        f"""
+        aggregate(
+          slice(ev, 2, greatest(size(ev) - 1, 0)),
+          named_struct('pd', ev[0].d, 'z', cast(ev[0].z as double),
+                       'p', cast(-1.0 as double)),
+          (acc, e) -> named_struct(
+            'pd', e.d,
+            'z', {a}D * e.z + {1 - a}D * acc.z,
+            'p', if(acc.p < 0.0,
+                    cast(e.d - acc.pd as double),
+                    {a}D * (e.d - acc.pd) + {1 - a}D * acc.p)),
+          acc -> acc)
+        """
+    )
+    out = series.select(
+        F.col("k").alias(key_col),
+        F.size("ev").cast("bigint").alias("n_demands"),
+        fold.alias("__st"),
+    )
+    rate = F.col("__st.z") / F.col("__st.p")
+    return out.select(
+        key_col,
+        "n_demands",
+        F.col("__st.z").alias("z_hat"),
+        F.col("__st.p").alias("p_hat"),
+        rate.alias("croston_rate"),
+        (F.lit(1.0 - a / 2.0) * rate).alias("sba_rate"),
+    ).orderBy(key_col)
+
+
+def croston_forecast_sql(
+    demand_sql: str,
+    key_col: str = "item",
+    day_col: str = "day",
+    qty_col: str = "qty",
+    alpha: float = 0.2,
+    min_events: int = 3,
+) -> str:
+    """DuckDB twin of :func:`croston_forecast` — the same IEEE
+    recursion as a recursive CTE."""
+    a = float(alpha)
+    return f"""
+    WITH RECURSIVE src AS ({demand_sql}),
+    per_day AS (
+      SELECT {key_col} AS k, {day_col} AS d,
+             CAST(SUM({qty_col}) AS BIGINT) AS z
+      FROM src GROUP BY 1, 2
+    ),
+    ev AS (
+      SELECT k, d, z,
+             CAST(row_number() OVER (PARTITION BY k ORDER BY d) AS BIGINT)
+               AS i,
+             CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS m
+      FROM per_day WHERE z > 0
+    ),
+    keys AS (SELECT k, MAX(m) AS n_demands FROM ev GROUP BY k
+             HAVING MAX(m) >= {min_events}),
+    rec AS (
+      SELECT e.k, e.i, e.d AS pd, CAST(e.z AS DOUBLE) AS zh,
+             CAST(-1.0 AS DOUBLE) AS ph
+      FROM ev e JOIN keys USING (k) WHERE e.i = 1
+      UNION ALL
+      SELECT r.k, e.i, e.d,
+             CAST({a} AS DOUBLE) * e.z + CAST({1 - a} AS DOUBLE) * r.zh,
+             CASE WHEN r.ph < 0.0
+                  THEN CAST(e.d - r.pd AS DOUBLE)
+                  ELSE CAST({a} AS DOUBLE) * (e.d - r.pd)
+                       + CAST({1 - a} AS DOUBLE) * r.ph END
+      FROM rec r JOIN ev e ON e.k = r.k AND e.i = r.i + 1
+    )
+    SELECT r.k AS {key_col},
+           keys.n_demands,
+           r.zh AS z_hat,
+           r.ph AS p_hat,
+           r.zh / r.ph AS croston_rate,
+           CAST({1.0 - a / 2.0} AS DOUBLE) * (r.zh / r.ph) AS sba_rate
+    FROM rec r
+    JOIN keys ON keys.k = r.k
+    WHERE r.i = keys.n_demands
+    ORDER BY {key_col}
+    """

@@ -2302,3 +2302,41 @@ def overdispersion_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("day"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     return timeseries.overdispersion_test(daily)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 136: Croston intermittent-demand forecast
+# ──────────────────────────────────────────────────────────────────────────
+
+
+@_spec(
+    "croston_part_demand",
+    timeseries.croston_forecast_sql(
+        """SELECT l_partkey AS item,
+                  CAST(date_diff('day', DATE '1990-01-01',
+                                 CAST(l_shipdate AS DATE)) AS BIGINT) AS day,
+                  CAST(l_quantity AS BIGINT) AS qty
+           FROM lineitem""",
+    ),
+    "forecast op — Croston's method + Syntetos-Boylan approximation "
+    "for per-part intermittent demand: separate SES on nonzero demand "
+    "SIZES and inter-demand INTERVALS, rate = z/p, SBA x(1-a/2) "
+    "de-biasing — THE spare-parts/slow-mover forecaster; plain SES "
+    "(holt_linear) chases the zeros. The double recursion is a fixed-"
+    "order IEEE fold over each part's day-sorted demand events (one "
+    "aggregate() in Spark, identical recursive CTE in DuckDB) so "
+    "every output double is bit-identical with NO rounding; each "
+    "part's event array is bounded by its own sparsity.",
+)
+def croston_part_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    demand = li.select(
+        F.col("l_partkey").alias("item"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1990-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("day"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    return timeseries.croston_forecast(demand)
