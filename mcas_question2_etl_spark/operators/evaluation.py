@@ -6386,3 +6386,123 @@ def welch_anova_sql(
                  {round_to}) AS bf_f
     FROM g CROSS JOIN lam
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 137: Page's L trend test (ordered alternatives, repeated measures)
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def page_trend_test(
+    df: DataFrame,
+    block_col: str,
+    treat_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Page's L test (Page 1963) for a MONOTONE ordered alternative
+    across k treatments measured in n blocks — the directional upgrade
+    over friedman_test (which only asks "any difference?") when the
+    hypothesis is "values increase along the treatment order":
+
+      ``L = Σ_j j · R_j`` (R_j = rank-sum of treatment j across
+      blocks, ranks within block), with the normal approximation
+      ``z = (L − n·k(k+1)²/4) / sqrt(n·k²(k+1)(k²−1)/144)``.
+
+    Blocks missing any treatment are DROPPED (complete-block design,
+    the textbook requirement). Ranks are exact integers (ties broken
+    by treatment id — a total order, identical in both engines), so L
+    is an exact bigint; only z passes through one sqrt. One rollup to
+    (block, treatment) means, one rank window, one k-row reduction.
+
+    Output (one row): (n_blocks, k_treatments, l_stat, z_stat).
+    """
+    cell = df.groupBy(
+        F.col(block_col).alias("b"), F.col(treat_col).cast("bigint").alias("t")
+    ).agg(F.sum(F.col(value_col).cast("decimal(18,2)")).alias("v"))
+    kk = cell.agg(F.countDistinct("t").cast("bigint").alias("k"))
+    full = (
+        cell.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nt"),
+            F.collect_list(F.struct("t", "v")).alias("__c"),
+        )
+        .crossJoin(F.broadcast(kk))
+        .filter(F.col("nt") == F.col("k"))
+        .select("b", F.explode("__c").alias("e"), "k")
+        .select("b", F.col("e.t").alias("t"), F.col("e.v").alias("v"), "k")
+    )
+    w = Window.partitionBy("b").orderBy(F.col("v").asc(), F.col("t").asc())
+    ranked = full.withColumn("r", F.row_number().over(w).cast("bigint"))
+    per_t = ranked.groupBy("t", "k").agg(
+        F.sum("r").cast("bigint").alias("rsum"),
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+    )
+    agg = per_t.agg(
+        F.max("k").alias("k"),
+        F.max("nb").cast("bigint").alias("n"),
+        F.sum(F.col("t") * F.col("rsum")).cast("bigint").alias("l_raw"),
+    )
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    mu = n * k * (k + 1.0) * (k + 1.0) / 4.0
+    sig = F.sqrt(
+        n * k * k * (k + 1.0) * (k * k - 1.0) / 144.0
+    )
+    return agg.select(
+        F.col("n").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        F.col("l_raw").alias("l_stat"),
+        F.round(
+            (F.col("l_raw").cast("double") - mu) / sig, round_to
+        ).alias("z_stat"),
+    )
+
+
+def page_trend_test_sql(
+    src_sql: str,
+    block_col: str,
+    treat_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`page_trend_test`."""
+    return f"""
+    WITH src AS ({src_sql}),
+    cell AS (
+      SELECT {block_col} AS b, CAST({treat_col} AS BIGINT) AS t,
+             SUM(CAST({value_col} AS DECIMAL(19,2))) AS v
+      FROM src GROUP BY 1, 2
+    ),
+    kk AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM cell),
+    full_blocks AS (
+      SELECT b FROM cell CROSS JOIN kk
+      GROUP BY b, k HAVING COUNT(*) = MAX(k)
+    ),
+    ranked AS (
+      SELECT c.b, c.t,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c.b
+                                     ORDER BY c.v ASC, c.t ASC)
+                  AS BIGINT) AS r
+      FROM cell c JOIN full_blocks USING (b)
+    ),
+    per_t AS (
+      SELECT t, CAST(SUM(r) AS BIGINT) AS rsum,
+             CAST(COUNT(*) AS BIGINT) AS nb
+      FROM ranked GROUP BY t
+    ),
+    agg AS (
+      SELECT (SELECT k FROM kk) AS k,
+             CAST(MAX(nb) AS BIGINT) AS n,
+             CAST(SUM(t * rsum) AS BIGINT) AS l_raw
+      FROM per_t
+    )
+    SELECT n AS n_blocks,
+           k AS k_treatments,
+           l_raw AS l_stat,
+           ROUND((CAST(l_raw AS DOUBLE)
+                  - CAST(n AS DOUBLE) * k * (k + 1.0) * (k + 1.0) / 4.0)
+                 / sqrt(CAST(n AS DOUBLE) * k * k * (k + 1.0)
+                        * (k * k - 1.0) / 144.0), {round_to}) AS z_stat
+    FROM agg
+    """

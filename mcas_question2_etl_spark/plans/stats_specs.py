@@ -4038,3 +4038,42 @@ def mantel_haenszel_segment_status(
         (F.col("o_orderstatus") == "F").alias("outcome"),
     )
     return mantel_haenszel(j, "prio", "exposed", "outcome")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 137: Page's L ordered-trend test
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.evaluation import page_trend_test, page_trend_test_sql
+
+
+@_spec(
+    "page_trend_priority_revenue",
+    page_trend_test_sql(
+        """SELECT CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m')
+                       AS BIGINT) AS blk,
+                  CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS v
+           FROM orders""",
+        "blk",
+        "prio",
+        "v",
+    ),
+    "stats op — Page's L ordered-alternatives test: does monthly "
+    "revenue trend MONOTONICALLY across the five priority classes "
+    "(blocks = order months, treatments = priority digit 1..5, ranks "
+    "within month)? The directional upgrade over "
+    "friedman_event_type_ranks, which only asks 'any difference'. "
+    "Ranks are exact integers with a total tie order, L an exact "
+    "bigint; one sqrt in z. One (month x priority) rollup, one rank "
+    "window, k-row reduction.",
+)
+def page_trend_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.select(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyyMM")
+        .cast("bigint")
+        .alias("blk"),
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("prio"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+    )
+    return page_trend_test(src, "blk", "prio", "v")
