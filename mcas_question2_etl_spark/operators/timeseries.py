@@ -5446,3 +5446,172 @@ def croston_forecast_sql(
     WHERE r.i = keys.n_demands
     ORDER BY {key_col}
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 138: the Theta method (Assimakopoulos & Nikolopoulos 2000)
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def theta_forecast(
+    daily: DataFrame,
+    date_col: str = "day",
+    value_col: str = "y",
+    alpha: float = 0.3,
+    round_to: int = 6,
+) -> DataFrame:
+    """The Theta method — winner of the M3 forecasting competition and
+    still the classical benchmark every new forecaster must beat: the
+    series decomposes into theta-lines ``Z_theta(t) = theta·y_t +
+    (1-theta)·L_t`` around the linear trend L; theta = 0 IS the trend
+    (long-run signal), theta = 2 doubles local curvature (short-run
+    signal, forecast by SES); the forecast combines both with equal
+    weights:
+
+      ``f = 0.5 · (SES(Z_2)_n + L(n+1))``.
+
+    Completes the classical trio beside holt_linear_backtest (dense
+    trending) and croston_forecast (intermittent).
+
+    Determinism: the OLS trend uses exact DECIMAL/bigint moments
+    (wave-118); the SES recursion over Z_2 is a fixed-order IEEE fold
+    over the day-sorted array (the holt/croston discipline); the
+    one-step backtest error accumulates inside the same fold. Only
+    O(y)-scale ROUND targets.
+
+    Output (one row): (n_days, slope, intercept, ses_theta2,
+    forecast_next, mae_backtest).
+    """
+    a = float(alpha)
+    yd = F.col(value_col).cast("decimal(18,2)")
+    idx = daily.select(
+        yd.alias("__y"),
+        F.row_number().over(Window.orderBy(date_col)).alias("__t"),
+    ).localCheckpoint(eager=False)
+    td = F.col("__t").cast("decimal(10,0)")
+    mom = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__t").cast("bigint").alias("st"),
+        F.sum(F.col("__t") * F.col("__t")).cast("bigint").alias("st2"),
+        F.sum("__y").alias("sy"),
+        F.sum(td * F.col("__y")).alias("sty"),
+    )
+    nn = F.col("n").cast("double")
+    st = F.col("st").cast("double")
+    sxx = F.col("st2").cast("double") - st * st / nn
+    sxy = F.col("sty").cast("double") - st * F.col("sy").cast("double") / nn
+    ab = mom.select(
+        "n",
+        (sxy / sxx).alias("b"),
+        ((F.col("sy").cast("double") - (sxy / sxx) * st) / nn).alias("a0"),
+    )
+    z2 = idx.crossJoin(F.broadcast(ab)).select(
+        "n",
+        "a0",
+        "b",
+        F.col("__t").alias("t"),
+        (
+            F.lit(2.0) * F.col("__y").cast("double")
+            - (F.col("a0") + F.col("b") * F.col("__t").cast("double"))
+        ).alias("z"),
+    )
+    series = z2.groupBy("n", "a0", "b").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("t", "z"))),
+            lambda s: s["z"],
+        ).alias("zs")
+    )
+    fold = F.expr(
+        f"""
+        aggregate(
+          slice(zs, 2, greatest(size(zs) - 1, 0)),
+          named_struct('l', zs[0], 'e', cast(0.0 as double),
+                       'm', cast(0 as bigint)),
+          (acc, z) -> named_struct(
+            'l', {a}D * z + {1 - a}D * acc.l,
+            'e', acc.e + abs(z - acc.l),
+            'm', acc.m + 1L),
+          acc -> acc)
+        """
+    )
+    out = series.select("n", "a0", "b", fold.alias("__st"))
+    trend_next = F.col("a0") + F.col("b") * (F.col("n") + 1).cast("double")
+    return out.select(
+        F.col("n").alias("n_days"),
+        F.round("b", round_to).alias("slope"),
+        F.round("a0", round_to).alias("intercept"),
+        F.round(F.col("__st.l"), round_to).alias("ses_theta2"),
+        F.round(
+            F.lit(0.5) * (F.col("__st.l") + trend_next), round_to
+        ).alias("forecast_next"),
+        F.round(
+            F.col("__st.e") / F.col("__st.m").cast("double"), round_to
+        ).alias("mae_backtest"),
+    )
+
+
+def theta_forecast_sql(
+    daily_sql: str,
+    date_col: str = "day",
+    value_col: str = "y",
+    alpha: float = 0.3,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`theta_forecast` (explicit DOUBLE-cast
+    smoothing literals — DuckDB parses decimal-point literals as
+    DECIMAL, which would mix decimal arithmetic into the recursion)."""
+    a = float(alpha)
+    return f"""
+    WITH RECURSIVE d AS ({daily_sql}),
+    idx AS (
+      SELECT CAST({value_col} AS DECIMAL(19,2)) AS y,
+             CAST(ROW_NUMBER() OVER (ORDER BY {date_col}) AS BIGINT) AS t
+      FROM d
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(t * t) AS BIGINT) AS st2,
+             CAST(SUM(y) AS DECIMAL(28,2)) AS sy,
+             CAST(SUM(CAST(t AS DECIMAL(10,0)) * y) AS DECIMAL(32,2)) AS sty
+      FROM idx
+    ),
+    ab AS (
+      SELECT n,
+             (CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE)
+                / CAST(n AS DOUBLE))
+             / (CAST(st2 AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                / CAST(n AS DOUBLE)) AS b,
+             (CAST(sy AS DOUBLE)
+              - ((CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+                 / (CAST(st2 AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                    / CAST(n AS DOUBLE))) * CAST(st AS DOUBLE))
+             / CAST(n AS DOUBLE) AS a0
+      FROM mom
+    ),
+    z2 AS (
+      SELECT idx.t, n, a0, b,
+             2.0 * CAST(y AS DOUBLE) - (a0 + b * CAST(t AS DOUBLE)) AS z
+      FROM idx CROSS JOIN ab
+    ),
+    rec AS (
+      SELECT t, n, a0, b, z AS l, CAST(0.0 AS DOUBLE) AS e,
+             CAST(0 AS BIGINT) AS m
+      FROM z2 WHERE t = 1
+      UNION ALL
+      SELECT z2.t, r.n, r.a0, r.b,
+             CAST({a} AS DOUBLE) * z2.z + CAST({1 - a} AS DOUBLE) * r.l,
+             r.e + abs(z2.z - r.l),
+             r.m + 1
+      FROM rec r JOIN z2 ON z2.t = r.t + 1
+    )
+    SELECT n AS n_days,
+           ROUND(b, {round_to}) AS slope,
+           ROUND(a0, {round_to}) AS intercept,
+           ROUND(l, {round_to}) AS ses_theta2,
+           ROUND(0.5 * (l + (a0 + b * CAST(n + 1 AS DOUBLE))), {round_to})
+             AS forecast_next,
+           ROUND(e / CAST(m AS DOUBLE), {round_to}) AS mae_backtest
+    FROM rec WHERE t = n
+    """

@@ -2340,3 +2340,37 @@ def croston_part_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("bigint").alias("qty"),
     )
     return timeseries.croston_forecast(demand)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 138: Theta-method forecast
+# ──────────────────────────────────────────────────────────────────────────
+
+
+@_spec(
+    "theta_forecast_daily",
+    timeseries.theta_forecast_sql(_ORDERS_DAILY_SQL.strip()),
+    "forecast op — the Theta method (M3 competition winner, the "
+    "classical benchmark every new forecaster must beat) on daily "
+    "order revenue: decompose into theta-lines around the linear "
+    "trend, SES the theta=2 line (local curvature), average with the "
+    "trend extrapolation. Completes the classical trio with "
+    "holt_linear_backtest (dense trending) and croston_part_demand "
+    "(intermittent). OLS moments exact DECIMAL; the SES recursion is "
+    "a fixed-order IEEE fold (identical recursive CTE in DuckDB, "
+    "smoothing literals explicitly DOUBLE-cast).",
+)
+def theta_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    return timeseries.theta_forecast(daily)
