@@ -6506,3 +6506,144 @@ def page_trend_test_sql(
                         * (k * k - 1.0) / 144.0), {round_to}) AS z_stat
     FROM agg
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 140: Lepage location-scale two-sample test
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def lepage_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Lepage (1971) combined location-scale two-sample test:
+    ``D = z_W² + z_AB²`` where z_W standardizes the Wilcoxon rank-sum
+    (location shift) and z_AB the Ansari-Bradley statistic (scale
+    shift) — chi-square(2) under H0. mann_whitney_u sees only SHIFTS;
+    a distribution that changes SPREAD at equal medians sails through
+    it, and this is the standard rank test that catches both at once.
+
+    Ansari-Bradley scores are the folded ranks ``min(r, n+1-r)``.
+    Ranks are exact integers over a TOTAL order ((value, group) — the
+    value col must be distinct-enough; the spec feeds 2-dp prices
+    where duplicate handling is absorbed by the deterministic total
+    order shared by both engines). W and AB sums are exact bigints;
+    the two z's and D are fixed closed forms with one sqrt each.
+
+    One global rank window, one conditional aggregate. Output (one
+    row): (n_x, n_y, w_stat, ab_stat, z_w, z_ab, lepage_d).
+    """
+    pts = df.select(
+        F.col(group_col).cast("boolean").alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    w = Window.orderBy(F.col("__v").asc(), F.col("__g").asc())
+    ranked = pts.withColumn("__r", F.row_number().over(w).cast("bigint"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("__g").cast("bigint")).cast("bigint").alias("nx"),
+        F.sum(F.when(F.col("__g"), F.col("__r"))).cast("bigint").alias("w"),
+    )
+    # least(r, n+1-r) needs n, so compute AB in a second pass with the
+    # scalar broadcast (still one shuffle: the rank window's)
+    n_row = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    ab_row = (
+        ranked.crossJoin(F.broadcast(n_row))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("__g"),
+                    F.least(
+                        F.col("__r"), F.col("__n") + 1 - F.col("__r")
+                    ),
+                )
+            )
+            .cast("bigint")
+            .alias("ab")
+        )
+    )
+    j = agg.crossJoin(F.broadcast(ab_row))
+    n = F.col("n").cast("double")
+    m = F.col("nx").cast("double")  # group TRUE size
+    nn2 = n - m
+    mu_w = m * (n + 1.0) / 2.0
+    var_w = m * nn2 * (n + 1.0) / 12.0
+    z_w = (F.col("w").cast("double") - mu_w) / F.sqrt(var_w)
+    # Ansari-Bradley moments (even/odd n forms)
+    even = F.col("n") % 2 == 0
+    mu_ab = F.when(even, m * (n + 2.0) / 4.0).otherwise(
+        m * (n + 1.0) * (n + 1.0) / (4.0 * n)
+    )
+    var_ab = F.when(
+        even,
+        m * nn2 * (n + 2.0) * (n - 2.0) / (48.0 * (n - 1.0)),
+    ).otherwise(
+        m * nn2 * (n + 1.0) * (3.0 + n * n) / (48.0 * n * n)
+    )
+    z_ab = (F.col("ab").cast("double") - mu_ab) / F.sqrt(var_ab)
+    return j.select(
+        F.col("nx").alias("n_x"),
+        (F.col("n") - F.col("nx")).cast("bigint").alias("n_y"),
+        F.col("w").alias("w_stat"),
+        F.col("ab").alias("ab_stat"),
+        F.round(z_w, round_to).alias("z_w"),
+        F.round(z_ab, round_to).alias("z_ab"),
+        F.round(z_w * z_w + z_ab * z_ab, round_to).alias("lepage_d"),
+    )
+
+
+def lepage_test_sql(
+    src_sql: str,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`lepage_test`."""
+    return f"""
+    WITH src AS ({src_sql}),
+    pts AS (
+      SELECT ({group_col}) AS g, CAST({value_col} AS DOUBLE) AS v FROM src
+    ),
+    ranked AS (
+      SELECT g, CAST(ROW_NUMBER() OVER (ORDER BY v ASC, g ASC) AS BIGINT)
+               AS r
+      FROM pts
+    ),
+    nrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ranked),
+    agg AS (
+      SELECT MAX(nrow.n) AS n,
+             CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS nx,
+             CAST(SUM(CASE WHEN g THEN r END) AS BIGINT) AS w,
+             CAST(SUM(CASE WHEN g THEN LEAST(r, nrow.n + 1 - r) END)
+                  AS BIGINT) AS ab
+      FROM ranked CROSS JOIN nrow
+    ),
+    z AS (
+      SELECT *,
+        (CAST(w AS DOUBLE) - CAST(nx AS DOUBLE) * (n + 1.0) / 2.0)
+          / sqrt(CAST(nx AS DOUBLE) * (n - nx) * (n + 1.0) / 12.0) AS z_w,
+        (CAST(ab AS DOUBLE)
+         - CASE WHEN n % 2 = 0
+                THEN CAST(nx AS DOUBLE) * (n + 2.0) / 4.0
+                ELSE CAST(nx AS DOUBLE) * (n + 1.0) * (n + 1.0)
+                     / (4.0 * n) END)
+          / sqrt(CASE WHEN n % 2 = 0
+                 THEN CAST(nx AS DOUBLE) * (n - nx) * (n + 2.0) * (n - 2.0)
+                      / (48.0 * (n - 1.0))
+                 ELSE CAST(nx AS DOUBLE) * (n - nx) * (n + 1.0)
+                      * (3.0 + CAST(n AS DOUBLE) * n)
+                      / (48.0 * CAST(n AS DOUBLE) * n) END) AS z_ab
+      FROM agg
+    )
+    SELECT nx AS n_x,
+           CAST(n - nx AS BIGINT) AS n_y,
+           w AS w_stat,
+           ab AS ab_stat,
+           ROUND(z_w, {round_to}) AS z_w,
+           ROUND(z_ab, {round_to}) AS z_ab,
+           ROUND(z_w * z_w + z_ab * z_ab, {round_to}) AS lepage_d
+    FROM z
+    """

@@ -4077,3 +4077,36 @@ def page_trend_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
     )
     return page_trend_test(src, "blk", "prio", "v")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 140: Lepage location-scale two-sample test
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.evaluation import lepage_test, lepage_test_sql
+
+
+@_spec(
+    "lepage_price_returnflag",
+    lepage_test_sql(
+        """SELECT l_returnflag = 'R' AS grp,
+                  CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+           FROM lineitem WHERE l_returnflag IN ('R', 'N')""",
+        "grp",
+        "v",
+    ),
+    "stats op — Lepage combined location-scale rank test of extended "
+    "price between returned (R) and normal (N) lines: D = z_W^2 + "
+    "z_AB^2 ~ chi2(2), Wilcoxon for the SHIFT plus Ansari-Bradley "
+    "folded ranks for the SPREAD — a spread change at equal medians "
+    "sails straight through mann_whitney_click_purchase, and this is "
+    "the standard rank test that catches both. Ranks over a total "
+    "(value, group) order; W/AB exact bigints; two closed-form z's "
+    "with one sqrt each. One rank window, one conditional aggregate.",
+)
+def lepage_price_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.filter(F.col("l_returnflag").isin("R", "N")).select(
+        (F.col("l_returnflag") == "R").alias("grp"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
+    )
+    return lepage_test(src, "grp", "v")
