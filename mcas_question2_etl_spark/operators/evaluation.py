@@ -6647,3 +6647,162 @@ def lepage_test_sql(
            ROUND(z_w * z_w + z_ab * z_ab, {round_to}) AS lepage_d
     FROM z
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 141: Hoeffding's D test of independence
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def hoeffding_d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_to: int = 9,
+) -> DataFrame:
+    """Hoeffding's D (1948) — the nonparametric test of GENERAL
+    dependence: rank correlations (spearman/kendall) only see MONOTONE
+    association, so a perfect V-shape scores ~0 on all of them; D
+    compares the joint rank distribution against the product of
+    margins and detects ANY dependence. D in [-0.5, 1], 0 under
+    independence.
+
+    Exactness (the wave-118 discipline, taken to the limit): with
+    midranks in HALF units (a2_i = 2(R_i - 1), exact int) and the
+    bivariate rank in QUARTER units (q4_i = 4(Q_i - 1), exact int —
+    ties weighted 1/2 per coordinate), the three Hoeffding sums
+    scale to exact integers:
+
+      16·D1 = Σ q4(q4 - 4),  16·D2 = Σ a2(a2-2)·b2(b2-2),
+      16·D3 = Σ (a2-2)(b2-2)·q4,
+
+    and D = 30·((n-2)(n-3)·D1 + D2 - 2(n-2)·D3) / (n..(n-4)) is ONE
+    double division of exact integers — no accumulation error exists.
+
+    Scale shape: the pairwise dominance count is O(n²) BY DESIGN over
+    a bounded rollup (days, not corpus rows) — the same bounded-kernel
+    contract as mann_kendall/pettitt. Never point it at a fact table.
+
+    Output (one row): (n, d16_1, d16_2, d16_3, hoeffding_d).
+    """
+    pts = df.select(
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+        F.monotonically_increasing_id().alias("__i"),
+    ).localCheckpoint(eager=False)
+    b = pts.select(
+        F.col("x").alias("x2"), F.col("y").alias("y2"),
+        F.col("__i").alias("__j"),
+    )
+    # per-point scaled counts over j != i
+    per = (
+        pts.join(b, F.col("__i") != F.col("__j"))
+        .groupBy("__i")
+        .agg(
+            F.sum(
+                (F.col("x2") < F.col("x")).cast("bigint") * 2
+                + (F.col("x2") == F.col("x")).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("a2"),
+            F.sum(
+                (F.col("y2") < F.col("y")).cast("bigint") * 2
+                + (F.col("y2") == F.col("y")).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("b2"),
+            F.sum(
+                (
+                    (F.col("x2") < F.col("x")).cast("bigint") * 2
+                    + (F.col("x2") == F.col("x")).cast("bigint")
+                )
+                * (
+                    (F.col("y2") < F.col("y")).cast("bigint") * 2
+                    + (F.col("y2") == F.col("y")).cast("bigint")
+                )
+            )
+            .cast("bigint")
+            .alias("q4"),
+        )
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("q4") * (F.col("q4") - 4)).cast("bigint").alias("d16_1"),
+        F.sum(
+            F.col("a2") * (F.col("a2") - 2) * F.col("b2") * (F.col("b2") - 2)
+        )
+        .cast("bigint")
+        .alias("d16_2"),
+        F.sum((F.col("a2") - 2) * (F.col("b2") - 2) * F.col("q4"))
+        .cast("bigint")
+        .alias("d16_3"),
+    )
+    n = F.col("n").cast("double")
+    num = (
+        F.lit(30.0)
+        * (
+            (n - 2.0) * (n - 3.0) * F.col("d16_1").cast("double")
+            + F.col("d16_2").cast("double")
+            - 2.0 * (n - 2.0) * F.col("d16_3").cast("double")
+        )
+        / 16.0
+    )
+    den = n * (n - 1.0) * (n - 2.0) * (n - 3.0) * (n - 4.0)
+    return agg.select(
+        "n",
+        "d16_1",
+        "d16_2",
+        "d16_3",
+        F.round(num / den, round_to).alias("hoeffding_d"),
+    )
+
+
+def hoeffding_d_sql(
+    src_sql: str,
+    x_col: str,
+    y_col: str,
+    round_to: int = 9,
+) -> str:
+    """DuckDB twin of :func:`hoeffding_d`."""
+    return f"""
+    WITH src AS ({src_sql}),
+    pts AS (
+      SELECT CAST({x_col} AS BIGINT) AS x, CAST({y_col} AS BIGINT) AS y,
+             ROW_NUMBER() OVER () AS i
+      FROM src
+    ),
+    per AS (
+      SELECT a.i,
+             CAST(SUM(CASE WHEN b.x < a.x THEN 2
+                           WHEN b.x = a.x THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a2,
+             CAST(SUM(CASE WHEN b.y < a.y THEN 2
+                           WHEN b.y = a.y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b2,
+             CAST(SUM((CASE WHEN b.x < a.x THEN 2
+                            WHEN b.x = a.x THEN 1 ELSE 0 END)
+                      * (CASE WHEN b.y < a.y THEN 2
+                              WHEN b.y = a.y THEN 1 ELSE 0 END))
+                  AS BIGINT) AS q4
+      FROM pts a JOIN pts b ON b.i <> a.i
+      GROUP BY a.i
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q4 * (q4 - 4)) AS BIGINT) AS d16_1,
+             CAST(SUM(a2 * (a2 - 2) * b2 * (b2 - 2)) AS BIGINT) AS d16_2,
+             CAST(SUM((a2 - 2) * (b2 - 2) * q4) AS BIGINT) AS d16_3
+      FROM per
+    )
+    SELECT n, d16_1, d16_2, d16_3,
+           ROUND(30.0 * ((CAST(n AS DOUBLE) - 2.0) * (CAST(n AS DOUBLE) - 3.0)
+                          * CAST(d16_1 AS DOUBLE)
+                         + CAST(d16_2 AS DOUBLE)
+                         - 2.0 * (CAST(n AS DOUBLE) - 2.0)
+                           * CAST(d16_3 AS DOUBLE)) / 16.0
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                    * (CAST(n AS DOUBLE) - 2.0) * (CAST(n AS DOUBLE) - 3.0)
+                    * (CAST(n AS DOUBLE) - 4.0)), {round_to})
+             AS hoeffding_d
+    FROM agg
+    """
