@@ -646,6 +646,29 @@ HEADLINE = [
     # wave 117 (round 6): Lin's CCC + Bland-Altman
     "ccc_revenue_pipelines",
     "bland_altman_revenue",
+    # round 7 (waves 118-141)
+    "multimodal_jpeg_decode",
+    "audio_codec_roundtrip",
+    "winnow_fingerprints_sources",
+    "term_burstiness_docs",
+    "calibration_langid_score",
+    "good_turing_unigrams",
+    "huber_trend_daily",
+    "conformal_trend_daily",
+    "overdispersion_event_counts",
+    "croston_part_demand",
+    "theta_forecast_daily",
+    "hoeffding_d_click_purchase",
+    "mantel_haenszel_segment_status",
+    "page_trend_priority_revenue",
+    "lepage_price_returnflag",
+    "mmd_rff_label_drift",
+    "hbos_order_anomalies",
+    "item_cosine_copurchase",
+    "skipgram_event_patterns",
+    "did_event_value",
+    "icc_design_effect_users",
+    "newsvendor_part_stock",
 ]
 
 
