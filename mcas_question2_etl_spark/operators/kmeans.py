@@ -313,3 +313,192 @@ def simplified_silhouette_sql(
                           ELSE 0.0 END), {round_to}) AS mean_silhouette
     FROM scored GROUP BY cid
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 142: cluster validity — Calinski-Harabasz + Davies-Bouldin
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def cluster_validity_indexes(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """The two remaining standard internal cluster-validity indexes
+    beside simplified_silhouette:
+
+      * Calinski-Harabasz (variance ratio) ``CH = (SSB/(k-1)) /
+        (SSW/(n-k))`` — bigger = tighter/better-separated;
+      * Davies-Bouldin (RMS-dispersion variant): ``s_c =
+        sqrt(SSW_c/m_c)``, ``DB = mean_c max_{c'≠c} (s_c + s_c') /
+        d(μ_c, μ_c')`` — smaller = better. (The RMS dispersion is the
+        centroid-moment form; the per-point-mean-distance form would
+        need an unordered sqrt sum — this variant keeps every input
+        exact.)
+
+    Exactness: Q20 fixed-point squared distances are exact BIGINTs
+    (the module invariant), so SSW, SSB, m_c and every pairwise
+    centroid distance are exact integers; CH is one double ratio, DB
+    folds the <= k per-cluster maxima in sorted order. The global
+    centroid uses the same floor(sum/count) convention as the Lloyd
+    update.
+
+    Scale shape: one Lloyd training (broadcast assignments), one
+    per-cluster aggregate, k-row everything after. Output (one row):
+    (n, k_used, ssw, ssb, calinski_harabasz, davies_bouldin).
+    """
+    pts = emb.select(F.col(id_col).alias("vid"), quantize(vec_col).alias("v"))
+    cents = _lloyd(pts, k, iters)
+    final = assign_to_centroids(pts, cents)
+    per_c = final.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("dist").cast("bigint").alias("ssw_c"),
+    )
+    # global centroid, same floor(sum/count) convention as Lloyd
+    gdims = pts.select(F.posexplode("v").alias("d0", "x")).select(
+        (F.col("d0") + 1).alias("d"), "x"
+    )
+    gv = (
+        gdims.groupBy("d")
+        .agg(
+            F.floor(F.sum("x").cast("double") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("val")
+        )
+        .groupBy()
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(d, val))),"
+                " s -> s.val)"
+            ).alias("gv")
+        )
+    )
+    cj = cents.join(per_c, "cid").crossJoin(F.broadcast(gv))
+    contrib = cj.select(
+        "cid",
+        "m",
+        "ssw_c",
+        "cv",
+        (F.col("m") * F.expr(_dist_str("cv", "gv"))).cast("bigint").alias(
+            "ssb_c"
+        ),
+    ).localCheckpoint(eager=False)
+    # pairwise Davies-Bouldin ratios over the k-row table
+    a = contrib.select(
+        F.col("cid").alias("ca"), F.col("m").alias("ma"),
+        F.col("ssw_c").alias("wa"), F.col("cv").alias("cva"),
+    )
+    b = contrib.select(
+        F.col("cid").alias("cb"), F.col("m").alias("mb"),
+        F.col("ssw_c").alias("wb"), F.col("cv").alias("cvb"),
+    )
+    s_a = F.sqrt(F.col("wa").cast("double") / F.col("ma").cast("double"))
+    s_b = F.sqrt(F.col("wb").cast("double") / F.col("mb").cast("double"))
+    r = (s_a + s_b) / F.sqrt(
+        F.expr(_dist_str("cva", "cvb")).cast("double")
+    )
+    db_per = (
+        a.join(b, F.col("ca") != F.col("cb"))
+        .select("ca", r.alias("r"))
+        .groupBy("ca")
+        .agg(F.max("r").alias("rmax"))
+    )
+    db_row = db_per.agg(
+        F.sort_array(F.collect_list(F.struct("ca", "rmax"))).alias("rs")
+    ).select(
+        (
+            F.expr(
+                "aggregate(rs, cast(0.0 as double), (acc, x) -> acc + x.rmax)"
+            )
+            / F.size("rs").cast("double")
+        ).alias("db")
+    )
+    tot = contrib.agg(
+        F.sum("m").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        F.sum("ssw_c").cast("bigint").alias("ssw"),
+        F.sum("ssb_c").cast("bigint").alias("ssb"),
+    )
+    nn = F.col("n").cast("double")
+    kk = F.col("k_used").cast("double")
+    ch = (F.col("ssb").cast("double") / (kk - 1.0)) / (
+        F.col("ssw").cast("double") / (nn - kk)
+    )
+    return tot.crossJoin(F.broadcast(db_row)).select(
+        "n",
+        "k_used",
+        "ssw",
+        "ssb",
+        F.round(ch, round_to).alias("calinski_harabasz"),
+        F.round("db", round_to).alias("davies_bouldin"),
+    )
+
+
+def cluster_validity_indexes_sql(
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`cluster_validity_indexes`."""
+    with_clause, final_assign = kmeans_assign_ctes(
+        k=k, iters=iters, id_col=id_col, vec_col=vec_col, table=table
+    )
+    dist_cg = _dist_sql("c.cv", "g.gv")
+    dist_ab = _dist_sql("a.cv", "b.cv")
+    return f"""{with_clause},
+    fin AS ({final_assign}),
+    per_c AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(dist) AS BIGINT) AS ssw_c
+      FROM fin GROUP BY cid
+    ),
+    cents AS (SELECT cid, cv FROM c{iters}),
+    gv AS (
+      SELECT list(val ORDER BY d) AS gv FROM (
+        SELECT u.d,
+               CAST(FLOOR(CAST(SUM(v[u.d]) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                 AS val
+        FROM pts, LATERAL unnest(generate_series(1, len(v))) AS u(d)
+        GROUP BY u.d
+      )
+    ),
+    contrib AS (
+      SELECT c.cid, p.m, p.ssw_c, c.cv,
+             CAST(p.m * {dist_cg} AS BIGINT) AS ssb_c
+      FROM cents c JOIN per_c p USING (cid) CROSS JOIN gv g
+    ),
+    db_per AS (
+      SELECT a.cid AS ca,
+             MAX((sqrt(CAST(a.ssw_c AS DOUBLE) / a.m)
+                  + sqrt(CAST(b.ssw_c AS DOUBLE) / b.m))
+                 / sqrt(CAST({dist_ab} AS DOUBLE))) AS rmax
+      FROM contrib a JOIN contrib b ON b.cid <> a.cid
+      GROUP BY a.cid
+    ),
+    db_row AS (
+      SELECT list_reduce(list_prepend(0.0, list(rmax ORDER BY ca)),
+                         (x, y) -> x + y) / COUNT(*) AS db
+      FROM db_per
+    ),
+    tot AS (
+      SELECT CAST(SUM(m) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k_used,
+             CAST(SUM(ssw_c) AS BIGINT) AS ssw,
+             CAST(SUM(ssb_c) AS BIGINT) AS ssb
+      FROM contrib
+    )
+    SELECT n, k_used, ssw, ssb,
+           ROUND((CAST(ssb AS DOUBLE) / (CAST(k_used AS DOUBLE) - 1.0))
+                 / (CAST(ssw AS DOUBLE)
+                    / (CAST(n AS DOUBLE) - CAST(k_used AS DOUBLE))),
+                 {round_to}) AS calinski_harabasz,
+           ROUND(db, {round_to}) AS davies_bouldin
+    FROM tot CROSS JOIN db_row
+    """

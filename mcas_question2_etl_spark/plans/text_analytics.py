@@ -1962,3 +1962,30 @@ from ..operators.text import good_turing_mass, good_turing_mass_sql
 def good_turing_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return good_turing_mass(docs)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 142: cluster validity indexes (CH + DB)
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.kmeans import (
+    cluster_validity_indexes,
+    cluster_validity_indexes_sql,
+)
+
+
+@_spec(
+    "cluster_validity_embeddings",
+    cluster_validity_indexes_sql(k=8, iters=2),
+    "ML-eval op — Calinski-Harabasz variance ratio + Davies-Bouldin "
+    "(RMS-dispersion variant) over the deterministic k=8 Lloyd "
+    "codebook on the embeddings table: the two standard internal "
+    "validity indexes beside simplified_silhouette_report — CH for "
+    "'is k even reasonable', DB for 'which clusters bleed into each "
+    "other'. Q20 fixed-point squared distances keep SSW/SSB and all "
+    "pairwise centroid distances EXACT BIGINTs; CH is one ratio, DB "
+    "folds the <= k per-cluster maxima in sorted order. One Lloyd "
+    "training + one per-cluster aggregate; k-row everything after.",
+)
+def cluster_validity_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_validity_indexes(emb, k=8, iters=2)
