@@ -1722,21 +1722,20 @@ def adpcm_decode(data: bytes, n_samples: int) -> list[int]:
 
 def pcm_fixture(n: int, seed: int = 0) -> list[int]:
     """Deterministic int16 test signal: two sinusoids + a ramp, full
-    dynamic range, no RNG state (the audio sibling of jpeg_pixels)."""
+    dynamic range, no RNG state (the audio sibling of jpeg_pixels).
+    Vectorized with numpy (one sin call per doc instead of one per
+    sample — the fixture synthesis was the kernel's hot loop)."""
+    import numpy as np
+
+    i = np.arange(n, dtype=np.float64)
+    v = (
+        12000.0 * np.sin(0.07 * i + 0.9 * (seed % 13))
+        + 6000.0 * np.sin(0.41 * i + 0.3 * seed)
+        + (np.arange(n, dtype=np.int64) * (7 + seed % 5)) % 4096
+        - 2048
+    )
     return [
-        max(
-            -32768,
-            min(
-                32767,
-                int(
-                    12000.0 * math.sin(0.07 * i + 0.9 * (seed % 13))
-                    + 6000.0 * math.sin(0.41 * i + 0.3 * seed)
-                    + ((i * (7 + seed % 5)) % 4096)
-                    - 2048
-                ),
-            ),
-        )
-        for i in range(n)
+        int(x) for x in np.clip(np.trunc(v), -32768, 32767).astype(np.int64)
     ]
 
 
@@ -1886,3 +1885,55 @@ def spectral_profile_sql(
                  {round_to}) AS spectral_flatness
     FROM g ORDER BY {media_col}
     """
+
+
+_G711_LUTS: dict | None = None
+
+
+def g711_luts():
+    """Vectorization tables for the G.711 kernels: full 65536-entry
+    int16 -> code LUTs for both laws plus the 256-entry decode tables,
+    built once per process from the scalar reference functions (the
+    scalar path stays the spec the tests pin; the LUTs are how the
+    Arrow kernel applies it at corpus scale — one fancy-index per
+    batch instead of two Python calls per sample)."""
+    global _G711_LUTS
+    if _G711_LUTS is None:
+        import numpy as np
+
+        xs = np.arange(-32768, 32768, dtype=np.int32)
+        ue = np.fromiter(
+            (ulaw_encode_sample(int(x)) for x in xs), dtype=np.uint8,
+            count=65536,
+        )
+        ae = np.fromiter(
+            (alaw_encode_sample(int(x)) for x in xs), dtype=np.uint8,
+            count=65536,
+        )
+        ud = np.fromiter(
+            (ulaw_decode_sample(c) for c in range(256)), dtype=np.int32,
+            count=256,
+        )
+        ad = np.fromiter(
+            (alaw_decode_sample(c) for c in range(256)), dtype=np.int32,
+            count=256,
+        )
+        _G711_LUTS = {"ue": ue, "ae": ae, "ud": ud, "ad": ad}
+    return _G711_LUTS
+
+
+def g711_bounded_check(pcm: list[int], bound: int = 512) -> bool:
+    """Vectorized companding-error check for both laws: every sample's
+    decode(encode(x)) must sit within ``bound`` of the (mu-law-clipped)
+    input. numpy LUT application — O(1) Python ops per batch."""
+    import numpy as np
+
+    luts = g711_luts()
+    x = np.asarray(pcm, dtype=np.int32)
+    ix = x + 32768
+    du = luts["ud"][luts["ue"][ix]]
+    da = luts["ad"][luts["ae"][ix]]
+    cu = np.clip(x, -32635, 32635)
+    return bool(
+        (np.abs(du - cu) <= bound).all() and (np.abs(da - x) <= bound).all()
+    )

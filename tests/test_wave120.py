@@ -107,3 +107,23 @@ def test_pcm_fixture_deterministic_and_int16():
     assert a == mm.pcm_fixture(300, seed=5)
     assert a != mm.pcm_fixture(300, seed=6)
     assert all(-32768 <= v <= 32767 for v in a)
+
+
+def test_lut_kernel_matches_scalar_reference():
+    """The vectorized LUT check must agree with the scalar loop on the
+    fixture AND on adversarial constants (full-scale, zero, clip
+    boundary)."""
+    from mcas_question2_etl_spark.operators.multimodal import (
+        g711_bounded_check,
+        g711_luts,
+    )
+
+    luts = g711_luts()
+    for c in range(256):
+        assert luts["ud"][c] == mm.ulaw_decode_sample(c)
+        assert luts["ad"][c] == mm.alaw_decode_sample(c)
+    for x in (-32768, -32635, -1, 0, 1, 32635, 32767, 12345, -9876):
+        assert luts["ue"][x + 32768] == mm.ulaw_encode_sample(x)
+        assert luts["ae"][x + 32768] == mm.alaw_encode_sample(x)
+    assert g711_bounded_check(mm.pcm_fixture(480, seed=3))
+    assert g711_bounded_check([-32768, 32767, 0, 1, -1])
