@@ -6806,3 +6806,118 @@ def hoeffding_d_sql(
              AS hoeffding_d
     FROM agg
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 143: Goodman-Kruskal lambda (nominal PRE association)
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def goodman_kruskal_lambda(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Goodman-Kruskal lambda — the proportional-reduction-in-error
+    association for NOMINAL x NOMINAL data: "knowing X, how much
+    better do I predict Y than always guessing Y's mode?"
+
+      ``lambda_y|x = (Σ_x max_y n_xy − max_y n_·y) / (n − max_y n_·y)``
+
+    and symmetrically for x|y, plus the symmetric average form.
+    The decision-rule complement to the information-theoretic
+    theils_u_source_lang (entropy can be high while the MODAL
+    prediction never changes — lambda = 0 there, and that difference
+    is the point). Everything is exact integer cell counts and maxima;
+    the three outputs are single rational divisions.
+
+    One contingency rollup (the corpus scans once), then maxima over
+    the tiny grid. Output (one row): (n, lambda_y_given_x,
+    lambda_x_given_y, lambda_symmetric).
+    """
+    cells = df.groupBy(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    row_max = cells.groupBy("x").agg(F.max("c").alias("rm")).agg(
+        F.sum("rm").cast("bigint").alias("sum_rowmax")
+    )
+    col_max = cells.groupBy("y").agg(F.max("c").alias("cm")).agg(
+        F.sum("cm").cast("bigint").alias("sum_colmax")
+    )
+    marg_y = cells.groupBy("y").agg(F.sum("c").alias("my")).agg(
+        F.max("my").cast("bigint").alias("max_margy")
+    )
+    marg_x = cells.groupBy("x").agg(F.sum("c").alias("mx")).agg(
+        F.max("mx").cast("bigint").alias("max_margx")
+    )
+    tot = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    j = (
+        tot.crossJoin(F.broadcast(row_max))
+        .crossJoin(F.broadcast(col_max))
+        .crossJoin(F.broadcast(marg_y))
+        .crossJoin(F.broadcast(marg_x))
+    )
+    n = F.col("n").cast("double")
+    lyx = (F.col("sum_rowmax") - F.col("max_margy")).cast("double") / (
+        n - F.col("max_margy").cast("double")
+    )
+    lxy = (F.col("sum_colmax") - F.col("max_margx")).cast("double") / (
+        n - F.col("max_margx").cast("double")
+    )
+    lsym = (
+        (
+            F.col("sum_rowmax")
+            + F.col("sum_colmax")
+            - F.col("max_margy")
+            - F.col("max_margx")
+        ).cast("double")
+        / (
+            2.0 * n
+            - F.col("max_margy").cast("double")
+            - F.col("max_margx").cast("double")
+        )
+    )
+    return j.select(
+        "n",
+        F.round(lyx, round_to).alias("lambda_y_given_x"),
+        F.round(lxy, round_to).alias("lambda_x_given_y"),
+        F.round(lsym, round_to).alias("lambda_symmetric"),
+    )
+
+
+def goodman_kruskal_lambda_sql(
+    src_sql: str,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`goodman_kruskal_lambda`."""
+    return f"""
+    WITH src AS ({src_sql}),
+    cells AS (
+      SELECT {x_col} AS x, {y_col} AS y, CAST(COUNT(*) AS BIGINT) AS c
+      FROM src GROUP BY 1, 2
+    ),
+    rm AS (SELECT CAST(SUM(m) AS BIGINT) AS sum_rowmax
+           FROM (SELECT MAX(c) AS m FROM cells GROUP BY x)),
+    cm AS (SELECT CAST(SUM(m) AS BIGINT) AS sum_colmax
+           FROM (SELECT MAX(c) AS m FROM cells GROUP BY y)),
+    my AS (SELECT CAST(MAX(m) AS BIGINT) AS max_margy
+           FROM (SELECT SUM(c) AS m FROM cells GROUP BY y)),
+    mx AS (SELECT CAST(MAX(m) AS BIGINT) AS max_margx
+           FROM (SELECT SUM(c) AS m FROM cells GROUP BY x)),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells)
+    SELECT n,
+           ROUND(CAST(sum_rowmax - max_margy AS DOUBLE)
+                 / (CAST(n AS DOUBLE) - max_margy), {round_to})
+             AS lambda_y_given_x,
+           ROUND(CAST(sum_colmax - max_margx AS DOUBLE)
+                 / (CAST(n AS DOUBLE) - max_margx), {round_to})
+             AS lambda_x_given_y,
+           ROUND(CAST(sum_rowmax + sum_colmax - max_margy - max_margx
+                      AS DOUBLE)
+                 / (2.0 * CAST(n AS DOUBLE) - max_margy - max_margx),
+                 {round_to}) AS lambda_symmetric
+    FROM tot CROSS JOIN rm CROSS JOIN cm CROSS JOIN my CROSS JOIN mx
+    """
