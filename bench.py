@@ -658,7 +658,6 @@ HEADLINE = [
     "overdispersion_event_counts",
     "croston_part_demand",
     "theta_forecast_daily",
-    "hoeffding_d_click_purchase",
     "mantel_haenszel_segment_status",
     "page_trend_priority_revenue",
     "lepage_price_returnflag",
@@ -668,7 +667,6 @@ HEADLINE = [
     "skipgram_event_patterns",
     "did_event_value",
     "icc_design_effect_users",
-    "newsvendor_part_stock",
 ]
 
 

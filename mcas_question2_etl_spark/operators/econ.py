@@ -118,124 +118,3 @@ def price_index_halves_sql(
            sqrt((l_num / l_den) * (p_num / p_den)) AS fisher
     FROM basket
     """
-
-
-# ──────────────────────────────────────────────────────────────────────────
-# wave 139: newsvendor critical-fractile stock + EOQ
-# ──────────────────────────────────────────────────────────────────────────
-
-
-def newsvendor_stock(
-    demand: DataFrame,
-    key_col: str = "item",
-    qty_col: str = "qty",
-    underage: float = 3.0,
-    overage: float = 1.0,
-    holding: float = 0.25,
-    order_cost: float = 50.0,
-    top_k: int = 25,
-    round_to: int = 6,
-) -> DataFrame:
-    """Per-item single-period newsvendor stocking level and the EOQ
-    batch size — the two closed forms that run inventory planning:
-
-      * critical fractile ``q* = cu/(cu+co)``; the optimal stock is
-        the q*-QUANTILE of the per-period demand distribution, taken
-        here as the exact conformal-style ORDER STATISTIC
-        ``ceil(q* · (n+1))``-th smallest observed demand (clamped) —
-        distribution-free, no normal fit;
-      * ``EOQ = sqrt(2·D·K/h)`` with D the mean per-period demand, K
-        the fixed order cost, h the holding cost.
-
-    Demand observations are exact integers; the order-statistic
-    selection is deterministic ((qty, period-rank) total order); EOQ
-    is one sqrt over exact aggregates. One groupBy + one per-key rank
-    window bounded by each key's observation count.
-
-    Output: top_k items by total demand: (item, n_periods,
-    total_demand, stock_level, eoq) ordered by (total_demand desc,
-    item).
-    """
-    cf = float(underage) / (float(underage) + float(overage))
-    d = demand.select(
-        F.col(key_col).alias("k"),
-        F.col(qty_col).cast("bigint").alias("q"),
-    )
-    stats = d.groupBy("k").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("q").cast("bigint").alias("tot"),
-    )
-    w = Window.partitionBy("k").orderBy(F.col("q").asc())
-    ranked = d.withColumn("r", F.row_number().over(w).cast("bigint"))
-    pick = (
-        ranked.join(stats, "k")
-        .filter(
-            F.col("r")
-            == F.least(
-                F.ceil(F.lit(cf) * (F.col("n") + 1).cast("double")).cast(
-                    "bigint"
-                ),
-                F.col("n"),
-            )
-        )
-        .select("k", "n", "tot", F.col("q").alias("stock_level"))
-    )
-    dbar = F.col("tot").cast("double") / F.col("n").cast("double")
-    eoq = F.sqrt(
-        F.lit(2.0) * dbar * F.lit(float(order_cost)) / F.lit(float(holding))
-    )
-    return (
-        pick.select(
-            F.col("k").alias(key_col),
-            F.col("n").alias("n_periods"),
-            F.col("tot").alias("total_demand"),
-            "stock_level",
-            F.round(eoq, round_to).alias("eoq"),
-        )
-        .orderBy(F.col("total_demand").desc(), F.col(key_col).asc())
-        .limit(top_k)
-    )
-
-
-def newsvendor_stock_sql(
-    demand_sql: str,
-    key_col: str = "item",
-    qty_col: str = "qty",
-    underage: float = 3.0,
-    overage: float = 1.0,
-    holding: float = 0.25,
-    order_cost: float = 50.0,
-    top_k: int = 25,
-    round_to: int = 6,
-) -> str:
-    """DuckDB twin of :func:`newsvendor_stock`."""
-    cf = float(underage) / (float(underage) + float(overage))
-    return f"""
-    WITH src AS ({demand_sql}),
-    d AS (SELECT {key_col} AS k, CAST({qty_col} AS BIGINT) AS q FROM src),
-    stats AS (
-      SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(q) AS BIGINT) AS tot
-      FROM d GROUP BY k
-    ),
-    ranked AS (
-      SELECT k, q,
-             CAST(ROW_NUMBER() OVER (PARTITION BY k ORDER BY q ASC)
-                  AS BIGINT) AS r
-      FROM d
-    ),
-    pick AS (
-      SELECT r.k, s.n, s.tot, r.q AS stock_level
-      FROM ranked r JOIN stats s ON s.k = r.k
-      WHERE r.r = LEAST(CAST(ceil({cf} * (s.n + 1)) AS BIGINT), s.n)
-    )
-    SELECT k AS {key_col},
-           n AS n_periods,
-           tot AS total_demand,
-           stock_level,
-           ROUND(sqrt(2.0 * (CAST(tot AS DOUBLE) / n) * {float(order_cost)}
-                      / {float(holding)}), {round_to}) AS eoq
-    FROM pick
-    ORDER BY total_demand DESC, {key_col} ASC
-    LIMIT {top_k}
-    """

@@ -6647,277 +6647,3 @@ def lepage_test_sql(
            ROUND(z_w * z_w + z_ab * z_ab, {round_to}) AS lepage_d
     FROM z
     """
-
-
-# ──────────────────────────────────────────────────────────────────────────
-# wave 141: Hoeffding's D test of independence
-# ──────────────────────────────────────────────────────────────────────────
-
-
-def hoeffding_d(
-    df: DataFrame,
-    x_col: str,
-    y_col: str,
-    round_to: int = 9,
-) -> DataFrame:
-    """Hoeffding's D (1948) — the nonparametric test of GENERAL
-    dependence: rank correlations (spearman/kendall) only see MONOTONE
-    association, so a perfect V-shape scores ~0 on all of them; D
-    compares the joint rank distribution against the product of
-    margins and detects ANY dependence. D in [-0.5, 1], 0 under
-    independence.
-
-    Exactness (the wave-118 discipline, taken to the limit): with
-    midranks in HALF units (a2_i = 2(R_i - 1), exact int) and the
-    bivariate rank in QUARTER units (q4_i = 4(Q_i - 1), exact int —
-    ties weighted 1/2 per coordinate), the three Hoeffding sums
-    scale to exact integers:
-
-      16·D1 = Σ q4(q4 - 4),  16·D2 = Σ a2(a2-2)·b2(b2-2),
-      16·D3 = Σ (a2-2)(b2-2)·q4,
-
-    and D = 30·((n-2)(n-3)·D1 + D2 - 2(n-2)·D3) / (n..(n-4)) is ONE
-    double division of exact integers — no accumulation error exists.
-
-    Scale shape: the pairwise dominance count is O(n²) BY DESIGN over
-    a bounded rollup (days, not corpus rows) — the same bounded-kernel
-    contract as mann_kendall/pettitt. Never point it at a fact table.
-
-    Output (one row): (n, d16_1, d16_2, d16_3, hoeffding_d).
-    """
-    pts = df.select(
-        F.col(x_col).cast("bigint").alias("x"),
-        F.col(y_col).cast("bigint").alias("y"),
-        F.monotonically_increasing_id().alias("__i"),
-    ).localCheckpoint(eager=False)
-    b = pts.select(
-        F.col("x").alias("x2"), F.col("y").alias("y2"),
-        F.col("__i").alias("__j"),
-    )
-    # per-point scaled counts over j != i
-    per = (
-        pts.join(b, F.col("__i") != F.col("__j"))
-        .groupBy("__i")
-        .agg(
-            F.sum(
-                (F.col("x2") < F.col("x")).cast("bigint") * 2
-                + (F.col("x2") == F.col("x")).cast("bigint")
-            )
-            .cast("bigint")
-            .alias("a2"),
-            F.sum(
-                (F.col("y2") < F.col("y")).cast("bigint") * 2
-                + (F.col("y2") == F.col("y")).cast("bigint")
-            )
-            .cast("bigint")
-            .alias("b2"),
-            F.sum(
-                (
-                    (F.col("x2") < F.col("x")).cast("bigint") * 2
-                    + (F.col("x2") == F.col("x")).cast("bigint")
-                )
-                * (
-                    (F.col("y2") < F.col("y")).cast("bigint") * 2
-                    + (F.col("y2") == F.col("y")).cast("bigint")
-                )
-            )
-            .cast("bigint")
-            .alias("q4"),
-        )
-    )
-    agg = per.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("q4") * (F.col("q4") - 4)).cast("bigint").alias("d16_1"),
-        F.sum(
-            F.col("a2") * (F.col("a2") - 2) * F.col("b2") * (F.col("b2") - 2)
-        )
-        .cast("bigint")
-        .alias("d16_2"),
-        F.sum((F.col("a2") - 2) * (F.col("b2") - 2) * F.col("q4"))
-        .cast("bigint")
-        .alias("d16_3"),
-    )
-    n = F.col("n").cast("double")
-    num = (
-        F.lit(30.0)
-        * (
-            (n - 2.0) * (n - 3.0) * F.col("d16_1").cast("double")
-            + F.col("d16_2").cast("double")
-            - 2.0 * (n - 2.0) * F.col("d16_3").cast("double")
-        )
-        / 16.0
-    )
-    den = n * (n - 1.0) * (n - 2.0) * (n - 3.0) * (n - 4.0)
-    return agg.select(
-        "n",
-        "d16_1",
-        "d16_2",
-        "d16_3",
-        F.round(num / den, round_to).alias("hoeffding_d"),
-    )
-
-
-def hoeffding_d_sql(
-    src_sql: str,
-    x_col: str,
-    y_col: str,
-    round_to: int = 9,
-) -> str:
-    """DuckDB twin of :func:`hoeffding_d`."""
-    return f"""
-    WITH src AS ({src_sql}),
-    pts AS (
-      SELECT CAST({x_col} AS BIGINT) AS x, CAST({y_col} AS BIGINT) AS y,
-             ROW_NUMBER() OVER () AS i
-      FROM src
-    ),
-    per AS (
-      SELECT a.i,
-             CAST(SUM(CASE WHEN b.x < a.x THEN 2
-                           WHEN b.x = a.x THEN 1 ELSE 0 END)
-                  AS BIGINT) AS a2,
-             CAST(SUM(CASE WHEN b.y < a.y THEN 2
-                           WHEN b.y = a.y THEN 1 ELSE 0 END)
-                  AS BIGINT) AS b2,
-             CAST(SUM((CASE WHEN b.x < a.x THEN 2
-                            WHEN b.x = a.x THEN 1 ELSE 0 END)
-                      * (CASE WHEN b.y < a.y THEN 2
-                              WHEN b.y = a.y THEN 1 ELSE 0 END))
-                  AS BIGINT) AS q4
-      FROM pts a JOIN pts b ON b.i <> a.i
-      GROUP BY a.i
-    ),
-    agg AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(q4 * (q4 - 4)) AS BIGINT) AS d16_1,
-             CAST(SUM(a2 * (a2 - 2) * b2 * (b2 - 2)) AS BIGINT) AS d16_2,
-             CAST(SUM((a2 - 2) * (b2 - 2) * q4) AS BIGINT) AS d16_3
-      FROM per
-    )
-    SELECT n, d16_1, d16_2, d16_3,
-           ROUND(30.0 * ((CAST(n AS DOUBLE) - 2.0) * (CAST(n AS DOUBLE) - 3.0)
-                          * CAST(d16_1 AS DOUBLE)
-                         + CAST(d16_2 AS DOUBLE)
-                         - 2.0 * (CAST(n AS DOUBLE) - 2.0)
-                           * CAST(d16_3 AS DOUBLE)) / 16.0
-                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
-                    * (CAST(n AS DOUBLE) - 2.0) * (CAST(n AS DOUBLE) - 3.0)
-                    * (CAST(n AS DOUBLE) - 4.0)), {round_to})
-             AS hoeffding_d
-    FROM agg
-    """
-
-
-# ──────────────────────────────────────────────────────────────────────────
-# wave 143: Goodman-Kruskal lambda (nominal PRE association)
-# ──────────────────────────────────────────────────────────────────────────
-
-
-def goodman_kruskal_lambda(
-    df: DataFrame,
-    x_col: str,
-    y_col: str,
-    round_to: int = 6,
-) -> DataFrame:
-    """Goodman-Kruskal lambda — the proportional-reduction-in-error
-    association for NOMINAL x NOMINAL data: "knowing X, how much
-    better do I predict Y than always guessing Y's mode?"
-
-      ``lambda_y|x = (Σ_x max_y n_xy − max_y n_·y) / (n − max_y n_·y)``
-
-    and symmetrically for x|y, plus the symmetric average form.
-    The decision-rule complement to the information-theoretic
-    theils_u_source_lang (entropy can be high while the MODAL
-    prediction never changes — lambda = 0 there, and that difference
-    is the point). Everything is exact integer cell counts and maxima;
-    the three outputs are single rational divisions.
-
-    One contingency rollup (the corpus scans once), then maxima over
-    the tiny grid. Output (one row): (n, lambda_y_given_x,
-    lambda_x_given_y, lambda_symmetric).
-    """
-    cells = df.groupBy(
-        F.col(x_col).alias("x"), F.col(y_col).alias("y")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    row_max = cells.groupBy("x").agg(F.max("c").alias("rm")).agg(
-        F.sum("rm").cast("bigint").alias("sum_rowmax")
-    )
-    col_max = cells.groupBy("y").agg(F.max("c").alias("cm")).agg(
-        F.sum("cm").cast("bigint").alias("sum_colmax")
-    )
-    marg_y = cells.groupBy("y").agg(F.sum("c").alias("my")).agg(
-        F.max("my").cast("bigint").alias("max_margy")
-    )
-    marg_x = cells.groupBy("x").agg(F.sum("c").alias("mx")).agg(
-        F.max("mx").cast("bigint").alias("max_margx")
-    )
-    tot = cells.agg(F.sum("c").cast("bigint").alias("n"))
-    j = (
-        tot.crossJoin(F.broadcast(row_max))
-        .crossJoin(F.broadcast(col_max))
-        .crossJoin(F.broadcast(marg_y))
-        .crossJoin(F.broadcast(marg_x))
-    )
-    n = F.col("n").cast("double")
-    lyx = (F.col("sum_rowmax") - F.col("max_margy")).cast("double") / (
-        n - F.col("max_margy").cast("double")
-    )
-    lxy = (F.col("sum_colmax") - F.col("max_margx")).cast("double") / (
-        n - F.col("max_margx").cast("double")
-    )
-    lsym = (
-        (
-            F.col("sum_rowmax")
-            + F.col("sum_colmax")
-            - F.col("max_margy")
-            - F.col("max_margx")
-        ).cast("double")
-        / (
-            2.0 * n
-            - F.col("max_margy").cast("double")
-            - F.col("max_margx").cast("double")
-        )
-    )
-    return j.select(
-        "n",
-        F.round(lyx, round_to).alias("lambda_y_given_x"),
-        F.round(lxy, round_to).alias("lambda_x_given_y"),
-        F.round(lsym, round_to).alias("lambda_symmetric"),
-    )
-
-
-def goodman_kruskal_lambda_sql(
-    src_sql: str,
-    x_col: str,
-    y_col: str,
-    round_to: int = 6,
-) -> str:
-    """DuckDB twin of :func:`goodman_kruskal_lambda`."""
-    return f"""
-    WITH src AS ({src_sql}),
-    cells AS (
-      SELECT {x_col} AS x, {y_col} AS y, CAST(COUNT(*) AS BIGINT) AS c
-      FROM src GROUP BY 1, 2
-    ),
-    rm AS (SELECT CAST(SUM(m) AS BIGINT) AS sum_rowmax
-           FROM (SELECT MAX(c) AS m FROM cells GROUP BY x)),
-    cm AS (SELECT CAST(SUM(m) AS BIGINT) AS sum_colmax
-           FROM (SELECT MAX(c) AS m FROM cells GROUP BY y)),
-    my AS (SELECT CAST(MAX(m) AS BIGINT) AS max_margy
-           FROM (SELECT SUM(c) AS m FROM cells GROUP BY y)),
-    mx AS (SELECT CAST(MAX(m) AS BIGINT) AS max_margx
-           FROM (SELECT SUM(c) AS m FROM cells GROUP BY x)),
-    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells)
-    SELECT n,
-           ROUND(CAST(sum_rowmax - max_margy AS DOUBLE)
-                 / (CAST(n AS DOUBLE) - max_margy), {round_to})
-             AS lambda_y_given_x,
-           ROUND(CAST(sum_colmax - max_margx AS DOUBLE)
-                 / (CAST(n AS DOUBLE) - max_margx), {round_to})
-             AS lambda_x_given_y,
-           ROUND(CAST(sum_rowmax + sum_colmax - max_margy - max_margx
-                      AS DOUBLE)
-                 / (2.0 * CAST(n AS DOUBLE) - max_margy - max_margx),
-                 {round_to}) AS lambda_symmetric
-    FROM tot CROSS JOIN rm CROSS JOIN cm CROSS JOIN my CROSS JOIN mx
-    """

@@ -1832,48 +1832,3 @@ def icc_design_effect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return icc_design_effect(
         ev.select("user_id", "value"), "user_id", "value"
     )
-
-
-# ──────────────────────────────────────────────────────────────────────────
-# wave 139: newsvendor + EOQ inventory policy
-# ──────────────────────────────────────────────────────────────────────────
-from ..operators.econ import newsvendor_stock, newsvendor_stock_sql
-
-
-@_spec(
-    "newsvendor_part_stock",
-    newsvendor_stock_sql(
-        """SELECT l_partkey AS item,
-                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
-           FROM lineitem
-           GROUP BY l_partkey,
-                    CAST(date_diff('day', DATE '1990-01-01',
-                                   CAST(l_shipdate AS DATE)) // 7
-                         AS BIGINT)""",
-        "item",
-        "qty",
-    ),
-    "ops op — per-part newsvendor stocking level + EOQ batch size "
-    "from weekly demand: the critical fractile q* = cu/(cu+co) = 0.75 "
-    "picks the exact ceil(q*(n+1))-th ORDER STATISTIC of observed "
-    "weekly demand (distribution-free, the conformal discipline — no "
-    "normal fit), and EOQ = sqrt(2DK/h) prices the batch. The two "
-    "closed forms that run inventory planning, beside "
-    "croston_part_demand's rate forecast. Exact integer demand, "
-    "deterministic selection, one sqrt; top-25 by total demand.",
-)
-def newsvendor_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    weekly = li.groupBy(
-        F.col("l_partkey").alias("item"),
-        (
-            F.floor(
-                F.datediff(
-                    F.col("l_shipdate").cast("date"),
-                    F.lit("1990-01-01").cast("date"),
-                )
-                / 7
-            )
-        ).alias("wk"),
-    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"))
-    return newsvendor_stock(weekly.select("item", "qty"), "item", "qty")

@@ -4110,33 +4110,3 @@ def lepage_price_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
     )
     return lepage_test(src, "grp", "v")
-
-
-# ──────────────────────────────────────────────────────────────────────────
-# wave 143: Goodman-Kruskal lambda
-# ──────────────────────────────────────────────────────────────────────────
-from ..operators.evaluation import (
-    goodman_kruskal_lambda,
-    goodman_kruskal_lambda_sql,
-)
-
-
-@_spec(
-    "gk_lambda_source_lang",
-    goodman_kruskal_lambda_sql(
-        "SELECT source, lang FROM documents", "source", "lang"
-    ),
-    "stats op — Goodman-Kruskal lambda between document source and "
-    "language: the proportional-reduction-in-error association for "
-    "nominal data (how much better is the modal-language guess once "
-    "the source is known?), the decision-rule complement to "
-    "theils_u_source_lang's entropy view — mutual information can be "
-    "high while the MODAL prediction never changes, and lambda = 0 "
-    "exposes exactly that. Pure integer cell counts and maxima; three "
-    "rational divisions; one contingency rollup.",
-)
-def gk_lambda_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return goodman_kruskal_lambda(
-        docs.select("source", "lang"), "source", "lang"
-    )

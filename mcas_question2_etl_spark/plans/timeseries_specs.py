@@ -2374,27 +2374,3 @@ def theta_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y")
     )
     return timeseries.theta_forecast(daily)
-
-
-# ──────────────────────────────────────────────────────────────────────────
-# wave 141: Hoeffding's D general-dependence test
-# ──────────────────────────────────────────────────────────────────────────
-from ..operators.evaluation import hoeffding_d, hoeffding_d_sql
-
-
-@_spec(
-    "hoeffding_d_click_purchase",
-    hoeffding_d_sql(_CLICK_PURCHASE_DAILY_SQL.strip(), "x", "y"),
-    "stats op — Hoeffding's D test of GENERAL dependence between "
-    "daily click and purchase counts: rank correlations (spearman/"
-    "kendall) only see monotone association — a V-shape scores ~0 on "
-    "all of them; D compares the joint rank distribution against the "
-    "product of margins and catches ANY dependence. Exactness taken "
-    "to the limit: midranks in half units and bivariate ranks in "
-    "quarter units make all three Hoeffding sums EXACT BIGINTs — the "
-    "statistic is one double division, no accumulation anywhere. The "
-    "O(days^2) dominance kernel is the bounded-rollup contract of "
-    "mann_kendall/pettitt (calendar-bounded, corpus-scale-invariant).",
-)
-def hoeffding_d_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return hoeffding_d(_click_purchase_daily(spark, sf_dir), "x", "y")
