@@ -1832,3 +1832,69 @@ def icc_design_effect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return icc_design_effect(
         ev.select("user_id", "value"), "user_id", "value"
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 144: skyline (Pareto-front) supplier query
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.skyline import skyline, skyline_sql
+
+
+@_spec(
+    "skyline_suppliers",
+    skyline_sql(
+        """SELECT l_suppkey AS suppkey,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(4,2))) * -10000
+                           ) AS BIGINT) AS neg_rev_e4,
+                  CAST(COUNT(*) AS BIGINT) AS n_lines,
+                  CAST(SUM(CAST(l_discount AS DECIMAL(4,2)) * -10000)
+                       AS BIGINT) AS neg_disc_bp,
+                  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_returns
+           FROM lineitem GROUP BY 1""",
+        "suppkey",
+        [("neg_rev_e4", "n_lines"), ("neg_disc_bp", "n_lines"),
+         ("n_returns", "n_lines")],
+    ),
+    "query op — SKYLINE (Pareto-front, Borzsonyi/Kossmann/Stocker "
+    "ICDE'01) over per-supplier metrics: the suppliers no other "
+    "supplier beats simultaneously on revenue-per-line (maximized via "
+    "negated cents), average discount offered (negated basis points), "
+    "and return rate — the multi-criteria 'best vendors' question no single "
+    "ORDER BY answers, still missing from most engines. Dominance "
+    "compares RATIONALS by cross-multiplication over exact integer "
+    "totals, so no float boundary can flip membership; the quadratic "
+    "stage runs over the supplier rollup (dim-bounded, the "
+    "mann_kendall kernel contract).",
+)
+def skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        # x(-10000): price*(1-disc) carries 4 decimals, so the scaled
+        # sum is exactly integral — Spark truncates decimal->bigint
+        # while DuckDB rounds, and only an integral value casts the
+        # same way in both
+        (
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+                * -10000
+            )
+        )
+        .cast("bigint")
+        .alias("neg_rev_e4"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.col("l_discount").cast("decimal(4,2)") * -10000)
+        .cast("bigint")
+        .alias("neg_disc_bp"),
+        F.sum((F.col("l_returnflag") == "R").cast("bigint"))
+        .cast("bigint")
+        .alias("n_returns"),
+    )
+    return skyline(
+        per,
+        "suppkey",
+        [("neg_rev_e4", "n_lines"), ("neg_disc_bp", "n_lines"),
+         ("n_returns", "n_lines")],
+    )
