@@ -667,6 +667,7 @@ HEADLINE = [
     "skipgram_event_patterns",
     "did_event_value",
     "icc_design_effect_users",
+    "skyline_suppliers",
 ]
 
 
