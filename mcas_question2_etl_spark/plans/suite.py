@@ -140,4 +140,25 @@ def _round_order(all_specs: list[QuerySpec]) -> list[QuerySpec]:
     return front + recheck + rest
 
 
-SPECS: list[QuerySpec] = _round_order(_ALL)
+def _assert_unique_names(specs: list[QuerySpec]) -> list[QuerySpec]:
+    """Structural duplicate-name guard (VERDICT r7 #3): a colliding
+    spec name would silently shadow the earlier one in
+    ``registry.queries()``'s dict-build — exactly how wave 143's
+    second ``gk_lambda`` masked the pre-existing spec before being
+    caught by hand. Fail loudly at import instead."""
+    seen: dict[str, int] = {}
+    dups: list[str] = []
+    for s in specs:
+        if s.name in seen:
+            dups.append(s.name)
+        seen[s.name] = seen.get(s.name, 0) + 1
+    if dups:
+        raise ValueError(
+            f"duplicate spec names in suite assembly: {sorted(set(dups))} "
+            "(a later spec would silently shadow the earlier one in "
+            "registry.queries())"
+        )
+    return specs
+
+
+SPECS: list[QuerySpec] = _round_order(_assert_unique_names(_ALL))

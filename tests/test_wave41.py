@@ -78,8 +78,8 @@ def test_anova_f_known_design(spark):
     df = spark.createDataFrame(rows, ["g", "x"])
     out = anova_f(df, "g", "x").collect()[0]
     assert (out.k, out.n) == (2, 6)
-    assert math.isclose(out.ss_between, 13.5, rel_tol=1e-9)
-    assert math.isclose(out.ss_within, 4.0, rel_tol=1e-9)
+    # r8 contract: intensive outputs only (eta^2 = SSB/SST, F)
+    assert math.isclose(out.eta_squared, round(13.5 / 17.5, 6), rel_tol=1e-9)
     assert math.isclose(out.f_stat, 13.5, rel_tol=1e-9)
 
 

@@ -92,7 +92,7 @@ def test_bartlett_pin(spark):
     t = (nn - k) * math.log(sp2) - nlnvs
     c = 1 + (invs - 1 / (nn - k)) / (3 * (k - 1))
     assert (r.k, r.n) == (k, nn)
-    assert r.pooled_var == pytest.approx(round(sp2, 6), abs=1e-9)
+    assert r.pooled_sd == pytest.approx(round(math.sqrt(sp2), 6), abs=1e-9)
     assert r.bartlett_stat == pytest.approx(round(t / c, 6), abs=1e-9)
     assert r.bartlett_stat > 5  # heteroscedastic on purpose
 
