@@ -397,7 +397,7 @@ def diff_in_diff_sql(
     WITH src AS ({src_sql}),
     pts AS (
       SELECT {g} AS g, {p} AS p,
-             CAST({value_col} AS DECIMAL(19,2)) AS y
+             CAST({value_col} AS DECIMAL(18,2)) AS y
       FROM src
     ),
     agg AS (

@@ -6509,6 +6509,13 @@ def page_trend_test(
     is an exact bigint; only z passes through one sqrt. One rollup to
     (block, treatment) means, one rank window, one k-row reduction.
 
+    Treatment ids are DENSIFIED to 1..k before the Page weights are
+    applied (row_number over the k-row per-treatment rollup, ordered
+    by treatment id — identical in the DuckDB twin): the L weights and
+    the mu/sigma normal approximation assume consecutive 1-based
+    positions, so raw ids (0-based, gapped, or scaled) would silently
+    shift z_stat (ADVICE r7 #1).
+
     Output (one row): (n_blocks, k_treatments, l_stat, z_stat).
     """
     cell = df.groupBy(
@@ -6532,10 +6539,13 @@ def page_trend_test(
         F.sum("r").cast("bigint").alias("rsum"),
         F.count(F.lit(1)).cast("bigint").alias("nb"),
     )
+    # densify to Page positions 1..k (k-row window — trivially small)
+    wj = Window.orderBy(F.col("t").asc())
+    per_t = per_t.withColumn("j", F.row_number().over(wj).cast("bigint"))
     agg = per_t.agg(
         F.max("k").alias("k"),
         F.max("nb").cast("bigint").alias("n"),
-        F.sum(F.col("t") * F.col("rsum")).cast("bigint").alias("l_raw"),
+        F.sum(F.col("j") * F.col("rsum")).cast("bigint").alias("l_raw"),
     )
     n = F.col("n").cast("double")
     k = F.col("k").cast("double")
@@ -6565,7 +6575,7 @@ def page_trend_test_sql(
     WITH src AS ({src_sql}),
     cell AS (
       SELECT {block_col} AS b, CAST({treat_col} AS BIGINT) AS t,
-             SUM(CAST({value_col} AS DECIMAL(19,2))) AS v
+             SUM(CAST({value_col} AS DECIMAL(18,2))) AS v
       FROM src GROUP BY 1, 2
     ),
     kk AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM cell),
@@ -6585,11 +6595,16 @@ def page_trend_test_sql(
              CAST(COUNT(*) AS BIGINT) AS nb
       FROM ranked GROUP BY t
     ),
+    per_tj AS (
+      SELECT rsum, nb,
+             CAST(ROW_NUMBER() OVER (ORDER BY t ASC) AS BIGINT) AS j
+      FROM per_t
+    ),
     agg AS (
       SELECT (SELECT k FROM kk) AS k,
              CAST(MAX(nb) AS BIGINT) AS n,
-             CAST(SUM(t * rsum) AS BIGINT) AS l_raw
-      FROM per_t
+             CAST(SUM(j * rsum) AS BIGINT) AS l_raw
+      FROM per_tj
     )
     SELECT n AS n_blocks,
            k AS k_treatments,
@@ -6620,15 +6635,30 @@ def lepage_test(
     a distribution that changes SPREAD at equal medians sails through
     it, and this is the standard rank test that catches both at once.
 
-    Ansari-Bradley scores are the folded ranks ``min(r, n+1-r)``.
-    Ranks are exact integers over a TOTAL order ((value, group) — the
-    value col must be distinct-enough; the spec feeds 2-dp prices
-    where duplicate handling is absorbed by the deterministic total
-    order shared by both engines). W and AB sums are exact bigints;
-    the two z's and D are fixed closed forms with one sqrt each.
+    Tie handling (r8, ADVICE r7 #2 — MID-RANKS with exact variance):
+    Wilcoxon scores are mid-ranks; since a tie run [lo, lo+c-1] has
+    average rank lo + (c-1)/2, the DOUBLED mid-rank ``R2 = 2*lo + c -
+    1`` is an exact integer, so W accumulates as an exact bigint
+    (reported as W2/2). Ansari-Bradley scores are the tie-group
+    averages of the folded ranks min(r, n+1-r) — ``sa_v / c_v`` per
+    distinct value from exact integer sums. Both z's use the GENERAL
+    two-sample linear-rank moments (exact under ties, reduce to the
+    classic closed forms without them):
 
-    One global rank window, one conditional aggregate. Output (one
-    row): (n_x, n_y, w_stat, ab_stat, z_w, z_ab, lepage_d).
+      ``E[T] = m * s̄``,  ``Var[T] = m*(n-m)/(n*(n-1)) * Σ(s_i - s̄)²``
+
+    Exactness ledger: n/nx/W2/ΣR2²/Σa are exact bigints; the doubled
+    Wilcoxon SS ``ΣR2² - n(n+1)²`` is exact integer arithmetic (mean
+    doubled mid-rank is exactly n+1). The only order-dependent double
+    sums are the AB aggregate ``Σ m_v·sa_v/c_v`` (~1e7-1e8) and
+    ``Σ sa_v²/c_v`` (~1e11) over the distinct-value rollup — their
+    ulp drift reaches z_ab at relative ~1e-13, far below the 1e-6
+    rounding grain, and neither big sum is itself ROUNDed or emitted.
+
+    One global rank window, one distinct-value rollup, one k-row
+    reduction. Output (one row): (n_x, n_y, w_stat, ab_stat, z_w,
+    z_ab, lepage_d) — w_stat/ab_stat are mid-rank score sums (DOUBLE;
+    w_stat is an exact half-integer).
     """
     pts = df.select(
         F.col(group_col).cast("boolean").alias("__g"),
@@ -6636,53 +6666,60 @@ def lepage_test(
     )
     w = Window.orderBy(F.col("__v").asc(), F.col("__g").asc())
     ranked = pts.withColumn("__r", F.row_number().over(w).cast("bigint"))
-    agg = ranked.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("__g").cast("bigint")).cast("bigint").alias("nx"),
-        F.sum(F.when(F.col("__g"), F.col("__r"))).cast("bigint").alias("w"),
-    )
-    # least(r, n+1-r) needs n, so compute AB in a second pass with the
-    # scalar broadcast (still one shuffle: the rank window's)
     n_row = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
-    ab_row = (
+    perval = (
         ranked.crossJoin(F.broadcast(n_row))
+        .groupBy("__v")
         .agg(
-            F.sum(
-                F.when(
-                    F.col("__g"),
-                    F.least(
-                        F.col("__r"), F.col("__n") + 1 - F.col("__r")
-                    ),
-                )
-            )
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum(F.col("__g").cast("bigint")).cast("bigint").alias("m"),
+            F.min("__r").alias("rmin"),
+            F.sum(F.least(F.col("__r"), F.col("__n") + 1 - F.col("__r")))
             .cast("bigint")
-            .alias("ab")
+            .alias("sa"),
         )
     )
-    j = agg.crossJoin(F.broadcast(ab_row))
+    r2 = 2 * F.col("rmin") + F.col("c") - 1  # doubled mid-rank, exact
+    agg = perval.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum("m").cast("bigint").alias("nx"),
+        F.sum(F.col("m") * r2).cast("bigint").alias("w2"),
+        F.sum(F.col("c") * r2 * r2).cast("bigint").alias("ssr2"),
+        F.sum("sa").cast("bigint").alias("sa_tot"),
+        F.sum(
+            F.col("m").cast("double")
+            * F.col("sa").cast("double")
+            / F.col("c").cast("double")
+        ).alias("ab"),
+        F.sum(
+            F.col("sa").cast("double")
+            * F.col("sa").cast("double")
+            / F.col("c").cast("double")
+        ).alias("sa2"),
+    )
     n = F.col("n").cast("double")
     m = F.col("nx").cast("double")  # group TRUE size
     nn2 = n - m
-    mu_w = m * (n + 1.0) / 2.0
-    var_w = m * nn2 * (n + 1.0) / 12.0
-    z_w = (F.col("w").cast("double") - mu_w) / F.sqrt(var_w)
-    # Ansari-Bradley moments (even/odd n forms)
-    even = F.col("n") % 2 == 0
-    mu_ab = F.when(even, m * (n + 2.0) / 4.0).otherwise(
-        m * (n + 1.0) * (n + 1.0) / (4.0 * n)
-    )
-    var_ab = F.when(
-        even,
-        m * nn2 * (n + 2.0) * (n - 2.0) / (48.0 * (n - 1.0)),
-    ).otherwise(
-        m * nn2 * (n + 1.0) * (3.0 + n * n) / (48.0 * n * n)
-    )
-    z_ab = (F.col("ab").cast("double") - mu_ab) / F.sqrt(var_ab)
-    return j.select(
+    # doubled Wilcoxon SS: exact bigint (mean doubled mid-rank = n+1)
+    ss2_w = (
+        F.col("ssr2")
+        - F.col("n") * (F.col("n") + 1) * (F.col("n") + 1)
+    ).cast("double")
+    var_w = m * nn2 * ss2_w / (4.0 * n * (n - 1.0))
+    z_w = (
+        (F.col("w2") - F.col("nx") * (F.col("n") + 1)).cast("double") / 2.0
+    ) / F.sqrt(var_w)
+    mu_ab = (F.col("nx") * F.col("sa_tot")).cast("double") / n
+    ss_ab = F.col("sa2") - (
+        F.col("sa_tot") * F.col("sa_tot")
+    ).cast("double") / n
+    var_ab = m * nn2 * ss_ab / (n * (n - 1.0))
+    z_ab = (F.col("ab") - mu_ab) / F.sqrt(var_ab)
+    return agg.select(
         F.col("nx").alias("n_x"),
         (F.col("n") - F.col("nx")).cast("bigint").alias("n_y"),
-        F.col("w").alias("w_stat"),
-        F.col("ab").alias("ab_stat"),
+        (F.col("w2").cast("double") / 2.0).alias("w_stat"),
+        F.round(F.col("ab"), round_to).alias("ab_stat"),
         F.round(z_w, round_to).alias("z_w"),
         F.round(z_ab, round_to).alias("z_ab"),
         F.round(z_w * z_w + z_ab * z_ab, round_to).alias("lepage_d"),
@@ -6695,47 +6732,62 @@ def lepage_test_sql(
     value_col: str,
     round_to: int = 6,
 ) -> str:
-    """DuckDB twin of :func:`lepage_test`."""
+    """DuckDB twin of :func:`lepage_test` (mid-rank form — see the
+    operator docstring's exactness ledger)."""
     return f"""
     WITH src AS ({src_sql}),
     pts AS (
       SELECT ({group_col}) AS g, CAST({value_col} AS DOUBLE) AS v FROM src
     ),
     ranked AS (
-      SELECT g, CAST(ROW_NUMBER() OVER (ORDER BY v ASC, g ASC) AS BIGINT)
+      SELECT g, v,
+             CAST(ROW_NUMBER() OVER (ORDER BY v ASC, g ASC) AS BIGINT)
                AS r
       FROM pts
     ),
     nrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ranked),
+    perval AS (
+      SELECT v,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS m,
+             CAST(MIN(r) AS BIGINT) AS rmin,
+             CAST(SUM(LEAST(r, nrow.n + 1 - r)) AS BIGINT) AS sa
+      FROM ranked CROSS JOIN nrow GROUP BY v
+    ),
     agg AS (
-      SELECT MAX(nrow.n) AS n,
-             CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS nx,
-             CAST(SUM(CASE WHEN g THEN r END) AS BIGINT) AS w,
-             CAST(SUM(CASE WHEN g THEN LEAST(r, nrow.n + 1 - r) END)
-                  AS BIGINT) AS ab
-      FROM ranked CROSS JOIN nrow
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(m) AS BIGINT) AS nx,
+             CAST(SUM(m * (2 * rmin + c - 1)) AS BIGINT) AS w2,
+             CAST(SUM(c * (2 * rmin + c - 1) * (2 * rmin + c - 1))
+                  AS BIGINT) AS ssr2,
+             CAST(SUM(sa) AS BIGINT) AS sa_tot,
+             SUM(CAST(m AS DOUBLE) * CAST(sa AS DOUBLE)
+                 / CAST(c AS DOUBLE)) AS ab,
+             SUM(CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                 / CAST(c AS DOUBLE)) AS sa2
+      FROM perval
     ),
     z AS (
       SELECT *,
-        (CAST(w AS DOUBLE) - CAST(nx AS DOUBLE) * (n + 1.0) / 2.0)
-          / sqrt(CAST(nx AS DOUBLE) * (n - nx) * (n + 1.0) / 12.0) AS z_w,
-        (CAST(ab AS DOUBLE)
-         - CASE WHEN n % 2 = 0
-                THEN CAST(nx AS DOUBLE) * (n + 2.0) / 4.0
-                ELSE CAST(nx AS DOUBLE) * (n + 1.0) * (n + 1.0)
-                     / (4.0 * n) END)
-          / sqrt(CASE WHEN n % 2 = 0
-                 THEN CAST(nx AS DOUBLE) * (n - nx) * (n + 2.0) * (n - 2.0)
-                      / (48.0 * (n - 1.0))
-                 ELSE CAST(nx AS DOUBLE) * (n - nx) * (n + 1.0)
-                      * (3.0 + CAST(n AS DOUBLE) * n)
-                      / (48.0 * CAST(n AS DOUBLE) * n) END) AS z_ab
+        (CAST(w2 - nx * (n + 1) AS DOUBLE) / 2.0)
+          / sqrt(CAST(nx AS DOUBLE) * (CAST(n AS DOUBLE)
+                 - CAST(nx AS DOUBLE))
+                 * CAST(ssr2 - n * (n + 1) * (n + 1) AS DOUBLE)
+                 / (4.0 * CAST(n AS DOUBLE)
+                    * (CAST(n AS DOUBLE) - 1.0))) AS z_w,
+        (ab - CAST(nx * sa_tot AS DOUBLE) / CAST(n AS DOUBLE))
+          / sqrt(CAST(nx AS DOUBLE) * (CAST(n AS DOUBLE)
+                 - CAST(nx AS DOUBLE))
+                 * (sa2 - CAST(sa_tot * sa_tot AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE)
+                    * (CAST(n AS DOUBLE) - 1.0))) AS z_ab
       FROM agg
     )
     SELECT nx AS n_x,
            CAST(n - nx AS BIGINT) AS n_y,
-           w AS w_stat,
-           ab AS ab_stat,
+           CAST(w2 AS DOUBLE) / 2.0 AS w_stat,
+           ROUND(ab, {round_to}) AS ab_stat,
            ROUND(z_w, {round_to}) AS z_w,
            ROUND(z_ab, {round_to}) AS z_ab,
            ROUND(z_w * z_w + z_ab * z_ab, {round_to}) AS lepage_d

@@ -1182,7 +1182,7 @@ def chow_break_sql(
     return f"""
     WITH d AS ({daily_sql}),
     pts AS (
-      SELECT CAST({value_col} AS DECIMAL(19,2)) AS y,
+      SELECT CAST({value_col} AS DECIMAL(18,2)) AS y,
              CAST(ROW_NUMBER() OVER (ORDER BY {date_col}) AS BIGINT) AS t
       FROM d
     ),
@@ -3272,7 +3272,7 @@ def conformal_trend_interval_sql(
     return f"""
     WITH d AS ({daily_sql}),
     idx AS (
-      SELECT CAST({value_col} AS DECIMAL(19,2)) AS y,
+      SELECT CAST({value_col} AS DECIMAL(18,2)) AS y,
              CAST(ROW_NUMBER() OVER (ORDER BY {date_col}) AS BIGINT) AS t
       FROM d
     ),

@@ -561,7 +561,17 @@ def ripley_k(
     unchanged); pair counts are exact integers, so only the final
     K/L arithmetic runs in double.
 
-    Output per radius: (r_m, n_points, pairs_within, k_est, l_est).
+    Output contract (re-cut in r8 audit re-triage): raw ``K(r)`` for
+    metro-scale areas is ~1e13 m², where ``ROUND(x, 4)`` diverges
+    cross-engine even on bit-identical doubles (DuckDB rounds via
+    ``x*1e4``, inexact above 2^53/1e4). The emitted column is the
+    INTENSIVE CSR ratio ``k_csr_ratio = K(r) / (pi r²)`` (≈1 under
+    complete spatial randomness, the standard normalized reading)
+    alongside ``l_est = sqrt(K/pi)`` (~1e6, inside the exact-ROUND
+    regime); the exact pair counts keep full information.
+
+    Output per radius: (r_m, n_points, pairs_within, k_csr_ratio,
+    l_est).
     """
     a = points.select(
         F.col(id_col).alias("ida"),
@@ -604,7 +614,15 @@ def ripley_k(
             F.lit(float(r)).alias("r_m"),
             F.col("n_points"),
             F.col(f"__c{i}").alias("pairs_within"),
-            F.round(k, round_to).alias("k_est"),
+            F.round(
+                k
+                / (
+                    F.lit(3.141592653589793)
+                    * F.lit(float(r))
+                    * F.lit(float(r))
+                ),
+                round_to,
+            ).alias("k_csr_ratio"),
             F.round(F.sqrt(k / F.lit(3.141592653589793)), round_to).alias(
                 "l_est"
             ),
@@ -633,7 +651,10 @@ def ripley_k_sql(
            c{i} AS pairs_within,
            ROUND(({area_m2_expr}) / (CAST(n_points AS DOUBLE)
                   * (CAST(n_points AS DOUBLE) - 1.0))
-                 * (2.0 * CAST(c{i} AS DOUBLE)), {round_to}) AS k_est,
+                 * (2.0 * CAST(c{i} AS DOUBLE))
+                 / (3.141592653589793 * CAST({float(r)!r} AS DOUBLE)
+                    * CAST({float(r)!r} AS DOUBLE)),
+                 {round_to}) AS k_csr_ratio,
            ROUND(SQRT(({area_m2_expr}) / (CAST(n_points AS DOUBLE)
                   * (CAST(n_points AS DOUBLE) - 1.0))
                  * (2.0 * CAST(c{i} AS DOUBLE)) / 3.141592653589793),

@@ -343,10 +343,10 @@ def icc_design_effect_sql(
     per AS (
       SELECT {cluster_col} AS c,
              CAST(COUNT(*) AS BIGINT) AS m,
-             CAST(SUM(CAST({value_col} AS DECIMAL(19,2)))
+             CAST(SUM(CAST({value_col} AS DECIMAL(18,2)))
                   AS DECIMAL(28,2)) AS s,
-             CAST(SUM(CAST({value_col} AS DECIMAL(19,2))
-                      * CAST({value_col} AS DECIMAL(19,2)))
+             CAST(SUM(CAST({value_col} AS DECIMAL(18,2))
+                      * CAST({value_col} AS DECIMAL(18,2)))
                   AS DECIMAL(36,4)) AS q
       FROM src GROUP BY 1
     ),

@@ -3218,12 +3218,18 @@ def winnow_fingerprint_cols(
         toks: F.split(normalize_text(text_col), " "),
         # Spark's sequence(0, n) DESCENDS for n < 0 (DuckDB's range is
         # empty there), so both stages guard short documents explicitly
+        # position packed as (pl-1) - (i % pl): wraps at the 2^16 pack
+        # limit instead of going NEGATIVE for pathologically long
+        # documents (>= 65536 grams would otherwise corrupt the
+        # packed ordering; identical wrap in the DuckDB twin —
+        # ADVICE r7 #4)
         comb: F.expr(
             f"if(size({toks}) >= {k}, "
             f"transform(sequence(0, size({toks}) - {k}), i -> "
             f"cast(conv(substring(md5(array_join("
             f"slice({toks}, i + 1, {k}), ' ')), 1, 8), 16, 10) as bigint)"
-            f" * {_WINNOW_POS_LIMIT} + {_WINNOW_POS_LIMIT - 1} - i), "
+            f" * {_WINNOW_POS_LIMIT} + {_WINNOW_POS_LIMIT - 1}"
+            f" - i % {_WINNOW_POS_LIMIT}), "
             f"array())"
         ),
         "__winnow_fps": F.expr(
@@ -3263,10 +3269,14 @@ def winnow_fingerprints(
         "doc_id",
         m.cast("bigint").alias("n_grams"),
         n_fps.cast("bigint").alias("n_fps"),
+        # mod applied INSIDE the fold: accumulator stays < 2e12, so
+        # the non-ANSI int64 aggregate cannot wrap however long the
+        # document (DuckDB's list_sum promotes to HUGEINT, so its
+        # plain sum % 1e12 equals this exactly — ADVICE r7 #4)
         F.coalesce(
             F.expr(
                 "aggregate(__winnow_fps_guarded, cast(0 as bigint),"
-                " (a, x) -> a + x) % 1000000000000"
+                " (a, x) -> (a + x % 1000000000000) % 1000000000000)"
             ),
             F.lit(0).cast("bigint"),
         ).alias("fp_checksum"),
@@ -3293,7 +3303,7 @@ def winnow_fingerprints_sql(
              list_transform(range(0, len(toks) - {k} + 1), i ->
                CAST(('0x' || substring(md5(array_to_string(
                  list_slice(toks, i + 1, i + {k}), ' ')), 1, 8)) AS BIGINT)
-               * {pl} + {pl - 1} - i) AS comb
+               * {pl} + {pl - 1} - i % {pl}) AS comb
       FROM toked
     ),
     fpd AS (

@@ -2698,7 +2698,7 @@ def segmented_regression_sql(
     WITH d AS ({daily_sql}),
     idx AS (
       SELECT {date_col},
-             CAST({value_col} AS DECIMAL(19,2)) AS y,
+             CAST({value_col} AS DECIMAL(18,2)) AS y,
              CAST(ROW_NUMBER() OVER (ORDER BY {date_col}) AS BIGINT) AS t
       FROM d
     ),
@@ -5564,7 +5564,7 @@ def theta_forecast_sql(
     return f"""
     WITH RECURSIVE d AS ({daily_sql}),
     idx AS (
-      SELECT CAST({value_col} AS DECIMAL(19,2)) AS y,
+      SELECT CAST({value_col} AS DECIMAL(18,2)) AS y,
              CAST(ROW_NUMBER() OVER (ORDER BY {date_col}) AS BIGINT) AS t
       FROM d
     ),

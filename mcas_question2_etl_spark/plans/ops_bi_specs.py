@@ -1474,12 +1474,36 @@ def newsvendor_stock_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type AS from_type, next_type AS to_type,
              CAST(next_t - t AS BIGINT) AS gap_us
       FROM seq WHERE next_type IS NOT NULL
+    ),
+    ranked AS (
+      SELECT from_type, to_type, gap_us,
+             CAST(ROW_NUMBER() OVER (PARTITION BY from_type, to_type
+                                     ORDER BY gap_us) AS BIGINT) AS r,
+             CAST(COUNT(*) OVER (PARTITION BY from_type, to_type)
+                  AS BIGINT) AS n
+      FROM gaps
+    ),
+    agg AS (
+      SELECT from_type, to_type, MAX(n) AS n,
+             MAX(CASE WHEN r = (5 * (n - 1)) // 10 + 1
+                 THEN gap_us END) AS a50,
+             MAX(CASE WHEN r = LEAST((5 * (n - 1)) // 10 + 2, n)
+                 THEN gap_us END) AS b50,
+             MAX((5 * (n - 1)) % 10) AS m50,
+             MAX(CASE WHEN r = (9 * (n - 1)) // 10 + 1
+                 THEN gap_us END) AS a90,
+             MAX(CASE WHEN r = LEAST((9 * (n - 1)) // 10 + 2, n)
+                 THEN gap_us END) AS b90,
+             MAX((9 * (n - 1)) % 10) AS m90
+      FROM ranked GROUP BY 1, 2
     )
     SELECT from_type, to_type,
-           CAST(COUNT(*) AS BIGINT) AS n_transitions,
-           quantile_cont(CAST(gap_us AS DOUBLE), 0.5) AS p50_gap_us,
-           quantile_cont(CAST(gap_us AS DOUBLE), 0.9) AS p90_gap_us
-    FROM gaps GROUP BY 1, 2 ORDER BY 1, 2
+           n AS n_transitions,
+           CAST(a50 * (10 - m50) + b50 * m50 AS DOUBLE) / 10.0
+             AS p50_gap_us,
+           CAST(a90 * (10 - m90) + b90 * m90 AS DOUBLE) / 10.0
+             AS p90_gap_us
+    FROM agg ORDER BY 1, 2
     """,
     "ops op — process-mining transition latency profile: per "
     "directly-follows pair (from_event -> to_event), the transition "
@@ -1488,7 +1512,13 @@ def newsvendor_stock_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fast hop and a rare slow one need different fixes). One "
     "per-user window (lag shuffle on user_id), exact microsecond "
     "gaps, then a 25-row group-quantile rollup; ties in the event "
-    "order break on event_id in both engines.",
+    "order break on event_id in both engines. r8 audit re-triage: "
+    "the interpolated percentiles are computed from ORDER STATISTICS "
+    "with an exact-bigint numerator ((a*(10-m)+b*m)/10, m = "
+    "p*(n-1) mod 1 in tenths) instead of the engines' native "
+    "percentile/quantile_cont, whose interpolation shapes diverge at "
+    "the ulp level (probed: 3/6 adversarial trials at ~1e11) on "
+    "unrounded ~9e10 outputs.",
 )
 def transition_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -1504,19 +1534,47 @@ def transition_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "to_type",
         (F.col("next_t") - F.col("t")).cast("bigint").alias("gap_us"),
     )
-    return (
-        gaps.groupBy("from_type", "to_type")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
-            F.expr("percentile(CAST(gap_us AS DOUBLE), 0.5)").alias(
-                "p50_gap_us"
-            ),
-            F.expr("percentile(CAST(gap_us AS DOUBLE), 0.9)").alias(
-                "p90_gap_us"
-            ),
-        )
-        .orderBy("from_type", "to_type")
+    # exact-integer percentile interpolation (see oracle docstring):
+    # native percentile()/quantile_cont() interpolate with different
+    # IEEE shapes, which diverges unrounded ~9e10 outputs by an ulp
+    wr = Window.partitionBy("from_type", "to_type").orderBy("gap_us")
+    wn = Window.partitionBy("from_type", "to_type")
+    ranked = gaps.select(
+        "from_type",
+        "to_type",
+        "gap_us",
+        F.row_number().over(wr).cast("bigint").alias("r"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
     )
+    def _pick(k: int, tag: str):
+        lo = F.expr(f"({k} * (n - 1)) DIV 10")
+        return [
+            F.max(
+                F.when(F.col("r") == lo + 1, F.col("gap_us"))
+            ).alias(f"a{tag}"),
+            F.max(
+                F.when(
+                    F.col("r") == F.least(lo + 2, F.col("n")),
+                    F.col("gap_us"),
+                )
+            ).alias(f"b{tag}"),
+            F.max(F.expr(f"({k} * (n - 1)) % 10")).alias(f"m{tag}"),
+        ]
+    agg = ranked.groupBy("from_type", "to_type").agg(
+        F.max("n").alias("n"), *_pick(5, "50"), *_pick(9, "90")
+    )
+    def _interp(tag: str):
+        num = F.col(f"a{tag}") * (10 - F.col(f"m{tag}")) + F.col(
+            f"b{tag}"
+        ) * F.col(f"m{tag}")
+        return (num.cast("double") / F.lit(10.0)).alias(f"p{tag}_gap_us")
+    return agg.select(
+        "from_type",
+        "to_type",
+        F.col("n").alias("n_transitions"),
+        _interp("50"),
+        _interp("90"),
+    ).orderBy("from_type", "to_type")
 
 
 # ──────────────────────────────────────────────────────────────────────────

@@ -1,11 +1,13 @@
 """Wave 140 — Lepage combined location-scale two-sample test.
 
 Hand-pinned tests for operators/evaluation.py lepage_test: W/AB sums
-and both z's recomputed by hand, the scale-only alternative that
-Wilcoxon alone misses (z_W ~ 0, z_AB large), the shift-only
-alternative (z_W large), the even/odd Ansari-Bradley moment forms, and
-SQL-twin equality. Spec: lepage_price_returnflag
-(plans/stats_specs.py), gated in tests/test_contract.py.
+and both z's recomputed by hand (r8: MID-RANK scores with the general
+two-sample linear-rank moments — exact under ties, reducing to the
+classic closed forms without them; ADVICE r7 #2), the scale-only
+alternative that Wilcoxon alone misses (z_W ~ 0, z_AB large), the
+shift-only alternative (z_W large), a heavy-tie pin, and SQL-twin
+equality. Spec: lepage_price_returnflag (plans/stats_specs.py), gated
+in tests/test_contract.py.
 """
 
 from __future__ import annotations
@@ -27,21 +29,31 @@ def _df(spark, xs, ys):
 
 
 def _hand(xs, ys):
+    """Mid-rank scores + general two-sample linear-rank moments:
+    E[T] = m*mean(s), Var[T] = m*(n-m)/(n*(n-1)) * SS(s)."""
     vals = sorted(
         [(v, True) for v in xs] + [(v, False) for v in ys],
         key=lambda t: (t[0], t[1]),
     )
     n, m = len(vals), len(xs)
-    w = sum(r for r, (_, g) in enumerate(vals, 1) if g)
-    ab = sum(min(r, n + 1 - r) for r, (_, g) in enumerate(vals, 1) if g)
-    z_w = (w - m * (n + 1) / 2) / math.sqrt(m * (n - m) * (n + 1) / 12)
-    if n % 2 == 0:
-        mu = m * (n + 2) / 4
-        var = m * (n - m) * (n + 2) * (n - 2) / (48 * (n - 1))
-    else:
-        mu = m * (n + 1) ** 2 / (4 * n)
-        var = m * (n - m) * (n + 1) * (3 + n * n) / (48 * n * n)
-    z_ab = (ab - mu) / math.sqrt(var)
+    byval: dict = {}
+    for r, (v, g) in enumerate(vals, 1):
+        byval.setdefault(v, []).append(r)
+    mid, fold = {}, {}
+    for v, rs in byval.items():
+        mid[v] = sum(rs) / len(rs)
+        fold[v] = sum(min(r, n + 1 - r) for r in rs) / len(rs)
+    w = sum(mid[v] for v, g in vals if g)
+    ab = sum(fold[v] for v, g in vals if g)
+
+    def _z(stat, scores):
+        sbar = sum(scores) / n
+        ss = sum((s - sbar) ** 2 for s in scores)
+        var = m * (n - m) / (n * (n - 1)) * ss
+        return (stat - m * sbar) / math.sqrt(var)
+
+    z_w = _z(w, [mid[v] for v, _ in vals])
+    z_ab = _z(ab, [fold[v] for v, _ in vals])
     return w, ab, z_w, z_ab
 
 
@@ -52,10 +64,34 @@ def test_hand_recomputation_even_and_odd(spark, extra):
     r = lepage_test(_df(spark, xs, ys), "g", "v").collect()[0]
     w, ab, z_w, z_ab = _hand(xs, ys)
     assert (r.n_x, r.n_y) == (len(xs), len(ys))
-    assert (r.w_stat, r.ab_stat) == (w, ab)
+    assert r.w_stat == w
+    assert r.ab_stat == pytest.approx(round(ab, 6), abs=1e-9)
     assert r.z_w == pytest.approx(round(z_w, 6), abs=1e-9)
     assert r.z_ab == pytest.approx(round(z_ab, 6), abs=1e-9)
     assert r.lepage_d == pytest.approx(round(z_w**2 + z_ab**2, 6), abs=1e-6)
+
+
+def test_ties_use_midranks(spark):
+    """Cross-group ties get the SAME (mid-rank) score in both groups —
+    the r7 row_number form always ranked FALSE below TRUE at equal
+    values, biasing W; and the tie-corrected variance shrinks vs the
+    no-tie closed form."""
+    xs = [1.0, 2.0, 2.0, 3.0]
+    ys = [2.0, 2.0, 4.0]
+    r = lepage_test(_df(spark, xs, ys), "g", "v").collect()[0]
+    w, ab, z_w, z_ab = _hand(xs, ys)
+    # ranks: 1 | tie-run {2.0}x4 at ranks 2-5 -> mid 3.5 | 6 | 7
+    assert r.w_stat == 1 + 3.5 + 3.5 + 6 == w
+    assert r.z_w == pytest.approx(round(z_w, 6), abs=1e-9)
+    assert r.z_ab == pytest.approx(round(z_ab, 6), abs=1e-9)
+    # tie-corrected Wilcoxon variance must be SMALLER than the no-tie
+    # closed form m*(n-m)*(n+1)/12
+    n, m = 7, 4
+    var_noties = m * (n - m) * (n + 1) / 12
+    mids = [1, 3.5, 3.5, 3.5, 3.5, 6, 7]
+    sbar = sum(mids) / n
+    var_tied = m * (n - m) / (n * (n - 1)) * sum((s - sbar) ** 2 for s in mids)
+    assert var_tied < var_noties
 
 
 def test_scale_change_invisible_to_wilcoxon(spark):
@@ -88,6 +124,26 @@ def test_sql_twin_matches_spark_exactly(spark):
     )
     row = con.execute(
         lepage_test_sql("SELECT * FROM t0", "g", "v")
+    ).fetchone()
+    assert row == (
+        r.n_x, r.n_y, r.w_stat, r.ab_stat, r.z_w, r.z_ab, r.lepage_d
+    )
+
+
+def test_sql_twin_matches_under_heavy_ties(spark):
+    """2-dp-style duplicated values (the spec's real tie density):
+    twin equality must hold with mid-ranks in play."""
+    xs = [round(((i * 7) % 13) * 0.25, 2) for i in range(30)]
+    ys = [round(((i * 5) % 11) * 0.25, 2) for i in range(25)]
+    r = lepage_test(_df(spark, xs, ys), "g", "v").collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t1 (g BOOLEAN, v DOUBLE)")
+    con.executemany(
+        "INSERT INTO t1 VALUES (?, ?)",
+        [(True, float(v)) for v in xs] + [(False, float(v)) for v in ys],
+    )
+    row = con.execute(
+        lepage_test_sql("SELECT * FROM t1", "g", "v")
     ).fetchone()
     assert row == (
         r.n_x, r.n_y, r.w_stat, r.ab_stat, r.z_w, r.z_ab, r.lepage_d

@@ -335,7 +335,10 @@ def test_ripley_k_pin(spark):
         assert out[r_m].n_points == 3
         assert out[r_m].pairs_within == cnt
         k = area / (3 * 2) * (2.0 * cnt)
-        assert out[r_m].k_est == pytest.approx(round(k, 4), abs=1e-6)
+        # r8 contract: intensive CSR ratio K(r)/(pi r^2), not raw K
+        assert out[r_m].k_csr_ratio == pytest.approx(
+            round(k / (math.pi * r_m * r_m), 4), abs=1e-6
+        )
         assert out[r_m].l_est == pytest.approx(
             round(math.sqrt(k / math.pi), 4), rel=1e-9
         )
