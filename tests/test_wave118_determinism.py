@@ -35,6 +35,11 @@ _FIXED = [
     # cross-engine above |x| ~ 2^53/1e6 even on bit-identical doubles.
     "anova_f_priority_price",
     "bartlett_priority_price",
+    # r8 audit re-triage: extensive ROUNDed output re-cut as the CSR
+    # ratio (ripley) / native percentile interpolation replaced with
+    # exact-bigint order-statistic arithmetic (transition_latency)
+    "ripley_k_suppliers",
+    "transition_latency_profile",
 ]
 
 
@@ -90,13 +95,26 @@ def test_exact_cross_engine_match(spark, duck, name):
     assert _rows(spec.fn(spark, SF_ORACLE)) == oracle
 
 
+#: columns allowed past the ROUND(x,6) magnitude bound because they
+#: are UNROUNDED doubles with exact integer/DECIMAL provenance at
+#: every level (bit-identical across engines by construction — the
+#: corrected r8 audit rule; see PERF.md round-8 re-triage)
+_EXACT_UNROUNDED = {
+    "transition_latency_profile": {"p50_gap_us", "p90_gap_us"},
+}
+
+
 @pytest.mark.parametrize("name", _FIXED)
 def test_outputs_are_rounding_safe_magnitudes(spark, name):
-    """No double output column may carry |value| beyond 2^53 * 10^-6 —
-    the threshold past which ROUND(x, 6) is below double resolution
-    and a single ULP of drift flips the driver hash (the r6 disease)."""
+    """No ROUNDED double output column may carry |value| beyond
+    2^53 * 10^-6 — the threshold past which ROUND(x, 6) is below
+    double resolution and a single ULP of drift (or DuckDB's
+    multiply-based ROUND alone) flips the driver hash (the r6/r8
+    disease). Unrounded exact-provenance columns are exempt and
+    listed explicitly."""
     spec = _BY_NAME[name]
-    row = spec.fn(spark, SF_ORACLE).collect()[0]
-    for k, v in row.asDict().items():
-        if isinstance(v, float):
-            assert abs(v) < 2.0**53 * 1e-6, (k, v)
+    exempt = _EXACT_UNROUNDED.get(name, set())
+    for row in spec.fn(spark, SF_ORACLE).collect():
+        for k, v in row.asDict().items():
+            if isinstance(v, float) and k not in exempt:
+                assert abs(v) < 2.0**53 * 1e-6, (k, v)
