@@ -1105,6 +1105,10 @@ _JPEG_HUFF = {
     ),
 }
 
+#: lazy singleton for the encoder's canonical code tables (fixed
+#: Annex-K inputs — no reason to rebuild per image)
+_JPEG_HTABS_CACHE = None
+
 
 def _jpeg_canonical_codes(bits, vals):
     """Canonical JPEG huffman code assignment (T.81 C.2): symbols of
@@ -1132,7 +1136,13 @@ def _jpeg_quant_tables(quality: int):
     )
 
 
+_DCT_MAT_CACHE = None
+
+
 def _dct_mat():
+    global _DCT_MAT_CACHE
+    if _DCT_MAT_CACHE is not None:
+        return _DCT_MAT_CACHE
     import numpy as np
 
     m = np.zeros((8, 8))
@@ -1140,6 +1150,8 @@ def _dct_mat():
         cu = (1.0 / (2.0**0.5)) if u == 0 else 1.0
         for x in range(8):
             m[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    m.setflags(write=False)
+    _DCT_MAT_CACHE = m
     return m
 
 
@@ -1147,18 +1159,20 @@ def jpeg_pixels(width: int, height: int, seed: int = 0) -> bytes:
     """Deterministic SMOOTH RGB bytes for JPEG fixtures: sinusoidal
     ramps (no sawtooth wrap like gif_pixels — block discontinuities
     inflate quantization error and would force a sloppy closeness
-    bound)."""
-    out = bytearray()
-    for y in range(height):
-        for x in range(width):
-            for c in range(3):
-                v = (
-                    128.0
-                    + 60.0 * math.sin(0.31 * x + 0.17 * y + 0.9 * (seed % 17))
-                    + 40.0 * math.cos(0.23 * y - 0.11 * x + 1.7 * c)
-                )
-                out.append(max(0, min(255, int(v))))
-    return bytes(out)
+    bound). Vectorized in r8 (this ran twice per doc in the decode
+    spec's kernel and was its top cost after the decoder fix); same
+    truncate-toward-zero/clamp semantics as the scalar loop."""
+    import numpy as np
+
+    x = np.arange(width, dtype=np.float64)[None, :, None]
+    y = np.arange(height, dtype=np.float64)[:, None, None]
+    c = np.arange(3, dtype=np.float64)[None, None, :]
+    v = (
+        128.0
+        + 60.0 * np.sin(0.31 * x + 0.17 * y + 0.9 * (seed % 17))
+        + 40.0 * np.cos(0.23 * y - 0.11 * x + 1.7 * c)
+    )
+    return np.clip(v.astype(np.int64), 0, 255).astype(np.uint8).tobytes()
 
 
 class _JpegBitWriter:
@@ -1232,18 +1246,33 @@ def encode_jpeg(
     pad = np.pad(
         ycc, ((0, bh * 8 - height), (0, bw * 8 - width), (0, 0)), mode="edge"
     )
-    qtabs = (ql, qc, qc)
-    coeffs: list[list[int]] = [[], [], []]
-    for by in range(bh):
-        for bx in range(bw):
-            for ci in range(3):
-                block = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci]
-                f = dct @ (block - 128.0) @ dct.T
-                qt = np.array(qtabs[ci], dtype="f8").reshape(8, 8)
-                qz = np.rint(f / qt).astype(np.int64).reshape(64)
-                coeffs[ci].extend(int(qz[_JPEG_ZZ[i]]) for i in range(64))
+    # batched forward DCT (r8): all (by, bx, ci) blocks in one
+    # broadcasting matmul chain + one vectorized quantize/zigzag
+    blocks = (
+        pad.reshape(bh, 8, bw, 8, 3)
+        .transpose(0, 2, 4, 1, 3)
+        .reshape(-1, 8, 8)
+        - 128.0
+    )
+    f_all = dct @ blocks @ dct.T
+    qt_all = np.asarray(
+        [ql, qc, qc], dtype="f8"
+    ).reshape(3, 8, 8)  # broadcast per-component over (bh*bw)
+    qz_all = np.rint(
+        f_all.reshape(bh * bw, 3, 8, 8) / qt_all
+    ).astype(np.int64)
+    zz_order = np.asarray([_JPEG_ZZ[i] for i in range(64)])
+    zz_all = qz_all.reshape(bh * bw, 3, 64)[:, :, zz_order]
+    coeffs: list[list[int]] = [
+        zz_all[:, ci, :].ravel().tolist() for ci in range(3)
+    ]
     # entropy-code interleaved 4:4:4 MCUs (one block per component)
-    htabs = {k: _jpeg_canonical_codes(*v) for k, v in _JPEG_HUFF.items()}
+    global _JPEG_HTABS_CACHE
+    if _JPEG_HTABS_CACHE is None:
+        _JPEG_HTABS_CACHE = {
+            k: _jpeg_canonical_codes(*v) for k, v in _JPEG_HUFF.items()
+        }
+    htabs = _JPEG_HTABS_CACHE
     scan_parts = []
     w = _JpegBitWriter()
     prev_dc = [0, 0, 0]
@@ -1373,8 +1402,17 @@ class _JpegBitReader:
         self.marker = None
 
 
+_DHT_MEMO: dict = {}
+
+
 def _jpeg_decode_table(bits, vals):
-    """{(length, code): symbol} decode map from a DHT segment."""
+    """{(length, code): symbol} decode map from a DHT segment —
+    memoized on the raw (bits, vals) payload: every image in a corpus
+    typically re-declares the same standard tables."""
+    memo_key = (tuple(bits), tuple(vals))
+    got = _DHT_MEMO.get(memo_key)
+    if got is not None:
+        return got
     out = {}
     code = 0
     k = 0
@@ -1384,11 +1422,18 @@ def _jpeg_decode_table(bits, vals):
             code += 1
             k += 1
         code <<= 1
+    _DHT_MEMO[memo_key] = out
     return out
 
 
 def _jpeg_extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+#: process-wide huffman LUT memo keyed by frozen table contents —
+#: corpora reuse the standard Annex-K tables, so the 64K flat decode
+#: tables are built once per process, not once per image
+_JPEG_LUT_MEMO: dict = {}
 
 
 def _decode_jpeg(b: bytes, return_coeffs: bool = False,
@@ -1495,27 +1540,127 @@ def _decode_jpeg(b: bytes, return_coeffs: bool = False,
             np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
         )
         coeffs.append([])
-    rd = _JpegBitReader(b, scan_pos)
+
+    # ── r8 entropy-decode vectorization (VERDICT r7 #6) ──
+    # The per-bit dict-walk huffman + per-block Python zigzag/IDCT was
+    # the suite's costliest constant factor. Three batched stages:
+    #   1. restart-segment split + byte unstuffing with numpy masks;
+    #   2. per segment, a 16-bit PEEK table (sliding window over
+    #      unpacked bits) so each huffman symbol is ONE flat-LUT
+    #      lookup (lut[peek[pos]] -> packed length<<8|symbol) and each
+    #      magnitude read is one shift — no per-bit loop, no dicts;
+    #   3. all blocks' zigzag/dequant/IDCT done once, batched, via
+    #      fancy indexing + einsum, then scattered into the planes.
+    # Semantics are bit-identical to the sequential reader (the
+    # roundtrip pytest pins decoded bytes against the encoder).
+    data = np.frombuffer(b, dtype=np.uint8)
+    ff = np.where(data[scan_pos:-1] == 0xFF)[0] + scan_pos
+    nxt = data[ff + 1]
+    is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+    is_stuff = nxt == 0x00
+    real = ff[~is_rst & ~is_stuff]
+    end_idx = int(real[0]) if len(real) else len(b)
+    rst_at = ff[is_rst & (ff < end_idx)]
+    seg_bounds: list[tuple[int, int]] = []
+    prev = scan_pos
+    for rp in rst_at.tolist():
+        seg_bounds.append((prev, rp))
+        prev = rp + 2
+    seg_bounds.append((prev, end_idx))
+
+    def _seg_u32(lo: int, hi: int) -> list:
+        """Per-BYTE sliding 32-bit big-endian windows of the
+        unstuffed segment (+4 zero pad); a 16-bit peek at bit offset
+        p is then ``(u32[p>>3] >> (16 - (p & 7))) & 0xFFFF`` — setup
+        cost is a few numpy ops per byte, not per bit."""
+        seg = data[lo:hi]
+        if len(seg) == 0:
+            return []
+        drop = np.zeros(len(seg), dtype=bool)
+        if len(seg) > 1:
+            fpos = np.where(seg[:-1] == 0xFF)[0]
+            drop[fpos[seg[fpos + 1] == 0] + 1] = True
+        clean = np.concatenate(
+            [seg[~drop], np.zeros(4, dtype=np.uint8)]
+        ).astype(np.int64)
+        u32 = (
+            (clean[:-3] << 24)
+            | (clean[1:-2] << 16)
+            | (clean[2:-1] << 8)
+            | clean[3:]
+        )
+        return u32.tolist()
+
+    def _lut(key: tuple[int, int]) -> list:
+        table = huff[key]
+        memo_key = tuple(sorted(table.items()))
+        got = _JPEG_LUT_MEMO.get(memo_key)
+        if got is None:
+            arr = np.zeros(65536, dtype=np.int32)
+            for (length, code), sym in table.items():
+                start = code << (16 - length)
+                arr[start : start + (1 << (16 - length))] = (
+                    (length << 8) | sym
+                )
+            got = _JPEG_LUT_MEMO[memo_key] = arr.tolist()
+        return got
+
+    blk_meta: list[tuple[int, int, int]] = []  # (ci, py0, px0)
+    blk_zz: list[int] = []  # flat, n_blocks*64
     prev_dc = {c["id"]: 0 for c in comps}
     n_mcu = mcux * mcuy
+    seg_i = 0
+    u32 = _seg_u32(*seg_bounds[0])
+    pos = 0
+    # SOS scan order with LUTs resolved ONCE (not per block)
+    order_ci = [
+        (
+            comps.index(c),
+            c,
+            _lut((0, tabs_of[c["id"]][0])),
+            _lut((1, tabs_of[c["id"]][1])),
+        )
+        for c in order
+    ]
     for mi in range(n_mcu):
         if dri and mi and mi % dri == 0:
-            rd.sync_restart()
+            seg_i += 1
+            u32 = _seg_u32(*seg_bounds[seg_i])
+            pos = 0
             prev_dc = {c["id"]: 0 for c in comps}
         my, mx = divmod(mi, mcux)
-        for c in order:
-            ci = comps.index(c)
-            td, ta = tabs_of[c["id"]]
+        for ci, c, ldc, lac in order_ci:
             for vy in range(c["v"]):
                 for vx in range(c["h"]):
                     zz = [0] * 64
-                    cat = rd.huff(huff[(0, td)])
-                    diff = _jpeg_extend(rd.bits(cat), cat) if cat else 0
+                    e = ldc[(u32[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF]
+                    if not e:
+                        raise ValueError("invalid JPEG huffman code")
+                    pos += e >> 8
+                    cat = e & 0xFF
+                    if cat:
+                        v = (u32[pos >> 3] >> (32 - (pos & 7) - cat)) & (
+                            (1 << cat) - 1
+                        )
+                        pos += cat
+                        diff = (
+                            v
+                            if v >= (1 << (cat - 1))
+                            else v - (1 << cat) + 1
+                        )
+                    else:
+                        diff = 0
                     prev_dc[c["id"]] += diff
                     zz[0] = prev_dc[c["id"]]
                     k = 1
                     while k < 64:
-                        rs = rd.huff(huff[(1, ta)])
+                        e = lac[
+                            (u32[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF
+                        ]
+                        if not e:
+                            raise ValueError("invalid JPEG huffman code")
+                        pos += e >> 8
+                        rs = e & 0xFF
                         r, s = rs >> 4, rs & 0xF
                         if s == 0:
                             if r == 15:
@@ -1523,18 +1668,38 @@ def _decode_jpeg(b: bytes, return_coeffs: bool = False,
                                 continue
                             break  # EOB
                         k += r
-                        zz[k] = _jpeg_extend(rd.bits(s), s)
+                        v = (u32[pos >> 3] >> (32 - (pos & 7) - s)) & (
+                            (1 << s) - 1
+                        )
+                        pos += s
+                        zz[k] = (
+                            v
+                            if v >= (1 << (s - 1))
+                            else v - (1 << s) + 1
+                        )
                         k += 1
                     if return_coeffs:
                         coeffs[ci].extend(zz)
-                    q = qt[c["tq"]]
-                    blk = np.zeros(64)
-                    for i in range(64):
-                        blk[_JPEG_ZZ[i]] = zz[i] * q[_JPEG_ZZ[i]]
-                    pix = dct.T @ blk.reshape(8, 8) @ dct + 128.0
-                    py0 = (my * c["v"] + vy) * 8
-                    px0 = (mx * c["h"] + vx) * 8
-                    planes[ci][py0 : py0 + 8, px0 : px0 + 8] = pix
+                    blk_meta.append(
+                        (ci, (my * c["v"] + vy) * 8, (mx * c["h"] + vx) * 8)
+                    )
+                    blk_zz.extend(zz)
+    if blk_zz:
+        zzarr = np.asarray(blk_zz, dtype=np.float64).reshape(-1, 64)
+        qtab = np.asarray(
+            [qt[c["tq"]] for c in comps], dtype=np.float64
+        )
+        ci_arr = np.fromiter(
+            (m[0] for m in blk_meta), dtype=np.intp, count=len(blk_meta)
+        )
+        zzidx = np.asarray(_JPEG_ZZ)
+        nat = np.zeros_like(zzarr)
+        nat[:, zzidx] = zzarr
+        nat *= qtab[ci_arr]
+        # dct.T @ B @ dct, batched via broadcasting matmul (BLAS path)
+        pix_all = dct.T @ nat.reshape(-1, 8, 8) @ dct + 128.0
+        for t, (ci, py0, px0) in enumerate(blk_meta):
+            planes[ci][py0 : py0 + 8, px0 : px0 + 8] = pix_all[t]
     dims = {"width": w, "height": h, "duration_ms": None}
     if not (return_coeffs or return_raster):
         return dims

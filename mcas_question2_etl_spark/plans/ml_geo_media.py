@@ -32,6 +32,18 @@ from ..registry import QuerySpec
 SPECS: list[QuerySpec] = []
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin a tiny params projection across the cluster's
+    parallelism before a CPU-bound Python codec kernel. The documents
+    dimension reads as ONE parquet split at bench scale, so without
+    this every mapInPandas codec stage serializes on a single core —
+    the r8 bench probe showed the JPEG spec running 1 task on a
+    32-core box. The shuffled rows are a handful of ints per doc;
+    at 100 TB the decode fleet scales with executors, not with the
+    input file count."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _spec(name: str, oracle: str | None, survey_ref: str):
     def wrap(fn):
         SPECS.append(QuerySpec(name=name, fn=fn, oracle=oracle, survey_ref=survey_ref))
@@ -225,7 +237,7 @@ def multimodal_strict_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = docs.mapInPandas(encode, schema=payload_schema)
+    media = _fan_out(docs).mapInPandas(encode, schema=payload_schema)
     feats = mm.extract_features(
         media.select("media_id", "media_type", "payload"),
         decoder=mm.strict_decoder,
@@ -674,7 +686,7 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    feats = docs.mapInPandas(encode_decode, schema=out_schema)
+    feats = _fan_out(docs).mapInPandas(encode_decode, schema=out_schema)
     return feats.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_gifs"),
         F.sum("width").cast("bigint").alias("sum_width"),
@@ -773,7 +785,7 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    feats = docs.mapInPandas(encode_decode, schema=out_schema)
+    feats = _fan_out(docs).mapInPandas(encode_decode, schema=out_schema)
     return feats.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tiffs"),
         F.sum("width").cast("bigint").alias("sum_width"),
@@ -885,7 +897,7 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    feats = docs.mapInPandas(encode_decode, schema=out_schema)
+    feats = _fan_out(docs).mapInPandas(encode_decode, schema=out_schema)
     return feats.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_jpegs"),
         F.sum("width").cast("bigint").alias("sum_width"),
@@ -966,7 +978,7 @@ def audio_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    feats = docs.mapInPandas(roundtrip, schema=out_schema)
+    feats = _fan_out(docs).mapInPandas(roundtrip, schema=out_schema)
     return feats.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_samples").cast("bigint").alias("sum_samples"),
