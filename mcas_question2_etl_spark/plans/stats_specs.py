@@ -4110,3 +4110,37 @@ def lepage_price_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
     )
     return lepage_test(src, "grp", "v")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 146: Cucconi location-scale two-sample test
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.evaluation import cucconi_test, cucconi_test_sql
+
+
+@_spec(
+    "cucconi_price_returnflag",
+    cucconi_test_sql(
+        """SELECT l_returnflag = 'R' AS grp,
+                  CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+           FROM lineitem WHERE l_returnflag IN ('R', 'N')""",
+        "grp",
+        "v",
+    ),
+    "stats op — Cucconi squared-ranks location-scale test of extended "
+    "price between returned (R) and normal (N) lines, the classical "
+    "sibling of lepage_price_returnflag run on the SAME two samples: "
+    "U/V standardize squared ranks from both ends, C combines them "
+    "with their exact negative correlation. Deliberate cross-check "
+    "pairing — two different rank statistics agreeing (or not) on one "
+    "comparison is itself diagnostic. Mid-rank exactness ledger in "
+    "the operator docstring: U4 exact bigint, V4 from the expansion "
+    "4(N+1)^2 n_x - 4(N+1) W2 + U4 — no second rank pass.",
+)
+def cucconi_price_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.filter(F.col("l_returnflag").isin("R", "N")).select(
+        (F.col("l_returnflag") == "R").alias("grp"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
+    )
+    return cucconi_test(src, "grp", "v")
