@@ -6680,11 +6680,17 @@ def lepage_test(
         )
     )
     r2 = 2 * F.col("rmin") + F.col("c") - 1  # doubled mid-rank, exact
+    # Σc·R2² ~ 4N³ wraps a non-ANSI bigint accumulator past N ~ 1.3e6
+    # rows — DECIMAL(38,0) keeps it exact to N ~ 1e12 (r8 hardening;
+    # per-term R2² stays bigint-safe to N ~ 1.5e9, documented bound)
     agg = perval.agg(
         F.sum("c").cast("bigint").alias("n"),
         F.sum("m").cast("bigint").alias("nx"),
         F.sum(F.col("m") * r2).cast("bigint").alias("w2"),
-        F.sum(F.col("c") * r2 * r2).cast("bigint").alias("ssr2"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)")
+            * (r2 * r2).cast("decimal(38,0)")
+        ).alias("ssr2"),
         F.sum("sa").cast("bigint").alias("sa_tot"),
         F.sum(
             F.col("m").cast("double")
@@ -6700,10 +6706,13 @@ def lepage_test(
     n = F.col("n").cast("double")
     m = F.col("nx").cast("double")  # group TRUE size
     nn2 = n - m
-    # doubled Wilcoxon SS: exact bigint (mean doubled mid-rank = n+1)
+    # doubled Wilcoxon SS: exact decimal (mean doubled mid-rank = n+1;
+    # n(n+1)² itself outgrows bigint past N ~ 2e6)
     ss2_w = (
         F.col("ssr2")
-        - F.col("n") * (F.col("n") + 1) * (F.col("n") + 1)
+        - F.col("n").cast("decimal(38,0)")
+        * (F.col("n") + 1).cast("decimal(38,0)")
+        * (F.col("n") + 1).cast("decimal(38,0)")
     ).cast("double")
     var_w = m * nn2 * ss2_w / (4.0 * n * (n - 1.0))
     z_w = (
@@ -6758,8 +6767,9 @@ def lepage_test_sql(
       SELECT CAST(SUM(c) AS BIGINT) AS n,
              CAST(SUM(m) AS BIGINT) AS nx,
              CAST(SUM(m * (2 * rmin + c - 1)) AS BIGINT) AS w2,
-             CAST(SUM(c * (2 * rmin + c - 1) * (2 * rmin + c - 1))
-                  AS BIGINT) AS ssr2,
+             SUM(CAST(c AS DECIMAL(38,0))
+                 * CAST((2 * rmin + c - 1) * (2 * rmin + c - 1)
+                        AS DECIMAL(38,0))) AS ssr2,
              CAST(SUM(sa) AS BIGINT) AS sa_tot,
              SUM(CAST(m AS DOUBLE) * CAST(sa AS DOUBLE)
                  / CAST(c AS DOUBLE)) AS ab,
@@ -6772,7 +6782,9 @@ def lepage_test_sql(
         (CAST(w2 - nx * (n + 1) AS DOUBLE) / 2.0)
           / sqrt(CAST(nx AS DOUBLE) * (CAST(n AS DOUBLE)
                  - CAST(nx AS DOUBLE))
-                 * CAST(ssr2 - n * (n + 1) * (n + 1) AS DOUBLE)
+                 * CAST(ssr2 - CAST(n AS DECIMAL(38,0))
+                        * CAST(n + 1 AS DECIMAL(38,0))
+                        * CAST(n + 1 AS DECIMAL(38,0)) AS DOUBLE)
                  / (4.0 * CAST(n AS DOUBLE)
                     * (CAST(n AS DOUBLE) - 1.0))) AS z_w,
         (ab - CAST(nx * sa_tot AS DOUBLE) / CAST(n AS DOUBLE))
@@ -6850,16 +6862,26 @@ def cucconi_test(
         F.min("__r").alias("rmin"),
     )
     r2 = 2 * F.col("rmin") + F.col("c") - 1  # doubled mid-rank, exact
+    # DECIMAL(38,0) accumulators: Σm·R2² ~ 4N³ wraps bigint past
+    # N ~ 1.3e6 rows (r8 hardening, same as lepage/mood)
     agg = perval.agg(
         F.sum("c").cast("bigint").alias("n"),
         F.sum("m").cast("bigint").alias("nx"),
         F.sum(F.col("m") * r2).cast("bigint").alias("w2"),
-        F.sum(F.col("m") * r2 * r2).cast("bigint").alias("u4"),
+        F.sum(
+            F.col("m").cast("decimal(38,0)")
+            * (r2 * r2).cast("decimal(38,0)")
+        ).alias("u4"),
     )
-    # V4 from the expansion — exact bigint, no second rank pass
+    # V4 from the expansion — exact decimal, no second rank pass
     v4 = (
-        4 * (F.col("n") + 1) * (F.col("n") + 1) * F.col("nx")
-        - 4 * (F.col("n") + 1) * F.col("w2")
+        F.lit(4).cast("decimal(38,0)")
+        * (F.col("n") + 1).cast("decimal(38,0)")
+        * (F.col("n") + 1).cast("decimal(38,0)")
+        * F.col("nx").cast("decimal(38,0)")
+        - F.lit(4).cast("decimal(38,0)")
+        * (F.col("n") + 1).cast("decimal(38,0)")
+        * F.col("w2").cast("decimal(38,0)")
         + F.col("u4")
     )
     agg = agg.select(
@@ -6921,13 +6943,21 @@ def cucconi_test_sql(
       SELECT CAST(SUM(c) AS BIGINT) AS n,
              CAST(SUM(m) AS BIGINT) AS nx,
              CAST(SUM(m * (2 * rmin + c - 1)) AS BIGINT) AS w2,
-             CAST(SUM(m * (2 * rmin + c - 1) * (2 * rmin + c - 1))
-                  AS BIGINT) AS u4
+             SUM(CAST(m AS DECIMAL(38,0))
+                 * CAST((2 * rmin + c - 1) * (2 * rmin + c - 1)
+                        AS DECIMAL(38,0))) AS u4
       FROM perval
     ),
     ex AS (
       SELECT n, nx, u4,
-             4 * (n + 1) * (n + 1) * nx - 4 * (n + 1) * w2 + u4 AS v4
+             CAST(4 AS DECIMAL(38,0))
+               * CAST(n + 1 AS DECIMAL(38,0))
+               * CAST(n + 1 AS DECIMAL(38,0))
+               * CAST(nx AS DECIMAL(38,0))
+             - CAST(4 AS DECIMAL(38,0))
+               * CAST(n + 1 AS DECIMAL(38,0))
+               * CAST(w2 AS DECIMAL(38,0))
+             + u4 AS v4
       FROM agg
     ),
     z AS (
@@ -6959,4 +6989,145 @@ def cucconi_test_sql(
                   - 2.0 * rho * u_star * v_star)
                  / (2.0 * (1.0 - rho * rho)), {round_to}) AS c_stat
     FROM z
+    """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 147: Mood squared-rank scale test
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def mood_scale_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mood (1954) squared-rank SCALE test: scores are the squared
+    centered ranks ``s_i = (r_i − (N+1)/2)²``, T = Σ over sample x —
+    the pure-dispersion member of the rank-test family (median_test
+    is Mood's LOCATION test; this is his scale companion). Verdict
+    under ties via the GENERAL two-sample linear-rank moments on
+    mid-rank scores (exact, the lepage/cucconi discipline):
+    ``E[T] = n_x·s̄``, ``Var[T] = n_x·n_y/(N(N−1))·Σ(s_i − s̄)²``.
+
+    Exactness ledger: the doubled centered mid-rank
+    ``d_v = 2·lo + c − 1 − (N+1)`` is an exact integer, so
+    s4 = d² = 4·s is exact; T4 = Σ m_v·s4_v and SS4 = Σ c_v·s4_v
+    accumulate as DECIMAL(38,0) (the bigint accumulator would wrap at
+    Σ ≈ 4N³ ≈ 2^63 around N ~ 1.3e6 rows — a real 100× hazard; DuckDB
+    reaches HUGEINT on its own, Spark needs the explicit decimal).
+    The only unordered double sum is Q = Σ c_v·s4_v² (~16N⁵, far past
+    any integer width) — its ulp drift reaches z at relative ~1e-13,
+    and it is never emitted or ROUNDed. t_stat = T4/4 is emitted
+    unrounded: a once-cast exact decimal, bit-identical cross-engine.
+
+    One global rank window, one distinct-value rollup, one k-row
+    reduction. Output (one row): (n_x, n_y, t_stat, z_stat).
+    """
+    pts = df.select(
+        F.col(group_col).cast("boolean").alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    w = Window.orderBy(F.col("__v").asc(), F.col("__g").asc())
+    ranked = pts.withColumn("__r", F.row_number().over(w).cast("bigint"))
+    n_row = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    perval = (
+        ranked.crossJoin(F.broadcast(n_row))
+        .groupBy("__v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum(F.col("__g").cast("bigint")).cast("bigint").alias("m"),
+            F.min("__r").alias("rmin"),
+            F.max("__n").alias("n_tot"),
+        )
+    )
+    d = 2 * F.col("rmin") + F.col("c") - 1 - (F.col("n_tot") + 1)
+    s4 = (d * d).cast("decimal(38,0)")
+    agg = perval.agg(
+        F.max("n_tot").alias("n"),
+        F.sum("m").cast("bigint").alias("nx"),
+        F.sum(F.col("m").cast("decimal(38,0)") * s4).alias("__t4"),
+        F.sum(F.col("c").cast("decimal(38,0)") * s4).alias("__ss4"),
+        F.sum(
+            F.col("c").cast("double")
+            * s4.cast("double")
+            * s4.cast("double")
+        ).alias("__q"),
+    )
+    nn = F.col("n").cast("double")
+    nxd = F.col("nx").cast("double")
+    t4d = F.col("__t4").cast("double")
+    ss4d = F.col("__ss4").cast("double")
+    z = (t4d / 4.0 - nxd * ss4d / (4.0 * nn)) / F.sqrt(
+        (nxd * (nn - nxd) / (nn * (nn - 1.0)))
+        * ((F.col("__q") - ss4d * ss4d / nn) / 16.0)
+    )
+    return agg.select(
+        F.col("nx").alias("n_x"),
+        (F.col("n") - F.col("nx")).cast("bigint").alias("n_y"),
+        (t4d / 4.0).alias("t_stat"),
+        F.round(z, round_to).alias("z_stat"),
+    )
+
+
+def mood_scale_test_sql(
+    src_sql: str,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`mood_scale_test` (same rollup, same
+    DECIMAL(38,0) accumulators, same closed-form shapes)."""
+    return f"""
+    WITH src AS ({src_sql}),
+    pts AS (
+      SELECT ({group_col}) AS g, CAST({value_col} AS DOUBLE) AS v FROM src
+    ),
+    ranked AS (
+      SELECT g, v,
+             CAST(ROW_NUMBER() OVER (ORDER BY v ASC, g ASC) AS BIGINT)
+               AS r
+      FROM pts
+    ),
+    nrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ranked),
+    perval AS (
+      SELECT v,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS m,
+             CAST(MIN(r) AS BIGINT) AS rmin,
+             MAX(nrow.n) AS n_tot
+      FROM ranked CROSS JOIN nrow GROUP BY v
+    ),
+    scored AS (
+      SELECT c, m, n_tot,
+             CAST((2 * rmin + c - 1 - (n_tot + 1))
+                  * (2 * rmin + c - 1 - (n_tot + 1))
+                  AS DECIMAL(38,0)) AS s4
+      FROM perval
+    ),
+    agg AS (
+      SELECT MAX(n_tot) AS n,
+             CAST(SUM(m) AS BIGINT) AS nx,
+             SUM(CAST(m AS DECIMAL(38,0)) * s4) AS t4,
+             SUM(CAST(c AS DECIMAL(38,0)) * s4) AS ss4,
+             SUM(CAST(c AS DOUBLE) * CAST(s4 AS DOUBLE)
+                 * CAST(s4 AS DOUBLE)) AS q
+      FROM scored
+    )
+    SELECT nx AS n_x,
+           CAST(n - nx AS BIGINT) AS n_y,
+           CAST(t4 AS DOUBLE) / 4.0 AS t_stat,
+           ROUND((CAST(t4 AS DOUBLE) / 4.0
+                  - CAST(nx AS DOUBLE) * CAST(ss4 AS DOUBLE)
+                    / (4.0 * CAST(n AS DOUBLE)))
+                 / sqrt((CAST(nx AS DOUBLE)
+                         * (CAST(n AS DOUBLE) - CAST(nx AS DOUBLE))
+                         / (CAST(n AS DOUBLE)
+                            * (CAST(n AS DOUBLE) - 1.0)))
+                        * ((q - CAST(ss4 AS DOUBLE)
+                            * CAST(ss4 AS DOUBLE) / CAST(n AS DOUBLE))
+                           / 16.0)),
+                 {round_to}) AS z_stat
+    FROM agg
     """

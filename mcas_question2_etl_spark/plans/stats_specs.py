@@ -4144,3 +4144,36 @@ def cucconi_price_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
     )
     return cucconi_test(src, "grp", "v")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 147: Mood squared-rank scale test
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.evaluation import mood_scale_test, mood_scale_test_sql
+
+
+@_spec(
+    "mood_scale_price_returnflag",
+    mood_scale_test_sql(
+        """SELECT l_returnflag = 'R' AS grp,
+                  CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+           FROM lineitem WHERE l_returnflag IN ('R', 'N')""",
+        "grp",
+        "v",
+    ),
+    "stats op — Mood squared-rank SCALE test of extended price "
+    "between returned (R) and normal (N) lines: completes the "
+    "two-sample rank family on one comparison — mann_whitney (pure "
+    "location), mood_scale (pure dispersion), lepage + cucconi "
+    "(combined). Scores (r-(N+1)/2)^2 via exact doubled centered "
+    "mid-ranks; T4/SS4 accumulate as DECIMAL(38,0) (bigint would "
+    "wrap at ~4N^3 past N~1.3e6 rows — the 100x-scale hazard), and "
+    "the general tie-exact linear-rank moments standardize T.",
+)
+def mood_scale_price_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.filter(F.col("l_returnflag").isin("R", "N")).select(
+        (F.col("l_returnflag") == "R").alias("grp"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
+    )
+    return mood_scale_test(src, "grp", "v")
