@@ -906,6 +906,174 @@ def adf_unit_root_sql(
     """
 
 
+# ──────────────────────────────────────────────────────────────────────────
+# wave 148: KPSS level-stationarity test
+# ──────────────────────────────────────────────────────────────────────────
+
+_KPSS_MAX_LAG = 16  # covers T up to 100*(16/4)^4 = 25,600 periods
+
+
+def kpss_level_test(
+    daily: DataFrame,
+    date_col: str = "day",
+    value_col: str = "y",
+    round_to: int = 6,
+) -> DataFrame:
+    """KPSS test (Kwiatkowski-Phillips-Schmidt-Shin 1992) of LEVEL
+    stationarity — the complement of :func:`adf_unit_root`: ADF's
+    null is a unit root, KPSS's null is stationarity, and the pair
+    (reject/reject, fail/fail, split) is the standard four-way
+    diagnosis a single test can't give.
+
+      e_t = y_t − ȳ;  S_t = Σ_{i≤t} e_i;
+      LM = Σ S_t² / (T² σ̂²_lr);
+      σ̂²_lr = γ̂_0 + 2 Σ_{j=1}^{q} (1 − j/(q+1)) γ̂_j  (Bartlett),
+      q = min(16, ⌊4 (T/100)^{1/4}⌋)  (Schwert's rule).
+
+    Exactness: the series contract is INTEGER-VALUED (the daily count
+    rollup; pre-scale prices to cents) so scaled residuals
+    ``E_t = T·y_t − S`` and their prefix sums P_t are exact bigints;
+    P², and the lag products E_t·E_{t−j} accumulate as DECIMAL(38,0)
+    (P² alone is ~6e26 at sf0.1 — far past int64). The cancellation
+    LM = ΣP² / (T · (G_0 + 2Σ w_j G_j)) drops every power of T
+    beyond one. The PLAN is static despite the data-dependent
+    bandwidth: all 16 lag columns are computed and the Bartlett
+    weight ``greatest(0, 1 − j/(q+1))`` zeroes exactly those beyond
+    q — no dynamic column list, no second pass.
+
+    One ordered window (prefix sums + 16 lags) over the days-sized
+    rollup, one aggregate. Output (one row): (n_obs, q_lag, lm_stat).
+    """
+    w = Window.orderBy("__d")
+    wc = Window.orderBy("__d").rowsBetween(Window.unboundedPreceding, 0)
+    pts = daily.select(
+        F.col(date_col).alias("__d"),
+        F.col(value_col).cast("bigint").alias("__y"),
+    )
+    tot = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__t"),
+        F.sum("__y").cast("bigint").alias("__s"),
+    )
+    e = pts.crossJoin(F.broadcast(tot)).select(
+        "__d",
+        "__t",
+        (F.col("__t") * F.col("__y") - F.col("__s")).alias("__e"),
+    )
+    lagged = e.select(
+        "__t",
+        "__e",
+        F.sum("__e").over(wc).alias("__p"),
+        *[
+            F.lag("__e", j).over(w).alias(f"__l{j}")
+            for j in range(1, _KPSS_MAX_LAG + 1)
+        ],
+    )
+    dec = "decimal(38,0)"
+    agg = lagged.agg(
+        F.max("__t").alias("n"),
+        F.sum(
+            F.col("__p").cast(dec) * F.col("__p").cast(dec)
+        ).alias("__num"),
+        F.sum(F.col("__e").cast(dec) * F.col("__e").cast(dec)).alias(
+            "__g0"
+        ),
+        *[
+            F.sum(
+                F.col("__e").cast(dec) * F.col(f"__l{j}").cast(dec)
+            ).alias(f"__g{j}")
+            for j in range(1, _KPSS_MAX_LAG + 1)
+        ],
+    )
+    tt = F.col("n").cast("double")
+    q = F.least(
+        F.lit(_KPSS_MAX_LAG).cast("double"),
+        F.floor(4.0 * F.pow(tt / 100.0, 0.25)).cast("double"),
+    )
+    lr = F.col("__g0").cast("double")
+    for j in range(1, _KPSS_MAX_LAG + 1):
+        wj = F.greatest(F.lit(0.0), 1.0 - F.lit(float(j)) / (q + 1.0))
+        # coalesce: a lag beyond T-1 sums over zero rows -> NULL, and
+        # 0-weight * NULL would otherwise poison the whole chain
+        lr = lr + 2.0 * wj * F.coalesce(
+            F.col(f"__g{j}").cast("double"), F.lit(0.0)
+        )
+    lm = F.col("__num").cast("double") / (tt * lr)
+    return agg.select(
+        F.col("n").alias("n_obs"),
+        q.cast("bigint").alias("q_lag"),
+        F.round(lm, round_to).alias("lm_stat"),
+    )
+
+
+def kpss_level_test_sql(
+    daily_sql: str,
+    date_col: str = "day",
+    value_col: str = "y",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`kpss_level_test` (same scaled-integer
+    residuals, DECIMAL(38,0) accumulators, static 16-lag plan with
+    Bartlett-weight truncation)."""
+    mx = _KPSS_MAX_LAG
+    lag_cols = ",\n             ".join(
+        f"LAG(e, {j}) OVER (ORDER BY dd) AS l{j}" for j in range(1, mx + 1)
+    )
+    g_cols = ",\n             ".join(
+        f"SUM(CAST(e AS DECIMAL(38,0)) * CAST(l{j} AS DECIMAL(38,0)))"
+        f" AS g{j}"
+        for j in range(1, mx + 1)
+    )
+    lr_terms = "\n                 ".join(
+        f"+ 2.0 * GREATEST(0.0, 1.0 - {float(j)!r} / (q + 1.0))"
+        f" * COALESCE(CAST(g{j} AS DOUBLE), 0.0)"
+        for j in range(1, mx + 1)
+    )
+    return f"""
+    WITH d AS ({daily_sql}),
+    pts AS (
+      SELECT {date_col} AS dd, CAST({value_col} AS BIGINT) AS y FROM d
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS t, CAST(SUM(y) AS BIGINT) AS s
+      FROM pts
+    ),
+    e AS (
+      SELECT dd, t, t * y - s AS e FROM pts CROSS JOIN tot
+    ),
+    lagged AS (
+      SELECT t, e,
+             SUM(e) OVER (ORDER BY dd ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS p,
+             {lag_cols}
+      FROM e
+    ),
+    agg AS (
+      SELECT MAX(t) AS n,
+             SUM(CAST(p AS DECIMAL(38,0)) * CAST(p AS DECIMAL(38,0)))
+               AS num,
+             SUM(CAST(e AS DECIMAL(38,0)) * CAST(e AS DECIMAL(38,0)))
+               AS g0,
+             {g_cols}
+      FROM lagged
+    ),
+    qq AS (
+      SELECT *,
+             LEAST(CAST({mx} AS DOUBLE),
+                   FLOOR(4.0 * POW(CAST(n AS DOUBLE) / 100.0, 0.25)))
+               AS q
+      FROM agg
+    )
+    SELECT n AS n_obs,
+           CAST(q AS BIGINT) AS q_lag,
+           ROUND(CAST(num AS DOUBLE)
+                 / (CAST(n AS DOUBLE)
+                    * (CAST(g0 AS DOUBLE)
+                 {lr_terms})),
+                 {round_to}) AS lm_stat
+    FROM qq
+    """
+
+
 def engle_granger(
     xy: DataFrame,
     date_col: str = "day",

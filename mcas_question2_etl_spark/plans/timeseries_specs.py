@@ -2374,3 +2374,29 @@ def theta_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y")
     )
     return timeseries.theta_forecast(daily)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 148: KPSS level-stationarity test
+# ──────────────────────────────────────────────────────────────────────────
+
+
+@_spec(
+    "kpss_level_daily",
+    regression.kpss_level_test_sql(_TOTAL_DAILY_SQL.strip(), value_col="c"),
+    "timeseries op — KPSS level-stationarity test on daily total "
+    "event counts, the NULL-reversed complement of "
+    "adf_unit_root_daily on the SAME series: ADF's null is a unit "
+    "root, KPSS's null is stationarity, and the reject/fail four-way "
+    "is the standard joint diagnosis. Bartlett long-run variance at "
+    "Schwert bandwidth via a STATIC 16-lag plan (data-dependent "
+    "truncation enters only through greatest(0, 1-j/(q+1)) weights); "
+    "scaled integer residuals T*y - S keep every prefix sum exact, "
+    "P^2 and lag products accumulate as DECIMAL(38,0).",
+)
+def kpss_level_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return regression.kpss_level_test(daily, value_col="c")
