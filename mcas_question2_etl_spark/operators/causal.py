@@ -415,3 +415,179 @@ def diff_in_diff_sql(
            ROUND({_mean('tpost')} - {_mean('cpost')}, {round_to}) AS post_gap
     FROM agg
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 149: sharp regression-discontinuity estimator
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def rdd_sharp(
+    df: DataFrame,
+    running_col: str,
+    outcome_col: str,
+    cutoff: float,
+    bandwidth: float,
+    round_to: int = 6,
+) -> DataFrame:
+    """Sharp regression-discontinuity estimate: local LINEAR fits on
+    each side of the cutoff within a fixed bandwidth, effect = the
+    jump between the two intercepts AT the cutoff,
+
+      left:  x ∈ [c−h, c),  right: x ∈ [c, c+h];
+      per side OLS  y = a + b·(x−c);   τ = a_R − a_L;
+      SE(τ)² = Var(a_R) + Var(a_L),
+      Var(a) = σ̂²·(1/n + x̄²/S_xx),  σ̂² = SSE/(n−2)
+
+    — the uniform-kernel local-linear form (Imbens & Lemieux 2008),
+    the observational-jump sibling of diff_in_diff (which needs a
+    control group; RDD substitutes the continuity assumption).
+
+    Exactness ledger (the chow/segmented discipline): the running
+    variable contract is integer-or-2-decimal, the outcome is
+    DECIMAL(18,2), so every per-side moment (n, Σd, Σd², Σy, Σdy,
+    Σy² — d = x−c at 2 decimals) is an exact DECIMAL conditional sum
+    — order-free at any partitioning; only the closed-form
+    intercepts/variances run in double, identical shapes in both
+    engines. One conditional aggregate over the banded scan —
+    filters push to the parquet scan, O(rows in band) with no
+    shuffle beyond the 1-row reduction.
+
+    Output (one row): (n_left, n_right, slope_left, slope_right,
+    effect, t_stat).
+    """
+    c = float(cutoff)
+    h = float(bandwidth)
+    d = (
+        F.col(running_col).cast("decimal(18,2)")
+        - F.lit(c).cast("decimal(18,2)")
+    ).cast("decimal(18,2)")
+    y = F.col(outcome_col).cast("decimal(18,2)")
+    left = (F.col(running_col) >= c - h) & (F.col(running_col) < c)
+    right = (F.col(running_col) >= c) & (F.col(running_col) <= c + h)
+    zero2 = F.lit(0).cast("decimal(18,2)")
+    zero4 = F.lit(0).cast("decimal(38,4)")
+
+    def _side(tag: str, cond):
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(
+                f"n_{tag}"
+            ),
+            F.sum(F.when(cond, d).otherwise(zero2)).alias(f"sd_{tag}"),
+            F.sum(F.when(cond, d * d).otherwise(zero4)).alias(
+                f"sdd_{tag}"
+            ),
+            F.sum(F.when(cond, y).otherwise(zero2)).alias(f"sy_{tag}"),
+            F.sum(F.when(cond, d * y).otherwise(zero4)).alias(
+                f"sdy_{tag}"
+            ),
+            F.sum(F.when(cond, y * y).otherwise(zero4)).alias(
+                f"syy_{tag}"
+            ),
+        ]
+
+    agg = df.filter(left | right).agg(*_side("l", left), *_side("r", right))
+
+    def _fit(tag: str):
+        n = F.col(f"n_{tag}").cast("double")
+        sd = F.col(f"sd_{tag}").cast("double")
+        sdd = F.col(f"sdd_{tag}").cast("double")
+        sy = F.col(f"sy_{tag}").cast("double")
+        sdy = F.col(f"sdy_{tag}").cast("double")
+        syy = F.col(f"syy_{tag}").cast("double")
+        sxx = sdd - sd * sd / n
+        sxy = sdy - sd * sy / n
+        syy_c = syy - sy * sy / n
+        b = sxy / sxx
+        a = sy / n - b * (sd / n)
+        sse = syy_c - b * sxy
+        var_a = (sse / (n - 2.0)) * (1.0 / n + (sd / n) * (sd / n) / sxx)
+        return b, a, var_a
+
+    b_l, a_l, v_l = _fit("l")
+    b_r, a_r, v_r = _fit("r")
+    tau = a_r - a_l
+    # degenerate exact fits (SSE = 0 both sides) have no sampling
+    # noise to test against: t_stat is NULL, same contract in the twin
+    t_stat = F.when(
+        v_l + v_r > 0, F.round(tau / F.sqrt(v_l + v_r), round_to)
+    )
+    return agg.select(
+        F.col("n_l").alias("n_left"),
+        F.col("n_r").alias("n_right"),
+        F.round(b_l, round_to).alias("slope_left"),
+        F.round(b_r, round_to).alias("slope_right"),
+        F.round(tau, round_to).alias("effect"),
+        t_stat.alias("t_stat"),
+    )
+
+
+def rdd_sharp_sql(
+    src_sql: str,
+    running_col: str,
+    outcome_col: str,
+    cutoff: float,
+    bandwidth: float,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`rdd_sharp` (same DECIMAL conditional
+    sums, same closed-form order)."""
+    c, h = float(cutoff), float(bandwidth)
+    d = f"(CAST({running_col} AS DECIMAL(18,2)) - {c!r})"
+    y = f"CAST({outcome_col} AS DECIMAL(18,2))"
+    left = f"({running_col} >= {c - h!r} AND {running_col} < {c!r})"
+    right = f"({running_col} >= {c!r} AND {running_col} <= {c + h!r})"
+
+    def _side(tag, cond):
+        z2 = "CAST(0 AS DECIMAL(18,2))"
+        z4 = "CAST(0 AS DECIMAL(38,4))"
+        return f"""
+             CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_{tag},
+             SUM(CASE WHEN {cond} THEN {d} ELSE {z2} END) AS sd_{tag},
+             SUM(CASE WHEN {cond} THEN {d} * {d} ELSE {z4} END)
+               AS sdd_{tag},
+             SUM(CASE WHEN {cond} THEN {y} ELSE {z2} END) AS sy_{tag},
+             SUM(CASE WHEN {cond} THEN {d} * {y} ELSE {z4} END)
+               AS sdy_{tag},
+             SUM(CASE WHEN {cond} THEN {y} * {y} ELSE {z4} END)
+               AS syy_{tag}"""
+
+    def _fit(tag):
+        n = f"CAST(n_{tag} AS DOUBLE)"
+        sd = f"CAST(sd_{tag} AS DOUBLE)"
+        sdd = f"CAST(sdd_{tag} AS DOUBLE)"
+        sy = f"CAST(sy_{tag} AS DOUBLE)"
+        sdy = f"CAST(sdy_{tag} AS DOUBLE)"
+        syy = f"CAST(syy_{tag} AS DOUBLE)"
+        sxx = f"({sdd} - {sd} * {sd} / {n})"
+        sxy = f"({sdy} - {sd} * {sy} / {n})"
+        syyc = f"({syy} - {sy} * {sy} / {n})"
+        b = f"({sxy} / {sxx})"
+        a = f"({sy} / {n} - {b} * ({sd} / {n}))"
+        var_a = (
+            f"((({syyc} - {b} * {sxy}) / ({n} - 2.0))"
+            f" * (1.0 / {n} + ({sd} / {n}) * ({sd} / {n}) / {sxx}))"
+        )
+        return b, a, var_a
+
+    b_l, a_l, v_l = _fit("l")
+    b_r, a_r, v_r = _fit("r")
+    return f"""
+    WITH src AS ({src_sql}),
+    agg AS (
+      SELECT {_side('l', left)},
+             {_side('r', right)}
+      FROM src WHERE {left} OR {right}
+    )
+    SELECT n_l AS n_left,
+           n_r AS n_right,
+           ROUND({b_l}, {round_to}) AS slope_left,
+           ROUND({b_r}, {round_to}) AS slope_right,
+           ROUND({a_r} - {a_l}, {round_to}) AS effect,
+           CASE WHEN {v_l} + {v_r} > 0
+                THEN ROUND(({a_r} - {a_l}) / SQRT({v_l} + {v_r}),
+                           {round_to})
+           END AS t_stat
+    FROM agg
+    """

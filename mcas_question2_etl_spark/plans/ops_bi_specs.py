@@ -1956,3 +1956,36 @@ def skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("neg_rev_e4", "n_lines"), ("neg_disc_bp", "n_lines"),
          ("n_returns", "n_lines")],
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 149: sharp regression-discontinuity estimator
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.causal import rdd_sharp, rdd_sharp_sql
+
+
+@_spec(
+    "rdd_quantity_price_jump",
+    rdd_sharp_sql(
+        "SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem",
+        "x",
+        "y",
+        cutoff=25.0,
+        bandwidth=10.0,
+    ),
+    "causal op — sharp regression discontinuity of extended price on "
+    "the quantity running variable at the 25-unit threshold "
+    "(bandwidth 10, uniform kernel, local linear both sides): does "
+    "the price-vs-quantity line JUMP at the cutoff, beyond what the "
+    "two slopes explain? The observational-jump sibling of "
+    "did_event_value — no control group, continuity assumption "
+    "instead. All six per-side moments are exact DECIMAL conditional "
+    "sums in one banded aggregate; the band filter pushes to the "
+    "parquet scan.",
+)
+def rdd_quantity_price_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    return rdd_sharp(li, "x", "y", cutoff=25.0, bandwidth=10.0)
