@@ -591,3 +591,160 @@ def rdd_sharp_sql(
            END AS t_stat
     FROM agg
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 150: just-identified IV / two-stage least squares
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def iv_2sls(
+    df: DataFrame,
+    outcome_col: str,
+    endog_col: str,
+    instrument_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Just-identified instrumental-variables estimate (one endogenous
+    regressor x, one instrument z, intercepts):
+
+      ``β_IV = Cov(z,y) / Cov(z,x)``  (the Wald/2SLS coincidence in
+      the just-identified case), ``α = ȳ − β_IV·x̄``;
+      first-stage strength ``F = t²`` from OLS x ~ z;
+      ``Var(β_IV) = σ̂_u²·S_zz / S_zx²`` with
+      ``σ̂_u² = (S_yy − 2β S_xy + β² S_xx)/(n−2)`` (structural
+      residuals through the ORIGINAL x, the 2SLS convention).
+
+    β_OLS is emitted alongside β_IV: the bias gap between them IS the
+    diagnostic this estimator exists for (diff_in_diff needs a
+    pre-period, rdd_sharp needs a cutoff; IV needs only exogeneity of
+    z). Exactness: nine raw moments (n, Σx, Σy, Σz, Σx², Σy², Σz²,
+    Σxy, Σxz, Σzy) accumulate as exact DECIMAL sums of 2-decimal
+    inputs — order-free; every estimate is a fixed closed form on
+    their bit-identical double casts, identical shape in the twin.
+    One aggregate over the scan, O(rows), no shuffle beyond the 1-row
+    reduction.
+
+    Output (one row): (n, beta_ols, beta_iv, alpha_iv,
+    first_stage_f, t_iv).
+    """
+    x = F.col(endog_col).cast("decimal(18,2)")
+    y = F.col(outcome_col).cast("decimal(18,2)")
+    z = F.col(instrument_col).cast("decimal(18,2)")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(z).alias("sz"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(z * z).alias("szz"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * z).alias("sxz"),
+        F.sum(z * y).alias("szy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy, sz = (F.col(c).cast("double") for c in ("sx", "sy", "sz"))
+    sxx, syy, szz = (
+        F.col(c).cast("double") for c in ("sxx", "syy", "szz")
+    )
+    sxy, sxz, szy = (
+        F.col(c).cast("double") for c in ("sxy", "sxz", "szy")
+    )
+    cxx = sxx - sx * sx / n
+    cyy = syy - sy * sy / n
+    czz = szz - sz * sz / n
+    cxy = sxy - sx * sy / n
+    czx = sxz - sz * sx / n
+    czy = szy - sz * sy / n
+    beta_ols = cxy / cxx
+    beta_iv = czy / czx
+    alpha_iv = sy / n - beta_iv * (sx / n)
+    b1 = czx / czz
+    fs_f = (
+        b1 * b1 * czz / ((cxx - b1 * b1 * czz) / (n - 2.0))
+    )
+    su2 = (cyy - 2.0 * beta_iv * cxy + beta_iv * beta_iv * cxx) / (
+        n - 2.0
+    )
+    t_iv = beta_iv / F.sqrt(su2 * czz / (czx * czx))
+    return agg.select(
+        "n",
+        F.round(beta_ols, round_to).alias("beta_ols"),
+        F.round(beta_iv, round_to).alias("beta_iv"),
+        F.round(alpha_iv, round_to).alias("alpha_iv"),
+        F.round(fs_f, round_to).alias("first_stage_f"),
+        F.round(t_iv, round_to).alias("t_iv"),
+    )
+
+
+def iv_2sls_sql(
+    src_sql: str,
+    outcome_col: str,
+    endog_col: str,
+    instrument_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`iv_2sls` (same DECIMAL moments, same
+    closed-form order)."""
+    x = f"CAST({endog_col} AS DECIMAL(18,2))"
+    y = f"CAST({outcome_col} AS DECIMAL(18,2))"
+    z = f"CAST({instrument_col} AS DECIMAL(18,2))"
+    return f"""
+    WITH src AS ({src_sql}),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM({x}) AS sx, SUM({y}) AS sy, SUM({z}) AS sz,
+             SUM({x} * {x}) AS sxx, SUM({y} * {y}) AS syy,
+             SUM({z} * {z}) AS szz,
+             SUM({x} * {y}) AS sxy, SUM({x} * {z}) AS sxz,
+             SUM({z} * {y}) AS szy
+      FROM src
+    ),
+    cen AS (
+      SELECT n,
+             CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+             CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                 / CAST(n AS DOUBLE) AS cxx,
+             CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                 / CAST(n AS DOUBLE) AS cyy,
+             CAST(szz AS DOUBLE)
+               - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+                 / CAST(n AS DOUBLE) AS czz,
+             CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                 / CAST(n AS DOUBLE) AS cxy,
+             CAST(sxz AS DOUBLE)
+               - CAST(sz AS DOUBLE) * CAST(sx AS DOUBLE)
+                 / CAST(n AS DOUBLE) AS czx,
+             CAST(szy AS DOUBLE)
+               - CAST(sz AS DOUBLE) * CAST(sy AS DOUBLE)
+                 / CAST(n AS DOUBLE) AS czy
+      FROM agg
+    ),
+    fit AS (
+      SELECT n, sx, sy, cxx, cyy, czz, cxy, czx, czy,
+             cxy / cxx AS beta_ols,
+             czy / czx AS beta_iv,
+             czx / czz AS b1
+      FROM cen
+    )
+    SELECT n,
+           ROUND(beta_ols, {round_to}) AS beta_ols,
+           ROUND(beta_iv, {round_to}) AS beta_iv,
+           ROUND(sy / CAST(n AS DOUBLE)
+                 - beta_iv * (sx / CAST(n AS DOUBLE)),
+                 {round_to}) AS alpha_iv,
+           ROUND(b1 * b1 * czz
+                 / ((cxx - b1 * b1 * czz) / (CAST(n AS DOUBLE) - 2.0)),
+                 {round_to}) AS first_stage_f,
+           ROUND(beta_iv
+                 / SQRT(((cyy - 2.0 * beta_iv * cxy
+                          + beta_iv * beta_iv * cxx)
+                         / (CAST(n AS DOUBLE) - 2.0))
+                        * czz / (czx * czx)),
+                 {round_to}) AS t_iv
+    FROM fit
+    """

@@ -1989,3 +1989,51 @@ def rdd_quantity_price_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("y"),
     )
     return rdd_sharp(li, "x", "y", cutoff=25.0, bandwidth=10.0)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 150: just-identified IV / 2SLS on a planted endogenous system
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.causal import iv_2sls, iv_2sls_sql
+
+# deterministic endogenous system from o_orderkey (documented fixture,
+# the phash planted-near-dup pattern): u = key%5 is the CONFOUNDER
+# (enters both x and y), z = key%7 the exogenous instrument, true
+# structural effect = 2. OLS is biased upward by the confounder path;
+# beta_iv recovers ~2 — the spec's own check of the estimator's point.
+_IV_SRC_SQL = """
+    SELECT CAST(o_orderkey % 7 AS DECIMAL(18,2)) AS z,
+           CAST(o_orderkey % 7 + 2 * (o_orderkey % 5)
+                AS DECIMAL(18,2)) AS x,
+           CAST(2 * (o_orderkey % 7 + 2 * (o_orderkey % 5))
+                + 5 * (o_orderkey % 5) + (o_orderkey % 11)
+                AS DECIMAL(18,2)) AS y
+    FROM orders
+"""
+
+
+@_spec(
+    "iv_planted_order_system",
+    iv_2sls_sql(_IV_SRC_SQL.strip(), "y", "x", "z"),
+    "causal op — just-identified IV/2SLS on a planted endogenous "
+    "system derived deterministically from o_orderkey: confounder "
+    "u = key%5 enters both the endogenous x and the outcome y, "
+    "instrument z = key%7 enters only x, true structural effect 2. "
+    "beta_ols is biased by the confounder path; beta_iv = "
+    "Cov(z,y)/Cov(z,x) recovers it, with the first-stage F and the "
+    "2SLS-convention t. Completes the observational toolkit beside "
+    "did_event_value (parallel trends), rdd_quantity_price_jump "
+    "(continuity), cem/ipw (ignorability) — IV needs only instrument "
+    "exogeneity. Nine exact DECIMAL moments in one aggregate.",
+)
+def iv_planted_order_system(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    src = orders.select(
+        (k % 7).cast("decimal(18,2)").alias("z"),
+        (k % 7 + 2 * (k % 5)).cast("decimal(18,2)").alias("x"),
+        (2 * (k % 7 + 2 * (k % 5)) + 5 * (k % 5) + (k % 11))
+        .cast("decimal(18,2)")
+        .alias("y"),
+    )
+    return iv_2sls(src, "y", "x", "z")
