@@ -7131,3 +7131,156 @@ def mood_scale_test_sql(
                  {round_to}) AS z_stat
     FROM agg
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 151: Hodges-Lehmann two-sample shift estimator
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def hodges_lehmann_shift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Hodges-Lehmann two-sample shift estimate: the MEDIAN of all
+    m·n pairwise differences x_i − y_j — the location estimator the
+    Wilcoxon test implicitly inverts (30% efficiency loss vs the mean
+    under normality, but a 29% breakdown point vs the mean's 0%), and
+    the robust answer to "how big is the shift mann_whitney detected?"
+
+    Scale shape — HISTOGRAM-space pairwise, never row-pairs: both
+    samples reduce to (distinct value, count) histograms first, the
+    cross product is O(d_x·d_y) where d_* are DISTINCT 2-decimal
+    value counts (bounded by the value domain, not by row count), and
+    the median of differences is the exact WEIGHTED median over that
+    product (cumulative weights in difference order, both middle
+    order statistics averaged for even totals). 100 TB of rows with a
+    bounded price domain still yields the same bounded product; the
+    contract is the caller feeds a bounded-domain measure (2-decimal
+    money/quantity), which every spec in this suite does.
+
+    Everything is exact: counts are bigints, differences are exact
+    DECIMAL(19,2), pair weights c_x·c_y and their prefix sums are
+    bigints, and the final average of the two middle differences is
+    one double operation on exact inputs — bit-identical cross-engine.
+
+    Output (one row): (n_x, n_y, n_pairs, hl_shift).
+    """
+    pts = df.select(
+        F.col(group_col).cast("boolean").alias("__g"),
+        F.col(value_col).cast("decimal(18,2)").alias("__v"),
+    )
+    hx = (
+        pts.filter(F.col("__g"))
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cx"))
+        .select(F.col("__v").alias("vx"), "cx")
+    )
+    hy = (
+        pts.filter(~F.col("__g"))
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cy"))
+        .select(F.col("__v").alias("vy"), "cy")
+    )
+    pairs = hx.crossJoin(hy).select(
+        (F.col("vx") - F.col("vy")).alias("d"),
+        (F.col("cx") * F.col("cy")).alias("w"),
+    )
+    # merge equal differences before the cumulative pass
+    hist = pairs.groupBy("d").agg(F.sum("w").cast("bigint").alias("w"))
+    wcum = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        "d", F.sum("w").over(wcum).alias("cum")
+    )
+    tot = pts.agg(
+        F.sum(F.when(F.col("__g"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_x"),
+        F.sum(F.when(F.col("__g"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_y"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    np_ = F.col("n_x") * F.col("n_y")
+    # middle order-statistic ranks: (N+1-(N+1)%2)/2 and
+    # (N+2-(N+2)%2)/2 give (ceil(N/2), floor(N/2)+1 for even N;
+    # both (N+1)/2 for odd N) with an even numerator, so the /2 is
+    # exact in either engine's division semantics
+    agg = j.agg(
+        F.max("n_x").alias("n_x"),
+        F.max("n_y").alias("n_y"),
+        F.max(np_).alias("n_pairs"),
+        F.min(
+            F.when(
+                F.col("cum") >= ((np_ + 1) - (np_ + 1) % 2) / 2,
+                F.col("d"),
+            )
+        ).alias("__d1"),
+        F.min(
+            F.when(
+                F.col("cum") >= ((np_ + 2) - (np_ + 2) % 2) / 2,
+                F.col("d"),
+            )
+        ).alias("__d2"),
+    )
+    return agg.select(
+        "n_x",
+        "n_y",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        (
+            (F.col("__d1").cast("double") + F.col("__d2").cast("double"))
+            / 2.0
+        ).alias("hl_shift"),
+    )
+
+
+def hodges_lehmann_shift_sql(
+    src_sql: str,
+    group_col: str,
+    value_col: str,
+) -> str:
+    """DuckDB twin of :func:`hodges_lehmann_shift` (same histogram
+    cross product, same weighted-median ranks)."""
+    return f"""
+    WITH src AS ({src_sql}),
+    pts AS (
+      SELECT ({group_col}) AS g, CAST({value_col} AS DECIMAL(18,2)) AS v
+      FROM src
+    ),
+    hx AS (
+      SELECT v AS vx, CAST(COUNT(*) AS BIGINT) AS cx
+      FROM pts WHERE g GROUP BY v
+    ),
+    hy AS (
+      SELECT v AS vy, CAST(COUNT(*) AS BIGINT) AS cy
+      FROM pts WHERE NOT g GROUP BY v
+    ),
+    hist AS (
+      SELECT vx - vy AS d, CAST(SUM(cx * cy) AS BIGINT) AS w
+      FROM hx CROSS JOIN hy GROUP BY 1
+    ),
+    cum AS (
+      SELECT d,
+             SUM(w) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+      FROM hist
+    ),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_x,
+             CAST(SUM(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS n_y
+      FROM pts
+    )
+    SELECT MAX(n_x) AS n_x,
+           MAX(n_y) AS n_y,
+           CAST(MAX(n_x * n_y) AS BIGINT) AS n_pairs,
+           (CAST(MIN(CASE WHEN cum >= ((n_x * n_y + 1)
+                                       - (n_x * n_y + 1) % 2) / 2
+                          THEN d END) AS DOUBLE)
+            + CAST(MIN(CASE WHEN cum >= ((n_x * n_y + 2)
+                                         - (n_x * n_y + 2) % 2) / 2
+                           THEN d END) AS DOUBLE)) / 2.0 AS hl_shift
+    FROM cum CROSS JOIN tot
+    """

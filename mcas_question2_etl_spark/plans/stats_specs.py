@@ -4177,3 +4177,43 @@ def mood_scale_price_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
     )
     return mood_scale_test(src, "grp", "v")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 151: Hodges-Lehmann two-sample shift estimator
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.evaluation import (
+    hodges_lehmann_shift,
+    hodges_lehmann_shift_sql,
+)
+
+
+@_spec(
+    "hl_shift_supplier_acctbal",
+    hodges_lehmann_shift_sql(
+        """SELECT s_nationkey < 12 AS grp,
+                  CAST(s_acctbal AS DECIMAL(18,2)) AS v
+           FROM supplier""",
+        "grp",
+        "v",
+    ),
+    "stats op — Hodges-Lehmann shift estimate (median of all m*n "
+    "pairwise differences) of supplier account balance between the "
+    "two nation hemispheres: the MAGNITUDE companion to the rank-test "
+    "family's significance answers. HISTOGRAM-space pairwise: both "
+    "sides reduce to (distinct 2-dp value, count) histograms, the "
+    "cross product is O(d_x*d_y) in DISTINCT values (domain-bounded, "
+    "row-count-free — the acctbal domain caps d at ~1.1e6 cents "
+    "values no matter how many rows feed it; a wide-domain measure "
+    "like extendedprice, ~2e5 distinct at sf0.1 alone, would need a "
+    "coarsen-first pass and is deliberately NOT this spec), and the "
+    "weighted-median ranks read one cumulative pass — no row-pair "
+    "join at any scale.",
+)
+def hl_shift_supplier_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    src = sup.select(
+        (F.col("s_nationkey") < 12).alias("grp"),
+        F.col("s_acctbal").cast("decimal(18,2)").alias("v"),
+    )
+    return hodges_lehmann_shift(src, "grp", "v")
