@@ -7284,3 +7284,195 @@ def hodges_lehmann_shift_sql(
                            THEN d END) AS DOUBLE)) / 2.0 AS hl_shift
     FROM cum CROSS JOIN tot
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 152: Quade range-weighted block rank test
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def quade_test(
+    df: DataFrame,
+    block_col: str,
+    treat_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Quade test (1979) for k treatments in n complete blocks — the
+    range-WEIGHTED upgrade of friedman_test: blocks where treatments
+    differ by a lot carry proportionally more weight (Friedman throws
+    that information away by using within-block ranks alone),
+
+      r_ij = within-block mid-rank of x_ij;
+      Q_i  = across-block mid-rank of the block RANGE
+             max_j x_ij − min_j x_ij;
+      S_ij = Q_i·(r_ij − (k+1)/2);  S_j = Σ_i S_ij;
+      F = (n−1)·B/(A−B),  A = Σ S_ij²,  B = (1/n) Σ_j S_j²
+      ~ F(k−1, (n−1)(k−1)).
+
+    Exactness ledger: DOUBLED mid-ranks make 2r_ij − (k+1) and 2Q_i
+    exact integers, so S4_ij = 2Q_i·(2r_ij−(k+1)) = 4·S_ij is exact;
+    S4_j sums are bigints and both quadratic accumulators (A4 = ΣS4²,
+    B4 = ΣS4_j²) run as DECIMAL(38,0) (they grow ~n³k², past int64
+    for large block counts). The factor 16 cancels in F. Blocks
+    missing any treatment are DROPPED (complete-block design, the
+    page_trend convention); A = B (all blocks ranking identically,
+    zero within-rank variance left) returns NULL f_stat — perfect
+    separation has no F-denominator, same contract in the twin.
+
+    One (block × treatment) rollup, two rank windows (within-block
+    over k, across-blocks over n), one broadcast join of the n-row
+    block-weight table, a k-row reduction. Output (one row):
+    (n_blocks, k_treatments, quade_f).
+    """
+    cell = df.groupBy(
+        F.col(block_col).alias("b"), F.col(treat_col).cast("bigint").alias("t")
+    ).agg(F.sum(F.col(value_col).cast("decimal(18,2)")).alias("v"))
+    kk = cell.agg(F.countDistinct("t").cast("bigint").alias("k"))
+    full = (
+        cell.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nt"),
+            F.collect_list(F.struct("t", "v")).alias("__c"),
+        )
+        .crossJoin(F.broadcast(kk))
+        .filter(F.col("nt") == F.col("k"))
+        .select("b", F.explode("__c").alias("e"), "k")
+        .select("b", F.col("e.t").alias("t"), F.col("e.v").alias("v"), "k")
+    )
+    # within-block doubled mid-ranks of v (ties share the mid-rank)
+    wr = Window.partitionBy("b").orderBy(F.col("v").asc())
+    wv = Window.partitionBy("b", "v")
+    ranked = full.select(
+        "b",
+        "t",
+        "k",
+        "v",
+        (
+            2 * F.rank().over(wr).cast("bigint")
+            + F.count(F.lit(1)).over(wv).cast("bigint")
+            - 1
+        ).alias("__dr2"),  # doubled mid-rank: 2*minrank + ties - 1
+    )
+    # block ranges and their across-block doubled mid-ranks
+    rng = full.groupBy("b").agg(
+        (F.max("v") - F.min("v")).alias("__rng")
+    )
+    wq = Window.orderBy(F.col("__rng").asc())
+    wqe = Window.partitionBy("__rng")
+    q = rng.select(
+        "b",
+        (
+            2 * F.rank().over(wq).cast("bigint")
+            + F.count(F.lit(1)).over(wqe).cast("bigint")
+            - 1
+        ).alias("__q2"),
+    )
+    joined = ranked.join(F.broadcast(q), "b")
+    s4 = F.col("__q2") * (F.col("__dr2") - (F.col("k") + 1))
+    per_t = joined.groupBy("t").agg(
+        F.max("k").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum(s4).cast("bigint").alias("__s4j"),
+        F.sum(
+            s4.cast("decimal(38,0)") * s4.cast("decimal(38,0)")
+        ).alias("__a4j"),
+    )
+    agg = per_t.agg(
+        F.max("k").alias("k"),
+        F.max("nb").cast("bigint").alias("n"),
+        F.sum("__a4j").alias("__a4"),
+        F.sum(
+            F.col("__s4j").cast("decimal(38,0)")
+            * F.col("__s4j").cast("decimal(38,0)")
+        ).alias("__b4n"),
+    )
+    nn = F.col("n").cast("double")
+    a4 = F.col("__a4").cast("double")
+    b4 = F.col("__b4n").cast("double") / nn
+    f = F.when(
+        a4 - b4 > 0,
+        F.round((nn - 1.0) * b4 / (a4 - b4), round_to),
+    )
+    return agg.select(
+        F.col("n").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        f.alias("quade_f"),
+    )
+
+
+def quade_test_sql(
+    src_sql: str,
+    block_col: str,
+    treat_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`quade_test` (same doubled mid-ranks,
+    DECIMAL(38,0) quadratic accumulators, same NULL contract)."""
+    return f"""
+    WITH src AS ({src_sql}),
+    cell AS (
+      SELECT {block_col} AS b, CAST({treat_col} AS BIGINT) AS t,
+             SUM(CAST({value_col} AS DECIMAL(18,2))) AS v
+      FROM src GROUP BY 1, 2
+    ),
+    kk AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM cell),
+    full_blocks AS (
+      SELECT b FROM cell CROSS JOIN kk
+      GROUP BY b, k HAVING COUNT(*) = MAX(k)
+    ),
+    fcell AS (
+      SELECT c.b, c.t, c.v, kk.k
+      FROM cell c JOIN full_blocks USING (b) CROSS JOIN kk
+    ),
+    ranked AS (
+      SELECT b, t, k,
+             2 * CAST(RANK() OVER (PARTITION BY b ORDER BY v ASC)
+                      AS BIGINT)
+             + CAST(COUNT(*) OVER (PARTITION BY b, v) AS BIGINT)
+             - 1 AS dr2
+      FROM fcell
+    ),
+    rng AS (
+      SELECT b, MAX(v) - MIN(v) AS rng FROM fcell GROUP BY b
+    ),
+    q AS (
+      SELECT b,
+             2 * CAST(RANK() OVER (ORDER BY rng ASC) AS BIGINT)
+             + CAST(COUNT(*) OVER (PARTITION BY rng) AS BIGINT)
+             - 1 AS q2
+      FROM rng
+    ),
+    scored AS (
+      SELECT r.t, r.k, q.q2 * (r.dr2 - (r.k + 1)) AS s4
+      FROM ranked r JOIN q USING (b)
+    ),
+    per_t AS (
+      SELECT t, MAX(k) AS k,
+             CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(SUM(s4) AS BIGINT) AS s4j,
+             SUM(CAST(s4 AS DECIMAL(38,0)) * CAST(s4 AS DECIMAL(38,0)))
+               AS a4j
+      FROM scored GROUP BY t
+    ),
+    agg AS (
+      SELECT MAX(k) AS k,
+             CAST(MAX(nb) AS BIGINT) AS n,
+             SUM(a4j) AS a4,
+             SUM(CAST(s4j AS DECIMAL(38,0)) * CAST(s4j AS DECIMAL(38,0)))
+               AS b4n
+      FROM per_t
+    )
+    SELECT n AS n_blocks,
+           k AS k_treatments,
+           CASE WHEN CAST(a4 AS DOUBLE)
+                     - CAST(b4n AS DOUBLE) / CAST(n AS DOUBLE) > 0
+                THEN ROUND((CAST(n AS DOUBLE) - 1.0)
+                           * (CAST(b4n AS DOUBLE) / CAST(n AS DOUBLE))
+                           / (CAST(a4 AS DOUBLE)
+                              - CAST(b4n AS DOUBLE) / CAST(n AS DOUBLE)),
+                           {round_to})
+           END AS quade_f
+    FROM agg
+    """

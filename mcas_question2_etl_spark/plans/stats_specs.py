@@ -4217,3 +4217,42 @@ def hl_shift_supplier_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal").cast("decimal(18,2)").alias("v"),
     )
     return hodges_lehmann_shift(src, "grp", "v")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 152: Quade range-weighted block rank test
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.evaluation import quade_test, quade_test_sql
+
+
+@_spec(
+    "quade_priority_revenue",
+    quade_test_sql(
+        """SELECT CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m')
+                       AS BIGINT) AS blk,
+                  CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS v
+           FROM orders""",
+        "blk",
+        "prio",
+        "v",
+    ),
+    "stats op — Quade range-weighted block rank test on the SAME "
+    "(month-block x priority) design as page_trend_priority_revenue "
+    "and friedman_event_type_ranks' family: blocks whose priorities "
+    "differ by a wide revenue RANGE carry proportionally more weight "
+    "(Friedman discards that via pure within-block ranks; Page adds "
+    "only monotone direction). Doubled mid-ranks keep S4 = 4*S "
+    "exact; quadratic accumulators run DECIMAL(38,0); A = B (perfect "
+    "separation) yields NULL quade_f by contract in both engines.",
+)
+def quade_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.select(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyyMM")
+        .cast("bigint")
+        .alias("blk"),
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("prio"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+    )
+    return quade_test(src, "blk", "prio", "v")
