@@ -6718,9 +6718,15 @@ def lepage_test(
     z_w = (
         (F.col("w2") - F.col("nx") * (F.col("n") + 1)).cast("double") / 2.0
     ) / F.sqrt(var_w)
-    mu_ab = (F.col("nx") * F.col("sa_tot")).cast("double") / n
+    # sa_tot ~ N²/4 so both products below outgrow int64 at sf0.1
+    # already (ANSI overflow caught by the r8 bench) — go via decimal
+    mu_ab = (
+        F.col("nx").cast("decimal(38,0)")
+        * F.col("sa_tot").cast("decimal(38,0)")
+    ).cast("double") / n
     ss_ab = F.col("sa2") - (
-        F.col("sa_tot") * F.col("sa_tot")
+        F.col("sa_tot").cast("decimal(38,0)")
+        * F.col("sa_tot").cast("decimal(38,0)")
     ).cast("double") / n
     var_ab = m * nn2 * ss_ab / (n * (n - 1.0))
     z_ab = (F.col("ab") - mu_ab) / F.sqrt(var_ab)
@@ -6787,10 +6793,12 @@ def lepage_test_sql(
                         * CAST(n + 1 AS DECIMAL(38,0)) AS DOUBLE)
                  / (4.0 * CAST(n AS DOUBLE)
                     * (CAST(n AS DOUBLE) - 1.0))) AS z_w,
-        (ab - CAST(nx * sa_tot AS DOUBLE) / CAST(n AS DOUBLE))
+        (ab - CAST(CAST(nx AS DECIMAL(38,0)) * CAST(sa_tot AS DECIMAL(38,0))
+               AS DOUBLE) / CAST(n AS DOUBLE))
           / sqrt(CAST(nx AS DOUBLE) * (CAST(n AS DOUBLE)
                  - CAST(nx AS DOUBLE))
-                 * (sa2 - CAST(sa_tot * sa_tot AS DOUBLE)
+                 * (sa2 - CAST(CAST(sa_tot AS DECIMAL(38,0))
+                    * CAST(sa_tot AS DECIMAL(38,0)) AS DOUBLE)
                     / CAST(n AS DOUBLE))
                  / (CAST(n AS DOUBLE)
                     * (CAST(n AS DOUBLE) - 1.0))) AS z_ab

@@ -5615,3 +5615,173 @@ def theta_forecast_sql(
            ROUND(e / CAST(m AS DOUBLE), {round_to}) AS mae_backtest
     FROM rec WHERE t = n
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 153: Holt-Winters additive seasonal backtest
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def holt_winters_backtest(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    alpha: float = 0.5,
+    beta: float = 0.1,
+    gamma: float = 0.3,
+    period: int = 7,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing (level + trend +
+    day-of-week season) one-step-ahead backtest per group's daily
+    counts — the seasonal completion of :func:`holt_linear_backtest`
+    (which a weekly-rhythmed series defeats: its trend chases the
+    weekend dip every single week):
+
+      f_t = l + b + s_{t mod p};
+      l' = α(x − s) + (1−α)(l+b);  b' = β(l'−l) + (1−β)b;
+      s' = γ(x − l') + (1−γ)s;
+      seeds: l = mean(first p), b = 0, s_i = x_i − l (i = 1..p),
+      fold from day p+1; groups with ≤ p days are DROPPED
+      (insufficient to seed one full season — documented contract).
+
+    Determinism: the holt_linear discipline — one FIXED-ORDER IEEE
+    fold (Spark ``aggregate()`` over the day-sorted array, JVM
+    codegen, the seasonal state as a p-slot array updated via
+    indexed ``transform``; DuckDB as a recursive CTE carrying the p
+    seasonal slots as columns) — bit-identical without rounding.
+
+    Scale shape: the corpus reduces to the daily rollup once; each
+    group's series (bounded by the calendar) folds inside one task.
+    Output: (group, n_days, mae, level, trend, forecast_next).
+    """
+    a, b, g = float(alpha), float(beta), float(gamma)
+    p = int(period)
+    daily = df.groupBy(
+        F.col(group_col).alias("g"), F.col(ts_col).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    series = daily.groupBy("g").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", "x"))),
+            lambda s: s["x"].cast("double"),
+        ).alias("xs")
+    ).filter(F.size("xs") > p)
+    mean_p = F.expr(
+        f"aggregate(slice(xs, 1, {p}), cast(0.0 as double),"
+        f" (pp, qq) -> pp + qq) / {float(p)!r}D"
+    )
+    staged = series.select("g", "xs", mean_p.alias("m0"))
+    idx = "cast(acc.n % {p} as int)"
+    s_at = f"element_at(acc.s, {idx.format(p=p)} + 1)"
+    lnew = f"{a!r}D * (x - {s_at}) + {1 - a!r}D * (acc.l + acc.b)"
+    fold = F.expr(
+        f"""
+        aggregate(
+          slice(xs, {p + 1}, greatest(size(xs) - {p}, 0)),
+          named_struct(
+            'l', m0, 'b', cast(0.0 as double),
+            's', transform(slice(xs, 1, {p}), v -> v - m0),
+            'e', cast(0.0 as double), 'n', cast(0 as bigint)),
+          (acc, x) -> named_struct(
+            'l', {lnew},
+            'b', {b!r}D * (({lnew}) - acc.l) + {1 - b!r}D * acc.b,
+            's', transform(acc.s, (v, i) -> if(i = {idx.format(p=p)},
+                   {g!r}D * (x - ({lnew})) + {1 - g!r}D * v, v)),
+            'e', acc.e + abs(x - (acc.l + acc.b + {s_at})),
+            'n', acc.n + 1L),
+          acc -> acc)
+        """
+    )
+    out = staged.select(
+        F.col("g").alias(group_col),
+        F.size("xs").cast("bigint").alias("n_days"),
+        fold.alias("__st"),
+    )
+    nxt = F.expr(
+        f"__st.l + __st.b + element_at(__st.s,"
+        f" cast(__st.n % {p} as int) + 1)"
+    )
+    return out.select(
+        group_col,
+        "n_days",
+        (F.col("__st.e") / F.col("__st.n")).alias("mae"),
+        F.col("__st.l").alias("level"),
+        F.col("__st.b").alias("trend"),
+        nxt.alias("forecast_next"),
+    ).orderBy(group_col)
+
+
+def holt_winters_backtest_sql(
+    table: str = "events",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    alpha: float = 0.5,
+    beta: float = 0.1,
+    gamma: float = 0.3,
+    period: int = 7,
+) -> str:
+    """DuckDB twin of :func:`holt_winters_backtest` — the identical
+    IEEE recursion as a recursive CTE with the p seasonal slots as
+    columns (s0..s{p-1})."""
+    a, b, g = float(alpha), float(beta), float(gamma)
+    p = int(period)
+    s_cols = ", ".join(f"s{j}" for j in range(p))
+    s_case = (
+        "CASE CAST(r.n % {p} AS INTEGER) "
+        + " ".join(f"WHEN {j} THEN r.s{j}" for j in range(p))
+        + " END"
+    ).format(p=p)
+    lnew = f"{a!r} * (d.x - {s_case}) + {1 - a!r} * (r.l + r.b)"
+    s_seed = ",\n             ".join(
+        f"(SELECT CAST(x AS DOUBLE) FROM daily dd"
+        f" WHERE dd.g = m.g AND dd.i = {j + 1}) - m.m0 AS s{j}"
+        for j in range(p)
+    )
+    s_step = ",\n             ".join(
+        f"CASE WHEN CAST(r.n % {p} AS INTEGER) = {j}"
+        f" THEN {g!r} * (d.x - ({lnew})) + {1 - g!r} * r.s{j}"
+        f" ELSE r.s{j} END"
+        for j in range(p)
+    )
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT g, d, x,
+             CAST(row_number() OVER (PARTITION BY g ORDER BY d)
+                  AS BIGINT) AS i
+      FROM (SELECT {group_col} AS g, CAST({ts_col} AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM {table} GROUP BY 1, 2)
+    ),
+    m AS (
+      SELECT g,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 LIST(CAST(x AS DOUBLE) ORDER BY i)
+                   FILTER (WHERE i <= {p})),
+               (pp, qq) -> pp + qq) / {float(p)!r} AS m0,
+             CAST(MAX(i) AS BIGINT) AS n_days
+      FROM daily GROUP BY g HAVING MAX(i) > {p}
+    ),
+    rec AS (
+      SELECT m.g, CAST({p} AS BIGINT) AS i, m.m0 AS l,
+             CAST(0.0 AS DOUBLE) AS b,
+             {s_seed},
+             CAST(0.0 AS DOUBLE) AS e, CAST(0 AS BIGINT) AS n
+      FROM m
+      UNION ALL
+      SELECT r.g, d.i,
+             {lnew},
+             {b!r} * (({lnew}) - r.l) + {1 - b!r} * r.b,
+             {s_step},
+             r.e + abs(d.x - (r.l + r.b + {s_case})),
+             r.n + 1
+      FROM rec r JOIN daily d ON d.g = r.g AND d.i = r.i + 1
+    )
+    SELECT r.g AS {group_col}, m.n_days,
+           r.e / r.n AS mae,
+           r.l AS level, r.b AS trend,
+           r.l + r.b + (CASE CAST(r.n % {p} AS INTEGER) {' '.join(
+               f'WHEN {j} THEN r.s{j}' for j in range(p))} END)
+             AS forecast_next
+    FROM rec r JOIN m ON m.g = r.g AND r.i = m.n_days
+    ORDER BY 1
+    """

@@ -2400,3 +2400,26 @@ def kpss_level_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("day")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     return regression.kpss_level_test(daily, value_col="c")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 153: Holt-Winters additive seasonal backtest
+# ──────────────────────────────────────────────────────────────────────────
+
+
+@_spec(
+    "holt_winters_dow_backtest",
+    timeseries.holt_winters_backtest_sql("events"),
+    "timeseries op — Holt-Winters additive level+trend+day-of-week "
+    "season one-step backtest of each event type's daily counts: the "
+    "seasonal completion of holt_linear_backtest (whose trend term "
+    "chases the weekend dip every week on a dow-rhythmed series) and "
+    "the adaptive upgrade of seasonal_naive_backtest (which never "
+    "re-estimates the season). Same determinism discipline: one "
+    "fixed-order IEEE fold per group (aggregate() with the 7-slot "
+    "seasonal state / recursive CTE with 7 slot columns), "
+    "bit-identical without rounding.",
+)
+def holt_winters_dow_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return timeseries.holt_winters_backtest(events)
