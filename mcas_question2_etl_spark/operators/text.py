@@ -3565,3 +3565,138 @@ def good_turing_mass_sql(
     SELECT * FROM rows_r
     ORDER BY r
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 155: Min-K% Prob pretraining-membership / contamination signal
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def mink_prob_membership(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_pct: float = 0.2,
+    top_n: int = 20,
+) -> DataFrame:
+    """Min-K% Prob (Shi et al. 2023, "Detecting Pretraining Data from
+    Large Language Models"): score each document by the MEAN
+    log-probability of its k% LEAST-probable tokens. A genuinely novel
+    document always contains some tokens the model finds surprising;
+    a document the model trained on (or near-duplicates of corpus
+    boilerplate) is fluent even in its WORST tokens — so a high
+    bottom-k% log-prob (low NLL) flags membership/contamination.
+
+    As with :func:`unigram_logprob_quality` (whose per-token NLL join
+    this reuses), the corpus's own empirical unigram distribution
+    stands in for the external LM; a real LM's token logprobs slot
+    into the same per-token frame. Output: the ``top_n`` most
+    member-like documents, ascending by the bottom-k% mean NLL
+    (doc_id tie-break), with ranks.
+
+    Scale shape: vocab-sized broadcast join onto the exploded scan;
+    the k%-tail selection is one per-doc window over (nll DESC, token
+    ASC) — deterministic under ties — followed by a doc-keyed
+    aggregate; the global cut is TakeOrdered(top_n), never a full
+    sort. Determinism: per-token NLLs are identical doubles in both
+    engines (same log of the same exact ratio); the k-tail mean is
+    ROUNDed at 6dp, far above any summation-order ulp at its O(1..20)
+    magnitude.
+
+    Output: (rank, doc_id, n_tokens, k_tokens, mink_mean_nll).
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(text_col)
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("__t"))
+    total = exploded.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    uni = exploded.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    scored = (
+        exploded.join(F.broadcast(uni), "__t")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            "__t",
+            (-F.log(F.col("__c") / F.col("__n"))).alias("__nll"),
+        )
+    )
+    wdoc = Window.partitionBy(id_col).orderBy(
+        F.col("__nll").desc(), F.col("__t").asc()
+    )
+    wcnt = Window.partitionBy(id_col)
+    ranked = scored.select(
+        id_col,
+        "__nll",
+        F.row_number().over(wdoc).cast("bigint").alias("__r"),
+        F.count(F.lit(1)).over(wcnt).cast("bigint").alias("__nt"),
+    )
+    k_tokens = F.ceil(F.col("__nt").cast("double") * F.lit(float(k_pct)))
+    per_doc = (
+        ranked.filter(F.col("__r") <= k_tokens)
+        .groupBy(id_col)
+        .agg(
+            F.max("__nt").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("k_tokens"),
+            F.round(
+                F.sum("__nll") / F.count(F.lit(1)), 6
+            ).alias("mink_mean_nll"),
+        )
+    )
+    wtop = Window.orderBy(
+        F.col("mink_mean_nll").asc(), F.col(id_col).asc()
+    )
+    return (
+        per_doc.orderBy(
+            F.col("mink_mean_nll").asc(), F.col(id_col).asc()
+        )
+        .limit(int(top_n))
+        .withColumn("rank", F.row_number().over(wtop).cast("bigint"))
+        .select("rank", id_col, "n_tokens", "k_tokens", "mink_mean_nll")
+    )
+
+
+def mink_prob_membership_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    k_pct: float = 0.2,
+    top_n: int = 20,
+) -> str:
+    """DuckDB twin of :func:`mink_prob_membership`."""
+    return f"""
+    WITH e AS (
+      SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS t
+      FROM {table}
+    ),
+    total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+    uni AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS c FROM e GROUP BY t),
+    scored AS (
+      SELECT e.{id_col}, e.t, -ln(uni.c / total.n) AS nll
+      FROM e JOIN uni USING (t) CROSS JOIN total
+    ),
+    ranked AS (
+      SELECT {id_col}, nll,
+             CAST(ROW_NUMBER() OVER (PARTITION BY {id_col}
+                                     ORDER BY nll DESC, t ASC)
+                  AS BIGINT) AS r,
+             CAST(COUNT(*) OVER (PARTITION BY {id_col}) AS BIGINT) AS nt
+      FROM scored
+    ),
+    per_doc AS (
+      SELECT {id_col},
+             MAX(nt) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS k_tokens,
+             ROUND(SUM(nll) / COUNT(*), 6) AS mink_mean_nll
+      FROM ranked
+      WHERE r <= CEIL(CAST(nt AS DOUBLE) * {float(k_pct)!r})
+      GROUP BY {id_col}
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY mink_mean_nll ASC,
+                                   {id_col} ASC) AS BIGINT) AS rank,
+           {id_col}, n_tokens, k_tokens, mink_mean_nll
+    FROM per_doc
+    ORDER BY mink_mean_nll ASC, {id_col} ASC
+    LIMIT {int(top_n)}
+    """

@@ -1989,3 +1989,26 @@ from ..operators.kmeans import (
 def cluster_validity_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cluster_validity_indexes(emb, k=8, iters=2)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 155: Min-K% Prob pretraining-membership / contamination signal
+# ──────────────────────────────────────────────────────────────────────────
+
+
+@_spec(
+    "mink_prob_membership_docs",
+    text.mink_prob_membership_sql(),
+    "curation op — Min-K% Prob membership signal (Shi et al. 2023): "
+    "rank documents by the mean NLL of their 20% least-probable "
+    "tokens; documents fluent even in their WORST tokens are "
+    "member/boilerplate-like, the complement of "
+    "unigram_logprob_quality's whole-doc mean (a doc can look "
+    "average overall yet have a suspiciously tame tail) and of "
+    "decontaminate_ngram_overlap's exact-match sweep (this one "
+    "needs no benchmark set). Vocab broadcast onto the exploded "
+    "scan, one per-doc tail window, TakeOrdered(20).",
+)
+def mink_prob_membership_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.mink_prob_membership(docs)
