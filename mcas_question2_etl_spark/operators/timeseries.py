@@ -5785,3 +5785,180 @@ def holt_winters_backtest_sql(
     FROM rec r JOIN m ON m.g = r.g AND r.i = m.n_days
     ORDER BY 1
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 156: GPH log-periodogram long-memory estimator
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def gph_long_memory(
+    df: DataFrame,
+    ts_col: str = "ts",
+    round_to: int = 6,
+) -> DataFrame:
+    """Geweke & Porter-Hudak (1983) log-periodogram estimate of the
+    long-memory parameter d of the daily count series — the THIRD,
+    frequency-domain member of the long-memory triangle beside
+    hurst_rs_daily (R/S) and dfa_alpha_daily (detrended fluctuation):
+    three estimators agreeing on d ≈ H − 1/2 is the standard evidence
+    pattern, each being biased in different ways.
+
+      I(ω_j) ∝ c_j² + s_j²,  c_j = Σ_t x̃_t cos(ω_j t),
+      ω_j = 2πj/T, j = 1..m = ⌊√T⌋;
+      regress log I(ω_j) on x_j = log(4 sin²(ω_j/2)): d̂ = −slope,
+      SE(d̂) = sqrt((π²/6) / Σ(x_j − x̄)²)  (known error variance).
+
+    The proportionality constant in I only shifts the regression
+    intercept — the slope (and so d̂) is invariant, so no 2πT
+    normalizer is carried. Frequencies are indexed by the first m day
+    rows themselves (j = i ≤ m), which keeps the frequency count
+    data-dependent WITHOUT a dynamic plan: the trig projection is one
+    T×m cross of the days-sized rollup, the periodogram_power
+    discipline. Zero-power lines (exact-zero periodogram, measure-zero
+    in practice) are excluded before the log.
+
+    Output (one row): (n_obs, m_freqs, d_hat, se_asymp, t_stat).
+    """
+    w = Window.orderBy("d")
+    daily = (
+        df.groupBy(F.col(ts_col).cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+        .withColumn("i", F.row_number().over(w).cast("bigint"))
+    )
+    stats = daily.agg(
+        F.avg("x").alias("__mu"),
+        F.count(F.lit(1)).cast("bigint").alias("__t"),
+    )
+    cen = daily.crossJoin(F.broadcast(stats)).select(
+        "i", (F.col("x") - F.col("__mu")).alias("xc"), "__t"
+    )
+    freqs = cen.filter(
+        F.col("i")
+        <= F.floor(F.sqrt(F.col("__t").cast("double"))).cast("bigint")
+    ).select(F.col("i").alias("j"), F.col("__t").alias("t_tot"))
+    ang = (
+        2.0
+        * _PI
+        * F.col("j").cast("double")
+        * F.col("i").cast("double")
+        / F.col("t_tot").cast("double")
+    )
+    per = (
+        cen.select("i", "xc")
+        .crossJoin(freqs)
+        .groupBy("j", "t_tot")
+        .agg(
+            F.sum(F.col("xc") * F.cos(ang)).alias("__c"),
+            F.sum(F.col("xc") * F.sin(ang)).alias("__s"),
+        )
+    )
+    logi = per.filter(
+        F.col("__c") * F.col("__c") + F.col("__s") * F.col("__s") > 0
+    ).select(
+        "t_tot",
+        F.log(
+            F.col("__c") * F.col("__c") + F.col("__s") * F.col("__s")
+        ).alias("ly"),
+        F.log(
+            4.0
+            * F.pow(
+                F.sin(
+                    _PI
+                    * F.col("j").cast("double")
+                    / F.col("t_tot").cast("double")
+                ),
+                2.0,
+            )
+        ).alias("lx"),
+    )
+    agg = logi.agg(
+        F.max("t_tot").alias("n_obs"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    mm = F.col("m").cast("double")
+    sxx_c = F.col("sxx") - F.col("sx") * F.col("sx") / mm
+    sxy_c = F.col("sxy") - F.col("sx") * F.col("sy") / mm
+    d_hat = -(sxy_c / sxx_c)
+    se = F.sqrt((_PI * _PI / 6.0) / sxx_c)
+    return agg.select(
+        "n_obs",
+        F.col("m").alias("m_freqs"),
+        F.round(d_hat, round_to).alias("d_hat"),
+        F.round(se, round_to).alias("se_asymp"),
+        F.round(d_hat / se, round_to).alias("t_stat"),
+    )
+
+
+def gph_long_memory_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`gph_long_memory` (same day-index
+    frequencies, same closed-form order)."""
+    pi = repr(_PI)
+    return f"""
+    WITH daily AS (
+      SELECT d, x,
+             CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+      FROM (SELECT CAST({ts_col} AS DATE) AS d,
+                   CAST(COUNT(*) AS DOUBLE) AS x
+            FROM {table} GROUP BY 1)
+    ),
+    stats AS (
+      SELECT AVG(x) AS mu, CAST(COUNT(*) AS BIGINT) AS t FROM daily
+    ),
+    cen AS (
+      SELECT i, x - stats.mu AS xc, stats.t AS t_tot
+      FROM daily CROSS JOIN stats
+    ),
+    freqs AS (
+      SELECT i AS j, t_tot FROM cen
+      WHERE i <= CAST(FLOOR(SQRT(CAST(t_tot AS DOUBLE))) AS BIGINT)
+    ),
+    per AS (
+      SELECT f.j, f.t_tot,
+             SUM(c.xc * COS(2.0 * {pi} * CAST(f.j AS DOUBLE)
+                            * CAST(c.i AS DOUBLE)
+                            / CAST(f.t_tot AS DOUBLE))) AS cc,
+             SUM(c.xc * SIN(2.0 * {pi} * CAST(f.j AS DOUBLE)
+                            * CAST(c.i AS DOUBLE)
+                            / CAST(f.t_tot AS DOUBLE))) AS ss
+      FROM cen c CROSS JOIN freqs f
+      GROUP BY f.j, f.t_tot
+    ),
+    logi AS (
+      SELECT t_tot,
+             LN(cc * cc + ss * ss) AS ly,
+             LN(4.0 * POW(SIN({pi} * CAST(j AS DOUBLE)
+                              / CAST(t_tot AS DOUBLE)), 2.0)) AS lx
+      FROM per WHERE cc * cc + ss * ss > 0
+    ),
+    agg AS (
+      SELECT MAX(t_tot) AS n_obs,
+             CAST(COUNT(*) AS BIGINT) AS m,
+             SUM(lx) AS sx, SUM(ly) AS sy,
+             SUM(lx * lx) AS sxx, SUM(lx * ly) AS sxy
+      FROM logi
+    ),
+    fit AS (
+      SELECT n_obs, m,
+             sxx - sx * sx / CAST(m AS DOUBLE) AS sxx_c,
+             sxy - sx * sy / CAST(m AS DOUBLE) AS sxy_c
+      FROM agg
+    )
+    SELECT n_obs,
+           m AS m_freqs,
+           ROUND(-(sxy_c / sxx_c), {round_to}) AS d_hat,
+           ROUND(SQRT(({pi} * {pi} / 6.0) / sxx_c), {round_to})
+             AS se_asymp,
+           ROUND(-(sxy_c / sxx_c)
+                 / SQRT(({pi} * {pi} / 6.0) / sxx_c), {round_to})
+             AS t_stat
+    FROM fit
+    """

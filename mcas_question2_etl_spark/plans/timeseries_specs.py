@@ -2423,3 +2423,27 @@ def kpss_level_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 def holt_winters_dow_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return timeseries.holt_winters_backtest(events)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 156: GPH log-periodogram long-memory estimator
+# ──────────────────────────────────────────────────────────────────────────
+
+
+@_spec(
+    "gph_long_memory_daily",
+    timeseries.gph_long_memory_sql("events"),
+    "timeseries op — Geweke/Porter-Hudak log-periodogram estimate of "
+    "the long-memory parameter d on daily event counts: the "
+    "frequency-domain third of the long-memory triangle beside "
+    "hurst_rs_daily and dfa_alpha_daily (d ~ H - 1/2; three "
+    "differently-biased estimators agreeing is the standard evidence "
+    "pattern). Frequencies j = 1..floor(sqrt(T)) indexed by the "
+    "first m day rows themselves — data-dependent bandwidth with a "
+    "STATIC plan; one T x m trig cross of the days rollup "
+    "(periodogram_power discipline), then closed-form OLS of log I "
+    "on log 4sin^2(w/2) with the known pi^2/6 error variance.",
+)
+def gph_long_memory_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return timeseries.gph_long_memory(events)
