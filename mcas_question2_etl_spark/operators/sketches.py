@@ -23,6 +23,7 @@ since HLL implementations differ across engines.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -861,4 +862,141 @@ def chao_shen_entropy_sql(
            ROUND(-SUM(plug), {round_to}) AS h_plugin,
            ROUND(-SUM(cs), {round_to}) AS h_chao_shen
     FROM terms GROUP BY n_tokens, s_obs
+    """
+
+
+# ---------------------------------------------------------------------------
+# wave 157: DDSketch — relative-error quantiles from log-boundary buckets
+# ---------------------------------------------------------------------------
+
+
+def ddsketch_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+    rel_err: float = 0.01,
+) -> DataFrame:
+    """DDSketch (Masson, Rim & Lee, VLDB 2019) quantiles per group —
+    the RELATIVE-ERROR complement to the KLL sketches above: KLL
+    bounds RANK error (the returned value's rank is within εn), while
+    DDSketch bounds VALUE error (the returned value is within a
+    relative α of the true quantile, any rank). For latency/price
+    tails, "p99 accurate to 1% of its value" is usually the contract
+    people actually want.
+
+      γ = (1+α)/(1−α);  positive x lands in bucket
+      ``b = ceil(log(x)/log(γ))``;  the bucket's representative is
+      ``2γ^b/(γ+1)`` (its mid-point in relative terms, within α of
+      every x it holds). Quantile q = representative of the bucket
+      where the cumulative count crosses ceil(q·(n−1)) + 1.
+
+    Contract: strictly positive values (the published sketch splits
+    sign + zero stores; this operator takes the positive store, which
+    is what money/latency columns are — documented). Unlike KLL's
+    opaque binary blob, the sketch here IS a (bucket, count) table —
+    mergeable by ADDITION at any coarser grouping, partition-order
+    free (exact integer counts), and reproducible bit-for-bit in any
+    engine with the same ceil/log shapes — which is why the oracle
+    can verify it exactly.
+
+    Scale shape: one groupBy(group, bucket) map-side-combined rollup
+    (the sketch), then a per-group cumulative window over the BUCKET
+    table (bounded: ~log_γ(max/min) buckets ≈ 1,800 per decade-span
+    at α = 1%), never the raw rows. Output per group and q:
+    (group, q, n, bucket, estimate).
+    """
+    a = float(rel_err)
+    gamma = (1.0 + a) / (1.0 - a)
+    pos = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("v"),
+    ).filter(F.col("v") > 0)
+    buckets = pos.select(
+        "g",
+        F.ceil(F.log(F.col("v")) / F.lit(float(math.log(gamma))))
+        .cast("bigint")
+        .alias("b"),
+    ).groupBy("g", "b").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = buckets.select(
+        "g",
+        "b",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(Window.partitionBy("g")).alias("n"),
+    )
+    qcols = F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])
+    ).alias("q")
+    hits = cum.select("g", "b", "cum", "n", qcols).filter(
+        F.col("cum")
+        >= F.ceil(F.col("q") * (F.col("n") - 1).cast("double")) + 1
+    )
+    est = (
+        hits.groupBy("g", "q")
+        .agg(F.max("n").alias("n"), F.min("b").alias("bucket"))
+        .select(
+            F.col("g").alias(group_col),
+            "q",
+            "n",
+            "bucket",
+            F.round(
+                2.0
+                * F.pow(F.lit(gamma), F.col("bucket").cast("double"))
+                / F.lit(gamma + 1.0),
+                6,
+            ).alias("estimate"),
+        )
+    )
+    return est.orderBy(group_col, "q")
+
+
+def ddsketch_quantiles_sql(
+    src_sql: str,
+    group_col: str,
+    value_col: str,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+    rel_err: float = 0.01,
+) -> str:
+    """DuckDB twin of :func:`ddsketch_quantiles` (same γ, same
+    ceil/log bucket shape, same rank convention)."""
+    a = float(rel_err)
+    gamma = (1.0 + a) / (1.0 - a)
+    q_list = ", ".join(f"CAST({float(q)!r} AS DOUBLE)" for q in qs)
+    return f"""
+    WITH src AS ({src_sql}),
+    pos AS (
+      SELECT {group_col} AS g, CAST({value_col} AS DOUBLE) AS v
+      FROM src WHERE {value_col} > 0
+    ),
+    buckets AS (
+      SELECT g,
+             CAST(CEIL(LN(v) / {math.log(gamma)!r}) AS BIGINT) AS b,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM pos GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT g, b,
+             SUM(c) OVER (PARTITION BY g ORDER BY b
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY g) AS n
+      FROM buckets
+    ),
+    hits AS (
+      SELECT g, b, cum, n, q
+      FROM cum CROSS JOIN (SELECT unnest([{q_list}]) AS q) qq
+      WHERE cum >= CEIL(q * CAST(n - 1 AS DOUBLE)) + 1
+    )
+    SELECT g AS {group_col}, q,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(b) AS BIGINT) AS bucket,
+           ROUND(2.0 * POW({gamma!r}, CAST(MIN(b) AS DOUBLE))
+                 / {gamma + 1.0!r}, 6) AS estimate
+    FROM hits GROUP BY g, q
+    ORDER BY 1, 2
     """

@@ -1454,3 +1454,40 @@ def ams_f2_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return ams_f2_accuracy(ev, "user_id")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 157: DDSketch relative-error quantiles
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.sketches import (
+    ddsketch_quantiles,
+    ddsketch_quantiles_sql,
+)
+
+
+@_spec(
+    "ddsketch_price_quantiles",
+    ddsketch_quantiles_sql(
+        "SELECT l_returnflag AS flag, l_extendedprice AS price"
+        " FROM lineitem",
+        "flag",
+        "price",
+    ),
+    "sketch op — DDSketch p50/p90/p99 of extended price per return "
+    "flag at alpha = 1%: the RELATIVE-error quantile sketch beside "
+    "kll_quantiles_accuracy's rank-error guarantee ('p99 within 1% "
+    "of its value' is the latency/price-tail contract). The sketch "
+    "IS a (log-boundary bucket, count) table — mergeable by "
+    "addition, partition-order free, and exactly reproducible in "
+    "any engine (ceil/log bucket + integer cumulative ranks), which "
+    "is why this oracle checks it EXACTLY rather than within "
+    "tolerance. One map-side-combined bucket rollup, one bounded "
+    "bucket-table window, never a raw-row sort.",
+)
+def ddsketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    return ddsketch_quantiles(src, "flag", "price")
