@@ -1331,3 +1331,139 @@ def ppr_fixed_point_sql(
     ORDER BY ppr_units DESC, node ASC
     LIMIT {top_n}
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 158: k-truss peeling profile
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def ktruss_peel_profile(
+    edges: DataFrame,
+    k: int = 4,
+    rounds: int = 5,
+) -> DataFrame:
+    """k-truss peeling profile: ``rounds`` unrolled rounds of the
+    edge-peel fixpoint (Cohen 2008) — drop every edge in fewer than
+    k−2 triangles, recompute supports, repeat. The EDGE analog of
+    kcore_copurchase_peel's vertex peel: a k-core can still be a
+    loose star-mesh, while a k-truss edge is embedded in actual
+    triangle mass — the standard cohesive-subgraph ladder is core →
+    truss.
+
+    Output is the per-round profile (round, n_edges, n_removed), one
+    row per round (n_edges = edges ENTERING the round): the curve
+    analysts read ("how much of the graph is cohesive at depth k"),
+    convergence visible as a trailing n_removed = 0 row. A fixed
+    unroll keeps the plan static (the kcore/BFS discipline); rounds=5
+    converges on the capped co-purchase graph, and a non-converged
+    profile is still a well-defined, engine-identical object.
+
+    Scale shape per round: support(a, b) = |N(a) ∩ N(b)| via the
+    triangle_count adjacency-intersection form — one adjacency build
+    (row per node, bounded arrays under the upstream clique cap) and
+    two equi-joins; NO wedge materialization on the Spark side. Each
+    round's survivor set is persisted: five chained rounds would
+    otherwise re-derive every predecessor twice per consumer
+    (agg + filter), going exponential in lineage.
+
+    All outputs are exact integers — the oracle compares exactly.
+    """
+    rows = []
+    # localCheckpoint (not persist): five chained rounds of
+    # join+agg lineage otherwise compound into a plan string big
+    # enough to OOM the driver's explain pass under AQE
+    e = edges.select("a", "b").localCheckpoint(eager=False)
+    min_sup = int(k) - 2
+    for r in range(1, int(rounds) + 1):
+        und = e.select(
+            F.col("a").alias("u"), F.col("b").alias("w")
+        ).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("w"))
+        )
+        adj = und.groupBy("u").agg(
+            F.sort_array(F.collect_list("w")).alias("nbrs")
+        )
+        sup = (
+            e.join(
+                adj.select(F.col("u").alias("a"), F.col("nbrs").alias("na")),
+                "a",
+            )
+            .join(
+                adj.select(F.col("u").alias("b"), F.col("nbrs").alias("nb")),
+                "b",
+            )
+            .select(
+                "a",
+                "b",
+                F.size(F.array_intersect("na", "nb")).alias("s"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        rows.append(
+            sup.agg(
+                F.lit(r).cast("bigint").alias("round"),
+                F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+                # an already-empty round sums over zero rows -> NULL;
+                # the oracle's COUNT-based twin says 0
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("s") < min_sup, 1).otherwise(0)
+                    ).cast("bigint"),
+                    F.lit(0).cast("bigint"),
+                ).alias("n_removed"),
+            )
+        )
+        e = sup.filter(F.col("s") >= min_sup).select("a", "b")
+    out = rows[0]
+    for extra in rows[1:]:
+        out = out.unionByName(extra)
+    return out.orderBy("round")
+
+
+def ktruss_peel_profile_sql(
+    edges_sql: str,
+    k: int = 4,
+    rounds: int = 5,
+) -> str:
+    """DuckDB twin of :func:`ktruss_peel_profile`; ``edges_sql``
+    yields the (a, b) a<b edge list. Supports come from a wedge join
+    (LEFT, so support-0 edges keep their row) — the oracle favors
+    plain SQL over array plumbing; counts are identical."""
+    min_sup = int(k) - 2
+    parts = [f"e1 AS MATERIALIZED ({edges_sql})"]
+    stat_rows = []
+    for r in range(1, int(rounds) + 1):
+        parts.append(
+            f"""u{r} AS MATERIALIZED (
+      SELECT a AS u, b AS w FROM e{r}
+      UNION ALL SELECT b AS u, a AS w FROM e{r}
+    )"""
+        )
+        parts.append(
+            f"""s{r} AS MATERIALIZED (
+      SELECT e.a, e.b, COUNT(y.w) AS s
+      FROM e{r} e
+      LEFT JOIN u{r} x ON x.u = e.a
+      LEFT JOIN u{r} y ON y.u = e.b AND y.w = x.w
+      GROUP BY e.a, e.b
+    )"""
+        )
+        parts.append(
+            f"""e{r + 1} AS MATERIALIZED (
+      SELECT a, b FROM s{r} WHERE s >= {min_sup}
+    )"""
+        )
+        stat_rows.append(
+            f"SELECT CAST({r} AS BIGINT) AS round,"
+            f" CAST((SELECT COUNT(*) FROM s{r}) AS BIGINT) AS n_edges,"
+            f" CAST((SELECT COUNT(*) FROM s{r} WHERE s < {min_sup})"
+            f" AS BIGINT) AS n_removed"
+        )
+    body = ",\n    ".join(parts)
+    stats = "\n    UNION ALL ".join(stat_rows)
+    return f"""
+    WITH {body}
+    {stats}
+    ORDER BY round
+    """

@@ -1169,3 +1169,39 @@ def personalized_pagerank_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_metrics.ppr_fixed_point(
         copurchase_edges(spark, sf_dir), seed_mod=97
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 158: k-truss peeling profile
+# ──────────────────────────────────────────────────────────────────────────
+
+_COPURCHASE_EDGES_SQL = """
+      WITH members AS (
+        SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+      ), bounded AS (
+        SELECT g, item FROM members
+        WHERE g IN (SELECT g FROM members GROUP BY g
+                    HAVING COUNT(*) <= 8)
+      )
+      SELECT DISTINCT x.item AS a, y.item AS b
+      FROM bounded x JOIN bounded y ON x.g = y.g AND x.item < y.item
+"""
+
+
+@_spec(
+    "ktruss_copurchase_profile",
+    _graph.ktruss_peel_profile_sql(_COPURCHASE_EDGES_SQL.strip()),
+    "extension — 4-truss peeling profile of the co-purchase graph "
+    "(operators/graph_metrics.py): five unrolled rounds of the "
+    "edge-peel fixpoint (drop edges in < 2 triangles, recompute, "
+    "repeat), emitting (round, n_edges, n_removed) — the cohesion "
+    "curve one step up the core->truss ladder from "
+    "kcore_copurchase_peel (a k-core can be a loose star-mesh; a "
+    "truss edge sits in real triangle mass). Spark computes supports "
+    "via the triangle_count adjacency-intersection form (no wedge "
+    "materialization) with per-round persists; the oracle spells "
+    "the same rounds as chained wedge-join CTEs. Exact integers "
+    "throughout.",
+)
+def ktruss_copurchase_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _graph.ktruss_peel_profile(copurchase_edges(spark, sf_dir))
