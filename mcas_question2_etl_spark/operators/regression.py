@@ -3493,3 +3493,230 @@ def conformal_trend_interval_sql(
                       AS DOUBLE) / COUNT(*), {round_to}) AS coverage_test
     FROM test t CROSS JOIN q_row q CROSS JOIN ab
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 159: Phillips-Perron unit-root test
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def phillips_perron(
+    daily: DataFrame,
+    date_col: str = "day",
+    value_col: str = "y",
+    round_to: int = 6,
+) -> DataFrame:
+    """Phillips-Perron Z_tau unit-root test (constant, no trend) —
+    the THIRD corner of the stationarity triangle beside
+    :func:`adf_unit_root` (same null, parametric lag augmentation)
+    and :func:`kpss_level_test` (reversed null): PP keeps ADF's
+    lag-0 regression but corrects the t-statistic
+    NON-parametrically for serial correlation through the Newey-West
+    long-run variance of the residuals (Hamilton 1994, eq. 17.6.12,
+    case 2):
+
+      Δy_t = α + ρ·y_{t−1} + u_t  (OLS, t_ρ, s² = SSE/(T−2));
+      γ̂_j = (1/T) Σ u_t u_{t−j};
+      λ̂² = γ̂_0 + 2 Σ_{j≤q} (1 − j/(q+1)) γ̂_j,
+      q = min(16, ⌊4(T/100)^{1/4}⌋);
+      Z_τ = sqrt(γ̂_0/λ̂²)·t_ρ − (λ̂²−γ̂_0)·T·se(ρ̂) / (2·λ̂·s).
+
+    Same static-plan bandwidth trick as KPSS: all 16 residual lag
+    products are computed and the Bartlett weight
+    ``greatest(0, 1−j/(q+1))`` zeroes the truncated ones (lags past
+    T−1 coalesce to 0). Three passes over the DAYS-sized rollup: the
+    OLS moment aggregate, a 1-row broadcast of (α, ρ), then the
+    residual lag-product aggregate — closed forms with identical
+    expression shapes in the twin.
+
+    Output (one row): (n_obs, q_lag, rho, pp_ztau).
+    """
+    w = Window.orderBy("__d")
+    pts = daily.select(
+        F.col(date_col).alias("__d"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    lagged = (
+        pts.withColumn("__xl", F.lag("__x", 1).over(w))
+        .filter(F.col("__xl").isNotNull())
+        .select(
+            "__d",
+            (F.col("__x") - F.col("__xl")).alias("__y"),
+            F.col("__xl").alias("__z"),
+        )
+    )
+    mom = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("__z").alias("sz"),
+        F.sum(F.col("__z") * F.col("__z")).alias("sz2"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__y") * F.col("__y")).alias("sy2"),
+        F.sum(F.col("__z") * F.col("__y")).alias("szy"),
+    )
+    mm = F.col("m").cast("double")
+    szz = F.col("sz2") - F.col("sz") * F.col("sz") / mm
+    szy_c = F.col("szy") - F.col("sz") * F.col("sy") / mm
+    syy = F.col("sy2") - F.col("sy") * F.col("sy") / mm
+    fit = mom.select(
+        "m",
+        (szy_c / szz).alias("b"),
+        (F.col("sy") / mm - (szy_c / szz) * (F.col("sz") / mm)).alias(
+            "a"
+        ),
+        szz.alias("szz"),
+        (syy - (szy_c / szz) * szy_c).alias("sse"),
+    )
+    resid = lagged.crossJoin(F.broadcast(fit)).select(
+        "__d",
+        "m",
+        "szz",
+        "sse",
+        "b",
+        (
+            F.col("__y") - F.col("a") - F.col("b") * F.col("__z")
+        ).alias("__u"),
+    )
+    wl = Window.orderBy("__d")
+    lags = resid.select(
+        "m",
+        "szz",
+        "sse",
+        "b",
+        "__u",
+        *[
+            F.lag("__u", j).over(wl).alias(f"__ul{j}")
+            for j in range(1, _KPSS_MAX_LAG + 1)
+        ],
+    )
+    agg = lags.agg(
+        F.max("m").alias("m"),
+        F.max("szz").alias("szz"),
+        F.max("sse").alias("sse"),
+        F.max("b").alias("b"),
+        F.sum(F.col("__u") * F.col("__u")).alias("g0s"),
+        *[
+            F.sum(F.col("__u") * F.col(f"__ul{j}")).alias(f"g{j}s")
+            for j in range(1, _KPSS_MAX_LAG + 1)
+        ],
+    )
+    tt = F.col("m").cast("double")
+    q = F.least(
+        F.lit(_KPSS_MAX_LAG).cast("double"),
+        F.floor(4.0 * F.pow(tt / 100.0, 0.25)).cast("double"),
+    )
+    g0 = F.col("g0s") / tt
+    lam2 = g0
+    for j in range(1, _KPSS_MAX_LAG + 1):
+        wj = F.greatest(F.lit(0.0), 1.0 - F.lit(float(j)) / (q + 1.0))
+        lam2 = lam2 + 2.0 * wj * (
+            F.coalesce(F.col(f"g{j}s"), F.lit(0.0)) / tt
+        )
+    s2 = F.col("sse") / (tt - 2.0)
+    se_rho = F.sqrt(s2 / F.col("szz"))
+    t_rho = F.col("b") / se_rho
+    ztau = F.sqrt(g0 / lam2) * t_rho - (lam2 - g0) * tt * se_rho / (
+        2.0 * F.sqrt(lam2) * F.sqrt(s2)
+    )
+    return agg.select(
+        F.col("m").alias("n_obs"),
+        q.cast("bigint").alias("q_lag"),
+        F.round(F.col("b"), round_to).alias("rho"),
+        F.round(ztau, round_to).alias("pp_ztau"),
+    )
+
+
+def phillips_perron_sql(
+    daily_sql: str,
+    date_col: str = "day",
+    value_col: str = "y",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`phillips_perron` (same OLS shapes, same
+    static 16-lag Bartlett correction)."""
+    mx = _KPSS_MAX_LAG
+    lag_cols = ",\n             ".join(
+        f"LAG(u, {j}) OVER (ORDER BY dd) AS ul{j}" for j in range(1, mx + 1)
+    )
+    g_cols = ",\n             ".join(
+        f"SUM(u * ul{j}) AS g{j}s" for j in range(1, mx + 1)
+    )
+    lam_terms = "\n                 ".join(
+        f"+ 2.0 * GREATEST(0.0, 1.0 - {float(j)!r} / (q + 1.0))"
+        f" * (COALESCE(g{j}s, 0.0) / CAST(m AS DOUBLE))"
+        for j in range(1, mx + 1)
+    )
+    return f"""
+    WITH d AS ({daily_sql}),
+    pts AS (
+      SELECT {date_col} AS dd, CAST({value_col} AS DOUBLE) AS x FROM d
+    ),
+    lagged AS (
+      SELECT dd, x - xl AS y, xl AS z
+      FROM (SELECT dd, x, LAG(x, 1) OVER (ORDER BY dd) AS xl FROM pts)
+      WHERE xl IS NOT NULL
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             SUM(z) AS sz, SUM(z * z) AS sz2,
+             SUM(y) AS sy, SUM(y * y) AS sy2,
+             SUM(z * y) AS szy
+      FROM lagged
+    ),
+    fit AS (
+      SELECT m,
+             (szy - sz * sy / CAST(m AS DOUBLE))
+               / (sz2 - sz * sz / CAST(m AS DOUBLE)) AS b,
+             sy / CAST(m AS DOUBLE)
+               - ((szy - sz * sy / CAST(m AS DOUBLE))
+                  / (sz2 - sz * sz / CAST(m AS DOUBLE)))
+                 * (sz / CAST(m AS DOUBLE)) AS a,
+             sz2 - sz * sz / CAST(m AS DOUBLE) AS szz,
+             (sy2 - sy * sy / CAST(m AS DOUBLE))
+               - ((szy - sz * sy / CAST(m AS DOUBLE))
+                  / (sz2 - sz * sz / CAST(m AS DOUBLE)))
+                 * (szy - sz * sy / CAST(m AS DOUBLE)) AS sse
+      FROM mom
+    ),
+    resid AS (
+      SELECT l.dd, f.m, f.szz, f.sse, f.b,
+             l.y - f.a - f.b * l.z AS u
+      FROM lagged l CROSS JOIN fit f
+    ),
+    lags AS (
+      SELECT m, szz, sse, b, u,
+             {lag_cols}
+      FROM resid
+    ),
+    agg AS (
+      SELECT MAX(m) AS m, MAX(szz) AS szz, MAX(sse) AS sse,
+             MAX(b) AS b,
+             SUM(u * u) AS g0s,
+             {g_cols}
+      FROM lags
+    ),
+    qq AS (
+      SELECT *,
+             LEAST(CAST({mx} AS DOUBLE),
+                   FLOOR(4.0 * POW(CAST(m AS DOUBLE) / 100.0, 0.25)))
+               AS q
+      FROM agg
+    ),
+    lam AS (
+      SELECT *,
+             g0s / CAST(m AS DOUBLE) AS g0,
+             g0s / CAST(m AS DOUBLE)
+                 {lam_terms} AS lam2
+      FROM qq
+    )
+    SELECT m AS n_obs,
+           CAST(q AS BIGINT) AS q_lag,
+           ROUND(b, {round_to}) AS rho,
+           ROUND(SQRT(g0 / lam2)
+                 * (b / SQRT((sse / (CAST(m AS DOUBLE) - 2.0)) / szz))
+                 - (lam2 - g0) * CAST(m AS DOUBLE)
+                   * SQRT((sse / (CAST(m AS DOUBLE) - 2.0)) / szz)
+                   / (2.0 * SQRT(lam2)
+                      * SQRT(sse / (CAST(m AS DOUBLE) - 2.0))),
+                 {round_to}) AS pp_ztau
+    FROM lam
+    """

@@ -2447,3 +2447,28 @@ def holt_winters_dow_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gph_long_memory_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return timeseries.gph_long_memory(events)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 159: Phillips-Perron unit-root test
+# ──────────────────────────────────────────────────────────────────────────
+
+
+@_spec(
+    "phillips_perron_daily",
+    regression.phillips_perron_sql(_TOTAL_DAILY_SQL.strip(), value_col="c"),
+    "timeseries op — Phillips-Perron Z_tau unit-root test on daily "
+    "total event counts, completing the stationarity triangle on the "
+    "SAME series: ADF (parametric lag augmentation), KPSS (reversed "
+    "null), PP (non-parametric Newey-West correction of the lag-0 "
+    "t-stat — robust to serial correlation ADF's lag-0 form leaves "
+    "in the residuals). Same static 16-lag Bartlett machinery as "
+    "kpss_level_daily; three passes over the days rollup with one "
+    "1-row (alpha, rho) broadcast between.",
+)
+def phillips_perron_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return regression.phillips_perron(daily, value_col="c")
