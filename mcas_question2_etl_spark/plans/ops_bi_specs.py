@@ -2037,3 +2037,36 @@ def iv_planted_order_system(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
     )
     return iv_2sls(src, "y", "x", "z")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 160: k-ary randomized response (local differential privacy)
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.privacy import (
+    randomized_response_frequency,
+    randomized_response_frequency_sql,
+)
+
+
+@_spec(
+    "randomized_response_priority",
+    randomized_response_frequency_sql(
+        "orders", "o_orderkey", "o_orderpriority"
+    ),
+    "privacy op — k-ary randomized response audit over the five "
+    "order priorities at p = 0.75: runs the local-DP mechanism (each "
+    "row reports its true category w.p. p, else a uniform draw) AND "
+    "the debiasing estimator pi_hat = (q - (1-p)/k)/p side by side "
+    "with the true shares — the privacy/utility table a release gate "
+    "reads before shipping the channel. Complements "
+    "k_anonymity_customers (release-table audit) with the "
+    "collection-side mechanism. Derandomized through the repo's "
+    "portable md5 uniform so both engines privatize identically and "
+    "the oracle checks exact counts; production swaps the hash for "
+    "client randomness and keeps the estimator.",
+)
+def randomized_response_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return randomized_response_frequency(
+        orders, "o_orderkey", "o_orderpriority"
+    )
