@@ -7484,3 +7484,216 @@ def quade_test_sql(
            END AS quade_f
     FROM agg
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 161: mSPRT always-valid A/B monitor
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def msprt_ab_monitor(
+    df: DataFrame,
+    ts_col: str,
+    arm_col: str,
+    outcome_col: str,
+    tau: float = 0.02,
+    alpha: float = 0.05,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mixture SPRT always-valid p-value for a two-arm conversion
+    test (Johari, Koomen, Pekelis & Walsh 2017, "Peeking at A/B
+    Tests") — the sequential monitor that stays valid under
+    CONTINUOUS peeking, where sprt_conversion_monitor's Wald test
+    needs a pre-committed alternative and a single look policy:
+
+      per day d (cumulative): Δ̂ = p̂_t − p̂_c,
+      V = p̂(1−p̂)(1/n_t + 1/n_c)  (pooled);
+      Λ_d = sqrt(V/(V+τ²)) · exp(Δ̂²τ² / (2V(V+τ²)));
+      p_d  = min(1, min_{d'≤d} 1/Λ_{d'})  — monotone, always valid.
+
+    Days where either arm is empty or the pooled rate is degenerate
+    (0 or 1) are excluded from the likelihood (V undefined) but still
+    advance the calendar. All inputs to the closed forms are exact
+    integer cumulative counts (one ordered days window), so both
+    engines evaluate identical IEEE expressions; exp/sqrt magnitudes
+    are O(1).
+
+    Output (one row): (n_days, n_treat, n_ctrl, x_treat, x_ctrl,
+    p_always_valid, first_sig_day — the first day index whose
+    instantaneous 1/Λ fell to ``alpha``, NULL if never).
+    """
+    t2 = float(tau) * float(tau)
+    day = F.col(ts_col).cast("date")
+    daily = df.groupBy(day.alias("d")).agg(
+        F.sum(F.when(F.col(arm_col), 1).otherwise(0))
+        .cast("bigint")
+        .alias("nt"),
+        F.sum(
+            F.when(F.col(arm_col), F.col(outcome_col).cast("int")).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("xt"),
+        F.sum(F.when(F.col(arm_col), 0).otherwise(1))
+        .cast("bigint")
+        .alias("nc"),
+        F.sum(
+            F.when(
+                F.col(arm_col), F.lit(0)
+            ).otherwise(F.col(outcome_col).cast("int"))
+        )
+        .cast("bigint")
+        .alias("xc"),
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wrow = Window.orderBy("d")
+    cum = daily.select(
+        "d",
+        F.row_number().over(wrow).cast("bigint").alias("i"),
+        F.sum("nt").over(wcum).alias("cnt"),
+        F.sum("xt").over(wcum).alias("cxt"),
+        F.sum("nc").over(wcum).alias("cnc"),
+        F.sum("xc").over(wcum).alias("cxc"),
+    )
+    ntd = F.col("cnt").cast("double")
+    ncd = F.col("cnc").cast("double")
+    pbar = (F.col("cxt") + F.col("cxc")).cast("double") / (ntd + ncd)
+    delta = F.col("cxt").cast("double") / ntd - F.col(
+        "cxc"
+    ).cast("double") / ncd
+    v = pbar * (1.0 - pbar) * (1.0 / ntd + 1.0 / ncd)
+    lam = F.sqrt(v / (v + F.lit(t2))) * F.exp(
+        delta * delta * F.lit(t2) / (2.0 * v * (v + F.lit(t2)))
+    )
+    ok = (
+        (F.col("cnt") > 0)
+        & (F.col("cnc") > 0)
+        & (pbar > 0.0)
+        & (pbar < 1.0)
+    )
+    scored = cum.select(
+        "i",
+        "cnt",
+        "cxt",
+        "cnc",
+        "cxc",
+        F.when(ok, 1.0 / lam).alias("inst_p"),
+    )
+    agg = scored.agg(
+        F.max("i").alias("n_days"),
+        F.max("cnt").alias("n_treat"),
+        F.max("cnc").alias("n_ctrl"),
+        F.max("cxt").alias("x_treat"),
+        F.max("cxc").alias("x_ctrl"),
+        F.least(F.lit(1.0), F.min("inst_p")).alias("__p"),
+        F.min(
+            F.when(F.col("inst_p") <= float(alpha), F.col("i"))
+        ).alias("first_sig_day"),
+    )
+    return agg.select(
+        "n_days",
+        "n_treat",
+        "n_ctrl",
+        "x_treat",
+        "x_ctrl",
+        F.round(F.col("__p"), round_to).alias("p_always_valid"),
+        "first_sig_day",
+    )
+
+
+def msprt_ab_monitor_sql(
+    table: str,
+    ts_col: str,
+    arm_expr: str,
+    outcome_expr: str,
+    tau: float = 0.02,
+    alpha: float = 0.05,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`msprt_ab_monitor` (same cumulative
+    integer counts, same mixture-LR shapes)."""
+    t2 = float(tau) * float(tau)
+    return f"""
+    WITH daily AS (
+      SELECT CAST({ts_col} AS DATE) AS d,
+             CAST(SUM(CASE WHEN {arm_expr} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nt,
+             CAST(SUM(CASE WHEN {arm_expr}
+                      THEN CAST({outcome_expr} AS INTEGER)
+                      ELSE 0 END) AS BIGINT) AS xt,
+             CAST(SUM(CASE WHEN {arm_expr} THEN 0 ELSE 1 END)
+                  AS BIGINT) AS nc,
+             CAST(SUM(CASE WHEN {arm_expr} THEN 0
+                      ELSE CAST({outcome_expr} AS INTEGER) END)
+                  AS BIGINT) AS xc
+      FROM {table} GROUP BY 1
+    ),
+    cum AS (
+      SELECT d,
+             CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS i,
+             SUM(nt) OVER w AS cnt, SUM(xt) OVER w AS cxt,
+             SUM(nc) OVER w AS cnc, SUM(xc) OVER w AS cxc
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    scored AS (
+      SELECT i, cnt, cxt, cnc, cxc,
+             CASE WHEN cnt > 0 AND cnc > 0
+                       AND CAST(cxt + cxc AS DOUBLE)
+                           / (CAST(cnt AS DOUBLE)
+                              + CAST(cnc AS DOUBLE)) > 0.0
+                       AND CAST(cxt + cxc AS DOUBLE)
+                           / (CAST(cnt AS DOUBLE)
+                              + CAST(cnc AS DOUBLE)) < 1.0
+             THEN 1.0 / (SQRT(
+                    (CAST(cxt + cxc AS DOUBLE)
+                     / (CAST(cnt AS DOUBLE) + CAST(cnc AS DOUBLE))
+                     * (1.0 - CAST(cxt + cxc AS DOUBLE)
+                        / (CAST(cnt AS DOUBLE) + CAST(cnc AS DOUBLE)))
+                     * (1.0 / CAST(cnt AS DOUBLE)
+                        + 1.0 / CAST(cnc AS DOUBLE)))
+                    / ((CAST(cxt + cxc AS DOUBLE)
+                        / (CAST(cnt AS DOUBLE) + CAST(cnc AS DOUBLE))
+                        * (1.0 - CAST(cxt + cxc AS DOUBLE)
+                           / (CAST(cnt AS DOUBLE)
+                              + CAST(cnc AS DOUBLE)))
+                        * (1.0 / CAST(cnt AS DOUBLE)
+                           + 1.0 / CAST(cnc AS DOUBLE)))
+                       + {t2!r}))
+                  * EXP((CAST(cxt AS DOUBLE) / CAST(cnt AS DOUBLE)
+                         - CAST(cxc AS DOUBLE) / CAST(cnc AS DOUBLE))
+                        * (CAST(cxt AS DOUBLE) / CAST(cnt AS DOUBLE)
+                           - CAST(cxc AS DOUBLE) / CAST(cnc AS DOUBLE))
+                        * {t2!r}
+                        / (2.0 * (CAST(cxt + cxc AS DOUBLE)
+                                  / (CAST(cnt AS DOUBLE)
+                                     + CAST(cnc AS DOUBLE))
+                                  * (1.0 - CAST(cxt + cxc AS DOUBLE)
+                                     / (CAST(cnt AS DOUBLE)
+                                        + CAST(cnc AS DOUBLE)))
+                                  * (1.0 / CAST(cnt AS DOUBLE)
+                                     + 1.0 / CAST(cnc AS DOUBLE)))
+                           * ((CAST(cxt + cxc AS DOUBLE)
+                               / (CAST(cnt AS DOUBLE)
+                                  + CAST(cnc AS DOUBLE))
+                               * (1.0 - CAST(cxt + cxc AS DOUBLE)
+                                  / (CAST(cnt AS DOUBLE)
+                                     + CAST(cnc AS DOUBLE)))
+                               * (1.0 / CAST(cnt AS DOUBLE)
+                                  + 1.0 / CAST(cnc AS DOUBLE)))
+                              + {t2!r}))))
+             END AS inst_p
+      FROM cum
+    )
+    SELECT MAX(i) AS n_days,
+           MAX(cnt) AS n_treat,
+           MAX(cnc) AS n_ctrl,
+           MAX(cxt) AS x_treat,
+           MAX(cxc) AS x_ctrl,
+           ROUND(LEAST(1.0, MIN(inst_p)), {round_to}) AS p_always_valid,
+           MIN(CASE WHEN inst_p <= {float(alpha)!r} THEN i END)
+             AS first_sig_day
+    FROM scored
+    """

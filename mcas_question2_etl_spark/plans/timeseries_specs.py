@@ -2472,3 +2472,52 @@ def phillips_perron_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("day")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     return regression.phillips_perron(daily, value_col="c")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 161: mSPRT always-valid A/B monitor
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.evaluation import msprt_ab_monitor, msprt_ab_monitor_sql
+
+_ARM_SQL = (
+    "CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':arm'),"
+    " 1, 15)) AS BIGINT) % 2 = 0"
+)
+
+
+@_spec(
+    "msprt_ab_always_valid",
+    msprt_ab_monitor_sql(
+        "events", "ts", _ARM_SQL, "event_type = 'purchase'"
+    ),
+    "sequential-testing op — mixture-SPRT always-valid p-value "
+    "(Johari et al. 2017) over a hash-randomized A/A split of the "
+    "event stream (arm = md5(user_id) bucket, outcome = purchase): "
+    "the peeking-safe companion to sprt_conversion_monitor's Wald "
+    "test, which needs a pre-committed alternative and a single "
+    "look. On an A/A split the monitor should NOT cross — its "
+    "always-valid p staying high is itself the spec's planted "
+    "property. Daily cumulative integer counts through one ordered "
+    "window; closed-form mixture likelihood both engines evaluate "
+    "identically.",
+)
+def msprt_ab_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.expr(
+            "cast(conv(substring(md5(concat(cast(user_id as string),"
+            " ':arm')), 1, 15), 16, 10) as bigint)"
+        )
+        % 2
+        == 0
+    )
+    return msprt_ab_monitor(
+        ev.select(
+            "ts",
+            arm.alias("arm"),
+            (F.col("event_type") == "purchase").alias("y"),
+        ),
+        "ts",
+        "arm",
+        "y",
+    )
