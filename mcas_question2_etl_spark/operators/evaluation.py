@@ -7687,11 +7687,11 @@ def msprt_ab_monitor_sql(
              END AS inst_p
       FROM cum
     )
-    SELECT MAX(i) AS n_days,
-           MAX(cnt) AS n_treat,
-           MAX(cnc) AS n_ctrl,
-           MAX(cxt) AS x_treat,
-           MAX(cxc) AS x_ctrl,
+    SELECT CAST(MAX(i) AS BIGINT) AS n_days,
+           CAST(MAX(cnt) AS BIGINT) AS n_treat,
+           CAST(MAX(cnc) AS BIGINT) AS n_ctrl,
+           CAST(MAX(cxt) AS BIGINT) AS x_treat,
+           CAST(MAX(cxc) AS BIGINT) AS x_ctrl,
            ROUND(LEAST(1.0, MIN(inst_p)), {round_to}) AS p_always_valid,
            MIN(CASE WHEN inst_p <= {float(alpha)!r} THEN i END)
              AS first_sig_day
