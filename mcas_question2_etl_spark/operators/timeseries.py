@@ -25,6 +25,7 @@ series-key exchange then feeds the LOCF window.)
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -5961,4 +5962,142 @@ def gph_long_memory_sql(
                  / SQRT(({pi} * {pi} / 6.0) / sxx_c), {round_to})
              AS t_stat
     FROM fit
+    """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 162: TSB intermittent-demand forecast (obsolescence-safe Croston)
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def tsb_forecast(
+    demand: DataFrame,
+    key_col: str = "item",
+    day_col: str = "day",
+    qty_col: str = "qty",
+    alpha: float = 0.2,
+    beta: float = 0.1,
+    min_events: int = 3,
+) -> DataFrame:
+    """TSB method (Teunter, Syntetos & Babai 2011) — the
+    obsolescence-safe fix to :func:`croston_forecast`: Croston only
+    updates on demand days, so a part that DIED keeps its last rate
+    forever; TSB smooths the demand PROBABILITY every period
+    (p ← (1−β)p, +β on demand days) so a dead part's forecast decays
+    toward zero, and keeps Croston's SES on nonzero sizes.
+
+    The per-period probability recursion over zero days collapses to
+    the closed form ``p·(1−β)^g`` for a g-day gap, so the fold still
+    walks only the EVENT list (croston's sparsity-bounded shape) —
+    never a densified calendar: a gap contributes
+    ``exp(g·ln(1−β))`` with ln(1−β) precomputed HERE as one shared
+    double literal, identical in both engines. The trailing zero run
+    to the table's GLOBAL last day applies the same decay — that tail
+    is exactly where obsolescence lives. Because exp() enters the
+    chain (the one libm call), outputs are ROUNDed at 6dp — the
+    croston no-rounding guarantee holds only for +/*-only folds.
+
+    Output per key with ≥ ``min_events`` demand days: (key,
+    n_demands, z_hat, p_hat, tsb_rate = p̂·ẑ), ordered by key.
+    """
+    a, b = float(alpha), float(beta)
+    lnb = math.log(1.0 - b)  # shared literal, same double both engines
+    per_day = demand.groupBy(
+        F.col(key_col).alias("k"), F.col(day_col).alias("d")
+    ).agg(F.sum(F.col(qty_col)).cast("bigint").alias("z"))
+    bounds = per_day.agg(F.max("d").cast("bigint").alias("dmax"))
+    series = (
+        per_day.filter(F.col("z") > 0)
+        .groupBy("k")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("d", "z"))).alias("ev")
+        )
+        .filter(F.size("ev") >= min_events)
+        .crossJoin(F.broadcast(bounds))
+    )
+    fold = F.expr(
+        f"""
+        aggregate(
+          slice(ev, 2, greatest(size(ev) - 1, 0)),
+          named_struct('pd', ev[0].d, 'z', cast(ev[0].z as double),
+                       'p', cast(1.0 as double)),
+          (acc, e) -> named_struct(
+            'pd', e.d,
+            'z', {a}D * e.z + {1 - a}D * acc.z,
+            'p', {b}D + {1 - b}D
+                 * (acc.p * exp(cast(e.d - acc.pd - 1 as double)
+                                * {lnb!r}D))),
+          acc -> named_struct(
+            'z', acc.z,
+            'p', acc.p * exp(cast(dmax - acc.pd as double) * {lnb!r}D)))
+        """
+    )
+    out = series.select(
+        F.col("k").alias(key_col),
+        F.size("ev").cast("bigint").alias("n_demands"),
+        fold.alias("__st"),
+    )
+    return out.select(
+        key_col,
+        "n_demands",
+        F.round(F.col("__st.z"), 6).alias("z_hat"),
+        F.round(F.col("__st.p"), 6).alias("p_hat"),
+        F.round(F.col("__st.p") * F.col("__st.z"), 6).alias("tsb_rate"),
+    ).orderBy(key_col)
+
+
+def tsb_forecast_sql(
+    demand_sql: str,
+    key_col: str = "item",
+    day_col: str = "day",
+    qty_col: str = "qty",
+    alpha: float = 0.2,
+    beta: float = 0.1,
+    min_events: int = 3,
+) -> str:
+    """DuckDB twin of :func:`tsb_forecast` — the same gap-closed-form
+    recursion as a recursive CTE with the identical ln(1−β) literal."""
+    a, b = float(alpha), float(beta)
+    lnb = math.log(1.0 - b)
+    return f"""
+    WITH RECURSIVE src AS ({demand_sql}),
+    per_day AS (
+      SELECT {key_col} AS k, {day_col} AS d,
+             CAST(SUM({qty_col}) AS BIGINT) AS z
+      FROM src GROUP BY 1, 2
+    ),
+    bounds AS (SELECT CAST(MAX(d) AS BIGINT) AS dmax FROM per_day),
+    ev AS (
+      SELECT k, d, z,
+             CAST(row_number() OVER (PARTITION BY k ORDER BY d)
+                  AS BIGINT) AS i,
+             CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS m
+      FROM per_day WHERE z > 0
+    ),
+    keys AS (SELECT k, MAX(m) AS m FROM ev GROUP BY k
+             HAVING MAX(m) >= {min_events}),
+    rec AS (
+      SELECT e.k, e.i, e.m, e.d AS pd, CAST(e.z AS DOUBLE) AS z,
+             CAST(1.0 AS DOUBLE) AS p
+      FROM ev e JOIN keys USING (k) WHERE e.i = 1
+      UNION ALL
+      SELECT r.k, e.i, r.m, e.d,
+             {a!r} * e.z + {1 - a!r} * r.z,
+             {b!r} + {1 - b!r}
+               * (r.p * EXP(CAST(e.d - r.pd - 1 AS DOUBLE)
+                            * {lnb!r}))
+      FROM rec r JOIN ev e ON e.k = r.k AND e.i = r.i + 1
+    ),
+    last AS (
+      SELECT r.k, r.m, r.z,
+             r.p * EXP(CAST(b.dmax - r.pd AS DOUBLE) * {lnb!r}) AS p
+      FROM rec r CROSS JOIN bounds b
+      WHERE r.i = r.m
+    )
+    SELECT k AS {key_col},
+           CAST(m AS BIGINT) AS n_demands,
+           ROUND(z, 6) AS z_hat,
+           ROUND(p, 6) AS p_hat,
+           ROUND(p * z, 6) AS tsb_rate
+    FROM last ORDER BY 1
     """

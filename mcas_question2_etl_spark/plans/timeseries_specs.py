@@ -2521,3 +2521,42 @@ def msprt_ab_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "arm",
         "y",
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 162: TSB intermittent-demand forecast
+# ──────────────────────────────────────────────────────────────────────────
+
+
+@_spec(
+    "tsb_part_demand",
+    timeseries.tsb_forecast_sql(
+        """SELECT l_partkey AS item,
+                  CAST(date_diff('day', DATE '1990-01-01',
+                                 CAST(l_shipdate AS DATE)) AS BIGINT) AS day,
+                  CAST(l_quantity AS BIGINT) AS qty
+           FROM lineitem""",
+    ),
+    "forecast op — TSB (Teunter-Syntetos-Babai 2011) per-part "
+    "intermittent demand on the SAME feed as croston_part_demand: "
+    "Croston never updates between demands, so a DEAD part keeps its "
+    "last rate forever; TSB decays the demand probability every "
+    "period ((1-beta)^gap in closed form over the event gaps — the "
+    "fold still walks only demand events) and applies the trailing "
+    "decay to the table's last day, which is exactly where "
+    "obsolescence lives. One shared ln(1-beta) literal keeps both "
+    "engines' exp chains identical; outputs round at 6dp (exp is in "
+    "play, unlike croston's +/*-only fold).",
+)
+def tsb_part_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    demand = li.select(
+        F.col("l_partkey").alias("item"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1990-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("day"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    return timeseries.tsb_forecast(demand)
