@@ -668,6 +668,23 @@ HEADLINE = [
     "did_event_value",
     "icc_design_effect_users",
     "skyline_suppliers",
+    # round 8, waves 146-162 — appended as always
+    "cucconi_price_returnflag",
+    "mood_scale_price_returnflag",
+    "kpss_level_daily",
+    "rdd_quantity_price_jump",
+    "iv_planted_order_system",
+    "hl_shift_supplier_acctbal",
+    "quade_priority_revenue",
+    "holt_winters_dow_backtest",
+    "mink_prob_membership_docs",
+    "gph_long_memory_daily",
+    "ddsketch_price_quantiles",
+    "ktruss_copurchase_profile",
+    "phillips_perron_daily",
+    "randomized_response_priority",
+    "msprt_ab_always_valid",
+    "tsb_part_demand",
 ]
 
 
