@@ -1211,3 +1211,236 @@ def jl_distortion_report_sql(
            ROUND(MAX(ratio), {round_to}) AS max_ratio
     FROM scored
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 163: exact KNN-Shapley training-data valuation
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def knn_shapley_valuation(
+    emb: DataFrame,
+    probe_mod: int = 10,
+    k: int = 5,
+    probe_cap: int = KNN_EVAL_PROBE_CAP,
+    top_n: int = 10,
+) -> DataFrame:
+    """EXACT Shapley value of every training vector under the K-NN
+    utility (Jia et al., VLDB 2019) — "which training points actually
+    help?", the data-valuation gate a curation pipeline runs before
+    paying to keep/label more of a source. Monte-Carlo Shapley needs
+    thousands of utility evaluations; for K-NN the exact value has a
+    closed recursion over the distance ranking, and that recursion
+    TELESCOPES into a pure suffix sum — no iteration anywhere:
+
+      rank candidates per probe by cosine (nearest = 1, id
+      tie-break); m_i = 1[label_i = label_probe];
+      term_i = m_N/N                        at i = N,
+               (m_i − m_{i+1})·min(K,i)/(K·i)  otherwise;
+      s_i = Σ_{j≥i} term_j   (one suffix window);
+      shapley(train point) = mean of its s over the probe set.
+
+    Efficiency axiom as a built-in invariant (pinned in the wave
+    test): per probe, Σ_i s_i = (matches among the K nearest)/K —
+    the utility of the full set.
+
+    Scale shape: the knn_label_eval discipline — an ABSOLUTELY
+    BOUNDED broadcast probe set, one corpus scan against it
+    (O(n·probes) pairs, never a self-join), two windows per probe
+    partition (rank + suffix sum), one train-point rollup,
+    TakeOrdered(top_n) head/tail. Q20 fixed-point cosines keep the
+    ranking bit-reproducible.
+
+    Output: the ``top_n`` highest- and lowest-valued training
+    vectors: (position, vec_id, label, n_probes, shapley), position
+    1..top_n then -1..-top_n (most valuable first, then most
+    harmful), deterministic id tie-breaks.
+    """
+    from pyspark.sql import Window
+
+    probes = (
+        emb.filter(
+            (F.col("vec_id") % probe_mod == 0)
+            & (F.col("vec_id") < probe_cap)
+        )
+        .select(
+            F.col("vec_id").alias("p_id"),
+            F.col("label").alias("p_label"),
+            quantize("embedding").alias("pv"),
+        )
+        .withColumn("pn2", sqnorm_expr("pv"))
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        quantize("embedding").alias("cv"),
+    ).withColumn("cn2", sqnorm_expr("cv"))
+    dot = F.expr(
+        "aggregate(zip_with(cv, pv, (x, y) -> x * y), "
+        "cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    pairs = cands.join(
+        F.broadcast(probes), F.col("c_id") != F.col("p_id")
+    ).select(
+        "p_id",
+        "p_label",
+        "c_id",
+        "c_label",
+        (
+            dot
+            / F.sqrt(
+                F.col("cn2").cast("double") * F.col("pn2").cast("double")
+            )
+        ).alias("cos"),
+    )
+    wk = Window.partitionBy("p_id").orderBy(
+        F.col("cos").desc(), F.col("c_id")
+    )
+    wn = Window.partitionBy("p_id")
+    ranked = pairs.select(
+        "p_id",
+        "c_id",
+        (F.col("c_label") == F.col("p_label")).cast("int").alias("m"),
+        F.row_number().over(wk).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("nn"),
+    ).withColumn(
+        "m_next",
+        F.lead("m").over(Window.partitionBy("p_id").orderBy("rk")),
+    )
+    kk = float(int(k))
+    term = F.when(
+        F.col("rk") == F.col("nn"),
+        F.col("m").cast("double") / F.col("nn").cast("double"),
+    ).otherwise(
+        (F.col("m") - F.col("m_next")).cast("double")
+        * F.least(F.lit(kk), F.col("rk").cast("double"))
+        / (F.lit(kk) * F.col("rk").cast("double"))
+    )
+    wsuf = (
+        Window.partitionBy("p_id")
+        .orderBy("rk")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    scored = ranked.select(
+        "p_id", "c_id", F.sum(term).over(wsuf).alias("s")
+    )
+    per_point = (
+        scored.groupBy("c_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+            F.round(F.sum("s") / F.count(F.lit(1)), 6).alias("shapley"),
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("c_id"), F.col("label")
+            ),
+            "c_id",
+        )
+    )
+    top = (
+        per_point.orderBy(F.col("shapley").desc(), F.col("c_id"))
+        .limit(int(top_n))
+        .withColumn(
+            "position",
+            F.row_number()
+            .over(Window.orderBy(F.col("shapley").desc(), F.col("c_id")))
+            .cast("bigint"),
+        )
+    )
+    bottom = (
+        per_point.orderBy(F.col("shapley").asc(), F.col("c_id"))
+        .limit(int(top_n))
+        .withColumn(
+            "position",
+            -F.row_number()
+            .over(Window.orderBy(F.col("shapley").asc(), F.col("c_id")))
+            .cast("bigint"),
+        )
+    )
+    return top.unionByName(bottom).select(
+        "position",
+        F.col("c_id").alias("vec_id"),
+        "label",
+        "n_probes",
+        "shapley",
+    ).orderBy(F.col("position"))
+
+
+def knn_shapley_valuation_sql(
+    table: str = "embeddings",
+    probe_mod: int = 10,
+    k: int = 5,
+    probe_cap: int = KNN_EVAL_PROBE_CAP,
+    top_n: int = 10,
+) -> str:
+    """DuckDB twin of :func:`knn_shapley_valuation` (same Q20
+    cosines, same suffix-sum telescoping, same head/tail cut)."""
+    qv = quantize_sql("embedding")
+    kk = float(int(k))
+    return f"""
+    WITH base AS (
+      SELECT vec_id, label, {qv} AS v FROM {table}
+    ),
+    normed AS (
+      SELECT vec_id, label, v,
+             list_sum([x * x for x in v]) AS n2
+      FROM base
+    ),
+    probes AS (
+      SELECT vec_id AS p_id, label AS p_label, v AS pv, n2 AS pn2
+      FROM normed
+      WHERE vec_id % {probe_mod} = 0 AND vec_id < {probe_cap}
+    ),
+    pairs AS (
+      SELECT p.p_id, p.p_label, c.vec_id AS c_id, c.label AS c_label,
+             list_sum([x[1] * x[2] for x in list_zip(c.v, p.pv)])
+             / SQRT(CAST(c.n2 AS DOUBLE) * CAST(p.pn2 AS DOUBLE))
+               AS cos
+      FROM normed c JOIN probes p ON c.vec_id <> p.p_id
+    ),
+    ranked AS (
+      SELECT p_id, c_id,
+             CAST(c_label = p_label AS INTEGER) AS m,
+             ROW_NUMBER() OVER wk AS rk,
+             COUNT(*) OVER (PARTITION BY p_id) AS nn,
+             LEAD(CAST(c_label = p_label AS INTEGER)) OVER wk AS m_next
+      FROM pairs
+      WINDOW wk AS (PARTITION BY p_id ORDER BY cos DESC, c_id)
+    ),
+    scored AS (
+      SELECT p_id, c_id,
+             SUM(CASE WHEN rk = nn
+                      THEN CAST(m AS DOUBLE) / CAST(nn AS DOUBLE)
+                      ELSE CAST(m - m_next AS DOUBLE)
+                           * LEAST({kk!r}, CAST(rk AS DOUBLE))
+                           / ({kk!r} * CAST(rk AS DOUBLE))
+                 END)
+               OVER (PARTITION BY p_id ORDER BY rk
+                     ROWS BETWEEN CURRENT ROW
+                     AND UNBOUNDED FOLLOWING) AS s
+      FROM ranked
+    ),
+    per_point AS (
+      SELECT s.c_id,
+             CAST(COUNT(*) AS BIGINT) AS n_probes,
+             ROUND(SUM(s.s) / COUNT(*), 6) AS shapley,
+             MAX(b.label) AS label
+      FROM scored s JOIN base b ON b.vec_id = s.c_id
+      GROUP BY s.c_id
+    ),
+    top AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY shapley DESC, c_id)
+                  AS BIGINT) AS position,
+             c_id, label, n_probes, shapley
+      FROM per_point ORDER BY shapley DESC, c_id LIMIT {int(top_n)}
+    ),
+    bottom AS (
+      SELECT -CAST(ROW_NUMBER() OVER (ORDER BY shapley ASC, c_id)
+                   AS BIGINT) AS position,
+             c_id, label, n_probes, shapley
+      FROM per_point ORDER BY shapley ASC, c_id LIMIT {int(top_n)}
+    )
+    SELECT position, c_id AS vec_id, label, n_probes, shapley
+    FROM (SELECT * FROM top UNION ALL SELECT * FROM bottom)
+    ORDER BY position
+    """

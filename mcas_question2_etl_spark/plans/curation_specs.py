@@ -2232,3 +2232,33 @@ from ..operators.mmd import mmd_rff, mmd_rff_sql
 def mmd_rff_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return mmd_rff(emb, F.col("label") < 5)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 163: exact KNN-Shapley training-data valuation
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.similarity import (
+    knn_shapley_valuation,
+    knn_shapley_valuation_sql,
+)
+
+
+@_spec(
+    "knn_shapley_valuation_emb",
+    knn_shapley_valuation_sql(),
+    "curation op — EXACT per-vector Shapley value under the K-NN "
+    "utility (Jia et al. 2019): which training vectors help (and "
+    "which actively hurt) label prediction — the data-valuation gate "
+    "before paying to keep or label more of a source, and the "
+    "principled upgrade of knn_label_eval's aggregate accuracy. The "
+    "closed recursion over each probe's distance ranking TELESCOPES "
+    "into one suffix-sum window, so the exact game-theoretic value "
+    "costs two windows over the bounded probe-pair table — no "
+    "Monte-Carlo, no iteration. Emits the top/bottom 10 by value; "
+    "the efficiency axiom (per-probe sum = full-set utility) is "
+    "pinned in the wave test. Q20 cosines, broadcast probe cap, "
+    "O(n x probes) pairs.",
+)
+def knn_shapley_valuation_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_shapley_valuation(emb)
