@@ -193,3 +193,137 @@ def quantile_normalize_sql(
            p.normalized
     FROM idxed i JOIN pooled p ON p.idx = i.idx
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 164: weight-of-evidence / information-value feature audit
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def woe_iv_audit(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    laplace: float = 0.5,
+) -> DataFrame:
+    """Weight of Evidence per category and the feature's Information
+    Value — the credit-scoring-era feature audit that never left
+    production (FICO/Basel lineage; Siddiqi 2006): for a binary
+    target,
+
+      WOE_c = ln( (event_c/E) / (nonevent_c/NE) ),
+      IV    = Σ_c (event_c/E − nonevent_c/NE) · WOE_c
+
+    with Laplace smoothing ``laplace`` added to both cell counts so
+    one-sided categories stay finite. IV reads on the standard rule
+    of thumb (<0.02 useless, 0.02–0.1 weak, 0.1–0.3 medium, >0.3
+    strong) BEFORE anyone fits a model — the univariate complement
+    of :func:`oof_target_encoding` (which builds the feature; this
+    one decides whether it is worth building, without the leakage
+    question since nothing is fed back into training rows).
+
+    Exactness: cell counts are exact bigints; shares, ln and the IV
+    terms are closed forms on identical inputs (k-row reduction; the
+    per-category table is the feature's cardinality). Output per
+    category: (category, n_event, n_nonevent, woe, iv_term) plus
+    one TOTAL row (category NULL) carrying the summed IV, ordered
+    with the total last.
+    """
+    lp = float(laplace)
+    t = (
+        F.col(target_col) if isinstance(target_col, str) else target_col
+    ).cast("boolean")
+    per = df.groupBy(F.col(cat_col).alias("category")).agg(
+        F.sum(F.when(t, 1).otherwise(0)).cast("bigint").alias("n_event"),
+        F.sum(F.when(t, 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_nonevent"),
+    )
+    tot = per.agg(
+        F.sum("n_event").cast("bigint").alias("te"),
+        F.sum("n_nonevent").cast("bigint").alias("tn"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    ge = (F.col("n_event").cast("double") + lp) / (
+        F.col("te").cast("double") + lp
+    )
+    gn = (F.col("n_nonevent").cast("double") + lp) / (
+        F.col("tn").cast("double") + lp
+    )
+    woe = F.log(ge / gn)
+    ivt = (ge - gn) * woe
+    rows = j.select(
+        "category",
+        "n_event",
+        "n_nonevent",
+        F.round(woe, 6).alias("woe"),
+        F.round(ivt, 6).alias("iv_term"),
+    )
+    total = (
+        j.agg(
+            F.max("te").alias("n_event"),
+            F.max("tn").alias("n_nonevent"),
+            F.round(F.sum(ivt), 6).alias("iv_term"),
+        )
+        .select(
+            F.lit(None).cast("string").alias("category"),
+            F.col("n_event"),
+            F.col("n_nonevent"),
+            F.lit(None).cast("double").alias("woe"),
+            "iv_term",
+        )
+    )
+    return rows.unionByName(total).orderBy(
+        F.col("category").asc_nulls_last()
+    )
+
+
+def woe_iv_audit_sql(
+    table: str,
+    cat_col: str,
+    target_expr: str,
+    laplace: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`woe_iv_audit` (same smoothing, same
+    closed-form order, same NULL total row last)."""
+    lp = float(laplace)
+    return f"""
+    WITH per AS (
+      SELECT {cat_col} AS category,
+             CAST(SUM(CASE WHEN {target_expr} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_event,
+             CAST(SUM(CASE WHEN {target_expr} THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_nonevent
+      FROM {table} GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_event) AS BIGINT) AS te,
+             CAST(SUM(n_nonevent) AS BIGINT) AS tn
+      FROM per
+    ),
+    scored AS (
+      SELECT category, n_event, n_nonevent,
+             LN(((CAST(n_event AS DOUBLE) + {lp!r})
+                 / (CAST(te AS DOUBLE) + {lp!r}))
+                / ((CAST(n_nonevent AS DOUBLE) + {lp!r})
+                   / (CAST(tn AS DOUBLE) + {lp!r}))) AS woe,
+             ((CAST(n_event AS DOUBLE) + {lp!r})
+              / (CAST(te AS DOUBLE) + {lp!r})
+              - (CAST(n_nonevent AS DOUBLE) + {lp!r})
+                / (CAST(tn AS DOUBLE) + {lp!r}))
+             * LN(((CAST(n_event AS DOUBLE) + {lp!r})
+                   / (CAST(te AS DOUBLE) + {lp!r}))
+                  / ((CAST(n_nonevent AS DOUBLE) + {lp!r})
+                     / (CAST(tn AS DOUBLE) + {lp!r}))) AS iv_term,
+             te, tn
+      FROM per CROSS JOIN tot
+    )
+    SELECT category, n_event, n_nonevent,
+           ROUND(woe, 6) AS woe, ROUND(iv_term, 6) AS iv_term
+    FROM scored
+    UNION ALL
+    SELECT CAST(NULL AS VARCHAR), MAX(te), MAX(tn),
+           CAST(NULL AS DOUBLE), ROUND(SUM(iv_term), 6)
+    FROM scored
+    ORDER BY category ASC NULLS LAST
+    """

@@ -2070,3 +2070,29 @@ def randomized_response_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return randomized_response_frequency(
         orders, "o_orderkey", "o_orderpriority"
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 164: weight-of-evidence / information-value feature audit
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.encoding import woe_iv_audit, woe_iv_audit_sql
+
+
+@_spec(
+    "woe_iv_priority_status",
+    woe_iv_audit_sql("orders", "o_orderpriority", "o_orderstatus = 'F'"),
+    "feature op — Weight-of-Evidence table + Information Value of "
+    "order priority for predicting finished status (binary target): "
+    "the pre-model univariate feature audit (Siddiqi's credit-"
+    "scoring canon — IV < 0.02 useless, > 0.3 strong) and the "
+    "leakage-free complement of oof_target_encoding, which BUILDS "
+    "the feature this one decides is worth building. Laplace 0.5 on "
+    "both cells keeps one-sided categories finite. Exact bigint "
+    "cells, k-row closed forms, one TOTAL row carrying the summed "
+    "IV.",
+)
+def woe_iv_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return woe_iv_audit(
+        orders, "o_orderpriority", (F.col("o_orderstatus") == "F")
+    )
