@@ -748,3 +748,100 @@ def iv_2sls_sql(
                  {round_to}) AS t_iv
     FROM fit
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 165: IPS / SNIPS off-policy evaluation
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def offpolicy_eval(
+    df: DataFrame,
+    action_col: str,
+    propensity_col: str,
+    reward_col: str,
+    target_action_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Off-policy evaluation of a TARGET decision policy from logged
+    bandit feedback (action, logging propensity, reward) — "what
+    would the new ranking/routing policy have earned on last month's
+    traffic?", answered WITHOUT an experiment:
+
+      w_i     = 1[π(x_i) = a_i] / p_i            (importance weight)
+      V_IPS   = (1/n) Σ w_i·r_i                  (unbiased, high var)
+      V_SNIPS = Σ w_i·r_i / Σ w_i                (self-normalized —
+                trades a vanishing bias for a large variance cut)
+      ESS     = (Σ w)² / Σ w²                    (Kish; how much of
+                the log the target policy can actually SEE)
+
+    The logged-bandit sibling of :func:`ipw_ate_scored` (two fixed
+    arms there; an arbitrary action space and an explicit target
+    policy here). V_behavior = mean logged reward anchors the
+    comparison. One aggregate over the scan; every estimate is a
+    closed form of six sums; weights and rewards are O(1/p_min)-
+    bounded doubles so the unordered sums sit far from any rounding
+    grain.
+
+    Output (one row): (n, n_matched, ess, v_behavior, v_ips,
+    v_snips).
+    """
+    match = F.col(target_action_col) == F.col(action_col)
+    w = F.when(match, 1.0 / F.col(propensity_col).cast("double")).otherwise(
+        0.0
+    )
+    r = F.col(reward_col).cast("double")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(match.cast("long")).cast("bigint").alias("n_matched"),
+        F.sum(w).alias("sw"),
+        F.sum(w * w).alias("sw2"),
+        F.sum(w * r).alias("swr"),
+        F.sum(r).alias("sr"),
+    )
+    nn = F.col("n").cast("double")
+    return agg.select(
+        "n",
+        "n_matched",
+        F.round(
+            F.col("sw") * F.col("sw") / F.col("sw2"), round_to
+        ).alias("ess"),
+        F.round(F.col("sr") / nn, round_to).alias("v_behavior"),
+        F.round(F.col("swr") / nn, round_to).alias("v_ips"),
+        F.round(F.col("swr") / F.col("sw"), round_to).alias("v_snips"),
+    )
+
+
+def offpolicy_eval_sql(
+    src_sql: str,
+    action_col: str,
+    propensity_col: str,
+    reward_col: str,
+    target_action_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`offpolicy_eval`."""
+    w = (
+        f"CASE WHEN {target_action_col} = {action_col}"
+        f" THEN 1.0 / CAST({propensity_col} AS DOUBLE) ELSE 0.0 END"
+    )
+    r = f"CAST({reward_col} AS DOUBLE)"
+    return f"""
+    WITH src AS ({src_sql}),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN {target_action_col} = {action_col}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+             SUM({w}) AS sw,
+             SUM(({w}) * ({w})) AS sw2,
+             SUM(({w}) * ({r})) AS swr,
+             SUM({r}) AS sr
+      FROM src
+    )
+    SELECT n, n_matched,
+           ROUND(sw * sw / sw2, {round_to}) AS ess,
+           ROUND(sr / CAST(n AS DOUBLE), {round_to}) AS v_behavior,
+           ROUND(swr / CAST(n AS DOUBLE), {round_to}) AS v_ips,
+           ROUND(swr / sw, {round_to}) AS v_snips
+    FROM agg
+    """

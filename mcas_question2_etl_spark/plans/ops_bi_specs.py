@@ -2096,3 +2096,76 @@ def woe_iv_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return woe_iv_audit(
         orders, "o_orderpriority", (F.col("o_orderstatus") == "F")
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 165: IPS / SNIPS off-policy evaluation on a planted bandit log
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.causal import offpolicy_eval, offpolicy_eval_sql
+
+# deterministic logged-bandit fixture from orders (the iv_planted
+# pattern): context bucket b = key%4; the LOGGING policy draws action
+# 0/1/2 with propensities (0.5, 0.3, 0.2) via the portable md5
+# uniform; reward = 1 exactly when the action equals the context's
+# best action (b%3) — so the TARGET policy pi(x) = b%3 is optimal by
+# construction and its off-policy value should approach 1.0 where the
+# logged behavior value is ~the logging policy's hit rate.
+_BANDIT_LOG_SQL = """
+    SELECT b,
+           CASE WHEN u < 0.5 THEN 0 WHEN u < 0.8 THEN 1 ELSE 2 END
+             AS action,
+           CASE WHEN u < 0.5 THEN 0.5 WHEN u < 0.8 THEN 0.3 ELSE 0.2 END
+             AS prop,
+           CASE WHEN (CASE WHEN u < 0.5 THEN 0 WHEN u < 0.8 THEN 1
+                           ELSE 2 END) = b % 3 THEN 1 ELSE 0 END
+             AS reward,
+           b % 3 AS target_action
+    FROM (
+      SELECT o_orderkey % 4 AS b,
+             CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)
+                   || ':act'), 1, 15)) AS BIGINT) / 1152921504606846976.0
+               AS u
+      FROM orders
+    )
+"""
+
+
+@_spec(
+    "offpolicy_ips_snips",
+    offpolicy_eval_sql(
+        _BANDIT_LOG_SQL.strip(), "action", "prop", "reward",
+        "target_action",
+    ),
+    "decision op — IPS + SNIPS off-policy value of a target policy "
+    "from a planted logged-bandit fixture (logging propensities "
+    ".5/.3/.2 via the portable md5 uniform, reward 1 iff the action "
+    "matches the context's best arm): the counterfactual 'what would "
+    "the new policy have earned on logged traffic' estimator, with "
+    "the Kish ESS diagnostic showing how much of the log the target "
+    "can see. Target pi = best arm by construction, so v_ips/v_snips "
+    "approach 1.0 while v_behavior sits at the logging hit rate — "
+    "the gap IS the point. One aggregate of six sums.",
+)
+def offpolicy_ips_snips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    u = (
+        F.expr(
+            "cast(conv(substring(md5(concat(cast(o_orderkey as string),"
+            " ':act')), 1, 15), 16, 10) as bigint)"
+        )
+        / F.lit(float(1 << 60))
+    )
+    b = F.col("o_orderkey") % 4
+    action = (
+        F.when(u < 0.5, 0).when(u < 0.8, 1).otherwise(2)
+    )
+    log = orders.select(
+        b.alias("b"),
+        action.alias("action"),
+        F.when(u < 0.5, 0.5).when(u < 0.8, 0.3).otherwise(0.2).alias(
+            "prop"
+        ),
+        F.when(action == b % 3, 1).otherwise(0).alias("reward"),
+        (b % 3).alias("target_action"),
+    )
+    return offpolicy_eval(log, "action", "prop", "reward", "target_action")
