@@ -6101,3 +6101,151 @@ def tsb_forecast_sql(
            ROUND(p * z, 6) AS tsb_rate
     FROM last ORDER BY 1
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 166: Hotelling T² multivariate control chart
+# ──────────────────────────────────────────────────────────────────────────
+
+#: chi-square(2) 99th percentile — the classic Phase-II signal line
+#: for a bivariate T² chart under the large-n approximation
+_T2_CHI2_99 = 9.21034037197618
+
+
+def hotelling_t2_chart(
+    df: DataFrame,
+    ts_col: str = "ts",
+    event_a: str = "click",
+    event_b: str = "purchase",
+    round_to: int = 6,
+) -> DataFrame:
+    """Hotelling T² control chart over the daily (count_a, count_b)
+    vector — the MULTIVARIATE upgrade of xmr_control_chart: two
+    univariate charts miss exactly the days where clicks and
+    purchases move in an UNUSUAL JOINT direction (e.g. clicks up,
+    purchases down — each within its own band), which is what
+    T² = (x−μ)' S⁻¹ (x−μ) is built to catch.
+
+    Exactness: the scaled deviations u = n·x_t − Σx and the scaled
+    centered moments A = nΣx²−(Σx)², B, C are EXACT (bigint /
+    DECIMAL(38,0)) and cast to double exactly once; the closed-form
+    2×2 inverse then gives
+
+      T²_t = (n−1) · (B·u² − 2C·u·v + A·v²) / (n · (AB − C²))
+
+    evaluated in double with identical shape in the twin — the
+    products B·u² reach ~4e38 at 100× sf0.1, past ANY integer/decimal
+    width, so the once-cast-double form is the scale-stable one, and
+    T² is O(1..100) where 6dp rounding sits far above ulp noise. The
+    signal line is the chi²(2) 99th percentile (large-n Phase-II
+    convention, documented constant).
+
+    One daily rollup, one 1-row moment broadcast, one scan of the
+    days table. Output per day: (day, n_a, n_b, t2, signal), ordered
+    by day.
+    """
+    day = F.col(ts_col).cast("date")
+    daily = df.groupBy(day.alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == event_a, 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == event_b, 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    dec = "decimal(38,0)"
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+    )
+    j = daily.crossJoin(F.broadcast(mom))
+    nD = F.col("n").cast(dec)
+    aM = nD * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+    bM = nD * F.col("syy") - F.col("sy").cast(dec) * F.col("sy").cast(dec)
+    cM = nD * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy").cast(dec)
+    u = (F.col("n") * F.col("x") - F.col("sx")).cast("double")
+    v = (F.col("n") * F.col("y") - F.col("sy")).cast("double")
+    aD = aM.cast("double")
+    bD = bM.cast("double")
+    cD = cM.cast("double")
+    quad = bD * u * u - 2.0 * cD * u * v + aD * v * v
+    det = aD * bD - cD * cD
+    t2 = (
+        (F.col("n") - 1).cast("double")
+        * quad
+        / (F.col("n").cast("double") * det)
+    )
+    return j.select(
+        "day",
+        F.col("x").alias("n_a"),
+        F.col("y").alias("n_b"),
+        F.round(t2, round_to).alias("t2"),
+        (t2 > _T2_CHI2_99).alias("signal"),
+    ).orderBy("day")
+
+
+def hotelling_t2_chart_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    event_a: str = "click",
+    event_b: str = "purchase",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`hotelling_t2_chart` (same exact-integer
+    quadratic form, same chi²(2) line)."""
+    return f"""
+    WITH daily AS (
+      SELECT CAST({ts_col} AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = '{event_a}' THEN 1
+                      ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = '{event_b}' THEN 1
+                      ELSE 0 END) AS BIGINT) AS y
+      FROM {table} GROUP BY 1
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+               AS sxx,
+             SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+               AS syy,
+             SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+               AS sxy
+      FROM daily
+    ),
+    casted AS (
+      SELECT n, sx, sy,
+             CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                  - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))
+                  AS DOUBLE) AS a,
+             CAST(CAST(n AS DECIMAL(38,0)) * syy
+                  - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+                  AS DOUBLE) AS b,
+             CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                  - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+                  AS DOUBLE) AS c
+      FROM mom
+    ),
+    scored AS (
+      SELECT d.day, d.x, d.y,
+             (CAST(m.n - 1 AS DOUBLE)
+              * (m.b * CAST(m.n * d.x - m.sx AS DOUBLE)
+                     * CAST(m.n * d.x - m.sx AS DOUBLE)
+                 - 2.0 * m.c * CAST(m.n * d.x - m.sx AS DOUBLE)
+                       * CAST(m.n * d.y - m.sy AS DOUBLE)
+                 + m.a * CAST(m.n * d.y - m.sy AS DOUBLE)
+                       * CAST(m.n * d.y - m.sy AS DOUBLE))
+              / (CAST(m.n AS DOUBLE) * (m.a * m.b - m.c * m.c)))
+               AS t2
+      FROM daily d CROSS JOIN casted m
+    )
+    SELECT day, x AS n_a, y AS n_b,
+           ROUND(t2, {round_to}) AS t2,
+           t2 > {_T2_CHI2_99!r} AS signal
+    FROM scored ORDER BY day
+    """

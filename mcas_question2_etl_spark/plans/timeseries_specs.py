@@ -2560,3 +2560,25 @@ def tsb_part_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("bigint").alias("qty"),
     )
     return timeseries.tsb_forecast(demand)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 166: Hotelling T² multivariate control chart
+# ──────────────────────────────────────────────────────────────────────────
+
+
+@_spec(
+    "hotelling_t2_daily",
+    timeseries.hotelling_t2_chart_sql("events"),
+    "ops op — Hotelling T-squared control chart on the daily "
+    "(clicks, purchases) vector: the multivariate upgrade of "
+    "xmr_control_chart — two univariate charts miss days where the "
+    "pair moves in an unusual JOINT direction (clicks up, purchases "
+    "down, each inside its own band). Exact bigint/decimal scaled "
+    "moments cast to double once, closed-form 2x2 inverse, chi2(2) "
+    "99th-percentile signal line. One daily rollup + a 1-row moment "
+    "broadcast; O(days).",
+)
+def hotelling_t2_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return timeseries.hotelling_t2_chart(events)
