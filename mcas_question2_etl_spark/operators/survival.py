@@ -758,3 +758,203 @@ def km_greenwood_ci_sql(
                       ELSE NULL END, {round_to}) AS ci_hi
     FROM with_v ORDER BY t_days
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 167: Aalen-Johansen competing-risks cumulative incidence
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def aalen_johansen_cif(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    cause_a: str = "purchase",
+    cause_b: str = "error",
+    round_to: int = 6,
+) -> DataFrame:
+    """Aalen-Johansen cumulative incidence under COMPETING risks —
+    the estimator :func:`kaplan_meier` users reach for next and get
+    wrong first: with two absorbing outcomes (first ``cause_a`` vs
+    first ``cause_b`` after signup), "1 − KM of cause A with B
+    censored" OVERSTATES A's incidence because it treats users
+    claimed by B as still at risk. Aalen-Johansen partitions the
+    hazard correctly:
+
+      CIF_k(t) = Σ_{t_i ≤ t} S(t_i−) · d_{k,i} / n_i,
+      S = Kaplan-Meier of the ANY-cause event;
+      CIF_a + CIF_b + S = 1 at every t (the identity the wave test
+      pins — the three curves tile probability).
+
+    Per user: the clock starts at the first event, the outcome is
+    whichever cause strikes first, censoring at the horizon. The
+    lifetimes table rolls up to DISTINCT event times (bounded by the
+    calendar), so the suffix-risk window, the lagged-KM exp/log
+    cumulative product, and the CIF prefix sums all run over a tiny
+    ordered table — the kaplan_meier scale shape exactly.
+
+    Output per distinct event day: (t_days, n_risk, d_a, d_b,
+    surv_any, cif_a, cif_b), ordered by t_days.
+    """
+    dd = F.col(ts_col).cast("date")
+    per_user = df.groupBy(user_col).agg(
+        F.min(dd).alias("__fd"),
+        F.min(F.when(F.col("event_type") == cause_a, dd)).alias("__da"),
+        F.min(F.when(F.col("event_type") == cause_b, dd)).alias("__db"),
+    )
+    ev_a = (F.col("__da").isNotNull()) & (
+        F.col("__db").isNull() | (F.col("__da") <= F.col("__db"))
+    )
+    ev_b = (F.col("__db").isNotNull()) & ~ev_a
+    lifetimes = per_user.select(
+        F.when(ev_a, F.datediff(F.col("__da"), F.col("__fd")))
+        .when(ev_b, F.datediff(F.col("__db"), F.col("__fd")))
+        .cast("bigint")
+        .alias("t_days"),
+        ev_a.cast("int").alias("__a"),
+        ev_b.cast("int").alias("__b"),
+    ).fillna({"t_days": -1})
+    # censored users (no competing event) carry t_days = -1 and enter
+    # only the risk denominator (risk set = everyone, shrinking at
+    # each event time from below never applies: censoring at horizon
+    # means they remain at risk through every observed event time)
+    counts = (
+        lifetimes.filter(F.col("t_days") >= 0)
+        .groupBy("t_days")
+        .agg(
+            F.sum("__a").cast("bigint").alias("d_a"),
+            F.sum("__b").cast("bigint").alias("d_b"),
+        )
+    )
+    n_cens = lifetimes.filter(F.col("t_days") < 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nc")
+    )
+    w_risk = Window.orderBy(F.col("t_days").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_ord = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_prev = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risked = (
+        counts.crossJoin(F.broadcast(n_cens))
+        .withColumn(
+            "n_risk",
+            F.sum(F.col("d_a") + F.col("d_b")).over(w_risk)
+            + F.col("__nc"),
+        )
+        .withColumn(
+            "__haz",
+            F.log(
+                F.lit(1.0)
+                - (F.col("d_a") + F.col("d_b")) / F.col("n_risk")
+            ),
+        )
+        .withColumn(
+            "surv_any", F.exp(F.sum("__haz").over(w_ord))
+        )
+        .withColumn(
+            "__s_prev",
+            F.coalesce(F.exp(F.sum("__haz").over(w_prev)), F.lit(1.0)),
+        )
+    )
+    out = risked.select(
+        "t_days",
+        "n_risk",
+        "d_a",
+        "d_b",
+        F.round(F.col("surv_any"), round_to).alias("surv_any"),
+        F.round(
+            F.sum(
+                F.col("__s_prev") * F.col("d_a") / F.col("n_risk")
+            ).over(w_ord),
+            round_to,
+        ).alias("cif_a"),
+        F.round(
+            F.sum(
+                F.col("__s_prev") * F.col("d_b") / F.col("n_risk")
+            ).over(w_ord),
+            round_to,
+        ).alias("cif_b"),
+    )
+    return out.orderBy("t_days")
+
+
+def aalen_johansen_cif_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    cause_a: str = "purchase",
+    cause_b: str = "error",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`aalen_johansen_cif`."""
+    return f"""
+    WITH per_user AS (
+      SELECT {user_col},
+             MIN(CAST({ts_col} AS DATE)) AS fd,
+             MIN(CASE WHEN event_type = '{cause_a}'
+                 THEN CAST({ts_col} AS DATE) END) AS da,
+             MIN(CASE WHEN event_type = '{cause_b}'
+                 THEN CAST({ts_col} AS DATE) END) AS db
+      FROM {table} GROUP BY 1
+    ),
+    lifetimes AS (
+      SELECT CASE
+               WHEN da IS NOT NULL AND (db IS NULL OR da <= db)
+                 THEN CAST(date_diff('day', fd, da) AS BIGINT)
+               WHEN db IS NOT NULL
+                 THEN CAST(date_diff('day', fd, db) AS BIGINT)
+               ELSE CAST(-1 AS BIGINT)
+             END AS t_days,
+             CASE WHEN da IS NOT NULL AND (db IS NULL OR da <= db)
+                  THEN 1 ELSE 0 END AS a,
+             CASE WHEN db IS NOT NULL
+                       AND NOT (da IS NOT NULL
+                                AND (db IS NULL OR da <= db))
+                  THEN 1 ELSE 0 END AS b
+      FROM per_user
+    ),
+    counts AS (
+      SELECT t_days,
+             CAST(SUM(a) AS BIGINT) AS d_a,
+             CAST(SUM(b) AS BIGINT) AS d_b
+      FROM lifetimes WHERE t_days >= 0 GROUP BY 1
+    ),
+    cens AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nc
+      FROM lifetimes WHERE t_days < 0
+    ),
+    risked AS (
+      SELECT t_days, d_a, d_b,
+             CAST(SUM(d_a + d_b) OVER (ORDER BY t_days DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) + cens.nc
+                  AS BIGINT) AS n_risk
+      FROM counts CROSS JOIN cens
+    ),
+    km AS (
+      SELECT t_days, d_a, d_b, n_risk,
+             EXP(SUM(LN(1.0 - CAST(d_a + d_b AS DOUBLE) / n_risk))
+                 OVER (ORDER BY t_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)) AS surv_any,
+             COALESCE(EXP(SUM(LN(1.0 - CAST(d_a + d_b AS DOUBLE)
+                                 / n_risk))
+                 OVER (ORDER BY t_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING)), 1.0) AS s_prev
+      FROM risked
+    )
+    SELECT t_days, n_risk, d_a, d_b,
+           ROUND(surv_any, {round_to}) AS surv_any,
+           ROUND(SUM(s_prev * d_a / n_risk)
+                 OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW), {round_to}) AS cif_a,
+           ROUND(SUM(s_prev * d_b / n_risk)
+                 OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW), {round_to}) AS cif_b
+    FROM km ORDER BY t_days
+    """

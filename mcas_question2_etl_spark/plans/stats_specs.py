@@ -4256,3 +4256,31 @@ def quade_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
     )
     return quade_test(src, "blk", "prio", "v")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 167: Aalen-Johansen competing-risks cumulative incidence
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.survival import aalen_johansen_cif, aalen_johansen_cif_sql
+
+
+@_spec(
+    "aalen_johansen_purchase_error",
+    aalen_johansen_cif_sql(),
+    "survival op — Aalen-Johansen cumulative incidence of the two "
+    "COMPETING first-outcomes per user (first purchase vs first "
+    "error after signup): the estimator kaplan_meier_retention users "
+    "reach for next and get wrong first — '1 - KM of purchases with "
+    "errors censored' overstates purchase incidence because users "
+    "claimed by errors are no longer at risk. CIF_k = sum "
+    "S(t-)*d_k/n partitions the hazard correctly, and the identity "
+    "CIF_a + CIF_b + S = 1 (pinned in the wave test) ties the three "
+    "curves to unity. The KM scale shape: distinct-event-time "
+    "rollup, suffix risk window, lagged exp/log product, prefix CIF "
+    "sums.",
+)
+def aalen_johansen_purchase_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return aalen_johansen_cif(events)
