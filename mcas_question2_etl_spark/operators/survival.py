@@ -838,6 +838,13 @@ def aalen_johansen_cif(
     w_prev = Window.orderBy("t_days").rowsBetween(
         Window.unboundedPreceding, -1
     )
+    # the final event time can consume the WHOLE risk set (d = n):
+    # ln(1-d/n) is ln(0) there — Spark nulls it, DuckDB raises — so
+    # extinction is handled explicitly: the hazard term is taken only
+    # while d < n and a cumulative dead-flag pins S to exactly 0 from
+    # the extinction time on
+    dtot = F.col("d_a") + F.col("d_b")
+    dead = (dtot == F.col("n_risk")).cast("int")
     risked = (
         counts.crossJoin(F.broadcast(n_cens))
         .withColumn(
@@ -847,17 +854,26 @@ def aalen_johansen_cif(
         )
         .withColumn(
             "__haz",
-            F.log(
-                F.lit(1.0)
-                - (F.col("d_a") + F.col("d_b")) / F.col("n_risk")
+            F.when(
+                dtot < F.col("n_risk"),
+                F.log(F.lit(1.0) - dtot / F.col("n_risk")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("__dead", F.max(dead).over(w_ord))
+        .withColumn("__dead_prev", F.coalesce(F.max(dead).over(w_prev), F.lit(0)))
+        .withColumn(
+            "surv_any",
+            F.when(F.col("__dead") == 1, F.lit(0.0)).otherwise(
+                F.exp(F.sum("__haz").over(w_ord))
             ),
         )
         .withColumn(
-            "surv_any", F.exp(F.sum("__haz").over(w_ord))
-        )
-        .withColumn(
             "__s_prev",
-            F.coalesce(F.exp(F.sum("__haz").over(w_prev)), F.lit(1.0)),
+            F.when(F.col("__dead_prev") == 1, F.lit(0.0)).otherwise(
+                F.coalesce(
+                    F.exp(F.sum("__haz").over(w_prev)), F.lit(1.0)
+                )
+            ),
         )
     )
     out = risked.select(
@@ -937,15 +953,32 @@ def aalen_johansen_cif_sql(
     ),
     km AS (
       SELECT t_days, d_a, d_b, n_risk,
-             EXP(SUM(LN(1.0 - CAST(d_a + d_b AS DOUBLE) / n_risk))
-                 OVER (ORDER BY t_days
-                       ROWS BETWEEN UNBOUNDED PRECEDING
-                       AND CURRENT ROW)) AS surv_any,
-             COALESCE(EXP(SUM(LN(1.0 - CAST(d_a + d_b AS DOUBLE)
-                                 / n_risk))
-                 OVER (ORDER BY t_days
-                       ROWS BETWEEN UNBOUNDED PRECEDING
-                       AND 1 PRECEDING)), 1.0) AS s_prev
+             CASE WHEN MAX(CASE WHEN d_a + d_b = n_risk THEN 1
+                           ELSE 0 END)
+                       OVER (ORDER BY t_days
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) = 1
+                  THEN 0.0
+                  ELSE EXP(SUM(CASE WHEN d_a + d_b < n_risk
+                               THEN LN(1.0 - CAST(d_a + d_b AS DOUBLE)
+                                       / n_risk) ELSE 0.0 END)
+                      OVER (ORDER BY t_days
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW))
+             END AS surv_any,
+             CASE WHEN COALESCE(MAX(CASE WHEN d_a + d_b = n_risk
+                                    THEN 1 ELSE 0 END)
+                       OVER (ORDER BY t_days
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) = 1
+                  THEN 0.0
+                  ELSE COALESCE(EXP(SUM(CASE WHEN d_a + d_b < n_risk
+                               THEN LN(1.0 - CAST(d_a + d_b AS DOUBLE)
+                                       / n_risk) ELSE 0.0 END)
+                      OVER (ORDER BY t_days
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING)), 1.0)
+             END AS s_prev
       FROM risked
     )
     SELECT t_days, n_risk, d_a, d_b,

@@ -147,3 +147,13 @@ def test_sql_twin_matches_spark_exactly(spark):
         (x.t_days, x.n_risk, x.d_a, x.d_b, x.surv_any, x.cif_a, x.cif_b)
         for x in r
     ]
+
+
+def test_total_extinction_pins_survival_to_zero(spark):
+    """Every user dies at an observed time (no censoring): the final
+    S must be EXACTLY 0 (ln(0) path) and the CIFs tile to 1."""
+    users = [(1, 2, None), (2, 4, None), (3, None, 4), (4, 6, None)]
+    got = aalen_johansen_cif(_events(spark, users)).collect()
+    last = got[-1]
+    assert last.surv_any == 0.0
+    assert last.cif_a + last.cif_b == pytest.approx(1.0, abs=2e-6)
