@@ -845,3 +845,155 @@ def offpolicy_eval_sql(
            ROUND(swr / sw, {round_to}) AS v_snips
     FROM agg
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 168: mediation analysis (product of coefficients + Sobel test)
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def mediation_sobel(
+    df: DataFrame,
+    x_col: str,
+    m_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Classical mediation decomposition (Baron & Kenny 1986) with
+    the Sobel (1982) test — HOW does x move y: through the mediator
+    m, or directly?
+
+      a  = slope of m ~ x;           b, c' = slopes of y ~ m + x;
+      indirect = a·b;  total = c' + a·b;
+      prop_mediated = a·b / total;
+      Sobel z = a·b / sqrt(b²·SE_a² + a²·SE_b²).
+
+    The mechanism question the rest of the causal family leaves open:
+    DiD/RDD/IV estimate THAT x moves y; this splits the path. Both
+    regressions are closed forms over nine exact DECIMAL moments
+    (the iv_2sls discipline — one aggregate, a k=2 normal-equation
+    inverse written out, identical expression shapes in the twin).
+
+    Output (one row): (n, a, b, c_prime, indirect, prop_mediated,
+    sobel_z).
+    """
+    x = F.col(x_col).cast("decimal(18,2)")
+    m = F.col(m_col).cast("decimal(18,2)")
+    y = F.col(y_col).cast("decimal(18,2)")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(m).alias("sm"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(m * m).alias("smm"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * m).alias("sxm"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(m * y).alias("smy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sm, sy = (F.col(c).cast("double") for c in ("sx", "sm", "sy"))
+    sxx, smm, syy = (
+        F.col(c).cast("double") for c in ("sxx", "smm", "syy")
+    )
+    sxm, sxy, smy = (
+        F.col(c).cast("double") for c in ("sxm", "sxy", "smy")
+    )
+    cxx = sxx - sx * sx / n
+    cmm = smm - sm * sm / n
+    cyy = syy - sy * sy / n
+    cxm = sxm - sx * sm / n
+    cxy = sxy - sx * sy / n
+    cmy = smy - sm * sy / n
+    a = cxm / cxx
+    se_a = F.sqrt(((cmm - a * cxm) / (n - 2.0)) / cxx)
+    den = cmm * cxx - cxm * cxm
+    b = (cmy * cxx - cxy * cxm) / den
+    cp = (cxy * cmm - cmy * cxm) / den
+    sse = cyy - b * cmy - cp * cxy
+    s2 = sse / (n - 3.0)
+    se_b = F.sqrt(s2 * cxx / den)
+    indirect = a * b
+    sobel = indirect / F.sqrt(
+        b * b * se_a * se_a + a * a * se_b * se_b
+    )
+    return agg.select(
+        "n",
+        F.round(a, round_to).alias("a"),
+        F.round(b, round_to).alias("b"),
+        F.round(cp, round_to).alias("c_prime"),
+        F.round(indirect, round_to).alias("indirect"),
+        F.round(indirect / (cp + indirect), round_to).alias(
+            "prop_mediated"
+        ),
+        F.round(sobel, round_to).alias("sobel_z"),
+    )
+
+
+def mediation_sobel_sql(
+    src_sql: str,
+    x_col: str,
+    m_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`mediation_sobel` (same moments, same
+    closed-form order)."""
+    x = f"CAST({x_col} AS DECIMAL(18,2))"
+    m = f"CAST({m_col} AS DECIMAL(18,2))"
+    y = f"CAST({y_col} AS DECIMAL(18,2))"
+    return f"""
+    WITH src AS ({src_sql}),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM({x}) AS sx, SUM({m}) AS sm, SUM({y}) AS sy,
+             SUM({x} * {x}) AS sxx, SUM({m} * {m}) AS smm,
+             SUM({y} * {y}) AS syy,
+             SUM({x} * {m}) AS sxm, SUM({x} * {y}) AS sxy,
+             SUM({m} * {y}) AS smy
+      FROM src
+    ),
+    cen AS (
+      SELECT n,
+             CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+               * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS cxx,
+             CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE)
+               * CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS cmm,
+             CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+               * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cyy,
+             CAST(sxm AS DOUBLE) - CAST(sx AS DOUBLE)
+               * CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS cxm,
+             CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+               * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cxy,
+             CAST(smy AS DOUBLE) - CAST(sm AS DOUBLE)
+               * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cmy
+      FROM agg
+    ),
+    fit AS (
+      SELECT n, cxx, cmm, cyy, cxm, cxy, cmy,
+             cxm / cxx AS a,
+             SQRT(((cmm - (cxm / cxx) * cxm) / (CAST(n AS DOUBLE) - 2.0))
+                  / cxx) AS se_a,
+             (cmy * cxx - cxy * cxm) / (cmm * cxx - cxm * cxm) AS b,
+             (cxy * cmm - cmy * cxm) / (cmm * cxx - cxm * cxm) AS cp
+      FROM cen
+    ),
+    se AS (
+      SELECT *,
+             SQRT(((cyy - b * cmy - cp * cxy)
+                   / (CAST(n AS DOUBLE) - 3.0))
+                  * cxx / (cmm * cxx - cxm * cxm)) AS se_b
+      FROM fit
+    )
+    SELECT n,
+           ROUND(a, {round_to}) AS a,
+           ROUND(b, {round_to}) AS b,
+           ROUND(cp, {round_to}) AS c_prime,
+           ROUND(a * b, {round_to}) AS indirect,
+           ROUND(a * b / (cp + a * b), {round_to}) AS prop_mediated,
+           ROUND(a * b / SQRT(b * b * se_a * se_a
+                              + a * a * se_b * se_b),
+                 {round_to}) AS sobel_z
+    FROM se
+    """

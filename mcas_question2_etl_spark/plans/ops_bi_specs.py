@@ -2169,3 +2169,47 @@ def offpolicy_ips_snips(spark: SparkSession, sf_dir: str) -> DataFrame:
         (b % 3).alias("target_action"),
     )
     return offpolicy_eval(log, "action", "prop", "reward", "target_action")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 168: mediation analysis on a planted causal chain
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.causal import mediation_sobel, mediation_sobel_sql
+
+# planted x -> m -> y chain (iv_planted pattern): m = 2x + noise5,
+# y = 3m + 1x + noise11 — true a = 2, b = 3, c' = 1, indirect = 6,
+# prop_mediated = 6/7
+_MEDIATION_SRC_SQL = """
+    SELECT CAST(o_orderkey % 7 AS DECIMAL(18,2)) AS x,
+           CAST(2 * (o_orderkey % 7) + (o_orderkey % 5)
+                AS DECIMAL(18,2)) AS m,
+           CAST(3 * (2 * (o_orderkey % 7) + (o_orderkey % 5))
+                + (o_orderkey % 7) + (o_orderkey % 11)
+                AS DECIMAL(18,2)) AS y
+    FROM orders
+"""
+
+
+@_spec(
+    "mediation_sobel_planted",
+    mediation_sobel_sql(_MEDIATION_SRC_SQL.strip(), "x", "m", "y"),
+    "causal op — Baron-Kenny mediation decomposition + Sobel test on "
+    "a planted x -> m -> y chain from o_orderkey (true a = 2, b = 3, "
+    "direct c' = 1, so indirect = 6 and ~6/7 of the total effect "
+    "routes through the mediator): the MECHANISM question the rest "
+    "of the causal family leaves open — DiD/RDD/IV estimate THAT x "
+    "moves y, this splits the path through m. Two closed-form "
+    "regressions (simple + two-regressor normal equations) over ten "
+    "exact DECIMAL moments in one aggregate.",
+)
+def mediation_sobel_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    src = orders.select(
+        (k % 7).cast("decimal(18,2)").alias("x"),
+        (2 * (k % 7) + (k % 5)).cast("decimal(18,2)").alias("m"),
+        (3 * (2 * (k % 7) + (k % 5)) + (k % 7) + (k % 11))
+        .cast("decimal(18,2)")
+        .alias("y"),
+    )
+    return mediation_sobel(src, "x", "m", "y")
