@@ -1444,3 +1444,200 @@ def knn_shapley_valuation_sql(
     FROM (SELECT * FROM top UNION ALL SELECT * FROM bottom)
     ORDER BY position
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 169: linear CKA representation similarity
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def linear_cka_prefix(
+    emb: DataFrame,
+    prefix_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Linear Centered Kernel Alignment (Kornblith et al., ICML 2019)
+    between each vector's FULL representation and its first
+    ``prefix_dim`` dimensions — "how much of the embedding geometry
+    does the MRL prefix preserve?", the representation-level
+    companion to mrl_prefix_recall's retrieval-level answer (recall
+    can survive geometry distortion; CKA measures the geometry
+    itself):
+
+      CKA(X, Y) = ||Y_c' X_c||²_F / (||X_c' X_c||_F · ||Y_c' Y_c||_F)
+
+    over column-centered X (n×d) and Y (n×p). Everything reduces to
+    THREE small Grams (d×d, d×p, p×p): raw cross-moments from one
+    row-id self-join of the per-dimension explosion, centered by the
+    identity G_c[i,j] = Σx_i y_j − n·μ_i·ν_j (no second pass), then
+    three Frobenius reductions over ≤ d² rows. The n×n kernel
+    matrices in the definition are NEVER formed — the d×d route is
+    the only one that survives scale (n² vs d² — at 100 TB that is
+    the whole story). CKA ∈ [0, 1], basis- and scale-invariant.
+
+    Output (one row): (n_vecs, full_dim, prefix_dim, cka).
+    """
+    p = int(prefix_dim)
+    base = emb.select(
+        F.col(id_col).alias("rid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).localCheckpoint(eager=False)
+    e1 = base.select(
+        "rid", F.posexplode("v").alias("i", "xi")
+    ).localCheckpoint(eager=False)
+    e2 = e1.filter(F.col("i") < p).select(
+        "rid", F.col("i").alias("j"), F.col("xi").alias("yj")
+    )
+    n_row = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max(F.size("v")).alias("d"),
+    )
+    mx = e1.groupBy("i").agg(F.avg("xi").alias("mi"))
+    my = e2.groupBy("j").agg(F.avg("yj").alias("mj"))
+
+    # cross-gram X'Y
+    gxy = (
+        e1.join(e2, "rid")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xi") * F.col("yj")).alias("s"))
+        .join(F.broadcast(mx), "i")
+        .join(F.broadcast(my), "j")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            (
+                F.col("s") - F.col("n") * F.col("mi") * F.col("mj")
+            ).alias("g")
+        )
+    )
+    # self-grams: reuse e1 against itself / e2 against itself
+    e1b = e1.select("rid", F.col("i").alias("j"), F.col("xi").alias("yj"))
+    gxx = (
+        e1.join(e1b, "rid")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xi") * F.col("yj")).alias("s"))
+        .join(F.broadcast(mx), "i")
+        .join(
+            F.broadcast(mx.select(F.col("i").alias("j"), F.col("mi").alias("mj"))),
+            "j",
+        )
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            (
+                F.col("s") - F.col("n") * F.col("mi") * F.col("mj")
+            ).alias("g")
+        )
+    )
+    e2b = e2.select("rid", F.col("j").alias("i"), F.col("yj").alias("xi"))
+    gyy = (
+        e2b.join(
+            e2,
+            "rid",
+        )
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xi") * F.col("yj")).alias("s"))
+        .join(
+            F.broadcast(my.select(F.col("j").alias("i"), F.col("mj").alias("mi"))),
+            "i",
+        )
+        .join(F.broadcast(my), "j")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            (
+                F.col("s") - F.col("n") * F.col("mi") * F.col("mj")
+            ).alias("g")
+        )
+    )
+    fxy = gxy.agg(F.sum(F.col("g") * F.col("g")).alias("f2"))
+    fxx = gxx.agg(F.sum(F.col("g") * F.col("g")).alias("f2"))
+    fyy = gyy.agg(F.sum(F.col("g") * F.col("g")).alias("f2"))
+    return (
+        n_row.crossJoin(F.broadcast(fxy.select(F.col("f2").alias("fxy"))))
+        .crossJoin(F.broadcast(fxx.select(F.col("f2").alias("fxx"))))
+        .crossJoin(F.broadcast(fyy.select(F.col("f2").alias("fyy"))))
+        .select(
+            F.col("n").alias("n_vecs"),
+            F.col("d").cast("bigint").alias("full_dim"),
+            F.lit(p).cast("bigint").alias("prefix_dim"),
+            F.round(
+                F.col("fxy")
+                / (F.sqrt(F.col("fxx")) * F.sqrt(F.col("fyy"))),
+                round_to,
+            ).alias("cka"),
+        )
+    )
+
+
+def linear_cka_prefix_sql(
+    table: str = "embeddings",
+    prefix_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`linear_cka_prefix` (same d×d route,
+    same centering identity)."""
+    p = int(prefix_dim)
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS rid,
+             CAST({vec_col} AS DOUBLE[]) AS v
+      FROM {table}
+    ),
+    e1 AS (
+      SELECT rid,
+             CAST(generate_subscripts(v, 1) - 1 AS INTEGER) AS i,
+             UNNEST(v) AS xi
+      FROM base
+    ),
+    e2 AS (
+      SELECT rid, i AS j, xi AS yj FROM e1 WHERE i < {p}
+    ),
+    nrow AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MAX(LEN(v)) AS BIGINT) AS d
+      FROM base
+    ),
+    mx AS (SELECT i, AVG(xi) AS mi FROM e1 GROUP BY i),
+    my AS (SELECT j, AVG(yj) AS mj FROM e2 GROUP BY j),
+    gxy AS (
+      SELECT a.i, b.j, SUM(a.xi * b.yj) AS s
+      FROM e1 a JOIN e2 b USING (rid) GROUP BY 1, 2
+    ),
+    gxx AS (
+      SELECT a.i, b.i AS j, SUM(a.xi * b.xi) AS s
+      FROM e1 a JOIN e1 b USING (rid) GROUP BY 1, 2
+    ),
+    gyy AS (
+      SELECT a.j AS i, b.j, SUM(a.yj * b.yj) AS s
+      FROM e2 a JOIN e2 b USING (rid) GROUP BY 1, 2
+    ),
+    fxy AS (
+      SELECT SUM((g.s - nrow.n * mx.mi * my.mj)
+                 * (g.s - nrow.n * mx.mi * my.mj)) AS f2
+      FROM gxy g JOIN mx USING (i) JOIN my USING (j) CROSS JOIN nrow
+    ),
+    fxx AS (
+      SELECT SUM((g.s - nrow.n * a.mi * b.mi)
+                 * (g.s - nrow.n * a.mi * b.mi)) AS f2
+      FROM gxx g
+      JOIN mx a ON a.i = g.i
+      JOIN mx b ON b.i = g.j
+      CROSS JOIN nrow
+    ),
+    fyy AS (
+      SELECT SUM((g.s - nrow.n * a.mj * b.mj)
+                 * (g.s - nrow.n * a.mj * b.mj)) AS f2
+      FROM gyy g
+      JOIN my a ON a.j = g.i
+      JOIN my b ON b.j = g.j
+      CROSS JOIN nrow
+    )
+    SELECT nrow.n AS n_vecs,
+           nrow.d AS full_dim,
+           CAST({p} AS BIGINT) AS prefix_dim,
+           ROUND(fxy.f2 / (SQRT(fxx.f2) * SQRT(fyy.f2)), {round_to})
+             AS cka
+    FROM nrow, fxy, fxx, fyy
+    """

@@ -2262,3 +2262,29 @@ from ..operators.similarity import (
 def knn_shapley_valuation_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_shapley_valuation(emb)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 169: linear CKA representation similarity
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.similarity import linear_cka_prefix, linear_cka_prefix_sql
+
+
+@_spec(
+    "cka_mrl_prefix_geometry",
+    linear_cka_prefix_sql(),
+    "curation op — linear Centered Kernel Alignment (Kornblith et "
+    "al. 2019) between the full 64-d embedding and its 16-d MRL "
+    "prefix: the representation-level companion to "
+    "mrl_prefix_recall — retrieval recall can survive geometric "
+    "distortion, CKA measures the geometry itself (basis- and "
+    "scale-invariant, in [0,1]). Computed entirely on the d x d "
+    "route: three small Grams from one row-id join of the dimension "
+    "explosion, centered via G - n*mu*nu' (no second pass), three "
+    "Frobenius reductions — the n x n kernel matrices in the "
+    "textbook definition are never formed, which is the only "
+    "formulation that survives 100 TB (n^2 vs d^2).",
+)
+def cka_mrl_prefix_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return linear_cka_prefix(emb)
