@@ -997,3 +997,101 @@ def mediation_sobel_sql(
                  {round_to}) AS sobel_z
     FROM se
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 170: doubly-robust off-policy evaluation
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def dr_offpolicy_eval(
+    df: DataFrame,
+    action_col: str,
+    propensity_col: str,
+    reward_col: str,
+    target_action_col: str,
+    mu_target_col: str,
+    mu_logged_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Doubly-robust off-policy value (Dudík, Langford & Li 2011) —
+    the estimator that completes :func:`offpolicy_eval`'s IPS/SNIPS
+    pair with a reward MODEL, and stays consistent if EITHER the
+    model or the propensities are right:
+
+      V_DR = (1/n) Σ [ μ(x_i, π(x_i))
+                       + w_i · (r_i − μ(x_i, a_i)) ],
+      w_i  = 1[π(x_i) = a_i] / p_i.
+
+    ``mu_target_col`` carries μ(x, π(x)) and ``mu_logged_col``
+    μ(x, a) as PINNED columns — the scoring-pass convention of
+    ipw_ate_scored: fitting μ is a separate concern; this is the
+    estimator a pipeline runs daily with frozen coefficients. The
+    direct-method value V_DM = mean μ(x, π(x)) is emitted beside it:
+    when the model is biased, DM inherits the bias and DR's
+    correction removes it (the property the wave test plants), and
+    when the propensities are junk, DR leans on the model — that
+    two-sided insurance is the estimator's whole case. One aggregate
+    of five sums.
+
+    Output (one row): (n, n_matched, v_dm, v_ips, v_dr).
+    """
+    match = F.col(target_action_col) == F.col(action_col)
+    w = F.when(
+        match, 1.0 / F.col(propensity_col).cast("double")
+    ).otherwise(0.0)
+    r = F.col(reward_col).cast("double")
+    mu_t = F.col(mu_target_col).cast("double")
+    mu_l = F.col(mu_logged_col).cast("double")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(match.cast("long")).cast("bigint").alias("n_matched"),
+        F.sum(mu_t).alias("smt"),
+        F.sum(w * r).alias("swr"),
+        F.sum(w * mu_l).alias("swm"),
+    )
+    nn = F.col("n").cast("double")
+    return agg.select(
+        "n",
+        "n_matched",
+        F.round(F.col("smt") / nn, round_to).alias("v_dm"),
+        F.round(F.col("swr") / nn, round_to).alias("v_ips"),
+        F.round(
+            (F.col("smt") + F.col("swr") - F.col("swm")) / nn, round_to
+        ).alias("v_dr"),
+    )
+
+
+def dr_offpolicy_eval_sql(
+    src_sql: str,
+    action_col: str,
+    propensity_col: str,
+    reward_col: str,
+    target_action_col: str,
+    mu_target_expr: str,
+    mu_logged_expr: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`dr_offpolicy_eval`."""
+    w = (
+        f"CASE WHEN {target_action_col} = {action_col}"
+        f" THEN 1.0 / CAST({propensity_col} AS DOUBLE) ELSE 0.0 END"
+    )
+    return f"""
+    WITH src AS ({src_sql}),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN {target_action_col} = {action_col}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+             SUM(CAST({mu_target_expr} AS DOUBLE)) AS smt,
+             SUM(({w}) * CAST({reward_col} AS DOUBLE)) AS swr,
+             SUM(({w}) * CAST({mu_logged_expr} AS DOUBLE)) AS swm
+      FROM src
+    )
+    SELECT n, n_matched,
+           ROUND(smt / CAST(n AS DOUBLE), {round_to}) AS v_dm,
+           ROUND(swr / CAST(n AS DOUBLE), {round_to}) AS v_ips,
+           ROUND((smt + swr - swm) / CAST(n AS DOUBLE), {round_to})
+             AS v_dr
+    FROM agg
+    """

@@ -2213,3 +2213,60 @@ def mediation_sobel_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
     )
     return mediation_sobel(src, "x", "m", "y")
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 170: doubly-robust OPE on the planted bandit log
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.causal import dr_offpolicy_eval, dr_offpolicy_eval_sql
+
+# same planted log as offpolicy_ips_snips, scored with a DELIBERATELY
+# biased reward model mu = 0.5 + 0.1*action (the truth is the 0/1
+# best-arm indicator): DM inherits the bias, DR's correction removes
+# it — the double-robustness property as a spec
+_DR_MU_TARGET = "0.5 + 0.1 * target_action"
+_DR_MU_LOGGED = "0.5 + 0.1 * action"
+
+
+@_spec(
+    "offpolicy_doubly_robust",
+    dr_offpolicy_eval_sql(
+        _BANDIT_LOG_SQL.strip(), "action", "prop", "reward",
+        "target_action", _DR_MU_TARGET, _DR_MU_LOGGED,
+    ),
+    "decision op — doubly-robust off-policy value on the SAME "
+    "planted bandit log as offpolicy_ips_snips, scored with a "
+    "DELIBERATELY biased pinned reward model (mu = .5 + .1*a vs the "
+    "0/1 truth): the direct-method value inherits the model's bias "
+    "while DR's importance-weighted correction removes it — "
+    "consistent if EITHER the model or the propensities are right "
+    "(Dudik et al. 2011). The v_dm / v_dr gap in the output IS the "
+    "demonstration. One aggregate of five sums.",
+)
+def offpolicy_doubly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    u = (
+        F.expr(
+            "cast(conv(substring(md5(concat(cast(o_orderkey as string),"
+            " ':act')), 1, 15), 16, 10) as bigint)"
+        )
+        / F.lit(float(1 << 60))
+    )
+    b = F.col("o_orderkey") % 4
+    action = F.when(u < 0.5, 0).when(u < 0.8, 1).otherwise(2)
+    log = orders.select(
+        b.alias("b"),
+        action.alias("action"),
+        F.when(u < 0.5, 0.5).when(u < 0.8, 0.3).otherwise(0.2).alias(
+            "prop"
+        ),
+        F.when(action == b % 3, 1).otherwise(0).alias("reward"),
+        (b % 3).alias("target_action"),
+    ).select(
+        "*",
+        (0.5 + 0.1 * F.col("target_action")).alias("mu_t"),
+        (0.5 + 0.1 * F.col("action")).alias("mu_l"),
+    )
+    return dr_offpolicy_eval(
+        log, "action", "prop", "reward", "target_action", "mu_t", "mu_l"
+    )
