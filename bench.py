@@ -685,6 +685,15 @@ HEADLINE = [
     "randomized_response_priority",
     "msprt_ab_always_valid",
     "tsb_part_demand",
+    # round 8, waves 163-170 — appended as always
+    "knn_shapley_valuation_emb",
+    "woe_iv_priority_status",
+    "offpolicy_ips_snips",
+    "hotelling_t2_daily",
+    "aalen_johansen_purchase_error",
+    "cka_mrl_prefix_geometry",
+    "mediation_sobel_planted",
+    "offpolicy_doubly_robust",
 ]
 
 
