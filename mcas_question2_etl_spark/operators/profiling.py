@@ -664,3 +664,178 @@ def inclusion_dependency_report_sql(
            violations = 0 AS holds
     FROM raw ORDER BY candidate
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 171: column encoding advisor
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def encoding_advisor(
+    df: DataFrame,
+    order_col: str,
+    cols: "Sequence[str]",
+    round_to: int = 6,
+) -> DataFrame:
+    """Storage-encoding advisor over a fixed column list — the
+    lakehouse question every compaction job answers implicitly and
+    no one audits explicitly: per column, would DICTIONARY or
+    RUN-LENGTH encoding beat PLAIN, and by how much?
+
+      plain_bytes = Σ value widths (strings: byte length + 4-byte
+                    length prefix; numerics: 8);
+      dict_bytes  = Σ distinct-value widths + n·⌈log2(ndv)⌉/8
+                    (codes bit-packed);
+      rle_runs    = runs of equal values in ``order_col`` order
+                    (RLE is an ORDERING property — the same column
+                    RLEs 100× differently sorted vs shuffled, which
+                    is why the advisor pins the scan order
+                    explicitly);
+      rle_bytes   = runs · (value width + 4).
+
+    The recommendation is argmin bytes. Everything is exact integer
+    counting: one pass per metric family over the scan with a lag
+    window in the pinned order for runs; the unpivot is a fixed
+    column list (one `stack`), so the plan is static. Ratios round
+    at 6dp.
+
+    Output per column: (column, n, ndv, plain_bytes, dict_bytes,
+    rle_runs, rle_bytes, best, best_ratio), ordered by column.
+    """
+    from pyspark.sql import Window
+
+    pieces = []
+    w = Window.orderBy(order_col)
+    for c in cols:
+        v = F.col(c).cast("string")
+        width = F.coalesce(F.length(v).cast("bigint") + 4, F.lit(4))
+        run_start = (
+            ~(v.eqNullSafe(F.lag(v).over(w)))
+        ).cast("int")
+        per = df.select(
+            F.lit(c).alias("column"),
+            v.alias("__v"),
+            width.alias("__w"),
+            run_start.alias("__rs"),
+        )
+        pieces.append(per)
+    stacked = pieces[0]
+    for extra in pieces[1:]:
+        stacked = stacked.unionByName(extra)
+    agg = stacked.groupBy("column").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("__v").cast("bigint").alias("ndv"),
+        F.sum("__w").cast("bigint").alias("plain_bytes"),
+        F.sum("__rs").cast("bigint").alias("rle_runs"),
+    )
+    dvw = (
+        stacked.select("column", "__v", "__w")
+        .distinct()
+        .groupBy("column")
+        .agg(F.sum("__w").cast("bigint").alias("__dict_values"))
+    )
+    j = agg.join(dvw, "column")
+    # pure integer arithmetic throughout: a double->bigint cast
+    # TRUNCATES in Spark but ROUNDS in DuckDB, so fractional bytes
+    # must never exist to begin with
+    code_bits = F.ceil(
+        F.log2(F.greatest(F.col("ndv").cast("double"), F.lit(2.0)))
+    ).cast("bigint")
+    dict_bytes = F.col("__dict_values") + F.expr(
+        "(n * __code_bits + 7) DIV 8"
+    )
+    rle_bytes = F.col("rle_runs") * 4 + F.expr(
+        "(rle_runs * plain_bytes) DIV n"
+    )
+    scored = j.withColumn("__code_bits", code_bits).select(
+        "column",
+        "n",
+        "ndv",
+        "plain_bytes",
+        dict_bytes.alias("dict_bytes"),
+        "rle_runs",
+        rle_bytes.alias("rle_bytes"),
+    )
+    best = (
+        F.when(
+            (F.col("dict_bytes") <= F.col("plain_bytes"))
+            & (F.col("dict_bytes") <= F.col("rle_bytes")),
+            F.lit("dict"),
+        )
+        .when(F.col("rle_bytes") <= F.col("plain_bytes"), F.lit("rle"))
+        .otherwise(F.lit("plain"))
+    )
+    return scored.select(
+        "*",
+        best.alias("best"),
+        F.round(
+            F.least("dict_bytes", "rle_bytes", "plain_bytes").cast(
+                "double"
+            )
+            / F.col("plain_bytes").cast("double"),
+            round_to,
+        ).alias("best_ratio"),
+    ).orderBy("column")
+
+
+def encoding_advisor_sql(
+    table: str,
+    order_col: str,
+    cols: "Sequence[str]",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`encoding_advisor` (same widths, same
+    pinned run order, same argmin tie-breaks)."""
+    selects = []
+    for c in cols:
+        selects.append(
+            f"""
+      SELECT '{c}' AS col,
+             CAST({c} AS VARCHAR) AS v,
+             COALESCE(CAST(LENGTH(CAST({c} AS VARCHAR)) AS BIGINT)
+                      + 4, 4) AS w,
+             CAST(CASE WHEN CAST({c} AS VARCHAR)
+                            IS DISTINCT FROM
+                            LAG(CAST({c} AS VARCHAR))
+                              OVER (ORDER BY {order_col})
+                       THEN 1 ELSE 0 END AS INTEGER) AS rs
+      FROM {table}"""
+        )
+    stacked = "\n      UNION ALL".join(selects)
+    return f"""
+    WITH stacked AS ({stacked}
+    ),
+    agg AS (
+      SELECT col,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv,
+             CAST(SUM(w) AS BIGINT) AS plain_bytes,
+             CAST(SUM(rs) AS BIGINT) AS rle_runs
+      FROM stacked GROUP BY col
+    ),
+    dv AS (
+      SELECT col, CAST(SUM(w) AS BIGINT) AS dict_values
+      FROM (SELECT DISTINCT col, v, w FROM stacked) GROUP BY col
+    ),
+    scored AS (
+      SELECT a.col AS "column", a.n, a.ndv, a.plain_bytes,
+             dv.dict_values
+               + (a.n * CAST(CEIL(LOG2(GREATEST(
+                     CAST(a.ndv AS DOUBLE), 2.0))) AS BIGINT) + 7)
+                 // 8 AS dict_bytes,
+             a.rle_runs,
+             a.rle_runs * 4
+               + (a.rle_runs * a.plain_bytes) // a.n AS rle_bytes
+      FROM agg a JOIN dv ON dv.col = a.col
+    )
+    SELECT "column", n, ndv, plain_bytes, dict_bytes, rle_runs,
+           rle_bytes,
+           CASE WHEN dict_bytes <= plain_bytes
+                     AND dict_bytes <= rle_bytes THEN 'dict'
+                WHEN rle_bytes <= plain_bytes THEN 'rle'
+                ELSE 'plain' END AS best,
+           ROUND(CAST(LEAST(dict_bytes, rle_bytes, plain_bytes)
+                      AS DOUBLE) / CAST(plain_bytes AS DOUBLE),
+                 {round_to}) AS best_ratio
+    FROM scored ORDER BY "column"
+    """

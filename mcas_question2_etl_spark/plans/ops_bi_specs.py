@@ -2270,3 +2270,40 @@ def offpolicy_doubly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dr_offpolicy_eval(
         log, "action", "prop", "reward", "target_action", "mu_t", "mu_l"
     )
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 171: column encoding advisor
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.profiling import encoding_advisor, encoding_advisor_sql
+
+_ENC_COLS = [
+    "l_returnflag", "l_linestatus", "l_quantity", "l_tax",
+    "l_shipdate",
+]
+
+
+@_spec(
+    "encoding_advisor_lineitem",
+    encoding_advisor_sql(
+        "(SELECT *, l_orderkey * 10 + l_linenumber AS ord FROM lineitem)",
+        "ord",
+        _ENC_COLS,
+    ),
+    "storage op — column encoding advisor over five lineitem columns "
+    "in (orderkey, linenumber) scan order: per column, exact plain/"
+    "dictionary/run-length size estimates (dict codes bit-packed at "
+    "ceil(log2 ndv); RLE priced in the PINNED order because run "
+    "length is an ordering property — the same column RLEs 100x "
+    "differently sorted vs shuffled) and the argmin recommendation "
+    "with its compression ratio. The audit every compaction job "
+    "answers implicitly; pairs with zorder_pruning_stats (which "
+    "prices the read side of layout choices, this prices the "
+    "storage side). Pure integer byte math — a fractional byte "
+    "would round differently per engine.",
+)
+def encoding_advisor_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ord", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    return encoding_advisor(li, "ord", _ENC_COLS)
