@@ -6249,3 +6249,149 @@ def hotelling_t2_chart_sql(
            t2 > {_T2_CHI2_99!r} AS signal
     FROM scored ORDER BY day
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 172: negation-pattern funnel (A -> B with NO C between)
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def negation_pattern_funnel(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    start_event: str = "click",
+    goal_event: str = "purchase",
+    blocker_event: str = "error",
+    window_minutes: int = 30,
+    round_to: int = 6,
+) -> DataFrame:
+    """Sequence pattern with NEGATION — the MATCH_RECOGNIZE exclusion
+    clause the window-function funnels in this suite
+    (funnel_conversion, event_transition_matrix, paths_to_purchase)
+    cannot express: ``start → goal within W, with NO blocker event
+    strictly between them``. "Did the click convert cleanly, or did
+    an error interpose?" is a different business question from "did
+    it convert" — the blocked share IS the reliability cost.
+
+    No joins anywhere: one per-user window ordered by time computes,
+    for every start event, the NEXT goal timestamp and the NEXT
+    blocker timestamp (conditional MIN over the strictly-following
+    frame); the pattern decides per row —
+
+      clean   : next_goal ≤ t + W  and (no blocker or blocker AFTER
+                the goal);
+      blocked : next_goal ≤ t + W  but a blocker lands between;
+      expired : no goal within W.
+
+    Timestamps are exact microsecond integers; counts are exact; one
+    shuffle (the user window), one 1-row rollup. Ties: a blocker at
+    EXACTLY the goal timestamp does not block (strictly-between
+    contract, documented and pinned).
+
+    Output (one row): (n_starts, n_clean, n_blocked, n_expired,
+    clean_rate, blocked_rate).
+    """
+    w_us = int(window_minutes) * 60_000_000
+    t = F.unix_micros(F.col(ts_col))
+    # ROWS frames under a tied ORDER BY are frame-order-dependent, so
+    # ties break on (t, event) — a total order both engines share
+    wfol = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col("__t").asc(), F.col("__e").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    typed = df.select(
+        F.col(user_col),
+        t.alias("__t"),
+        F.col("event_type").alias("__e"),
+    ).select(
+        "*",
+        F.min(
+            F.when(F.col("__e") == goal_event, F.col("__t"))
+        ).over(wfol).alias("__ng"),
+        F.min(
+            F.when(F.col("__e") == blocker_event, F.col("__t"))
+        ).over(wfol).alias("__nb"),
+    )
+    starts = typed.filter(F.col("__e") == start_event)
+    in_window = F.col("__ng").isNotNull() & (
+        F.col("__ng") <= F.col("__t") + F.lit(w_us)
+    )
+    blocked = in_window & F.col("__nb").isNotNull() & (
+        F.col("__nb") < F.col("__ng")
+    )
+    clean = in_window & ~(
+        F.col("__nb").isNotNull() & (F.col("__nb") < F.col("__ng"))
+    )
+    agg = starts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_starts"),
+        F.sum(clean.cast("long")).cast("bigint").alias("n_clean"),
+        F.sum(blocked.cast("long")).cast("bigint").alias("n_blocked"),
+        F.sum((~in_window).cast("long")).cast("bigint").alias(
+            "n_expired"
+        ),
+    )
+    nn = F.col("n_starts").cast("double")
+    return agg.select(
+        "n_starts",
+        "n_clean",
+        "n_blocked",
+        "n_expired",
+        F.round(F.col("n_clean") / nn, round_to).alias("clean_rate"),
+        F.round(F.col("n_blocked") / nn, round_to).alias(
+            "blocked_rate"
+        ),
+    )
+
+
+def negation_pattern_funnel_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    start_event: str = "click",
+    goal_event: str = "purchase",
+    blocker_event: str = "error",
+    window_minutes: int = 30,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`negation_pattern_funnel`."""
+    w_us = int(window_minutes) * 60_000_000
+    return f"""
+    WITH typed AS (
+      SELECT {user_col} AS u, epoch_us({ts_col}) AS t,
+             event_type AS e
+      FROM {table}
+    ),
+    scanned AS (
+      SELECT u, t, e,
+             MIN(CASE WHEN e = '{goal_event}' THEN t END)
+               OVER (PARTITION BY u ORDER BY t, e
+                     ROWS BETWEEN 1 FOLLOWING
+                     AND UNBOUNDED FOLLOWING) AS ng,
+             MIN(CASE WHEN e = '{blocker_event}' THEN t END)
+               OVER (PARTITION BY u ORDER BY t, e
+                     ROWS BETWEEN 1 FOLLOWING
+                     AND UNBOUNDED FOLLOWING) AS nb
+      FROM typed
+    ),
+    starts AS (SELECT * FROM scanned WHERE e = '{start_event}'),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_starts,
+             CAST(SUM(CASE WHEN ng IS NOT NULL AND ng <= t + {w_us}
+                           AND NOT (nb IS NOT NULL AND nb < ng)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+             CAST(SUM(CASE WHEN ng IS NOT NULL AND ng <= t + {w_us}
+                           AND nb IS NOT NULL AND nb < ng
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+             CAST(SUM(CASE WHEN ng IS NULL OR ng > t + {w_us}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_expired
+      FROM starts
+    )
+    SELECT n_starts, n_clean, n_blocked, n_expired,
+           ROUND(CAST(n_clean AS DOUBLE) / CAST(n_starts AS DOUBLE),
+                 {round_to}) AS clean_rate,
+           ROUND(CAST(n_blocked AS DOUBLE) / CAST(n_starts AS DOUBLE),
+                 {round_to}) AS blocked_rate
+    FROM agg
+    """

@@ -2582,3 +2582,27 @@ def tsb_part_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hotelling_t2_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return timeseries.hotelling_t2_chart(events)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 172: negation-pattern funnel
+# ──────────────────────────────────────────────────────────────────────────
+
+
+@_spec(
+    "clean_conversion_funnel",
+    timeseries.negation_pattern_funnel_sql("events"),
+    "sequence op — negation-pattern funnel (click -> purchase within "
+    "30 min with NO error strictly between): the MATCH_RECOGNIZE "
+    "exclusion clause the plain funnels (funnel_conversion, "
+    "event_transition_matrix, paths_to_purchase) cannot express — "
+    "'did it convert CLEANLY or did an error interpose' is the "
+    "reliability cost question. No joins: one per-user window "
+    "computes next-goal and next-blocker via conditional MIN over "
+    "the strictly-following frame (ties total-ordered on (t, event) "
+    "— ROWS frames under a tied sort are frame-order-dependent). "
+    "Exact microsecond integers throughout.",
+)
+def clean_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return timeseries.negation_pattern_funnel(events)
