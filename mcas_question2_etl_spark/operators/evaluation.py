@@ -7697,3 +7697,125 @@ def msprt_ab_monitor_sql(
              AS first_sig_day
     FROM scored
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 173: Stuart-Maxwell marginal-homogeneity test (3 categories)
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def stuart_maxwell_test(
+    df: DataFrame,
+    unit_col: str,
+    first_col: str,
+    second_col: str,
+    categories: "tuple[str, str, str]",
+    round_to: int = 6,
+) -> DataFrame:
+    """Stuart-Maxwell test of MARGINAL HOMOGENEITY for paired
+    3-category outcomes — the k-ary generalization of
+    :func:`mcnemar`'s 2×2 (mcnemar_gates): same units measured
+    twice, did the category DISTRIBUTION shift?  Cross-tab the pairs
+    n_ij, take marginal differences d_i = row_i − col_i, and
+
+      χ² = d' S⁻¹ d  over the first k−1 components,
+      S_ii = row_i + col_i − 2 n_ii,  S_ij = −(n_ij + n_ji)
+
+    ~ χ²(k−1) under homogeneity. For k = 3 the 2×2 inverse is closed
+    form, so the whole statistic is a fixed expression over NINE
+    exact integer cells — one groupBy to the 3×3 table, identical
+    arithmetic in both engines. Perfect symmetry (all d_i = 0, or a
+    singular S from empty off-diagonals) returns NULL by contract,
+    like the suite's other degenerate-variance cases.
+
+    Output (one row): (n_pairs, d1, d2, d3, sm_chi2).
+    """
+    c1, c2, c3 = categories
+    fa = F.col(first_col)
+    fb = F.col(second_col)
+    cells = {}
+    for i, ci in enumerate((c1, c2, c3), 1):
+        for jj, cj in enumerate((c1, c2, c3), 1):
+            cells[(i, jj)] = (
+                F.sum(
+                    ((fa == ci) & (fb == cj)).cast("long")
+                )
+                .cast("bigint")
+                .alias(f"n{i}{jj}")
+            )
+    agg = df.agg(*cells.values())
+    n = sum(F.col(f"n{i}{jj}") for i in (1, 2, 3) for jj in (1, 2, 3))
+    row = {i: sum(F.col(f"n{i}{jj}") for jj in (1, 2, 3)) for i in (1, 2, 3)}
+    col = {jj: sum(F.col(f"n{i}{jj}") for i in (1, 2, 3)) for jj in (1, 2, 3)}
+    d = {i: (row[i] - col[i]).cast("double") for i in (1, 2, 3)}
+    s11 = (row[1] + col[1] - 2 * F.col("n11")).cast("double")
+    s22 = (row[2] + col[2] - 2 * F.col("n22")).cast("double")
+    s12 = (-(F.col("n12") + F.col("n21"))).cast("double")
+    det = s11 * s22 - s12 * s12
+    chi2 = (
+        s22 * d[1] * d[1]
+        - 2.0 * s12 * d[1] * d[2]
+        + s11 * d[2] * d[2]
+    ) / det
+    return agg.select(
+        n.cast("bigint").alias("n_pairs"),
+        d[1].cast("bigint").alias("d1"),
+        d[2].cast("bigint").alias("d2"),
+        d[3].cast("bigint").alias("d3"),
+        F.when(det > 0, F.round(chi2, round_to)).alias("sm_chi2"),
+    )
+
+
+def stuart_maxwell_test_sql(
+    src_sql: str,
+    first_col: str,
+    second_col: str,
+    categories: "tuple[str, str, str]",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`stuart_maxwell_test`."""
+    c1, c2, c3 = categories
+    cell_defs = []
+    for i, ci in enumerate((c1, c2, c3), 1):
+        for jj, cj in enumerate((c1, c2, c3), 1):
+            cell_defs.append(
+                f"CAST(SUM(CASE WHEN {first_col} = '{ci}'"
+                f" AND {second_col} = '{cj}' THEN 1 ELSE 0 END)"
+                f" AS BIGINT) AS n{i}{jj}"
+            )
+    cells = ",\n             ".join(cell_defs)
+    rows = {
+        i: " + ".join(f"n{i}{jj}" for jj in (1, 2, 3)) for i in (1, 2, 3)
+    }
+    cols = {
+        jj: " + ".join(f"n{i}{jj}" for i in (1, 2, 3)) for jj in (1, 2, 3)
+    }
+    d = {
+        i: f"CAST(({rows[i]}) - ({cols[i]}) AS DOUBLE)" for i in (1, 2, 3)
+    }
+    s11 = f"CAST(({rows[1]}) + ({cols[1]}) - 2 * n11 AS DOUBLE)"
+    s22 = f"CAST(({rows[2]}) + ({cols[2]}) - 2 * n22 AS DOUBLE)"
+    s12 = "CAST(-(n12 + n21) AS DOUBLE)"
+    det = f"({s11} * {s22} - {s12} * {s12})"
+    chi2 = (
+        f"(({s22}) * ({d[1]}) * ({d[1]})"
+        f" - 2.0 * ({s12}) * ({d[1]}) * ({d[2]})"
+        f" + ({s11}) * ({d[2]}) * ({d[2]})) / {det}"
+    )
+    total = " + ".join(
+        f"n{i}{jj}" for i in (1, 2, 3) for jj in (1, 2, 3)
+    )
+    return f"""
+    WITH src AS ({src_sql}),
+    agg AS (
+      SELECT {cells}
+      FROM src
+    )
+    SELECT CAST({total} AS BIGINT) AS n_pairs,
+           CAST(({rows[1]}) - ({cols[1]}) AS BIGINT) AS d1,
+           CAST(({rows[2]}) - ({cols[2]}) AS BIGINT) AS d2,
+           CAST(({rows[3]}) - ({cols[3]}) AS BIGINT) AS d3,
+           CASE WHEN {det} > 0
+                THEN ROUND({chi2}, {round_to}) END AS sm_chi2
+    FROM agg
+    """

@@ -4284,3 +4284,78 @@ def aalen_johansen_purchase_error(
 ) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return aalen_johansen_cif(events)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 173: Stuart-Maxwell marginal-homogeneity test
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.evaluation import (
+    stuart_maxwell_test,
+    stuart_maxwell_test_sql,
+)
+
+_SM_CATS = ("click", "view", "purchase")
+
+_SM_PAIRS_SQL = """
+    SELECT u, MAX(CASE WHEN rn_f = 1 THEN e END) AS first_e,
+           MAX(CASE WHEN rn_l = 1 THEN e END) AS last_e
+    FROM (
+      SELECT user_id AS u, event_type AS e,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_type ASC)
+               AS rn_f,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_type DESC)
+               AS rn_l
+      FROM events
+      WHERE event_type IN ('click', 'view', 'purchase')
+    )
+    GROUP BY u
+"""
+
+
+@_spec(
+    "stuart_maxwell_entry_exit",
+    stuart_maxwell_test_sql(
+        _SM_PAIRS_SQL.strip(), "first_e", "last_e", _SM_CATS
+    ),
+    "stats op — Stuart-Maxwell marginal-homogeneity test of each "
+    "user's FIRST vs LAST engagement event (click/view/purchase): "
+    "the k-ary generalization of mcnemar_gates' paired 2x2 — 'do "
+    "users exit doing different things than they entered doing?' "
+    "asked distribution-wide with the paired structure respected "
+    "(a plain chi-square on the two marginals would ignore that the "
+    "same users appear in both). Nine exact integer cells, one "
+    "closed-form 2x2 inverse, NULL on degenerate symmetry. "
+    "First/last picked under a (ts, event) total order.",
+)
+def stuart_maxwell_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*_SM_CATS)
+    )
+    wf = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_type").asc()
+    )
+    wl = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_type").desc()
+    )
+    pairs = (
+        events.select(
+            F.col("user_id").alias("u"),
+            F.col("event_type").alias("e"),
+            F.row_number().over(wf).alias("rn_f"),
+            F.row_number().over(wl).alias("rn_l"),
+        )
+        .groupBy("u")
+        .agg(
+            F.max(F.when(F.col("rn_f") == 1, F.col("e"))).alias(
+                "first_e"
+            ),
+            F.max(F.when(F.col("rn_l") == 1, F.col("e"))).alias(
+                "last_e"
+            ),
+        )
+    )
+    return stuart_maxwell_test(pairs, "u", "first_e", "last_e", _SM_CATS)
