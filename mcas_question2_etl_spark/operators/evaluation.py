@@ -7819,3 +7819,185 @@ def stuart_maxwell_test_sql(
                 THEN ROUND({chi2}, {round_to}) END AS sm_chi2
     FROM agg
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 174: DeLong confidence interval for AUC
+# ──────────────────────────────────────────────────────────────────────────
+
+_Z975 = 1.959963984540054  # N(0,1) 97.5th percentile, fixed literal
+
+
+def auc_delong_ci(
+    df: DataFrame,
+    score_col,
+    label_col,
+    round_to: int = 6,
+) -> DataFrame:
+    """DeLong, DeLong & Clarke-Pearson (1988) standard error and 95%
+    CI for the Mann-Whitney AUC — the missing error bar on
+    auc_quality_score's point estimate ("AUC 0.71" means nothing
+    without knowing if ±0.01 or ±0.15; bootstrap costs hundreds of
+    resamples, DeLong is closed-form).
+
+    Placement-value formulation on the DISTINCT-SCORE rollup (the
+    bounded-cardinality shape of the suite's AUC): all positives
+    sharing score s share the placement value
+    ``v10(s) = (#neg below + ½·#neg at) / n0`` (mid-rank tie
+    handling), and symmetrically v01 for negatives, so the empirical
+    variances S10/S01 are WEIGHTED variances over the score table —
+    one cumulative window over distinct scores, never a row-level
+    sort:
+
+      SE = sqrt(S10/n1 + S01/n0);  CI95 = AUC ± 1.95996·SE.
+
+    Output (one row): (n_pos, n_neg, auc, se_delong, ci_lo, ci_hi).
+    """
+    s = score_col if not isinstance(score_col, str) else F.col(score_col)
+    lab = (
+        label_col if not isinstance(label_col, str) else F.col(label_col)
+    )
+    per = df.groupBy(s.alias("s")).agg(
+        F.sum(lab.cast("long")).cast("bigint").alias("c1"),
+        F.sum((~lab.cast("boolean")).cast("long"))
+        .cast("bigint")
+        .alias("c0"),
+    )
+    w_below = (
+        Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_above = (
+        Window.orderBy("s").rowsBetween(1, Window.unboundedFollowing)
+    )
+    cum = per.select(
+        "s",
+        "c1",
+        "c0",
+        F.coalesce(F.sum("c0").over(w_below), F.lit(0)).alias("b0"),
+        F.coalesce(F.sum("c1").over(w_above), F.lit(0)).alias("a1"),
+    )
+    tot = cum.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c0").cast("bigint").alias("n0"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    v10 = (
+        F.col("b0").cast("double")
+        + 0.5 * F.col("c0").cast("double")
+    ) / F.col("n0").cast("double")
+    v01 = (
+        F.col("a1").cast("double")
+        + 0.5 * F.col("c1").cast("double")
+    ) / F.col("n1").cast("double")
+    agg = j.agg(
+        F.max("n1").alias("n_pos"),
+        F.max("n0").alias("n_neg"),
+        F.sum(F.col("c1").cast("double") * v10).alias("sv10"),
+        F.sum(F.col("c1").cast("double") * v10 * v10).alias("sv10b"),
+        F.sum(F.col("c0").cast("double") * v01).alias("sv01"),
+        F.sum(F.col("c0").cast("double") * v01 * v01).alias("sv01b"),
+    )
+    n1 = F.col("n_pos").cast("double")
+    n0 = F.col("n_neg").cast("double")
+    auc = F.col("sv10") / n1
+    s10 = (F.col("sv10b") - F.col("sv10") * F.col("sv10") / n1) / (
+        n1 - 1.0
+    )
+    s01 = (F.col("sv01b") - F.col("sv01") * F.col("sv01") / n0) / (
+        n0 - 1.0
+    )
+    se = F.sqrt(s10 / n1 + s01 / n0)
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(auc, round_to).alias("auc"),
+        F.round(se, round_to).alias("se_delong"),
+        F.round(auc - F.lit(_Z975) * se, round_to).alias("ci_lo"),
+        F.round(auc + F.lit(_Z975) * se, round_to).alias("ci_hi"),
+    )
+
+
+def auc_delong_ci_sql(
+    table: str,
+    score_col: str,
+    label_expr: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`auc_delong_ci`."""
+    return f"""
+    WITH per AS (
+      SELECT {score_col} AS s,
+             CAST(SUM(CASE WHEN {label_expr} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN {label_expr} THEN 0 ELSE 1 END)
+                  AS BIGINT) AS c0
+      FROM {table} GROUP BY 1
+    ),
+    cum AS (
+      SELECT s, c1, c0,
+             COALESCE(SUM(c0) OVER (ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS b0,
+             COALESCE(SUM(c1) OVER (ORDER BY s
+                      ROWS BETWEEN 1 FOLLOWING
+                      AND UNBOUNDED FOLLOWING), 0) AS a1
+      FROM per
+    ),
+    tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c0) AS BIGINT) AS n0
+      FROM cum
+    ),
+    sums AS (
+      SELECT MAX(t.n1) AS n_pos, MAX(t.n0) AS n_neg,
+             SUM(CAST(c1 AS DOUBLE)
+                 * ((CAST(b0 AS DOUBLE) + 0.5 * CAST(c0 AS DOUBLE))
+                    / CAST(t.n0 AS DOUBLE))) AS sv10,
+             SUM(CAST(c1 AS DOUBLE)
+                 * ((CAST(b0 AS DOUBLE) + 0.5 * CAST(c0 AS DOUBLE))
+                    / CAST(t.n0 AS DOUBLE))
+                 * ((CAST(b0 AS DOUBLE) + 0.5 * CAST(c0 AS DOUBLE))
+                    / CAST(t.n0 AS DOUBLE))) AS sv10b,
+             SUM(CAST(c0 AS DOUBLE)
+                 * ((CAST(a1 AS DOUBLE) + 0.5 * CAST(c1 AS DOUBLE))
+                    / CAST(t.n1 AS DOUBLE))) AS sv01,
+             SUM(CAST(c0 AS DOUBLE)
+                 * ((CAST(a1 AS DOUBLE) + 0.5 * CAST(c1 AS DOUBLE))
+                    / CAST(t.n1 AS DOUBLE))
+                 * ((CAST(a1 AS DOUBLE) + 0.5 * CAST(c1 AS DOUBLE))
+                    / CAST(t.n1 AS DOUBLE))) AS sv01b
+      FROM cum CROSS JOIN tot t
+    )
+    SELECT n_pos, n_neg,
+           ROUND(sv10 / CAST(n_pos AS DOUBLE), {round_to}) AS auc,
+           ROUND(SQRT(((sv10b - sv10 * sv10 / CAST(n_pos AS DOUBLE))
+                       / (CAST(n_pos AS DOUBLE) - 1.0))
+                      / CAST(n_pos AS DOUBLE)
+                      + ((sv01b - sv01 * sv01 / CAST(n_neg AS DOUBLE))
+                         / (CAST(n_neg AS DOUBLE) - 1.0))
+                        / CAST(n_neg AS DOUBLE)),
+                 {round_to}) AS se_delong,
+           ROUND(sv10 / CAST(n_pos AS DOUBLE)
+                 - {_Z975!r}
+                   * SQRT(((sv10b - sv10 * sv10
+                            / CAST(n_pos AS DOUBLE))
+                           / (CAST(n_pos AS DOUBLE) - 1.0))
+                          / CAST(n_pos AS DOUBLE)
+                          + ((sv01b - sv01 * sv01
+                              / CAST(n_neg AS DOUBLE))
+                             / (CAST(n_neg AS DOUBLE) - 1.0))
+                            / CAST(n_neg AS DOUBLE)),
+                 {round_to}) AS ci_lo,
+           ROUND(sv10 / CAST(n_pos AS DOUBLE)
+                 + {_Z975!r}
+                   * SQRT(((sv10b - sv10 * sv10
+                            / CAST(n_pos AS DOUBLE))
+                           / (CAST(n_pos AS DOUBLE) - 1.0))
+                          / CAST(n_pos AS DOUBLE)
+                          + ((sv01b - sv01 * sv01
+                              / CAST(n_neg AS DOUBLE))
+                             / (CAST(n_neg AS DOUBLE) - 1.0))
+                            / CAST(n_neg AS DOUBLE)),
+                 {round_to}) AS ci_hi
+    FROM sums
+    """

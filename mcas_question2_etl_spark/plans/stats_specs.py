@@ -4359,3 +4359,26 @@ def stuart_maxwell_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stuart_maxwell_test(pairs, "u", "first_e", "last_e", _SM_CATS)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 174: DeLong confidence interval for AUC
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.evaluation import auc_delong_ci, auc_delong_ci_sql
+
+
+@_spec(
+    "auc_delong_ci_quality",
+    auc_delong_ci_sql("documents", "n_chars", "lang = 'en'"),
+    "eval op — DeLong 1988 standard error and 95% CI on the SAME "
+    "length-predicts-English AUC as auc_quality_score: the error bar "
+    "the point estimate needs (bootstrap costs hundreds of "
+    "resamples; DeLong is closed-form). Placement values live on the "
+    "DISTINCT-SCORE rollup — every positive at a tied score shares "
+    "v10 = (#neg below + half #neg at)/n0 — so S10/S01 are weighted "
+    "variances over score cardinality with one cumulative window, "
+    "never a row-level sort. Bounded at any data scale.",
+)
+def auc_delong_ci_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return auc_delong_ci(docs, F.col("n_chars"), F.col("lang") == "en")
