@@ -839,3 +839,130 @@ def encoding_advisor_sql(
                  {round_to}) AS best_ratio
     FROM scored ORDER BY "column"
     """
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 175: golden-record survivorship consolidation
+# ──────────────────────────────────────────────────────────────────────────
+
+
+def golden_record(
+    df: DataFrame,
+    cluster_col: str,
+    recency_col: str,
+    tiebreak_col: str,
+    latest_cols: "Sequence[str]",
+    mode_cols: "Sequence[str]",
+    max_cols: "Sequence[str]",
+) -> DataFrame:
+    """Golden-record survivorship — the consolidation step after
+    entity resolution (the suite's CC/linkage family produces the
+    CLUSTERS; this produces the one surviving row per cluster that
+    MDM pipelines actually ship): per cluster, each attribute
+    survives by its own documented rule —
+
+      latest_cols : value from the most RECENT record
+                    (recency, tiebreak) — last-write-wins;
+      mode_cols   : most FREQUENT value (count desc, value asc —
+                    a total order, no arbitrary pick);
+      max_cols    : extremum (MAX).
+
+    Every rule is a deterministic total order, so the golden row is
+    engine-exact. One groupBy for the latest/max rules (max_by via
+    max-of-struct keeps it a single aggregate — no window, no
+    self-join); the mode rule is one (cluster, value) rollup + one
+    row_number per cluster over value counts. Lineage counts
+    (n_records, n_distinct per moded attribute) ride along because a
+    golden record without provenance is un-audit-able.
+
+    Output per cluster: (cluster, n_records, <latest cols>,
+    <mode cols>, <mode col>_ndv, <max cols>), ordered by cluster.
+    """
+    from pyspark.sql import Window as W
+
+    ordkey = F.struct(
+        F.col(recency_col).alias("r"), F.col(tiebreak_col).alias("t")
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_records")]
+    for c in latest_cols:
+        aggs.append(
+            F.max(F.struct(ordkey.alias("k"), F.col(c).alias("v")))
+            .getField("v")
+            .alias(c)
+        )
+    for c in max_cols:
+        aggs.append(F.max(c).alias(c))
+    base = df.groupBy(F.col(cluster_col).alias("cluster")).agg(*aggs)
+    out = base
+    for c in mode_cols:
+        counts = df.groupBy(
+            F.col(cluster_col).alias("cluster"), F.col(c).alias("v")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        wm = W.partitionBy("cluster").orderBy(
+            F.col("cnt").desc(), F.col("v").asc()
+        )
+        ndv = counts.groupBy("cluster").agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"{c}_ndv")
+        )
+        top = (
+            counts.withColumn("rn", F.row_number().over(wm))
+            .filter(F.col("rn") == 1)
+            .select("cluster", F.col("v").alias(c))
+        )
+        out = out.join(top, "cluster").join(ndv, "cluster")
+    return out.orderBy("cluster")
+
+
+def golden_record_sql(
+    src_sql: str,
+    cluster_col: str,
+    recency_col: str,
+    tiebreak_col: str,
+    latest_cols: "Sequence[str]",
+    mode_cols: "Sequence[str]",
+    max_cols: "Sequence[str]",
+) -> str:
+    """DuckDB twin of :func:`golden_record` (same total orders)."""
+    latest = ",\n             ".join(
+        f"(MAX(struct_pack(r := {recency_col}, t := {tiebreak_col},"
+        f" v := {c}))).v AS {c}"
+        for c in latest_cols
+    )
+    maxes = ",\n             ".join(
+        f"MAX({c}) AS {c}" for c in max_cols
+    )
+    base_cols = ",\n             ".join(
+        x for x in [latest, maxes] if x
+    )
+    mode_joins = ""
+    mode_sel = ""
+    for c in mode_cols:
+        mode_joins += f"""
+    JOIN (
+      SELECT cluster, v AS {c}
+      FROM (
+        SELECT {cluster_col} AS cluster, {c} AS v,
+               ROW_NUMBER() OVER (PARTITION BY {cluster_col}
+                                  ORDER BY COUNT(*) DESC, {c} ASC)
+                 AS rn
+        FROM src GROUP BY {cluster_col}, {c}
+      ) WHERE rn = 1
+    ) m_{c} USING (cluster)
+    JOIN (
+      SELECT {cluster_col} AS cluster,
+             CAST(COUNT(DISTINCT {c}) AS BIGINT) AS {c}_ndv
+      FROM src GROUP BY {cluster_col}
+    ) d_{c} USING (cluster)"""
+        mode_sel += f", m_{c}.{c}, d_{c}.{c}_ndv"
+    return f"""
+    WITH src AS ({src_sql}),
+    base AS (
+      SELECT {cluster_col} AS cluster,
+             CAST(COUNT(*) AS BIGINT) AS n_records,
+             {base_cols}
+      FROM src GROUP BY {cluster_col}
+    )
+    SELECT base.*{mode_sel}
+    FROM base{mode_joins}
+    ORDER BY cluster
+    """

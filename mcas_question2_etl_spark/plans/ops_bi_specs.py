@@ -2307,3 +2307,44 @@ def encoding_advisor_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ord", F.col("l_orderkey") * 10 + F.col("l_linenumber")
     )
     return encoding_advisor(li, "ord", _ENC_COLS)
+
+
+# ──────────────────────────────────────────────────────────────────────────
+# wave 175: golden-record survivorship consolidation
+# ──────────────────────────────────────────────────────────────────────────
+from ..operators.profiling import golden_record, golden_record_sql
+
+
+@_spec(
+    "golden_record_customers",
+    golden_record_sql(
+        "SELECT * FROM orders",
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        ["o_orderstatus"],
+        ["o_orderpriority"],
+        ["o_totalprice"],
+    ),
+    "mdm op — golden-record survivorship over each customer's order "
+    "history: the consolidation step AFTER entity resolution (the "
+    "CC/linkage family builds clusters; this ships the one surviving "
+    "row) with per-attribute rules — last-write-wins for status "
+    "under a (date, orderkey) total order, modal priority under "
+    "(count desc, value asc), max for totalprice — plus lineage "
+    "(n_records, priority ndv) because a golden record without "
+    "provenance is un-audit-able. Single-aggregate max-of-struct for "
+    "the recency rules (no window, no self-join); one value rollup "
+    "per moded attribute.",
+)
+def golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return golden_record(
+        orders,
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        ["o_orderstatus"],
+        ["o_orderpriority"],
+        ["o_totalprice"],
+    )
