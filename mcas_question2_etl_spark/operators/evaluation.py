@@ -6656,9 +6656,13 @@ def lepage_test(
     rounding grain, and neither big sum is itself ROUNDed or emitted.
 
     One global rank window, one distinct-value rollup, one k-row
-    reduction. Output (one row): (n_x, n_y, w_stat, ab_stat, z_w,
-    z_ab, lepage_d) — w_stat/ab_stat are mid-rank score sums (DOUBLE;
-    w_stat is an exact half-integer).
+    reduction. Output (one row): (n_x, n_y, w_stat, ab_mean, z_w,
+    z_ab, lepage_d) — w_stat is the exact half-integer mid-rank sum
+    (bit-identical: W2 is an exact bigint), while the Ansari-Bradley
+    side is emitted as the MEAN score ab_mean = AB/n_x (~n/4): the
+    raw sum reaches ~2e10 at sf0.1, past the 2^53/1e6 bound where
+    ROUND(x,6) itself diverges cross-engine (the r8 audit caught
+    exactly this column).
     """
     pts = df.select(
         F.col(group_col).cast("boolean").alias("__g"),
@@ -6734,7 +6738,9 @@ def lepage_test(
         F.col("nx").alias("n_x"),
         (F.col("n") - F.col("nx")).cast("bigint").alias("n_y"),
         (F.col("w2").cast("double") / 2.0).alias("w_stat"),
-        F.round(F.col("ab"), round_to).alias("ab_stat"),
+        F.round(
+            F.col("ab") / F.col("nx").cast("double"), round_to
+        ).alias("ab_mean"),
         F.round(z_w, round_to).alias("z_w"),
         F.round(z_ab, round_to).alias("z_ab"),
         F.round(z_w * z_w + z_ab * z_ab, round_to).alias("lepage_d"),
@@ -6807,7 +6813,7 @@ def lepage_test_sql(
     SELECT nx AS n_x,
            CAST(n - nx AS BIGINT) AS n_y,
            CAST(w2 AS DOUBLE) / 2.0 AS w_stat,
-           ROUND(ab, {round_to}) AS ab_stat,
+           ROUND(ab / CAST(nx AS DOUBLE), {round_to}) AS ab_mean,
            ROUND(z_w, {round_to}) AS z_w,
            ROUND(z_ab, {round_to}) AS z_ab,
            ROUND(z_w * z_w + z_ab * z_ab, {round_to}) AS lepage_d

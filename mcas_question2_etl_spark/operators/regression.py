@@ -1334,7 +1334,7 @@ def chow_break_sql(
              CAST(SUM(CASE WHEN {pred} THEN t END) AS BIGINT) AS st{tag},
              CAST(SUM(CASE WHEN {pred} THEN t END * t) AS BIGINT) AS st2{tag},
              SUM(CASE WHEN {pred} THEN y END) AS sy{tag},
-             SUM(CASE WHEN {pred} THEN y END * y) AS sy2{tag},
+             SUM(CASE WHEN {pred} THEN CAST(y AS DECIMAL(20,2)) END * y) AS sy2{tag},
              SUM(CASE WHEN {pred}
                  THEN CAST(t AS DECIMAL(10,0)) * y END) AS sty{tag}"""
 

@@ -1962,7 +1962,7 @@ def rolling_correlation_sql(
              CAST(SUM(y) OVER w AS BIGINT) AS sy,
              CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
              CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
-             CAST(SUM(y * y) OVER w AS BIGINT) AS syy
+             CAST(SUM(CAST(y AS DECIMAL(20,2)) * y) OVER w AS BIGINT) AS syy
       FROM daily
       WINDOW w AS (ORDER BY d
                    ROWS BETWEEN {window_days - 1} PRECEDING AND CURRENT ROW)
@@ -2711,14 +2711,14 @@ def segmented_regression_sql(
              CAST(SUM(y) OVER w AS DECIMAL(28,2)) AS py,
              CAST(SUM(CAST(t AS DECIMAL(10,0)) * y) OVER w
                   AS DECIMAL(32,2)) AS pty,
-             CAST(SUM(y * y) OVER w AS DECIMAL(36,4)) AS py2,
+             CAST(SUM(CAST(y AS DECIMAL(20,2)) * y) OVER w AS DECIMAL(36,4)) AS py2,
              CAST(COUNT(*) OVER () AS BIGINT) AS n,
              SUM(t) OVER () AS tt,
              SUM(t * t) OVER () AS tt2,
              CAST(SUM(y) OVER () AS DECIMAL(28,2)) AS ty,
              CAST(SUM(CAST(t AS DECIMAL(10,0)) * y) OVER ()
                   AS DECIMAL(32,2)) AS tty,
-             CAST(SUM(y * y) OVER () AS DECIMAL(36,4)) AS ty2
+             CAST(SUM(CAST(y AS DECIMAL(20,2)) * y) OVER () AS DECIMAL(36,4)) AS ty2
       FROM idx
       WINDOW w AS (ORDER BY {date_col} ROWS UNBOUNDED PRECEDING)
     ),

@@ -65,7 +65,7 @@ def test_hand_recomputation_even_and_odd(spark, extra):
     w, ab, z_w, z_ab = _hand(xs, ys)
     assert (r.n_x, r.n_y) == (len(xs), len(ys))
     assert r.w_stat == w
-    assert r.ab_stat == pytest.approx(round(ab, 6), abs=1e-9)
+    assert r.ab_mean == pytest.approx(round(ab / len(xs), 6), abs=1e-9)
     assert r.z_w == pytest.approx(round(z_w, 6), abs=1e-9)
     assert r.z_ab == pytest.approx(round(z_ab, 6), abs=1e-9)
     assert r.lepage_d == pytest.approx(round(z_w**2 + z_ab**2, 6), abs=1e-6)
@@ -126,7 +126,7 @@ def test_sql_twin_matches_spark_exactly(spark):
         lepage_test_sql("SELECT * FROM t0", "g", "v")
     ).fetchone()
     assert row == (
-        r.n_x, r.n_y, r.w_stat, r.ab_stat, r.z_w, r.z_ab, r.lepage_d
+        r.n_x, r.n_y, r.w_stat, r.ab_mean, r.z_w, r.z_ab, r.lepage_d
     )
 
 
@@ -146,5 +146,5 @@ def test_sql_twin_matches_under_heavy_ties(spark):
         lepage_test_sql("SELECT * FROM t1", "g", "v")
     ).fetchone()
     assert row == (
-        r.n_x, r.n_y, r.w_stat, r.ab_stat, r.z_w, r.z_ab, r.lepage_d
+        r.n_x, r.n_y, r.w_stat, r.ab_mean, r.z_w, r.z_ab, r.lepage_d
     )
