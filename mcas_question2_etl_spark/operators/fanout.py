@@ -1,0 +1,31 @@
+"""Round-robin fan-out for CPU-bound kernel stages.
+
+The bench-scale parquet inputs read as ONE split (single row group), so
+every map stage that precedes the first shuffle — and every
+BroadcastNestedLoopJoin whose stream side comes straight off a scan or
+a tiny aggregate — runs on a single core no matter how many the box
+has. For cheap projections that is irrelevant; for quadratic pair
+kernels (repeated-medians, diagonal dot products, probe-set scans) and
+heavyweight per-row expressions (space-filling-curve folds) the stage
+serializes on one task while 31 cores idle. `fan_out` spreads the tiny
+input across the cluster's parallelism first: the shuffled rows are a
+few dozen bytes each, and at 100 TB the kernel fleet scales with
+executors instead of with the accidental input split count — the same
+reasoning as plans/ml_geo_media._fan_out for the codec kernels.
+
+Only use it in front of work that is superlinear in the fanned-out
+rows (or heavy per row); a plain scan-project-aggregate is better off
+without the extra exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Round-robin ``df`` across ``parts`` partitions (defaults to the
+    session's ``defaultParallelism`` — scale-adaptive, never a constant
+    tuned to one box)."""
+    n = parts or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)

@@ -759,7 +759,9 @@ def harmonic_centrality_seeds(
     """
     und = edges.select(
         F.col("a").alias("s"), F.col("b").alias("d")
-    ).unionAll(edges.select(F.col("b").alias("s"), F.col("a").alias("d")))
+    ).unionAll(
+        edges.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    ).localCheckpoint(eager=True)
     nodes = und.select(F.col("s").alias("node")).distinct()
     seeds = (
         nodes.filter((F.col("node") % seed_mod) == 0)
@@ -770,6 +772,12 @@ def harmonic_centrality_seeds(
     frontier = seeds.select("seed", F.col("seed").alias("node"))
     visited = frontier.withColumn("dist", F.lit(0))
     for dd in range(1, depth + 1):
+        # checkpoint each wave: frontier_d is referenced by BOTH the
+        # next expansion join and the visited union — lazily chained,
+        # every round's plan re-embeds all prior rounds (the depth-3
+        # plan re-executed wave 1 several times over; exchange reuse
+        # only partially dedupes it). Materializing the (seed, node)
+        # pair set per round keeps the plan linear in depth.
         nxt = (
             und.join(
                 frontier.select("seed", F.col("node").alias("s")), "s"
@@ -777,7 +785,10 @@ def harmonic_centrality_seeds(
             .select("seed", F.col("d").alias("node"))
             .distinct()
             .join(visited.select("seed", "node"), ["seed", "node"], "leftanti")
+            .localCheckpoint(eager=True)
         )
+        # visited stays a lazy union OF checkpointed waves — no
+        # re-materialization of the cumulative set per round
         visited = visited.unionAll(nxt.withColumn("dist", F.lit(dd)))
         frontier = nxt
     per = visited.filter(F.col("dist") > 0).groupBy("seed").agg(

@@ -35,6 +35,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mcas_question2_etl_spark.operators.fanout import fan_out
+
 
 def group_ols(
     df: DataFrame,
@@ -2353,7 +2355,13 @@ def siegel_repeated_medians(
         F.col(date_col).cast("double").alias("__x"),
         F.col(value_col).cast("double").alias("__y"),
     )
-    a = pts.select(F.col("__x").alias("xi"), F.col("__y").alias("yi"))
+    # the O(n²) pair kernel below streams `a`: fan it out so the
+    # quadratic work runs cluster-wide, not on the single partition the
+    # tiny daily rollup coalesces to (exact medians are order-free, so
+    # partitioning cannot change the result)
+    a = fan_out(
+        pts.select(F.col("__x").alias("xi"), F.col("__y").alias("yi"))
+    )
     b = pts.select(F.col("__x").alias("xj"), F.col("__y").alias("yj"))
     inner = (
         a.join(b, F.col("xi") != F.col("xj"))
@@ -2366,6 +2374,14 @@ def siegel_repeated_medians(
         )
         .groupBy("xi", "yi")
         .agg(F.expr("percentile(__s, 0.5)").alias("__ms"))
+        # n_days rows; checkpoint so the O(n²) pair stage runs ONCE —
+        # the broadcast(agg) below otherwise re-executes it a second
+        # time for the scalar side (bit-identical results, half the
+        # work). EAGER: a lazy checkpoint here is materialized from
+        # inside broadcast-exchange threads, which race and can
+        # re-execute the full lineage instead of waiting (observed as
+        # a minutes-long CPU burn on a plan that runs in seconds)
+        .localCheckpoint(eager=True)
     )
     agg = inner.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
@@ -3198,6 +3214,13 @@ def huber_trend(
     n_down = None
     scale = None
     for it in range(iters):
+        # cut lineage at every scalar hand-off: each broadcast of `fit`
+        # (and of med/sc below) otherwise re-executes the ENTIRE prior
+        # IRLS chain — the plan grows ~4x per iteration and the 3-round
+        # fit re-runs dozens of redundant tiny aggregates (measured as
+        # the dominant cost of this spec at sf0.1; the checkpointed
+        # 1-row RDD is exact, so results are bit-identical)
+        fit = fit.localCheckpoint(eager=True)
         with_r = pts.crossJoin(F.broadcast(fit)).withColumn(
             "__r", F.col("__y") - F.col("a") - F.col("b") * F.col("__t")
         )

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mcas_question2_etl_spark.operators.fanout import fan_out
+
 #: Q20 fixed-point scale; exact power of two, so the float->int scaling
 #: multiply is rounding-free in IEEE arithmetic.
 Q_SCALE = 1 << 20
@@ -642,11 +644,13 @@ def knn_label_eval(
         F.col("label").alias("p_label"),
         quantize("embedding").alias("pv"),
     ).withColumn("pn2", sqnorm_expr("pv"))
-    cands = emb.select(
+    # fan the streamed corpus side out first: one parquet split means
+    # the whole O(n·cap) dot-product kernel otherwise runs on one task
+    cands = fan_out(emb.select(
         F.col("vec_id").alias("c_id"),
         F.col("label").alias("c_label"),
         quantize("embedding").alias("cv"),
-    ).withColumn("cn2", sqnorm_expr("cv"))
+    )).withColumn("cn2", sqnorm_expr("cv"))
     # norms precomputed per SIDE (one fold per row), so each of the
     # |probes| x |cands| pairs folds only the dot product — measured
     # 7.5 s -> ~3 s at sf0.1 vs the 3-fold inline cosine
@@ -1270,11 +1274,13 @@ def knn_shapley_valuation(
         )
         .withColumn("pn2", sqnorm_expr("pv"))
     )
-    cands = emb.select(
+    # the probe scan streams `cands` — one parquet split means one
+    # task for the whole O(n·probes) cosine kernel without a fan-out
+    cands = fan_out(emb.select(
         F.col("vec_id").alias("c_id"),
         F.col("label").alias("c_label"),
         quantize("embedding").alias("cv"),
-    ).withColumn("cn2", sqnorm_expr("cv"))
+    )).withColumn("cn2", sqnorm_expr("cv"))
     dot = F.expr(
         "aggregate(zip_with(cv, pv, (x, y) -> x * y), "
         "cast(0 as bigint), (acc, v) -> acc + v)"
@@ -1337,33 +1343,45 @@ def knn_shapley_valuation(
             "c_id",
         )
     )
-    top = (
-        per_point.orderBy(F.col("shapley").desc(), F.col("c_id"))
-        .limit(int(top_n))
-        .withColumn(
-            "position",
-            F.row_number()
-            .over(Window.orderBy(F.col("shapley").desc(), F.col("c_id")))
-            .cast("bigint"),
-        )
+    # head and tail in ONE pass: two rank windows over the (small)
+    # per-point rollup, instead of two orderBy+limit branches that each
+    # re-execute the full probe-scan chain (the pair scan is the
+    # expensive stage; running it twice doubled this spec's cost)
+    per_point = per_point.withColumn(
+        "__rt",
+        F.row_number().over(
+            Window.orderBy(F.col("shapley").desc(), F.col("c_id"))
+        ),
+    ).withColumn(
+        "__rb",
+        F.row_number().over(
+            Window.orderBy(F.col("shapley").asc(), F.col("c_id"))
+        ),
     )
-    bottom = (
-        per_point.orderBy(F.col("shapley").asc(), F.col("c_id"))
-        .limit(int(top_n))
-        .withColumn(
-            "position",
-            -F.row_number()
-            .over(Window.orderBy(F.col("shapley").asc(), F.col("c_id")))
-            .cast("bigint"),
-        )
-    )
-    return top.unionByName(bottom).select(
-        "position",
+    ranked_out = per_point.filter(
+        (F.col("__rt") <= int(top_n)) | (F.col("__rb") <= int(top_n))
+    ).select(
+        F.explode(
+            F.filter(
+                F.array(
+                    F.when(
+                        F.col("__rt") <= int(top_n),
+                        F.col("__rt").cast("bigint"),
+                    ),
+                    F.when(
+                        F.col("__rb") <= int(top_n),
+                        (-F.col("__rb")).cast("bigint"),
+                    ),
+                ),
+                lambda p: p.isNotNull(),
+            )
+        ).alias("position"),
         F.col("c_id").alias("vec_id"),
         "label",
         "n_probes",
         "shapley",
-    ).orderBy(F.col("position"))
+    )
+    return ranked_out.orderBy(F.col("position"))
 
 
 def knn_shapley_valuation_sql(

@@ -31,6 +31,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from mcas_question2_etl_spark.operators.fanout import fan_out
+
 
 def daily_spine(df: DataFrame, ts_col: str) -> DataFrame:
     """One row per calendar day spanning ``min(ts)..max(ts)``."""
@@ -3859,12 +3861,18 @@ def matrix_profile(
     Shape: the series is first densified to t = 1..n by ROW_NUMBER
     (calendar gaps become index-adjacent, noted in the output contract);
     subsequence moments come from one windowed pass; the cross-dot is
-    an equi-join of the element table with itself on the offset key —
-    O(n² · m) ONLY over the bounded DAILY rollup (n ≈ days), the same
-    bounded-kernel discipline as newey_west_trend. Never point this at
-    a raw fact table; roll up first. Ties in the nearest-neighbor
-    argmin break to the smallest j (exact ties arise from genuinely
-    identical windows, where any j is equally correct).
+    decomposed ALONG DIAGONALS (the STOMP/SCRIMP layout, Zhu et al.
+    2016): on diagonal δ = j − i the dot is a sliding sum of the
+    element products z_t = y_t·y_{t+δ}, so the O(n²) pair table is
+    built from broadcast joins of the tiny point table (never a
+    skewed offset-key self-join — the m-key equi-join form had only m
+    distinct join keys, capping parallelism at m tasks) and one
+    window per diagonal; n ≈ days, the bounded-kernel discipline as
+    newey_west_trend. Never point this at a raw fact table; roll up
+    first. The per-i argmin is a map-side-partial ``min(struct(d,j))``
+    — ties break to the smallest j exactly as before (exact ties
+    arise from genuinely identical windows, where any j is equally
+    correct).
 
     Output per subsequence: (i, nn_index, profile_dist), ordered by i.
     """
@@ -3874,55 +3882,102 @@ def matrix_profile(
     ).withColumn(
         "__t", F.row_number().over(Window.orderBy("__d")).cast("bigint")
     )
-    # element table: subsequence i covers offsets 0..m-1
-    el = pts.select(
-        F.explode(
-            F.array(*[F.lit(k) for k in range(m)])
-        ).alias("__k"),
-        F.col("__t"),
-        F.col("__y"),
-    ).select(
-        (F.col("__t") - F.col("__k")).alias("i"),
-        F.col("__k"),
-        F.col("__y"),
-    ).filter(F.col("i") >= 1)
     n_total = pts.groupBy().agg(F.max("__t").alias("__n"))
-    el = el.crossJoin(F.broadcast(n_total)).filter(
-        F.col("i") <= F.col("__n") - m + 1
-    ).select("i", "__k", "__y")
-    mom = el.groupBy("i").agg(
-        F.sum("__y").alias("s"),
-        F.sum(F.col("__y") * F.col("__y")).alias("ss"),
+    # diagonals δ with |i-j| = δ > m//2 and at least one valid pair
+    deltas = n_total.select(
+        F.explode(
+            F.when(
+                F.col("__n") - m >= m // 2 + 1,
+                F.sequence(F.lit(m // 2 + 1), F.col("__n") - m),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("__dlt"),
+        F.col("__n"),
     )
-    a = el.select(
-        F.col("i").alias("ia"), F.col("__k"), F.col("__y").alias("va")
+    # element products along each diagonal: z_t = y_t * y_{t+δ}
+    right = pts.select(
+        F.col("__t").alias("__t2"), F.col("__y").alias("__y2")
     )
-    b = el.select(
-        F.col("i").alias("jb"), F.col("__k"), F.col("__y").alias("vb")
+    # the nested-loop pairing below streams `pts`, which sits in ONE
+    # partition (tiny rollup) — fan it out so the O(n²) pair build and
+    # the element products run cluster-wide
+    el = (
+        fan_out(pts)
+        .join(F.broadcast(deltas), F.col("__t") <= F.col("__n") - F.col("__dlt"))
+        .join(
+            F.broadcast(right),
+            F.col("__t2") == F.col("__t") + F.col("__dlt"),
+        )
+        .select(
+            "__dlt",
+            "__n",
+            F.col("__t").alias("i"),
+            (F.col("__y") * F.col("__y2")).alias("__z"),
+        )
     )
-    dots = (
-        a.join(b, "__k")
-        .filter(F.abs(F.col("ia") - F.col("jb")) > m // 2)
-        .groupBy("ia", "jb")
-        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    wdiag = (
+        Window.partitionBy("__dlt")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, m - 1)
     )
+    dots = el.select(
+        "__dlt",
+        "i",
+        F.sum("__z").over(wdiag).alias("dot"),
+        F.col("__n"),
+    ).filter(F.col("i") <= F.col("__n") - m + 1 - F.col("__dlt"))
     md = float(m)
+    mom = pts.select(
+        F.col("__t").alias("i"), "__y"
+    ).withColumn(
+        "s",
+        F.sum("__y").over(
+            Window.orderBy("i").rowsBetween(Window.currentRow, m - 1)
+        ),
+    ).withColumn(
+        "ss",
+        F.sum(F.col("__y") * F.col("__y")).over(
+            Window.orderBy("i").rowsBetween(Window.currentRow, m - 1)
+        ),
+    ).crossJoin(F.broadcast(n_total)).filter(
+        F.col("i") <= F.col("__n") - m + 1
+    ).select("i", "s", "ss")
+    # both directions of each diagonal pair: (i, j) and (j, i) — one
+    # explode, so the dots chain is computed once, not per union branch
+    pairs = dots.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("i").alias("i"),
+                    (F.col("i") + F.col("__dlt")).alias("j"),
+                ),
+                F.struct(
+                    (F.col("i") + F.col("__dlt")).alias("i"),
+                    F.col("i").alias("j"),
+                ),
+            )
+        ).alias("__p"),
+        "dot",
+    ).select(F.col("__p.i").alias("i"), F.col("__p.j").alias("j"), "dot")
     j = (
-        dots.join(
-            mom.select(
-                F.col("i").alias("ia"),
-                F.col("s").alias("sa"),
-                F.col("ss").alias("ssa"),
+        pairs.join(
+            F.broadcast(
+                mom.select(
+                    F.col("i"),
+                    F.col("s").alias("sa"),
+                    F.col("ss").alias("ssa"),
+                )
             ),
-            "ia",
+            "i",
         )
         .join(
-            mom.select(
-                F.col("i").alias("jb"),
-                F.col("s").alias("sb"),
-                F.col("ss").alias("ssb"),
+            F.broadcast(
+                mom.select(
+                    F.col("i").alias("j"),
+                    F.col("s").alias("sb"),
+                    F.col("ss").alias("ssb"),
+                )
             ),
-            "jb",
+            "j",
         )
     )
     var_a = F.col("ssa") - F.col("sa") * F.col("sa") / md
@@ -3932,17 +3987,14 @@ def matrix_profile(
     dist = F.sqrt(
         F.greatest(F.lit(0.0), F.lit(2.0 * md) * (F.lit(1.0) - rho))
     )
-    scored = j.select(
-        F.col("ia").alias("i"), F.col("jb").alias("j"), dist.alias("d")
-    )
-    w = Window.partitionBy("i").orderBy(F.col("d").asc(), F.col("j").asc())
+    scored = j.select(F.col("i"), F.col("j"), dist.alias("d"))
     best = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        scored.groupBy("i")
+        .agg(F.min(F.struct(F.col("d"), F.col("j"))).alias("__b"))
         .select(
             "i",
-            F.col("j").alias("nn_index"),
-            F.round(F.col("d"), round_to).alias("profile_dist"),
+            F.col("__b.j").alias("nn_index"),
+            F.round(F.col("__b.d"), round_to).alias("profile_dist"),
         )
     )
     return best.orderBy("i")

@@ -38,6 +38,7 @@ from ..operators.dedup import hamming_band_pairs
 from ..operators.multimodal import ahash_words, ahash_words_sql, decode_thumbnails
 from ..operators import editjoin, hilbert
 from ..operators import hilbert, zorder
+from ..operators.fanout import fan_out
 from ..operators.similarity import cosine_sql, quantize, quantize_sql
 from ..operators import clustering, sampling
 from ..operators.sampling import hash_bucket_sql
@@ -778,10 +779,14 @@ def _hp_oracle() -> str:
 def hilbert_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     x_lo, x_hi, y_lo, y_hi = _HP_BOX
     li = load_table(spark, sf_dir, "lineitem")
-    pts = li.select(
+    # fan the 2-int projection out before the per-row curve folds: the
+    # fact table reads as one split, and the Hilbert/Morton key
+    # expressions are the heavy stage of this spec — 32-way beats
+    # 1-way at a cost of a ~10 MB round-robin of (x, y) ints
+    pts = fan_out(li.select(
         F.pmod("l_partkey", F.lit(1 << _HP_BITS)).cast("long").alias("x"),
         F.pmod("l_orderkey", F.lit(1 << _HP_BITS)).cast("long").alias("y"),
-    )
+    ))
     layouts = pts.withColumn(
         "__k", hilbert.hilbert_key("x", "y", _HP_BITS)
     ).select(
