@@ -1379,9 +1379,18 @@ def ktruss_peel_profile(
     shrinking geometrically — 70k → 22k → 1.8k → 0.7k here),
     deduplicated by sorted vertex triple so a triangle losing TWO
     edges at once still decrements its survivor exactly once, and the
-    surviving edges' supports are decremented in place. Each round's
-    state is localCheckpointed (chained lineage otherwise compounds
-    into an explain string that OOMs the driver under AQE).
+    surviving edges' supports are decremented in place. The adjacency
+    is built ONCE and maintained per round by an array_except over the
+    |R|-bounded affected endpoints (optimization round r8: the rounds
+    previously re-aggregated the full adjacency, ~9 s each at sf0.1 —
+    the dominant cost of the whole profile). The decrement and
+    adjacency-maintenance joins broadcast the removed-batch side (the
+    shrinking frontier), leaving the edge state and adjacency
+    unshuffled after round 1. Each round's state is localCheckpointed
+    EAGERLY (chained lineage otherwise compounds into an explain
+    string that OOMs the driver under AQE; lazy checkpoints are
+    materialized racily from concurrent exchange threads and were
+    observed re-executing the unrolled lineage for minutes).
 
     All outputs are exact integers — the oracle compares exactly
     (the oracle spells the DEFINITIONAL full recompute per round;
@@ -1389,7 +1398,7 @@ def ktruss_peel_profile(
     algorithm's correctness check).
     """
     rows = []
-    e = edges.select("a", "b").localCheckpoint(eager=False)
+    e = edges.select("a", "b").localCheckpoint(eager=True)
     min_sup = int(k) - 2
 
     def _adjacency(edge_df):
@@ -1402,8 +1411,17 @@ def ktruss_peel_profile(
             F.sort_array(F.collect_list("w")).alias("nbrs")
         )
 
-    # round 1: full support computation
-    adj = _adjacency(e)
+    # round 1: full support computation. The adjacency is built ONCE
+    # (the only collect_list aggregation in the whole profile) and then
+    # MAINTAINED incrementally below — the r8 profile showed the
+    # "incremental" rounds spending ~9 s each rebuilding the full
+    # adjacency from scratch while their removed batches had already
+    # shrunk to hundreds of edges. Eager checkpoint: adjacency is
+    # consumed by several joins per round, and a lazy checkpoint is
+    # materialized racily from concurrent broadcast/shuffle-stage
+    # threads (observed: the same plan burning minutes of duplicated
+    # lineage recompute, nondeterministically).
+    adj = _adjacency(e).localCheckpoint(eager=True)
     state = (
         e.join(
             adj.select(F.col("u").alias("a"), F.col("nbrs").alias("na")),
@@ -1418,7 +1436,7 @@ def ktruss_peel_profile(
             "b",
             F.size(F.array_intersect("na", "nb")).alias("s"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     for r in range(1, int(rounds) + 1):
         rows.append(
@@ -1437,19 +1455,19 @@ def ktruss_peel_profile(
             break
         removed = state.filter(F.col("s") < min_sup).select("a", "b")
         survivors = state.filter(F.col("s") >= min_sup)
-        # adjacency of the graph the removed supports were measured in
-        adj_old = _adjacency(state.select("a", "b"))
+        # `adj` IS the adjacency of the graph the removed supports were
+        # measured in (maintained below, never rebuilt)
         # triangles touching a removed edge: removed ⨝ adjacency twice,
         # one exploded intersection — |R|·deg work, not |E|·deg
         tri = (
             removed.join(
-                adj_old.select(
+                adj.select(
                     F.col("u").alias("a"), F.col("nbrs").alias("na")
                 ),
                 "a",
             )
             .join(
-                adj_old.select(
+                adj.select(
                     F.col("u").alias("b"), F.col("nbrs").alias("nb")
                 ),
                 "b",
@@ -1484,7 +1502,7 @@ def ktruss_peel_profile(
             .agg(F.count(F.lit(1)).cast("int").alias("dec"))
         )
         state = (
-            survivors.join(decs, ["a", "b"], "left")
+            survivors.join(F.broadcast(decs), ["a", "b"], "left")
             .select(
                 "a",
                 "b",
@@ -1492,7 +1510,31 @@ def ktruss_peel_profile(
                     F.col("s") - F.coalesce(F.col("dec"), F.lit(0))
                 ).alias("s"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
+        )
+        # maintain the adjacency: strip this round's removed edges from
+        # the |R|-bounded set of affected endpoints only — an
+        # array_except map pass instead of a full collect_list
+        # re-aggregation (neighbor lists are distinct and sorted, so
+        # array_except keeps them distinct and sorted)
+        rem_by_node = (
+            removed.select(F.col("a").alias("u"), F.col("b").alias("w"))
+            .unionByName(
+                removed.select(F.col("b").alias("u"), F.col("a").alias("w"))
+            )
+            .groupBy("u")
+            .agg(F.sort_array(F.collect_list("w")).alias("rem"))
+        )
+        adj = (
+            adj.join(F.broadcast(rem_by_node), "u", "left")
+            .select(
+                "u",
+                F.when(
+                    F.col("rem").isNull(), F.col("nbrs")
+                ).otherwise(F.array_except("nbrs", "rem")).alias("nbrs"),
+            )
+            .filter(F.size("nbrs") > 0)
+            .localCheckpoint(eager=True)
         )
     out = rows[0]
     for extra in rows[1:]:
