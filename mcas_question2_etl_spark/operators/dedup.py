@@ -607,7 +607,13 @@ def minhash_ml_banded_pairs(
             f"({num_hash_tables}) must be divisible by band_rows "
             f"({band_rows}); leftover tables would be discarded"
         )
-    shingled = df.select(
+    # spread the single-split scan first: shingling + HashingTF +
+    # the 8-table MinHash transform are the CPU-heavy stages of this
+    # operator and otherwise run on ONE core (spread_small_scan no-ops
+    # when the input already has enough splits — the 100 TB path)
+    shingled = spread_small_scan(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    ).select(
         F.col(id_col), char_ngrams(text_col, n).alias("shingles")
     ).filter(F.size("shingles") > 0)
     tf = HashingTF(

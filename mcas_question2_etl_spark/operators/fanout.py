@@ -26,6 +26,15 @@ from pyspark.sql import DataFrame
 def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
     """Round-robin ``df`` across ``parts`` partitions (defaults to the
     session's ``defaultParallelism`` — scale-adaptive, never a constant
-    tuned to one box)."""
+    tuned to one box).
+
+    CONDITIONAL: when the input already plans at least that many
+    partitions (the normal case at scale, where the scan has thousands
+    of splits), this is a no-op — the repartition exists to fix the
+    small-input edge case where one parquet split serializes a heavy
+    kernel on one core, not to funnel a large table through an extra
+    full shuffle. ``df.rdd.getNumPartitions()`` only plans (no job)."""
     n = parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n)

@@ -785,6 +785,15 @@ def decode_thumbnails(
     slots into the same signature either way."""
     import pandas as pd
 
+    from .fanout import fan_out
+
+    # spread the payload rows across the session's parallelism before
+    # the Python decode: media often arrives as a 1-partition local
+    # scan (or broadcast-join output) and the per-row kernel otherwise
+    # serializes on one task; fan_out no-ops when the input already
+    # has enough partitions, so a large corpus never pays the shuffle
+    media = fan_out(media)
+
     k = kernel or fake_thumbnail
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
