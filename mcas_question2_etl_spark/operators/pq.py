@@ -24,12 +24,10 @@ ivf_topk exactly like IVF-SQ.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .kmeans import _dist_sql, _dist_str, assign_to_centroids, _lloyd, kmeans_assign_ctes
+from .kmeans import _dist_sql, _dist_str, kmeans_assign_ctes
 from .similarity import quantize
 
 
@@ -45,35 +43,83 @@ def pq_topk(
     """Top-``k`` nearest neighbors of ``query_vec_id`` by PQ-ADC
     approximate squared-L2. Output: ``(vec_id, label, adist)``
     ascending, ties by vec_id; the query row itself is excluded
-    (mirroring sq_topk)."""
-    codes_parts: list[DataFrame] = []
-    lut_parts: list[DataFrame] = []
-    for s in range(m):
-        sub = emb.select(
-            "vec_id",
-            F.slice("embedding", s * sub_dim + 1, sub_dim).alias("semb"),
-        )
-        pts = sub.select(
-            F.col("vec_id").alias("vid"), quantize("semb").alias("v")
-        )
-        cents = _lloyd(pts, k_codes, iters)
-        codes_parts.append(
-            assign_to_centroids(pts, cents).select(
-                "vid", F.lit(s).alias("s"), "cid"
+    (mirroring sq_topk).
+
+    Execution shape (optimization round r8): the ``m`` per-subspace
+    Lloyd runs are independent, identically-seeded problems, so they
+    train as ONE grouped Lloyd over an exploded ``(s, vid, v)`` table —
+    the same floor(sum/count) update and (dist, cid) argmin per
+    subspace group, hence bit-identical codebooks — instead of ``m``
+    sequential driver-blocking loops. This collapses m*iters
+    checkpoint jobs and ~60 stages into iters jobs and ~15 stages;
+    the spec was driver-bound (57 stages totalling ~3 s of executor
+    CPU for ~20 s of wall)."""
+    pts = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        quantize(
+                            f"slice(embedding, {s * sub_dim + 1}, {sub_dim})"
+                        ).alias("v"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("__sv"),
+    ).select("vid", F.col("__sv.s").alias("s"), F.col("__sv.v").alias("v"))
+    # grouped Lloyd: identical per-subspace arithmetic, one job per
+    # iteration for all m subspaces
+    cents = pts.filter(F.col("vid") < k_codes).select(
+        "s", F.col("vid").alias("cid"), F.col("v").alias("cv")
+    )
+    amin = F.expr(
+        "array_min(transform(cents, c -> "
+        f"struct({_dist_str('v', 'c.cv')} AS dist, c.cid AS cid)))"
+    )
+    for _ in range(iters):
+        carr = F.broadcast(
+            cents.groupBy("s").agg(
+                F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias(
+                    "cents"
+                )
             )
         )
-        q = pts.filter(F.col("vid") == query_vec_id).select(
-            F.col("v").alias("qv")
+        assigned = pts.join(carr, "s").select(
+            "s", "vid", "v", amin["cid"].alias("cid")
         )
-        lut_parts.append(
-            cents.crossJoin(F.broadcast(q)).select(
-                F.lit(s).alias("s"),
-                "cid",
-                F.expr(_dist_str("qv", "cv")).alias("d"),
-            )
+        dims = assigned.select(
+            "s", "cid", F.posexplode("v").alias("d0", "x")
+        ).select("s", "cid", (F.col("d0") + 1).alias("d"), "x")
+        per_dim = dims.groupBy("s", "cid", "d").agg(
+            F.floor(F.sum("x").cast("double") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("val")
         )
-    codes = reduce(DataFrame.unionByName, codes_parts)
-    luts = reduce(DataFrame.unionByName, lut_parts)
+        # eager k*m-row checkpoint per iteration — the _lloyd
+        # discipline (lineage blowup + lazy-materialization races)
+        cents = per_dim.groupBy("s", "cid").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(d, val))),"
+                " p -> p.val)"
+            ).alias("cv")
+        ).localCheckpoint(eager=True)
+    carr = F.broadcast(
+        cents.groupBy("s").agg(
+            F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents")
+        )
+    )
+    codes = pts.join(carr, "s").select(
+        "vid", "s", amin["cid"].alias("cid")
+    )
+    q = pts.filter(F.col("vid") == query_vec_id).select(
+        "s", F.col("v").alias("qv")
+    )
+    luts = cents.join(F.broadcast(q), "s").select(
+        "s", "cid", F.expr(_dist_str("qv", "cv")).alias("d")
+    )
     adist = (
         codes.filter(F.col("vid") != query_vec_id)
         .join(F.broadcast(luts), ["s", "cid"])

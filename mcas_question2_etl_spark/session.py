@@ -40,6 +40,22 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", shuffle_partitions)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces post-shuffle partitions by BYTES, but several of
+        # this engine's stages are CPU-dense per byte (exact-Jaccard /
+        # edit-distance / hamming verify over candidate pairs: ~1 MB of
+        # (id, id) rows fanning out to array-intersection work). With
+        # the default 1 MB minimum those stages coalesce to ONE task and
+        # serialize (measured: a 5.7 s-CPU verify stage of
+        # minhash_neardup_full ran as a single task reading 830 KB) — on
+        # any cluster, not just locally, because the byte heuristic
+        # cannot see per-row cost. A 64 KB floor keeps byte-small
+        # CPU-dense stages parallel while leaving real data volumes
+        # untouched (any partition over a few MB is unaffected).
+        # Parameterized for deployments that prefer the byte model.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
