@@ -22,19 +22,40 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+#: Above this Catalyst size estimate the partition probe (and the
+#: round-robin shuffle it gates) is skipped outright: a plan this big
+#: either already has enough splits or must not pay an extra full
+#: shuffle, and with AQE the probe itself is not free (see below).
+_FAN_OUT_PROBE_MAX_BYTES = 1 << 30
+
 
 def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
     """Round-robin ``df`` across ``parts`` partitions (defaults to the
     session's ``defaultParallelism`` — scale-adaptive, never a constant
     tuned to one box).
 
-    CONDITIONAL: when the input already plans at least that many
-    partitions (the normal case at scale, where the scan has thousands
-    of splits), this is a no-op — the repartition exists to fix the
-    small-input edge case where one parquet split serializes a heavy
-    kernel on one core, not to funnel a large table through an extra
-    full shuffle. ``df.rdd.getNumPartitions()`` only plans (no job)."""
+    CONDITIONAL, two guards (ADVICE r8):
+
+    * Catalyst size estimate first — when the optimized plan is
+      estimated above ``_FAN_OUT_PROBE_MAX_BYTES`` (or no estimate is
+      available), return the input untouched. This matters because the
+      partition-count probe below is NOT free under AQE: converting a
+      plan that contains exchanges to an RDD materializes the upstream
+      query stages eagerly, and those stages are not reused by the
+      later action. The estimate guard keeps that double execution
+      bounded to provably small inputs and keeps a 100 TB table from
+      ever paying either the probe or the shuffle.
+    * Partition-count probe second — when the (small) input already
+      plans at least ``parts`` partitions, this is a no-op; the
+      repartition exists to fix the small-input edge case where one
+      parquet split serializes a heavy kernel on one core.
+    """
+    from .dedup import _plan_size_bytes
+
     n = parts or df.sparkSession.sparkContext.defaultParallelism
+    size = _plan_size_bytes(df)
+    if size is None or size > _FAN_OUT_PROBE_MAX_BYTES:
+        return df
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n)

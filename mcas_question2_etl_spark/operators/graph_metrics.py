@@ -1348,6 +1348,13 @@ def ppr_fixed_point_sql(
 # wave 158: k-truss peeling profile
 # ──────────────────────────────────────────────────────────────────────────
 
+#: Broadcast the peel-round frontier (decs / rem_by_node) only while the
+#: round's removed batch is at most this many edges. The derived sides
+#: are O(|removed| · deg) rows of a few dozen bytes each, comfortably
+#: under Spark's broadcast caps at this bound; a first-round mass peel
+#: falls back to shuffle joins sized by AQE instead.
+_KTRUSS_BROADCAST_MAX_REMOVED = 100_000
+
 
 def ktruss_peel_profile(
     edges: DataFrame,
@@ -1385,8 +1392,9 @@ def ktruss_peel_profile(
     previously re-aggregated the full adjacency, ~9 s each at sf0.1 —
     the dominant cost of the whole profile). The decrement and
     adjacency-maintenance joins broadcast the removed-batch side (the
-    shrinking frontier), leaving the edge state and adjacency
-    unshuffled after round 1. Each round's state is localCheckpointed
+    shrinking frontier) — gated on the batch's actual row count, so an
+    unbounded first-round mass peel never forces a broadcast — leaving
+    the edge state and adjacency unshuffled once the frontier shrinks. Each round's state is localCheckpointed
     EAGERLY (chained lineage otherwise compounds into an explain
     string that OOMs the driver under AQE; lazy checkpoints are
     materialized racily from concurrent exchange threads and were
@@ -1455,6 +1463,19 @@ def ktruss_peel_profile(
             break
         removed = state.filter(F.col("s") < min_sup).select("a", "b")
         survivors = state.filter(F.col("s") >= min_sup)
+        # Broadcast the removed-batch derivatives ONLY when the batch is
+        # actually small (ADVICE r8): the shrinking-frontier bound does
+        # not hold for round 1 — the first peel can remove an arbitrary
+        # fraction of edges, and a forced broadcast of an unbounded side
+        # bypasses autoBroadcastJoinThreshold (8 GB cap / executor OOM
+        # at scale). `state` is an eagerly-checkpointed RDD, so the
+        # count is a cheap in-memory pass; above the cap the hint is
+        # dropped and AQE picks the strategy from runtime sizes.
+        bcast = (
+            F.broadcast
+            if removed.count() <= _KTRUSS_BROADCAST_MAX_REMOVED
+            else (lambda d: d)
+        )
         # `adj` IS the adjacency of the graph the removed supports were
         # measured in (maintained below, never rebuilt)
         # triangles touching a removed edge: removed ⨝ adjacency twice,
@@ -1502,7 +1523,7 @@ def ktruss_peel_profile(
             .agg(F.count(F.lit(1)).cast("int").alias("dec"))
         )
         state = (
-            survivors.join(F.broadcast(decs), ["a", "b"], "left")
+            survivors.join(bcast(decs), ["a", "b"], "left")
             .select(
                 "a",
                 "b",
@@ -1526,7 +1547,7 @@ def ktruss_peel_profile(
             .agg(F.sort_array(F.collect_list("w")).alias("rem"))
         )
         adj = (
-            adj.join(F.broadcast(rem_by_node), "u", "left")
+            adj.join(bcast(rem_by_node), "u", "left")
             .select(
                 "u",
                 F.when(

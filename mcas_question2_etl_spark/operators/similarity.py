@@ -1343,39 +1343,31 @@ def knn_shapley_valuation(
             "c_id",
         )
     )
-    # head and tail in ONE pass: two rank windows over the (small)
-    # per-point rollup, instead of two orderBy+limit branches that each
-    # re-execute the full probe-scan chain (the pair scan is the
-    # expensive stage; running it twice doubled this spec's cost)
-    per_point = per_point.withColumn(
-        "__rt",
-        F.row_number().over(
-            Window.orderBy(F.col("shapley").desc(), F.col("c_id"))
-        ),
-    ).withColumn(
-        "__rb",
-        F.row_number().over(
-            Window.orderBy(F.col("shapley").asc(), F.col("c_id"))
-        ),
+    # run the expensive probe-scan chain ONCE (eager checkpoint of the
+    # one-row-per-corpus-vector rollup), then take head and tail with
+    # two distributed orderBy+limit branches (TakeOrderedAndProject).
+    # ADVICE r8: the previous single-pass form ranked the FULL rollup
+    # through two unpartitioned row_number windows — a single-partition
+    # global sort of the whole corpus, a scale regression; TakeOrdered
+    # keeps the top-N selection distributed, and the checkpoint keeps
+    # the pair scan from executing twice.
+    per_point = per_point.localCheckpoint(eager=True)
+    w_top = Window.orderBy(F.col("shapley").desc(), F.col("c_id"))
+    w_bot = Window.orderBy(F.col("shapley").asc(), F.col("c_id"))
+    head = (
+        per_point.orderBy(F.col("shapley").desc(), F.col("c_id"))
+        .limit(int(top_n))
+        .withColumn("position", F.row_number().over(w_top).cast("bigint"))
     )
-    ranked_out = per_point.filter(
-        (F.col("__rt") <= int(top_n)) | (F.col("__rb") <= int(top_n))
-    ).select(
-        F.explode(
-            F.filter(
-                F.array(
-                    F.when(
-                        F.col("__rt") <= int(top_n),
-                        F.col("__rt").cast("bigint"),
-                    ),
-                    F.when(
-                        F.col("__rb") <= int(top_n),
-                        (-F.col("__rb")).cast("bigint"),
-                    ),
-                ),
-                lambda p: p.isNotNull(),
-            )
-        ).alias("position"),
+    tail = (
+        per_point.orderBy(F.col("shapley").asc(), F.col("c_id"))
+        .limit(int(top_n))
+        .withColumn(
+            "position", (-F.row_number().over(w_bot)).cast("bigint")
+        )
+    )
+    ranked_out = head.unionByName(tail).select(
+        "position",
         F.col("c_id").alias("vec_id"),
         "label",
         "n_probes",

@@ -460,19 +460,35 @@ _PHASH_ORACLE = f"""
 )
 def phash_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
+    # Decode each DISTINCT base payload exactly once, from a scan-shaped
+    # plan (r9, guide §8 "decide with small rows / move heavy bytes
+    # once"): the previous form joined every group member to its base
+    # text FIRST and decoded the join output — running the Python
+    # thumbnail kernel 5x per payload for identical pixels (the kernel
+    # is a pure function of the payload) and feeding fan_out a
+    # join-shaped plan whose Catalyst estimate is garbage. Decoding the
+    # base slice keeps the kernel input a filtered scan (fan_out
+    # spreads it), and the join back to members moves 64-int pixel
+    # arrays, never payload bytes. Only referenced bases decode:
+    # base_id = doc_id - doc_id % 5 is always ≡ 0 (mod 5).
+    members = docs.select(
         F.col("doc_id").alias("media_id"),
         (F.col("doc_id") - F.col("doc_id") % 5).alias("base_id"),
-    ).join(
-        docs.select(F.col("doc_id").alias("base_id"), F.col("text").alias("btext")),
-        "base_id",
     )
-    media = base.select(
-        "media_id",
+    base_media = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("media_id"),
         F.lit("image").alias("media_type"),
-        F.encode("btext", "UTF-8").alias("payload"),
+        F.encode("text", "UTF-8").alias("payload"),
     )
-    thumbs = decode_thumbnails(media).withColumn("pixels", F.expr(_PERTURB))
+    base_px = decode_thumbnails(base_media).select(
+        F.col("media_id").alias("base_id"),
+        F.col("pixels").alias("base_pixels"),
+    )
+    thumbs = (
+        members.join(base_px, "base_id")
+        .select("media_id", F.col("base_pixels").alias("pixels"))
+        .withColumn("pixels", F.expr(_PERTURB))
+    )
     h1, h2 = ahash_words("pixels")
     hashed = thumbs.select("media_id", h1.alias("h1"), h2.alias("h2"))
     return hamming_band_pairs(
