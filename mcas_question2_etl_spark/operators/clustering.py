@@ -86,9 +86,18 @@ def connected_components(
       * ``"star"`` — Kiveris et al. alternating large-star/small-star
         contraction (:func:`connected_components_star`); O(log^2 n)
         rounds REGARDLESS of diameter or component structure.
-      * ``"auto"`` (default) — hash-min first (cheapest per round),
-        falling back to star contraction instead of failing when the
-        diameter budget is exhausted.
+      * ``"auto"`` (default) — two-phase local contraction
+        (:func:`_cc_two_phase`, r9): each partition's edges are
+        union-found LOCALLY in one Arrow pass (no shuffle touches the
+        raw edge list at all — not even the symmetrize+distinct the
+        iterative forms pay), then the message-passing rounds run only
+        on the CONTRACTED representative graph — the boundary
+        components that actually span partitions. On a real corpus
+        that graph is orders of magnitude smaller than the edge list,
+        and the round count is the contracted (not raw) diameter. The
+        contracted rounds use hash-min, falling back to star
+        contraction instead of failing when the diameter budget is
+        exhausted (the old auto semantics).
     """
     if method == "star":
         return connected_components_star(
@@ -99,18 +108,7 @@ def connected_components(
             edges, nodes, id_col, src, dst, max_iter=max_iter
         )
     if method == "auto":
-        try:
-            return connected_components(
-                edges, nodes, id_col, src, dst, max_iter, method="hashmin"
-            )
-        except RuntimeError:
-            # the caller's max_iter is a DIAMETER budget for hash-min;
-            # star's round count is O(log^2 n) regardless of diameter,
-            # so the fallback gets its own bound rather than inheriting
-            # a deliberately small one
-            return connected_components_star(
-                edges, nodes, id_col, src, dst, max_iter=max(max_iter, 50)
-            )
+        return _cc_two_phase(edges, nodes, id_col, src, dst, max_iter)
     if method != "hashmin":
         raise ValueError(f"unknown method {method!r}")
     sym = symmetrize(edges, src, dst).distinct().localCheckpoint(eager=False)
@@ -156,6 +154,193 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(graph diameter too large — switch to star-contraction)"
+    )
+
+
+#: Contraction partition sizing: one local-CC task per this many
+#: (long, long) edge pairs (64 MB of raw pairs; the numpy working set
+#: stays a few hundred MB). Only consulted when the pairs' MEASURED
+#: count says the upstream partitioning is needlessly fragmented.
+_CC_CONTRACT_PARTITION_EDGES = 4_000_000
+
+
+def _local_contract(edges: DataFrame) -> DataFrame:
+    """Partition-local connected components over a ``(src, dst)`` long
+    edge list: one Arrow pass emitting ``(node, rep)`` where ``rep`` is
+    the MIN node id of the node's partition-local component.
+
+    The kernel is vectorized min-label propagation with pointer
+    jumping over numpy index arrays (no per-edge Python loop): labels
+    start as each node's own index into the sorted id array (so the
+    min index IS the min id), each sweep takes the neighbor min across
+    all edges (``np.minimum.at``) and then halves label-pointer chains
+    (``lbl = lbl[lbl]``), and the loop stops at the fixed point —
+    labels are monotone non-increasing, so it terminates. Memory per
+    task is two int64 arrays the size of the partition's edge list.
+
+    This is the contraction half of the classic two-phase distributed
+    CC: it never shuffles (runs wherever the edges already are), and
+    everything downstream sees only the per-partition representative
+    mapping — the cross-partition boundary structure.
+    """
+    import pandas as pd  # noqa: F401 — executor-side import
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        chunks_a, chunks_b = [], []
+        for pdf in batches:
+            chunks_a.append(pdf["src"].to_numpy(dtype="int64", copy=False))
+            chunks_b.append(pdf["dst"].to_numpy(dtype="int64", copy=False))
+        if not chunks_a:
+            return
+        a = np.concatenate(chunks_a)
+        b = np.concatenate(chunks_b)
+        ids = np.unique(np.concatenate([a, b]))
+        ia = np.searchsorted(ids, a)
+        ib = np.searchsorted(ids, b)
+        lbl = np.arange(len(ids), dtype="int64")
+        while True:
+            prev = lbl
+            lbl = lbl.copy()
+            np.minimum.at(lbl, ia, prev[ib])
+            np.minimum.at(lbl, ib, prev[ia])
+            lbl = lbl[lbl]  # pointer jump: halve label chains
+            if np.array_equal(lbl, prev):
+                break
+        yield pd.DataFrame({"node": ids, "rep": ids[lbl]})
+
+    return edges.mapInPandas(run, "node long, rep long")
+
+
+def _cc_two_phase(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    src: str,
+    dst: str,
+    max_iter: int,
+) -> DataFrame:
+    """Two-phase connected components (the ``method="auto"`` path):
+    partition-local union-find contraction, then min-label rounds on
+    the contracted representative graph only, then one composition
+    join. Output contract identical to the iterative forms: every node
+    labelled with the MIN reachable node id; isolated nodes are
+    singletons.
+
+    Scale shape: the raw edge list moves AT MOST once (a round-robin
+    co-location shuffle of 16-byte pairs, skipped when its measured
+    size already fills its partitions) and is then touched by exactly
+    ONE local pass — the iterative forms shuffle it once to symmetrize
+    and then join it every round. What shuffles afterwards is the
+    (node, rep) mapping (grouped once) and the rep graph — nodes whose
+    local components span partitions. The round count becomes the
+    CONTRACTED diameter, which for bench-scale inputs (one or few
+    co-located partitions) is zero.
+    """
+    # Materialize the narrow (src, dst) long pairs ONCE (eager
+    # checkpoint) and contract over right-sized partitions. Upstream
+    # joins fragment a small edge list over many map outputs (observed:
+    # 4.4k edges across 64 partitions, leaving the local phase nothing
+    # to contract), so when the MEASURED edge count says the pairs
+    # occupy more partitions than their bytes warrant, one round-robin
+    # shuffle of the 16-byte pairs co-locates them — the single
+    # cheapest move the problem admits (guide §8: move the light rows
+    # once, then decide locally). The count is a sub-millisecond pass
+    # over the checkpointed pairs (Catalyst size ESTIMATES are garbage
+    # downstream of joins — measured 1e22 for a 4.4k-row frame — so the
+    # decision uses the exact count). At real scale the edge list
+    # already fills its partitions and the repartition is a no-op.
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).localCheckpoint(eager=True)
+    target = max(1, -(-e.count() // _CC_CONTRACT_PARTITION_EDGES))
+    if e.rdd.getNumPartitions() > target:
+        e = e.repartition(target)
+    # one row per (partition-local) node: its min local rep and the set
+    # of reps it was assigned across partitions. Eager checkpoint: the
+    # mapping feeds the rep graph, the composition join and (when the
+    # rep graph is empty) the final labels — without the cut each
+    # branch re-runs the contraction kernel.
+    node_min = (
+        _local_contract(e)
+        .groupBy("node")
+        .agg(F.min("rep").alias("mrep"), F.collect_set("rep").alias("rs"))
+        .localCheckpoint(eager=True)
+    )
+    # a node assigned different reps by different partitions bridges
+    # those local components: edges (min rep, other rep) contract them;
+    # tiny by construction (only boundary-spanning nodes contribute)
+    rep_edges = (
+        node_min.filter(F.size("rs") > 1)
+        .select(F.col("mrep").alias("a"), F.explode("rs").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    if rep_edges.isEmpty():
+        lab = node_min.select("node", F.col("mrep").alias("lbl"))
+    else:
+        # Materialize the rep graph to a session-scoped parquet before
+        # handing it to the iterative core (the _COMPONENTS_MEMO
+        # precedent). Besides cutting the explode lineage out of every
+        # round's plan, this matters for robustness: a localCheckpoint
+        # of this plan produces a LogicalRDD whose frozen origin
+        # constraints break Catalyst's constraint rewrite when the
+        # fixed-point loops self-union it (observed
+        # "java.util.NoSuchElementException: key not found: v#..L"
+        # from PruneFilters under ANY session config) — a clean scan
+        # has no such baggage. The rep graph is the cross-partition
+        # boundary structure, orders of magnitude smaller than the
+        # edge list.
+        import os
+        import tempfile
+        import uuid
+
+        spark = edges.sparkSession
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"mcas_cc_repgraph_{spark.sparkContext.applicationId}_"
+            f"{uuid.uuid4().hex}.parquet",
+        )
+        rep_edges.write.mode("overwrite").parquet(path)
+        clean = spark.read.parquet(path)
+        rep_nodes = (
+            clean.select(F.col("a").alias("rep"))
+            .unionByName(clean.select(F.col("b").alias("rep")))
+            .distinct()
+        )
+        try:
+            rlab = connected_components(
+                clean, rep_nodes, "rep", "a", "b", max_iter, method="hashmin"
+            )
+        except RuntimeError:
+            # star's round count is O(log^2 n) regardless of diameter,
+            # so the fallback gets its own bound rather than inheriting
+            # a deliberately small one (the old auto semantics)
+            rlab = connected_components_star(
+                clean, rep_nodes, "rep", "a", "b", max_iter=max(max_iter, 50)
+            )
+        # a node whose min rep never bridges partitions keeps it as-is
+        lab = (
+            node_min.select("node", "mrep")
+            .join(
+                rlab.withColumnRenamed("rep", "mrep").withColumnRenamed(
+                    "cluster_id", "lbl"
+                ),
+                "mrep",
+                "left",
+            )
+            .select("node", F.coalesce("lbl", "mrep").alias("lbl"))
+        )
+    return (
+        nodes.select(F.col(id_col))
+        .join(lab.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("lbl"), F.col(id_col).cast("long")).alias(
+                "cluster_id"
+            ),
+        )
     )
 
 

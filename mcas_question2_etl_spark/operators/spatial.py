@@ -757,10 +757,17 @@ def dbscan_grid(
     )
     dx = F.col("ax") - F.col("bx")
     dy = F.col("ay") - F.col("by")
+    # the verified neighbor-pair table feeds FOUR independent
+    # consumers (core counts, the CC edge materialization, the border
+    # adoption join, and through them the final labeling); an eager
+    # lineage cut runs the grid join + exact eps filter ONCE instead of
+    # once per consumer — the pairs are two bigints per row, the
+    # cheapest thing in this operator to keep (r9, guide §5)
     nbr = (
         a.join(b, ["kx", "ky"])
         .filter(dx * dx + dy * dy <= F.lit(eps * eps))
         .select("a_id", "b_id")
+        .localCheckpoint(eager=True)
     )
     counts = nbr.groupBy(F.col("a_id").alias("pid")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nbr")
